@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bulk/streaming indexer: source table → document store (S2-S5, M10).
+  *
+  * The reference's write path is one HTTP upsert per mutated row
+  * (reference: ElasticIndex.java:470-621) plus a full-scan rebuild
+  * (EsIndexBuilder.java:60-88). Here both are the same batch pipeline:
+  * project docs, deduplicate to last-write-wins, write Parquet partitioned by
+  * segment. Per-key locks / retry_on_conflict (ElasticIndex.java:449-458,
+  * 610-612) disappear: a deterministic `max_by(doc, version)` shuffle makes
+  * write conflicts impossible.
+  */
+object Indexer {
+
+  /** S2+S3/M10: full build — doc projection + optional segment column.
+    * Pure projection, no shuffle; writing with `partitionBy(segmentCol)`
+    * gives the time-segmented layout of M2 for free. */
+  def buildDocs(src: DataFrame, pkCols: Seq[String], ckCols: Seq[String],
+                cfg: IndexConfig, now: java.sql.Timestamp,
+                ttlCol: Option[String] = None,
+                segmentSource: Option[String] = None): DataFrame = {
+    val docs = DocModel.project(src, pkCols, ckCols, cfg, now, ttlCol)
+    (cfg.segment.truncUnit, segmentSource) match {
+      case (Some(unit), Some(ts)) =>
+        docs.withColumn("segment", date_trunc(unit, src(ts)))
+      case _ => docs
+    }
+  }
+
+  /** S3: upsert with last-write-wins per doc id (`doc_as_upsert` semantics,
+    * reference: ElasticIndex.java:130, 603-614). `versionCols` break ties
+    * deterministically (e.g. event timestamp then a unique id) — the Spark
+    * replacement for per-PK locks (W11) and `retry_on_conflict`.
+    *
+    * Scale: one hash shuffle on `keyCol`; with AQE the partition count
+    * adapts. Skewed doc ids would need salting — doc ids are near-unique by
+    * construction, so no salt here. */
+  def latestPerKey(updates: DataFrame, keyCol: String,
+                   versionCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    updates.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  /** S3 merge: apply an update batch onto the existing doc store —
+    * last-write-wins within the batch, batch beats existing (upsert).
+    * With `cfg.insertOnly` (S4) existing docs are not replaced
+    * (reference: ElasticIndex.java:595-601; IndexConfig.java:76-77). */
+  def upsert(existing: DataFrame, updates: DataFrame, keyCol: String,
+             versionCols: Seq[String], cfg: IndexConfig = IndexConfig()): DataFrame = {
+    val batch = latestPerKey(updates, keyCol, versionCols)
+    if (cfg.insertOnly)
+      existing.unionByName(
+        batch.join(existing.select(keyCol), Seq(keyCol), "left_anti"))
+    else
+      existing.join(batch.select(keyCol), Seq(keyCol), "left_anti")
+        .unionByName(batch)
+  }
+
+  /** S5: delete — drop docs whose key appears in the delete set; a no-op in
+    * analytic mode (M6), where documents deliberately outlive their source
+    * rows (reference: ElasticIndex.java:642-649; gate EsSecondaryIndex.java:413;
+    * IndexConfig.java:107-108). */
+  def delete(docs: DataFrame, deletes: DataFrame, keyCols: Seq[String],
+             cfg: IndexConfig = IndexConfig()): DataFrame =
+    if (cfg.analyticMode) docs
+    else docs.join(deletes.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+}

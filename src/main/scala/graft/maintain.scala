@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Maintenance plane (M2-M9): segment roll, purge, TTL enforcement, truncate.
+  *
+  * The reference runs these as wall-clock schedulers per index
+  * (reference: DefaultIndexManager.java:49-75 — purge hourly, TTL
+  * delete-by-query every 60 s, segment re-check every 60 s;
+  * IndexDropManager.java:73-99). In the Spark rebuild they are deterministic
+  * DataFrame functions parameterized by `now` — scheduling stays outside the
+  * engine, and "dropping a segment" is dropping a partition directory, which
+  * at 100 TB is a metadata operation, not a data rewrite.
+  */
+object Maintain {
+
+  /** M2: compute the segment value for a timestamp column. Segments are
+    * partition values, so "rolling" to a new segment needs no scheduler
+    * (reference: DefaultIndexManager.java:105-151 names indexes by time
+    * bucket; IndexDropManager.java:92-99 fixed-width frames). */
+  def segmentOf(ts: org.apache.spark.sql.Column, g: SegmentGranularity): org.apache.spark.sql.Column =
+    g.truncUnit match {
+      case Some(unit) => date_trunc(unit, ts)
+      case None => lit(null).cast("timestamp")
+    }
+
+  /** M3: purge empty segments — list segments that still hold live docs; the
+    * complement (empty partitions) gets dropped
+    * (reference: ElasticIndex.java:839-856 `_count` then delete-if-0). */
+  def liveSegments(docs: DataFrame, segmentCol: String): DataFrame =
+    docs.groupBy(col(segmentCol)).agg(count(lit(1)).as("doc_count"))
+      .where(col("doc_count") > 0)
+
+  /** M4: doc-level TTL enforcement — keep docs whose `_cassandraTtl` is still
+    * in the future; `ttl-shift` widens the comparison
+    * (reference: ElasticIndex.java:825-836; shift ElasticIndex.java:827,
+    * IndexConfig.java:128-129). Analytic mode (M6) suppresses expiry. */
+  def ttlFilter(docs: DataFrame, nowEpochSec: Long, cfg: IndexConfig,
+                ttlCol: String = "_cassandraTtl"): DataFrame =
+    if (cfg.analyticMode) docs
+    else docs.where(col(ttlCol).isNull || col(ttlCol) > lit(nowEpochSec + cfg.ttlShiftSec))
+
+  /** M5: segment-level TTL — drop whole segments older than the watermark in
+    * one partition-pruned predicate (reference: IndexDropManager.java:154-168
+    * parses timestamps out of index names; here the segment IS a timestamp). */
+  def dropExpiredSegments(docs: DataFrame, segmentCol: String,
+                          watermark: java.sql.Timestamp): DataFrame =
+    docs.where(col(segmentCol) >= lit(watermark))
+
+  /** M7: truncate — empty doc set with the same schema
+    * (reference: ElasticIndex.java:817-822). */
+  def truncate(docs: DataFrame): DataFrame = docs.limit(0)
+
+  /** S9 admin: `#get_mapping#` — the doc-store schema as rows, the analog of
+    * returning the ES mapping as a fake result row
+    * (reference: EsSecondaryIndex.java:466-468, 517-533). */
+  def getMapping(docs: DataFrame): Seq[(String, String)] =
+    docs.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+}

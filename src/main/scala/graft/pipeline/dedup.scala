@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for large-scale training-data pipelines.
+  *
+  * Five strategies, all shuffle-disciplined for 100 TB:
+  *  - exact: one hash-aggregate on the content fingerprint;
+  *  - MinHash + LSH: candidate generation via banded signature buckets
+  *    (shuffle on (band, hash) — no all-pairs join ever materializes);
+  *  - SimHash: 64-bit signature + pigeonhole banding for Hamming-ball pairs;
+  *  - n-gram Jaccard: exact verification via token-postings join;
+  *  - embedding cosine: see [[Similarity]] (random-hyperplane LSH buckets).
+  *
+  * Everything is `functions._` expressions (codegen'd); no UDFs, no collects.
+  */
+object Dedup {
+
+  /** Whitespace tokens of normalized text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Exact dedup: keep the lowest id per identical normalized text.
+    * One map-side-combinable hash aggregate — the 100 TB-safe shape. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(lower(trim(col(textCol)))).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Word k-shingles (contiguous k-grams) of the token array. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** MinHash signature: `numHashes` independent permutations approximated by
+    * seeded xxhash64 over each shingle; signature element = min hash.
+    * Pure expression tree — evaluates in one codegen'd projection. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array(Seq.tabulate(numHashes) { seed =>
+      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate pairs.
+    *
+    * bands × rowsPerBand = signature length; docs sharing any band bucket are
+    * candidates; candidates are verified with exact Jaccard over shingle sets.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    *
+    * Scale shape: explode to (doc × bands) rows → shuffle on band bucket →
+    * self-join inside buckets only. Bucket skew (a degenerate bucket holding
+    * thousands of near-identical docs) is the known hot spot; AQE skew-join
+    * handles moderate cases, and the exact-dup class should be removed with
+    * [[exact]] first.
+    */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleK).as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(array(Seq.tabulate(bands) { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: bit i is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Expression-only. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bits = Seq.tabulate(64) { i =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L).cast("long") * lit(1L << i)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxDist.
+    *
+    * Candidate generation by pigeonhole banding: split the 64-bit signature
+    * into `maxDist + 1` chunks — any pair within the Hamming ball agrees on
+    * at least one chunk, so an equi-join per chunk finds all candidates
+    * without an all-pairs comparison. Verification = `bit_count(a ^ b)`.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array(Seq.tabulate(chunks) { c =>
+        shiftright(col("sig"), c * width)
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val a = banded.select(col("chunk"), col("piece"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("chunk"), col("piece"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "piece"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Exact n-gram (word-set) Jaccard similarity pairs via a token-postings
+    * self-join: shuffle on token, intersection counts per pair, set sizes
+    * joined back. Exact but quadratic in posting-list length — at scale this
+    * is the *verifier* behind [[minhashPairs]]'s candidate generation, not a
+    * standalone all-corpus pass. */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   threshold: Double): DataFrame = {
+    val words = df.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("w"))
+    val sizes = words.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = words.as("x").join(words.as("y"),
+        col("x.w") === col("y.w") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus a batched feature-extraction operator.
+  *
+  * The Spark-side plumbing (schema, partition-friendly batching, operator
+  * signature) is real; the actual media decode is STUBBED — this container
+  * has no image/audio codecs, so [[decodeStub]] derives deterministic fake
+  * features from the raw bytes. Swap `decodeStub` for a real decoder (JNI /
+  * external service) without touching the pipeline shape.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema fragment: opaque payload + typed metadata. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),      // image | audio | video
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("format", StringType, nullable = true)))
+
+  /** Wrap a source column as a multimodal (content, meta) pair. */
+  def asMedia(df: DataFrame, binCol: String, kind: String, format: String): DataFrame =
+    df.withColumn("content", col(binCol).cast(BinaryType))
+      .withColumn("meta", struct(
+        lit(kind).as("kind"),
+        length(col(binCol).cast(BinaryType)).cast(LongType).as("n_bytes"),
+        lit(format).as("format")))
+
+  /** STUB media decoder: deterministic fake "features" from the payload —
+    * byte count, a simple byte checksum, and a fake width/height derived
+    * from the length. Replace with a real codec for production; the operator
+    * contract (binary in, fixed-width feature struct out) is the real part. */
+  def decodeStub(bytes: Array[Byte]): (Long, Long, Int, Int) = {
+    var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
+    val w = 16 + (math.abs(checksum) % 1024).toInt
+    val h = 16 + (math.abs(checksum / 1024) % 1024).toInt
+    (bytes.length.toLong, checksum, w, h)
+  }
+
+  /** Batched feature extraction over the binary column via `mapPartitions` —
+    * the Scala analog of a Pandas-batched UDF: one iterator per partition, so
+    * a real decoder can amortize model/codec init across the whole batch.
+    * Partition sizing (`spark.sql.files.maxPartitionBytes`) controls batch
+    * memory; binary payloads never pass through a shuffle. */
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("checksum", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.select(col(idCol).cast(LongType).as("id"), col("content"))
+      .mapPartitions { it =>
+        // per-partition init point for a real codec/model goes here
+        it.map { r =>
+          val (n, cks, w, h) = decodeStub(r.getAs[Array[Byte]]("content"))
+          Row(r.getLong(0), n, cks, w, h)
+        }
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data curation: language ID, quality
+  * scoring, token counting, document fingerprinting. All pure column
+  * expressions — one codegen'd projection over the corpus, no shuffle.
+  */
+object TextStats {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(trim(text), "\\s+"), t => length(t) > 0))
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and single other
+    * non-space chars — a cheap, deterministic proxy for tokenizer cost. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality metrics per document: length, tokens, mean token length,
+    * punctuation ratio, stopword ratio, alpha ratio. Thresholding these is
+    * the standard pre-training quality filter. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(lower(trim(t)), "\\s+"), x => length(x) > 0)
+    val stopArr = array(Stopwords.map(lit): _*)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_tok_len",
+        round(length(regexp_replace(trim(t), "\\s+", "")).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("punct_ratio",
+        round(size(regexp_extract_all(t, lit("[\\.,;:!\\?]"), lit(0))).cast("double") /
+          greatest(length(t), lit(1)), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(toks, x => array_contains(stopArr, x))).cast("double") /
+          greatest(size(toks), lit(1)), 4))
+      .withColumn("alpha_ratio",
+        round(size(regexp_extract_all(t, lit("[A-Za-z]"), lit(0))).cast("double") /
+          greatest(length(t), lit(1)), 4))
+  }
+
+  /** Marker-word language heuristic: count hits of per-language marker sets,
+    * pick the argmax (ties → first in declared order, 'und' when nothing
+    * hits). An n-gram heuristic in the fastText spirit, kept deliberately
+    * SQL-expressible so it is oracle-checkable. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
+  def langId(text: Column): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), x => length(x) > 0)
+    val scores = LangMarkers.map { case (lang, markers) =>
+      val arr = array(markers.map(lit): _*)
+      lang -> size(filter(toks, x => array_contains(arr, x)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text —
+    * the deterministic exact-dup key (rolling-hash shingle fingerprints are
+    * covered by [[Dedup.minhashSignature]]). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+}

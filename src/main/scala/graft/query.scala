@@ -1,0 +1,301 @@
+package graft
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Query metadata: the `#options:k=v,k2=v2#<query>` prefix protocol
+  * (reference: QueryMetaData.java:28-75; tests QueryMetaDataTest.java:26-57).
+  */
+final case class QueryMeta(query: String, loadRows: Boolean = true,
+                           loadSource: Boolean = true,
+                           options: Map[String, String] = Map.empty)
+
+object QueryMeta {
+  private val Prefix = "#options:"
+
+  /** Parse the option prefix. No prefix → the string passes through unchanged;
+    * trailing `#`s after the first closing one belong to the query
+    * (reference fixture: `"...#plop=42###"` → query `plop=42###`). */
+  def parse(raw: String): QueryMeta =
+    if (raw == null || !raw.startsWith(Prefix)) QueryMeta(raw)
+    else {
+      val close = raw.indexOf('#', Prefix.length)
+      if (close < 0) QueryMeta(raw)
+      else {
+        val opts = raw.substring(Prefix.length, close).split(',')
+          .iterator.map(_.trim).filter(_.nonEmpty)
+          .map { kv =>
+            val i = kv.indexOf('=')
+            if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
+          }.toMap
+        QueryMeta(raw.substring(close + 1),
+          loadRows = !opts.get("load-rows").contains("false"),
+          loadSource = !opts.get("load-source").contains("false"),
+          options = opts)
+      }
+    }
+}
+
+/** A compiled search: a boolean predicate, a deterministic relevance score,
+  * and a result cap.
+  *
+  * The reference delegates all query syntax to Elasticsearch/Lucene
+  * (ElasticIndex.java:127, 663-665 wraps the raw string; README.md:176-211).
+  * A Spark engine must own the grammar, so this compiler supports a declared,
+  * reproducible subset — Lucene-lite (`field:term`, `field:pre*`,
+  * `field:[a TO b]`, `AND`/`OR`/`NOT`, parentheses) and the ES-DSL JSON
+  * operators `term`, `match`, `prefix`, `wildcard`, `range`, `exists`,
+  * `bool{must,should,must_not,filter}`, `query_string`, `match_all` with
+  * top-level `size`.
+  *
+  * Scoring: `_score` = number of positive leaf clauses the row matches —
+  * deterministic and oracle-computable, standing in for ES relevance
+  * (reference surfaces ES `_score` opaquely, ElasticIndex.java:679-716).
+  * Everything compiles to `Column` trees, so predicates push down to the
+  * Parquet scan and stay inside whole-stage codegen.
+  */
+final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int])
+
+object QueryCompiler {
+
+  /** Compile either syntax: a string starting with `{` is ES-DSL JSON
+    * (reference: ElasticIndex.java:133, 663), anything else Lucene-lite. */
+  def compile(query: String, defaultLimit: Int = 10000): CompiledQuery = {
+    val meta = QueryMeta.parse(query)
+    val q = meta.query.trim
+    if (q.startsWith("{")) DslJson.compile(q, defaultLimit)
+    else LuceneLite.compile(q, defaultLimit)
+  }
+
+  /** Eager validation (R11): compile and surface syntax errors as
+    * `IllegalArgumentException` before any execution, mirroring the
+    * reference's `_validate?explain` round-trip
+    * (reference: ElasticIndex.java:733-782; EsSecondaryIndex.java:432-439). */
+  def validate(query: String): Either[String, CompiledQuery] =
+    try Right(compile(query)) catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
+  // ---- shared leaf semantics (declared; see Scaladoc above) ----
+
+  /** `field:term` → case-insensitive whole-token containment; `*` wildcards
+    * become regex fragments anchored to token boundaries. */
+  private[graft] def termMatch(field: String, term: String): Column = {
+    val lowered = lower(col(field))
+    if (term.contains("*")) {
+      val parts = term.toLowerCase.split("\\*", -1).map(java.util.regex.Pattern.quote)
+      val body = parts.mkString("[^\\s]*")
+      val rx = (if (term.startsWith("*")) "" else "\\b") + body +
+               (if (term.endsWith("*")) "" else "\\b")
+      lowered.rlike(rx)
+    } else lowered.rlike("\\b" + java.util.regex.Pattern.quote(term.toLowerCase) + "\\b")
+  }
+
+  private[graft] def scoreOf(leaves: Seq[Column]): Column =
+    if (leaves.isEmpty) lit(0)
+    else leaves.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+
+  // ---- Lucene-lite recursive-descent parser ----
+
+  private[graft] object LuceneLite {
+    sealed trait Node
+    case class Term(field: String, value: String) extends Node
+    case class Range(field: String, lo: String, hi: String,
+                     incLo: Boolean, incHi: Boolean) extends Node
+    case class And(l: Node, r: Node) extends Node
+    case class Or(l: Node, r: Node) extends Node
+    case class Not(n: Node) extends Node
+
+    def compile(q: String, defaultLimit: Int): CompiledQuery = {
+      val ast = parse(q)
+      val leaves = scala.collection.mutable.ArrayBuffer[Column]()
+      // `pos` tracks polarity: only positive leaves contribute to the score
+      def toCol(n: Node, pos: Boolean): Column = n match {
+        case Term(f, v) =>
+          val c = termMatch(f, v); if (pos) leaves += c; c
+        case Range(f, lo, hi, il, ih) =>
+          val base = col(f)
+          val loC = if (lo == "*") lit(true) else if (il) base >= lo else base > lo
+          val hiC = if (hi == "*") lit(true) else if (ih) base <= hi else base < hi
+          val c = loC && hiC; if (pos) leaves += c; c
+        case And(l, r) => toCol(l, pos) && toCol(r, pos)
+        case Or(l, r)  => toCol(l, pos) || toCol(r, pos)
+        case Not(x)    => !toCol(x, pos = false)
+      }
+      val pred = toCol(ast, pos = true)
+      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(defaultLimit))
+    }
+
+    // tokenizer: parens, AND/OR/NOT keywords, field:value atoms, ranges
+    private def parse(q: String): Node = {
+      val toks = tokenize(q)
+      val (node, rest) = parseOr(toks)
+      require(rest.isEmpty, s"trailing tokens: ${rest.mkString(" ")}")
+      node
+    }
+
+    private def tokenize(q: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      val s = q
+      while (i < s.length) {
+        s(i) match {
+          case c if c.isWhitespace => i += 1
+          case '(' | ')' => out += s(i).toString; i += 1
+          case '[' | '{' =>
+            val end = s.indexWhere(ch => ch == ']' || ch == '}', i)
+            require(end > 0, s"unclosed range in: $q")
+            out += s.substring(i, end + 1); i = end + 1
+          case _ =>
+            var j = i
+            while (j < s.length && !s(j).isWhitespace && s(j) != '(' && s(j) != ')') {
+              if (s(j) == ':' && j + 1 < s.length && (s(j + 1) == '[' || s(j + 1) == '{')) {
+                val end = s.indexWhere(ch => ch == ']' || ch == '}', j + 1)
+                require(end > 0, s"unclosed range in: $q")
+                j = end + 1
+              } else j += 1
+            }
+            out += s.substring(i, j); i = j
+        }
+      }
+      out.toList
+    }
+
+    private def parseOr(t: List[String]): (Node, List[String]) = {
+      var (l, rest) = parseAnd(t)
+      while (rest.headOption.exists(_.equalsIgnoreCase("OR"))) {
+        val (r, rr) = parseAnd(rest.tail); l = Or(l, r); rest = rr
+      }
+      (l, rest)
+    }
+
+    private def parseAnd(t: List[String]): (Node, List[String]) = {
+      var (l, rest) = parseUnary(t)
+      while (rest.headOption.exists(h =>
+        h.equalsIgnoreCase("AND") ||
+          (!h.equalsIgnoreCase("OR") && h != ")"))) {
+        // implicit AND for adjacent clauses (Lucene default operator here: AND)
+        val next = if (rest.head.equalsIgnoreCase("AND")) rest.tail else rest
+        val (r, rr) = parseUnary(next); l = And(l, r); rest = rr
+      }
+      (l, rest)
+    }
+
+    private def parseUnary(t: List[String]): (Node, List[String]) = t match {
+      case h :: tail if h.equalsIgnoreCase("NOT") =>
+        val (n, rest) = parseUnary(tail); (Not(n), rest)
+      case "(" :: tail =>
+        val (n, rest) = parseOr(tail)
+        require(rest.headOption.contains(")"), "missing )")
+        (n, rest.tail)
+      case h :: tail => (atom(h), tail)
+      case Nil => throw new IllegalArgumentException("empty query")
+    }
+
+    private val RangeRx = """([\w.]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])""".r
+
+    private def atom(tok: String): Node = tok match {
+      case RangeRx(f, lb, lo, hi, rb) => Range(f, lo, hi, lb == "[", rb == "]")
+      case _ =>
+        val i = tok.indexOf(':')
+        require(i > 0, s"expected field:term, got '$tok'")
+        Term(tok.substring(0, i), tok.substring(i + 1))
+    }
+  }
+
+  // ---- ES-DSL JSON subset ----
+
+  private[graft] object DslJson {
+    private val mapper = new ObjectMapper()
+
+    def compile(json: String, defaultLimit: Int): CompiledQuery = {
+      val root = mapper.readTree(json)
+      require(root != null && root.isObject, "DSL query must be a JSON object")
+      val size = Option(root.get("size")).map(_.asInt).getOrElse(defaultLimit)
+      val qNode = Option(root.get("query"))
+        .getOrElse(throw new IllegalArgumentException("missing 'query'"))
+      val leaves = scala.collection.mutable.ArrayBuffer[Column]()
+      val pred = node(qNode, leaves, scoring = true)
+      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size))
+    }
+
+    private def node(n: JsonNode,
+                     leaves: scala.collection.mutable.ArrayBuffer[Column],
+                     scoring: Boolean): Column = {
+      require(n.isObject && n.size == 1, s"expected single-operator object, got: $n")
+      val op = n.fieldNames.asScala.next()
+      val body = n.get(op)
+      op match {
+        case "match_all" => lit(true)
+        case "term" | "match" | "prefix" | "wildcard" =>
+          val (f, v) = singleField(body)
+          val c = op match {
+            case "term"     => col(f) === lit(scalarOf(v)) // exact value
+            case "match"    => termMatch(f, v.asText)       // analyzed token match
+            case "prefix"   => termMatch(f, v.asText + "*")
+            case "wildcard" => termMatch(f, v.asText)       // value carries '*'
+          }
+          if (scoring) leaves += c
+          c
+        case "exists" => // {"exists":{"field":"x"}}
+          val c = col(body.get("field").asText).isNotNull
+          if (scoring) leaves += c
+          c
+        case "range" =>
+          val f = body.fieldNames.asScala.next()
+          val spec = body.get(f)
+          val parts = spec.fields.asScala.map { e =>
+            val v = lit(scalarOf(e.getValue))
+            e.getKey match {
+              case "gte" => col(f) >= v
+              case "gt"  => col(f) > v
+              case "lte" => col(f) <= v
+              case "lt"  => col(f) < v
+              case k => throw new IllegalArgumentException(s"range op '$k'")
+            }
+          }.toSeq
+          require(parts.nonEmpty, "empty range")
+          val c = parts.reduce(_ && _)
+          if (scoring) leaves += c
+          c
+        case "query_string" => // {"query_string":{"query":"a:b AND c:d"}}
+          val sub = LuceneLite.compile(body.get("query").asText, Int.MaxValue)
+          if (scoring) leaves += sub.predicate
+          sub.predicate
+        case "bool" =>
+          val must = clauseList(body, "must").map(node(_, leaves, scoring))
+          val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false))
+          val mustNot = clauseList(body, "must_not").map(node(_, leaves, scoring = false))
+          val shouldLeaves = scala.collection.mutable.ArrayBuffer[Column]()
+          val should = clauseList(body, "should")
+            .map(node(_, if (scoring) leaves else shouldLeaves, scoring))
+          val req = must ++ filter ++ mustNot.map(c => !c)
+          val base = if (req.nonEmpty) req.reduce(_ && _) else lit(true)
+          // ES semantics: `should` is optional when must/filter present,
+          // required (>=1) when the bool has only should clauses.
+          if (should.isEmpty) base
+          else if (req.nonEmpty) base
+          else should.reduce(_ || _)
+        case other => throw new IllegalArgumentException(s"unsupported operator '$other'")
+      }
+    }
+
+    private def clauseList(body: JsonNode, key: String): Seq[JsonNode] =
+      Option(body.get(key)).toSeq.flatMap { n =>
+        if (n.isArray) n.elements.asScala.toSeq else Seq(n)
+      }
+
+    private def singleField(body: JsonNode): (String, JsonNode) = {
+      val f = body.fieldNames.asScala.next()
+      (f, body.get(f))
+    }
+
+    private def scalarOf(n: JsonNode): Any =
+      if (n.isTextual) n.asText
+      else if (n.isIntegralNumber) n.asLong
+      else if (n.isNumber) n.asDouble
+      else if (n.isBoolean) n.asBoolean
+      else throw new IllegalArgumentException(s"unsupported literal: $n")
+  }
+}

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import graft.{IndexConfig, Indexer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+/** S1: real-time indexing as Structured Streaming.
+  *
+  * The reference receives one callback per Cassandra mutation
+  * (reference: EsSecondaryIndex.java:390-414, indexers/EsIndexer.java:58-70)
+  * and upserts the doc per row. The Spark rebuild treats the mutation stream
+  * as a streaming DataFrame: each micro-batch runs the *same* batch upsert
+  * pipeline via `foreachBatch` — exactly-once per batch replaces the
+  * reference's per-key locks and commit-log-replay skips (W11/W12).
+  */
+object StreamingIndexer {
+
+  /** Continuous upsert into a keyed in-memory/delta-style state: each
+    * micro-batch is reduced to last-write-wins per key and handed to `sink`
+    * (e.g. a MERGE/overwrite writer). */
+  def upsertStream(mutations: DataFrame, keyCol: String, versionCols: Seq[String],
+                   sink: (DataFrame, Long) => Unit,
+                   trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    mutations.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(Indexer.latestPerKey(batch, keyCol, versionCols), id)
+      }
+
+  /** Event-time windowed rollup with a watermark — the streaming analog of
+    * segment-bucketed counts (M2/M3); late data beyond the watermark is
+    * dropped deterministically instead of the reference's wall-clock TTL. */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+}

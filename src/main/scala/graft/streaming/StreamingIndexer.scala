@@ -22,7 +22,7 @@ object StreamingIndexer {
     * (e.g. a MERGE/overwrite writer). */
   def upsertStream(mutations: DataFrame, keyCol: String, versionCols: Seq[String],
                    sink: (DataFrame, Long) => Unit,
-                   trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+                   trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
     mutations.writeStream
       .outputMode(OutputMode.Update())
       .trigger(trigger)

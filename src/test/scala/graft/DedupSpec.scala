@@ -1,0 +1,84 @@
+package graft
+
+import graft.pipeline.{Dedup, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** North-star pipeline operators: planted near-duplicates must be found. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  // doc 1 and 2 are near-identical (one token differs); 3 is unrelated
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (3L, "completely different content about spark query planning and shuffles"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(corpus, "text", "doc_id").collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getLong(2) == 2L)
+    assert(dupGroup.isDefined && dupGroup.get.getLong(1) == 1L) // keep min id
+  }
+
+  test("minhash LSH finds the planted near-dup pair") {
+    val pairs = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"expected (1,2) in $pairs")
+    assert(pairs.contains((1L, 4L))) // exact dup is trivially a near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming pairs find the planted near-dup") {
+    val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical → distance 0
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact jaccard matches hand-computed value") {
+    val out = Dedup.jaccardPairs(corpus, "text", "doc_id", threshold = 0.1)
+      .where(col("id_a") === 1 && col("id_b") === 2).head
+    // distinct word sets intersect 10 / union 12; operator rounds to 4 places
+    assert(math.abs(out.getDouble(2) - 0.8333) < 1e-9)
+  }
+
+  test("cosine pairs: identical vectors found, orthogonal not") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(vecs, threshold = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute-force topk ranks by cosine") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0, 0.0))).toDF("query_id", "query_vec")
+    val out = Similarity.bruteForceTopK(corpus, q, k = 2)
+      .select("neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("langid picks the language with most marker hits") {
+    val df = Seq(
+      (1, "the cat is on the mat and of course"),
+      (2, "el gato es de la casa"),
+      (3, "xyzzy plugh")).toDF("id", "text")
+    val out = df.select(col("id"), TextStats.langId(col("text")))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(out == Map(1 -> "en", 2 -> "es", 3 -> "und"))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  B\tc"), ("a b C")).toDF("text")
+    val fps = df.select(TextStats.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-path behavior tests mirroring the reference's per-behavior unit
+  * tests (empty-update skip ↔ EsSecondaryIndexTest.java:152-160, analytic
+  * mode ↔ EsSecondaryIndex.java:413, upsert ↔ ElasticIndexTest.java:302-317). */
+class IndexerSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private val now = java.sql.Timestamp.from(java.time.Instant.parse("2024-07-01T00:00:00Z"))
+
+  test("doc-id synthesis: composite PK+CK joined with '-'") {
+    val df = Seq((1L, 2, "x")).toDF("pk", "ck", "v")
+    val out = df.select(DocModel.docId(Seq("pk"), Seq("ck")).as("doc_id"))
+    assert(out.head.getString(0) == "1-2")
+  }
+
+  test("doc-id synthesis: single bare PK") {
+    val df = Seq(("42", "x")).toDF("id", "v")
+    assert(df.select(DocModel.docId(Seq("id"))).head.getString(0) == "42")
+  }
+
+  test("doc projection stamps IndexationDate in ISO-8601 GMT") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val out = DocModel.project(df, Seq("id"), Nil, IndexConfig(), now)
+    assert(out.select("IndexationDate").head.getString(0) == "2024-07-01T00:00:00.000Z")
+  }
+
+  test("last-write-wins upsert keeps the newest version per key") {
+    val updates = Seq(
+      ("k1", 1L, "old"), ("k1", 3L, "new"), ("k1", 2L, "mid"),
+      ("k2", 1L, "only")).toDF("doc_id", "ver", "v")
+    val out = Indexer.latestPerKey(updates, "doc_id", Seq("ver"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("k1", "new"), ("k2", "only")))
+  }
+
+  test("upsert: batch beats existing; insert-only keeps existing") {
+    val existing = Seq(("k1", 0L, "orig"), ("k3", 0L, "keep")).toDF("doc_id", "ver", "v")
+    val batch = Seq(("k1", 5L, "upd"), ("k2", 5L, "ins")).toDF("doc_id", "ver", "v")
+    val upserted = Indexer.upsert(existing, batch, "doc_id", Seq("ver"))
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(upserted == Seq(("k1", "upd"), ("k2", "ins"), ("k3", "keep")))
+    val insertOnly = Indexer.upsert(existing, batch, "doc_id", Seq("ver"),
+        IndexConfig(insertOnly = true))
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(insertOnly == Seq(("k1", "orig"), ("k2", "ins"), ("k3", "keep")))
+  }
+
+  test("delete removes by key; analytic mode suppresses deletes") {
+    val docs = Seq(("a", 1), ("b", 2)).toDF("doc_id", "v")
+    val dels = Seq("a").toDF("doc_id")
+    assert(Indexer.delete(docs, dels, Seq("doc_id")).collect().map(_.getString(0)).toSeq == Seq("b"))
+    assert(Indexer.delete(docs, dels, Seq("doc_id"),
+      IndexConfig(analyticMode = true)).count() == 2)
+  }
+
+  test("empty-update skip drops all-null docs, keeps partial ones") {
+    val df = Seq(
+      (1, Option.empty[String], Option.empty[String]),
+      (2, Some("x"), Option.empty[String])).toDF("id", "f1", "f2")
+    val out = DocModel.skipEmpty(df, Seq("f1", "f2"))
+    assert(out.select("id").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("discard-nulls controls JSON null emission") {
+    val df = Seq((Option.empty[String], 7L)).toDF("et", "uid")
+    val both = df.select(
+      DocModel.docJson(IndexConfig(discardNulls = true), col("et"), col("uid")).as("d"),
+      DocModel.docJson(IndexConfig(discardNulls = false), col("et"), col("uid")).as("k"))
+      .head
+    assert(both.getString(0) == """{"uid":7}""")
+    assert(both.getString(1) == """{"et":null,"uid":7}""")
+  }
+
+  test("blob conversion emits size placeholder, not content") {
+    val df = Seq(("abcd")).toDF("b").select(col("b").cast("binary").as("b"))
+    val out = df.select(DocModel.convert("b", org.apache.spark.sql.types.BinaryType))
+    assert(out.head.getString(0) == "4 bytes")
+  }
+
+  test("TTL filter honors shift and analytic mode") {
+    val docs = Seq(("a", 100L), ("b", 200L), ("c", 0L)).toDF("doc_id", "_cassandraTtl")
+    val kept = Maintain.ttlFilter(docs, nowEpochSec = 120, IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(kept == Seq("b"))
+    val shifted = Maintain.ttlFilter(docs, nowEpochSec = 120, IndexConfig(ttlShiftSec = 100))
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(shifted == Seq.empty)
+    assert(Maintain.ttlFilter(docs, 120, IndexConfig(analyticMode = true)).count() == 3)
+  }
+
+  test("segment roll assigns date_trunc buckets; truncate empties") {
+    val df = Seq(("2024-03-05 10:30:00", 1), ("2024-03-07 00:00:00", 2))
+      .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val seg = df.withColumn("s", Maintain.segmentOf(col("ts"), SegmentGranularity.Month))
+    assert(seg.select("s").distinct().count() == 1)
+    assert(Maintain.truncate(df).count() == 0)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-parser tests mirroring the reference's fixtures:
+  * QueryMetaDataTest.java:26-57 (option prefix) and the validation state
+  * machine in ElasticIndexTest.java:222-300 (here: eager compile errors). */
+class QueryCompilerSpec extends AnyFunSuite {
+
+  // --- QueryMeta (reference: QueryMetaDataTest.java:26-57) ---
+
+  test("option prefix with load-rows=false") {
+    val m = QueryMeta.parse("#options:load-rows=false#plop=42")
+    assert(m.query == "plop=42")
+    assert(!m.loadRows)
+  }
+
+  test("trailing hashes belong to the query") {
+    val m = QueryMeta.parse("#options:load-rows=true,number=42#plop=42###")
+    assert(m.query == "plop=42###")
+    assert(m.loadRows)
+    assert(m.options("number") == "42")
+  }
+
+  test("no prefix passes through unchanged") {
+    val m = QueryMeta.parse("body:cassan*")
+    assert(m.query == "body:cassan*")
+    assert(m.loadRows && m.loadSource)
+  }
+
+  // --- Lucene-lite grammar ---
+
+  test("simple term compiles") {
+    assert(QueryCompiler.validate("body:cassandra").isRight)
+  }
+
+  test("boolean operators and parens") {
+    assert(QueryCompiler.validate("a:x AND (b:y OR NOT c:z)").isRight)
+  }
+
+  test("range syntax") {
+    assert(QueryCompiler.validate("userid:[10 TO 50]").isRight)
+    assert(QueryCompiler.validate("userid:{10 TO *}").isRight)
+  }
+
+  test("wildcards") {
+    assert(QueryCompiler.validate("body:cassan*").isRight)
+    assert(QueryCompiler.validate("body:*andra").isRight)
+  }
+
+  test("syntax errors are Left, never thrown") {
+    assert(QueryCompiler.validate("a:x AND (").isLeft)
+    assert(QueryCompiler.validate(":nofield").isLeft)
+    assert(QueryCompiler.validate("").isLeft)
+  }
+
+  // --- ES-DSL JSON subset ---
+
+  test("DSL term/range/bool compile") {
+    assert(QueryCompiler.validate("""{"query":{"term":{"f":"v"}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"range":{"x":{"gte":1,"lt":5}}},"size":7}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"bool":{"must":[{"term":{"a":"b"}}],
+         "must_not":[{"term":{"c":"d"}}],"should":[{"exists":{"field":"e"}}]}}}""").isRight)
+  }
+
+  test("DSL size is honored") {
+    val q = QueryCompiler.compile("""{"query":{"match_all":{}},"size":7}""")
+    assert(q.limit.contains(7))
+  }
+
+  test("DSL errors are Left") {
+    assert(QueryCompiler.validate("""{"query":{"bogus":{}}}""").isLeft)
+    assert(QueryCompiler.validate("""{no json""").isLeft)
+    assert(QueryCompiler.validate("""{"size":5}""").isLeft) // missing query
+  }
+
+  test("query_string nests Lucene-lite inside DSL") {
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"a:x AND b:y"}}}""").isRight)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Read-path behavior: compile→filter→score→top-k→row-load→metadata. */
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    ("1", "spark batch engine", "en"),
+    ("2", "streaming window state", "en"),
+    ("3", "spark streaming joins", "de"),
+    ("4", "batch sort merge", "de")).toDF("doc_id", "text", "lang")
+
+  test("term scoring counts matched positive leaves, ordered desc") {
+    val out = Search.search(docs, "text:spark OR text:batch", IndexConfig())
+      .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.head._2 >= out.last._2)
+    assert(out.toMap == Map("1" -> 2, "3" -> 1, "4" -> 1))
+  }
+
+  test("NOT clauses filter but never score") {
+    val out = Search.search(docs, "text:spark AND NOT lang:de", IndexConfig())
+      .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq == Seq(("1", 1)))
+  }
+
+  test("wildcard matches token prefixes only") {
+    val out = Search.search(docs, "text:stream*", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("2", "3"))
+  }
+
+  test("load-rows=false returns PK-only projection") {
+    val out = Search.search(docs, "#options:load-rows=false#text:spark", IndexConfig())
+    assert(out.columns.toSeq == Seq("doc_id", "_score"))
+  }
+
+  test("max-results caps hits") {
+    val out = Search.search(docs, "text:spark OR text:batch OR text:window",
+      IndexConfig(maxResults = 2))
+    assert(out.count() == 2)
+  }
+
+  test("DSL size caps below max-results") {
+    val out = Search.search(docs, """{"query":{"match_all":{}},"size":3}""",
+      IndexConfig(maxResults = 10))
+    assert(out.count() == 3)
+  }
+
+  test("row-load join drops vanished rows and keeps score") {
+    val base = Seq(("1", 10), ("3", 30)).toDF("doc_id", "payload") // doc 4 vanished
+    val hits = Search.search(docs, "text:spark OR text:batch", IndexConfig())
+    val loaded = Search.loadRows(hits.select("doc_id", "_score"), base, Seq("doc_id"))
+    assert(loaded.select("doc_id").collect().map(_.getString(0)).sorted.toSeq == Seq("1", "3"))
+    assert(loaded.columns.contains("_score") && loaded.columns.contains("payload"))
+  }
+
+  test("metadata enrichment attaches global hit stats to every row") {
+    val hits = Search.search(docs, "text:spark OR text:batch", IndexConfig())
+    val meta = Search.withMeta(hits).select("hit_count", "max_score").distinct().head
+    assert(meta.getLong(0) == 3L)
+    assert(meta.getInt(1) == 2)
+  }
+
+  test("get_mapping returns the schema as rows") {
+    val m = Maintain.getMapping(docs).toMap
+    assert(m == Map("doc_id" -> "string", "text" -> "string", "lang" -> "string"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.StreamingIndexer
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S1: the mutation stream drives the same upsert pipeline per micro-batch. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+
+  test("streaming upsert: last-write-wins applied per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val mutations = input.toDF().toDF("doc_id", "ver", "v")
+
+    var state: DataFrame = Seq.empty[(String, Long, String)].toDF("doc_id", "ver", "v")
+    val q = StreamingIndexer.upsertStream(mutations, "doc_id", Seq("ver"),
+      sink = (batch, _) => {
+        // a foreachBatch DataFrame is only valid during its batch — a real
+        // sink writes it out; here we materialize into a fresh local DF
+        val rows = batch.collect().toIndexedSeq
+        val mat = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), batch.schema)
+        state = Indexer.upsert(state, mat, "doc_id", Seq("ver"))
+      })
+      .start()
+    try {
+      input.addData(("k1", 1L, "a"), ("k1", 2L, "b"), ("k2", 1L, "x"))
+      q.processAllAvailable()
+      input.addData(("k2", 5L, "y"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = state.orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(out == Seq(("k1", "b"), ("k2", "y")))
+  }
+
+  test("windowed counts with watermark (batch-equivalent check)") {
+    import spark.implicits._
+    val events = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:50:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 3.0))
+      .toDF("ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = StreamingIndexer.windowedCounts(events, "ts", "event_type")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .orderBy("event_type").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00", "click", 2L),
+      ("2024-01-01 01:00:00", "view", 1L)))
+  }
+}

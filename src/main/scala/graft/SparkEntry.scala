@@ -184,7 +184,8 @@ object SparkEntry {
     "q_json_serialized" -> ((s, dir) => {
       // W7: a string column treated as structured JSON, searchable by key
       val parsed = tbl(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k",
+          graft.functions.functions.json_get(col("props"), lit("k")).cast("int"))
       parsed.where(col("k") >= 50)
         .select(col("event_id"), col("k"))
         .orderBy(col("event_id"))

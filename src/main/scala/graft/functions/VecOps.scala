@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native vector expressions for embedding columns.
+  *
+  * `zip_with`/`aggregate` higher-order functions evaluate one interpreted
+  * lambda call per element — for a 64-dim dot product over millions of rows
+  * that overhead dominates. These expressions run one tight primitive loop
+  * per row instead, reading `ArrayData` directly for both `float` and
+  * `double` element types (no cast, no per-element allocation).
+  */
+private object VecOps {
+  def elemType(dt: DataType): DataType = dt match {
+    case ArrayType(et, _) => et
+    case other => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+
+  @inline def get(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case DoubleType => a.getDouble(i)
+    case FloatType => a.getFloat(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case IntegerType => a.getInt(i).toDouble
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+}
+
+/** Σ aᵢ·bᵢ in one pass. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val ta = VecOps.elemType(left.dataType); val tb = VecOps.elemType(right.dataType)
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0d; var i = 0
+    while (i < n) { s += VecOps.get(a, ta, i) * VecOps.get(b, tb, i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** ‖v‖₂ in one pass. */
+case class VecNorm(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val t = VecOps.elemType(child.dataType)
+    var s = 0.0d; var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = VecOps.get(a, t, i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)
+  override def prettyName: String = "vec_norm"
+}
+
+/** Random-hyperplane LSH band buckets: `bands` values, each packing
+  * `bitsPerBand` sign bits of deterministic ±1 hyperplane projections.
+  * The hyperplane sign matrix is derived from a splitmix64-style hash of
+  * (dimension, bit) — reproducible across runs with no RNG state — and
+  * cached per (dims, bits) so it is computed once per executor, not per row.
+  */
+case class RhpBuckets(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val totalBits = bands * bitsPerBand
+
+  @transient private var signs: Array[Array[Double]] = _ // [bit][dim]
+
+  private def signMatrix(dims: Int): Array[Array[Double]] = {
+    if (signs == null || signs(0).length != dims) {
+      signs = Array.tabulate(totalBits, dims) { (b, i) =>
+        // splitmix64 finalizer over the (bit, dim) pair
+        var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong + 0x632BE59BD9B4E019L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if ((z & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+    signs
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val t = VecOps.elemType(child.dataType)
+    val n = a.numElements()
+    val m = signMatrix(n)
+    val vec = new Array[Double](n)
+    var i = 0
+    while (i < n) { vec(i) = VecOps.get(a, t, i); i += 1 }
+    val out = new Array[Long](bands)
+    var bit = 0
+    while (bit < totalBits) {
+      val row = m(bit)
+      var proj = 0.0d; var j = 0
+      while (j < n) { proj += vec(j) * row(j); j += 1 }
+      if (proj >= 0)
+        out(bit / bitsPerBand) |= (1L << (bit % bitsPerBand))
+      bit += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RhpBuckets = copy(child = c)
+  override def prettyName: String = "rhp_buckets"
+}
+
+object VecFunctions {
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
+  def vec_norm(v: Column): Column =
+    Bridge.column(VecNorm(Bridge.expression(v)))
+  def vec_cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  def rhp_buckets(v: Column, bands: Int, bitsPerBand: Int): Column =
+    Bridge.column(RhpBuckets(Bridge.expression(v), bands, bitsPerBand))
+}

@@ -27,21 +27,24 @@ object Dedup {
     df.groupBy(md5(lower(trim(col(textCol)))).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
-  /** Word k-shingles (contiguous k-grams) of the token array. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
+  /** Word k-shingles (contiguous k-grams) of a token-array column.
+    *
+    * IMPORTANT: pass a *bound column* of tokens, not an inline `tokens(text)`
+    * expression — interpreted higher-order lambdas re-evaluate their child
+    * expressions per element, so an inline tokenizer would re-split the text
+    * once per shingle (quadratic; measured 6.4 s vs 0.2 s on 5k docs). */
+  def shinglesOfTokens(toks: Column, k: Int): Column =
     array_distinct(
       transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
         i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
 
-  /** MinHash signature: `numHashes` independent permutations approximated by
-    * seeded xxhash64 over each shingle; signature element = min hash.
-    * Pure expression tree — evaluates in one codegen'd projection. */
+  /** Convenience form for ad-hoc use on small inputs. */
+  def shingles(text: Column, k: Int): Column = shinglesOfTokens(tokens(text), k)
+
+  /** MinHash signature of a shingle-array column — delegates to the native
+    * one-pass expression ([[graft.functions.MinHashSig]]). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array(Seq.tabulate(numHashes) { seed =>
-      array_min(transform(shingleCol, s => xxhash64(s, lit(seed))))
-    }: _*)
+    graft.functions.TextSketchFunctions.minhash_sig(shingleCol, numHashes)
 
   /** MinHash-LSH near-duplicate pairs.
     *
@@ -61,27 +64,30 @@ object Dedup {
     // bands=16 (2 rows/band): candidate recall at jaccard 0.5 is
     // 1-(1-0.5²)^16 ≈ 0.99; false candidates are cheap (verified exactly)
     val rowsPerBand = numHashes / bands
-    val withSig = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
-      .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
-      col("id"), col("sh"),
+    // Sketching is one narrow native projection per row (no explode, no
+    // aggregate shuffle) — see [[graft.functions.MinHashSig]]; only
+    // (id, band, bucket) ever reaches an exchange.
+    import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
+    val shingled = df.select(col(idCol).as("id"),
+      word_shingles(tokens(col(textCol)), shingleK).as("sh"))
+    val sigs = shingled.select(col("id"), minhash_sig(col("sh"), numHashes).as("sig"))
+    val banded = sigs.select(col("id"),
       posexplode(array(Seq.tabulate(bands) { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+        // hash the signature longs directly — no string materialization
+        xxhash64((1 to rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r)) :+ lit(b): _*)
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // exact verification: join shingle sets back per candidate side
     candidates
+      .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -90,16 +96,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the token multiset: bit i is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Expression-only. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    val bits = Seq.tabulate(64) { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L).cast("long") * lit(1L << i)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Native one-pass
+    * expression ([[graft.functions.SimHash64]]). */
+  def simhash(text: Column): Column =
+    graft.functions.TextSketchFunctions.simhash64(tokens(text))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxDist.
     *
@@ -108,11 +108,18 @@ object Dedup {
     * at least one chunk, so an equi-join per chunk finds all candidates
     * without an all-pairs comparison. Verification = `bit_count(a ^ b)`.
     */
+  /** SimHash signatures for a whole corpus — one narrow native projection
+    * per row ([[graft.functions.SimHash64]]): no explode, no shuffle. */
+  def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import graft.functions.TextSketchFunctions.simhash64
+    df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
+  }
+
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
     val chunks = maxDist + 1
     val width = 64 / chunks
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = simhashSignatures(df, textCol, idCol)
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array(Seq.tabulate(chunks) { c =>
         shiftright(col("sig"), c * width)

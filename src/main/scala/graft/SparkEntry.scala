@@ -105,6 +105,15 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"), col("hit_count"), col("max_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_bm25" -> ((s, dir) => {
+      // R4: deterministic BM25 relevance, top-50 with doc_id tiebreak
+      val scored = Search.bm25(tbl(s, dir, "documents"), "text", Seq("spark", "query"))
+        .where(col("_bm25") > 0)
+      scored.orderBy(desc("_bm25"), col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    }),
     "q_query_validate" -> ((s, dir) => {
       // R11: eager validation verdicts for a fixed query battery
       import s.implicits._
@@ -132,12 +141,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_doc_collections" -> ((s, dir) => {
-      // W6: collection assembly — array→JSON array, map→JSON object
+      // W6: collection assembly — array→JSON array, map→JSON object,
+      // struct (UDT)→JSON object (reference: CStarUtils.java:258-288)
       tbl(s, dir, "customer")
         .select(col("c_custkey"),
           to_json(array(col("c_name"), col("c_mktsegment"))).as("arr_json"),
-          to_json(map(lit("segment"), col("c_mktsegment"))).as("map_json"))
+          to_json(map(lit("segment"), col("c_mktsegment"))).as("map_json"),
+          to_json(struct(col("c_name"), col("c_nationkey"))).as("udt_json"))
         .orderBy(col("c_custkey"))
+    }),
+    "q_docid_roundtrip" -> ((s, dir) => {
+      // W4↔R7: doc-id synthesis and PK reconstruction are inverse
+      val li = tbl(s, dir, "lineitem")
+      li.select(DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")).as("doc_id"))
+        .select(col("doc_id"),
+          split(col("doc_id"), "-").getItem(0).cast("long").as("pk_orderkey"),
+          split(col("doc_id"), "-").getItem(1).cast("int").as("ck_linenumber"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_upsert_insert_only" -> ((s, dir) => {
+      // S4: insert-only mode — existing docs never replaced, new keys added
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val existing = Indexer.latestPerKey(ev.where(col("ts") < cutoff),
+        "user_id", Seq("ts", "event_id"))
+      val batch = ev.where(col("ts") >= cutoff)
+      Indexer.upsert(existing, batch, "user_id", Seq("ts", "event_id"),
+          IndexConfig(insertOnly = true))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+    "q_index_create" -> ((s, dir) => {
+      // M1+M2 physically: write the doc table partitioned by segment, read
+      // it back, count per partition — create/roll as partition layout
+      val o = tbl(s, dir, "orders")
+        .withColumn("segment", date_format(col("o_orderdate"), "yyyy-MM"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_index_create").toString
+      o.write.mode("overwrite").partitionBy("segment").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("segment"))
     }),
     "q_upsert_lww" -> ((s, dir) => {
       // S3/W11: last-write-wins upsert — latest event per user
@@ -381,6 +426,29 @@ object SparkEntry {
          SELECT doc_id, _score,
            count(*) OVER () AS hit_count, max(_score) OVER () AS max_score
          FROM hits ORDER BY doc_id""",
+    "q_search_bm25" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+             CAST(len(regexp_extract_all(lower(text), '\bspark\b')) AS DOUBLE) AS tf0,
+             CAST(len(regexp_extract_all(lower(text), '\bquery\b')) AS DOUBLE) AS tf1
+           FROM documents),
+         s AS (
+           SELECT *, CAST(count(*) OVER () AS DOUBLE) AS N, avg(dl) OVER () AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df1
+           FROM d),
+         sc AS (
+           SELECT doc_id,
+             ln(1 + (N - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2
+               / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           + ln(1 + (N - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2
+               / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS raw
+           FROM s),
+         top AS (
+           SELECT doc_id, raw, round(raw, 4) AS bm25 FROM sc WHERE raw > 0
+           ORDER BY raw DESC, doc_id LIMIT 50)
+         SELECT doc_id, bm25 FROM top ORDER BY bm25 DESC, doc_id""",
     "q_query_validate" ->
       """SELECT * FROM (VALUES
            ('text:spark', true), ('text:spark AND lang:en', true),
@@ -404,8 +472,45 @@ object SparkEntry {
     "q_doc_collections" ->
       """SELECT c_custkey,
            '["' || c_name || '","' || c_mktsegment || '"]' AS arr_json,
-           '{"segment":"' || c_mktsegment || '"}' AS map_json
+           '{"segment":"' || c_mktsegment || '"}' AS map_json,
+           '{"c_name":"' || c_name || '","c_nationkey":' || c_nationkey || '}' AS udt_json
          FROM customer ORDER BY c_custkey""",
+    "q_docid_roundtrip" ->
+      """WITH ids AS (
+           SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id
+           FROM lineitem)
+         SELECT doc_id,
+           CAST(split_part(doc_id, '-', 1) AS BIGINT) AS pk_orderkey,
+           CAST(split_part(doc_id, '-', 2) AS INT) AS ck_linenumber
+         FROM ids ORDER BY doc_id""",
+    "q_upsert_insert_only" ->
+      """WITH a AS (
+           SELECT * FROM (
+             SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+         b AS (
+           SELECT * FROM (
+             SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
+         SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.event_id, b.event_id) AS event_id,
+           COALESCE(a.event_type, b.event_type) AS event_type,
+           COALESCE(a.value, b.value) AS value
+         FROM a FULL JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    "q_index_create" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS segment, count(*) AS doc_count
+         FROM orders GROUP BY 1 ORDER BY segment""",
+    "q_discard_nulls" ->
+      """SELECT event_id,
+           CASE WHEN event_type <> 'error'
+                THEN '{"et":"' || event_type || '","user_id":' || user_id || '}'
+                ELSE '{"user_id":' || user_id || '}' END AS doc_discard,
+           CASE WHEN event_type <> 'error'
+                THEN '{"et":"' || event_type || '","user_id":' || user_id || '}'
+                ELSE '{"et":null,"user_id":' || user_id || '}' END AS doc_keep
+         FROM events ORDER BY event_id""",
     "q_upsert_lww" ->
       """SELECT user_id, event_id, event_type, value FROM (
            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
@@ -540,6 +645,6 @@ object SparkEntry {
            count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
     // rows-only (no ANSI-SQL equivalent): q_dedup_minhash, q_dedup_simhash,
-    // q_dedup_embedding, q_similarity_lsh, q_multimodal_decode, q_discard_nulls
+    // q_dedup_embedding, q_similarity_lsh, q_multimodal_decode
   )
 }

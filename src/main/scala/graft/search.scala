@@ -63,4 +63,41 @@ object Search {
     hits.withColumn("hit_count", count(lit(1)).over(w))
         .withColumn("max_score", max(col("_score")).over(w))
   }
+
+  /** R4 upgrade: BM25 relevance over whole-word term matches.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard Okapi form.
+    * Term frequencies come from a codegen'd regexp count; corpus statistics
+    * (N, avgdl, df) from unpartitioned windows. At scale those windows are a
+    * single-pass aggregate over the already-filtered corpus — compute them
+    * once per (corpus, query) and broadcast, not per row; Spark's window
+    * does exactly that with one exchange.
+    *
+    * The reference surfaces ES's opaque `_score` (ElasticIndex.java:679-716);
+    * this is the reproducible equivalent. */
+  def bm25(docs: DataFrame, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = docs.withColumn("_dl", size(toks).cast("double"))
+      .withColumn("_N", count(lit(1)).over(w).cast("double"))
+      .withColumn("_avgdl", avg(col("_dl")).over(w))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      val rx = "\\b" + java.util.regex.Pattern.quote(t.toLowerCase) + "\\b"
+      df.withColumn(s"_tf$i",
+          size(regexp_extract_all(lower(col(textCol)), lit(rx), lit(0))).cast("double"))
+        .withColumn(s"_df$i",
+          sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).over(w))
+    }
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i"); val df_ = col(s"_df$i")
+      val idf = log(lit(1.0) + (col("_N") - df_ + 0.5) / (df_ + 0.5))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }.reduce(_ + _)
+    withTf.withColumn("_bm25", score)
+      .drop((Seq("_dl", "_N", "_avgdl") ++
+        terms.indices.flatMap(i => Seq(s"_tf$i", s"_df$i"))): _*)
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.{JsonFlattenExpr, JsonGetExpr, MinHashSig, SimHash64, VecDot, VecNorm, WordShingles}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions in the SQL function registry, so `spark.sql("SELECT
+  * json_flatten(props) ...")` works alongside the Column API.
+  *
+  * Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or call
+  * [[GraftExtensions.register]] on an existing session. No custom
+  * `Rule`/`SparkStrategy` is injected — per SURVEY.md §4 the reference's
+  * plan shapes are all standard scan-filter-project-join-limit, so the
+  * extension surface is deliberately expression-only.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, arity, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity argument(s)")
+          builder(args)
+        }))
+    }
+}
+
+object GraftExtensions {
+  private val functions: Seq[(String, Int, Seq[Expression] => Expression)] = Seq(
+    ("json_flatten", 1, args => JsonFlattenExpr(args.head)),
+    ("json_get", 2, args => JsonGetExpr(args(0), args(1))),
+    ("word_shingles", 2, args => WordShingles(args(0), intArg(args(1), "word_shingles"))),
+    ("minhash_sig", 2, args => MinHashSig(args(0), intArg(args(1), "minhash_sig"))),
+    ("simhash64", 1, args => SimHash64(args.head)),
+    ("vec_dot", 2, args => VecDot(args(0), args(1))),
+    ("vec_norm", 1, args => VecNorm(args.head)))
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      lit.value.toString.toInt
+    case other =>
+      throw new IllegalArgumentException(s"$fn parameter must be a literal, got $other")
+  }
+
+  /** Register on an already-built session (useful in tests / REPL). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, arity, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        (args: Seq[Expression]) => {
+          require(args.length == arity, s"$name expects $arity argument(s)")
+          builder(args)
+        },
+        "built-in")
+    }
+}

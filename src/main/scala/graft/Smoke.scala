@@ -19,6 +19,10 @@ object Smoke {
     df.show(5, truncate = false)
     println("VALIDATE_BAD=" + QueryCompiler.validate("text:spark AND ("))
     println("QM_FIXTURE=" + QueryMeta.parse("#options:load-rows=false,number=42#plop=42###"))
+    GraftExtensions.register(spark)
+    println("SQL_FN=" + spark.sql(
+      """SELECT json_get('{"k":7}', 'k'), vec_dot(array(1.0d,2.0d), array(3.0d,4.0d))""")
+      .head.toSeq.mkString(","))
     spark.stop()
   }
 }

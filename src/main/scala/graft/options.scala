@@ -1,0 +1,78 @@
+package graft
+
+/** Option resolution reproducing the reference's 3-layer config semantics
+  * (reference: config/OptionReader.java:90-169; README.md:509-524):
+  *
+  *  - layering: base options (CQL `WITH OPTIONS`) < properties file
+  *    (`es-index.properties`) < environment/system properties;
+  *  - locality: `<dc.rack>.key` > `<dc>.key` > `key`
+  *    (OptionReader.java:128-155);
+  *  - env/sysprop keys carry an `es-` prefix and hyphen and dot forms are
+  *    equivalent (OptionReader.java:157-169).
+  *
+  * Pure functions over maps — the reference's scheduled hot-reload (M11)
+  * becomes "call resolve again with fresh layers".
+  */
+object OptionReader {
+
+  val EnvPrefix = "es-"
+
+  private def normalize(key: String): String = key.replace('.', '-').toLowerCase
+
+  /** Collapse locality-prefixed keys: for every `<dc.rack>.key` / `<dc>.key`
+    * matching this node's dc/rack, the most specific wins. Prefixes use the
+    * reference's `<...>` bracket syntax. */
+  def applyLocality(options: Map[String, String], dc: String, rack: String): Map[String, String] = {
+    val dcPrefix = s"<$dc>."
+    val rackPrefix = s"<$dc.$rack>."
+    val bare = options.filterNot { case (k, _) => k.startsWith("<") }
+    val dcLevel = options.collect {
+      case (k, v) if k.startsWith(dcPrefix) => k.substring(dcPrefix.length) -> v
+    }
+    val rackLevel = options.collect {
+      case (k, v) if k.startsWith(rackPrefix) => k.substring(rackPrefix.length) -> v
+    }
+    bare ++ dcLevel ++ rackLevel
+  }
+
+  /** Full resolution: layer base < fileProps < env (env keys prefixed
+    * `es-`, hyphen/dot equivalent), then locality collapse. Keys are
+    * normalized to hyphen-lowercase form. */
+  def resolve(base: Map[String, String],
+              fileProps: Map[String, String] = Map.empty,
+              env: Map[String, String] = Map.empty,
+              dc: String = "", rack: String = ""): Map[String, String] = {
+    def norm(m: Map[String, String]): Map[String, String] =
+      m.map { case (k, v) => (if (k.startsWith("<")) k else normalize(k)) -> v }
+    val envLayer = env.collect {
+      case (k, v) if normalize(k).startsWith(EnvPrefix) =>
+        normalize(k).substring(EnvPrefix.length) -> v
+    }
+    applyLocality(norm(base) ++ norm(fileProps) ++ envLayer, dc, rack)
+  }
+
+  /** Build a typed [[IndexConfig]] from resolved options, with the
+    * reference's defaults (IndexConfig.java:61-144) for anything unset. */
+  def toConfig(opts: Map[String, String]): IndexConfig = {
+    def bool(k: String, dflt: Boolean) = opts.get(k).map(_.toBoolean).getOrElse(dflt)
+    def csv(k: String) = opts.get(k).toSet.flatMap((s: String) =>
+      s.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    IndexConfig(
+      maxResults = opts.get("max-results").map(_.toInt).getOrElse(10000),
+      discardNulls = bool("discard-nulls", dflt = true),
+      insertOnly = bool("insert-only", dflt = false),
+      analyticMode = bool("analytic-mode", dflt = false),
+      ttlShiftSec = opts.get("ttl-shift").map(_.toLong).getOrElse(0L),
+      segment = opts.getOrElse("segment", "OFF").toUpperCase match {
+        case "HOUR" => SegmentGranularity.Hour
+        case "DAY" => SegmentGranularity.Day
+        case "MONTH" => SegmentGranularity.Month
+        case "YEAR" => SegmentGranularity.Year
+        case _ => SegmentGranularity.Off
+      },
+      jsonSerializedFields = csv("json-serialized-fields"),
+      jsonFlatSerializedFields = csv("json-flat-serialized-fields"),
+      indexationDate = bool("per-index-date", dflt = true),
+      skipBadJson = bool("skip-bad-json", dflt = false))
+  }
+}

@@ -124,9 +124,9 @@ object SparkEntry {
         .toDF("query", "valid").orderBy(col("query"))
     }),
     "q_admin_get_mapping" -> ((s, dir) => {
-      // S9: #get_mapping# — doc-store schema as rows
+      // S9: #get_mapping# — doc-store schema as rows with ES mapping types
       import s.implicits._
-      Maintain.getMapping(tbl(s, dir, "lineitem")).toDF("field", "dtype")
+      Maintain.getMapping(tbl(s, dir, "lineitem")).toDF("field", "dtype", "es_type")
         .orderBy(col("field"))
     }),
 
@@ -458,10 +458,12 @@ object SparkEntry {
          ORDER BY query""",
     "q_admin_get_mapping" ->
       """SELECT * FROM (VALUES
-           ('l_orderkey','bigint'), ('l_partkey','bigint'), ('l_suppkey','bigint'),
-           ('l_linenumber','int'), ('l_quantity','double'), ('l_extendedprice','double'),
-           ('l_discount','double'), ('l_tax','double'), ('l_returnflag','string'),
-           ('l_linestatus','string'), ('l_shipdate','timestamp_ntz')) AS t(field, dtype)
+           ('l_orderkey','bigint','long'), ('l_partkey','bigint','long'),
+           ('l_suppkey','bigint','long'), ('l_linenumber','int','long'),
+           ('l_quantity','double','double'), ('l_extendedprice','double','double'),
+           ('l_discount','double','double'), ('l_tax','double','double'),
+           ('l_returnflag','string','text'), ('l_linestatus','string','text'),
+           ('l_shipdate','timestamp_ntz','date')) AS t(field, dtype, es_type)
          ORDER BY field""",
     "q_doc_projection" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,

@@ -70,14 +70,45 @@ object DocModel {
   def project(df: DataFrame, pkCols: Seq[String], ckCols: Seq[String],
               cfg: IndexConfig, now: java.sql.Timestamp,
               ttlCol: Option[String] = None): DataFrame = {
+    import graft.functions.functions.json_flatten
     val fields = df.schema.fields
       .filterNot(f => ttlCol.contains(f.name) || f.name == "doc_id")
-      .map(f => convert(f.name, f.dataType).as(f.name))
+      .map { f =>
+        val c =
+          if (cfg.jsonFlatSerializedFields.contains(f.name))
+            // W8: store the type-safe flattened form (JsonUtils.java:81-116)
+            json_flatten(col(f.name))
+          else if (cfg.jsonSerializedFields.contains(f.name)) {
+            // W7: raw JSON object field. Malformed JSON fails the write
+            // unless skip-bad-json (ElasticIndex.java:512-524): strict mode
+            // raises at execution, skip mode nulls the field.
+            val valid = json_flatten(col(f.name)).isNotNull
+            if (cfg.skipBadJson) when(valid, col(f.name))
+            else when(col(f.name).isNull || valid, col(f.name))
+              .otherwise(raise_error(concat(
+                lit(s"malformed JSON in field ${f.name}: "), col(f.name))))
+          } else convert(f.name, f.dataType)
+        c.as(f.name)
+      }
     var out = df.select(docId(pkCols, ckCols).as("doc_id") +: fields.toSeq: _*)
     if (cfg.indexationDate)
       out = out.withColumn("IndexationDate", indexationDate(now))
     ttlCol.foreach { c => out = out.withColumn("_cassandraTtl", ttlEpoch(df(c))) }
     out
+  }
+
+  /** ES-side mapping type for a Spark type, per the reference's
+    * recommendations (reference: README.md:606-632; SURVEY.md §1.3). */
+  def esType(dt: DataType): String = dt match {
+    case StringType => "text"
+    case TimestampType | TimestampNTZType | DateType => "date"
+    case DoubleType | FloatType | _: DecimalType => "double"
+    case LongType | IntegerType | ShortType | ByteType => "long"
+    case BooleanType => "boolean"
+    case BinaryType => "disabled" // blobs are not indexed (CStarUtils.java:305-306)
+    case _: StructType | _: MapType => "object"
+    case ArrayType(et, _) => esType(et) // set/list map to element type
+    case _ => "keyword"
   }
 
   /** W3: empty-update skip — a doc with no live field left produces no write

@@ -52,9 +52,11 @@ object Maintain {
     * (reference: ElasticIndex.java:817-822). */
   def truncate(docs: DataFrame): DataFrame = docs.limit(0)
 
-  /** S9 admin: `#get_mapping#` — the doc-store schema as rows, the analog of
-    * returning the ES mapping as a fake result row
-    * (reference: EsSecondaryIndex.java:466-468, 517-533). */
-  def getMapping(docs: DataFrame): Seq[(String, String)] =
-    docs.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+  /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +
+    * ES-recommended mapping type per §1.3), the analog of returning the ES
+    * mapping as a fake result row
+    * (reference: EsSecondaryIndex.java:466-468, 517-533; README.md:606-632). */
+  def getMapping(docs: DataFrame): Seq[(String, String, String)] =
+    docs.schema.fields.toSeq.map(f =>
+      (f.name, f.dataType.simpleString, DocModel.esType(f.dataType)))
 }

@@ -77,6 +77,26 @@ class IndexerSpec extends AnyFunSuite {
     assert(both.getString(1) == """{"et":null,"uid":7}""")
   }
 
+  test("json-flat-serialized-fields are flattened in the doc projection") {
+    val df = Seq((1L, """{"a":{"x":1},"b":[2,3]}""")).toDF("id", "payload")
+    val out = DocModel.project(df, Seq("id"), Nil,
+      IndexConfig(jsonFlatSerializedFields = Set("payload"), indexationDate = false), now)
+    val m = out.select("payload").head.getMap[String, scala.collection.Seq[String]](0)
+    assert(m("a").toSeq == Seq("x=1") && m("b").toSeq == Seq("2", "3"))
+  }
+
+  test("json-serialized-fields: bad JSON fails strict, nulls with skip-bad-json") {
+    val df = Seq((1L, """{"ok":1}"""), (2L, "{oops")).toDF("id", "payload")
+    val skip = DocModel.project(df, Seq("id"), Nil,
+      IndexConfig(jsonSerializedFields = Set("payload"), skipBadJson = true,
+        indexationDate = false), now)
+    assert(skip.where(col("payload").isNull).count() == 1)
+    val strict = DocModel.project(df, Seq("id"), Nil,
+      IndexConfig(jsonSerializedFields = Set("payload"), indexationDate = false), now)
+    val err = intercept[Exception] { strict.collect() }
+    assert(err.getMessage != null)
+  }
+
   test("blob conversion emits size placeholder, not content") {
     val df = Seq(("abcd")).toDF("b").select(col("b").cast("binary").as("b"))
     val out = df.select(DocModel.convert("b", org.apache.spark.sql.types.BinaryType))

@@ -65,8 +65,11 @@ class SearchSpec extends AnyFunSuite {
     assert(meta.getInt(1) == 2)
   }
 
-  test("get_mapping returns the schema as rows") {
-    val m = Maintain.getMapping(docs).toMap
-    assert(m == Map("doc_id" -> "string", "text" -> "string", "lang" -> "string"))
+  test("get_mapping returns schema rows with ES mapping types") {
+    val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m == Map(
+      "doc_id" -> ("string", "text"),
+      "text" -> ("string", "text"),
+      "lang" -> ("string", "text")))
   }
 }

@@ -323,6 +323,16 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_ivf" -> ((s, dir) => {
+      // rows-only: IVF coarse-quantizer ANN (train → assign → probe)
+      val emb = tbl(s, dir, "embeddings")
+      val centroids = pipeline.Ivf.train(emb, c = 8, iters = 2)
+      val assigned = pipeline.Ivf.assign(emb, centroids)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topK(assigned, queries, centroids, k = 10, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_similarity_lsh" -> ((s, dir) => {
       // rows-only: ANN via random-hyperplane LSH banding
       val emb = tbl(s, dir, "embeddings")

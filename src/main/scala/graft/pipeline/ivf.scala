@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.functions.IvfFunctions.{nearest_centroid, probe_lists}
+import graft.functions.VecFunctions.vec_cosine
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the classic
+  * coarse-quantizer scale path alongside [[Similarity.lshTopK]].
+  *
+  * Build: spherical k-means (deterministic seeding, a few Lloyd rounds) →
+  * every corpus vector assigned to its nearest centroid's *inverted list*.
+  * Probe: a query visits only its `nprobe` nearest lists.
+  *
+  * Scale shape: training touches the corpus `iters` times (one codegen'd
+  * assignment pass + one small aggregate each); the centroid matrix
+  * (C × dims doubles — model parameters, not data) rides the plan to
+  * executors inside the assignment expressions. The assigned corpus can be
+  * written `partitionBy("list_id")` so a probe reads only matching
+  * partitions — at 100 TB that's the difference between a full scan and
+  * touching nprobe/C of the data.
+  */
+object Ivf {
+
+  /** Train centroids with spherical k-means. Deterministic: seeds are the
+    * first `c` vectors in id order; `iters` Lloyd rounds. Returns the
+    * normalized centroid matrix (each row unit length). */
+  def train(corpus: DataFrame, c: Int, iters: Int = 3,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val normed = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    var centroids = normed.orderBy("id").limit(c)
+      .collect().map(r => normalize(r.getSeq[Double](1).toArray))
+    var it = 0
+    while (it < iters) {
+      // assignment (expression pass) + per-dimension mean (one aggregate)
+      val assigned = normed.withColumn("list_id", nearest_centroid(col("v"), centroids))
+      val sums = assigned
+        .select(col("list_id"), posexplode(col("v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .collect()
+      val byList = sums.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { li =>
+        byList.get(li) match {
+          case Some(rows) =>
+            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+            normalize(Array.tabulate(dims.size)(i => dims(i)))
+          case None => centroids(li) // empty list keeps its centroid
+        }
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Assign every corpus vector to its inverted list. Write the result
+    * `partitionBy("list_id")` to make probes partition-pruned. */
+  def assign(corpus: DataFrame, centroids: Array[Array[Double]],
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("list_id",
+      nearest_centroid(col(vecCol).cast("array<double>"), centroids))
+
+  /** Probe: exact cosine top-k within the `nprobe` nearest lists per query. */
+  def topK(assigned: DataFrame, queries: DataFrame,
+           centroids: Array[Array[Double]], k: Int, nprobe: Int = 2,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+    val probes = queries.select(col(qIdCol), col(qVecCol),
+        explode(probe_lists(col(qVecCol).cast("array<double>"), centroids, nprobe))
+          .as("list_id"))
+    val candidates = assigned.join(broadcast(probes), Seq("list_id"))
+      .where(col(idCol) =!= col(qIdCol))
+      .withColumn("cos", vec_cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+}

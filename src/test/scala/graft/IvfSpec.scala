@@ -1,0 +1,51 @@
+package graft
+
+import graft.pipeline.{Ivf, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN: clustered corpus → probes recover brute-force neighbors. */
+class IvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  // two tight clusters around (1,0,…) and (0,1,…) + deterministic jitter
+  private def corpus = {
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.0f, 0.0f, 0.0f)
+                 else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      val jit = base.zipWithIndex.map { case (x, d) =>
+        x + 0.01f * (((i * 7 + d * 3) % 5) - 2)
+      }
+      (i.toLong, jit)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("train produces normalized centroids; assignment splits the clusters") {
+    val cents = Ivf.train(corpus, c = 2, iters = 3)
+    assert(cents.length == 2)
+    cents.foreach { cv =>
+      assert(math.abs(math.sqrt(cv.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val assigned = Ivf.assign(corpus, cents)
+    val sizes = assigned.groupBy("list_id").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq == Seq(20L, 20L)) // even/odd clusters separate
+  }
+
+  test("ivf topk with nprobe=1 matches brute force on clustered data") {
+    val cents = Ivf.train(corpus, c = 2, iters = 2)
+    val assigned = Ivf.assign(corpus, cents)
+    val queries = corpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val ivf = Ivf.topK(assigned, queries, cents, k = 5, nprobe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(
+        corpus.withColumn("embedding", col("embedding").cast("array<double>")),
+        queries.withColumn("query_vec", col("query_vec").cast("array<double>")), k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute) // clusters are well separated → full recall
+  }
+}

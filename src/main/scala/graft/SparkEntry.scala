@@ -105,6 +105,13 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"), col("hit_count"), col("max_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_phrase" -> ((s, dir) => {
+      // R2: quoted phrase terms match contiguous tokens
+      Search.search(tbl(s, dir, "documents"),
+          "text:\"batch stream\" OR text:\"hash join\"", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_bm25" -> ((s, dir) => {
       // R4: deterministic BM25 relevance, top-50 with doc_id tiebreak
       val scored = Search.bm25(tbl(s, dir, "documents"), "text", Seq("spark", "query"))
@@ -436,6 +443,14 @@ object SparkEntry {
          SELECT doc_id, _score,
            count(*) OVER () AS hit_count, max(_score) OVER () AS max_score
          FROM hits ORDER BY doc_id""",
+    "q_search_phrase" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bbatch stream\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bhash join\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bbatch stream\b')
+            OR regexp_matches(lower(text), '\bhash join\b')
+         ORDER BY _score DESC, doc_id""",
     "q_search_bm25" ->
       """WITH d AS (
            SELECT doc_id,

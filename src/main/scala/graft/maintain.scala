@@ -52,6 +52,24 @@ object Maintain {
     * (reference: ElasticIndex.java:817-822). */
   def truncate(docs: DataFrame): DataFrame = docs.limit(0)
 
+  /** M3/M5/M8 physical plane: delete the partition directories of segments
+    * that fail `keep`, via the Hadoop FileSystem API (works on local fs,
+    * HDFS, and object stores alike). At 100 TB dropping a segment is this —
+    * a metadata/directory operation — never a data rewrite.
+    * Returns the dropped segment values. */
+  def dropSegmentDirs(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                      segmentCol: String, keep: String => Boolean): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val path = new Path(tablePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(segmentCol + "="))
+      .map(st => st.getPath)
+      .filterNot(p => keep(p.getName.stripPrefix(segmentCol + "=")))
+      .map { p => fs.delete(p, true); p.getName.stripPrefix(segmentCol + "=") }
+  }
+
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +
     * ES-recommended mapping type per §1.3), the analog of returning the ES
     * mapping as a fake result row

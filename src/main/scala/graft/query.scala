@@ -154,6 +154,11 @@ object QueryCompiler {
                 val end = s.indexWhere(ch => ch == ']' || ch == '}', j + 1)
                 require(end > 0, s"unclosed range in: $q")
                 j = end + 1
+              } else if (s(j) == ':' && j + 1 < s.length && s(j + 1) == '"') {
+                // phrase term: field:"a b c"
+                val end = s.indexOf('"', j + 2)
+                require(end > 0, s"unclosed phrase in: $q")
+                j = end + 1
               } else j += 1
             }
             out += s.substring(i, j); i = j
@@ -200,7 +205,14 @@ object QueryCompiler {
       case _ =>
         val i = tok.indexOf(':')
         require(i > 0, s"expected field:term, got '$tok'")
-        Term(tok.substring(0, i), tok.substring(i + 1))
+        val value = tok.substring(i + 1)
+        // phrase terms keep their inner spaces, quotes stripped
+        val unquoted =
+          if (value.length >= 2 && value.startsWith("\"") && value.endsWith("\""))
+            value.substring(1, value.length - 1)
+          else value
+        require(unquoted.nonEmpty, s"empty term in '$tok'")
+        Term(tok.substring(0, i), unquoted)
     }
   }
 

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical maintenance plane: partitioned layout + directory drops. */
+class MaintainSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  test("segment TTL physically drops old partition directories (M5/M8)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_drop").toString
+    Seq(("2024-01", 1), ("2024-02", 2), ("2024-03", 3))
+      .toDF("segment", "v")
+      .write.mode("overwrite").partitionBy("segment").parquet(path)
+
+    val dropped = Maintain.dropSegmentDirs(spark, path, "segment", _ >= "2024-02")
+    assert(dropped == Seq("2024-01"))
+    val left = spark.read.parquet(path).select("segment").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(left.toSeq == Seq("2024-02", "2024-03"))
+  }
+
+  test("dropSegmentDirs on a missing path is a no-op") {
+    assert(Maintain.dropSegmentDirs(spark, "/tmp/graft_does_not_exist_xyz",
+      "segment", _ => true).isEmpty)
+  }
+}

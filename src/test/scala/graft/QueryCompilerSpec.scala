@@ -48,6 +48,12 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate("body:*andra").isRight)
   }
 
+  test("phrase terms keep inner spaces") {
+    assert(QueryCompiler.validate("body:\"exact phrase here\"").isRight)
+    assert(QueryCompiler.validate("a:\"p q\" AND b:x").isRight)
+    assert(QueryCompiler.validate("body:\"unclosed").isLeft)
+  }
+
   test("syntax errors are Left, never thrown") {
     assert(QueryCompiler.validate("a:x AND (").isLeft)
     assert(QueryCompiler.validate(":nofield").isLeft)

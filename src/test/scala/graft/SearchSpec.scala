@@ -33,6 +33,12 @@ class SearchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("2", "3"))
   }
 
+  test("phrase query matches contiguous tokens only") {
+    val out = Search.search(docs, "text:\"spark batch\"", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("1")) // doc 4 has batch, doc 1 has the phrase
+  }
+
   test("load-rows=false returns PK-only projection") {
     val out = Search.search(docs, "#options:load-rows=false#text:spark", IndexConfig())
     assert(out.columns.toSeq == Seq("doc_id", "_score"))

@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq(("k1", "b"), ("k2", "y")))
   }
 
+  test("windowed counts emit closed windows through a real stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingIndexer.windowedCounts(events, "ts", "event_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wc_out").start()
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 00:10:00"), "click", 1.0),
+                    (t("2024-01-01 00:50:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance event time far enough that watermark (max - 2h) closes hour 0
+      input.addData((t("2024-01-01 04:00:00"), "view", 3.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 08:00:00"), "view", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT window.start, event_type, n FROM wc_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(out.contains(("2024-01-01 00:00:00.0", "click", 2L)))
+  }
+
   test("windowed counts with watermark (batch-equivalent check)") {
     import spark.implicits._
     val events = Seq(

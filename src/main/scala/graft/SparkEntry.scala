@@ -206,6 +206,15 @@ object SparkEntry {
       Indexer.delete(docs, deletes, Seq("l_orderkey"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "q_bulk_ndjson" -> ((s, dir) => {
+      // S3 wire format: ES bulk-API action+payload per doc (reference
+      // upsert template, ElasticIndex.java:130)
+      val docs = tbl(s, dir, "lineitem")
+        .select(DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")).as("doc_id"),
+          col("l_returnflag"), col("l_linestatus"))
+      Indexer.toBulkNdjson(docs, "lineitem_index@")
+        .orderBy(col("doc_id"))
+    }),
     "q_empty_update_skip" -> ((s, dir) => {
       // W3: a doc whose live fields are all null produces no write
       val ev = tbl(s, dir, "events").select(col("event_id"),
@@ -549,6 +558,15 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_orderstatus = 'F' AND o_orderkey = l_orderkey)
          ORDER BY doc_id""",
+    "q_bulk_ndjson" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
+           '{"update":{"_index":"lineitem_index@","_id":"'
+             || CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+             || '"}}' || chr(10)
+             || '{"doc":{"l_returnflag":"' || l_returnflag
+             || '","l_linestatus":"' || l_linestatus
+             || '"},"doc_as_upsert":true}' AS bulk
+         FROM lineitem ORDER BY doc_id""",
     "q_empty_update_skip" ->
       """SELECT event_id,
            CASE WHEN event_type <> 'error' THEN event_type END AS f1,

@@ -62,6 +62,31 @@ object Indexer {
         .unionByName(batch)
   }
 
+  /** S3 wire format: render each doc row as an Elasticsearch bulk-API
+    * action+payload pair — the exact request shape the reference sends per
+    * doc (reference: ElasticIndex.java:130 update template, 603-614 request;
+    * golden ElasticIndexTest.java:302-317). This is the "bulk indexing
+    * Cassandra to Elasticsearch" output stage: one NDJSON string per doc,
+    * writable to any transport. `doc_as_upsert` mirrors the reference's
+    * upsert mode; insert-only mode renders plain `index` actions
+    * (ElasticIndex.java:595-601).
+    */
+  def toBulkNdjson(docs: DataFrame, alias: String, cfg: IndexConfig = IndexConfig()): DataFrame = {
+    val docCols = docs.columns.filterNot(_ == "doc_id").map(col)
+    val docJson = to_json(struct(docCols.toSeq: _*),
+      Map("ignoreNullFields" -> cfg.discardNulls.toString))
+    val action =
+      if (cfg.insertOnly)
+        concat(lit(s"""{"index":{"_index":"$alias","_id":""""), col("doc_id"), lit("\"}}"))
+      else
+        concat(lit(s"""{"update":{"_index":"$alias","_id":""""), col("doc_id"),
+          lit("\"}}"))
+    val payload =
+      if (cfg.insertOnly) docJson
+      else concat(lit("""{"doc":"""), docJson, lit(""","doc_as_upsert":true}"""))
+    docs.select(col("doc_id"), concat(action, lit("\n"), payload).as("bulk"))
+  }
+
   /** S5: delete — drop docs whose key appears in the delete set; a no-op in
     * analytic mode (M6), where documents deliberately outlive their source
     * rows (reference: ElasticIndex.java:642-649; gate EsSecondaryIndex.java:413;

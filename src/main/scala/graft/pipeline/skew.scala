@@ -1,0 +1,48 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities.
+  *
+  * AQE's skew-join handles moderate skew at runtime; salting is the
+  * explicit tool for pathological keys (a handful of doc-ids or join keys
+  * carrying a large share of rows — e.g. boilerplate documents in dedup,
+  * or a hot tenant in the search→row-load join). The pattern: widen the
+  * hot key space on the large side with a deterministic salt, replicate
+  * the small side across all salt values, join on (key, salt).
+  */
+object Skew {
+
+  /** Salted equi-join of a skewed large side against a small side.
+    *
+    * The salt is deterministic (hash of the whole large-side row, mod
+    * `saltFactor`) so results are reproducible; the small side is
+    * replicated `saltFactor`× via an array explode — acceptable because
+    * the small side is small by contract. One shuffle on (key, salt)
+    * whose partitions are bounded by the largest key's share / saltFactor.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    val saltedLarge = large.withColumn("_salt",
+      pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
+    val saltedSmall = small.withColumn("_salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    saltedLarge.join(saltedSmall, keyCols :+ "_salt", joinType).drop("_salt")
+  }
+
+  /** Two-phase (partial → final) count per key with an explicit salt —
+    * demonstrates the map-side-combine shape for skewed aggregations where
+    * a single reducer would otherwise own the hot key. Spark's hash
+    * aggregate already partial-aggregates; this forces the split when the
+    * combiner alone can't keep up (e.g. high-cardinality payloads). */
+  def saltedCount(df: DataFrame, keyCols: Seq[String], saltFactor: Int): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
+    salted.groupBy((keyCols :+ "_salt").map(col): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("_partial")).as("cnt"))
+  }
+}

@@ -103,6 +103,18 @@ class IndexerSpec extends AnyFunSuite {
     assert(out.head.getString(0) == "4 bytes")
   }
 
+  test("bulk NDJSON matches the reference upsert request shape (A5)") {
+    val docs = Seq(("42", "hello")).toDF("doc_id", "Value")
+    val upsert = Indexer.toBulkNdjson(docs, "testkeyspace_testtable_index@")
+      .head.getString(1)
+    assert(upsert ==
+      "{\"update\":{\"_index\":\"testkeyspace_testtable_index@\",\"_id\":\"42\"}}\n" +
+      "{\"doc\":{\"Value\":\"hello\"},\"doc_as_upsert\":true}")
+    val insert = Indexer.toBulkNdjson(docs, "idx", IndexConfig(insertOnly = true))
+      .head.getString(1)
+    assert(insert == "{\"index\":{\"_index\":\"idx\",\"_id\":\"42\"}}\n{\"Value\":\"hello\"}")
+  }
+
   test("TTL filter honors shift and analytic mode") {
     val docs = Seq(("a", 100L), ("b", 200L), ("c", 0L)).toDF("doc_id", "_cassandraTtl")
     val kept = Maintain.ttlFilter(docs, nowEpochSec = 120, IndexConfig())

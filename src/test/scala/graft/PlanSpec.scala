@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the shapes the 100 TB design depends on
+  * must survive refactors — broadcast row-load, top-k without global sort,
+  * filter/column pushdown into the parquet scan. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("search row-load joins broadcast the capped hit side (R9)") {
+    val plan = planOf("q_search_rowload")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (R5)") {
+    val plan = planOf("q_search_rowload")
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("delete anti-join broadcasts the delete set (S5)") {
+    val plan = planOf("q_delete_antijoin")
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(500))
+  }
+
+  test("predicate and column pruning reach the parquet scan") {
+    val plan = planOf("q_delete_antijoin")
+    // deletes side: status filter pushed into the scan
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)")
+      || plan.contains("EqualTo(o_orderstatus,F)"), plan.take(2000))
+    // docs side: only the key+linenumber columns are read
+    assert(plan.contains("struct<l_orderkey:bigint,l_linenumber:int>"))
+  }
+
+  test("brute-force ANN broadcasts the probe set, never shuffles the corpus") {
+    val plan = planOf("q_similarity_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("doc projection is shuffle-free (S2 narrow pipeline)") {
+    val docs = Indexer.buildDocs(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      Seq("l_orderkey"), Seq("l_linenumber"), IndexConfig(),
+      java.sql.Timestamp.valueOf("2024-07-01 00:00:00"))
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+}

@@ -105,6 +105,18 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"), col("hit_count"), col("max_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_alias" -> ((s, dir) => {
+      // alias search spanning two doc tables with different schemas
+      // (reference: untyped alias search, README.md:680-683)
+      val partDocs = tbl(s, dir, "part")
+        .select(concat(lit("part-"), col("p_partkey")).as("doc_id"), col("p_name"))
+      val docDocs = tbl(s, dir, "documents")
+        .select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+      Search.searchAlias(Seq(partDocs, docDocs),
+          "p_name:blue* OR text:filter", IndexConfig())
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_phrase" -> ((s, dir) => {
       // R2: quoted phrase terms match contiguous tokens
       Search.search(tbl(s, dir, "documents"),
@@ -452,6 +464,20 @@ object SparkEntry {
          SELECT doc_id, _score,
            count(*) OVER () AS hit_count, max(_score) OVER () AS max_score
          FROM hits ORDER BY doc_id""",
+    "q_search_alias" ->
+      """WITH u AS (
+           SELECT 'part-' || CAST(p_partkey AS VARCHAR) AS doc_id,
+                  lower(p_name) AS pn, CAST(NULL AS VARCHAR) AS tx FROM part
+           UNION ALL
+           SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                  CAST(NULL AS VARCHAR), lower(text) FROM documents)
+         SELECT doc_id,
+           (CASE WHEN pn IS NOT NULL AND regexp_matches(pn, '\bblue[^\s]*') THEN 1 ELSE 0 END +
+            CASE WHEN tx IS NOT NULL AND regexp_matches(tx, '\bfilter\b') THEN 1 ELSE 0 END) AS _score
+         FROM u
+         WHERE (pn IS NOT NULL AND regexp_matches(pn, '\bblue[^\s]*'))
+            OR (tx IS NOT NULL AND regexp_matches(tx, '\bfilter\b'))
+         ORDER BY doc_id""",
     "q_search_phrase" ->
       """SELECT doc_id,
            (CASE WHEN regexp_matches(lower(text), '\bbatch stream\b') THEN 1 ELSE 0 END +

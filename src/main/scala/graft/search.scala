@@ -43,6 +43,18 @@ object Search {
     else hits.select((pkCols.map(col) :+ col("_score")): _*)
   }
 
+  /** Alias search: the reference searches the alias spanning all segments,
+    * and untyped alias search spans multiple document types for
+    * "cross-table" results (reference: README.md:680-683; alias
+    * ElasticIndex.java:891-896). Spark shape: union the doc tables by name
+    * (missing columns null-padded) and search once. */
+  def searchAlias(tables: Seq[DataFrame], query: String, cfg: IndexConfig,
+                  pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(tables.nonEmpty, "alias must span at least one table")
+    val unioned = tables.reduce(_.unionByName(_, allowMissingColumns = true))
+    search(unioned, query, cfg, pkCols)
+  }
+
   /** R9: load full source rows for the surviving hits. Inner join naturally
     * drops rows that vanished from the base table (expired/deleted — the
     * reference skips those too, README.md:693-697). The hit side is capped at

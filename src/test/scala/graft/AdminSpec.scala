@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S9 admin dispatch + alias search. */
+class AdminSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(("1", "spark batch", "en")).toDF("doc_id", "text", "lang")
+
+  test("command recognition mirrors the reference protocol") {
+    assert(AdminCommand.parse("#get_mapping#").contains(AdminCommand.GetMapping))
+    assert(AdminCommand.parse("#truncate#").contains(AdminCommand.Truncate))
+    assert(AdminCommand.parse("#put_mapping#{\"text\":{}}#")
+      .contains(AdminCommand.PutMapping("{\"text\":{}}")))
+    assert(AdminCommand.parse("#update#{\"max-results\":\"5\"}#")
+      .contains(AdminCommand.UpdateSettings("{\"max-results\":\"5\"}")))
+    // #options: is query metadata, not admin; plain queries pass through
+    assert(AdminCommand.parse("#options:load-rows=false#x:y").isEmpty)
+    assert(AdminCommand.parse("text:spark").isEmpty)
+  }
+
+  test("get_mapping returns schema rows; put_mapping reports field presence") {
+    val (m, _) = Admin.execute(spark, docs, AdminCommand.GetMapping, IndexConfig())
+    assert(m.count() == 3)
+    val (p, _) = Admin.execute(spark, docs,
+      AdminCommand.PutMapping("""{"text":{"type":"text"},"missing":{}}"""), IndexConfig())
+    val presence = p.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(presence == Map("text" -> true, "missing" -> false))
+  }
+
+  test("update settings hot-reloads the config (M11)") {
+    val (r, next) = Admin.execute(spark, docs,
+      AdminCommand.UpdateSettings("""{"max-results":"77","segment":"day"}"""),
+      IndexConfig())
+    assert(r.count() == 1)
+    assert(next.maxResults == 77)
+    assert(next.segment == SegmentGranularity.Day)
+  }
+
+  test("truncate empties; malformed admin payloads degrade gracefully") {
+    val (t, _) = Admin.execute(spark, docs, AdminCommand.Truncate, IndexConfig())
+    assert(t.count() == 0)
+    val (bad, cfg2) = Admin.execute(spark, docs,
+      AdminCommand.UpdateSettings("{not json"), IndexConfig(maxResults = 123))
+    assert(bad.count() == 1)
+    assert(cfg2.maxResults == 10000) // empty options → defaults
+  }
+
+  test("alias search spans tables with differing schemas") {
+    val other = Seq(("9", "batch pipelines", "fr", "extra"))
+      .toDF("doc_id", "text", "lang", "source")
+    val hits = Search.searchAlias(Seq(docs, other), "text:batch", IndexConfig())
+    assert(hits.select("doc_id").collect().map(_.getString(0)).sorted.toSeq == Seq("1", "9"))
+  }
+}

@@ -75,7 +75,8 @@ object DocModel {
       .filterNot(f => ttlCol.contains(f.name) || f.name == "doc_id")
       .map { f =>
         val c =
-          if (cfg.jsonFlatSerializedFields.contains(f.name))
+          if (f.name == "segment") col(f.name) // engine metadata, not a cell
+          else if (cfg.jsonFlatSerializedFields.contains(f.name))
             // W8: store the type-safe flattened form (JsonUtils.java:81-116)
             json_flatten(col(f.name))
           else if (cfg.jsonSerializedFields.contains(f.name)) {

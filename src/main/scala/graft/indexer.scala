@@ -23,12 +23,15 @@ object Indexer {
                 cfg: IndexConfig, now: java.sql.Timestamp,
                 ttlCol: Option[String] = None,
                 segmentSource: Option[String] = None): DataFrame = {
-    val docs = DocModel.project(src, pkCols, ckCols, cfg, now, ttlCol)
-    (cfg.segment.truncUnit, segmentSource) match {
+    // segment before projection — the projection replaces source columns
+    // (e.g. timestamps become ISO strings), so the truncation must read the
+    // still-typed source column; `segment` itself passes through untouched
+    val withSeg = (cfg.segment.truncUnit, segmentSource) match {
       case (Some(unit), Some(ts)) =>
-        docs.withColumn("segment", date_trunc(unit, src(ts)))
-      case _ => docs
+        src.withColumn("segment", date_trunc(unit, col(ts)))
+      case _ => src
     }
+    DocModel.project(withSeg, pkCols, ckCols, cfg, now, ttlCol)
   }
 
   /** S3: upsert with last-write-wins per doc id (`doc_as_upsert` semantics,

@@ -25,7 +25,9 @@ object SparkEntry {
     val df = s.read.parquet(s"$dir/$name.parquet")
     df.schema.find(f => f.name == "ts" &&
         f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      // integer division — long/1000 via `/` goes through double and loses
+      // low bits at 1e18 (corrupts ~1 in 8 ms-granularity timestamps by 1µs)
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
   }

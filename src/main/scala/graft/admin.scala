@@ -20,9 +20,11 @@ object AdminCommand {
     if (query == null || !query.startsWith("#")) None
     else if (query == "#get_mapping#") Some(GetMapping)
     else if (query == "#truncate#") Some(Truncate)
-    else if (query.startsWith("#put_mapping#") && query.endsWith("#"))
+    else if (query.startsWith("#put_mapping#") && query.endsWith("#") &&
+             query.length > "#put_mapping#".length)
       Some(PutMapping(query.substring("#put_mapping#".length, query.length - 1)))
-    else if (query.startsWith("#update#") && query.endsWith("#"))
+    else if (query.startsWith("#update#") && query.endsWith("#") &&
+             query.length > "#update#".length)
       Some(UpdateSettings(query.substring("#update#".length, query.length - 1)))
     else None // `#options:` and unknown # strings fall through to search
   }

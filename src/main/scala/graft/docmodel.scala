@@ -90,12 +90,12 @@ object DocModel {
                 lit(s"malformed JSON in field ${f.name}: "), col(f.name))))
           } else convert(f.name, f.dataType)
         c.as(f.name)
-      }
-    var out = df.select(docId(pkCols, ckCols).as("doc_id") +: fields.toSeq: _*)
-    if (cfg.indexationDate)
-      out = out.withColumn("IndexationDate", indexationDate(now))
-    ttlCol.foreach { c => out = out.withColumn("_cassandraTtl", ttlEpoch(df(c))) }
-    out
+      }.toSeq
+    // one select: engine columns derive from pre-projection attributes
+    val engineCols =
+      (if (cfg.indexationDate) Seq(indexationDate(now).as("IndexationDate")) else Nil) ++
+        ttlCol.map(c => ttlEpoch(col(c)).as("_cassandraTtl")).toSeq
+    df.select(docId(pkCols, ckCols).as("doc_id") +: (fields ++ engineCols): _*)
   }
 
   /** ES-side mapping type for a Spark type, per the reference's
@@ -115,8 +115,10 @@ object DocModel {
   /** W3: empty-update skip — a doc with no live field left produces no write
     * at all (and no delete!). (reference: EsSecondaryIndex.java:225-227;
     * test EsSecondaryIndexTest.java:152-160). */
-  def skipEmpty(df: DataFrame, docCols: Seq[String]): DataFrame =
+  def skipEmpty(df: DataFrame, docCols: Seq[String]): DataFrame = {
+    require(docCols.nonEmpty, "skipEmpty needs at least one doc column")
     df.where(docCols.map(c => col(c).isNotNull).reduce(_ || _))
+  }
 
   /** W2: null handling for serialized docs. `discard-nulls=true` (default)
     * drops null fields from the JSON doc; `false` writes explicit JSON nulls

@@ -128,8 +128,13 @@ object VecFunctions {
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
   def vec_norm(v: Column): Column =
     Bridge.column(VecNorm(Bridge.expression(v)))
-  def vec_cosine(a: Column, b: Column): Column =
-    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+  /** NULL (not NaN) when either vector has zero norm: NaN sorts ABOVE every
+    * double in Spark, so a single all-zeros embedding would otherwise rank
+    * first in every desc-cosine top-k; NULL sorts last under `desc`. */
+  def vec_cosine(a: Column, b: Column): Column = {
+    val denom = vec_norm(a) * vec_norm(b)
+    org.apache.spark.sql.functions.when(denom =!= 0.0d, vec_dot(a, b) / denom)
+  }
   def rhp_buckets(v: Column, bands: Int, bitsPerBand: Int): Column =
     Bridge.column(RhpBuckets(Bridge.expression(v), bands, bitsPerBand))
 }

@@ -78,12 +78,11 @@ object Indexer {
     val docCols = docs.columns.filterNot(_ == "doc_id").map(col)
     val docJson = to_json(struct(docCols.toSeq: _*),
       Map("ignoreNullFields" -> cfg.discardNulls.toString))
-    val action =
-      if (cfg.insertOnly)
-        concat(lit(s"""{"index":{"_index":"$alias","_id":""""), col("doc_id"), lit("\"}}"))
-      else
-        concat(lit(s"""{"update":{"_index":"$alias","_id":""""), col("doc_id"),
-          lit("\"}}"))
+    // action line built with to_json too — a quote/newline inside a PK
+    // value must be escaped or the NDJSON stream desynchronizes
+    val actionName = if (cfg.insertOnly) "index" else "update"
+    val action = to_json(struct(
+      struct(lit(alias).as("_index"), col("doc_id").as("_id")).as(actionName)))
     val payload =
       if (cfg.insertOnly) docJson
       else concat(lit("""{"doc":"""), docJson, lit(""","doc_as_upsert":true}"""))

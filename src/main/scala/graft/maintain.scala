@@ -62,12 +62,16 @@ object Maintain {
     import org.apache.hadoop.fs.Path
     val path = new Path(tablePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition dir names are URI-escaped (':' → '%3A'); unescape before
+    // handing the value to the predicate or timestamp segments compare wrong
+    def unescape(s: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
     if (!fs.exists(path)) Seq.empty
     else fs.listStatus(path).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(segmentCol + "="))
       .map(st => st.getPath)
-      .filterNot(p => keep(p.getName.stripPrefix(segmentCol + "=")))
-      .map { p => fs.delete(p, true); p.getName.stripPrefix(segmentCol + "=") }
+      .filterNot(p => keep(unescape(p.getName.stripPrefix(segmentCol + "="))))
+      .map { p => fs.delete(p, true); unescape(p.getName.stripPrefix(segmentCol + "=")) }
   }
 
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +

@@ -42,8 +42,18 @@ object OptionReader {
               fileProps: Map[String, String] = Map.empty,
               env: Map[String, String] = Map.empty,
               dc: String = "", rack: String = ""): Map[String, String] = {
+    // locality-prefixed keys normalize their suffix (`<dc1>.a.b` → `<dc1>.a-b`)
+    // so dot-form per-DC overrides still match hyphen-form lookups
     def norm(m: Map[String, String]): Map[String, String] =
-      m.map { case (k, v) => (if (k.startsWith("<")) k else normalize(k)) -> v }
+      m.map { case (k, v) =>
+        val key =
+          if (k.startsWith("<")) {
+            val close = k.indexOf(">.")
+            if (close > 0) k.substring(0, close + 2) + normalize(k.substring(close + 2))
+            else k
+          } else normalize(k)
+        key -> v
+      }
     val envLayer = env.collect {
       case (k, v) if normalize(k).startsWith(EnvPrefix) =>
         normalize(k).substring(EnvPrefix.length) -> v

@@ -63,6 +63,8 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     // bands=16 (2 rows/band): candidate recall at jaccard 0.5 is
     // 1-(1-0.5²)^16 ≈ 0.99; false candidates are cheap (verified exactly)
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     // Sketching is one narrow native projection per row (no explode, no
     // aggregate shuffle) — see [[graft.functions.MinHashSig]]; only
@@ -117,6 +119,7 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 31, "maxDist must be in [1, 31]")
     val chunks = maxDist + 1
     val width = 64 / chunks
     val sigs = simhashSignatures(df, textCol, idCol)

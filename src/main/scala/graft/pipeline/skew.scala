@@ -25,6 +25,12 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, keyCols: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
+    // right/full outer would emit saltFactor copies of unmatched small-side
+    // rows (it is replicated across salts) — reject join types whose
+    // semantics the salting breaks
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports large-side-preserving join types only, got '$joinType'")
     val saltedLarge = large.withColumn("_salt",
       pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
     val saltedSmall = small.withColumn("_salt",

@@ -121,7 +121,10 @@ object QueryCompiler {
           val c = loC && hiC; if (pos) leaves += c; c
         case And(l, r) => toCol(l, pos) && toCol(r, pos)
         case Or(l, r)  => toCol(l, pos) || toCol(r, pos)
-        case Not(x)    => !toCol(x, pos = false)
+        // Lucene/ES negation matches docs where the field is absent;
+        // coalesce defeats SQL three-valued logic (!NULL = NULL would
+        // silently drop null-field rows)
+        case Not(x)    => !coalesce(toCol(x, pos = false), lit(false))
       }
       val pred = toCol(ast, pos = true)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(defaultLimit))
@@ -282,7 +285,9 @@ object QueryCompiler {
           val shouldLeaves = scala.collection.mutable.ArrayBuffer[Column]()
           val should = clauseList(body, "should")
             .map(node(_, if (scoring) leaves else shouldLeaves, scoring))
-          val req = must ++ filter ++ mustNot.map(c => !c)
+          // ES must_not matches when the clause is false OR the field is
+          // absent — null-safe negation (see Lucene Not above)
+          val req = must ++ filter ++ mustNot.map(c => !coalesce(c, lit(false)))
           val base = if (req.nonEmpty) req.reduce(_ && _) else lit(true)
           // ES semantics: `should` is optional when must/filter present,
           // required (>=1) when the bool has only should clauses.

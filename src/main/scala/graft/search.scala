@@ -90,6 +90,7 @@ object Search {
     * this is the reproducible equivalent. */
   def bm25(docs: DataFrame, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val toks = split(trim(col(textCol)), "\\s+")
     val base = docs.withColumn("_dl", size(toks).cast("double"))

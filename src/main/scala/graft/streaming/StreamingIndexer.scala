@@ -34,8 +34,12 @@ object StreamingIndexer {
     * segment-bucketed counts (M2/M3); late data beyond the watermark is
     * dropped deterministically instead of the reference's wall-clock TTL. */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-                     window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+                     valueCol: Option[String] = None,
+                     window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      valueCol.map(v => sum(col(v)).as("total")).toSeq
     events.withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

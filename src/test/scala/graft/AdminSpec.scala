@@ -19,6 +19,9 @@ class AdminSpec extends AnyFunSuite {
     // #options: is query metadata, not admin; plain queries pass through
     assert(AdminCommand.parse("#options:load-rows=false#x:y").isEmpty)
     assert(AdminCommand.parse("text:spark").isEmpty)
+    // payload-less commands are not commands (and must not throw)
+    assert(AdminCommand.parse("#put_mapping#").isEmpty)
+    assert(AdminCommand.parse("#update#").isEmpty)
   }
 
   test("get_mapping returns schema rows; put_mapping reports field presence") {

@@ -56,6 +56,17 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("zero vectors never rank in cosine top-k (NaN guard)") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (99L, Array(0.0, 0.0))) // degenerate zero vector
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0, 0.0))).toDF("query_id", "query_vec")
+    val out = Similarity.bruteForceTopK(corpus, q, k = 2)
+      .select("neighbor_id", "rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.head == (2L, 1)) // zero vector must not be rank 1 via NaN
+  }
+
   test("brute-force topk ranks by cosine") {
     val corpus = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))

@@ -29,6 +29,14 @@ class IndexerSpec extends AnyFunSuite {
     assert(out.select("IndexationDate").head.getString(0) == "2024-07-01T00:00:00.000Z")
   }
 
+  test("TTL column projects into _cassandraTtl (W10)") {
+    val df = Seq((1L, "a", 12345L)).toDF("id", "v", "exp")
+    val out = DocModel.project(df, Seq("id"), Nil, IndexConfig(), now,
+      ttlCol = Some("exp"))
+    assert(out.columns.toSeq == Seq("doc_id", "id", "v", "IndexationDate", "_cassandraTtl"))
+    assert(out.select("_cassandraTtl").head.getLong(0) == 12345L)
+  }
+
   test("last-write-wins upsert keeps the newest version per key") {
     val updates = Seq(
       ("k1", 1L, "old"), ("k1", 3L, "new"), ("k1", 2L, "mid"),

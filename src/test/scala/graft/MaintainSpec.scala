@@ -21,6 +21,17 @@ class MaintainSpec extends AnyFunSuite {
     assert(left.toSeq == Seq("2024-02", "2024-03"))
   }
 
+  test("dropSegmentDirs unescapes URI-escaped timestamp segment names") {
+    val path = java.nio.file.Files.createTempDirectory("graft_seg_ts").toString
+    Seq(("2024-01-01 00:00:00", 1), ("2024-02-01 00:00:00", 2))
+      .toDF("segment", "v") // ':' is URI-escaped to %3A in partition dirs
+      .write.mode("overwrite").partitionBy("segment").parquet(path)
+    val dropped = Maintain.dropSegmentDirs(spark, path, "segment",
+      _ >= "2024-02-01 00:00:00")
+    assert(dropped == Seq("2024-01-01 00:00:00"))
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("dropSegmentDirs on a missing path is a no-op") {
     assert(Maintain.dropSegmentDirs(spark, "/tmp/graft_does_not_exist_xyz",
       "segment", _ => true).isEmpty)

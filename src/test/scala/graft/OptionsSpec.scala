@@ -31,6 +31,11 @@ class OptionsSpec extends AnyFunSuite {
     val r = OptionReader.resolve(Map("max.results" -> "7"))
     assert(r("max-results") == "7")
     assert(OptionReader.resolve(Map.empty, env = Map("es.max.results" -> "9"))("max-results") == "9")
+    // dot form inside a locality prefix normalizes too
+    val loc = OptionReader.resolve(Map("<dc1>.discard.nulls" -> "false"),
+      dc = "dc1", rack = "r1")
+    assert(loc("discard-nulls") == "false")
+    assert(!OptionReader.toConfig(loc).discardNulls)
   }
 
   test("typed config from options with reference defaults") {

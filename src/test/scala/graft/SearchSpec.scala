@@ -64,6 +64,20 @@ class SearchSpec extends AnyFunSuite {
     assert(loaded.columns.contains("_score") && loaded.columns.contains("payload"))
   }
 
+  test("negation matches rows where the field is absent (ES semantics)") {
+    import spark.implicits._
+    val d = Seq(("1", "alpha", "F"), ("2", "beta", null), ("3", "gamma", "O"))
+      .toDF("doc_id", "text", "status")
+    val lucene = Search.search(d, "NOT status:f", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(lucene.toSeq == Seq("2", "3")) // null-status row matches NOT
+    val dsl = Search.search(d,
+      """{"query":{"bool":{"must":[{"exists":{"field":"text"}}],
+         "must_not":[{"term":{"status":"F"}}]}}}""", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(dsl.toSeq == Seq("2", "3"))
+  }
+
   test("metadata enrichment attaches global hit stats to every row") {
     val hits = Search.search(docs, "text:spark OR text:batch", IndexConfig())
     val meta = Search.withMeta(hits).select("hit_count", "max_score").distinct().head

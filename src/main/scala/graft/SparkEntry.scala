@@ -323,6 +323,12 @@ object SparkEntry {
       Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.6)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_corpus" -> ((s, dir) => {
+      // rows-only: end-to-end near-dup removal (LSH pairs -> connected
+      // components -> keep canonical min-id member per cluster)
+      pipeline.Dedup.dedupCorpus(tbl(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_dedup_minhash" -> ((s, dir) => {
       // rows-only: MinHash-LSH candidates verified at jaccard>=0.5
       Dedup.minhashPairs(tbl(s, dir, "documents"), "text", "doc_id")

@@ -141,6 +141,56 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Connected components over a near-duplicate pair list: every doc gets
+    * the minimum id of its duplicate cluster as `cluster_id`.
+    *
+    * Iterative min-label propagation (each round: every node adopts the
+    * smallest label among itself and its neighbors) until fixpoint or
+    * `maxIters`. Rounds are logarithmic in cluster diameter — near-dup
+    * clusters are shallow (stars/cliques from banding), so a handful of
+    * rounds suffices even at corpus scale; each round is two shuffles.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("cluster_id", "nb_label"), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nb_label")).as("nb_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
+        .where(col("cluster_id") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Corpus-level near-duplicate removal: MinHash-LSH pairs → clusters →
+    * keep only the canonical (minimum-id) member of each cluster. The
+    * "dedup the training set" operation end-to-end. */
+  def dedupCorpus(df: DataFrame, textCol: String, idCol: String,
+                  shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                  threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, textCol, idCol, shingleK, numHashes, bands, threshold)
+    val losers = clusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram (word-set) Jaccard similarity pairs via a token-postings
     * self-join: shuffle on token, intersection counts per pair, set sizes
     * joined back. Exact but quadratic in posting-list length — at scale this

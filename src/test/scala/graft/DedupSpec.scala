@@ -56,6 +56,20 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("clusters: transitive chains collapse to the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupCorpus keeps one canonical doc per near-dup cluster") {
+    val out = Dedup.dedupCorpus(corpus, "text", "doc_id", threshold = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    // docs 1,2,4 are one near-dup cluster (keep 1); doc 3 unrelated
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
   test("zero vectors never rank in cosine top-k (NaN guard)") {
     val corpus = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),

@@ -640,7 +640,8 @@ object SparkEntry {
          WHERE date_trunc('month', o_orderdate) >= TIMESTAMP '1999-01-01'
          GROUP BY 1 ORDER BY segment""",
     "q_dedup_exact" ->
-      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id, count(*) AS dup_cnt
+      """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS dup_cnt
          FROM documents GROUP BY 1 ORDER BY fp""",
     "q_dedup_jaccard" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),

@@ -30,7 +30,8 @@ private object VecOps {
   }
 }
 
-/** Σ aᵢ·bᵢ in one pass. */
+/** Σ aᵢ·bᵢ in one pass. Mismatched dimensions are corrupt data — fail
+  * loudly rather than score a truncated garbage vector as a plausible match. */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
@@ -39,7 +40,10 @@ case class VecDot(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
     val ta = VecOps.elemType(left.dataType); val tb = VecOps.elemType(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch (${n} vs ${b.numElements()})")
     var s = 0.0d; var i = 0
     while (i < n) { s += VecOps.get(a, ta, i) * VecOps.get(b, tb, i); i += 1 }
     s
@@ -48,6 +52,36 @@ case class VecDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
   override def prettyName: String = "vec_dot"
+}
+
+/** Fused cosine: dot product and both norms in ONE loop per row (separate
+  * vec_dot/vec_norm expressions would traverse each vector twice more under
+  * CodegenFallback — no CSE). NULL when either norm is zero (NaN would sort
+  * above every double and win every desc top-k); dimension mismatch throws. */
+case class VecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val ta = VecOps.elemType(left.dataType); val tb = VecOps.elemType(right.dataType)
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_cosine: dimension mismatch (${n} vs ${b.numElements()})")
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+    while (i < n) {
+      val x = VecOps.get(a, ta, i); val y = VecOps.get(b, tb, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0d) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine"
 }
 
 /** ‖v‖₂ in one pass. */
@@ -77,16 +111,24 @@ case class VecNorm(child: Expression)
   */
 case class RhpBuckets(child: Expression, bands: Int, bitsPerBand: Int)
     extends UnaryExpression with CodegenFallback {
+  require(bands >= 1, s"bands must be >= 1, got $bands")
+  require(bitsPerBand >= 1 && bitsPerBand <= 63,
+    s"bitsPerBand must be in [1, 63], got $bitsPerBand") // JVM shifts wrap mod 64
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
   @transient private lazy val totalBits = bands * bitsPerBand
 
-  @transient private var signs: Array[Array[Double]] = _ // [bit][dim]
+  // volatile: safely published if the expression instance is shared across
+  // threads; a race only duplicates the (deterministic) computation
+  @transient @volatile private var signs: Array[Array[Double]] = _ // [bit][dim]
 
   private def signMatrix(dims: Int): Array[Array[Double]] = {
-    if (signs == null || signs(0).length != dims) {
-      signs = Array.tabulate(totalBits, dims) { (b, i) =>
+    val cached = signs
+    if (cached != null && cached(0).length == dims) cached
+    else {
+      val fresh = Array.tabulate(totalBits, dims) { (b, i) =>
         // splitmix64 finalizer over the (bit, dim) pair
         var z = b.toLong * 0x9E3779B97F4A7C15L + i.toLong + 0x632BE59BD9B4E019L
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -94,8 +136,9 @@ case class RhpBuckets(child: Expression, bands: Int, bitsPerBand: Int)
         z = z ^ (z >>> 31)
         if ((z & 1L) == 0L) 1.0 else -1.0
       }
+      signs = fresh
+      fresh
     }
-    signs
   }
 
   override protected def nullSafeEval(v: Any): Any = {
@@ -128,13 +171,8 @@ object VecFunctions {
     Bridge.column(VecDot(Bridge.expression(a), Bridge.expression(b)))
   def vec_norm(v: Column): Column =
     Bridge.column(VecNorm(Bridge.expression(v)))
-  /** NULL (not NaN) when either vector has zero norm: NaN sorts ABOVE every
-    * double in Spark, so a single all-zeros embedding would otherwise rank
-    * first in every desc-cosine top-k; NULL sorts last under `desc`. */
-  def vec_cosine(a: Column, b: Column): Column = {
-    val denom = vec_norm(a) * vec_norm(b)
-    org.apache.spark.sql.functions.when(denom =!= 0.0d, vec_dot(a, b) / denom)
-  }
+  def vec_cosine(a: Column, b: Column): Column =
+    Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
   def rhp_buckets(v: Column, bands: Int, bitsPerBand: Int): Column =
     Bridge.column(RhpBuckets(Bridge.expression(v), bands, bitsPerBand))
 }

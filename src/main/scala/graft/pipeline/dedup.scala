@@ -22,9 +22,11 @@ object Dedup {
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
   /** Exact dedup: keep the lowest id per identical normalized text.
-    * One map-side-combinable hash aggregate — the 100 TB-safe shape. */
+    * One map-side-combinable hash aggregate — the 100 TB-safe shape.
+    * The fingerprint is [[TextStats.fingerprint]] (one shared definition of
+    * "same content": lowercased, whitespace-collapsed). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(lower(trim(col(textCol)))).as("fp"))
+    df.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Word k-shingles (contiguous k-grams) of a token-array column.
@@ -70,8 +72,14 @@ object Dedup {
     // aggregate shuffle) — see [[graft.functions.MinHashSig]]; only
     // (id, band, bucket) ever reaches an exchange.
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
+    // cached: read by the signature pass and by BOTH verification join
+    // sides — without it the (documented-dominant) shingle projection runs
+    // three times. At 100 TB the real pattern is a materialized (id, sketch)
+    // store written once; the cache is the single-job analog (LRU-evicted,
+    // so worst case degrades to recompute, never fails).
     val shingled = df.select(col(idCol).as("id"),
       word_shingles(tokens(col(textCol)), shingleK).as("sh"))
+      .cache()
     val sigs = shingled.select(col("id"), minhash_sig(col("sh"), numHashes).as("sig"))
     val banded = sigs.select(col("id"),
       posexplode(array(Seq.tabulate(bands) { b =>
@@ -144,13 +152,15 @@ object Dedup {
   /** Connected components over a near-duplicate pair list: every doc gets
     * the minimum id of its duplicate cluster as `cluster_id`.
     *
-    * Iterative min-label propagation (each round: every node adopts the
-    * smallest label among itself and its neighbors) until fixpoint or
-    * `maxIters`. Rounds are logarithmic in cluster diameter — near-dup
-    * clusters are shallow (stars/cliques from banding), so a handful of
-    * rounds suffices even at corpus scale; each round is two shuffles.
+    * Each round combines min-label propagation (adopt the smallest label
+    * among self and neighbors) with pointer jumping (then adopt the label
+    * of your label), which makes convergence logarithmic in cluster
+    * diameter, not linear — a 1000-doc boilerplate chain converges in ~10
+    * rounds. Non-convergence within `maxIters` throws: silently returning
+    * partial labels would make [[dedupCorpus]] keep duplicate "canonical"
+    * docs.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
@@ -164,17 +174,32 @@ object Dedup {
           .withColumnRenamed("cluster_id", "nb_label"), Seq("id_b"))
         .groupBy(col("id_a").as("id"))
         .agg(min(col("nb_label")).as("nb_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("nb_min"), col("cluster_id")))
             .as("cluster_id"))
+      // pointer jump: label := label(label) — labels are always node ids
+      val parents = propagated
+        .select(col("id").as("p_id"), col("cluster_id").as("p_label"))
+      val next = propagated
+        .join(parents, propagated("cluster_id") === parents("p_id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
+            .as("cluster_id"))
         .cache()
+      // the count materializes `next`, so the previous round can be freed
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .where(col("cluster_id") =!= col("prev")).count()
+      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIters rounds — " +
+          "raise maxIters (pathologically deep duplicate chains)")
+    edges.unpersist()
     labels
   }
 

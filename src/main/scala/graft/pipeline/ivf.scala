@@ -70,12 +70,13 @@ object Ivf {
   def topK(assigned: DataFrame, queries: DataFrame,
            centroids: Array[Array[Double]], k: Int, nprobe: Int = 2,
            idCol: String = "vec_id", vecCol: String = "embedding",
-           qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+           qIdCol: String = "query_id", qVecCol: String = "query_vec",
+           excludeSelf: Boolean = true): DataFrame = {
     val probes = queries.select(col(qIdCol), col(qVecCol),
         explode(probe_lists(col(qVecCol).cast("array<double>"), centroids, nprobe))
           .as("list_id"))
-    val candidates = assigned.join(broadcast(probes), Seq("list_id"))
-      .where(col(idCol) =!= col(qIdCol))
+    val joined = assigned.join(broadcast(probes), Seq("list_id"))
+    val candidates = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
       .withColumn("cos", vec_cosine(col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
     candidates.withColumn("rank", row_number().over(w))

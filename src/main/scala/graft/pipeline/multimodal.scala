@@ -58,10 +58,13 @@ object Multimodal {
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     df.select(col(idCol).cast(LongType).as("id"), col("content"))
       .mapPartitions { it =>
-        // per-partition init point for a real codec/model goes here
-        it.map { r =>
-          val (n, cks, w, h) = decodeStub(r.getAs[Array[Byte]]("content"))
-          Row(r.getLong(0), n, cks, w, h)
+        // per-partition init point for a real codec/model goes here;
+        // null payloads (normal for opaque blob columns) are skipped
+        it.flatMap { r =>
+          Option(r.getAs[Array[Byte]]("content")).map { bytes =>
+            val (n, cks, w, h) = decodeStub(bytes)
+            Row(r.getLong(0), n, cks, w, h)
+          }
         }
       }
   }

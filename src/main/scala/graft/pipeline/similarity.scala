@@ -31,9 +31,13 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .where(col(idCol) =!= col(qIdCol))
+                     qIdCol: String = "query_id", qVecCol: String = "query_vec",
+                     excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf assumes query ids share the corpus id namespace (probes
+    // drawn from the corpus); pass false for external query vectors, or a
+    // coincidentally-equal id would silently drop a true neighbor
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
       .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(desc("cos"), col(idCol))
@@ -60,11 +64,12 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 4, bitsPerBand: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              qIdCol: String = "query_id", qVecCol: String = "query_vec"): DataFrame = {
+              qIdCol: String = "query_id", qVecCol: String = "query_vec",
+              excludeSelf: Boolean = true): DataFrame = {
     val c = banded(corpus, idCol, vecCol, bands, bitsPerBand)
     val q = banded(queries, qIdCol, qVecCol, bands, bitsPerBand)
-    val candidates = c.join(broadcast(q), Seq("band", "bucket"))
-      .where(col(idCol) =!= col(qIdCol))
+    val joined = c.join(broadcast(q), Seq("band", "bucket"))
+    val candidates = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
       .dropDuplicates(qIdCol, idCol)
       .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))

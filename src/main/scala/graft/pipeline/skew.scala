@@ -31,8 +31,11 @@ object Skew {
     val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
     require(allowed.contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin supports large-side-preserving join types only, got '$joinType'")
+    // salt from a per-row unique id, not row content: identical duplicate
+    // rows (the classic hot-key case) must spread across salts, and content
+    // hashing would also choke on unhashable types like MapType columns
     val saltedLarge = large.withColumn("_salt",
-      pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val saltedSmall = small.withColumn("_salt",
       explode(array((0 until saltFactor).map(lit): _*)))
     saltedLarge.join(saltedSmall, keyCols :+ "_salt", joinType).drop("_salt")
@@ -45,7 +48,7 @@ object Skew {
     * combiner alone can't keep up (e.g. high-cardinality payloads). */
   def saltedCount(df: DataFrame, keyCols: Seq[String], saltFactor: Int): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltFactor)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     salted.groupBy((keyCols :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_partial"))
       .groupBy(keyCols.map(col): _*)

@@ -160,7 +160,14 @@ object Dedup {
     * partial labels would make [[dedupCorpus]] keep duplicate "canonical"
     * docs.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+  def clusters(pairs: DataFrame, maxIters: Int = 15,
+               driverThreshold: Long = 2000000): DataFrame = {
+    // The duplicate-pair graph is model-sized, not data-sized (it holds
+    // only docs with at least one near-dup). Below the threshold a
+    // driver-side union-find beats ~5 Spark stages per propagation round
+    // by two orders of magnitude; above it, the distributed loop takes over.
+    val pairCount = pairs.count()
+    if (pairCount <= driverThreshold) return clustersLocal(pairs)
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
@@ -181,16 +188,17 @@ object Dedup {
       // pointer jump: label := label(label) — labels are always node ids
       val parents = propagated
         .select(col("id").as("p_id"), col("cluster_id").as("p_label"))
+      // localCheckpoint (eager) materializes the round AND truncates the
+      // plan lineage — without it the nested-join plan doubles every round
+      // and planning itself OOMs after ~8 rounds
       val next = propagated
         .join(parents, propagated("cluster_id") === parents("p_id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("p_label"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      // the count materializes `next`, so the previous round can be freed
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("id"))
         .where(col("cluster_id") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
@@ -201,6 +209,51 @@ object Dedup {
           "raise maxIters (pathologically deep duplicate chains)")
     edges.unpersist()
     labels
+  }
+
+  /** Driver-side union-find (path compression + size union) with a min-id
+    * pass so every member labels to its cluster's smallest id. Exact same
+    * contract as the distributed loop. */
+  private def clustersLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val idType = pairs.schema("id_a").dataType
+    val edges = pairs.select(col("id_a"), col("id_b")).collect()
+    val parent = scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent(root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != cur) {
+        val nxt = parent(cur); parent(cur) = root; cur = nxt
+      }
+      root
+    }
+    edges.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    def lt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: java.lang.Number, b: java.lang.Number) => a.longValue < b.longValue
+      case (a, b) => String.valueOf(a) < String.valueOf(b)
+    }
+    val minOfRoot = scala.collection.mutable.HashMap[Any, Any]()
+    parent.keys.foreach { m =>
+      val r = find(m)
+      minOfRoot.get(r) match {
+        case Some(cur) if !lt(m, cur) => ()
+        case _ => minOfRoot(r) = m
+      }
+    }
+    val rows = parent.keys.toSeq.map(m =>
+      org.apache.spark.sql.Row(m, minOfRoot(find(m))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster_id", idType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size / 500000 + 1)),
+      schema)
   }
 
   /** Corpus-level near-duplicate removal: MinHash-LSH pairs → clusters →

@@ -63,6 +63,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("clusters distributed path converges on deep chains (pointer jumping)") {
+    val chain = (0L until 40L).sliding(2).map(s => (s.head, s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val out = Dedup.clusters(chain, maxIters = 15, driverThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length == 40)
+    assert(out.forall(_._2 == 0L), out.filter(_._2 != 0L).take(3).mkString(","))
+  }
+
   test("dedupCorpus keeps one canonical doc per near-dup cluster") {
     val out = Dedup.dedupCorpus(corpus, "text", "doc_id", threshold = 0.4)
       .select("doc_id").collect().map(_.getLong(0)).sorted

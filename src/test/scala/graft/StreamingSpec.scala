@@ -63,6 +63,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(("2024-01-01 00:00:00.0", "click", 2L)))
   }
 
+  test("file-based readStream over fixture parquet matches the batch result") {
+    import org.apache.spark.sql.functions._
+    // stage the fixture as an arriving file (S1: readStream on a change feed)
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      stage.resolve("events.parquet"))
+    val batch = spark.read.parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expected = batch.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val stream = spark.readStream.schema(spark.read.parquet(stage.toString).schema)
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = stream.groupBy(col("event_type")).count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("fs_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT event_type, count FROM fs_out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("windowed counts with watermark (batch-equivalent check)") {
     import spark.implicits._
     val events = Seq(

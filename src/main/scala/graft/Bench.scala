@@ -18,8 +18,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // a failed query must be visible as -1, not recorded as a normal
+      // (time-to-failure) timing
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -44,8 +44,7 @@ object SparkEntry {
     val dir = "/root/testdata/sf0.001"
     val docs = Indexer.buildDocs(tbl(spark, dir, "documents"),
       pkCols = Seq("doc_id"), ckCols = Nil, IndexConfig(indexationDate = false), NowTs)
-    val hits = Search.withMeta(
-      Search.search(docs, "text:spark OR text:batch", IndexConfig()))
+    val hits = Search.searchWithTotal(docs, "text:spark OR text:batch", IndexConfig())
     // doc ids are strings in the doc store; restore the base table's key type
     Search.loadRows(
       hits.select(col("doc_id").cast("long").as("doc_id"), col("_score")),
@@ -100,10 +99,10 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
     "q_search_meta" -> ((s, dir) => {
-      // R10: every row enriched with global hit_count / max_score
-      val hits = Search.search(tbl(s, dir, "documents"),
-        "text:merge AND text:sort", IndexConfig(), Seq("doc_id"))
-      Search.withMeta(hits)
+      // R10: every row enriched with global hit_count / max_score — the
+      // total counts ALL matches, before the top-k cap
+      Search.searchWithTotal(tbl(s, dir, "documents"),
+          "text:merge AND text:sort", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"), col("hit_count"), col("max_score"))
         .orderBy(col("doc_id"))
     }),

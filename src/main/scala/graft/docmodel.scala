@@ -28,7 +28,12 @@ object DocModel {
     * shuffles on this column directly and Catalyst keeps the expression inline.
     */
   def docId(pkCols: Seq[String], ckCols: Seq[String] = Nil): Column =
-    concat_ws("-", (pkCols ++ ckCols).map(c => col(c).cast(StringType)): _*)
+    // null keys render explicitly — concat_ws SKIPS null components, which
+    // would collide ("a",null,"c") with ("a","c",null) and let last-write-
+    // wins silently drop rows (Cassandra forbids null PKs; arbitrary
+    // DataFrames don't)
+    concat_ws("-", (pkCols ++ ckCols)
+      .map(c => coalesce(col(c).cast(StringType), lit("\\N"))): _*)
 
   /** W9: IndexationDate stamp, ISO-8601 GMT (reference: ElasticIndex.java:576-578).
     * `now` is a parameter (not `current_timestamp()`) so results are

@@ -25,12 +25,24 @@ object Maintain {
       case None => lit(null).cast("timestamp")
     }
 
-  /** M3: purge empty segments — list segments that still hold live docs; the
-    * complement (empty partitions) gets dropped
+  /** M3: list segments that still hold live docs (groupBy only ever emits
+    * populated groups — "emptiness" is a property of the physical layout,
+    * checked by [[purgeEmptySegments]] against the directory listing)
     * (reference: ElasticIndex.java:839-856 `_count` then delete-if-0). */
   def liveSegments(docs: DataFrame, segmentCol: String): DataFrame =
     docs.groupBy(col(segmentCol)).agg(count(lit(1)).as("doc_count"))
-      .where(col("doc_count") > 0)
+
+  /** M3 physical: delete partition directories whose segment no longer has
+    * live documents — the Spark analog of the reference's hourly
+    * count-then-delete sweep (ElasticIndex.java:839-856). `docs` should be
+    * the current read of the table at `tablePath` (post doc-TTL filter). */
+  def purgeEmptySegments(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                         segmentCol: String, docs: DataFrame): Seq[String] = {
+    val live = liveSegments(docs, segmentCol)
+      .select(col(segmentCol).cast("string"))
+      .collect().map(_.getString(0)).toSet
+    dropSegmentDirs(spark, tablePath, segmentCol, live.contains)
+  }
 
   /** M4: doc-level TTL enforcement — keep docs whose `_cassandraTtl` is still
     * in the future; `ttl-shift` widens the comparison
@@ -71,7 +83,9 @@ object Maintain {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(segmentCol + "="))
       .map(st => st.getPath)
       .filterNot(p => keep(unescape(p.getName.stripPrefix(segmentCol + "="))))
-      .map { p => fs.delete(p, true); unescape(p.getName.stripPrefix(segmentCol + "=")) }
+      // only report segments whose delete actually succeeded
+      .filter(p => fs.delete(p, true))
+      .map(p => unescape(p.getName.stripPrefix(segmentCol + "=")))
   }
 
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +

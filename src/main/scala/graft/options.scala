@@ -64,15 +64,21 @@ object OptionReader {
   /** Build a typed [[IndexConfig]] from resolved options, with the
     * reference's defaults (IndexConfig.java:61-144) for anything unset. */
   def toConfig(opts: Map[String, String]): IndexConfig = {
-    def bool(k: String, dflt: Boolean) = opts.get(k).map(_.toBoolean).getOrElse(dflt)
+    // malformed values fall back to the default instead of throwing, like
+    // the reference's OptionReader.getInteger/getBoolean
+    // (OptionReader.java:117-126)
+    def bool(k: String, dflt: Boolean) =
+      opts.get(k).map(java.lang.Boolean.parseBoolean).getOrElse(dflt)
+    def num[T](k: String, dflt: T)(parse: String => T): T =
+      opts.get(k).flatMap(v => scala.util.Try(parse(v)).toOption).getOrElse(dflt)
     def csv(k: String) = opts.get(k).toSet.flatMap((s: String) =>
       s.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     IndexConfig(
-      maxResults = opts.get("max-results").map(_.toInt).getOrElse(10000),
+      maxResults = num("max-results", 10000)(_.toInt),
       discardNulls = bool("discard-nulls", dflt = true),
       insertOnly = bool("insert-only", dflt = false),
       analyticMode = bool("analytic-mode", dflt = false),
-      ttlShiftSec = opts.get("ttl-shift").map(_.toLong).getOrElse(0L),
+      ttlShiftSec = num("ttl-shift", 0L)(_.toLong),
       segment = opts.getOrElse("segment", "OFF").toUpperCase match {
         case "HOUR" => SegmentGranularity.Hour
         case "DAY" => SegmentGranularity.Day

@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
   * (reference: QueryMetaData.java:28-75; tests QueryMetaDataTest.java:26-57).
   */
 final case class QueryMeta(query: String, loadRows: Boolean = true,
-                           loadSource: Boolean = true,
+                           loadSource: Boolean = false, // reference default: false
                            options: Map[String, String] = Map.empty)
 
 object QueryMeta {
@@ -33,7 +33,8 @@ object QueryMeta {
           }.toMap
         QueryMeta(raw.substring(close + 1),
           loadRows = !opts.get("load-rows").contains("false"),
-          loadSource = !opts.get("load-source").contains("false"),
+          // absent → false, matching the reference (QueryMetaData.java:64-75)
+          loadSource = opts.get("load-source").contains("true"),
           options = opts)
       }
     }
@@ -245,11 +246,19 @@ object QueryCompiler {
         case "match_all" => lit(true)
         case "term" | "match" | "prefix" | "wildcard" =>
           val (f, v) = singleField(body)
+          // only the short scalar form is supported; an object body (the ES
+          // long form {"match":{"f":{"query":...}}}) would asText to "" and
+          // compile to a match-everything \b\b regex — reject it instead
+          def text: String = {
+            require(v.isTextual && v.asText.nonEmpty,
+              s"$op expects a non-empty string value, got: $v")
+            v.asText
+          }
           val c = op match {
             case "term"     => col(f) === lit(scalarOf(v)) // exact value
-            case "match"    => termMatch(f, v.asText)       // analyzed token match
-            case "prefix"   => termMatch(f, v.asText + "*")
-            case "wildcard" => termMatch(f, v.asText)       // value carries '*'
+            case "match"    => termMatch(f, text)           // analyzed token match
+            case "prefix"   => termMatch(f, text + "*")
+            case "wildcard" => termMatch(f, text)           // value carries '*'
           }
           if (scoring) leaves += c
           c
@@ -282,9 +291,7 @@ object QueryCompiler {
           val must = clauseList(body, "must").map(node(_, leaves, scoring))
           val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false))
           val mustNot = clauseList(body, "must_not").map(node(_, leaves, scoring = false))
-          val shouldLeaves = scala.collection.mutable.ArrayBuffer[Column]()
-          val should = clauseList(body, "should")
-            .map(node(_, if (scoring) leaves else shouldLeaves, scoring))
+          val should = clauseList(body, "should").map(node(_, leaves, scoring))
           // ES must_not matches when the clause is false OR the field is
           // absent — null-safe negation (see Lucene Not above)
           val req = must ++ filter ++ mustNot.map(c => !coalesce(c, lit(false)))

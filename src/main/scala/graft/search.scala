@@ -65,15 +65,36 @@ object Search {
     base.join(broadcast(hitKeys), pkCols, "inner")
   }
 
-  /** R10: metadata enrichment — attach global search stats (total hit count,
-    * max score) to every result row, the analog of ES `hits.total`/`max_score`
-    * injected into the dummy column (reference: ElasticIndex.java:719-721;
-    * StreamingPartitionIterator.java:146-174). Uses an unpartitioned window
-    * over the already-capped hit list (≤ max-results rows), not the raw data. */
+  /** Stats over a hit list: hit_count / max_score columns on every row.
+    * NOTE: applied to an already-capped list this reports the RETURNED
+    * count; for the ES `hits.total` analog (count of ALL matches, before
+    * the max-results cap) use [[searchWithTotal]]. */
   def withMeta(hits: DataFrame): DataFrame = {
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     hits.withColumn("hit_count", count(lit(1)).over(w))
         .withColumn("max_score", max(col("_score")).over(w))
+  }
+
+  /** R10: search with true global metadata — `hit_count` is the total match
+    * count BEFORE the top-k cap (ES reports hits.total over all matches even
+    * when returning max-results docs: ElasticIndex.java:719-721;
+    * README.md:749 shows total 18,188 with 10,000 returned). One
+    * unpartitioned window over the matches — the same single pass ES itself
+    * pays to count them. */
+  def searchWithTotal(docs: DataFrame, query: String, cfg: IndexConfig,
+                      pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    val meta = QueryMeta.parse(query)
+    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults)
+    val limit = compiled.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hits = docs.where(compiled.predicate)
+      .withColumn("_score", compiled.score)
+      .withColumn("hit_count", count(lit(1)).over(w))
+      .withColumn("max_score", max(col("_score")).over(w))
+      .orderBy(desc("_score"), col(pkCols.head))
+      .limit(limit)
+    if (meta.loadRows) hits
+    else hits.select((pkCols.map(col) ++ Seq(col("_score"), col("hit_count"), col("max_score"))): _*)
   }
 
   /** R4 upgrade: BM25 relevance over whole-word term matches.
@@ -92,14 +113,17 @@ object Search {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val toks = split(trim(col(textCol)), "\\s+")
+    // null text → empty doc (dl spuriously 1, but tf=0 so score=0): without
+    // the coalesce, size(NULL) poisons avgdl for the entire corpus
+    val safeText = coalesce(col(textCol), lit(""))
+    val toks = split(trim(safeText), "\\s+")
     val base = docs.withColumn("_dl", size(toks).cast("double"))
       .withColumn("_N", count(lit(1)).over(w).cast("double"))
       .withColumn("_avgdl", avg(col("_dl")).over(w))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       val rx = "\\b" + java.util.regex.Pattern.quote(t.toLowerCase) + "\\b"
       df.withColumn(s"_tf$i",
-          size(regexp_extract_all(lower(col(textCol)), lit(rx), lit(0))).cast("double"))
+          size(regexp_extract_all(lower(safeText), lit(rx), lit(0))).cast("double"))
         .withColumn(s"_df$i",
           sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).over(w))
     }

@@ -32,6 +32,19 @@ class MaintainSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("purgeEmptySegments drops only directories with no live docs (M3)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_purge").toString
+    Seq(("2024-01", 1), ("2024-02", 2)).toDF("segment", "v")
+      .write.mode("overwrite").partitionBy("segment").parquet(path)
+    // simulate a segment whose docs all expired: empty partition dir
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(path, "segment=2099-01"))
+    val docs = spark.read.parquet(path)
+    val dropped = Maintain.purgeEmptySegments(spark, path, "segment", docs)
+    assert(dropped == Seq("2099-01"))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("dropSegmentDirs on a missing path is a no-op") {
     assert(Maintain.dropSegmentDirs(spark, "/tmp/graft_does_not_exist_xyz",
       "segment", _ => true).isEmpty)

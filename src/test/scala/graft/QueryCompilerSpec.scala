@@ -25,7 +25,16 @@ class QueryCompilerSpec extends AnyFunSuite {
   test("no prefix passes through unchanged") {
     val m = QueryMeta.parse("body:cassan*")
     assert(m.query == "body:cassan*")
-    assert(m.loadRows && m.loadSource)
+    assert(m.loadRows)
+    assert(!m.loadSource) // reference default: load-source=false when absent
+    assert(QueryMeta.parse("#options:load-source=true#x:y").loadSource)
+  }
+
+  test("DSL long-form / empty match bodies are rejected, not match-everything") {
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"query":"spark"}}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"match":{"text":""}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"prefix":{"text":42}}}""").isLeft)
   }
 
   // --- Lucene-lite grammar ---

@@ -85,6 +85,13 @@ class SearchSpec extends AnyFunSuite {
     assert(meta.getInt(1) == 2)
   }
 
+  test("searchWithTotal reports the pre-cap total (ES hits.total)") {
+    val out = Search.searchWithTotal(docs, "text:spark OR text:batch",
+      IndexConfig(maxResults = 2))
+    assert(out.count() == 2) // capped rows
+    assert(out.select("hit_count").distinct().head.getLong(0) == 3L) // true total
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

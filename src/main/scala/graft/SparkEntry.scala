@@ -199,7 +199,11 @@ object SparkEntry {
         .withColumn("segment", date_format(col("o_orderdate"), "yyyy-MM"))
       val path = java.nio.file.Files
         .createTempDirectory("graft_index_create").toString
-      o.write.mode("overwrite").partitionBy("segment").parquet(path)
+      // cluster by segment before the partitioned write: without it every
+      // task writes a file into every partition dir (tasks × segments small
+      // files — the classic 100 TB write anti-pattern)
+      o.repartition(col("segment"))
+        .write.mode("overwrite").partitionBy("segment").parquet(path)
       s.read.parquet(path)
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
         .orderBy(col("segment"))
@@ -226,6 +230,35 @@ object SparkEntry {
         .select(DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")).as("doc_id"),
           col("l_returnflag"), col("l_linestatus"))
       Indexer.toBulkNdjson(docs, "lineitem_index@")
+        .orderBy(col("doc_id"))
+    }),
+    "q_analytic_mode" -> ((s, dir) => {
+      // M6: analytic mode suppresses deletes — docs outlive their source
+      // rows (reference: EsSecondaryIndex.java:413; README.md:465-469)
+      val docs = tbl(s, dir, "lineitem")
+        .withColumn("doc_id", DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")))
+      val deletes = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Indexer.delete(docs, deletes, Seq("l_orderkey"),
+          IndexConfig(analyticMode = true))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    "q_search_dsl_exists" -> ((s, dir) => {
+      // R3: exists operator over a nullable field
+      val ev = tbl(s, dir, "events").withColumn("big_val",
+        when(col("value") > 150, col("value")))
+      Search.search(ev, """{"query":{"exists":{"field":"big_val"}},"size":1000000}""",
+          IndexConfig(maxResults = 1000000), Seq("event_id"))
+        .select(col("event_id"), col("big_val"), col("_score"))
+        .orderBy(col("event_id"))
+    }),
+    "q_types_decimal" -> ((s, dir) => {
+      // §1.3: decimal / varint handling — exact decimal arithmetic in docs
+      tbl(s, dir, "lineitem")
+        .select(DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")).as("doc_id"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_dec"))
         .orderBy(col("doc_id"))
     }),
     "q_empty_update_skip" -> ((s, dir) => {
@@ -599,6 +632,20 @@ object SparkEntry {
              || '{"doc":{"l_returnflag":"' || l_returnflag
              || '","l_linestatus":"' || l_linestatus
              || '"},"doc_as_upsert":true}' AS bulk
+         FROM lineitem ORDER BY doc_id""",
+    "q_analytic_mode" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id
+         FROM lineitem ORDER BY doc_id""",
+    "q_search_dsl_exists" ->
+      """SELECT event_id,
+           CASE WHEN value > 150 THEN value END AS big_val, 1 AS _score
+         FROM events WHERE value > 150
+         ORDER BY event_id""",
+    "q_types_decimal" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
+           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+                AS DECIMAL(18,2)) AS total_dec
          FROM lineitem ORDER BY doc_id""",
     "q_empty_update_skip" ->
       """SELECT event_id,

@@ -307,6 +307,11 @@ object SparkEntry {
     }),
 
     // ---- maintenance plane (M2-M7) ----
+    "q_maintain_truncate" -> ((s, dir) => {
+      // M7: truncate preserves schema, empties the doc set
+      Maintain.truncate(tbl(s, dir, "lineitem").select(col("l_orderkey")))
+        .orderBy(col("l_orderkey"))
+    }),
     "q_segment_roll" -> ((s, dir) => {
       // M2: segments are partition values of date_trunc(granularity)
       val o = tbl(s, dir, "orders")
@@ -665,6 +670,8 @@ object SparkEntry {
     "q_types_blob" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS VARCHAR) || ' bytes' AS blob_repr
          FROM documents ORDER BY doc_id""",
+    "q_maintain_truncate" ->
+      """SELECT l_orderkey FROM lineitem WHERE 1 = 0 ORDER BY l_orderkey""",
     "q_segment_roll" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS segment,
            count(*) AS doc_count, round(sum(o_totalprice), 2) AS total_price

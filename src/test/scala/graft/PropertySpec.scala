@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests from the SURVEY §5 plan: doc-id round-trip inverse,
+  * TTL-filter idempotence, ISO format stability. */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  test("property: docId ∘ split is the identity for separator-free keys") {
+    val keyGen = for {
+      pk <- Gen.choose(0L, Long.MaxValue)
+      ck <- Gen.choose(0, Int.MaxValue)
+    } yield (pk, ck)
+    val samples = Iterator.continually(keyGen.sample).flatten.take(200).toSeq
+    val df = samples.toDF("pk", "ck")
+      .select(col("pk"), col("ck"), DocModel.docId(Seq("pk"), Seq("ck")).as("doc_id"))
+      .select(col("pk"), col("ck"),
+        split(col("doc_id"), "-").getItem(0).cast("long").as("rpk"),
+        split(col("doc_id"), "-").getItem(1).cast("int").as("rck"))
+    assert(df.where(col("pk") =!= col("rpk") || col("ck") =!= col("rck")).count() == 0)
+  }
+
+  test("property: TTL filter is idempotent") {
+    val rows = Iterator.continually(Gen.choose(0L, 4000000000L).sample)
+      .flatten.take(300).zipWithIndex.map { case (ttl, i) => (i.toLong, ttl) }.toSeq
+    val docs = rows.toDF("doc_id", "_cassandraTtl")
+    val cfg = IndexConfig(ttlShiftSec = 60)
+    val once = Maintain.ttlFilter(docs, 2000000000L, cfg)
+    val twice = Maintain.ttlFilter(once, 2000000000L, cfg)
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).count() == 0)
+  }
+
+  test("property: ISO-8601 format round-trips through parsing") {
+    val tsGen = Gen.choose(0L, 4102444800000L) // 1970..2100 in millis
+    val samples = Iterator.continually(tsGen.sample).flatten.take(200)
+      .map(ms => new java.sql.Timestamp(ms)).toSeq
+    val df = samples.toDF("ts")
+      .select(col("ts"), date_format(col("ts"), DocModel.IsoFormat).as("iso"))
+      .select(col("ts"),
+        to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("back"))
+    assert(df.where(col("ts") =!= col("back")).count() == 0)
+  }
+}

@@ -180,7 +180,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_upsert_insert_only" -> ((s, dir) => {
-      // S4: insert-only mode — existing docs never replaced, new keys added
+      // S4: insert-only = the ES `index` action — create-or-REPLACE, the
+      // new document wins wholesale (reference: ElasticIndex.java:595-601)
       val ev = tbl(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
       val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
@@ -189,6 +190,22 @@ object SparkEntry {
       val batch = ev.where(col("ts") >= cutoff)
       Indexer.upsert(existing, batch, "user_id", Seq("ts", "event_id"),
           IndexConfig(insertOnly = true))
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+    "q_upsert_merge" -> ((s, dir) => {
+      // S3 default path: ES `_update`+doc_as_upsert field merge — a null
+      // (absent, discard-nulls) field in the update keeps its existing
+      // value; set fields overwrite (reference: ElasticIndex.java:130, 603-614)
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"), col("ts"))
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val existing = Indexer.latestPerKey(ev.where(col("ts") < cutoff),
+        "user_id", Seq("ts", "event_id"))
+      // partial update doc: `value` only present when > 100
+      val batch = ev.where(col("ts") >= cutoff)
+        .withColumn("value", when(col("value") > 100, col("value")))
+      Indexer.upsert(existing, batch, "user_id", Seq("ts", "event_id"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
         .orderBy(col("user_id"))
     }),
@@ -253,12 +270,17 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
     "q_types_decimal" -> ((s, dir) => {
-      // §1.3: decimal / varint handling — exact decimal arithmetic in docs
+      // §1.3: decimal / varint handling — exact decimal arithmetic inside
+      // the doc pipeline, serialized as strings on the wire exactly like the
+      // reference (CStarUtils.java:234-236: every cell value → String).
+      // String output also sidesteps decimal-normalization skew between
+      // compare harnesses (the round-1 hash miss).
       tbl(s, dir, "lineitem")
         .select(DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")).as("doc_id"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+          col("l_extendedprice").cast("decimal(18,2)").cast("string").as("price_dec"),
           (col("l_extendedprice").cast("decimal(18,2)") *
-            col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("total_dec"))
+            col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
+            .cast("string").as("total_dec"))
         .orderBy(col("doc_id"))
     }),
     "q_empty_update_skip" -> ((s, dir) => {
@@ -601,10 +623,27 @@ object SparkEntry {
              SELECT user_id, event_id, event_type, value,
                row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
              FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
-         SELECT COALESCE(a.user_id, b.user_id) AS user_id,
-           COALESCE(a.event_id, b.event_id) AS event_id,
-           COALESCE(a.event_type, b.event_type) AS event_type,
-           COALESCE(a.value, b.value) AS value
+         SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+           CASE WHEN b.user_id IS NULL THEN a.event_id ELSE b.event_id END AS event_id,
+           CASE WHEN b.user_id IS NULL THEN a.event_type ELSE b.event_type END AS event_type,
+           CASE WHEN b.user_id IS NULL THEN a.value ELSE b.value END AS value
+         FROM a FULL JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    "q_upsert_merge" ->
+      """WITH a AS (
+           SELECT * FROM (
+             SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts < TIMESTAMP '2024-01-15') WHERE rn = 1),
+         b AS (
+           SELECT * FROM (
+             SELECT user_id, event_id, event_type,
+               CASE WHEN value > 100 THEN value END AS value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts >= TIMESTAMP '2024-01-15') WHERE rn = 1)
+         SELECT COALESCE(b.user_id, a.user_id) AS user_id,
+           COALESCE(b.event_id, a.event_id) AS event_id,
+           COALESCE(b.event_type, a.event_type) AS event_type,
+           COALESCE(b.value, a.value) AS value
          FROM a FULL JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
     "q_index_create" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS segment, count(*) AS doc_count
@@ -648,9 +687,9 @@ object SparkEntry {
          ORDER BY event_id""",
     "q_types_decimal" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
-           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
-                AS DECIMAL(18,2)) AS total_dec
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))
+                AS DECIMAL(18,2)) AS VARCHAR) AS total_dec
          FROM lineitem ORDER BY doc_id""",
     "q_empty_update_skip" ->
       """SELECT event_id,

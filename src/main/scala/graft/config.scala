@@ -31,7 +31,9 @@ final case class IndexConfig(
   /** Drop null fields from docs instead of writing JSON null
     * (reference: IndexConfig.java:73-74; EsSecondaryIndex.java:201). */
   discardNulls: Boolean = true,
-  /** Always-overwrite writes instead of upsert (reference: IndexConfig.java:76-77). */
+  /** Create-or-replace writes (the ES `index` action: the new document wins
+    * wholesale) instead of field-merging upsert
+    * (reference: IndexConfig.java:76-77; ElasticIndex.java:595-601). */
   insertOnly: Boolean = false,
   /** Suppress all deletes so docs outlive source-row TTL for analytics
     * (reference: IndexConfig.java:107-108; EsSecondaryIndex.java:413). */

@@ -50,19 +50,33 @@ object Indexer {
       .where(col("_rn") === 1).drop("_rn")
   }
 
-  /** S3 merge: apply an update batch onto the existing doc store —
-    * last-write-wins within the batch, batch beats existing (upsert).
-    * With `cfg.insertOnly` (S4) existing docs are not replaced
-    * (reference: ElasticIndex.java:595-601; IndexConfig.java:76-77). */
+  /** S3/S4 merge: apply an update batch onto the existing doc store —
+    * last-write-wins within the batch, then per ES action semantics:
+    *
+    *  - default (`_update` + `doc_as_upsert`, reference:
+    *    ElasticIndex.java:130, 603-614): **field-level merge** — a field
+    *    absent from the update doc keeps its existing value. With
+    *    `discardNulls=true` (the reference default) a null cell never
+    *    reaches the doc, so null in the batch means "absent" →
+    *    `coalesce(batch, existing)`. With `discardNulls=false` nulls are
+    *    written explicitly and overwrite — whole-row replacement.
+    *  - `insertOnly` (S4, the `index` action, ElasticIndex.java:595-601):
+    *    **create-or-replace** — the new document wins wholesale; no merge.
+    */
   def upsert(existing: DataFrame, updates: DataFrame, keyCol: String,
              versionCols: Seq[String], cfg: IndexConfig = IndexConfig()): DataFrame = {
     val batch = latestPerKey(updates, keyCol, versionCols)
-    if (cfg.insertOnly)
-      existing.unionByName(
-        batch.join(existing.select(keyCol), Seq(keyCol), "left_anti"))
-    else
+    if (cfg.insertOnly || !cfg.discardNulls)
       existing.join(batch.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(batch)
+    else {
+      // field-merge: one shuffle each side on keyCol, full-outer, per-field
+      // coalesce. Column set comes from `existing` (the doc store schema).
+      val dataCols = existing.columns.filterNot(_ == keyCol).toSeq
+      existing.alias("e").join(batch.alias("b"), Seq(keyCol), "full_outer")
+        .select(col(keyCol) +:
+          dataCols.map(c => coalesce(col(s"b.$c"), col(s"e.$c")).as(c)): _*)
+    }
   }
 
   /** S3 wire format: render each doc row as an Elasticsearch bulk-API

@@ -16,11 +16,14 @@ object Skew {
 
   /** Salted equi-join of a skewed large side against a small side.
     *
-    * The salt is deterministic (hash of the whole large-side row, mod
-    * `saltFactor`) so results are reproducible; the small side is
-    * replicated `saltFactor`× via an array explode — acceptable because
-    * the small side is small by contract. One shuffle on (key, salt)
-    * whose partitions are bounded by the largest key's share / saltFactor.
+    * The salt comes from `monotonically_increasing_id()` — partition-layout
+    * dependent, NOT stable across retries or repartitioning. Join *output*
+    * is unaffected (the small side is replicated across every salt value,
+    * so each large-side row meets its match whatever salt it drew); only
+    * the internal row→salt assignment varies. The small side is replicated
+    * `saltFactor`× via an array explode — acceptable because the small side
+    * is small by contract. One shuffle on (key, salt) whose partitions are
+    * bounded by the largest key's share / saltFactor.
     */
   def saltedJoin(large: DataFrame, small: DataFrame, keyCols: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {

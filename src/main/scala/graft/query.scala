@@ -31,10 +31,13 @@ object QueryMeta {
             val i = kv.indexOf('=')
             if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
           }.toMap
+        // Boolean.valueOf semantics, case-insensitive: present and not
+        // "true" (any case) → false (reference: QueryMetaData.java:64-75;
+        // `load-rows=FALSE` must disable row loading)
         QueryMeta(raw.substring(close + 1),
-          loadRows = !opts.get("load-rows").contains("false"),
-          // absent → false, matching the reference (QueryMetaData.java:64-75)
-          loadSource = opts.get("load-source").contains("true"),
+          loadRows = opts.get("load-rows").forall(_.equalsIgnoreCase("true")),
+          // absent → false, matching the reference
+          loadSource = opts.get("load-source").exists(_.equalsIgnoreCase("true")),
           options = opts)
       }
     }
@@ -294,13 +297,15 @@ object QueryCompiler {
           val should = clauseList(body, "should").map(node(_, leaves, scoring))
           // ES must_not matches when the clause is false OR the field is
           // absent — null-safe negation (see Lucene Not above)
-          val req = must ++ filter ++ mustNot.map(c => !coalesce(c, lit(false)))
+          val positive = must ++ filter
+          val req = positive ++ mustNot.map(c => !coalesce(c, lit(false)))
           val base = if (req.nonEmpty) req.reduce(_ && _) else lit(true)
-          // ES semantics: `should` is optional when must/filter present,
-          // required (>=1) when the bool has only should clauses.
-          if (should.isEmpty) base
-          else if (req.nonEmpty) base
-          else should.reduce(_ || _)
+          // ES minimum_should_match: `should` is optional when must/filter
+          // present (scoring only), required (>=1) otherwise — must_not does
+          // NOT count as a positive clause, so should+must_not alone still
+          // requires at least one should match.
+          if (should.isEmpty || positive.nonEmpty) base
+          else base && should.reduce(_ || _)
         case other => throw new IllegalArgumentException(s"unsupported operator '$other'")
       }
     }

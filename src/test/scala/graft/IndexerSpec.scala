@@ -47,16 +47,33 @@ class IndexerSpec extends AnyFunSuite {
       Seq(("k1", "new"), ("k2", "only")))
   }
 
-  test("upsert: batch beats existing; insert-only keeps existing") {
+  test("upsert: batch beats existing; insert-only is create-or-replace") {
     val existing = Seq(("k1", 0L, "orig"), ("k3", 0L, "keep")).toDF("doc_id", "ver", "v")
     val batch = Seq(("k1", 5L, "upd"), ("k2", 5L, "ins")).toDF("doc_id", "ver", "v")
     val upserted = Indexer.upsert(existing, batch, "doc_id", Seq("ver"))
       .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(2))).toSeq
     assert(upserted == Seq(("k1", "upd"), ("k2", "ins"), ("k3", "keep")))
+    // the ES `index` action creates-or-REPLACES (ElasticIndex.java:595-601):
+    // the new write wins, same as the default path for full documents
     val insertOnly = Indexer.upsert(existing, batch, "doc_id", Seq("ver"),
         IndexConfig(insertOnly = true))
       .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(2))).toSeq
-    assert(insertOnly == Seq(("k1", "orig"), ("k2", "ins"), ("k3", "keep")))
+    assert(insertOnly == Seq(("k1", "upd"), ("k2", "ins"), ("k3", "keep")))
+  }
+
+  test("upsert default path field-merges: null update fields keep existing values") {
+    // ES `_update`+doc_as_upsert merge: with discard-nulls, a null field in
+    // the update doc is "absent" — the existing value survives
+    val existing = Seq(("k1", 0L, "origV", "origW")).toDF("doc_id", "ver", "v", "w")
+    val batch = Seq(("k1", 5L, null.asInstanceOf[String], "newW")).toDF("doc_id", "ver", "v", "w")
+    val merged = Indexer.upsert(existing, batch, "doc_id", Seq("ver")).collect()
+    assert(merged.map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("k1", "origV", "newW")))
+    // discardNulls=false: nulls are explicit — whole-document replacement
+    val replaced = Indexer.upsert(existing, batch, "doc_id", Seq("ver"),
+      IndexConfig(discardNulls = false)).collect()
+    assert(replaced.map(r => (r.getString(0), r.getString(2), r.getString(3))).toSeq ==
+      Seq(("k1", null, "newW")))
   }
 
   test("delete removes by key; analytic mode suppresses deletes") {

@@ -22,6 +22,17 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(m.options("number") == "42")
   }
 
+  test("option values use Boolean.valueOf semantics, case-insensitive") {
+    // reference parses with Boolean.valueOf: any case of "false" — or any
+    // non-"true" value — disables (QueryMetaData.java:64-75)
+    assert(!QueryMeta.parse("#options:load-rows=FALSE#x:y").loadRows)
+    assert(!QueryMeta.parse("#options:load-rows=False#x:y").loadRows)
+    assert(!QueryMeta.parse("#options:load-rows=nope#x:y").loadRows)
+    assert(QueryMeta.parse("#options:load-rows=TRUE#x:y").loadRows)
+    assert(QueryMeta.parse("#options:load-source=TRUE#x:y").loadSource)
+    assert(!QueryMeta.parse("#options:load-source=FALSE#x:y").loadSource)
+  }
+
   test("no prefix passes through unchanged") {
     val m = QueryMeta.parse("body:cassan*")
     assert(m.query == "body:cassan*")

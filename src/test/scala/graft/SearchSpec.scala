@@ -78,6 +78,22 @@ class SearchSpec extends AnyFunSuite {
     assert(dsl.toSeq == Seq("2", "3"))
   }
 
+  test("bool with only should + must_not still requires one should match") {
+    // ES applies minimum_should_match=1 whenever should clauses exist and
+    // no must/filter — must_not does not count as a positive clause
+    val out = Search.search(docs,
+      """{"query":{"bool":{"should":[{"term":{"lang":"en"}}],
+         "must_not":[{"term":{"doc_id":"2"}}]}}}""", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("1")) // en docs minus doc 2; de docs must NOT match
+    // with a must clause present, should becomes optional (scoring only)
+    val opt = Search.search(docs,
+      """{"query":{"bool":{"must":[{"term":{"lang":"de"}}],
+         "should":[{"term":{"doc_id":"3"}}]}}}""", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(opt.toSeq == Seq("3", "4"))
+  }
+
   test("metadata enrichment attaches global hit stats to every row") {
     val hits = Search.search(docs, "text:spark OR text:batch", IndexConfig())
     val meta = Search.withMeta(hits).select("hit_count", "max_score").distinct().head

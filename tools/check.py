@@ -50,10 +50,12 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok = fail = 0
     results = {}
+    seen_dirs = set()
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
             continue
+        seen_dirs.add(name)
         files = [f for f in os.listdir(path) if f.endswith(".parquet")]
         tbl = pq.read_table(os.path.join(path, files[0]))
         got_cols = tbl.column_names
@@ -97,6 +99,12 @@ def main(sf_dir, out_dir):
             ok += 1
             results[name] = "OK"
             print(f"✓ {name} ({len(got_rows)} rows)")
+    # a query that threw inside graft.Verify writes no result directory —
+    # count every oracle key with no directory as a failure, not a skip
+    for name in sorted(set(oracle) - seen_dirs):
+        fail += 1
+        results[name] = "MISSING result dir (query failed in Verify?)"
+        print(f"✗ {name}: missing result dir (query failed in Verify?)")
     print(f"\n{ok} ok, {fail} fail, "
           f"{len([r for r in results.values() if r.startswith('ROWS_ONLY')])} rows-only")
     return 1 if fail else 0

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.functions.json_flatten
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Sessionize, Similarity, TextStats}
 
 /** Driver contract — one named query per implemented operator (SURVEY.md §2),
   * each with a DuckDB oracle in [[SparkEntry.oracleSql]] where the semantics
@@ -249,6 +249,21 @@ object SparkEntry {
       Indexer.toBulkNdjson(docs, "lineitem_index@")
         .orderBy(col("doc_id"))
     }),
+    "q_bulk_roundtrip" -> ((s, dir) => {
+      // S3 sink → S-source inverse: render docs to ES bulk NDJSON, parse
+      // them back — doc ids and fields must round-trip exactly
+      val docs = tbl(s, dir, "lineitem")
+        .select(DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")).as("doc_id"),
+          col("l_returnflag"), col("l_linestatus"))
+      val bulk = Indexer.toBulkNdjson(docs, "lineitem_index@").select("bulk")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("l_linestatus",
+          org.apache.spark.sql.types.StringType)))
+      Indexer.fromBulkNdjson(bulk, schema)
+        .orderBy(col("doc_id"))
+    }),
     "q_analytic_mode" -> ((s, dir) => {
       // M6: analytic mode suppresses deletes — docs outlive their source
       // rows (reference: EsSecondaryIndex.java:413; README.md:465-469)
@@ -268,6 +283,27 @@ object SparkEntry {
           IndexConfig(maxResults = 1000000), Seq("event_id"))
         .select(col("event_id"), col("big_val"), col("_score"))
         .orderBy(col("event_id"))
+    }),
+    "q_search_dsl_terms" -> ((s, dir) => {
+      // R3: `terms` — exact-value disjunction (ES terms query)
+      val q = """{"query":{"terms":{"event_type":["click","purchase"]}},"size":1000000}"""
+      Search.search(tbl(s, dir, "events"), q, IndexConfig(maxResults = 1000000), Seq("event_id"))
+        .select(col("event_id"), col("event_type"), col("_score"))
+        .orderBy(col("event_id"))
+    }),
+    "q_search_dsl_msm" -> ((s, dir) => {
+      // R3: bool.minimum_should_match — at least 2 of 3 should clauses
+      val q = """{"query":{"bool":{
+                   "should":[{"term":{"l_returnflag":"R"}},
+                             {"term":{"l_linestatus":"F"}},
+                             {"range":{"l_quantity":{"gte":30}}}],
+                   "minimum_should_match":2}},"size":1000000}"""
+      val docs = tbl(s, dir, "lineitem")
+        .withColumn("doc_id", DocModel.docId(Seq("l_orderkey"), Seq("l_linenumber")))
+      Search.search(docs, q, IndexConfig(maxResults = 1000000), Seq("doc_id"))
+        .select(col("doc_id"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("_score"))
+        .orderBy(col("doc_id"))
     }),
     "q_types_decimal" -> ((s, dir) => {
       // §1.3: decimal / varint handling — exact decimal arithmetic inside
@@ -406,6 +442,14 @@ object SparkEntry {
           threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_cosine_exact" -> ((s, dir) => {
+      // exact all-pairs cosine verifier on a bounded slice — oracle-checked
+      // (double math on both sides; DuckDB list_cosine_similarity)
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 150)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.cosinePairsExact(emb, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // ---- north star: similarity search ----
     "q_similarity_topk" -> ((s, dir) => {
@@ -461,6 +505,11 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_entropy" -> ((s, dir) => {
+      // token-frequency Shannon entropy — boilerplate/repetition signal
+      TextStats.tokenEntropy(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- north star: multimodal plumbing ----
     "q_multimodal_meta" -> ((s, dir) => {
@@ -482,6 +531,13 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .orderBy(col("hour_start"), col("event_type"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30 min) — the batch twin of the
+      // mapGroupsWithState streaming operator (Sessionize.assignStream)
+      Sessionize.summarize(tbl(s, dir, "events"), "user_id", "ts",
+          gapSec = 1800, orderCols = Seq("event_id"))
+        .orderBy(col("user_id"), col("session_seq"))
     })
   )
 
@@ -815,7 +871,58 @@ object SparkEntry {
     "q_stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n, round(sum(value), 2) AS total
-         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_search_dsl_terms" ->
+      """SELECT event_id, event_type, 1 AS _score
+         FROM events WHERE event_type IN ('click', 'purchase')
+         ORDER BY event_id""",
+    "q_search_dsl_msm" ->
+      """WITH m AS (
+           SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
+             l_returnflag, l_linestatus, l_quantity,
+             (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END +
+              CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END +
+              CASE WHEN l_quantity >= 30 THEN 1 ELSE 0 END) AS _score
+           FROM lineitem)
+         SELECT doc_id, l_returnflag, l_linestatus, l_quantity, _score
+         FROM m WHERE _score >= 2 ORDER BY doc_id""",
+    "q_bulk_roundtrip" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
+           l_returnflag, l_linestatus
+         FROM lineitem ORDER BY doc_id""",
+    "q_text_entropy" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         c AS (
+           SELECT doc_id, w, count(*) AS c FROM toks WHERE length(w) > 0
+           GROUP BY doc_id, w)
+         SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         s AS (
+           SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM e)
+         SELECT user_id, session_seq, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+    "q_dedup_cosine_exact" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 150)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+         ORDER BY id_a, id_b"""
     // rows-only (no ANSI-SQL equivalent): q_dedup_minhash, q_dedup_simhash,
     // q_dedup_embedding, q_similarity_lsh, q_multimodal_decode
   )

@@ -103,6 +103,27 @@ object Indexer {
     docs.select(col("doc_id"), concat(action, lit("\n"), payload).as("bulk"))
   }
 
+  /** S-source inverse of [[toBulkNdjson]]: parse ES bulk-API NDJSON back
+    * into `(doc_id, fields…)` rows — the ingest path for bulk files produced
+    * by this engine or any ES-compatible exporter. Handles both action
+    * shapes: `update` (payload `{"doc":{…},"doc_as_upsert":true}`) and
+    * `index` (payload is the document itself). A narrow projection — JSON
+    * parsing is per-row, no shuffle. */
+  def fromBulkNdjson(bulk: DataFrame,
+                     docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import graft.functions.functions.json_get
+    val action = split(col("bulk"), "\n").getItem(0)
+    val payload = split(col("bulk"), "\n").getItem(1)
+    val actionBody = coalesce(json_get(action, lit("update")),
+      json_get(action, lit("index")))
+    // update payloads wrap the doc in "doc"; index payloads ARE the doc
+    val docJson = coalesce(json_get(payload, lit("doc")), payload)
+    bulk.select(
+      json_get(actionBody, lit("_id")).as("doc_id"),
+      from_json(docJson, docSchema).as("doc"))
+      .select(col("doc_id") +: docSchema.fieldNames.toSeq.map(f => col(s"doc.$f")): _*)
+  }
+
   /** S5: delete — drop docs whose key appears in the delete set; a no-op in
     * analytic mode (M6), where documents deliberately outlive their source
     * rows (reference: ElasticIndex.java:642-649; gate EsSecondaryIndex.java:413;

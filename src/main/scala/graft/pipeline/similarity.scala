@@ -79,6 +79,21 @@ object Similarity {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Exact all-pairs cosine ≥ threshold — the *verifier* behind
+    * [[cosinePairs]]'s LSH candidate generation, run standalone on bounded
+    * slices (quadratic by construction: self-join, id_a < id_b). Broadcast
+    * the right side when the slice fits; at corpus scale use [[cosinePairs]].
+    */
+  def cosinePairsExact(df: DataFrame, threshold: Double,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the fifth dedup strategy —
     * see [[Dedup]]): all pairs with cosine ≥ threshold, candidates from
     * shared LSH buckets, verified exactly. */

@@ -71,4 +71,23 @@ object TextStats {
     * covered by [[Dedup.minhashSignature]]). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Token-frequency Shannon entropy per document (nats):
+    * H = ln(n) − Σ c·ln(c) / n over token counts c — low entropy flags
+    * repetitive/boilerplate text, a standard pre-training quality signal.
+    *
+    * Shape: explode → two map-side-combinable hash aggregates keyed by doc
+    * id; shuffles are bounded by (docs × distinct tokens), never all-pairs.
+    * (A per-row higher-order-function fold would re-evaluate the tokenizer
+    * per element — the interpreted-lambda trap.) */
+  def tokenEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0)).as("w"))
+    words.groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(round(
+        log(sum(col("c"))) -
+          sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
+  }
 }

@@ -51,9 +51,10 @@ object QueryMeta {
   * A Spark engine must own the grammar, so this compiler supports a declared,
   * reproducible subset — Lucene-lite (`field:term`, `field:pre*`,
   * `field:[a TO b]`, `AND`/`OR`/`NOT`, parentheses) and the ES-DSL JSON
-  * operators `term`, `match`, `prefix`, `wildcard`, `range`, `exists`,
-  * `bool{must,should,must_not,filter}`, `query_string`, `match_all` with
-  * top-level `size`.
+  * operators `term`, `terms`, `ids`, `match`, `match_phrase`, `prefix`,
+  * `wildcard`, `range`, `exists`,
+  * `bool{must,should,must_not,filter,minimum_should_match}`,
+  * `query_string`, `match_all` with top-level `size`.
   *
   * Scoring: `_score` = number of positive leaf clauses the row matches —
   * deterministic and oracle-computable, standing in for ES relevance
@@ -247,7 +248,7 @@ object QueryCompiler {
       val body = n.get(op)
       op match {
         case "match_all" => lit(true)
-        case "term" | "match" | "prefix" | "wildcard" =>
+        case "term" | "match" | "match_phrase" | "prefix" | "wildcard" =>
           val (f, v) = singleField(body)
           // only the short scalar form is supported; an object body (the ES
           // long form {"match":{"f":{"query":...}}}) would asText to "" and
@@ -258,11 +259,27 @@ object QueryCompiler {
             v.asText
           }
           val c = op match {
-            case "term"     => col(f) === lit(scalarOf(v)) // exact value
-            case "match"    => termMatch(f, text)           // analyzed token match
-            case "prefix"   => termMatch(f, text + "*")
-            case "wildcard" => termMatch(f, text)           // value carries '*'
+            case "term"         => col(f) === lit(scalarOf(v)) // exact value
+            case "match"        => termMatch(f, text)           // analyzed token match
+            // contiguous-token phrase: quoted-term semantics (termMatch
+            // keeps inner spaces inside the \b…\b anchor)
+            case "match_phrase" => termMatch(f, text)
+            case "prefix"       => termMatch(f, text + "*")
+            case "wildcard"     => termMatch(f, text)           // value carries '*'
           }
+          if (scoring) leaves += c
+          c
+        case "terms" => // {"terms":{"f":["a","b",...]}} — exact-value disjunction
+          val (f, v) = singleField(body)
+          require(v.isArray && v.size > 0, s"terms expects a non-empty array, got: $v")
+          val c = col(f).isin(v.elements.asScala.map(scalarOf).toSeq: _*)
+          if (scoring) leaves += c
+          c
+        case "ids" => // {"ids":{"values":[...]}} — doc-id lookup (ES _id ≡ doc_id)
+          val vs = Option(body.get("values"))
+            .getOrElse(throw new IllegalArgumentException("ids requires 'values'"))
+          require(vs.isArray && vs.size > 0, s"ids expects a non-empty values array")
+          val c = col("doc_id").isin(vs.elements.asScala.map(scalarOf).toSeq: _*)
           if (scoring) leaves += c
           c
         case "exists" => // {"exists":{"field":"x"}}
@@ -300,12 +317,20 @@ object QueryCompiler {
           val positive = must ++ filter
           val req = positive ++ mustNot.map(c => !coalesce(c, lit(false)))
           val base = if (req.nonEmpty) req.reduce(_ && _) else lit(true)
-          // ES minimum_should_match: `should` is optional when must/filter
-          // present (scoring only), required (>=1) otherwise — must_not does
-          // NOT count as a positive clause, so should+must_not alone still
-          // requires at least one should match.
-          if (should.isEmpty || positive.nonEmpty) base
-          else base && should.reduce(_ || _)
+          // ES minimum_should_match: explicit integer wins; default is
+          // 0 when must/filter present (should = scoring only), else 1 —
+          // must_not does NOT count as a positive clause, so
+          // should+must_not alone still requires at least one should match.
+          val msm = Option(body.get("minimum_should_match")).map(_.asInt)
+            .getOrElse(if (positive.nonEmpty) 0 else 1)
+          if (should.isEmpty || msm <= 0) base
+          else if (msm == 1) base && should.reduce(_ || _)
+          else {
+            val matched = should
+              .map(c => when(coalesce(c, lit(false)), 1).otherwise(0))
+              .reduce(_ + _)
+            base && (matched >= msm)
+          }
         case other => throw new IllegalArgumentException(s"unsupported operator '$other'")
       }
     }

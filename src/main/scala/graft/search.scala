@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Read-path search executor (R4-R10).
@@ -68,29 +67,34 @@ object Search {
   /** Stats over a hit list: hit_count / max_score columns on every row.
     * NOTE: applied to an already-capped list this reports the RETURNED
     * count; for the ES `hits.total` analog (count of ALL matches, before
-    * the max-results cap) use [[searchWithTotal]]. */
+    * the max-results cap) use [[searchWithTotal]].
+    *
+    * Shape: partial-aggregate to one stats row, broadcast it back — stays
+    * fully parallel. (An unpartitioned window would move every row to a
+    * single partition: the classic WindowExec scale trap.) */
   def withMeta(hits: DataFrame): DataFrame = {
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    hits.withColumn("hit_count", count(lit(1)).over(w))
-        .withColumn("max_score", max(col("_score")).over(w))
+    val stats = hits.agg(count(lit(1)).as("hit_count"), max(col("_score")).as("max_score"))
+    hits.crossJoin(broadcast(stats))
   }
 
   /** R10: search with true global metadata — `hit_count` is the total match
     * count BEFORE the top-k cap (ES reports hits.total over all matches even
     * when returning max-results docs: ElasticIndex.java:719-721;
-    * README.md:749 shows total 18,188 with 10,000 returned). One
-    * unpartitioned window over the matches — the same single pass ES itself
-    * pays to count them. */
+    * README.md:749 shows total 18,188 with 10,000 returned).
+    *
+    * The match-count aggregate and the top-k both re-scan the filtered doc
+    * set — two parallel pushed-down scans beat one scan funneled through a
+    * single-partition window (the r1 WindowExec warning); the stats row is
+    * broadcast back onto every hit. */
   def searchWithTotal(docs: DataFrame, query: String, cfg: IndexConfig,
                       pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val meta = QueryMeta.parse(query)
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults)
     val limit = compiled.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val hits = docs.where(compiled.predicate)
+    val matches = docs.where(compiled.predicate)
       .withColumn("_score", compiled.score)
-      .withColumn("hit_count", count(lit(1)).over(w))
-      .withColumn("max_score", max(col("_score")).over(w))
+    val stats = matches.agg(count(lit(1)).as("hit_count"), max(col("_score")).as("max_score"))
+    val hits = matches.crossJoin(broadcast(stats))
       .orderBy(desc("_score"), col(pkCols.head))
       .limit(limit)
     if (meta.loadRows) hits
@@ -102,38 +106,39 @@ object Search {
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
     * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) — the standard Okapi form.
     * Term frequencies come from a codegen'd regexp count; corpus statistics
-    * (N, avgdl, df) from unpartitioned windows. At scale those windows are a
-    * single-pass aggregate over the already-filtered corpus — compute them
-    * once per (corpus, query) and broadcast, not per row; Spark's window
-    * does exactly that with one exchange.
+    * (N, avgdl, per-term df) from one partial-aggregated stats row that is
+    * broadcast back onto every document — fully parallel, no
+    * single-partition window (the r1 WindowExec trap). The tf expressions
+    * are evaluated in both passes; at scale two codegen'd scans beat one
+    * serialized partition by orders of magnitude.
     *
     * The reference surfaces ES's opaque `_score` (ElasticIndex.java:679-716);
     * this is the reproducible equivalent. */
   def bm25(docs: DataFrame, textCol: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // null text → empty doc (dl spuriously 1, but tf=0 so score=0): without
     // the coalesce, size(NULL) poisons avgdl for the entire corpus
     val safeText = coalesce(col(textCol), lit(""))
     val toks = split(trim(safeText), "\\s+")
     val base = docs.withColumn("_dl", size(toks).cast("double"))
-      .withColumn("_N", count(lit(1)).over(w).cast("double"))
-      .withColumn("_avgdl", avg(col("_dl")).over(w))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       val rx = "\\b" + java.util.regex.Pattern.quote(t.toLowerCase) + "\\b"
       df.withColumn(s"_tf$i",
-          size(regexp_extract_all(lower(safeText), lit(rx), lit(0))).cast("double"))
-        .withColumn(s"_df$i",
-          sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).over(w))
+        size(regexp_extract_all(lower(safeText), lit(rx), lit(0))).cast("double"))
     }
+    val statAggs = Seq(avg(col("_dl")).as("_avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).as(s"_df$i"))
+    val stats = withTf.agg(count(lit(1)).cast("double").as("_N"), statAggs: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
     val score = terms.indices.map { i =>
       val tf = col(s"_tf$i"); val df_ = col(s"_df$i")
       val idf = log(lit(1.0) + (col("_N") - df_ + 0.5) / (df_ + 0.5))
       idf * tf * (k1 + 1.0) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
     }.reduce(_ + _)
-    withTf.withColumn("_bm25", score)
+    scored.withColumn("_bm25", score)
       .drop((Seq("_dl", "_N", "_avgdl") ++
         terms.indices.flatMap(i => Seq(s"_tf$i", s"_df$i"))): _*)
   }

@@ -115,4 +115,23 @@ class DedupSpec extends AnyFunSuite {
     val fps = df.select(TextStats.fingerprint(col("text"))).collect().map(_.getString(0))
     assert(fps(0) == fps(1))
   }
+
+  test("token entropy: repetition scores lower than diverse text") {
+    val df = Seq((1, "spam spam spam spam"), (2, "four distinct little words"),
+      (3, "")).toDF("id", "text")
+    val e = TextStats.tokenEntropy(df, "text", "id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(e(1) == 0.0)     // single repeated token: H = 0
+    assert(e(2) == 1.3863)  // 4 uniform tokens: ln(4) rounded to 4 places
+    assert(!e.contains(3))  // empty text yields no row
+  }
+
+  test("exact cosine pairs find all pairs over threshold, id_a < id_b") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosinePairsExact(df, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L))) // only the near-parallel pair passes 0.5
+  }
 }

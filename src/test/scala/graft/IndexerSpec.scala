@@ -140,6 +140,20 @@ class IndexerSpec extends AnyFunSuite {
     assert(insert == "{\"index\":{\"_index\":\"idx\",\"_id\":\"42\"}}\n{\"Value\":\"hello\"}")
   }
 
+  test("bulk NDJSON round-trips through fromBulkNdjson (both action shapes)") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Value",
+        org.apache.spark.sql.types.StringType)))
+    val docs = Seq(("42", "hello"), ("7", "with \"quotes\" and\nnewline"))
+      .toDF("doc_id", "Value")
+    for (cfg <- Seq(IndexConfig(), IndexConfig(insertOnly = true))) {
+      val back = Indexer.fromBulkNdjson(
+          Indexer.toBulkNdjson(docs, "idx", cfg).select("bulk"), schema)
+        .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(back.toSeq == Seq(("42", "hello"), ("7", "with \"quotes\" and\nnewline")).sortBy(_._1))
+    }
+  }
+
   test("TTL filter honors shift and analytic mode") {
     val docs = Seq(("a", 100L), ("b", 200L), ("c", 0L)).toDF("doc_id", "_cassandraTtl")
     val kept = Maintain.ttlFilter(docs, nowEpochSec = 120, IndexConfig())

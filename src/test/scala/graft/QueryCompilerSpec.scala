@@ -106,4 +106,20 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"query_string":{"query":"a:x AND b:y"}}}""").isRight)
   }
+
+  test("DSL terms / ids / match_phrase compile; empty lists rejected") {
+    assert(QueryCompiler.validate("""{"query":{"terms":{"f":["a","b"]}}}""").isRight)
+    assert(QueryCompiler.validate("""{"query":{"terms":{"f":[]}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"ids":{"values":["1","2"]}}}""").isRight)
+    assert(QueryCompiler.validate("""{"query":{"ids":{}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"match_phrase":{"text":"exact phrase"}}}""").isRight)
+    assert(QueryCompiler.validate("""{"query":{"match_phrase":{"text":""}}}""").isLeft)
+  }
+
+  test("bool minimum_should_match compiles for integer thresholds") {
+    assert(QueryCompiler.validate(
+      """{"query":{"bool":{"should":[{"term":{"a":"x"}},{"term":{"b":"y"}},
+         {"term":{"c":"z"}}],"minimum_should_match":2}}}""").isRight)
+  }
 }

@@ -87,6 +87,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming sessionization (mapGroupsWithState) matches the batch twin") {
+    import graft.pipeline.Sessionize
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.SessEvent]
+    val q = Sessionize.assignStream(input.toDS(), gapSec = 1800)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_out").start()
+    try {
+      // u1: two events 10 min apart (one session), then 2h gap (new session);
+      // u2: single event. State must survive across micro-batches.
+      input.addData(Sessionize.SessEvent("u1", 1L, 1000.0),
+                    Sessionize.SessEvent("u1", 2L, 1600.0),
+                    Sessionize.SessEvent("u2", 10L, 500.0))
+      q.processAllAvailable()
+      input.addData(Sessionize.SessEvent("u1", 3L, 9000.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT user, eventId, sessionSeq FROM sess_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == Set(("u1", 1L, 1), ("u1", 2L, 1), ("u1", 3L, 2), ("u2", 10L, 1)))
+
+    // batch twin over the same events
+    val batch = Seq(("u1", 1L, 1000.0), ("u1", 2L, 1600.0), ("u2", 10L, 500.0),
+        ("u1", 3L, 9000.0))
+      .toDF("user", "eventId", "tsSec")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+    val assigned = Sessionize.assign(batch, "user", "ts", gapSec = 1800,
+        orderCols = Seq("eventId"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSet
+    assert(assigned == Set(("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L), ("u2", 10L, 1L)))
+  }
+
   test("windowed counts with watermark (batch-equivalent check)") {
     import spark.implicits._
     val events = Seq(

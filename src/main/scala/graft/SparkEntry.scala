@@ -149,6 +149,51 @@ object SparkEntry {
       Maintain.getMapping(tbl(s, dir, "lineitem")).toDF("field", "dtype", "es_type")
         .orderBy(col("field"))
     }),
+    "q_admin_update" -> ((s, dir) => {
+      // S9+M11: #update#{json}# settings hot-reload — options re-resolved
+      // through the 3-layer reader, new effective config reported as rows
+      // (reference: EsSecondaryIndex.java:535-598; OptionReader.java:90-107)
+      import s.implicits._
+      val cmd = AdminCommand.parse(
+        """#update#{"max-results":"500","segment":"CUSTOM","segment-size":"3600000"}#""").get
+      val (_, next) = Admin.execute(s, tbl(s, dir, "region"), cmd, IndexConfig())
+      val segDesc = next.segment match {
+        case SegmentGranularity.Fixed(ms) => s"fixed:$ms"
+        case other => other.toString
+      }
+      Seq(
+        ("analytic-mode", next.analyticMode.toString),
+        ("discard-nulls", next.discardNulls.toString),
+        ("insert-only", next.insertOnly.toString),
+        ("max-results", next.maxResults.toString),
+        ("segment", segDesc))
+        .toDF("key", "value").orderBy(col("key"))
+    }),
+    "q_search_boost" -> ((s, dir) => {
+      // R2/R4: Lucene boost syntax — term^N weights the score contribution
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs, "text:spark^3 OR text:batch", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
+    "q_skew_join" -> ((s, dir) => {
+      // skew mitigation: salted join must equal the plain join, row for row
+      val large = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val small = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      pipeline.Skew.saltedJoin(large, small, Seq("l_orderkey"), saltFactor = 8)
+        .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    }),
+    "q_segment_fixed" -> ((s, dir) => {
+      // M2 CUSTOM mode: fixed-width frames (reference IndexDropManager
+      // now/segmentSize naming) — weekly buckets as epoch seconds
+      val o = tbl(s, dir, "orders")
+      o.withColumn("segment_epoch",
+          Maintain.segmentOf(col("o_orderdate"),
+            SegmentGranularity.Fixed(7L * 86400000L)).cast("long"))
+        .groupBy(col("segment_epoch")).agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("segment_epoch"))
+    }),
 
     // ---- write path: doc projection + indexer (W1-W10, S2-S5) ----
     "q_doc_projection" -> ((s, dir) => {
@@ -872,6 +917,30 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_admin_update" ->
+      """SELECT * FROM (VALUES
+           ('analytic-mode', 'false'),
+           ('discard-nulls', 'true'),
+           ('insert-only', 'false'),
+           ('max-results', '500'),
+           ('segment', 'fixed:3600000')) AS t(key, value)
+         ORDER BY key""",
+    "q_search_boost" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 3 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') OR regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY _score DESC, doc_id""",
+    "q_skew_join" ->
+      """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+         FROM lineitem l JOIN orders o
+           ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+         ORDER BY l_orderkey, l_quantity, o_totalprice""",
+    "q_segment_fixed" ->
+      """SELECT CAST(floor(epoch(o_orderdate) / 604800) * 604800 AS BIGINT) AS segment_epoch,
+           count(*) AS doc_count
+         FROM orders GROUP BY 1 ORDER BY segment_epoch""",
     "q_search_dsl_terms" ->
       """SELECT event_id, event_type, 1 AS _score
          FROM events WHERE event_type IN ('click', 'purchase')

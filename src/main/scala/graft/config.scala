@@ -16,6 +16,13 @@ object SegmentGranularity {
   case object Day   extends SegmentGranularity { val truncUnit = Some("day") }
   case object Month extends SegmentGranularity { val truncUnit = Some("month") }
   case object Year  extends SegmentGranularity { val truncUnit = Some("year") }
+  /** The reference's CUSTOM mode: fixed-width frames of `segment-size` ms
+    * (reference: IndexDropManager.java:92-99 `now/segmentSize`;
+    * IndexConfig.java:557 default 86400000). */
+  final case class Fixed(sizeMs: Long) extends SegmentGranularity {
+    require(sizeMs > 0, "segment-size must be positive")
+    val truncUnit: Option[String] = None
+  }
 }
 
 /** Engine configuration.

@@ -20,9 +20,18 @@ object Maintain {
     * (reference: DefaultIndexManager.java:105-151 names indexes by time
     * bucket; IndexDropManager.java:92-99 fixed-width frames). */
   def segmentOf(ts: org.apache.spark.sql.Column, g: SegmentGranularity): org.apache.spark.sql.Column =
-    g.truncUnit match {
-      case Some(unit) => date_trunc(unit, ts)
-      case None => lit(null).cast("timestamp")
+    g match {
+      // fixed-width frame start: floor(epoch / size) * size — double math is
+      // exact here (epoch-seconds × frames ≪ 2^53)
+      case SegmentGranularity.Fixed(sizeMs) =>
+        val sec = sizeMs / 1000.0
+        // via timestamp: date and timestamp_ntz inputs both reach an
+        // epoch-castable type (ntz→numeric is not a supported cast)
+        timestamp_seconds(floor(ts.cast("timestamp").cast("double") / sec) * sec)
+      case _ => g.truncUnit match {
+        case Some(unit) => date_trunc(unit, ts)
+        case None => lit(null).cast("timestamp")
+      }
     }
 
   /** M3: list segments that still hold live docs (groupBy only ever emits

@@ -84,6 +84,10 @@ object OptionReader {
         case "DAY" => SegmentGranularity.Day
         case "MONTH" => SegmentGranularity.Month
         case "YEAR" => SegmentGranularity.Year
+        // reference CUSTOM mode: fixed frames of segment-size ms
+        // (IndexDropManager.java:92-99; default IndexConfig.java:557)
+        case "CUSTOM" => SegmentGranularity.Fixed(
+          num("segment-size", 86400000L)(_.toLong))
         case _ => SegmentGranularity.Off
       },
       jsonSerializedFields = csv("json-serialized-fields"),

@@ -97,15 +97,17 @@ object QueryCompiler {
     } else lowered.rlike("\\b" + java.util.regex.Pattern.quote(term.toLowerCase) + "\\b")
   }
 
-  private[graft] def scoreOf(leaves: Seq[Column]): Column =
+  /** Weighted leaf score: Σ boost over matched positive leaves (boost 1
+    * unless `term^N`). */
+  private[graft] def scoreOf(leaves: Seq[(Column, Int)]): Column =
     if (leaves.isEmpty) lit(0)
-    else leaves.map(c => when(c, 1).otherwise(0)).reduce(_ + _)
+    else leaves.map { case (c, w) => when(c, w).otherwise(0) }.reduce(_ + _)
 
   // ---- Lucene-lite recursive-descent parser ----
 
   private[graft] object LuceneLite {
     sealed trait Node
-    case class Term(field: String, value: String) extends Node
+    case class Term(field: String, value: String, boost: Int = 1) extends Node
     case class Range(field: String, lo: String, hi: String,
                      incLo: Boolean, incHi: Boolean) extends Node
     case class And(l: Node, r: Node) extends Node
@@ -114,16 +116,16 @@ object QueryCompiler {
 
     def compile(q: String, defaultLimit: Int): CompiledQuery = {
       val ast = parse(q)
-      val leaves = scala.collection.mutable.ArrayBuffer[Column]()
+      val leaves = scala.collection.mutable.ArrayBuffer[(Column, Int)]()
       // `pos` tracks polarity: only positive leaves contribute to the score
       def toCol(n: Node, pos: Boolean): Column = n match {
-        case Term(f, v) =>
-          val c = termMatch(f, v); if (pos) leaves += c; c
+        case Term(f, v, boost) =>
+          val c = termMatch(f, v); if (pos) leaves += ((c, boost)); c
         case Range(f, lo, hi, il, ih) =>
           val base = col(f)
           val loC = if (lo == "*") lit(true) else if (il) base >= lo else base > lo
           val hiC = if (hi == "*") lit(true) else if (ih) base <= hi else base < hi
-          val c = loC && hiC; if (pos) leaves += c; c
+          val c = loC && hiC; if (pos) leaves += ((c, 1)); c
         case And(l, r) => toCol(l, pos) && toCol(r, pos)
         case Or(l, r)  => toCol(l, pos) || toCol(r, pos)
         // Lucene/ES negation matches docs where the field is absent;
@@ -208,19 +210,26 @@ object QueryCompiler {
 
     private val RangeRx = """([\w.]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])""".r
 
+    private val BoostRx = """(.*)\^(\d+)$""".r
+
     private def atom(tok: String): Node = tok match {
       case RangeRx(f, lb, lo, hi, rb) => Range(f, lo, hi, lb == "[", rb == "]")
       case _ =>
         val i = tok.indexOf(':')
         require(i > 0, s"expected field:term, got '$tok'")
-        val value = tok.substring(i + 1)
+        // Lucene boost suffix: field:term^N (integer boost weights the
+        // score contribution; match semantics unchanged)
+        val (value, boost) = tok.substring(i + 1) match {
+          case BoostRx(v, b) if !v.endsWith("\\") => (v, b.toInt)
+          case v => (v, 1)
+        }
         // phrase terms keep their inner spaces, quotes stripped
         val unquoted =
           if (value.length >= 2 && value.startsWith("\"") && value.endsWith("\""))
             value.substring(1, value.length - 1)
           else value
         require(unquoted.nonEmpty, s"empty term in '$tok'")
-        Term(tok.substring(0, i), unquoted)
+        Term(tok.substring(0, i), unquoted, boost)
     }
   }
 
@@ -235,13 +244,13 @@ object QueryCompiler {
       val size = Option(root.get("size")).map(_.asInt).getOrElse(defaultLimit)
       val qNode = Option(root.get("query"))
         .getOrElse(throw new IllegalArgumentException("missing 'query'"))
-      val leaves = scala.collection.mutable.ArrayBuffer[Column]()
+      val leaves = scala.collection.mutable.ArrayBuffer[(Column, Int)]()
       val pred = node(qNode, leaves, scoring = true)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size))
     }
 
     private def node(n: JsonNode,
-                     leaves: scala.collection.mutable.ArrayBuffer[Column],
+                     leaves: scala.collection.mutable.ArrayBuffer[(Column, Int)],
                      scoring: Boolean): Column = {
       require(n.isObject && n.size == 1, s"expected single-operator object, got: $n")
       val op = n.fieldNames.asScala.next()
@@ -267,24 +276,24 @@ object QueryCompiler {
             case "prefix"       => termMatch(f, text + "*")
             case "wildcard"     => termMatch(f, text)           // value carries '*'
           }
-          if (scoring) leaves += c
+          if (scoring) leaves += ((c, 1))
           c
         case "terms" => // {"terms":{"f":["a","b",...]}} — exact-value disjunction
           val (f, v) = singleField(body)
           require(v.isArray && v.size > 0, s"terms expects a non-empty array, got: $v")
           val c = col(f).isin(v.elements.asScala.map(scalarOf).toSeq: _*)
-          if (scoring) leaves += c
+          if (scoring) leaves += ((c, 1))
           c
         case "ids" => // {"ids":{"values":[...]}} — doc-id lookup (ES _id ≡ doc_id)
           val vs = Option(body.get("values"))
             .getOrElse(throw new IllegalArgumentException("ids requires 'values'"))
           require(vs.isArray && vs.size > 0, s"ids expects a non-empty values array")
           val c = col("doc_id").isin(vs.elements.asScala.map(scalarOf).toSeq: _*)
-          if (scoring) leaves += c
+          if (scoring) leaves += ((c, 1))
           c
         case "exists" => // {"exists":{"field":"x"}}
           val c = col(body.get("field").asText).isNotNull
-          if (scoring) leaves += c
+          if (scoring) leaves += ((c, 1))
           c
         case "range" =>
           val f = body.fieldNames.asScala.next()
@@ -301,11 +310,11 @@ object QueryCompiler {
           }.toSeq
           require(parts.nonEmpty, "empty range")
           val c = parts.reduce(_ && _)
-          if (scoring) leaves += c
+          if (scoring) leaves += ((c, 1))
           c
         case "query_string" => // {"query_string":{"query":"a:b AND c:d"}}
           val sub = LuceneLite.compile(body.get("query").asText, Int.MaxValue)
-          if (scoring) leaves += sub.predicate
+          if (scoring) leaves += ((sub.predicate, 1))
           sub.predicate
         case "bool" =>
           val must = clauseList(body, "must").map(node(_, leaves, scoring))

@@ -170,6 +170,14 @@ class IndexerSpec extends AnyFunSuite {
       .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))
     val seg = df.withColumn("s", Maintain.segmentOf(col("ts"), SegmentGranularity.Month))
     assert(seg.select("s").distinct().count() == 1)
+    // CUSTOM fixed-width frames: 1h buckets split 10:30 from 11:30, not 10:59
+    val fixed = df.where(col("v") === 1)
+      .withColumn("ts2", expr("ts + INTERVAL 29 MINUTES"))
+      .select(
+        Maintain.segmentOf(col("ts"), SegmentGranularity.Fixed(3600000L)).as("a"),
+        Maintain.segmentOf(col("ts2"), SegmentGranularity.Fixed(3600000L)).as("b"))
+      .head
+    assert(fixed.getTimestamp(0) == fixed.getTimestamp(1)) // 10:30 and 10:59 share the frame
     assert(Maintain.truncate(df).count() == 0)
   }
 }

@@ -58,4 +58,13 @@ class OptionsSpec extends AnyFunSuite {
     assert(v1.segment == SegmentGranularity.Off)
     assert(v2.segment == SegmentGranularity.Month)
   }
+
+  test("CUSTOM segment mode reads segment-size with the reference default") {
+    val custom = OptionReader.toConfig(OptionReader.resolve(
+      Map("segment" -> "custom", "segment-size" -> "3600000")))
+    assert(custom.segment == SegmentGranularity.Fixed(3600000L))
+    // default 86400000 ms (reference: IndexConfig segment-size default)
+    val dflt = OptionReader.toConfig(OptionReader.resolve(Map("segment" -> "CUSTOM")))
+    assert(dflt.segment == SegmentGranularity.Fixed(86400000L))
+  }
 }

@@ -94,6 +94,13 @@ class SearchSpec extends AnyFunSuite {
     assert(opt.toSeq == Seq("3", "4"))
   }
 
+  test("boost weights the score, not the match") {
+    val out = Search.search(docs, "text:spark^3 OR text:batch", IndexConfig())
+      .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
+    // doc 1 has both (3+1), doc 3 spark only (3), doc 4 batch only (1)
+    assert(out.toMap == Map("1" -> 4, "3" -> 3, "4" -> 1))
+  }
+
   test("metadata enrichment attaches global hit stats to every row") {
     val hits = Search.search(docs, "text:spark OR text:batch", IndexConfig())
     val meta = Search.withMeta(hits).select("hit_count", "max_score").distinct().head

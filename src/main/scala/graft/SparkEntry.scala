@@ -568,6 +568,13 @@ object SparkEntry {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "text", "image", "raw")
       Multimodal.extractFeatures(media, "doc_id").orderBy(col("id"))
     }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      // frame-sample plumbing: opaque payload → (id, frame_idx, byte_offset)
+      // rows, every 4th 256-byte frame (stub demux = length arithmetic)
+      val media = Multimodal.asMedia(tbl(s, dir, "documents"), "text", "video", "raw")
+      Multimodal.frameSample(media, "doc_id", frameBytes = 256L, stride = 4)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
 
     // ---- streaming-shaped (S1 batch equivalent) ----
     "q_stream_window" -> ((s, dir) => {
@@ -917,6 +924,15 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
            count(*) AS n, round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""",
+    "q_multimodal_frames" ->
+      """WITH m AS (
+           SELECT doc_id, CAST(floor(octet_length(encode(text)) / 256) AS BIGINT) AS n_frames
+           FROM documents),
+         f AS (
+           SELECT doc_id, n_frames, unnest(range(0, n_frames, 4)) AS frame_idx
+           FROM m WHERE n_frames > 0)
+         SELECT doc_id, n_frames, frame_idx, frame_idx * 256 AS byte_offset
+         FROM f ORDER BY doc_id, frame_idx""",
     "q_admin_update" ->
       """SELECT * FROM (VALUES
            ('analytic-mode', 'false'),

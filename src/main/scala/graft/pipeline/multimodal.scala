@@ -43,6 +43,36 @@ object Multimodal {
     (bytes.length.toLong, checksum, w, h)
   }
 
+  /** STUB resize: rescale the fake (width, height) features to fit a
+    * bounding box, preserving aspect ratio — the real part is the operator
+    * contract (feature struct in → feature struct out, pure projection, no
+    * shuffle); swap the arithmetic for a real resampler. */
+  def resizeStub(features: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height")).cast("double"))
+    features
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
+  /** Frame sampling over an opaque video payload: treat the byte stream as
+    * fixed-width frames, emit every `stride`-th frame offset. The decode is
+    * stubbed to arithmetic over `n_bytes` (deterministic, oracle-checkable);
+    * the Spark shape — explode to (id, frame_idx, byte_offset) rows, narrow,
+    * shuffle-free — is exactly what a real demuxer behind `mapPartitions`
+    * would feed downstream. */
+  def frameSample(media: DataFrame, idCol: String,
+                  frameBytes: Long, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val nFrames = (col("meta.n_bytes") / frameBytes).cast("long")
+    media.select(col(idCol), nFrames.as("n_frames"))
+      .where(col("n_frames") > 0)
+      .select(col(idCol), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .withColumn("byte_offset", col("frame_idx") * frameBytes)
+  }
+
   /** Batched feature extraction over the binary column via `mapPartitions` —
     * the Scala analog of a Pandas-batched UDF: one iterator per partition, so
     * a real decoder can amortize model/codec init across the whole batch.

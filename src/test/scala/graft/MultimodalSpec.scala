@@ -26,4 +26,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.map(_.getLong(1)).toSeq == Seq(4L, 2L)) // n_bytes
     assert(f1.forall(r => r.getInt(3) >= 16 && r.getInt(4) >= 16)) // stub dims
   }
+
+  test("resizeStub fits the bounding box preserving aspect ratio") {
+    val feats = Seq((1L, 1000, 500), (2L, 100, 50)).toDF("id", "width", "height")
+    val out = Multimodal.resizeStub(feats, maxDim = 200)
+      .select("id", "out_width", "out_height")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((1L, 200, 100), (2L, 100, 50))) // small images untouched
+  }
+
+  test("frameSample emits strided frame offsets; sub-frame payloads drop out") {
+    val df = Seq((1L, "a" * 1000), (2L, "b" * 100)).toDF("id", "payload")
+    val media = Multimodal.asMedia(df, "payload", "video", "raw")
+    val out = Multimodal.frameSample(media, "id", frameBytes = 256L, stride = 2)
+      .select("id", "frame_idx", "byte_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 1000 bytes / 256 = 3 frames → idx 0, 2; 100 bytes → 0 frames
+    assert(out == Seq((1L, 0L, 0L), (1L, 2L, 512L)))
+  }
 }

@@ -35,6 +35,28 @@ class PropertySpec extends AnyFunSuite {
     assert(once.exceptAll(twice).count() == 0)
   }
 
+  test("property: bulk NDJSON round-trips arbitrary strings (both actions)") {
+    // quotes, newlines, unicode, backslashes — the JSON escaping in
+    // toBulkNdjson must keep the 2-line NDJSON frame parseable
+    val strGen = Gen.listOfN(12, Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.oneOf('"', '\\', '\n', '\t', 'é', '中', ' '))))
+      .map(_.mkString)
+    val rows = Iterator.continually(strGen.sample).flatten.take(150)
+      .zipWithIndex.map { case (s, i) => (i.toString, s) }.toSeq
+    val docs = rows.toDF("doc_id", "Value")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Value",
+        org.apache.spark.sql.types.StringType)))
+    for (cfg <- Seq(IndexConfig(), IndexConfig(insertOnly = true))) {
+      val back = Indexer.fromBulkNdjson(
+        Indexer.toBulkNdjson(docs, "idx", cfg).select("bulk"), schema)
+      val diff = docs.join(back, Seq("doc_id"))
+        .where(docs("Value") =!= back("Value")).count()
+      assert(diff == 0)
+      assert(back.count() == rows.size)
+    }
+  }
+
   test("property: ISO-8601 format round-trips through parsing") {
     val tsGen = Gen.choose(0L, 4102444800000L) // 1970..2100 in millis
     val samples = Iterator.continually(tsGen.sample).flatten.take(200)

@@ -149,6 +149,15 @@ object SparkEntry {
       Maintain.getMapping(tbl(s, dir, "lineitem")).toDF("field", "dtype", "es_type")
         .orderBy(col("field"))
     }),
+    "q_admin_put_mapping" -> ((s, dir) => {
+      // S9: #put_mapping#{json}# — static mapping as a schema assertion;
+      // reports which requested fields exist (Parquet schema is
+      // authoritative; reference: EsSecondaryIndex.java:470-471, 579-598)
+      val cmd = AdminCommand.parse(
+        """#put_mapping#{"l_returnflag":{"type":"keyword"},"nonexistent_col":{"type":"text"}}#""").get
+      val (res, _) = Admin.execute(s, tbl(s, dir, "lineitem"), cmd, IndexConfig())
+      res.orderBy(col("field"))
+    }),
     "q_admin_update" -> ((s, dir) => {
       // S9+M11: #update#{json}# settings hot-reload — options re-resolved
       // through the 3-layer reader, new effective config reported as rows
@@ -933,6 +942,11 @@ object SparkEntry {
            FROM m WHERE n_frames > 0)
          SELECT doc_id, n_frames, frame_idx, frame_idx * 256 AS byte_offset
          FROM f ORDER BY doc_id, frame_idx""",
+    "q_admin_put_mapping" ->
+      """SELECT * FROM (VALUES
+           ('l_returnflag', TRUE),
+           ('nonexistent_col', FALSE)) AS t(field, present)
+         ORDER BY field""",
     "q_admin_update" ->
       """SELECT * FROM (VALUES
            ('analytic-mode', 'false'),

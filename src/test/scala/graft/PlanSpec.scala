@@ -44,6 +44,31 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"))
   }
 
+  test("search stats are aggregate+broadcast, never a single-partition window") {
+    // the r1 WindowExec trap: an unpartitioned window serializes the match
+    // set into one partition; searchWithTotal must stay agg + broadcast
+    val plan = planOf("q_search_meta")
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(plan.contains("BroadcastExchange"), plan.take(800))
+  }
+
+  test("sessionization windows are partitioned by user (bounded memory)") {
+    val plan = planOf("q_sessionize")
+    assert(plan.contains("Window"), plan.take(500))
+    // partition spec present: hashpartitioning on user_id feeds the window
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(2000))
+  }
+
+  test("salted join spreads the hot key across (key, salt) partitions") {
+    val plan = planOf("q_skew_join")
+    assert(plan.contains("_salt") || plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("upsert merge is one full-outer join, map-side combinable batch side") {
+    val plan = planOf("q_upsert_merge")
+    assert(plan.contains("FullOuter"), plan.take(2000))
+  }
+
   test("doc projection is shuffle-free (S2 narrow pipeline)") {
     val docs = Indexer.buildDocs(
       spark.read.parquet(s"$dir/lineitem.parquet"),

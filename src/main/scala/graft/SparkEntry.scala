@@ -178,6 +178,16 @@ object SparkEntry {
         ("segment", segDesc))
         .toDF("key", "value").orderBy(col("key"))
     }),
+    "q_search_source" -> ((s, dir) => {
+      // R1+R10: load-source=true attaches the full document as _source JSON
+      // (the ES _source the reference injects into hit metadata); with
+      // load-rows=false this is the PK + score + source projection
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+          "#options:load-source=true,load-rows=false#text:window AND lang:en",
+          IndexConfig(), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_boost" -> ((s, dir) => {
       // R2/R4: Lucene boost syntax — term^N weights the score contribution
       val docs = tbl(s, dir, "documents")
@@ -955,6 +965,13 @@ object SparkEntry {
            ('max-results', '500'),
            ('segment', 'fixed:3600000')) AS t(key, value)
          ORDER BY key""",
+    "q_search_source" ->
+      """SELECT doc_id, 2 AS _score,
+           to_json(struct_pack(doc_id := doc_id, text := text, lang := lang,
+                               source := source, n_chars := n_chars)) AS _source
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bwindow\b') AND lower(lang) = 'en'
+         ORDER BY doc_id""",
     "q_search_boost" ->
       """SELECT doc_id,
            (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 3 ELSE 0 END +

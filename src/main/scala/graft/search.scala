@@ -32,14 +32,23 @@ object Search {
   /** One-call search: parse + compile + execute.
     * `#options:load-rows=false#` (R1/S8) short-circuits to a PK-only
     * projection — no join, no row load
-    * (reference: QueryMetaData.java:64-67; FakePartitionIterator.java:91-119). */
+    * (reference: QueryMetaData.java:64-67; FakePartitionIterator.java:91-119).
+    * `#options:load-source=true#` attaches each hit's full document as a
+    * `_source` JSON column, the ES `_source` the reference surfaces in the
+    * hit metadata (reference: QueryMetaData.java:70-75; metadata injection
+    * FakePartitionIterator.java:104-114). */
   def search(docs: DataFrame, query: String, cfg: IndexConfig,
              pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val meta = QueryMeta.parse(query)
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults)
-    val hits = topK(docs, compiled, cfg, pkCols.head)
+    val hits0 = topK(docs, compiled, cfg, pkCols.head)
+    val hits =
+      if (!meta.loadSource) hits0
+      else hits0.withColumn("_source",
+        to_json(struct(docs.columns.toSeq.map(col): _*)))
     if (meta.loadRows) hits
-    else hits.select((pkCols.map(col) :+ col("_score")): _*)
+    else hits.select((pkCols.map(col) :+ col("_score")) ++
+      (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
   }
 
   /** Alias search: the reference searches the alias spanning all segments,

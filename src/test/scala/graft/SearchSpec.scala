@@ -44,6 +44,16 @@ class SearchSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "_score"))
   }
 
+  test("load-source=true attaches the full document as _source JSON") {
+    val out = Search.search(docs,
+      "#options:load-source=true,load-rows=false#text:spark AND lang:en", IndexConfig())
+    assert(out.columns.toSeq == Seq("doc_id", "_score", "_source"))
+    val src = out.orderBy("doc_id").head.getString(2)
+    assert(src == """{"doc_id":"1","text":"spark batch engine","lang":"en"}""")
+    // without the option, no _source column materializes
+    assert(!Search.search(docs, "text:spark", IndexConfig()).columns.contains("_source"))
+  }
+
   test("max-results caps hits") {
     val out = Search.search(docs, "text:spark OR text:batch OR text:window",
       IndexConfig(maxResults = 2))

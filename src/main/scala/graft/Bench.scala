@@ -18,9 +18,15 @@ object Bench {
     // documents.parquet otherwise costs ~1.5s of decompress/init that
     // belongs to no particular query
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+    // count(col) per column forces every data page to decompress — a bare
+    // count() reads only parquet footers and warms nothing
     Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      .foreach { t =>
+        val df = spark.read.parquet(s"$sfDir/$t.parquet")
+        df.select(df.columns.map(c =>
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col(c)).as(c)): _*).count()
+      }
     // JIT-warm the regex text-match path (~2s of cold java.util.regex +
     // codegen that otherwise lands on whichever search query runs first)
     import org.apache.spark.sql.functions.{col, lower}

@@ -40,9 +40,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // dump only the oracle entries for queries this run executed — a
+    // filtered dev run must not make check.py flag the others as missing
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of every query attempted (oracle AND rows-only): check.py
+    // counts any attempted query with no result dir as a failure
+    val manifest = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => only.forall(_.contains(k)))
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
     spark.stop()
   }
 }

@@ -25,11 +25,13 @@ object Indexer {
                 segmentSource: Option[String] = None): DataFrame = {
     // segment before projection — the projection replaces source columns
     // (e.g. timestamps become ISO strings), so the truncation must read the
-    // still-typed source column; `segment` itself passes through untouched
-    val withSeg = (cfg.segment.truncUnit, segmentSource) match {
-      case (Some(unit), Some(ts)) =>
-        src.withColumn("segment", date_trunc(unit, col(ts)))
-      case _ => src
+    // still-typed source column; `segment` itself passes through untouched.
+    // Routed through Maintain.segmentOf so CUSTOM fixed-width frames
+    // (SegmentGranularity.Fixed, truncUnit=None) segment too.
+    val withSeg = (cfg.segment, segmentSource) match {
+      case (SegmentGranularity.Off, _) | (_, None) => src
+      case (g, Some(ts)) =>
+        src.withColumn("segment", Maintain.segmentOf(col(ts), g))
     }
     DocModel.project(withSeg, pkCols, ckCols, cfg, now, ttlCol)
   }
@@ -114,10 +116,12 @@ object Indexer {
     import graft.functions.functions.json_get
     val action = split(col("bulk"), "\n").getItem(0)
     val payload = split(col("bulk"), "\n").getItem(1)
-    val actionBody = coalesce(json_get(action, lit("update")),
-      json_get(action, lit("index")))
-    // update payloads wrap the doc in "doc"; index payloads ARE the doc
-    val docJson = coalesce(json_get(payload, lit("doc")), payload)
+    val updateBody = json_get(action, lit("update"))
+    val actionBody = coalesce(updateBody, json_get(action, lit("index")))
+    // branch on the ACTION type, not a payload probe: an index-action doc
+    // with a field literally named "doc" must not be unwrapped
+    val docJson = when(updateBody.isNotNull, json_get(payload, lit("doc")))
+      .otherwise(payload)
     bulk.select(
       json_get(actionBody, lit("_id")).as("doc_id"),
       from_json(docJson, docSchema).as("doc"))

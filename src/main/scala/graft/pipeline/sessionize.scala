@@ -28,8 +28,9 @@ object Sessionize {
     val ord = (col(tsCol) +: orderCols.map(col)).map(_.asc)
     val w = Window.partitionBy(col(userCol)).orderBy(ord: _*)
     val prev = lag(col(tsCol), 1).over(w)
-    // timestamp → epoch seconds; works for timestamp and timestamp_ntz
-    def secs(c: org.apache.spark.sql.Column) = c.cast("double")
+    // timestamp → epoch seconds; via timestamp because ntz→numeric is not
+    // a supported cast (same route as Maintain.segmentOf)
+    def secs(c: org.apache.spark.sql.Column) = c.cast("timestamp").cast("double")
     df.withColumn("_new_session",
         when(prev.isNull || secs(col(tsCol)) - secs(prev) > gapSec, 1).otherwise(0))
       .withColumn("session_seq",

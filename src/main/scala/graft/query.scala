@@ -67,11 +67,14 @@ final case class CompiledQuery(predicate: Column, score: Column, limit: Option[I
 object QueryCompiler {
 
   /** Compile either syntax: a string starting with `{` is ES-DSL JSON
-    * (reference: ElasticIndex.java:133, 663), anything else Lucene-lite. */
-  def compile(query: String, defaultLimit: Int = 10000): CompiledQuery = {
+    * (reference: ElasticIndex.java:133, 663), anything else Lucene-lite.
+    * `idCol` is the column the DSL `ids` operator targets (the ES `_id`
+    * analog — callers with a different PK pass it through). */
+  def compile(query: String, defaultLimit: Int = 10000,
+              idCol: String = "doc_id"): CompiledQuery = {
     val meta = QueryMeta.parse(query)
     val q = meta.query.trim
-    if (q.startsWith("{")) DslJson.compile(q, defaultLimit)
+    if (q.startsWith("{")) DslJson.compile(q, defaultLimit, idCol)
     else LuceneLite.compile(q, defaultLimit)
   }
 
@@ -109,7 +112,7 @@ object QueryCompiler {
     sealed trait Node
     case class Term(field: String, value: String, boost: Int = 1) extends Node
     case class Range(field: String, lo: String, hi: String,
-                     incLo: Boolean, incHi: Boolean) extends Node
+                     incLo: Boolean, incHi: Boolean, boost: Int = 1) extends Node
     case class And(l: Node, r: Node) extends Node
     case class Or(l: Node, r: Node) extends Node
     case class Not(n: Node) extends Node
@@ -121,11 +124,11 @@ object QueryCompiler {
       def toCol(n: Node, pos: Boolean): Column = n match {
         case Term(f, v, boost) =>
           val c = termMatch(f, v); if (pos) leaves += ((c, boost)); c
-        case Range(f, lo, hi, il, ih) =>
+        case Range(f, lo, hi, il, ih, boost) =>
           val base = col(f)
           val loC = if (lo == "*") lit(true) else if (il) base >= lo else base > lo
           val hiC = if (hi == "*") lit(true) else if (ih) base <= hi else base < hi
-          val c = loC && hiC; if (pos) leaves += ((c, 1)); c
+          val c = loC && hiC; if (pos) leaves += ((c, boost)); c
         case And(l, r) => toCol(l, pos) && toCol(r, pos)
         case Or(l, r)  => toCol(l, pos) || toCol(r, pos)
         // Lucene/ES negation matches docs where the field is absent;
@@ -208,12 +211,15 @@ object QueryCompiler {
       case Nil => throw new IllegalArgumentException("empty query")
     }
 
-    private val RangeRx = """([\w.]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])""".r
+    private val RangeRx =
+      """([\w.]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])(?:\^(\d+))?""".r
 
     private val BoostRx = """(.*)\^(\d+)$""".r
 
     private def atom(tok: String): Node = tok match {
-      case RangeRx(f, lb, lo, hi, rb) => Range(f, lo, hi, lb == "[", rb == "]")
+      case RangeRx(f, lb, lo, hi, rb, boost) =>
+        Range(f, lo, hi, lb == "[", rb == "]",
+          Option(boost).map(_.toInt).getOrElse(1))
       case _ =>
         val i = tok.indexOf(':')
         require(i > 0, s"expected field:term, got '$tok'")
@@ -238,20 +244,21 @@ object QueryCompiler {
   private[graft] object DslJson {
     private val mapper = new ObjectMapper()
 
-    def compile(json: String, defaultLimit: Int): CompiledQuery = {
+    def compile(json: String, defaultLimit: Int,
+                idCol: String = "doc_id"): CompiledQuery = {
       val root = mapper.readTree(json)
       require(root != null && root.isObject, "DSL query must be a JSON object")
       val size = Option(root.get("size")).map(_.asInt).getOrElse(defaultLimit)
       val qNode = Option(root.get("query"))
         .getOrElse(throw new IllegalArgumentException("missing 'query'"))
       val leaves = scala.collection.mutable.ArrayBuffer[(Column, Int)]()
-      val pred = node(qNode, leaves, scoring = true)
+      val pred = node(qNode, leaves, scoring = true, idCol)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size))
     }
 
     private def node(n: JsonNode,
                      leaves: scala.collection.mutable.ArrayBuffer[(Column, Int)],
-                     scoring: Boolean): Column = {
+                     scoring: Boolean, idCol: String = "doc_id"): Column = {
       require(n.isObject && n.size == 1, s"expected single-operator object, got: $n")
       val op = n.fieldNames.asScala.next()
       val body = n.get(op)
@@ -284,11 +291,11 @@ object QueryCompiler {
           val c = col(f).isin(v.elements.asScala.map(scalarOf).toSeq: _*)
           if (scoring) leaves += ((c, 1))
           c
-        case "ids" => // {"ids":{"values":[...]}} — doc-id lookup (ES _id ≡ doc_id)
+        case "ids" => // {"ids":{"values":[...]}} — id lookup on the ES _id analog
           val vs = Option(body.get("values"))
             .getOrElse(throw new IllegalArgumentException("ids requires 'values'"))
           require(vs.isArray && vs.size > 0, s"ids expects a non-empty values array")
-          val c = col("doc_id").isin(vs.elements.asScala.map(scalarOf).toSeq: _*)
+          val c = col(idCol).isin(vs.elements.asScala.map(scalarOf).toSeq: _*)
           if (scoring) leaves += ((c, 1))
           c
         case "exists" => // {"exists":{"field":"x"}}
@@ -317,10 +324,10 @@ object QueryCompiler {
           if (scoring) leaves += ((sub.predicate, 1))
           sub.predicate
         case "bool" =>
-          val must = clauseList(body, "must").map(node(_, leaves, scoring))
-          val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false))
-          val mustNot = clauseList(body, "must_not").map(node(_, leaves, scoring = false))
-          val should = clauseList(body, "should").map(node(_, leaves, scoring))
+          val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol))
+          val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false, idCol))
+          val mustNot = clauseList(body, "must_not").map(node(_, leaves, scoring = false, idCol))
+          val should = clauseList(body, "should").map(node(_, leaves, scoring, idCol))
           // ES must_not matches when the clause is false OR the field is
           // absent — null-safe negation (see Lucene Not above)
           val positive = must ++ filter
@@ -330,8 +337,14 @@ object QueryCompiler {
           // 0 when must/filter present (should = scoring only), else 1 —
           // must_not does NOT count as a positive clause, so
           // should+must_not alone still requires at least one should match.
-          val msm = Option(body.get("minimum_should_match")).map(_.asInt)
-            .getOrElse(if (positive.nonEmpty) 0 else 1)
+          // only the integer form is supported; ES percentage/combination
+          // forms ("75%", "2<50%") would asInt to 0 and silently turn a
+          // should-only bool into match-all — reject them instead
+          val msm = Option(body.get("minimum_should_match")).map { n =>
+            require(n.isIntegralNumber,
+              s"minimum_should_match supports integers only, got: $n")
+            n.asInt
+          }.getOrElse(if (positive.nonEmpty) 0 else 1)
           if (should.isEmpty || msm <= 0) base
           else if (msm == 1) base && should.reduce(_ || _)
           else {

@@ -40,7 +40,7 @@ object Search {
   def search(docs: DataFrame, query: String, cfg: IndexConfig,
              pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val meta = QueryMeta.parse(query)
-    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults)
+    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
     val hits0 = topK(docs, compiled, cfg, pkCols.head)
     val hits =
       if (!meta.loadSource) hits0
@@ -98,7 +98,7 @@ object Search {
   def searchWithTotal(docs: DataFrame, query: String, cfg: IndexConfig,
                       pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val meta = QueryMeta.parse(query)
-    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults)
+    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
     val limit = compiled.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
     val matches = docs.where(compiled.predicate)
       .withColumn("_score", compiled.score)

@@ -140,6 +140,28 @@ class IndexerSpec extends AnyFunSuite {
     assert(insert == "{\"index\":{\"_index\":\"idx\",\"_id\":\"42\"}}\n{\"Value\":\"hello\"}")
   }
 
+  test("buildDocs segments with CUSTOM fixed-width frames too") {
+    val src = Seq(("1", "2024-03-05 10:30:00"), ("2", "2024-03-05 12:30:00"))
+      .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val docs = Indexer.buildDocs(src, Seq("id"), Nil,
+      IndexConfig(segment = SegmentGranularity.Fixed(3600000L), indexationDate = false),
+      java.sql.Timestamp.valueOf("2024-07-01 00:00:00"), segmentSource = Some("ts"))
+    assert(docs.columns.contains("segment"))
+    assert(docs.select("segment").distinct().count() == 2) // 1h frames split them
+  }
+
+  test("fromBulkNdjson does not unwrap an index-action doc with a 'doc' field") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.StringType)))
+    val docs = Seq(("1", "inner-value")).toDF("doc_id", "doc")
+    val back = Indexer.fromBulkNdjson(
+      Indexer.toBulkNdjson(docs, "idx", IndexConfig(insertOnly = true)).select("bulk"),
+      schema).collect()
+    assert(back.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("1", "inner-value")))
+  }
+
   test("bulk NDJSON round-trips through fromBulkNdjson (both action shapes)") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("Value",

@@ -121,5 +121,15 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"bool":{"should":[{"term":{"a":"x"}},{"term":{"b":"y"}},
          {"term":{"c":"z"}}],"minimum_should_match":2}}}""").isRight)
+    // ES percentage/combination forms would asInt→0 and become match-all —
+    // must be rejected, not silently weakened
+    assert(QueryCompiler.validate(
+      """{"query":{"bool":{"should":[{"term":{"a":"x"}}],
+         "minimum_should_match":"75%"}}}""").isLeft)
+  }
+
+  test("boost composes with ranges, not just terms") {
+    assert(QueryCompiler.validate("a:[1 TO 5]^2").isRight)
+    assert(QueryCompiler.validate("a:x^3 AND b:{1 TO *}^2").isRight)
   }
 }

@@ -104,6 +104,14 @@ class SearchSpec extends AnyFunSuite {
     assert(opt.toSeq == Seq("3", "4"))
   }
 
+  test("DSL ids targets the caller's pk column, not a hardcoded doc_id") {
+    import spark.implicits._
+    val evs = Seq(("e1", "a"), ("e2", "b")).toDF("event_id", "v")
+    val out = Search.search(evs, """{"query":{"ids":{"values":["e2"]}}}""",
+      IndexConfig(), Seq("event_id"))
+    assert(out.select("event_id").collect().map(_.getString(0)).toSeq == Seq("e2"))
+  }
+
   test("boost weights the score, not the match") {
     val out = Search.search(docs, "text:spark^3 OR text:batch", IndexConfig())
       .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))

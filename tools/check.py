@@ -100,8 +100,12 @@ def main(sf_dir, out_dir):
             results[name] = "OK"
             print(f"✓ {name} ({len(got_rows)} rows)")
     # a query that threw inside graft.Verify writes no result directory —
-    # count every oracle key with no directory as a failure, not a skip
-    for name in sorted(set(oracle) - seen_dirs):
+    # count every attempted query (oracle AND rows-only, from the run's
+    # manifest) with no directory as a failure, not a skip
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    attempted = set(json.load(open(manifest_path))) \
+        if os.path.exists(manifest_path) else set(oracle)
+    for name in sorted(attempted - seen_dirs):
         fail += 1
         results[name] = "MISSING result dir (query failed in Verify?)"
         print(f"✗ {name}: missing result dir (query failed in Verify?)")

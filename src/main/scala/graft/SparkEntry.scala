@@ -328,6 +328,29 @@ object SparkEntry {
       Indexer.fromBulkNdjson(bulk, schema)
         .orderBy(col("doc_id"))
     }),
+    "q_ingest_exactly_once" -> ((s, dir) => {
+      // W12 analog: a replayed mutation batch (commit-log replay / duplicate
+      // delivery) collapses to exactly one row per (key, mutation id)
+      val ev = tbl(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      val replayed = ev.unionAll(ev) // simulate duplicate delivery
+      Indexer.exactlyOnce(replayed, "user_id", "event_id")
+        .orderBy(col("event_id"))
+    }),
+    "q_shard_prune" -> ((s, dir) => {
+      // R8 analog: xxhash64 shard filters form a disjoint cover — the union
+      // of all shards reproduces the table exactly (verified against the
+      // raw per-PK multiplicities)
+      val li = tbl(s, dir, "lineitem")
+      val nShards = 4
+      (0 until nShards)
+        .map(sh => Indexer.shardFilter(li, Seq("l_orderkey", "l_linenumber"), nShards, sh)
+          .select(col("l_orderkey"), col("l_linenumber")))
+        .reduce(_ unionAll _)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_analytic_mode" -> ((s, dir) => {
       // M6: analytic mode suppresses deletes — docs outlive their source
       // rows (reference: EsSecondaryIndex.java:413; README.md:465-469)
@@ -807,6 +830,13 @@ object SparkEntry {
     "q_analytic_mode" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id
          FROM lineitem ORDER BY doc_id""",
+    "q_ingest_exactly_once" ->
+      """SELECT user_id, event_id, event_type, value
+         FROM events ORDER BY event_id""",
+    "q_shard_prune" ->
+      """SELECT l_orderkey, l_linenumber, count(*) AS n
+         FROM lineitem GROUP BY 1, 2
+         ORDER BY l_orderkey, l_linenumber""",
     "q_search_dsl_exists" ->
       """SELECT event_id,
            CASE WHEN value > 150 THEN value END AS big_val, 1 AS _score

@@ -128,6 +128,30 @@ object Indexer {
       .select(col("doc_id") +: docSchema.fieldNames.toSeq.map(f => col(s"doc.$f")): _*)
   }
 
+  /** W12 analog: exactly-once ingest. The reference elects one indexing
+    * replica per DC and skips commit-log replays so each mutation indexes
+    * once (reference: CStarUtils.java:490-506 isOwner;
+    * EsSecondaryIndex.java:396-411). Spark's single-writer model replaces
+    * election with deterministic dedup on (doc id, mutation id): replayed /
+    * duplicate deliveries collapse to one row. One map-side-combinable
+    * shuffle on the composite key. */
+  def exactlyOnce(mutations: DataFrame, keyCol: String,
+                  mutationIdCol: String): DataFrame =
+    mutations.dropDuplicates(keyCol, mutationIdCol)
+
+  /** R8 analog: shard-filter for multi-engine fan-out. The reference drops
+    * hits outside the command's token range so N coordinators return no
+    * duplicates (reference: EsSecondaryIndex.java:490-504). The Spark
+    * analog partitions the key space deterministically: each of `nShards`
+    * engines keeps `pmod(xxhash64(pk…), nShards) === shard`. Evaluates in
+    * the scan filter — rows outside the shard never leave the scan. */
+  def shardFilter(df: DataFrame, pkCols: Seq[String],
+                  nShards: Int, shard: Int): DataFrame = {
+    require(nShards > 0 && shard >= 0 && shard < nShards,
+      s"shard must be in [0, $nShards)")
+    df.where(pmod(xxhash64(pkCols.map(col): _*), lit(nShards.toLong)) === shard)
+  }
+
   /** S5: delete — drop docs whose key appears in the delete set; a no-op in
     * analytic mode (M6), where documents deliberately outlive their source
     * rows (reference: ElasticIndex.java:642-649; gate EsSecondaryIndex.java:413;

@@ -33,6 +33,24 @@ class IvfSpec extends AnyFunSuite {
     assert(sizes.toSeq == Seq(20L, 20L)) // even/odd clusters separate
   }
 
+  test("list_id-partitioned store prunes partitions at probe time (100 TB path)") {
+    // the scale story: write assigned corpus partitionBy(list_id), probe
+    // with a list_id filter — the scan must read only matching partitions
+    val cents = Ivf.train(corpus, c = 2, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_store").toString
+    Ivf.assign(corpus, cents)
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val store = spark.read.parquet(path)
+    val probe = store.where(col("list_id") === 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(list_id"), plan.take(1500))
+    assert(probe.count() == 20)
+    // a probe never scans the other list's files
+    val scanned = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("list_id=1"))
+  }
+
   test("ivf topk with nprobe=1 matches brute force on clustered data") {
     val cents = Ivf.train(corpus, c = 2, iters = 2)
     val assigned = Ivf.assign(corpus, cents)

@@ -203,6 +203,15 @@ object SparkEntry {
       pipeline.Skew.saltedJoin(large, small, Seq("l_orderkey"), saltFactor = 8)
         .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
     }),
+    "q_segment_name" -> ((s, dir) => {
+      // M2 naming: rows labeled with their physical segment-index name
+      // (reference <alias>_index@<utc-date> convention)
+      val o = tbl(s, dir, "orders")
+      o.select(Maintain.segmentIndexNameCol("orders_idx",
+          SegmentGranularity.Month, col("o_orderdate")).as("segment_index"))
+        .groupBy(col("segment_index")).agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("segment_index"))
+    }),
     "q_segment_fixed" -> ((s, dir) => {
       // M2 CUSTOM mode: fixed-width frames (reference IndexDropManager
       // now/segmentSize naming) — weekly buckets as epoch seconds
@@ -1014,6 +1023,10 @@ object SparkEntry {
          FROM lineitem l JOIN orders o
            ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
          ORDER BY l_orderkey, l_quantity, o_totalprice""",
+    "q_segment_name" ->
+      """SELECT 'orders_idx_index@' || strftime(o_orderdate, '%Y-%m') AS segment_index,
+           count(*) AS doc_count
+         FROM orders GROUP BY 1 ORDER BY segment_index""",
     "q_segment_fixed" ->
       """SELECT CAST(floor(epoch(o_orderdate) / 604800) * 604800 AS BIGINT) AS segment_epoch,
            count(*) AS doc_count

@@ -34,6 +34,52 @@ object Maintain {
       }
     }
 
+  /** Reference alias naming: `<keyspace>_<table>` lowercased
+    * (reference: ElasticIndexTest.java:134-136 golden
+    * `testkeyspace_testtable`). */
+  def aliasName(keyspace: String, table: String): String =
+    s"${keyspace.toLowerCase}_${table.toLowerCase}"
+
+  private def segmentDateFormat(g: SegmentGranularity): Option[String] = g match {
+    case SegmentGranularity.Year  => Some("yyyy")
+    case SegmentGranularity.Month => Some("yyyy-MM")
+    case SegmentGranularity.Day   => Some("yyyy-MM-dd")
+    case SegmentGranularity.Hour  => Some("yyyy-MM-dd-HH")
+    case _ => None
+  }
+
+  /** M2 naming: physical segment-index name under the alias —
+    * `<alias>_index@<suffix>`, suffix = "" (OFF), the lowercased custom
+    * name (CUSTOM), or the UTC-formatted bucket date
+    * (reference: DefaultIndexManager.java:105-151; goldens
+    * ElasticIndexTest.java:129-168: `testkeyspace_testtable_index@`,
+    * `..._index@2016-11-18-10`, `..._index@<yyyy-MM>`). */
+  def segmentIndexName(alias: String, g: SegmentGranularity,
+                       at: java.time.Instant,
+                       customName: Option[String] = None): String = {
+    val suffix = g match {
+      case SegmentGranularity.Off => ""
+      case SegmentGranularity.Fixed(_) =>
+        customName.map(_.toLowerCase).getOrElse(
+          throw new IllegalArgumentException("CUSTOM mode can't have a null name"))
+      case other =>
+        java.time.format.DateTimeFormatter
+          .ofPattern(segmentDateFormat(other).get)
+          .withZone(java.time.ZoneOffset.UTC).format(at)
+    }
+    s"${alias}_index@$suffix"
+  }
+
+  /** Column form of [[segmentIndexName]] for labeling doc rows with their
+    * physical segment-index name (date modes only — a codegen'd
+    * `date_format`, no shuffle). */
+  def segmentIndexNameCol(alias: String, g: SegmentGranularity,
+                          ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    segmentDateFormat(g) match {
+      case Some(fmt) => concat(lit(s"${alias}_index@"), date_format(ts, fmt))
+      case None => lit(s"${alias}_index@")
+    }
+
   /** M3: list segments that still hold live docs (groupBy only ever emits
     * populated groups — "emptiness" is a property of the physical layout,
     * checked by [[purgeEmptySegments]] against the directory listing)

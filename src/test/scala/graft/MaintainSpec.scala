@@ -1,4 +1,5 @@
 package graft
+// (segment naming goldens appended below mirror ElasticIndexTest.java:129-168)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -48,5 +49,36 @@ class MaintainSpec extends AnyFunSuite {
   test("dropSegmentDirs on a missing path is a no-op") {
     assert(Maintain.dropSegmentDirs(spark, "/tmp/graft_does_not_exist_xyz",
       "segment", _ => true).isEmpty)
+  }
+
+  test("segment index names match the reference goldens") {
+    // reference: ElasticIndexTest.java:129-168
+    val alias = Maintain.aliasName("testKeyspace", "testTable")
+    assert(alias == "testkeyspace_testtable")
+    val at = java.time.Instant.parse("2016-11-18T10:30:00Z")
+    assert(Maintain.segmentIndexName(alias, SegmentGranularity.Off, at) ==
+      "testkeyspace_testtable_index@")
+    assert(Maintain.segmentIndexName(alias, SegmentGranularity.Month, at) ==
+      "testkeyspace_testtable_index@2016-11")
+    assert(Maintain.segmentIndexName(alias, SegmentGranularity.Hour, at) ==
+      "testkeyspace_testtable_index@2016-11-18-10")
+    assert(Maintain.segmentIndexName(alias, SegmentGranularity.Day, at) ==
+      "testkeyspace_testtable_index@2016-11-18")
+    // CUSTOM requires a name, lowercased (reference WCC-862)
+    assert(Maintain.segmentIndexName(alias, SegmentGranularity.Fixed(1000),
+      at, Some("2016-11-18-10")) == "testkeyspace_testtable_index@2016-11-18-10")
+    assert(Maintain.segmentIndexName(alias, SegmentGranularity.Fixed(1000),
+      at, Some("MiXeD")) == "testkeyspace_testtable_index@mixed")
+    intercept[IllegalArgumentException] {
+      Maintain.segmentIndexName(alias, SegmentGranularity.Fixed(1000), at, None)
+    }
+  }
+
+  test("segmentIndexNameCol labels rows with their physical segment name") {
+    val df = Seq(("2024-03-05 10:30:00", 1)).toDF("ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = df.select(Maintain.segmentIndexNameCol(
+      "ks_t", SegmentGranularity.Month, col("ts"))).head.getString(0)
+    assert(out == "ks_t_index@2024-03")
   }
 }

@@ -87,6 +87,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("streaming lifecycle: mutation stream upserts into a searchable store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_store").toString
+    Seq(("1", 1L, "alpha doc"), ("2", 1L, "beta doc"))
+      .toDF("doc_id", "_v", "text").write.mode("overwrite").parquet(path)
+    val input = MemoryStream[(String, Long, String)]
+    val q = StreamingIndexer.upsertStream(
+      input.toDF().toDF("doc_id", "_v", "text"), "doc_id", Seq("_v"),
+      sink = (batch, _) => {
+        // merge into the physical store; materialize before the overwrite
+        // (a lazy plan would read the path it is rewriting)
+        val existing = spark.read.parquet(path)
+        val merged = Indexer.upsert(existing, batch, "doc_id", Seq("_v"))
+          .collect().toIndexedSeq
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(merged), existing.schema)
+          .write.mode("overwrite").parquet(path)
+      }).start()
+    try {
+      input.addData(("2", 2L, "beta updated spark"), ("3", 1L, "gamma spark doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val store = spark.read.parquet(path)
+    assert(store.count() == 3)
+    // the store is searchable and reflects the streamed mutations (S1→S3→S6)
+    val hits = Search.search(store, "text:spark", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(hits.toSeq == Seq("2", "3"))
+  }
+
   test("streaming sessionization (mapGroupsWithState) matches the batch twin") {
     import graft.pipeline.Sessionize
     import spark.implicits._

@@ -18,14 +18,16 @@ object Bench {
     // documents.parquet otherwise costs ~1.5s of decompress/init that
     // belongs to no particular query
     spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    // count(col) per column forces every data page to decompress — a bare
-    // count() reads only parquet footers and warms nothing
+    // collect() the per-column aggregate — its VALUES force every data page
+    // to decompress. (A terminal .count() lets ColumnPruning strip the inner
+    // aggregates down to a metadata-only scan, warming nothing; same for a
+    // bare count().)
     Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
         "events", "documents", "embeddings")
       .foreach { t =>
         val df = spark.read.parquet(s"$sfDir/$t.parquet")
         df.select(df.columns.map(c =>
-          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col(c)).as(c)): _*).count()
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col(c)).as(c)): _*).collect()
       }
     // JIT-warm the regex text-match path (~2s of cold java.util.regex +
     // codegen that otherwise lands on whichever search query runs first)

@@ -40,18 +40,28 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // dump only the oracle entries for queries this run executed — a
-    // filtered dev run must not make check.py flag the others as missing
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // manifest of every query attempted (oracle AND rows-only): check.py
-    // counts any attempted query with no result dir as a failure
-    val manifest = SparkEntry.queries.keys.toSeq.sorted
-      .filter(k => only.forall(_.contains(k)))
-      .map(q).mkString("[", ",", "]")
-    Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    // Full runs dump everything. A FILTERED dev run writes only its own
+    // oracle entries + manifest — and only into a dir without a full dump
+    // already present: overwriting a full oracle_sql.json with one entry
+    // would downgrade the other stale result dirs to unvalidated
+    // "rows-only" and let check.py pass having verified almost nothing.
+    val filteredRun = only.isDefined
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    if (filteredRun && Files.exists(oraclePath))
+      System.err.println(s"[verify] filtered run: keeping existing ${oraclePath} " +
+        "(full compare stays authoritative); delete the dir for a clean filtered check")
+    else {
+      val json = SparkEntry.oracleSql
+        .filter { case (k, _) => only.forall(_.contains(k)) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(oraclePath, json)
+      // manifest of every query attempted (oracle AND rows-only): check.py
+      // counts any attempted query with no result dir as a failure
+      val manifest = SparkEntry.queries.keys.toSeq.sorted
+        .filter(k => only.forall(_.contains(k)))
+        .map(q).mkString("[", ",", "]")
+      Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
+    }
     spark.stop()
   }
 }

@@ -114,16 +114,24 @@ object Indexer {
   def fromBulkNdjson(bulk: DataFrame,
                      docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     import graft.functions.functions.json_get
-    val action = split(col("bulk"), "\n").getItem(0)
-    val payload = split(col("bulk"), "\n").getItem(1)
-    val updateBody = json_get(action, lit("update"))
-    val actionBody = coalesce(updateBody, json_get(action, lit("index")))
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // one split, one Jackson pass over the action line (from_json into a
+    // typed struct), one json_get on the payload — not a re-parse per probe
+    val idStruct = StructType(Seq(StructField("_index", StringType),
+      StructField("_id", StringType)))
+    val actionSchema = StructType(Seq(
+      StructField("update", idStruct), StructField("index", idStruct)))
+    val parts = split(col("bulk"), "\n")
+    val parsed = bulk.select(
+      from_json(parts.getItem(0), actionSchema).as("_action"),
+      parts.getItem(1).as("_payload"))
     // branch on the ACTION type, not a payload probe: an index-action doc
     // with a field literally named "doc" must not be unwrapped
-    val docJson = when(updateBody.isNotNull, json_get(payload, lit("doc")))
-      .otherwise(payload)
-    bulk.select(
-      json_get(actionBody, lit("_id")).as("doc_id"),
+    val docJson = when(col("_action.update").isNotNull,
+        json_get(col("_payload"), lit("doc")))
+      .otherwise(col("_payload"))
+    parsed.select(
+      coalesce(col("_action.update._id"), col("_action.index._id")).as("doc_id"),
       from_json(docJson, docSchema).as("doc"))
       .select(col("doc_id") +: docSchema.fieldNames.toSeq.map(f => col(s"doc.$f")): _*)
   }
@@ -136,8 +144,24 @@ object Indexer {
     * duplicate deliveries collapse to one row. One map-side-combinable
     * shuffle on the composite key. */
   def exactlyOnce(mutations: DataFrame, keyCol: String,
-                  mutationIdCol: String): DataFrame =
-    mutations.dropDuplicates(keyCol, mutationIdCol)
+                  mutationIdCol: String,
+                  versionCols: Seq[String] = Seq.empty): DataFrame = {
+    // deterministic winner among same-(key, mutation-id) deliveries:
+    // explicit version order when given, else a total order over the
+    // remaining columns (dropDuplicates would keep a partition-order-
+    // dependent arbitrary row — not auditable)
+    val order =
+      if (versionCols.nonEmpty) versionCols.map(c => col(c).desc)
+      else mutations.columns.toSeq
+        .filterNot(c => c == keyCol || c == mutationIdCol)
+        .map(c => col(c).desc_nulls_last)
+    if (order.isEmpty) mutations.dropDuplicates(keyCol, mutationIdCol)
+    else {
+      val w = Window.partitionBy(col(keyCol), col(mutationIdCol)).orderBy(order: _*)
+      mutations.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1).drop("_rn")
+    }
+  }
 
   /** R8 analog: shard-filter for multi-engine fan-out. The reference drops
     * hits outside the command's token range so N coordinators return no

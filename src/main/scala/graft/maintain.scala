@@ -75,9 +75,14 @@ object Maintain {
     * `date_format`, no shuffle). */
   def segmentIndexNameCol(alias: String, g: SegmentGranularity,
                           ts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    segmentDateFormat(g) match {
-      case Some(fmt) => concat(lit(s"${alias}_index@"), date_format(ts, fmt))
-      case None => lit(s"${alias}_index@")
+    g match {
+      case SegmentGranularity.Off => lit(s"${alias}_index@")
+      // refuse rather than silently collapsing every CUSTOM frame into the
+      // OFF-mode name (the scalar API throws for a missing custom name too)
+      case SegmentGranularity.Fixed(_) => throw new IllegalArgumentException(
+        "CUSTOM/fixed segments have user-supplied names — use segmentIndexName(alias, g, at, Some(name))")
+      case other =>
+        concat(lit(s"${alias}_index@"), date_format(ts, segmentDateFormat(other).get))
     }
 
   /** M3: list segments that still hold live docs (groupBy only ever emits

@@ -224,9 +224,12 @@ object QueryCompiler {
         val i = tok.indexOf(':')
         require(i > 0, s"expected field:term, got '$tok'")
         // Lucene boost suffix: field:term^N (integer boost weights the
-        // score contribution; match semantics unchanged)
+        // score contribution; match semantics unchanged). An escaped caret
+        // `\^` keeps the literal character in the term — strip the escape.
         val (value, boost) = tok.substring(i + 1) match {
-          case BoostRx(v, b) if !v.endsWith("\\") => (v, b.toInt)
+          case BoostRx(v, b) if v.endsWith("\\") =>
+            (v.dropRight(1) + "^" + b, 1)
+          case BoostRx(v, b) => (v, b.toInt)
           case v => (v, 1)
         }
         // phrase terms keep their inner spaces, quotes stripped

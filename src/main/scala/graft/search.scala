@@ -42,14 +42,22 @@ object Search {
     val meta = QueryMeta.parse(query)
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
     val hits0 = topK(docs, compiled, cfg, pkCols.head)
-    val hits =
-      if (!meta.loadSource) hits0
-      else hits0.withColumn("_source",
-        to_json(struct(docs.columns.toSeq.map(col): _*)))
+    val hits = withSource(hits0, docs.columns.toSeq, meta)
     if (meta.loadRows) hits
     else hits.select((pkCols.map(col) :+ col("_score")) ++
       (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
   }
+
+  /** `load-source=true` support shared by [[search]] and [[searchWithTotal]]:
+    * attach the full document as `_source` JSON. Nulls are emitted
+    * explicitly (`"f":null`) — a doc-store column is always present, so
+    * null means "null field", not "absent"; this also keeps the column
+    * distinguishable from discard-nulls write-path behavior. */
+  private def withSource(hits: DataFrame, docCols: Seq[String],
+                         meta: QueryMeta): DataFrame =
+    if (!meta.loadSource) hits
+    else hits.withColumn("_source",
+      to_json(struct(docCols.map(col): _*), Map("ignoreNullFields" -> "false")))
 
   /** Alias search: the reference searches the alias spanning all segments,
     * and untyped alias search spans multiple document types for
@@ -103,11 +111,14 @@ object Search {
     val matches = docs.where(compiled.predicate)
       .withColumn("_score", compiled.score)
     val stats = matches.agg(count(lit(1)).as("hit_count"), max(col("_score")).as("max_score"))
-    val hits = matches.crossJoin(broadcast(stats))
-      .orderBy(desc("_score"), col(pkCols.head))
-      .limit(limit)
+    val hits = withSource(
+      matches.crossJoin(broadcast(stats))
+        .orderBy(desc("_score"), col(pkCols.head))
+        .limit(limit),
+      docs.columns.toSeq, meta)
     if (meta.loadRows) hits
-    else hits.select((pkCols.map(col) ++ Seq(col("_score"), col("hit_count"), col("max_score"))): _*)
+    else hits.select((pkCols.map(col) ++ Seq(col("_score"), col("hit_count"), col("max_score"))) ++
+      (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
   }
 
   /** R4 upgrade: BM25 relevance over whole-word term matches.

@@ -140,6 +140,22 @@ class IndexerSpec extends AnyFunSuite {
     assert(insert == "{\"index\":{\"_index\":\"idx\",\"_id\":\"42\"}}\n{\"Value\":\"hello\"}")
   }
 
+  test("exactlyOnce picks a deterministic winner among differing duplicates") {
+    val replayed = Seq(
+      ("u1", 1L, "corrected"), ("u1", 1L, "original"),
+      ("u2", 2L, "only")).toDF("user", "mut_id", "payload")
+    val out = Indexer.exactlyOnce(replayed, "user", "mut_id")
+      .orderBy("user").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    // total order over remaining columns: 'o' < 'c' descending → "original"
+    assert(out == Seq(("u1", "original"), ("u2", "only")))
+    // explicit version order wins over the fallback
+    val versioned = Seq(("u1", 1L, 5L, "v5"), ("u1", 1L, 9L, "v9"))
+      .toDF("user", "mut_id", "ver", "payload")
+    val top = Indexer.exactlyOnce(versioned, "user", "mut_id", Seq("ver"))
+      .head.getString(3)
+    assert(top == "v9")
+  }
+
   test("buildDocs segments with CUSTOM fixed-width frames too") {
     val src = Seq(("1", "2024-03-05 10:30:00"), ("2", "2024-03-05 12:30:00"))
       .toDF("id", "ts").withColumn("ts", col("ts").cast("timestamp"))

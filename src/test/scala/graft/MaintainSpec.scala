@@ -80,5 +80,10 @@ class MaintainSpec extends AnyFunSuite {
     val out = df.select(Maintain.segmentIndexNameCol(
       "ks_t", SegmentGranularity.Month, col("ts"))).head.getString(0)
     assert(out == "ks_t_index@2024-03")
+    // Fixed frames have user-supplied names — the column form must refuse,
+    // not silently emit the OFF-mode constant for every row
+    intercept[IllegalArgumentException] {
+      Maintain.segmentIndexNameCol("ks_t", SegmentGranularity.Fixed(1000), col("ts"))
+    }
   }
 }

@@ -60,8 +60,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("salted join spreads the hot key across (key, salt) partitions") {
+    // _salt must appear in the join keys — a plain join (regressed salting)
+    // would still broadcast-hash-join and pass a weaker assertion
     val plan = planOf("q_skew_join")
-    assert(plan.contains("_salt") || plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("_salt"), plan.take(2000))
   }
 
   test("upsert merge is one full-outer join, map-side combinable batch side") {

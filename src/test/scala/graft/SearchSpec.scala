@@ -119,6 +119,25 @@ class SearchSpec extends AnyFunSuite {
     assert(out.toMap == Map("1" -> 4, "3" -> 3, "4" -> 1))
   }
 
+  test("escaped caret is a literal term character, not a boost") {
+    import spark.implicits._
+    val d = Seq(("1", "energy is m c^2 they say"), ("2", "plain c 2 text"))
+      .toDF("doc_id", "text")
+    val out = Search.search(d, "text:c\\^2", IndexConfig())
+      .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(out.toSeq == Seq(("1", 1))) // matches literal c^2 with boost 1
+  }
+
+  test("searchWithTotal honors load-source like search does") {
+    val out = Search.searchWithTotal(docs,
+      "#options:load-source=true#text:spark", IndexConfig())
+    assert(out.columns.contains("_source"))
+    val pkOnly = Search.searchWithTotal(docs,
+      "#options:load-source=true,load-rows=false#text:spark", IndexConfig())
+    assert(pkOnly.columns.toSeq ==
+      Seq("doc_id", "_score", "hit_count", "max_score", "_source"))
+  }
+
   test("metadata enrichment attaches global hit stats to every row") {
     val hits = Search.search(docs, "text:spark OR text:batch", IndexConfig())
     val meta = Search.withMeta(hits).select("hit_count", "max_score").distinct().head

@@ -601,6 +601,19 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))
     }),
+    "q_train_split" -> ((s, dir) => {
+      // deterministic 80/10/10 split: the three splits form a disjoint
+      // cover of the corpus (verified against raw per-PK multiplicities);
+      // fraction accuracy is spec-tested (SamplingSpec)
+      val li = tbl(s, dir, "lineitem")
+      val splits = pipeline.Sampling.split(li,
+        Seq("l_orderkey", "l_linenumber"), Seq(0.8, 0.1, 0.1), seed = 42L)
+      splits.map(_.select(col("l_orderkey"), col("l_linenumber")))
+        .reduce(_ unionAll _)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
     "q_text_entropy" -> ((s, dir) => {
       // token-frequency Shannon entropy — boilerplate/repetition signal
       TextStats.tokenEntropy(tbl(s, dir, "documents"), "text", "doc_id")
@@ -1049,6 +1062,10 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
            l_returnflag, l_linestatus
          FROM lineitem ORDER BY doc_id""",
+    "q_train_split" ->
+      """SELECT l_orderkey, l_linenumber, count(*) AS n
+         FROM lineitem GROUP BY 1, 2
+         ORDER BY l_orderkey, l_linenumber""",
     "q_text_entropy" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

@@ -589,6 +589,13 @@ object SparkEntry {
           col("stopword_ratio"), col("alpha_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_quality_filter" -> ((s, dir) => {
+      // the curation gate the metrics feed: Gopher/C4-style thresholds
+      TextStats.qualityFilter(tbl(s, dir, "documents"), "text",
+          minTokens = 20, maxMeanTokLen = 8.0, minStopwordRatio = 0.05)
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
     "q_text_tokens" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -980,6 +987,30 @@ object SparkEntry {
            round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                  / greatest(len(text), 1), 4) AS alpha_ratio
          FROM toks ORDER BY doc_id""",
+    "q_quality_filter" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk,
+             text
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(tk) AS n_tokens,
+             round(CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                   / greatest(len(tk), 1), 4) AS mean_tok_len,
+             round(CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE)
+                   / greatest(len(text), 1), 4) AS punct_ratio,
+             round(CAST(len(list_filter(tk,
+                   x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                   / greatest(len(tk), 1), 4) AS stopword_ratio,
+             round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / greatest(len(text), 1), 4) AS alpha_ratio
+           FROM toks)
+         SELECT doc_id, n_tokens, stopword_ratio FROM m
+         WHERE n_tokens >= 20 AND n_tokens <= 100000
+           AND mean_tok_len >= 2.0 AND mean_tok_len <= 8.0
+           AND punct_ratio <= 0.2 AND stopword_ratio >= 0.05
+           AND alpha_ratio >= 0.5
+         ORDER BY doc_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
            len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_ws_tokens,

@@ -44,6 +44,24 @@ object TextStats {
           greatest(length(t), lit(1)), 4))
   }
 
+  /** Pre-training quality gate: thresholds over [[qualityMetrics]] — the
+    * standard Gopher/C4-style heuristic filter. One codegen'd projection +
+    * filter; at 100 TB this is a narrow pass that prunes before any
+    * expensive dedup/embedding stage runs. Returns surviving rows with
+    * their metrics attached (callers drop them with `.drop` if unwanted). */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    minTokens: Int = 10, maxTokens: Int = 100000,
+                    minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+                    maxPunctRatio: Double = 0.2,
+                    minStopwordRatio: Double = 0.0,
+                    minAlphaRatio: Double = 0.5): DataFrame =
+    qualityMetrics(df, textCol)
+      .where(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("mean_tok_len") >= minMeanTokLen && col("mean_tok_len") <= maxMeanTokLen &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("stopword_ratio") >= minStopwordRatio &&
+        col("alpha_ratio") >= minAlphaRatio)
+
   /** Marker-word language heuristic: count hits of per-language marker sets,
     * pick the argmax (ties → first in declared order, 'und' when nothing
     * hits). An n-gram heuristic in the fastText spirit, kept deliberately

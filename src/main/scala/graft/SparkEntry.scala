@@ -118,6 +118,18 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_alias_typed" -> ((s, dir) => {
+      // typed alias search: each hit carries its document type (_type),
+      // like the reference's ES hits across an untyped alias
+      val partDocs = tbl(s, dir, "part")
+        .select(concat(lit("part-"), col("p_partkey")).as("doc_id"), col("p_name"))
+      val docDocs = tbl(s, dir, "documents")
+        .select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+      Search.searchAliasTyped(Seq("part" -> partDocs, "documents" -> docDocs),
+          "p_name:blue* OR text:filter", IndexConfig())
+        .select(col("doc_id"), col("_type"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_phrase" -> ((s, dir) => {
       // R2: quoted phrase terms match contiguous tokens
       Search.search(tbl(s, dir, "documents"),
@@ -710,6 +722,21 @@ object SparkEntry {
          SELECT doc_id, _score,
            count(*) OVER () AS hit_count, max(_score) OVER () AS max_score
          FROM hits ORDER BY doc_id""",
+    "q_search_alias_typed" ->
+      """WITH u AS (
+           SELECT 'part-' || CAST(p_partkey AS VARCHAR) AS doc_id,
+                  lower(p_name) AS pn, CAST(NULL AS VARCHAR) AS tx,
+                  'part' AS _type FROM part
+           UNION ALL
+           SELECT 'doc-' || CAST(doc_id AS VARCHAR),
+                  CAST(NULL AS VARCHAR), lower(text), 'documents' FROM documents)
+         SELECT doc_id, _type,
+           (CASE WHEN pn IS NOT NULL AND regexp_matches(pn, '\bblue[^\s]*') THEN 1 ELSE 0 END +
+            CASE WHEN tx IS NOT NULL AND regexp_matches(tx, '\bfilter\b') THEN 1 ELSE 0 END) AS _score
+         FROM u
+         WHERE (pn IS NOT NULL AND regexp_matches(pn, '\bblue[^\s]*'))
+            OR (tx IS NOT NULL AND regexp_matches(tx, '\bfilter\b'))
+         ORDER BY doc_id""",
     "q_search_alias" ->
       """WITH u AS (
            SELECT 'part-' || CAST(p_partkey AS VARCHAR) AS doc_id,

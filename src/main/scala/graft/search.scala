@@ -71,13 +71,31 @@ object Search {
     search(unioned, query, cfg, pkCols)
   }
 
+  /** Typed alias search: each hit carries its document type (the source
+    * table's name under the alias) as `_type`, like the reference's ES hits
+    * do (`_type` per hit; untyped search spans all types,
+    * README.md:680-683). */
+  def searchAliasTyped(tables: Seq[(String, DataFrame)], query: String,
+                       cfg: IndexConfig,
+                       pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(tables.nonEmpty, "alias must span at least one table")
+    val typed = tables.map { case (t, df) => df.withColumn("_type", lit(t)) }
+    searchAlias(typed, query, cfg, pkCols)
+  }
+
   /** R9: load full source rows for the surviving hits. Inner join naturally
     * drops rows that vanished from the base table (expired/deleted — the
     * reference skips those too, README.md:693-697). The hit side is capped at
     * max-results, so broadcast it — one scan of the base table, no shuffle
     * (reference does N point-reads instead: StreamingPartitionIterator.java:113-126). */
   def loadRows(hits: DataFrame, base: DataFrame, pkCols: Seq[String]): DataFrame = {
-    val hitKeys = hits.select((pkCols.map(col) :+ col("_score")): _*)
+    // carry every hit-side metadata column (_score, hit_count, _source, …)
+    // that does not collide with a base column — the reference injects all
+    // hit metadata into the loaded rows' dummy column (R10,
+    // FakePartitionIterator.java:104-114)
+    val metaCols = hits.columns.toSeq
+      .filterNot(c => base.columns.contains(c) && !pkCols.contains(c))
+    val hitKeys = hits.select(metaCols.map(col): _*)
     base.join(broadcast(hitKeys), pkCols, "inner")
   }
 

@@ -74,6 +74,27 @@ class SearchSpec extends AnyFunSuite {
     assert(loaded.columns.contains("_score") && loaded.columns.contains("payload"))
   }
 
+  test("row-load carries all hit metadata; base wins colliding columns") {
+    val base = Seq(("1", 10, "base-text")).toDF("doc_id", "payload", "text")
+    val hits = Search.withMeta(Search.search(docs, "text:spark", IndexConfig()))
+    val loaded = Search.loadRows(hits, base, Seq("doc_id"))
+    // meta columns survive the join; the hit-side `text` (collides with
+    // base) is dropped so the loaded row is the base's truth
+    assert(loaded.columns.count(_ == "text") == 1)
+    assert(Seq("hit_count", "max_score", "_score").forall(loaded.columns.contains))
+    assert(loaded.head.getAs[String]("text") == "base-text")
+  }
+
+  test("typed alias search labels hits with their document type") {
+    import spark.implicits._
+    val a = Seq(("a1", "spark rocks")).toDF("doc_id", "text")
+    val b = Seq(("b1", "spark too")).toDF("doc_id", "body")
+    val out = Search.searchAliasTyped(Seq("ta" -> a, "tb" -> b),
+        "text:spark OR body:spark", IndexConfig())
+      .select("doc_id", "_type").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a1", "ta"), ("b1", "tb")))
+  }
+
   test("negation matches rows where the field is absent (ES semantics)") {
     import spark.implicits._
     val d = Seq(("1", "alpha", "F"), ("2", "beta", null), ("3", "gamma", "O"))

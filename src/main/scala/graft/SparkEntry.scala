@@ -601,6 +601,17 @@ object SparkEntry {
           col("stopword_ratio"), col("alpha_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_chunk" -> ((s, dir) => {
+      // context-window chunking: 64-token chunks, 16-token overlap
+      TextStats.chunk(tbl(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "q_text_vocab" -> ((s, dir) => {
+      // corpus vocabulary: top-200 tokens (BPE/tokenizer training input)
+      TextStats.vocabulary(tbl(s, dir, "documents"), "text", k = 200)
+        .orderBy(desc("freq"), col("token"))
+    }),
     "q_quality_filter" -> ((s, dir) => {
       // the curation gate the metrics feed: Gopher/C4-style thresholds
       TextStats.qualityFilter(tbl(s, dir, "documents"), "text",
@@ -1014,6 +1025,26 @@ object SparkEntry {
            round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
                  / greatest(len(text), 1), 4) AS alpha_ratio
          FROM toks ORDER BY doc_id""",
+    "q_text_chunk" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         s AS (
+           SELECT doc_id, tk, len(tk) AS n, unnest(range(1, len(tk) + 1, 48)) AS st
+           FROM t WHERE len(tk) > 0)
+         SELECT doc_id, CAST((st - 1) // 48 AS INT) AS chunk_idx,
+           array_to_string(list_slice(tk, st, st + 63), ' ') AS chunk_text,
+           least(64, n - st + 1) AS chunk_len
+         FROM s WHERE (st - 1) // 48 = 0 OR st + 16 <= n
+         ORDER BY doc_id, chunk_idx""",
+    "q_text_vocab" ->
+      """WITH w AS (
+           SELECT unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> len(x) > 0)) AS token
+           FROM documents)
+         SELECT token, count(*) AS freq FROM w GROUP BY token
+         ORDER BY freq DESC, token LIMIT 200""",
     "q_quality_filter" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -84,11 +84,51 @@ object TextStats {
     }
   }
 
+  /** Corpus vocabulary: top-k tokens by frequency with a deterministic
+    * alphabetical tiebreak — the input to tokenizer/BPE training. Two
+    * map-side-combinable aggregates + a bounded top-k
+    * (`TakeOrderedAndProject`, never a global sort). */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0)).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(k)
+
   /** Content fingerprint: md5 of whitespace-normalized lowercased text —
     * the deterministic exact-dup key (rolling-hash shingle fingerprints are
     * covered by [[Dedup.minhashSignature]]). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Fixed-size token chunking with overlap — the standard context-window
+    * preparation step: each document becomes ⌈(n−overlap)/stride⌉ chunks of
+    * `chunkTokens` whitespace tokens, consecutive chunks sharing `overlap`
+    * tokens. Narrow explode (no shuffle); chunk boundaries are token
+    * offsets, deterministic per document.
+    *
+    * The token array is bound to a column BEFORE slicing — slicing inside a
+    * per-element lambda would re-tokenize per chunk (the interpreted-HOF
+    * trap). */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+            chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val withToks = df.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0).as("_tk"))
+    withToks
+      .where(size(col("_tk")) > 0)
+      .select(col(idCol), col("_tk"),
+        posexplode(sequence(lit(1), size(col("_tk")), lit(stride))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "_start")
+      // a trailing window whose fresh part is empty (start+overlap > n)
+      // would only repeat already-emitted tokens — drop it
+      .where(col("chunk_idx") === 0 || col("_start") + overlap <= size(col("_tk")))
+      .select(col(idCol), col("chunk_idx"),
+        concat_ws(" ", slice(col("_tk"), col("_start"), lit(chunkTokens))).as("chunk_text"),
+        least(lit(chunkTokens), size(col("_tk")) - col("_start") + 1).as("chunk_len"))
+  }
 
   /** Token-frequency Shannon entropy per document (nats):
     * H = ln(n) − Σ c·ln(c) / n over token counts c — low entropy flags

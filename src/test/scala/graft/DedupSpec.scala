@@ -126,6 +126,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!e.contains(3))  // empty text yields no row
   }
 
+  test("chunking: strided windows with overlap, trailing repeat dropped") {
+    val df = Seq((1, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    // 4-token chunks, overlap 2 → stride 2: starts 1,3,5,7 (9 dropped:
+    // its fresh part 11,12 is beyond n=10)
+    val out = TextStats.chunk(df, "text", "id", chunkTokens = 4, overlap = 2)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (0, "t1 t2 t3 t4", 4), (1, "t3 t4 t5 t6", 4),
+      (2, "t5 t6 t7 t8", 4), (3, "t7 t8 t9 t10", 4)))
+    // no overlap: partial final chunk survives
+    val plain = TextStats.chunk(df, "text", "id", chunkTokens = 4)
+      .orderBy("chunk_idx").collect().map(r => (r.getString(2), r.getInt(3)))
+    assert(plain.toSeq == Seq(("t1 t2 t3 t4", 4), ("t5 t6 t7 t8", 4), ("t9 t10", 2)))
+  }
+
+  test("vocabulary: top-k by frequency with alphabetical tiebreak") {
+    val df = Seq((1, "b b a a c")).toDF("id", "text")
+    val v = TextStats.vocabulary(df, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(v.toSeq == Seq(("a", 2L), ("b", 2L))) // tie broken alphabetically
+  }
+
   test("exact cosine pairs find all pairs over threshold, id_a < id_b") {
     val df = Seq(
       (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)))

@@ -71,6 +71,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"), plan.take(2000))
   }
 
+  test("vocabulary top-k is TakeOrderedAndProject, never a global sort") {
+    val plan = planOf("q_text_vocab")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("chunking is a narrow explode — no shuffle") {
+    val df = graft.pipeline.TextStats.chunk(
+      spark.read.parquet(s"$dir/documents.parquet"), "text", "doc_id", 64, 16)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("doc projection is shuffle-free (S2 narrow pipeline)") {
     val docs = Indexer.buildDocs(
       spark.read.parquet(s"$dir/lineitem.parquet"),

@@ -151,6 +151,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(assigned == Set(("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L), ("u2", 10L, 1L)))
   }
 
+  test("streaming exact dedup: duplicate deliveries collapse across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    // stateful streaming dropDuplicates — the streaming twin of
+    // Indexer.exactlyOnce: state remembers keys across micro-batches
+    val q = input.toDF().toDF("doc_id", "v")
+      .dropDuplicates("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      input.addData(("k1", "a"), ("k1", "a"), ("k2", "b"))
+      q.processAllAvailable()
+      input.addData(("k1", "a"), ("k3", "c")) // k1 replayed in a later batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT doc_id FROM dedup_out")
+      .collect().map(_.getString(0)).sorted
+    assert(out.toSeq == Seq("k1", "k2", "k3"))
+  }
+
   test("windowed counts with watermark (batch-equivalent check)") {
     import spark.implicits._
     val events = Seq(

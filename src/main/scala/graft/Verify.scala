@@ -40,28 +40,37 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Full runs dump everything. A FILTERED dev run writes only its own
-    // oracle entries + manifest — and only into a dir without a full dump
-    // already present: overwriting a full oracle_sql.json with one entry
-    // would downgrade the other stale result dirs to unvalidated
-    // "rows-only" and let check.py pass having verified almost nothing.
-    val filteredRun = only.isDefined
+    // Full runs dump everything. A FILTERED dev run MERGES its entries into
+    // whatever is already in the outDir (stale SQL for re-filtered queries
+    // is replaced; other entries survive so existing result dirs keep being
+    // hash-compared) — neither overwriting the full dump with one entry nor
+    // leaving a later filtered query unvalidated.
     val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
-    if (filteredRun && Files.exists(oraclePath))
-      System.err.println(s"[verify] filtered run: keeping existing ${oraclePath} " +
-        "(full compare stays authoritative); delete the dir for a clean filtered check")
-    else {
-      val json = SparkEntry.oracleSql
-        .filter { case (k, _) => only.forall(_.contains(k)) }
-        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(oraclePath, json)
-      // manifest of every query attempted (oracle AND rows-only): check.py
-      // counts any attempted query with no result dir as a failure
-      val manifest = SparkEntry.queries.keys.toSeq.sorted
-        .filter(k => only.forall(_.contains(k)))
-        .map(q).mkString("[", ",", "]")
-      Files.writeString(Paths.get(s"$outDir/manifest.json"), manifest)
-    }
+    val manifestPath = Paths.get(s"$outDir/manifest.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def existingObj(p: java.nio.file.Path): Map[String, String] =
+      if (!Files.exists(p)) Map.empty
+      else {
+        val node = mapper.readTree(Files.readString(p))
+        import scala.jdk.CollectionConverters._
+        node.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+      }
+    def existingArr(p: java.nio.file.Path): Set[String] =
+      if (!Files.exists(p)) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        mapper.readTree(Files.readString(p)).elements().asScala.map(_.asText).toSet
+      }
+    val oracleOut = existingObj(oraclePath) ++ SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
+    Files.writeString(oraclePath, oracleOut.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // manifest of every query attempted (oracle AND rows-only): check.py
+    // counts any attempted query with no result dir as a failure
+    val manifestOut = existingArr(manifestPath) ++
+      SparkEntry.queries.keys.filter(k => only.forall(_.contains(k)))
+    Files.writeString(manifestPath,
+      manifestOut.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -141,20 +141,27 @@ object Indexer {
     * once (reference: CStarUtils.java:490-506 isOwner;
     * EsSecondaryIndex.java:396-411). Spark's single-writer model replaces
     * election with deterministic dedup on (doc id, mutation id): replayed /
-    * duplicate deliveries collapse to one row. One map-side-combinable
-    * shuffle on the composite key. */
+    * duplicate deliveries collapse to one row.
+    *
+    * Cost: with `versionCols` (or orderable payload columns) this is one
+    * shuffle on the composite key plus a per-group sort (window) — NOT a
+    * map-side-combinable aggregate; when nothing is orderable it degrades
+    * to `dropDuplicates` (arbitrary-but-single row), which is. */
   def exactlyOnce(mutations: DataFrame, keyCol: String,
                   mutationIdCol: String,
                   versionCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     // deterministic winner among same-(key, mutation-id) deliveries:
     // explicit version order when given, else a total order over the
-    // remaining columns (dropDuplicates would keep a partition-order-
-    // dependent arbitrary row — not auditable)
+    // orderable remaining columns (dropDuplicates would keep a
+    // partition-order-dependent arbitrary row — not auditable). Unorderable
+    // types (maps) are excluded from the fallback order.
     val order =
       if (versionCols.nonEmpty) versionCols.map(c => col(c).desc)
-      else mutations.columns.toSeq
-        .filterNot(c => c == keyCol || c == mutationIdCol)
-        .map(c => col(c).desc_nulls_last)
+      else mutations.schema.fields.toSeq
+        .filterNot(f => f.name == keyCol || f.name == mutationIdCol)
+        .filter(f => RowOrdering.isOrderable(f.dataType))
+        .map(f => col(f.name).desc_nulls_last)
     if (order.isEmpty) mutations.dropDuplicates(keyCol, mutationIdCol)
     else {
       val w = Window.partitionBy(col(keyCol), col(mutationIdCol)).orderBy(order: _*)

@@ -28,10 +28,10 @@ object Sampling {
     val total = weights.sum
     val cuts = weights.scanLeft(0.0)(_ + _).map(w => (w / total * Buckets).toLong)
     val b = bucket(idCols, seed)
-    // ranges [cuts(i), cuts(i+1)); the last cut is forced to Buckets so
-    // rounding never drops the tail bucket
-    val bounds = cuts.init.zip(cuts.tail.init :+ Buckets)
-    bounds.zipWithIndex.tail.foldLeft(lit(0)) { case (acc, ((lo, _), i)) =>
+    // split i owns buckets [cuts(i), next lower bound); only lower bounds
+    // matter — the chained `when(b >= lo, i)` with the LAST matching bound
+    // winning is open-ended upward, so the tail bucket can never be dropped
+    cuts.init.zipWithIndex.tail.foldLeft(lit(0)) { case (acc, (lo, i)) =>
       when(b >= lo, i).otherwise(acc)
     }
   }

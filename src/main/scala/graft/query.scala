@@ -225,13 +225,15 @@ object QueryCompiler {
         require(i > 0, s"expected field:term, got '$tok'")
         // Lucene boost suffix: field:term^N (integer boost weights the
         // score contribution; match semantics unchanged). An escaped caret
-        // `\^` keeps the literal character in the term — strip the escape.
-        val (value, boost) = tok.substring(i + 1) match {
-          case BoostRx(v, b) if v.endsWith("\\") =>
-            (v.dropRight(1) + "^" + b, 1)
-          case BoostRx(v, b) => (v, b.toInt)
+        // `\^` is a literal term character anywhere in the token: a
+        // trailing escaped caret suppresses boost parsing, and every
+        // remaining `\^` is unescaped before matching (so `c\^2^5` is the
+        // literal term c^2 boosted by 5).
+        val (value0, boost) = tok.substring(i + 1) match {
+          case BoostRx(v, b) if !v.endsWith("\\") => (v, b.toInt)
           case v => (v, 1)
         }
+        val value = value0.replace("\\^", "^")
         // phrase terms keep their inner spaces, quotes stripped
         val unquoted =
           if (value.length >= 2 && value.startsWith("\"") && value.endsWith("\""))

@@ -146,7 +146,8 @@ class IndexerSpec extends AnyFunSuite {
       ("u2", 2L, "only")).toDF("user", "mut_id", "payload")
     val out = Indexer.exactlyOnce(replayed, "user", "mut_id")
       .orderBy("user").collect().map(r => (r.getString(0), r.getString(2))).toSeq
-    // total order over remaining columns: 'o' < 'c' descending → "original"
+    // fallback orders remaining columns descending: 'o' > 'c', so
+    // "original" sorts first and wins deterministically
     assert(out == Seq(("u1", "original"), ("u2", "only")))
     // explicit version order wins over the fallback
     val versioned = Seq(("u1", 1L, 5L, "v5"), ("u1", 1L, 9L, "v9"))
@@ -154,6 +155,11 @@ class IndexerSpec extends AnyFunSuite {
     val top = Indexer.exactlyOnce(versioned, "user", "mut_id", Seq("ver"))
       .head.getString(3)
     assert(top == "v9")
+    // unorderable (map) columns are excluded from the fallback order and
+    // never break the call
+    val mapped = Seq(("u1", 1L, Map("a" -> 1), "x"), ("u1", 1L, Map("a" -> 2), "x"))
+      .toDF("user", "mut_id", "m", "payload")
+    assert(Indexer.exactlyOnce(mapped, "user", "mut_id").count() == 1)
   }
 
   test("buildDocs segments with CUSTOM fixed-width frames too") {

@@ -147,6 +147,10 @@ class SearchSpec extends AnyFunSuite {
     val out = Search.search(d, "text:c\\^2", IndexConfig())
       .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
     assert(out.toSeq == Seq(("1", 1))) // matches literal c^2 with boost 1
+    // escaped caret composes with a real boost suffix: literal c^2, boost 5
+    val boosted = Search.search(d, "text:c\\^2^5", IndexConfig())
+      .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(boosted.toSeq == Seq(("1", 5)))
   }
 
   test("searchWithTotal honors load-source like search does") {

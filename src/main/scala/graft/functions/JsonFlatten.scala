@@ -121,6 +121,33 @@ case class JsonGetExpr(left: Expression, right: Expression)
   override def prettyName: String = "json_get"
 }
 
+/** Dotted→structured JSON conversion for index properties: the reference
+  * expands `{"index.translog.durability":"async"}` into nested objects
+  * before handing settings to ES 7 (reference: JsonUtils.java:306-325,
+  * applied ElasticIndex.java:346-352; golden JsonUtilsTest.java:87-95).
+  * Insertion order is preserved; an intermediate key already bound to a
+  * non-object fails (same as the reference's getAsJsonObject cast). */
+object JsonShape {
+  private val mapper = new ObjectMapper()
+
+  def dottedToStructured(json: String): String = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val src = mapper.readTree(json)
+    require(src != null && src.isObject, "expected a JSON object")
+    val dest = mapper.createObjectNode()
+    src.properties().asScala.foreach { e =>
+      val keys = e.getKey.split("\\.")
+      var node: ObjectNode = dest
+      keys.init.foreach { k =>
+        if (!node.has(k)) node.set[ObjectNode](k, mapper.createObjectNode())
+        node = node.get(k).asInstanceOf[ObjectNode]
+      }
+      node.set[ObjectNode](keys.last, e.getValue)
+    }
+    mapper.writeValueAsString(dest)
+  }
+}
+
 object functions {
   import org.apache.spark.sql.graft.Bridge
 

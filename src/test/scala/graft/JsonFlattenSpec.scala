@@ -1,4 +1,5 @@
 package graft
+// includes the dotted→structured golden from the reference (JsonUtilsTest)
 
 import graft.functions.JsonFlattenExpr
 import org.scalacheck.Gen
@@ -53,5 +54,19 @@ class JsonFlattenSpec extends AnyFunSuite {
         assert(vs != null && vs.forall(_ != null), s"null element for: $js")
       }
     }
+  }
+
+  test("dotted→structured matches the reference golden (JsonUtilsTest.java:87-95)") {
+    val src = """{"index.translog.durability":"async","analysis.analyzer.email_analyzer.filter":"lowercase","analysis.analyzer.html_analyzer.tokenizer":"ngram","analysis.analyzer.email_analyzer.type":"pattern","index.analysis.normalizer.lower_ascii_normalizer.filter":["lowercase","asciifolding"],"index.analysis.analyzer.lowercase_analyzer.filter":"lowercase","index.analysis.analyzer.lowercase_analyzer.type":"custom","analysis.analyzer.html_analyzer.type":"custom","analysis.analyzer.html_analyzer.filter":"lowercase","analysis.analyzer.html_analyzer.char_filter":"html_strip","index.analysis.normalizer.lower_ascii_normalizer.type":"custom","index.analysis.analyzer.lowercase_analyzer.tokenizer":"keyword"}"""
+    val exp = """{"index":{"translog":{"durability":"async"},"analysis":{"normalizer":{"lower_ascii_normalizer":{"filter":["lowercase","asciifolding"],"type":"custom"}},"analyzer":{"lowercase_analyzer":{"filter":"lowercase","type":"custom","tokenizer":"keyword"}}}},"analysis":{"analyzer":{"email_analyzer":{"filter":"lowercase","type":"pattern"},"html_analyzer":{"tokenizer":"ngram","type":"custom","filter":"lowercase","char_filter":"html_strip"}}}}"""
+    assert(graft.functions.JsonShape.dottedToStructured(src) == exp)
+  }
+
+  test("dotted→structured rejects non-objects; plain keys pass through") {
+    intercept[IllegalArgumentException] {
+      graft.functions.JsonShape.dottedToStructured("""[1,2]""")
+    }
+    assert(graft.functions.JsonShape.dottedToStructured("""{"a":1,"b":"x"}""") ==
+      """{"a":1,"b":"x"}""")
   }
 }

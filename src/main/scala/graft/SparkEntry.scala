@@ -527,8 +527,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_corpus" -> ((s, dir) => {
-      // rows-only: end-to-end near-dup removal (LSH pairs -> connected
-      // components -> keep canonical min-id member per cluster)
+      // end-to-end near-dup removal (LSH pairs -> connected components ->
+      // keep canonical min-id member per cluster). Oracle: exact jaccard
+      // pairs (LSH recall 1.0 on this corpus) + recursive-CTE transitive
+      // closure — the same clusters, computed declaratively.
       pipeline.Dedup.dedupCorpus(tbl(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
@@ -1182,6 +1184,30 @@ object SparkEntry {
            min(ts) AS session_start, max(ts) AS session_end
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         label AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a)
+         SELECT d.doc_id FROM documents d
+         WHERE d.doc_id NOT IN (SELECT id FROM label WHERE mn < id)
+         ORDER BY d.doc_id""",
     "q_dedup_minhash" ->
       """WITH t AS (
            SELECT doc_id,
@@ -1211,6 +1237,6 @@ object SparkEntry {
     // rows-only (genuinely approximate or non-SQL): q_dedup_simhash
     // (xxhash64 signature), q_dedup_embedding / q_similarity_lsh /
     // q_similarity_ivf (LSH/IVF recall < 1 — honest approximation),
-    // q_multimodal_decode (stub checksum), q_dedup_corpus (clustering)
+    // q_multimodal_decode (stub checksum)
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{JsonFlattenExpr, JsonGetExpr, MinHashSig, SimHash64, VecDot, VecNorm, WordShingles}
+import graft.functions.{FuzzyTokenMatch, JsonFlattenExpr, JsonGetExpr, MinHashSig, SimHash64, VecDot, VecNorm, WordShingles}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -39,7 +39,17 @@ object GraftExtensions {
     ("minhash_sig", 2, args => MinHashSig(args(0), intArg(args(1), "minhash_sig"))),
     ("simhash64", 1, args => SimHash64(args.head)),
     ("vec_dot", 2, args => VecDot(args(0), args(1))),
-    ("vec_norm", 1, args => VecNorm(args.head)))
+    ("vec_norm", 1, args => VecNorm(args.head)),
+    ("fuzzy_token_match", 3, args => FuzzyTokenMatch(args(0),
+      stringArg(args(1), "fuzzy_token_match"),
+      intArg(args(2), "fuzzy_token_match"))))
+
+  private def stringArg(e: Expression, fn: String): String = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
+      String.valueOf(lit.value)
+    case other =>
+      throw new IllegalArgumentException(s"$fn parameter must be a literal, got $other")
+  }
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case lit: org.apache.spark.sql.catalyst.expressions.Literal =>

@@ -200,6 +200,14 @@ object SparkEntry {
           IndexConfig(), Seq("doc_id"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_fuzzy" -> ((s, dir) => {
+      // R2: Lucene fuzzy — any token within edit distance 1 of 'sprk'
+      // (native FuzzyTokenMatch expression; tight DP loop per row)
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs, "text:sprk~1", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_boost" -> ((s, dir) => {
       // R2/R4: Lucene boost syntax — term^N weights the score contribution
       val docs = tbl(s, dir, "documents")
@@ -1117,6 +1125,13 @@ object SparkEntry {
                                source := source, n_chars := n_chars)) AS _source
          FROM documents
          WHERE regexp_matches(lower(text), '\bwindow\b') AND lower(lang) = 'en'
+         ORDER BY doc_id""",
+    "q_search_fuzzy" ->
+      """SELECT doc_id, 1 AS _score
+         FROM documents
+         WHERE len(list_filter(
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
+                 t -> levenshtein(t, 'sprk') <= 1)) > 0
          ORDER BY doc_id""",
     "q_search_boost" ->
       """SELECT doc_id,

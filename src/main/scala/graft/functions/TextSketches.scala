@@ -121,6 +121,63 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** Fuzzy whole-token match: true when any whitespace token of `child` is
+  * within Levenshtein distance `maxDist` of `term` (case-insensitive) —
+  * Lucene's `term~N` semantics (the reference defers fuzzy syntax to
+  * Lucene; README.md query examples). One tight loop per row with the
+  * standard two-row DP and an early length-difference reject; a
+  * higher-order-function formulation would re-tokenize per element. */
+case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(maxDist >= 0, "maxDist must be >= 0")
+  private val target = term.toLowerCase
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  private def within(tok: String): Boolean = {
+    val a = tok; val b = target
+    if (math.abs(a.length - b.length) > maxDist) return false
+    // two-row Levenshtein with early exit when the row minimum exceeds maxDist
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var cur = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i
+      var rowMin = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin > maxDist) return false
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length) <= maxDist
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start && within(text.substring(start, i)))
+          return java.lang.Boolean.TRUE
+        start = i + 1
+      }
+      i += 1
+    }
+    java.lang.Boolean.FALSE
+  }
+
+  override protected def withNewChildInternal(c: Expression): FuzzyTokenMatch = copy(child = c)
+  override def prettyName: String = "fuzzy_token_match"
+}
+
 object TextSketchFunctions {
   def word_shingles(toks: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(toks), k))
@@ -128,4 +185,6 @@ object TextSketchFunctions {
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
   def simhash64(toks: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(toks)))
+  def fuzzy_token_match(text: Column, term: String, maxDist: Int): Column =
+    Bridge.column(FuzzyTokenMatch(Bridge.expression(text), term, maxDist))
 }

@@ -50,9 +50,10 @@ object QueryMeta {
   * (ElasticIndex.java:127, 663-665 wraps the raw string; README.md:176-211).
   * A Spark engine must own the grammar, so this compiler supports a declared,
   * reproducible subset — Lucene-lite (`field:term`, `field:pre*`,
-  * `field:[a TO b]`, `AND`/`OR`/`NOT`, parentheses) and the ES-DSL JSON
+  * `field:term~N` fuzzy, `field:term^N` boost, `field:[a TO b]`,
+  * `AND`/`OR`/`NOT`, parentheses) and the ES-DSL JSON
   * operators `term`, `terms`, `ids`, `match`, `match_phrase`, `prefix`,
-  * `wildcard`, `range`, `exists`,
+  * `wildcard`, `fuzzy`, `range`, `exists`,
   * `bool{must,should,must_not,filter,minimum_should_match}`,
   * `query_string`, `match_all` with top-level `size`.
   *
@@ -111,6 +112,7 @@ object QueryCompiler {
   private[graft] object LuceneLite {
     sealed trait Node
     case class Term(field: String, value: String, boost: Int = 1) extends Node
+    case class Fuzzy(field: String, value: String, dist: Int, boost: Int = 1) extends Node
     case class Range(field: String, lo: String, hi: String,
                      incLo: Boolean, incHi: Boolean, boost: Int = 1) extends Node
     case class And(l: Node, r: Node) extends Node
@@ -124,6 +126,10 @@ object QueryCompiler {
       def toCol(n: Node, pos: Boolean): Column = n match {
         case Term(f, v, boost) =>
           val c = termMatch(f, v); if (pos) leaves += ((c, boost)); c
+        case Fuzzy(f, v, dist, boost) =>
+          val c = graft.functions.TextSketchFunctions
+            .fuzzy_token_match(col(f), v, dist)
+          if (pos) leaves += ((c, boost)); c
         case Range(f, lo, hi, il, ih, boost) =>
           val base = col(f)
           val loC = if (lo == "*") lit(true) else if (il) base >= lo else base > lo
@@ -215,6 +221,7 @@ object QueryCompiler {
       """([\w.]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])(?:\^(\d+))?""".r
 
     private val BoostRx = """(.*)\^(\d+)$""".r
+    private val FuzzyRx = """(.*)~(\d*)$""".r
 
     private def atom(tok: String): Node = tok match {
       case RangeRx(f, lb, lo, hi, rb, boost) =>
@@ -229,18 +236,28 @@ object QueryCompiler {
         // trailing escaped caret suppresses boost parsing, and every
         // remaining `\^` is unescaped before matching (so `c\^2^5` is the
         // literal term c^2 boosted by 5).
-        val (value0, boost) = tok.substring(i + 1) match {
+        val (value1, boost) = tok.substring(i + 1) match {
           case BoostRx(v, b) if !v.endsWith("\\") => (v, b.toInt)
           case v => (v, 1)
         }
-        val value = value0.replace("\\^", "^")
+        // Lucene fuzzy suffix on the remaining value: term~N (N edits) or
+        // bare term~ (Lucene default 2); `\~` is a literal tilde
+        val (value0, fuzzy) = value1 match {
+          case FuzzyRx(v, d) if !v.endsWith("\\") =>
+            (v, Some(if (d.isEmpty) 2 else d.toInt))
+          case v => (v, None)
+        }
+        val value = value0.replace("\\^", "^").replace("\\~", "~")
         // phrase terms keep their inner spaces, quotes stripped
         val unquoted =
           if (value.length >= 2 && value.startsWith("\"") && value.endsWith("\""))
             value.substring(1, value.length - 1)
           else value
         require(unquoted.nonEmpty, s"empty term in '$tok'")
-        Term(tok.substring(0, i), unquoted, boost)
+        fuzzy match {
+          case Some(d) => Fuzzy(tok.substring(0, i), unquoted, d, boost)
+          case None => Term(tok.substring(0, i), unquoted, boost)
+        }
     }
   }
 
@@ -288,6 +305,29 @@ object QueryCompiler {
             case "prefix"       => termMatch(f, text + "*")
             case "wildcard"     => termMatch(f, text)           // value carries '*'
           }
+          if (scoring) leaves += ((c, 1))
+          c
+        case "fuzzy" =>
+          // {"fuzzy":{"f":"v"}} (Lucene default distance 2) or
+          // {"fuzzy":{"f":{"value":"v","fuzziness":1}}}
+          val (f, v) = singleField(body)
+          val (text, dist) =
+            if (v.isTextual) (v.asText, 2)
+            else {
+              val value = Option(v.get("value"))
+                .getOrElse(throw new IllegalArgumentException("fuzzy requires 'value'"))
+              require(value.isTextual && value.asText.nonEmpty,
+                s"fuzzy expects a non-empty string value, got: $v")
+              val fz = Option(v.get("fuzziness")).map { n =>
+                require(n.isIntegralNumber,
+                  s"fuzziness supports integers only, got: $n")
+                n.asInt
+              }.getOrElse(2)
+              (value.asText, fz)
+            }
+          require(text.nonEmpty, "fuzzy expects a non-empty string value")
+          val c = graft.functions.TextSketchFunctions
+            .fuzzy_token_match(col(f), text, dist)
           if (scoring) leaves += ((c, 1))
           c
         case "terms" => // {"terms":{"f":["a","b",...]}} — exact-value disjunction

@@ -45,10 +45,11 @@ object GraftExtensions {
       intArg(args(2), "fuzzy_token_match"))))
 
   private def stringArg(e: Expression, fn: String): String = e match {
-    case lit: org.apache.spark.sql.catalyst.expressions.Literal =>
-      String.valueOf(lit.value)
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal if lit.value != null =>
+      lit.value.toString
     case other =>
-      throw new IllegalArgumentException(s"$fn parameter must be a literal, got $other")
+      throw new IllegalArgumentException(
+        s"$fn parameter must be a non-null literal, got $other")
   }
 
   private def intArg(e: Expression, fn: String): Int = e match {

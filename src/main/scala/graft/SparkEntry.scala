@@ -1131,7 +1131,7 @@ object SparkEntry {
          FROM documents
          WHERE len(list_filter(
                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
-                 t -> levenshtein(t, 'sprk') <= 1)) > 0
+                 t -> damerau_levenshtein(t, 'sprk') <= 1)) > 0
          ORDER BY doc_id""",
     "q_search_boost" ->
       """SELECT doc_id,

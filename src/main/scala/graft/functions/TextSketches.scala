@@ -122,51 +122,72 @@ case class SimHash64(child: Expression)
 }
 
 /** Fuzzy whole-token match: true when any whitespace token of `child` is
-  * within Levenshtein distance `maxDist` of `term` (case-insensitive) —
-  * Lucene's `term~N` semantics (the reference defers fuzzy syntax to
-  * Lucene; README.md query examples). One tight loop per row with the
-  * standard two-row DP and an early length-difference reject; a
-  * higher-order-function formulation would re-tokenize per element. */
+  * within Damerau-Levenshtein (optimal string alignment: transposition = 1
+  * edit, like Lucene's default FuzzyQuery) distance `maxDist` of `term`,
+  * case-insensitive. `maxDist` is capped at 2, Lucene's own limit. One
+  * tight three-row DP per token with an early length-difference reject and
+  * reused buffers; tokenization splits on Java-regex `\s` characters
+  * (exactly [[graft.pipeline.Dedup.tokens]]'s and RE2's `\s` class — NOT
+  * `Character.isWhitespace`, whose Unicode extras would diverge from the
+  * DuckDB oracle). */
 case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int)
     extends UnaryExpression with CodegenFallback {
-  require(maxDist >= 0, "maxDist must be >= 0")
+  require(maxDist >= 0 && maxDist <= 2,
+    "maxDist must be in [0, 2] (Lucene caps fuzzy edits at 2)")
   private val target = term.toLowerCase
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
-  private def within(tok: String): Boolean = {
-    val a = tok; val b = target
-    if (math.abs(a.length - b.length) > maxDist) return false
-    // two-row Levenshtein with early exit when the row minimum exceeds maxDist
-    var prev = Array.tabulate(b.length + 1)(identity)
-    var cur = new Array[Int](b.length + 1)
+  // DP rows sized by the fixed target; per-instance reuse is safe —
+  // each Spark task deserializes its own expression tree copy
+  @transient private lazy val row0 = new Array[Int](target.length + 1)
+  @transient private lazy val row1 = new Array[Int](target.length + 1)
+  @transient private lazy val row2 = new Array[Int](target.length + 1)
+
+  /** OSA distance ≤ maxDist between text[from,until) (lowercased on the
+    * fly) and the target. */
+  private def within(text: String, from: Int, until: Int): Boolean = {
+    val aLen = until - from
+    val b = target
+    if (math.abs(aLen - b.length) > maxDist) return false
+    var prev2 = row0; var prev = row1; var cur = row2
+    var j = 0
+    while (j <= b.length) { prev(j) = j; j += 1 }
     var i = 1
-    while (i <= a.length) {
+    while (i <= aLen) {
       cur(0) = i
+      val ac = Character.toLowerCase(text.charAt(from + i - 1))
       var rowMin = i
-      var j = 1
-      while (j <= b.length) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
-        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
-        if (cur(j) < rowMin) rowMin = cur(j)
-        j += 1
+      var jj = 1
+      while (jj <= b.length) {
+        val cost = if (ac == b.charAt(jj - 1)) 0 else 1
+        var d = math.min(math.min(cur(jj - 1) + 1, prev(jj) + 1), prev(jj - 1) + cost)
+        if (i > 1 && jj > 1 && ac == b.charAt(jj - 2) &&
+            Character.toLowerCase(text.charAt(from + i - 2)) == b.charAt(jj - 1))
+          d = math.min(d, prev2(jj - 2) + 1) // transposition
+        cur(jj) = d
+        if (d < rowMin) rowMin = d
+        jj += 1
       }
       if (rowMin > maxDist) return false
-      val t = prev; prev = cur; cur = t
+      val t = prev2; prev2 = prev; prev = cur; cur = t
       i += 1
     }
     prev(b.length) <= maxDist
   }
 
+  // Java-regex \s class: [ \t\n\x0B\f\r]
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   override protected def nullSafeEval(v: Any): Any = {
-    val text = v.asInstanceOf[UTF8String].toString.toLowerCase
+    val text = v.asInstanceOf[UTF8String].toString
     var start = 0
     val n = text.length
     var i = 0
     while (i <= n) {
-      if (i == n || Character.isWhitespace(text.charAt(i))) {
-        if (i > start && within(text.substring(start, i)))
-          return java.lang.Boolean.TRUE
+      if (i == n || isWs(text.charAt(i))) {
+        if (i > start && within(text, start, i)) return java.lang.Boolean.TRUE
         start = i + 1
       }
       i += 1

@@ -241,9 +241,13 @@ object QueryCompiler {
           case v => (v, 1)
         }
         // Lucene fuzzy suffix on the remaining value: term~N (N edits) or
-        // bare term~ (Lucene default 2); `\~` is a literal tilde
+        // bare term~ (Lucene default 2); `\~` is a literal tilde. Phrase
+        // proximity ("a b"~N slop) and ranges are NOT fuzzy — reject
+        // instead of silently reinterpreting them as whole-string fuzzies.
         val (value0, fuzzy) = value1 match {
           case FuzzyRx(v, d) if !v.endsWith("\\") =>
+            require(!v.startsWith("\"") && !v.startsWith("[") && !v.startsWith("{"),
+              s"proximity/slop and fuzzy ranges are not supported: '$tok'")
             (v, Some(if (d.isEmpty) 2 else d.toInt))
           case v => (v, None)
         }
@@ -309,26 +313,29 @@ object QueryCompiler {
           c
         case "fuzzy" =>
           // {"fuzzy":{"f":"v"}} (Lucene default distance 2) or
-          // {"fuzzy":{"f":{"value":"v","fuzziness":1}}}
+          // {"fuzzy":{"f":{"value":"v","fuzziness":1,"boost":3}}} — unknown
+          // keys are rejected, not silently dropped (prefix_length etc.
+          // would otherwise miscompile without a trace)
           val (f, v) = singleField(body)
-          val (text, dist) =
-            if (v.isTextual) (v.asText, 2)
+          val (text, dist, boost) =
+            if (v.isTextual) (v.asText, 2, 1)
             else {
+              val unknown = v.fieldNames.asScala.toSet -- Set("value", "fuzziness", "boost")
+              require(unknown.isEmpty, s"unsupported fuzzy option(s): ${unknown.mkString(", ")}")
               val value = Option(v.get("value"))
                 .getOrElse(throw new IllegalArgumentException("fuzzy requires 'value'"))
               require(value.isTextual && value.asText.nonEmpty,
                 s"fuzzy expects a non-empty string value, got: $v")
-              val fz = Option(v.get("fuzziness")).map { n =>
-                require(n.isIntegralNumber,
-                  s"fuzziness supports integers only, got: $n")
+              def intOpt(key: String, dflt: Int) = Option(v.get(key)).map { n =>
+                require(n.isIntegralNumber, s"$key supports integers only, got: $n")
                 n.asInt
-              }.getOrElse(2)
-              (value.asText, fz)
+              }.getOrElse(dflt)
+              (value.asText, intOpt("fuzziness", 2), intOpt("boost", 1))
             }
           require(text.nonEmpty, "fuzzy expects a non-empty string value")
           val c = graft.functions.TextSketchFunctions
             .fuzzy_token_match(col(f), text, dist)
-          if (scoring) leaves += ((c, 1))
+          if (scoring) leaves += ((c, boost))
           c
         case "terms" => // {"terms":{"f":["a","b",...]}} — exact-value disjunction
           val (f, v) = singleField(body)

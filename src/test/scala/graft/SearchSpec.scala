@@ -129,25 +129,48 @@ class SearchSpec extends AnyFunSuite {
     import spark.implicits._
     val d = Seq(("1", "apache spark engine"), ("2", "a sparkling drink"),
       ("3", "nothing here")).toDF("doc_id", "text")
-    // sprk~1 → spark (1 edit); sparkling is 5 edits away
+    // sprk~1 → spark (1 edit); sparkling is too far
     val lucene = Search.search(d, "text:sprk~1", IndexConfig())
       .select("doc_id").collect().map(_.getString(0)).sorted
     assert(lucene.toSeq == Seq("1"))
-    // bare ~ uses Lucene's default distance 2: sprk→sparkling is too far,
-    // sprk→spark (1) and sprk→spar? hmm spar absent; d=2 adds nothing here
     val dsl = Search.search(d,
       """{"query":{"fuzzy":{"text":{"value":"sprk","fuzziness":1}}}}""", IndexConfig())
       .select("doc_id").collect().map(_.getString(0)).sorted
     assert(dsl.toSeq == Seq("1"))
-    // fuzzy + boost compose: matched fuzzy leaf scores its boost
+    // bare ~ and the DSL short string form use Lucene's default distance 2:
+    // spk→spark is 2 edits, beyond ~1 but within ~
+    val bare = Search.search(d, "text:spk~", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(bare.toSeq == Seq("1"))
+    assert(Search.search(d, "text:spk~1", IndexConfig()).count() == 0)
+    val dslShort = Search.search(d, """{"query":{"fuzzy":{"text":"spk"}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).sorted
+    assert(dslShort.toSeq == Seq("1"))
+    // transposition counts as ONE edit (Lucene Damerau default): sprak~1
+    val transposed = Search.search(d, "text:sprak~1", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(transposed.toSeq == Seq("1"))
+    // fuzzy + boost compose: matched fuzzy leaf scores its boost (both forms)
     val boosted = Search.search(d, "text:sprk~1^4", IndexConfig())
       .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
     assert(boosted.toSeq == Seq(("1", 4)))
+    val dslBoost = Search.search(d,
+      """{"query":{"fuzzy":{"text":{"value":"sprk","fuzziness":1,"boost":3}}}}""",
+      IndexConfig()).select("doc_id", "_score")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(dslBoost.toSeq == Seq(("1", 3)))
     // escaped tilde is a literal term character
     val lit = Search.search(
       Seq(("9", "version a~2 here")).toDF("doc_id", "text"),
       "text:a\\~2", IndexConfig()).select("doc_id").collect().map(_.getString(0))
     assert(lit.toSeq == Seq("9"))
+    // proximity/slop and fuzzy ranges are rejected, not misinterpreted;
+    // unknown DSL fuzzy options are rejected; distance is capped at 2
+    assert(QueryCompiler.validate("text:\"apache spark\"~2").isLeft)
+    assert(QueryCompiler.validate("x:[1 TO 5]~2").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"fuzzy":{"text":{"value":"x","prefix_length":1}}}}""").isLeft)
+    assert(QueryCompiler.validate("text:spark~5").isLeft)
   }
 
   test("DSL ids targets the caller's pk column, not a hardcoded doc_id") {

@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.{Dedup, Sampling, Sessionize, Similarity, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input hardening: every operator family must behave on empty
+  * corpora and single-row inputs — a 100 TB pipeline's first dry run is
+  * always against an empty partition somewhere. */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc = Seq((1L, "solo document text")).toDF("doc_id", "text")
+
+  test("search over an empty corpus returns no rows, no error") {
+    assert(Search.search(emptyDocs, "text:x", IndexConfig()).count() == 0)
+    assert(Search.searchWithTotal(emptyDocs, "text:x", IndexConfig()).count() == 0)
+    assert(Search.withMeta(
+      Search.search(emptyDocs, "text:x", IndexConfig())).count() == 0)
+  }
+
+  test("bm25 on an empty corpus yields no rows; on one doc a finite score") {
+    assert(Search.bm25(emptyDocs, "text", Seq("x")).count() == 0)
+    val one = Search.bm25(oneDoc, "text", Seq("solo")).select("_bm25").head.getDouble(0)
+    assert(!one.isNaN && !one.isInfinite && one > 0)
+  }
+
+  test("dedup family is total on empty and singleton corpora") {
+    assert(Dedup.exact(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.exact(oneDoc, "text", "doc_id").count() == 1)
+    assert(Dedup.minhashPairs(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.minhashPairs(oneDoc, "text", "doc_id").count() == 0)
+    assert(Dedup.simhashPairs(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.jaccardPairs(oneDoc, "text", "doc_id", 0.5).count() == 0)
+    // corpus dedup of an empty/singleton corpus is the identity
+    assert(Dedup.dedupCorpus(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.dedupCorpus(oneDoc, "text", "doc_id").count() == 1)
+  }
+
+  test("clusters of an empty pair list is an empty labeling") {
+    val pairs = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jaccard")
+    assert(Dedup.clusters(pairs).count() == 0)
+  }
+
+  test("similarity paths handle empty corpora and empty query sets") {
+    val emptyVec = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val oneVec = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(emptyVec, oneVec.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec")), 5).count() == 0)
+    assert(Similarity.bruteForceTopK(oneVec, emptyVec.select(
+      col("vec_id").as("query_id"), col("embedding").as("query_vec")), 5).count() == 0)
+    assert(Similarity.cosinePairsExact(oneVec, 0.5).count() == 0)
+    assert(Similarity.cosinePairs(emptyVec, 0.5).count() == 0)
+  }
+
+  test("text operators are total on empty corpora and empty strings") {
+    val withEmpty = Seq((1L, ""), (2L, "   "), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    assert(TextStats.tokenEntropy(withEmpty, "text", "doc_id").count() == 1)
+    assert(TextStats.chunk(withEmpty, "text", "doc_id", 4).count() == 1)
+    assert(TextStats.vocabulary(emptyDocs, "text", 10).count() == 0)
+    val q = TextStats.qualityMetrics(withEmpty, "text")
+    assert(q.count() == 3) // metrics defined (greatest(...,1) guards) for all
+    assert(TextStats.qualityFilter(withEmpty, "text", minTokens = 1).count() == 1)
+  }
+
+  test("sessionize and sampling on empty/single inputs") {
+    val emptyEv = Seq.empty[(String, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(Sessionize.summarize(emptyEv, "user_id", "ts", 1800).count() == 0)
+    val oneEv = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val s = Sessionize.summarize(oneEv, "user_id", "ts", 1800).head
+    assert(s.getLong(1) == 1L && s.getLong(2) == 1L) // one session, one event
+    assert(Sampling.split(emptyDocs, Seq("doc_id"), Seq(0.5, 0.5)).map(_.count()).sum == 0)
+    assert(Sampling.deterministicSample(oneDoc, Seq("doc_id"), 1.0).count() == 1)
+    assert(Sampling.deterministicSample(oneDoc, Seq("doc_id"), 0.0).count() == 0)
+  }
+
+  test("indexer paths on empty batches") {
+    val docs = Seq(("k1", 1L, "v")).toDF("doc_id", "ver", "v")
+    val empty = Seq.empty[(String, Long, String)].toDF("doc_id", "ver", "v")
+    // empty update batch: store unchanged (both merge and replace paths)
+    assert(Indexer.upsert(docs, empty, "doc_id", Seq("ver")).count() == 1)
+    assert(Indexer.upsert(docs, empty, "doc_id", Seq("ver"),
+      IndexConfig(insertOnly = true)).count() == 1)
+    // empty store: batch lands whole
+    assert(Indexer.upsert(empty, docs, "doc_id", Seq("ver")).count() == 1)
+    assert(Indexer.delete(docs, empty.select("doc_id"), Seq("doc_id")).count() == 1)
+    assert(Indexer.exactlyOnce(empty, "doc_id", "ver").count() == 0)
+    assert(Indexer.fromBulkNdjson(
+      Indexer.toBulkNdjson(empty, "idx").select("bulk"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))).count() == 0)
+  }
+}

@@ -60,5 +60,10 @@ final case class IndexConfig(
   indexationDate: Boolean = true,
   /** Tolerate malformed JSON in json-serialized fields instead of failing the
     * write (reference: ElasticIndex.java:118, 519-524 skip-bad-json). */
-  skipBadJson: Boolean = false
+  skipBadJson: Boolean = false,
+  /** M13 dummy mode: every sink operation becomes a no-op (the reference
+    * falls back to a no-op index when ES is unreachable under force-start,
+    * or when `dummy=true`: EsDummyIndex.java:31-113;
+    * EsSecondaryIndex.java:144-146, 160-167). Reads are unaffected. */
+  dummy: Boolean = false
 )

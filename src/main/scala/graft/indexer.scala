@@ -67,6 +67,7 @@ object Indexer {
     */
   def upsert(existing: DataFrame, updates: DataFrame, keyCol: String,
              versionCols: Seq[String], cfg: IndexConfig = IndexConfig()): DataFrame = {
+    if (cfg.dummy) return existing // M13: writes are no-ops
     val batch = latestPerKey(updates, keyCol, versionCols)
     if (cfg.insertOnly || !cfg.discardNulls)
       existing.join(batch.select(keyCol), Seq(keyCol), "left_anti")
@@ -189,6 +190,6 @@ object Indexer {
     * IndexConfig.java:107-108). */
   def delete(docs: DataFrame, deletes: DataFrame, keyCols: Seq[String],
              cfg: IndexConfig = IndexConfig()): DataFrame =
-    if (cfg.analyticMode) docs
+    if (cfg.analyticMode || cfg.dummy) docs // M6 / M13
     else docs.join(deletes.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
 }

@@ -93,6 +93,7 @@ object OptionReader {
       jsonSerializedFields = csv("json-serialized-fields"),
       jsonFlatSerializedFields = csv("json-flat-serialized-fields"),
       indexationDate = bool("per-index-date", dflt = true),
-      skipBadJson = bool("skip-bad-json", dflt = false))
+      skipBadJson = bool("skip-bad-json", dflt = false),
+      dummy = bool("dummy", dflt = false))
   }
 }

@@ -76,6 +76,16 @@ class IndexerSpec extends AnyFunSuite {
       Seq(("k1", null, "newW")))
   }
 
+  test("dummy mode makes every sink a no-op; reads unaffected (M13)") {
+    val docs = Seq(("k1", 1L, "orig")).toDF("doc_id", "ver", "v")
+    val batch = Seq(("k1", 9L, "upd"), ("k2", 9L, "new")).toDF("doc_id", "ver", "v")
+    val cfg = IndexConfig(dummy = true)
+    assert(Indexer.upsert(docs, batch, "doc_id", Seq("ver"), cfg)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq == Seq(("k1", "orig")))
+    assert(Indexer.delete(docs, batch.select("doc_id"), Seq("doc_id"), cfg).count() == 1)
+    assert(OptionReader.toConfig(OptionReader.resolve(Map("dummy" -> "true"))).dummy)
+  }
+
   test("delete removes by key; analytic mode suppresses deletes") {
     val docs = Seq(("a", 1), ("b", 2)).toDF("doc_id", "v")
     val dels = Seq("a").toDF("doc_id")

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
@@ -28,25 +28,78 @@ private object VecOps {
     case IntegerType => a.getInt(i).toDouble
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
+
+  /** Integer tag for codegen (a DataType can't appear in generated Java). */
+  def tag(et: DataType): Int = et match {
+    case DoubleType => 0
+    case FloatType => 1
+    case LongType => 2
+    case IntegerType => 3
+    case other => throw new IllegalArgumentException(s"unsupported element type $other")
+  }
+}
+
+/** Static kernels the generated Java calls directly — keeps the vector math
+  * inside WholeStageCodegen (CodegenFallback would re-materialize and box
+  * an InternalRow per call). Scala object methods surface as static
+  * forwarders, so Janino resolves `graft.functions.VecKernels.dot(...)`. */
+object VecKernels {
+  @inline private def get(a: ArrayData, tag: Int, i: Int): Double = tag match {
+    case 0 => a.getDouble(i)
+    case 1 => a.getFloat(i).toDouble
+    case 2 => a.getLong(i).toDouble
+    case _ => a.getInt(i).toDouble
+  }
+
+  def dot(a: ArrayData, ta: Int, b: ArrayData, tb: Int): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: dimension mismatch ($n vs ${b.numElements()})")
+    var s = 0.0d; var i = 0
+    while (i < n) { s += get(a, ta, i) * get(b, tb, i); i += 1 }
+    s
+  }
+
+  /** Fused cosine; null when either norm is zero. */
+  def cosine(a: ArrayData, ta: Int, b: ArrayData, tb: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_cosine: dimension mismatch ($n vs ${b.numElements()})")
+    var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+    while (i < n) {
+      val x = get(a, ta, i); val y = get(b, tb, i)
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0d) null else java.lang.Double.valueOf(dot / denom)
+  }
+
+  def norm(a: ArrayData, ta: Int): Double = {
+    var s = 0.0d; var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = get(a, ta, i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
 }
 
 /** Σ aᵢ·bᵢ in one pass. Mismatched dimensions are corrupt data — fail
   * loudly rather than score a truncated garbage vector as a plausible match. */
 case class VecDot(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val ta = VecOps.elemType(left.dataType); val tb = VecOps.elemType(right.dataType)
-    val n = a.numElements()
-    if (b.numElements() != n)
-      throw new IllegalArgumentException(
-        s"vec_dot: dimension mismatch (${n} vs ${b.numElements()})")
-    var s = 0.0d; var i = 0
-    while (i < n) { s += VecOps.get(a, ta, i) * VecOps.get(b, tb, i); i += 1 }
-    s
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.dot(l.asInstanceOf[ArrayData], VecOps.tag(VecOps.elemType(left.dataType)),
+      r.asInstanceOf[ArrayData], VecOps.tag(VecOps.elemType(right.dataType)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ta, tb) = (VecOps.tag(VecOps.elemType(left.dataType)),
+      VecOps.tag(VecOps.elemType(right.dataType)))
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VecKernels.dot($a, $ta, $b, $tb);")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
@@ -59,24 +112,26 @@ case class VecDot(left: Expression, right: Expression)
   * CodegenFallback — no CSE). NULL when either norm is zero (NaN would sort
   * above every double and win every desc top-k); dimension mismatch throws. */
 case class VecCosine(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
-    val ta = VecOps.elemType(left.dataType); val tb = VecOps.elemType(right.dataType)
-    val n = a.numElements()
-    if (b.numElements() != n)
-      throw new IllegalArgumentException(
-        s"vec_cosine: dimension mismatch (${n} vs ${b.numElements()})")
-    var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
-    while (i < n) {
-      val x = VecOps.get(a, ta, i); val y = VecOps.get(b, tb, i)
-      dot += x * y; na += x * x; nb += y * y; i += 1
-    }
-    val denom = math.sqrt(na) * math.sqrt(nb)
-    if (denom == 0.0d) null else java.lang.Double.valueOf(dot / denom)
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VecKernels.cosine(l.asInstanceOf[ArrayData], VecOps.tag(VecOps.elemType(left.dataType)),
+      r.asInstanceOf[ArrayData], VecOps.tag(VecOps.elemType(right.dataType)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val (ta, tb) = (VecOps.tag(VecOps.elemType(left.dataType)),
+      VecOps.tag(VecOps.elemType(right.dataType)))
+    // boxed result: a zero-norm vector yields SQL NULL, not NaN
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("cos")
+      s"""
+         |java.lang.Double $boxed = graft.functions.VecKernels.cosine($a, $ta, $b, $tb);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.doubleValue(); }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
@@ -86,17 +141,17 @@ case class VecCosine(left: Expression, right: Expression)
 
 /** ‖v‖₂ in one pass. */
 case class VecNorm(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData]
-    val t = VecOps.elemType(child.dataType)
-    var s = 0.0d; var i = 0
-    val n = a.numElements()
-    while (i < n) { val x = VecOps.get(a, t, i); s += x * x; i += 1 }
-    math.sqrt(s)
+  override protected def nullSafeEval(v: Any): Any =
+    VecKernels.norm(v.asInstanceOf[ArrayData], VecOps.tag(VecOps.elemType(child.dataType)))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = VecOps.tag(VecOps.elemType(child.dataType))
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VecKernels.norm($a, $t);")
   }
 
   override protected def withNewChildInternal(c: Expression): VecNorm = copy(child = c)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FuzzyTokenMatch, JsonFlattenExpr, JsonGetExpr, MinHashSig, SimHash64, VecDot, VecNorm, WordShingles}
+import graft.functions.{FuzzyTokenMatch, JsonFlattenExpr, JsonGetExpr, MinHashSig, RhpBuckets, SimHash64, VecCosine, VecDot, VecNorm, WordShingles}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -39,7 +39,10 @@ object GraftExtensions {
     ("minhash_sig", 2, args => MinHashSig(args(0), intArg(args(1), "minhash_sig"))),
     ("simhash64", 1, args => SimHash64(args.head)),
     ("vec_dot", 2, args => VecDot(args(0), args(1))),
+    ("vec_cosine", 2, args => VecCosine(args(0), args(1))),
     ("vec_norm", 1, args => VecNorm(args.head)),
+    ("rhp_buckets", 3, args => RhpBuckets(args(0),
+      intArg(args(1), "rhp_buckets"), intArg(args(2), "rhp_buckets"))),
     ("fuzzy_token_match", 3, args => FuzzyTokenMatch(args(0),
       stringArg(args(1), "fuzzy_token_match"),
       intArg(args(2), "fuzzy_token_match"))))

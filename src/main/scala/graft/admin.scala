@@ -69,7 +69,9 @@ object Admin {
         val next = OptionReader.toConfig(OptionReader.resolve(opts))
         (Seq(("settings", "reloaded", opts.size)).toDF("op", "status", "n_options"), next)
       case AdminCommand.Truncate =>
-        (Maintain.truncate(docs), cfg)
+        // dummy mode (M13) no-ops every sink, truncate included
+        // (reference: EsDummyIndex.java truncate no-op)
+        (if (cfg.dummy) docs else Maintain.truncate(docs), cfg)
     }
   }
 

@@ -122,19 +122,23 @@ case class SimHash64(child: Expression)
 }
 
 /** Fuzzy whole-token match: true when any whitespace token of `child` is
-  * within Damerau-Levenshtein (optimal string alignment: transposition = 1
-  * edit, like Lucene's default FuzzyQuery) distance `maxDist` of `term`,
-  * case-insensitive. `maxDist` is capped at 2, Lucene's own limit. One
-  * tight three-row DP per token with an early length-difference reject and
-  * reused buffers; tokenization splits on Java-regex `\s` characters
-  * (exactly [[graft.pipeline.Dedup.tokens]]'s and RE2's `\s` class — NOT
-  * `Character.isWhitespace`, whose Unicode extras would diverge from the
-  * DuckDB oracle). */
+  * within restricted Damerau-Levenshtein (optimal string alignment:
+  * adjacent transposition = 1 edit, the metric of Lucene's fuzzy automaton)
+  * distance `maxDist` of `term`, case-insensitive. `maxDist` is capped at
+  * 2, Lucene's own limit. NOTE: OSA and *unrestricted* DL (DuckDB's
+  * `damerau_levenshtein`) agree at distance ≤ 1 but can differ at 2
+  * (substring edits after a transposition) — oracle parity is declared for
+  * distance 1. One tight three-row DP per token with an early
+  * length-difference reject and reused buffers; tokenization splits on the
+  * RE2 `\s` class so it matches the oracle's `string_split_regex`. */
 case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int)
     extends UnaryExpression with CodegenFallback {
   require(maxDist >= 0 && maxDist <= 2,
     "maxDist must be in [0, 2] (Lucene caps fuzzy edits at 2)")
-  private val target = term.toLowerCase
+  // fold the target per-char exactly like the tokens below — a
+  // locale-sensitive String.toLowerCase would diverge (tr-TR dotless ı,
+  // U+0130 expanding to two chars) and break distance-0 self-matches
+  private val target: String = term.map(Character.toLowerCase)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
@@ -176,9 +180,11 @@ case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int)
     prev(b.length) <= maxDist
   }
 
-  // Java-regex \s class: [ \t\n\x0B\f\r]
+  // RE2 \s class, [ \t\n\f\r] -- the oracle's string_split_regex
+  // tokenizer. (Java's \s additionally has \x0B; RE2 does not -- excluded
+  // for parity.)
   private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
   override protected def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String].toString

@@ -29,12 +29,15 @@ private object VecOps {
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 
-  /** Integer tag for codegen (a DataType can't appear in generated Java). */
+  /** Integer tag for codegen (a DataType can't appear in generated Java).
+    * NullType (`array()` literals) tags to 4: legal for EMPTY arrays — the
+    * kernels never read an element — and fails loudly on element access. */
   def tag(et: DataType): Int = et match {
     case DoubleType => 0
     case FloatType => 1
     case LongType => 2
     case IntegerType => 3
+    case NullType => 4
     case other => throw new IllegalArgumentException(s"unsupported element type $other")
   }
 }
@@ -48,7 +51,9 @@ object VecKernels {
     case 0 => a.getDouble(i)
     case 1 => a.getFloat(i).toDouble
     case 2 => a.getLong(i).toDouble
-    case _ => a.getInt(i).toDouble
+    case 3 => a.getInt(i).toDouble
+    case _ => throw new IllegalArgumentException(
+      "vector kernel: unsupported element type (null-typed non-empty array?)")
   }
 
   def dot(a: ArrayData, ta: Int, b: ArrayData, tb: Int): Double = {

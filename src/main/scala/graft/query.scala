@@ -330,7 +330,9 @@ object QueryCompiler {
                 require(n.isIntegralNumber, s"$key supports integers only, got: $n")
                 n.asInt
               }.getOrElse(dflt)
-              (value.asText, intOpt("fuzziness", 2), intOpt("boost", 1))
+              val bst = intOpt("boost", 1)
+              require(bst >= 1, s"boost must be a positive integer, got $bst")
+              (value.asText, intOpt("fuzziness", 2), bst)
             }
           require(text.nonEmpty, "fuzzy expects a non-empty string value")
           val c = graft.functions.TextSketchFunctions

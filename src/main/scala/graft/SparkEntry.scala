@@ -309,11 +309,7 @@ object SparkEntry {
         .withColumn("segment", date_format(col("o_orderdate"), "yyyy-MM"))
       val path = java.nio.file.Files
         .createTempDirectory("graft_index_create").toString
-      // cluster by segment before the partitioned write: without it every
-      // task writes a file into every partition dir (tasks × segments small
-      // files — the classic 100 TB write anti-pattern)
-      o.repartition(col("segment"))
-        .write.mode("overwrite").partitionBy("segment").parquet(path)
+      Indexer.writeSegmented(o, path) // segment-clustered partitioned write
       s.read.parquet(path)
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
         .orderBy(col("segment"))

@@ -36,6 +36,21 @@ object Indexer {
     DocModel.project(withSeg, pkCols, ckCols, cfg, now, ttlCol)
   }
 
+  /** M1/M2 physical: write the doc store segment-partitioned, clustered by
+    * segment first — without the repartition every task writes a file into
+    * every partition directory (tasks × segments small files, the classic
+    * 100 TB write anti-pattern). `maxRecordsPerFile` caps file size inside
+    * big segments (0 = Spark default). */
+  def writeSegmented(docs: DataFrame, path: String,
+                     segmentCol: String = "segment",
+                     maxRecordsPerFile: Long = 0L): Unit = {
+    val writer = docs.repartition(col(segmentCol))
+      .write.mode("overwrite").partitionBy(segmentCol)
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer).parquet(path)
+  }
+
   /** S3: upsert with last-write-wins per doc id (`doc_as_upsert` semantics,
     * reference: ElasticIndex.java:130, 603-614). `versionCols` break ties
     * deterministically (e.g. event timestamp then a unique id) — the Spark

@@ -51,6 +51,21 @@ class MaintainSpec extends AnyFunSuite {
       "segment", _ => true).isEmpty)
   }
 
+  test("writeSegmented clusters by segment: one file per partition dir") {
+    val path = java.nio.file.Files.createTempDirectory("graft_wseg").toString
+    val docs = (1 to 1000).map(i => (i, s"2024-0${i % 3 + 1}")).toDF("id", "segment")
+      .repartition(8) // many input tasks — the anti-pattern precondition
+    Indexer.writeSegmented(docs, path)
+    val fs = new java.io.File(path).listFiles().filter(_.getName.startsWith("segment="))
+    assert(fs.length == 3)
+    // clustered write → a single parquet file per segment dir, not 8
+    fs.foreach { dir =>
+      val parts = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"${dir.getName} has $parts files")
+    }
+    assert(spark.read.parquet(path).count() == 1000)
+  }
+
   test("segment index names match the reference goldens") {
     // reference: ElasticIndexTest.java:129-168
     val alias = Maintain.aliasName("testKeyspace", "testTable")

@@ -1,5 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Task-metrics tap: accumulates shuffle bytes across all stages so each
+  * bench query can report its shuffle volume — the direct measure of the
+  * "minimize shuffles" design rule (a correct-but-shuffle-heavy plan is
+  * not done). */
+private class ShuffleTap extends org.apache.spark.scheduler.SparkListener {
+  val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+  override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null)
+      shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,18 +48,31 @@ object Bench {
     import org.apache.spark.sql.functions.{col, lower}
     spark.read.parquet(s"$sfDir/documents.parquet")
       .where(lower(col("text")).rlike("\\bwarmup_token_zzz\\b")).count()
+    val tap = new ShuffleTap
+    spark.sparkContext.addSparkListener(tap)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val sh0 = { // complete metrics before reading the counter
+        org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+        tap.shuffleBytes.get()
+      }
       // a failed query must be visible as -1, not recorded as a normal
       // (time-to-failure) timing
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+      val shuffled = tap.shuffleBytes.get() - sh0
+      name -> (if (ok) sec else -1.0, shuffled)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, (_, s)) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val totalShuffle = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

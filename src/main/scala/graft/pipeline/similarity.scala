@@ -60,17 +60,28 @@ object Similarity {
     * cost is proportional to bucket collision volume, not corpus size ×
     * query count. The 100 TB path: the bucketed corpus can be written
     * pre-partitioned by (band, bucket) so probes touch only matching
-    * partitions. */
+    * partitions.
+    *
+    * Shuffle discipline: only (query_id, id) pairs pass through the
+    * candidate-dedup exchange — vectors are joined back afterwards
+    * (measured: carrying embeddings through the shuffle cost ~10× the
+    * bytes at sf0.01 and scales with dims). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bands: Int = 4, bitsPerBand: Int = 8,
               idCol: String = "vec_id", vecCol: String = "embedding",
               qIdCol: String = "query_id", qVecCol: String = "query_vec",
               excludeSelf: Boolean = true): DataFrame = {
     val c = banded(corpus, idCol, vecCol, bands, bitsPerBand)
+      .select(col("band"), col("bucket"), col(idCol))
     val q = banded(queries, qIdCol, qVecCol, bands, bitsPerBand)
+      .select(col("band"), col("bucket"), col(qIdCol))
     val joined = c.join(broadcast(q), Seq("band", "bucket"))
-    val candidates = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
+    val idPairs = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
+      .select(col(qIdCol), col(idCol))
       .dropDuplicates(qIdCol, idCol)
+    val candidates = idPairs
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
       .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
     val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
     candidates.withColumn("rank", row_number().over(w))
@@ -100,12 +111,20 @@ object Similarity {
   def cosinePairs(df: DataFrame, threshold: Double,
                   bands: Int = 8, bitsPerBand: Int = 4,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // shuffle ids, not vectors: the banded self-join and pair-dedup move
+    // only (band, bucket, id); embeddings join back per surviving side —
+    // the same discipline as Dedup.minhashPairs' shingle-set verification
     val b = banded(df, idCol, vecCol, bands, bitsPerBand)
-    b.select(col("band"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-      .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("v_b")),
+      .select(col("band"), col("bucket"), col(idCol))
+    val idPairs = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+      .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b")),
         Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    idPairs
+      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

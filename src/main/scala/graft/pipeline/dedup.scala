@@ -125,6 +125,12 @@ object Dedup {
     df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
   }
 
+  /** Shuffle note: unlike the embedding-LSH paths (which shuffle ids only
+    * and join vectors back — see [[Similarity.cosinePairs]]), the banded
+    * rows here carry the 8-byte signature through the exchange: the carry
+    * costs less than the two extra verification joins it would replace.
+    * The id-only discipline pays off when the payload is wide (vectors,
+    * shingle sets), not for one long. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDist: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 31, "maxDist must be in [1, 31]")

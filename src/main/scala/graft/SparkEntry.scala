@@ -1181,12 +1181,17 @@ object SparkEntry {
          SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
          FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_sessionize" ->
-      """WITH e AS (
+      """WITH ev AS (
+           -- events.ts is parquet TIMESTAMP(NANOS); Spark truncates to micros
+           -- (tbl(): ts div 1000), so truncate here too or session bounds
+           -- hash-differ in the sub-microsecond digits
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         e AS (
            SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
                   THEN 1 ELSE 0 END AS new_s
-           FROM events),
+           FROM ev),
          s AS (
            SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq

@@ -215,6 +215,29 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_grouping" -> ((s, dir) => {
+      // R2: field grouping (field distributes over bare terms), group boost,
+      // `-` prohibited operator, `?` single-char wildcard
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+          "text:(spark OR batch)^2 AND -lang:de AND source:src1?",
+          IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_search_dsl_long" -> ((s, dir) => {
+      // R3: ES-DSL long object bodies — the form ES clients emit
+      // ({"match":{"f":{"query":…,"boost":…}}}, {"term":{"f":{"value":…}}})
+      val q = """{"query":{"bool":{
+                   "must":[{"match":{"text":{"query":"spark","boost":2}}},
+                           {"term":{"lang":{"value":"en"}}}],
+                   "must_not":[{"wildcard":{"source":{"value":"src1*"}}}]}},
+                  "size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_skew_join" -> ((s, dir) => {
       // skew mitigation: salted join must equal the plain join, row for row
       val large = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))

@@ -49,13 +49,16 @@ object QueryMeta {
   * The reference delegates all query syntax to Elasticsearch/Lucene
   * (ElasticIndex.java:127, 663-665 wraps the raw string; README.md:176-211).
   * A Spark engine must own the grammar, so this compiler supports a declared,
-  * reproducible subset — Lucene-lite (`field:term`, `field:pre*`,
-  * `field:term~N` fuzzy, `field:term^N` boost, `field:[a TO b]`,
-  * `AND`/`OR`/`NOT`, parentheses) and the ES-DSL JSON
+  * reproducible subset — Lucene-lite (`field:term`, `field:pre*` / `te?t`
+  * wildcards, `field:term~N` fuzzy, `field:term^N` boost, `field:[a TO b]`,
+  * `AND`/`OR`/`NOT`, `+`required/`-`prohibited, parentheses, and field
+  * grouping `field:(a OR b)^N`) and the ES-DSL JSON
   * operators `term`, `terms`, `ids`, `match`, `match_phrase`, `prefix`,
   * `wildcard`, `fuzzy`, `range`, `exists`,
   * `bool{must,should,must_not,filter,minimum_should_match}`,
-  * `query_string`, `match_all` with top-level `size`.
+  * `query_string`, `match_all` with top-level `size` — each leaf in both
+  * the short scalar form and the long object body ES clients emit
+  * (`{"match":{"f":{"query":…,"boost":…}}}`).
   *
   * Scoring: `_score` = number of positive leaf clauses the row matches —
   * deterministic and oracle-computable, standing in for ES relevance
@@ -88,13 +91,25 @@ object QueryCompiler {
 
   // ---- shared leaf semantics (declared; see Scaladoc above) ----
 
-  /** `field:term` → case-insensitive whole-token containment; `*` wildcards
-    * become regex fragments anchored to token boundaries. */
+  /** `field:term` → case-insensitive whole-token containment; `*` (any run)
+    * and `?` (exactly one char) wildcards become regex fragments anchored to
+    * token boundaries (Lucene wildcard semantics; reference defers to Lucene,
+    * ElasticIndex.java:663-665). */
   private[graft] def termMatch(field: String, term: String): Column = {
     val lowered = lower(col(field))
-    if (term.contains("*")) {
-      val parts = term.toLowerCase.split("\\*", -1).map(java.util.regex.Pattern.quote)
-      val body = parts.mkString("[^\\s]*")
+    if (term.contains("*") || term.contains("?")) {
+      val body = new StringBuilder
+      val run = new StringBuilder
+      def flush(): Unit =
+        if (run.nonEmpty) { body ++= java.util.regex.Pattern.quote(run.toString); run.clear() }
+      term.toLowerCase.foreach {
+        case '*' => flush(); body ++= "[^\\s]*"
+        case '?' => flush(); body ++= "[^\\s]"
+        case c   => run += c
+      }
+      flush()
+      // `?` consumes exactly one non-space char, so token-boundary anchors
+      // stay; only a leading/trailing `*` (zero-or-more) drops its anchor
       val rx = (if (term.startsWith("*")) "" else "\\b") + body +
                (if (term.endsWith("*")) "" else "\\b")
       lowered.rlike(rx)
@@ -146,12 +161,26 @@ object QueryCompiler {
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(defaultLimit))
     }
 
-    // tokenizer: parens, AND/OR/NOT keywords, field:value atoms, ranges
-    private def parse(q: String): Node = {
+    // tokenizer: parens, AND/OR/NOT keywords, field:value atoms, ranges,
+    // field groups. `defaultField` is the field bare terms bind to — set
+    // only inside a `field:(...)` group (Lucene's grouping syntax,
+    // README.md:176-211 shows user queries that use it).
+    private def parse(q: String, defaultField: Option[String] = None): Node = {
       val toks = tokenize(q)
-      val (node, rest) = parseOr(toks)
+      val (node, rest) = parseOr(toks, defaultField)
       require(rest.isEmpty, s"trailing tokens: ${rest.mkString(" ")}")
       node
+    }
+
+    /** Multiply every positive-leaf boost by `n` — a trailing `^N` on a
+      * group distributes over its terms. */
+    private def mapBoost(node: Node, n: Int): Node = node match {
+      case t: Term  => t.copy(boost = t.boost * n)
+      case f: Fuzzy => f.copy(boost = f.boost * n)
+      case r: Range => r.copy(boost = r.boost * n)
+      case And(l, r) => And(mapBoost(l, n), mapBoost(r, n))
+      case Or(l, r)  => Or(mapBoost(l, n), mapBoost(r, n))
+      case Not(x)    => Not(x) // negated leaves never score
     }
 
     private def tokenize(q: String): List[String] = {
@@ -173,11 +202,25 @@ object QueryCompiler {
                 val end = s.indexWhere(ch => ch == ']' || ch == '}', j + 1)
                 require(end > 0, s"unclosed range in: $q")
                 j = end + 1
-              } else if (s(j) == ':' && j + 1 < s.length && s(j + 1) == '"') {
-                // phrase term: field:"a b c"
-                val end = s.indexOf('"', j + 2)
+              } else if (s(j) == '"') {
+                // phrase: field:"a b c" or a bare "a b c" inside a group —
+                // inner whitespace belongs to the token
+                val end = s.indexOf('"', j + 1)
                 require(end > 0, s"unclosed phrase in: $q")
                 j = end + 1
+              } else if (s(j) == ':' && j + 1 < s.length && s(j + 1) == '(') {
+                // field group: field:(...) — one token spanning the
+                // balanced parens (inner syntax parsed recursively in atom)
+                var k = j + 1
+                var depth = 0
+                var closed = false
+                while (k < s.length && !closed) {
+                  if (s(k) == '(') depth += 1
+                  else if (s(k) == ')') { depth -= 1; closed = depth == 0 }
+                  k += 1
+                }
+                require(closed, s"unclosed group in: $q")
+                j = k
               } else j += 1
             }
             out += s.substring(i, j); i = j
@@ -186,57 +229,89 @@ object QueryCompiler {
       out.toList
     }
 
-    private def parseOr(t: List[String]): (Node, List[String]) = {
-      var (l, rest) = parseAnd(t)
+    private def parseOr(t: List[String], df: Option[String]): (Node, List[String]) = {
+      var (l, rest) = parseAnd(t, df)
       while (rest.headOption.exists(_.equalsIgnoreCase("OR"))) {
-        val (r, rr) = parseAnd(rest.tail); l = Or(l, r); rest = rr
+        val (r, rr) = parseAnd(rest.tail, df); l = Or(l, r); rest = rr
       }
       (l, rest)
     }
 
-    private def parseAnd(t: List[String]): (Node, List[String]) = {
-      var (l, rest) = parseUnary(t)
+    private def parseAnd(t: List[String], df: Option[String]): (Node, List[String]) = {
+      var (l, rest) = parseUnary(t, df)
       while (rest.headOption.exists(h =>
         h.equalsIgnoreCase("AND") ||
           (!h.equalsIgnoreCase("OR") && h != ")"))) {
         // implicit AND for adjacent clauses (Lucene default operator here: AND)
         val next = if (rest.head.equalsIgnoreCase("AND")) rest.tail else rest
-        val (r, rr) = parseUnary(next); l = And(l, r); rest = rr
+        val (r, rr) = parseUnary(next, df); l = And(l, r); rest = rr
       }
       (l, rest)
     }
 
-    private def parseUnary(t: List[String]): (Node, List[String]) = t match {
+    private def parseUnary(t: List[String], df: Option[String]): (Node, List[String]) = t match {
       case h :: tail if h.equalsIgnoreCase("NOT") =>
-        val (n, rest) = parseUnary(tail); (Not(n), rest)
+        val (n, rest) = parseUnary(tail, df); (Not(n), rest)
+      // Lucene required/prohibited operators: `+t` is AND-semantics (a
+      // no-op under our implicit-AND default), `-t` is NOT. A bare `+`/`-`
+      // token prefixes a parenthesized group: `-(a OR b)`.
+      case ("+" | "-") :: tail =>
+        val (n, rest) = parseUnary(tail, df)
+        (if (t.head == "-") Not(n) else n, rest)
+      case h :: tail if h.length > 1 && (h(0) == '+' || h(0) == '-') =>
+        val inner = atom(h.substring(1), df)
+        (if (h(0) == '-') Not(inner) else inner, tail)
       case "(" :: tail =>
-        val (n, rest) = parseOr(tail)
+        val (n, rest) = parseOr(tail, df)
         require(rest.headOption.contains(")"), "missing )")
         (n, rest.tail)
-      case h :: tail => (atom(h), tail)
+      case h :: tail => (atom(h, df), tail)
       case Nil => throw new IllegalArgumentException("empty query")
     }
 
     private val RangeRx =
-      """([\w.]+):([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])(?:\^(\d+))?""".r
+      """([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])(?:\^(\d+))?""".r
 
     private val BoostRx = """(.*)\^(\d+)$""".r
     private val FuzzyRx = """(.*)~(\d*)$""".r
 
-    private def atom(tok: String): Node = tok match {
-      case RangeRx(f, lb, lo, hi, rb, boost) =>
-        Range(f, lo, hi, lb == "[", rb == "]",
-          Option(boost).map(_.toInt).getOrElse(1))
-      case _ =>
-        val i = tok.indexOf(':')
-        require(i > 0, s"expected field:term, got '$tok'")
+    private def atom(tok: String, df: Option[String] = None): Node = {
+      val ci = tok.indexOf(':')
+      // field group `field:(a OR b)` with optional trailing `^N`: parse the
+      // body with the field as default, distributing it over bare terms —
+      // plain distributivity over the existing AST. A group boost multiplies
+      // every positive leaf inside.
+      if (ci > 0 && ci + 1 < tok.length && tok(ci + 1) == '(') {
+        val (body, boost) = tok.substring(ci + 1) match {
+          case BoostRx(v, b) if v.endsWith(")") => (v, b.toInt)
+          case v => (v, 1)
+        }
+        require(body.endsWith(")"), s"malformed group in '$tok'")
+        val inner = parse(body.substring(1, body.length - 1), Some(tok.substring(0, ci)))
+        return if (boost == 1) inner else mapBoost(inner, boost)
+      }
+      // bare term inside a group binds to the group's field
+      val (field, rest) =
+        if (ci > 0) (tok.substring(0, ci), tok.substring(ci + 1))
+        else (df.getOrElse(throw new IllegalArgumentException(
+          s"expected field:term, got '$tok'")), tok)
+      rest match {
+        case RangeRx(lb, lo, hi, rb, boost) =>
+          Range(field, lo, hi, lb == "[", rb == "]",
+            Option(boost).map(_.toInt).getOrElse(1))
+        case _ =>
+          atomValue(field, rest, tok)
+      }
+    }
+
+    private def atomValue(field: String, tok0: String, tok: String): Node = {
         // Lucene boost suffix: field:term^N (integer boost weights the
         // score contribution; match semantics unchanged). An escaped caret
         // `\^` is a literal term character anywhere in the token: a
         // trailing escaped caret suppresses boost parsing, and every
         // remaining `\^` is unescaped before matching (so `c\^2^5` is the
         // literal term c^2 boosted by 5).
-        val (value1, boost) = tok.substring(i + 1) match {
+        val (value1, boost) = tok0 match {
           case BoostRx(v, b) if !v.endsWith("\\") => (v, b.toInt)
           case v => (v, 1)
         }
@@ -259,8 +334,8 @@ object QueryCompiler {
           else value
         require(unquoted.nonEmpty, s"empty term in '$tok'")
         fuzzy match {
-          case Some(d) => Fuzzy(tok.substring(0, i), unquoted, d, boost)
-          case None => Term(tok.substring(0, i), unquoted, boost)
+          case Some(d) => Fuzzy(field, unquoted, d, boost)
+          case None => Term(field, unquoted, boost)
         }
     }
   }
@@ -291,10 +366,31 @@ object QueryCompiler {
       op match {
         case "match_all" => lit(true)
         case "term" | "match" | "match_phrase" | "prefix" | "wildcard" =>
-          val (f, v) = singleField(body)
-          // only the short scalar form is supported; an object body (the ES
-          // long form {"match":{"f":{"query":...}}}) would asText to "" and
-          // compile to a match-everything \b\b regex — reject it instead
+          val (f, vRaw) = singleField(body)
+          // both forms: short scalar {"match":{"f":"x"}} and the long
+          // object body ES clients emit — {"match":{"f":{"query":"x",
+          // "boost":2}}} / {"term":{"f":{"value":…,"boost":…}}}. Unknown
+          // sub-keys (operator, fuzziness, case_insensitive, …) are
+          // rejected, not silently dropped.
+          val valueKey = op match {
+            case "match" | "match_phrase" => "query"
+            case _                        => "value"
+          }
+          val (v, boost) =
+            if (!vRaw.isObject) (vRaw, 1)
+            else {
+              val unknown = vRaw.fieldNames.asScala.toSet -- Set(valueKey, "boost")
+              require(unknown.isEmpty,
+                s"unsupported $op option(s): ${unknown.mkString(", ")}")
+              val value = Option(vRaw.get(valueKey)).getOrElse(
+                throw new IllegalArgumentException(s"$op long form requires '$valueKey'"))
+              val b = Option(vRaw.get("boost")).map { n =>
+                require(n.isIntegralNumber && n.asInt >= 1,
+                  s"boost must be a positive integer, got: $n")
+                n.asInt
+              }.getOrElse(1)
+              (value, b)
+            }
           def text: String = {
             require(v.isTextual && v.asText.nonEmpty,
               s"$op expects a non-empty string value, got: $v")
@@ -307,9 +403,9 @@ object QueryCompiler {
             // keeps inner spaces inside the \b…\b anchor)
             case "match_phrase" => termMatch(f, text)
             case "prefix"       => termMatch(f, text + "*")
-            case "wildcard"     => termMatch(f, text)           // value carries '*'
+            case "wildcard"     => termMatch(f, text)           // value carries '*' / '?'
           }
-          if (scoring) leaves += ((c, 1))
+          if (scoring) leaves += ((c, boost))
           c
         case "fuzzy" =>
           // {"fuzzy":{"f":"v"}} (Lucene default distance 2) or

@@ -41,11 +41,33 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryMeta.parse("#options:load-source=true#x:y").loadSource)
   }
 
-  test("DSL long-form / empty match bodies are rejected, not match-everything") {
+  test("DSL long-form bodies compile; empty/typed-wrong bodies are rejected") {
+    // the long object form ES clients emit — query/value key per operator
     assert(QueryCompiler.validate(
-      """{"query":{"match":{"text":{"query":"spark"}}}}""").isLeft)
+      """{"query":{"match":{"text":{"query":"spark"}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"query":"spark","boost":2}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"term":{"lang":{"value":"en"}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"wildcard":{"text":{"value":"filt*"}}}}""").isRight)
+    // wrong value key for the operator
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"value":"spark"}}}}""").isLeft)
+    // unknown sub-keys must be rejected, not silently dropped
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"query":"x","operator":"and"}}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"query":"x","boost":0}}}}""").isLeft)
     assert(QueryCompiler.validate("""{"query":{"match":{"text":""}}}""").isLeft)
     assert(QueryCompiler.validate("""{"query":{"prefix":{"text":42}}}""").isLeft)
+  }
+
+  test("long-form boost weights the leaf score") {
+    val q = QueryCompiler.compile(
+      """{"query":{"bool":{"must":[{"match":{"text":{"query":"spark","boost":3}}}]}}}""")
+    // the score expression must carry the 3-weighted leaf
+    assert(q.score.toString.contains("3"))
   }
 
   // --- Lucene-lite grammar ---
@@ -131,5 +153,47 @@ class QueryCompilerSpec extends AnyFunSuite {
   test("boost composes with ranges, not just terms") {
     assert(QueryCompiler.validate("a:[1 TO 5]^2").isRight)
     assert(QueryCompiler.validate("a:x^3 AND b:{1 TO *}^2").isRight)
+  }
+
+  // --- field grouping, ?, +/- (round-3 grammar extensions) ---
+
+  test("field grouping distributes the field over bare terms") {
+    assert(QueryCompiler.validate("text:(spark OR batch)").isRight)
+    assert(QueryCompiler.validate("text:(a AND b OR c)").isRight)
+    assert(QueryCompiler.validate("text:(a (b OR c))").isRight) // nested group
+    assert(QueryCompiler.validate("text:(a OR b:x)").isRight)   // explicit field inside
+    assert(QueryCompiler.validate("text:(a OR").isLeft)         // unclosed
+  }
+
+  test("group boost distributes over positive leaves") {
+    val q = QueryCompiler.compile("text:(spark OR batch)^4")
+    assert(q.score.toString.contains("4"))
+  }
+
+  test("group members keep their own suffixes (boost, fuzzy, wildcard, phrase)") {
+    assert(QueryCompiler.validate("text:(spark^2 OR batc*)").isRight)
+    assert(QueryCompiler.validate("text:(sprak~1 OR batch)").isRight)
+    assert(QueryCompiler.validate("text:(\"exact phrase\" OR other)").isRight)
+    assert(QueryCompiler.validate("v:([1 TO 5] OR {9 TO *})").isRight)
+  }
+
+  test("bare terms outside a group still require a field") {
+    assert(QueryCompiler.validate("sparkle").isLeft)
+    assert(QueryCompiler.validate("a:x OR sparkle").isLeft)
+  }
+
+  test("? single-char wildcard compiles; mixed with *") {
+    assert(QueryCompiler.validate("text:te?t").isRight)
+    assert(QueryCompiler.validate("text:fi?t*").isRight)
+    assert(QueryCompiler.validate("""{"query":{"wildcard":{"text":"te?t"}}}""").isRight)
+  }
+
+  test("+required / -prohibited operators") {
+    assert(QueryCompiler.validate("+text:spark -lang:de").isRight)
+    assert(QueryCompiler.validate("-text:(a OR b) +c:d").isRight)
+    assert(QueryCompiler.validate("- (a:x OR b:y)").isRight) // bare - before group
+    // `-t` must compile to a negation: no positive leaves → zero score
+    val q = QueryCompiler.compile("-text:spark")
+    assert(q.score.toString == "0")
   }
 }

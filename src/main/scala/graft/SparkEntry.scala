@@ -575,11 +575,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_embedding" -> ((s, dir) => {
-      // rows-only: embedding-cosine near-dups from LSH buckets (the synthetic
-      // corpus has no true near-dups — max pairwise cos ≈ 0.47 — so the
-      // threshold is set where pairs exist)
-      Similarity.cosinePairs(tbl(s, dir, "embeddings").where(col("vec_id") < 1000),
-          threshold = 0.4)
+      // embedding-cosine near-dups from LSH buckets, oracle-checked against
+      // DuckDB all-pairs list_cosine_similarity. Gate params (32 bands ×
+      // 2 bits) give empirical recall 1.0 at the gate threshold (pairs sit
+      // in cos [0.40, 0.52]; miss probability per pair < 1e-7) — production
+      // callers trade bands down for bucket-join volume. Double math on
+      // both sides so the 4-decimal rounding agrees with the oracle.
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 1000)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.cosinePairs(emb, threshold = 0.4, bands = 32, bitsPerBand = 2)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_cosine_exact" -> ((s, dir) => {
@@ -613,11 +617,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_lsh" -> ((s, dir) => {
-      // rows-only: ANN via random-hyperplane LSH banding
+      // ANN via random-hyperplane LSH banding, oracle-checked against the
+      // brute-force top-k (recall 1.0 on the gate corpus at 32 bands ×
+      // 2 bits: weakest true neighbor cos ≈ 0.24 → per-pair miss < 3e-6).
+      // Double math so scores hash-match the DuckDB oracle.
       val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      Similarity.lshTopK(emb, queries, k = 10)
+      Similarity.lshTopK(emb, queries, k = 10, bands = 32, bitsPerBand = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1272,10 +1280,58 @@ object SparkEntry {
            round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+    "q_search_grouping" ->
+      // group boost ^2 distributes over (spark OR batch); `-lang:de` is a
+      // prohibited (non-scoring) clause with Lucene absent-field semantics;
+      // `src1?` consumes exactly one non-space char inside \b anchors
+      """SELECT doc_id, lang, source,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 2 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 2 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(source), '\bsrc1[^\s]\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE (regexp_matches(lower(text), '\bspark\b') OR regexp_matches(lower(text), '\bbatch\b'))
+           AND (lang IS NULL OR NOT regexp_matches(lower(lang), '\bde\b'))
+           AND regexp_matches(lower(source), '\bsrc1[^\s]\b')
+         ORDER BY doc_id""",
+    "q_search_dsl_long" ->
+      // long-body DSL: match(text, boost 2) + term(lang='en', exact value);
+      // must_not wildcard src1* is non-scoring with absent-field semantics
+      """SELECT doc_id, lang, source,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 2 ELSE 0 END +
+            CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') AND lang = 'en'
+           AND (source IS NULL OR NOT regexp_matches(lower(source), '\bsrc1[^\s]*'))
+         ORDER BY doc_id""",
+    "q_dedup_embedding" ->
+      // exact all-pairs ≥ threshold: valid oracle because the LSH gate
+      // params give recall 1.0 on this corpus (see the query's comment)
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 1000)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.emb, b.emb), 4) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+         ORDER BY id_a, id_b""",
+    "q_similarity_lsh" ->
+      // brute-force top-k as oracle: LSH gate params give recall 1.0 here
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding, q.query_vec) AS raw_cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank"""
     // rows-only (genuinely approximate or non-SQL): q_dedup_simhash
-    // (xxhash64 signature), q_dedup_embedding / q_similarity_lsh /
-    // q_similarity_ivf (LSH/IVF recall < 1 — honest approximation),
-    // q_multimodal_decode (stub checksum)
+    // (xxhash64 signature), q_similarity_ivf (IVF recall < 1 — honest
+    // approximation), q_multimodal_decode (stub checksum)
   )
 }

@@ -51,8 +51,10 @@ object QueryMeta {
   * A Spark engine must own the grammar, so this compiler supports a declared,
   * reproducible subset — Lucene-lite (`field:term`, `field:pre*` / `te?t`
   * wildcards, `field:term~N` fuzzy, `field:term^N` boost, `field:[a TO b]`,
-  * `AND`/`OR`/`NOT`, `+`required/`-`prohibited, parentheses, and field
-  * grouping `field:(a OR b)^N`) and the ES-DSL JSON
+  * `AND`/`OR`/`NOT`, `+`required/`-`prohibited, parentheses, field
+  * grouping `field:(a OR b)^N`, and `\`-escaped literal specials —
+  * see [[termMatch]] for the declared word-boundary anchor semantics)
+  * and the ES-DSL JSON
   * operators `term`, `terms`, `ids`, `match`, `match_phrase`, `prefix`,
   * `wildcard`, `fuzzy`, `range`, `exists`,
   * `bool{must,should,must_not,filter,minimum_should_match}`,
@@ -94,26 +96,58 @@ object QueryCompiler {
   /** `field:term` → case-insensitive whole-token containment; `*` (any run)
     * and `?` (exactly one char) wildcards become regex fragments anchored to
     * token boundaries (Lucene wildcard semantics; reference defers to Lucene,
-    * ElasticIndex.java:663-665). */
+    * ElasticIndex.java:663-665). A backslash escapes the following character
+    * (`a\-b` is the literal term `a-b`, `c\*` a literal asterisk, `\\` a
+    * literal backslash) — escaped `*`/`?` never wildcard.
+    *
+    * Declared divergence: anchors are word boundaries (`\b`), the
+    * standard-analyzer view of a token. A `?` adjacent to the token edge
+    * therefore only matches a WORD character there — `src1?` matches
+    * `src1x` but not `src1-` (raw Lucene `?`, with no analyzer in front,
+    * would match both; an analyzer would have stripped the `-` anyway).
+    * The same applies to literal terms that start/end with a non-word
+    * character. */
   private[graft] def termMatch(field: String, term: String): Column = {
     val lowered = lower(col(field))
-    if (term.contains("*") || term.contains("?")) {
+    // a wildcard char is active only when preceded by an even number of
+    // backslashes
+    def unescapedAt(i: Int): Boolean = {
+      var b = 0; var k = i - 1
+      while (k >= 0 && term(k) == '\\') { b += 1; k -= 1 }
+      b % 2 == 0
+    }
+    val hasWildcard = term.indices
+      .exists(i => (term(i) == '*' || term(i) == '?') && unescapedAt(i))
+    if (hasWildcard) {
       val body = new StringBuilder
       val run = new StringBuilder
       def flush(): Unit =
         if (run.nonEmpty) { body ++= java.util.regex.Pattern.quote(run.toString); run.clear() }
-      term.toLowerCase.foreach {
-        case '*' => flush(); body ++= "[^\\s]*"
-        case '?' => flush(); body ++= "[^\\s]"
-        case c   => run += c
+      val t = term.toLowerCase
+      var i = 0
+      while (i < t.length) {
+        t(i) match {
+          case '\\' if i + 1 < t.length => run += t(i + 1); i += 2
+          case '*' => flush(); body ++= "[^\\s]*"; i += 1
+          case '?' => flush(); body ++= "[^\\s]"; i += 1
+          case c   => run += c; i += 1
+        }
       }
       flush()
       // `?` consumes exactly one non-space char, so token-boundary anchors
-      // stay; only a leading/trailing `*` (zero-or-more) drops its anchor
-      val rx = (if (term.startsWith("*")) "" else "\\b") + body +
-               (if (term.endsWith("*")) "" else "\\b")
+      // stay; only a leading/trailing unescaped `*` (zero-or-more) drops its
+      val rx = (if (t.startsWith("*")) "" else "\\b") + body +
+               (if (t.endsWith("*") && unescapedAt(t.length - 1)) "" else "\\b")
       lowered.rlike(rx)
-    } else lowered.rlike("\\b" + java.util.regex.Pattern.quote(term.toLowerCase) + "\\b")
+    } else {
+      val literal = new StringBuilder
+      var i = 0
+      while (i < term.length) {
+        if (term(i) == '\\' && i + 1 < term.length) { literal += term(i + 1); i += 2 }
+        else { literal += term(i); i += 1 }
+      }
+      lowered.rlike("\\b" + java.util.regex.Pattern.quote(literal.toString.toLowerCase) + "\\b")
+    }
   }
 
   /** Weighted leaf score: Σ boost over matched positive leaves (boost 1
@@ -210,12 +244,18 @@ object QueryCompiler {
                 j = end + 1
               } else if (s(j) == ':' && j + 1 < s.length && s(j + 1) == '(') {
                 // field group: field:(...) — one token spanning the
-                // balanced parens (inner syntax parsed recursively in atom)
+                // balanced parens (inner syntax parsed recursively in atom).
+                // Parens inside quoted phrases are literal: skip the span,
+                // or `text:("a)" OR b)` would close the group mid-phrase
                 var k = j + 1
                 var depth = 0
                 var closed = false
                 while (k < s.length && !closed) {
-                  if (s(k) == '(') depth += 1
+                  if (s(k) == '"') {
+                    val end = s.indexOf('"', k + 1)
+                    require(end > 0, s"unclosed phrase in: $q")
+                    k = end
+                  } else if (s(k) == '(') depth += 1
                   else if (s(k) == ')') { depth -= 1; closed = depth == 0 }
                   k += 1
                 }
@@ -276,6 +316,12 @@ object QueryCompiler {
     private val FuzzyRx = """(.*)~(\d*)$""".r
 
     private def atom(tok: String, df: Option[String] = None): Node = {
+      // a token opening with a quote is a bare phrase (group context binds
+      // it to the group's field): any ':' inside the quotes is literal, not
+      // a field separator — `text:("a:b" OR c)` must not parse field `"a`
+      if (tok.startsWith("\""))
+        return atomValue(df.getOrElse(throw new IllegalArgumentException(
+          s"expected field:term, got '$tok'")), tok, tok)
       val ci = tok.indexOf(':')
       // field group `field:(a OR b)` with optional trailing `^N`: parse the
       // body with the field as default, distributing it over bare terms —

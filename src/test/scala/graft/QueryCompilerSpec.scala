@@ -196,4 +196,35 @@ class QueryCompilerSpec extends AnyFunSuite {
     val q = QueryCompiler.compile("-text:spark")
     assert(q.score.toString == "0")
   }
+
+  // --- quoting and escaping inside groups (round-4 parser hardening) ---
+
+  test("bare phrase with a colon inside a group is a value, not a field") {
+    // `"a:b"` must bind to the group field; previously parsed field `"a`
+    assert(QueryCompiler.validate("""text:("a:b" OR c)""").isRight)
+    assert(QueryCompiler.validate("""text:("a:b c:d")""").isRight)
+    // outside a group there is no default field to bind to → loud error
+    assert(QueryCompiler.validate(""""a:b"""").isLeft)
+  }
+
+  test("parens inside quoted phrases don't close the group") {
+    assert(QueryCompiler.validate("""text:("a)" OR b)""").isRight)
+    assert(QueryCompiler.validate("""text:("(a" OR b)""").isRight)
+    // both group terms must survive as scoring leaves
+    val q = QueryCompiler.compile("""text:("a)" OR b)^3""")
+    assert(q.score.toString.contains("3"))
+    // a genuinely unclosed phrase is still a loud error
+    assert(QueryCompiler.validate("""text:("a) OR b)""").isLeft)
+  }
+
+  test("escaped specials inside grouped terms stay literal") {
+    assert(QueryCompiler.validate("""text:(a\-b OR c\*)""").isRight)
+    assert(QueryCompiler.validate("""text:(a\-b OR c\*)^2""").isRight)
+    // escaped wildcard is not a wildcard: both compile as plain terms and
+    // both score (2 leaves, boost 2 distributes)
+    val q = QueryCompiler.compile("""text:(a\-b OR c\*)^2""")
+    assert(q.score.toString.contains("2"))
+    // escaped caret/tilde inside a group keep boost/fuzzy parsing intact
+    assert(QueryCompiler.validate("""text:(c\^2^5 OR d\~x)""").isRight)
+  }
 }

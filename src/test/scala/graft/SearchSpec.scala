@@ -39,6 +39,30 @@ class SearchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("1")) // doc 4 has batch, doc 1 has the phrase
   }
 
+  test("quoted colons and escaped specials match literally") {
+    val d = Seq(
+      ("1", "see a:b here"),
+      ("2", "plain ab here"),
+      ("3", "dash a-b token"),
+      ("4", "cat star"),
+      ("5", "val c*x end"),
+      ("6", "tag src1x go"),
+      ("7", "tag src1- go")).toDF("doc_id", "text")
+    def hits(q: String): Seq[String] =
+      Search.search(d, q, IndexConfig())
+        .select("doc_id").collect().map(_.getString(0)).toSeq.sorted
+    // a phrase with ':' inside a group binds to the group field as a value
+    assert(hits("""text:("a:b" OR zz)""") == Seq("1"))
+    // `a\-b` is the literal term a-b, not a prohibited operator or wildcard
+    assert(hits("""text:(a\-b)""") == Seq("3"))
+    // `c\*` is a literal asterisk: never wildcard-matches "cat"; the
+    // word-boundary anchor still lets it match inside `c*x`
+    assert(hits("""text:(c\*)""") == Seq("5"))
+    // declared `?` edge semantics: matches a word char at the token edge
+    // (`src1x`), not a non-word char (`src1-`) — the analyzer view
+    assert(hits("text:src1?") == Seq("6"))
+  }
+
   test("load-rows=false returns PK-only projection") {
     val out = Search.search(docs, "#options:load-rows=false#text:spark", IndexConfig())
     assert(out.columns.toSeq == Seq("doc_id", "_score"))

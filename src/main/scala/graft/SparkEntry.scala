@@ -337,6 +337,25 @@ object SparkEntry {
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
         .orderBy(col("segment"))
     }),
+    "q_ingest_pipeline" -> ((s, dir) => {
+      // S4: ingest pipeline — the update batch is shaped by the compiled
+      // processor chain, then lands with insert (create-or-replace)
+      // semantics, exactly the reference's usePipeline write path
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val existing = d.where(col("doc_id") < 300)
+        .withColumn("lang", upper(col("lang")))
+        .withColumn("curated", lit("no"))
+      val updates = d.where(col("doc_id") >= 200 && col("doc_id") < 500)
+      val cfg = IndexConfig(pipeline = Some("""{"processors":[
+        {"lowercase":{"field":"lang"}},
+        {"gsub":{"field":"source","pattern":"^src","replacement":"origin-"}},
+        {"set":{"field":"curated","value":"yes"}},
+        {"convert":{"field":"n_chars","type":"long"}}]}"""))
+      Indexer.upsert(existing.withColumn("n_chars", col("n_chars").cast("long")),
+          updates, "doc_id", Seq("doc_id"), cfg)
+        .orderBy(col("doc_id"))
+    }),
     "q_upsert_lww" -> ((s, dir) => {
       // S3/W11: last-write-wins upsert — latest event per user
       Indexer.latestPerKey(tbl(s, dir, "events"), "user_id", Seq("ts", "event_id"))
@@ -504,6 +523,32 @@ object SparkEntry {
       // M7: truncate preserves schema, empties the doc set
       Maintain.truncate(tbl(s, dir, "lineitem").select(col("l_orderkey")))
         .orderBy(col("l_orderkey"))
+    }),
+    "q_maintain_drop" -> ((s, dir) => {
+      // M8: drop is physical — delete segment partition directories, then
+      // read back what survived (a metadata operation, never a data rewrite)
+      val o = tbl(s, dir, "orders")
+        .withColumn("segment", date_format(col("o_orderdate"), "yyyy-MM"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_maintain_drop").toString
+      Indexer.writeSegmented(o, path)
+      // keep 1995+; everything earlier is dropped directory-by-directory
+      Maintain.dropSegmentDirs(s, path, "segment", seg => seg >= "1995-01")
+      s.read.parquet(path)
+        .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("segment"))
+    }),
+    "q_dummy_mode" -> ((s, dir) => {
+      // M13: dummy mode — upserts and deletes are no-ops; the store must
+      // hash-equal its untouched self (reference EsDummyIndex.java:31-113)
+      val store = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val cfg = IndexConfig(dummy = true)
+      val afterUpsert = Indexer.upsert(store,
+        store.withColumn("lang", lit("xx")), "doc_id", Seq("doc_id"), cfg)
+      val afterDelete = Indexer.delete(afterUpsert,
+        store.where(col("doc_id") < 100), Seq("doc_id"), cfg)
+      afterDelete.orderBy(col("doc_id"))
     }),
     "q_segment_roll" -> ((s, dir) => {
       // M2: segments are partition values of date_trunc(granularity)
@@ -1281,6 +1326,24 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
          ORDER BY id_a, id_b""",
+    "q_ingest_pipeline" ->
+      // insert path: updates (pipeline-shaped) replace overlapping existing
+      // docs wholesale; lowercase/gsub/set/convert are plain SQL
+      """SELECT doc_id, lang, source, n_chars, curated FROM (
+           SELECT doc_id, upper(lang) AS lang, source,
+                  CAST(n_chars AS BIGINT) AS n_chars, 'no' AS curated
+           FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id, lower(lang), regexp_replace(source, '^src', 'origin-'),
+                  CAST(n_chars AS BIGINT), 'yes'
+           FROM documents WHERE doc_id >= 200 AND doc_id < 500)
+         ORDER BY doc_id""",
+    "q_maintain_drop" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS segment, count(*) AS doc_count
+         FROM orders WHERE strftime(o_orderdate, '%Y-%m') >= '1995-01'
+         GROUP BY 1 ORDER BY segment""",
+    "q_dummy_mode" ->
+      """SELECT doc_id, lang, source FROM documents ORDER BY doc_id""",
     "q_search_grouping" ->
       // group boost ^2 distributes over (spark OR batch); `-lang:de` is a
       // prohibited (non-scoring) clause with Lucene absent-field semantics;

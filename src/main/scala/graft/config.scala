@@ -65,5 +65,17 @@ final case class IndexConfig(
     * falls back to a no-op index when ES is unreachable under force-start,
     * or when `dummy=true`: EsDummyIndex.java:31-113;
     * EsSecondaryIndex.java:144-146, 160-167). Reads are unaffected. */
-  dummy: Boolean = false
-)
+  dummy: Boolean = false,
+  /** S4: ingest-pipeline definition (`{"processors":[...]}` JSON, compiled
+    * by [[IngestPipeline]]) applied to update batches before they reach the
+    * store. Mirrors the reference's per-type ES ingest pipeline
+    * (`pipeline-<type>` option, IndexConfig.java:110-111; registered
+    * ElasticIndex.java:403-417). A defined pipeline switches writes to
+    * insert semantics, as in the reference ("pipelines can only be used
+    * with index or bulk", ElasticIndex.java:595-605, 868). */
+  pipeline: Option[String] = None
+) {
+  /** Reference parity: `usePipeline = isNotBlank(getPipeline(typeName))`
+    * (ElasticIndex.java:868). */
+  def usePipeline: Boolean = pipeline.exists(_.trim.nonEmpty)
+}

@@ -79,12 +79,19 @@ object Indexer {
     *    written explicitly and overwrite — whole-row replacement.
     *  - `insertOnly` (S4, the `index` action, ElasticIndex.java:595-601):
     *    **create-or-replace** — the new document wins wholesale; no merge.
+    *
+    * A configured ingest pipeline ([[IngestPipeline]], the reference's
+    * `pipeline-<type>` option) transforms the update batch first and forces
+    * insert semantics — pipelines only run on the `index` action
+    * (ElasticIndex.java:595-605, 868).
     */
   def upsert(existing: DataFrame, updates: DataFrame, keyCol: String,
              versionCols: Seq[String], cfg: IndexConfig = IndexConfig()): DataFrame = {
     if (cfg.dummy) return existing // M13: writes are no-ops
-    val batch = latestPerKey(updates, keyCol, versionCols)
-    if (cfg.insertOnly || !cfg.discardNulls)
+    val shaped = cfg.pipeline.filter(_.trim.nonEmpty)
+      .map(IngestPipeline.compile).map(_(updates)).getOrElse(updates)
+    val batch = latestPerKey(shaped, keyCol, versionCols)
+    if (cfg.insertOnly || cfg.usePipeline || !cfg.discardNulls)
       existing.join(batch.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(batch)
     else {
@@ -111,12 +118,15 @@ object Indexer {
     val docJson = to_json(struct(docCols.toSeq: _*),
       Map("ignoreNullFields" -> cfg.discardNulls.toString))
     // action line built with to_json too — a quote/newline inside a PK
-    // value must be escaped or the NDJSON stream desynchronizes
-    val actionName = if (cfg.insertOnly) "index" else "update"
+    // value must be escaped or the NDJSON stream desynchronizes.
+    // A configured pipeline forces the `index` action, like the reference
+    // (ElasticIndex.java:589, 595-605: pipelines never ride updates)
+    val insertAction = cfg.insertOnly || cfg.usePipeline
+    val actionName = if (insertAction) "index" else "update"
     val action = to_json(struct(
       struct(lit(alias).as("_index"), col("doc_id").as("_id")).as(actionName)))
     val payload =
-      if (cfg.insertOnly) docJson
+      if (insertAction) docJson
       else concat(lit("""{"doc":"""), docJson, lit(""","doc_as_upsert":true}"""))
     docs.select(col("doc_id"), concat(action, lit("\n"), payload).as("bulk"))
   }

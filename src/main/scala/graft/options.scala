@@ -62,8 +62,11 @@ object OptionReader {
   }
 
   /** Build a typed [[IndexConfig]] from resolved options, with the
-    * reference's defaults (IndexConfig.java:61-144) for anything unset. */
-  def toConfig(opts: Map[String, String]): IndexConfig = {
+    * reference's defaults (IndexConfig.java:61-144) for anything unset.
+    * `typeName` scopes the ingest-pipeline lookup: `pipeline-<typeName>`
+    * (the reference's per-type key, IndexConfiguration.java:91-93), falling
+    * back to a bare `pipeline` option for single-type stores. */
+  def toConfig(opts: Map[String, String], typeName: String = ""): IndexConfig = {
     // malformed values fall back to the default instead of throwing, like
     // the reference's OptionReader.getInteger/getBoolean
     // (OptionReader.java:117-126)
@@ -94,6 +97,8 @@ object OptionReader {
       jsonFlatSerializedFields = csv("json-flat-serialized-fields"),
       indexationDate = bool("per-index-date", dflt = true),
       skipBadJson = bool("skip-bad-json", dflt = false),
-      dummy = bool("dummy", dflt = false))
+      dummy = bool("dummy", dflt = false),
+      pipeline = (if (typeName.nonEmpty) opts.get(s"pipeline-$typeName") else None)
+        .orElse(opts.get("pipeline")).filter(_.trim.nonEmpty))
   }
 }

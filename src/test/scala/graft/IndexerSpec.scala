@@ -219,6 +219,56 @@ class IndexerSpec extends AnyFunSuite {
     assert(Maintain.ttlFilter(docs, 120, IndexConfig(analyticMode = true)).count() == 3)
   }
 
+  test("ingest pipeline shapes the batch and forces insert semantics (S4)") {
+    val existing = Seq(("1", "KEEP", "old"), ("2", "DROP", "old"))
+      .toDF("doc_id", "tag", "v")
+    val updates = Seq(("2", "  New  ", null.asInstanceOf[String]),
+      ("3", "Fresh", "x")).toDF("doc_id", "tag", "v")
+    val cfg = IndexConfig(pipeline = Some(
+      """{"processors":[{"trim":{"field":"tag"}},
+                        {"lowercase":{"field":"tag"}},
+                        {"set":{"field":"v","value":"filled","override":false}}]}"""))
+    assert(cfg.usePipeline)
+    val out = Indexer.upsert(existing, updates, "doc_id", Seq("doc_id"), cfg)
+      .orderBy("doc_id").collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // doc 2: replaced wholesale (insert path, not field-merge) with the
+    // pipeline-shaped row — trimmed+lowered tag, null v filled by set;
+    // doc 3 arrives with v="x", so override:false leaves it alone
+    assert(out.toSeq == Seq(("1", "KEEP", "old"), ("2", "new", "filled"), ("3", "fresh", "x")))
+  }
+
+  test("ingest pipeline processors: rename, remove, gsub, convert; unknown rejected") {
+    val df = Seq(("a", "src1", "41")).toDF("id", "origin", "n")
+    val t = IngestPipeline.compile(
+      """{"processors":[{"rename":{"field":"origin","target_field":"source"}},
+                        {"gsub":{"field":"source","pattern":"^src","replacement":"s-"}},
+                        {"convert":{"field":"n","type":"integer"}},
+                        {"remove":{"field":"id"}}]}""")
+    val out = t(df)
+    assert(out.columns.toSeq == Seq("source", "n"))
+    val row = out.head
+    assert(row.getString(0) == "s-1" && row.getInt(1) == 41)
+    // loud failures: unknown processor, missing keys, malformed JSON
+    assert(IngestPipeline.validate("""{"processors":[{"nope":{"field":"x"}}]}""").isLeft)
+    assert(IngestPipeline.validate("""{"processors":[{"set":{"field":"x"}}]}""").isLeft)
+    assert(IngestPipeline.validate("""{"foo":1}""").isLeft)
+    // pipeline forces the index action on the bulk wire format too
+    val bulk = Indexer.toBulkNdjson(Seq(("1", "v")).toDF("doc_id", "v"), "idx",
+      IndexConfig(pipeline = Some("""{"processors":[]}""")))
+    assert(bulk.head.getString(1).startsWith("""{"index":"""))
+  }
+
+  test("pipeline-<type> option resolves into the typed config (S4)") {
+    val opts = OptionReader.resolve(Map(
+      "pipeline-mytype" -> """{"processors":[]}""", "max-results" -> "7"))
+    val cfg = OptionReader.toConfig(opts, typeName = "mytype")
+    assert(cfg.usePipeline && cfg.maxResults == 7)
+    assert(!OptionReader.toConfig(opts).usePipeline) // no bare `pipeline` key
+    // bare key serves single-type stores
+    assert(OptionReader.toConfig(OptionReader.resolve(
+      Map("pipeline" -> """{"processors":[]}"""))).usePipeline)
+  }
+
   test("segment roll assigns date_trunc buckets; truncate empties") {
     val df = Seq(("2024-03-05 10:30:00", 1), ("2024-03-07 00:00:00", 2))
       .toDF("ts", "v").withColumn("ts", col("ts").cast("timestamp"))

@@ -99,11 +99,15 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
     "q_search_meta" -> ((s, dir) => {
-      // R10: every row enriched with global hit_count / max_score — the
-      // total counts ALL matches, before the top-k cap
+      // R10: every row enriched with the full deterministic response
+      // metadata — hit_count/max_score over ALL matches (pre-cap), plus
+      // took (fixed 0) and the _shards analog (segment count of the
+      // searched store; `source` plays the segment here)
       Search.searchWithTotal(tbl(s, dir, "documents"),
-          "text:merge AND text:sort", IndexConfig(), Seq("doc_id"))
-        .select(col("doc_id"), col("_score"), col("hit_count"), col("max_score"))
+          "text:merge AND text:sort", IndexConfig(), Seq("doc_id"),
+          segmentCol = Some("source"))
+        .select(col("doc_id"), col("_score"), col("hit_count"), col("max_score"),
+          col("took"), col("shards_total"), col("shards_successful"))
         .orderBy(col("doc_id"))
     }),
     "q_search_alias" -> ((s, dir) => {
@@ -816,7 +820,10 @@ object SparkEntry {
            SELECT doc_id, 2 AS _score FROM documents
            WHERE regexp_matches(lower(text), '\bmerge\b') AND regexp_matches(lower(text), '\bsort\b'))
          SELECT doc_id, _score,
-           count(*) OVER () AS hit_count, max(_score) OVER () AS max_score
+           count(*) OVER () AS hit_count, max(_score) OVER () AS max_score,
+           CAST(0 AS BIGINT) AS took,
+           (SELECT count(DISTINCT source) FROM documents) AS shards_total,
+           (SELECT count(DISTINCT source) FROM documents) AS shards_successful
          FROM hits ORDER BY doc_id""",
     "q_search_alias_typed" ->
       """WITH u AS (

@@ -67,7 +67,6 @@ object Dedup {
     // 1-(1-0.5²)^16 ≈ 0.99; false candidates are cheap (verified exactly)
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / bands
     // Sketching is one narrow native projection per row (no explode, no
     // aggregate shuffle) — see [[graft.functions.MinHashSig]]; only
     // (id, band, bucket) ever reaches an exchange.
@@ -80,7 +79,49 @@ object Dedup {
     val shingled = df.select(col(idCol).as("id"),
       word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .cache()
-    val sigs = shingled.select(col("id"), minhash_sig(col("sh"), numHashes).as("sig"))
+    val sketches = shingled.select(col("id"), col("sh"),
+      minhash_sig(col("sh"), numHashes).as("sig"))
+    pairsFromSketches(sketches, numHashes, bands, threshold)
+  }
+
+  /** The 100 TB pattern behind [[minhashPairs]], materialized: sketch the
+    * corpus ONCE into a `(id, sh, sig)` parquet store, then run every dedup
+    * sweep (different bands/thresholds, incremental re-runs) from the store
+    * without touching the text again. Shingling+sketching dominate the
+    * one-job cost; at corpus scale they should be paid once, not per sweep.
+    */
+  def writeSketchStore(df: DataFrame, path: String, textCol: String, idCol: String,
+                       shingleK: Int = 3, numHashes: Int = 32): Unit = {
+    import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
+    df.select(col(idCol).as("id"),
+        word_shingles(tokens(col(textCol)), shingleK).as("sh"))
+      .withColumn("sig", minhash_sig(col("sh"), numHashes))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Run MinHash-LSH pairs from a [[writeSketchStore]] store — identical
+    * output to [[minhashPairs]] on the original corpus. `numHashes` must
+    * match the store's signature length (checked at runtime against the
+    * first row — a mismatched banding would silently halve recall). */
+  def minhashPairsFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                            numHashes: Int = 32, bands: Int = 16,
+                            threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val store = spark.read.parquet(path)
+    val sigLen = store.select(size(col("sig"))).head.getInt(0) // 1-row probe
+    require(sigLen == numHashes,
+      s"store signature length $sigLen != numHashes $numHashes")
+    pairsFromSketches(store, numHashes, bands, threshold)
+  }
+
+  /** Shared LSH core: band the signatures, bucket-join candidates, verify
+    * exactly against the carried shingle sets. `sketches` = (id, sh, sig). */
+  private def pairsFromSketches(sketches: DataFrame, numHashes: Int, bands: Int,
+                                threshold: Double): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shingled = sketches.select(col("id"), col("sh"))
+    val sigs = sketches.select(col("id"), col("sig"))
     val banded = sigs.select(col("id"),
       posexplode(array(Seq.tabulate(bands) { b =>
         // hash the signature longs directly — no string materialization

@@ -75,4 +75,46 @@ object Sessionize {
           out.iterator
       }
   }
+
+  /** Streaming event for [[assignStreamExpiring]]: a real timestamp column
+    * so the source can carry a watermark. */
+  final case class SessEventT(user: String, eventId: Long, ts: java.sql.Timestamp)
+
+  /** Production variant of [[assignStream]]: `EventTimeTimeout` expires
+    * idle users' state once the watermark passes `lastTs + gapSec` — the
+    * state store stays bounded by ACTIVE users, not all users ever seen
+    * (the unbounded-state leak `NoTimeout` tolerates for demo determinism).
+    *
+    * `events` must carry a watermark (`withWatermark` on `ts`) upstream —
+    * Spark requires one for event-time timeouts. An expired user's next
+    * event simply starts a new session: identical output to the
+    * never-expire variant, because an over-gap event opens a new session
+    * anyway — dropping the state changes memory, not semantics. (Only the
+    * per-user `session_seq` counter restarts at 1, which is why sessions
+    * are keyed `(user, session_start)` downstream, not by seq alone.) */
+  def assignStreamExpiring(events: Dataset[SessEventT], gapSec: Long): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: String, batch: Iterator[SessEventT], state: GroupState[SessState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: the session
+            // can never continue — drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessState(Double.NegativeInfinity, 0))
+            val out = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId)).map { e =>
+              val tsSec = e.ts.getTime / 1000.0
+              val seq = if (tsSec - st.lastTs > gapSec) st.seq + 1 else st.seq
+              st = SessState(tsSec, seq)
+              SessOut(user, e.eventId, seq)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp((st.lastTs * 1000).toLong + gapSec * 1000)
+            out.iterator
+          }
+      }
+  }
 }

@@ -117,25 +117,45 @@ object Search {
     * when returning max-results docs: ElasticIndex.java:719-721;
     * README.md:749 shows total 18,188 with 10,000 returned).
     *
+    * Full response-metadata parity: the reference hands the whole ES
+    * response envelope (minus hits) to the first result row — `took`,
+    * `_shards`, `hits.total`, `max_score` (ElasticIndex.java:719-721;
+    * FakePartitionIterator.java:104-114). The deterministic analogs here:
+    * `took` is a fixed 0 placeholder (wall-clock would make results
+    * unhashable — callers time jobs with Spark metrics instead), and
+    * `shards_total`/`shards_successful` report the searched store's segment
+    * count (the shard analog; 1 for an unsegmented store). Spark has no
+    * partial-shard failure on the read path — a lost task re-runs — so
+    * successful always equals total.
+    *
     * The match-count aggregate and the top-k both re-scan the filtered doc
     * set — two parallel pushed-down scans beat one scan funneled through a
     * single-partition window (the r1 WindowExec warning); the stats row is
     * broadcast back onto every hit. */
   def searchWithTotal(docs: DataFrame, query: String, cfg: IndexConfig,
-                      pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
+                      pkCols: Seq[String] = Seq("doc_id"),
+                      segmentCol: Option[String] = None): DataFrame = {
     val meta = QueryMeta.parse(query)
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
     val limit = compiled.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
     val matches = docs.where(compiled.predicate)
       .withColumn("_score", compiled.score)
+    val shards = segmentCol match {
+      case Some(c) => docs.agg(countDistinct(col(c)).as("shards_total"))
+      case None => docs.sparkSession.range(1).select(lit(1L).as("shards_total"))
+    }
     val stats = matches.agg(count(lit(1)).as("hit_count"), max(col("_score")).as("max_score"))
+      .crossJoin(broadcast(shards))
+      .withColumn("shards_successful", col("shards_total"))
+      .withColumn("took", lit(0L))
     val hits = withSource(
       matches.crossJoin(broadcast(stats))
         .orderBy(desc("_score"), col(pkCols.head))
         .limit(limit),
       docs.columns.toSeq, meta)
     if (meta.loadRows) hits
-    else hits.select((pkCols.map(col) ++ Seq(col("_score"), col("hit_count"), col("max_score"))) ++
+    else hits.select((pkCols.map(col) ++ Seq(col("_score"), col("hit_count"), col("max_score"),
+        col("took"), col("shards_total"), col("shards_successful"))) ++
       (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
   }
 

@@ -32,6 +32,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash pairs from a materialized sketch store match the direct run") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sketch_store").toString
+    Dedup.writeSketchStore(corpus, path, "text", "doc_id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = norm(Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.4))
+    val stored = norm(Dedup.minhashPairsFromStore(spark, path, threshold = 0.4))
+    assert(stored == direct && stored.nonEmpty)
+    // a banding that doesn't match the stored signature length is loud
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairsFromStore(spark, path, numHashes = 16, bands = 8)
+    }
+  }
+
   test("simhash hamming pairs find the planted near-dup") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -39,6 +39,21 @@ class SearchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("1")) // doc 4 has batch, doc 1 has the phrase
   }
 
+  test("searchWithTotal carries took and the _shards segment analog (R10)") {
+    val out = Search.searchWithTotal(docs,
+      "#options:load-rows=false#text:spark", IndexConfig(),
+      Seq("doc_id"), segmentCol = Some("lang"))
+    assert(out.columns.toSeq == Seq("doc_id", "_score", "hit_count", "max_score",
+      "took", "shards_total", "shards_successful"))
+    val r = out.head
+    assert(r.getAs[Long]("took") == 0L)             // deterministic placeholder
+    assert(r.getAs[Long]("shards_total") == 2L)     // en + de segments
+    assert(r.getAs[Long]("shards_successful") == 2L)
+    // unsegmented store: single logical shard
+    val one = Search.searchWithTotal(docs, "text:spark", IndexConfig()).head
+    assert(one.getAs[Long]("shards_total") == 1L)
+  }
+
   test("quoted colons and escaped specials match literally") {
     val d = Seq(
       ("1", "see a:b here"),
@@ -232,7 +247,8 @@ class SearchSpec extends AnyFunSuite {
     val pkOnly = Search.searchWithTotal(docs,
       "#options:load-source=true,load-rows=false#text:spark", IndexConfig())
     assert(pkOnly.columns.toSeq ==
-      Seq("doc_id", "_score", "hit_count", "max_score", "_source"))
+      Seq("doc_id", "_score", "hit_count", "max_score",
+        "took", "shards_total", "shards_successful", "_source"))
   }
 
   test("metadata enrichment attaches global hit stats to every row") {

@@ -151,6 +151,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(assigned == Set(("u1", 1L, 1L), ("u1", 2L, 1L), ("u1", 3L, 2L), ("u2", 10L, 1L)))
   }
 
+  test("streaming sessionization expires idle users' state (EventTimeTimeout)") {
+    import graft.pipeline.Sessionize
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val input = MemoryStream[Sessionize.SessEventT]
+    val q = Sessionize.assignStreamExpiring(
+        input.toDS().withWatermark("ts", "0 seconds"), gapSec = 60)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_exp_out").start()
+    try {
+      input.addData(Sessionize.SessEventT("u1", 1L, t(100)))
+      q.processAllAvailable() // watermark → 100; u1 timeout set to 160
+      input.addData(Sessionize.SessEventT("u2", 20L, t(10000)))
+      q.processAllAvailable() // watermark → 10000, far past u1's timeout
+      input.addData(Sessionize.SessEventT("u2", 21L, t(20000)))
+      q.processAllAvailable() // this batch fires u1's timeout → state removed
+      input.addData(Sessionize.SessEventT("u1", 2L, t(30000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT user, eventId, sessionSeq FROM sess_exp_out")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getInt(2))).toMap
+    // u1's second event restarts at seq 1: fresh state, the old one was
+    // dropped by the timeout (with retained state the >gap event would be
+    // seq 2 — the discriminator that proves removal)
+    assert(out == Map(("u1", 1L) -> 1, ("u2", 20L) -> 1,
+      ("u2", 21L) -> 2, ("u1", 2L) -> 1))
+  }
+
   test("streaming exact dedup: duplicate deliveries collapse across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

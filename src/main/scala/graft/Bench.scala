@@ -71,8 +71,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalShuffle = results.values.map(_._2).sum
+    // keep round-over-round totals comparable: call out queries added since
+    // the previous round's bench (r3 ran 74; r4 added these 3), so a total
+    // delta is read against the query-count delta, not as a regression
+    val newQueries = Seq("q_ingest_pipeline", "q_maintain_drop", "q_dummy_mode")
+      .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,"sf":"$sfDir"}""")
+      s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +
+      s""""query_count":${results.size},"new_queries_this_round":$newQueries,""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -665,6 +665,20 @@ object SparkEntry {
       pipeline.Ivf.topK(assigned, queries, centroids, k = 10, nprobe = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_ivf_exact" -> ((s, dir) => {
+      // IVF with nprobe = C visits every inverted list — exhaustive, so the
+      // result must equal brute force exactly: an end-to-end oracle over
+      // the train→assign→probe machinery (the pruned variant above stays
+      // rows-only because recall < 1 is its honest contract)
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val centroids = pipeline.Ivf.train(emb, c = 8, iters = 2)
+      val assigned = pipeline.Ivf.assign(emb, centroids)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topK(assigned, queries, centroids, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_similarity_lsh" -> ((s, dir) => {
       // ANN via random-hyperplane LSH banding, oracle-checked against the
       // brute-force top-k (recall 1.0 on the gate corpus at 32 bands ×
@@ -1385,6 +1399,22 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
          ORDER BY id_a, id_b""",
+    "q_similarity_ivf_exact" ->
+      // nprobe = C makes IVF exhaustive → brute-force top-k is the exact
+      // oracle for the whole train/assign/probe pipeline
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding, q.query_vec) AS raw_cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q_similarity_lsh" ->
       // brute-force top-k as oracle: LSH gate params give recall 1.0 here
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),

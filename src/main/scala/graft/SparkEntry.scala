@@ -242,6 +242,30 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_dsl_multi" -> ((s, dir) => {
+      // R3 widening: multi_match (most_fields — summed per-field leaves,
+      // per-field ^boost), constant_score, and whole-token regexp — the
+      // ES-DSL operators real clients emit beyond the round-2 subset
+      val q = """{"query":{"bool":{
+                   "must":[{"multi_match":{"query":"spark","fields":["text^2","source"]}}],
+                   "should":[{"constant_score":{"filter":{"term":{"lang":"en"}},"boost":3}},
+                             {"regexp":{"source":{"value":"src[0-9]+","boost":2}}}]}},
+                  "size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_search_dsl_phrase_prefix" -> ((s, dir) => {
+      // R3 widening: match_phrase_prefix — contiguous phrase whose last
+      // term is a prefix (the type-ahead operator), long body with boost
+      val q = """{"query":{"match_phrase_prefix":{"text":{"query":"sort tab","boost":2}}},
+                  "size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_skew_join" -> ((s, dir) => {
       // skew mitigation: salted join must equal the plain join, row for row
       val large = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
@@ -1399,6 +1423,26 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
          ORDER BY id_a, id_b""",
+    "q_search_dsl_multi" ->
+      // multi_match most_fields: per-field leaves summed with per-field
+      // boosts; constant_score scores its boost when the filter matches;
+      // regexp is whole-token; should-with-must is scoring-only (msm=0)
+      """SELECT doc_id, lang, source,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 2 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(source), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN lang = 'en' THEN 3 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(source), '\b(?:src[0-9]+)\b') THEN 2 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+            OR regexp_matches(lower(source), '\bspark\b')
+         ORDER BY doc_id""",
+    "q_search_dsl_phrase_prefix" ->
+      // phrase + prefix: quoted-phrase anchor on the left, open [^\s]* on
+      // the prefix end (trailing wildcard drops its anchor)
+      """SELECT doc_id, 2 AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bsort tab[^\s]*')
+         ORDER BY doc_id""",
     "q_similarity_ivf_exact" ->
       // nprobe = C makes IVF exhaustive → brute-force top-k is the exact
       // oracle for the whole train/assign/probe pipeline

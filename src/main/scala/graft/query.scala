@@ -55,8 +55,10 @@ object QueryMeta {
   * grouping `field:(a OR b)^N`, and `\`-escaped literal specials —
   * see [[termMatch]] for the declared word-boundary anchor semantics)
   * and the ES-DSL JSON
-  * operators `term`, `terms`, `ids`, `match`, `match_phrase`, `prefix`,
-  * `wildcard`, `fuzzy`, `range`, `exists`,
+  * operators `term`, `terms`, `ids`, `match`, `match_phrase`,
+  * `match_phrase_prefix`, `prefix`, `wildcard`, `regexp` (whole-token),
+  * `fuzzy`, `range`, `exists`, `multi_match` (declared `most_fields`
+  * scoring), `constant_score`,
   * `bool{must,should,must_not,filter,minimum_should_match}`,
   * `query_string`, `match_all` with top-level `size` — each leaf in both
   * the short scalar form and the long object body ES clients emit
@@ -519,6 +521,106 @@ object QueryCompiler {
           val sub = LuceneLite.compile(body.get("query").asText, Int.MaxValue)
           if (scoring) leaves += ((sub.predicate, 1))
           sub.predicate
+        case "multi_match" =>
+          // {"multi_match":{"query":"x","fields":["a","b^2"]}} — declared
+          // `most_fields` semantics: one scoring leaf per field, summed
+          // (ES best_fields would dis_max them; the summed variant is the
+          // reproducible one and an official ES type). Per-field `^N`
+          // boosts apply; rejected keys (type, operator, …) are loud.
+          val unknown = body.fieldNames.asScala.toSet -- Set("query", "fields")
+          require(unknown.isEmpty,
+            s"unsupported multi_match option(s): ${unknown.mkString(", ")}")
+          val qv = Option(body.get("query"))
+            .getOrElse(throw new IllegalArgumentException("multi_match requires 'query'"))
+          require(qv.isTextual && qv.asText.nonEmpty,
+            s"multi_match expects a non-empty string query, got: $qv")
+          val fieldsNode = Option(body.get("fields"))
+            .getOrElse(throw new IllegalArgumentException("multi_match requires 'fields'"))
+          require(fieldsNode.isArray && fieldsNode.size > 0,
+            "multi_match expects a non-empty fields array")
+          val perField = fieldsNode.elements.asScala.toSeq.map { fn =>
+            require(fn.isTextual, s"multi_match field must be a string, got: $fn")
+            val raw = fn.asText
+            val (f, b) = raw.lastIndexOf('^') match {
+              case i if i > 0 && raw.substring(i + 1).forall(_.isDigit) &&
+                i + 1 < raw.length => (raw.substring(0, i), raw.substring(i + 1).toInt)
+              case _ => (raw, 1)
+            }
+            (termMatch(f, qv.asText), b)
+          }
+          if (scoring) leaves ++= perField
+          perField.map(_._1).reduce(_ || _)
+        case "regexp" =>
+          // {"regexp":{"f":"pat.*n"}} (or long form {"value":…,"boost":…})
+          // — whole-token regex match, the token-model analog of ES regexp's
+          // full-value anchoring. Pattern validity is checked at compile.
+          val (f, vRaw) = singleField(body)
+          val (v, boost) =
+            if (!vRaw.isObject) (vRaw, 1)
+            else {
+              val unknown = vRaw.fieldNames.asScala.toSet -- Set("value", "boost")
+              require(unknown.isEmpty,
+                s"unsupported regexp option(s): ${unknown.mkString(", ")}")
+              val value = Option(vRaw.get("value")).getOrElse(
+                throw new IllegalArgumentException("regexp long form requires 'value'"))
+              val b = Option(vRaw.get("boost")).map { n =>
+                require(n.isIntegralNumber && n.asInt >= 1,
+                  s"boost must be a positive integer, got: $n")
+                n.asInt
+              }.getOrElse(1)
+              (value, b)
+            }
+          require(v.isTextual && v.asText.nonEmpty,
+            s"regexp expects a non-empty pattern, got: $v")
+          val pat = v.asText
+          try java.util.regex.Pattern.compile(pat) catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              throw new IllegalArgumentException(s"invalid regexp '$pat': ${e.getMessage}")
+          }
+          val c = lower(col(f)).rlike("\\b(?:" + pat + ")\\b")
+          if (scoring) leaves += ((c, boost))
+          c
+        case "constant_score" =>
+          // {"constant_score":{"filter":{...},"boost":N}} — the filter
+          // matches or not; a matching row scores exactly `boost` for this
+          // clause regardless of the filter's internal structure
+          val unknown = body.fieldNames.asScala.toSet -- Set("filter", "boost")
+          require(unknown.isEmpty,
+            s"unsupported constant_score option(s): ${unknown.mkString(", ")}")
+          val filterNode = Option(body.get("filter"))
+            .getOrElse(throw new IllegalArgumentException("constant_score requires 'filter'"))
+          val boost = Option(body.get("boost")).map { n =>
+            require(n.isIntegralNumber && n.asInt >= 1,
+              s"boost must be a positive integer, got: $n")
+            n.asInt
+          }.getOrElse(1)
+          val inner = node(filterNode, leaves, scoring = false, idCol)
+          if (scoring) leaves += ((inner, boost))
+          inner
+        case "match_phrase_prefix" =>
+          // {"match_phrase_prefix":{"f":"quick bro"}} — phrase whose last
+          // term is a prefix (contiguous-token + trailing wildcard)
+          val (f, vRaw) = singleField(body)
+          val (v, boost) =
+            if (!vRaw.isObject) (vRaw, 1)
+            else {
+              val unknown = vRaw.fieldNames.asScala.toSet -- Set("query", "boost")
+              require(unknown.isEmpty,
+                s"unsupported match_phrase_prefix option(s): ${unknown.mkString(", ")}")
+              val value = Option(vRaw.get("query")).getOrElse(throw
+                new IllegalArgumentException("match_phrase_prefix long form requires 'query'"))
+              val b = Option(vRaw.get("boost")).map { n =>
+                require(n.isIntegralNumber && n.asInt >= 1,
+                  s"boost must be a positive integer, got: $n")
+                n.asInt
+              }.getOrElse(1)
+              (value, b)
+            }
+          require(v.isTextual && v.asText.nonEmpty,
+            s"match_phrase_prefix expects a non-empty string, got: $v")
+          val c = termMatch(f, v.asText + "*")
+          if (scoring) leaves += ((c, boost))
+          c
         case "bool" =>
           val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol))
           val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false, idCol))

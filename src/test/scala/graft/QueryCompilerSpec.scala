@@ -197,6 +197,38 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(q.score.toString == "0")
   }
 
+  test("round-4 DSL operators compile; malformed bodies are rejected") {
+    // multi_match: per-field boosts, most_fields scoring
+    assert(QueryCompiler.validate(
+      """{"query":{"multi_match":{"query":"x","fields":["a","b^2"]}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"multi_match":{"query":"x"}}}""").isLeft)     // no fields
+    assert(QueryCompiler.validate(
+      """{"query":{"multi_match":{"query":"x","fields":[]}}}""").isLeft)
+    assert(QueryCompiler.validate(                               // unknown option
+      """{"query":{"multi_match":{"query":"x","fields":["a"],"type":"best_fields"}}}""").isLeft)
+    // regexp: compile-time pattern validation, long form with boost
+    assert(QueryCompiler.validate("""{"query":{"regexp":{"f":"src[0-9]+"}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"regexp":{"f":{"value":"a+","boost":2}}}}""").isRight)
+    assert(QueryCompiler.validate("""{"query":{"regexp":{"f":"src["}}}""").isLeft)
+    // constant_score: boost rides the filter; inner clauses never score
+    assert(QueryCompiler.validate(
+      """{"query":{"constant_score":{"filter":{"term":{"f":"x"}},"boost":3}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"constant_score":{"boost":3}}}""").isLeft)    // no filter
+    val cs = QueryCompiler.compile(
+      """{"query":{"constant_score":{"filter":{"term":{"f":"x"}},"boost":3}}}""")
+    assert(cs.score.toString.contains("3"))
+    // match_phrase_prefix
+    assert(QueryCompiler.validate(
+      """{"query":{"match_phrase_prefix":{"f":"quick bro"}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"match_phrase_prefix":{"f":{"query":"a b","boost":2}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"match_phrase_prefix":{"f":""}}}""").isLeft)
+  }
+
   // --- quoting and escaping inside groups (round-4 parser hardening) ---
 
   test("bare phrase with a colon inside a group is a value, not a field") {

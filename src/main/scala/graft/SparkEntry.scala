@@ -242,6 +242,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_regex" -> ((s, dir) => {
+      // R2 widening: Lucene /regex/ syntax — whole-token regex with boost,
+      // composed with a plain term under implicit AND
+      Search.search(tbl(s, dir, "documents"),
+          "source:/src[0-9]+/^2 AND text:spark", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_dsl_multi" -> ((s, dir) => {
       // R3 widening: multi_match (most_fields — summed per-field leaves,
       // per-field ^boost), constant_score, and whole-token regexp — the
@@ -1423,6 +1431,14 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
          ORDER BY id_a, id_b""",
+    "q_search_regex" ->
+      """SELECT doc_id, source,
+           (CASE WHEN regexp_matches(lower(source), '\b(?:src[0-9]+)\b') THEN 2 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(source), '\b(?:src[0-9]+)\b')
+           AND regexp_matches(lower(text), '\bspark\b')
+         ORDER BY doc_id""",
     "q_search_dsl_multi" ->
       // multi_match most_fields: per-field leaves summed with per-field
       // boosts; constant_score scores its boost when the filter matches;

@@ -50,7 +50,8 @@ object QueryMeta {
   * (ElasticIndex.java:127, 663-665 wraps the raw string; README.md:176-211).
   * A Spark engine must own the grammar, so this compiler supports a declared,
   * reproducible subset — Lucene-lite (`field:term`, `field:pre*` / `te?t`
-  * wildcards, `field:term~N` fuzzy, `field:term^N` boost, `field:[a TO b]`,
+  * wildcards, `field:/regex/` whole-token regex, `field:term~N` fuzzy,
+  * `field:term^N` boost, `field:[a TO b]`,
   * `AND`/`OR`/`NOT`, `+`required/`-`prohibited, parentheses, field
   * grouping `field:(a OR b)^N`, and `\`-escaped literal specials —
   * see [[termMatch]] for the declared word-boundary anchor semantics)
@@ -163,6 +164,7 @@ object QueryCompiler {
   private[graft] object LuceneLite {
     sealed trait Node
     case class Term(field: String, value: String, boost: Int = 1) extends Node
+    case class Regex(field: String, pattern: String, boost: Int = 1) extends Node
     case class Fuzzy(field: String, value: String, dist: Int, boost: Int = 1) extends Node
     case class Range(field: String, lo: String, hi: String,
                      incLo: Boolean, incHi: Boolean, boost: Int = 1) extends Node
@@ -177,6 +179,10 @@ object QueryCompiler {
       def toCol(n: Node, pos: Boolean): Column = n match {
         case Term(f, v, boost) =>
           val c = termMatch(f, v); if (pos) leaves += ((c, boost)); c
+        case Regex(f, pat, boost) =>
+          // whole-token regex, same anchor model as the DSL `regexp`
+          val c = lower(col(f)).rlike("\\b(?:" + pat + ")\\b")
+          if (pos) leaves += ((c, boost)); c
         case Fuzzy(f, v, dist, boost) =>
           val c = graft.functions.TextSketchFunctions
             .fuzzy_token_match(col(f), v, dist)
@@ -212,6 +218,7 @@ object QueryCompiler {
       * group distributes over its terms. */
     private def mapBoost(node: Node, n: Int): Node = node match {
       case t: Term  => t.copy(boost = t.boost * n)
+      case r: Regex => r.copy(boost = r.boost * n)
       case f: Fuzzy => f.copy(boost = f.boost * n)
       case r: Range => r.copy(boost = r.boost * n)
       case And(l, r) => And(mapBoost(l, n), mapBoost(r, n))
@@ -318,10 +325,11 @@ object QueryCompiler {
     private val FuzzyRx = """(.*)~(\d*)$""".r
 
     private def atom(tok: String, df: Option[String] = None): Node = {
-      // a token opening with a quote is a bare phrase (group context binds
-      // it to the group's field): any ':' inside the quotes is literal, not
-      // a field separator — `text:("a:b" OR c)` must not parse field `"a`
-      if (tok.startsWith("\""))
+      // a token opening with a quote or a slash is a bare phrase/regex
+      // (group context binds it to the group's field): any ':' inside is
+      // literal, not a field separator — `text:("a:b" OR c)` must not
+      // parse field `"a`, nor `text:(/a:b/ OR c)` field `/a`
+      if (tok.startsWith("\"") || tok.startsWith("/"))
         return atomValue(df.getOrElse(throw new IllegalArgumentException(
           s"expected field:term, got '$tok'")), tok, tok)
       val ci = tok.indexOf(':')
@@ -362,6 +370,20 @@ object QueryCompiler {
         val (value1, boost) = tok0 match {
           case BoostRx(v, b) if !v.endsWith("\\") => (v, b.toInt)
           case v => (v, 1)
+        }
+        // Lucene regex syntax: field:/pattern/ (optional ^boost already
+        // stripped) — whole-token match like the DSL `regexp`. `\/` is a
+        // literal slash inside the pattern; the declared subset takes no
+        // whitespace inside /…/ (tokens split on whitespace first).
+        if (value1.length >= 2 && value1.startsWith("/") && value1.endsWith("/")
+            && !value1.endsWith("\\/")) {
+          val pat = value1.substring(1, value1.length - 1).replace("\\/", "/")
+          require(pat.nonEmpty, s"empty regex in '$tok'")
+          try java.util.regex.Pattern.compile(pat) catch {
+            case e: java.util.regex.PatternSyntaxException =>
+              throw new IllegalArgumentException(s"invalid regex '$pat': ${e.getMessage}")
+          }
+          return Regex(field, pat, boost)
         }
         // Lucene fuzzy suffix on the remaining value: term~N (N edits) or
         // bare term~ (Lucene default 2); `\~` is a literal tilde. Phrase

@@ -30,6 +30,19 @@ object StreamingIndexer {
         sink(Indexer.latestPerKey(batch, keyCol, versionCols), id)
       }
 
+  /** W12 streaming: exactly-once ingest with BOUNDED state. The batch twin
+    * ([[Indexer.exactlyOnce]]) and a plain streaming `dropDuplicates`
+    * remember every (key, mutation id) forever — at 100 TB/day the state
+    * store itself becomes the scale problem. `dropDuplicatesWithinWatermark`
+    * keeps a key only until the watermark passes it: duplicate deliveries
+    * (retries, replays) arrive within the delivery-delay bound by
+    * definition, so expiring state beyond the watermark loses nothing.
+    * State is bounded by the duplicate-arrival window, not stream history. */
+  def exactlyOnceStream(mutations: DataFrame, keyCol: String, mutationIdCol: String,
+                        tsCol: String, watermark: String): DataFrame =
+    mutations.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol, mutationIdCol)
+
   /** Event-time windowed rollup with a watermark — the streaming analog of
     * segment-bucketed counts (M2/M3); late data beyond the watermark is
     * dropped deterministically instead of the reference's wall-clock TTL. */

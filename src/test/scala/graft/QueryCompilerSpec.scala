@@ -229,6 +229,16 @@ class QueryCompilerSpec extends AnyFunSuite {
       """{"query":{"match_phrase_prefix":{"f":""}}}""").isLeft)
   }
 
+  test("Lucene /regex/ syntax: whole-token, boostable, validated eagerly") {
+    assert(QueryCompiler.validate("source:/src[0-9]+/").isRight)
+    assert(QueryCompiler.validate("source:/src[0-9]+/^2 AND text:spark").isRight)
+    assert(QueryCompiler.validate("text:(/a[bc]/ OR plain)").isRight) // group-bound
+    assert(QueryCompiler.validate("source:/src[/").isLeft)            // bad pattern
+    assert(QueryCompiler.validate("source://").isLeft)                // empty pattern
+    val q = QueryCompiler.compile("source:/src[0-9]+/^2")
+    assert(q.score.toString.contains("2"))
+  }
+
   // --- quoting and escaping inside groups (round-4 parser hardening) ---
 
   test("bare phrase with a colon inside a group is a value, not a field") {

@@ -91,4 +91,36 @@ class PlanSpec extends AnyFunSuite {
     val plan = docs.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
   }
+
+  test("pipeline upsert's insert path broadcast-anti-joins the small batch (S4)") {
+    // at scale `existing` is the full store and the batch is one ingest
+    // slice: the anti-join must build on the batch side, never sort-merge
+    val plan = planOf("q_ingest_pipeline")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("ingest-pipeline transforms stay narrow — no extra exchange (S4)") {
+    // the processor chain is Column-only; the only exchanges allowed are
+    // the LWW window shuffle and the union's round-robin-free unions
+    val t = IngestPipeline.compile(
+      """{"processors":[{"lowercase":{"field":"l_returnflag"}},
+                        {"set":{"field":"flag","value":"y"}},
+                        {"gsub":{"field":"l_linestatus","pattern":"O","replacement":"0"}}]}""")
+    val out = t(spark.read.parquet(s"$dir/lineitem.parquet"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
+  test("multi_match / regexp compile to one filtered scan, top-k capped (R3)") {
+    val plan = planOf("q_search_dsl_multi")
+    // a pure filter+score query: exactly one scan, the multi-field
+    // predicate evaluated AT the scan (DataFilters), top-k via
+    // TakeOrderedAndProject, and no join anywhere
+    assert(plan.split("FileScan").length == 2, plan.take(800))
+    assert(plan.contains("DataFilters: [(RLIKE(lower(text"), plan.take(1500))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
 }

@@ -793,7 +793,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
     "q_multimodal_decode" -> ((s, dir) => {
-      // rows-only: batched stub decode over the binary column (mapPartitions)
+      // batched stub decode over the binary column (mapPartitions): the
+      // stub checksum is SQL-expressible, so the whole batched path —
+      // binary cast, partition iteration, feature struct — is oracle-checked
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "text", "image", "raw")
       Multimodal.extractFeatures(media, "doc_id").orderBy(col("id"))
     }),
@@ -1459,6 +1461,20 @@ object SparkEntry {
          FROM documents
          WHERE regexp_matches(lower(text), '\bsort tab[^\s]*')
          ORDER BY doc_id""",
+    "q_multimodal_decode" ->
+      // the stub decode contract: checksum = Σ byte_i × ((i mod 64) + 1)
+      // over UTF-8 bytes (the corpus is ASCII, so bytes = code points);
+      // width/height are checksum-derived. Empty text → checksum 0.
+      """WITH f AS (
+           SELECT CAST(doc_id AS BIGINT) AS id,
+             CAST(strlen(text) AS BIGINT) AS n_bytes,
+             CAST(coalesce(list_sum(list_transform(range(1, strlen(text) + 1),
+               i -> unicode(text[i]) * (((i - 1) % 64) + 1))), 0) AS BIGINT) AS checksum
+           FROM documents WHERE text IS NOT NULL)
+         SELECT id, n_bytes, checksum,
+           CAST(16 + checksum % 1024 AS INTEGER) AS width,
+           CAST(16 + (checksum // 1024) % 1024 AS INTEGER) AS height
+         FROM f ORDER BY id""",
     "q_similarity_ivf_exact" ->
       // nprobe = C makes IVF exhaustive → brute-force top-k is the exact
       // oracle for the whole train/assign/probe pipeline
@@ -1492,6 +1508,6 @@ object SparkEntry {
          WHERE rank <= 10 ORDER BY query_id, rank"""
     // rows-only (genuinely approximate or non-SQL): q_dedup_simhash
     // (xxhash64 signature), q_similarity_ivf (IVF recall < 1 — honest
-    // approximation), q_multimodal_decode (stub checksum)
+    // approximation; its exhaustive twin q_similarity_ivf_exact IS oracled)
   )
 }

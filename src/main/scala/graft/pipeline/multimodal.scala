@@ -31,15 +31,22 @@ object Multimodal {
         lit(format).as("format")))
 
   /** STUB media decoder: deterministic fake "features" from the payload —
-    * byte count, a simple byte checksum, and a fake width/height derived
-    * from the length. Replace with a real codec for production; the operator
-    * contract (binary in, fixed-width feature struct out) is the real part. */
+    * byte count, a position-weighted byte checksum (weights cycle 1..64:
+    * order-sensitive unlike a plain sum, yet overflow-free and exactly
+    * expressible in ANSI SQL, so the driver's DuckDB oracle can verify the
+    * whole batched-decode path end-to-end), and a fake width/height derived
+    * from the checksum. Replace with a real codec for production; the
+    * operator contract (binary in, fixed-width feature struct out) is the
+    * real part. */
   def decodeStub(bytes: Array[Byte]): (Long, Long, Int, Int) = {
     var checksum = 0L
     var i = 0
-    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xff); i += 1 }
-    val w = 16 + (math.abs(checksum) % 1024).toInt
-    val h = 16 + (math.abs(checksum / 1024) % 1024).toInt
+    while (i < bytes.length) {
+      checksum += (bytes(i) & 0xff).toLong * ((i % 64) + 1)
+      i += 1
+    }
+    val w = 16 + (checksum % 1024).toInt
+    val h = 16 + ((checksum / 1024) % 1024).toInt
     (bytes.length.toLong, checksum, w, h)
   }
 

@@ -25,6 +25,10 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.sameElements(f2))
     assert(f1.map(_.getLong(1)).toSeq == Seq(4L, 2L)) // n_bytes
     assert(f1.forall(r => r.getInt(3) >= 16 && r.getInt(4) >= 16)) // stub dims
+    // pin the declared checksum: Σ byte_i × ((i mod 64) + 1), 0-indexed —
+    // "abcd" → 97·1 + 98·2 + 99·3 + 100·4 = 990 (the SQL-oracle contract)
+    assert(f1.head.getLong(2) == 990L)
+    assert(f1.head.getInt(3) == 16 + 990 % 1024)
   }
 
   test("resizeStub fits the bounding box preserving aspect ratio") {

@@ -72,11 +72,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalShuffle = results.values.map(_._2).sum
     // keep round-over-round totals comparable: call out queries added since
-    // the previous round's bench (r3 ran 74; r4 added these 7), so a total
+    // the previous round's bench (r3 ran 74; r4 added these 9), so a total
     // delta is read against the query-count delta, not as a regression
     val newQueries = Seq("q_ingest_pipeline", "q_maintain_drop", "q_dummy_mode",
         "q_similarity_ivf_exact", "q_search_dsl_multi",
-        "q_search_dsl_phrase_prefix", "q_search_regex")
+        "q_search_dsl_phrase_prefix", "q_search_regex", "q_search_dsl_ids",
+        "q_maintain_compact")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

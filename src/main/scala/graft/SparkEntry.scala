@@ -250,6 +250,21 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_dsl_ids" -> ((s, dir) => {
+      // R3: the remaining DSL leaves end-to-end — ids lookup (missing ids
+      // are no-ops), prefix, nested bool with explicit
+      // minimum_should_match, and query_string (Lucene embedded in DSL)
+      val q = """{"query":{"bool":{
+                   "must":[{"bool":{"should":[{"ids":{"values":[1,2,3,40,41,500]}},
+                                              {"prefix":{"source":"src1"}}],
+                                    "minimum_should_match":1}}],
+                   "should":[{"query_string":{"query":"text:spark OR text:batch"}}]}},
+                  "size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_dsl_multi" -> ((s, dir) => {
       // R3 widening: multi_match (most_fields — summed per-field leaves,
       // per-field ^boost), constant_score, and whole-token regexp — the
@@ -572,6 +587,21 @@ object SparkEntry {
       Maintain.dropSegmentDirs(s, path, "segment", seg => seg >= "1995-01")
       s.read.parquet(path)
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
+        .orderBy(col("segment"))
+    }),
+    "q_maintain_compact" -> ((s, dir) => {
+      // small-file compaction: fragment the store (8 files per segment,
+      // the incremental-upsert aftermath), compact, read back — the
+      // physical rewrite must not touch a single row
+      val o = tbl(s, dir, "orders")
+        .withColumn("segment", date_format(col("o_orderdate"), "yyyy-MM"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_maintain_compact").toString
+      o.repartition(8).write.mode("overwrite").partitionBy("segment").parquet(path)
+      Maintain.compactSegments(s, path, "segment", targetRecordsPerFile = 1000000L)
+      s.read.parquet(path)
+        .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy(col("segment"))
     }),
     "q_dummy_mode" -> ((s, dir) => {
@@ -1399,6 +1429,10 @@ object SparkEntry {
          GROUP BY 1 ORDER BY segment""",
     "q_dummy_mode" ->
       """SELECT doc_id, lang, source FROM documents ORDER BY doc_id""",
+    "q_maintain_compact" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS segment, count(*) AS doc_count,
+           round(sum(o_totalprice), 2) AS total_price
+         FROM orders GROUP BY 1 ORDER BY segment""",
     "q_search_grouping" ->
       // group boost ^2 distributes over (spark OR batch); `-lang:de` is a
       // prohibited (non-scoring) clause with Lucene absent-field semantics;
@@ -1440,6 +1474,18 @@ object SparkEntry {
          FROM documents
          WHERE regexp_matches(lower(source), '\b(?:src[0-9]+)\b')
            AND regexp_matches(lower(text), '\bspark\b')
+         ORDER BY doc_id""",
+    "q_search_dsl_ids" ->
+      // nested-bool should with msm=1 filters; outer should scores only;
+      // each positive leaf (ids, prefix, query_string) contributes 1
+      """SELECT doc_id, source,
+           (CASE WHEN doc_id IN (1,2,3,40,41,500) THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(source), '\bsrc1[^\s]*') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bspark\b')
+                   OR regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE doc_id IN (1,2,3,40,41,500)
+            OR regexp_matches(lower(source), '\bsrc1[^\s]*')
          ORDER BY doc_id""",
     "q_search_dsl_multi" ->
       // multi_match most_fields: per-field leaves summed with per-field

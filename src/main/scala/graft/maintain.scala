@@ -148,6 +148,58 @@ object Maintain {
       .map(p => unescape(p.getName.stripPrefix(segmentCol + "=")))
   }
 
+  /** M-plane physical extension: compact a segmented doc store's small
+    * files. Incremental upserts write files-per-batch × segments small
+    * files; at 100 TB the FILE COUNT becomes the bottleneck (driver
+    * listing, task scheduling, per-row-group overhead) long before data
+    * volume does. Each targeted segment directory is rewritten to
+    * ⌈rows / targetRecordsPerFile⌉ files via an atomic-per-segment swap
+    * (write aside → delete → rename): a failed rewrite leaves every other
+    * segment untouched and the failed one's original intact until its
+    * delete. Returns (segment, filesBefore, filesAfter).
+    *
+    * The reference has no analog — ES merges Lucene segments internally;
+    * a parquet store must do this itself. */
+  def compactSegments(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+                      segmentCol: String, targetRecordsPerFile: Long,
+                      target: String => Boolean = _ => true): Seq[(String, Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def unescape(s: String): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(segmentCol + "="))
+      .filter(st => target(unescape(st.getPath.getName.stripPrefix(segmentCol + "="))))
+      .flatMap { st =>
+        val dir = st.getPath
+        val dataFiles = fs.listStatus(dir).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith(("_")) &&
+            !f.getPath.getName.startsWith("."))
+        val df = spark.read.parquet(dir.toString)
+        val rows = df.count()
+        val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+        if (dataFiles.size <= nFiles) None // already compact — skip the rewrite
+        else {
+          val tmp = new Path(root, s".compact_tmp_${dir.getName}")
+          fs.delete(tmp, true)
+          df.repartition(nFiles).write.parquet(tmp.toString)
+          // drop the write-side metadata markers so the swapped-in dir
+          // looks exactly like a partition directory
+          fs.listStatus(tmp).toSeq
+            .filter(f => f.getPath.getName.startsWith("_"))
+            .foreach(f => fs.delete(f.getPath, false))
+          fs.delete(dir, true)
+          fs.rename(tmp, dir)
+          val after = fs.listStatus(dir).count(f => f.isFile &&
+            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+          Some((unescape(dir.getName.stripPrefix(segmentCol + "=")), dataFiles.size, after))
+        }
+      }
+  }
+
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +
     * ES-recommended mapping type per §1.3), the analog of returning the ES
     * mapping as a fake result row

@@ -89,6 +89,25 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("compactSegments merges small files per segment, data preserved") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // a fragmented store: 6 files per segment (the incremental-upsert
+    // aftermath writeSegmented's clustering normally prevents)
+    val df = (1 to 600).map(i => (i.toLong, s"seg${i % 2}", s"v$i"))
+      .toDF("id", "segment", "v")
+    df.repartition(6).write.mode("overwrite").partitionBy("segment").parquet(path)
+    val before = spark.read.parquet(path).orderBy("id").collect()
+    val report = Maintain.compactSegments(spark, path, "segment",
+      targetRecordsPerFile = 1000)
+    assert(report.map(r => (r._1, r._2, r._3)).sortBy(_._1) ==
+      Seq(("seg0", 6, 1), ("seg1", 6, 1)))
+    val after = spark.read.parquet(path).orderBy("id").collect()
+    assert(after.sameElements(before)) // byte-identical rows, fewer files
+    // second run is a no-op: already compact
+    assert(Maintain.compactSegments(spark, path, "segment", 1000).isEmpty)
+  }
+
   test("segmentIndexNameCol labels rows with their physical segment name") {
     val df = Seq(("2024-03-05 10:30:00", 1)).toDF("ts", "v")
       .withColumn("ts", col("ts").cast("timestamp"))

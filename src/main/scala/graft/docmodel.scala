@@ -20,19 +20,22 @@ object DocModel {
   val IsoFormat = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
 
   /** Doc-id synthesis (W4): `_id` = partition-key values then clustering-key
-    * values joined with `-`; a single bare PK stays un-joined, which
-    * `concat_ws` over one column already satisfies.
-    * (reference: CStarUtils.java:376-406 toEsId; separator IndexConfig.java:42).
+    * values joined with `sep` — configurable like the reference's
+    * `genesys-es-id-separator` system property, default `-`; a single bare
+    * PK stays un-joined, which `concat_ws` over one column already
+    * satisfies. (reference: CStarUtils.java:376-406 toEsId; separator
+    * IndexConfig.java:42).
     *
     * 100 TB note: the id is derived, never shuffled for — downstream grouping
     * shuffles on this column directly and Catalyst keeps the expression inline.
     */
-  def docId(pkCols: Seq[String], ckCols: Seq[String] = Nil): Column =
+  def docId(pkCols: Seq[String], ckCols: Seq[String] = Nil,
+            sep: String = "-"): Column =
     // null keys render explicitly — concat_ws SKIPS null components, which
     // would collide ("a",null,"c") with ("a","c",null) and let last-write-
     // wins silently drop rows (Cassandra forbids null PKs; arbitrary
     // DataFrames don't)
-    concat_ws("-", (pkCols ++ ckCols)
+    concat_ws(sep, (pkCols ++ ckCols)
       .map(c => coalesce(col(c).cast(StringType), lit("\\N"))): _*)
 
   /** W9: IndexationDate stamp, ISO-8601 GMT (reference: ElasticIndex.java:576-578).

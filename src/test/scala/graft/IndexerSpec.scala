@@ -18,6 +18,12 @@ class IndexerSpec extends AnyFunSuite {
     assert(out.head.getString(0) == "1-2")
   }
 
+  test("doc-id separator is configurable (reference genesys-es-id-separator)") {
+    val df = Seq((1L, 2, "x")).toDF("pk", "ck", "v")
+    assert(df.select(DocModel.docId(Seq("pk"), Seq("ck"), sep = "::"))
+      .head.getString(0) == "1::2")
+  }
+
   test("doc-id synthesis: single bare PK") {
     val df = Seq(("42", "x")).toDF("id", "v")
     assert(df.select(DocModel.docId(Seq("id"))).head.getString(0) == "42")

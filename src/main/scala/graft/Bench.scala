@@ -72,8 +72,12 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val totalShuffle = results.values.map(_._2).sum
     // keep round-over-round totals comparable: call out queries added since
-    // the previous round's bench (r3 ran 74; r4 added these 9), so a total
-    // delta is read against the query-count delta, not as a regression
+    // the named baseline round, so a total delta is read against the
+    // query-count delta, not as a regression. The baseline marker makes the
+    // list self-describing — if a future round forgets to refresh it, the
+    // field still reads truthfully as "since r3", never as a stale "new
+    // this round".
+    val newQueriesBaseline = "r3" // ran 74 queries
     val newQueries = Seq("q_ingest_pipeline", "q_maintain_drop", "q_dummy_mode",
         "q_similarity_ivf_exact", "q_search_dsl_multi",
         "q_search_dsl_phrase_prefix", "q_search_regex", "q_search_dsl_ids",
@@ -81,7 +85,8 @@ object Bench {
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +
-      s""""query_count":${results.size},"new_queries_this_round":$newQueries,""" +
+      s""""query_count":${results.size},"new_queries_baseline":"$newQueriesBaseline",""" +
+      s""""new_queries_since_baseline":$newQueries,""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

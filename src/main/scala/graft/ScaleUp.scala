@@ -27,17 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  private def shifted(df: DataFrame, keys: Seq[String], factor: Int)
-                     (tweak: (DataFrame, Int) => DataFrame): DataFrame = {
-    val maxes = keys.map(k => k ->
-      (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+  /** Shift each key column by `i × stride(column)`. Strides are passed in,
+    * keyed by the key's DOMAIN (computed once from the owning dimension
+    * table): deriving a FK's stride from the fact table's own max would
+    * silently desynchronize joins whenever the top dimension key is
+    * unreferenced (max(o_custkey) < max(c_custkey) on real TPC-H data). */
+  private def shifted(df: DataFrame, keys: Map[String, Long], factor: Int)
+                     (tweak: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until factor).map { i =>
-      val shiftedKeys = keys.foldLeft(df) { (d, k) =>
-        d.withColumn(k, col(k) + lit(i * maxes(k)))
+      val shiftedKeys = keys.foldLeft(df) { case (d, (k, stride)) =>
+        d.withColumn(k, col(k) + lit(i * stride))
       }
       tweak(shiftedKeys, i)
     }.reduce(_.unionByName(_))
-  }
+
+  private def strideOf(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).head.getLong(0) + 1L
 
   private val identity: (DataFrame, Int) => DataFrame = (d, _) => d
 
@@ -57,20 +62,33 @@ object ScaleUp {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
 
+    // one stride per key DOMAIN, from the owning (dimension) table — the
+    // fact tables' FK columns reuse these so joins stay aligned per replica
+    val custStride  = strideOf(read("customer"), "c_custkey")
+    val suppStride  = strideOf(read("supplier"), "s_suppkey")
+    val partStride  = strideOf(read("part"), "p_partkey")
+    val orderStride = strideOf(read("orders"), "o_orderkey")
+
     write(read("region"), "region")
     write(read("nation"), "nation")
-    write(shifted(read("customer"), Seq("c_custkey"), factor)(identity), "customer")
-    write(shifted(read("supplier"), Seq("s_suppkey"), factor)(identity), "supplier")
-    write(shifted(read("part"), Seq("p_partkey"), factor)(identity), "part")
-    write(shifted(read("orders"), Seq("o_orderkey", "o_custkey"), factor)(identity), "orders")
+    write(shifted(read("customer"), Map("c_custkey" -> custStride), factor)(identity), "customer")
+    write(shifted(read("supplier"), Map("s_suppkey" -> suppStride), factor)(identity), "supplier")
+    write(shifted(read("part"), Map("p_partkey" -> partStride), factor)(identity), "part")
+    write(shifted(read("orders"),
+      Map("o_orderkey" -> orderStride, "o_custkey" -> custStride), factor)(identity), "orders")
     write(shifted(read("lineitem"),
-      Seq("l_orderkey", "l_partkey", "l_suppkey"), factor)(identity), "lineitem")
-    write(shifted(read("events"), Seq("event_id", "user_id"), factor)(identity), "events")
-    write(shifted(read("documents"), Seq("doc_id"), factor) { (d, i) =>
+      Map("l_orderkey" -> orderStride, "l_partkey" -> partStride,
+        "l_suppkey" -> suppStride), factor)(identity), "lineitem")
+    write(shifted(read("events"),
+      Map("event_id" -> strideOf(read("events"), "event_id"),
+        "user_id" -> strideOf(read("events"), "user_id")), factor)(identity), "events")
+    write(shifted(read("documents"),
+      Map("doc_id" -> strideOf(read("documents"), "doc_id")), factor) { (d, i) =>
       if (i == 0) d
       else d.withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$i"))
     }, "documents")
-    write(shifted(read("embeddings"), Seq("vec_id"), factor) { (d, i) =>
+    write(shifted(read("embeddings"),
+      Map("vec_id" -> strideOf(read("embeddings"), "vec_id")), factor) { (d, i) =>
       if (i == 0) d
       else d.withColumn("embedding", expr(
         s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +

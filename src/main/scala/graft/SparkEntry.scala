@@ -592,13 +592,15 @@ object SparkEntry {
     "q_maintain_compact" -> ((s, dir) => {
       // small-file compaction: fragment the store (8 files per segment,
       // the incremental-upsert aftermath), compact, read back — the
-      // physical rewrite must not touch a single row
+      // physical rewrite must not touch a single row. Year segments keep
+      // the demo's setup write cheap; the 'y' prefix pins the partition
+      // value to string (bare "1992" would infer as int on read-back)
       val o = tbl(s, dir, "orders")
-        .withColumn("segment", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("segment", concat(lit("y"), date_format(col("o_orderdate"), "yyyy")))
       val path = java.nio.file.Files
         .createTempDirectory("graft_maintain_compact").toString
       o.repartition(8).write.mode("overwrite").partitionBy("segment").parquet(path)
-      Maintain.compactSegments(s, path, "segment", targetRecordsPerFile = 1000000L)
+      Maintain.compactSegments(s, path, "segment")
       s.read.parquet(path)
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
@@ -1430,7 +1432,7 @@ object SparkEntry {
     "q_dummy_mode" ->
       """SELECT doc_id, lang, source FROM documents ORDER BY doc_id""",
     "q_maintain_compact" ->
-      """SELECT strftime(o_orderdate, '%Y-%m') AS segment, count(*) AS doc_count,
+      """SELECT 'y' || strftime(o_orderdate, '%Y') AS segment, count(*) AS doc_count,
            round(sum(o_totalprice), 2) AS total_price
          FROM orders GROUP BY 1 ORDER BY segment""",
     "q_search_grouping" ->

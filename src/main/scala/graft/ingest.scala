@@ -82,8 +82,12 @@ object IngestPipeline {
           else if (v.isNumber) lit(v.asDouble)
           else if (v.isBoolean) lit(v.asBoolean)
           else throw new IllegalArgumentException(s"unsupported set value: $v")
-        val overrideExisting =
-          Option(body.get("override")).forall(o => o.isBoolean && o.asBoolean)
+        val overrideExisting = Option(body.get("override")).map { o =>
+          // a string "true"/"false" (common YAML/JSON round-trip damage)
+          // must be rejected, not silently coerced to override=false
+          require(o.isBoolean, s"set 'override' must be a boolean, got: $o")
+          o.asBoolean
+        }.getOrElse(true) // ES default: override
         df =>
           if (!df.columns.contains(f)) df.withColumn(f, value)
           else if (overrideExisting) df.withColumn(f, value)

@@ -152,52 +152,62 @@ object Maintain {
     * files. Incremental upserts write files-per-batch × segments small
     * files; at 100 TB the FILE COUNT becomes the bottleneck (driver
     * listing, task scheduling, per-row-group overhead) long before data
-    * volume does. Each targeted segment directory is rewritten to
-    * ⌈rows / targetRecordsPerFile⌉ files via an atomic-per-segment swap
-    * (write aside → delete → rename): a failed rewrite leaves every other
-    * segment untouched and the failed one's original intact until its
-    * delete. Returns (segment, filesBefore, filesAfter).
+    * volume does.
+    *
+    * Shape: ONE scan of every fragmented segment (≥ `minFilesToCompact`
+    * data files), ONE segment-clustered write of all of them
+    * ([[Indexer.writeSegmented]]'s repartition-by-segment +
+    * `maxRecordsPerFile` — big segments split automatically, no per-segment
+    * row counting), then a pure-filesystem swap per segment (delete old dir
+    * → rename new in). Never a job per segment: a 1000-segment store
+    * compacts in one Spark job plus metadata renames, where a
+    * segment-at-a-time loop would pay 2000 serial job overheads. A crash
+    * mid-swap leaves untouched segments intact and the in-flight one's data
+    * preserved in the staging dir. Returns (segment, filesBefore,
+    * filesAfter).
     *
     * The reference has no analog — ES merges Lucene segments internally;
     * a parquet store must do this itself. */
   def compactSegments(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-                      segmentCol: String, targetRecordsPerFile: Long,
+                      segmentCol: String, maxRecordsPerFile: Long = 0L,
+                      minFilesToCompact: Int = 2,
                       target: String => Boolean = _ => true): Seq[(String, Int, Int)] = {
     import org.apache.hadoop.fs.Path
-    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    require(minFilesToCompact >= 2, "minFilesToCompact must be at least 2")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def unescape(s: String): String =
       org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
+    def dataFileCount(dir: Path): Int =
+      fs.listStatus(dir).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
     if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq
+    val fragmented = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(segmentCol + "="))
       .filter(st => target(unescape(st.getPath.getName.stripPrefix(segmentCol + "="))))
-      .flatMap { st =>
-        val dir = st.getPath
-        val dataFiles = fs.listStatus(dir).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith(("_")) &&
-            !f.getPath.getName.startsWith("."))
-        val df = spark.read.parquet(dir.toString)
-        val rows = df.count()
-        val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
-        if (dataFiles.size <= nFiles) None // already compact — skip the rewrite
-        else {
-          val tmp = new Path(root, s".compact_tmp_${dir.getName}")
-          fs.delete(tmp, true)
-          df.repartition(nFiles).write.parquet(tmp.toString)
-          // drop the write-side metadata markers so the swapped-in dir
-          // looks exactly like a partition directory
-          fs.listStatus(tmp).toSeq
-            .filter(f => f.getPath.getName.startsWith("_"))
-            .foreach(f => fs.delete(f.getPath, false))
-          fs.delete(dir, true)
-          fs.rename(tmp, dir)
-          val after = fs.listStatus(dir).count(f => f.isFile &&
-            !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-          Some((unescape(dir.getName.stripPrefix(segmentCol + "=")), dataFiles.size, after))
-        }
-      }
+      .map(st => st.getPath -> dataFileCount(st.getPath))
+      .filter(_._2 >= minFilesToCompact)
+    if (fragmented.isEmpty) return Seq.empty
+    val tmp = new Path(root, ".compact_tmp")
+    fs.delete(tmp, true)
+    // one scan + one clustered write for ALL fragmented segments; basePath
+    // keeps the partition column so the staging layout mirrors the store's
+    val df = spark.read.option("basePath", tablePath)
+      .parquet(fragmented.map(_._1.toString): _*)
+    Indexer.writeSegmented(df, tmp.toString, segmentCol, maxRecordsPerFile)
+    val report = fragmented.map { case (dir, before) =>
+      val staged = new Path(tmp, dir.getName)
+      // Hadoop FileSystem signals many failures by RETURNING false, not
+      // throwing — an unchecked false here would leave the segment's only
+      // copy in the staging dir, invisible to reads
+      require(fs.exists(staged), s"staging write produced no $staged")
+      require(fs.delete(dir, true), s"failed to delete $dir before swap")
+      require(fs.rename(staged, dir),
+        s"failed to swap $staged into $dir — data preserved in $staged")
+      (unescape(dir.getName.stripPrefix(segmentCol + "=")), before, dataFileCount(dir))
+    }
+    fs.delete(tmp, true)
+    report
   }
 
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +

@@ -109,9 +109,11 @@ object Dedup {
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val store = spark.read.parquet(path)
-    val sigLen = store.select(size(col("sig"))).head.getInt(0) // 1-row probe
-    require(sigLen == numHashes,
-      s"store signature length $sigLen != numHashes $numHashes")
+    // 1-row probe; an empty store legitimately yields an empty pair set
+    store.select(size(col("sig"))).head(1).foreach { r =>
+      require(r.getInt(0) == numHashes,
+        s"store signature length ${r.getInt(0)} != numHashes $numHashes")
+    }
     pairsFromSketches(store, numHashes, bands, threshold)
   }
 

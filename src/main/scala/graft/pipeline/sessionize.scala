@@ -112,7 +112,10 @@ object Sessionize {
               SessOut(user, e.eventId, seq)
             }
             state.update(st)
-            state.setTimeoutTimestamp((st.lastTs * 1000).toLong + gapSec * 1000)
+            // round, don't truncate: lastTs round-tripped millis through a
+            // double — truncation would fire the timeout 1ms early and split
+            // a session whose next event lands exactly at the gap boundary
+            state.setTimeoutTimestamp(math.round(st.lastTs * 1000) + gapSec * 1000)
             out.iterator
           }
       }

@@ -153,6 +153,14 @@ object QueryCompiler {
     }
   }
 
+  /** Escape wildcard/escape specials so user text reaches [[termMatch]] as
+    * LITERAL analyzed text — the ES `match` family never interprets `*`/`?`
+    * (that is `wildcard`'s job); without this, a phrase containing `*`
+    * would silently widen and a trailing `\` would swallow an appended
+    * prefix-`*`. */
+  private[graft] def escapeTerm(s: String): String =
+    s.replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
+
   /** Weighted leaf score: Σ boost over matched positive leaves (boost 1
     * unless `term^N`). */
   private[graft] def scoreOf(leaves: Seq[(Column, Int)]): Column =
@@ -468,11 +476,12 @@ object QueryCompiler {
           }
           val c = op match {
             case "term"         => col(f) === lit(scalarOf(v)) // exact value
-            case "match"        => termMatch(f, text)           // analyzed token match
+            // analyzed token match — user text is literal, never wildcarded
+            case "match"        => termMatch(f, escapeTerm(text))
             // contiguous-token phrase: quoted-term semantics (termMatch
             // keeps inner spaces inside the \b…\b anchor)
-            case "match_phrase" => termMatch(f, text)
-            case "prefix"       => termMatch(f, text + "*")
+            case "match_phrase" => termMatch(f, escapeTerm(text))
+            case "prefix"       => termMatch(f, escapeTerm(text) + "*")
             case "wildcard"     => termMatch(f, text)           // value carries '*' / '?'
           }
           if (scoring) leaves += ((c, boost))
@@ -563,12 +572,19 @@ object QueryCompiler {
           val perField = fieldsNode.elements.asScala.toSeq.map { fn =>
             require(fn.isTextual, s"multi_match field must be a string, got: $fn")
             val raw = fn.asText
+            // a '^' in a field entry MUST be a well-formed integer boost —
+            // "text^" or "text^2.5" would otherwise silently become a
+            // (nonexistent) column name and die only at analysis time
             val (f, b) = raw.lastIndexOf('^') match {
-              case i if i > 0 && raw.substring(i + 1).forall(_.isDigit) &&
-                i + 1 < raw.length => (raw.substring(0, i), raw.substring(i + 1).toInt)
-              case _ => (raw, 1)
+              case -1 => (raw, 1)
+              case i =>
+                val suffix = raw.substring(i + 1)
+                require(i > 0 && suffix.nonEmpty && suffix.forall(_.isDigit) &&
+                  suffix.toInt >= 1,
+                  s"multi_match field boost must be a positive integer: '$raw'")
+                (raw.substring(0, i), suffix.toInt)
             }
-            (termMatch(f, qv.asText), b)
+            (termMatch(f, escapeTerm(qv.asText)), b)
           }
           if (scoring) leaves ++= perField
           perField.map(_._1).reduce(_ || _)
@@ -640,7 +656,7 @@ object QueryCompiler {
             }
           require(v.isTextual && v.asText.nonEmpty,
             s"match_phrase_prefix expects a non-empty string, got: $v")
-          val c = termMatch(f, v.asText + "*")
+          val c = termMatch(f, escapeTerm(v.asText) + "*")
           if (scoring) leaves += ((c, boost))
           c
         case "bool" =>

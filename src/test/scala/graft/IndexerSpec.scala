@@ -254,10 +254,13 @@ class IndexerSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("source", "n"))
     val row = out.head
     assert(row.getString(0) == "s-1" && row.getInt(1) == 41)
-    // loud failures: unknown processor, missing keys, malformed JSON
+    // loud failures: unknown processor, missing keys, malformed JSON,
+    // and a stringly-typed override (must be a real boolean)
     assert(IngestPipeline.validate("""{"processors":[{"nope":{"field":"x"}}]}""").isLeft)
     assert(IngestPipeline.validate("""{"processors":[{"set":{"field":"x"}}]}""").isLeft)
     assert(IngestPipeline.validate("""{"foo":1}""").isLeft)
+    assert(IngestPipeline.validate(
+      """{"processors":[{"set":{"field":"x","value":"v","override":"true"}}]}""").isLeft)
     // pipeline forces the index action on the bulk wire format too
     val bulk = Indexer.toBulkNdjson(Seq(("1", "v")).toDF("doc_id", "v"), "idx",
       IndexConfig(pipeline = Some("""{"processors":[]}""")))

@@ -98,14 +98,13 @@ class MaintainSpec extends AnyFunSuite {
       .toDF("id", "segment", "v")
     df.repartition(6).write.mode("overwrite").partitionBy("segment").parquet(path)
     val before = spark.read.parquet(path).orderBy("id").collect()
-    val report = Maintain.compactSegments(spark, path, "segment",
-      targetRecordsPerFile = 1000)
+    val report = Maintain.compactSegments(spark, path, "segment")
     assert(report.map(r => (r._1, r._2, r._3)).sortBy(_._1) ==
       Seq(("seg0", 6, 1), ("seg1", 6, 1)))
     val after = spark.read.parquet(path).orderBy("id").collect()
     assert(after.sameElements(before)) // byte-identical rows, fewer files
-    // second run is a no-op: already compact
-    assert(Maintain.compactSegments(spark, path, "segment", 1000).isEmpty)
+    // second run is a no-op: already compact (1 file < minFilesToCompact)
+    assert(Maintain.compactSegments(spark, path, "segment").isEmpty)
   }
 
   test("segmentIndexNameCol labels rows with their physical segment name") {

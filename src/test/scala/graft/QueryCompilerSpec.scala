@@ -212,6 +212,13 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"regexp":{"f":{"value":"a+","boost":2}}}}""").isRight)
     assert(QueryCompiler.validate("""{"query":{"regexp":{"f":"src["}}}""").isLeft)
+    // malformed field boosts are loud, not silent unresolved columns
+    assert(QueryCompiler.validate(
+      """{"query":{"multi_match":{"query":"x","fields":["text^"]}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"multi_match":{"query":"x","fields":["text^2.5"]}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"multi_match":{"query":"x","fields":["^2"]}}}""").isLeft)
     // constant_score: boost rides the filter; inner clauses never score
     assert(QueryCompiler.validate(
       """{"query":{"constant_score":{"filter":{"term":{"f":"x"}},"boost":3}}}""").isRight)

@@ -76,6 +76,12 @@ class SearchSpec extends AnyFunSuite {
     // declared `?` edge semantics: matches a word char at the token edge
     // (`src1x`), not a non-word char (`src1-`) — the analyzer view
     assert(hits("text:src1?") == Seq("6"))
+    // ES match-family text is LITERAL: a '*' inside a match/prefix query
+    // never wildcards (only the `wildcard` operator interprets specials)
+    assert(hits("""{"query":{"match":{"text":"c*x"}}}""") == Seq("5"))
+    assert(hits("""{"query":{"match":{"text":"ca*"}}}""") == Seq())
+    assert(hits("""{"query":{"wildcard":{"text":"ca*"}}}""") == Seq("4"))
+    assert(hits("""{"query":{"prefix":{"text":"a-"}}}""") == Seq("3"))
   }
 
   test("load-rows=false returns PK-only projection") {

@@ -51,7 +51,7 @@ object QueryMeta {
   * A Spark engine must own the grammar, so this compiler supports a declared,
   * reproducible subset — Lucene-lite (`field:term`, `field:pre*` / `te?t`
   * wildcards, `field:/regex/` whole-token regex, `field:term~N` fuzzy,
-  * `field:term^N` boost, `field:[a TO b]`,
+  * `field:term^N` boost, `field:[a TO b]`, `_exists_:field`,
   * `AND`/`OR`/`NOT`, `+`required/`-`prohibited, parentheses, field
   * grouping `field:(a OR b)^N`, and `\`-escaped literal specials —
   * see [[termMatch]] for the declared word-boundary anchor semantics)
@@ -173,6 +173,7 @@ object QueryCompiler {
     sealed trait Node
     case class Term(field: String, value: String, boost: Int = 1) extends Node
     case class Regex(field: String, pattern: String, boost: Int = 1) extends Node
+    case class Exists(field: String, boost: Int = 1) extends Node
     case class Fuzzy(field: String, value: String, dist: Int, boost: Int = 1) extends Node
     case class Range(field: String, lo: String, hi: String,
                      incLo: Boolean, incHi: Boolean, boost: Int = 1) extends Node
@@ -190,6 +191,9 @@ object QueryCompiler {
         case Regex(f, pat, boost) =>
           // whole-token regex, same anchor model as the DSL `regexp`
           val c = lower(col(f)).rlike("\\b(?:" + pat + ")\\b")
+          if (pos) leaves += ((c, boost)); c
+        case Exists(f, boost) =>
+          val c = col(f).isNotNull
           if (pos) leaves += ((c, boost)); c
         case Fuzzy(f, v, dist, boost) =>
           val c = graft.functions.TextSketchFunctions
@@ -227,6 +231,7 @@ object QueryCompiler {
     private def mapBoost(node: Node, n: Int): Node = node match {
       case t: Term  => t.copy(boost = t.boost * n)
       case r: Regex => r.copy(boost = r.boost * n)
+      case e: Exists => e.copy(boost = e.boost * n)
       case f: Fuzzy => f.copy(boost = f.boost * n)
       case r: Range => r.copy(boost = r.boost * n)
       case And(l, r) => And(mapBoost(l, n), mapBoost(r, n))
@@ -363,6 +368,15 @@ object QueryCompiler {
         case RangeRx(lb, lo, hi, rb, boost) =>
           Range(field, lo, hi, lb == "[", rb == "]",
             Option(boost).map(_.toInt).getOrElse(1))
+        // Lucene/ES query_string field-existence syntax: _exists_:f
+        // (composable with NOT for the absent-field test)
+        case _ if field == "_exists_" =>
+          val (v, boost) = rest match {
+            case BoostRx(x, b) if !x.endsWith("\\") => (x, b.toInt)
+            case x => (x, 1)
+          }
+          require(v.nonEmpty, s"_exists_ needs a field name in '$tok'")
+          Exists(v, boost)
         case _ =>
           atomValue(field, rest, tok)
       }

@@ -236,6 +236,18 @@ class QueryCompilerSpec extends AnyFunSuite {
       """{"query":{"match_phrase_prefix":{"f":""}}}""").isLeft)
   }
 
+  test("_exists_:field syntax compiles to field presence; NOT flips it") {
+    assert(QueryCompiler.validate("_exists_:lang").isRight)
+    assert(QueryCompiler.validate("NOT _exists_:lang AND text:spark").isRight)
+    assert(QueryCompiler.validate("_exists_:lang^3").isRight)
+    assert(QueryCompiler.validate("_exists_:").isLeft) // no target field
+    val q = QueryCompiler.compile("_exists_:lang^3")
+    assert(q.predicate.toString.contains("isnotnull") ||
+      q.predicate.toString.contains("NOT (lang IS NULL)") ||
+      q.predicate.toString.contains("isNotNull"))
+    assert(q.score.toString.contains("3"))
+  }
+
   test("Lucene /regex/ syntax: whole-token, boostable, validated eagerly") {
     assert(QueryCompiler.validate("source:/src[0-9]+/").isRight)
     assert(QueryCompiler.validate("source:/src[0-9]+/^2 AND text:spark").isRight)

@@ -201,6 +201,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("k1", "k2", "k3"))
   }
 
+  test("compiled search predicates filter a live stream (S1+R2 composition)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the search compiler emits plain Column trees, so a compiled query is
+    // directly a streaming filter — live routing/alerting on mutations
+    val compiled = QueryCompiler.compile("text:spark AND NOT lang:de")
+    val input = MemoryStream[(String, String, String)]
+    val q = input.toDF().toDF("doc_id", "text", "lang")
+      .where(compiled.predicate)
+      .withColumn("_score", compiled.score)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_search_out").start()
+    try {
+      input.addData(("1", "spark batch", "en"), ("2", "spark joins", "de"),
+        ("3", "sort merge", "en"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT doc_id, _score FROM stream_search_out")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(out == Seq(("1", 1)))
+  }
+
   test("exactly-once stream dedups within the watermark with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

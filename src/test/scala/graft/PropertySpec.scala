@@ -57,6 +57,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: escaped arbitrary terms always match their own token") {
+    // for ANY printable-ASCII token, escapeTerm(tok) compiled as a term
+    // must match a document containing exactly that token — the
+    // literal-match contract behind the ES match family. Tokens are
+    // whitespace-free and word-char-edged (the declared \b-anchor domain).
+    val tokGen = for {
+      mid <- Gen.listOfN(6, Gen.frequency(
+        (6, Gen.alphaNumChar), (3, Gen.oneOf('*', '?', '\\', '^', '~', ':',
+          '(', ')', '"', '/', '-', '+', '.'))))
+      first <- Gen.alphaNumChar
+      last <- Gen.alphaNumChar
+    } yield (first +: mid :+ last).mkString
+    val toks = Iterator.continually(tokGen.sample).flatten.take(120).toSeq.distinct
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toString, s"pre $t post") }
+      .toDF("doc_id", "text")
+    toks.zipWithIndex.foreach { case (t, i) =>
+      val pred = QueryCompiler.termMatch("text", QueryCompiler.escapeTerm(t))
+      val hits = df.where(pred).select("doc_id").collect().map(_.getString(0))
+      assert(hits.contains(i.toString),
+        s"escaped term '$t' failed to match its own document")
+    }
+  }
+
+  test("property: wildcard-free grouped query ≡ explicit OR of field terms") {
+    val wordGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
+    val pairs = Iterator.continually(wordGen.sample).flatten.take(60)
+      .toSeq.distinct.grouped(2).filter(_.size == 2).take(25).toSeq
+    val docs = pairs.zipWithIndex.flatMap { case (Seq(a, b), i) =>
+      Seq((s"a$i", s"$a x"), (s"b$i", s"y $b"), (s"n$i", "neither one"))
+    }.toDF("doc_id", "text")
+    pairs.foreach { case Seq(a, b) =>
+      def ids(q: String) = Search.search(docs, q, IndexConfig())
+        .select("doc_id").collect().map(_.getString(0)).toSet
+      assert(ids(s"text:($a OR $b)") == ids(s"text:$a OR text:$b"))
+    }
+  }
+
   test("property: ISO-8601 format round-trips through parsing") {
     val tsGen = Gen.choose(0L, 4102444800000L) // 1970..2100 in millis
     val samples = Iterator.continually(tsGen.sample).flatten.take(200)

@@ -95,4 +95,27 @@ class EdgeCaseSpec extends AnyFunSuite {
         org.apache.spark.sql.types.StructField("v",
           org.apache.spark.sql.types.StringType)))).count() == 0)
   }
+
+  test("round-4 operators are total on empty/degenerate inputs") {
+    import spark.implicits._
+    // empty processor list → identity transform
+    val docs = Seq(("1", "v")).toDF("doc_id", "v")
+    assert(IngestPipeline.compile("""{"processors":[]}""")(docs)
+      .collect().sameElements(docs.collect()))
+    // compaction of a nonexistent store is a no-op, not an error
+    assert(Maintain.compactSegments(spark, "/tmp/graft_no_such_store_xyz",
+      "segment").isEmpty)
+    // empty sketch store → empty pair set (not a head-of-empty crash)
+    val path = java.nio.file.Files.createTempDirectory("graft_empty_store").toString
+    graft.pipeline.Dedup.writeSketchStore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), path, "text", "doc_id")
+    assert(graft.pipeline.Dedup.minhashPairsFromStore(spark, path).count() == 0)
+    // multi_match over one field ≡ plain match (scoring and predicate)
+    val d = Seq(("1", "spark rules"), ("2", "other")).toDF("doc_id", "text")
+    val multi = Search.search(d, """{"query":{"multi_match":{"query":"spark","fields":["text"]}}}""",
+      IndexConfig()).select("doc_id", "_score").collect().toSeq
+    val single = Search.search(d, """{"query":{"match":{"text":"spark"}}}""",
+      IndexConfig()).select("doc_id", "_score").collect().toSeq
+    assert(multi == single)
+  }
 }

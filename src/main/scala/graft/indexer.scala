@@ -95,12 +95,22 @@ object Indexer {
       existing.join(batch.select(keyCol), Seq(keyCol), "left_anti")
         .unionByName(batch)
     else {
-      // field-merge: one shuffle each side on keyCol, full-outer, per-field
-      // coalesce. Column set comes from `existing` (the doc store schema).
+      // field-merge, store-shuffle-free: a full-outer join would shuffle
+      // EVERY column of the (100 TB) store. Instead:
+      //  - existing LEFT JOIN batch → per-field coalesce. The batch is the
+      //    build side (broadcast when it fits, AQE decides), so the store
+      //    is scanned once and never exchanged;
+      //  - batch keys absent from the store (an anti-join against the
+      //    store's KEY COLUMN only — the sole store-side shuffle, and it
+      //    carries one column) append as new docs.
+      // Column set comes from `existing` (the doc store schema).
       val dataCols = existing.columns.filterNot(_ == keyCol).toSeq
-      existing.alias("e").join(batch.alias("b"), Seq(keyCol), "full_outer")
+      val merged = existing.alias("e").join(batch.alias("b"), Seq(keyCol), "left")
         .select(col(keyCol) +:
           dataCols.map(c => coalesce(col(s"b.$c"), col(s"e.$c")).as(c)): _*)
+      val newDocs = batch.join(existing.select(keyCol), Seq(keyCol), "left_anti")
+        .select(col(keyCol) +: dataCols.map(c => col(c)): _*)
+      merged.unionByName(newDocs)
     }
   }
 

@@ -66,9 +66,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("_salt"), plan.take(2000))
   }
 
-  test("upsert merge is one full-outer join, map-side combinable batch side") {
+  test("upsert merge never full-outer-shuffles the store") {
+    // the store side rides a LEFT join (batch is the build side) plus a
+    // key-only anti-join — a full-outer would exchange every store column
     val plan = planOf("q_upsert_merge")
-    assert(plan.contains("FullOuter"), plan.take(2000))
+    assert(!plan.contains("FullOuter"), plan.take(2000))
+    assert(plan.contains("LeftOuter") || plan.contains("BroadcastHashJoin"),
+      plan.take(2000))
+    assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
   test("vocabulary top-k is TakeOrderedAndProject, never a global sort") {

@@ -56,15 +56,21 @@ object Indexer {
     * deterministically (e.g. event timestamp then a unique id) — the Spark
     * replacement for per-PK locks (W11) and `retry_on_conflict`.
     *
-    * Scale: one hash shuffle on `keyCol`; with AQE the partition count
-    * adapts. Skewed doc ids would need salting — doc ids are near-unique by
-    * construction, so no salt here. */
+    * Scale: `max_by` is a partial aggregate, so duplicate-heavy batches
+    * (hot keys, replay storms) reduce MAP-SIDE before the one hash shuffle
+    * on `keyCol` — the window form this replaced moved every row through
+    * the exchange and then sorted each group. Version ties resolve to one
+    * whole row (never a column mix), arbitrarily unless `versionCols` end
+    * in a unique tiebreaker. Skewed doc ids would need salting — doc ids
+    * are near-unique by construction, so no salt here. */
   def latestPerKey(updates: DataFrame, keyCol: String,
                    versionCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(versionCols.map(c => col(c).desc): _*)
-    updates.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
+    require(versionCols.nonEmpty, "latestPerKey needs at least one version column")
+    val payload = struct(updates.columns.map(col).toSeq: _*)
+    val version = struct(versionCols.map(col): _*)
+    updates.groupBy(col(keyCol))
+      .agg(max_by(payload, version).as("_doc"))
+      .select(updates.columns.toSeq.map(c => col(s"_doc.$c")): _*)
   }
 
   /** S3/S4 merge: apply an update batch onto the existing doc store —

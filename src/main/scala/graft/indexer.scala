@@ -185,10 +185,11 @@ object Indexer {
     * election with deterministic dedup on (doc id, mutation id): replayed /
     * duplicate deliveries collapse to one row.
     *
-    * Cost: with `versionCols` (or orderable payload columns) this is one
-    * shuffle on the composite key plus a per-group sort (window) — NOT a
-    * map-side-combinable aggregate; when nothing is orderable it degrades
-    * to `dropDuplicates` (arbitrary-but-single row), which is. */
+    * Cost: one map-side-combinable `max_by` aggregate on the composite key
+    * — duplicate deliveries collapse locally before the shuffle (a replay
+    * storm of one hot mutation reduces to one row per map task); when
+    * nothing is orderable it degrades to `dropDuplicates`
+    * (arbitrary-but-single row), also combinable. */
   def exactlyOnce(mutations: DataFrame, keyCol: String,
                   mutationIdCol: String,
                   versionCols: Seq[String] = Seq.empty): DataFrame = {
@@ -197,18 +198,21 @@ object Indexer {
     // explicit version order when given, else a total order over the
     // orderable remaining columns (dropDuplicates would keep a
     // partition-order-dependent arbitrary row — not auditable). Unorderable
-    // types (maps) are excluded from the fallback order.
-    val order =
-      if (versionCols.nonEmpty) versionCols.map(c => col(c).desc)
+    // types (maps) are excluded from the fallback order. max_by's struct
+    // comparison sorts nulls lowest, so non-null versions win — the same
+    // preference the previous desc_nulls_last window gave.
+    val orderCols =
+      if (versionCols.nonEmpty) versionCols
       else mutations.schema.fields.toSeq
         .filterNot(f => f.name == keyCol || f.name == mutationIdCol)
         .filter(f => RowOrdering.isOrderable(f.dataType))
-        .map(f => col(f.name).desc_nulls_last)
-    if (order.isEmpty) mutations.dropDuplicates(keyCol, mutationIdCol)
+        .map(_.name)
+    if (orderCols.isEmpty) mutations.dropDuplicates(keyCol, mutationIdCol)
     else {
-      val w = Window.partitionBy(col(keyCol), col(mutationIdCol)).orderBy(order: _*)
-      mutations.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).drop("_rn")
+      val payload = struct(mutations.columns.map(col).toSeq: _*)
+      mutations.groupBy(col(keyCol), col(mutationIdCol))
+        .agg(max_by(payload, struct(orderCols.map(col): _*)).as("_m"))
+        .select(mutations.columns.toSeq.map(c => col(s"_m.$c")): _*)
     }
   }
 

@@ -117,27 +117,74 @@ object Dedup {
     pairsFromSketches(store, numHashes, bands, threshold)
   }
 
+  /** Incremental near-dup check against a [[writeSketchStore]] store: pairs
+    * where AT LEAST ONE side is in `newDocs` (new↔corpus and new↔new; the
+    * corpus is never re-paired against itself). The continuous-ingestion
+    * path — per batch, candidate volume scales with the NEW docs' bucket
+    * collisions, not with corpus². `appendToStore=true` then adds the new
+    * sketches so the next batch sees this one. Ids must be globally unique
+    * across store and batch. */
+  def minhashPairsIncremental(spark: org.apache.spark.sql.SparkSession, path: String,
+                              newDocs: DataFrame, textCol: String, idCol: String,
+                              shingleK: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                              threshold: Double = 0.5,
+                              appendToStore: Boolean = false): DataFrame = {
+    import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val fresh = newDocs.select(col(idCol).as("id"),
+        word_shingles(tokens(col(textCol)), shingleK).as("sh"))
+      .withColumn("sig", minhash_sig(col("sh"), numHashes))
+      .cache()
+    val store = spark.read.parquet(path)
+    val bNew = bandedOf(fresh, numHashes, bands)
+    val bAll = bandedOf(store, numHashes, bands).unionByName(bNew)
+    // one side always new: join the (small) new banding against everything;
+    // least/greatest normalizes to the id_a < id_b convention
+    val candidates = bNew.select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(bAll.select(col("band"), col("bucket"), col("id").as("id_o")),
+        Seq("band", "bucket"))
+      .where(col("id_n") =!= col("id_o"))
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val allShingles = store.select(col("id"), col("sh"))
+      .unionByName(fresh.select(col("id"), col("sh")))
+    val out = verifyPairs(candidates, allShingles, threshold)
+    if (appendToStore) fresh.write.mode("append").parquet(path)
+    out
+  }
+
   /** Shared LSH core: band the signatures, bucket-join candidates, verify
     * exactly against the carried shingle sets. `sketches` = (id, sh, sig). */
   private def pairsFromSketches(sketches: DataFrame, numHashes: Int, bands: Int,
                                 threshold: Double): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val shingled = sketches.select(col("id"), col("sh"))
-    val sigs = sketches.select(col("id"), col("sig"))
-    val banded = sigs.select(col("id"),
-      posexplode(array(Seq.tabulate(bands) { b =>
-        // hash the signature longs directly — no string materialization
-        xxhash64((1 to rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r)) :+ lit(b): _*)
-      }: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedOf(sketches, numHashes, bands)
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // exact verification: join shingle sets back per candidate side
+    verifyPairs(candidates, sketches.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Band MinHash signatures to (id, band, bucket) rows — the only shape
+    * that ever crosses the candidate-join exchange. */
+  private def bandedOf(sketches: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    sketches.select(col("id"),
+      posexplode(array(Seq.tabulate(bands) { b =>
+        // hash the signature longs directly — no string materialization
+        xxhash64((1 to rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r)) :+ lit(b): _*)
+      }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
+  /** Exact-Jaccard verification: join shingle sets back per candidate side. */
+  private def verifyPairs(candidates: DataFrame, shingled: DataFrame,
+                          threshold: Double): DataFrame =
     candidates
       .join(shingled.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -146,7 +193,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-  }
 
   /** 64-bit SimHash of the token multiset: bit i is the sign of
     * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Native one-pass

@@ -46,6 +46,29 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental pairs vs a sketch store equal the full run's new-touching pairs") {
+    val path = java.nio.file.Files.createTempDirectory("graft_inc_store").toString
+    // store holds docs 1-3; docs 4 (near-dup of 1/2) and 5 (fresh) arrive
+    Dedup.writeSketchStore(corpus.where(col("doc_id") < 4), path, "text", "doc_id")
+    val batch = corpus.where(col("doc_id") === 4).unionByName(
+      Seq((5L, "entirely novel text about streaming watermarks and state"))
+        .toDF("doc_id", "text"))
+    val inc = Dedup.minhashPairsIncremental(spark, path, batch, "text", "doc_id",
+        threshold = 0.4, appendToStore = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.minhashPairs(corpus, "text", "doc_id", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 >= 4 || p._2 >= 4)
+    assert(inc == full && inc.nonEmpty)
+    // the append made the batch visible: a re-run of doc 4's twin now
+    // pairs against 4 as well (store grew)
+    val next = Dedup.minhashPairsIncremental(spark, path,
+        Seq((6L, corpus.where(col("doc_id") === 1).head.getString(1)))
+          .toDF("doc_id", "text"), "text", "doc_id", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(next.contains((4L, 6L)) && next.contains((1L, 6L)))
+  }
+
   test("simhash hamming pairs find the planted near-dup") {
     val pairs = Dedup.simhashPairs(corpus, "text", "doc_id", maxDist = 8)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -682,6 +682,19 @@ object SparkEntry {
       Dedup.minhashPairs(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // continuous-ingestion dedup: sketch store holds doc_id < 300, a
+      // batch of new docs (>= 300) arrives — pairs touching the batch,
+      // corpus never re-paired with itself. Oracle: exact all-pairs
+      // jaccard restricted to new-touching pairs (LSH recall 1.0 here).
+      val docs = tbl(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_dedup_inc").toString
+      Dedup.writeSketchStore(docs.where(col("doc_id") < 300), path, "text", "doc_id")
+      Dedup.minhashPairsIncremental(s, path, docs.where(col("doc_id") >= 300),
+          "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // rows-only: SimHash Hamming-ball pairs via pigeonhole banding
       Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id", maxDist = 3)
@@ -1387,6 +1400,26 @@ object SparkEntry {
          SELECT d.doc_id FROM documents d
          WHERE d.doc_id NOT IN (SELECT id FROM label WHERE mn < id)
          ORDER BY d.doc_id""",
+    "q_dedup_incremental" ->
+      // the full all-pairs oracle restricted to pairs touching the new
+      // batch (doc_id >= 300) — exactly what the incremental path returns
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p
+         WHERE jaccard >= 0.5 AND (id_a >= 300 OR id_b >= 300)
+         ORDER BY id_a, id_b""",
     "q_dedup_minhash" ->
       """WITH t AS (
            SELECT doc_id,

@@ -81,7 +81,9 @@ object Bench {
     val newQueries = Seq("q_ingest_pipeline", "q_maintain_drop", "q_dummy_mode",
         "q_similarity_ivf_exact", "q_search_dsl_multi",
         "q_search_dsl_phrase_prefix", "q_search_regex", "q_search_dsl_ids",
-        "q_maintain_compact", "q_dedup_incremental")
+        "q_maintain_compact", "q_dedup_incremental",
+        "q_decontaminate", "q_pii_redact", "q_domain_mix",
+        "q_sample_stratified", "q_pack_sequences")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

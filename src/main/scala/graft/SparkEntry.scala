@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.functions.json_flatten
-import graft.pipeline.{Dedup, Multimodal, Sessionize, Similarity, TextStats}
+import graft.pipeline.{Curate, Dedup, Multimodal, Sessionize, Similarity, TextStats}
 
 /** Driver contract — one named query per implemented operator (SURVEY.md §2),
   * each with a DuckDB oracle in [[SparkEntry.oracleSql]] where the semantics
@@ -866,6 +866,66 @@ object SparkEntry {
       Sessionize.summarize(tbl(s, dir, "events"), "user_id", "ts",
           gapSec = 1800, orderCols = Seq("event_id"))
         .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // ---- north star: corpus curation (decontamination, PII, mixing, packing) ----
+    "q_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs with doc_id % 50 == 0 play the eval
+      // set; report every train doc sharing a word 4-gram with it
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val train = docs.where(col("doc_id") % 50 =!= 0)
+      Curate.contaminationReport(train, bench, "text", "doc_id", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // the gate tables carry no real PII, so build a deterministic contact
+      // note from customer fields (identically in the oracle), then redact
+      val c = tbl(s, dir, "customer")
+      val email = concat(lower(regexp_replace(col("c_name"), "#", "")), lit("@example.com"))
+      val phone = concat_ws("-",
+        (col("c_nationkey") + 10).cast("string"),
+        lpad(pmod(col("c_custkey") * 7, lit(1000)).cast("string"), 3, "0"),
+        lpad(pmod(col("c_custkey") * 13, lit(1000)).cast("string"), 3, "0"),
+        lpad(pmod(col("c_custkey") * 31, lit(10000)).cast("string"), 4, "0"))
+      val ip = concat_ws(".", lit("10"),
+        pmod(col("c_nationkey"), lit(256)).cast("string"),
+        pmod(expr("c_custkey div 256"), lit(256)).cast("string"),
+        pmod(col("c_custkey"), lit(256)).cast("string"))
+      val note = concat(lit("contact "), col("c_name"),
+        when(pmod(col("c_custkey"), lit(3)) > 0, concat(lit(" email "), email)).otherwise(lit("")),
+        when(pmod(col("c_custkey"), lit(2)) === 0, concat(lit(" phone "), phone)).otherwise(lit("")),
+        when(pmod(col("c_custkey"), lit(7)) === 0, concat(lit(" backup "), email)).otherwise(lit("")),
+        when(pmod(col("c_custkey"), lit(5)) === 0, concat(lit(" ip "), ip)).otherwise(lit("")))
+      Curate.piiReport(c.select(col("c_custkey"), note.as("note")), "note")
+        .select(col("c_custkey"), col("n_emails"), col("n_phones"), col("n_ips"),
+          col("redacted"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q_domain_mix" -> ((s, dir) => {
+      // per-source sampling plan toward a 1400-token budget per domain
+      Curate.mixPlan(tbl(s, dir, "documents"), "source", "text", targetTokens = 1400L)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("keep_frac"), 4).as("keep_frac"))
+        .orderBy(col("source"))
+    }),
+    "q_sample_stratified" -> ((s, dir) => {
+      // disjoint-cover check (the q_train_split pattern): kept ∪ complement
+      // re-derives every doc exactly once iff the hash decision is
+      // deterministic across the two evaluations; fractions are spec-tested
+      val docs = tbl(s, dir, "documents")
+      val fr = Map("en" -> 0.5, "de" -> 0.8, "es" -> 0.3, "fr" -> 1.0, "zh" -> 0.25)
+      val kept = Curate.sampleStratified(docs, Seq("doc_id"), "lang", fr, seed = 11L)
+      val dropped = docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      kept.select(col("doc_id")).unionAll(dropped.select(col("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_pack_sequences" -> ((s, dir) => {
+      // greedy shard layout: ~500-token shards per source, id order
+      Curate.packSequences(tbl(s, dir, "documents"), "doc_id", "source", "text",
+          budgetTokens = 500L)
+        .orderBy(col("source"), col("doc_id"))
     })
   )
 
@@ -1586,7 +1646,77 @@ object SparkEntry {
              (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rank
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
-         WHERE rank <= 10 ORDER BY query_id, rank"""
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_decontaminate" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> len(x) > 0) AS t
+           FROM documents),
+         grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t)-3, 1)),
+               i -> array_to_string(t[i:i+3], ' ')))) AS gram
+           FROM toks),
+         bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+         SELECT g.doc_id, count(*) AS matched_grams
+         FROM grams g JOIN bench b USING (gram)
+         WHERE g.doc_id % 50 <> 0
+         GROUP BY 1 ORDER BY doc_id""",
+    "q_pii_redact" ->
+      """WITH noted AS (
+           SELECT c_custkey,
+             'contact ' || c_name
+             || CASE WHEN c_custkey % 3 > 0 THEN ' email ' ||
+                  lower(replace(c_name, '#', '')) || '@example.com' ELSE '' END
+             || CASE WHEN c_custkey % 2 = 0 THEN ' phone ' ||
+                  CAST(c_nationkey + 10 AS VARCHAR) || '-' ||
+                  lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                  lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                  lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN c_custkey % 7 = 0 THEN ' backup ' ||
+                  lower(replace(c_name, '#', '')) || '@example.com' ELSE '' END
+             || CASE WHEN c_custkey % 5 = 0 THEN ' ip ' ||
+                  '10.' || CAST(c_nationkey % 256 AS VARCHAR) || '.' ||
+                  CAST((c_custkey // 256) % 256 AS VARCHAR) || '.' ||
+                  CAST(c_custkey % 256 AS VARCHAR) ELSE '' END AS note
+           FROM customer)
+         SELECT c_custkey,
+           len(regexp_extract_all(note,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(note, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+           len(regexp_extract_all(note, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(note,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+         FROM noted ORDER BY c_custkey""",
+    "q_domain_mix" ->
+      """WITH stats AS (
+           SELECT source, count(*) AS n_docs,
+             sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0))) AS n_tokens
+           FROM documents GROUP BY source)
+         SELECT source, n_docs, n_tokens,
+           round(least(CAST(1 AS DOUBLE), CAST(1400 AS DOUBLE) / n_tokens), 4) AS keep_frac
+         FROM stats ORDER BY source""",
+    "q_sample_stratified" ->
+      // cover check only: kept ∪ complement must re-derive each doc exactly
+      // once (hash determinism); the per-domain fractions are spec-tested
+      """SELECT doc_id, CAST(1 AS BIGINT) AS n FROM documents ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> len(x) > 0)) AS n_tokens
+           FROM documents)
+         SELECT doc_id, source, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+             / CAST(500 AS DOUBLE)) AS BIGINT) AS shard
+         FROM t ORDER BY source, doc_id"""
     // rows-only (genuinely approximate or non-SQL): q_dedup_simhash
     // (xxhash64 signature), q_similarity_ivf (IVF recall < 1 — honest
     // approximation; its exhaustive twin q_similarity_ivf_exact IS oracled)

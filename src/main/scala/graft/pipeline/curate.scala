@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus curation for large-scale training-data pipelines (north-star
+  * surface; the reference has no curation concept): benchmark
+  * decontamination, PII redaction, domain mixing, and sequence packing.
+  *
+  * Scale discipline: every operator is either a narrow map (PII, packing
+  * inside a per-group window) or a broadcast-semi-join whose shuffled
+  * payload is ids only (decontamination) — no all-pairs joins, no collects.
+  */
+object Curate {
+
+  // ------------------------------------------------------------ decontaminate
+
+  /** Training docs sharing at least one word `n`-gram with the benchmark
+    * corpus, with the count of distinct shared grams per doc.
+    *
+    * Scale shape (100 TB train, benchmark is small by definition): the
+    * benchmark's distinct grams are broadcast; the train side streams
+    * `(id, gram)` through a map-side broadcast join, so the only exchange
+    * is the final per-id aggregate — contaminated ids, not text. A 13-gram
+    * at GPT-3 scale is the classic setting; `n` is a parameter because the
+    * gate corpus' docs are short.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+                          textCol: String, idCol: String, n: Int): DataFrame = {
+    val benchGrams = bench
+      .select(Dedup.tokens(col(textCol)).as("toks"))
+      .select(explode(Dedup.shinglesOfTokens(col("toks"), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("toks"), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("matched_grams"))
+  }
+
+  /** Drop every train doc that shares an `n`-gram with the benchmark —
+    * left-anti join against the (id-only) contamination report. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    textCol: String, idCol: String, n: Int): DataFrame =
+    train.join(contaminationReport(train, bench, textCol, idCol, n)
+                 .select(col(idCol)),
+               Seq(idCol), "left_anti")
+
+  // ------------------------------------------------------------------- PII
+
+  /** (pattern, replacement) in application order. Conservative,
+    * deterministic regexes (no lookaround — portable to RE2-class engines):
+    * emails first (their local parts can contain digits and dots that the
+    * narrower patterns would chew on), then structured phone numbers
+    * (TPC-H `NN-NNN-NNN-NNNN` style), then dotted-quad IPs. */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** Redacted copy of a text column — all three PII classes masked. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (rx, mask)) =>
+      regexp_replace(c, rx, mask)
+    }
+
+  /** Per-row PII counts + redacted text. Narrow map — stays inside
+    * whole-stage codegen at the scan; nothing shuffles. */
+  def piiReport(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(PiiPatterns(0)._1), lit(0))))
+      .withColumn("n_phones", size(regexp_extract_all(t, lit(PiiPatterns(1)._1), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t, lit(PiiPatterns(2)._1), lit(0))))
+      .withColumn("redacted", redactPii(t))
+  }
+
+  // ---------------------------------------------------------- domain mixing
+
+  /** Per-domain sampling plan to hit a target token budget: for each value
+    * of `domainCol`, the fraction of docs to keep so that expected kept
+    * tokens ≈ `targetTokens` (capped at 1.0 — domains under budget are
+    * kept whole; upsampling is out of scope). One map-side-combinable
+    * aggregate over (domain) — domain cardinality is small by nature, so
+    * the result is driver-broadcastable to the sampling pass. */
+  def mixPlan(df: DataFrame, domainCol: String, textCol: String,
+              targetTokens: Long): DataFrame =
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextStats.tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("keep_frac",
+        least(lit(1.0), lit(targetTokens.toDouble) / col("n_tokens")))
+
+  /** Deterministic stratified sample: per-domain keep fractions (e.g. from
+    * [[mixPlan]]), hash-bucketed on the id so the decision is retry- and
+    * join-stable like [[Sampling.deterministicSample]]. Unlisted domains
+    * are dropped. Narrow filter — no shuffle. */
+  def sampleStratified(df: DataFrame, idCols: Seq[String], domainCol: String,
+                       fractions: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(fractions.nonEmpty && fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val buckets = 1000000L
+    val b = pmod(xxhash64(idCols.map(col) :+ lit(seed): _*), lit(buckets))
+    val thresh = fractions.foldLeft(lit(-1L)) { case (acc, (dom, f)) =>
+      when(col(domainCol) === dom, lit((f * buckets).toLong)).otherwise(acc)
+    }
+    df.where(b < thresh)
+  }
+
+  // --------------------------------------------------------- sequence packing
+
+  /** Greedy shard packing: docs are laid out in (`groupCol`, `idCol`) order
+    * and cut into shards of ~`budgetTokens` tokens; a doc is never split, so
+    * a shard can overshoot by at most one doc. `shard = floor(tokens-before-
+    * this-doc / budget)` — pure window arithmetic, deterministic, and
+    * identical under any parallelism.
+    *
+    * Scale shape: one shuffle on `groupCol` (the natural write partitioning
+    * for the shard files); the window is a running sum, no global sort.
+    * Degenerate single-group inputs serialize into one partition — callers
+    * packing an unpartitioned corpus should pass a synthetic group (e.g.
+    * `hash(id) % k`) sized so a group's docs fit one executor. */
+  def packSequences(df: DataFrame, idCol: String, groupCol: String,
+                    textCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", TextStats.tokenCount(col(textCol)))
+      .withColumn("shard",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budgetTokens)))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("shard"))
+  }
+}

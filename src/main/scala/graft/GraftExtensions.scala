@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FuzzyTokenMatch, JsonFlattenExpr, JsonGetExpr, MinHashSig, RhpBuckets, SimHash64, VecCosine, VecDot, VecNorm, WordShingles}
+import graft.functions.{FuzzyTokenMatch, GramRepetition, JsonFlattenExpr, JsonGetExpr, MinHashSig, RhpBuckets, SimHash64, VecCosine, VecDot, VecNorm, WordShingles}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -36,6 +36,7 @@ object GraftExtensions {
     ("json_flatten", 1, args => JsonFlattenExpr(args.head)),
     ("json_get", 2, args => JsonGetExpr(args(0), args(1))),
     ("word_shingles", 2, args => WordShingles(args(0), intArg(args(1), "word_shingles"))),
+    ("gram_repetition", 2, args => GramRepetition(args(0), intArg(args(1), "gram_repetition"))),
     ("minhash_sig", 2, args => MinHashSig(args(0), intArg(args(1), "minhash_sig"))),
     ("simhash64", 1, args => SimHash64(args.head)),
     ("vec_dot", 2, args => VecDot(args(0), args(1))),

@@ -921,6 +921,12 @@ object SparkEntry {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"))
     }),
+    "q_text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals: bigram top/dup fractions from the
+      // native one-pass expression (narrow projection, no gram shuffle)
+      TextStats.repetitionMetrics(tbl(s, dir, "documents"), "text", "doc_id", n = 2)
+        .orderBy(col("doc_id"))
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // greedy shard layout: ~500-token shards per source, id order
       Curate.packSequences(tbl(s, dir, "documents"), "doc_id", "source", "text",
@@ -1706,6 +1712,24 @@ object SparkEntry {
       // cover check only: kept ∪ complement must re-derive each doc exactly
       // once (hash determinism); the per-domain fractions are spec-tested
       """SELECT doc_id, CAST(1 AS BIGINT) AS n FROM documents ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> len(x) > 0) AS t
+           FROM documents),
+         g AS (
+           SELECT doc_id, unnest(list_transform(
+               generate_series(1, greatest(len(t)-1, 1)),
+               i -> array_to_string(t[i:i+1], ' '))) AS gram
+           FROM toks),
+         c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_gram_frac,
+           round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / sum(c), 4) AS dup_gram_frac,
+           CAST(sum(c) AS BIGINT) AS n_grams
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, source,

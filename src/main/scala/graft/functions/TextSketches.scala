@@ -205,9 +205,64 @@ case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int)
   override def prettyName: String = "fuzzy_token_match"
 }
 
+/** Gopher-style repetition signals over a token array, one pass per row:
+  * counts the document's contiguous word `n`-grams (occurrences, not
+  * distinct — `max(len−n,0)+1` windows like [[WordShingles]]) and returns
+  * `struct(top_gram_frac, dup_gram_frac, n_grams)` where
+  *  - `top_gram_frac` = occurrences of the most frequent gram / windows,
+  *  - `dup_gram_frac` = occurrences of grams appearing ≥2 times / windows.
+  * High values flag boilerplate/looped text for the quality filter. The
+  * declarative twin (explode + two grouped aggregates) shuffles every gram;
+  * this stays a narrow projection — nothing but (id, fracs) ever moves. */
+case class GramRepetition(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "gram width must be >= 1")
+  override def dataType: DataType = StructType(Seq(
+    StructField("top_gram_frac", DoubleType, nullable = false),
+    StructField("dup_gram_frac", DoubleType, nullable = false),
+    StructField("n_grams", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    val windows = math.max(len - n, 0) + 1
+    val counts = new java.util.HashMap[String, Int](windows * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < windows) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, len)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      counts.merge(sb.toString, 1, Integer.sum _)
+      i += 1
+    }
+    var top = 0
+    var dup = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c >= 2) dup += c
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      top.toDouble / windows, dup.toDouble / windows, windows.toLong)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramRepetition = copy(child = c)
+  override def prettyName: String = "gram_repetition"
+}
+
 object TextSketchFunctions {
   def word_shingles(toks: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(toks), k))
+  def gram_repetition(toks: Column, n: Int): Column =
+    Bridge.column(GramRepetition(Bridge.expression(toks), n))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
   def simhash64(toks: Column): Column =

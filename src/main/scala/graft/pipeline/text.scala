@@ -148,4 +148,20 @@ object TextStats {
         log(sum(col("c"))) -
           sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
   }
+
+  /** Gopher-style n-gram repetition signals (top-gram fraction, duplicated-
+    * gram fraction) via the native one-pass [[graft.functions.GramRepetition]]
+    * expression — a narrow projection, unlike [[tokenEntropy]]'s exploded
+    * aggregate, because gram cardinality per doc is O(doc length) and none
+    * of it needs to cross an exchange. */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
+                        n: Int): DataFrame = {
+    val rep = graft.functions.TextSketchFunctions
+      .gram_repetition(Dedup.tokens(col(textCol)), n)
+    df.select(col(idCol), rep.as("rep"))
+      .select(col(idCol),
+        round(col("rep.top_gram_frac"), 4).as("top_gram_frac"),
+        round(col("rep.dup_gram_frac"), 4).as("dup_gram_frac"),
+        col("rep.n_grams").as("n_grams"))
+  }
 }

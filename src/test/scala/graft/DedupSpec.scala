@@ -163,6 +163,34 @@ class DedupSpec extends AnyFunSuite {
     assert(!e.contains(3))  // empty text yields no row
   }
 
+  test("gram repetition: top/dup fractions from the native one-pass expression") {
+    val df = Seq(
+      (1, "go go go go"),                 // bigrams: "go go" ×3 → top=dup=1
+      (2, "a b c d"),                     // 3 distinct bigrams → top=1/3, dup=0
+      (3, "x y x y x"),                   // "x y"×2, "y x"×2 → top=0.5, dup=1
+      (4, "solo")).toDF("id", "text")     // 1 truncated window → top=1, dup=0
+    val r = TextStats.repetitionMetrics(df, "text", "id", n = 2)
+      .orderBy("id").collect()
+      .map(x => (x.getInt(0), x.getDouble(1), x.getDouble(2), x.getLong(3)))
+    assert(r.toSeq == Seq(
+      (1, 1.0, 1.0, 3L), (2, 0.3333, 0.0, 3L),
+      (3, 0.5, 1.0, 4L), (4, 1.0, 0.0, 1L)))
+  }
+
+  test("gram repetition is a narrow projection and registered in SQL") {
+    val df = Seq((1, "a b a b")).toDF("id", "text")
+    val plan = TextStats.repetitionMetrics(df, "text", "id", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("rep_docs")
+    val viaSql = spark.sql(
+      """SELECT gram_repetition(filter(split(lower(trim(text)), '\\s+'),
+           x -> length(x) > 0), 2).top_gram_frac AS f FROM rep_docs""")
+      .collect().head.getDouble(0)
+    assert(math.abs(viaSql - 2.0 / 3) < 1e-9)
+  }
+
   test("chunking: strided windows with overlap, trailing repeat dropped") {
     val df = Seq((1, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
     // 4-token chunks, overlap 2 → stride 2: starts 1,3,5,7 (9 dropped:

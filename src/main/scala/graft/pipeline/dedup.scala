@@ -137,6 +137,17 @@ object Dedup {
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
       .cache()
     val store = spark.read.parquet(path)
+    val out = incrementalPairs(store, fresh, numHashes, bands, threshold)
+    if (appendToStore) fresh.write.mode("append").parquet(path)
+    out
+  }
+
+  /** Shared incremental core: pairs touching `fresh` (already sketched as
+    * `(id, sh, sig)`) against a sketched `store` — new↔store and new↔new,
+    * never store↔store. */
+  private[graft] def incrementalPairs(store: DataFrame, fresh: DataFrame,
+                                      numHashes: Int, bands: Int,
+                                      threshold: Double): DataFrame = {
     val bNew = bandedOf(fresh, numHashes, bands)
     val bAll = bandedOf(store, numHashes, bands).unionByName(bNew)
     // one side always new: join the (small) new banding against everything;
@@ -150,9 +161,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val allShingles = store.select(col("id"), col("sh"))
       .unionByName(fresh.select(col("id"), col("sh")))
-    val out = verifyPairs(candidates, allShingles, threshold)
-    if (appendToStore) fresh.write.mode("append").parquet(path)
-    out
+    verifyPairs(candidates, allShingles, threshold)
   }
 
   /** Shared LSH core: band the signatures, bucket-join candidates, verify

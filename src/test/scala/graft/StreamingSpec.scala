@@ -270,4 +270,39 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00", "click", 2L),
       ("2024-01-01 01:00:00", "view", 1L)))
   }
+
+  test("streaming near-dup flags against the sketch store; batches see earlier batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sketch_stream").toString
+    val store = s"$dir/store"
+    // corpus: two distinct docs, sketched once offline
+    graft.pipeline.Dedup.writeSketchStore(
+      Seq((1L, "alpha beta gamma delta epsilon zeta"),
+          (2L, "one two three four five six")).toDF("doc_id", "text"),
+      store, "text", "doc_id", shingleK = 3, numHashes = 32)
+
+    val input = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingDedup.nearDupStream(
+      input.toDF().toDF("doc_id", "text"), store, "text", "doc_id",
+      shingleK = 3, numHashes = 32, bands = 16, threshold = 0.5) {
+      (pairs, _) =>
+        flagged ++= pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    }.start()
+    try {
+      // batch 1: doc 10 near-dups store doc 1; doc 11 is novel
+      input.addData((10L, "alpha beta gamma delta epsilon eta"),
+                    (11L, "seven eight nine ten eleven twelve"))
+      q.processAllAvailable()
+      assert(flagged.sorted.toSeq == Seq((1L, 10L)))
+      // batch 2: doc 12 near-dups doc 11 — only visible if batch 1 was
+      // appended to the store (the continuity contract)
+      input.addData((12L, "seven eight nine ten eleven thirteen"))
+      q.processAllAvailable()
+      assert(flagged.sorted.toSeq == Seq((1L, 10L), (11L, 12L)))
+    } finally q.stop()
+    // store now holds corpus + both batches
+    assert(spark.read.parquet(store).count() == 5)
+  }
 }

@@ -141,6 +141,14 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_proximity" -> ((s, dir) => {
+      // R2: ordered proximity — "spark batch" within 2 interlopers scores 2
+      // (boost), near "hash join" within 1 as an OR alternative
+      Search.search(tbl(s, dir, "documents"),
+          "text:\"spark batch\"~2^2 OR text:\"hash join\"~1", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_bm25" -> ((s, dir) => {
       // R4: deterministic BM25 relevance, top-50 with doc_id tiebreak
       val scored = Search.bm25(tbl(s, dir, "documents"), "text", Seq("spark", "query"))
@@ -1020,6 +1028,16 @@ object SparkEntry {
          FROM documents
          WHERE regexp_matches(lower(text), '\bbatch stream\b')
             OR regexp_matches(lower(text), '\bhash join\b')
+         ORDER BY _score DESC, doc_id""",
+    "q_search_proximity" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text),
+              '\bspark(?:\s+\S+){0,2}\s+batch\b') THEN 2 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text),
+              '\bhash(?:\s+\S+){0,1}\s+join\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark(?:\s+\S+){0,2}\s+batch\b')
+            OR regexp_matches(lower(text), '\bhash(?:\s+\S+){0,1}\s+join\b')
          ORDER BY _score DESC, doc_id""",
     "q_search_bm25" ->
       """WITH d AS (

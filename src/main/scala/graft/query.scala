@@ -51,12 +51,13 @@ object QueryMeta {
   * A Spark engine must own the grammar, so this compiler supports a declared,
   * reproducible subset — Lucene-lite (`field:term`, `field:pre*` / `te?t`
   * wildcards, `field:/regex/` whole-token regex, `field:term~N` fuzzy,
+  * `field:"a b"~N` ordered proximity ([[proximityMatch]]),
   * `field:term^N` boost, `field:[a TO b]`, `_exists_:field`,
   * `AND`/`OR`/`NOT`, `+`required/`-`prohibited, parentheses, field
   * grouping `field:(a OR b)^N`, and `\`-escaped literal specials —
   * see [[termMatch]] for the declared word-boundary anchor semantics)
   * and the ES-DSL JSON
-  * operators `term`, `terms`, `ids`, `match`, `match_phrase`,
+  * operators `term`, `terms`, `ids`, `match`, `match_phrase` (with `slop`),
   * `match_phrase_prefix`, `prefix`, `wildcard`, `regexp` (whole-token),
   * `fuzzy`, `range`, `exists`, `multi_match` (declared `most_fields`
   * scoring), `constant_score`,
@@ -153,6 +154,28 @@ object QueryCompiler {
     }
   }
 
+  private val ReMeta = ".^$*+?()[]{}|\\".toSet
+  private def reQuote(s: String): String =
+    s.flatMap(c => if (ReMeta(c)) "\\" + c else c.toString)
+
+  /** `field:"t1 … tk"~N` / DSL `match_phrase` with `slop` — ordered
+    * proximity: the phrase tokens appear in order with at most N foreign
+    * tokens between each ADJACENT pair. Declared divergence from Lucene
+    * span slop, which budgets the total position-edit across the whole
+    * phrase and admits transpositions at cost 2: the ordered per-gap form
+    * is the regex-expressible subset (and the common user intent). Slop 0
+    * is match_phrase modulo whitespace runs. */
+  private[graft] def proximityMatch(field: String, phrase: String, slop: Int): Column = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    val toks = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    require(toks.nonEmpty, "empty phrase in proximity match")
+    if (toks.length == 1) termMatch(field, escapeTerm(toks.head))
+    else {
+      val gap = "(?:\\s+\\S+){0," + slop + "}\\s+"
+      lower(col(field)).rlike("\\b" + toks.map(reQuote).mkString(gap) + "\\b")
+    }
+  }
+
   /** Escape wildcard/escape specials so user text reaches [[termMatch]] as
     * LITERAL analyzed text — the ES `match` family never interprets `*`/`?`
     * (that is `wildcard`'s job); without this, a phrase containing `*`
@@ -175,6 +198,7 @@ object QueryCompiler {
     case class Regex(field: String, pattern: String, boost: Int = 1) extends Node
     case class Exists(field: String, boost: Int = 1) extends Node
     case class Fuzzy(field: String, value: String, dist: Int, boost: Int = 1) extends Node
+    case class Proximity(field: String, phrase: String, slop: Int, boost: Int = 1) extends Node
     case class Range(field: String, lo: String, hi: String,
                      incLo: Boolean, incHi: Boolean, boost: Int = 1) extends Node
     case class And(l: Node, r: Node) extends Node
@@ -199,6 +223,8 @@ object QueryCompiler {
           val c = graft.functions.TextSketchFunctions
             .fuzzy_token_match(col(f), v, dist)
           if (pos) leaves += ((c, boost)); c
+        case Proximity(f, p, slop, boost) =>
+          val c = proximityMatch(f, p, slop); if (pos) leaves += ((c, boost)); c
         case Range(f, lo, hi, il, ih, boost) =>
           val base = col(f)
           val loC = if (lo == "*") lit(true) else if (il) base >= lo else base > lo
@@ -408,13 +434,20 @@ object QueryCompiler {
           return Regex(field, pat, boost)
         }
         // Lucene fuzzy suffix on the remaining value: term~N (N edits) or
-        // bare term~ (Lucene default 2); `\~` is a literal tilde. Phrase
-        // proximity ("a b"~N slop) and ranges are NOT fuzzy — reject
-        // instead of silently reinterpreting them as whole-string fuzzies.
+        // bare term~ (Lucene default 2); `\~` is a literal tilde. A quoted
+        // phrase with ~N is PROXIMITY, not fuzziness; fuzzy ranges stay
+        // rejected instead of silently reinterpreting as whole-string
+        // fuzzies.
         val (value0, fuzzy) = value1 match {
           case FuzzyRx(v, d) if !v.endsWith("\\") =>
-            require(!v.startsWith("\"") && !v.startsWith("[") && !v.startsWith("{"),
-              s"proximity/slop and fuzzy ranges are not supported: '$tok'")
+            if (v.startsWith("\"")) {
+              require(v.length >= 2 && v.endsWith("\""), s"unclosed phrase in '$tok'")
+              require(d.nonEmpty,
+                s"phrase proximity requires an explicit slop value: '$tok'")
+              return Proximity(field, v.substring(1, v.length - 1), d.toInt, boost)
+            }
+            require(!v.startsWith("[") && !v.startsWith("{"),
+              s"fuzzy ranges are not supported: '$tok'")
             (v, Some(if (d.isEmpty) 2 else d.toInt))
           case v => (v, None)
         }
@@ -468,10 +501,14 @@ object QueryCompiler {
             case "match" | "match_phrase" => "query"
             case _                        => "value"
           }
-          val (v, boost) =
-            if (!vRaw.isObject) (vRaw, 1)
+          val (v, boost, slop) =
+            if (!vRaw.isObject) (vRaw, 1, 0)
             else {
-              val unknown = vRaw.fieldNames.asScala.toSet -- Set(valueKey, "boost")
+              // match_phrase additionally takes ES's `slop` (ordered
+              // proximity, see proximityMatch)
+              val extra = if (op == "match_phrase") Set("slop") else Set.empty[String]
+              val unknown = vRaw.fieldNames.asScala.toSet --
+                (Set(valueKey, "boost") ++ extra)
               require(unknown.isEmpty,
                 s"unsupported $op option(s): ${unknown.mkString(", ")}")
               val value = Option(vRaw.get(valueKey)).getOrElse(
@@ -481,7 +518,12 @@ object QueryCompiler {
                   s"boost must be a positive integer, got: $n")
                 n.asInt
               }.getOrElse(1)
-              (value, b)
+              val sl = Option(vRaw.get("slop")).map { n =>
+                require(n.isIntegralNumber && n.asInt >= 0,
+                  s"slop must be a non-negative integer, got: $n")
+                n.asInt
+              }.getOrElse(0)
+              (value, b, sl)
             }
           def text: String = {
             require(v.isTextual && v.asText.nonEmpty,
@@ -493,8 +535,11 @@ object QueryCompiler {
             // analyzed token match — user text is literal, never wildcarded
             case "match"        => termMatch(f, escapeTerm(text))
             // contiguous-token phrase: quoted-term semantics (termMatch
-            // keeps inner spaces inside the \b…\b anchor)
-            case "match_phrase" => termMatch(f, escapeTerm(text))
+            // keeps inner spaces inside the \b…\b anchor); with slop,
+            // ordered per-gap proximity
+            case "match_phrase" =>
+              if (slop == 0) termMatch(f, escapeTerm(text))
+              else proximityMatch(f, text, slop)
             case "prefix"       => termMatch(f, escapeTerm(text) + "*")
             case "wildcard"     => termMatch(f, text)           // value carries '*' / '?'
           }

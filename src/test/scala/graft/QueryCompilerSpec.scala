@@ -288,4 +288,22 @@ class QueryCompilerSpec extends AnyFunSuite {
     // escaped caret/tilde inside a group keep boost/fuzzy parsing intact
     assert(QueryCompiler.validate("""text:(c\^2^5 OR d\~x)""").isRight)
   }
+
+  test("phrase proximity parses; slop is required and composes with boost") {
+    assert(QueryCompiler.validate("""text:"spark batch"~3""").isRight)
+    assert(QueryCompiler.validate("""text:"spark batch"~3^2""").isRight)
+    assert(QueryCompiler.validate("""text:("spark batch"~2 OR other)""").isRight)
+    // bare ~ on a phrase is NOT a default-2 fuzzy — explicit slop only
+    assert(QueryCompiler.validate("""text:"spark batch"~""").isLeft)
+    // fuzzy ranges stay rejected
+    assert(QueryCompiler.validate("""num:[1 TO 2]~2""").isLeft)
+    // DSL: match_phrase slop option; negative slop rejected
+    assert(QueryCompiler.validate(
+      """{"query":{"match_phrase":{"text":{"query":"a b","slop":2}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"match_phrase":{"text":{"query":"a b","slop":-1}}}}""").isLeft)
+    // slop is match_phrase-only — match still rejects it
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"query":"a","slop":2}}}}""").isLeft)
+  }
 }

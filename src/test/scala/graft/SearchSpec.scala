@@ -39,6 +39,28 @@ class SearchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("1")) // doc 4 has batch, doc 1 has the phrase
   }
 
+  test("proximity: ordered, per-gap slop; slop 0 ≈ phrase; DSL slop agrees") {
+    val d = Seq(
+      ("1", "spark batch"),                    // adjacent
+      ("2", "spark fast batch"),               // 1 interloper
+      ("3", "spark very fast wide batch"),     // 3 interlopers
+      ("4", "batch spark"),                    // wrong order — never matches
+      ("5", "spark alone here")).toDF("doc_id", "text")
+    def ids(q: String) =
+      Search.search(d, q, IndexConfig()).select("doc_id").as[String].collect().sorted.toSeq
+    assert(ids("""text:"spark batch"~0""") == Seq("1"))
+    assert(ids("""text:"spark batch"~1""") == Seq("1", "2"))
+    assert(ids("""text:"spark batch"~3""") == Seq("1", "2", "3"))
+    assert(ids("""{"query":{"match_phrase":{"text":{"query":"spark batch","slop":1}}}}""")
+      == Seq("1", "2"))
+    // three-token phrase: slop bounds each gap independently
+    val d3 = Seq(("a", "one x two y three"), ("b", "one two x y z three"))
+      .toDF("doc_id", "text")
+    val got = Search.search(d3, """text:"one two three"~1""", IndexConfig())
+      .select("doc_id").as[String].collect().sorted.toSeq
+    assert(got == Seq("a")) // b's second gap has 3 interlopers > slop 1
+  }
+
   test("searchWithTotal carries took and the _shards segment analog (R10)") {
     val out = Search.searchWithTotal(docs,
       "#options:load-rows=false#text:spark", IndexConfig(),
@@ -209,9 +231,10 @@ class SearchSpec extends AnyFunSuite {
       Seq(("9", "version a~2 here")).toDF("doc_id", "text"),
       "text:a\\~2", IndexConfig()).select("doc_id").collect().map(_.getString(0))
     assert(lit.toSeq == Seq("9"))
-    // proximity/slop and fuzzy ranges are rejected, not misinterpreted;
-    // unknown DSL fuzzy options are rejected; distance is capped at 2
-    assert(QueryCompiler.validate("text:\"apache spark\"~2").isLeft)
+    // a quoted phrase with ~N is proximity (not a whole-string fuzzy);
+    // fuzzy ranges are rejected, not misinterpreted; unknown DSL fuzzy
+    // options are rejected; distance is capped at 2
+    assert(QueryCompiler.validate("text:\"apache spark\"~2").isRight)
     assert(QueryCompiler.validate("x:[1 TO 5]~2").isLeft)
     assert(QueryCompiler.validate(
       """{"query":{"fuzzy":{"text":{"value":"x","prefix_length":1}}}}""").isLeft)

@@ -929,6 +929,17 @@ object SparkEntry {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"))
     }),
+    "q_curate_corpus" -> ((s, dir) => {
+      // the full curation pipeline end-to-end: near-dup removal → quality
+      // gate (same thresholds as q_quality_filter) → decontamination
+      // against the doc_id%50 benchmark slice
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 50 === 0)
+      val train = docs.where(col("doc_id") % 50 =!= 0)
+      Curate.curateCorpus(train, bench, "text", "doc_id",
+          minTokens = 20, maxMeanTokLen = 8.0, minStopwordRatio = 0.05, n = 4)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: bigram top/dup fractions from the
       // native one-pass expression (narrow projection, no gram shuffle)
@@ -1730,6 +1741,66 @@ object SparkEntry {
       // cover check only: kept ∪ complement must re-derive each doc exactly
       // once (hash determinism); the per-domain fractions are spec-tested
       """SELECT doc_id, CAST(1 AS BIGINT) AS n FROM documents ORDER BY doc_id""",
+    "q_curate_corpus" ->
+      // composition of the q_dedup_corpus transitive-closure oracle, the
+      // q_quality_filter threshold oracle, and the q_decontaminate gram
+      // oracle — one pipeline, stage semantics unchanged
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents WHERE doc_id % 50 <> 0),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+         e AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+         reach(a, b) AS (
+           SELECT a, b FROM e
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+         label AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a),
+         surv1 AS (
+           SELECT doc_id, text, tk FROM t
+           WHERE doc_id NOT IN (SELECT id FROM label WHERE mn < id)),
+         m AS (
+           SELECT doc_id, tk FROM surv1
+           WHERE len(tk) >= 20 AND len(tk) <= 100000
+             AND round(CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                   / greatest(len(tk), 1), 4) >= 2.0
+             AND round(CAST(len(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                   / greatest(len(tk), 1), 4) <= 8.0
+             AND round(CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS DOUBLE)
+                   / greatest(len(text), 1), 4) <= 0.2
+             AND round(CAST(len(list_filter(tk,
+                   x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+                   / greatest(len(tk), 1), 4) >= 0.05
+             AND round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                   / greatest(len(text), 1), 4) >= 0.5),
+         grams AS (
+           SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk)-3, 1)),
+               i -> array_to_string(tk[i:i+3], ' ')))) AS gram
+           FROM m),
+         bt AS (
+           SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                              x -> len(x) > 0) AS tk
+           FROM documents WHERE doc_id % 50 = 0),
+         bgrams AS (
+           SELECT DISTINCT unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(tk)-3, 1)),
+               i -> array_to_string(tk[i:i+3], ' ')))) AS gram
+           FROM bt),
+         contaminated AS (
+           SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams b USING (gram))
+         SELECT doc_id FROM m
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         ORDER BY doc_id""",
     "q_text_repetition" ->
       """WITH toks AS (
            SELECT doc_id,

@@ -108,6 +108,26 @@ object Curate {
     df.where(b < thresh)
   }
 
+  // ------------------------------------------------------------- end-to-end
+
+  /** The whole curation pipeline, composed: near-dup removal (keep the
+    * canonical member per cluster), Gopher/C4-style quality gate, then
+    * benchmark decontamination. Returns surviving docs with the input
+    * schema. Each stage is independently oracle-verified; the composition
+    * adds no new shuffle shape — LSH bucket join + narrow quality filter +
+    * broadcast gram join. */
+  def curateCorpus(docs: DataFrame, bench: DataFrame,
+                   textCol: String, idCol: String,
+                   minTokens: Int = 10, maxMeanTokLen: Double = 12.0,
+                   minStopwordRatio: Double = 0.0, n: Int = 4): DataFrame = {
+    val deduped = Dedup.dedupCorpus(docs, textCol, idCol)
+    val quality = TextStats.qualityFilter(deduped, textCol,
+        minTokens = minTokens, maxMeanTokLen = maxMeanTokLen,
+        minStopwordRatio = minStopwordRatio)
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    decontaminate(quality, bench, textCol, idCol, n)
+  }
+
   // --------------------------------------------------------- sequence packing
 
   /** Greedy shard packing: docs are laid out in (`groupCol`, `idCol`) order

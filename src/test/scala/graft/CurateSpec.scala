@@ -80,6 +80,23 @@ class CurateSpec extends AnyFunSuite {
     assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
   }
 
+  test("curateCorpus composes dedup, quality gate, and decontamination") {
+    val good = "the quick brown fox and the lazy dog walk to town in a light rain"
+    val train = Seq(
+      (1L, good),                                        // survivor
+      (2L, good + " today"),                             // near-dup of 1 → dropped
+      (3L, "tiny"),                                      // fails minTokens → dropped
+      (4L, "the old mill by the river keeps grinding its wheat in the morning sun"),
+      (5L, "the secret benchmark sentence appears here verbatim and it is long enough to pass the quality gate")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "we know the secret benchmark sentence appears here"))
+      .toDF("doc_id", "text")
+    val out = Curate.curateCorpus(train, bench, "text", "doc_id",
+        minTokens = 5, maxMeanTokLen = 12.0, minStopwordRatio = 0.0, n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 4L)) // 2 deduped, 3 low-quality, 5 contaminated
+  }
+
   test("packing fills shards to budget without splitting docs; stable arithmetic") {
     val df = Seq(
       (1L, "g1", "a b c"), (2L, "g1", "d e f g"), (3L, "g1", "h i"),

@@ -110,21 +110,43 @@ object Similarity {
     * shared LSH buckets, verified exactly. */
   def cosinePairs(df: DataFrame, threshold: Double,
                   bands: Int = 8, bitsPerBand: Int = 4,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  reduceCandidates: Boolean = false): DataFrame = {
     // shuffle ids, not vectors: the banded self-join and pair-dedup move
     // only (band, bucket, id); embeddings join back per surviving side —
     // the same discipline as Dedup.minhashPairs' shingle-set verification
     val b = banded(df, idCol, vecCol, bands, bitsPerBand)
       .select(col("band"), col("bucket"), col(idCol))
-    val idPairs = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val idPairs0 = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
       .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b")),
         Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // `reduceCandidates` is the large-corpus shape (same as
+    // Dedup.verifyPairs): once the vector relation outgrows the broadcast
+    // threshold — or is cached with large in-memory stats — the plain pair
+    // joins sort-merge-shuffle EVERY embedding, the heaviest payload in
+    // the system. The broadcast ids-only semi-join bounds verification
+    // shuffle to candidate rows at any corpus size. It costs two extra
+    // job barriers (persist + broadcast collect), measured ~2 s constant
+    // on the gate corpus where vectors broadcast anyway — so it's opt-in,
+    // not the small-corpus default.
+    val (idPairs, vecSide) =
+      if (!reduceCandidates) (idPairs0, df.select(col(idCol), col(vecCol)))
+      else {
+        val cand = idPairs0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val candIds = broadcast(
+          cand.select(col("id_a").as(idCol))
+            .unionAll(cand.select(col("id_b").as(idCol)))
+            .distinct())
+        (cand, df.select(col(idCol), col(vecCol))
+          .join(candIds, Seq(idCol), "left_semi"))
+      }
     idPairs
-      .join(df.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
-      .join(df.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
+      .join(vecSide.select(col(idCol).as("id_a"), col(vecCol).as("v_a")), Seq("id_a"))
+      .join(vecSide.select(col(idCol).as("id_b"), col(vecCol).as("v_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -93,6 +93,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("cosine pairs candidate reduction: identical output, vectors semi-joined") {
+    val vecs = (0L until 200L).map { i =>
+      val base = Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)
+      (i, if (i % 10 == 0) base.map(x => x + 0.01f) else base)
+    }.toDF("vec_id", "embedding")
+    val plain = Similarity.cosinePairs(vecs, 0.95, bands = 16, bitsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val reduced = Similarity.cosinePairs(vecs, 0.95, bands = 16, bitsPerBand = 2,
+        reduceCandidates = true)
+    val rSet = reduced.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rSet == plain && plain.nonEmpty)
+    // the scale shape: the vector side is reduced by a semi-join before
+    // the pair joins, so corpus vectors never cross the pair exchange
+    val plan = reduced.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("clusters: transitive chains collapse to the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val out = Dedup.clusters(pairs).collect()

@@ -84,7 +84,7 @@ object Bench {
         "q_maintain_compact", "q_dedup_incremental",
         "q_decontaminate", "q_pii_redact", "q_domain_mix",
         "q_sample_stratified", "q_pack_sequences", "q_text_repetition",
-        "q_search_proximity", "q_curate_corpus")
+        "q_search_proximity", "q_curate_corpus", "q_split_leakage_safe")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

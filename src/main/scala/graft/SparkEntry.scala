@@ -929,6 +929,22 @@ object SparkEntry {
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         .orderBy(col("doc_id"))
     }),
+    "q_split_leakage_safe" -> ((s, dir) => {
+      // property oracle: every verified near-dup pair must land on ONE
+      // split side (co_split true for all rows). The oracle computes the
+      // exact pair set and asserts the invariant as a constant — any pair
+      // the split separates hash-mismatches.
+      val docs = tbl(s, dir, "documents")
+      val split = Curate.leakageSafeSplit(docs, "text", "doc_id",
+        Seq(0.8, 0.1, 0.1), seed = 7L)
+      val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("split_a") === col("split_b")).as("co_split"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_curate_corpus" -> ((s, dir) => {
       // the full curation pipeline end-to-end: near-dup removal → quality
       // gate (same thresholds as q_quality_filter) → decontamination
@@ -1741,6 +1757,24 @@ object SparkEntry {
       // cover check only: kept ∪ complement must re-derive each doc exactly
       // once (hash determinism); the per-domain fractions are spec-tested
       """SELECT doc_id, CAST(1 AS BIGINT) AS n FROM documents ORDER BY doc_id""",
+    "q_split_leakage_safe" ->
+      // exact all-pairs jaccard (the q_dedup_minhash oracle) with the
+      // co-travel invariant asserted as a constant TRUE column
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5)
+         SELECT id_a, id_b, TRUE AS co_split FROM p ORDER BY id_a, id_b""",
     "q_curate_corpus" ->
       // composition of the q_dedup_corpus transitive-closure oracle, the
       // q_quality_filter threshold oracle, and the q_decontaminate gram

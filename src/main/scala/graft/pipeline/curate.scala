@@ -108,6 +108,32 @@ object Curate {
     df.where(b < thresh)
   }
 
+  // -------------------------------------------------------- leakage-safe split
+
+  /** Train/val/test split that keeps near-duplicates on the SAME side.
+    *
+    * A plain per-doc hash split leaks: a test doc's near-duplicate lands
+    * in train and the model "memorizes" the answer. Here every doc is
+    * split by its near-dup CLUSTER's canonical id (docs with no near-dup
+    * cluster with themselves), so whole duplicate groups co-travel.
+    *
+    * Scale shape: the duplicate-pair graph is model-sized ([[Dedup
+    * .clusters]]); the label join touches only docs that HAVE a near-dup
+    * (broadcast-friendly), everything else is the usual narrow hash
+    * filter. Returns the input schema plus a `split` index column in
+    * weight order. */
+  def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
+                       weights: Seq[Double], seed: Long = 0L): DataFrame = {
+    val pairs = Dedup.minhashPairs(docs, textCol, idCol)
+    val labels = Dedup.clusters(pairs)
+      .select(col("id").as(idCol), col("cluster_id"))
+    val keyed = docs.join(labels, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+    keyed
+      .withColumn("split", Sampling.splitColumn(Seq("split_key"), weights, seed))
+      .drop("cluster_id", "split_key")
+  }
+
   // ------------------------------------------------------------- end-to-end
 
   /** The whole curation pipeline, composed: near-dup removal (keep the

@@ -80,6 +80,26 @@ class CurateSpec extends AnyFunSuite {
     assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
   }
 
+  test("leakage-safe split keeps near-dup clusters on one side, covers, splits fairly") {
+    // 3000 docs in near-dup pairs (2i, 2i+1 share text) + 4000 singletons
+    val docs = ((0L until 3000L).map(i => (i, s"group text number ${i / 2} padded with words")) ++
+      (10000L until 14000L).map(i => (i, s"unique standalone document $i with its own words")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Curate.leakageSafeSplit(docs, "text", "doc_id",
+      Seq(0.8, 0.1, 0.1), seed = 3L)
+    assert(out.count() == 7000L)                          // cover, nothing lost
+    // near-dup mates always co-travel
+    val mates = out.where(col("doc_id") < 3000L)
+      .withColumn("grp", (col("doc_id") / 2).cast("long"))
+      .groupBy("grp").agg(countDistinct(col("split")).as("nsplits"))
+    assert(mates.where(col("nsplits") > 1).count() == 0)
+    // fractions hold approximately over clusters+singletons
+    val byS = out.groupBy("split").count().as[(Int, Long)].collect().toMap
+    assert(math.abs(byS(0) - 5600L) < 400, byS.toString)
+    assert(math.abs(byS(1) - 700L) < 250, byS.toString)
+    assert(math.abs(byS(2) - 700L) < 250, byS.toString)
+  }
+
   test("curateCorpus composes dedup, quality gate, and decontamination") {
     val good = "the quick brown fox and the lazy dog walk to town in a light rain"
     val train = Seq(

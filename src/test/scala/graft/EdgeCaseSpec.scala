@@ -118,4 +118,47 @@ class EdgeCaseSpec extends AnyFunSuite {
       IndexConfig()).select("doc_id", "_score").collect().toSeq
     assert(multi == single)
   }
+
+  test("curation family is total on empty and degenerate inputs") {
+    import graft.pipeline.Curate
+    // empty train, empty bench, both
+    assert(Curate.contaminationReport(emptyDocs, oneDoc, "text", "doc_id", 3).count() == 0)
+    assert(Curate.contaminationReport(oneDoc, emptyDocs, "text", "doc_id", 3).count() == 0)
+    assert(Curate.decontaminate(oneDoc, emptyDocs, "text", "doc_id", 3).count() == 1)
+    assert(Curate.curateCorpus(emptyDocs, emptyDocs, "text", "doc_id").count() == 0)
+    // PII on empty strings and empty corpus
+    assert(Curate.piiReport(emptyDocs, "text").count() == 0)
+    val pii = Curate.piiReport(Seq((1L, "")).toDF("doc_id", "text"), "text")
+      .select("n_emails", "n_phones", "n_ips").head
+    assert((pii.getInt(0), pii.getInt(1), pii.getInt(2)) == ((0, 0, 0)))
+    // mixing and packing on empty corpus; packing with budget 1
+    assert(Curate.mixPlan(emptyDocs.withColumn("src", lit("a")), "src", "text", 10L).count() == 0)
+    assert(Curate.packSequences(emptyDocs.withColumn("src", lit("a")),
+      "doc_id", "src", "text", 100L).count() == 0)
+    val tiny = Curate.packSequences(
+      Seq((1L, "a", "one two"), (2L, "a", "three")).toDF("id", "src", "text"),
+      "id", "src", "text", budgetTokens = 1L)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(tiny == Map(1L -> 0L, 2L -> 2L)) // cum-before 0 then 2, budget 1
+    // stratified sample with a fraction of exactly 0 and exactly 1
+    val df01 = (0L until 100L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "dom")
+    val s = Curate.sampleStratified(df01, Seq("id"), "dom", Map("a" -> 1.0, "b" -> 0.0))
+    assert(s.count() == 50 && s.where(col("dom") === "b").count() == 0)
+    // leakage-safe split of a corpus with no near-dups = plain cover
+    assert(Curate.leakageSafeSplit(oneDoc, "text", "doc_id", Seq(0.5, 0.5)).count() == 1)
+    // repetition metrics on empty text: one truncated window, top=1, dup=0
+    val rep = TextStats.repetitionMetrics(
+      Seq((1L, "")).toDF("doc_id", "text"), "text", "doc_id", 2).head
+    assert((rep.getDouble(1), rep.getDouble(2), rep.getLong(3)) == ((1.0, 0.0, 1L)))
+  }
+
+  test("proximity edge shapes: single-token phrase, huge slop, empty-ish phrase") {
+    val d = Seq(("1", "alpha beta gamma")).toDF("doc_id", "text")
+    // single-token proximity degrades to a term match
+    assert(Search.search(d, """text:"alpha"~3""", IndexConfig()).count() == 1)
+    // slop larger than the doc works (regex {0,N} is fine with big N)
+    assert(Search.search(d, """text:"alpha gamma"~50""", IndexConfig()).count() == 1)
+    // whitespace-only phrase is a loud error, not a silent match-none
+    assert(QueryCompiler.validate("""text:"  "~2""").isLeft)
+  }
 }

@@ -104,4 +104,63 @@ class PropertySpec extends AnyFunSuite {
         to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").as("back"))
     assert(df.where(col("ts") =!= col("back")).count() == 0)
   }
+
+  test("property: proximity matches grow monotonically with slop; slop-0 ⊆ phrase-adjacent") {
+    // random token sequences over a small vocab so gaps of all sizes occur
+    val vocab = Vector("red", "blue", "green", "spark", "batch", "row", "col")
+    val docGen = Gen.listOfN(12, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val docs = Iterator.continually(docGen.sample).flatten.take(120)
+      .zipWithIndex.map { case (t, i) => (i.toString, t) }.toSeq
+      .toDF("doc_id", "text")
+    def ids(slop: Int): Set[String] =
+      Search.search(docs, s"""text:"spark batch"~$slop""",
+        IndexConfig(maxResults = 1000), Seq("doc_id"))
+        .select("doc_id").as[String].collect().toSet
+    val m = (0 to 4).map(ids)
+    // monotone: allowing more interlopers never loses a match
+    m.sliding(2).foreach { case Seq(a, b) => assert(a.subsetOf(b), (a, b).toString) }
+    // slop 4 still requires order: a doc with only "batch ... spark" never matches
+    val reversedOnly = docs.where(
+      !lower(col("text")).rlike("\\bspark(?:\\s+\\S+){0,4}\\s+batch\\b") &&
+      lower(col("text")).rlike("\\bbatch\\b") && lower(col("text")).rlike("\\bspark\\b"))
+      .select("doc_id").as[String].collect().toSet
+    assert(m(4).intersect(reversedOnly).isEmpty)
+  }
+
+  test("property: PII redaction is idempotent and leaves no detectable PII") {
+    val local = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+    val rowGen = for {
+      l <- local; d <- local
+      ph1 <- Gen.choose(10, 99); ph2 <- Gen.choose(0, 999)
+      ph3 <- Gen.choose(0, 999); ph4 <- Gen.choose(0, 9999)
+      ip <- Gen.listOfN(4, Gen.choose(0, 255))
+      noise <- Gen.listOfN(3, Gen.oneOf("lorem", "ipsum", "dolor"))
+    } yield s"${noise.head} $l@$d.com ${noise(1)} $ph1-${"%03d".format(ph2)}-${"%03d".format(ph3)}-${"%04d".format(ph4)} ${noise(2)} ${ip.mkString(".")}"
+    val rows = Iterator.continually(rowGen.sample).flatten.take(150)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq.toDF("id", "text")
+    val once = graft.pipeline.Curate.piiReport(rows, "text")
+      .select(col("id"), col("redacted").as("text"))
+    // every generated row had all three classes → all redacted
+    val re = graft.pipeline.Curate.piiReport(once, "text")
+    assert(re.where(col("n_emails") > 0 || col("n_phones") > 0 || col("n_ips") > 0)
+      .count() == 0)
+    // idempotent: redacting the redacted text changes nothing
+    assert(re.where(col("redacted") =!= col("text")).count() == 0)
+  }
+
+  test("property: packing shard ids are non-decreasing in id order within a group") {
+    val tokGen = Gen.choose(1, 30)
+    val rows = Iterator.continually(tokGen.sample).flatten.take(400)
+      .zipWithIndex.map { case (n, i) => (i.toLong, s"g${i % 5}", ("w " * n).trim) }.toSeq
+      .toDF("id", "grp", "text")
+    val packed = graft.pipeline.Curate.packSequences(rows, "id", "grp", "text", 50L)
+      .orderBy("grp", "id")
+      .select("grp", "id", "shard").as[(String, Long, Long)].collect()
+    packed.groupBy(_._1).foreach { case (_, docs) =>
+      docs.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a <= b)
+        case _ =>
+      }
+    }
+  }
 }

@@ -141,6 +141,18 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_dsl_dismax" -> ((s, dir) => {
+      // best_fields-style: a doc matching both branches scores the better
+      // one (max), not the sum — distinguishes dis_max from bool/should
+      val q = """{"query":{"dis_max":{"queries":[
+                 {"match":{"text":"spark"}},
+                 {"match":{"text":{"query":"batch","boost":3}}}],
+                 "tie_breaker":0}},"size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_proximity" -> ((s, dir) => {
       // R2: ordered proximity — "spark batch" within 2 interlopers scores 2
       // (boost), near "hash join" within 1 as an OR alternative
@@ -1055,6 +1067,15 @@ object SparkEntry {
          FROM documents
          WHERE regexp_matches(lower(text), '\bbatch stream\b')
             OR regexp_matches(lower(text), '\bhash join\b')
+         ORDER BY _score DESC, doc_id""",
+    "q_search_dsl_dismax" ->
+      """SELECT doc_id,
+           greatest(
+             CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END,
+             CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 3 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+            OR regexp_matches(lower(text), '\bbatch\b')
          ORDER BY _score DESC, doc_id""",
     "q_search_proximity" ->
       """SELECT doc_id,

@@ -60,7 +60,8 @@ object QueryMeta {
   * operators `term`, `terms`, `ids`, `match`, `match_phrase` (with `slop`),
   * `match_phrase_prefix`, `prefix`, `wildcard`, `regexp` (whole-token),
   * `fuzzy`, `range`, `exists`, `multi_match` (declared `most_fields`
-  * scoring), `constant_score`,
+  * scoring), `constant_score`, `dis_max` (max-of-subqueries scoring,
+  * tie_breaker 0),
   * `bool{must,should,must_not,filter,minimum_should_match}`,
   * `query_string`, `match_all` with top-level `size` — each leaf in both
   * the short scalar form and the long object body ES clients emit
@@ -184,11 +185,14 @@ object QueryCompiler {
   private[graft] def escapeTerm(s: String): String =
     s.replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
 
-  /** Weighted leaf score: Σ boost over matched positive leaves (boost 1
-    * unless `term^N`). */
-  private[graft] def scoreOf(leaves: Seq[(Column, Int)]): Column =
-    if (leaves.isEmpty) lit(0)
-    else leaves.map { case (c, w) => when(c, w).otherwise(0) }.reduce(_ + _)
+  /** Weighted leaf score: Σ over leaf contributions. A plain leaf's
+    * contribution is `when(matched, boost).otherwise(0)` ([[leaf]]);
+    * composite operators (dis_max) push an already-shaped score column. */
+  private[graft] def scoreOf(leaves: Seq[Column]): Column =
+    if (leaves.isEmpty) lit(0) else leaves.reduce(_ + _)
+
+  /** Contribution of one positive leaf: boost if matched, else 0. */
+  private[graft] def leaf(c: Column, w: Int): Column = when(c, w).otherwise(0)
 
   // ---- Lucene-lite recursive-descent parser ----
 
@@ -207,29 +211,29 @@ object QueryCompiler {
 
     def compile(q: String, defaultLimit: Int): CompiledQuery = {
       val ast = parse(q)
-      val leaves = scala.collection.mutable.ArrayBuffer[(Column, Int)]()
+      val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       // `pos` tracks polarity: only positive leaves contribute to the score
       def toCol(n: Node, pos: Boolean): Column = n match {
         case Term(f, v, boost) =>
-          val c = termMatch(f, v); if (pos) leaves += ((c, boost)); c
+          val c = termMatch(f, v); if (pos) leaves += leaf(c, boost); c
         case Regex(f, pat, boost) =>
           // whole-token regex, same anchor model as the DSL `regexp`
           val c = lower(col(f)).rlike("\\b(?:" + pat + ")\\b")
-          if (pos) leaves += ((c, boost)); c
+          if (pos) leaves += leaf(c, boost); c
         case Exists(f, boost) =>
           val c = col(f).isNotNull
-          if (pos) leaves += ((c, boost)); c
+          if (pos) leaves += leaf(c, boost); c
         case Fuzzy(f, v, dist, boost) =>
           val c = graft.functions.TextSketchFunctions
             .fuzzy_token_match(col(f), v, dist)
-          if (pos) leaves += ((c, boost)); c
+          if (pos) leaves += leaf(c, boost); c
         case Proximity(f, p, slop, boost) =>
-          val c = proximityMatch(f, p, slop); if (pos) leaves += ((c, boost)); c
+          val c = proximityMatch(f, p, slop); if (pos) leaves += leaf(c, boost); c
         case Range(f, lo, hi, il, ih, boost) =>
           val base = col(f)
           val loC = if (lo == "*") lit(true) else if (il) base >= lo else base > lo
           val hiC = if (hi == "*") lit(true) else if (ih) base <= hi else base < hi
-          val c = loC && hiC; if (pos) leaves += ((c, boost)); c
+          val c = loC && hiC; if (pos) leaves += leaf(c, boost); c
         case And(l, r) => toCol(l, pos) && toCol(r, pos)
         case Or(l, r)  => toCol(l, pos) || toCol(r, pos)
         // Lucene/ES negation matches docs where the field is absent;
@@ -477,13 +481,13 @@ object QueryCompiler {
       val size = Option(root.get("size")).map(_.asInt).getOrElse(defaultLimit)
       val qNode = Option(root.get("query"))
         .getOrElse(throw new IllegalArgumentException("missing 'query'"))
-      val leaves = scala.collection.mutable.ArrayBuffer[(Column, Int)]()
+      val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size))
     }
 
     private def node(n: JsonNode,
-                     leaves: scala.collection.mutable.ArrayBuffer[(Column, Int)],
+                     leaves: scala.collection.mutable.ArrayBuffer[Column],
                      scoring: Boolean, idCol: String = "doc_id"): Column = {
       require(n.isObject && n.size == 1, s"expected single-operator object, got: $n")
       val op = n.fieldNames.asScala.next()
@@ -543,7 +547,7 @@ object QueryCompiler {
             case "prefix"       => termMatch(f, escapeTerm(text) + "*")
             case "wildcard"     => termMatch(f, text)           // value carries '*' / '?'
           }
-          if (scoring) leaves += ((c, boost))
+          if (scoring) leaves += leaf(c, boost)
           c
         case "fuzzy" =>
           // {"fuzzy":{"f":"v"}} (Lucene default distance 2) or
@@ -571,24 +575,24 @@ object QueryCompiler {
           require(text.nonEmpty, "fuzzy expects a non-empty string value")
           val c = graft.functions.TextSketchFunctions
             .fuzzy_token_match(col(f), text, dist)
-          if (scoring) leaves += ((c, boost))
+          if (scoring) leaves += leaf(c, boost)
           c
         case "terms" => // {"terms":{"f":["a","b",...]}} — exact-value disjunction
           val (f, v) = singleField(body)
           require(v.isArray && v.size > 0, s"terms expects a non-empty array, got: $v")
           val c = col(f).isin(v.elements.asScala.map(scalarOf).toSeq: _*)
-          if (scoring) leaves += ((c, 1))
+          if (scoring) leaves += leaf(c, 1)
           c
         case "ids" => // {"ids":{"values":[...]}} — id lookup on the ES _id analog
           val vs = Option(body.get("values"))
             .getOrElse(throw new IllegalArgumentException("ids requires 'values'"))
           require(vs.isArray && vs.size > 0, s"ids expects a non-empty values array")
           val c = col(idCol).isin(vs.elements.asScala.map(scalarOf).toSeq: _*)
-          if (scoring) leaves += ((c, 1))
+          if (scoring) leaves += leaf(c, 1)
           c
         case "exists" => // {"exists":{"field":"x"}}
           val c = col(body.get("field").asText).isNotNull
-          if (scoring) leaves += ((c, 1))
+          if (scoring) leaves += leaf(c, 1)
           c
         case "range" =>
           val f = body.fieldNames.asScala.next()
@@ -605,11 +609,11 @@ object QueryCompiler {
           }.toSeq
           require(parts.nonEmpty, "empty range")
           val c = parts.reduce(_ && _)
-          if (scoring) leaves += ((c, 1))
+          if (scoring) leaves += leaf(c, 1)
           c
         case "query_string" => // {"query_string":{"query":"a:b AND c:d"}}
           val sub = LuceneLite.compile(body.get("query").asText, Int.MaxValue)
-          if (scoring) leaves += ((sub.predicate, 1))
+          if (scoring) leaves += leaf(sub.predicate, 1)
           sub.predicate
         case "multi_match" =>
           // {"multi_match":{"query":"x","fields":["a","b^2"]}} — declared
@@ -645,7 +649,7 @@ object QueryCompiler {
             }
             (termMatch(f, escapeTerm(qv.asText)), b)
           }
-          if (scoring) leaves ++= perField
+          if (scoring) leaves ++= perField.map { case (c, b) => leaf(c, b) }
           perField.map(_._1).reduce(_ || _)
         case "regexp" =>
           // {"regexp":{"f":"pat.*n"}} (or long form {"value":…,"boost":…})
@@ -675,8 +679,38 @@ object QueryCompiler {
               throw new IllegalArgumentException(s"invalid regexp '$pat': ${e.getMessage}")
           }
           val c = lower(col(f)).rlike("\\b(?:" + pat + ")\\b")
-          if (scoring) leaves += ((c, boost))
+          if (scoring) leaves += leaf(c, boost)
           c
+        case "dis_max" =>
+          // {"dis_max":{"queries":[{...},{...}]}} — a row matches if any
+          // sub-query matches; the clause's score contribution is the MAX
+          // of the sub-query scores (ES best_fields semantics). Declared
+          // subset: tie_breaker must be 0/absent — the fractional
+          // tie-breaker would break integer scoring.
+          val unknown = body.fieldNames.asScala.toSet -- Set("queries", "tie_breaker")
+          require(unknown.isEmpty,
+            s"unsupported dis_max option(s): ${unknown.mkString(", ")}")
+          Option(body.get("tie_breaker")).foreach { n =>
+            require(n.isNumber && n.asDouble == 0.0,
+              s"dis_max tie_breaker must be 0 (integer-scoring subset), got: $n")
+          }
+          val qs = Option(body.get("queries"))
+            .getOrElse(throw new IllegalArgumentException("dis_max requires 'queries'"))
+          require(qs.isArray && qs.size > 0, "dis_max 'queries' must be a non-empty array")
+          val children = qs.asScala.toSeq.map { q =>
+            val sub = scala.collection.mutable.ArrayBuffer[Column]()
+            val pred = node(q, sub, scoring, idCol)
+            (pred, scoreOf(sub.toSeq))
+          }
+          val pred = children.map(_._1).reduce(_ || _)
+          if (scoring) {
+            val contribs = children.map { case (p, s) =>
+              when(coalesce(p, lit(false)), s).otherwise(0) }
+            // Spark's greatest() requires ≥2 args; one sub-query is just it
+            leaves += (if (contribs.size == 1) contribs.head
+                       else greatest(contribs: _*))
+          }
+          pred
         case "constant_score" =>
           // {"constant_score":{"filter":{...},"boost":N}} — the filter
           // matches or not; a matching row scores exactly `boost` for this
@@ -692,7 +726,7 @@ object QueryCompiler {
             n.asInt
           }.getOrElse(1)
           val inner = node(filterNode, leaves, scoring = false, idCol)
-          if (scoring) leaves += ((inner, boost))
+          if (scoring) leaves += leaf(inner, boost)
           inner
         case "match_phrase_prefix" =>
           // {"match_phrase_prefix":{"f":"quick bro"}} — phrase whose last
@@ -716,7 +750,7 @@ object QueryCompiler {
           require(v.isTextual && v.asText.nonEmpty,
             s"match_phrase_prefix expects a non-empty string, got: $v")
           val c = termMatch(f, escapeTerm(v.asText) + "*")
-          if (scoring) leaves += ((c, boost))
+          if (scoring) leaves += leaf(c, boost)
           c
         case "bool" =>
           val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol))

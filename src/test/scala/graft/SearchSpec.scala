@@ -61,6 +61,27 @@ class SearchSpec extends AnyFunSuite {
     assert(got == Seq("a")) // b's second gap has 3 interlopers > slop 1
   }
 
+  test("dis_max scores the best sub-query, not the sum; guards hold") {
+    val d = Seq(
+      ("1", "spark batch engine"),  // both: max(1, 3) = 3, not 4
+      ("2", "spark only here"),     // spark: 1
+      ("3", "batch only here"),     // batch: 3
+      ("4", "neither word")).toDF("doc_id", "text")
+    val q = """{"query":{"dis_max":{"queries":[
+         {"match":{"text":"spark"}},
+         {"match":{"text":{"query":"batch","boost":3}}}]}}}"""
+    val out = Search.search(d, q, IndexConfig())
+      .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(out == Map("1" -> 3, "2" -> 1, "3" -> 3))
+    // explicit tie_breaker 0 accepted; fractional rejected; empty rejected
+    assert(QueryCompiler.validate(
+      """{"query":{"dis_max":{"queries":[{"match":{"text":"x"}}],"tie_breaker":0}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"dis_max":{"queries":[{"match":{"text":"x"}}],"tie_breaker":0.3}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"dis_max":{"queries":[]}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"dis_max":{}}}""").isLeft)
+  }
+
   test("searchWithTotal carries took and the _shards segment analog (R10)") {
     val out = Search.searchWithTotal(docs,
       "#options:load-rows=false#text:spark", IndexConfig(),

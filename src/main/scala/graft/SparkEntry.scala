@@ -396,6 +396,30 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
         .orderBy(col("user_id"))
     }),
+    "q_postings_build" -> ((s, dir) => {
+      // Inverted-index build: (token, field, doc_id) postings = the maximal
+      // word-run tokenization termMatch's \b anchors see (TextIndex doc)
+      val d = tbl(s, dir, "documents")
+      TextIndex.buildPostings(d, "doc_id", Seq("text", "lang"), nBuckets = 16)
+        .select(col("token"), col("field"), col("doc_id"))
+        .orderBy(col("token"), col("field"), col("doc_id"))
+    }),
+    "q_search_indexed" -> ((s, dir) => {
+      // Index-served search through a WRITTEN postings store (bucket
+      // partition pruning + pushed token filters exercised end-to-end):
+      // candidates from an equality probe and a prefix probe, re-verified by
+      // the exact scan predicate — hash-equal to the scan executor's answer
+      val d = tbl(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_postings").toString
+      TextIndex.writePostings(
+        TextIndex.buildPostings(d, "doc_id", Seq("text", "lang"), 16), path)
+      val store = s.read.option("basePath", path).parquet(path)
+      TextIndex.searchIndexed(d, store, "text:spark OR text:filt*",
+          IndexConfig(), Seq("doc_id"), Set("text", "lang"), 16)
+        .select(col("doc_id"), col("lang"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_index_create" -> ((s, dir) => {
       // M1+M2 physically: write the doc table partitioned by segment, read
       // it back, count per partition — create/roll as partition layout
@@ -1179,6 +1203,27 @@ object SparkEntry {
            COALESCE(b.event_type, a.event_type) AS event_type,
            COALESCE(b.value, a.value) AS value
          FROM a FULL JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    "q_postings_build" ->
+      """WITH toks AS (
+           SELECT DISTINCT u.tok AS token, 'text' AS field, d.doc_id
+           FROM documents d,
+                unnest(regexp_split_to_array(lower(d.text), '[^a-z0-9_]+')) AS u(tok)
+           WHERE u.tok <> ''
+           UNION
+           SELECT DISTINCT u.tok AS token, 'lang' AS field, d.doc_id
+           FROM documents d,
+                unnest(regexp_split_to_array(lower(d.lang), '[^a-z0-9_]+')) AS u(tok)
+           WHERE u.tok <> '')
+         SELECT token, field, doc_id FROM toks
+         ORDER BY token, field, doc_id""",
+    "q_search_indexed" ->
+      """SELECT doc_id, lang,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bfilt[^\s]*') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+            OR regexp_matches(lower(text), '\bfilt[^\s]*')
+         ORDER BY _score DESC, doc_id""",
     "q_index_create" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS segment, count(*) AS doc_count
          FROM orders GROUP BY 1 ORDER BY segment""",

@@ -209,6 +209,10 @@ object QueryCompiler {
     case class Or(l: Node, r: Node) extends Node
     case class Not(n: Node) extends Node
 
+    /** Parsed AST without compilation — [[TextIndex]] walks it to decide
+      * which leaves a postings store can serve (candidate pre-filter). */
+    private[graft] def ast(q: String): Node = parse(q)
+
     def compile(q: String, defaultLimit: Int): CompiledQuery = {
       val ast = parse(q)
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()

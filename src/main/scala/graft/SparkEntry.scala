@@ -420,6 +420,37 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_indexed_dsl" -> ((s, dir) => {
+      // ES-DSL served from the postings store: the bool's covered `must`
+      // match bounds the candidates; must_not and phrase verify on them
+      val d = tbl(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_postings_dsl").toString
+      TextIndex.writePostings(
+        TextIndex.buildPostings(d, "doc_id", Seq("text", "lang"), 16), path)
+      val store = s.read.option("basePath", path).parquet(path)
+      val q = """{"query":{"bool":{
+                   "must":[{"match":{"text":"spark"}}],
+                   "must_not":[{"term":{"lang":"de"}}],
+                   "should":[{"match_phrase":{"text":"query planner"}}]}},
+                 "size":100000}"""
+      TextIndex.searchIndexed(d, store, q, IndexConfig(maxResults = 100000),
+          Seq("doc_id"), Set("text", "lang"), 16)
+        .select(col("doc_id"), col("lang"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_search_bm25_indexed" -> ((s, dir) => {
+      // BM25 served from postings+norms only — the doc store is never read;
+      // same Okapi form as q_search_bm25 over the index's word-run analyzer
+      val d = tbl(s, dir, "documents")
+      val postings = TextIndex.buildPostings(d, "doc_id", Seq("text"), 16)
+      val norms = TextIndex.buildNorms(d, "doc_id", Seq("text"))
+      TextIndex.bm25Indexed(postings, norms, "text", Seq("spark", "query"),
+          nBuckets = 16)
+        .orderBy(desc("_bm25"), col("doc_id")).limit(50)
+        .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    }),
     "q_index_create" -> ((s, dir) => {
       // M1+M2 physically: write the doc table partitioned by segment, read
       // it back, count per partition — create/roll as partition layout
@@ -1224,6 +1255,34 @@ object SparkEntry {
          WHERE regexp_matches(lower(text), '\bspark\b')
             OR regexp_matches(lower(text), '\bfilt[^\s]*')
          ORDER BY _score DESC, doc_id""",
+    "q_search_indexed_dsl" ->
+      """SELECT doc_id, lang,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bquery planner\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+           AND NOT coalesce(lang = 'de', FALSE)
+         ORDER BY doc_id""",
+    "q_search_bm25_indexed" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                    '[^a-z0-9_]+'), x -> x <> '')) AS DOUBLE) AS dl,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bspark\b')) AS DOUBLE) AS tf0,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bquery\b')) AS DOUBLE) AS tf1
+           FROM documents),
+         s AS (
+           SELECT *, CAST(count(*) OVER () AS DOUBLE) AS N, avg(dl) OVER () AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df1
+           FROM d),
+         sc AS (
+           SELECT doc_id,
+             ln(1 + (N - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+             ln(1 + (N - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) AS bm25
+           FROM s WHERE tf0 > 0 OR tf1 > 0)
+         SELECT doc_id, round(bm25, 4) AS bm25 FROM sc
+         ORDER BY bm25 DESC, doc_id LIMIT 50""",
     "q_index_create" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS segment, count(*) AS doc_count
          FROM orders GROUP BY 1 ORDER BY segment""",

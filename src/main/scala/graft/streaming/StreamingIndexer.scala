@@ -30,6 +30,30 @@ object StreamingIndexer {
         sink(Indexer.latestPerKey(batch, keyCol, versionCols), id)
       }
 
+  /** Continuous inverted-index maintenance: like [[upsertStream]], but each
+    * micro-batch ALSO appends its own postings to the text index before the
+    * doc sink runs — the search path stays index-served while mutations
+    * stream in. Appending (never rewriting) per batch is correct because
+    * the index contract is candidates-plus-verification: stale postings for
+    * overwritten docs are false candidates the verifier drops
+    * ([[graft.TextIndex]] class doc); only a MISSING posting could lose a
+    * hit, and the append in the same `foreachBatch` prevents exactly that.
+    * Run [[graft.TextIndex.compactPostings]] on a maintenance cadence for
+    * size, like Lucene's background merges. */
+  def upsertStreamIndexed(mutations: DataFrame, keyCol: String,
+                          versionCols: Seq[String], fields: Seq[String],
+                          postingsPath: String, nBuckets: Int,
+                          sink: (DataFrame, Long) => Unit,
+                          trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    mutations.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val docs = Indexer.latestPerKey(batch, keyCol, versionCols)
+        graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath, nBuckets)
+        sink(docs, id)
+      }
+
   /** W12 streaming: exactly-once ingest with BOUNDED state. The batch twin
     * ([[Indexer.exactlyOnce]]) and a plain streaming `dropDuplicates`
     * remember every (key, mutation id) forever — at 100 TB/day the state

@@ -63,12 +63,19 @@ object TextIndex {
   private[graft] final case class PrefixProbe(field: String, prefix: String) extends Probe
 
   private val WordTerm = "^[a-z0-9_]+$".r
-  private val PrefixTerm = "^([a-z0-9_]+)\\*$".r
 
-  /** Build postings for `fields` of `docs`: `(token, field, doc_id, bucket)`,
-    * distinct. Distinct is a hash aggregate — duplicate tokens within a doc
+  /** Build postings for `fields` of `docs`:
+    * `(token, field, doc_id, tf, bucket)`, one row per distinct
+    * (token, field, doc) with its term frequency — Lucene's postings+freqs.
+    * The aggregate is a hash aggregate: duplicate tokens within a doc
     * combine map-side before the one exchange on the grouping key; nothing
-    * wider than the 3-column posting ever shuffles. */
+    * wider than the 4-column posting ever shuffles.
+    *
+    * `tf` is exact only in a freshly built (or [[compactPostings]]-rebuilt
+    * when nothing changed) store: boolean retrieval tolerates stale appended
+    * rows (see class doc), but frequency-based scoring ([[bm25Indexed]])
+    * reads tf/df at face value — the same contract as Lucene, where deleted
+    * docs pollute collection statistics until segments merge. */
   def buildPostings(docs: DataFrame, idCol: String, fields: Seq[String],
                     nBuckets: Int = 64): DataFrame = {
     require(fields.nonEmpty, "index at least one field")
@@ -77,10 +84,26 @@ object TextIndex {
       docs.select(explode(tokensOf(col(f))).as("token"),
         lit(f).as("field"), col(idCol).as("doc_id"))
     }
-    perField.reduce(_.unionAll(_))
+    perField.reduce(_.union(_))
       .where(col("token") =!= "")
-      .distinct()
+      .groupBy("token", "field", "doc_id")
+      .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+  }
+
+  /** Per-doc field lengths `(doc_id, field, dl)` in the index's analyzer
+    * view (word-run token count; null → 0) — Lucene's norms file. Norms are
+    * O(docs × fields) and join-keyed by doc_id; [[bm25Indexed]] needs them
+    * because a doc's length is not recoverable from a TERM-pruned postings
+    * scan without reading every token of the doc. */
+  def buildNorms(docs: DataFrame, idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "norms need at least one field")
+    val perField = fields.map { f =>
+      docs.select(col(idCol).as("doc_id"), lit(f).as("field"),
+        size(array_remove(tokensOf(coalesce(col(f).cast("string"), lit(""))), ""))
+          .as("dl"))
+    }
+    perField.reduce(_.union(_))
   }
 
   /** Write the postings store: clustered by bucket (one file per partition
@@ -130,33 +153,77 @@ object TextIndex {
   import QueryCompiler.LuceneLite
   import LuceneLite._
 
-  /** A leaf probe if the term is index-answerable (see class doc): a pure
-    * word-char term → equality probe (exact), `prefix*` → startsWith probe
-    * (superset). Values containing escapes, inner wildcards, `?`, phrases
-    * (spaces), or non-word chars are not coverable — their `termMatch`
-    * semantics span token boundaries the postings can't see. */
-  private def leafProbe(t: Term, fields: Set[String]): Option[Probe] =
-    if (!fields.contains(t.field)) None
-    else t.value.toLowerCase match {
-      case WordTerm() => Some(EqProbe(t.field, t.value.toLowerCase))
-      case PrefixTerm(p) => Some(PrefixProbe(t.field, p))
+  /** Probe for one [[QueryCompiler.termMatch]] input — the load-bearing
+    * observation: termMatch matches LITERALLY (after unescaping) up to the
+    * first unescaped wildcard, and every word-char run of that literal
+    * segment appears as a MAXIMAL word run in any matching document (its
+    * in-value neighbors are literal non-word chars; value-edge runs are
+    * bounded by the compiled `\b` anchors). So:
+    *
+    *  - a run terminated inside the literal segment (or at its end when no
+    *    wildcard follows) is a token of every match → equality probe;
+    *  - a run abutting the first wildcard starts a token of every match
+    *    (`\b` + word chars open a maximal run) → startsWith probe;
+    *  - no word run before the first wildcard (`*ark`, `?ark`, `---`) → no
+    *    probe.
+    *
+    * This covers plain terms, quoted phrases, punctuated literals
+    * (`a-b` → probe `a`), and mid-pattern wildcards (`a-filt*` → prefix
+    * probe `filt`) in one rule. Longest candidate wins (selectivity);
+    * equality beats a same-length prefix (it also prunes partitions). */
+  private[graft] def termProbe(field: String, raw: String): Option[Probe] = {
+    val t = raw.toLowerCase
+    val lit = new StringBuilder
+    var i = 0
+    var sawWildcard = false
+    while (i < t.length && !sawWildcard) {
+      t(i) match {
+        case '\\' if i + 1 < t.length => lit += t(i + 1); i += 2
+        case '*' | '?' => sawWildcard = true
+        case c => lit += c; i += 1
+      }
+    }
+    val s = lit.toString
+    val runs = "[a-z0-9_]+".r.findAllMatchIn(s).toSeq
+    val (complete, prefixRun) = runs.partition(m => m.end < s.length || !sawWildcard)
+    val eq = complete.map(_.matched).sortBy(r => (-r.length, r)).headOption
+    val pre = prefixRun.map(_.matched).headOption
+    (eq, pre) match {
+      case (Some(e), Some(p)) =>
+        Some(if (p.length > e.length) PrefixProbe(field, p) else EqProbe(field, e))
+      case (Some(e), None) => Some(EqProbe(field, e))
+      case (None, Some(p)) => Some(PrefixProbe(field, p))
       case _ => None
     }
+  }
 
-  /** Cover of the AST: a probe set whose postings union is a superset of
-    * the query's matches, or None if no such set exists.
+  /** Probe for literal (never-wildcarded) text — proximity phrases and DSL
+    * `term`/`terms` exact values: any word run of the value is a maximal
+    * run of every match (same boundary argument as [[termProbe]], minus the
+    * wildcard case). */
+  private def literalRunProbe(field: String, text: String): Option[Probe] =
+    "[a-z0-9_]+".r.findAllIn(text.toLowerCase).toSeq
+      .sortBy(r => (-r.length, r)).headOption.map(EqProbe(field, _))
+
+  /** Cover of the Lucene-lite AST: a probe set whose postings union is a
+    * superset of the query's matches, or None if no such set exists.
     *
     *  - `AND(l, r)`: matches ⊆ matches(l) and ⊆ matches(r) — either side's
     *    cover suffices; prefer the smaller probe set (fewer postings read).
     *  - `OR(l, r)`: both sides must be covered (union).
-    *  - `NOT` and non-term leaves: no cover (a negation's matches are the
-    *    corpus complement — no postings subset bounds it).
+    *  - `Term` (incl. quoted phrases and wildcards) via [[termProbe]];
+    *    `Proximity` via [[literalRunProbe]] (its tokens are literal).
+    *  - `NOT` and the remaining leaves (fuzzy, regex, ranges, exists): no
+    *    cover — their matches aren't bounded by any token's postings.
     *
     * By induction every doc matching the query carries at least one probed
     * token, so retrieval recall is exactly 1 and re-verification restores
     * precision. */
   private[graft] def cover(n: Node, fields: Set[String]): Option[Set[Probe]] = n match {
-    case t: Term => leafProbe(t, fields).map(Set(_))
+    case t: Term =>
+      if (fields.contains(t.field)) termProbe(t.field, t.value).map(Set(_)) else None
+    case p: Proximity =>
+      if (fields.contains(p.field)) literalRunProbe(p.field, p.phrase).map(Set(_)) else None
     case And(l, r) =>
       (cover(l, fields), cover(r, fields)) match {
         case (Some(a), Some(b)) => Some(if (b.size < a.size) b else a)
@@ -167,24 +234,156 @@ object TextIndex {
     case _ => None
   }
 
-  /** Can this Lucene-lite query be served from the index (vs falling back
-    * to the scan executor)? Malformed queries report false — validation
-    * stays [[QueryCompiler.validate]]'s job. */
-  def coverable(query: String, indexedFields: Set[String]): Boolean = {
-    val q = QueryMeta.parse(query).query.trim
-    !q.startsWith("{") &&
-      (try cover(LuceneLite.ast(q), indexedFields).isDefined
-       catch { case _: Exception => false })
+  // ---- ES-DSL cover ----
+
+  private val dslMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Cover walker over the ES-DSL JSON tree, mirroring [[QueryCompiler]]'s
+    * DslJson semantics operator by operator (conservative: any shape this
+    * walker doesn't recognize → None → scan fallback, so it can lag the
+    * compiler without ever being wrong):
+    *
+    *  - analyzed-text leaves (`match`, `match_phrase`, `prefix`,
+    *    `wildcard`, `match_phrase_prefix`) reduce to the exact termMatch
+    *    input the compiler builds → [[termProbe]];
+    *  - `term`/`terms` (exact value equality, textual values only): the
+    *    matching doc's field IS the value, so the value's word runs are its
+    *    tokens → [[literalRunProbe]] (numeric values fall back — their
+    *    string rendering is cast-dependent);
+    *  - `bool`: any covered `must`/`filter` clause bounds the result; when
+    *    `minimum_should_match` ≥ 1 (explicit, or the should-only default)
+    *    the union of ALL `should` covers does too — smallest option wins;
+    *    `must_not` contributes nothing;
+    *  - `dis_max` (OR of children) and `multi_match` (OR over fields):
+    *    every branch must be covered, union;
+    *  - `constant_score`: its filter's cover; `query_string`: the
+    *    Lucene-lite cover of the sub-query;
+    *  - `match_all`, `ids`, `exists`, `range`, `regexp`, `fuzzy`: None.
+    */
+  private[graft] def coverDsl(n: com.fasterxml.jackson.databind.JsonNode,
+                              fields: Set[String]): Option[Set[Probe]] = {
+    import scala.jdk.CollectionConverters._
+    if (n == null || !n.isObject || n.size != 1) return None
+    val op = n.fieldNames.asScala.next()
+    val body = n.get(op)
+    def firstField: String = body.fieldNames.asScala.next()
+    // the value node in both the short scalar and long object form
+    def valueNode(vRaw: com.fasterxml.jackson.databind.JsonNode, key: String) =
+      if (vRaw != null && vRaw.isObject) Option(vRaw.get(key)) else Option(vRaw)
+    def textValue(key: String): Option[(String, String)] = {
+      val f = firstField
+      valueNode(body.get(f), key).filter(_.isTextual).map(v => (f, v.asText))
+    }
+    def clauseList(key: String): Seq[com.fasterxml.jackson.databind.JsonNode] =
+      Option(body.get(key)).toSeq.flatMap { c =>
+        if (c.isArray) c.elements.asScala.toSeq else Seq(c)
+      }
+    op match {
+      case "match" => textValue("query").flatMap { case (f, v) =>
+        if (fields.contains(f)) termProbe(f, QueryCompiler.escapeTerm(v)).map(Set(_)) else None
+      }
+      case "match_phrase" => textValue("query").flatMap { case (f, v) =>
+        // slop 0 compiles to termMatch(escaped); slop > 0 to proximity —
+        // both are literal text, so the run probe is valid either way
+        if (fields.contains(f)) literalRunProbe(f, v).map(Set[Probe](_)) else None
+      }
+      case "prefix" => textValue("value").flatMap { case (f, v) =>
+        if (fields.contains(f)) termProbe(f, QueryCompiler.escapeTerm(v) + "*").map(Set(_)) else None
+      }
+      case "match_phrase_prefix" => textValue("query").flatMap { case (f, v) =>
+        if (fields.contains(f)) termProbe(f, QueryCompiler.escapeTerm(v) + "*").map(Set(_)) else None
+      }
+      case "wildcard" => textValue("value").flatMap { case (f, v) =>
+        if (fields.contains(f)) termProbe(f, v).map(Set(_)) else None
+      }
+      case "term" => textValue("value").flatMap { case (f, v) =>
+        if (fields.contains(f)) literalRunProbe(f, v).map(Set[Probe](_)) else None
+      }
+      case "terms" =>
+        val f = firstField
+        val vs = body.get(f)
+        if (!fields.contains(f) || vs == null || !vs.isArray || vs.isEmpty) None
+        else {
+          val probes = vs.elements.asScala.toSeq.map { v =>
+            if (v.isTextual) literalRunProbe(f, v.asText) else None
+          }
+          if (probes.forall(_.isDefined)) Some(probes.flatten.toSet[Probe]) else None
+        }
+      case "query_string" =>
+        Option(body.get("query")).filter(_.isTextual).flatMap { q =>
+          try cover(LuceneLite.ast(q.asText), fields)
+          catch { case _: Exception => None }
+        }
+      case "multi_match" =>
+        val qv = Option(body.get("query")).filter(_.isTextual)
+        val fs = Option(body.get("fields")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+        qv.flatMap { q =>
+          val probes = fs.map { fn =>
+            if (!fn.isTextual) None
+            else {
+              val raw = fn.asText
+              val f = raw.lastIndexOf('^') match {
+                case -1 => raw
+                case i => raw.substring(0, i)
+              }
+              if (fields.contains(f)) termProbe(f, QueryCompiler.escapeTerm(q.asText))
+              else None
+            }
+          }
+          if (probes.nonEmpty && probes.forall(_.isDefined))
+            Some(probes.flatten.toSet[Probe])
+          else None
+        }
+      case "constant_score" => coverDsl(body.get("filter"), fields)
+      case "dis_max" =>
+        val qs = Option(body.get("queries")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+        val covers = qs.map(coverDsl(_, fields))
+        if (covers.nonEmpty && covers.forall(_.isDefined))
+          Some(covers.flatten.flatten.toSet)
+        else None
+      case "bool" =>
+        val positive = clauseList("must") ++ clauseList("filter")
+        val should = clauseList("should")
+        val msm = Option(body.get("minimum_should_match"))
+          .filter(_.isIntegralNumber).map(_.asInt)
+          .getOrElse(if (positive.nonEmpty) 0 else 1)
+        val posCovers = positive.flatMap(coverDsl(_, fields))
+        val shouldCover =
+          if (should.nonEmpty && msm >= 1) {
+            val cs = should.map(coverDsl(_, fields))
+            if (cs.forall(_.isDefined)) Some(cs.flatten.flatten.toSet) else None
+          } else None
+        (posCovers ++ shouldCover).sortBy(_.size).headOption
+      case _ => None
+    }
   }
 
-  /** Candidate doc ids for a probe set, as a pushed-down postings scan:
-    * equality probes pin their `bucket` partition values (directory-level
-    * pruning — a term query reads ~1/N of the store) and their `token`
-    * values (row-group skips within the directory); prefix probes push a
-    * `StartsWith` range over all buckets (the token hash is unknowable from
-    * a prefix — still a stats-pruned scan, never a regex). */
-  private[graft] def candidateIds(postings: DataFrame, probes: Set[Probe],
-                                  nBuckets: Int): DataFrame = {
+  /** Probe set for either query syntax, or None (→ scan fallback). */
+  private[graft] def coverQuery(query: String,
+                                indexedFields: Set[String]): Option[Set[Probe]] = {
+    val q = QueryMeta.parse(query).query.trim
+    try {
+      if (q.startsWith("{")) coverDsl(dslMapper.readTree(q).get("query"), indexedFields)
+      else cover(LuceneLite.ast(q), indexedFields)
+    } catch { case _: Exception => None }
+  }
+
+  /** Can this query (Lucene-lite or ES-DSL) be served from the index (vs
+    * falling back to the scan executor)? Malformed queries report false —
+    * validation stays [[QueryCompiler.validate]]'s job. */
+  def coverable(query: String, indexedFields: Set[String]): Boolean =
+    coverQuery(query, indexedFields).isDefined
+
+  /** Pruned postings scan for a probe set: equality probes pin their
+    * `bucket` partition values (directory-level pruning — a term query
+    * reads ~1/N of the store) and their `token` values (row-group skips
+    * within the directory); prefix probes push a `StartsWith` range over
+    * all buckets (the token hash is unknowable from a prefix — still a
+    * stats-pruned scan, never a regex). */
+  private[graft] def postingsFor(postings: DataFrame, probes: Set[Probe],
+                                 nBuckets: Int): DataFrame = {
     val spark = postings.sparkSession
     import spark.implicits._
     val eqs = probes.collect { case EqProbe(f, t) => (f, t) }.toSeq.sorted
@@ -204,8 +403,56 @@ object TextIndex {
       Some(prefixes.map { case (f, p) =>
         col("field") === f && col("token").startsWith(p)
       }.reduce(_ || _))
-    val pred = (eqPred ++ prePred).reduce(_ || _)
-    postings.where(pred).select("doc_id")
+    postings.where((eqPred ++ prePred).reduce(_ || _))
+  }
+
+  /** Candidate doc ids for a probe set (see [[postingsFor]]). */
+  private[graft] def candidateIds(postings: DataFrame, probes: Set[Probe],
+                                  nBuckets: Int): DataFrame =
+    postingsFor(postings, probes, nBuckets).select("doc_id")
+
+  /** BM25 ranking served ENTIRELY from the index — the doc store is never
+    * read. Reads: one term-pruned postings scan (tf and df for the queried
+    * terms) and the norms table (dl, plus one broadcast stats row for N and
+    * avgdl). At 100 TB this touches data proportional to the matching docs
+    * plus one narrow norms pass — vs [[Search.bm25]]'s two full corpus
+    * scans.
+    *
+    * Declared semantics: Okapi BM25 with
+    * `idf = ln(1 + (N − df + 0.5)/(df + 0.5))`, identical to
+    * [[Search.bm25]], over this index's ANALYZER view — tf/dl count maximal
+    * word runs, not whitespace splits, so scores differ from the scan
+    * executor's exactly where a doc contains hyphenated/punctuated tokens
+    * (the two agree on clean single-space text, proven in TextIndexSpec).
+    * Returns only docs matching ≥1 term (score > 0); requires a freshly
+    * built store (see [[buildPostings]] on appended-store statistics) and
+    * word-token terms (anything else cannot be an index probe). */
+  def bm25Indexed(postings: DataFrame, norms: DataFrame, field: String,
+                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                  nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val uniq = terms.map(_.toLowerCase).distinct
+    uniq.foreach(t => require(WordTerm.matches(t),
+      s"bm25Indexed terms must be word tokens (index probes): '$t'"))
+    val probes: Set[Probe] = uniq.map(EqProbe(field, _)).toSet
+    val rows = postingsFor(postings, probes, nBuckets)
+      .select(col("token"), col("doc_id"), col("tf").cast("double").as("tf"))
+    val fieldNorms = norms.where(col("field") === field)
+      .select(col("doc_id"), col("dl").cast("double").as("dl"))
+    val stats = fieldNorms.agg(count(lit(1)).cast("double").as("N"),
+      avg(col("dl")).as("avgdl"))
+    // df per queried term: postings rows are unique per (token, doc) in a
+    // fresh store, so a plain count is the document frequency
+    val dfs = rows.groupBy("token").agg(count(lit(1)).as("df"))
+    rows
+      .join(broadcast(dfs), "token")
+      .join(fieldNorms, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("_contrib",
+        log(lit(1.0) + (col("N") - col("df") + 0.5) / (col("df") + 0.5)) *
+          col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("_contrib")).as("_bm25"))
   }
 
   /** Restrict `docs` to index candidates for `query` — the pre-filter the
@@ -217,12 +464,7 @@ object TextIndex {
   def prefilter(docs: DataFrame, postings: DataFrame, query: String,
                 idCol: String = "doc_id", indexedFields: Set[String],
                 nBuckets: Int = 64): DataFrame = {
-    val q = QueryMeta.parse(query).query.trim
-    val probes =
-      if (q.startsWith("{")) None
-      else try cover(LuceneLite.ast(q), indexedFields)
-           catch { case _: Exception => None }
-    probes match {
+    coverQuery(query, indexedFields) match {
       case Some(ps) =>
         val cands = candidateIds(postings, ps, nBuckets)
           .withColumnRenamed("doc_id", "_cand_id")

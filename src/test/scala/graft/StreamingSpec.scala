@@ -39,6 +39,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq(("k1", "b"), ("k2", "y")))
   }
 
+  test("streaming index maintenance: postings appended per micro-batch serve search") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val mutations = input.toDF().toDF("doc_id", "ver", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-postings").toString
+    // seed store so the first append lands on an existing layout
+    TextIndex.writePostings(TextIndex.buildPostings(
+      Seq(("seed", 0L, "initial corpus doc")).toDF("doc_id", "ver", "text"),
+      "doc_id", Seq("text"), 8), dir)
+
+    var state: DataFrame = Seq(("seed", 0L, "initial corpus doc"))
+      .toDF("doc_id", "ver", "text")
+    val q = StreamingIndexer.upsertStreamIndexed(mutations, "doc_id", Seq("ver"),
+      fields = Seq("text"), postingsPath = dir, nBuckets = 8,
+      sink = (batch, _) => {
+        val rows = batch.collect().toIndexedSeq
+        val mat = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), batch.schema)
+        state = Indexer.upsert(state, mat, "doc_id", Seq("ver"))
+      })
+      .start()
+    try {
+      input.addData(("k1", 1L, "spark runs fast"), ("k2", 1L, "unrelated words"))
+      q.processAllAvailable()
+      // k2 rewritten: loses 'unrelated', gains 'spark'
+      input.addData(("k2", 2L, "now about spark too"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val store = spark.read.option("basePath", dir).parquet(dir)
+    val hits = TextIndex.searchIndexed(state, store, "text:spark",
+      IndexConfig(), Seq("doc_id"), Set("text"), 8)
+    assert(hits.select("doc_id").as[String].collect().toSet == Set("k1", "k2"))
+    // the stale 'unrelated' posting for k2 must not resurface the old doc
+    val gone = TextIndex.searchIndexed(state, store, "text:unrelated",
+      IndexConfig(), Seq("doc_id"), Set("text"), 8)
+    assert(gone.count() == 0)
+  }
+
   test("windowed counts emit closed windows through a real stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -43,15 +43,50 @@ class TextIndexSpec extends AnyFunSuite {
     // AND with one uncoverable side is still served by the other side
     assert(TextIndex.coverable("text:spark AND text:fuzz~1", fields))
     assert(TextIndex.coverable("text:(spark OR batch)^2 AND -lang:de", fields))
+    // literal word-run probes: phrases, punctuated terms, mid-pattern
+    // wildcards, proximity
+    assert(TextIndex.coverable("text:\"batch fast\"", fields))
+    assert(TextIndex.coverable("text:sp?rk", fields))  // prefix probe 'sp'
+    assert(TextIndex.coverable("text:a\\-b", fields))  // eq probe on a run
+    assert(TextIndex.coverable("text:\"batch fast\"~2", fields))
     // OR with an uncoverable branch cannot bound the result
     assert(!TextIndex.coverable("text:spark OR text:fuzz~1", fields))
     assert(!TextIndex.coverable("NOT text:spark", fields))
     assert(!TextIndex.coverable("text:/sp.rk/", fields))
-    assert(!TextIndex.coverable("text:\"batch fast\"", fields))   // phrase
-    assert(!TextIndex.coverable("text:sp?rk", fields))            // inner wildcard
-    assert(!TextIndex.coverable("title:spark", fields))           // unindexed field
-    assert(!TextIndex.coverable("""{"query":{"term":{"text":"spark"}}}""", fields))
-    assert(!TextIndex.coverable("text:(a OR", fields))            // malformed → false
+    assert(!TextIndex.coverable("text:*ark", fields))  // no run before wildcard
+    assert(!TextIndex.coverable("title:spark", fields)) // unindexed field
+    assert(!TextIndex.coverable("text:(a OR", fields)) // malformed → false
+  }
+
+  test("cover: ES-DSL operators") {
+    def c(q: String) = TextIndex.coverable(q, fields)
+    assert(c("""{"query":{"term":{"text":"spark"}}}"""))
+    assert(c("""{"query":{"match":{"text":"spark"}}}"""))
+    assert(c("""{"query":{"match_phrase":{"text":{"query":"batch fast","slop":1}}}}"""))
+    assert(c("""{"query":{"prefix":{"text":"filt"}}}"""))
+    assert(c("""{"query":{"wildcard":{"text":"filt*"}}}"""))
+    assert(c("""{"query":{"match_phrase_prefix":{"text":"quick bro"}}}"""))
+    assert(c("""{"query":{"terms":{"lang":["en","de"]}}}"""))
+    assert(c("""{"query":{"bool":{"must":[{"match":{"text":"spark"}},{"range":{"n_chars":{"gte":10}}}]}}}"""))
+    assert(c("""{"query":{"bool":{"should":[{"match":{"text":"spark"}},{"match":{"text":"batch"}}]}}}"""))
+    assert(c("""{"query":{"dis_max":{"queries":[{"match":{"text":"spark"}},{"term":{"lang":"de"}}]}}}"""))
+    assert(c("""{"query":{"constant_score":{"filter":{"match":{"text":"spark"}},"boost":3}}}"""))
+    assert(c("""{"query":{"query_string":{"query":"text:spark AND lang:en"}}}"""))
+    assert(c("""{"query":{"multi_match":{"query":"spark","fields":["text","source^2"]}}}"""))
+    // not coverable: unbounded or non-token leaves
+    assert(!c("""{"query":{"match_all":{}}}"""))
+    assert(!c("""{"query":{"range":{"n_chars":{"gte":10}}}}"""))
+    assert(!c("""{"query":{"exists":{"field":"text"}}}"""))
+    assert(!c("""{"query":{"regexp":{"text":"sp.rk"}}}"""))
+    assert(!c("""{"query":{"fuzzy":{"text":"spark"}}}"""))
+    assert(!c("""{"query":{"ids":{"values":["1"]}}}"""))
+    assert(!c("""{"query":{"term":{"n_chars":42}}}"""))  // numeric term
+    // bool: scoring-only should (must present, msm default 0) can't bound;
+    // a covered must clause can
+    assert(!c("""{"query":{"bool":{"must":[{"range":{"n_chars":{"gte":1}}}],"should":[{"match":{"text":"spark"}}]}}}"""))
+    assert(c("""{"query":{"bool":{"must":[{"match":{"text":"spark"}}],"must_not":[{"match":{"text":"batch"}}]}}}"""))
+    // should with explicit msm>=1 bounds even with uncovered must
+    assert(c("""{"query":{"bool":{"must":[{"range":{"n_chars":{"gte":1}}}],"should":[{"match":{"text":"spark"}}],"minimum_should_match":1}}}"""))
   }
 
   private val parity = Seq(
@@ -61,9 +96,19 @@ class TextIndexSpec extends AnyFunSuite {
     "text:spark AND text:stream*",
     "source:src1 AND (text:batch OR text:state)",
     "#options:load-rows=false#text:batch",
+    // literal-run covers: phrase, punctuated term, proximity, '?' wildcard
+    "text:\"batch fast\"",
+    "text:sp?rk",
+    "text:\"filtering nicht\"~1",
+    // ES-DSL shapes served from the index
+    """{"query":{"bool":{"must":[{"match":{"text":"batch"}}],"must_not":[{"term":{"lang":"de"}}]}}}""",
+    """{"query":{"dis_max":{"queries":[{"match":{"text":"spark"}},{"term":{"lang":"de"}}]}}}""",
+    """{"query":{"terms":{"source":["src1","src3"]}}}""",
+    """{"query":{"multi_match":{"query":"spark","fields":["text","source"]}}}""",
     // uncoverable → transparent scan fallback, still identical
     "NOT text:spark",
-    "text:batc~1"
+    "text:batc~1",
+    """{"query":{"range":{"doc_id":{"gte":1,"lt":4}}}}"""
   )
 
   test("searchIndexed ≡ Search.search on every query shape") {
@@ -99,6 +144,57 @@ class TextIndexSpec extends AnyFunSuite {
       Set(TextIndex.PrefixProbe("text", "filt")), 16)
     assert(pre.queryExecution.executedPlan.toString.contains("StringStartsWith(token,filt)"))
     assert(pre.as[Long].collect().toSet == Set(2L, 3L))
+  }
+
+  test("postings carry exact term frequencies; norms count word-run tokens") {
+    val d = Seq((1L, "spark spark-fast spark. batch"), (2L, ""), (3L, null))
+      .toDF("doc_id", "text")
+    val p = TextIndex.buildPostings(d, "doc_id", Seq("text"), 8)
+    val tf = p.where($"doc_id" === 1L).select("token", "tf").as[(String, Int)]
+      .collect().toMap
+    // "spark spark-fast spark. batch" → runs: spark, spark, fast, spark, batch
+    assert(tf == Map("spark" -> 3, "fast" -> 1, "batch" -> 1))
+    val norms = TextIndex.buildNorms(d, "doc_id", Seq("text"))
+    val dl = norms.select("doc_id", "dl").as[(Long, Int)].collect().toMap
+    assert(dl == Map(1L -> 5, 2L -> 0, 3L -> 0)) // empty and null → 0, present
+  }
+
+  test("bm25Indexed == Search.bm25 on clean single-space text") {
+    // whitespace tokens == word runs here, so the two analyzer views agree
+    val d = Seq(
+      (1L, "spark makes batch fast"),
+      (2L, "batch jobs move data"),
+      (3L, "spark spark spark"),
+      (4L, "nothing to see")
+    ).toDF("doc_id", "text")
+    val scan = Search.bm25(d, "text", Seq("spark", "batch"))
+      .where($"_bm25" > 0)
+      .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idx = TextIndex.bm25Indexed(
+        TextIndex.buildPostings(d, "doc_id", Seq("text"), 8),
+        TextIndex.buildNorms(d, "doc_id", Seq("text")), "text",
+        Seq("spark", "batch"), nBuckets = 8)
+      .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(idx == scan)
+    // ranking sanity: single-term query — tf-heavy doc 3 outranks doc 1
+    val one = TextIndex.bm25Indexed(
+        TextIndex.buildPostings(d, "doc_id", Seq("text"), 8),
+        TextIndex.buildNorms(d, "doc_id", Seq("text")), "text",
+        Seq("spark"), nBuckets = 8)
+      .select($"doc_id", $"_bm25").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one(3L) > one(1L))
+  }
+
+  test("bm25Indexed rejects non-probe terms") {
+    val d = Seq((1L, "x")).toDF("doc_id", "text")
+    val p = TextIndex.buildPostings(d, "doc_id", Seq("text"), 8)
+    val n = TextIndex.buildNorms(d, "doc_id", Seq("text"))
+    intercept[IllegalArgumentException] {
+      TextIndex.bm25Indexed(p, n, "text", Seq("sp*rk"), nBuckets = 8)
+    }
   }
 
   test("append-only maintenance: new batch searchable; stale postings harmless") {

@@ -439,6 +439,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_pure_index" -> ((s, dir) => {
+      // Lucene execution model: the query (all-exact leaves) is answered
+      // from postings flags alone — PK-only, so the doc store is never
+      // read after the index build
+      val d = tbl(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_postings_pure").toString
+      TextIndex.writePostings(
+        TextIndex.buildPostings(d, "doc_id", Seq("text", "lang"), 16), path)
+      val store = s.read.option("basePath", path).parquet(path)
+      TextIndex.searchIndexed(d, store,
+          "#options:load-rows=false#text:dup AND lang:de",
+          IndexConfig(), Seq("doc_id"), Set("text", "lang"), 16, pureIndex = true)
+        .orderBy(col("doc_id"))
+    }),
     "q_search_bm25_indexed" -> ((s, dir) => {
       // BM25 served from postings+norms only — the doc store is never read;
       // same Okapi form as q_search_bm25 over the index's word-run analyzer
@@ -1262,6 +1277,13 @@ object SparkEntry {
          FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b')
            AND NOT coalesce(lang = 'de', FALSE)
+         ORDER BY doc_id""",
+    "q_search_pure_index" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bdup\b') THEN 1 ELSE 0 END +
+            CASE WHEN lower(lang) = 'de' THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bdup\b') AND lower(lang) = 'de'
          ORDER BY doc_id""",
     "q_search_bm25_indexed" ->
       """WITH d AS (

@@ -63,6 +63,7 @@ object TextIndex {
   private[graft] final case class PrefixProbe(field: String, prefix: String) extends Probe
 
   private val WordTerm = "^[a-z0-9_]+$".r
+  private val StarPrefixTerm = "^([a-z0-9_]+)\\*$".r
 
   /** Build postings for `fields` of `docs`:
     * `(token, field, doc_id, tf, bucket)`, one row per distinct
@@ -382,19 +383,23 @@ object TextIndex {
     * within the directory); prefix probes push a `StartsWith` range over
     * all buckets (the token hash is unknowable from a prefix — still a
     * stats-pruned scan, never a regex). */
+  /** Driver-side twin of the write path's `pmod(xxhash64(token), n)` —
+    * the same catalyst hash (seed 42) Spark's `xxhash64` evaluates, so no
+    * Spark job is needed to turn a probe token into its partition literal
+    * (TextIndexSpec pins the two against each other to catch drift). */
+  private[graft] def bucketOf(token: String, nBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(token),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
   private[graft] def postingsFor(postings: DataFrame, probes: Set[Probe],
                                  nBuckets: Int): DataFrame = {
-    val spark = postings.sparkSession
-    import spark.implicits._
     val eqs = probes.collect { case EqProbe(f, t) => (f, t) }.toSeq.sorted
     val prefixes = probes.collect { case PrefixProbe(f, p) => (f, p) }.toSeq.sorted
-    // bucket literals via the same Spark expression as the write path — a
-    // driver-side reimplementation of xxhash64 could drift; probe counts are
-    // query-sized, so this local job is O(#terms)
     val eqPred = if (eqs.isEmpty) None else {
-      val buckets = eqs.toDF("field", "token")
-        .select(pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
-        .distinct().as[Int].collect().toSeq
+      val buckets = eqs.map { case (_, t) => bucketOf(t, nBuckets) }.distinct
       Some(col("bucket").isin(buckets: _*) &&
         eqs.map { case (f, t) => col("field") === f && col("token") === t }
           .reduce(_ || _))
@@ -473,14 +478,117 @@ object TextIndex {
     }
   }
 
-  /** Index-served search: identical results to `Search.search(docs, …)` by
-    * construction (candidates are a proven superset; the scan executor
-    * re-applies the exact compiled predicate, score, order, and cap on
-    * them). */
+  /** Index-served search. Default (`pureIndex = false`): identical results
+    * to `Search.search(docs, …)` by construction — candidates are a proven
+    * superset and the scan executor re-applies the exact compiled
+    * predicate, score, order, and cap on them; stale postings are
+    * harmless.
+    *
+    * `pureIndex = true` additionally enables the Lucene execution model for
+    * queries whose EVERY leaf is exactly decidable from postings membership
+    * (word terms: `\btok\b` ⟺ token present; trailing-`*` word prefixes:
+    * ⟺ a token startsWith): the boolean structure and the score evaluate
+    * over per-leaf postings flags, top-k is taken on the index side, and
+    * the doc store is touched only to load the returned rows (not at all
+    * for `load-rows=false`). This trusts the index as the source of truth
+    * for matching — correct for freshly built or append-only-new-docs
+    * stores; after in-place overwrites the stale tokens of old versions
+    * still match (the same visibility contract as an unmerged Lucene
+    * index), so keep the default for stores maintained by blind appends.
+    * Queries with any non-exact leaf fall back to verified mode
+    * transparently. */
   def searchIndexed(docs: DataFrame, postings: DataFrame, query: String,
                     cfg: IndexConfig, pkCols: Seq[String] = Seq("doc_id"),
-                    indexedFields: Set[String], nBuckets: Int = 64): DataFrame =
-    Search.search(
-      prefilter(docs, postings, query, pkCols.head, indexedFields, nBuckets),
-      query, cfg, pkCols)
+                    indexedFields: Set[String], nBuckets: Int = 64,
+                    pureIndex: Boolean = false): DataFrame = {
+    val meta = QueryMeta.parse(query)
+    val q = meta.query.trim
+    val exact =
+      if (!pureIndex || q.startsWith("{") || pkCols.size != 1) None
+      else try {
+        val ast = LuceneLite.ast(q)
+        if (cover(ast, indexedFields).isDefined) exactLeavesOf(ast, indexedFields)
+          .map(ls => (ast, ls))
+        else None
+      } catch { case _: Exception => None }
+    exact match {
+      case Some((ast, leaves)) =>
+        runPureIndex(docs, postings, ast, leaves, meta, cfg, pkCols.head, nBuckets)
+      case None =>
+        Search.search(
+          prefilter(docs, postings, query, pkCols.head, indexedFields, nBuckets),
+          query, cfg, pkCols)
+    }
+  }
+
+  /** Leaves of the AST in traversal order, IF every leaf is exactly
+    * postings-decidable: a word term (Eq probe ⟺ match) or a trailing-`*`
+    * word prefix (StartsWith probe ⟺ match). Any other leaf → None. */
+  private def exactLeavesOf(n: Node, fields: Set[String]): Option[Seq[Probe]] = n match {
+    case t: Term if fields.contains(t.field) =>
+      t.value.toLowerCase match {
+        case WordTerm() => Some(Seq(EqProbe(t.field, t.value.toLowerCase)))
+        case StarPrefixTerm(p) => Some(Seq(PrefixProbe(t.field, p)))
+        case _ => None
+      }
+    case And(l, r) =>
+      for { a <- exactLeavesOf(l, fields); b <- exactLeavesOf(r, fields) } yield a ++ b
+    case Or(l, r) =>
+      for { a <- exactLeavesOf(l, fields); b <- exactLeavesOf(r, fields) } yield a ++ b
+    case Not(x) => exactLeavesOf(x, fields)
+    case _ => None
+  }
+
+  /** Pure-index execution: one tagged, pruned postings scan per leaf; a
+    * hash-aggregated per-doc flag row; the compiled boolean/score evaluated
+    * over flags (flags are never null, and a missing posting reproduces
+    * termMatch-on-null = no-match and NOT-on-null = match); index-side
+    * top-k; docs joined back (broadcast — the hit list is capped) only when
+    * rows or `_source` are requested. */
+  private def runPureIndex(docs: DataFrame, postings: DataFrame, ast: Node,
+                           leaves: Seq[Probe], meta: QueryMeta, cfg: IndexConfig,
+                           idCol: String, nBuckets: Int): DataFrame = {
+    val scans = leaves.zipWithIndex.map { case (p, i) =>
+      postingsFor(postings, Set(p), nBuckets)
+        .select(col("doc_id"), lit(i).as("_leaf"))
+    }
+    val flagCols = leaves.indices.map(i =>
+      max(when(col("_leaf") === i, 1).otherwise(0)).as(s"_f$i"))
+    val flags = scans.reduce(_.union(_))
+      .groupBy("doc_id").agg(flagCols.head, flagCols.tail: _*)
+    // rebuild predicate + score over flags, mirroring LuceneLite.compile's
+    // traversal (leaf order identical to exactLeavesOf)
+    var k = -1
+    val scoreLeaves = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+    def toCol(n: Node, pos: Boolean): org.apache.spark.sql.Column = n match {
+      case t: Term =>
+        k += 1
+        val f = col(s"_f$k") === 1
+        if (pos) scoreLeaves += when(f, t.boost).otherwise(0)
+        f
+      case And(l, r) => toCol(l, pos) && toCol(r, pos)
+      case Or(l, r)  => toCol(l, pos) || toCol(r, pos)
+      case Not(x)    => !toCol(x, pos = false)
+      case other => throw new IllegalStateException(s"non-exact leaf: $other")
+    }
+    val pred = toCol(ast, pos = true)
+    val score = if (scoreLeaves.isEmpty) lit(0) else scoreLeaves.reduce(_ + _)
+    val limit = cfg.maxResults
+    val hits = flags.where(pred).withColumn("_score", score)
+      .select(col("doc_id").as(idCol), col("_score"))
+      .orderBy(desc("_score"), col(idCol))
+      .limit(limit)
+    if (!meta.loadRows && !meta.loadSource) hits
+    else {
+      val loaded = docs.join(broadcast(hits), Seq(idCol), "inner")
+      val cols = docs.columns.map(col).toSeq :+ col("_score")
+      val withSrc =
+        if (!meta.loadSource) loaded.select(cols: _*)
+        else loaded.select(cols: _*).withColumn("_source",
+          to_json(struct(docs.columns.toSeq.map(col): _*),
+            Map("ignoreNullFields" -> "false")))
+      if (meta.loadRows) withSrc
+      else withSrc.select(col(idCol), col("_score"), col("_source"))
+    }
+  }
 }

@@ -111,17 +111,45 @@ class TextIndexSpec extends AnyFunSuite {
     """{"query":{"range":{"doc_id":{"gte":1,"lt":4}}}}"""
   )
 
-  test("searchIndexed ≡ Search.search on every query shape") {
+  test("searchIndexed ≡ Search.search on every query shape (verified and pure-index)") {
     val postings = TextIndex.buildPostings(docs, "doc_id", fields.toSeq, 8)
-    for (q <- parity) {
+    for (q <- parity; pure <- Seq(false, true)) {
       val scan = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
       val indexed = TextIndex.searchIndexed(docs, postings, q, IndexConfig(),
-        Seq("doc_id"), fields, 8)
-      assert(indexed.columns.toSeq == scan.columns.toSeq, s"columns for: $q")
+        Seq("doc_id"), fields, 8, pureIndex = pure)
+      assert(indexed.columns.toSeq == scan.columns.toSeq, s"columns for: $q (pure=$pure)")
       val a = scan.collect().map(_.toSeq).toSet
       val b = indexed.collect().map(_.toSeq).toSet
-      assert(a == b, s"result mismatch for: $q")
+      assert(a == b, s"result mismatch for: $q (pure=$pure)")
     }
+  }
+
+  test("pure-index path: flags evaluate NOT/null-field and load-source correctly") {
+    val postings = TextIndex.buildPostings(docs, "doc_id", fields.toSeq, 8)
+    // doc 6 has null text: NOT text:spark must match it (null-safe negation)
+    val q = "source:src1 AND NOT text:spark"
+    val scan = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    val pure = TextIndex.searchIndexed(docs, postings, q, IndexConfig(),
+        Seq("doc_id"), fields, 8, pureIndex = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pure == scan && pure.contains(6L))
+    // load-source parity through the pure path
+    val qs = "#options:load-rows=false,load-source=true#text:batch"
+    val a = Search.search(docs, qs, IndexConfig(), Seq("doc_id"))
+      .collect().map(_.toSeq).toSet
+    val b = TextIndex.searchIndexed(docs, postings, qs, IndexConfig(),
+      Seq("doc_id"), fields, 8, pureIndex = true).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("driver-side bucketOf matches the Spark write-path expression") {
+    val toks = Seq("spark", "batch", "a", "zz_9", "longtokenvalue", "0")
+    val sparkSide = toks.toDF("token")
+      .select($"token", pmod(xxhash64($"token"), lit(64)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for (t <- toks)
+      assert(TextIndex.bucketOf(t, 64) == sparkSide(t), s"bucket drift for '$t'")
   }
 
   test("written store: equality probe prunes partitions and pushes the token filter") {

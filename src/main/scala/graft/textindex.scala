@@ -77,17 +77,27 @@ object TextIndex {
     * rows (see class doc), but frequency-based scoring ([[bm25Indexed]])
     * reads tf/df at face value — the same contract as Lucene, where deleted
     * docs pollute collection statistics until segments merge. */
+  /** `segmentCol`: carry the doc's time segment into its postings, so the
+    * index is partitioned `segment=…/bucket=…` and follows the store's
+    * lifecycle — [[Maintain.dropSegmentDirs]] on the postings path expires
+    * the index with the data (M5/M8 for the index, a directory op). For
+    * segment-rolled immutable data — the reference's deployment shape —
+    * this also closes the pure-index staleness window: expired docs'
+    * postings leave with their segment. */
   def buildPostings(docs: DataFrame, idCol: String, fields: Seq[String],
-                    nBuckets: Int = 64): DataFrame = {
+                    nBuckets: Int = 64,
+                    segmentCol: Option[String] = None): DataFrame = {
     require(fields.nonEmpty, "index at least one field")
     require(nBuckets > 0, "nBuckets must be positive")
+    val segSel = segmentCol.map(col).toSeq
+    val segNames = segmentCol.toSeq
     val perField = fields.map { f =>
-      docs.select(explode(tokensOf(col(f))).as("token"),
-        lit(f).as("field"), col(idCol).as("doc_id"))
+      docs.select((Seq(explode(tokensOf(col(f))).as("token"),
+        lit(f).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
     }
     perField.reduce(_.union(_))
       .where(col("token") =!= "")
-      .groupBy("token", "field", "doc_id")
+      .groupBy((Seq("token", "field", "doc_id") ++ segNames).map(col): _*)
       .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
   }
@@ -111,20 +121,28 @@ object TextIndex {
     * dir, not tasks×buckets), sorted by `(token, field)` within files so
     * parquet min/max stats make the pushed token filter skip most
     * row groups. */
-  def writePostings(postings: DataFrame, path: String): Unit =
-    postings.repartition(col("bucket"))
+  def writePostings(postings: DataFrame, path: String,
+                    segmentCol: Option[String] = None): Unit = {
+    // segment (when present) leads the partition path so lifecycle ops stay
+    // top-level directory ops; bucket pruning filters across segment dirs
+    val parts = segmentCol.toSeq :+ "bucket"
+    postings.repartition(parts.map(col): _*)
       .sortWithinPartitions("token", "field")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+  }
 
   /** Append-only incremental maintenance: index an upsert batch's postings
     * into an existing store (see class doc for why append alone preserves
-    * correctness). `nBuckets` must match the store's. */
+    * correctness). `nBuckets` and `segmentCol` must match the store's. */
   def appendPostings(newDocs: DataFrame, idCol: String, fields: Seq[String],
-                     path: String, nBuckets: Int = 64): Unit =
-    buildPostings(newDocs, idCol, fields, nBuckets)
-      .repartition(col("bucket"))
+                     path: String, nBuckets: Int = 64,
+                     segmentCol: Option[String] = None): Unit = {
+    val parts = segmentCol.toSeq :+ "bucket"
+    buildPostings(newDocs, idCol, fields, nBuckets, segmentCol)
+      .repartition(parts.map(col): _*)
       .sortWithinPartitions("token", "field")
-      .write.mode("append").partitionBy("bucket").parquet(path)
+      .write.mode("append").partitionBy(parts: _*).parquet(path)
+  }
 
   /** Optional size reclaim after many appends: global dedup + rewrite,
     * atomic per the same staging-dir pattern as

@@ -148,6 +148,46 @@ class PropertySpec extends AnyFunSuite {
     assert(re.where(col("redacted") =!= col("text")).count() == 0)
   }
 
+  test("property: index-served search ≡ scan search on random corpora and queries") {
+    // random docs over a small vocabulary (high collision rate stresses the
+    // cover), with punctuation, nulls, and case; random queries from the
+    // full grammar incl. uncoverable leaves (exercising the fallback)
+    val vocab = Vector("spark", "batch", "fast", "a-b", "Dup", "x9_y", "slow.end", "mixer")
+    val textGen = Gen.frequency(
+      (9, Gen.listOfN(6, Gen.oneOf(vocab)).map(_.mkString(" "))),
+      (1, Gen.const(null: String)))
+    val langGen = Gen.oneOf("en", "de", "fr")
+    val queryGen: Gen[String] = {
+      val leaf = Gen.oneOf(
+        Gen.oneOf(vocab.map(v => s"text:${v.toLowerCase.replace("-", "\\-").replace(".", "\\.")}")),
+        Gen.const("text:sp*"), Gen.const("text:du?"), Gen.const("text:\"spark batch\""),
+        Gen.const("lang:de"), Gen.const("text:mix~1"), Gen.const("text:/sl.w/"),
+        Gen.const("text:\"fast spark\"~2"))
+      def tree(depth: Int): Gen[String] =
+        if (depth == 0) leaf
+        else Gen.frequency(
+          (3, leaf),
+          (2, for { l <- tree(depth - 1); r <- tree(depth - 1) } yield s"($l AND $r)"),
+          (2, for { l <- tree(depth - 1); r <- tree(depth - 1) } yield s"($l OR $r)"),
+          (1, tree(depth - 1).map(q => s"NOT $q")))
+      tree(2)
+    }
+    val docs = Iterator.continually(Gen.zip(textGen, langGen).sample).flatten
+      .take(60).zipWithIndex
+      .map { case ((t, l), i) => (i.toLong, t, l) }.toSeq
+      .toDF("doc_id", "text", "lang")
+    val postings = TextIndex.buildPostings(docs, "doc_id", Seq("text", "lang"), 8)
+    val queries = Iterator.continually(queryGen.sample).flatten.take(40).toSeq
+    for (q <- queries; pure <- Seq(false, true)) {
+      val scan = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+        .collect().map(_.toSeq).toSet
+      val idx = TextIndex.searchIndexed(docs, postings, q, IndexConfig(),
+          Seq("doc_id"), Set("text", "lang"), 8, pureIndex = pure)
+        .collect().map(_.toSeq).toSet
+      assert(idx == scan, s"index/scan divergence (pure=$pure) for: $q")
+    }
+  }
+
   test("property: packing shard ids are non-decreasing in id order within a group") {
     val tokGen = Gen.choose(1, 30)
     val rows = Iterator.continually(tokGen.sample).flatten.take(400)

@@ -225,6 +225,36 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("segment-partitioned postings: index lifecycle follows the store's") {
+    val segDocs = Seq(
+      (1L, "spark in january", "2024-01"),
+      (2L, "spark in february", "2024-02"),
+      (3L, "other words here", "2024-02")
+    ).toDF("doc_id", "text", "segment")
+    val storeDir = java.nio.file.Files.createTempDirectory("graft-seg-docs").toString
+    val postDir = java.nio.file.Files.createTempDirectory("graft-seg-postings").toString
+    Indexer.writeSegmented(segDocs, storeDir)
+    TextIndex.writePostings(
+      TextIndex.buildPostings(segDocs, "doc_id", Seq("text"), 8, Some("segment")),
+      postDir, Some("segment"))
+    // same directory op expires data and index together (M5/M8)
+    val droppedDocs = Maintain.dropSegmentDirs(spark, storeDir, "segment", _ >= "2024-02")
+    val droppedIdx = Maintain.dropSegmentDirs(spark, postDir, "segment", _ >= "2024-02")
+    assert(droppedDocs == Seq("2024-01") && droppedIdx == Seq("2024-01"))
+    val docsNow = spark.read.option("basePath", storeDir).parquet(storeDir)
+    val store = spark.read.option("basePath", postDir).parquet(postDir)
+    // pure-index search: doc 1's postings left with its segment — no stale hit
+    val hits = TextIndex.searchIndexed(docsNow, store,
+      "#options:load-rows=false#text:spark", IndexConfig(), Seq("doc_id"),
+      Set("text"), 8, pureIndex = true)
+    assert(hits.select("doc_id").as[Long].collect().toSet == Set(2L))
+    // bucket pruning still applies across segment dirs
+    val plan = TextIndex.candidateIds(store,
+      Set(TextIndex.EqProbe("text", "spark")), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+  }
+
   test("append-only maintenance: new batch searchable; stale postings harmless") {
     val dir = java.nio.file.Files.createTempDirectory("graft-postings-inc").toString
     TextIndex.writePostings(

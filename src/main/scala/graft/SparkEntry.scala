@@ -262,6 +262,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_dsl_boosting" -> ((s, dir) => {
+      // R3: ES `boosting` — negative clause demotes (to 0, the declared
+      // integer subset) but never filters
+      val q = """{"query":{"boosting":{
+                   "positive":{"bool":{"must":[{"match":{"text":"spark"}}],
+                               "should":[{"match":{"text":"batch"}}]}},
+                   "negative":{"term":{"lang":"de"}},
+                   "negative_boost":0}},
+                 "size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_regex" -> ((s, dir) => {
       // R2 widening: Lucene /regex/ syntax — whole-token regex with boost,
       // composed with a plain term under implicit AND
@@ -1748,6 +1762,16 @@ object SparkEntry {
          FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b') AND lang = 'en'
            AND (source IS NULL OR NOT regexp_matches(lower(source), '\bsrc1[^\s]*'))
+         ORDER BY doc_id""",
+    "q_search_dsl_boosting" ->
+      // negative (lang='de', null-safe) zeroes the positive bool's score
+      // (must spark + scoring-only should batch) but never filters the row
+      """SELECT doc_id, lang,
+           (CASE WHEN coalesce(lang = 'de', FALSE) THEN 0 ELSE
+             (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
          ORDER BY doc_id""",
     "q_dedup_embedding" ->
       // exact all-pairs ≥ threshold: valid oracle because the LSH gate

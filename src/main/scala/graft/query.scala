@@ -715,6 +715,32 @@ object QueryCompiler {
                        else greatest(contribs: _*))
           }
           pred
+        case "boosting" =>
+          // {"boosting":{"positive":{...},"negative":{...},"negative_boost":0}}
+          // — matches whatever `positive` matches (negative never filters);
+          // a doc also matching `negative` is DEMOTED. Declared subset:
+          // negative_boost must be 0 — the fractional demotion would break
+          // integer scoring, so a demoted doc scores exactly 0.
+          val unknown = body.fieldNames.asScala.toSet --
+            Set("positive", "negative", "negative_boost")
+          require(unknown.isEmpty,
+            s"unsupported boosting option(s): ${unknown.mkString(", ")}")
+          val posNode = Option(body.get("positive"))
+            .getOrElse(throw new IllegalArgumentException("boosting requires 'positive'"))
+          val negNode = Option(body.get("negative"))
+            .getOrElse(throw new IllegalArgumentException("boosting requires 'negative'"))
+          Option(body.get("negative_boost")).foreach { n =>
+            require(n.isNumber && n.asDouble == 0.0,
+              s"boosting negative_boost must be 0 (integer-scoring subset), got: $n")
+          }
+          val posLeaves = scala.collection.mutable.ArrayBuffer[Column]()
+          val posPred = node(posNode, posLeaves, scoring, idCol)
+          val negPred = node(negNode,
+            scala.collection.mutable.ArrayBuffer[Column](), scoring = false, idCol)
+          if (scoring)
+            leaves += when(coalesce(negPred, lit(false)), 0)
+              .otherwise(scoreOf(posLeaves.toSeq))
+          posPred
         case "constant_score" =>
           // {"constant_score":{"filter":{...},"boost":N}} — the filter
           // matches or not; a matching row scores exactly `boost` for this

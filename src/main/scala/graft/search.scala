@@ -134,11 +134,15 @@ object Search {
     * broadcast back onto every hit. */
   def searchWithTotal(docs: DataFrame, query: String, cfg: IndexConfig,
                       pkCols: Seq[String] = Seq("doc_id"),
-                      segmentCol: Option[String] = None): DataFrame = {
+                      segmentCol: Option[String] = None,
+                      matchDocs: Option[DataFrame] = None): DataFrame = {
     val meta = QueryMeta.parse(query)
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
     val limit = compiled.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
-    val matches = docs.where(compiled.predicate)
+    // matchDocs: an optional pre-filter of `docs` that provably contains
+    // every match (TextIndex candidates) — match rows/stats read it, while
+    // store-describing stats (shard count) stay on the full store
+    val matches = matchDocs.getOrElse(docs).where(compiled.predicate)
       .withColumn("_score", compiled.score)
     val shards = segmentCol match {
       case Some(c) => docs.agg(countDistinct(col(c)).as("shards_total"))

@@ -144,6 +144,21 @@ object TextIndex {
       .write.mode("append").partitionBy(parts: _*).parquet(path)
   }
 
+  /** Rebuild ONE segment's postings from the current store — the bounded
+    * repair for in-place overwrites (which blind appends tolerate for
+    * matching but which poison frequency stats and the pure-index mode):
+    * drop the segment's index directory, re-append fresh postings from the
+    * segment's current docs. A directory op plus one segment-sized build —
+    * never a full-index rewrite, mirroring how the maintenance plane treats
+    * data segments (M2-M5). */
+  def reindexSegment(spark: SparkSession, docs: DataFrame, idCol: String,
+                     fields: Seq[String], path: String, nBuckets: Int,
+                     segmentCol: String, segmentValue: String): Unit = {
+    Maintain.dropSegmentDirs(spark, path, segmentCol, _ != segmentValue)
+    appendPostings(docs.where(col(segmentCol) === segmentValue), idCol, fields,
+      path, nBuckets, Some(segmentCol))
+  }
+
   /** Optional size reclaim after many appends: global dedup + rewrite,
     * atomic per the same staging-dir pattern as
     * [[Maintain.compactSegments]]. Returns (files before, files after). */
@@ -355,6 +370,9 @@ object TextIndex {
           else None
         }
       case "constant_score" => coverDsl(body.get("filter"), fields)
+      // boosting matches exactly what `positive` matches (negative only
+      // demotes the score) — positive's cover bounds it
+      case "boosting" => coverDsl(body.get("positive"), fields)
       case "dis_max" =>
         val qs = Option(body.get("queries")).filter(_.isArray)
           .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
@@ -495,6 +513,20 @@ object TextIndex {
       case None => docs
     }
   }
+
+  /** Index-served [[Search.searchWithTotal]]: match rows, `hits.total`, and
+    * `max_score` are computed over the pruned candidates (a proven match
+    * superset, so all three are identical to the scan path); the response
+    * envelope's store-describing stats (`shards_total` = segment count)
+    * still read the full store. */
+  def searchWithTotalIndexed(docs: DataFrame, postings: DataFrame, query: String,
+                             cfg: IndexConfig, pkCols: Seq[String] = Seq("doc_id"),
+                             segmentCol: Option[String] = None,
+                             indexedFields: Set[String] = Set.empty,
+                             nBuckets: Int = 64): DataFrame =
+    Search.searchWithTotal(docs, query, cfg, pkCols, segmentCol,
+      matchDocs = Some(prefilter(docs, postings, query, pkCols.head,
+        indexedFields, nBuckets)))
 
   /** Index-served search. Default (`pureIndex = false`): identical results
     * to `Search.search(docs, …)` by construction — candidates are a proven

@@ -82,6 +82,28 @@ class SearchSpec extends AnyFunSuite {
     assert(QueryCompiler.validate("""{"query":{"dis_max":{}}}""").isLeft)
   }
 
+  test("boosting demotes negative matches to 0 without filtering them out") {
+    val d = Seq(
+      ("1", "spark batch engine", "en"),  // positive 1, negative no → 1
+      ("2", "spark legacy stack", "de"),  // positive 1, negative yes → 0, still a hit
+      ("3", "nothing here", "en")).toDF("doc_id", "text", "lang")
+    val q = """{"query":{"boosting":{
+         "positive":{"match":{"text":"spark"}},
+         "negative":{"term":{"lang":"de"}},
+         "negative_boost":0}}}"""
+    val out = Search.search(d, q, IndexConfig())
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(out == Map("1" -> 1, "2" -> 0))
+    // fractional negative_boost rejected (integer-scoring subset); missing
+    // clauses rejected
+    assert(QueryCompiler.validate(
+      """{"query":{"boosting":{"positive":{"match":{"text":"x"}},
+           "negative":{"match":{"text":"y"}},"negative_boost":0.5}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"boosting":{"positive":{"match":{"text":"x"}}}}}""").isLeft)
+  }
+
   test("searchWithTotal carries took and the _shards segment analog (R10)") {
     val out = Search.searchWithTotal(docs,
       "#options:load-rows=false#text:spark", IndexConfig(),

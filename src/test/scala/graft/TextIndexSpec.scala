@@ -255,6 +255,46 @@ class TextIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("reindexSegment repairs overwrite staleness for one segment only") {
+    val v1 = Seq(
+      (1L, "spark alpha", "2024-01"),
+      (2L, "stale words", "2024-02")
+    ).toDF("doc_id", "text", "segment")
+    val postDir = java.nio.file.Files.createTempDirectory("graft-reindex").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(v1, "doc_id", Seq("text"), 8, Some("segment")),
+      postDir, Some("segment"))
+    // doc 2 overwritten in place within its segment
+    val now = Seq(
+      (1L, "spark alpha", "2024-01"),
+      (2L, "fresh content", "2024-02")
+    ).toDF("doc_id", "text", "segment")
+    TextIndex.reindexSegment(spark, now, "doc_id", Seq("text"), postDir, 8,
+      "segment", "2024-02")
+    val store = spark.read.option("basePath", postDir).parquet(postDir)
+    // stale token gone; fresh token found; other segment untouched
+    def pureHits(q: String) = TextIndex.searchIndexed(now, store,
+        s"#options:load-rows=false#$q", IndexConfig(), Seq("doc_id"),
+        Set("text"), 8, pureIndex = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pureHits("text:stale").isEmpty)
+    assert(pureHits("text:fresh") == Set(2L))
+    assert(pureHits("text:spark") == Set(1L))
+  }
+
+  test("searchWithTotalIndexed: totals match the scan path, shards read the store") {
+    val segDocs = docs.withColumn("segment",
+      concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    val postings = TextIndex.buildPostings(segDocs, "doc_id", fields.toSeq, 8)
+    val q = "text:batch OR text:spark"
+    val scan = Search.searchWithTotal(segDocs, q, IndexConfig(), Seq("doc_id"),
+      Some("segment")).collect().map(_.toSeq).toSet
+    val idx = TextIndex.searchWithTotalIndexed(segDocs, postings, q,
+        IndexConfig(), Seq("doc_id"), Some("segment"), fields, 8)
+      .collect().map(_.toSeq).toSet
+    assert(idx == scan)
+  }
+
   test("append-only maintenance: new batch searchable; stale postings harmless") {
     val dir = java.nio.file.Files.createTempDirectory("graft-postings-inc").toString
     TextIndex.writePostings(

@@ -262,6 +262,31 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_phrase_positional" -> ((s, dir) => {
+      // Positional postings: phrase candidates are "all runs present, in
+      // order" (not just the longest-run probe); verification restores the
+      // exact slop semantics — hash-equal to the scan path
+      val d = tbl(s, dir, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_postings_pos").toString
+      TextIndex.writePostings(
+        TextIndex.buildPostingsPositional(d, "doc_id", Seq("text"), 16), path)
+      val store = s.read.option("basePath", path).parquet(path)
+      TextIndex.searchIndexed(d, store, "text:\"spark batch\"~2",
+          IndexConfig(), Seq("doc_id"), Set("text"), 16)
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_search_dsl_qstring" -> ((s, dir) => {
+      // R3: query_string with default_field — ES q=-style bare terms bound
+      // to a field; the whole sub-query scores as one leaf
+      val q = """{"query":{"query_string":{"query":"spark OR batch",
+                   "default_field":"text"}},"size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_dsl_boosting" -> ((s, dir) => {
       // R3: ES `boosting` — negative clause demotes (to 0, the declared
       // integer subset) but never filters
@@ -1762,6 +1787,15 @@ object SparkEntry {
          FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b') AND lang = 'en'
            AND (source IS NULL OR NOT regexp_matches(lower(source), '\bsrc1[^\s]*'))
+         ORDER BY doc_id""",
+    "q_search_phrase_positional" ->
+      """SELECT doc_id, 1 AS _score FROM documents
+         WHERE regexp_matches(lower(text), '\bspark(?:\s+\S+){0,2}\s+batch\b')
+         ORDER BY doc_id""",
+    "q_search_dsl_qstring" ->
+      """SELECT doc_id, 1 AS _score FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+            OR regexp_matches(lower(text), '\bbatch\b')
          ORDER BY doc_id""",
     "q_search_dsl_boosting" ->
       // negative (lang='de', null-safe) zeroes the positive bool's score

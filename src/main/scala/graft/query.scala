@@ -211,10 +211,12 @@ object QueryCompiler {
 
     /** Parsed AST without compilation — [[TextIndex]] walks it to decide
       * which leaves a postings store can serve (candidate pre-filter). */
-    private[graft] def ast(q: String): Node = parse(q)
+    private[graft] def ast(q: String, defaultField: Option[String] = None): Node =
+      parse(q, defaultField)
 
-    def compile(q: String, defaultLimit: Int): CompiledQuery = {
-      val ast = parse(q)
+    def compile(q: String, defaultLimit: Int,
+                defaultField: Option[String] = None): CompiledQuery = {
+      val ast = parse(q, defaultField)
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       // `pos` tracks polarity: only positive leaves contribute to the score
       def toCol(n: Node, pos: Boolean): Column = n match {
@@ -615,8 +617,21 @@ object QueryCompiler {
           val c = parts.reduce(_ && _)
           if (scoring) leaves += leaf(c, 1)
           c
-        case "query_string" => // {"query_string":{"query":"a:b AND c:d"}}
-          val sub = LuceneLite.compile(body.get("query").asText, Int.MaxValue)
+        case "query_string" =>
+          // {"query_string":{"query":"a:b AND c:d"}} — optional
+          // `default_field` binds BARE terms (ES's q=spark batch style);
+          // without it a bare term stays a loud error, as in Lucene-lite
+          val unknown = body.fieldNames.asScala.toSet -- Set("query", "default_field")
+          require(unknown.isEmpty,
+            s"unsupported query_string option(s): ${unknown.mkString(", ")}")
+          val qn = Option(body.get("query"))
+            .getOrElse(throw new IllegalArgumentException("query_string requires 'query'"))
+          val df = Option(body.get("default_field")).map { n =>
+            require(n.isTextual && n.asText.nonEmpty,
+              s"default_field must be a non-empty string, got: $n")
+            n.asText
+          }
+          val sub = LuceneLite.compile(qn.asText, Int.MaxValue, df)
           if (scoring) leaves += leaf(sub.predicate, 1)
           sub.predicate
         case "multi_match" =>

@@ -51,6 +51,9 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
+  import QueryCompiler.LuceneLite
+  import LuceneLite._
+
   /** Maximal-word-run tokenizer, the `\b`-boundary view of the text (see
     * class doc). Split on non-word runs; `split` emits empty edge strings,
     * filtered after the explode. */
@@ -100,6 +103,88 @@ object TextIndex {
       .groupBy((Seq("token", "field", "doc_id") ++ segNames).map(col): _*)
       .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+  }
+
+  /** [[buildPostings]] plus a `positions` column: the sorted word-run
+    * indices of each token occurrence — Lucene's positions. A positional
+    * store is a schema superset of the plain one (every query path works on
+    * it unchanged); additionally [[prefilter]] tightens PHRASE candidates
+    * on it from "contains the longest run" to "contains every run, in
+    * order" ([[phraseCandidates]]). Positions index word runs, not the
+    * whitespace tokens proximity slop counts, so the in-order check is a
+    * proven superset, never an exact answer — verification stays. */
+  def buildPostingsPositional(docs: DataFrame, idCol: String, fields: Seq[String],
+                              nBuckets: Int = 64,
+                              segmentCol: Option[String] = None): DataFrame = {
+    require(fields.nonEmpty, "index at least one field")
+    require(nBuckets > 0, "nBuckets must be positive")
+    val segSel = segmentCol.map(col).toSeq
+    val segNames = segmentCol.toSeq
+    val perField = fields.map { f =>
+      docs.select((Seq(posexplode(array_remove(tokensOf(col(f)), ""))
+        .as(Seq("pos", "token")),
+        lit(f).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
+    }
+    perField.reduce(_.union(_))
+      .groupBy((Seq("token", "field", "doc_id") ++ segNames).map(col): _*)
+      .agg(count(lit(1)).cast("int").as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
+  }
+
+  /** Candidate doc ids for a literal phrase over a positional store: every
+    * word run of the phrase present in the field AND an increasing position
+    * assignment exists (greedy earliest-match over the per-token sorted
+    * position arrays — complete for existence). Any true phrase/proximity
+    * match satisfies both (its runs appear literally, in text order), so
+    * this is a superset — but a far tighter one than the single-run probe:
+    * docs containing the tokens only out of order are excluded before
+    * verification. Gaps are deliberately NOT bounded: one foreign
+    * whitespace token can span many word runs, so a gap cutoff would lose
+    * recall. */
+  def phraseCandidates(postings: DataFrame, field: String, phrase: String,
+                       nBuckets: Int = 64): DataFrame = {
+    val toks = "[a-z0-9_]+".r.findAllIn(phrase.toLowerCase).toSeq
+    require(toks.nonEmpty, s"phrase has no word runs: '$phrase'")
+    val rows = postingsFor(postings,
+      toks.distinct.map(EqProbe(field, _)).toSet[Probe], nBuckets)
+    val posCols = toks.distinct.zipWithIndex.map { case (t, i) =>
+      first(when(col("token") === t, col("positions")), ignoreNulls = true)
+        .as(s"_p$i")
+    }
+    val byDoc = rows.groupBy("doc_id").agg(posCols.head, posCols.tail: _*)
+    val idxOf = toks.map(t => toks.distinct.indexOf(t))
+    var prev: org.apache.spark.sql.Column = lit(-1)
+    val conds = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+    for (i <- toks.indices) {
+      val cur = prev
+      val pi = array_min(filter(col(s"_p${idxOf(i)}"), x => x > cur))
+      conds += pi.isNotNull
+      prev = pi
+    }
+    byDoc.where(conds.reduce(_ && _)).select("doc_id")
+  }
+
+  /** The tightest safe candidate source for a Lucene AST over a positional
+    * store: a phrase/proximity leaf (≥2 word runs, literal) reachable
+    * through `AND` bounds every match via [[phraseCandidates]]. */
+  private def phraseAware(n: Node, fields: Set[String],
+                          postings: DataFrame, nBuckets: Int): Option[DataFrame] = {
+    val positional = postings.columns.contains("positions")
+    if (!positional) return None
+    def literalPhrase(v: String): Boolean =
+      !v.exists(c => c == '*' || c == '?' || c == '\\') &&
+        "[a-z0-9_]+".r.findAllIn(v.toLowerCase).size >= 2
+    n match {
+      case t: Term if fields.contains(t.field) && literalPhrase(t.value) =>
+        Some(phraseCandidates(postings, t.field, t.value, nBuckets))
+      case p: Proximity if fields.contains(p.field) && literalPhrase(p.phrase) =>
+        Some(phraseCandidates(postings, p.field, p.phrase, nBuckets))
+      case And(l, r) =>
+        phraseAware(l, fields, postings, nBuckets)
+          .orElse(phraseAware(r, fields, postings, nBuckets))
+      case _ => None
+    }
   }
 
   /** Per-doc field lengths `(doc_id, field, dl)` in the index's analyzer
@@ -183,9 +268,6 @@ object TextIndex {
     require(fs.rename(tmp, root), s"compaction rename failed: $tmp -> $root")
     (before, dataFiles(root))
   }
-
-  import QueryCompiler.LuceneLite
-  import LuceneLite._
 
   /** Probe for one [[QueryCompiler.termMatch]] input — the load-bearing
     * observation: termMatch matches LITERALLY (after unescaping) up to the
@@ -345,7 +427,8 @@ object TextIndex {
         }
       case "query_string" =>
         Option(body.get("query")).filter(_.isTextual).flatMap { q =>
-          try cover(LuceneLite.ast(q.asText), fields)
+          val df = Option(body.get("default_field")).filter(_.isTextual).map(_.asText)
+          try cover(LuceneLite.ast(q.asText, df), fields)
           catch { case _: Exception => None }
         }
       case "multi_match" =>
@@ -505,11 +588,19 @@ object TextIndex {
   def prefilter(docs: DataFrame, postings: DataFrame, query: String,
                 idCol: String = "doc_id", indexedFields: Set[String],
                 nBuckets: Int = 64): DataFrame = {
-    coverQuery(query, indexedFields) match {
-      case Some(ps) =>
-        val cands = candidateIds(postings, ps, nBuckets)
-          .withColumnRenamed("doc_id", "_cand_id")
-        docs.join(cands, docs(idCol) === col("_cand_id"), "left_semi")
+    val q = QueryMeta.parse(query).query.trim
+    // a positional store upgrades phrase queries to the in-order candidate
+    // set; everything else (and non-positional stores) takes the probe cover
+    val phraseCands =
+      if (q.startsWith("{")) None
+      else try phraseAware(LuceneLite.ast(q), indexedFields, postings, nBuckets)
+           catch { case _: Exception => None }
+    phraseCands.orElse(
+      coverQuery(query, indexedFields).map(candidateIds(postings, _, nBuckets))
+    ) match {
+      case Some(cands) =>
+        docs.join(cands.withColumnRenamed("doc_id", "_cand_id"),
+          docs(idCol) === col("_cand_id"), "left_semi")
       case None => docs
     }
   }

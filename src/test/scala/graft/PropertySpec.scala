@@ -176,7 +176,9 @@ class PropertySpec extends AnyFunSuite {
       .take(60).zipWithIndex
       .map { case ((t, l), i) => (i.toLong, t, l) }.toSeq
       .toDF("doc_id", "text", "lang")
-    val postings = TextIndex.buildPostings(docs, "doc_id", Seq("text", "lang"), 8)
+    // positional store: schema superset of the plain one, additionally
+    // exercising the in-order phrase-candidate tightening on phrase leaves
+    val postings = TextIndex.buildPostingsPositional(docs, "doc_id", Seq("text", "lang"), 8)
     val queries = Iterator.continually(queryGen.sample).flatten.take(40).toSeq
     for (q <- queries; pure <- Seq(false, true)) {
       val scan = Search.search(docs, q, IndexConfig(), Seq("doc_id"))

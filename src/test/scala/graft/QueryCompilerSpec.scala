@@ -289,6 +289,22 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate("""text:(c\^2^5 OR d\~x)""").isRight)
   }
 
+  test("query_string default_field binds bare terms (ES q= style)") {
+    // bare terms without a default field stay a loud error
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"spark batch"}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"spark batch","default_field":"text"}}}""").isRight)
+    // explicit field:term still wins over the default; mixed works
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"spark AND lang:de","default_field":"text"}}}""").isRight)
+    // unknown options and empty default_field rejected
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"x","default_field":""}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"x","analyzer":"std"}}}""").isLeft)
+  }
+
   test("phrase proximity parses; slop is required and composes with boost") {
     assert(QueryCompiler.validate("""text:"spark batch"~3""").isRight)
     assert(QueryCompiler.validate("""text:"spark batch"~3^2""").isRight)

@@ -255,6 +255,38 @@ class TextIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
   }
 
+  test("positional postings: positions recorded; phrase candidates require order") {
+    val d = Seq(
+      (1L, "alpha beta gamma"),        // in order, adjacent
+      (2L, "beta then much later alpha"), // both tokens, wrong order
+      (3L, "alpha filler filler beta"),   // in order, gapped
+      (4L, "alpha only here"),            // missing beta
+      (5L, "beta alpha beta")             // second beta restores order
+    ).toDF("doc_id", "text")
+    val p = TextIndex.buildPostingsPositional(d, "doc_id", Seq("text"), 8)
+    // positions are word-run indices, sorted
+    val pos = p.where($"doc_id" === 5L && $"token" === "beta")
+      .select("positions").as[Seq[Int]].head()
+    assert(pos == Seq(0, 2))
+    val cands = TextIndex.phraseCandidates(p, "text", "alpha beta", 8)
+      .as[Long].collect().toSet
+    // 1 and 3: in order; 5: alpha@1 < beta@2; 2 excluded (order), 4 (missing)
+    assert(cands == Set(1L, 3L, 5L))
+    // the full query path stays bit-identical to the scan on the tighter set
+    for (q <- Seq("text:\"alpha beta\"", "text:\"alpha beta\"~2",
+                  "text:\"alpha beta\"~0 AND text:gamma")) {
+      val scan = Search.search(d, q, IndexConfig(), Seq("doc_id"))
+        .collect().map(_.toSeq).toSet
+      val idx = TextIndex.searchIndexed(d, p, q, IndexConfig(),
+        Seq("doc_id"), Set("text"), 8).collect().map(_.toSeq).toSet
+      assert(idx == scan, s"positional parity for: $q")
+    }
+    // plain-store paths still work on the positional schema superset
+    val hits = TextIndex.searchIndexed(d, p, "text:gamma", IndexConfig(),
+      Seq("doc_id"), Set("text"), 8, pureIndex = true)
+    assert(hits.select("doc_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("reindexSegment repairs overwrite staleness for one segment only") {
     val v1 = Seq(
       (1L, "spark alpha", "2024-01"),

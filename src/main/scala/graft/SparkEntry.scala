@@ -958,6 +958,17 @@ object SparkEntry {
       TextStats.tokenEntropy(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q_text_unigram_nll" -> ((s, dir) => {
+      // corpus-unigram-LM cross-entropy — the CCNet-style LM quality
+      // signal's unigram approximation (high = rare-token-heavy)
+      TextStats.unigramLogLoss(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q_text_keywords" -> ((s, dir) => {
+      // per-doc top-3 TF-IDF keywords, deterministic tie-break on token
+      TextStats.keywords(tbl(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
 
     // ---- north star: multimodal plumbing ----
     "q_multimodal_meta" -> ((s, dir) => {
@@ -1653,6 +1664,37 @@ object SparkEntry {
            GROUP BY doc_id, w)
          SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_unigram_nll" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+         doctok AS (
+           SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c FROM t2 GROUP BY 1, 2),
+         corpus AS (SELECT w, CAST(count(*) AS DOUBLE) AS cw FROM t2 GROUP BY w),
+         total AS (SELECT sum(cw) AS t FROM corpus)
+         SELECT doc_id, round(-sum(c * ln(cw / t)) / sum(c), 4) AS unigram_nll
+         FROM doctok JOIN corpus USING (w) CROSS JOIN total
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+         doctok AS (
+           SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c FROM t2 GROUP BY 1, 2),
+         docfreq AS (SELECT w, CAST(count(*) AS DOUBLE) AS df_w FROM doctok GROUP BY w),
+         n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM doctok),
+         scored AS (
+           SELECT doc_id, w, c * ln(n_docs / df_w) AS tfidf
+           FROM doctok JOIN docfreq USING (w) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, w AS keyword,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank,
+             round(tfidf, 4) AS tfidf
+           FROM scored)
+         SELECT doc_id, keyword, rank, tfidf FROM ranked
+         WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q_sessionize" ->
       """WITH ev AS (
            -- events.ts is parquet TIMESTAMP(NANOS); Spark truncates to micros

@@ -149,6 +149,60 @@ object TextStats {
           sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("entropy"))
   }
 
+  /** Per-doc cross-entropy under the CORPUS unigram language model — the
+    * unigram approximation of CCNet-style LM quality filtering:
+    * `nll(d) = −(1/|d|) Σ_w∈d ln(C(w)/T)`. Low = the doc looks like the
+    * corpus (common tokens); high = rare-token-heavy (jargon, noise,
+    * another language). No smoothing needed: every doc token is in the
+    * corpus by construction, so C(w) ≥ 1.
+    *
+    * Shape: one exploded token relation feeds (a) per-(doc, token) counts,
+    * (b) corpus counts per token, (c) the corpus total (reduced from (b),
+    * broadcast). The scoring join is token-keyed with exactly one build
+    * row per token — Zipf-hot tokens skew only the probe side of a hash
+    * join, which AQE handles; nothing all-pairs, nothing windowed. Docs
+    * with no tokens (null/empty) have no defined surprise and are absent,
+    * like [[tokenEntropy]]. */
+  def unigramLogLoss(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0)).as("w"))
+    val docTok = toks.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val corpus = toks.groupBy(col("w")).agg(count(lit(1)).cast("double").as("cw"))
+    val total = corpus.agg(sum(col("cw")).as("t"))
+    docTok.join(corpus, "w").crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(-sum(col("c") * log(col("cw") / col("t"))) / sum(col("c")), 4)
+        .as("unigram_nll"))
+  }
+
+  /** Top-k distinctive terms per doc by TF-IDF
+    * (`c(w,d) · ln(N/df(w))`, N = docs with ≥1 token) — keyword
+    * extraction / topic fingerprinting over the corpus statistics the
+    * unigram relations already produce. The ranking window partitions by
+    * doc (bounded by the doc's distinct tokens — never the corpus-wide
+    * WindowExec trap) and ties break on the token for determinism. */
+  def keywords(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = df.select(col(idCol),
+      explode(filter(split(lower(trim(col(textCol))), "\\s+"),
+        x => length(x) > 0)).as("w"))
+    val docTok = toks.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val docFreq = docTok.groupBy(col("w"))
+      .agg(count(lit(1)).cast("double").as("df_w"))
+    val nDocs = docTok.agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val scored = docTok.join(docFreq, "w").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("c") * log(col("n_docs") / col("df_w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("tfidf"), col("w"))
+    scored.withColumn("rank", row_number().over(win))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("w").as("keyword"), col("rank"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
   /** Gopher-style n-gram repetition signals (top-gram fraction, duplicated-
     * gram fraction) via the native one-pass [[graft.functions.GramRepetition]]
     * expression — a narrow projection, unlike [[tokenEntropy]]'s exploded

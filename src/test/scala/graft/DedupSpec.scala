@@ -180,6 +180,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!e.contains(3))  // empty text yields no row
   }
 
+  test("unigram LM surprise: rare-token docs score higher; no row for empty") {
+    val df = Seq((1, "a a a"), (2, "a b"), (3, "")).toDF("id", "text")
+    // corpus: a×4, b×1, T=5 → nll(1) = ln(5/4) = 0.2231;
+    // nll(2) = (ln(5/4) + ln(5)) / 2 = 0.9163
+    val e = TextStats.unigramLogLoss(df, "text", "id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(e(1) == 0.2231)
+    assert(e(2) == 0.9163)
+    assert(!e.contains(3))
+  }
+
+  test("tf-idf keywords: distinctive terms rank first, universal terms score 0") {
+    val df = Seq(
+      (1, "common rare rare"),
+      (2, "common other"),
+      (3, "common third")).toDF("id", "text")
+    // 'common' in all 3 docs → idf 0; 'rare' c=2, idf ln(3)
+    val kw = TextStats.keywords(df, "text", "id", 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(2)), (r.getString(1), r.getDouble(3))))
+      .toMap
+    assert(kw((1, 1))._1 == "rare")
+    assert(kw((1, 1))._2 == 2.1972) // 2 * ln 3
+    assert(kw((1, 2)) == ("common", 0.0))
+    assert(kw((2, 1))._1 == "other")
+  }
+
   test("gram repetition: top/dup fractions from the native one-pass expression") {
     val df = Seq(
       (1, "go go go go"),                 // bigrams: "go go" ×3 → top=dup=1

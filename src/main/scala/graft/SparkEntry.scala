@@ -453,9 +453,9 @@ object SparkEntry {
         .createTempDirectory("graft_postings").toString
       TextIndex.writePostings(
         TextIndex.buildPostings(d, "doc_id", Seq("text", "lang"), 16), path)
-      val store = s.read.option("basePath", path).parquet(path)
-      TextIndex.searchIndexed(d, store, "text:spark OR text:filt*",
-          IndexConfig(), Seq("doc_id"), Set("text", "lang"), 16)
+      // searchStore: parameters come from the store's own sidecar
+      TextIndex.searchStore(d, path, "text:spark OR text:filt*",
+          IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),

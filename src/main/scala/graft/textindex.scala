@@ -206,6 +206,16 @@ object TextIndex {
     * dir, not tasks×buckets), sorted by `(token, field)` within files so
     * parquet min/max stats make the pushed token filter skip most
     * row groups. */
+  /** Store self-description, persisted as `_graft_index.json` next to the
+    * data by [[writePostings]]: a probe computed with the wrong bucket
+    * count silently prunes the WRONG partitions (wrong results, not an
+    * error), so the store must carry its own parameters rather than trust
+    * every caller to repeat them. */
+  final case class IndexMeta(nBuckets: Int, fields: Seq[String],
+                             positional: Boolean, segmentCol: Option[String])
+
+  private val MetaFile = "_graft_index.json"
+
   def writePostings(postings: DataFrame, path: String,
                     segmentCol: Option[String] = None): Unit = {
     // segment (when present) leads the partition path so lifecycle ops stay
@@ -214,6 +224,81 @@ object TextIndex {
     postings.repartition(parts.map(col): _*)
       .sortWithinPartitions("token", "field")
       .write.mode("overwrite").partitionBy(parts: _*).parquet(path)
+    // derive the sidecar from the WRITTEN data (not the build plan, which
+    // would re-run the tokenize+aggregate): bucket count from the hash
+    // domain actually used, fields from the postings rows
+    val spark = postings.sparkSession
+    val written = spark.read.option("basePath", path).parquet(path)
+    val fields = written.select("field").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val nBuckets = inferBuckets(written)
+    val meta = IndexMeta(nBuckets, fields,
+      written.columns.contains("positions"), segmentCol)
+    val metaJson =
+      s"""{"nBuckets":${meta.nBuckets},"fields":[${meta.fields.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""positional":${meta.positional},"segmentCol":${meta.segmentCol.map("\"" + _ + "\"").getOrElse("null")}}"""
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(metaJson.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The bucket count is recoverable from any non-empty store because
+    * `bucket = pmod(xxhash64(token), N)`: verify a candidate N by checking
+    * (token, bucket) pairs against [[bucketOf]]. The sample takes ONE
+    * token per distinct bucket — a naive `limit(n)` reads a single
+    * partition file, sees one bucket value, and would wrongly accept N=1
+    * (every hash mod 1 is 0). With per-bucket witnesses, a wrong candidate
+    * N must agree with the true N modulo-wise on every sampled hash —
+    * vanishingly unlikely past a couple of buckets; candidates scan
+    * ascending from maxBucket+1, so empty tail buckets only move the
+    * start, not the answer. */
+  private def inferBuckets(postings: DataFrame): Int = {
+    val sample = postings.groupBy("bucket")
+      .agg(first(col("token")).as("token"))
+      .collect().map(r => (r.getString(1), r.getInt(0)))
+    require(sample.nonEmpty, "cannot infer bucket count of an empty postings store")
+    val maxSeen = sample.map(_._2).max
+    (maxSeen + 1 to 1 << 20).find { n =>
+      sample.forall { case (t, b) => bucketOf(t, n) == b }
+    }.getOrElse(throw new IllegalStateException(
+      "postings bucket column does not match xxhash64 bucketing"))
+  }
+
+  /** Open a written postings store with its own parameters — the
+    * mismatch-proof entry point. */
+  def openPostings(spark: SparkSession, path: String): (DataFrame, IndexMeta) = {
+    val df = spark.read.option("basePath", path).parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path, MetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        val node = dslMapper.readTree(raw)
+        import scala.jdk.CollectionConverters._
+        IndexMeta(node.get("nBuckets").asInt,
+          node.get("fields").elements.asScala.map(_.asText).toSeq,
+          node.get("positional").asBoolean,
+          Option(node.get("segmentCol")).filter(!_.isNull).map(_.asText))
+      } else {
+        // stores written before the sidecar (or by hand): reconstruct from
+        // the data — exact for nBuckets/fields/positional, unknown segment
+        IndexMeta(inferBuckets(df),
+          df.select("field").distinct().collect().map(_.getString(0)).sorted.toSeq,
+          df.columns.contains("positions"), None)
+      }
+    (df, meta)
+  }
+
+  /** Search through a written store using its own recorded parameters. */
+  def searchStore(docs: DataFrame, path: String, query: String,
+                  cfg: IndexConfig, pkCols: Seq[String] = Seq("doc_id"),
+                  pureIndex: Boolean = false): DataFrame = {
+    val (store, meta) = openPostings(docs.sparkSession, path)
+    searchIndexed(docs, store, query, cfg, pkCols, meta.fields.toSet,
+      meta.nBuckets, pureIndex)
   }
 
   /** Append-only incremental maintenance: index an upsert batch's postings

@@ -327,6 +327,36 @@ class TextIndexSpec extends AnyFunSuite {
     assert(idx == scan)
   }
 
+  test("self-describing store: openPostings/searchStore recover the write params") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(docs, "doc_id", Seq("text", "lang"), 32), dir)
+    val (_, meta) = TextIndex.openPostings(spark, dir)
+    assert(meta == TextIndex.IndexMeta(32, Seq("lang", "text"), false, None))
+    // searchStore needs no caller-supplied parameters and matches the scan
+    val q = "text:spark OR text:batch"
+    val scan = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(TextIndex.searchStore(docs, dir, q, IndexConfig(), Seq("doc_id"))
+      .collect().map(_.toSeq).toSet == scan)
+    assert(TextIndex.searchStore(docs, dir, q, IndexConfig(), Seq("doc_id"),
+      pureIndex = true).collect().map(_.toSeq).toSet == scan)
+    // sidecar-less store (hand-written): parameters reconstructed from data
+    val fs = new org.apache.hadoop.fs.Path(dir, "_graft_index.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_index.json"), false)
+    val (_, inferred) = TextIndex.openPostings(spark, dir)
+    assert(inferred.nBuckets == 32 && inferred.fields == Seq("lang", "text"))
+    // positional + segmented store round-trips its flags
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-meta2").toString
+    val segDocs = docs.withColumn("seg", lit("s1"))
+    TextIndex.writePostings(
+      TextIndex.buildPostingsPositional(segDocs, "doc_id", Seq("text"), 8, Some("seg")),
+      dir2, Some("seg"))
+    val (_, m2) = TextIndex.openPostings(spark, dir2)
+    assert(m2 == TextIndex.IndexMeta(8, Seq("text"), true, Some("seg")))
+  }
+
   test("append-only maintenance: new batch searchable; stale postings harmless") {
     val dir = java.nio.file.Files.createTempDirectory("graft-postings-inc").toString
     TextIndex.writePostings(

@@ -128,4 +128,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
     assert(!plan.contains("Join"), plan.take(800))
   }
+
+  test("indexed search: semi join on candidates, bucket-pruned pushed postings scan (R+)") {
+    val plan = planOf("q_search_indexed")
+    // candidates restrict the doc scan via a semi join
+    assert(plan.contains("LeftSemi"), plan.take(1200))
+    // the postings scan prunes its bucket partition and pushes the token
+    // equality (the prefix probe additionally pushes a StartsWith)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket#"),
+      plan.take(2000))
+    assert(plan.contains("EqualTo(token,spark)"), plan.take(2000))
+    assert(plan.contains("StringStartsWith(token,filt)"), plan.take(2000))
+  }
+
+  test("pure-index search never scans the doc store (R+)") {
+    val plan = planOf("q_search_pure_index")
+    // PK-only + all-exact leaves: the plan reads postings only — the
+    // documents parquet appears nowhere; top-k is index-side
+    assert(!plan.contains("documents.parquet"), plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
 }

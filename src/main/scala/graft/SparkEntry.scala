@@ -861,6 +861,15 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_quantized" -> ((s, dir) => {
+      // int8-range quantized ANN: cosine is scale-invariant, so the
+      // quantized ranking runs on int arrays with no dequantization
+      val emb = Similarity.quantize(tbl(s, dir, "embeddings"), "embedding")
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("q_emb").as("query_vec"))
+      Similarity.bruteForceTopK(emb, queries, k = 10, vecCol = "q_emb")
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_similarity_ivf" -> ((s, dir) => {
       // rows-only: IVF coarse-quantizer ANN (train → assign → probe)
       val emb = tbl(s, dir, "embeddings")
@@ -1469,6 +1478,25 @@ object SparkEntry {
          JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6
          ORDER BY id_a, id_b""",
+    "q_similarity_quantized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         qz AS (
+           SELECT vec_id,
+             list_transform(emb, x -> CAST(round(
+               x * 127.0 / greatest(list_max(list_transform(emb, y -> abs(y))), 1e-30))
+               AS INT)) AS q
+           FROM e),
+         probes AS (SELECT vec_id AS query_id, q AS query_vec FROM qz WHERE vec_id < 5),
+         scored AS (
+           SELECT p.query_id, z.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(z.q AS DOUBLE[]), CAST(p.query_vec AS DOUBLE[])) AS raw_cos
+           FROM qz z, probes p WHERE z.vec_id <> p.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
          q AS (SELECT vec_id AS query_id, embedding AS query_vec

@@ -90,6 +90,27 @@ object Similarity {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Symmetric per-vector int8-range scalar quantization:
+    * `q_i = round(x_i · 127 / max|x|)` ∈ [−127, 127], stored as an int
+    * array (parquet RLE/bit-packs small ints, so on-disk size tracks the
+    * 8-bit payload — ~4× less vector I/O than float32 at 100 TB, the
+    * standard ANN memory/bandwidth trade). COSINE IS SCALE-INVARIANT, so
+    * quantized search needs no dequantization and no stored scale: rank
+    * with [[bruteForceTopK]]/[[lshTopK]] pointed at the quantized column,
+    * and the per-vector scale cancels out of every score. Quantization is
+    * a one-pass build-time projection (the higher-order `transform` is
+    * fine here — it is not a per-query hot path; `_maxabs` is materialized
+    * first so the lambda reads a bound column, not a re-evaluated
+    * `array_max`). Math in double so the rounding is engine-portable. */
+  def quantize(df: DataFrame, vecCol: String, qCol: String = "q_emb"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("_maxabs",
+        greatest(array_max(transform(v, x => abs(x))), lit(1e-30)))
+      .withColumn(qCol,
+        transform(v, x => round(x * 127.0 / col("_maxabs")).cast("int")))
+      .drop("_maxabs")
+  }
+
   /** Exact all-pairs cosine ≥ threshold — the *verifier* behind
     * [[cosinePairs]]'s LSH candidate generation, run standalone on bounded
     * slices (quadratic by construction: self-join, id_a < id_b). Broadcast

@@ -180,6 +180,23 @@ class DedupSpec extends AnyFunSuite {
     assert(!e.contains(3))  // empty text yields no row
   }
 
+  test("int8 quantization: exact values; quantized cosine preserves ranking") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.5f, -1.0f, 0.26f)),   // near-twin of 1
+      (3L, Seq(-0.9f, 0.1f, 0.8f))     // far
+    ).toDF("vec_id", "embedding")
+    val q = graft.pipeline.Similarity.quantize(df, "embedding")
+    val v1 = q.where($"vec_id" === 1L).select("q_emb").as[Seq[Int]].head()
+    assert(v1 == Seq(64, -127, 32)) // 63.5→64 (half-up), 31.75→32
+    val probes = q.where($"vec_id" === 1L)
+      .select($"vec_id".as("query_id"), $"q_emb".as("query_vec"))
+    val top = graft.pipeline.Similarity
+      .bruteForceTopK(q, probes, 2, vecCol = "q_emb")
+      .orderBy($"rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top == Seq(2L, 3L))
+  }
+
   test("unigram LM surprise: rare-token docs score higher; no row for empty") {
     val df = Seq((1, "a a a"), (2, "a b"), (3, "")).toDF("id", "text")
     // corpus: a×4, b×1, T=5 → nll(1) = ln(5/4) = 0.2231;

@@ -228,12 +228,19 @@ object TextIndex {
     // would re-run the tokenize+aggregate): bucket count from the hash
     // domain actually used, fields from the postings rows
     val spark = postings.sparkSession
-    val written = spark.read.option("basePath", path).parquet(path)
-    val fields = written.select("field").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val nBuckets = inferBuckets(written)
-    val meta = IndexMeta(nBuckets, fields,
-      written.columns.contains("positions"), segmentCol)
+    // an empty corpus writes no files at all (bootstrap: indexing an empty
+    // table) — record an empty-store sidecar; openPostings/searchStore then
+    // fall back to the scan executor, since nothing is indexed
+    val meta =
+      if (!hasDataFiles(spark, path))
+        IndexMeta(1, Seq.empty, postings.columns.contains("positions"), segmentCol)
+      else {
+        val written = spark.read.option("basePath", path).parquet(path)
+        val fields = written.select("field").distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        IndexMeta(inferBuckets(written), fields,
+          written.columns.contains("positions"), segmentCol)
+      }
     val metaJson =
       s"""{"nBuckets":${meta.nBuckets},"fields":[${meta.fields.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""positional":${meta.positional},"segmentCol":${meta.segmentCol.map("\"" + _ + "\"").getOrElse("null")}}"""
@@ -265,10 +272,26 @@ object TextIndex {
       "postings bucket column does not match xxhash64 bucketing"))
   }
 
+  private def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def any(p: Path): Boolean = fs.exists(p) && fs.listStatus(p).exists { st =>
+      if (st.isDirectory) any(st.getPath)
+      else !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    }
+    any(root)
+  }
+
   /** Open a written postings store with its own parameters — the
-    * mismatch-proof entry point. */
+    * mismatch-proof entry point. A data-less store opens as a placeholder
+    * with no indexed fields, so every query through it falls back to the
+    * scan executor (the placeholder frame is never evaluated). */
   def openPostings(spark: SparkSession, path: String): (DataFrame, IndexMeta) = {
-    val df = spark.read.option("basePath", path).parquet(path)
+    val df =
+      if (hasDataFiles(spark, path))
+        spark.read.option("basePath", path).parquet(path)
+      else spark.emptyDataFrame
     val p = new org.apache.hadoop.fs.Path(path, MetaFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta =
@@ -282,6 +305,9 @@ object TextIndex {
           node.get("fields").elements.asScala.map(_.asText).toSeq,
           node.get("positional").asBoolean,
           Option(node.get("segmentCol")).filter(!_.isNull).map(_.asText))
+      } else if (df.columns.isEmpty) {
+        // data-less AND sidecar-less: nothing indexed, nothing to infer
+        IndexMeta(1, Seq.empty, positional = false, None)
       } else {
         // stores written before the sidecar (or by hand): reconstruct from
         // the data — exact for nBuckets/fields/positional, unknown segment
@@ -343,14 +369,32 @@ object TextIndex {
                  !st.getPath.getName.startsWith(".")) 1 else 0
       }.sum
     val before = dataFiles(root)
+    // the sidecar must survive the swap — read it before the root delete
+    val metaPath = new Path(root, MetaFile)
+    val sidecar =
+      if (!fs.exists(metaPath)) None
+      else {
+        val in = fs.open(metaPath)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
+    // a segmented store keeps its segment partition through the rewrite
+    val segCol = sidecar.flatMap { raw =>
+      Option(dslMapper.readTree(raw).get("segmentCol")).filter(!_.isNull).map(_.asText)
+    }
+    val parts = segCol.toSeq :+ "bucket"
     val tmp = new Path(root.getParent, root.getName + ".compact_tmp")
     fs.delete(tmp, true)
     val deduped = spark.read.option("basePath", path).parquet(path).distinct()
-    deduped.repartition(col("bucket"))
+    deduped.repartition(parts.map(col): _*)
       .sortWithinPartitions("token", "field")
-      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+      .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
     fs.delete(root, true)
     require(fs.rename(tmp, root), s"compaction rename failed: $tmp -> $root")
+    sidecar.foreach { raw =>
+      val out = fs.create(new Path(root, MetaFile), true)
+      try out.write(raw.getBytes("UTF-8")) finally out.close()
+    }
     (before, dataFiles(root))
   }
 

@@ -357,6 +357,44 @@ class TextIndexSpec extends AnyFunSuite {
     assert(m2 == TextIndex.IndexMeta(8, Seq("text"), true, Some("seg")))
   }
 
+  test("empty corpus: store writes cleanly, searches fall back to scan") {
+    val empty = docs.where($"doc_id" < 0L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(empty, "doc_id", Seq("text"), 8), dir)
+    val (_, meta) = TextIndex.openPostings(spark, dir)
+    assert(meta.fields.isEmpty)
+    // empty field set → no cover → transparent scan fallback, right answer
+    val hits = TextIndex.searchStore(docs, dir, "text:spark", IndexConfig(),
+      Seq("doc_id"))
+    assert(hits.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("compaction preserves the sidecar and a segmented layout") {
+    val segDocs = Seq((1L, "spark here", "s1"), (2L, "batch there", "s2"))
+      .toDF("doc_id", "text", "segment")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-meta").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(segDocs, "doc_id", Seq("text"), 8, Some("segment")),
+      dir, Some("segment"))
+    TextIndex.appendPostings(
+      Seq((3L, "spark again", "s2")).toDF("doc_id", "text", "segment"),
+      "doc_id", Seq("text"), dir, 8, Some("segment"))
+    TextIndex.compactPostings(spark, dir)
+    val (_, meta) = TextIndex.openPostings(spark, dir)
+    assert(meta == TextIndex.IndexMeta(8, Seq("text"), false, Some("segment")))
+    // segment dirs survived the rewrite — lifecycle ops still apply
+    val dropped = Maintain.dropSegmentDirs(spark, dir, "segment", _ != "s1")
+    assert(dropped == Seq("s1"))
+    val store = spark.read.option("basePath", dir).parquet(dir)
+    val hits = TextIndex.searchIndexed(
+      segDocs.unionByName(Seq((3L, "spark again", "s2")).toDF("doc_id", "text", "segment"))
+        .where($"segment" =!= "s1"),
+      store, "#options:load-rows=false#text:spark", IndexConfig(),
+      Seq("doc_id"), Set("text"), 8, pureIndex = true)
+    assert(hits.select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+
   test("append-only maintenance: new batch searchable; stale postings harmless") {
     val dir = java.nio.file.Files.createTempDirectory("graft-postings-inc").toString
     TextIndex.writePostings(

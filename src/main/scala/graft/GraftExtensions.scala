@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FuzzyTokenMatch, GramRepetition, JsonFlattenExpr, JsonGetExpr, MinHashSig, RhpBuckets, SimHash64, VecCosine, VecDot, VecNorm, WordShingles}
+import graft.functions.{FuzzyTokenMatch, GramHashes, GramRepetition, JsonFlattenExpr, JsonGetExpr, MinHashSig, RhpBuckets, SimHash64, VecCosine, VecDot, VecNorm, WordShingles}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -37,6 +37,7 @@ object GraftExtensions {
     ("json_get", 2, args => JsonGetExpr(args(0), args(1))),
     ("word_shingles", 2, args => WordShingles(args(0), intArg(args(1), "word_shingles"))),
     ("gram_repetition", 2, args => GramRepetition(args(0), intArg(args(1), "gram_repetition"))),
+    ("gram_hashes", 2, args => GramHashes(args(0), intArg(args(1), "gram_hashes"))),
     ("minhash_sig", 2, args => MinHashSig(args(0), intArg(args(1), "minhash_sig"))),
     ("simhash64", 1, args => SimHash64(args.head)),
     ("vec_dot", 2, args => VecDot(args(0), args(1))),

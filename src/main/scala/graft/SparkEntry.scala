@@ -824,6 +824,20 @@ object SparkEntry {
           "text", "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_spans" -> ((s, dir) => {
+      // exact duplicate-SPAN detection (Lee-et-al-style substring dedup as
+      // runs of duplicated 8-token windows). Hash candidates are re-verified
+      // against exact gram text, so the oracle is the direct SQL statement
+      // of the semantics — no approximation to excuse.
+      Dedup.duplicateSpans(tbl(s, dir, "documents"), "text", "doc_id", n = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+    "q_dedup_span_removal" -> ((s, dir) => {
+      // the removal end of span dedup: every duplicated-span token dropped,
+      // survivors re-joined — clean_text is the normalized token stream
+      Dedup.removeDuplicateSpans(tbl(s, dir, "documents"), "text", "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       // rows-only: SimHash Hamming-ball pairs via pigeonhole banding
       Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id", maxDist = 3)
@@ -1804,6 +1818,67 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.5
          ORDER BY id_a, id_b""",
+    "q_dedup_spans" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, st, array_to_string(list_slice(tk, st, st + 7), ' ') AS gram
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS st
+                 FROM t WHERE len(tk) >= 8)),
+         d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         c AS (SELECT g.doc_id, g.st FROM g JOIN d USING (gram)),
+         b AS (
+           SELECT doc_id, st,
+             CASE WHEN st > lag(st) OVER (PARTITION BY doc_id ORDER BY st) + 8
+                  THEN 1 ELSE 0 END AS brk
+           FROM c),
+         i AS (
+           SELECT doc_id, st,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS island
+           FROM b)
+         SELECT doc_id, CAST(min(st) AS INT) AS span_start,
+           CAST(max(st) + 7 AS INT) AS span_end,
+           CAST(max(st) + 8 - min(st) AS INT) AS span_len,
+           count(*) AS n_windows
+         FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""",
+    "q_dedup_span_removal" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         g AS (
+           SELECT doc_id, st, array_to_string(list_slice(tk, st, st + 7), ' ') AS gram
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 8 + 2)) AS st
+                 FROM t WHERE len(tk) >= 8)),
+         d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         c AS (SELECT g.doc_id, g.st FROM g JOIN d USING (gram)),
+         b AS (
+           SELECT doc_id, st,
+             CASE WHEN st > lag(st) OVER (PARTITION BY doc_id ORDER BY st) + 8
+                  THEN 1 ELSE 0 END AS brk
+           FROM c),
+         i AS (
+           SELECT doc_id, st,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS island
+           FROM b),
+         sp AS (SELECT doc_id, min(st) AS s, max(st) + 7 AS e
+                FROM i GROUP BY doc_id, island),
+         p AS (SELECT doc_id, unnest(tk) AS tok,
+                 unnest(range(1, len(tk) + 1)) AS idx FROM t),
+         kept AS (
+           SELECT p.doc_id, p.tok, p.idx FROM p
+           WHERE NOT EXISTS (SELECT 1 FROM sp
+             WHERE sp.doc_id = p.doc_id AND p.idx BETWEEN sp.s AND sp.e)),
+         agg AS (
+           SELECT doc_id, array_to_string(list(tok ORDER BY idx), ' ') AS ct,
+             count(*) AS n
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(a.ct, '') AS clean_text,
+           CAST(coalesce(a.n, 0) AS INT) AS n_tokens,
+           CAST(len(t.tk) - coalesce(a.n, 0) AS INT) AS removed_tokens
+         FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""",
     "q_dedup_cosine_exact" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb

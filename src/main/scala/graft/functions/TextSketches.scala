@@ -258,9 +258,66 @@ case class GramRepetition(child: Expression, n: Int)
   override def prettyName: String = "gram_repetition"
 }
 
+/** Positional n-gram window hashes of a token array: element `i` is a
+  * 64-bit hash of the contiguous window `toks[i .. i+n-1]`, so array index
+  * identifies the window's start position — the input to duplicate-SPAN
+  * detection ([[graft.pipeline.Dedup.duplicateSpans]]), where positions
+  * matter and deduping ([[WordShingles]]) would destroy them.
+  *
+  * Docs shorter than `n` tokens yield an EMPTY array (no truncated window:
+  * a doc with fewer than `n` tokens cannot contain an `n`-token duplicate
+  * span — different contract from the shingle family's `max(len−n,0)+1`).
+  *
+  * Each token is xxhash64'd once (seed 42, same as the sketch family) and
+  * windows combine token hashes with an order-dependent polynomial fold —
+  * O(len·n) long multiplies instead of re-hashing `n` tokens' bytes per
+  * window, and no per-window string materialization. Collisions are
+  * tolerated BY CONTRACT: callers re-verify candidate windows against the
+  * exact gram text (the same candidates-then-verify discipline as
+  * MinHash-LSH), so a collision costs a false candidate, never a wrong
+  * result. */
+case class GramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val tokHash = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      val s = toks.getUTF8String(i)
+      tokHash(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val windows = len - n + 1
+    val out = new Array[Long](windows)
+    i = 0
+    while (i < windows) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = i
+      while (j < i + n) {
+        h = h * 0xC2B2AE3D27D4EB4FL + tokHash(j)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
+  override def prettyName: String = "gram_hashes"
+}
+
 object TextSketchFunctions {
   def word_shingles(toks: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(toks), k))
+  def gram_hashes(toks: Column, n: Int): Column =
+    Bridge.column(GramHashes(Bridge.expression(toks), n))
   def gram_repetition(toks: Column, n: Int): Column =
     Bridge.column(GramRepetition(Bridge.expression(toks), n))
   def minhash_sig(shingles: Column, numHashes: Int): Column =

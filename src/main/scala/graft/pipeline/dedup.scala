@@ -400,6 +400,125 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate n-gram SPAN detection — exact-substring dedup in the style
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al., 2021), re-shaped for Spark: instead of a corpus suffix array
+    * (inherently sequential to build), duplicated regions are found as runs
+    * of duplicated fixed-width token windows.
+    *
+    * A window = `n` contiguous tokens. A window is *duplicated* when its
+    * exact token sequence occurs ≥ `minCount` times across the corpus
+    * (including repeats within one document). Overlapping/adjacent
+    * duplicated windows merge into maximal spans, so any duplicated
+    * substring of ≥ `n` tokens is recovered in full; substrings shorter
+    * than `n` are below the detection floor by design (Lee et al. use a
+    * 50-BPE-token floor for the same reason — short repeats are natural
+    * language, not crawl duplication).
+    *
+    * Scale shape (the whole point vs. a suffix array):
+    *  1. one narrow projection computes per-window hashes
+    *     ([[graft.functions.GramHashes]] — token bytes hashed once, windows
+    *     fold token hashes; no per-window strings);
+    *  2. the duplicated-window aggregate shuffles only `(hash, id, start)`
+    *     — 20 bytes/window, corpus text never crosses an exchange;
+    *  3. candidates (windows whose HASH repeats — a tiny, skew-free slice
+    *     of the corpus) are re-verified against the exact gram text,
+    *     sliced from the token arrays of candidate docs only, so a hash
+    *     collision costs a false candidate, never a false span — the same
+    *     candidates-then-verify discipline as [[minhashPairs]];
+    *  4. span merge is a per-document gaps-and-islands window — bounded by
+    *     doc length, never a global window.
+    *
+    * Output: `(id, span_start, span_end, span_len, n_windows)` — 1-based
+    * token positions, inclusive; `n_windows` = duplicated windows merged
+    * into the span. Positions index the NORMALIZED token stream
+    * ([[tokens]]: lowercased, whitespace-split) — one shared definition of
+    * "same content" across the dedup suite. */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 8, minCount: Int = 2): DataFrame = {
+    require(n >= 1, "window width must be >= 1")
+    require(minCount >= 2, "minCount below 2 would mark every window")
+    import graft.functions.TextSketchFunctions.gram_hashes
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val windows = toks
+      .select(col("id"), posexplode(gram_hashes(col("tk"), n)))
+      .select(col("id"), (col("pos") + 1).as("st"), col("col").as("h"))
+    // hash-level duplicate filter: over-approximates (collisions), so the
+    // count threshold must re-apply after exact verification below
+    val dupHashes = windows.groupBy("h")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select("h")
+    val candWindows = windows.join(dupHashes, Seq("h"), "left_semi")
+    // exact verification: re-slice the gram text for candidate docs only
+    // (ids-only semi-join keeps non-candidate token arrays out of the join,
+    // same reasoning as verifyPairs), then re-count by the true gram
+    val candIds = broadcast(candWindows.select("id").distinct())
+    val candToks = toks.join(candIds, Seq("id"), "left_semi")
+    val verified = candWindows
+      .join(candToks, Seq("id"))
+      .withColumn("gram", concat_ws(" ", slice(col("tk"), col("st"), lit(n))))
+      .select("id", "st", "gram")
+    val dupGrams = verified.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select("gram")
+    val marked = verified.join(dupGrams, Seq("gram"), "left_semi")
+      .select("id", "st")
+    // gaps-and-islands per doc: a window starts a new span when it leaves
+    // the coverage of the previous one ([lag_st, lag_st + n - 1])
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("st")
+    marked
+      .withColumn("brk",
+        when(col("st") > lag(col("st"), 1).over(w) + n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("st")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("st")).as("span_start"),
+        (max(col("st")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"),
+        col("n_windows"))
+  }
+
+  /** Remove every duplicated span found by [[duplicateSpans]] from the
+    * corpus: tokens inside ANY duplicate span are dropped (all occurrences
+    * — deterministic with no global tie-break; keeping one canonical copy
+    * would need a corpus-wide ordering of occurrences) and the surviving
+    * tokens are re-joined with single spaces. Output text is therefore the
+    * NORMALIZED token stream — the same normalization every other dedup
+    * strategy compares under.
+    *
+    * Output: `(id, clean_text, n_tokens, removed_tokens)`; docs without
+    * duplicate spans pass through with `removed_tokens = 0` (clean_text
+    * still normalized, so the column is self-consistent).
+    *
+    * Scale: spans-per-doc is bounded by doc length, so the `collect_list`
+    * is a per-doc aggregate (never corpus-wide) and the token filter is a
+    * bounded per-row lambda over a BOUND tokens column (the interpreted-
+    * lambda rule: `tk`/`_spans` are materialized columns, so the lambda
+    * never re-evaluates the tokenizer per element). */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           n: Int = 8, minCount: Int = 2): DataFrame = {
+    val spans = duplicateSpans(df, textCol, idCol, n, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+    toks
+      .join(spans, Seq(idCol), "left")
+      .withColumn("kept",
+        when(col("_spans").isNull, col("tk")).otherwise(
+          filter(col("tk"), (t, i) => !exists(col("_spans"),
+            sp => i + 1 >= sp("span_start") && i + 1 <= sp("span_end")))))
+      .select(col(idCol),
+        concat_ws(" ", col("kept")).as("clean_text"),
+        size(col("kept")).as("n_tokens"),
+        (size(col("tk")) - size(col("kept"))).as("removed_tokens"))
+  }
+
   /** Exact n-gram (word-set) Jaccard similarity pairs via a token-postings
     * self-join: shuffle on token, intersection counts per pair, set sizes
     * joined back. Exact but quadratic in posting-list length — at scale this

@@ -251,6 +251,59 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(viaSql - 2.0 / 3) < 1e-9)
   }
 
+  // 8-token boilerplate run shared by docs 1 and 2 at positions 5..12;
+  // doc 3 is clean; doc 4 repeats a 4-gram WITHIN itself; doc 5 is below
+  // the window floor
+  private def spanCorpus = Seq(
+    (1L, "unique one text here subscribe to our newsletter for daily updates now tail words go"),
+    (2L, "other document body starts subscribe to our newsletter for daily updates now different ending"),
+    (3L, "totally unrelated content with no duplicated material at all"),
+    (4L, "repeat me please ok repeat me please ok"),
+    (5L, "tiny doc")).toDF("doc_id", "text")
+
+  test("duplicate spans: cross-doc boilerplate merges to one maximal span") {
+    val spans = Dedup.duplicateSpans(spanCorpus, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+    // docs 1/2: boilerplate tokens 5..12, five duplicated 4-windows merged;
+    // doc 4: "repeat me please ok" at 1 and 5 — adjacent windows merge to
+    // one span covering the whole doc; docs 3/5: nothing
+    assert(spans.toSeq == Seq(
+      (1L, 5, 12, 8, 5L), (2L, 5, 12, 8, 5L), (4L, 1, 8, 8, 2L)))
+  }
+
+  test("duplicate spans: minCount above the occurrence count finds nothing") {
+    assert(Dedup.duplicateSpans(spanCorpus, "text", "doc_id",
+      n = 4, minCount = 3).count() == 0)
+  }
+
+  test("remove duplicate spans drops exactly the span tokens, others pass through") {
+    val out = Dedup.removeDuplicateSpans(spanCorpus, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, "unique one text here tail words go", 7, 8),
+      (2L, "other document body starts different ending", 6, 8),
+      (3L, "totally unrelated content with no duplicated material at all", 9, 0),
+      (4L, "", 0, 8),
+      (5L, "tiny doc", 2, 0)))
+  }
+
+  test("gram_hashes: positional, empty below floor, registered in SQL") {
+    GraftExtensions.register(spark)
+    val df = Seq((1, "a b a b a"), (2, "x")).toDF("id", "text")
+    df.createOrReplaceTempView("gh_docs")
+    val rows = spark.sql(
+      """SELECT id, gram_hashes(filter(split(lower(trim(text)), '\\s+'),
+           x -> length(x) > 0), 2) AS gh FROM gh_docs ORDER BY id""")
+      .collect()
+    val gh1 = rows(0).getSeq[Long](1)
+    assert(gh1.length == 4) // positions 1..4
+    assert(gh1(0) == gh1(2) && gh1(1) == gh1(3)) // "a b" repeats at 1,3
+    assert(gh1(0) != gh1(1))
+    assert(rows(1).getSeq[Long](1).isEmpty) // shorter than n
+  }
+
   test("chunking: strided windows with overlap, trailing repeat dropped") {
     val df = Seq((1, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
     // 4-token chunks, overlap 2 → stride 2: starts 1,3,5,7 (9 dropped:

@@ -908,6 +908,43 @@ object SparkEntry {
       pipeline.Ivf.topK(assigned, queries, centroids, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_pq" -> ((s, dir) => {
+      // rows-only: product-quantization ADC top-k (m=8 subspaces, ksub=16
+      // — ~32x less vector payload than float32; approximate by contract,
+      // like q_similarity_ivf; its lossless twin below IS oracled)
+      val emb = tbl(s, dir, "embeddings")
+      val cb = pipeline.Pq.train(emb, m = 8, ksub = 16, iters = 2)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.adcTopK(pipeline.Pq.encode(emb, cb), queries, cb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_similarity_pq_exact" -> ((s, dir) => {
+      // PQ with ksub >= corpus slice: every distinct subvector is its own
+      // centroid, quantization is lossless, ADC == exact cosine — an
+      // end-to-end oracle over train->encode->LUT->ADC (the q_similarity_
+      // ivf_exact pattern applied to PQ; slice keeps it lossless at any sf)
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 500)
+      val cb = pipeline.Pq.train(emb, m = 8, ksub = 512, iters = 0)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.adcTopK(pipeline.Pq.encode(emb, cb), queries, cb, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_similarity_ivfpq_exact" -> ((s, dir) => {
+      // IVF-PQ composed scale path, pinned exactly: nprobe = C visits every
+      // list and the lossless codebook makes ADC exact, so the pruned
+      // composition must equal brute force — machinery oracle, honest
+      // configs stay rows-only
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 500)
+      val cb = pipeline.Pq.train(emb, m = 8, ksub = 512, iters = 0)
+      val centroids = pipeline.Ivf.train(emb, c = 8, iters = 2)
+      val assigned = pipeline.Pq.encode(pipeline.Ivf.assign(emb, centroids), cb)
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.ivfPqTopK(assigned, queries, centroids, cb, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_similarity_lsh" -> ((s, dir) => {
       // ANN via random-hyperplane LSH banding, oracle-checked against the
       // brute-force top-k (recall 1.0 on the gate corpus at 32 bands ×
@@ -2017,6 +2054,40 @@ object SparkEntry {
            CAST(16 + checksum % 1024 AS INTEGER) AS width,
            CAST(16 + (checksum // 1024) % 1024 AS INTEGER) AS height
          FROM f ORDER BY id""",
+    "q_similarity_pq_exact" ->
+      // ksub >= corpus slice makes PQ lossless → ADC == exact cosine, so
+      // brute-force top-k is the exact oracle for train->encode->LUT->ADC
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                    FROM embeddings WHERE vec_id < 500),
+         q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding, q.query_vec) AS raw_cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_similarity_ivfpq_exact" ->
+      // nprobe = C + lossless codebook: the composed IVF-PQ path must
+      // equal brute force on the same slice
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                    FROM embeddings WHERE vec_id < 500),
+         q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding, q.query_vec) AS raw_cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q_similarity_ivf_exact" ->
       // nprobe = C makes IVF exhaustive → brute-force top-k is the exact
       // oracle for the whole train/assign/probe pipeline
@@ -2216,6 +2287,8 @@ object SparkEntry {
          FROM t ORDER BY source, doc_id"""
     // rows-only (genuinely approximate or non-SQL): q_dedup_simhash
     // (xxhash64 signature), q_similarity_ivf (IVF recall < 1 — honest
-    // approximation; its exhaustive twin q_similarity_ivf_exact IS oracled)
+    // approximation; its exhaustive twin q_similarity_ivf_exact IS oracled),
+    // q_similarity_pq (ADC quantization error by contract; its lossless
+    // twins q_similarity_pq_exact / q_similarity_ivfpq_exact ARE oracled)
   )
 }

@@ -163,6 +163,37 @@ case class VecNorm(child: Expression)
   override def prettyName: String = "vec_norm"
 }
 
+/** `v / ‖v‖₂` as `array<double>` in one pass; zero vectors pass through
+  * as zero (downstream dot products score 0 — same contract as
+  * `vec_cosine`'s NaN guard). The native form keeps normalization out of
+  * the interpreted `transform(v, x -> x / norm)` lambda, which would
+  * re-evaluate the norm child per element. */
+case class VecNormalize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val et = VecOps.elemType(child.dataType)
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = VecOps.get(a, et, i)
+      i += 1
+    }
+    var s = 0.0; i = 0
+    while (i < n) { s += out(i) * out(i); i += 1 }
+    val norm = math.sqrt(s)
+    if (norm > 0) { i = 0; while (i < n) { out(i) /= norm; i += 1 } }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecNormalize = copy(child = c)
+  override def prettyName: String = "vec_normalize"
+}
+
 /** Random-hyperplane LSH band buckets: `bands` values, each packing
   * `bitsPerBand` sign bits of deterministic ±1 hyperplane projections.
   * The hyperplane sign matrix is derived from a splitmix64-style hash of
@@ -233,6 +264,8 @@ object VecFunctions {
     Bridge.column(VecNorm(Bridge.expression(v)))
   def vec_cosine(a: Column, b: Column): Column =
     Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
+  def vec_normalize(v: Column): Column =
+    Bridge.column(VecNormalize(Bridge.expression(v)))
   def rhp_buckets(v: Column, bands: Int, bitsPerBand: Int): Column =
     Bridge.column(RhpBuckets(Bridge.expression(v), bands, bitsPerBand))
 }

@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import graft.functions.PqFunctions.{pq_adc, pq_encode, pq_lut}
+import graft.functions.VecFunctions.vec_normalize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-quantization ANN — the memory/bandwidth scale path alongside
+  * [[Similarity.lshTopK]] (pruning) and [[Ivf]] (partition pruning).
+  *
+  * Where IVF reduces how MUCH of the corpus a query touches, PQ reduces how
+  * BIG each touched row is: vectors are stored as `m` centroid indices
+  * (~`m` bytes parquet-packed) instead of `dims` floats — ~32× less vector
+  * I/O at 64 dims / 8 subspaces — and queries score codes against a
+  * per-query lookup table (ADC) without ever reading a float vector. The
+  * two compose: encode each IVF list's vectors and this becomes IVF-PQ,
+  * FAISS's default 100 TB shape ([[ivfPqTopK]]).
+  *
+  * Cosine semantics: vectors are L2-normalized before training/encoding
+  * (spherical PQ), so the ADC inner product approximates the cosine of the
+  * ORIGINAL vectors, and scores are comparable with the rest of the ANN
+  * suite. Approximation error shrinks as `ksub` grows; when every distinct
+  * subvector fits in the codebook (`ksub` ≥ distinct subvectors),
+  * quantization is lossless and ADC equals exact cosine — the property the
+  * oracle query pins (`q_similarity_pq_exact`).
+  *
+  * Scale shape: training is `iters` narrow assignment passes + one
+  * model-sized aggregate each (same discipline as [[Ivf.train]] — only
+  * `(subspace, code, dim, mean)` rows ever reach the driver); encoding is
+  * one narrow projection; search is scan codes → ADC per row → bounded
+  * per-query top-k window. The corpus is never shuffled; queries (with
+  * their LUTs) are broadcast.
+  */
+object Pq {
+
+  // normalization lives inside the PQ kernels (PqEncode/PqLut) and in the
+  // native vec_normalize used by training — never in an interpreted
+  // transform lambda
+
+  /** Train per-subspace codebooks: `m` subspaces × up to `ksub` centroids
+    * each, on L2-normalized vectors.
+    *
+    * Deterministic: seeds are the first `ksub` DISTINCT subvectors in id
+    * order (per subspace — one small `groupBy(sub).agg(min(id))` job each;
+    * if the corpus holds fewer distinct subvectors the codebook is exactly
+    * them, which makes quantization lossless); then `iters` Lloyd rounds
+    * (assignment = one [[graft.functions.PqEncode]] pass, update = one
+    * `(subspace, code, dim)` mean aggregate — model-sized collect, never
+    * data-sized). Empty cells keep their previous centroid. */
+  def train(corpus: DataFrame, m: Int, ksub: Int = 16, iters: Int = 2,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0, "m, ksub >= 1; iters >= 0")
+    val normed = corpus.select(col(idCol).as("id"),
+      vec_normalize(col(vecCol)).as("v"))
+    val dims = normed.select(size(col("v"))).head().getInt(0)
+    require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
+    val dsub = dims / m
+    // seeds: per subspace, the first ksub distinct subvectors in id order
+    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      normed.select(slice(col("v"), s * dsub + 1, dsub).as("sub"), col("id"))
+        .groupBy("sub").agg(min("id").as("first_id"))
+        .orderBy("first_id").limit(ksub)
+        .collect().map(_.getSeq[Double](0).toArray)
+    }
+    var it = 0
+    while (it < iters) {
+      val assigned = normed.withColumn("codes", pq_encode(col("v"), codebooks))
+      val means = assigned
+        .select(col("codes"), posexplode(col("v")))
+        .withColumn("s", (col("pos") / dsub).cast("int"))
+        .withColumn("c", element_at(col("codes"), col("s") + 1))
+        .withColumn("d", col("pos") % dsub)
+        .groupBy("s", "c", "d").agg(avg(col("col")).as("mean"))
+        .collect()
+      val byCell = means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      codebooks = Array.tabulate(m) { s =>
+        Array.tabulate(codebooks(s).length) { c =>
+          byCell.get((s, c)) match {
+            case Some(rows) =>
+              val d = rows.map(r => r.getInt(2) -> r.getDouble(3)).toMap
+              Array.tabulate(dsub)(i => d(i))
+            case None => codebooks(s)(c)
+          }
+        }
+      }
+      it += 1
+    }
+    codebooks
+  }
+
+  /** Encode: adds `code` (`array<int>`, length m) — the stored ANN
+    * representation. Write `df.select(id, "code")` as the codes table; the
+    * float vectors are no longer needed for search. */
+  def encode(df: DataFrame, codebooks: Array[Array[Array[Double]]],
+             vecCol: String = "embedding", codeCol: String = "code"): DataFrame =
+    df.withColumn(codeCol, pq_encode(col(vecCol), codebooks))
+
+  /** Approximate top-k by ADC over PQ codes: queries get a one-off lookup
+    * table, corpus rows are scored with `m` lookups each — no float vector
+    * is read on the corpus side. Output mirrors the rest of the ANN suite
+    * (`cos` = ADC approximation of cosine, rounded to 4). */
+  def adcTopK(encoded: DataFrame, queries: DataFrame,
+              codebooks: Array[Array[Array[Double]]], k: Int,
+              idCol: String = "vec_id", codeCol: String = "code",
+              qIdCol: String = "query_id", qVecCol: String = "query_vec",
+              excludeSelf: Boolean = true): DataFrame = {
+    val ksub = codebooks(0).length
+    val q = queries.select(col(qIdCol),
+      pq_lut(col(qVecCol), codebooks).as("_lut"))
+    val joined = encoded.select(col(idCol), col(codeCol)).crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
+      .withColumn("cos", pq_adc(col(codeCol), col("_lut"), ksub))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
+  /** IVF-PQ: coarse-prune with the IVF lists, score survivors with ADC —
+    * FAISS's composed shape: a query touches `nprobe/C` of the corpus
+    * (partition pruning) AND reads only `m`-byte codes for what it touches.
+    * `assigned` must carry both `list_id` ([[Ivf.assign]]) and `code`
+    * ([[encode]] — train PQ on the same corpus). */
+  def ivfPqTopK(assigned: DataFrame, queries: DataFrame,
+                centroids: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]], k: Int, nprobe: Int = 2,
+                idCol: String = "vec_id", codeCol: String = "code",
+                qIdCol: String = "query_id", qVecCol: String = "query_vec",
+                excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.IvfFunctions.probe_lists
+    val ksub = codebooks(0).length
+    val probes = queries.select(col(qIdCol),
+      pq_lut(col(qVecCol), codebooks).as("_lut"),
+      explode(probe_lists(col(qVecCol).cast("array<double>"), centroids, nprobe))
+        .as("list_id"))
+    val joined = assigned.select(col("list_id"), col(idCol), col(codeCol))
+      .join(broadcast(probes), Seq("list_id"))
+    val scored = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
+      .withColumn("cos", pq_adc(col(codeCol), col("_lut"), ksub))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+}

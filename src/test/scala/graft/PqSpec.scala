@@ -1,0 +1,95 @@
+package graft
+
+import graft.pipeline.{Ivf, Pq, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product-quantization ANN: encode determinism, lossless-config exactness
+  * vs brute force, approximation recall, and the no-corpus-shuffle plan. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  // deterministic 8-dim corpus: two tight clusters + an outlier; doc 0/1
+  // and 10/11 are near-twins so top-1 neighbors are unambiguous
+  private def corpus = Seq(
+    (0L, Array(1.0, 0.9, 0.0, 0.1, 0.0, 0.0, 0.1, 0.0)),
+    (1L, Array(0.9, 1.0, 0.1, 0.0, 0.0, 0.1, 0.0, 0.0)),
+    (2L, Array(1.0, 0.8, 0.1, 0.1, 0.1, 0.0, 0.0, 0.1)),
+    (10L, Array(0.0, 0.1, 1.0, 0.9, 0.1, 0.0, 0.0, 0.0)),
+    (11L, Array(0.1, 0.0, 0.9, 1.0, 0.0, 0.1, 0.0, 0.0)),
+    (12L, Array(0.0, 0.0, 1.0, 0.7, 0.0, 0.0, 0.1, 0.1)),
+    (20L, Array(0.0, 0.0, 0.0, 0.0, 0.9, 1.0, 0.8, 0.7)))
+    .toDF("vec_id", "embedding")
+
+  private def queriesOf(df: org.apache.spark.sql.DataFrame, ids: Long*) =
+    df.where(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+
+  test("encode: codes are per-subspace indices in range, deterministic") {
+    val cb = Pq.train(corpus, m = 4, ksub = 3, iters = 2)
+    assert(cb.length == 4 && cb.forall(_.length <= 3) && cb.forall(_.forall(_.length == 2)))
+    val codes = Pq.encode(corpus, cb).select("vec_id", "code")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 3)))
+    val again = Pq.encode(corpus, Pq.train(corpus, m = 4, ksub = 3, iters = 2))
+      .select("vec_id", "code").collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == again)
+  }
+
+  test("lossless config (ksub >= distinct subvectors) reproduces brute force exactly") {
+    // 7 vectors, ksub = 8: every distinct subvector is its own centroid, so
+    // ADC == exact cosine and the whole train->encode->score machinery is
+    // pinned end-to-end (iters = 0: seeds already saturate)
+    val cb = Pq.train(corpus, m = 4, ksub = 8, iters = 0)
+    val enc = Pq.encode(corpus, cb)
+    val qs = queriesOf(corpus, 0L, 10L, 20L)
+    val pq = Pq.adcTopK(enc, qs, cb, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exact = Similarity.bruteForceTopK(
+        corpus.withColumn("embedding", col("embedding").cast("array<double>")), qs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(pq == exact)
+  }
+
+  test("lossy config still finds the planted twin as top-1") {
+    val cb = Pq.train(corpus, m = 4, ksub = 2, iters = 2)
+    val top1 = Pq.adcTopK(Pq.encode(corpus, cb), queriesOf(corpus, 0L, 10L), cb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // twins quantize to the same cells, so ADC cannot rank them below
+    // cross-cluster vectors even at ksub = 2
+    assert(Set(1L, 2L).contains(top1(0L)), s"got $top1")
+    assert(Set(11L, 12L).contains(top1(10L)), s"got $top1")
+  }
+
+  test("ivf-pq composition: pruned probe + ADC scoring agrees with ADC on the probed lists") {
+    val cb = Pq.train(corpus, m = 4, ksub = 8, iters = 0)
+    val centroids = Ivf.train(corpus, c = 2, iters = 2)
+    val assigned = Pq.encode(Ivf.assign(corpus, centroids), cb)
+    val qs = queriesOf(corpus, 0L)
+    val out = Pq.ivfPqTopK(assigned, qs, centroids, cb, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // nprobe = C = 2 visits everything -> equals plain ADC top-k (lossless
+    // codebook -> equals brute force)
+    val full = Pq.adcTopK(Pq.encode(corpus, cb), qs, cb, k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == full.toSeq)
+  }
+
+  test("plan: corpus side is never shuffled before scoring; queries broadcast") {
+    val cb = Pq.train(corpus, m = 4, ksub = 4, iters = 1)
+    val plan = Pq.adcTopK(Pq.encode(corpus, cb), queriesOf(corpus, 0L), cb, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan)
+    // the only exchange is the bounded per-query top-k window partitioning
+    assert(plan.split("Exchange").length - 1 <= 2, plan)
+  }
+
+  test("zero vectors never outrank real neighbors (normalize guard)") {
+    val withZero = corpus.union(Seq((99L, Array.fill(8)(0.0))).toDF("vec_id", "embedding"))
+    val cb = Pq.train(withZero, m = 4, ksub = 8, iters = 0)
+    val top = Pq.adcTopK(Pq.encode(withZero, cb), queriesOf(withZero, 0L), cb, k = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!top.contains(99L))
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FuzzyTokenMatch, GramHashes, GramRepetition, JsonFlattenExpr, JsonGetExpr, MinHashSig, RhpBuckets, SimHash64, VecCosine, VecDot, VecNorm, VecNormalize, WordShingles}
+import graft.functions.{FuzzyTokenMatch, GramHashes, GramRepetition, JsonFlattenExpr, JsonGetExpr, MinHashSig, RhpBuckets, SimHash64, VecCosine, VecDot, VecNorm, VecNormalize, VecQuantize, WordShingles}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
@@ -44,6 +44,7 @@ object GraftExtensions {
     ("vec_cosine", 2, args => VecCosine(args(0), args(1))),
     ("vec_norm", 1, args => VecNorm(args.head)),
     ("vec_normalize", 1, args => VecNormalize(args.head)),
+    ("vec_quantize", 1, args => VecQuantize(args.head)),
     ("rhp_buckets", 3, args => RhpBuckets(args(0),
       intArg(args(1), "rhp_buckets"), intArg(args(2), "rhp_buckets"))),
     ("fuzzy_token_match", 3, args => FuzzyTokenMatch(args(0),

@@ -194,6 +194,48 @@ case class VecNormalize(child: Expression)
   override def prettyName: String = "vec_normalize"
 }
 
+/** Symmetric per-vector int8-range scalar quantization in one pass:
+  * `q_i = round(x_i · 127 / max(|x|, 1e-30))` ∈ [−127, 127] as
+  * `array<int>` (ties round away from zero — Spark `round`/DuckDB `round`
+  * semantics). The declarative twin
+  * (`transform(v, x -> round(x·127/maxabs))` with `maxabs` aliased in a
+  * prior projection) is semantically identical but `CollapseProject`
+  * inlines the alias INTO the lambda, and interpreted higher-order lambdas
+  * re-evaluate children per element — the `array_max` re-runs for every
+  * element, O(dims²) per row (measured: 6.3 s of the quantized-ANN bench
+  * query, vs ~0.3 s with this kernel). */
+case class VecQuantize(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val et = VecOps.elemType(child.dataType)
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var maxabs = 1e-30
+    var i = 0
+    while (i < n) {
+      x(i) = VecOps.get(a, et, i)
+      val ab = math.abs(x(i))
+      if (ab > maxabs) maxabs = ab
+      i += 1
+    }
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val s = x(i) * 127.0 / maxabs
+      out(i) = (if (s >= 0) math.floor(s + 0.5) else math.ceil(s - 0.5)).toInt
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecQuantize = copy(child = c)
+  override def prettyName: String = "vec_quantize"
+}
+
 /** Random-hyperplane LSH band buckets: `bands` values, each packing
   * `bitsPerBand` sign bits of deterministic ±1 hyperplane projections.
   * The hyperplane sign matrix is derived from a splitmix64-style hash of
@@ -266,6 +308,8 @@ object VecFunctions {
     Bridge.column(VecCosine(Bridge.expression(a), Bridge.expression(b)))
   def vec_normalize(v: Column): Column =
     Bridge.column(VecNormalize(Bridge.expression(v)))
+  def vec_quantize(v: Column): Column =
+    Bridge.column(VecQuantize(Bridge.expression(v)))
   def rhp_buckets(v: Column, bands: Int, bitsPerBand: Int): Column =
     Bridge.column(RhpBuckets(Bridge.expression(v), bands, bitsPerBand))
 }

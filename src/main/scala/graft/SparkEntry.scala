@@ -784,6 +784,48 @@ object SparkEntry {
     }),
 
     // ---- north star: dedup (exact + MinHash + SimHash + Jaccard + cosine) ----
+    // ---- ES-DSL aggregations (the user surface the reference delegates
+    // to ES: terms / date_histogram / histogram / range buckets + metric
+    // sub-aggs, compiled to one hash-aggregate plan each) ----
+    "q_agg_terms" -> ((s, dir) => {
+      // filtered terms agg with an avg sub-agg: "of docs matching 'spark',
+      // bucket by lang, top-5 by count, average doc length per bucket"
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+              "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")
+    }),
+    "q_agg_date_histogram" -> ((s, dir) => {
+      // events per calendar day with a sum metric (double sums rounded on
+      // both sides — partial-aggregate order differs from DuckDB's scan)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"per_day": {"date_histogram":
+              {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"total_value": {"sum": {"field": "value"}}}}}}""")
+        .select(col("key"), col("doc_count"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+    "q_agg_range" -> ((s, dir) => {
+      // order-value bands with flattened stats per band
+      Aggs.runSingle(tbl(s, dir, "orders"),
+        """{"aggs": {"bands": {"range": {"field": "o_totalprice", "ranges": [
+              {"to": 100000}, {"from": 100000, "to": 300000},
+              {"key": "big", "from": 300000}]},
+            "aggs": {"price": {"stats": {"field": "o_totalprice"}}}}}}""")
+        .select(col("key"), col("doc_count"), col("price_count"),
+          col("price_min"), col("price_max"),
+          round(col("price_avg"), 2).as("price_avg"),
+          round(col("price_sum"), 2).as("price_sum"))
+    }),
+    "q_agg_histogram" -> ((s, dir) => {
+      // fixed-interval histogram over event values + exact cardinality
+      // (declared divergence: ES cardinality is approximate HLL)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"query": {"term": {"event_type": "click"}},
+            "aggs": {"v": {"histogram": {"field": "value", "interval": 20},
+              "aggs": {"users": {"cardinality": {"field": "user_id"}}}}}}""")
+    }),
+
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("fp"))
@@ -1508,6 +1550,34 @@ object SparkEntry {
          FROM orders
          WHERE date_trunc('month', o_orderdate) >= TIMESTAMP '1999-01-01'
          GROUP BY 1 ORDER BY segment""",
+    "q_agg_terms" ->
+      """SELECT lang AS key, count(*) AS doc_count, avg(n_chars) AS avg_chars
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL
+         GROUP BY lang
+         ORDER BY doc_count DESC, key LIMIT 5""",
+    "q_agg_date_histogram" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
+           count(*) AS doc_count, round(sum(value), 2) AS total_value
+         FROM events
+         GROUP BY 1 ORDER BY key""",
+    "q_agg_range" ->
+      """WITH b AS (
+           SELECT o_totalprice,
+             CASE WHEN o_totalprice < 100000 THEN '*-100000.0'
+                  WHEN o_totalprice < 300000 THEN '100000.0-300000.0'
+                  ELSE 'big' END AS key
+           FROM orders)
+         SELECT key, count(*) AS doc_count, count(o_totalprice) AS price_count,
+           min(o_totalprice) AS price_min, max(o_totalprice) AS price_max,
+           round(avg(o_totalprice), 2) AS price_avg,
+           round(sum(o_totalprice), 2) AS price_sum
+         FROM b GROUP BY key ORDER BY key""",
+    "q_agg_histogram" ->
+      """SELECT floor(value / 20) * 20 AS key, count(*) AS doc_count,
+           count(DISTINCT user_id) AS users
+         FROM events WHERE event_type = 'click'
+         GROUP BY 1 ORDER BY key""",
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
            min(doc_id) AS keep_id, count(*) AS dup_cnt

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ES-DSL aggregations: bucket/metric semantics, the query filter, and the
+  * hash-aggregate plan shape. */
+class AggsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark rocks", "en", 10.0),
+    (2L, "spark and cassandra", "en", 20.0),
+    (3L, "spark streaming", "de", 30.0),
+    (4L, "flink only", "de", 40.0),
+    (5L, "spark again", "fr", 50.0),
+    (6L, "no language", null.asInstanceOf[String], 60.0))
+    .toDF("doc_id", "text", "lang", "score")
+
+  test("terms: count-desc key-asc order, size cap, null keys dropped") {
+    val out = Aggs.runSingle(docs,
+      """{"aggs":{"by_lang":{"terms":{"field":"lang","size":2}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("de", 2L), ("en", 2L))) // fr cut by size, null dropped
+  }
+
+  test("terms with metric sub-aggs: avg and stats flatten per bucket") {
+    val out = Aggs.runSingle(docs,
+      """{"aggs":{"by_lang":{"terms":{"field":"lang"},
+           "aggs":{"avg_score":{"avg":{"field":"score"}},
+                   "s":{"stats":{"field":"score"}}}}}}""")
+      .where(col("key") === "de").collect().head
+    assert(out.getLong(1) == 2L) // doc_count
+    assert(out.getDouble(2) == 35.0) // avg_score
+    assert(out.getLong(3) == 2L && out.getDouble(4) == 30.0 &&
+      out.getDouble(5) == 40.0 && out.getDouble(6) == 35.0 && out.getDouble(7) == 70.0)
+  }
+
+  test("query filter applies before bucketing") {
+    val out = Aggs.runSingle(docs,
+      """{"query":{"match":{"text":"spark"}},
+          "aggs":{"by_lang":{"terms":{"field":"lang"}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("en" -> 2L, "de" -> 1L, "fr" -> 1L))
+  }
+
+  test("histogram: fixed-interval buckets in key order, empty buckets absent") {
+    val out = Aggs.runSingle(docs,
+      """{"aggs":{"h":{"histogram":{"field":"score","interval":25}}}}""")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0.0, 2L), (25.0, 2L), (50.0, 2L)))
+  }
+
+  test("range: from inclusive, to exclusive, ES labels and custom keys, open ends") {
+    val out = Aggs.runSingle(docs,
+      """{"aggs":{"r":{"range":{"field":"score","ranges":[
+           {"to":20},{"from":20,"to":50},{"key":"big","from":50}]}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("*-20.0" -> 1L, "20.0-50.0" -> 3L, "big" -> 2L))
+  }
+
+  test("date_histogram: calendar day buckets with a sum sub-agg") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-03-01 23:59:59"), 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-03-02 00:00:01"), 4.0))
+      .toDF("event_id", "ts", "value")
+    val out = Aggs.runSingle(events,
+      """{"aggs":{"per_day":{"date_histogram":{"field":"ts","calendar_interval":"day"},
+           "aggs":{"total":{"sum":{"field":"value"}}}}}}""")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("2024-03-01 00:00:00.0", 2L, 3.0), ("2024-03-02 00:00:00.0", 1L, 4.0)))
+  }
+
+  test("global metrics: stats row and exact cardinality") {
+    val stats = Aggs.runSingle(docs, """{"aggs":{"s":{"stats":{"field":"score"}}}}""")
+      .collect().head
+    assert(stats.getLong(0) == 6L && stats.getDouble(1) == 10.0 &&
+      stats.getDouble(2) == 60.0 && stats.getDouble(3) == 35.0 && stats.getDouble(4) == 210.0)
+    val card = Aggs.runSingle(docs,
+      """{"aggs":{"c":{"cardinality":{"field":"lang"}}}}""").collect().head.getLong(0)
+    assert(card == 3L)
+  }
+
+  test("multiple top-level aggs return one frame each") {
+    val m = Aggs.run(docs,
+      """{"aggs":{"by_lang":{"terms":{"field":"lang"}},
+                  "avg_all":{"avg":{"field":"score"}}}}""")
+    assert(m.keySet == Set("by_lang", "avg_all"))
+    assert(m("avg_all").collect().head.getDouble(0) == 35.0)
+  }
+
+  test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
+    def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
+    assert(bad("""{"aggs":{"x":{"percentiles":{"field":"score"}}}}""")
+      .getMessage.contains("unsupported aggregation type"))
+    assert(bad("""{"aggs":{"x":{"terms":{"field":"lang"},
+        "aggs":{"y":{"terms":{"field":"lang"}}}}}}""")
+      .getMessage.contains("single metric"))
+    assert(bad("""{"query":{"match_all":{}}}""").getMessage.contains("aggs"))
+  }
+
+  test("plan: terms agg is a partial+final hash aggregate, no window, one exchange") {
+    // size below the input's maxRows — on a tiny LocalRelation a limit >=
+    // maxRows is optimized away (EliminateLimits) and no top-k can appear
+    val plan = Aggs.runSingle(docs,
+      """{"aggs":{"by_lang":{"terms":{"field":"lang","size":2},
+           "aggs":{"avg_score":{"avg":{"field":"score"}}}}}}""")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    // TakeOrderedAndProject handles the size cap — no global sort either
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}

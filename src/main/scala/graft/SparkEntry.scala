@@ -262,6 +262,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_after" -> ((s, dir) => {
+      // keyset pagination: page 2 of a scored search, resuming strictly
+      // after cursor (_score=2, doc_id=100) in the (score DESC, id ASC)
+      // total order — ES search_after, the deep-pagination shape that
+      // never re-ranks the page prefix
+      val q = """{"query":{"bool":{"should":[{"match":{"text":"spark"}},
+                   {"match":{"text":"batch"}}]}},
+                  "size":50,"search_after":[2,100]}"""
+      Search.search(tbl(s, dir, "documents"), q, IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_phrase_positional" -> ((s, dir) => {
       // Positional postings: phrase candidates are "all runs present, in
       // order" (not just the longest-run probe); verification restores the
@@ -826,6 +838,18 @@ object SparkEntry {
               "aggs": {"users": {"cardinality": {"field": "user_id"}}}}}}""")
     }),
 
+    "q_agg_top_hits" -> ((s, dir) => {
+      // per-bucket top docs: the 2 highest-value events of each event_type
+      // (explicit sort + id tiebreak — deterministic-order contract)
+      Aggs.topHits(tbl(s, dir, "events"),
+        """{"aggs": {"by_type": {"terms": {"field": "event_type"},
+              "aggs": {"best": {"top_hits":
+                {"size": 2, "sort": [{"value": "desc"}]}}}}}}""",
+        idCol = "event_id")
+        .select(col("key"), col("event_id"), col("value"), col("hit_rank"))
+        .orderBy(col("key"), col("hit_rank"))
+    }),
+
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("fp"))
@@ -1207,6 +1231,17 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    "q_search_after" ->
+      """WITH scored AS (
+           SELECT doc_id, lang,
+             (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
+           FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b')
+              OR regexp_matches(lower(text), '\bbatch\b'))
+         SELECT doc_id, lang, _score FROM scored
+         WHERE _score < 2 OR (_score = 2 AND doc_id > 100)
+         ORDER BY _score DESC, doc_id LIMIT 50""",
     "q_search_topk" ->
       """SELECT doc_id, lang,
            (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
@@ -1578,6 +1613,14 @@ object SparkEntry {
            count(DISTINCT user_id) AS users
          FROM events WHERE event_type = 'click'
          GROUP BY 1 ORDER BY key""",
+    "q_agg_top_hits" ->
+      """WITH ranked AS (
+           SELECT event_type AS key, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id) AS hit_rank
+           FROM events WHERE event_type IS NOT NULL)
+         SELECT key, event_id, value, CAST(hit_rank AS INT) AS hit_rank
+         FROM ranked WHERE hit_rank <= 2 ORDER BY key, hit_rank""",
     "q_dedup_exact" ->
       """SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
            min(doc_id) AS keep_id, count(*) AS dup_cnt

@@ -69,6 +69,8 @@ object Aggs {
     m.head._2
   }
 
+  private val bucketTypes = Set("terms", "date_histogram", "histogram", "range")
+
   private def one(docs: DataFrame, name: String, spec: JsonNode): DataFrame = {
     require(spec.isObject, s"aggregation '$name' must be an object")
     val subAggs = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
@@ -76,23 +78,92 @@ object Aggs {
     require(types.size == 1, s"aggregation '$name' must have exactly one type, got: $types")
     val (tpe, body) = (types.head, spec.get(types.head))
 
+    tpe match {
+      // ---- bucket aggs: groupBy on a derived key + doc_count + sub-metrics
+      case "terms" =>
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
+          .orderBy(desc("doc_count"), asc("key"))
+          .limit(size)
+      case t if bucketTypes.contains(t) =>
+        bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
+          .orderBy(asc("key"))
+
+      // ---- top-level metric aggs: one global aggregate row
+      case _ =>
+        val ms = metric(tpe, name, body)
+        docs.agg(ms.head, ms.tail: _*)
+    }
+  }
+
+  /** Streaming form of a `date_histogram` aggregation: the same ES body,
+    * compiled to a Structured Streaming windowed aggregate — each emitted
+    * row is a FINALIZED bucket (append mode: a bucket emits once its
+    * window falls behind the watermark, so late data inside `watermark`
+    * revises nothing downstream ever sees).
+    *
+    * The `calendar_interval` is restricted to the fixed-duration units
+    * (`day`/`hour`/`minute`) — streaming tumbling windows need a constant
+    * width, and epoch-aligned fixed windows make `key` (window start)
+    * exactly equal the batch `date_trunc` bucket, so a backfill computed
+    * with [[run]] and a live stream computed here agree bucket-for-bucket
+    * (proven in StreamingSpec). Metric sub-aggs compile unchanged. */
+  def runStream(stream: DataFrame, body: String, watermark: String = "1 hour",
+                idCol: String = "doc_id"): DataFrame = {
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, "search body must be a JSON object")
+    val aggsNode = Option(root.get("aggs")).orElse(Option(root.get("aggregations")))
+      .getOrElse(throw new IllegalArgumentException("missing 'aggs'/'aggregations'"))
+    require(aggsNode.isObject && aggsNode.size == 1,
+      "streaming aggs body must have exactly one date_histogram aggregation")
+    val name = aggsNode.fieldNames.asScala.next()
+    val spec = aggsNode.get(name)
+    val dh = Option(spec.get("date_histogram")).getOrElse(
+      throw new IllegalArgumentException(
+        s"streaming aggregation '$name' must be a date_histogram"))
+    val f = Option(dh.get("field")).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException(s"date_histogram '$name' needs a 'field'"))
+    val interval = Option(dh.get("calendar_interval"))
+      .orElse(Option(dh.get("interval"))).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException(
+        s"date_histogram '$name' needs 'calendar_interval'"))
+    require(Set("day", "hour", "minute").contains(interval),
+      s"streaming calendar_interval must be a fixed duration (day/hour/minute), got '$interval'")
+    val subAggs = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
+    val metrics = subAggs.toSeq.flatMap { n =>
+      n.fieldNames.asScala.toSeq.flatMap { sub =>
+        val ts = n.get(sub).fieldNames.asScala.toList
+        require(ts.size == 1 && !bucketTypes.contains(ts.head),
+          s"sub-agg '$sub' of '$name' must be a single metric")
+        metric(ts.head, sub, n.get(sub).get(ts.head))
+      }
+    }
+    val filtered =
+      if (root.has("query"))
+        stream.where(QueryCompiler.compile(body, Int.MaxValue, idCol).predicate)
+      else stream
+    val aggCols = count(lit(1)).as("doc_count") +: metrics
+    filtered
+      .where(col(f).isNotNull)
+      .withWatermark(f, watermark)
+      .groupBy(window(col(f), s"1 $interval"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("key", col("window.start"))
+      .drop("window")
+  }
+
+  /** The grouping key a bucket-agg spec derives (shared by [[one]]'s
+    * groupBy path and [[topHits]]'s window path). */
+  private def bucketKey(tpe: String, name: String, body: JsonNode): Column = {
     def fieldOf(n: JsonNode): String = {
       val f = Option(n.get("field")).map(_.asText)
         .getOrElse(throw new IllegalArgumentException(s"'$tpe' in '$name' needs a 'field'"))
       require(f.nonEmpty, s"'$tpe' in '$name' has an empty 'field'")
       f
     }
-
     tpe match {
-      // ---- bucket aggs: groupBy on a derived key + doc_count + sub-metrics
-      case "terms" =>
-        val f = fieldOf(body)
-        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
-        bucketed(docs, col(f), subAggs, name)
-          .orderBy(desc("doc_count"), asc("key"))
-          .limit(size)
+      case "terms" => col(fieldOf(body))
       case "date_histogram" =>
-        val f = fieldOf(body)
         val interval = Option(body.get("calendar_interval"))
           .orElse(Option(body.get("interval"))).map(_.asText)
           .getOrElse(throw new IllegalArgumentException(
@@ -100,15 +171,12 @@ object Aggs {
         val allowed = Set("year", "quarter", "month", "week", "day", "hour", "minute")
         require(allowed.contains(interval),
           s"unsupported calendar_interval '$interval' (allowed: ${allowed.mkString(", ")})")
-        bucketed(docs, date_trunc(interval.toUpperCase, col(f)), subAggs, name)
-          .orderBy(asc("key"))
+        date_trunc(interval.toUpperCase, col(fieldOf(body)))
       case "histogram" =>
-        val f = fieldOf(body)
         val interval = Option(body.get("interval")).map(_.asDouble)
           .getOrElse(throw new IllegalArgumentException(s"histogram '$name' needs 'interval'"))
         require(interval > 0, s"histogram '$name' interval must be > 0")
-        bucketed(docs, floor(col(f) / interval) * interval, subAggs, name)
-          .orderBy(asc("key"))
+        floor(col(fieldOf(body)) / interval) * interval
       case "range" =>
         val f = fieldOf(body)
         val ranges = Option(body.get("ranges")).filter(_.isArray)
@@ -116,7 +184,7 @@ object Aggs {
           .elements.asScala.toSeq
         require(ranges.nonEmpty, s"range '$name' has no ranges")
         // ES label: "from-to" with * for an open end; from inclusive, to exclusive
-        val key = ranges.foldLeft(lit(null).cast("string")) { (acc, r) =>
+        ranges.foldLeft(lit(null).cast("string")) { (acc, r) =>
           val from = Option(r.get("from")).map(_.asDouble)
           val to = Option(r.get("to")).map(_.asDouble)
           require(from.isDefined || to.isDefined, s"range '$name' bucket needs from or to")
@@ -133,13 +201,66 @@ object Aggs {
           // declared divergence, overlapping ranges are rare and explicit)
           when(acc.isNotNull, acc).otherwise(when(in, lit(label)))
         }
-        bucketed(docs, key, subAggs, name).orderBy(asc("key"))
-
-      // ---- top-level metric aggs: one global aggregate row
-      case _ =>
-        val ms = metric(tpe, name, body)
-        docs.agg(ms.head, ms.tail: _*)
+      case other =>
+        throw new IllegalArgumentException(s"'$other' in '$name' is not a bucket aggregation")
     }
+  }
+
+  /** `top_hits` sub-aggregation: the top documents of every bucket, as doc
+    * ROWS (`key` + the doc's columns + `hit_rank`) — a DataFrame has no
+    * nested hit lists. The body must be one bucket agg whose single
+    * sub-agg is `top_hits`; `size` defaults to 3.
+    *
+    * DECLARED DIVERGENCE from ES: `sort` is REQUIRED (ES defaults to
+    * `_score`; a deterministic engine needs an explicit order), as
+    * `[{"field": "asc"|"desc"}, ...]` or the long
+    * `[{"field": {"order": ...}}]` form, and `idCol` always appends as the
+    * final ascending tiebreak. The per-bucket top-k is a window partitioned
+    * by the bucket key — bounded by bucket size, never a global window. */
+  def topHits(docs: DataFrame, body: String, idCol: String = "doc_id"): DataFrame = {
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, "search body must be a JSON object")
+    val aggsNode = Option(root.get("aggs")).orElse(Option(root.get("aggregations")))
+      .getOrElse(throw new IllegalArgumentException("missing 'aggs'/'aggregations'"))
+    require(aggsNode.isObject && aggsNode.size == 1,
+      "top_hits body must have exactly one bucket aggregation")
+    val name = aggsNode.fieldNames.asScala.next()
+    val spec = aggsNode.get(name)
+    val types = spec.fieldNames.asScala.filterNot(f => f == "aggs" || f == "aggregations").toList
+    require(types.size == 1 && bucketTypes.contains(types.head),
+      s"'$name' must be a single bucket aggregation, got: $types")
+    val subAggs = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
+      .getOrElse(throw new IllegalArgumentException(s"'$name' needs a top_hits sub-agg"))
+    val subNames = subAggs.fieldNames.asScala.toList
+    require(subNames.size == 1 && subAggs.get(subNames.head).has("top_hits"),
+      s"'$name' must have exactly one top_hits sub-agg")
+    val th = subAggs.get(subNames.head).get("top_hits")
+    val size = Option(th.get("size")).map(_.asInt).getOrElse(3)
+    require(size >= 1, "top_hits size must be >= 1")
+    val sortNode = Option(th.get("sort")).filter(_.isArray)
+      .getOrElse(throw new IllegalArgumentException(
+        "top_hits needs an explicit 'sort' (deterministic-order contract)"))
+    val sorts = sortNode.elements.asScala.toSeq.map { s =>
+      require(s.isObject && s.size == 1, s"sort entry must be {field: order}, got: $s")
+      val f = s.fieldNames.asScala.next()
+      val ord = if (s.get(f).isTextual) s.get(f).asText
+                else Option(s.get(f).get("order")).map(_.asText).getOrElse("asc")
+      ord match {
+        case "asc" => col(f).asc
+        case "desc" => col(f).desc
+        case other => throw new IllegalArgumentException(s"bad sort order '$other'")
+      }
+    } :+ col(idCol).asc
+    val filtered =
+      if (root.has("query"))
+        docs.where(QueryCompiler.compile(body, Int.MaxValue, idCol).predicate)
+      else docs
+    val key = bucketKey(types.head, name, spec.get(types.head))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(sorts: _*)
+    filtered.where(key.isNotNull).withColumn("key", key)
+      .withColumn("hit_rank", row_number().over(w))
+      .where(col("hit_rank") <= size)
   }
 
   /** groupBy the bucket key, count, and append metric sub-aggs. */

@@ -73,7 +73,14 @@ object QueryMeta {
   * Everything compiles to `Column` trees, so predicates push down to the
   * Parquet scan and stay inside whole-stage codegen.
   */
-final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int])
+/** `searchAfter` is ES keyset pagination (`"search_after": [score, id]` in
+  * the DSL body): resume strictly after that (score, tiebreak-id) position
+  * in the engine's total (score DESC, id ASC) order. Deep pagination at
+  * 100 TB must be keyset — `from`+`size` offset paging re-ranks the whole
+  * prefix per page, which is why ES itself caps `from` at 10k and points
+  * users at search_after. */
+final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int],
+                               searchAfter: Option[(Double, Any)] = None)
 
 object QueryCompiler {
 
@@ -487,9 +494,17 @@ object QueryCompiler {
       val size = Option(root.get("size")).map(_.asInt).getOrElse(defaultLimit)
       val qNode = Option(root.get("query"))
         .getOrElse(throw new IllegalArgumentException("missing 'query'"))
+      val after = Option(root.get("search_after")).map { a =>
+        require(a.isArray && a.size == 2,
+          s"'search_after' must be [score, id], got: $a")
+        val id = if (a.get(1).isTextual) a.get(1).asText
+                 else if (a.get(1).isIntegralNumber) a.get(1).asLong
+                 else a.get(1).asDouble
+        (a.get(0).asDouble, id: Any)
+      }
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol)
-      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size))
+      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after)
     }
 
     private def node(n: JsonNode,

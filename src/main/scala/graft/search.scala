@@ -23,9 +23,17 @@ object Search {
   def topK(docs: DataFrame, q: CompiledQuery, cfg: IndexConfig,
            tiebreak: String = "doc_id"): DataFrame = {
     val limit = q.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
-    docs.where(q.predicate)
-      .withColumn("_score", q.score)
-      .orderBy(desc("_score"), col(tiebreak))
+    val scored = docs.where(q.predicate).withColumn("_score", q.score)
+    // search_after: keyset-resume strictly after (score, id) in the
+    // (score DESC, id ASC) total order — the page predicate composes with
+    // the scan filter, so every page is one pruned top-k, never a
+    // whole-prefix re-rank (ES search_after semantics)
+    val paged = q.searchAfter match {
+      case Some((s, id)) => scored.where(
+        col("_score") < s || (col("_score") === s && col(tiebreak) > lit(id)))
+      case None => scored
+    }
+    paged.orderBy(desc("_score"), col(tiebreak))
       .limit(limit)
   }
 

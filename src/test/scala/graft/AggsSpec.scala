@@ -92,6 +92,31 @@ class AggsSpec extends AnyFunSuite {
     assert(m("avg_all").collect().head.getDouble(0) == 35.0)
   }
 
+  test("top_hits: per-bucket top docs by explicit sort, id tiebreak, query filter") {
+    val out = Aggs.topHits(docs,
+      """{"query":{"match":{"text":"spark"}},
+          "aggs":{"by_lang":{"terms":{"field":"lang"},
+            "aggs":{"best":{"top_hits":{"size":1,"sort":[{"score":"desc"}]}}}}}}""")
+      .select("key", "doc_id", "hit_rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // en: docs 1 (10.0) vs 2 (20.0) -> 2; de: only 3 matches 'spark'; fr: 5
+    assert(out == Set(("en", 2L, 1), ("de", 3L, 1), ("fr", 5L, 1)))
+  }
+
+  test("top_hits: size > 1 ranks within bucket; missing sort is loud") {
+    val out = Aggs.topHits(docs,
+      """{"aggs":{"by_lang":{"terms":{"field":"lang"},
+            "aggs":{"best":{"top_hits":{"size":2,"sort":[{"score":{"order":"asc"}}]}}}}}}""")
+      .where(col("key") === "en")
+      .select("doc_id", "hit_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSet == Set((1L, 1), (2L, 2)))
+    val e = intercept[IllegalArgumentException](Aggs.topHits(docs,
+      """{"aggs":{"x":{"terms":{"field":"lang"},
+           "aggs":{"y":{"top_hits":{"size":1}}}}}}"""))
+    assert(e.getMessage.contains("sort"))
+  }
+
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
     assert(bad("""{"aggs":{"x":{"percentiles":{"field":"score"}}}}""")

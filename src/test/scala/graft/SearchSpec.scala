@@ -14,6 +14,26 @@ class SearchSpec extends AnyFunSuite {
     ("3", "spark streaming joins", "de"),
     ("4", "batch sort merge", "de")).toDF("doc_id", "text", "lang")
 
+  test("search_after pages partition the ordered result set, no overlap") {
+    def page(after: Option[(Int, String)]) = {
+      val afterClause = after.map { case (s, id) =>
+        s""","search_after":[$s,"$id"]""" }.getOrElse("")
+      Search.search(docs,
+        s"""{"query":{"bool":{"should":[{"match":{"text":"spark"}},
+             {"match":{"text":"batch"}},{"match":{"text":"streaming"}}]}},
+             "size":2$afterClause}""", IndexConfig())
+        .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))
+    }
+    val p1 = page(None)
+    val p2 = page(Some((p1.last._2, p1.last._1)))
+    val p3 = page(Some((p2.last._2, p2.last._1)))
+    assert((p1 ++ p2).toSeq == Seq(("1", 2), ("3", 2), ("2", 1), ("4", 1)))
+    assert(p3.isEmpty) // past the end: empty page, not an error
+    // a mid-tie resume must not skip the tied sibling
+    val afterFirst = page(Some((2, "1")))
+    assert(afterFirst.head == ("3", 2))
+  }
+
   test("term scoring counts matched positive leaves, ordered desc") {
     val out = Search.search(docs, "text:spark OR text:batch", IndexConfig())
       .select("doc_id", "_score").collect().map(r => (r.getString(0), r.getInt(1)))

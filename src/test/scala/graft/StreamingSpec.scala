@@ -103,6 +103,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains(("2024-01-01 00:00:00.0", "click", 2L)))
   }
 
+  test("streaming date_histogram agg: finalized buckets equal the batch Aggs result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val body = """{"query":{"term":{"event_type":"click"}},
+                   "aggs":{"per_hour":{"date_histogram":
+                     {"field":"ts","calendar_interval":"hour"},
+                   "aggs":{"total":{"sum":{"field":"value"}}}}}}"""
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Aggs.runStream(events, body, watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("agg_stream_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val hour0 = Seq((t("2024-01-01 00:05:00"), "click", 1.5),
+      (t("2024-01-01 00:45:00"), "click", 2.0),
+      (t("2024-01-01 00:50:00"), "view", 9.0)) // filtered by the query
+    try {
+      input.addData(hour0: _*)
+      q.processAllAvailable()
+      // event time moves past hour0 + watermark -> hour-0 bucket finalizes
+      input.addData((t("2024-01-01 02:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      input.addData((t("2024-01-01 05:00:00"), "click", 8.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT key, doc_count, total FROM agg_stream_out")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    // the same body over the same rows as a batch: closed buckets must agree
+    val batch = Aggs.runSingle(
+        (hour0 ++ Seq((t("2024-01-01 02:00:00"), "click", 4.0)))
+          .toDF("ts", "event_type", "value"), body)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
+    assert(streamed.contains(("2024-01-01 00:00:00.0", 2L, 3.5)))
+    assert(streamed.contains(("2024-01-01 02:00:00.0", 1L, 4.0)))
+  }
+
   test("file-based readStream over fixture parquet matches the batch result") {
     import org.apache.spark.sql.functions._
     // stage the fixture as an arriving file (S1: readStream on a change feed)

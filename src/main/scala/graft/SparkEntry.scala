@@ -838,6 +838,38 @@ object SparkEntry {
               "aggs": {"users": {"cardinality": {"field": "user_id"}}}}}}""")
     }),
 
+    "q_agg_composite" -> ((s, dir) => {
+      // composite agg page 2: keyset bucket pagination over a two-source
+      // tuple, resuming strictly after (A, F) — full bucket extraction as
+      // bounded pages, the agg-side search_after
+      Aggs.runSingle(tbl(s, dir, "lineitem"),
+        """{"aggs": {"flag_status": {"composite": {"size": 10, "sources": [
+              {"l_returnflag": {"terms": {"field": "l_returnflag"}}},
+              {"l_linestatus": {"terms": {"field": "l_linestatus"}}}],
+              "after": {"l_returnflag": "A", "l_linestatus": "F"}},
+            "aggs": {"qty": {"sum": {"field": "l_quantity"}}}}}}""")
+        .select(col("l_returnflag"), col("l_linestatus"), col("doc_count"),
+          round(col("qty"), 2).as("qty"))
+    }),
+    "q_agg_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (declared divergence: ES t-digest is
+      // approximate) over query-filtered events
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"query": {"term": {"event_type": "view"}},
+            "aggs": {"v": {"percentiles":
+              {"field": "value", "percents": [50, 90, 99]}}}}""")
+        .select(round(col("v_p50"), 4).as("v_p50"),
+          round(col("v_p90"), 4).as("v_p90"), round(col("v_p99"), 4).as("v_p99"))
+    }),
+    "q_index_terms_agg" -> ((s, dir) => {
+      // terms agg over an analyzed text field served from the postings
+      // store alone — the corpus is never scanned (ES fielddata analog;
+      // index-analyzer tokens, [a-z0-9_] runs)
+      val docs = tbl(s, dir, "documents")
+      val postings = TextIndex.buildPostings(docs, "doc_id", Seq("text"))
+      TextIndex.termsAggIndexed(postings, "text", k = 200)
+        .orderBy(desc("freq"), col("token"))
+    }),
     "q_agg_top_hits" -> ((s, dir) => {
       // per-bucket top docs: the 2 highest-value events of each event_type
       // (explicit sort + id tiebreak — deterministic-order contract)
@@ -1613,6 +1645,28 @@ object SparkEntry {
            count(DISTINCT user_id) AS users
          FROM events WHERE event_type = 'click'
          GROUP BY 1 ORDER BY key""",
+    "q_agg_composite" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS doc_count,
+           round(sum(l_quantity), 2) AS qty
+         FROM lineitem
+         WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           AND (l_returnflag > 'A'
+                OR (l_returnflag = 'A' AND l_linestatus > 'F'))
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus LIMIT 10""",
+    "q_agg_percentiles" ->
+      """SELECT round(quantile_cont(value, 0.50), 4) AS v_p50,
+           round(quantile_cont(value, 0.90), 4) AS v_p90,
+           round(quantile_cont(value, 0.99), 4) AS v_p99
+         FROM events WHERE event_type = 'view'""",
+    "q_index_terms_agg" ->
+      """WITH w AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               x -> len(x) > 0)) AS token
+           FROM documents)
+         SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+         FROM w GROUP BY token ORDER BY freq DESC, token LIMIT 200""",
     "q_agg_top_hits" ->
       """WITH ranked AS (
            SELECT event_type AS key, event_id, value,

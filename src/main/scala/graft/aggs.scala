@@ -85,6 +85,7 @@ object Aggs {
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
           .orderBy(desc("doc_count"), asc("key"))
           .limit(size)
+      case "composite" => composite(docs, name, body, subAggs)
       case t if bucketTypes.contains(t) =>
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
           .orderBy(asc("key"))
@@ -94,6 +95,64 @@ object Aggs {
         val ms = metric(tpe, name, body)
         docs.agg(ms.head, ms.tail: _*)
     }
+  }
+
+  /** `composite` aggregation: keyset-paginated buckets — the agg-side
+    * `search_after`. ES's answer to "extract EVERY bucket": buckets order
+    * by their source-key tuple (ascending), `size` caps the page, and
+    * `after` resumes strictly past a key tuple, so each page is one
+    * hash-aggregate + top-k — no page ever re-ranks its prefix, which is
+    * what makes full bucket extraction over a 100 TB corpus a sequence of
+    * bounded queries. Supported sources: `terms` (declared subset; one or
+    * more, each `{name: {"terms": {"field": f}}}`). Docs with a null in
+    * any source key are skipped (ES default, no `missing_bucket`).
+    * Output: one column per source name, `doc_count`, metric sub-aggs. */
+  private def composite(docs: DataFrame, name: String, body: JsonNode,
+                        subAggs: Option[JsonNode]): DataFrame = {
+    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    val sourcesNode = Option(body.get("sources")).filter(_.isArray)
+      .getOrElse(throw new IllegalArgumentException(s"composite '$name' needs 'sources'"))
+    val sources = sourcesNode.elements.asScala.toSeq.map { s =>
+      require(s.isObject && s.size == 1, s"composite source must be a single-entry object: $s")
+      val srcName = s.fieldNames.asScala.next()
+      val terms = Option(s.get(srcName).get("terms"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"composite '$name' source '$srcName' must be a terms source"))
+      val f = Option(terms.get("field")).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"composite source '$srcName' needs a 'field'"))
+      srcName -> f
+    }
+    require(sources.nonEmpty, s"composite '$name' has no sources")
+    val metrics = subAggs.toSeq.flatMap { n =>
+      n.fieldNames.asScala.toSeq.flatMap { sub =>
+        val ts = n.get(sub).fieldNames.asScala.toList
+        require(ts.size == 1 && !bucketTypes.contains(ts.head) && ts.head != "composite",
+          s"sub-agg '$sub' of '$name' must be a single metric")
+        metric(ts.head, sub, n.get(sub).get(ts.head))
+      }
+    }
+    val nonNull = sources.map { case (_, f) => col(f).isNotNull }.reduce(_ && _)
+    val aggCols = count(lit(1)).as("doc_count") +: metrics
+    val grouped = docs.where(nonNull)
+      .groupBy(sources.map { case (n2, f) => col(f).as(n2) }: _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    // after: strictly-greater tuple in the sources' ascending order
+    val paged = Option(body.get("after")).map { a =>
+      val afterVals = sources.map { case (n2, _) =>
+        val v = Option(a.get(n2)).getOrElse(throw new IllegalArgumentException(
+          s"composite 'after' is missing source '$n2'"))
+        if (v.isTextual) lit(v.asText)
+        else if (v.isIntegralNumber) lit(v.asLong)
+        else lit(v.asDouble)
+      }
+      val keys = sources.map { case (n2, _) => col(n2) }
+      val gt = keys.zip(afterVals).reverse.foldLeft(lit(false)) {
+        case (acc, (k, av)) => (k > av) || (k === av && acc)
+      }
+      grouped.where(gt)
+    }.getOrElse(grouped)
+    paged.orderBy(sources.map { case (n2, _) => asc(n2) }: _*).limit(size)
   }
 
   /** Streaming form of a `date_histogram` aggregation: the same ES body,
@@ -298,6 +357,21 @@ object Aggs {
         count(col(f)).as(s"${name}_count"), min(col(f)).as(s"${name}_min"),
         max(col(f)).as(s"${name}_max"), avg(col(f)).as(s"${name}_avg"),
         sum(col(f)).as(s"${name}_sum"))
+      case "percentiles" =>
+        // EXACT linear-interpolated percentiles (Spark `percentile`, one
+        // sort-based aggregate) — declared divergence from ES's t-digest
+        // approximation, same exactness trade as `cardinality`. Flattened
+        // to <name>_p<percent> columns ('.' → '_').
+        val percents = Option(body.get("percents")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.map(_.asDouble))
+          .getOrElse(Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0))
+        require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+          s"percentiles '$name' percents must be in [0, 100]")
+        percents.map { p =>
+          val suffix = (if (p == p.floor) p.toInt.toString else p.toString)
+            .replace('.', '_')
+          percentile(col(f), lit(p / 100.0)).as(s"${name}_p$suffix")
+        }
       case other => throw new IllegalArgumentException(s"unsupported aggregation type '$other'")
     }
   }

@@ -105,6 +105,23 @@ object TextIndex {
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets)).cast("int"))
   }
 
+  /** Token-level terms aggregation served from the postings store ALONE —
+    * the index-side analog of an ES terms agg over an analyzed text field
+    * (fielddata) and of [[graft.pipeline.TextStats.vocabulary]]: top-k
+    * tokens with occurrence (`freq` = Σtf) and document (`doc_freq`)
+    * counts. The corpus is never scanned — at 100 TB the postings store is
+    * the only thing that can answer "most frequent tokens" interactively,
+    * and the same staleness contract as [[bm25Indexed]] applies (append-
+    * only stores overcount until compaction; exact on fresh/compacted).
+    * Tokens follow the INDEX analyzer (`[a-z0-9_]` runs), not the
+    * whitespace tokenizer of the corpus-scan vocabulary. */
+  def termsAggIndexed(postings: DataFrame, field: String, k: Int): DataFrame =
+    postings.where(col("field") === field)
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("freq"), count(lit(1)).as("doc_freq"))
+      .orderBy(desc("freq"), col("token"))
+      .limit(k)
+
   /** [[buildPostings]] plus a `positions` column: the sorted word-run
     * indices of each token occurrence — Lucene's positions. A positional
     * store is a schema superset of the plain one (every query path works on

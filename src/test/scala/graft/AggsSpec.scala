@@ -92,6 +92,40 @@ class AggsSpec extends AnyFunSuite {
     assert(m("avg_all").collect().head.getDouble(0) == 35.0)
   }
 
+  test("composite: keyset bucket pages in source order, after resumes strictly past") {
+    val page1 = Aggs.runSingle(docs,
+      """{"aggs":{"c":{"composite":{"size":2,"sources":[
+           {"l":{"terms":{"field":"lang"}}}]}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(page1.toSeq == Seq(("de", 2L), ("en", 2L)))
+    val page2 = Aggs.runSingle(docs,
+      """{"aggs":{"c":{"composite":{"size":2,"sources":[
+           {"l":{"terms":{"field":"lang"}}}],"after":{"l":"en"}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(page2.toSeq == Seq(("fr", 1L))) // nulls skipped, past the end next
+  }
+
+  test("composite: multi-source tuple order and metric sub-aggs") {
+    val rows = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 4.0), ("a", 2L, 8.0))
+      .toDF("g", "n", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"c":{"composite":{"size":10,"sources":[
+           {"g":{"terms":{"field":"g"}}},{"n":{"terms":{"field":"n"}}}],
+           "after":{"g":"a","n":1}},
+           "aggs":{"total":{"sum":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 2L, 2L, 10.0), ("b", 1L, 1L, 4.0)))
+  }
+
+  test("percentiles: exact interpolated, custom percents, flattened columns") {
+    val rows = Seq(1.0, 2.0, 4.0).toDF("v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"p":{"percentiles":{"field":"v","percents":[50,90]}}}}""")
+    assert(out.columns.toSeq == Seq("p_p50", "p_p90"))
+    val r = out.collect().head
+    assert(r.getDouble(0) == 2.0 && math.abs(r.getDouble(1) - 3.6) < 1e-12)
+  }
+
   test("top_hits: per-bucket top docs by explicit sort, id tiebreak, query filter") {
     val out = Aggs.topHits(docs,
       """{"query":{"match":{"text":"spark"}},
@@ -119,7 +153,7 @@ class AggsSpec extends AnyFunSuite {
 
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
-    assert(bad("""{"aggs":{"x":{"percentiles":{"field":"score"}}}}""")
+    assert(bad("""{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")
       .getMessage.contains("unsupported aggregation type"))
     assert(bad("""{"aggs":{"x":{"terms":{"field":"lang"},
         "aggs":{"y":{"terms":{"field":"lang"}}}}}}""")

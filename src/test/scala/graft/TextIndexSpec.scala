@@ -36,6 +36,16 @@ class TextIndexSpec extends AnyFunSuite {
     })
   }
 
+  test("termsAggIndexed: token frequencies from postings alone, freq-desc token-asc") {
+    val p = TextIndex.buildPostings(
+      Seq((1L, "spark spark batch"), (2L, "spark jobs"), (3L, "batch"))
+        .toDF("doc_id", "text"), "doc_id", Seq("text"), nBuckets = 4)
+    val out = TextIndex.termsAggIndexed(p, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // spark: 3 occurrences in 2 docs; batch: 2 in 2; jobs cut by k
+    assert(out.toSeq == Seq(("spark", 3L, 2L), ("batch", 2L, 2L)))
+  }
+
   test("cover: AND picks a side, OR needs both, NOT/fuzzy/regex fall back") {
     assert(TextIndex.coverable("text:spark", fields))
     assert(TextIndex.coverable("text:spark OR text:batch", fields))

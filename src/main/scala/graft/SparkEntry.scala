@@ -262,6 +262,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_highlight" -> ((s, dir) => {
+      // whole-field highlighter: the SAME regexes the predicates evaluate,
+      // case-insensitive over the original text, one pass per field
+      Search.highlight(tbl(s, dir, "documents"), "text:spark OR text:batch*",
+          IndexConfig(), hlFields = Seq("text"))
+        .select(col("doc_id"), col("_score"), col("_highlight_text"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_after" -> ((s, dir) => {
       // keyset pagination: page 2 of a scored search, resuming strictly
       // after cursor (_score=2, doc_id=100) in the (score DESC, id ASC)
@@ -1263,6 +1271,16 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    "q_search_highlight" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bbatch[^\s]*') THEN 1 ELSE 0 END) AS _score,
+           regexp_replace(text, '(?i)(\bspark\b|\bbatch[^\s]*)',
+             '<em>\1</em>', 'g') AS _highlight_text
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+            OR regexp_matches(lower(text), '\bbatch[^\s]*')
+         ORDER BY _score DESC, doc_id""",
     "q_search_after" ->
       """WITH scored AS (
            SELECT doc_id, lang,

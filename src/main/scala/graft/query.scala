@@ -119,8 +119,13 @@ object QueryCompiler {
     * would match both; an analyzer would have stripped the `-` anyway).
     * The same applies to literal terms that start/end with a non-word
     * character. */
-  private[graft] def termMatch(field: String, term: String): Column = {
-    val lowered = lower(col(field))
+  private[graft] def termMatch(field: String, term: String): Column =
+    lower(col(field)).rlike(termPattern(term))
+
+  /** The regex [[termMatch]] evaluates, as a string — shared with
+    * [[graft.Search.highlight]], which wraps the SAME matches in markup
+    * (highlighting diverging from matching would be a lie in the output). */
+  private[graft] def termPattern(term: String): String = {
     // a wildcard char is active only when preceded by an even number of
     // backslashes
     def unescapedAt(i: Int): Boolean = {
@@ -148,9 +153,8 @@ object QueryCompiler {
       flush()
       // `?` consumes exactly one non-space char, so token-boundary anchors
       // stay; only a leading/trailing unescaped `*` (zero-or-more) drops its
-      val rx = (if (t.startsWith("*")) "" else "\\b") + body +
-               (if (t.endsWith("*") && unescapedAt(t.length - 1)) "" else "\\b")
-      lowered.rlike(rx)
+      (if (t.startsWith("*")) "" else "\\b") + body +
+        (if (t.endsWith("*") && unescapedAt(t.length - 1)) "" else "\\b")
     } else {
       val literal = new StringBuilder
       var i = 0
@@ -158,7 +162,7 @@ object QueryCompiler {
         if (term(i) == '\\' && i + 1 < term.length) { literal += term(i + 1); i += 2 }
         else { literal += term(i); i += 1 }
       }
-      lowered.rlike("\\b" + java.util.regex.Pattern.quote(literal.toString.toLowerCase) + "\\b")
+      "\\b" + java.util.regex.Pattern.quote(literal.toString.toLowerCase) + "\\b"
     }
   }
 
@@ -173,14 +177,18 @@ object QueryCompiler {
     * phrase and admits transpositions at cost 2: the ordered per-gap form
     * is the regex-expressible subset (and the common user intent). Slop 0
     * is match_phrase modulo whitespace runs. */
-  private[graft] def proximityMatch(field: String, phrase: String, slop: Int): Column = {
+  private[graft] def proximityMatch(field: String, phrase: String, slop: Int): Column =
+    lower(col(field)).rlike(proximityPattern(phrase, slop))
+
+  /** The regex [[proximityMatch]] evaluates (see [[termPattern]]). */
+  private[graft] def proximityPattern(phrase: String, slop: Int): String = {
     require(slop >= 0, s"slop must be >= 0, got $slop")
     val toks = phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     require(toks.nonEmpty, "empty phrase in proximity match")
-    if (toks.length == 1) termMatch(field, escapeTerm(toks.head))
+    if (toks.length == 1) termPattern(escapeTerm(toks.head))
     else {
       val gap = "(?:\\s+\\S+){0," + slop + "}\\s+"
-      lower(col(field)).rlike("\\b" + toks.map(reQuote).mkString(gap) + "\\b")
+      "\\b" + toks.map(reQuote).mkString(gap) + "\\b"
     }
   }
 

@@ -56,6 +56,53 @@ object Search {
       (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
   }
 
+  /** ES-style highlighting: run the search, then wrap every match of the
+    * query's positive text leaves in `pre`/`post` markup, one
+    * `_highlight_<field>` column per requested field (whole-field
+    * highlighter — a DataFrame column is the "fragment").
+    *
+    * The highlight patterns are the SAME regexes the match predicates
+    * evaluate ([[QueryCompiler.termPattern]]/`proximityPattern`), applied
+    * case-insensitively over the ORIGINAL text, all leaves of a field as
+    * one alternation (single pass — no nested markup from sequential
+    * rewrites; overlaps resolve leftmost-first, deterministic).
+    *
+    * Declared subset: Lucene-lite syntax; `Term`/`Proximity`(phrase)/
+    * `Regex` leaves outside any NOT highlight. Fuzzy leaves match by edit
+    * distance, not by regex — they filter but are not highlighted (same
+    * reason NOT leaves aren't: no span to mark). Fields without a positive
+    * leaf get a null highlight column. */
+  def highlight(docs: DataFrame, query: String, cfg: IndexConfig,
+                hlFields: Seq[String], pkCols: Seq[String] = Seq("doc_id"),
+                pre: String = "<em>", post: String = "</em>"): DataFrame = {
+    require(hlFields.nonEmpty, "highlight at least one field")
+    val meta = QueryMeta.parse(query)
+    require(!meta.query.trim.startsWith("{"),
+      "highlight supports the Lucene-lite syntax (declared subset)")
+    import QueryCompiler.LuceneLite._
+    def leafPatterns(n: Node, field: String): Seq[String] = n match {
+      case Term(f, v, _) if f == field => Seq(QueryCompiler.termPattern(v))
+      case Proximity(f, p, slop, _) if f == field =>
+        Seq(QueryCompiler.proximityPattern(p, slop))
+      case Regex(f, pat, _) if f == field => Seq("\\b(?:" + pat + ")\\b")
+      case And(l, r) => leafPatterns(l, field) ++ leafPatterns(r, field)
+      case Or(l, r) => leafPatterns(l, field) ++ leafPatterns(r, field)
+      case Not(_) => Nil // negative subtrees have no span to mark
+      case _ => Nil
+    }
+    val ast = QueryCompiler.LuceneLite.ast(meta.query.trim)
+    val hits = search(docs, query, cfg, pkCols)
+    hlFields.foldLeft(hits) { (df, f) =>
+      leafPatterns(ast, f) match {
+        case Nil => df.withColumn(s"_highlight_$f", lit(null).cast("string"))
+        case ps => df.withColumn(s"_highlight_$f",
+          regexp_replace(col(f), "(?i)(?:" + ps.mkString("|") + ")",
+            java.util.regex.Matcher.quoteReplacement(pre) + "$0" +
+              java.util.regex.Matcher.quoteReplacement(post)))
+      }
+    }
+  }
+
   /** `load-source=true` support shared by [[search]] and [[searchWithTotal]]:
     * attach the full document as `_source` JSON. Nulls are emitted
     * explicitly (`"f":null`) — a doc-store column is always present, so

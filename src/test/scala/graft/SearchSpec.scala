@@ -14,6 +14,28 @@ class SearchSpec extends AnyFunSuite {
     ("3", "spark streaming joins", "de"),
     ("4", "batch sort merge", "de")).toDF("doc_id", "text", "lang")
 
+  test("highlight wraps exactly the matched spans, original case kept") {
+    val caseDocs = Seq(("1", "Spark makes spark-streaming fast", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Search.highlight(caseDocs, "text:spark OR text:stream*", IndexConfig(),
+      hlFields = Seq("text", "lang")).collect().head
+    val hl = out.getAs[String]("_highlight_text")
+    // both case variants of 'spark' marked; 'stream*' marks the prefix run;
+    // lang has no positive leaf -> null column
+    assert(hl == "<em>Spark</em> makes <em>spark</em>-<em>streaming</em> fast", hl)
+    assert(out.getAs[String]("_highlight_lang") == null)
+  }
+
+  test("highlight: phrases mark the whole span, NOT leaves mark nothing") {
+    val out = Search.highlight(docs, "text:\"spark batch\" AND NOT text:engine",
+      IndexConfig(), hlFields = Seq("text"))
+      .select("doc_id", "_highlight_text").collect()
+    assert(out.isEmpty) // doc 1 has 'engine': NOT filters it
+    val out2 = Search.highlight(docs, "text:\"spark batch\"", IndexConfig(),
+      hlFields = Seq("text")).collect().head.getAs[String]("_highlight_text")
+    assert(out2 == "<em>spark batch</em> engine", out2)
+  }
+
   test("search_after pages partition the ordered result set, no overlap") {
     def page(after: Option[(Int, String)]) = {
       val afterClause = after.map { case (s, id) =>

@@ -57,8 +57,14 @@ object Bench {
         tap.shuffleBytes.get()
       }
       // a failed query must be visible as -1, not recorded as a normal
-      // (time-to-failure) timing
-      val ok = try { fn(spark, sfDir).count(); true }
+      // (time-to-failure) timing.
+      // Action = materialize the query's OWN plan (toRdd.count): a bare
+      // df.count() re-optimizes FOR counting — column decode is pruned and
+      // whole operators vanish (a left join with distinct right keys is
+      // eliminated outright, so q_dedup_span_removal "cost" 0.19 s while
+      // never running its join). toRdd executes the plan as the user would
+      // receive it, minus only the driver-side row decode.
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
                catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
@@ -78,18 +84,27 @@ object Bench {
     // field still reads truthfully as "since r3", never as a stale "new
     // this round".
     val newQueriesBaseline = "r3" // ran 74 queries
-    val newQueries = Seq("q_ingest_pipeline", "q_maintain_drop", "q_dummy_mode",
+    val newQueries = Seq(
+        // r4
+        "q_ingest_pipeline", "q_maintain_drop", "q_dummy_mode",
         "q_similarity_ivf_exact", "q_search_dsl_multi",
         "q_search_dsl_phrase_prefix", "q_search_regex", "q_search_dsl_ids",
         "q_maintain_compact", "q_dedup_incremental",
         "q_decontaminate", "q_pii_redact", "q_domain_mix",
         "q_sample_stratified", "q_pack_sequences", "q_text_repetition",
-        "q_search_proximity", "q_curate_corpus", "q_split_leakage_safe")
+        "q_search_proximity", "q_curate_corpus", "q_split_leakage_safe",
+        // r5
+        "q_dedup_spans", "q_dedup_span_removal", "q_similarity_pq",
+        "q_similarity_pq_exact", "q_similarity_ivfpq_exact", "q_agg_terms",
+        "q_agg_date_histogram", "q_agg_range", "q_agg_histogram",
+        "q_agg_top_hits", "q_agg_composite", "q_agg_percentiles",
+        "q_index_terms_agg", "q_search_after", "q_search_highlight")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +
       s""""query_count":${results.size},"new_queries_baseline":"$newQueriesBaseline",""" +
       s""""new_queries_since_baseline":$newQueries,""" +
+      s""""action":"materialize_rows (toRdd.count; r5 change — a bare count() let the optimizer elide column decode and whole joins, under-measuring projection-shaped queries)",""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
   }

@@ -53,7 +53,9 @@ object Pq {
     require(m >= 1 && ksub >= 1 && iters >= 0, "m, ksub >= 1; iters >= 0")
     val normed = corpus.select(col(idCol).as("id"),
       vec_normalize(col(vecCol)).as("v"))
-    val dims = normed.select(size(col("v"))).head().getInt(0)
+    val firstRow = normed.select(size(col("v"))).head(1)
+    require(firstRow.nonEmpty, "PQ training needs a non-empty corpus")
+    val dims = firstRow.head.getInt(0)
     require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
     val dsub = dims / m
     // seeds: per subspace, the first ksub distinct subvectors in id order

@@ -152,6 +152,41 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert((rep.getDouble(1), rep.getDouble(2), rep.getLong(3)) == ((1.0, 0.0, 1L)))
   }
 
+  test("round-5 operators are total on empty/degenerate inputs") {
+    // span dedup: empty corpus, and a corpus where every doc is below the
+    // window floor, both yield empty results and a pass-through removal
+    assert(Dedup.duplicateSpans(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.removeDuplicateSpans(emptyDocs, "text", "doc_id").count() == 0)
+    assert(Dedup.duplicateSpans(oneDoc, "text", "doc_id", n = 8).count() == 0)
+    val passthrough = Dedup.removeDuplicateSpans(oneDoc, "text", "doc_id", n = 8)
+      .collect().head
+    assert(passthrough.getString(1) == "solo document text" &&
+      passthrough.getInt(3) == 0)
+    // aggs: empty table -> no buckets; global metrics -> one row of nulls
+    // (SQL aggregate semantics); empty-result query filter -> no buckets
+    assert(Aggs.runSingle(emptyDocs,
+      """{"aggs":{"t":{"terms":{"field":"text"}}}}""").count() == 0)
+    val g = Aggs.runSingle(emptyDocs,
+      """{"aggs":{"m":{"avg":{"field":"doc_id"}}}}""").collect().head
+    assert(g.isNullAt(0))
+    assert(Aggs.topHits(oneDoc,
+      """{"query":{"match":{"text":"zzz_absent"}},
+          "aggs":{"t":{"terms":{"field":"text"},
+          "aggs":{"h":{"top_hits":{"size":1,"sort":[{"doc_id":"asc"}]}}}}}}""")
+      .count() == 0)
+    // PQ: empty corpus refuses to train loudly; training on one vector works
+    val emptyVecs = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](pipeline.Pq.train(emptyVecs, m = 2))
+    assert(e.getMessage.contains("non-empty"))
+    val one = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val cb = pipeline.Pq.train(one, m = 2, ksub = 4, iters = 1)
+    assert(pipeline.Pq.encode(one, cb).count() == 1)
+    // search_after past the end of the result set: empty page, no error
+    assert(Search.search(oneDoc,
+      """{"query":{"match":{"text":"solo"}},"search_after":[0,999]}""",
+      IndexConfig()).count() == 0)
+  }
+
   test("proximity edge shapes: single-token phrase, huge slop, empty-ish phrase") {
     val d = Seq(("1", "alpha beta gamma")).toDF("doc_id", "text")
     // single-token proximity degrades to a term match

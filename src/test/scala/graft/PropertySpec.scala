@@ -10,6 +10,34 @@ class PropertySpec extends AnyFunSuite {
   private lazy val spark = SparkSpecBase.spark
   import spark.implicits._
 
+  test("property: a planted shared span is always recovered in full") {
+    // random background docs of distinct tokens + one boilerplate run
+    // planted into two of them at random offsets: duplicateSpans must
+    // report a span that covers exactly the planted run in each host
+    val wordGen = Gen.listOfN(7, Gen.alphaLowerChar).map(_.mkString)
+    def words(n: Int, seedTag: Int): Seq[String] =
+      Iterator.continually(wordGen.sample).flatten
+        .map(w => s"${w}$seedTag").distinct.take(n).toSeq
+    val n = 4
+    (0 until 5).foreach { trial =>
+      val boiler = words(6, 100 + trial) // 6-token planted run
+      val pre1 = words(3 + trial % 4, 200 + trial)
+      val post1 = words(2, 300 + trial)
+      val pre2 = words(5 - trial % 3, 400 + trial)
+      val post2 = words(3, 500 + trial)
+      val docs = Seq(
+        (1L, (pre1 ++ boiler ++ post1).mkString(" ")),
+        (2L, (pre2 ++ boiler ++ post2).mkString(" ")),
+        (3L, words(12, 600 + trial).mkString(" "))).toDF("doc_id", "text")
+      val spans = graft.pipeline.Dedup.duplicateSpans(docs, "text", "doc_id", n = n)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val expected = Set(
+        (1L, pre1.size + 1, pre1.size + boiler.size),
+        (2L, pre2.size + 1, pre2.size + boiler.size))
+      assert(spans == expected, s"trial $trial: got $spans, want $expected")
+    }
+  }
+
   test("property: docId ∘ split is the identity for separator-free keys") {
     val keyGen = for {
       pk <- Gen.choose(0L, Long.MaxValue)

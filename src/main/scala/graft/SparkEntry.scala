@@ -869,6 +869,30 @@ object SparkEntry {
         .select(round(col("v_p50"), 4).as("v_p50"),
           round(col("v_p90"), 4).as("v_p90"), round(col("v_p99"), 4).as("v_p99"))
     }),
+    "q_agg_significant" -> ((s, dir) => {
+      // significant_terms: langs over-represented among 'spark' docs vs the
+      // whole corpus, JLH-scored (exact counts; ES shard approximation
+      // declared out)
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+            "aggs": {"sig": {"significant_terms": {"field": "lang"}}}}""")
+        .select(col("key"), col("doc_count"), col("bg_count"),
+          round(col("score"), 6).as("score"))
+    }),
+    "q_agg_pipeline" -> ((s, dir) => {
+      // bucket-sequence pipeline aggs over the daily histogram: running
+      // total, day-over-day derivative, 7-day moving average
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"per_day": {"date_histogram":
+              {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"total": {"sum": {"field": "value"}},
+                     "cum": {"cumulative_sum": {"buckets_path": "total"}},
+                     "diff": {"derivative": {"buckets_path": "total"}},
+                     "ma": {"moving_avg": {"buckets_path": "_count", "window": 7}}}}}}""")
+        .select(col("key"), col("doc_count"), round(col("total"), 2).as("total"),
+          round(col("cum"), 2).as("cum"), round(col("diff"), 2).as("diff"),
+          round(col("ma"), 2).as("ma"))
+    }),
     "q_index_terms_agg" -> ((s, dir) => {
       // terms agg over an analyzed text field served from the postings
       // store alone — the corpus is never scanned (ES fielddata analog;
@@ -1677,6 +1701,41 @@ object SparkEntry {
            round(quantile_cont(value, 0.90), 4) AS v_p90,
            round(quantile_cont(value, 0.99), 4) AS v_p99
          FROM events WHERE event_type = 'view'""",
+    "q_agg_significant" ->
+      """WITH fg AS (
+           SELECT lang AS key, count(*) AS doc_count FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL
+           GROUP BY 1),
+         bg AS (
+           SELECT lang AS key, count(*) AS bg_count FROM documents
+           WHERE lang IS NOT NULL GROUP BY 1),
+         ft AS (
+           SELECT count(*) AS fg_total FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL),
+         bt AS (SELECT count(*) AS bg_total FROM documents WHERE lang IS NOT NULL),
+         s AS (
+           SELECT key, doc_count, bg_count,
+             (CAST(doc_count AS DOUBLE) / fg_total
+                - CAST(bg_count AS DOUBLE) / bg_total)
+               * ((CAST(doc_count AS DOUBLE) / fg_total)
+                  / (CAST(bg_count AS DOUBLE) / bg_total)) AS raw
+           FROM fg JOIN bg USING (key), ft, bt
+           WHERE CAST(doc_count AS DOUBLE) / fg_total
+               > CAST(bg_count AS DOUBLE) / bg_total)
+         SELECT key, doc_count, bg_count, round(raw, 6) AS score
+         FROM s ORDER BY raw DESC, key LIMIT 10""",
+    "q_agg_pipeline" ->
+      """WITH b AS (
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
+             count(*) AS doc_count, sum(value) AS total
+           FROM events GROUP BY 1)
+         SELECT key, doc_count, round(total, 2) AS total,
+           round(sum(total) OVER (ORDER BY key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum,
+           round(total - lag(total) OVER (ORDER BY key), 2) AS diff,
+           round(avg(CAST(doc_count AS DOUBLE)) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS ma
+         FROM b ORDER BY key""",
     "q_index_terms_agg" ->
       """WITH w AS (
            SELECT doc_id,

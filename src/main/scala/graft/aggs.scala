@@ -57,7 +57,9 @@ object Aggs {
         docs.where(QueryCompiler.compile(body, Int.MaxValue, idCol).predicate)
       else docs
     aggsNode.fieldNames.asScala.map { name =>
-      name -> one(filtered, name, aggsNode.get(name))
+      // significant_terms scores the query's result set AGAINST the
+      // unfiltered background, so it alone also receives `docs`
+      name -> one(filtered, name, aggsNode.get(name), background = docs)
     }.toMap
   }
 
@@ -70,8 +72,10 @@ object Aggs {
   }
 
   private val bucketTypes = Set("terms", "date_histogram", "histogram", "range")
+  private val pipelineTypes = Set("cumulative_sum", "derivative", "moving_avg")
 
-  private def one(docs: DataFrame, name: String, spec: JsonNode): DataFrame = {
+  private def one(docs: DataFrame, name: String, spec: JsonNode,
+                  background: DataFrame): DataFrame = {
     require(spec.isObject, s"aggregation '$name' must be an object")
     val subAggs = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
     val types = spec.fieldNames.asScala.filterNot(f => f == "aggs" || f == "aggregations").toList
@@ -86,6 +90,14 @@ object Aggs {
           .orderBy(desc("doc_count"), asc("key"))
           .limit(size)
       case "composite" => composite(docs, name, body, subAggs)
+      case "significant_terms" => significantTerms(docs, background, name, body)
+      case "date_histogram" | "histogram" =>
+        // key order is semantic for the histogram family, which is what
+        // makes bucket-sequence pipeline aggs well-defined here
+        applyPipelines(
+          bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
+            .orderBy(asc("key")),
+          subAggs, name)
       case t if bucketTypes.contains(t) =>
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
           .orderBy(asc("key"))
@@ -94,6 +106,75 @@ object Aggs {
       case _ =>
         val ms = metric(tpe, name, body)
         docs.agg(ms.head, ms.tail: _*)
+    }
+  }
+
+  /** `significant_terms`: which values of `field` are over-represented in
+    * the query's result set vs the whole corpus — ES's "what is distinctive
+    * here" agg, scored with the JLH heuristic
+    * `(fg% − bg%) · (fg% / bg%)` over DOCUMENT frequencies. Both sides are
+    * hash aggregates; the two scalar totals ride in via a broadcast 1-row
+    * stats join (the aggregate-then-broadcast rule — never a global
+    * window). Declared subset: exact counts (no shard approximation),
+    * JLH only. */
+  private def significantTerms(fg: DataFrame, bg: DataFrame, name: String,
+                               body: JsonNode): DataFrame = {
+    val f = Option(body.get("field")).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException(
+        s"significant_terms '$name' needs a 'field'"))
+    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    val fgCounts = fg.where(col(f).isNotNull)
+      .groupBy(col(f).as("key")).agg(count(lit(1)).as("doc_count"))
+    val bgCounts = bg.where(col(f).isNotNull)
+      .groupBy(col(f).as("key")).agg(count(lit(1)).as("bg_count"))
+    val fgTotal = fg.where(col(f).isNotNull).agg(count(lit(1)).as("_fg_total"))
+    val bgTotal = bg.where(col(f).isNotNull).agg(count(lit(1)).as("_bg_total"))
+    fgCounts
+      .join(bgCounts, Seq("key")) // every fg key exists in bg (fg ⊆ bg)
+      .crossJoin(broadcast(fgTotal)).crossJoin(broadcast(bgTotal))
+      .withColumn("_fg_pct", col("doc_count").cast("double") / col("_fg_total"))
+      .withColumn("_bg_pct", col("bg_count").cast("double") / col("_bg_total"))
+      .where(col("_fg_pct") > col("_bg_pct")) // only over-represented terms signify
+      .withColumn("score",
+        (col("_fg_pct") - col("_bg_pct")) * (col("_fg_pct") / col("_bg_pct")))
+      .select(col("key"), col("doc_count"), col("bg_count"), col("score"))
+      .orderBy(desc("score"), asc("key"))
+      .limit(size)
+  }
+
+  /** Bucket-sequence pipeline aggregations over an ordered histogram-family
+    * bucket frame: `cumulative_sum`, `derivative`, `moving_avg` — each a
+    * window over the BUCKET LIST, which is model-sized by construction
+    * (one row per day/interval), so the unpartitioned window is bounded by
+    * bucket count, never by corpus size. `buckets_path` names a sibling
+    * metric column (`_count` → `doc_count`). */
+  private def applyPipelines(buckets: DataFrame, subAggs: Option[JsonNode],
+                             parent: String): DataFrame = {
+    val specs = subAggs.toSeq.flatMap { n =>
+      n.fieldNames.asScala.toSeq.flatMap { sub =>
+        val ts = n.get(sub).fieldNames.asScala.toList
+        if (ts.size == 1 && pipelineTypes.contains(ts.head))
+          Some((sub, ts.head, n.get(sub).get(ts.head)))
+        else None
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window.orderBy("key")
+    specs.foldLeft(buckets) { case (df, (sub, tpe, body)) =>
+      val path = Option(body.get("buckets_path")).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"pipeline agg '$sub' of '$parent' needs 'buckets_path'"))
+      val src = if (path == "_count") "doc_count" else path
+      require(df.columns.contains(src),
+        s"pipeline agg '$sub' of '$parent': buckets_path '$path' not found")
+      tpe match {
+        case "cumulative_sum" => df.withColumn(sub, sum(col(src)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        case "derivative" => df.withColumn(sub, col(src) - lag(col(src), 1).over(w))
+        case "moving_avg" =>
+          val win = Option(body.get("window")).map(_.asInt).getOrElse(5)
+          require(win >= 1, s"moving_avg '$sub' window must be >= 1")
+          df.withColumn(sub, avg(col(src)).over(w.rowsBetween(-(win - 1), 0)))
+      }
     }
   }
 
@@ -330,11 +411,13 @@ object Aggs {
       n.fieldNames.asScala.toSeq.flatMap { sub =>
         val subSpec = n.get(sub)
         val ts = subSpec.fieldNames.asScala.toList
-        val bucketTypes = Set("terms", "date_histogram", "histogram", "range")
         require(ts.size == 1 && !ts.exists(t =>
           t == "aggs" || t == "aggregations" || bucketTypes.contains(t)),
           s"sub-agg '$sub' of '$parent' must be a single metric (no nested buckets)")
-        metric(ts.head, sub, subSpec.get(ts.head))
+        // pipeline aggs transform the bucket frame afterwards
+        // ([[applyPipelines]]), not the groupBy
+        if (pipelineTypes.contains(ts.head)) Nil
+        else metric(ts.head, sub, subSpec.get(ts.head))
       }
     }
     val aggCols = (count(lit(1)).as("doc_count") +: metrics)

@@ -151,6 +151,39 @@ class AggsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sort"))
   }
 
+  test("significant_terms: over-represented keys scored vs the background") {
+    // null-lang docs leave both totals: fg total 4 (en,en,de,fr), bg 5.
+    // de: fg 1/4 vs bg 2/5 -> under-represented, excluded;
+    // en: fg 0.5 vs bg 0.4 -> JLH (0.1)(0.5/0.4) = 0.125;
+    // fr: fg 0.25 vs bg 0.2 -> JLH (0.05)(1.25) = 0.0625 -> en ranks first
+    val out = Aggs.runSingle(docs,
+      """{"query":{"match":{"text":"spark"}},
+          "aggs":{"sig":{"significant_terms":{"field":"lang"}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val keys = out.map(_._1).toSeq
+    assert(keys == Seq("en", "fr"), s"got $keys")
+    val en = out.find(_._1 == "en").get
+    assert(en._2 == 2L && en._3 == 2L && math.abs(en._4 - 0.125) < 1e-12)
+  }
+
+  test("pipeline aggs: cumulative_sum, derivative, moving_avg over histogram buckets") {
+    val rows = Seq((5.0, 1.0), (15.0, 2.0), (25.0, 4.0), (35.0, 8.0))
+      .toDF("x", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"total":{"sum":{"field":"v"}},
+                   "cum":{"cumulative_sum":{"buckets_path":"total"}},
+                   "diff":{"derivative":{"buckets_path":"total"}},
+                   "ma":{"moving_avg":{"buckets_path":"_count","window":2}}}}}}""")
+      .collect().map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (0.0, 1.0, 1.0, None, 1.0),
+      (10.0, 2.0, 3.0, Some(1.0), 1.0),
+      (20.0, 4.0, 7.0, Some(2.0), 1.0),
+      (30.0, 8.0, 15.0, Some(4.0), 1.0)))
+  }
+
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
     assert(bad("""{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")

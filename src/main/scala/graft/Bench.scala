@@ -98,7 +98,8 @@ object Bench {
         "q_similarity_pq_exact", "q_similarity_ivfpq_exact", "q_agg_terms",
         "q_agg_date_histogram", "q_agg_range", "q_agg_histogram",
         "q_agg_top_hits", "q_agg_composite", "q_agg_percentiles",
-        "q_index_terms_agg", "q_search_after", "q_search_highlight")
+        "q_index_terms_agg", "q_search_after", "q_search_highlight",
+        "q_agg_significant", "q_agg_pipeline", "q_agg_nested", "q_agg_indexed")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -893,6 +893,31 @@ object SparkEntry {
           round(col("cum"), 2).as("cum"), round(col("diff"), 2).as("diff"),
           round(col("ma"), 2).as("ma"))
     }),
+    "q_agg_nested" -> ((s, dir) => {
+      // two-level buckets: per calendar day, the top-2 event types with a
+      // per-pair avg metric — the dominant nested ES shape; the inner cap
+      // is a window partitioned by the outer key (bounded per bucket)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"per_day": {"date_histogram":
+              {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"event_type": {"terms": {"field": "event_type", "size": 2},
+              "aggs": {"avg_value": {"avg": {"field": "value"}}}}}}}}""")
+        .select(col("key"), col("event_type"), col("doc_count"),
+          round(col("avg_value"), 2).as("avg_value"), col("bucket_rank"))
+    }),
+    "q_agg_indexed" -> ((s, dir) => {
+      // index-accelerated aggregation: the same terms agg as q_agg_terms,
+      // but the doc source is pruned to postings candidates first — the
+      // exact predicate re-applies over candidates, so the oracle is the
+      // plain scan-semantics SQL (identical-by-construction)
+      val docs = tbl(s, dir, "documents")
+      val postings = TextIndex.buildPostings(docs, "doc_id", Seq("text"))
+      Aggs.runIndexed(docs, postings,
+        """{"query": {"match": {"text": "spark"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+              "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""",
+        indexedFields = Set("text"))("by_lang")
+    }),
     "q_index_terms_agg" -> ((s, dir) => {
       // terms agg over an analyzed text field served from the postings
       // store alone — the corpus is never scanned (ES fielddata analog;
@@ -1701,6 +1726,24 @@ object SparkEntry {
            round(quantile_cont(value, 0.90), 4) AS v_p90,
            round(quantile_cont(value, 0.99), 4) AS v_p99
          FROM events WHERE event_type = 'view'""",
+    "q_agg_nested" ->
+      """WITH g AS (
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
+             event_type, count(*) AS doc_count, avg(value) AS avg_value
+           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY key ORDER BY doc_count DESC, event_type) AS bucket_rank
+           FROM g)
+         SELECT key, event_type, doc_count, round(avg_value, 2) AS avg_value,
+           CAST(bucket_rank AS INT) AS bucket_rank
+         FROM r WHERE bucket_rank <= 2 ORDER BY key, bucket_rank""",
+    "q_agg_indexed" ->
+      """SELECT lang AS key, count(*) AS doc_count, avg(n_chars) AS avg_chars
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL
+         GROUP BY lang
+         ORDER BY doc_count DESC, key LIMIT 5""",
     "q_agg_significant" ->
       """WITH fg AS (
            SELECT lang AS key, count(*) AS doc_count FROM documents

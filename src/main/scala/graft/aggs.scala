@@ -46,7 +46,14 @@ object Aggs {
   /** Run every aggregation in an ES search body over `docs`, filtered by
     * the body's `query` (absent → match_all). Returns one DataFrame per
     * top-level aggregation name. */
-  def run(docs: DataFrame, body: String, idCol: String = "doc_id"): Map[String, DataFrame] = {
+  def run(docs: DataFrame, body: String, idCol: String = "doc_id"): Map[String, DataFrame] =
+    runWith(docs, body, idCol, background = docs)
+
+  /** [[run]] with the doc source split from the significant_terms
+    * background — [[runIndexed]] prunes the former but must not shrink the
+    * latter. */
+  private def runWith(docs: DataFrame, body: String, idCol: String,
+                      background: DataFrame): Map[String, DataFrame] = {
     val root = mapper.readTree(body)
     require(root != null && root.isObject, "search body must be a JSON object")
     val aggsNode = Option(root.get("aggs")).orElse(Option(root.get("aggregations")))
@@ -58,10 +65,26 @@ object Aggs {
       else docs
     aggsNode.fieldNames.asScala.map { name =>
       // significant_terms scores the query's result set AGAINST the
-      // unfiltered background, so it alone also receives `docs`
-      name -> one(filtered, name, aggsNode.get(name), background = docs)
+      // unfiltered background, so it alone also receives `background`
+      name -> one(filtered, name, aggsNode.get(name), background = background)
     }.toMap
   }
+
+  /** Index-accelerated aggregations: restrict the doc source to the
+    * postings store's candidate superset for the body's `query` first
+    * ([[TextIndex.prefilter]]), then aggregate — [[run]] re-applies the
+    * exact compiled predicate over candidates, so results are identical to
+    * the scan path BY CONSTRUCTION while the aggregate reads only candidate
+    * rows. At 100 TB this is the difference between "aggregate the docs
+    * matching a selective term" touching postings + candidates, or the
+    * whole corpus. Bodies without a query, or with no index cover, fall
+    * back to the full scan unchanged. significant_terms' background stays
+    * the FULL corpus (only the foreground is query-shaped). */
+  def runIndexed(docs: DataFrame, postings: DataFrame, body: String,
+                 indexedFields: Set[String], idCol: String = "doc_id",
+                 nBuckets: Int = 64): Map[String, DataFrame] =
+    runWith(TextIndex.prefilter(docs, postings, body, idCol, indexedFields, nBuckets),
+      body, idCol, background = docs)
 
   /** Single-agg convenience: the body must contain exactly one top-level
     * aggregation (plus an optional `query`). */
@@ -92,12 +115,20 @@ object Aggs {
       case "composite" => composite(docs, name, body, subAggs)
       case "significant_terms" => significantTerms(docs, background, name, body)
       case "date_histogram" | "histogram" =>
-        // key order is semantic for the histogram family, which is what
-        // makes bucket-sequence pipeline aggs well-defined here
-        applyPipelines(
-          bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
-            .orderBy(asc("key")),
-          subAggs, name)
+        // one level of BUCKET nesting: an inner `terms` sub-agg turns each
+        // outer bucket into its own top-N breakdown ("per day, top event
+        // types" — the dominant two-level ES shape)
+        innerTermsOf(subAggs, name) match {
+          case Some((innerName, innerSpec)) =>
+            nestedTerms(docs, bucketKey(tpe, name, body), name, innerName, innerSpec)
+          case None =>
+            // key order is semantic for the histogram family, which is
+            // what makes bucket-sequence pipeline aggs well-defined here
+            applyPipelines(
+              bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
+                .orderBy(asc("key")),
+              subAggs, name)
+        }
       case t if bucketTypes.contains(t) =>
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
           .orderBy(asc("key"))
@@ -140,6 +171,59 @@ object Aggs {
       .select(col("key"), col("doc_count"), col("bg_count"), col("score"))
       .orderBy(desc("score"), asc("key"))
       .limit(size)
+  }
+
+  /** The inner `terms` bucket sub-agg of a histogram-family agg, if any.
+    * When present it must be the ONLY sub-agg (its own metric sub-aggs nest
+    * inside it) — mixing per-outer metrics with a per-(outer, inner) frame
+    * would silently change row grain. */
+  private def innerTermsOf(subAggs: Option[JsonNode],
+                           parent: String): Option[(String, JsonNode)] =
+    subAggs.flatMap { n =>
+      val buckets = n.fieldNames.asScala.toSeq.filter { sub =>
+        n.get(sub).fieldNames.asScala.exists(bucketTypes.contains)
+      }
+      if (buckets.isEmpty) None
+      else {
+        require(buckets.size == 1 && n.size == 1
+            && n.get(buckets.head).has("terms"),
+          s"'$parent' supports exactly one nested bucket sub-agg of type " +
+            "terms, with no sibling sub-aggs")
+        Some(buckets.head -> n.get(buckets.head))
+      }
+    }
+
+  /** Two-level bucket breakdown: `(outer key, inner terms value)` rows with
+    * per-pair doc_count + the inner agg's metric sub-aggs, the inner terms
+    * capped per OUTER bucket (ES semantics) via a window PARTITIONED BY the
+    * outer key — bounded per bucket, never global. */
+  private def nestedTerms(docs: DataFrame, outerKey: Column, outerName: String,
+                          innerName: String, innerSpec: JsonNode): DataFrame = {
+    val terms = innerSpec.get("terms")
+    val f = Option(terms.get("field")).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException(
+        s"nested terms '$innerName' of '$outerName' needs a 'field'"))
+    val size = Option(terms.get("size")).map(_.asInt).getOrElse(10)
+    val innerSub = Option(innerSpec.get("aggs"))
+      .orElse(Option(innerSpec.get("aggregations")))
+    val metrics = innerSub.toSeq.flatMap { n =>
+      n.fieldNames.asScala.toSeq.flatMap { sub =>
+        val ts = n.get(sub).fieldNames.asScala.toList
+        require(ts.size == 1 && !bucketTypes.contains(ts.head)
+            && !pipelineTypes.contains(ts.head),
+          s"sub-agg '$sub' of nested terms '$innerName' must be a single metric")
+        metric(ts.head, sub, n.get(sub).get(ts.head))
+      }
+    }
+    val aggCols = count(lit(1)).as("doc_count") +: metrics
+    val grouped = docs.where(outerKey.isNotNull && col(f).isNotNull)
+      .groupBy(outerKey.as("key"), col(f).as(innerName))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(desc("doc_count"), asc(innerName))
+    grouped.withColumn("bucket_rank", row_number().over(w))
+      .where(col("bucket_rank") <= size)
+      .orderBy(asc("key"), asc("bucket_rank"))
   }
 
   /** Bucket-sequence pipeline aggregations over an ordered histogram-family

@@ -184,6 +184,40 @@ class AggsSpec extends AnyFunSuite {
       (30.0, 8.0, 15.0, Some(4.0), 1.0)))
   }
 
+  test("nested terms in a histogram: per-bucket top-N with inner metrics") {
+    val rows = Seq(
+      (5.0, "a", 1.0), (6.0, "a", 3.0), (7.0, "b", 5.0),
+      (15.0, "b", 2.0), (16.0, "b", 4.0), (17.0, "c", 6.0), (18.0, "c", 8.0))
+      .toDF("x", "g", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"types":{"terms":{"field":"g","size":1},
+             "aggs":{"avg_v":{"avg":{"field":"v"}}}}}}}}""")
+      .collect().map(r => (r.getDouble(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    // bucket 0: a x2 beats b x1; bucket 10: tie b/c x2 -> 'b' by key asc
+    assert(out.toSeq == Seq((0.0, "a", 2L, 2.0, 1), (10.0, "b", 2L, 3.0, 1)))
+    val e = intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"types":{"terms":{"field":"g"}},
+                   "extra":{"avg":{"field":"v"}}}}}}"""))
+    assert(e.getMessage.contains("no sibling"))
+  }
+
+  test("runIndexed equals run: candidates re-verified, background intact") {
+    val docs2 = docs.withColumnRenamed("score", "n_chars")
+    val postings = TextIndex.buildPostings(docs2, "doc_id", Seq("text"), nBuckets = 4)
+    val body = """{"query":{"match":{"text":"spark"}},
+                   "aggs":{"by_lang":{"terms":{"field":"lang"}},
+                           "sig":{"significant_terms":{"field":"lang"}}}}"""
+    def norm(m: Map[String, org.apache.spark.sql.DataFrame]) =
+      m.map { case (k, df) => k -> df.collect().map(_.toString).toSet }
+    val scan = norm(Aggs.run(docs2, body))
+    val indexed = norm(Aggs.runIndexed(docs2, postings, body,
+      indexedFields = Set("text"), nBuckets = 4))
+    assert(indexed == scan)
+  }
+
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
     assert(bad("""{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")

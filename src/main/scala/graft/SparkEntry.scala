@@ -262,6 +262,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_sorted" -> ((s, dir) => {
+      // ES body field sort: matching docs ordered by a field instead of
+      // relevance (id tiebreak appended — total order contract)
+      val q = """{"query":{"match":{"text":"spark"}},
+                  "sort":[{"lang":"asc"},{"n_chars":{"order":"desc"}}],
+                  "size":100}"""
+      Search.search(tbl(s, dir, "documents"), q, IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("_score"))
+    }),
     "q_search_highlight" -> ((s, dir) => {
       // whole-field highlighter: the SAME regexes the predicates evaluate,
       // case-insensitive over the original text, one pass per field
@@ -1320,6 +1329,12 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    "q_search_sorted" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST(regexp_matches(lower(text), '\bspark\b') AS INT) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+         ORDER BY lang ASC NULLS FIRST, n_chars DESC, doc_id LIMIT 100""",
     "q_search_highlight" ->
       """SELECT doc_id,
            (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +

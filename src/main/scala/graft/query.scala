@@ -78,9 +78,18 @@ object QueryMeta {
   * in the engine's total (score DESC, id ASC) order. Deep pagination at
   * 100 TB must be keyset — `from`+`size` offset paging re-ranks the whole
   * prefix per page, which is why ES itself caps `from` at 10k and points
-  * users at search_after. */
+  * users at search_after.
+  *
+  * `sort` is the ES body's field sort (`"sort": [{"f": "desc"}, ...]`,
+  * short or long `{"order": ...}` form; `"_score"` names relevance):
+  * `(field, ascending)` pairs replacing the default (score DESC, id ASC)
+  * order; the executor's id tiebreak always appends, so results stay
+  * totally ordered. Declared subset: search_after pairs with the DEFAULT
+  * relevance order only — combining it with a custom sort is rejected at
+  * compile, not silently mis-paginated. */
 final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int],
-                               searchAfter: Option[(Double, Any)] = None)
+                               searchAfter: Option[(Double, Any)] = None,
+                               sort: Option[Seq[(String, Boolean)]] = None)
 
 object QueryCompiler {
 
@@ -510,9 +519,23 @@ object QueryCompiler {
                  else a.get(1).asDouble
         (a.get(0).asDouble, id: Any)
       }
+      val sort = Option(root.get("sort")).map { s =>
+        require(s.isArray && s.size > 0, s"'sort' must be a non-empty array, got: $s")
+        s.elements.asScala.toSeq.map { e =>
+          require(e.isObject && e.size == 1, s"sort entry must be {field: order}, got: $e")
+          val f = e.fieldNames.asScala.next()
+          val ord = if (e.get(f).isTextual) e.get(f).asText
+                    else Option(e.get(f).get("order")).map(_.asText).getOrElse("asc")
+          require(ord == "asc" || ord == "desc", s"bad sort order '$ord'")
+          (f, ord == "asc")
+        }
+      }
+      require(after.isEmpty || sort.isEmpty,
+        "search_after pairs with the default relevance order (declared subset); " +
+          "remove 'sort' or paginate without it")
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol)
-      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after)
+      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort)
     }
 
     private def node(n: JsonNode,

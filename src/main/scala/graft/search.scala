@@ -33,7 +33,16 @@ object Search {
         col("_score") < s || (col("_score") === s && col(tiebreak) > lit(id)))
       case None => scored
     }
-    paged.orderBy(desc("_score"), col(tiebreak))
+    // ES body `sort` replaces the relevance order; the id tiebreak always
+    // appends so every result set has a total order
+    val order = q.sort match {
+      case Some(keys) => keys.map { case (f, asc) =>
+        val c = if (f == "_score") col("_score") else col(f)
+        if (asc) c.asc else c.desc
+      } :+ col(tiebreak).asc
+      case None => Seq(desc("_score"), col(tiebreak).asc)
+    }
+    paged.orderBy(order: _*)
       .limit(limit)
   }
 

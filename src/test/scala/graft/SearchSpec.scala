@@ -36,6 +36,23 @@ class SearchSpec extends AnyFunSuite {
     assert(out2 == "<em>spark batch</em> engine", out2)
   }
 
+  test("DSL sort: field order replaces relevance, _score sortable, id tiebreak") {
+    val out = Search.search(docs,
+      """{"query":{"match_all":{}},"sort":[{"lang":"desc"},{"doc_id":{"order":"asc"}}]}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("1", "2", "3", "4")) // 'en' > 'de' desc, then id asc
+    val byScore = Search.search(docs,
+      """{"query":{"bool":{"should":[{"match":{"text":"spark"}},
+           {"match":{"text":"batch"}}]}},"sort":[{"_score":"asc"}]}""",
+      IndexConfig()).select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(byScore.toSeq == Seq(("3", 1), ("4", 1), ("1", 2))) // asc, id tiebreak
+    val e = intercept[IllegalArgumentException](Search.search(docs,
+      """{"query":{"match_all":{}},"sort":[{"lang":"asc"}],
+          "search_after":[1,"0"]}""", IndexConfig()))
+    assert(e.getMessage.contains("relevance order"))
+  }
+
   test("search_after pages partition the ordered result set, no overlap") {
     def page(after: Option[(Int, String)]) = {
       val afterClause = after.map { case (s, id) =>

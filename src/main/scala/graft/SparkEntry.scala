@@ -902,6 +902,17 @@ object SparkEntry {
           round(col("cum"), 2).as("cum"), round(col("diff"), 2).as("diff"),
           round(col("ma"), 2).as("ma"))
     }),
+    "q_agg_filters" -> ((s, dir) => {
+      // named-filter buckets from ONE corpus pass (guarded aggregates, no
+      // unions of scans) — the dashboard shape
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"f": {"filters": {"filters": {
+              "clicks": {"term": {"event_type": "click"}},
+              "big": {"range": {"value": {"gte": 400}}}}},
+            "aggs": {"avg_value": {"avg": {"field": "value"}}}}}}""")
+        .select(col("key"), col("doc_count"),
+          round(col("avg_value"), 2).as("avg_value"))
+    }),
     "q_agg_nested" -> ((s, dir) => {
       // two-level buckets: per calendar day, the top-2 event types with a
       // per-pair avg metric — the dominant nested ES shape; the inner cap
@@ -1741,6 +1752,17 @@ object SparkEntry {
            round(quantile_cont(value, 0.90), 4) AS v_p90,
            round(quantile_cont(value, 0.99), 4) AS v_p99
          FROM events WHERE event_type = 'view'""",
+    "q_agg_filters" ->
+      """WITH w AS (
+           SELECT
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS c_clicks,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS a_clicks,
+             count(CASE WHEN value >= 400 THEN 1 END) AS c_big,
+             avg(CASE WHEN value >= 400 THEN value END) AS a_big
+           FROM events)
+         SELECT 'big' AS key, c_big AS doc_count, round(a_big, 2) AS avg_value FROM w
+         UNION ALL
+         SELECT 'clicks', c_clicks, round(a_clicks, 2) FROM w""",
     "q_agg_nested" ->
       """WITH g AS (
            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,

@@ -113,6 +113,12 @@ object Aggs {
           .orderBy(desc("doc_count"), asc("key"))
           .limit(size)
       case "composite" => composite(docs, name, body, subAggs)
+      case "filters" => filtersAgg(docs, name, body, subAggs)
+      case "missing" =>
+        // docs missing the field — one count row, like ES's missing bucket
+        val f = Option(body.get("field")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(s"missing '$name' needs a 'field'"))
+        docs.where(col(f).isNull).agg(count(lit(1)).as("doc_count"))
       case "significant_terms" => significantTerms(docs, background, name, body)
       case "date_histogram" | "histogram" =>
         // one level of BUCKET nesting: an inner `terms` sub-agg turns each
@@ -171,6 +177,63 @@ object Aggs {
       .select(col("key"), col("doc_count"), col("bg_count"), col("score"))
       .orderBy(desc("score"), asc("key"))
       .limit(size)
+  }
+
+  /** `filters` aggregation: one named bucket per sub-query, each with
+    * doc_count + metric sub-aggs — compiled as ONE single-pass conditional
+    * aggregate (`count(when(pred, 1))` / `avg(when(pred, f))` …): every
+    * named filter is a column of the same scan, so N dashboard buckets
+    * cost one corpus pass and zero unions, then the 1-row wide result
+    * unpivots to (key, doc_count, metrics) rows driver-cheap. Buckets
+    * return in name order (deterministic; ES returns insertion order). */
+  private def filtersAgg(docs: DataFrame, name: String, body: JsonNode,
+                         subAggs: Option[JsonNode]): DataFrame = {
+    val fNode = Option(body.get("filters")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException(
+        s"filters '$name' needs a 'filters' object of named queries"))
+    require(fNode.size > 0, s"filters '$name' has no named filters")
+    val preds = fNode.fieldNames.asScala.toSeq.sorted.map { fn =>
+      val q = mapper.createObjectNode()
+      q.set[JsonNode]("query", fNode.get(fn))
+      fn -> QueryCompiler.compile(q.toString, Int.MaxValue).predicate
+    }
+    val metricSpecs = subAggs.toSeq.flatMap { n =>
+      n.fieldNames.asScala.toSeq.map { sub =>
+        val ts = n.get(sub).fieldNames.asScala.toList
+        require(ts.size == 1 && !bucketTypes.contains(ts.head)
+            && !pipelineTypes.contains(ts.head) && ts.head != "filters",
+          s"sub-agg '$sub' of '$name' must be a single metric")
+        (sub, ts.head, n.get(sub).get(ts.head))
+      }
+    }
+    // single-column metrics only (stats/percentiles excluded — declared):
+    // each metric of each filter is one guarded aggregate column
+    def metricCol(tpe: String, masked: Column, sub: String): Column = tpe match {
+      case "avg" => avg(masked)
+      case "sum" => sum(masked)
+      case "min" => min(masked)
+      case "max" => max(masked)
+      case "value_count" => count(masked)
+      case "cardinality" => count_distinct(masked)
+      case other => throw new IllegalArgumentException(
+        s"filters sub-agg '$sub': unsupported metric '$other' " +
+          "(single-column metrics only)")
+    }
+    // wide single-pass aggregate: per filter, a guarded count + guarded metrics
+    val aggCols = preds.flatMap { case (fn, pred) =>
+      count(when(pred, lit(1))).as(s"__cnt_$fn") +:
+        metricSpecs.map { case (sub, tpe, mbody) =>
+          val f = Option(mbody.get("field")).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(s"metric '$sub' needs a 'field'"))
+          metricCol(tpe, when(pred, col(f)), sub).as(s"__${sub}_$fn")
+        }
+    }
+    val wide = docs.agg(aggCols.head, aggCols.tail: _*)
+    // unpivot the single wide row into one row per named filter
+    preds.map { case (fn, _) =>
+      wide.select(lit(fn).as("key") +: col(s"__cnt_$fn").as("doc_count") +:
+        metricSpecs.map { case (sub, _, _) => col(s"__${sub}_$fn").as(sub) }: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** The inner `terms` bucket sub-agg of a histogram-family agg, if any.

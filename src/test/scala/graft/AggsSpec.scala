@@ -218,6 +218,26 @@ class AggsSpec extends AnyFunSuite {
     assert(indexed == scan)
   }
 
+  test("filters agg: named buckets from one pass, guarded metrics, missing agg") {
+    val out = Aggs.runSingle(docs,
+      """{"aggs":{"f":{"filters":{"filters":{
+           "sparky":{"match":{"text":"spark"}},
+           "german":{"term":{"lang":"de"}}}},
+           "aggs":{"avg_score":{"avg":{"field":"score"}}}}}}""")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("sparky") == (4L, (10.0 + 20.0 + 30.0 + 50.0) / 4))
+    assert(out("german") == (2L, 35.0))
+    // single scan: the plan has exactly one aggregate source, no union of scans
+    val plan = Aggs.runSingle(docs,
+      """{"aggs":{"f":{"filters":{"filters":{
+           "a":{"term":{"lang":"en"}},"b":{"term":{"lang":"de"}}}}}}}""")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    val missing = Aggs.runSingle(docs,
+      """{"aggs":{"m":{"missing":{"field":"lang"}}}}""").collect().head.getLong(0)
+    assert(missing == 1L)
+  }
+
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
     assert(bad("""{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")

@@ -1253,6 +1253,16 @@ object SparkEntry {
       Curate.contaminationReport(train, bench, "text", "doc_id", n = 4)
         .orderBy(col("doc_id"))
     }),
+    "q_curate_spans" -> ((s, dir) => {
+      // span-granular decontamination: WHERE the benchmark leaked into each
+      // train doc (maximal runs of benchmark 4-grams) — surgical redaction
+      // input instead of whole-doc drops; removal core oracle-proven by
+      // q_dedup_span_removal (shared implementation)
+      val docs = tbl(s, dir, "documents")
+      Curate.contaminationSpans(docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0), "text", "doc_id", n = 4)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
     "q_pii_redact" -> ((s, dir) => {
       // the gate tables carry no real PII, so build a deterministic contact
       // note from customer fields (identically in the oracle), then redact
@@ -2179,6 +2189,38 @@ object SparkEntry {
            FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.5
          ORDER BY id_a, id_b""",
+    "q_curate_spans" ->
+      """WITH bt AS (
+           SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> len(x) > 0) AS tk
+           FROM documents WHERE doc_id % 50 = 0),
+         bg AS (
+           SELECT DISTINCT array_to_string(list_slice(tk, st, st + 3), ' ') AS gram
+           FROM (SELECT tk, unnest(range(1, len(tk) - 4 + 2)) AS st
+                 FROM bt WHERE len(tk) >= 4)),
+         t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents WHERE doc_id % 50 <> 0),
+         g AS (
+           SELECT doc_id, st, array_to_string(list_slice(tk, st, st + 3), ' ') AS gram
+           FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 4 + 2)) AS st
+                 FROM t WHERE len(tk) >= 4)),
+         c AS (SELECT g.doc_id, g.st FROM g JOIN bg USING (gram)),
+         b AS (
+           SELECT doc_id, st,
+             CASE WHEN st > lag(st) OVER (PARTITION BY doc_id ORDER BY st) + 4
+                  THEN 1 ELSE 0 END AS brk
+           FROM c),
+         i AS (
+           SELECT doc_id, st,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY st) AS island
+           FROM b)
+         SELECT doc_id, CAST(min(st) AS INT) AS span_start,
+           CAST(max(st) + 3 AS INT) AS span_end,
+           CAST(max(st) + 4 - min(st) AS INT) AS span_len,
+           count(*) AS n_windows
+         FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start""",
     "q_dedup_spans" ->
       """WITH t AS (
            SELECT doc_id,

@@ -48,6 +48,60 @@ object Curate {
                  .select(col(idCol)),
                Seq(idCol), "left_anti")
 
+  /** WHERE the benchmark leaked: maximal token spans of each train doc
+    * whose every `n`-window is a benchmark n-gram — [[decontaminate]] at
+    * span granularity, for surgical redaction instead of whole-doc drops
+    * (dropping a 50k-token doc over one quoted benchmark sentence wastes
+    * the other 49k tokens).
+    *
+    * Same candidates-then-verify shape as
+    * [[graft.pipeline.Dedup.duplicateSpans]]: train window HASHES
+    * ([[graft.functions.GramHashes]] — nothing wider than
+    * `(id, start, hash)` leaves the scan) are semi-joined against the
+    * broadcast benchmark hash set, survivors re-verified against the exact
+    * benchmark gram TEXT (also broadcast — the benchmark is small by
+    * definition), then merged per-doc into maximal spans. A hash collision
+    * costs a false candidate, never a false span.
+    *
+    * Output: `(id, span_start, span_end, span_len, n_windows)`, 1-based
+    * inclusive positions in the normalized token stream. */
+  def contaminationSpans(train: DataFrame, bench: DataFrame,
+                         textCol: String, idCol: String, n: Int): DataFrame = {
+    import graft.functions.TextSketchFunctions.gram_hashes
+    require(n >= 1, "window width must be >= 1")
+    // bench (hash, gram) pairs: positional hashes zipped with the gram text
+    // re-sliced from the same token array, then distinct
+    val benchToks = bench.select(Dedup.tokens(col(textCol)).as("tk"))
+    val benchGrams = benchToks
+      .select(col("tk"), posexplode(gram_hashes(col("tk"), n)))
+      .select(col("col").as("h"),
+        concat_ws(" ", slice(col("tk"), col("pos") + 1, lit(n))).as("gram"))
+      .distinct()
+    val toks = train.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("tk"))
+    val windows = toks
+      .select(col("id"), posexplode(gram_hashes(col("tk"), n)))
+      .select(col("id"), (col("pos") + 1).as("st"), col("col").as("h"))
+    val candWindows = windows
+      .join(broadcast(benchGrams.select("h").distinct()), Seq("h"), "left_semi")
+    val candIds = broadcast(candWindows.select("id").distinct())
+    val candToks = toks.join(candIds, Seq("id"), "left_semi")
+    val marked = candWindows
+      .join(candToks, Seq("id"))
+      .withColumn("gram", concat_ws(" ", slice(col("tk"), col("st"), lit(n))))
+      .join(broadcast(benchGrams.select("gram").distinct()), Seq("gram"), "left_semi")
+      .select("id", "st")
+    Dedup.spansFromMarked(marked, n, idCol)
+  }
+
+  /** Surgical decontamination: redact exactly the leaked spans, keep the
+    * rest of every doc — `(id, clean_text, n_tokens, removed_tokens)` in
+    * the normalized token stream (docs without leaks pass through,
+    * `removed_tokens = 0`). */
+  def removeContaminatedSpans(train: DataFrame, bench: DataFrame,
+                              textCol: String, idCol: String, n: Int): DataFrame =
+    Dedup.removeSpans(train,
+      contaminationSpans(train, bench, textCol, idCol, n), textCol, idCol)
+
   // ------------------------------------------------------------------- PII
 
   /** (pattern, replacement) in application order. Conservative,

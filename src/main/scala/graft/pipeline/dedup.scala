@@ -465,8 +465,16 @@ object Dedup {
       .select("gram")
     val marked = verified.join(dupGrams, Seq("gram"), "left_semi")
       .select("id", "st")
-    // gaps-and-islands per doc: a window starts a new span when it leaves
-    // the coverage of the previous one ([lag_st, lag_st + n - 1])
+    spansFromMarked(marked, n, idCol)
+  }
+
+  /** Shared span-merge core: `(id, st)` marked window starts → maximal
+    * spans, by per-doc gaps-and-islands (a window starts a new span when it
+    * leaves the previous one's coverage `[lag_st, lag_st + n - 1]`). Used
+    * by [[duplicateSpans]] and [[graft.pipeline.Curate.contaminationSpans]]
+    * — anything that can mark windows can report spans. */
+  private[pipeline] def spansFromMarked(marked: DataFrame, n: Int,
+                                        idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("st")
     marked
@@ -502,13 +510,24 @@ object Dedup {
     * lambda rule: `tk`/`_spans` are materialized columns, so the lambda
     * never re-evaluates the tokenizer per element). */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                           n: Int = 8, minCount: Int = 2): DataFrame = {
-    val spans = duplicateSpans(df, textCol, idCol, n, minCount)
+                           n: Int = 8, minCount: Int = 2): DataFrame =
+    removeSpans(df, duplicateSpans(df, textCol, idCol, n, minCount),
+      textCol, idCol)
+
+  /** Shared removal core: drop every token inside any of `spans`
+    * (`(idCol, span_start, span_end, …)` rows) and re-join survivors —
+    * output `(id, clean_text, n_tokens, removed_tokens)` in the normalized
+    * token stream. Spans-per-doc is doc-length-bounded, so the
+    * `collect_list` is a per-doc aggregate and the token filter a bounded
+    * per-row lambda over BOUND columns. */
+  private[pipeline] def removeSpans(df: DataFrame, spans: DataFrame,
+                                    textCol: String, idCol: String): DataFrame = {
+    val spanSets = spans
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
     val toks = df.select(col(idCol), tokens(col(textCol)).as("tk"))
     toks
-      .join(spans, Seq(idCol), "left")
+      .join(spanSets, Seq(idCol), "left")
       .withColumn("kept",
         when(col("_spans").isNull, col("tk")).otherwise(
           filter(col("tk"), (t, i) => !exists(col("_spans"),

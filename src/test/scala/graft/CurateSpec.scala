@@ -29,6 +29,25 @@ class CurateSpec extends AnyFunSuite {
     assert(clean.toSeq == Seq(2L, 4L))
   }
 
+  test("contamination spans cover exactly the leaked run; removal is surgical") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro words here alpha beta gamma delta epsilon zeta trailing bit"),
+      (2L, "totally clean document with original content only here"))
+      .toDF("doc_id", "text")
+    val spans = Curate.contaminationSpans(train, bench, "text", "doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    // the 6-token benchmark run sits at positions 4..9; three 4-windows
+    assert(spans.toSeq == Seq((1L, 4, 9, 3L)))
+    val out = Curate.removeContaminatedSpans(train, bench, "text", "doc_id", n = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, "intro words here trailing bit", 6),
+      (2L, "totally clean document with original content only here", 0)))
+  }
+
   test("contamination gram-match is a broadcast join; only ids aggregate") {
     val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val bench = Seq((2L, "b c d e")).toDF("doc_id", "text")

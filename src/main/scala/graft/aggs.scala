@@ -86,6 +86,16 @@ object Aggs {
     runWith(TextIndex.prefilter(docs, postings, body, idCol, indexedFields, nBuckets),
       body, idCol, background = docs)
 
+  /** Eager validation (R11 parity for the aggregation surface): build
+    * every aggregation plan against a zero-row slice of `docs` and force
+    * analysis, surfacing unknown agg types, bad parameters, AND missing
+    * columns as `Left` — before any execution. */
+  def validate(docs: DataFrame, body: String): Either[String, Unit] =
+    try {
+      run(docs.limit(0), body).values.foreach(_.queryExecution.analyzed)
+      Right(())
+    } catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+
   /** Single-agg convenience: the body must contain exactly one top-level
     * aggregation (plus an optional `query`). */
   def runSingle(docs: DataFrame, body: String, idCol: String = "doc_id"): DataFrame = {

@@ -238,6 +238,18 @@ class AggsSpec extends AnyFunSuite {
     assert(missing == 1L)
   }
 
+  test("validate: Left on bad types, bad params, missing columns; Right on good") {
+    assert(Aggs.validate(docs,
+      """{"aggs":{"t":{"terms":{"field":"lang"},
+           "aggs":{"a":{"avg":{"field":"score"}}}}}}""").isRight)
+    assert(Aggs.validate(docs,
+      """{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")
+      .left.exists(_.contains("unsupported")))
+    assert(Aggs.validate(docs,
+      """{"aggs":{"t":{"terms":{"field":"no_such_column"}}}}""").isLeft)
+    assert(Aggs.validate(docs, """{"aggs":{}}""").isLeft)
+  }
+
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
     assert(bad("""{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")

@@ -76,8 +76,17 @@ object IndexBench {
         Seq("doc_id"), Set("text", "lang"), 64, pureIndex = true).count())
       s""""$name":{"scan":$scan,"indexed":$idx,"scan_pk":$scanPk,"pure_pk":$purePk}"""
     }
+    // aggregation crossover: the same terms-agg body over a selective
+    // query, scan-filtered vs postings-candidate-pruned (Aggs.runIndexed)
+    val aggBody = """{"query":{"match":{"text":"dup"}},
+                      "aggs":{"by_lang":{"terms":{"field":"lang"},
+                        "aggs":{"chars":{"avg":{"field":"n_chars"}}}}}}"""
+    val aggScan = time(Aggs.runSingle(docs, aggBody).count())
+    val aggIdx = time(Aggs.runIndexed(docs, store, aggBody,
+      indexedFields = Set("text", "lang"), nBuckets = 64)("by_lang").count())
     println(s"""{"metric":"index_bench","sf":"$sfDir","repl":$repl,"build_sec":$buildSec,""" +
-      s""""queries":{${rows.mkString(",")}}}""")
+      s""""queries":{${rows.mkString(",")}},""" +
+      s""""agg_terms":{"scan":$aggScan,"indexed":$aggIdx}}""")
     spark.stop()
   }
 }

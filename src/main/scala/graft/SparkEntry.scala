@@ -262,6 +262,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_source_filter" -> ((s, dir) => {
+      // body _source filter: response shaping that becomes scan column
+      // pruning (ReadSchema shrinks — PlanSpec-proven)
+      val q = """{"query":{"match":{"text":"spark"}},
+                  "_source":["lang","n_chars"],"size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+        IndexConfig(maxResults = 100000), Seq("doc_id"))
+    }),
     "q_search_sorted" -> ((s, dir) => {
       // ES body field sort: matching docs ordered by a field instead of
       // relevance (id tiebreak appended — total order contract)
@@ -1350,6 +1358,11 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    "q_search_source_filter" ->
+      """SELECT doc_id, lang, n_chars,
+           CAST(regexp_matches(lower(text), '\bspark\b') AS INT) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')""",
     "q_search_sorted" ->
       """SELECT doc_id, lang, n_chars,
            CAST(regexp_matches(lower(text), '\bspark\b') AS INT) AS _score

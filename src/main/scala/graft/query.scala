@@ -87,9 +87,17 @@ object QueryMeta {
   * totally ordered. Declared subset: search_after pairs with the DEFAULT
   * relevance order only — combining it with a custom sort is rejected at
   * compile, not silently mis-paginated. */
+/** `sourceFields` is the ES body's `_source` filter (`"_source": ["f", …]`
+  * or `false`): which document fields a hit returns. `Some(fields)` keeps
+  * exactly those (+ PK + `_score`); `Some(Nil)` (`_source: false`) keeps
+  * only PK + `_score`. On Spark this is not cosmetic: the projection
+  * reaches the Parquet scan as column pruning, so asking for 2 of 40
+  * columns reads 2 of 40 columns — at 100 TB the difference between a
+  * response-shaping nicety and a 20× I/O cut. */
 final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int],
                                searchAfter: Option[(Double, Any)] = None,
-                               sort: Option[Seq[(String, Boolean)]] = None)
+                               sort: Option[Seq[(String, Boolean)]] = None,
+                               sourceFields: Option[Seq[String]] = None)
 
 object QueryCompiler {
 
@@ -533,9 +541,18 @@ object QueryCompiler {
       require(after.isEmpty || sort.isEmpty,
         "search_after pairs with the default relevance order (declared subset); " +
           "remove 'sort' or paginate without it")
+      val source = Option(root.get("_source")).map { s =>
+        if (s.isBoolean && !s.asBoolean) Seq.empty[String]
+        else {
+          require(s.isArray, s"'_source' must be false or an array of fields, got: $s")
+          val fields = s.elements.asScala.toSeq.map(_.asText)
+          require(fields.forall(_.nonEmpty), "'_source' fields must be non-empty")
+          fields
+        }
+      }
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol)
-      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort)
+      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source)
     }
 
     private def node(n: JsonNode,

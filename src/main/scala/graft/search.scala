@@ -60,9 +60,19 @@ object Search {
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
     val hits0 = topK(docs, compiled, cfg, pkCols.head)
     val hits = withSource(hits0, docs.columns.toSeq, meta)
-    if (meta.loadRows) hits
-    else hits.select((pkCols.map(col) :+ col("_score")) ++
-      (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
+    if (!meta.loadRows)
+      hits.select((pkCols.map(col) :+ col("_score")) ++
+        (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
+    else compiled.sourceFields match {
+      // body `_source` filter: response shaping that Catalyst turns into
+      // scan column pruning (ReadSchema shrinks — PlanSpec-proven).
+      // Orthogonal to the load-source OPTION, which attaches the full doc
+      // as one JSON column and is kept when requested.
+      case Some(fields) =>
+        hits.select((pkCols ++ fields).distinct.map(col) ++ Seq(col("_score")) ++
+          (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
+      case None => hits
+    }
   }
 
   /** ES-style highlighting: run the search, then wrap every match of the

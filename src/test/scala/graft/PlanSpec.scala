@@ -30,6 +30,18 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(500))
   }
 
+  test("_source filtering prunes the parquet scan's ReadSchema") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.Search.search(docs,
+      """{"query":{"match":{"text":"spark"}},"_source":["lang"]}""",
+      graft.IndexConfig())
+      .queryExecution.executedPlan.toString
+    // text is read (the predicate needs it) but source/n_chars are NOT —
+    // the response shaping became scan I/O reduction
+    assert(!plan.contains("n_chars"), plan.take(1500))
+    assert(!plan.contains("source:"), plan.take(1500))
+  }
+
   test("predicate and column pruning reach the parquet scan") {
     val plan = planOf("q_delete_antijoin")
     // deletes side: status filter pushed into the scan

@@ -36,6 +36,17 @@ class SearchSpec extends AnyFunSuite {
     assert(out2 == "<em>spark batch</em> engine", out2)
   }
 
+  test("_source filter shapes columns; false keeps pk + score only") {
+    val cols = Search.search(docs,
+      """{"query":{"match":{"text":"spark"}},"_source":["lang"]}""",
+      IndexConfig()).columns.toSeq
+    assert(cols == Seq("doc_id", "lang", "_score"))
+    val pkOnly = Search.search(docs,
+      """{"query":{"match":{"text":"spark"}},"_source":false}""",
+      IndexConfig()).columns.toSeq
+    assert(pkOnly == Seq("doc_id", "_score"))
+  }
+
   test("DSL sort: field order replaces relevance, _score sortable, id tiebreak") {
     val out = Search.search(docs,
       """{"query":{"match_all":{}},"sort":[{"lang":"desc"},{"doc_id":{"order":"asc"}}]}""",

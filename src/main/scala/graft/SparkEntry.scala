@@ -262,6 +262,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_from" -> ((s, dir) => {
+      // ES offset paging: page 2 of a field-sorted search (from 50, size
+      // 40) — the UI-pagination shape, window-capped by max-results
+      val q = """{"query":{"match":{"text":"spark"}},
+                  "sort":[{"n_chars":"desc"}],"from":50,"size":40}"""
+      Search.search(tbl(s, dir, "documents"), q, IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("n_chars"), col("_score"))
+    }),
     "q_search_source_filter" -> ((s, dir) => {
       // body _source filter: response shaping that becomes scan column
       // pruning (ReadSchema shrinks — PlanSpec-proven)
@@ -1358,6 +1366,12 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    "q_search_from" ->
+      """SELECT doc_id, n_chars,
+           CAST(regexp_matches(lower(text), '\bspark\b') AS INT) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+         ORDER BY n_chars DESC, doc_id LIMIT 40 OFFSET 50""",
     "q_search_source_filter" ->
       """SELECT doc_id, lang, n_chars,
            CAST(regexp_matches(lower(text), '\bspark\b') AS INT) AS _score

@@ -94,10 +94,16 @@ object QueryMeta {
   * reaches the Parquet scan as column pruning, so asking for 2 of 40
   * columns reads 2 of 40 columns — at 100 TB the difference between a
   * response-shaping nicety and a 20× I/O cut. */
+/** `from` is ES offset paging (`"from": N` + `size`): skip N ranked hits.
+  * Fine for UI pages; the executor enforces ES's own guard —
+  * `from + size` must fit max-results (ES max_result_window), because
+  * offset paging re-ranks its whole prefix; deep pagination belongs to
+  * `search_after`. */
 final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int],
                                searchAfter: Option[(Double, Any)] = None,
                                sort: Option[Seq[(String, Boolean)]] = None,
-                               sourceFields: Option[Seq[String]] = None)
+                               sourceFields: Option[Seq[String]] = None,
+                               from: Int = 0)
 
 object QueryCompiler {
 
@@ -550,9 +556,13 @@ object QueryCompiler {
           fields
         }
       }
+      val from = Option(root.get("from")).map(_.asInt).getOrElse(0)
+      require(from >= 0, s"'from' must be >= 0, got $from")
+      require(from == 0 || after.isEmpty,
+        "'from' and 'search_after' are mutually exclusive (ES semantics)")
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol)
-      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source)
+      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source, from)
     }
 
     private def node(n: JsonNode,

@@ -23,6 +23,10 @@ object Search {
   def topK(docs: DataFrame, q: CompiledQuery, cfg: IndexConfig,
            tiebreak: String = "doc_id"): DataFrame = {
     val limit = q.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
+    // ES max_result_window guard: offset paging ranks its whole prefix, so
+    // the window end must fit the cap (deep pages belong to search_after)
+    require(q.from + limit <= cfg.maxResults,
+      s"from + size (${q.from} + $limit) exceeds max-results ${cfg.maxResults}")
     val scored = docs.where(q.predicate).withColumn("_score", q.score)
     // search_after: keyset-resume strictly after (score, id) in the
     // (score DESC, id ASC) total order — the page predicate composes with
@@ -42,8 +46,8 @@ object Search {
       } :+ col(tiebreak).asc
       case None => Seq(desc("_score"), col(tiebreak).asc)
     }
-    paged.orderBy(order: _*)
-      .limit(limit)
+    val ranked = paged.orderBy(order: _*)
+    (if (q.from > 0) ranked.offset(q.from) else ranked).limit(limit)
   }
 
   /** One-call search: parse + compile + execute.

@@ -36,6 +36,22 @@ class SearchSpec extends AnyFunSuite {
     assert(out2 == "<em>spark batch</em> engine", out2)
   }
 
+  test("from offset paging: pages tile the ranked list; window guard is loud") {
+    def page(from: Int) = Search.search(docs,
+      s"""{"query":{"match_all":{}},"from":$from,"size":2,
+           "sort":[{"doc_id":"asc"}]}""", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(page(0) == Seq("1", "2") && page(2) == Seq("3", "4") && page(4) == Nil)
+    val e = intercept[IllegalArgumentException](Search.search(docs,
+      """{"query":{"match_all":{}},"from":9999,"size":5}""",
+      IndexConfig()).collect())
+    assert(e.getMessage.contains("max-results"))
+    val e2 = intercept[IllegalArgumentException](Search.search(docs,
+      """{"query":{"match_all":{}},"from":2,"search_after":[1,"0"]}""",
+      IndexConfig()))
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("_source filter shapes columns; false keeps pk + score only") {
     val cols = Search.search(docs,
       """{"query":{"match":{"text":"spark"}},"_source":["lang"]}""",

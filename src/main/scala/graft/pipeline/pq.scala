@@ -58,12 +58,23 @@ object Pq {
     val dims = firstRow.head.getInt(0)
     require(dims % m == 0, s"dims ($dims) must be divisible by m ($m)")
     val dsub = dims / m
-    // seeds: per subspace, the first ksub distinct subvectors in id order
-    var codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    // seeds: per subspace, the first ksub distinct subvectors in id order.
+    // Subspaces saturate at their own distinct count, so lengths can
+    // DIFFER — pad every codebook to the common max by repeating its first
+    // centroid: the ADC lookup table is laid out with one uniform stride
+    // (PqLut/PqAdc index `s·ksub + code`), and a ragged codebook would
+    // corrupt it. Padding with a duplicate is safe — nearest-centroid
+    // tie-breaks to the lowest index, so a padded copy is never selected.
+    val ragged: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
       normed.select(slice(col("v"), s * dsub + 1, dsub).as("sub"), col("id"))
         .groupBy("sub").agg(min("id").as("first_id"))
         .orderBy("first_id").limit(ksub)
         .collect().map(_.getSeq[Double](0).toArray)
+    }
+    val width = ragged.map(_.length).max
+    var codebooks: Array[Array[Array[Double]]] = ragged.map { cb =>
+      if (cb.length == width) cb
+      else cb ++ Array.fill(width - cb.length)(cb.head)
     }
     var it = 0
     while (it < iters) {

@@ -85,6 +85,28 @@ class PqSpec extends AnyFunSuite {
     assert(plan.split("Exchange").length - 1 <= 2, plan)
   }
 
+  test("ragged codebooks (skewed per-subspace distinct counts) stay lossless") {
+    // every vector shares the SAME first subspace but differs in the
+    // second: subspace 0 saturates at 1 centroid while subspace 1 needs 4.
+    // Before codebook padding, the ADC lookup table used subspace 0's
+    // length as the uniform stride and subspace 1 wrote past the end.
+    val skewed = Seq(
+      (1L, Array(1.0, 0.0, 1.0, 0.0)),
+      (2L, Array(1.0, 0.0, 0.0, 1.0)),
+      (3L, Array(1.0, 0.0, 0.7, 0.7)),
+      (4L, Array(1.0, 0.0, 0.3, 0.9)))
+      .toDF("vec_id", "embedding")
+    val cb = Pq.train(skewed, m = 2, ksub = 8, iters = 0)
+    assert(cb(0).length == cb(1).length) // padded to a uniform width
+    val qs = queriesOf(skewed, 1L)
+    val pq = Pq.adcTopK(Pq.encode(skewed, cb), qs, cb, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val exact = Similarity.bruteForceTopK(
+        skewed.withColumn("embedding", col("embedding").cast("array<double>")), qs, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(pq == exact)
+  }
+
   test("zero vectors never outrank real neighbors (normalize guard)") {
     val withZero = corpus.union(Seq((99L, Array.fill(8)(0.0))).toDF("vec_id", "embedding"))
     val cb = Pq.train(withZero, m = 4, ksub = 8, iters = 0)

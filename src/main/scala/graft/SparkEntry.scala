@@ -1253,9 +1253,16 @@ object SparkEntry {
     }),
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessionization (30 min) — the batch twin of the
-      // mapGroupsWithState streaming operator (Sessionize.assignStream)
+      // mapGroupsWithState streaming operator (Sessionize.assignStream).
+      // Session bounds go out as epoch-micros BIGINT: a timestamp column
+      // here made the hash depend on the checker's nanos→micros cast
+      // behavior (truncate vs round-to-nearest flips ~half the sf0.01
+      // rows — the r5 driver-red signature)
       Sessionize.summarize(tbl(s, dir, "events"), "user_id", "ts",
           gapSec = 1800, orderCols = Seq("event_id"))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          unix_micros(col("session_start")).as("session_start_us"),
+          unix_micros(col("session_end")).as("session_end_us"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
@@ -1304,10 +1311,14 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
     "q_domain_mix" -> ((s, dir) => {
-      // per-source sampling plan toward a 1400-token budget per domain
+      // per-source sampling plan toward a 1400-token budget per domain.
+      // keep_frac crosses the oracle as floor(frac*1e4) BIGINT — IEEE
+      // division/multiplication are correctly rounded and floor is exact,
+      // so the integer is bit-stable where round(double, 4)'s last-bit
+      // behavior is engine-version-dependent (the r5 driver-red signature)
       Curate.mixPlan(tbl(s, dir, "documents"), "source", "text", targetTokens = 1400L)
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("keep_frac"), 4).as("keep_frac"))
+          floor(col("keep_frac") * 10000).as("keep_frac_x1e4"))
         .orderBy(col("source"))
     }),
     "q_sample_stratified" -> ((s, dir) => {
@@ -2137,22 +2148,23 @@ object SparkEntry {
          WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q_sessionize" ->
       """WITH ev AS (
-           -- events.ts is parquet TIMESTAMP(NANOS); Spark truncates to micros
-           -- (tbl(): ts div 1000), so truncate here too or session bounds
-           -- hash-differ in the sub-microsecond digits
-           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+           -- events.ts is parquet TIMESTAMP(NANOS); Spark truncates to
+           -- micros (tbl(): ts div 1000). epoch_ns // 1000 is the same
+           -- explicit truncation as integers — no timestamp cast whose
+           -- truncate-vs-round behavior varies by engine version
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
          e AS (
-           SELECT user_id, event_id, ts,
-             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
                   THEN 1 ELSE 0 END AS new_s
            FROM ev),
          s AS (
-           SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
            FROM e)
          SELECT user_id, session_seq, count(*) AS n_events,
-           min(ts) AS session_start, max(ts) AS session_end
+           min(us) AS session_start_us, max(us) AS session_end_us
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
     "q_dedup_corpus" ->
@@ -2565,7 +2577,8 @@ object SparkEntry {
                      x -> len(x) > 0))) AS n_tokens
            FROM documents GROUP BY source)
          SELECT source, n_docs, n_tokens,
-           round(least(CAST(1 AS DOUBLE), CAST(1400 AS DOUBLE) / n_tokens), 4) AS keep_frac
+           CAST(floor(least(CAST(1 AS DOUBLE), CAST(1400 AS DOUBLE) / n_tokens) * 10000)
+                AS BIGINT) AS keep_frac_x1e4
          FROM stats ORDER BY source""",
     "q_sample_stratified" ->
       // cover check only: kept ∪ complement must re-derive each doc exactly

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout goes straight through instead of via sbt's logger:
+// the logger's "[info] " prefix made graft.Bench's one-line JSON
+// unparseable to anything doing json.loads per line (every BENCH_rN
+// artifact to date recorded "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

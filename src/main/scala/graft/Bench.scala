@@ -103,12 +103,18 @@ object Bench {
         "q_search_sorted", "q_agg_filters", "q_curate_spans",
         "q_search_source_filter", "q_search_from")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +
       s""""query_count":${results.size},"new_queries_baseline":"$newQueriesBaseline",""" +
       s""""new_queries_since_baseline":$newQueries,""" +
       s""""action":"materialize_rows (toRdd.count; r5 change — a bare count() let the optimizer elide column decode and whole joins, under-measuring projection-shaped queries)",""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // belt-and-braces for harnesses that read the sbt-wrapped stdout (whose
+    // logger prefix breaks line-oriented JSON parsing): the same line lands
+    // in bench.json in the working directory (= repo root under sbt)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

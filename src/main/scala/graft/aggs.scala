@@ -141,7 +141,8 @@ object Aggs {
             // key order is semantic for the histogram family, which is
             // what makes bucket-sequence pipeline aggs well-defined here
             applyPipelines(
-              bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
+              bucketed(docs, bucketKey(tpe, name, body), subAggs, name,
+                  allowPipelines = true)
                 .orderBy(asc("key")),
               subAggs, name)
         }
@@ -562,7 +563,7 @@ object Aggs {
 
   /** groupBy the bucket key, count, and append metric sub-aggs. */
   private def bucketed(docs: DataFrame, key: Column, subAggs: Option[JsonNode],
-                       parent: String): DataFrame = {
+                       parent: String, allowPipelines: Boolean = false): DataFrame = {
     val metrics = subAggs.toSeq.flatMap { n =>
       require(n.isObject, s"sub-aggs of '$parent' must be an object")
       n.fieldNames.asScala.toSeq.flatMap { sub =>
@@ -572,9 +573,15 @@ object Aggs {
           t == "aggs" || t == "aggregations" || bucketTypes.contains(t)),
           s"sub-agg '$sub' of '$parent' must be a single metric (no nested buckets)")
         // pipeline aggs transform the bucket frame afterwards
-        // ([[applyPipelines]]), not the groupBy
-        if (pipelineTypes.contains(ts.head)) Nil
-        else metric(ts.head, sub, subSpec.get(ts.head))
+        // ([[applyPipelines]]), not the groupBy — only the histogram family
+        // has a semantic bucket sequence, so elsewhere they fail loud (ES
+        // rejects pipeline aggs on non-histogram parents; silently dropping
+        // the column broke the fail-loud contract)
+        if (pipelineTypes.contains(ts.head)) {
+          require(allowPipelines, s"pipeline sub-agg '$sub' (${ts.head}) of " +
+            s"'$parent' is only valid under a histogram-family parent")
+          Nil
+        } else metric(ts.head, sub, subSpec.get(ts.head))
       }
     }
     val aggCols = (count(lit(1)).as("doc_count") +: metrics)

@@ -29,6 +29,22 @@ private[functions] object PqMath {
   /** codebooks(s)(c) = centroid c of subspace s; dsub = dims / m. */
   def dsubOf(codebooks: Array[Array[Array[Double]]]): Int = codebooks(0)(0).length
 
+  /** The ADC LUT is laid out as a dense `m × ksub` table with ksub taken
+    * from subspace 0, so a ragged caller-supplied codebook (Pq.train pads,
+    * but encode/adcTopK are public) would silently write into the next
+    * subspace's stride — corrupt scores, no error. Fail loud instead. */
+  def requireUniform(codebooks: Array[Array[Array[Double]]]): Unit = {
+    require(codebooks.nonEmpty && codebooks(0).nonEmpty,
+      "codebooks must be non-empty")
+    val ksub = codebooks(0).length
+    val dsub = codebooks(0)(0).length
+    require(codebooks.forall(_.length == ksub),
+      s"ragged codebooks: every subspace needs $ksub centroids " +
+        s"(got ${codebooks.map(_.length).mkString(",")})")
+    require(codebooks.forall(_.forall(_.length == dsub)),
+      s"ragged codebooks: every centroid needs $dsub dims")
+  }
+
   /** L2-normalize in place (spherical PQ: every vector is normalized before
     * training/encoding/LUT so ADC approximates cosine). Zero vectors stay
     * zero (score 0 — same contract as `vec_cosine`'s NaN guard). Doing this
@@ -68,6 +84,7 @@ private[functions] object PqMath {
   * downstream score is meant to approximate cosine. */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
+  PqMath.requireUniform(codebooks)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -95,6 +112,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
   * only ever index into it. */
 case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with CodegenFallback {
+  PqMath.requireUniform(codebooks)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 

@@ -24,8 +24,10 @@ object Search {
            tiebreak: String = "doc_id"): DataFrame = {
     val limit = q.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
     // ES max_result_window guard: offset paging ranks its whole prefix, so
-    // the window end must fit the cap (deep pages belong to search_after)
-    require(q.from + limit <= cfg.maxResults,
+    // the window end must fit the cap (deep pages belong to search_after).
+    // Long arithmetic: an Int sum overflows for a pathological `from` and
+    // would slip past the guard as a negative number
+    require(q.from.toLong + limit <= cfg.maxResults,
       s"from + size (${q.from} + $limit) exceeds max-results ${cfg.maxResults}")
     val scored = docs.where(q.predicate).withColumn("_score", q.score)
     // search_after: keyset-resume strictly after (score, id) in the
@@ -118,8 +120,11 @@ object Search {
     hlFields.foldLeft(hits) { (df, f) =>
       leafPatterns(ast, f) match {
         case Nil => df.withColumn(s"_highlight_$f", lit(null).cast("string"))
+        // (?iu): the predicates match against lower(field) with full
+        // Unicode folding, so the marker pass needs UNICODE_CASE too —
+        // ASCII-only (?i) left e.g. 'SPÄRK' hits unhighlighted
         case ps => df.withColumn(s"_highlight_$f",
-          regexp_replace(col(f), "(?i)(?:" + ps.mkString("|") + ")",
+          regexp_replace(col(f), "(?iu)(?:" + ps.mkString("|") + ")",
             java.util.regex.Matcher.quoteReplacement(pre) + "$0" +
               java.util.regex.Matcher.quoteReplacement(post)))
       }

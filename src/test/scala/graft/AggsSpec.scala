@@ -184,6 +184,21 @@ class AggsSpec extends AnyFunSuite {
       (30.0, 8.0, 15.0, Some(4.0), 1.0)))
   }
 
+  test("pipeline sub-agg under a non-histogram parent fails loud") {
+    // ES rejects pipeline aggs on non-sequence parents; silently dropping
+    // the requested column broke the fail-loud contract
+    val rows = Seq(("a", 1.0), ("b", 2.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g"},
+           "aggs":{"total":{"sum":{"field":"v"}},
+                   "cum":{"cumulative_sum":{"buckets_path":"total"}}}}}}"""))
+    assert(e.getMessage.contains("histogram-family"))
+    val e2 = intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"r":{"range":{"field":"v","ranges":[{"to":1.5},{"from":1.5}]},
+           "aggs":{"cum":{"cumulative_sum":{"buckets_path":"_count"}}}}}}"""))
+    assert(e2.getMessage.contains("histogram-family"))
+  }
+
   test("nested terms in a histogram: per-bucket top-N with inner metrics") {
     val rows = Seq(
       (5.0, "a", 1.0), (6.0, "a", 3.0), (7.0, "b", 5.0),

@@ -107,6 +107,23 @@ class PqSpec extends AnyFunSuite {
     assert(pq == exact)
   }
 
+  test("caller-supplied ragged codebooks fail loud, not corrupt scores") {
+    // Pq.train pads to uniform width, but encode/adcTopK are public and the
+    // ADC LUT stride is subspace 0's length — a wider later subspace wrote
+    // into the adjacent subspace's region (silent score corruption)
+    val ragged: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 0.0)),                       // subspace 0: 1 centroid
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)))      // subspace 1: 2 centroids
+    val data = Seq((1L, Array(1.0, 0.0, 0.0, 1.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Pq.encode(data, ragged).collect())
+    assert(e.getMessage.contains("ragged"))
+    val e2 = intercept[IllegalArgumentException](
+      Pq.adcTopK(Pq.encode(data, Pq.train(data, m = 2, ksub = 2, iters = 0)),
+        queriesOf(data, 1L), ragged, k = 1).collect())
+    assert(e2.getMessage.contains("ragged"))
+  }
+
   test("zero vectors never outrank real neighbors (normalize guard)") {
     val withZero = corpus.union(Seq((99L, Array.fill(8)(0.0))).toDF("vec_id", "embedding"))
     val cb = Pq.train(withZero, m = 4, ksub = 8, iters = 0)

@@ -26,6 +26,25 @@ class SearchSpec extends AnyFunSuite {
     assert(out.getAs[String]("_highlight_lang") == null)
   }
 
+  test("highlight folds case like the predicate: Unicode uppercase hits marked") {
+    // the filter matches against lower(field) (full Unicode folding); an
+    // ASCII-only (?i) marker pass returned this hit with no highlight
+    val uDocs = Seq(("1", "SPÄRK engine", "de")).toDF("doc_id", "text", "lang")
+    val out = Search.highlight(uDocs, "text:spärk", IndexConfig(),
+      hlFields = Seq("text")).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("_highlight_text") == "<em>SPÄRK</em> engine")
+  }
+
+  test("from window guard is overflow-proof") {
+    // from close to Int.MaxValue: an Int sum wrapped negative and slipped
+    // past the max_result_window require, returning an empty page
+    val e = intercept[IllegalArgumentException](Search.search(docs,
+      """{"query":{"match_all":{}},"from":2147483600,"size":5}""",
+      IndexConfig()).collect())
+    assert(e.getMessage.contains("max-results"))
+  }
+
   test("highlight: phrases mark the whole span, NOT leaves mark nothing") {
     val out = Search.highlight(docs, "text:\"spark batch\" AND NOT text:engine",
       IndexConfig(), hlFields = Seq("text"))

@@ -101,7 +101,9 @@ object Bench {
         "q_index_terms_agg", "q_search_after", "q_search_highlight",
         "q_agg_significant", "q_agg_pipeline", "q_agg_nested", "q_agg_indexed",
         "q_search_sorted", "q_agg_filters", "q_curate_spans",
-        "q_search_source_filter", "q_search_from")
+        "q_search_source_filter", "q_search_from",
+        // r6
+        "q_search_qstring_or")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -61,6 +61,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_qstring_or" -> ((s, dir) => {
+      // query_string default_operator=OR with Lucene occur flags: bare
+      // adjacency widens to OR, `-term` stays a conjunctive exclusion
+      // (ES's implicit-OR contract a migrating user relies on)
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query":{"query_string":{"query":"text:spark text:batch -text:filter",
+             "default_operator":"OR"}}}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_wildcard" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       Search.search(docs, "text:filt* AND lang:de", IndexConfig(), Seq("doc_id"))
@@ -1421,6 +1433,15 @@ object SparkEntry {
             CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
          FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b') OR regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY _score DESC, doc_id""",
+    "q_search_qstring_or" ->
+      // a query_string sub-query is ONE scoring leaf in the DSL (declared),
+      // so every hit scores 1 regardless of how many inner terms matched
+      """SELECT doc_id, lang, 1 AS _score
+         FROM documents
+         WHERE (regexp_matches(lower(text), '\bspark\b')
+                OR regexp_matches(lower(text), '\bbatch\b'))
+           AND NOT regexp_matches(lower(text), '\bfilter\b')
          ORDER BY _score DESC, doc_id""",
     "q_search_wildcard" ->
       """SELECT doc_id, source,

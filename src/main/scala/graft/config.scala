@@ -35,6 +35,14 @@ object SegmentGranularity {
 final case class IndexConfig(
   /** Search read-amplification bound (reference: IndexConfig.java:64-65). */
   maxResults: Int = 10000,
+  /** What bare adjacency in Lucene-lite / `query_string` queries means:
+    * "AND" (our default — narrower, reproducible) or "OR" (the ES/Lucene
+    * query_string default). Declared divergence: a migrating user whose
+    * multi-term queries rely on ES's implicit OR sets this (or the
+    * per-query `#options:default-operator=or#` / DSL `default_operator`
+    * overrides). The reference passes query strings to ES verbatim
+    * (ElasticIndex.java:663-665), inheriting Lucene's OR. */
+  defaultOperator: String = "AND",
   /** Drop null fields from docs instead of writing JSON null
     * (reference: IndexConfig.java:73-74; EsSecondaryIndex.java:201). */
   discardNulls: Boolean = true,

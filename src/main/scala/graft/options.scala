@@ -78,6 +78,10 @@ object OptionReader {
       s.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     IndexConfig(
       maxResults = num("max-results", 10000)(_.toInt),
+      defaultOperator = opts.getOrElse("default-operator", "AND") match {
+        case op if op.equalsIgnoreCase("OR") => "OR"
+        case _ => "AND" // malformed falls back, like the other readers
+      },
       discardNulls = bool("discard-nulls", dflt = true),
       insertOnly = bool("insert-only", dflt = false),
       analyticMode = bool("analytic-mode", dflt = false),

@@ -112,11 +112,25 @@ object QueryCompiler {
     * `idCol` is the column the DSL `ids` operator targets (the ES `_id`
     * analog — callers with a different PK pass it through). */
   def compile(query: String, defaultLimit: Int = 10000,
-              idCol: String = "doc_id"): CompiledQuery = {
+              idCol: String = "doc_id",
+              defaultOperator: String = "AND"): CompiledQuery = {
     val meta = QueryMeta.parse(query)
     val q = meta.query.trim
-    if (q.startsWith("{")) DslJson.compile(q, defaultLimit, idCol)
-    else LuceneLite.compile(q, defaultLimit)
+    val dOr = resolveOperator(meta, defaultOperator) == "OR"
+    if (q.startsWith("{")) DslJson.compile(q, defaultLimit, idCol, dOr)
+    else LuceneLite.compile(q, defaultLimit, defaultField = None, defaultOr = dOr)
+  }
+
+  /** The operator bare adjacency compiles to, normalized to "AND"/"OR":
+    * the per-query `#options:default-operator=or#` override wins over the
+    * store-level [[IndexConfig.defaultOperator]]. Callers that strip the
+    * option prefix before compiling (Search, TextIndex) resolve against
+    * the ORIGINAL meta and pass the result down. Other values are loud. */
+  private[graft] def resolveOperator(meta: QueryMeta, configured: String): String = {
+    val op = meta.options.getOrElse("default-operator", configured)
+    require(op.equalsIgnoreCase("AND") || op.equalsIgnoreCase("OR"),
+      s"default operator must be AND or OR, got '$op'")
+    op.toUpperCase
   }
 
   /** Eager validation (R11): compile and surface syntax errors as
@@ -246,15 +260,24 @@ object QueryCompiler {
     case class And(l: Node, r: Node) extends Node
     case class Or(l: Node, r: Node) extends Node
     case class Not(n: Node) extends Node
+    /** `+clause` under `default_operator=OR`: a MUST clause (Lucene occur
+      * flag). Never constructed under the AND default, where `+` is a
+      * no-op. */
+    case class Required(n: Node) extends Node
+    /** A clause that no longer constrains matching but still contributes
+      * relevance score — ES's SHOULD clauses when MUST clauses exist. */
+    case class ScoreOnly(n: Node) extends Node
 
     /** Parsed AST without compilation — [[TextIndex]] walks it to decide
       * which leaves a postings store can serve (candidate pre-filter). */
-    private[graft] def ast(q: String, defaultField: Option[String] = None): Node =
-      parse(q, defaultField)
+    private[graft] def ast(q: String, defaultField: Option[String] = None,
+                           defaultOr: Boolean = false): Node =
+      parse(q, defaultField, defaultOr)
 
     def compile(q: String, defaultLimit: Int,
-                defaultField: Option[String] = None): CompiledQuery = {
-      val ast = parse(q, defaultField)
+                defaultField: Option[String] = None,
+                defaultOr: Boolean = false): CompiledQuery = {
+      val ast = parse(q, defaultField, defaultOr)
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       // `pos` tracks polarity: only positive leaves contribute to the score
       def toCol(n: Node, pos: Boolean): Column = n match {
@@ -284,6 +307,9 @@ object QueryCompiler {
         // coalesce defeats SQL three-valued logic (!NULL = NULL would
         // silently drop null-field rows)
         case Not(x)    => !coalesce(toCol(x, pos = false), lit(false))
+        case Required(x) => toCol(x, pos)
+        // evaluate for the score leaves, then drop the match constraint
+        case ScoreOnly(x) => { toCol(x, pos); lit(true) }
       }
       val pred = toCol(ast, pos = true)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(defaultLimit))
@@ -293,9 +319,10 @@ object QueryCompiler {
     // field groups. `defaultField` is the field bare terms bind to — set
     // only inside a `field:(...)` group (Lucene's grouping syntax,
     // README.md:176-211 shows user queries that use it).
-    private def parse(q: String, defaultField: Option[String] = None): Node = {
+    private def parse(q: String, defaultField: Option[String] = None,
+                      defaultOr: Boolean = false): Node = {
       val toks = tokenize(q)
-      val (node, rest) = parseOr(toks, defaultField)
+      val (node, rest) = parseOr(toks, defaultField, defaultOr)
       require(rest.isEmpty, s"trailing tokens: ${rest.mkString(" ")}")
       node
     }
@@ -308,9 +335,12 @@ object QueryCompiler {
       case e: Exists => e.copy(boost = e.boost * n)
       case f: Fuzzy => f.copy(boost = f.boost * n)
       case r: Range => r.copy(boost = r.boost * n)
+      case p: Proximity => p.copy(boost = p.boost * n)
       case And(l, r) => And(mapBoost(l, n), mapBoost(r, n))
       case Or(l, r)  => Or(mapBoost(l, n), mapBoost(r, n))
       case Not(x)    => Not(x) // negated leaves never score
+      case Required(x) => Required(mapBoost(x, n))
+      case ScoreOnly(x) => ScoreOnly(mapBoost(x, n))
     }
 
     private def tokenize(q: String): List[String] = {
@@ -365,43 +395,83 @@ object QueryCompiler {
       out.toList
     }
 
-    private def parseOr(t: List[String], df: Option[String]): (Node, List[String]) = {
-      var (l, rest) = parseAnd(t, df)
-      while (rest.headOption.exists(_.equalsIgnoreCase("OR"))) {
-        val (r, rr) = parseAnd(rest.tail, df); l = Or(l, r); rest = rr
+    private def parseOr(t: List[String], df: Option[String],
+                        defaultOr: Boolean): (Node, List[String]) = {
+      if (!defaultOr) {
+        var (l, rest) = parseAnd(t, df, defaultOr)
+        while (rest.headOption.exists(_.equalsIgnoreCase("OR"))) {
+          val (r, rr) = parseAnd(rest.tail, df, defaultOr); l = Or(l, r); rest = rr
+        }
+        (l, rest)
+      } else {
+        // default_operator=OR uses Lucene's flat occur-flag model, not a
+        // binary OR fold: `a -b` must stay "a, excluding b" (a naive
+        // Or(a, Not(b)) would match nearly everything). Adjacent and
+        // OR-separated clauses are SHOULD; `-`/NOT clauses are MUST_NOT;
+        // `+` clauses are MUST. With any MUST present, SHOULD clauses stop
+        // constraining and only score (ES bool semantics). Declared
+        // divergence: an explicit `a AND b` stays one binary sub-clause,
+        // it does not promote its neighbors to MUST the way Lucene's
+        // query parser does.
+        var clauses = List.empty[Node]
+        var rest = t
+        var first = true
+        while (rest.headOption.exists(h => h != ")") || first) {
+          val next =
+            if (!first && rest.headOption.exists(_.equalsIgnoreCase("OR"))) rest.tail
+            else rest
+          val (c, rr) = parseAnd(next, df, defaultOr)
+          clauses :+= c; rest = rr; first = false
+        }
+        val excls = clauses.collect { case n: Not => n }
+        val reqs = clauses.collect { case Required(x) => x }
+        val opts = clauses.filter(c =>
+          !c.isInstanceOf[Not] && !c.isInstanceOf[Required])
+        // SHOULD clauses stop constraining only when MUST clauses exist
+        // (ES minimum_should_match: must_not alone does not demote them —
+        // `a -b` stays "a, excluding b")
+        val node =
+          if (opts.isEmpty) (reqs ++ excls).reduce(And)
+          else if (reqs.isEmpty) (excls :+ opts.reduce(Or)).reduce(And)
+          else (reqs ++ excls :+ (ScoreOnly(opts.reduce(Or)): Node)).reduce(And)
+        (node, rest)
       }
-      (l, rest)
     }
 
-    private def parseAnd(t: List[String], df: Option[String]): (Node, List[String]) = {
-      var (l, rest) = parseUnary(t, df)
+    private def parseAnd(t: List[String], df: Option[String],
+                         defaultOr: Boolean): (Node, List[String]) = {
+      var (l, rest) = parseUnary(t, df, defaultOr)
       while (rest.headOption.exists(h =>
         h.equalsIgnoreCase("AND") ||
-          (!h.equalsIgnoreCase("OR") && h != ")"))) {
-        // implicit AND for adjacent clauses (Lucene default operator here: AND)
+          (!defaultOr && !h.equalsIgnoreCase("OR") && h != ")"))) {
+        // implicit AND for adjacent clauses under the AND default; with
+        // default_operator=OR adjacency belongs to the clause level above
         val next = if (rest.head.equalsIgnoreCase("AND")) rest.tail else rest
-        val (r, rr) = parseUnary(next, df); l = And(l, r); rest = rr
+        val (r, rr) = parseUnary(next, df, defaultOr); l = And(l, r); rest = rr
       }
       (l, rest)
     }
 
-    private def parseUnary(t: List[String], df: Option[String]): (Node, List[String]) = t match {
+    private def parseUnary(t: List[String], df: Option[String],
+                           defaultOr: Boolean): (Node, List[String]) = t match {
       case h :: tail if h.equalsIgnoreCase("NOT") =>
-        val (n, rest) = parseUnary(tail, df); (Not(n), rest)
+        val (n, rest) = parseUnary(tail, df, defaultOr); (Not(n), rest)
       // Lucene required/prohibited operators: `+t` is AND-semantics (a
-      // no-op under our implicit-AND default), `-t` is NOT. A bare `+`/`-`
-      // token prefixes a parenthesized group: `-(a OR b)`.
+      // no-op under our implicit-AND default; a MUST marker under OR),
+      // `-t` is NOT. A bare `+`/`-` token prefixes a parenthesized group:
+      // `-(a OR b)`.
       case ("+" | "-") :: tail =>
-        val (n, rest) = parseUnary(tail, df)
-        (if (t.head == "-") Not(n) else n, rest)
+        val (n, rest) = parseUnary(tail, df, defaultOr)
+        (if (t.head == "-") Not(n) else if (defaultOr) Required(n) else n, rest)
       case h :: tail if h.length > 1 && (h(0) == '+' || h(0) == '-') =>
-        val inner = atom(h.substring(1), df)
-        (if (h(0) == '-') Not(inner) else inner, tail)
+        val inner = atom(h.substring(1), df, defaultOr)
+        (if (h(0) == '-') Not(inner)
+         else if (defaultOr) Required(inner) else inner, tail)
       case "(" :: tail =>
-        val (n, rest) = parseOr(tail, df)
+        val (n, rest) = parseOr(tail, df, defaultOr)
         require(rest.headOption.contains(")"), "missing )")
         (n, rest.tail)
-      case h :: tail => (atom(h, df), tail)
+      case h :: tail => (atom(h, df, defaultOr), tail)
       case Nil => throw new IllegalArgumentException("empty query")
     }
 
@@ -411,7 +481,8 @@ object QueryCompiler {
     private val BoostRx = """(.*)\^(\d+)$""".r
     private val FuzzyRx = """(.*)~(\d*)$""".r
 
-    private def atom(tok: String, df: Option[String] = None): Node = {
+    private def atom(tok: String, df: Option[String] = None,
+                     defaultOr: Boolean = false): Node = {
       // a token opening with a quote or a slash is a bare phrase/regex
       // (group context binds it to the group's field): any ':' inside is
       // literal, not a field separator — `text:("a:b" OR c)` must not
@@ -430,7 +501,8 @@ object QueryCompiler {
           case v => (v, 1)
         }
         require(body.endsWith(")"), s"malformed group in '$tok'")
-        val inner = parse(body.substring(1, body.length - 1), Some(tok.substring(0, ci)))
+        val inner = parse(body.substring(1, body.length - 1),
+          Some(tok.substring(0, ci)), defaultOr)
         return if (boost == 1) inner else mapBoost(inner, boost)
       }
       // bare term inside a group binds to the group's field
@@ -519,7 +591,8 @@ object QueryCompiler {
     private val mapper = new ObjectMapper()
 
     def compile(json: String, defaultLimit: Int,
-                idCol: String = "doc_id"): CompiledQuery = {
+                idCol: String = "doc_id",
+                defaultOr: Boolean = false): CompiledQuery = {
       val root = mapper.readTree(json)
       require(root != null && root.isObject, "DSL query must be a JSON object")
       val size = Option(root.get("size")).map(_.asInt).getOrElse(defaultLimit)
@@ -561,13 +634,14 @@ object QueryCompiler {
       require(from == 0 || after.isEmpty,
         "'from' and 'search_after' are mutually exclusive (ES semantics)")
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
-      val pred = node(qNode, leaves, scoring = true, idCol)
+      val pred = node(qNode, leaves, scoring = true, idCol, defaultOr)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source, from)
     }
 
     private def node(n: JsonNode,
                      leaves: scala.collection.mutable.ArrayBuffer[Column],
-                     scoring: Boolean, idCol: String = "doc_id"): Column = {
+                     scoring: Boolean, idCol: String = "doc_id",
+                     defaultOr: Boolean = false): Column = {
       require(n.isObject && n.size == 1, s"expected single-operator object, got: $n")
       val op = n.fieldNames.asScala.next()
       val body = n.get(op)
@@ -693,8 +767,13 @@ object QueryCompiler {
         case "query_string" =>
           // {"query_string":{"query":"a:b AND c:d"}} — optional
           // `default_field` binds BARE terms (ES's q=spark batch style);
-          // without it a bare term stays a loud error, as in Lucene-lite
-          val unknown = body.fieldNames.asScala.toSet -- Set("query", "default_field")
+          // without it a bare term stays a loud error, as in Lucene-lite.
+          // `default_operator` (AND/OR) sets what bare adjacency means;
+          // absent, the store-level operator applies (our configured
+          // default is AND — a declared divergence from ES, whose
+          // query_string default is OR)
+          val unknown = body.fieldNames.asScala.toSet --
+            Set("query", "default_field", "default_operator")
           require(unknown.isEmpty,
             s"unsupported query_string option(s): ${unknown.mkString(", ")}")
           val qn = Option(body.get("query"))
@@ -704,7 +783,13 @@ object QueryCompiler {
               s"default_field must be a non-empty string, got: $n")
             n.asText
           }
-          val sub = LuceneLite.compile(qn.asText, Int.MaxValue, df)
+          val dOr = Option(body.get("default_operator")).map { n =>
+            require(n.isTextual && (n.asText.equalsIgnoreCase("AND")
+                || n.asText.equalsIgnoreCase("OR")),
+              s"default_operator must be AND or OR, got: $n")
+            n.asText.equalsIgnoreCase("OR")
+          }.getOrElse(defaultOr)
+          val sub = LuceneLite.compile(qn.asText, Int.MaxValue, df, dOr)
           if (scoring) leaves += leaf(sub.predicate, 1)
           sub.predicate
         case "multi_match" =>
@@ -791,7 +876,7 @@ object QueryCompiler {
           require(qs.isArray && qs.size > 0, "dis_max 'queries' must be a non-empty array")
           val children = qs.asScala.toSeq.map { q =>
             val sub = scala.collection.mutable.ArrayBuffer[Column]()
-            val pred = node(q, sub, scoring, idCol)
+            val pred = node(q, sub, scoring, idCol, defaultOr)
             (pred, scoreOf(sub.toSeq))
           }
           val pred = children.map(_._1).reduce(_ || _)
@@ -822,7 +907,7 @@ object QueryCompiler {
               s"boosting negative_boost must be 0 (integer-scoring subset), got: $n")
           }
           val posLeaves = scala.collection.mutable.ArrayBuffer[Column]()
-          val posPred = node(posNode, posLeaves, scoring, idCol)
+          val posPred = node(posNode, posLeaves, scoring, idCol, defaultOr)
           val negPred = node(negNode,
             scala.collection.mutable.ArrayBuffer[Column](), scoring = false, idCol)
           if (scoring)
@@ -843,7 +928,7 @@ object QueryCompiler {
               s"boost must be a positive integer, got: $n")
             n.asInt
           }.getOrElse(1)
-          val inner = node(filterNode, leaves, scoring = false, idCol)
+          val inner = node(filterNode, leaves, scoring = false, idCol, defaultOr)
           if (scoring) leaves += leaf(inner, boost)
           inner
         case "match_phrase_prefix" =>
@@ -871,10 +956,10 @@ object QueryCompiler {
           if (scoring) leaves += leaf(c, boost)
           c
         case "bool" =>
-          val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol))
-          val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false, idCol))
-          val mustNot = clauseList(body, "must_not").map(node(_, leaves, scoring = false, idCol))
-          val should = clauseList(body, "should").map(node(_, leaves, scoring, idCol))
+          val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol, defaultOr))
+          val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false, idCol, defaultOr))
+          val mustNot = clauseList(body, "must_not").map(node(_, leaves, scoring = false, idCol, defaultOr))
+          val should = clauseList(body, "should").map(node(_, leaves, scoring, idCol, defaultOr))
           // ES must_not matches when the clause is false OR the field is
           // absent — null-safe negation (see Lucene Not above)
           val positive = must ++ filter

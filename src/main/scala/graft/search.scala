@@ -63,7 +63,8 @@ object Search {
   def search(docs: DataFrame, query: String, cfg: IndexConfig,
              pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val meta = QueryMeta.parse(query)
-    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
+    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head,
+      QueryCompiler.resolveOperator(meta, cfg.defaultOperator))
     val hits0 = topK(docs, compiled, cfg, pkCols.head)
     val hits = withSource(hits0, docs.columns.toSeq, meta)
     if (!meta.loadRows)
@@ -113,9 +114,13 @@ object Search {
       case And(l, r) => leafPatterns(l, field) ++ leafPatterns(r, field)
       case Or(l, r) => leafPatterns(l, field) ++ leafPatterns(r, field)
       case Not(_) => Nil // negative subtrees have no span to mark
+      // OR-default occur wrappers: both contain positive leaves to mark
+      case Required(x) => leafPatterns(x, field)
+      case ScoreOnly(x) => leafPatterns(x, field)
       case _ => Nil
     }
-    val ast = QueryCompiler.LuceneLite.ast(meta.query.trim)
+    val ast = QueryCompiler.LuceneLite.ast(meta.query.trim,
+      defaultOr = QueryCompiler.resolveOperator(meta, cfg.defaultOperator) == "OR")
     val hits = search(docs, query, cfg, pkCols)
     hlFields.foldLeft(hits) { (df, f) =>
       leafPatterns(ast, f) match {
@@ -220,7 +225,8 @@ object Search {
                       segmentCol: Option[String] = None,
                       matchDocs: Option[DataFrame] = None): DataFrame = {
     val meta = QueryMeta.parse(query)
-    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head)
+    val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head,
+      QueryCompiler.resolveOperator(meta, cfg.defaultOperator))
     val limit = compiled.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
     // matchDocs: an optional pre-filter of `docs` that provably contains
     // every match (TextIndex candidates) — match rows/stats read it, while

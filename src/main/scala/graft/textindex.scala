@@ -523,7 +523,8 @@ object TextIndex {
     *  - `match_all`, `ids`, `exists`, `range`, `regexp`, `fuzzy`: None.
     */
   private[graft] def coverDsl(n: com.fasterxml.jackson.databind.JsonNode,
-                              fields: Set[String]): Option[Set[Probe]] = {
+                              fields: Set[String],
+                              defaultOr: Boolean = false): Option[Set[Probe]] = {
     import scala.jdk.CollectionConverters._
     if (n == null || !n.isObject || n.size != 1) return None
     val op = n.fieldNames.asScala.next()
@@ -574,7 +575,12 @@ object TextIndex {
       case "query_string" =>
         Option(body.get("query")).filter(_.isTextual).flatMap { q =>
           val df = Option(body.get("default_field")).filter(_.isTextual).map(_.asText)
-          try cover(LuceneLite.ast(q.asText, df), fields)
+          // the body's default_operator overrides the store-level one,
+          // mirroring DslJson.compile — cover and compile must agree on
+          // the AST or the candidate superset guarantee breaks
+          val dOr = Option(body.get("default_operator")).filter(_.isTextual)
+            .map(_.asText.equalsIgnoreCase("OR")).getOrElse(defaultOr)
+          try cover(LuceneLite.ast(q.asText, df, dOr), fields)
           catch { case _: Exception => None }
         }
       case "multi_match" =>
@@ -598,14 +604,14 @@ object TextIndex {
             Some(probes.flatten.toSet[Probe])
           else None
         }
-      case "constant_score" => coverDsl(body.get("filter"), fields)
+      case "constant_score" => coverDsl(body.get("filter"), fields, defaultOr)
       // boosting matches exactly what `positive` matches (negative only
       // demotes the score) — positive's cover bounds it
-      case "boosting" => coverDsl(body.get("positive"), fields)
+      case "boosting" => coverDsl(body.get("positive"), fields, defaultOr)
       case "dis_max" =>
         val qs = Option(body.get("queries")).filter(_.isArray)
           .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
-        val covers = qs.map(coverDsl(_, fields))
+        val covers = qs.map(coverDsl(_, fields, defaultOr))
         if (covers.nonEmpty && covers.forall(_.isDefined))
           Some(covers.flatten.flatten.toSet)
         else None
@@ -615,10 +621,10 @@ object TextIndex {
         val msm = Option(body.get("minimum_should_match"))
           .filter(_.isIntegralNumber).map(_.asInt)
           .getOrElse(if (positive.nonEmpty) 0 else 1)
-        val posCovers = positive.flatMap(coverDsl(_, fields))
+        val posCovers = positive.flatMap(coverDsl(_, fields, defaultOr))
         val shouldCover =
           if (should.nonEmpty && msm >= 1) {
-            val cs = should.map(coverDsl(_, fields))
+            val cs = should.map(coverDsl(_, fields, defaultOr))
             if (cs.forall(_.isDefined)) Some(cs.flatten.flatten.toSet) else None
           } else None
         (posCovers ++ shouldCover).sortBy(_.size).headOption
@@ -628,19 +634,24 @@ object TextIndex {
 
   /** Probe set for either query syntax, or None (→ scan fallback). */
   private[graft] def coverQuery(query: String,
-                                indexedFields: Set[String]): Option[Set[Probe]] = {
-    val q = QueryMeta.parse(query).query.trim
+                                indexedFields: Set[String],
+                                defaultOperator: String = "AND"): Option[Set[Probe]] = {
+    val meta = QueryMeta.parse(query)
+    val q = meta.query.trim
     try {
-      if (q.startsWith("{")) coverDsl(dslMapper.readTree(q).get("query"), indexedFields)
-      else cover(LuceneLite.ast(q), indexedFields)
+      val dOr = QueryCompiler.resolveOperator(meta, defaultOperator) == "OR"
+      if (q.startsWith("{"))
+        coverDsl(dslMapper.readTree(q).get("query"), indexedFields, dOr)
+      else cover(LuceneLite.ast(q, None, dOr), indexedFields)
     } catch { case _: Exception => None }
   }
 
   /** Can this query (Lucene-lite or ES-DSL) be served from the index (vs
     * falling back to the scan executor)? Malformed queries report false —
     * validation stays [[QueryCompiler.validate]]'s job. */
-  def coverable(query: String, indexedFields: Set[String]): Boolean =
-    coverQuery(query, indexedFields).isDefined
+  def coverable(query: String, indexedFields: Set[String],
+                defaultOperator: String = "AND"): Boolean =
+    coverQuery(query, indexedFields, defaultOperator).isDefined
 
   /** Pruned postings scan for a probe set: equality probes pin their
     * `bucket` partition values (directory-level pruning — a term query
@@ -733,16 +744,20 @@ object TextIndex {
     * degrades to a shuffled semi join, never to a wrong answer. */
   def prefilter(docs: DataFrame, postings: DataFrame, query: String,
                 idCol: String = "doc_id", indexedFields: Set[String],
-                nBuckets: Int = 64): DataFrame = {
-    val q = QueryMeta.parse(query).query.trim
+                nBuckets: Int = 64,
+                defaultOperator: String = "AND"): DataFrame = {
+    val meta = QueryMeta.parse(query)
+    val dOr = QueryCompiler.resolveOperator(meta, defaultOperator) == "OR"
+    val q = meta.query.trim
     // a positional store upgrades phrase queries to the in-order candidate
     // set; everything else (and non-positional stores) takes the probe cover
     val phraseCands =
       if (q.startsWith("{")) None
-      else try phraseAware(LuceneLite.ast(q), indexedFields, postings, nBuckets)
+      else try phraseAware(LuceneLite.ast(q, None, dOr), indexedFields, postings, nBuckets)
            catch { case _: Exception => None }
     phraseCands.orElse(
-      coverQuery(query, indexedFields).map(candidateIds(postings, _, nBuckets))
+      coverQuery(query, indexedFields, defaultOperator)
+        .map(candidateIds(postings, _, nBuckets))
     ) match {
       case Some(cands) =>
         docs.join(cands.withColumnRenamed("doc_id", "_cand_id"),
@@ -763,7 +778,7 @@ object TextIndex {
                              nBuckets: Int = 64): DataFrame =
     Search.searchWithTotal(docs, query, cfg, pkCols, segmentCol,
       matchDocs = Some(prefilter(docs, postings, query, pkCols.head,
-        indexedFields, nBuckets)))
+        indexedFields, nBuckets, cfg.defaultOperator)))
 
   /** Index-served search. Default (`pureIndex = false`): identical results
     * to `Search.search(docs, …)` by construction — candidates are a proven
@@ -790,10 +805,11 @@ object TextIndex {
                     pureIndex: Boolean = false): DataFrame = {
     val meta = QueryMeta.parse(query)
     val q = meta.query.trim
+    val dOr = QueryCompiler.resolveOperator(meta, cfg.defaultOperator) == "OR"
     val exact =
       if (!pureIndex || q.startsWith("{") || pkCols.size != 1) None
       else try {
-        val ast = LuceneLite.ast(q)
+        val ast = LuceneLite.ast(q, None, dOr)
         if (cover(ast, indexedFields).isDefined) exactLeavesOf(ast, indexedFields)
           .map(ls => (ast, ls))
         else None
@@ -803,7 +819,8 @@ object TextIndex {
         runPureIndex(docs, postings, ast, leaves, meta, cfg, pkCols.head, nBuckets)
       case None =>
         Search.search(
-          prefilter(docs, postings, query, pkCols.head, indexedFields, nBuckets),
+          prefilter(docs, postings, query, pkCols.head, indexedFields, nBuckets,
+            cfg.defaultOperator),
           query, cfg, pkCols)
     }
   }

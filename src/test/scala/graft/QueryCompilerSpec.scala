@@ -322,4 +322,42 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"match":{"text":{"query":"a","slop":2}}}}""").isLeft)
   }
+
+  test("default_operator=OR: adjacency is OR with Lucene occur-flag semantics") {
+    import QueryCompiler.LuceneLite
+    import QueryCompiler.LuceneLite._
+    def t(v: String) = Term("text", v)
+    // bare adjacency: OR under the OR default, AND under the AND default
+    assert(LuceneLite.ast("text:a text:b", defaultOr = true) == Or(t("a"), t("b")))
+    assert(LuceneLite.ast("text:a text:b") == And(t("a"), t("b")))
+    // explicit operators unchanged under OR default
+    assert(LuceneLite.ast("text:a AND text:b", defaultOr = true) == And(t("a"), t("b")))
+    // `-`/NOT excludes conjunctively, it does not OR-join:
+    // `a -b` = a, excluding b
+    assert(LuceneLite.ast("text:a -text:b", defaultOr = true) ==
+      And(Not(t("b")), t("a")))
+    // `+required` makes the other clauses score-only (ES bool semantics)
+    assert(LuceneLite.ast("+text:a text:b", defaultOr = true) ==
+      And(t("a"), ScoreOnly(t("b"))))
+    // pure negative still matches everything-except
+    assert(LuceneLite.ast("-text:a", defaultOr = true) == Not(t("a")))
+    // field groups inherit the operator
+    assert(LuceneLite.ast("text:(a b)", defaultOr = true) == Or(t("a"), t("b")))
+    assert(LuceneLite.ast("text:(a b)") == And(t("a"), t("b")))
+  }
+
+  test("default-operator option and DSL field are validated loudly") {
+    // per-query option protocol override reaches the compiler via Search;
+    // resolveOperator itself normalizes and rejects junk
+    assert(QueryCompiler.resolveOperator(
+      QueryMeta.parse("#options:default-operator=or#text:a"), "AND") == "OR")
+    assert(QueryCompiler.resolveOperator(QueryMeta.parse("text:a"), "AND") == "AND")
+    intercept[IllegalArgumentException](QueryCompiler.resolveOperator(
+      QueryMeta.parse("#options:default-operator=xor#text:a"), "AND"))
+    // DSL query_string accepts the field; junk is loud
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"text:a text:b","default_operator":"OR"}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"query_string":{"query":"text:a","default_operator":"NAND"}}}""").isLeft)
+  }
 }

@@ -36,6 +36,28 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("_highlight_text") == "<em>SPÄRK</em> engine")
   }
 
+  test("default_operator=OR widens bare adjacency end to end") {
+    // AND default (ours): both words required -> only doc 1
+    val qAnd = """{"query":{"query_string":{"query":"text:spark text:batch"}}}"""
+    assert(Search.search(docs, qAnd, IndexConfig()).select("doc_id")
+      .collect().map(_.getString(0)).toSeq == Seq("1"))
+    // same query, OR via the DSL field: docs with either word, both-words
+    // doc first (2 leaves matched)
+    val qOr = """{"query":{"query_string":{"query":"text:spark text:batch",
+                  "default_operator":"OR"}}}"""
+    assert(Search.search(docs, qOr, IndexConfig()).select("doc_id")
+      .collect().map(_.getString(0)).toSeq == Seq("1", "3", "4"))
+    // store-level config flips the Lucene-lite default; per-query option wins
+    val cfgOr = IndexConfig(defaultOperator = "OR")
+    assert(Search.search(docs, "text:spark text:batch", cfgOr).select("doc_id")
+      .collect().map(_.getString(0)).toSeq == Seq("1", "3", "4"))
+    assert(Search.search(docs, "#options:default-operator=and#text:spark text:batch",
+      cfgOr).select("doc_id").collect().map(_.getString(0)).toSeq == Seq("1"))
+    // occur flags under OR: exclusion stays conjunctive
+    assert(Search.search(docs, "text:spark -text:joins", cfgOr).select("doc_id")
+      .collect().map(_.getString(0)).toSeq == Seq("1"))
+  }
+
   test("from window guard is overflow-proof") {
     // from close to Int.MaxValue: an Int sum wrapped negative and slipped
     // past the max_result_window require, returning an empty page

@@ -852,6 +852,15 @@ object SparkEntry {
             "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
               "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")
     }),
+    "q_agg_terms_order" -> ((s, dir) => {
+      // the dashboard shape ES users hit first beyond the default: buckets
+      // ordered by a metric sub-agg (not count), thinned by min_doc_count
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+            "aggs": {"by_lang": {"terms": {"field": "lang", "size": 5,
+              "order": {"avg_chars": "desc"}, "min_doc_count": 2},
+              "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")
+    }),
     "q_agg_date_histogram" -> ((s, dir) => {
       // events per calendar day with a sum metric (double sums rounded on
       // both sides — partial-aggregate order differs from DuckDB's scan)
@@ -1785,6 +1794,13 @@ object SparkEntry {
          WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL
          GROUP BY lang
          ORDER BY doc_count DESC, key LIMIT 5""",
+    "q_agg_terms_order" ->
+      """SELECT lang AS key, count(*) AS doc_count, avg(n_chars) AS avg_chars
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL
+         GROUP BY lang
+         HAVING count(*) >= 2
+         ORDER BY avg_chars DESC, key LIMIT 5""",
     "q_agg_date_histogram" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
            count(*) AS doc_count, round(sum(value), 2) AS total_value

@@ -119,9 +119,24 @@ object Aggs {
       // ---- bucket aggs: groupBy on a derived key + doc_count + sub-metrics
       case "terms" =>
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
-        bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
-          .orderBy(desc("doc_count"), asc("key"))
-          .limit(size)
+        val minDoc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
+        require(minDoc >= 0, s"terms '$name' min_doc_count must be >= 0")
+        val base = bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
+        val filled =
+          if (minDoc > 0) base.where(col("doc_count") >= minDoc)
+          else {
+            // min_doc_count:0 zero-fills: every term of the field across
+            // the UNFILTERED store appears, query-matching or not (ES
+            // dashboards rely on the stable bucket list). Empty buckets
+            // carry doc_count 0 and null metrics, like ES's response.
+            // The distinct-keys side is one extra hash aggregate over the
+            // background — same shuffle key as the main aggregate.
+            val k = bucketKey(tpe, name, body)
+            background.where(k.isNotNull).select(k.as("key")).distinct()
+              .join(base, Seq("key"), "left")
+              .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
+          }
+        filled.orderBy(termsOrder(body, subAggs, name): _*).limit(size)
       case "composite" => composite(docs, name, body, subAggs)
       case "filters" => filtersAgg(docs, name, body, subAggs)
       case "missing" =>
@@ -590,6 +605,41 @@ object Aggs {
   }
 
   /** A metric agg as aggregate column(s) named by the agg name. */
+  /** ES terms-agg `order`: `{"_count"|"_key"|<metric sub-agg>: "asc"|
+    * "desc"}`. Default _count desc. The key always appends ascending so
+    * ties (and the size cut) stay deterministic — ES's own tiebreak.
+    * Declared subset: one order target (ES also takes an array), and a
+    * metric target must be a single-value sub-agg (no stats/percentiles
+    * dotted paths). */
+  private val singleValueMetrics =
+    Set("avg", "sum", "min", "max", "value_count", "cardinality")
+
+  private def termsOrder(body: JsonNode, subAggs: Option[JsonNode],
+                         parent: String): Seq[Column] =
+    Option(body.get("order")) match {
+      case None => Seq(desc("doc_count"), asc("key"))
+      case Some(o) =>
+        require(o.isObject && o.size == 1,
+          s"terms '$parent' order must be one {target: direction} object")
+        val target = o.fieldNames.asScala.next()
+        val dir = o.get(target).asText
+        require(dir.equalsIgnoreCase("asc") || dir.equalsIgnoreCase("desc"),
+          s"terms '$parent' order direction must be asc or desc, got '$dir'")
+        val c = target match {
+          case "_count" => col("doc_count")
+          case "_key" | "_term" => col("key") // _term: the pre-6.0 ES alias
+          case sub =>
+            val ok = subAggs.exists(n => Option(n.get(sub)).exists { ss =>
+              val ts = ss.fieldNames.asScala.toList
+              ts.size == 1 && singleValueMetrics.contains(ts.head)
+            })
+            require(ok, s"terms '$parent' order target '$sub' must be _key, " +
+              "_count, or a single-value metric sub-agg")
+            col(sub)
+        }
+        Seq(if (dir.equalsIgnoreCase("asc")) c.asc else c.desc, asc("key"))
+    }
+
   private def metric(tpe: String, name: String, body: JsonNode): Seq[Column] = {
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"metric '$name' needs a 'field'"))

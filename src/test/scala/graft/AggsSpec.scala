@@ -184,6 +184,41 @@ class AggsSpec extends AnyFunSuite {
       (30.0, 8.0, 15.0, Some(4.0), 1.0)))
   }
 
+  test("terms order (_key / metric sub-agg) and min_doc_count") {
+    val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0),
+      ("c", 5.0), ("c", 7.0), ("c", 9.0)).toDF("g", "v")
+    // order by a metric sub-agg, descending
+    val byMetric = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","order":{"avg_v":"desc"}},
+           "aggs":{"avg_v":{"avg":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(byMetric.toSeq == Seq(("b", 1L, 10.0), ("c", 3L, 7.0), ("a", 2L, 2.0)))
+    // order by key, descending
+    val byKey = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","order":{"_key":"desc"}}}}}""")
+      .collect().map(_.getString(0))
+    assert(byKey.toSeq == Seq("c", "b", "a"))
+    // min_doc_count thins buckets below the floor
+    val md = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","min_doc_count":2}}}}""")
+      .collect().map(_.getString(0))
+    assert(md.toSeq == Seq("c", "a"))
+    // min_doc_count 0 zero-fills from the unfiltered store: 'a' matches
+    // nothing under the query but still gets its (0-count, null-metric) row
+    val zf = Aggs.runSingle(rows,
+      """{"query":{"range":{"v":{"gte":7}}},
+          "aggs":{"t":{"terms":{"field":"g","min_doc_count":0,
+            "order":{"_key":"asc"}},
+            "aggs":{"avg_v":{"avg":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2))))
+    assert(zf.toSeq == Seq(("a", 0L, None), ("b", 1L, Some(10.0)), ("c", 2L, Some(8.0))))
+    // unknown order targets and junk directions are loud
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","order":{"nope":"desc"}}}}}"""))
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","order":{"_key":"sideways"}}}}}"""))
+  }
+
   test("pipeline sub-agg under a non-histogram parent fails loud") {
     // ES rejects pipeline aggs on non-sequence parents; silently dropping
     // the requested column broke the fail-loud contract

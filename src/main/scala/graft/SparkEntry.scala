@@ -1256,6 +1256,21 @@ object SparkEntry {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "text", "image", "raw")
       Multimodal.extractFeatures(media, "doc_id").orderBy(col("id"))
     }),
+    "q_multimodal_decode_real" -> ((s, dir) => {
+      // REAL image decode through the oracle: construct a valid PNG header
+      // per doc with doc-derived dimensions (pure-SQL byte building, no
+      // UDF), batch-decode it back, and let DuckDB recompute the expected
+      // dims from the construction parameters — proves format sniffing and
+      // big-endian dimension parsing, not just the plumbing
+      val docs = tbl(s, dir, "documents")
+      val png = docs.select(col("doc_id"),
+        Multimodal.pngContent((col("doc_id") % 64 + 1).cast("int"),
+          (col("doc_id") % 32 + 1).cast("int")).as("content"))
+      Multimodal.extractFeatures(png, "doc_id")
+        .select(col("id"), col("n_bytes"), col("format"),
+          col("width"), col("height"))
+        .orderBy(col("id"))
+    }),
     "q_multimodal_frames" -> ((s, dir) => {
       // frame-sample plumbing: opaque payload → (id, frame_idx, byte_offset)
       // rows, every 4th 256-byte frame (stub demux = length arithmetic)
@@ -2493,9 +2508,18 @@ object SparkEntry {
                i -> unicode(text[i]) * (((i - 1) % 64) + 1))), 0) AS BIGINT) AS checksum
            FROM documents WHERE text IS NOT NULL)
          SELECT id, n_bytes, checksum,
+           CAST(NULL AS VARCHAR) AS format,
            CAST(16 + checksum % 1024 AS INTEGER) AS width,
            CAST(16 + (checksum // 1024) % 1024 AS INTEGER) AS height
          FROM f ORDER BY id""",
+    "q_multimodal_decode_real" ->
+      // the engine built a 33-byte PNG per doc from these same parameters;
+      // the oracle asserts the decoded dims equal the construction inputs
+      """SELECT CAST(doc_id AS BIGINT) AS id, CAST(33 AS BIGINT) AS n_bytes,
+           'png' AS format,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 32 + 1 AS INTEGER) AS height
+         FROM documents ORDER BY id""",
     "q_similarity_pq_exact" ->
       // ksub >= corpus slice makes PQ lossless → ADC == exact cosine, so
       // brute-force top-k is the exact oracle for train->encode->LUT->ADC

@@ -8,19 +8,100 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary` columns
   * with typed metadata, plus a batched feature-extraction operator.
   *
-  * The Spark-side plumbing (schema, partition-friendly batching, operator
-  * signature) is real; the actual media decode is STUBBED — this container
-  * has no image/audio codecs, so [[decodeStub]] derives deterministic fake
-  * features from the raw bytes. Swap `decodeStub` for a real decoder (JNI /
-  * external service) without touching the pipeline shape.
+  * Image decode is REAL at the container-header level: [[decodeImage]]
+  * parses PNG / JPEG / GIF / BMP headers (public, deterministic formats)
+  * for format + true pixel dimensions — no codec library needed. Pixel
+  * DATA decode (sample arrays) would need a real codec and stays out of
+  * scope: payloads that aren't a recognized image fall back to
+  * [[decodeStub]]'s deterministic checksum-derived pseudo-features with a
+  * null format, so the batched operator is total either way.
   */
 object Multimodal {
+
+  /** Parse an image container header: `Some((format, width, height))` for
+    * PNG / JPEG / GIF / BMP payloads, None otherwise (including truncated
+    * headers — a media pipeline must treat corrupt bytes as data, not
+    * exceptions). Big-endian PNG/JPEG, little-endian GIF/BMP, per the
+    * published specs. */
+  def decodeImage(b: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = b(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i).toLong << 24 | u8(i + 1) << 16 | u8(i + 2) << 8 | u8(i + 3)).toInt
+    def le16(i: Int) = (u8(i + 1) << 8) | u8(i)
+    def le32(i: Int) = (u8(i + 3).toLong << 24 | u8(i + 2) << 16 | u8(i + 1) << 8 | u8(i)).toInt
+    if (b.length >= 24 && u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+        u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+        b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some(("png", be32(16), be32(20)))
+    else if (b.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOF (C0-CF minus the
+      // non-frame C4/C8/CC); height then width, big-endian, after the
+      // segment length and precision bytes
+      var i = 2
+      while (i + 9 < b.length) {
+        if (u8(i) != 0xff) return None // desynced — not a well-formed stream
+        val m = u8(i + 1)
+        if (m == 0xff) i += 1 // fill byte
+        else if (m >= 0xd0 && m <= 0xd9 || m == 0x01) i += 2 // no-payload markers
+        else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return Some(("jpeg", be16(i + 7), be16(i + 5)))
+        else i += 2 + be16(i + 2)
+      }
+      None
+    }
+    else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+      Some(("gif", le16(6), le16(8)))
+    else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
+      val dib = le32(14)
+      if (dib >= 40) Some(("bmp", le32(18), math.abs(le32(22)))) // negative = top-down
+      else if (dib == 12) Some(("bmp", le16(18), le16(20))) // BITMAPCOREHEADER
+      else None
+    }
+    else None
+  }
+
+  /** A minimal valid-header PNG (signature + IHDR; CRC left zero — header
+    * parsers don't verify it) wrapping no pixel data: 33 bytes. Exists so
+    * pipelines and the correctness gate can exercise [[decodeImage]]'s real
+    * dimension parsing with payloads constructed from row values. */
+  def pngBytes(width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0, "png dimensions must be positive")
+    val out = new Array[Byte](33)
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { out(i) = sig(i).toByte; i += 1 }
+    out(11) = 13 // IHDR length
+    out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+    def be32(at: Int, v: Int): Unit = {
+      out(at) = (v >>> 24).toByte; out(at + 1) = (v >>> 16).toByte
+      out(at + 2) = (v >>> 8).toByte; out(at + 3) = v.toByte
+    }
+    be32(16, width); be32(20, height)
+    out(24) = 8 // bit depth
+    out(25) = 2 // color type: truecolor
+    out
+  }
 
   /** Canonical multimodal schema fragment: opaque payload + typed metadata. */
   val MetaSchema: StructType = StructType(Seq(
     StructField("kind", StringType, nullable = false),      // image | audio | video
     StructField("n_bytes", LongType, nullable = false),
     StructField("format", StringType, nullable = true)))
+
+  /** [[pngBytes]] as a pure-SQL Column (binary literals + `unhex(lpad(
+    * hex(dim)))` big-endian encoding): per-row PNG construction stays
+    * inside whole-stage codegen — used to round-trip [[decodeImage]]
+    * against dimension columns without a UDF or a partition pass. */
+  def pngContent(width: org.apache.spark.sql.Column,
+                 height: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sig = lit(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val ihdr = lit(Array[Byte](0, 0, 0, 13, 'I', 'H', 'D', 'R'))
+    def be32(c: org.apache.spark.sql.Column) = unhex(lpad(hex(c), 8, "0"))
+    // bit depth 8, truecolor, compression/filter/interlace 0, CRC zeroed
+    val tail = lit(Array[Byte](8, 2, 0, 0, 0, 0, 0, 0, 0))
+    concat(sig, ihdr, be32(width), be32(height), tail)
+  }
 
   /** Wrap a source column as a multimodal (content, meta) pair. */
   def asMedia(df: DataFrame, binCol: String, kind: String, format: String): DataFrame =
@@ -84,12 +165,19 @@ object Multimodal {
     * the Scala analog of a Pandas-batched UDF: one iterator per partition, so
     * a real decoder can amortize model/codec init across the whole batch.
     * Partition sizing (`spark.sql.files.maxPartitionBytes`) controls batch
-    * memory; binary payloads never pass through a shuffle. */
+    * memory; binary payloads never pass through a shuffle.
+    *
+    * Recognized image payloads ([[decodeImage]]) report their real format
+    * and pixel dimensions; anything else keeps a null format with
+    * [[decodeStub]]'s checksum-derived pseudo-dimensions, so the operator
+    * is total over mixed/corrupt corpora. The checksum fingerprint is
+    * computed for every payload either way. */
   def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("n_bytes", LongType, nullable = false),
       StructField("checksum", LongType, nullable = false),
+      StructField("format", StringType, nullable = true),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false)))
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
@@ -99,8 +187,11 @@ object Multimodal {
         // null payloads (normal for opaque blob columns) are skipped
         it.flatMap { r =>
           Option(r.getAs[Array[Byte]]("content")).map { bytes =>
-            val (n, cks, w, h) = decodeStub(bytes)
-            Row(r.getLong(0), n, cks, w, h)
+            val (n, cks, sw, sh) = decodeStub(bytes)
+            decodeImage(bytes) match {
+              case Some((fmt, w, h)) => Row(r.getLong(0), n, cks, fmt, w, h)
+              case None => Row(r.getLong(0), n, cks, null, sw, sh)
+            }
           }
         }
       }

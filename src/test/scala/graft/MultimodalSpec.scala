@@ -24,11 +24,56 @@ class MultimodalSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media, "id").orderBy("id").collect()
     assert(f1.sameElements(f2))
     assert(f1.map(_.getLong(1)).toSeq == Seq(4L, 2L)) // n_bytes
-    assert(f1.forall(r => r.getInt(3) >= 16 && r.getInt(4) >= 16)) // stub dims
+    assert(f1.forall(_.isNullAt(3))) // text payloads: no image format
+    assert(f1.forall(r => r.getInt(4) >= 16 && r.getInt(5) >= 16)) // stub dims
     // pin the declared checksum: Σ byte_i × ((i mod 64) + 1), 0-indexed —
     // "abcd" → 97·1 + 98·2 + 99·3 + 100·4 = 990 (the SQL-oracle contract)
     assert(f1.head.getLong(2) == 990L)
-    assert(f1.head.getInt(3) == 16 + 990 % 1024)
+    assert(f1.head.getInt(4) == 16 + 990 % 1024)
+  }
+
+  test("decodeImage parses PNG/JPEG/GIF/BMP headers; junk and truncation are None") {
+    // PNG round-trip through our own minimal writer
+    assert(Multimodal.decodeImage(Multimodal.pngBytes(640, 480))
+      .contains(("png", 640, 480)))
+    // JPEG: SOI, APP0 (JFIF), then SOF0 with height 321 / width 481
+    val jpeg = Array(
+      0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0x41, 0x01, 0xe1, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    assert(Multimodal.decodeImage(jpeg).contains(("jpeg", 0x01e1, 0x0141)))
+    // GIF89a little-endian logical screen size
+    val gif = ("GIF89a".getBytes("US-ASCII") ++
+      Array(0x20, 0x01, 0x90, 0x00, 0, 0, 0, 0).map(_.toByte))
+    assert(Multimodal.decodeImage(gif).contains(("gif", 288, 144)))
+    // BMP with the 40-byte DIB header; negative height = top-down rows
+    val bmp = new Array[Byte](30)
+    bmp(0) = 'B'; bmp(1) = 'M'; bmp(14) = 40
+    bmp(18) = 0x40; bmp(19) = 0x01 // width 320 LE
+    bmp(22) = 0xc8.toByte; bmp(23) = 0xff.toByte
+    bmp(24) = 0xff.toByte; bmp(25) = 0xff.toByte // height -56 → 56
+    assert(Multimodal.decodeImage(bmp).contains(("bmp", 320, 56)))
+    // not images / truncated headers
+    assert(Multimodal.decodeImage("plain text".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Multimodal.pngBytes(2, 2).take(20)).isEmpty)
+    assert(Multimodal.decodeImage(Array(0xff, 0xd8, 0xff).map(_.toByte)).isEmpty)
+  }
+
+  test("extractFeatures reports real dimensions for image payloads, null format else") {
+    val df = Seq((1L, 31, 17), (2L, 1023, 511)).toDF("id", "w", "h")
+    val png = df.select(col("id"),
+      Multimodal.pngContent(col("w"), col("h")).as("content"))
+    val out = Multimodal.extractFeatures(png, "id").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(out == Seq((1L, 33L, "png", 31, 17), (2L, 33L, "png", 1023, 511)))
+    // mixed corpus: the non-image row falls back, the image row decodes
+    val mixed = Seq((1L, Multimodal.pngBytes(8, 4)),
+      (2L, "not an image".getBytes)).toDF("id", "content")
+    val feats = Multimodal.extractFeatures(mixed, "id").orderBy("id").collect()
+    assert(feats(0).getString(3) == "png" && feats(0).getInt(4) == 8)
+    assert(feats(1).isNullAt(3))
   }
 
   test("resizeStub fits the bounding box preserving aspect ratio") {

@@ -244,6 +244,17 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_fuzzy_auto" -> ((s, dir) => {
+      // DSL fuzzy with ES parity shapes: fuzziness AUTO (5-char term →
+      // 1 edit) and prefix_length 2 (leading 'sp' verbatim, edits beyond)
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query":{"fuzzy":{"text":{"value":"spark","fuzziness":"AUTO",
+             "prefix_length":2}}}}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_boost" -> ((s, dir) => {
       // R2/R4: Lucene boost syntax — term^N weights the score contribution
       val docs = tbl(s, dir, "documents")
@@ -2115,6 +2126,17 @@ object SparkEntry {
          WHERE len(list_filter(
                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
                  t -> damerau_levenshtein(t, 'sprk') <= 1)) > 0
+         ORDER BY doc_id""",
+    "q_search_fuzzy_auto" ->
+      // prefix_length pins the folded prefix verbatim; the edit budget
+      // (AUTO('spark') = 1, where OSA == DuckDB's unrestricted DL) applies
+      // to the remainder only
+      """SELECT doc_id, 1 AS _score
+         FROM documents
+         WHERE len(list_filter(
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
+                 t -> substr(t, 1, 2) = 'sp'
+                      AND damerau_levenshtein(substr(t, 3), 'ark') <= 1)) > 0
          ORDER BY doc_id""",
     "q_search_boost" ->
       """SELECT doc_id,

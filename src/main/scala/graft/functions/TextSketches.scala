@@ -131,28 +131,44 @@ case class SimHash64(child: Expression)
   * distance 1. One tight three-row DP per token with an early
   * length-difference reject and reused buffers; tokenization splits on the
   * RE2 `\s` class so it matches the oracle's `string_split_regex`. */
-case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int)
+case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
+                           prefixLen: Int = 0)
     extends UnaryExpression with CodegenFallback {
   require(maxDist >= 0 && maxDist <= 2,
     "maxDist must be in [0, 2] (Lucene caps fuzzy edits at 2)")
+  require(prefixLen >= 0, "prefixLen must be >= 0")
   // fold the target per-char exactly like the tokens below — a
   // locale-sensitive String.toLowerCase would diverge (tr-TR dotless ı,
   // U+0130 expanding to two chars) and break distance-0 self-matches
   private val target: String = term.map(Character.toLowerCase)
+  // Lucene prefix_length: the leading chars are exempt from editing — the
+  // token must carry them verbatim, the DP runs on the remainder only
+  // (cheaper AND the automaton contract: a prefix longer than the term
+  // just pins the whole term and allows trailing insertions)
+  private val fixedPrefix: String = target.substring(0, math.min(prefixLen, target.length))
+  private val suffix: String = target.substring(fixedPrefix.length)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
-  // DP rows sized by the fixed target; per-instance reuse is safe —
+  // DP rows sized by the fixed target suffix; per-instance reuse is safe —
   // each Spark task deserializes its own expression tree copy
-  @transient private lazy val row0 = new Array[Int](target.length + 1)
-  @transient private lazy val row1 = new Array[Int](target.length + 1)
-  @transient private lazy val row2 = new Array[Int](target.length + 1)
+  @transient private lazy val row0 = new Array[Int](suffix.length + 1)
+  @transient private lazy val row1 = new Array[Int](suffix.length + 1)
+  @transient private lazy val row2 = new Array[Int](suffix.length + 1)
 
-  /** OSA distance ≤ maxDist between text[from,until) (lowercased on the
-    * fly) and the target. */
-  private def within(text: String, from: Int, until: Int): Boolean = {
+  /** Token accepted iff it starts with `fixedPrefix` (folded) and the rest
+    * is within OSA distance `maxDist` of the target suffix. */
+  private def within(text: String, from0: Int, until: Int): Boolean = {
+    if (until - from0 < fixedPrefix.length) return false
+    var p = 0
+    while (p < fixedPrefix.length) {
+      if (Character.toLowerCase(text.charAt(from0 + p)) != fixedPrefix.charAt(p))
+        return false
+      p += 1
+    }
+    val from = from0 + fixedPrefix.length
     val aLen = until - from
-    val b = target
+    val b = suffix
     if (math.abs(aLen - b.length) > maxDist) return false
     var prev2 = row0; var prev = row1; var cur = row2
     var j = 0
@@ -324,6 +340,12 @@ object TextSketchFunctions {
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
   def simhash64(toks: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(toks)))
-  def fuzzy_token_match(text: Column, term: String, maxDist: Int): Column =
-    Bridge.column(FuzzyTokenMatch(Bridge.expression(text), term, maxDist))
+  def fuzzy_token_match(text: Column, term: String, maxDist: Int,
+                        prefixLen: Int = 0): Column =
+    Bridge.column(FuzzyTokenMatch(Bridge.expression(text), term, maxDist, prefixLen))
+
+  /** ES `fuzziness: AUTO` — the length-banded edit budget (0 below 3
+    * chars, 1 through 5, else 2) applied to the TERM's length. */
+  def autoFuzziness(term: String): Int =
+    if (term.length < 3) 0 else if (term.length <= 5) 1 else 2
 }

@@ -704,14 +704,17 @@ object QueryCompiler {
           c
         case "fuzzy" =>
           // {"fuzzy":{"f":"v"}} (Lucene default distance 2) or
-          // {"fuzzy":{"f":{"value":"v","fuzziness":1,"boost":3}}} — unknown
-          // keys are rejected, not silently dropped (prefix_length etc.
-          // would otherwise miscompile without a trace)
+          // {"fuzzy":{"f":{"value":"v","fuzziness":1|"AUTO",
+          // "prefix_length":1,"boost":3}}} — AUTO is ES's length-banded
+          // budget (0 below 3 chars, 1 through 5, else 2); prefix_length
+          // chars must match verbatim before any edit. Unknown keys are
+          // rejected, not silently dropped.
           val (f, v) = singleField(body)
-          val (text, dist, boost) =
-            if (v.isTextual) (v.asText, 2, 1)
+          val (text, dist, prefix, boost) =
+            if (v.isTextual) (v.asText, 2, 0, 1)
             else {
-              val unknown = v.fieldNames.asScala.toSet -- Set("value", "fuzziness", "boost")
+              val unknown = v.fieldNames.asScala.toSet --
+                Set("value", "fuzziness", "prefix_length", "boost")
               require(unknown.isEmpty, s"unsupported fuzzy option(s): ${unknown.mkString(", ")}")
               val value = Option(v.get("value"))
                 .getOrElse(throw new IllegalArgumentException("fuzzy requires 'value'"))
@@ -723,11 +726,23 @@ object QueryCompiler {
               }.getOrElse(dflt)
               val bst = intOpt("boost", 1)
               require(bst >= 1, s"boost must be a positive integer, got $bst")
-              (value.asText, intOpt("fuzziness", 2), bst)
+              val dst = Option(v.get("fuzziness")) match {
+                case Some(n) if n.isTextual =>
+                  require(n.asText.equalsIgnoreCase("AUTO"),
+                    s"fuzziness must be an integer or AUTO, got: $n")
+                  graft.functions.TextSketchFunctions.autoFuzziness(value.asText)
+                case Some(n) =>
+                  require(n.isIntegralNumber, s"fuzziness supports integers or AUTO, got: $n")
+                  n.asInt
+                case None => 2
+              }
+              val pfx = intOpt("prefix_length", 0)
+              require(pfx >= 0, s"prefix_length must be >= 0, got $pfx")
+              (value.asText, dst, pfx, bst)
             }
           require(text.nonEmpty, "fuzzy expects a non-empty string value")
           val c = graft.functions.TextSketchFunctions
-            .fuzzy_token_match(col(f), text, dist)
+            .fuzzy_token_match(col(f), text, dist, prefix)
           if (scoring) leaves += leaf(c, boost)
           c
         case "terms" => // {"terms":{"f":["a","b",...]}} — exact-value disjunction

@@ -323,6 +323,25 @@ class QueryCompilerSpec extends AnyFunSuite {
       """{"query":{"match":{"text":{"query":"a","slop":2}}}}""").isLeft)
   }
 
+  test("fuzzy fuzziness AUTO and prefix_length validate; junk is loud") {
+    assert(QueryCompiler.validate(
+      """{"query":{"fuzzy":{"text":{"value":"spark","fuzziness":"AUTO"}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"fuzzy":{"text":{"value":"spark","fuzziness":"AUTO",
+           "prefix_length":2}}}}""").isRight)
+    // AUTO bands: a 2-char term gets edit budget 0 — still compiles
+    assert(QueryCompiler.validate(
+      """{"query":{"fuzzy":{"text":{"value":"ab","fuzziness":"AUTO"}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"fuzzy":{"text":{"value":"spark","fuzziness":"SORTA"}}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"fuzzy":{"text":{"value":"spark","prefix_length":-1}}}}""").isLeft)
+    // the AUTO band function itself
+    import graft.functions.TextSketchFunctions.autoFuzziness
+    assert(autoFuzziness("ab") == 0 && autoFuzziness("abc") == 1 &&
+      autoFuzziness("abcde") == 1 && autoFuzziness("abcdef") == 2)
+  }
+
   test("default_operator=OR: adjacency is OR with Lucene occur-flag semantics") {
     import QueryCompiler.LuceneLite
     import QueryCompiler.LuceneLite._

@@ -36,6 +36,26 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("_highlight_text") == "<em>SPÄRK</em> engine")
   }
 
+  test("fuzzy prefix_length pins the leading chars; AUTO bands by term length") {
+    val fz = Seq(
+      ("1", "spark engine", "en"),   // exact
+      ("2", "spork engine", "en"),   // 1 sub beyond 'sp' prefix
+      ("3", "psark engine", "en"),   // transposition INSIDE the prefix -> out
+      ("4", "sprak engine", "en"),   // transposition beyond the prefix -> in
+      ("5", "zpark engine", "en")    // prefix char edited -> out
+    ).toDF("doc_id", "text", "lang")
+    val hits = Search.search(fz,
+      """{"query":{"fuzzy":{"text":{"value":"spark","fuzziness":"AUTO",
+           "prefix_length":2}}}}""", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(hits == Seq("1", "2", "4"))
+    // same query without the prefix pin admits the prefix-edited tokens
+    val loose = Search.search(fz,
+      """{"query":{"fuzzy":{"text":{"value":"spark","fuzziness":"AUTO"}}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(loose == Seq("1", "2", "3", "4", "5"))
+  }
+
   test("default_operator=OR widens bare adjacency end to end") {
     // AND default (ours): both words required -> only doc 1
     val qAnd = """{"query":{"query_string":{"query":"text:spark text:batch"}}}"""
@@ -406,8 +426,11 @@ class SearchSpec extends AnyFunSuite {
     // options are rejected; distance is capped at 2
     assert(QueryCompiler.validate("text:\"apache spark\"~2").isRight)
     assert(QueryCompiler.validate("x:[1 TO 5]~2").isLeft)
+    // prefix_length is supported (r6); still-unknown keys stay loud
     assert(QueryCompiler.validate(
-      """{"query":{"fuzzy":{"text":{"value":"x","prefix_length":1}}}}""").isLeft)
+      """{"query":{"fuzzy":{"text":{"value":"x","prefix_length":1}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"fuzzy":{"text":{"value":"x","rewrite":"top_terms"}}}}""").isLeft)
     assert(QueryCompiler.validate("text:spark~5").isLeft)
   }
 

@@ -131,9 +131,11 @@ case class SimHash64(child: Expression)
   * distance 1. One tight three-row DP per token with an early
   * length-difference reject and reused buffers; tokenization splits on the
   * RE2 `\s` class so it matches the oracle's `string_split_regex`. */
-case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
-                           prefixLen: Int = 0)
-    extends UnaryExpression with CodegenFallback {
+/** The per-token OSA acceptor shared by [[FuzzyTokenMatch]] (predicate)
+  * and [[FuzzyTokenHighlight]] (marker) — one matcher per (term, budget,
+  * prefix) spec, DP buffers reused across tokens. */
+private[functions] final class FuzzyMatcher(term: String, maxDist: Int,
+                                            prefixLen: Int) extends Serializable {
   require(maxDist >= 0 && maxDist <= 2,
     "maxDist must be in [0, 2] (Lucene caps fuzzy edits at 2)")
   require(prefixLen >= 0, "prefixLen must be >= 0")
@@ -147,8 +149,6 @@ case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
   // just pins the whole term and allows trailing insertions)
   private val fixedPrefix: String = target.substring(0, math.min(prefixLen, target.length))
   private val suffix: String = target.substring(fixedPrefix.length)
-  override def dataType: DataType = BooleanType
-  override def nullable: Boolean = true
 
   // DP rows sized by the fixed target suffix; per-instance reuse is safe —
   // each Spark task deserializes its own expression tree copy
@@ -158,7 +158,7 @@ case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
 
   /** Token accepted iff it starts with `fixedPrefix` (folded) and the rest
     * is within OSA distance `maxDist` of the target suffix. */
-  private def within(text: String, from0: Int, until: Int): Boolean = {
+  def within(text: String, from0: Int, until: Int): Boolean = {
     if (until - from0 < fixedPrefix.length) return false
     var p = 0
     while (p < fixedPrefix.length) {
@@ -195,12 +195,22 @@ case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
     }
     prev(b.length) <= maxDist
   }
+}
 
+private[functions] object FuzzyMatcher {
   // RE2 \s class, [ \t\n\f\r] -- the oracle's string_split_regex
   // tokenizer. (Java's \s additionally has \x0B; RE2 does not -- excluded
   // for parity.)
-  private def isWs(c: Char): Boolean =
+  def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+}
+
+case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
+                           prefixLen: Int = 0)
+    extends UnaryExpression with CodegenFallback {
+  private val matcher = new FuzzyMatcher(term, maxDist, prefixLen)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any = {
     val text = v.asInstanceOf[UTF8String].toString
@@ -208,8 +218,8 @@ case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
     val n = text.length
     var i = 0
     while (i <= n) {
-      if (i == n || isWs(text.charAt(i))) {
-        if (i > start && within(text, start, i)) return java.lang.Boolean.TRUE
+      if (i == n || FuzzyMatcher.isWs(text.charAt(i))) {
+        if (i > start && matcher.within(text, start, i)) return java.lang.Boolean.TRUE
         start = i + 1
       }
       i += 1
@@ -219,6 +229,48 @@ case class FuzzyTokenMatch(child: Expression, term: String, maxDist: Int,
 
   override protected def withNewChildInternal(c: Expression): FuzzyTokenMatch = copy(child = c)
   override def prettyName: String = "fuzzy_token_match"
+}
+
+/** Search-highlight marker for fuzzy leaves: wraps every whitespace token
+  * accepted by ANY of the `specs` (term, maxDist, prefixLen) in
+  * `pre`/`post`, one pass, no nested markup — the exact token set the
+  * [[FuzzyTokenMatch]] predicate accepted, which regex-based highlighting
+  * cannot express (edit distance is not a regular language at fixed
+  * pattern size). */
+case class FuzzyTokenHighlight(child: Expression,
+                               specs: Seq[(String, Int, Int)],
+                               pre: String, post: String)
+    extends UnaryExpression with CodegenFallback {
+  require(specs.nonEmpty, "at least one fuzzy spec")
+  private val matchers = specs.map { case (t, d, p) => new FuzzyMatcher(t, d, p) }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val n = text.length
+    val out = new java.lang.StringBuilder(n + 16)
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || FuzzyMatcher.isWs(text.charAt(i))) {
+        if (i > start) {
+          val hit = matchers.exists(_.within(text, start, i))
+          if (hit) out.append(pre)
+          out.append(text, start, i)
+          if (hit) out.append(post)
+        }
+        if (i < n) out.append(text.charAt(i))
+        start = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): FuzzyTokenHighlight =
+    copy(child = c)
+  override def prettyName: String = "fuzzy_token_highlight"
 }
 
 /** Gopher-style repetition signals over a token array, one pass per row:
@@ -348,4 +400,8 @@ object TextSketchFunctions {
     * chars, 1 through 5, else 2) applied to the TERM's length. */
   def autoFuzziness(term: String): Int =
     if (term.length < 3) 0 else if (term.length <= 5) 1 else 2
+
+  def fuzzy_token_highlight(text: Column, specs: Seq[(String, Int, Int)],
+                            pre: String, post: String): Column =
+    Bridge.column(FuzzyTokenHighlight(Bridge.expression(text), specs, pre, post))
 }

@@ -94,10 +94,14 @@ object Search {
     * rewrites; overlaps resolve leftmost-first, deterministic).
     *
     * Declared subset: Lucene-lite syntax; `Term`/`Proximity`(phrase)/
-    * `Regex` leaves outside any NOT highlight. Fuzzy leaves match by edit
-    * distance, not by regex — they filter but are not highlighted (same
-    * reason NOT leaves aren't: no span to mark). Fields without a positive
-    * leaf get a null highlight column. */
+    * `Regex` leaves outside any NOT highlight. Fuzzy leaves (edit
+    * distance — not a regular language at fixed pattern size) highlight
+    * via the predicate's own matcher ([[graft.functions.FuzzyTokenHighlight]])
+    * when they are the field's ONLY positive leaves; a field mixing fuzzy
+    * with regex-able leaves keeps the single regex pass and leaves the
+    * fuzzy tokens unmarked (declared — two sequential marking passes could
+    * nest markup on a token both match). Fields without a positive leaf
+    * get a null highlight column. */
   def highlight(docs: DataFrame, query: String, cfg: IndexConfig,
                 hlFields: Seq[String], pkCols: Seq[String] = Seq("doc_id"),
                 pre: String = "<em>", post: String = "</em>"): DataFrame = {
@@ -119,16 +123,31 @@ object Search {
       case ScoreOnly(x) => leafPatterns(x, field)
       case _ => Nil
     }
+    def fuzzyLeaves(n: Node, field: String): Seq[(String, Int, Int)] = n match {
+      case Fuzzy(f, v, dist, _) if f == field => Seq((v, dist, 0))
+      case And(l, r) => fuzzyLeaves(l, field) ++ fuzzyLeaves(r, field)
+      case Or(l, r) => fuzzyLeaves(l, field) ++ fuzzyLeaves(r, field)
+      case Not(_) => Nil
+      case Required(x) => fuzzyLeaves(x, field)
+      case ScoreOnly(x) => fuzzyLeaves(x, field)
+      case _ => Nil
+    }
     val ast = QueryCompiler.LuceneLite.ast(meta.query.trim,
       defaultOr = QueryCompiler.resolveOperator(meta, cfg.defaultOperator) == "OR")
     val hits = search(docs, query, cfg, pkCols)
     hlFields.foldLeft(hits) { (df, f) =>
-      leafPatterns(ast, f) match {
-        case Nil => df.withColumn(s"_highlight_$f", lit(null).cast("string"))
+      (leafPatterns(ast, f), fuzzyLeaves(ast, f)) match {
+        case (Nil, Nil) => df.withColumn(s"_highlight_$f", lit(null).cast("string"))
+        // all-fuzzy field: mark with the predicate's own edit-distance
+        // matcher — the exact accepted token set, single pass
+        case (Nil, fz) => df.withColumn(s"_highlight_$f",
+          graft.functions.TextSketchFunctions
+            .fuzzy_token_highlight(col(f), fz, pre, post))
         // (?iu): the predicates match against lower(field) with full
         // Unicode folding, so the marker pass needs UNICODE_CASE too —
-        // ASCII-only (?i) left e.g. 'SPÄRK' hits unhighlighted
-        case ps => df.withColumn(s"_highlight_$f",
+        // ASCII-only (?i) left e.g. 'SPÄRK' hits unhighlighted.
+        // Mixed fuzzy+regex fields keep this single pass (declared above)
+        case (ps, _) => df.withColumn(s"_highlight_$f",
           regexp_replace(col(f), "(?iu)(?:" + ps.mkString("|") + ")",
             java.util.regex.Matcher.quoteReplacement(pre) + "$0" +
               java.util.regex.Matcher.quoteReplacement(post)))

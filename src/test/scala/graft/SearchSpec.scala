@@ -36,6 +36,22 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("_highlight_text") == "<em>SPÄRK</em> engine")
   }
 
+  test("highlight marks fuzzy-matched tokens via the predicate's matcher") {
+    val fz = Seq(("1", "the sprak engine sparks", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Search.highlight(fz, "text:spark~1", IndexConfig(),
+      hlFields = Seq("text")).collect().head.getAs[String]("_highlight_text")
+    // 'sprak' (transposition) and 'sparks' (one insertion) both match;
+    // 'engine'/'the' don't — exactly the predicate's accepted token set
+    assert(out == "the <em>sprak</em> engine <em>sparks</em>", out)
+    // mixed fuzzy + term leaves on one field: the regex pass still marks
+    // the term; the fuzzy token stays unmarked (declared)
+    val mixed = Search.highlight(fz, "text:engine OR text:sprak~1",
+      IndexConfig(), hlFields = Seq("text"))
+      .collect().head.getAs[String]("_highlight_text")
+    assert(mixed == "the sprak <em>engine</em> sparks", mixed)
+  }
+
   test("fuzzy prefix_length pins the leading chars; AUTO bands by term length") {
     val fz = Seq(
       ("1", "spark engine", "en"),   // exact

@@ -244,6 +244,15 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_match_multi" -> ((s, dir) => {
+      // analyzed multi-word match: OR of terms (ES default), each term a
+      // scoring clause; operator=and is spec-covered (SearchSpec)
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs, """{"query":{"match":{"text":"spark batch"}}}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_fuzzy_auto" -> ((s, dir) => {
       // DSL fuzzy with ES parity shapes: fuzziness AUTO (5-char term →
       // 1 edit) and prefix_length 2 (leading 'sp' verbatim, edits beyond)
@@ -2127,6 +2136,13 @@ object SparkEntry {
                  list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0),
                  t -> damerau_levenshtein(t, 'sprk') <= 1)) > 0
          ORDER BY doc_id""",
+    "q_search_match_multi" ->
+      """SELECT doc_id, lang,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') OR regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY _score DESC, doc_id""",
     "q_search_fuzzy_auto" ->
       // prefix_length pins the folded prefix verbatim; the edit budget
       // (AUTO('spark') = 1, where OSA == DuckDB's unrestricted DL) applies

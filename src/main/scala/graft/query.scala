@@ -658,12 +658,17 @@ object QueryCompiler {
             case "match" | "match_phrase" => "query"
             case _                        => "value"
           }
-          val (v, boost, slop) =
-            if (!vRaw.isObject) (vRaw, 1, 0)
+          val (v, boost, slop, matchAnd) =
+            if (!vRaw.isObject) (vRaw, 1, 0, false)
             else {
               // match_phrase additionally takes ES's `slop` (ordered
-              // proximity, see proximityMatch)
-              val extra = if (op == "match_phrase") Set("slop") else Set.empty[String]
+              // proximity, see proximityMatch); match takes `operator`
+              // (how ITS analyzed terms combine — AND/OR, ES default OR)
+              val extra = op match {
+                case "match_phrase" => Set("slop")
+                case "match" => Set("operator")
+                case _ => Set.empty[String]
+              }
               val unknown = vRaw.fieldNames.asScala.toSet --
                 (Set(valueKey, "boost") ++ extra)
               require(unknown.isEmpty,
@@ -680,28 +685,45 @@ object QueryCompiler {
                   s"slop must be a non-negative integer, got: $n")
                 n.asInt
               }.getOrElse(0)
-              (value, b, sl)
+              val mAnd = Option(vRaw.get("operator")).map { n =>
+                require(n.isTextual && (n.asText.equalsIgnoreCase("and")
+                    || n.asText.equalsIgnoreCase("or")),
+                  s"match operator must be and or or, got: $n")
+                n.asText.equalsIgnoreCase("and")
+              }.getOrElse(false)
+              (value, b, sl, mAnd)
             }
           def text: String = {
             require(v.isTextual && v.asText.nonEmpty,
               s"$op expects a non-empty string value, got: $v")
             v.asText
           }
-          val c = op match {
-            case "term"         => col(f) === lit(scalarOf(v)) // exact value
-            // analyzed token match — user text is literal, never wildcarded
-            case "match"        => termMatch(f, escapeTerm(text))
-            // contiguous-token phrase: quoted-term semantics (termMatch
-            // keeps inner spaces inside the \b…\b anchor); with slop,
-            // ordered per-gap proximity
-            case "match_phrase" =>
-              if (slop == 0) termMatch(f, escapeTerm(text))
-              else proximityMatch(f, text, slop)
-            case "prefix"       => termMatch(f, escapeTerm(text) + "*")
-            case "wildcard"     => termMatch(f, text)           // value carries '*' / '?'
+          op match {
+            // `match` ANALYZES its text: whitespace terms combine with OR
+            // (ES's default) or AND via `operator`; every term is its own
+            // scoring clause, like the ES bool-of-terms rewrite. Phrase
+            // semantics belong to match_phrase, not multi-word match.
+            case "match" =>
+              val toks = text.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+              require(toks.nonEmpty, s"match expects a non-empty string value, got: $v")
+              val cols = toks.map(t => termMatch(f, escapeTerm(t)))
+              if (scoring) cols.foreach(tc => leaves += leaf(tc, boost))
+              if (matchAnd) cols.reduce(_ && _) else cols.reduce(_ || _)
+            case _ =>
+              val c = op match {
+                case "term"         => col(f) === lit(scalarOf(v)) // exact value
+                // contiguous-token phrase: quoted-term semantics (termMatch
+                // keeps inner spaces inside the \b…\b anchor); with slop,
+                // ordered per-gap proximity
+                case "match_phrase" =>
+                  if (slop == 0) termMatch(f, escapeTerm(text))
+                  else proximityMatch(f, text, slop)
+                case "prefix"       => termMatch(f, escapeTerm(text) + "*")
+                case "wildcard"     => termMatch(f, text)       // value carries '*' / '?'
+              }
+              if (scoring) leaves += leaf(c, boost)
+              c
           }
-          if (scoring) leaves += leaf(c, boost)
-          c
         case "fuzzy" =>
           // {"fuzzy":{"f":"v"}} (Lucene default distance 2) or
           // {"fuzzy":{"f":{"value":"v","fuzziness":1|"AUTO",

@@ -543,7 +543,18 @@ object TextIndex {
       }
     op match {
       case "match" => textValue("query").flatMap { case (f, v) =>
-        if (fields.contains(f)) termProbe(f, QueryCompiler.escapeTerm(v)).map(Set(_)) else None
+        // match analyzes to OR'd whitespace terms: every matching doc
+        // carries at least one matched term, so the cover is the UNION of
+        // per-term probes (for operator=and the union is merely looser —
+        // still a superset; re-verification restores precision)
+        if (!fields.contains(f)) None
+        else {
+          val toks = v.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+          val probes = toks.map(t => termProbe(f, QueryCompiler.escapeTerm(t)))
+          if (toks.nonEmpty && probes.forall(_.isDefined))
+            Some(probes.flatten.toSet[Probe])
+          else None
+        }
       }
       case "match_phrase" => textValue("query").flatMap { case (f, v) =>
         // slop 0 compiles to termMatch(escaped); slop > 0 to proximity —

@@ -54,9 +54,12 @@ class QueryCompilerSpec extends AnyFunSuite {
     // wrong value key for the operator
     assert(QueryCompiler.validate(
       """{"query":{"match":{"text":{"value":"spark"}}}}""").isLeft)
-    // unknown sub-keys must be rejected, not silently dropped
+    // match `operator` is supported (r6); still-unknown sub-keys must be
+    // rejected, not silently dropped
     assert(QueryCompiler.validate(
-      """{"query":{"match":{"text":{"query":"x","operator":"and"}}}}""").isLeft)
+      """{"query":{"match":{"text":{"query":"x","operator":"and"}}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"query":"x","analyzer":"english"}}}}""").isLeft)
     assert(QueryCompiler.validate(
       """{"query":{"match":{"text":{"query":"x","boost":0}}}}""").isLeft)
     assert(QueryCompiler.validate("""{"query":{"match":{"text":""}}}""").isLeft)

@@ -36,6 +36,26 @@ class SearchSpec extends AnyFunSuite {
     assert(out.head.getAs[String]("_highlight_text") == "<em>SPÄRK</em> engine")
   }
 
+  test("match analyzes multi-word text: OR of terms by default, operator=and narrows") {
+    // ES match semantics — NOT a contiguous phrase (that's match_phrase):
+    // docs with either word match, each term its own scoring clause
+    val or = Search.search(docs, """{"query":{"match":{"text":"spark batch"}}}""",
+      IndexConfig()).select("doc_id", "_score")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(or == Seq(("1", 2), ("3", 1), ("4", 1)))
+    val and = Search.search(docs,
+      """{"query":{"match":{"text":{"query":"spark batch","operator":"and"}}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(and == Seq("1"))
+    // junk operator is loud; match_phrase keeps contiguous semantics
+    assert(QueryCompiler.validate(
+      """{"query":{"match":{"text":{"query":"a b","operator":"xor"}}}}""").isLeft)
+    val phrase = Search.search(docs,
+      """{"query":{"match_phrase":{"text":"spark batch"}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(phrase == Seq("1"))
+  }
+
   test("highlight marks fuzzy-matched tokens via the predicate's matcher") {
     val fz = Seq(("1", "the sprak engine sparks", "en"))
       .toDF("doc_id", "text", "lang")

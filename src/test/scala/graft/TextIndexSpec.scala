@@ -72,6 +72,8 @@ class TextIndexSpec extends AnyFunSuite {
     def c(q: String) = TextIndex.coverable(q, fields)
     assert(c("""{"query":{"term":{"text":"spark"}}}"""))
     assert(c("""{"query":{"match":{"text":"spark"}}}"""))
+    // multi-word match analyzes to OR'd terms → per-term probe union
+    assert(c("""{"query":{"match":{"text":"spark batch"}}}"""))
     assert(c("""{"query":{"match_phrase":{"text":{"query":"batch fast","slop":1}}}}"""))
     assert(c("""{"query":{"prefix":{"text":"filt"}}}"""))
     assert(c("""{"query":{"wildcard":{"text":"filt*"}}}"""))

@@ -891,6 +891,23 @@ object SparkEntry {
         .select(col("key"), col("doc_count"),
           round(col("total_value"), 2).as("total_value"))
     }),
+    "q_agg_date_fixed" -> ((s, dir) => {
+      // fixed_interval frames: epoch-anchored 6h buckets (pure long
+      // micros arithmetic on both sides — no calendar, no cast rounding)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"per_6h": {"date_histogram":
+              {"field": "ts", "fixed_interval": "6h"},
+            "aggs": {"total_value": {"sum": {"field": "value"}}}}}}""")
+        .select(unix_micros(col("key")).as("key_us"), col("doc_count"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+    "q_agg_terms_include" -> ((s, dir) => {
+      // include regex + exclude shape the bucket key set before the scan
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"langs": {"terms": {"field": "lang",
+              "include": "en|de|es|fr", "exclude": "d.*",
+              "order": {"_key": "asc"}}}}}""")
+    }),
     "q_agg_range" -> ((s, dir) => {
       // order-value bands with flattened stats per band
       Aggs.runSingle(tbl(s, dir, "orders"),
@@ -1841,6 +1858,21 @@ object SparkEntry {
            count(*) AS doc_count, round(sum(value), 2) AS total_value
          FROM events
          GROUP BY 1 ORDER BY key""",
+    "q_agg_date_fixed" ->
+      // epoch-micros modular arithmetic, integer end to end (the
+      // sessionize lesson: never let bucket identity ride on a
+      // timestamp cast)
+      """WITH ev AS (
+           SELECT epoch_ns(ts) // 1000 AS us, value FROM events)
+         SELECT us - us % 21600000000 AS key_us, count(*) AS doc_count,
+           round(sum(value), 2) AS total_value
+         FROM ev GROUP BY 1 ORDER BY key_us""",
+    "q_agg_terms_include" ->
+      """SELECT lang AS key, count(*) AS doc_count
+         FROM documents
+         WHERE regexp_full_match(lang, 'en|de|es|fr')
+           AND NOT regexp_full_match(lang, 'd.*')
+         GROUP BY lang ORDER BY key""",
     "q_agg_range" ->
       """WITH b AS (
            SELECT o_totalprice,

@@ -121,7 +121,30 @@ object Aggs {
         val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
         val minDoc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
         require(minDoc >= 0, s"terms '$name' min_doc_count must be >= 0")
-        val base = bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
+        val k = bucketKey(tpe, name, body)
+        // ES include/exclude shape the candidate TERM SET (regex = Lucene
+        // full-match semantics, or an exact-value array). Applied as a row
+        // predicate on the key BEFORE aggregating — it reaches the scan as
+        // a pushed filter instead of post-filtering buckets, and the
+        // zero-fill universe obeys the same shape
+        def keyShape(optName: String): Option[Column] =
+          Option(body.get(optName)).map { n =>
+            if (n.isArray) {
+              val vs = n.elements.asScala.toSeq.map { e =>
+                if (e.isTextual) e.asText else e.numberValue
+              }
+              require(vs.nonEmpty, s"terms '$name' $optName array is empty")
+              k.isin(vs: _*)
+            } else {
+              require(n.isTextual, s"terms '$name' $optName must be a regex " +
+                s"string or an array of values, got: $n")
+              k.cast("string").rlike("^(?:" + n.asText + ")$")
+            }
+          }
+        val shape = (keyShape("include") ++ keyShape("exclude").map(!_))
+          .reduceOption(_ && _)
+        val docsShaped = shape.map(docs.where).getOrElse(docs)
+        val base = bucketed(docsShaped, k, subAggs, name)
         val filled =
           if (minDoc > 0) base.where(col("doc_count") >= minDoc)
           else {
@@ -131,8 +154,8 @@ object Aggs {
             // carry doc_count 0 and null metrics, like ES's response.
             // The distinct-keys side is one extra hash aggregate over the
             // background — same shuffle key as the main aggregate.
-            val k = bucketKey(tpe, name, body)
-            background.where(k.isNotNull).select(k.as("key")).distinct()
+            val bg = shape.map(background.where).getOrElse(background)
+            bg.where(k.isNotNull).select(k.as("key")).distinct()
               .join(base, Seq("key"), "left")
               .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
           }
@@ -465,6 +488,28 @@ object Aggs {
       .drop("window")
   }
 
+  /** ES fixed_interval duration → microseconds: `<n><unit>` with unit
+    * ms/s/m/h/d (calendar units like months are calendar_interval's job —
+    * they are not fixed-width). */
+  private def fixedIntervalMicros(fi: String, name: String): Long = {
+    val m = "^(\\d+)(ms|s|m|h|d)$".r
+    fi match {
+      case m(n, unit) =>
+        val base = unit match {
+          case "ms" => 1000L
+          case "s" => 1000000L
+          case "m" => 60000000L
+          case "h" => 3600000000L
+          case "d" => 86400000000L
+        }
+        val v = n.toLong * base
+        require(v > 0, s"date_histogram '$name' fixed_interval must be positive")
+        v
+      case _ => throw new IllegalArgumentException(
+        s"date_histogram '$name': bad fixed_interval '$fi' (expected <n>ms|s|m|h|d)")
+    }
+  }
+
   /** The grouping key a bucket-agg spec derives (shared by [[one]]'s
     * groupBy path and [[topHits]]'s window path). */
   private def bucketKey(tpe: String, name: String, body: JsonNode): Column = {
@@ -477,14 +522,30 @@ object Aggs {
     tpe match {
       case "terms" => col(fieldOf(body))
       case "date_histogram" =>
-        val interval = Option(body.get("calendar_interval"))
-          .orElse(Option(body.get("interval"))).map(_.asText)
-          .getOrElse(throw new IllegalArgumentException(
-            s"date_histogram '$name' needs 'calendar_interval'"))
-        val allowed = Set("year", "quarter", "month", "week", "day", "hour", "minute")
-        require(allowed.contains(interval),
-          s"unsupported calendar_interval '$interval' (allowed: ${allowed.mkString(", ")})")
-        date_trunc(interval.toUpperCase, col(fieldOf(body)))
+        Option(body.get("fixed_interval")).map(_.asText) match {
+          case Some(fi) =>
+            // ES fixed_interval: uniform epoch-anchored frames ("30m",
+            // "6h", "7d" — ms/s/m/h/d units). Pure integer micros
+            // arithmetic: bucket = ts div frame * frame, exact at any
+            // magnitude (no double rounding), codegen-friendly
+            require(!body.has("calendar_interval") && !body.has("interval"),
+              s"date_histogram '$name': fixed_interval excludes calendar_interval")
+            val us = fixedIntervalMicros(fi, name)
+            val tsUs = unix_micros(col(fieldOf(body)))
+            // subtract-the-remainder instead of divide-multiply: stays in
+            // exact long arithmetic end to end (a double division truncates
+            // wrong within half-ulp of frame boundaries)
+            timestamp_micros(tsUs - pmod(tsUs, lit(us)))
+          case None =>
+            val interval = Option(body.get("calendar_interval"))
+              .orElse(Option(body.get("interval"))).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException(
+                s"date_histogram '$name' needs 'calendar_interval' or 'fixed_interval'"))
+            val allowed = Set("year", "quarter", "month", "week", "day", "hour", "minute")
+            require(allowed.contains(interval),
+              s"unsupported calendar_interval '$interval' (allowed: ${allowed.mkString(", ")})")
+            date_trunc(interval.toUpperCase, col(fieldOf(body)))
+        }
       case "histogram" =>
         val interval = Option(body.get("interval")).map(_.asDouble)
           .getOrElse(throw new IllegalArgumentException(s"histogram '$name' needs 'interval'"))

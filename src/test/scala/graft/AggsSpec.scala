@@ -219,6 +219,53 @@ class AggsSpec extends AnyFunSuite {
       """{"aggs":{"t":{"terms":{"field":"g","order":{"_key":"sideways"}}}}}"""))
   }
 
+  test("terms include/exclude shape the bucket key set; regex is full-match") {
+    val rows = Seq(("alpha", 1), ("beta", 2), ("gamma", 3), ("beta", 4))
+      .toDF("g", "v")
+    def keys(body: String) =
+      Aggs.runSingle(rows, body).collect().map(_.getString(0)).toSeq
+    // regex include: FULL match (Lucene regexp anchors), so 'a.*' only
+    // takes terms that are entirely a-then-anything
+    assert(keys("""{"aggs":{"t":{"terms":{"field":"g","include":"a.*|g.*",
+      "order":{"_key":"asc"}}}}}""") == Seq("alpha", "gamma"))
+    // exact-value array + exclude regex compose
+    assert(keys("""{"aggs":{"t":{"terms":{"field":"g",
+      "include":["alpha","beta","gamma"],"exclude":"b.*",
+      "order":{"_key":"asc"}}}}}""") == Seq("alpha", "gamma"))
+    // zero-fill universe obeys the shape: a query matching nothing still
+    // lists exactly the included terms
+    val zf = Aggs.runSingle(rows,
+      """{"query":{"range":{"v":{"gte":99}}},
+          "aggs":{"t":{"terms":{"field":"g","include":"beta|gamma",
+            "min_doc_count":0,"order":{"_key":"asc"}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(zf == Seq(("beta", 0L), ("gamma", 0L)))
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","include":42}}}}"""))
+  }
+
+  test("date_histogram fixed_interval: uniform epoch-anchored frames") {
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val rows = Seq((ts(0, 10), 1.0), (ts(0, 40), 2.0), (ts(1, 5), 4.0),
+      (ts(2, 59), 8.0)).toDF("t", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"date_histogram":{"field":"t","fixed_interval":"30m"},
+           "aggs":{"total":{"sum":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("2024-03-01 00:00:00.0", 1L, 1.0),
+      ("2024-03-01 00:30:00.0", 1L, 2.0),
+      ("2024-03-01 01:00:00.0", 1L, 4.0),
+      ("2024-03-01 02:30:00.0", 1L, 8.0)))
+    // bad units / mixing with calendar_interval are loud
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"date_histogram":{"field":"t","fixed_interval":"2w"}}}}"""))
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"date_histogram":{"field":"t","fixed_interval":"30m",
+           "calendar_interval":"day"}}}}"""))
+  }
+
   test("pipeline sub-agg under a non-histogram parent fails loud") {
     // ES rejects pipeline aggs on non-sequence parents; silently dropping
     // the requested column broke the fail-loud contract

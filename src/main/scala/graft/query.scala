@@ -833,11 +833,20 @@ object QueryCompiler {
           // {"multi_match":{"query":"x","fields":["a","b^2"]}} — declared
           // `most_fields` semantics: one scoring leaf per field, summed
           // (ES best_fields would dis_max them; the summed variant is the
-          // reproducible one and an official ES type). Per-field `^N`
-          // boosts apply; rejected keys (type, operator, …) are loud.
-          val unknown = body.fieldNames.asScala.toSet -- Set("query", "fields")
+          // reproducible one and an official ES type). The query text is
+          // ANALYZED like `match`: whitespace terms OR within each field
+          // (`operator:"and"` requires all of them per field). Per-field
+          // `^N` boosts apply; rejected keys (type, …) are loud.
+          val unknown = body.fieldNames.asScala.toSet --
+            Set("query", "fields", "operator")
           require(unknown.isEmpty,
             s"unsupported multi_match option(s): ${unknown.mkString(", ")}")
+          val mmAnd = Option(body.get("operator")).map { n =>
+            require(n.isTextual && (n.asText.equalsIgnoreCase("and")
+                || n.asText.equalsIgnoreCase("or")),
+              s"multi_match operator must be and or or, got: $n")
+            n.asText.equalsIgnoreCase("and")
+          }.getOrElse(false)
           val qv = Option(body.get("query"))
             .getOrElse(throw new IllegalArgumentException("multi_match requires 'query'"))
           require(qv.isTextual && qv.asText.nonEmpty,
@@ -861,7 +870,10 @@ object QueryCompiler {
                   s"multi_match field boost must be a positive integer: '$raw'")
                 (raw.substring(0, i), suffix.toInt)
             }
-            (termMatch(f, escapeTerm(qv.asText)), b)
+            val toks = qv.asText.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+            require(toks.nonEmpty, s"multi_match expects a non-empty string query")
+            val termCols = toks.map(t => termMatch(f, escapeTerm(t)))
+            (if (mmAnd) termCols.reduce(_ && _) else termCols.reduce(_ || _), b)
           }
           if (scoring) leaves ++= perField.map { case (c, b) => leaf(c, b) }
           perField.map(_._1).reduce(_ || _)

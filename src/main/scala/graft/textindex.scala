@@ -607,12 +607,20 @@ object TextIndex {
                 case -1 => raw
                 case i => raw.substring(0, i)
               }
-              if (fields.contains(f)) termProbe(f, QueryCompiler.escapeTerm(q.asText))
-              else None
+              if (!fields.contains(f)) None
+              else {
+                // multi-word queries analyze to OR'd terms per field —
+                // union of per-term probes, as in the match case
+                val toks = q.asText.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+                val tps = toks.map(t => termProbe(f, QueryCompiler.escapeTerm(t)))
+                if (toks.nonEmpty && tps.forall(_.isDefined))
+                  Some(tps.flatten.toSet[Probe])
+                else None
+              }
             }
           }
           if (probes.nonEmpty && probes.forall(_.isDefined))
-            Some(probes.flatten.toSet[Probe])
+            Some(probes.flatten.flatten.toSet[Probe])
           else None
         }
       case "constant_score" => coverDsl(body.get("filter"), fields, defaultOr)

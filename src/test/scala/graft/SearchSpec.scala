@@ -56,6 +56,19 @@ class SearchSpec extends AnyFunSuite {
     assert(phrase == Seq("1"))
   }
 
+  test("multi_match analyzes multi-word text per field; operator=and per field") {
+    // doc 1 "spark batch engine": text has both; doc 3 text has spark only
+    val or = Search.search(docs,
+      """{"query":{"multi_match":{"query":"spark batch","fields":["text"]}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(or == Seq("1", "3", "4"))
+    val and = Search.search(docs,
+      """{"query":{"multi_match":{"query":"spark batch","fields":["text"],
+           "operator":"and"}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(and == Seq("1"))
+  }
+
   test("highlight marks fuzzy-matched tokens via the predicate's matcher") {
     val fz = Seq(("1", "the sprak engine sparks", "en"))
       .toDF("doc_id", "text", "lang")

@@ -85,6 +85,7 @@ class TextIndexSpec extends AnyFunSuite {
     assert(c("""{"query":{"constant_score":{"filter":{"match":{"text":"spark"}},"boost":3}}}"""))
     assert(c("""{"query":{"query_string":{"query":"text:spark AND lang:en"}}}"""))
     assert(c("""{"query":{"multi_match":{"query":"spark","fields":["text","source^2"]}}}"""))
+    assert(c("""{"query":{"multi_match":{"query":"spark batch","fields":["text"]}}}"""))
     // not coverable: unbounded or non-token leaves
     assert(!c("""{"query":{"match_all":{}}}"""))
     assert(!c("""{"query":{"range":{"n_chars":{"gte":10}}}}"""))

@@ -908,6 +908,27 @@ object SparkEntry {
               "include": "en|de|es|fr", "exclude": "d.*",
               "order": {"_key": "asc"}}}}}""")
     }),
+    "q_agg_extended_stats" -> ((s, dir) => {
+      // ES extended_stats: stats + sum-of-squares + population variance/
+      // stddev in ONE map-side-combinable aggregate row (order-dependent
+      // doubles rounded both sides; min/max are exact passthrough)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"v": {"extended_stats": {"field": "value"}}}}""")
+        .select(col("v_count"), col("v_min"), col("v_max"),
+          round(col("v_avg"), 2).as("v_avg"),
+          round(col("v_sum"), 2).as("v_sum"),
+          round(col("v_sum_of_squares"), 2).as("v_sum_sq"),
+          round(col("v_variance"), 2).as("v_variance"),
+          round(col("v_std_deviation"), 2).as("v_std_dev"))
+    }),
+    "q_agg_weighted_avg" -> ((s, dir) => {
+      // quantity-weighted mean price over lineitem — Σ(v·w)/Σ(w)
+      Aggs.runSingle(tbl(s, dir, "lineitem"),
+        """{"aggs": {"wavg_price": {"weighted_avg":
+              {"value": {"field": "l_extendedprice"},
+               "weight": {"field": "l_quantity"}}}}}""")
+        .select(round(col("wavg_price"), 2).as("wavg_price"))
+    }),
     "q_agg_range" -> ((s, dir) => {
       // order-value bands with flattened stats per band
       Aggs.runSingle(tbl(s, dir, "orders"),
@@ -1873,6 +1894,17 @@ object SparkEntry {
          WHERE regexp_full_match(lang, 'en|de|es|fr')
            AND NOT regexp_full_match(lang, 'd.*')
          GROUP BY lang ORDER BY key""",
+    "q_agg_extended_stats" ->
+      """SELECT count(value) AS v_count, min(value) AS v_min, max(value) AS v_max,
+           round(avg(value), 2) AS v_avg, round(sum(value), 2) AS v_sum,
+           round(sum(value * value), 2) AS v_sum_sq,
+           round(var_pop(value), 2) AS v_variance,
+           round(stddev_pop(value), 2) AS v_std_dev
+         FROM events""",
+    "q_agg_weighted_avg" ->
+      """SELECT round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2)
+           AS wavg_price
+         FROM lineitem""",
     "q_agg_range" ->
       """WITH b AS (
            SELECT o_totalprice,

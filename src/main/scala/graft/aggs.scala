@@ -673,7 +673,7 @@ object Aggs {
     * metric target must be a single-value sub-agg (no stats/percentiles
     * dotted paths). */
   private val singleValueMetrics =
-    Set("avg", "sum", "min", "max", "value_count", "cardinality")
+    Set("avg", "sum", "min", "max", "value_count", "cardinality", "weighted_avg")
 
   private def termsOrder(body: JsonNode, subAggs: Option[JsonNode],
                          parent: String): Seq[Column] =
@@ -702,6 +702,18 @@ object Aggs {
     }
 
   private def metric(tpe: String, name: String, body: JsonNode): Seq[Column] = {
+    // weighted_avg nests {value:{field},weight:{field}} instead of a flat
+    // field — handle before the flat-field contract below
+    if (tpe == "weighted_avg") {
+      def fieldIn(part: String): String = Option(body.get(part))
+        .flatMap(n => Option(n.get("field")).map(_.asText))
+        .getOrElse(throw new IllegalArgumentException(
+          s"weighted_avg '$name' needs '$part': {\"field\": ...}"))
+      val (v, w) = (col(fieldIn("value")), col(fieldIn("weight")))
+      // Σ(v·w)/Σ(w) over rows where both sides exist (ES skips missing)
+      val mask = v.isNotNull && w.isNotNull
+      return Seq((sum(when(mask, v * w)) / sum(when(mask, w))).as(name))
+    }
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"metric '$name' needs a 'field'"))
     tpe match {
@@ -715,6 +727,15 @@ object Aggs {
         count(col(f)).as(s"${name}_count"), min(col(f)).as(s"${name}_min"),
         max(col(f)).as(s"${name}_max"), avg(col(f)).as(s"${name}_avg"),
         sum(col(f)).as(s"${name}_sum"))
+      case "extended_stats" => Seq(
+        // ES extended_stats: stats + sum-of-squares and POPULATION
+        // variance/stddev (ES's default sigma view), flattened like stats
+        count(col(f)).as(s"${name}_count"), min(col(f)).as(s"${name}_min"),
+        max(col(f)).as(s"${name}_max"), avg(col(f)).as(s"${name}_avg"),
+        sum(col(f)).as(s"${name}_sum"),
+        sum(col(f) * col(f)).as(s"${name}_sum_of_squares"),
+        var_pop(col(f)).as(s"${name}_variance"),
+        stddev_pop(col(f)).as(s"${name}_std_deviation"))
       case "percentiles" =>
         // EXACT linear-interpolated percentiles (Spark `percentile`, one
         // sort-based aggregate) — declared divergence from ES's t-digest

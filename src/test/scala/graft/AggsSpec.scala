@@ -219,6 +219,33 @@ class AggsSpec extends AnyFunSuite {
       """{"aggs":{"t":{"terms":{"field":"g","order":{"_key":"sideways"}}}}}"""))
   }
 
+  test("extended_stats and weighted_avg metrics") {
+    val rows = Seq((2.0, 1.0), (4.0, 3.0), (6.0, 0.0), (8.0, 2.0)).toDF("v", "w")
+    val es = Aggs.runSingle(rows,
+      """{"aggs":{"s":{"extended_stats":{"field":"v"}}}}""").collect().head
+    // count 4, min 2, max 8, avg 5, sum 20, sum_sq 120, var_pop 5, sd √5
+    assert(es.getLong(0) == 4L && es.getDouble(1) == 2.0 && es.getDouble(2) == 8.0)
+    assert(es.getDouble(3) == 5.0 && es.getDouble(4) == 20.0 && es.getDouble(5) == 120.0)
+    assert(math.abs(es.getDouble(6) - 5.0) < 1e-12)
+    assert(math.abs(es.getDouble(7) - math.sqrt(5.0)) < 1e-12)
+    // weighted: (2·1 + 4·3 + 6·0 + 8·2) / (1+3+0+2) = 30/6 = 5
+    val wa = Aggs.runSingle(rows,
+      """{"aggs":{"wv":{"weighted_avg":{"value":{"field":"v"},
+           "weight":{"field":"w"}}}}}""").collect().head.getDouble(0)
+    assert(wa == 5.0)
+    // weighted_avg works as a terms sub-agg and as an order target
+    val rows2 = Seq(("a", 2.0, 1.0), ("a", 4.0, 3.0), ("b", 10.0, 1.0))
+      .toDF("g", "v", "w")
+    val byW = Aggs.runSingle(rows2,
+      """{"aggs":{"t":{"terms":{"field":"g","order":{"wv":"desc"}},
+           "aggs":{"wv":{"weighted_avg":{"value":{"field":"v"},
+             "weight":{"field":"w"}}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(byW.toSeq == Seq(("b", 10.0), ("a", 3.5)))
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"wv":{"weighted_avg":{"value":{"field":"v"}}}}}"""))
+  }
+
   test("terms include/exclude shape the bucket key set; regex is full-match") {
     val rows = Seq(("alpha", 1), ("beta", 2), ("gamma", 3), ("beta", 4))
       .toDF("g", "v")

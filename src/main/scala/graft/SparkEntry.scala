@@ -908,6 +908,19 @@ object SparkEntry {
               "include": "en|de|es|fr", "exclude": "d.*",
               "order": {"_key": "asc"}}}}}""")
     }),
+    "q_agg_date_zero_fill" -> ((s, dir) => {
+      // the continuous-axis dashboard shape: hourly purchase counts with
+      // min_doc_count 0 + extended_bounds — gap hours and the forced
+      // trailing frame appear as real 0-count rows (key as epoch-micros
+      // BIGINT — the sessionize drift lesson)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+            "aggs": {"per_hour": {"date_histogram": {"field": "ts",
+              "fixed_interval": "1h", "min_doc_count": 0,
+              "extended_bounds": {"min": 1704067200000, "max": 1706659200000}}}}}""")
+        .select(unix_micros(col("key")).as("key_us"), col("doc_count"))
+        .orderBy(col("key_us"))
+    }),
     "q_agg_extended_stats" -> ((s, dir) => {
       // ES extended_stats: stats + sum-of-squares + population variance/
       // stddev in ONE map-side-combinable aggregate row (order-dependent
@@ -1894,6 +1907,21 @@ object SparkEntry {
          WHERE regexp_full_match(lang, 'en|de|es|fr')
            AND NOT regexp_full_match(lang, 'd.*')
          GROUP BY lang ORDER BY key""",
+    "q_agg_date_zero_fill" ->
+      // 721 hourly frames Jan 1 .. Jan 31 00:00 inclusive; LEFT JOIN
+      // zero-fills hours with no purchases (integer micros throughout)
+      """WITH ev AS (
+           SELECT epoch_ns(ts) // 1000 AS us FROM events
+           WHERE event_type = 'purchase'),
+         c AS (
+           SELECT us - us % 3600000000 AS key_us, count(*) AS n
+           FROM ev GROUP BY 1),
+         frames AS (
+           SELECT 1704067200000000 + 3600000000 * i AS key_us
+           FROM range(0, 721) t(i))
+         SELECT f.key_us, coalesce(c.n, 0) AS doc_count
+         FROM frames f LEFT JOIN c USING (key_us)
+         ORDER BY key_us""",
     "q_agg_extended_stats" ->
       """SELECT count(value) AS v_count, min(value) AS v_min, max(value) AS v_max,
            round(avg(value), 2) AS v_avg, round(sum(value), 2) AS v_sum,

@@ -177,12 +177,19 @@ object Aggs {
             nestedTerms(docs, bucketKey(tpe, name, body), name, innerName, innerSpec)
           case None =>
             // key order is semantic for the histogram family, which is
-            // what makes bucket-sequence pipeline aggs well-defined here
-            applyPipelines(
-              bucketed(docs, bucketKey(tpe, name, body), subAggs, name,
-                  allowPipelines = true)
-                .orderBy(asc("key")),
-              subAggs, name)
+            // what makes bucket-sequence pipeline aggs well-defined here.
+            // min_doc_count: our default is 1 (only materialized buckets —
+            // a DECLARED divergence from ES's 0); 0 opts into the
+            // continuous axis via zeroFillFrames, >1 thins
+            val base = bucketed(docs, bucketKey(tpe, name, body), subAggs,
+              name, allowPipelines = true)
+            val minDoc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
+            require(minDoc >= 0, s"'$tpe' '$name' min_doc_count must be >= 0")
+            val filled =
+              if (minDoc == 0) zeroFillFrames(base, tpe, name, body)
+              else if (minDoc > 1) base.where(col("doc_count") >= minDoc)
+              else base
+            applyPipelines(filled.orderBy(asc("key")), subAggs, name)
         }
       case t if bucketTypes.contains(t) =>
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
@@ -486,6 +493,80 @@ object Aggs {
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("key", col("window.start"))
       .drop("window")
+  }
+
+  /** Histogram-family `min_doc_count: 0`: generate the full frame sequence
+    * between the observed key bounds (widened by ES `extended_bounds` —
+    * epoch-millis for dates, numbers for histograms; bounds align down to
+    * their frame) and left-join the real buckets, so dashboards get a
+    * continuous axis with (0-count, null-metric) gap rows. The bounds are
+    * a 1-row aggregate collected on the driver (provably bounded); the
+    * frame count is guarded at 100k (the `search.max_buckets` analog) so a
+    * pathological interval fails loud instead of exploding a range join.
+    * Declared subset: `fixed_interval` date_histogram and numeric
+    * histogram — calendar frames are not fixed-width. */
+  private def zeroFillFrames(base: DataFrame, tpe: String, name: String,
+                             body: JsonNode): DataFrame = {
+    val spark = base.sparkSession
+    val maxFrames = 100000L
+    val eb = Option(body.get("extended_bounds"))
+    def ebNum(k: String): Option[JsonNode] = eb.flatMap(n => Option(n.get(k)))
+    if (tpe == "date_histogram") {
+      val fi = Option(body.get("fixed_interval")).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(s"date_histogram '$name': " +
+          "min_doc_count 0 zero-fill needs fixed_interval (calendar frames are not fixed-width)"))
+      val us = fixedIntervalMicros(fi, name)
+      def ebUs(k: String) = ebNum(k).map { v =>
+        require(v.isIntegralNumber,
+          s"date_histogram '$name' extended_bounds.$k must be epoch_millis")
+        v.asLong * 1000L
+      }
+      val r = base.agg(min(unix_micros(col("key"))), max(unix_micros(col("key")))).head()
+      val obsLo = if (r.isNullAt(0)) None else Some(r.getLong(0))
+      val obsHi = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val lo0 = (ebUs("min").toSeq ++ obsLo).reduceOption(_ min _)
+      val hi0 = (ebUs("max").toSeq ++ obsHi).reduceOption(_ max _)
+      (lo0, hi0) match {
+        case (Some(l), Some(h)) =>
+          val lo = l - java.lang.Math.floorMod(l, us)
+          val hi = h - java.lang.Math.floorMod(h, us)
+          val n = (hi - lo) / us + 1
+          require(n <= maxFrames,
+            s"'$name' zero-fill would create $n buckets (cap $maxFrames)")
+          spark.range(n)
+            .select(timestamp_micros(lit(lo) + col("id") * us).as("key"))
+            .join(base, Seq("key"), "left")
+            .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
+        case _ => base // no data and no bounds — nothing to fill
+      }
+    } else {
+      val interval = Option(body.get("interval")).map(_.asDouble)
+        .getOrElse(throw new IllegalArgumentException(s"histogram '$name' needs 'interval'"))
+      def ebD(k: String) = ebNum(k).map { v =>
+        require(v.isNumber, s"histogram '$name' extended_bounds.$k must be a number")
+        v.asDouble
+      }
+      val r = base.agg(min(col("key")), max(col("key"))).head()
+      val obsLo = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val obsHi = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      val lo0 = (ebD("min").toSeq ++ obsLo).reduceOption(_ min _)
+      val hi0 = (ebD("max").toSeq ++ obsHi).reduceOption(_ max _)
+      (lo0, hi0) match {
+        case (Some(l), Some(h)) =>
+          // frame key = (k0 + i) · interval: the same double product
+          // bucketKey's floor(x/interval)·interval produces, so the join
+          // keys are bit-identical
+          val k0 = math.floor(l / interval)
+          val n = (math.floor(h / interval) - k0 + 1).toLong
+          require(n > 0 && n <= maxFrames,
+            s"'$name' zero-fill would create $n buckets (cap $maxFrames)")
+          spark.range(n)
+            .select(((lit(k0) + col("id")) * interval).as("key"))
+            .join(base, Seq("key"), "left")
+            .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
+        case _ => base
+      }
+    }
   }
 
   /** ES fixed_interval duration → microseconds: `<n><unit>` with unit

@@ -293,6 +293,46 @@ class AggsSpec extends AnyFunSuite {
            "calendar_interval":"day"}}}}"""))
   }
 
+  test("histogram-family min_doc_count 0 zero-fills frames; extended_bounds widen") {
+    val ts = (d: Int, h: Int) =>
+      java.sql.Timestamp.valueOf(f"2024-03-0$d%d $h%02d:00:00")
+    val rows = Seq((ts(1, 0), 1.0), (ts(1, 3), 2.0)).toDF("t", "v")
+    // gap hours 01:00 and 02:00 appear with doc_count 0 and null metrics
+    val zf = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"date_histogram":{"field":"t","fixed_interval":"1h",
+           "min_doc_count":0},
+           "aggs":{"total":{"sum":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), Option(r.get(2))))
+    assert(zf.toSeq == Seq(
+      ("2024-03-01 00:00:00.0", 1L, Some(1.0)),
+      ("2024-03-01 01:00:00.0", 0L, None),
+      ("2024-03-01 02:00:00.0", 0L, None),
+      ("2024-03-01 03:00:00.0", 1L, Some(2.0))))
+    // extended_bounds (epoch millis) force frames beyond the data
+    val eb = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"date_histogram":{"field":"t","fixed_interval":"1h",
+           "min_doc_count":0,
+           "extended_bounds":{"min":1709251200000,"max":1709269200000}}}}}""")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+    // 2024-03-01 00:00Z .. 05:00Z inclusive = 6 frames
+    assert(eb.length == 6 && eb.head == ("2024-03-01 00:00:00.0", 1L)
+      && eb.last == ("2024-03-01 05:00:00.0", 0L))
+    // numeric histogram zero-fill joins on bit-identical frame keys
+    val nums = Seq(0.05, 0.35).toDF("x")
+    val nh = Aggs.runSingle(nums,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":0.1,
+           "min_doc_count":0}}}}""")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(nh.map(_._2).toSeq == Seq(1L, 0L, 0L, 1L))
+    // a pathological frame count fails loud, never explodes
+    val e = intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"date_histogram":{"field":"t","fixed_interval":"1s",
+           "min_doc_count":0,
+           "extended_bounds":{"min":1709251200000,"max":1809251200000}}}}}""")
+      .collect())
+    assert(e.getMessage.contains("cap"))
+  }
+
   test("pipeline sub-agg under a non-histogram parent fails loud") {
     // ES rejects pipeline aggs on non-sequence parents; silently dropping
     // the requested column broke the fail-loud contract

@@ -921,6 +921,16 @@ object SparkEntry {
         .select(unix_micros(col("key")).as("key_us"), col("doc_count"))
         .orderBy(col("key_us"))
     }),
+    "q_agg_sibling_max" -> ((s, dir) => {
+      // sibling pipeline agg: the peak daily event-value total — a
+      // second, frame-sized aggregate over the date_histogram's buckets
+      Aggs.run(tbl(s, dir, "events"),
+        """{"aggs": {
+             "per_day": {"date_histogram": {"field": "ts", "calendar_interval": "day"},
+               "aggs": {"total": {"sum": {"field": "value"}}}},
+             "peak": {"max_bucket": {"buckets_path": "per_day>total"}}}}""")("peak")
+        .select(round(col("value"), 2).as("value"))
+    }),
     "q_agg_extended_stats" -> ((s, dir) => {
       // ES extended_stats: stats + sum-of-squares + population variance/
       // stddev in ONE map-side-combinable aggregate row (order-dependent
@@ -1922,6 +1932,14 @@ object SparkEntry {
          SELECT f.key_us, coalesce(c.n, 0) AS doc_count
          FROM frames f LEFT JOIN c USING (key_us)
          ORDER BY key_us""",
+    "q_agg_sibling_max" ->
+      // the per-bucket sums round AFTER the max (one double sum per day is
+      // the only order-dependent step; max of exact values is exact)
+      """WITH d AS (
+           SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+             sum(value) AS total
+           FROM events GROUP BY 1)
+         SELECT round(max(total), 2) AS value FROM d""",
     "q_agg_extended_stats" ->
       """SELECT count(value) AS v_count, min(value) AS v_min, max(value) AS v_max,
            round(avg(value), 2) AS v_avg, round(sum(value), 2) AS v_sum,

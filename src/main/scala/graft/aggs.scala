@@ -63,11 +63,56 @@ object Aggs {
       if (root.has("query"))
         docs.where(QueryCompiler.compile(body, Int.MaxValue, idCol).predicate)
       else docs
-    aggsNode.fieldNames.asScala.map { name =>
+    // sibling bucket-metric aggs (avg_bucket & co) aggregate ANOTHER
+    // top-level agg's bucket frame, so primaries compute first
+    val entries = aggsNode.fieldNames.asScala.toSeq.map(n => n -> aggsNode.get(n))
+    val (siblings, primaries) = entries.partition { case (_, spec) =>
+      spec.isObject && spec.fieldNames.asScala.exists(bucketMetricTypes.contains)
+    }
+    val primary = primaries.map { case (name, spec) =>
       // significant_terms scores the query's result set AGAINST the
       // unfiltered background, so it alone also receives `background`
-      name -> one(filtered, name, aggsNode.get(name), background = background)
+      name -> one(filtered, name, spec, background = background)
     }.toMap
+    primary ++ siblings.map { case (name, spec) =>
+      name -> siblingBucketMetric(name, spec, primary)
+    }
+  }
+
+  /** ES sibling pipeline aggs: one scalar over a sibling agg's bucket
+    * frame — `{"stat":{"avg_bucket":{"buckets_path":"hist>total"}}}`
+    * (`>_count` targets doc_count). Declared subset: the `value` only (ES
+    * max/min_bucket also list the attaining keys); gap_policy skip is
+    * Spark's native null-skipping aggregate behavior. The frame is already
+    * bucket-sized, so this is a driver-cheap second aggregate. */
+  private val bucketMetricTypes =
+    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+
+  private def siblingBucketMetric(name: String, spec: JsonNode,
+                                  primary: Map[String, DataFrame]): DataFrame = {
+    val ts = spec.fieldNames.asScala.filter(bucketMetricTypes.contains).toList
+    require(ts.size == 1 && spec.size == 1,
+      s"sibling agg '$name' must be exactly one bucket-metric type, got: " +
+        spec.fieldNames.asScala.mkString(", "))
+    val tpe = ts.head
+    val bp = Option(spec.get(tpe)).flatMap(n => Option(n.get("buckets_path")))
+      .map(_.asText).getOrElse(throw new IllegalArgumentException(
+        s"$tpe '$name' needs 'buckets_path'"))
+    val parts = bp.split(">")
+    require(parts.length == 2,
+      s"$tpe '$name' buckets_path must be '<sibling>><metric>', got '$bp'")
+    val src = primary.getOrElse(parts(0), throw new IllegalArgumentException(
+      s"$tpe '$name': unknown sibling aggregation '${parts(0)}'"))
+    val metricCol = if (parts(1) == "_count") "doc_count" else parts(1)
+    require(src.columns.contains(metricCol),
+      s"$tpe '$name': sibling '${parts(0)}' has no column '$metricCol'")
+    val agg = tpe match {
+      case "avg_bucket" => avg(col(metricCol))
+      case "sum_bucket" => sum(col(metricCol))
+      case "min_bucket" => min(col(metricCol))
+      case "max_bucket" => max(col(metricCol))
+    }
+    src.agg(agg.as("value"))
   }
 
   /** Index-accelerated aggregations: restrict the doc source to the

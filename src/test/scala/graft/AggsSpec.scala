@@ -293,6 +293,27 @@ class AggsSpec extends AnyFunSuite {
            "calendar_interval":"day"}}}}"""))
   }
 
+  test("sibling bucket metrics aggregate another agg's bucket frame") {
+    val rows = Seq((5.0, 1.0), (6.0, 3.0), (15.0, 2.0), (25.0, 8.0))
+      .toDF("x", "v")
+    val out = Aggs.run(rows,
+      """{"aggs":{
+           "h":{"histogram":{"field":"x","interval":10},
+                "aggs":{"total":{"sum":{"field":"v"}}}},
+           "peak":{"max_bucket":{"buckets_path":"h>total"}},
+           "mean_n":{"avg_bucket":{"buckets_path":"h>_count"}}}}""")
+    // buckets: (0,2,4.0) (10,1,2.0) (20,1,8.0)
+    assert(out("peak").collect().head.getDouble(0) == 8.0)
+    assert(math.abs(out("mean_n").collect().head.getDouble(0) - 4.0 / 3) < 1e-12)
+    // unknown sibling / metric are loud
+    intercept[IllegalArgumentException](Aggs.run(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10}},
+           "p":{"max_bucket":{"buckets_path":"nope>total"}}}}"""))
+    intercept[IllegalArgumentException](Aggs.run(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10}},
+           "p":{"max_bucket":{"buckets_path":"h>missing"}}}}"""))
+  }
+
   test("histogram-family min_doc_count 0 zero-fills frames; extended_bounds widen") {
     val ts = (d: Int, h: Int) =>
       java.sql.Timestamp.valueOf(f"2024-03-0$d%d $h%02d:00:00")

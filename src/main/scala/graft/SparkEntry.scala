@@ -253,6 +253,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_collapse" -> ((s, dir) => {
+      // ES field collapsing: the top hit per lang in relevance order —
+      // key-partitioned window, then the normal rank/limit
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query":{"match":{"text":"spark batch"}},
+            "collapse":{"field":"lang"}}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
     "q_search_fuzzy_auto" -> ((s, dir) => {
       // DSL fuzzy with ES parity shapes: fuzziness AUTO (5-char term →
       // 1 edit) and prefix_length 2 (leading 'sp' verbatim, edits beyond)
@@ -324,6 +335,16 @@ object SparkEntry {
       // case-insensitive over the original text, one pass per field
       Search.highlight(tbl(s, dir, "documents"), "text:spark OR text:batch*",
           IndexConfig(), hlFields = Seq("text"))
+        .select(col("doc_id"), col("_score"), col("_highlight_text"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
+    "q_search_highlight_dsl" -> ((s, dir) => {
+      // ES-DSL highlight: bool must/should leaves mark, must_not doesn't
+      Search.highlight(tbl(s, dir, "documents"),
+        """{"query":{"bool":{"must":[{"match":{"text":"spark"}}],
+             "should":[{"match_phrase":{"text":"batch fast"}}],
+             "must_not":[{"term":{"lang":"fr"}}]}}}""",
+        IndexConfig(), hlFields = Seq("text"))
         .select(col("doc_id"), col("_score"), col("_highlight_text"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
@@ -1521,6 +1542,16 @@ object SparkEntry {
          WHERE regexp_matches(lower(text), '\bspark\b')
             OR regexp_matches(lower(text), '\bbatch[^\s]*')
          ORDER BY _score DESC, doc_id""",
+    "q_search_highlight_dsl" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bbatch fast\b') THEN 1 ELSE 0 END) AS _score,
+           regexp_replace(text, '(?i)(\bspark\b|\bbatch fast\b)',
+             '<em>\1</em>', 'g') AS _highlight_text
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+           AND (lang IS NULL OR lang <> 'fr')
+         ORDER BY _score DESC, doc_id""",
     "q_search_after" ->
       """WITH scored AS (
            SELECT doc_id, lang,
@@ -2252,6 +2283,20 @@ object SparkEntry {
             CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
          FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b') OR regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY _score DESC, doc_id""",
+    "q_search_collapse" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+             (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
+           FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b')
+              OR regexp_matches(lower(text), '\bbatch\b')),
+         r AS (
+           SELECT doc_id, lang, _score,
+             row_number() OVER (PARTITION BY lang ORDER BY _score DESC, doc_id) AS rn
+           FROM sc)
+         SELECT doc_id, lang, _score FROM r WHERE rn = 1
          ORDER BY _score DESC, doc_id""",
     "q_search_fuzzy_auto" ->
       // prefix_length pins the folded prefix verbatim; the edit budget

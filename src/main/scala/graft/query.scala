@@ -99,11 +99,15 @@ object QueryMeta {
   * `from + size` must fit max-results (ES max_result_window), because
   * offset paging re-ranks its whole prefix; deep pagination belongs to
   * `search_after`. */
+/** `collapseField` is ES field collapsing (`"collapse": {"field": f}`):
+  * one hit per distinct value of `f` — the top hit in the result order —
+  * before the size cut. A key-partitioned window, never a global one. */
 final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int],
                                searchAfter: Option[(Double, Any)] = None,
                                sort: Option[Seq[(String, Boolean)]] = None,
                                sourceFields: Option[Seq[String]] = None,
-                               from: Int = 0)
+                               from: Int = 0,
+                               collapseField: Option[String] = None)
 
 object QueryCompiler {
 
@@ -633,9 +637,19 @@ object QueryCompiler {
       require(from >= 0, s"'from' must be >= 0, got $from")
       require(from == 0 || after.isEmpty,
         "'from' and 'search_after' are mutually exclusive (ES semantics)")
+      val collapse = Option(root.get("collapse")).map { c =>
+        val f = Option(c.get("field")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            "'collapse' needs {\"field\": ...}"))
+        require(f.nonEmpty, "'collapse' field must be non-empty")
+        f
+      }
+      require(collapse.isEmpty || after.isEmpty,
+        "'collapse' with 'search_after' is not supported (declared subset)")
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol, defaultOr)
-      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source, from)
+      CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source,
+        from, collapse)
     }
 
     private def node(n: JsonNode,

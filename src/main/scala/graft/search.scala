@@ -48,7 +48,18 @@ object Search {
       } :+ col(tiebreak).asc
       case None => Seq(desc("_score"), col(tiebreak).asc)
     }
-    val ranked = paged.orderBy(order: _*)
+    // ES collapse: keep each field value's top hit in the result order —
+    // a KEY-partitioned window (shuffles on the collapse key, bounded per
+    // group; never a global window) before the rank/offset/limit
+    val collapsed = q.collapseField match {
+      case Some(f) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(f)).orderBy(order: _*)
+        paged.withColumn("_collapse_rank", row_number().over(w))
+          .where(col("_collapse_rank") === 1).drop("_collapse_rank")
+      case None => paged
+    }
+    val ranked = collapsed.orderBy(order: _*)
     (if (q.from > 0) ranked.offset(q.from) else ranked).limit(limit)
   }
 
@@ -93,8 +104,14 @@ object Search {
     * one alternation (single pass — no nested markup from sequential
     * rewrites; overlaps resolve leftmost-first, deterministic).
     *
-    * Declared subset: Lucene-lite syntax; `Term`/`Proximity`(phrase)/
-    * `Regex` leaves outside any NOT highlight. Fuzzy leaves (edit
+    * Declared subset: both grammars — Lucene-lite `Term`/`Proximity`
+    * (phrase)/`Regex` leaves, and for ES-DSL bodies the analyzed-text
+    * leaves (`match`/`match_phrase`(+slop)/`match_phrase_prefix`/
+    * `prefix`/`wildcard`/`regexp`/`fuzzy`/`multi_match`/`query_string`,
+    * walked through `bool` must/should/filter, `dis_max`,
+    * `constant_score`, `boosting` positive; `term` is exact VALUE
+    * equality, not a token match — no span to mark) — outside any
+    * NOT/must_not. Fuzzy leaves (edit
     * distance — not a regular language at fixed pattern size) highlight
     * via the predicate's own matcher ([[graft.functions.FuzzyTokenHighlight]])
     * when they are the field's ONLY positive leaves; a field mixing fuzzy
@@ -107,36 +124,23 @@ object Search {
                 pre: String = "<em>", post: String = "</em>"): DataFrame = {
     require(hlFields.nonEmpty, "highlight at least one field")
     val meta = QueryMeta.parse(query)
-    require(!meta.query.trim.startsWith("{"),
-      "highlight supports the Lucene-lite syntax (declared subset)")
-    import QueryCompiler.LuceneLite._
-    def leafPatterns(n: Node, field: String): Seq[String] = n match {
-      case Term(f, v, _) if f == field => Seq(QueryCompiler.termPattern(v))
-      case Proximity(f, p, slop, _) if f == field =>
-        Seq(QueryCompiler.proximityPattern(p, slop))
-      case Regex(f, pat, _) if f == field => Seq("\\b(?:" + pat + ")\\b")
-      case And(l, r) => leafPatterns(l, field) ++ leafPatterns(r, field)
-      case Or(l, r) => leafPatterns(l, field) ++ leafPatterns(r, field)
-      case Not(_) => Nil // negative subtrees have no span to mark
-      // OR-default occur wrappers: both contain positive leaves to mark
-      case Required(x) => leafPatterns(x, field)
-      case ScoreOnly(x) => leafPatterns(x, field)
-      case _ => Nil
-    }
-    def fuzzyLeaves(n: Node, field: String): Seq[(String, Int, Int)] = n match {
-      case Fuzzy(f, v, dist, _) if f == field => Seq((v, dist, 0))
-      case And(l, r) => fuzzyLeaves(l, field) ++ fuzzyLeaves(r, field)
-      case Or(l, r) => fuzzyLeaves(l, field) ++ fuzzyLeaves(r, field)
-      case Not(_) => Nil
-      case Required(x) => fuzzyLeaves(x, field)
-      case ScoreOnly(x) => fuzzyLeaves(x, field)
-      case _ => Nil
-    }
-    val ast = QueryCompiler.LuceneLite.ast(meta.query.trim,
-      defaultOr = QueryCompiler.resolveOperator(meta, cfg.defaultOperator) == "OR")
+    val dOr = QueryCompiler.resolveOperator(meta, cfg.defaultOperator) == "OR"
+    // both grammars produce the same shape: (regex patterns, fuzzy specs)
+    // per field, from positive leaves only
+    val specsOf: String => (Seq[String], Seq[(String, Int, Int)]) =
+      if (meta.query.trim.startsWith("{")) {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(meta.query.trim)
+        val qNode = Option(root.get("query")).getOrElse(
+          throw new IllegalArgumentException("missing 'query'"))
+        f => dslLeafSpecs(qNode, f, dOr)
+      } else {
+        val ast = QueryCompiler.LuceneLite.ast(meta.query.trim, defaultOr = dOr)
+        f => (luceneLeafPatterns(ast, f), luceneFuzzyLeaves(ast, f))
+      }
     val hits = search(docs, query, cfg, pkCols)
     hlFields.foldLeft(hits) { (df, f) =>
-      (leafPatterns(ast, f), fuzzyLeaves(ast, f)) match {
+      specsOf(f) match {
         case (Nil, Nil) => df.withColumn(s"_highlight_$f", lit(null).cast("string"))
         // all-fuzzy field: mark with the predicate's own edit-distance
         // matcher — the exact accepted token set, single pass
@@ -152,6 +156,140 @@ object Search {
             java.util.regex.Matcher.quoteReplacement(pre) + "$0" +
               java.util.regex.Matcher.quoteReplacement(post)))
       }
+    }
+  }
+
+  /** Positive Lucene-lite leaves of `field` as highlight regex fragments
+    * (the SAME patterns the predicates evaluate). */
+  private def luceneLeafPatterns(n: QueryCompiler.LuceneLite.Node,
+                                 field: String): Seq[String] = {
+    import QueryCompiler.LuceneLite._
+    n match {
+      case Term(f, v, _) if f == field => Seq(QueryCompiler.termPattern(v))
+      case Proximity(f, p, slop, _) if f == field =>
+        Seq(QueryCompiler.proximityPattern(p, slop))
+      case Regex(f, pat, _) if f == field => Seq("\\b(?:" + pat + ")\\b")
+      case And(l, r) => luceneLeafPatterns(l, field) ++ luceneLeafPatterns(r, field)
+      case Or(l, r) => luceneLeafPatterns(l, field) ++ luceneLeafPatterns(r, field)
+      case Not(_) => Nil // negative subtrees have no span to mark
+      // OR-default occur wrappers: both contain positive leaves to mark
+      case Required(x) => luceneLeafPatterns(x, field)
+      case ScoreOnly(x) => luceneLeafPatterns(x, field)
+      case _ => Nil
+    }
+  }
+
+  /** Positive Lucene-lite fuzzy leaves of `field` as (term, dist, prefix)
+    * specs for [[graft.functions.FuzzyTokenHighlight]]. */
+  private def luceneFuzzyLeaves(n: QueryCompiler.LuceneLite.Node,
+                                field: String): Seq[(String, Int, Int)] = {
+    import QueryCompiler.LuceneLite._
+    n match {
+      case Fuzzy(f, v, dist, _) if f == field => Seq((v, dist, 0))
+      case And(l, r) => luceneFuzzyLeaves(l, field) ++ luceneFuzzyLeaves(r, field)
+      case Or(l, r) => luceneFuzzyLeaves(l, field) ++ luceneFuzzyLeaves(r, field)
+      case Not(_) => Nil
+      case Required(x) => luceneFuzzyLeaves(x, field)
+      case ScoreOnly(x) => luceneFuzzyLeaves(x, field)
+      case _ => Nil
+    }
+  }
+
+  /** Positive ES-DSL leaves of `field` → (regex patterns, fuzzy specs) for
+    * highlighting — mirrors the compile walk: analyzed-text operators
+    * yield token patterns, `query_string` delegates to the Lucene walkers,
+    * `bool` must/should/filter recurse, must_not doesn't. `term` is exact
+    * VALUE equality (not a token) — no span to mark, like NOT leaves. */
+  private def dslLeafSpecs(n: com.fasterxml.jackson.databind.JsonNode,
+                           field: String, defaultOr: Boolean)
+      : (Seq[String], Seq[(String, Int, Int)]) = {
+    import scala.jdk.CollectionConverters._
+    import QueryCompiler.{escapeTerm, proximityPattern, termPattern}
+    val empty = (Seq.empty[String], Seq.empty[(String, Int, Int)])
+    def merge(xs: Seq[(Seq[String], Seq[(String, Int, Int)])]) =
+      (xs.flatMap(_._1), xs.flatMap(_._2))
+    if (n == null || !n.isObject || n.size != 1) return empty
+    val op = n.fieldNames.asScala.next()
+    val body = n.get(op)
+    // single-field op bodies: {"f": "text"} or {"f": {"<valueKey>": ...}}
+    def fieldBody: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (body != null && body.isObject && body.size == 1 &&
+          body.fieldNames.asScala.next() == field)
+        Option(body.get(field))
+      else None
+    def textOf(valueKey: String): Option[String] = fieldBody.flatMap { v =>
+      if (v.isTextual) Some(v.asText)
+      else Option(v.get(valueKey)).filter(_.isTextual).map(_.asText)
+    }
+    def tokens(t: String): Seq[String] =
+      t.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+    op match {
+      case "match" => textOf("query")
+        .map(t => (tokens(t).map(tok => termPattern(escapeTerm(tok))), Nil))
+        .getOrElse(empty)
+      case "match_phrase" => fieldBody.flatMap { v =>
+        val (txt, slop) =
+          if (v.isTextual) (Some(v.asText), 0)
+          else (Option(v.get("query")).filter(_.isTextual).map(_.asText),
+            Option(v.get("slop")).map(_.asInt).getOrElse(0))
+        txt.map(t => (Seq(
+          if (slop == 0) termPattern(escapeTerm(t))
+          else proximityPattern(t, slop)), Seq.empty[(String, Int, Int)]))
+      }.getOrElse(empty)
+      case "match_phrase_prefix" => textOf("query")
+        .map(t => (Seq(termPattern(escapeTerm(t) + "*")), Nil)).getOrElse(empty)
+      case "prefix" => textOf("value")
+        .map(t => (Seq(termPattern(escapeTerm(t) + "*")), Nil)).getOrElse(empty)
+      case "wildcard" => textOf("value")
+        .map(t => (Seq(termPattern(t)), Nil)).getOrElse(empty)
+      case "regexp" => textOf("value")
+        .map(p => (Seq("\\b(?:" + p + ")\\b"), Nil)).getOrElse(empty)
+      case "fuzzy" => fieldBody.flatMap { v =>
+        if (v.isTextual) Some((Seq.empty[String], Seq((v.asText, 2, 0))))
+        else Option(v.get("value")).filter(_.isTextual).map(_.asText).map { t =>
+          val dist = Option(v.get("fuzziness")).map { d =>
+            if (d.isTextual) graft.functions.TextSketchFunctions.autoFuzziness(t)
+            else d.asInt
+          }.getOrElse(2)
+          val pfx = Option(v.get("prefix_length")).map(_.asInt).getOrElse(0)
+          (Seq.empty[String], Seq((t, dist, pfx)))
+        }
+      }.getOrElse(empty)
+      case "multi_match" =>
+        val q = Option(body.get("query")).filter(_.isTextual).map(_.asText)
+        val fs = Option(body.get("fields")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.collect {
+            case fn if fn.isTextual =>
+              val raw = fn.asText
+              raw.lastIndexOf('^') match { case -1 => raw; case i => raw.substring(0, i) }
+          }).getOrElse(Seq.empty)
+        if (q.isDefined && fs.contains(field))
+          (tokens(q.get).map(tok => termPattern(escapeTerm(tok))), Nil)
+        else empty
+      case "query_string" =>
+        Option(body.get("query")).filter(_.isTextual).map { qn =>
+          val df = Option(body.get("default_field")).filter(_.isTextual).map(_.asText)
+          val dOr = Option(body.get("default_operator")).filter(_.isTextual)
+            .map(_.asText.equalsIgnoreCase("OR")).getOrElse(defaultOr)
+          try {
+            val ast = QueryCompiler.LuceneLite.ast(qn.asText, df, dOr)
+            (luceneLeafPatterns(ast, field), luceneFuzzyLeaves(ast, field))
+          } catch { case _: Exception => empty }
+        }.getOrElse(empty)
+      case "bool" =>
+        val parts = Seq("must", "should", "filter").flatMap { k =>
+          Option(body.get(k)).toSeq.flatMap { c =>
+            if (c.isArray) c.elements.asScala.toSeq else Seq(c)
+          }
+        }
+        merge(parts.map(dslLeafSpecs(_, field, defaultOr)))
+      case "dis_max" =>
+        merge(Option(body.get("queries")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+          .map(dslLeafSpecs(_, field, defaultOr)))
+      case "constant_score" => dslLeafSpecs(body.get("filter"), field, defaultOr)
+      case "boosting" => dslLeafSpecs(body.get("positive"), field, defaultOr)
+      case _ => empty
     }
   }
 

@@ -56,6 +56,49 @@ class SearchSpec extends AnyFunSuite {
     assert(phrase == Seq("1"))
   }
 
+  test("highlight works for ES-DSL bodies: match/phrase/bool/fuzzy/query_string") {
+    val hl = Search.highlight(docs,
+      """{"query":{"bool":{"must":[{"match":{"text":"spark"}}],
+           "should":[{"match_phrase":{"text":"batch engine"}}],
+           "must_not":[{"term":{"lang":"fr"}}]}}}""",
+      IndexConfig(), hlFields = Seq("text", "lang"))
+      .orderBy("doc_id").collect()
+    assert(hl.head.getAs[String]("_highlight_text") ==
+      "<em>spark</em> <em>batch engine</em>")
+    assert(hl.head.getAs[String]("_highlight_lang") == null) // must_not leaf
+    // DSL fuzzy-only field marks via the edit-distance matcher
+    val fz = Search.highlight(Seq(("1", "the sprak engine", "en"))
+        .toDF("doc_id", "text", "lang"),
+      """{"query":{"fuzzy":{"text":{"value":"spark","fuzziness":1}}}}""",
+      IndexConfig(), hlFields = Seq("text")).collect()
+      .head.getAs[String]("_highlight_text")
+    assert(fz == "the <em>sprak</em> engine", fz)
+    // query_string inside DSL delegates to the Lucene walkers
+    val qs = Search.highlight(docs,
+      """{"query":{"query_string":{"query":"text:stream* OR text:sort"}}}""",
+      IndexConfig(), hlFields = Seq("text")).orderBy("doc_id").collect()
+      .map(_.getAs[String]("_highlight_text")).toSeq
+    assert(qs == Seq("<em>streaming</em> window state",
+      "spark <em>streaming</em> joins", "batch <em>sort</em> merge"))
+  }
+
+  test("collapse keeps one top hit per field value") {
+    // per lang: the top (score desc, doc_id asc) hit — doc 1 scores 2 for
+    // en (spark+batch), doc 3 and 4 score 1 for de -> doc 3 by id tiebreak
+    val out = Search.search(docs,
+      """{"query":{"query_string":{"query":"text:spark text:batch",
+           "default_operator":"OR"}},"collapse":{"field":"lang"}}""",
+      IndexConfig()).select("doc_id", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(out == Seq(("1", "en"), ("3", "de")))
+    // malformed collapse is loud
+    assert(QueryCompiler.validate(
+      """{"query":{"match_all":{}},"collapse":{}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"match_all":{}},"collapse":{"field":"lang"},
+          "search_after":[1,"0"]}""").isLeft)
+  }
+
   test("multi_match analyzes multi-word text per field; operator=and per field") {
     // doc 1 "spark batch engine": text has both; doc 3 text has spark only
     val or = Search.search(docs,

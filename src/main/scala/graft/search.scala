@@ -48,16 +48,28 @@ object Search {
       } :+ col(tiebreak).asc
       case None => Seq(desc("_score"), col(tiebreak).asc)
     }
-    // ES collapse: keep each field value's top hit in the result order —
-    // a KEY-partitioned window (shuffles on the collapse key, bounded per
-    // group; never a global window) before the rank/offset/limit
-    val collapsed = q.collapseField match {
-      case Some(f) =>
+    // ES collapse: keep each field value's top hit in the result order.
+    // Under the DEFAULT relevance order this is an argmin per key —
+    // min_by over the (-score, tiebreak) struct — a map-side-combinable
+    // hash aggregate: no per-key window, so a low-cardinality collapse
+    // key (5 langs over 100 TB) cannot skew a handful of partitions.
+    // A custom body `sort` (arbitrary types/directions, not encodable as
+    // one orderable struct) keeps the key-partitioned window — bounded
+    // per group, and custom-sorted collapses are the rare shape.
+    val collapsed = (q.collapseField, q.sort) match {
+      case (Some(f), None) =>
+        val cols = paged.columns
+        val ordKey = struct((col("_score") * -1).as("s"),
+          col(tiebreak).as("t"))
+        paged.groupBy(col(f).as("_collapse_key"))
+          .agg(min_by(struct(cols.map(col): _*), ordKey).as("_top"))
+          .select(cols.map(c => col(s"_top.$c").as(c)): _*)
+      case (Some(f), Some(_)) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(f)).orderBy(order: _*)
         paged.withColumn("_collapse_rank", row_number().over(w))
           .where(col("_collapse_rank") === 1).drop("_collapse_rank")
-      case None => paged
+      case _ => paged
     }
     val ranked = collapsed.orderBy(order: _*)
     (if (q.from > 0) ranked.offset(q.from) else ranked).limit(limit)

@@ -91,6 +91,13 @@ class SearchSpec extends AnyFunSuite {
       IndexConfig()).select("doc_id", "lang")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(out == Seq(("1", "en"), ("3", "de")))
+    // custom body sort takes the window path; same one-per-key contract
+    val sorted = Search.search(docs,
+      """{"query":{"match_all":{}},"collapse":{"field":"lang"},
+          "sort":[{"doc_id":"desc"}]}""",
+      IndexConfig()).select("doc_id", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(sorted == Seq(("4", "de"), ("2", "en")))
     // malformed collapse is loud
     assert(QueryCompiler.validate(
       """{"query":{"match_all":{}},"collapse":{}}""").isLeft)

@@ -942,6 +942,22 @@ object SparkEntry {
         .select(unix_micros(col("key")).as("key_us"), col("doc_count"))
         .orderBy(col("key_us"))
     }),
+    "q_agg_filter_global" -> ((s, dir) => {
+      // the classic "my slice vs everything" pair: a query-scoped filter
+      // bucket and a query-IGNORING global bucket, unioned to one frame
+      val m = Aggs.run(tbl(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+            "aggs": {
+              "big": {"filter": {"range": {"value": {"gte": 500}}},
+                "aggs": {"total": {"sum": {"field": "value"}}}},
+              "all": {"global": {},
+                "aggs": {"total": {"sum": {"field": "value"}}}}}}""")
+      m("big").select(lit("big").as("key"), col("doc_count"),
+          round(col("total"), 2).as("total"))
+        .unionByName(m("all").select(lit("all").as("key"), col("doc_count"),
+          round(col("total"), 2).as("total")))
+        .orderBy(col("key"))
+    }),
     "q_agg_sibling_max" -> ((s, dir) => {
       // sibling pipeline agg: the peak daily event-value total — a
       // second, frame-sized aggregate over the date_histogram's buckets
@@ -1963,6 +1979,15 @@ object SparkEntry {
          SELECT f.key_us, coalesce(c.n, 0) AS doc_count
          FROM frames f LEFT JOIN c USING (key_us)
          ORDER BY key_us""",
+    "q_agg_filter_global" ->
+      """SELECT 'all' AS key, count(*) AS doc_count,
+           round(sum(value), 2) AS total
+         FROM events
+         UNION ALL
+         SELECT 'big', count(*), round(sum(value), 2)
+         FROM events
+         WHERE event_type = 'purchase' AND value >= 500
+         ORDER BY key""",
     "q_agg_sibling_max" ->
       // the per-bucket sums round AFTER the max (one double sum per day is
       // the only order-dependent step; max of exact values is exact)

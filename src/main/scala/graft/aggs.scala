@@ -207,6 +207,23 @@ object Aggs {
         filled.orderBy(termsOrder(body, subAggs, name): _*).limit(size)
       case "composite" => composite(docs, name, body, subAggs)
       case "filters" => filtersAgg(docs, name, body, subAggs)
+      case "filter" =>
+        // single-filter bucket: ONE row of doc_count + metrics over docs
+        // matching the embedded query — the body IS a query operator
+        val q = mapper.createObjectNode()
+        q.set[JsonNode]("query", body)
+        val pred = QueryCompiler.compile(q.toString, Int.MaxValue).predicate
+        val ms = count(lit(1)).as("doc_count") +:
+          subAggMetricCols(subAggs, name, allowPipelines = false)
+        docs.where(pred).agg(ms.head, ms.tail: _*)
+      case "global" =>
+        // the UNFILTERED store, ignoring the body's query — ES's "compare
+        // my filtered slice against everything" bucket
+        require(body.isObject && body.size == 0,
+          s"global '$name' takes an empty body, got: $body")
+        val ms = count(lit(1)).as("doc_count") +:
+          subAggMetricCols(subAggs, name, allowPipelines = false)
+        background.agg(ms.head, ms.tail: _*)
       case "missing" =>
         // docs missing the field — one count row, like ES's missing bucket
         val f = Option(body.get("field")).map(_.asText)
@@ -764,9 +781,11 @@ object Aggs {
   }
 
   /** groupBy the bucket key, count, and append metric sub-aggs. */
-  private def bucketed(docs: DataFrame, key: Column, subAggs: Option[JsonNode],
-                       parent: String, allowPipelines: Boolean = false): DataFrame = {
-    val metrics = subAggs.toSeq.flatMap { n =>
+  /** Metric columns of a bucket agg's sub-agg block (shared by
+    * [[bucketed]] and the single-bucket `filter`/`global` aggs). */
+  private def subAggMetricCols(subAggs: Option[JsonNode], parent: String,
+                               allowPipelines: Boolean): Seq[Column] =
+    subAggs.toSeq.flatMap { n =>
       require(n.isObject, s"sub-aggs of '$parent' must be an object")
       n.fieldNames.asScala.toSeq.flatMap { sub =>
         val subSpec = n.get(sub)
@@ -786,6 +805,10 @@ object Aggs {
         } else metric(ts.head, sub, subSpec.get(ts.head))
       }
     }
+
+  private def bucketed(docs: DataFrame, key: Column, subAggs: Option[JsonNode],
+                       parent: String, allowPipelines: Boolean = false): DataFrame = {
+    val metrics = subAggMetricCols(subAggs, parent, allowPipelines)
     val aggCols = (count(lit(1)).as("doc_count") +: metrics)
     docs.where(key.isNotNull).groupBy(key.as("key"))
       .agg(aggCols.head, aggCols.tail: _*)

@@ -293,6 +293,25 @@ class AggsSpec extends AnyFunSuite {
            "calendar_interval":"day"}}}}"""))
   }
 
+  test("filter (single) bucket and global bucket") {
+    val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v")
+    val f = Aggs.runSingle(rows,
+      """{"aggs":{"only_a":{"filter":{"term":{"g":"a"}},
+           "aggs":{"total":{"sum":{"field":"v"}}}}}}""").collect().head
+    assert(f.getLong(0) == 2L && f.getDouble(1) == 4.0)
+    // global ignores the body's query: all 3 rows despite the b-only filter
+    val g = Aggs.run(rows,
+      """{"query":{"term":{"g":"b"}},
+          "aggs":{"all":{"global":{},"aggs":{"total":{"sum":{"field":"v"}}}},
+                  "slice":{"filter":{"term":{"g":"a"}}}}}""")
+    assert(g("all").collect().head.getLong(0) == 3L)
+    assert(g("all").collect().head.getDouble(1) == 14.0)
+    // filter nests under the query context: b-filtered docs ∩ g='a' = 0
+    assert(g("slice").collect().head.getLong(0) == 0L)
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"x":{"global":{"field":"g"}}}}"""))
+  }
+
   test("sibling bucket metrics aggregate another agg's bucket frame") {
     val rows = Seq((5.0, 1.0), (6.0, 3.0), (15.0, 2.0), (25.0, 8.0))
       .toDF("x", "v")

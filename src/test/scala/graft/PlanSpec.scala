@@ -160,4 +160,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("documents.parquet"), plan.take(2000))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
   }
+
+  test("collapse under the default order is an aggregate, never a window") {
+    // a key-partitioned window concentrates low-cardinality collapse keys
+    // (5 langs over the corpus) onto a handful of tasks; the argmin
+    // aggregate partial-combines map-side
+    val plan = planOf("q_search_collapse")
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("min_by") || plan.contains("Aggregate"), plan.take(2000))
+  }
+
+  test("histogram zero-fill joins the frame axis broadcast, never shuffled") {
+    // frames come from a bounded spark.range (≤100k rows by the guard) —
+    // the bucket side must not exchange for the left join
+    val plan = planOf("q_agg_date_zero_fill")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }

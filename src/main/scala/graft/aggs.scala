@@ -528,12 +528,20 @@ object Aggs {
         s"streaming aggregation '$name' must be a date_histogram"))
     val f = Option(dh.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"date_histogram '$name' needs a 'field'"))
-    val interval = Option(dh.get("calendar_interval"))
-      .orElse(Option(dh.get("interval"))).map(_.asText)
-      .getOrElse(throw new IllegalArgumentException(
-        s"date_histogram '$name' needs 'calendar_interval'"))
-    require(Set("day", "hour", "minute").contains(interval),
-      s"streaming calendar_interval must be a fixed duration (day/hour/minute), got '$interval'")
+    // fixed_interval maps straight onto a Structured Streaming tumbling
+    // window duration; calendar intervals only where they are fixed-width
+    val interval = Option(dh.get("fixed_interval")).map(_.asText) match {
+      case Some(fi) =>
+        s"${fixedIntervalMicros(fi, name)} microseconds"
+      case None =>
+        val ci = Option(dh.get("calendar_interval"))
+          .orElse(Option(dh.get("interval"))).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"date_histogram '$name' needs 'calendar_interval' or 'fixed_interval'"))
+        require(Set("day", "hour", "minute").contains(ci),
+          s"streaming calendar_interval must be a fixed duration (day/hour/minute), got '$ci'")
+        s"1 $ci"
+    }
     val subAggs = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
     val metrics = subAggs.toSeq.flatMap { n =>
       n.fieldNames.asScala.toSeq.flatMap { sub =>
@@ -551,7 +559,7 @@ object Aggs {
     filtered
       .where(col(f).isNotNull)
       .withWatermark(f, watermark)
-      .groupBy(window(col(f), s"1 $interval"))
+      .groupBy(window(col(f), interval))
       .agg(aggCols.head, aggCols.tail: _*)
       .withColumn("key", col("window.start"))
       .drop("window")

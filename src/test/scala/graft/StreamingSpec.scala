@@ -138,6 +138,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch), s"streamed=$streamed batch=$batch")
     assert(streamed.contains(("2024-01-01 00:00:00.0", 2L, 3.5)))
     assert(streamed.contains(("2024-01-01 02:00:00.0", 1L, 4.0)))
+
+    // fixed_interval maps to the same tumbling-window machinery
+    val input2 = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q2 = Aggs.runStream(input2.toDF().toDF("ts", "event_type", "value"),
+        """{"aggs":{"per_half":{"date_histogram":
+             {"field":"ts","fixed_interval":"30m"}}}}""",
+        watermark = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("agg_stream_fixed").start()
+    try {
+      input2.addData((t("2024-01-01 00:05:00"), "click", 1.0),
+        (t("2024-01-01 00:40:00"), "view", 2.0))
+      q2.processAllAvailable()
+      input2.addData((t("2024-01-01 03:00:00"), "view", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val fixed = spark.sql("SELECT key, doc_count FROM agg_stream_fixed")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    assert(fixed.contains(("2024-01-01 00:00:00.0", 1L)) &&
+      fixed.contains(("2024-01-01 00:30:00.0", 1L)), fixed.toString)
   }
 
   test("file-based readStream over fixture parquet matches the batch result") {

@@ -1028,17 +1028,34 @@ object QueryCompiler {
           val positive = must ++ filter
           val req = positive ++ mustNot.map(c => !coalesce(c, lit(false)))
           val base = if (req.nonEmpty) req.reduce(_ && _) else lit(true)
-          // ES minimum_should_match: explicit integer wins; default is
+          // ES minimum_should_match: explicit value wins; default is
           // 0 when must/filter present (should = scoring only), else 1 —
           // must_not does NOT count as a positive clause, so
           // should+must_not alone still requires at least one should match.
-          // only the integer form is supported; ES percentage/combination
-          // forms ("75%", "2<50%") would asInt to 0 and silently turn a
-          // should-only bool into match-all — reject them instead
+          // Supported forms: positive/negative integers and percentages
+          // ("75%" = floor of the clause count; negative = how many may be
+          // MISSING). Combination forms ("3<90%") stay rejected — they
+          // would silently mis-count.
           val msm = Option(body.get("minimum_should_match")).map { n =>
-            require(n.isIntegralNumber,
-              s"minimum_should_match supports integers only, got: $n")
-            n.asInt
+            val total = should.size
+            def fromInt(v: Int) = if (v >= 0) v else total + v
+            if (n.isIntegralNumber) fromInt(n.asInt)
+            else {
+              require(n.isTextual,
+                s"minimum_should_match must be an integer or percentage, got: $n")
+              val t = n.asText.trim
+              val pct = "^(-?\\d+)%$".r
+              t match {
+                case pct(p) =>
+                  val v = p.toInt
+                  if (v >= 0) v * total / 100
+                  else total - (-v) * total / 100
+                case _ if t.matches("-?\\d+") => fromInt(t.toInt)
+                case _ => throw new IllegalArgumentException(
+                  s"unsupported minimum_should_match form '$t' " +
+                    "(integer or percentage)")
+              }
+            }
           }.getOrElse(if (positive.nonEmpty) 0 else 1)
           if (should.isEmpty || msm <= 0) base
           else if (msm == 1) base && should.reduce(_ || _)

@@ -82,6 +82,23 @@ class SearchSpec extends AnyFunSuite {
       "spark <em>streaming</em> joins", "batch <em>sort</em> merge"))
   }
 
+  test("minimum_should_match percentage and negative forms") {
+    // 3 should clauses over docs: spark(1,3) batch(1,4) state(2)
+    def hits(msm: String) = Search.search(docs,
+      s"""{"query":{"bool":{"should":[{"match":{"text":"spark"}},
+           {"match":{"text":"batch"}},{"match":{"text":"state"}}],
+           "minimum_should_match":$msm}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(hits("2") == Seq("1"))                      // only doc 1 matches ≥2
+    assert(hits("\"67%\"") == Seq("1"))                // floor(67%·3) = 2
+    assert(hits("\"66%\"") == Seq("1", "2", "3", "4")) // floor(66%·3) = 1
+    assert(hits("-2") == hits("1"))                    // 3-2 = 1 required
+    assert(hits("\"-34%\"") == hits("2"))              // 3 - floor(34%·3) = 2
+    assert(QueryCompiler.validate(
+      """{"query":{"bool":{"should":[{"match":{"text":"x"}}],
+          "minimum_should_match":"3<90%"}}}""").isLeft)
+  }
+
   test("collapse keeps one top hit per field value") {
     // per lang: the top (score desc, doc_id asc) hit — doc 1 scores 2 for
     // en (spark+batch), doc 3 and 4 score 1 for de -> doc 3 by id tiebreak

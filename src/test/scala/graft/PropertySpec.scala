@@ -108,6 +108,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: fuzzy highlight marks exactly the predicate's accepted tokens") {
+    // the "same matches as the filter" contract: for random corpora, terms
+    // and (dist, prefix) budgets, a token is wrapped by
+    // fuzzy_token_highlight iff replacing the text with that single token
+    // satisfies fuzzy_token_match
+    import graft.functions.TextSketchFunctions.{fuzzy_token_highlight, fuzzy_token_match}
+    val wordGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val caseGen = for {
+      term <- Gen.choose(3, 7).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+      words <- Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, wordGen))
+      dist <- Gen.choose(0, 2)
+      pfx <- Gen.choose(0, 3)
+    } yield (term, words, dist, pfx)
+    val cases = Iterator.continually(caseGen.sample).flatten.take(60).toSeq
+    cases.zipWithIndex.foreach { case ((term, words, dist, pfx), i) =>
+      val text = words.mkString(" ")
+      val hl = Seq((i.toString, text)).toDF("doc_id", "text")
+        .select(fuzzy_token_highlight(col("text"), Seq((term, dist, pfx)), "<", ">")
+          .as("h")).collect().head.getString(0)
+      val marked = hl.split(" ").toSeq.map(w =>
+        w.startsWith("<") && w.endsWith(">"))
+      words.zip(marked).foreach { case (w, isMarked) =>
+        val accepts = Seq((0L, w)).toDF("id", "t")
+          .where(fuzzy_token_match(col("t"), term, dist, pfx))
+          .count() == 1
+        assert(isMarked == accepts,
+          s"term='$term' dist=$dist pfx=$pfx word='$w': marked=$isMarked accepts=$accepts in '$hl'")
+      }
+    }
+  }
+
+  test("fuzzy prefix longer than the term pins it and allows trailing inserts") {
+    import graft.functions.TextSketchFunctions.fuzzy_token_match
+    def m(text: String) = Seq((1L, text)).toDF("id", "t")
+      .where(fuzzy_token_match(col("t"), "spark", 2, prefixLen = 10)).count() == 1
+    assert(m("spark"))   // the whole term is the pinned prefix
+    assert(m("sparked")) // ≤2 trailing insertions
+    assert(!m("spork"))  // an edit inside the pinned region
+    assert(!m("sparkles3")) // 4 insertions > budget
+  }
+
   test("property: wildcard-free grouped query ≡ explicit OR of field terms") {
     val wordGen = Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)
     val pairs = Iterator.continually(wordGen.sample).flatten.take(60)

@@ -942,6 +942,17 @@ object SparkEntry {
         .select(unix_micros(col("key")).as("key_us"), col("doc_count"))
         .orderBy(col("key_us"))
     }),
+    "q_agg_terms_missing" -> ((s, dir) => {
+      // ES `missing` param: the gate tables carry no nulls, so nullify a
+      // deterministic slice in-query (identically in the oracle) and
+      // bucket it under the substitute key
+      val docs = tbl(s, dir, "documents")
+        .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")))
+      Aggs.runSingle(docs,
+        """{"aggs": {"langs": {"terms": {"field": "lang", "missing": "unknown",
+              "order": {"_key": "asc"}},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")
+    }),
     "q_agg_filter_global" -> ((s, dir) => {
       // the classic "my slice vs everything" pair: a query-scoped filter
       // bucket and a query-IGNORING global bucket, unioned to one frame
@@ -1979,6 +1990,12 @@ object SparkEntry {
          SELECT f.key_us, coalesce(c.n, 0) AS doc_count
          FROM frames f LEFT JOIN c USING (key_us)
          ORDER BY key_us""",
+    "q_agg_terms_missing" ->
+      """SELECT coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END,
+                'unknown') AS key,
+           count(*) AS doc_count, avg(n_chars) AS avg_chars
+         FROM documents
+         GROUP BY 1 ORDER BY key""",
     "q_agg_filter_global" ->
       """SELECT 'all' AS key, count(*) AS doc_count,
            round(sum(value), 2) AS total

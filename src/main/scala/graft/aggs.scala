@@ -671,7 +671,15 @@ object Aggs {
       f
     }
     tpe match {
-      case "terms" => col(fieldOf(body))
+      case "terms" =>
+        // ES `missing`: docs without the field land in this bucket instead
+        // of dropping out (the where(isNotNull) upstream then keeps them)
+        Option(body.get("missing")) match {
+          case Some(m) =>
+            val v: Any = if (m.isTextual) m.asText else m.numberValue
+            coalesce(col(fieldOf(body)), lit(v))
+          case None => col(fieldOf(body))
+        }
       case "date_histogram" =>
         Option(body.get("fixed_interval")).map(_.asText) match {
           case Some(fi) =>
@@ -873,13 +881,21 @@ object Aggs {
     }
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"metric '$name' needs a 'field'"))
+    // ES metric `missing`: substitute for null field values instead of
+    // skipping the row
+    val c = Option(body.get("missing")) match {
+      case Some(m) =>
+        val v: Any = if (m.isTextual) m.asText else m.numberValue
+        coalesce(col(f), lit(v))
+      case None => col(f)
+    }
     tpe match {
-      case "avg" => Seq(avg(col(f)).as(name))
-      case "sum" => Seq(sum(col(f)).as(name))
-      case "min" => Seq(min(col(f)).as(name))
-      case "max" => Seq(max(col(f)).as(name))
-      case "value_count" => Seq(count(col(f)).as(name))
-      case "cardinality" => Seq(count_distinct(col(f)).as(name)) // exact (ES: approx HLL)
+      case "avg" => Seq(avg(c).as(name))
+      case "sum" => Seq(sum(c).as(name))
+      case "min" => Seq(min(c).as(name))
+      case "max" => Seq(max(c).as(name))
+      case "value_count" => Seq(count(c).as(name))
+      case "cardinality" => Seq(count_distinct(c).as(name)) // exact (ES: approx HLL)
       case "stats" => Seq(
         count(col(f)).as(s"${name}_count"), min(col(f)).as(s"${name}_min"),
         max(col(f)).as(s"${name}_max"), avg(col(f)).as(s"${name}_avg"),

@@ -293,6 +293,22 @@ class AggsSpec extends AnyFunSuite {
            "calendar_interval":"day"}}}}"""))
   }
 
+  test("missing param: terms buckets null keys; metrics substitute nulls") {
+    val rows = Seq((Some("a"), Some(1.0)), (None, Some(3.0)),
+      (Some("b"), None), (None, None))
+      .map { case (g, v) => (g.orNull, v.map(Double.box).orNull) }
+      .toDF("g", "v")
+    val t = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","missing":"N/A",
+           "order":{"_key":"asc"}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(t.toSeq == Seq(("N/A", 2L), ("a", 1L), ("b", 1L)))
+    val m = Aggs.runSingle(rows,
+      """{"aggs":{"mean_v":{"avg":{"field":"v","missing":0}}}}""")
+      .collect().head.getDouble(0)
+    assert(m == 1.0) // (1 + 3 + 0 + 0) / 4 — nulls count as 0
+  }
+
   test("filter (single) bucket and global bucket") {
     val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("g", "v")
     val f = Aggs.runSingle(rows,

@@ -107,7 +107,8 @@ object Bench {
         "q_search_fuzzy_auto", "q_search_match_multi", "q_agg_date_fixed",
         "q_agg_terms_include", "q_agg_extended_stats", "q_agg_weighted_avg",
         "q_agg_date_zero_fill", "q_agg_sibling_max", "q_search_collapse",
-        "q_search_highlight_dsl", "q_agg_filter_global", "q_agg_terms_missing")
+        "q_search_highlight_dsl", "q_agg_filter_global", "q_agg_terms_missing",
+        "q_agg_date_range")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -942,6 +942,17 @@ object SparkEntry {
         .select(unix_micros(col("key")).as("key_us"), col("doc_count"))
         .orderBy(col("key_us"))
     }),
+    "q_agg_date_range" -> ((s, dir) => {
+      // date_range buckets over the events month: early / mid / late
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"eras": {"date_range": {"field": "ts", "ranges": [
+              {"to": "2024-01-10"},
+              {"from": "2024-01-10", "to": "2024-01-20"},
+              {"from": "2024-01-20"}]},
+            "aggs": {"total": {"sum": {"field": "value"}}}}}}""")
+        .select(col("key"), col("doc_count"), round(col("total"), 2).as("total"))
+        .orderBy(col("key"))
+    }),
     "q_agg_terms_missing" -> ((s, dir) => {
       // ES `missing` param: the gate tables carry no nulls, so nullify a
       // deterministic slice in-query (identically in the oracle) and
@@ -1990,6 +2001,15 @@ object SparkEntry {
          SELECT f.key_us, coalesce(c.n, 0) AS doc_count
          FROM frames f LEFT JOIN c USING (key_us)
          ORDER BY key_us""",
+    "q_agg_date_range" ->
+      """WITH b AS (
+           SELECT value,
+             CASE WHEN ts < TIMESTAMP '2024-01-10' THEN '*-2024-01-10'
+                  WHEN ts < TIMESTAMP '2024-01-20' THEN '2024-01-10-2024-01-20'
+                  ELSE '2024-01-20-*' END AS key
+           FROM events)
+         SELECT key, count(*) AS doc_count, round(sum(value), 2) AS total
+         FROM b GROUP BY key ORDER BY key""",
     "q_agg_terms_missing" ->
       """SELECT coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END,
                 'unknown') AS key,

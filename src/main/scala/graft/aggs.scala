@@ -149,7 +149,8 @@ object Aggs {
     m.head._2
   }
 
-  private val bucketTypes = Set("terms", "date_histogram", "histogram", "range")
+  private val bucketTypes =
+    Set("terms", "date_histogram", "histogram", "range", "date_range")
   private val pipelineTypes = Set("cumulative_sum", "derivative", "moving_avg")
 
   private def one(docs: DataFrame, name: String, spec: JsonNode,
@@ -732,6 +733,43 @@ object Aggs {
           // first matching range wins for overlaps (ES puts a doc in every
           // matching range; one-bucket-per-doc keeps doc_count additive —
           // declared divergence, overlapping ranges are rare and explicit)
+          when(acc.isNotNull, acc).otherwise(when(in, lit(label)))
+        }
+      case "date_range" =>
+        // the range fold over timestamp boundaries: from inclusive, to
+        // exclusive, label "from-to" (the given strings verbatim).
+        // Declared subset: ISO "yyyy-MM-dd[ HH:mm:ss]" strings or
+        // epoch_millis numbers — ES date-math ("now-1M") needs a wall
+        // clock and is out of the deterministic contract
+        val f = fieldOf(body)
+        val ranges = Option(body.get("ranges")).filter(_.isArray)
+          .getOrElse(throw new IllegalArgumentException(s"date_range '$name' needs 'ranges'"))
+          .elements.asScala.toSeq
+        require(ranges.nonEmpty, s"date_range '$name' has no ranges")
+        def bound(n: JsonNode): (Column, String) =
+          if (n.isTextual) {
+            require(n.asText.matches("\\d{4}-\\d{2}-\\d{2}( \\d{2}:\\d{2}:\\d{2})?"),
+              s"date_range '$name' bound must be ISO yyyy-MM-dd[ HH:mm:ss] " +
+                s"or epoch_millis, got '${n.asText}'")
+            (to_timestamp(lit(n.asText)), n.asText)
+          } else {
+            require(n.isIntegralNumber,
+              s"date_range '$name' bound must be ISO or epoch_millis, got: $n")
+            (timestamp_millis(lit(n.asLong)), n.asLong.toString)
+          }
+        ranges.foldLeft(lit(null).cast("string")) { (acc, r) =>
+          val from = Option(r.get("from")).map(bound)
+          val to = Option(r.get("to")).map(bound)
+          require(from.isDefined || to.isDefined,
+            s"date_range '$name' bucket needs from or to")
+          val label = Option(r.get("key")).map(_.asText).getOrElse(
+            s"${from.map(_._2).getOrElse("*")}-${to.map(_._2).getOrElse("*")}")
+          val in = (from.map(col(f) >= _._1), to.map(col(f) < _._1)) match {
+            case (Some(a), Some(b)) => a && b
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case _ => lit(true)
+          }
           when(acc.isNotNull, acc).otherwise(when(in, lit(label)))
         }
       case other =>

@@ -293,6 +293,26 @@ class AggsSpec extends AnyFunSuite {
            "calendar_interval":"day"}}}}"""))
   }
 
+  test("date_range buckets: ISO and epoch_millis bounds, from-inclusive") {
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-03-0$d%d 12:00:00")
+    val rows = Seq((ts(1), 1.0), (ts(2), 2.0), (ts(3), 4.0)).toDF("t", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"eras":{"date_range":{"field":"t","ranges":[
+           {"to":"2024-03-02"},
+           {"from":"2024-03-02","to":"2024-03-03"},
+           {"from":1709424000000}]},
+           "aggs":{"total":{"sum":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // epoch 1709424000000 = 2024-03-03T00:00:00Z
+    assert(out.toSeq.sortBy(_._1) == Seq(
+      ("*-2024-03-02", 1L, 1.0),
+      ("1709424000000-*", 1L, 4.0),
+      ("2024-03-02-2024-03-03", 1L, 2.0)))
+    // date math stays out of the deterministic contract — loud
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"x":{"date_range":{"field":"t","ranges":[{"from":"now-1M"}]}}}}"""))
+  }
+
   test("missing param: terms buckets null keys; metrics substitute nulls") {
     val rows = Seq((Some("a"), Some(1.0)), (None, Some(3.0)),
       (Some("b"), None), (None, None))

@@ -46,14 +46,16 @@ object Aggs {
   /** Run every aggregation in an ES search body over `docs`, filtered by
     * the body's `query` (absent → match_all). Returns one DataFrame per
     * top-level aggregation name. */
-  def run(docs: DataFrame, body: String, idCol: String = "doc_id"): Map[String, DataFrame] =
-    runWith(docs, body, idCol, background = docs)
+  def run(docs: DataFrame, body: String, idCol: String = "doc_id",
+          defaultOperator: String = "AND"): Map[String, DataFrame] =
+    runWith(docs, body, idCol, background = docs, defaultOperator)
 
   /** [[run]] with the doc source split from the significant_terms
     * background — [[runIndexed]] prunes the former but must not shrink the
     * latter. */
   private def runWith(docs: DataFrame, body: String, idCol: String,
-                      background: DataFrame): Map[String, DataFrame] = {
+                      background: DataFrame,
+                      defaultOperator: String = "AND"): Map[String, DataFrame] = {
     val root = mapper.readTree(body)
     require(root != null && root.isObject, "search body must be a JSON object")
     val aggsNode = Option(root.get("aggs")).orElse(Option(root.get("aggregations")))
@@ -61,7 +63,8 @@ object Aggs {
     require(aggsNode.isObject && aggsNode.size > 0, "'aggs' must be a non-empty object")
     val filtered =
       if (root.has("query"))
-        docs.where(QueryCompiler.compile(body, Int.MaxValue, idCol).predicate)
+        docs.where(QueryCompiler.compile(body, Int.MaxValue, idCol,
+          defaultOperator).predicate)
       else docs
     // sibling bucket-metric aggs (avg_bucket & co) aggregate ANOTHER
     // top-level agg's bucket frame, so primaries compute first
@@ -127,9 +130,11 @@ object Aggs {
     * the FULL corpus (only the foreground is query-shaped). */
   def runIndexed(docs: DataFrame, postings: DataFrame, body: String,
                  indexedFields: Set[String], idCol: String = "doc_id",
-                 nBuckets: Int = 64): Map[String, DataFrame] =
-    runWith(TextIndex.prefilter(docs, postings, body, idCol, indexedFields, nBuckets),
-      body, idCol, background = docs)
+                 nBuckets: Int = 64,
+                 defaultOperator: String = "AND"): Map[String, DataFrame] =
+    runWith(TextIndex.prefilter(docs, postings, body, idCol, indexedFields,
+        nBuckets, defaultOperator),
+      body, idCol, background = docs, defaultOperator)
 
   /** Eager validation (R11 parity for the aggregation surface): build
     * every aggregation plan against a zero-row slice of `docs` and force

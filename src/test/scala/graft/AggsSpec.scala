@@ -293,6 +293,16 @@ class AggsSpec extends AnyFunSuite {
            "calendar_interval":"day"}}}}"""))
   }
 
+  test("aggs body query honors the store default operator") {
+    val rows = Seq(("spark batch", 1.0), ("spark only", 2.0), ("batch only", 4.0))
+      .toDF("text", "v")
+    val body = """{"query":{"query_string":{"query":"text:spark text:batch"}},
+                   "aggs":{"total":{"sum":{"field":"v"}}}}"""
+    assert(Aggs.runSingle(rows, body).collect().head.getDouble(0) == 1.0)
+    assert(Aggs.run(rows, body, defaultOperator = "OR")("total")
+      .collect().head.getDouble(0) == 7.0)
+  }
+
   test("date_range buckets: ISO and epoch_millis bounds, from-inclusive") {
     val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-03-0$d%d 12:00:00")
     val rows = Seq((ts(1), 1.0), (ts(2), 2.0), (ts(3), 4.0)).toDF("t", "v")

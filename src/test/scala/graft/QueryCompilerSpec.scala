@@ -146,11 +146,14 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"bool":{"should":[{"term":{"a":"x"}},{"term":{"b":"y"}},
          {"term":{"c":"z"}}],"minimum_should_match":2}}}""").isRight)
-    // ES percentage/combination forms would asInt→0 and become match-all —
-    // must be rejected, not silently weakened
+    // percentage forms are supported (r6); combination forms would
+    // silently mis-count and must stay rejected
     assert(QueryCompiler.validate(
       """{"query":{"bool":{"should":[{"term":{"a":"x"}}],
-         "minimum_should_match":"75%"}}}""").isLeft)
+         "minimum_should_match":"75%"}}}""").isRight)
+    assert(QueryCompiler.validate(
+      """{"query":{"bool":{"should":[{"term":{"a":"x"}}],
+         "minimum_should_match":"3<90%"}}}""").isLeft)
   }
 
   test("boost composes with ranges, not just terms") {

@@ -158,6 +158,20 @@ object Aggs {
     Set("terms", "date_histogram", "histogram", "range", "date_range")
   private val pipelineTypes = Set("cumulative_sum", "derivative", "moving_avg")
 
+  /** Unknown keys in a bucket-agg body are a miscompile without a trace
+    * (a typo'd `order` silently reverts to the default) — the same
+    * fail-loud contract the query operators follow. `shard_size` and
+    * `show_term_doc_count_error` are ACCEPTED no-ops: exact computation
+    * makes shard approximation knobs meaningless. */
+  private val bucketBodyKeys: Map[String, Set[String]] = Map(
+    "terms" -> Set("field", "size", "order", "min_doc_count", "include",
+      "exclude", "missing", "shard_size", "show_term_doc_count_error"),
+    "date_histogram" -> Set("field", "calendar_interval", "interval",
+      "fixed_interval", "min_doc_count", "extended_bounds"),
+    "histogram" -> Set("field", "interval", "min_doc_count", "extended_bounds"),
+    "range" -> Set("field", "ranges"),
+    "date_range" -> Set("field", "ranges"))
+
   private def one(docs: DataFrame, name: String, spec: JsonNode,
                   background: DataFrame): DataFrame = {
     require(spec.isObject, s"aggregation '$name' must be an object")
@@ -165,6 +179,11 @@ object Aggs {
     val types = spec.fieldNames.asScala.filterNot(f => f == "aggs" || f == "aggregations").toList
     require(types.size == 1, s"aggregation '$name' must have exactly one type, got: $types")
     val (tpe, body) = (types.head, spec.get(types.head))
+    bucketBodyKeys.get(tpe).foreach { allowed =>
+      val unknown = body.fieldNames.asScala.toSet -- allowed
+      require(unknown.isEmpty,
+        s"unsupported $tpe option(s) in '$name': ${unknown.mkString(", ")}")
+    }
 
     tpe match {
       // ---- bucket aggs: groupBy on a derived key + doc_count + sub-metrics

@@ -293,6 +293,19 @@ class AggsSpec extends AnyFunSuite {
            "calendar_interval":"day"}}}}"""))
   }
 
+  test("unknown bucket-body keys are loud; shard knobs are accepted no-ops") {
+    val rows = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","orderr":{"_key":"asc"}}}}}"""))
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"date_histogram":{"field":"g","calendar_interval":"day",
+           "offset":"+3h"}}}}"""))
+    // exact computation makes shard approximation knobs meaningless
+    assert(Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","shard_size":25}}}}""")
+      .collect().length == 1)
+  }
+
   test("aggs body query honors the store default operator") {
     val rows = Seq(("spark batch", 1.0), ("spark only", 2.0), ("batch only", 4.0))
       .toDF("text", "v")

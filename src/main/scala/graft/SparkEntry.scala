@@ -385,6 +385,19 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_simple_qs" -> ((s, dir) => {
+      // R3: simple_query_string — the search-box mini-language: `|` OR,
+      // `+` AND, `-` negation, quoted phrase, trailing-* prefix, folded
+      // left-associatively: ((spark | "batch stream") AND NOT join) AND quer*
+      val q = """{"query":{"simple_query_string":{
+                   "query":"spark | \"batch stream\" + -join quer*",
+                   "fields":["text"],"default_operator":"and"}},
+                 "size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_dsl_boosting" -> ((s, dir) => {
       // R3: ES `boosting` — negative clause demotes (to 0, the declared
       // integer subset) but never filters
@@ -2690,6 +2703,19 @@ object SparkEntry {
       """SELECT doc_id, 1 AS _score FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b')
             OR regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY doc_id""",
+    "q_search_simple_qs" ->
+      // ((spark OR "batch stream") AND NOT join) AND quer* — the negated
+      // leaf never scores; positive leaves score per match
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bbatch stream\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bquer[^\s]*') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE (regexp_matches(lower(text), '\bspark\b')
+                OR regexp_matches(lower(text), '\bbatch stream\b'))
+           AND NOT coalesce(regexp_matches(lower(text), '\bjoin\b'), FALSE)
+           AND regexp_matches(lower(text), '\bquer[^\s]*')
          ORDER BY doc_id""",
     "q_search_dsl_boosting" ->
       // negative (lang='de', null-safe) zeroes the positive bool's score

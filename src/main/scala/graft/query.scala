@@ -63,7 +63,8 @@ object QueryMeta {
   * scoring), `constant_score`, `dis_max` (max-of-subqueries scoring,
   * tie_breaker 0),
   * `bool{must,should,must_not,filter,minimum_should_match}`,
-  * `query_string`, `match_all` with top-level `size` — each leaf in both
+  * `query_string`, `simple_query_string` (its own mini-language, see
+  * [[QueryCompiler.SimpleQs]]), `match_all` with top-level `size` — each leaf in both
   * the short scalar form and the long object body ES clients emit
   * (`{"match":{"f":{"query":…,"boost":…}}}`).
   *
@@ -240,6 +241,22 @@ object QueryCompiler {
     * prefix-`*`. */
   private[graft] def escapeTerm(s: String): String =
     s.replace("\\", "\\\\").replace("*", "\\*").replace("?", "\\?")
+
+  /** Parse one `"field"` / `"field^N"` entry from an ES `fields` array —
+    * a '^' present MUST carry a well-formed positive-integer boost, or the
+    * malformed tail would silently become a (nonexistent) column name and
+    * die only at analysis time. Shared by `multi_match` and
+    * `simple_query_string`. */
+  private[graft] def fieldBoost(raw: String): (String, Int) =
+    raw.lastIndexOf('^') match {
+      case -1 => (raw, 1)
+      case i =>
+        val suffix = raw.substring(i + 1)
+        require(i > 0 && suffix.nonEmpty && suffix.forall(_.isDigit) &&
+          suffix.toInt >= 1,
+          s"field boost must be a positive integer: '$raw'")
+        (raw.substring(0, i), suffix.toInt)
+    }
 
   /** Weighted leaf score: Σ over leaf contributions. A plain leaf's
     * contribution is `when(matched, boost).otherwise(0)` ([[leaf]]);
@@ -589,6 +606,171 @@ object QueryCompiler {
     }
   }
 
+  // ---- simple_query_string mini-language ----
+
+  /** ES `simple_query_string` syntax (the never-throws-on-user-typos search
+    * box language; here malformed input IS loud — a silent partial parse
+    * would return wrong results without a trace, against the engine's
+    * fail-loud contract). Supported operators: `+` (AND), `|` (OR), `-`
+    * (negate the next clause), `"..."` phrase with optional `~N` slop,
+    * trailing `*` prefix, `term~N` fuzzy, `(...)` grouping, `\`-escapes.
+    * Bare adjacency combines with the query's `default_operator` (ES
+    * default OR for this operator). Operators are LEFT-ASSOCIATIVE with
+    * equal precedence (`a + b | c` = `(a AND b) OR c`), the Lucene
+    * SimpleQueryParser fold, NOT the Lucene classic-parser precedence.
+    * Multi-field semantics follow the engine's declared `most_fields`
+    * convention (see `multi_match`): an atom matches if any field matches;
+    * one scoring leaf per field with its `^N` boost. */
+  private[graft] object SimpleQs {
+    private sealed trait Tok
+    private case object LP extends Tok
+    private case object RP extends Tok
+    private case object OrOp extends Tok
+    private case object AndOp extends Tok
+    private case object NotOp extends Tok
+    /** `text` is literal (escapes resolved). `fuzzy` and `prefix` are
+      * mutually exclusive — `te*~2` is rejected at tokenize. */
+    private case class TermTok(text: String, prefix: Boolean,
+                               fuzzy: Option[Int]) extends Tok
+    private case class PhraseTok(text: String, slop: Int) extends Tok
+
+    def compile(q: String, fields: Seq[(String, Int)], defaultOr: Boolean,
+                leaves: scala.collection.mutable.ArrayBuffer[Column],
+                scoring: Boolean): Column = {
+      require(fields.nonEmpty, "simple_query_string requires at least one field")
+      val toks = tokenize(q)
+      require(toks.nonEmpty, "simple_query_string query has no clauses")
+      val (pred, rest) = parseExpr(toks, fields, defaultOr, leaves, scoring)
+      require(rest.isEmpty, s"unbalanced ')' in simple_query_string: '$q'")
+      pred
+    }
+
+    private def tokenize(q: String): List[Tok] = {
+      val out = scala.collection.mutable.ListBuffer[Tok]()
+      var i = 0
+      // a '~' after a term/phrase takes an explicit digit run; bare '~'
+      // uses the Lucene defaults (fuzzy 2 / slop 0 — i.e. no-op for phrase)
+      def tilde(dflt: Int): Option[Int] =
+        if (i < q.length && q(i) == '~') {
+          i += 1
+          val start = i
+          while (i < q.length && q(i).isDigit) i += 1
+          Some(if (i > start) q.substring(start, i).toInt else dflt)
+        } else None
+      while (i < q.length) {
+        q(i) match {
+          case c if c.isWhitespace => i += 1
+          case '(' => out += LP; i += 1
+          case ')' => out += RP; i += 1
+          case '|' => out += OrOp; i += 1
+          case '+' => out += AndOp; i += 1
+          case '-' => out += NotOp; i += 1
+          case '"' =>
+            val sb = new StringBuilder
+            i += 1
+            var closed = false
+            while (i < q.length && !closed) {
+              if (q(i) == '\\' && i + 1 < q.length) { sb += q(i + 1); i += 2 }
+              else if (q(i) == '"') { closed = true; i += 1 }
+              else { sb += q(i); i += 1 }
+            }
+            require(closed, s"unclosed phrase in simple_query_string: '$q'")
+            require(sb.toString.trim.nonEmpty, "empty phrase in simple_query_string")
+            out += PhraseTok(sb.toString, tilde(0).getOrElse(0))
+          case _ =>
+            val sb = new StringBuilder
+            var lastEscaped = false
+            // '\' is not special: it enters the loop and escapes its
+            // successor (so `\+`, `\"`, `\ ` are literal term chars)
+            def special(c: Char) =
+              c.isWhitespace || "()|+-\"~".contains(c)
+            while (i < q.length && !special(q(i))) {
+              if (q(i) == '\\' && i + 1 < q.length) {
+                sb += q(i + 1); lastEscaped = true; i += 2
+              } else { sb += q(i); lastEscaped = false; i += 1 }
+            }
+            val fuzzy = tilde(2)
+            val raw = sb.toString
+            val prefix = raw.endsWith("*") && !lastEscaped
+            val text = if (prefix) raw.dropRight(1) else raw
+            require(text.nonEmpty,
+              s"empty term in simple_query_string: '$q'")
+            require(!(prefix && fuzzy.isDefined),
+              s"'$raw~${fuzzy.get}': prefix and fuzzy cannot combine")
+            out += TermTok(text, prefix, fuzzy)
+        }
+      }
+      out.toList
+    }
+
+    /** Left-associative fold: clause ((op|adjacency) clause)*. */
+    private def parseExpr(toks: List[Tok], fields: Seq[(String, Int)],
+                          defaultOr: Boolean,
+                          leaves: scala.collection.mutable.ArrayBuffer[Column],
+                          scoring: Boolean): (Column, List[Tok]) = {
+      var (acc, rest) = parseClause(toks, fields, leaves, scoring, defaultOr)
+      var done = false
+      while (!done) rest match {
+        case Nil | RP :: _ => done = true
+        case OrOp :: tail =>
+          val (r, rr) = parseClause(tail, fields, leaves, scoring, defaultOr)
+          acc = acc || r; rest = rr
+        case AndOp :: tail =>
+          val (r, rr) = parseClause(tail, fields, leaves, scoring, defaultOr)
+          acc = acc && r; rest = rr
+        case _ => // bare adjacency — the default operator
+          val (r, rr) = parseClause(rest, fields, leaves, scoring, defaultOr)
+          acc = if (defaultOr) acc || r else acc && r; rest = rr
+      }
+      (acc, rest)
+    }
+
+    private def parseClause(toks: List[Tok], fields: Seq[(String, Int)],
+                            leaves: scala.collection.mutable.ArrayBuffer[Column],
+                            scoring: Boolean,
+                            defaultOr: Boolean): (Column, List[Tok]) =
+      toks match {
+        case NotOp :: tail =>
+          // negation: null-safe (a null field is "not matching", so the
+          // negation KEEPS it — SQL three-valued logic would drop it);
+          // negated atoms never score, like Lucene prohibited clauses
+          val (inner, rest) =
+            parseClause(tail, fields, scala.collection.mutable.ArrayBuffer[Column](),
+              scoring = false, defaultOr)
+          (!coalesce(inner, lit(false)), rest)
+        case LP :: tail =>
+          val (inner, rest) = parseExpr(tail, fields, defaultOr, leaves, scoring)
+          rest match {
+            case RP :: rr => (inner, rr)
+            case _ => throw new IllegalArgumentException(
+              "unclosed '(' in simple_query_string")
+          }
+        case (t: TermTok) :: rest => (atom(t, fields, leaves, scoring), rest)
+        case (p: PhraseTok) :: rest => (atom(p, fields, leaves, scoring), rest)
+        case other => throw new IllegalArgumentException(
+          s"dangling operator in simple_query_string at: $other")
+      }
+
+    private def atom(tok: Tok, fields: Seq[(String, Int)],
+                     leaves: scala.collection.mutable.ArrayBuffer[Column],
+                     scoring: Boolean): Column = {
+      val perField = fields.map { case (f, b) =>
+        val c = tok match {
+          case TermTok(t, _, Some(d)) => graft.functions.TextSketchFunctions
+            .fuzzy_token_match(col(f), t, d)
+          case TermTok(t, prefix, None) =>
+            termMatch(f, escapeTerm(t) + (if (prefix) "*" else ""))
+          case PhraseTok(p, 0) => termMatch(f, escapeTerm(p))
+          case PhraseTok(p, s) => proximityMatch(f, p, s)
+          case other => throw new IllegalStateException(s"not an atom: $other")
+        }
+        (c, b)
+      }
+      if (scoring) perField.foreach { case (c, b) => leaves += leaf(c, b) }
+      perField.map(_._1).reduce(_ || _)
+    }
+  }
+
   // ---- ES-DSL JSON subset ----
 
   private[graft] object DslJson {
@@ -871,19 +1053,7 @@ object QueryCompiler {
             "multi_match expects a non-empty fields array")
           val perField = fieldsNode.elements.asScala.toSeq.map { fn =>
             require(fn.isTextual, s"multi_match field must be a string, got: $fn")
-            val raw = fn.asText
-            // a '^' in a field entry MUST be a well-formed integer boost —
-            // "text^" or "text^2.5" would otherwise silently become a
-            // (nonexistent) column name and die only at analysis time
-            val (f, b) = raw.lastIndexOf('^') match {
-              case -1 => (raw, 1)
-              case i =>
-                val suffix = raw.substring(i + 1)
-                require(i > 0 && suffix.nonEmpty && suffix.forall(_.isDigit) &&
-                  suffix.toInt >= 1,
-                  s"multi_match field boost must be a positive integer: '$raw'")
-                (raw.substring(0, i), suffix.toInt)
-            }
+            val (f, b) = fieldBoost(fn.asText)
             val toks = qv.asText.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
             require(toks.nonEmpty, s"multi_match expects a non-empty string query")
             val termCols = toks.map(t => termMatch(f, escapeTerm(t)))
@@ -891,6 +1061,39 @@ object QueryCompiler {
           }
           if (scoring) leaves ++= perField.map { case (c, b) => leaf(c, b) }
           perField.map(_._1).reduce(_ || _)
+        case "simple_query_string" =>
+          // {"simple_query_string":{"query":"a | b -c","fields":["f","g^2"],
+          // "default_operator":"and"}} — the search-box mini-language (see
+          // [[SimpleQs]]). ES defaults this operator's adjacency to OR
+          // regardless of the store default; an explicit default_operator
+          // wins. Declared subset: `fields` is required (the engine has no
+          // "all fields" universe to expand `*` into) and unknown options
+          // (flags, analyzer, …) are loud.
+          val unknown = body.fieldNames.asScala.toSet --
+            Set("query", "fields", "default_operator")
+          require(unknown.isEmpty,
+            s"unsupported simple_query_string option(s): ${unknown.mkString(", ")}")
+          val qv = Option(body.get("query"))
+            .getOrElse(throw new IllegalArgumentException(
+              "simple_query_string requires 'query'"))
+          require(qv.isTextual && qv.asText.trim.nonEmpty,
+            s"simple_query_string expects a non-empty string query, got: $qv")
+          val fieldsNode = Option(body.get("fields"))
+            .getOrElse(throw new IllegalArgumentException(
+              "simple_query_string requires 'fields' (declared subset)"))
+          require(fieldsNode.isArray && fieldsNode.size > 0,
+            "simple_query_string expects a non-empty fields array")
+          val fields = fieldsNode.elements.asScala.toSeq.map { fn =>
+            require(fn.isTextual, s"simple_query_string field must be a string, got: $fn")
+            fieldBoost(fn.asText)
+          }
+          val sqsOr = Option(body.get("default_operator")).map { n =>
+            require(n.isTextual && (n.asText.equalsIgnoreCase("AND")
+                || n.asText.equalsIgnoreCase("OR")),
+              s"default_operator must be AND or OR, got: $n")
+            n.asText.equalsIgnoreCase("OR")
+          }.getOrElse(true) // ES simple_query_string default: OR
+          SimpleQs.compile(qv.asText, fields, sqsOr, leaves, scoring)
         case "regexp" =>
           // {"regexp":{"f":"pat.*n"}} (or long form {"value":…,"boost":…})
           // — whole-token regex match, the token-model analog of ES regexp's

@@ -385,4 +385,30 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"query_string":{"query":"text:a","default_operator":"NAND"}}}""").isLeft)
   }
+
+  test("simple_query_string compiles its operator set; malformed input is loud") {
+    def v(q: String, extra: String = "") = QueryCompiler.validate(
+      s"""{"query":{"simple_query_string":{"query":${q},"fields":["text"]$extra}}}""")
+    // the full operator set in one expression
+    assert(v("\"a + b* | -c (d \\\"e f\\\"~2) g~1\"").isRight)
+    // field boosts and default_operator
+    assert(QueryCompiler.validate(
+      """{"query":{"simple_query_string":{"query":"a b","fields":["text","lang^2"],
+         "default_operator":"and"}}}""").isRight)
+    // loud: empty query, dangling operator, unclosed phrase/group,
+    // prefix+fuzzy combination, missing fields, unknown options
+    assert(v("\"\"").isLeft)
+    assert(v("\"a +\"").isLeft)
+    assert(v("\"a | | b\"").isLeft)
+    assert(v("\"\\\"a b\"").isLeft)
+    assert(v("\"(a b\"").isLeft)
+    assert(v("\"a*~2\"").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"simple_query_string":{"query":"a"}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"simple_query_string":{"query":"a","fields":["text"],
+         "flags":"ALL"}}}""").isLeft)
+    // escaped specials are literal term characters
+    assert(v("\"a\\\\+b\"").isRight)
+  }
 }

@@ -603,6 +603,41 @@ class SearchSpec extends AnyFunSuite {
     assert(out.select("hit_count").distinct().head.getLong(0) == 3L) // true total
   }
 
+  test("simple_query_string: left-assoc fold, negation, phrase slop, fields") {
+    // `spark | batch -joins`: adjacency under default OR folds left —
+    // ((spark OR batch) OR NOT joins)? No: `-` negates the NEXT CLAUSE and
+    // combines with the pending adjacency op: (spark OR batch) OR' here
+    // means... doc 3 has spark AND joins: (T|F) OR !T — matches via spark.
+    // Use explicit AND to test exclusion:
+    val q = """{"query":{"simple_query_string":{
+      "query":"spark + -joins","fields":["text"]}}}"""
+    val ids = Search.search(docs, q, IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(ids == Seq("1")) // doc 1: spark, no joins; doc 3 excluded
+    // phrase with slop: "spark joins"~1 spans the interloper in doc 3
+    val slop = Search.search(docs, """{"query":{"simple_query_string":{
+      "query":"\"spark joins\"~1","fields":["text"]}}}""", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(slop == Seq("3"))
+    // prefix + field boost: stream* over text and lang^3 — doc 2,3 match
+    // text; nobody's lang starts with stream; scores stay per-field
+    val pfx = Search.search(docs, """{"query":{"simple_query_string":{
+      "query":"stream*","fields":["text","lang^3"]}}}""", IndexConfig())
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(pfx == Seq(("2", 1), ("3", 1)))
+    // explicit default_operator=and narrows adjacency
+    val and = Search.search(docs, """{"query":{"simple_query_string":{
+      "query":"spark batch","fields":["text"],"default_operator":"and"}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(and == Seq("1"))
+    // left-associative equal precedence: `a + b | c` = (a AND b) OR c
+    val assoc = Search.search(docs, """{"query":{"simple_query_string":{
+      "query":"spark + window | sort","fields":["text"]}}}""",
+      IndexConfig()).select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(assoc == Seq("4")) // no doc has spark AND window; doc 4 has sort
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

@@ -398,6 +398,21 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_function_score" -> ((s, dir) => {
+      // R3: function_score — data-dependent relevance in the integer
+      // subset: (match spark) score × min(max_boost, weight-if-en + 2·len)
+      val q = """{"query":{"function_score":{
+                   "query":{"match":{"text":"spark"}},
+                   "functions":[
+                     {"filter":{"term":{"lang":"en"}},"weight":500},
+                     {"field_value_factor":{"field":"n_chars","factor":2}}],
+                   "score_mode":"sum","boost_mode":"multiply",
+                   "max_boost":1500,"min_score":900}},"size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_dsl_boosting" -> ((s, dir) => {
       // R3: ES `boosting` — negative clause demotes (to 0, the declared
       // integer subset) but never filters
@@ -2716,6 +2731,20 @@ object SparkEntry {
                 OR regexp_matches(lower(text), '\bbatch stream\b'))
            AND NOT coalesce(regexp_matches(lower(text), '\bjoin\b'), FALSE)
            AND regexp_matches(lower(text), '\bquer[^\s]*')
+         ORDER BY doc_id""",
+    "q_search_function_score" ->
+      // query score (1 for spark) × capped (en-weight + 2·n_chars); hits
+      // under min_score 900 drop
+      """WITH scored AS (
+           SELECT doc_id,
+             (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END)
+               * least(1500,
+                   (CASE WHEN coalesce(lang = 'en', FALSE) THEN 500 ELSE 0 END)
+                   + 2 * coalesce(n_chars, 0)) AS _score
+           FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b'))
+         SELECT doc_id, _score FROM scored
+         WHERE _score >= 900
          ORDER BY doc_id""",
     "q_search_dsl_boosting" ->
       // negative (lang='de', null-safe) zeroes the positive bool's score

@@ -61,7 +61,8 @@ object QueryMeta {
   * `match_phrase_prefix`, `prefix`, `wildcard`, `regexp` (whole-token),
   * `fuzzy`, `range`, `exists`, `multi_match` (declared `most_fields`
   * scoring), `constant_score`, `dis_max` (max-of-subqueries scoring,
-  * tie_breaker 0),
+  * tie_breaker 0), `function_score` (weight / field_value_factor
+  * functions in the integer-scoring subset),
   * `bool{must,should,must_not,filter,minimum_should_match}`,
   * `query_string`, `simple_query_string` (its own mini-language, see
   * [[QueryCompiler.SimpleQs]]), `match_all` with top-level `size` — each leaf in both
@@ -1180,6 +1181,153 @@ object QueryCompiler {
             leaves += when(coalesce(negPred, lit(false)), 0)
               .otherwise(scoreOf(posLeaves.toSeq))
           posPred
+        case "function_score" =>
+          // {"function_score":{"query":{...},"functions":[{"filter":{...},
+          // "weight":3},{"field_value_factor":{"field":"n","factor":2,
+          // "modifier":"none","missing":0}}],"score_mode":"sum",
+          // "boost_mode":"multiply","max_boost":N,"min_score":N}}
+          //
+          // ES function scoring in the engine's declared integer subset:
+          // weights/factors are positive integers, `modifier` is
+          // none/square (log/sqrt/reciprocal are fractional → loud), and
+          // `field_value_factor` expects an integral field. Per ES: only
+          // functions whose `filter` matches participate; if NONE matches
+          // the query score passes through unchanged; `score_mode`
+          // combines the participating functions (multiply default,
+          // sum/max/min/first; avg is fractional → loud); `max_boost` caps
+          // the combined function value; `boost_mode` folds it into the
+          // query score (multiply default, sum/max/min/replace; avg loud);
+          // `min_score` drops hits below the threshold — a FILTER, the one
+          // place ES lets relevance constrain matching.
+          val unknown = body.fieldNames.asScala.toSet --
+            Set("query", "functions", "score_mode", "boost_mode", "max_boost",
+              "min_score", "weight", "field_value_factor")
+          require(unknown.isEmpty,
+            s"unsupported function_score option(s): ${unknown.mkString(", ")}")
+          val innerQ = Option(body.get("query"))
+            .getOrElse(mapper.readTree("""{"match_all":{}}"""))
+          val innerLeaves = scala.collection.mutable.ArrayBuffer[Column]()
+          val innerPred = node(innerQ, innerLeaves, scoring = true, idCol, defaultOr)
+          val queryScore = scoreOf(innerLeaves.toSeq).cast("long")
+          def posInt(n: JsonNode, what: String): Int = {
+            require(n.isIntegralNumber && n.asInt >= 1,
+              s"$what must be a positive integer (integer-scoring subset), got: $n")
+            n.asInt
+          }
+          // one function: (participates-predicate, long value). The short
+          // single-function form ES allows (weight / field_value_factor at
+          // the body top level) normalizes to a one-entry list.
+          def oneFn(fn: JsonNode): (Column, Column) = {
+            val keys = fn.fieldNames.asScala.toSet
+            val unknownFn = keys -- Set("filter", "weight", "field_value_factor")
+            require(unknownFn.isEmpty,
+              s"unsupported function_score function(s): ${unknownFn.mkString(", ")} " +
+                "(random_score/script_score/decay are out of the declared subset)")
+            val cond = Option(fn.get("filter"))
+              .map(node(_, scala.collection.mutable.ArrayBuffer[Column](),
+                scoring = false, idCol, defaultOr))
+              .getOrElse(lit(true))
+            val weight = Option(fn.get("weight")).map(posInt(_, "weight"))
+            val fvf = Option(fn.get("field_value_factor")).map { b =>
+              val unknownF = b.fieldNames.asScala.toSet --
+                Set("field", "factor", "modifier", "missing")
+              require(unknownF.isEmpty,
+                s"unsupported field_value_factor option(s): ${unknownF.mkString(", ")}")
+              val f = Option(b.get("field")).filter(_.isTextual).map(_.asText)
+                .getOrElse(throw new IllegalArgumentException(
+                  "field_value_factor requires 'field'"))
+              val factor = Option(b.get("factor")).map(posInt(_, "factor")).getOrElse(1)
+              val missing = Option(b.get("missing")).map { n =>
+                require(n.isIntegralNumber,
+                  s"missing must be an integer (integer-scoring subset), got: $n")
+                n.asLong
+              }.getOrElse(0L)
+              val base = coalesce(col(f), lit(missing)).cast("long") * factor
+              Option(b.get("modifier")).map(_.asText).getOrElse("none") match {
+                case "none"   => base
+                case "square" => base * base
+                case m => throw new IllegalArgumentException(
+                  s"modifier '$m' is fractional — none/square only (integer-scoring subset)")
+              }
+            }
+            require(weight.isDefined || fvf.isDefined,
+              "a function needs 'weight' and/or 'field_value_factor'")
+            // ES: weight MULTIPLIES a co-present function value
+            val value = (weight, fvf) match {
+              case (Some(w), Some(v)) => v * w
+              case (Some(w), None)    => lit(w.toLong)
+              case (None, Some(v))    => v
+              case _ => throw new IllegalStateException("unreachable")
+            }
+            (cond, value.cast("long"))
+          }
+          val fns: Seq[(Column, Column)] = Option(body.get("functions")) match {
+            case Some(arr) =>
+              require(arr.isArray && arr.size > 0,
+                "functions must be a non-empty array")
+              require(!body.has("weight") && !body.has("field_value_factor"),
+                "'functions' and a top-level short-form function are exclusive")
+              arr.elements.asScala.toSeq.map(oneFn)
+            case None =>
+              require(body.has("weight") || body.has("field_value_factor"),
+                "function_score needs 'functions' or a short-form function")
+              // strip the non-function body keys before the per-function
+              // unknown-key check sees them
+              val fn = mapper.createObjectNode()
+              Seq("weight", "field_value_factor").foreach { k =>
+                if (body.has(k)) fn.set(k, body.get(k)) }
+              Seq(oneFn(fn))
+          }
+          val anyMatched = fns.map(_._1).map(c => coalesce(c, lit(false)))
+            .reduce(_ || _)
+          val scoreMode = Option(body.get("score_mode")).map(_.asText)
+            .getOrElse("multiply")
+          val combined0: Column = scoreMode match {
+            // non-participating functions sit out via the mode's neutral
+            // element (multiply 1 / sum 0) or null (greatest/least/coalesce
+            // skip nulls) — never a magic sentinel value
+            case "multiply" =>
+              fns.map { case (c, v) => when(coalesce(c, lit(false)), v).otherwise(1L) }
+                .reduce(_ * _)
+            case "sum" =>
+              fns.map { case (c, v) => when(coalesce(c, lit(false)), v).otherwise(0L) }
+                .reduce(_ + _)
+            case "max" | "min" =>
+              val opts = fns.map { case (c, v) => when(coalesce(c, lit(false)), v) }
+              if (opts.size == 1) opts.head
+              else if (scoreMode == "max") greatest(opts: _*) else least(opts: _*)
+            case "first" =>
+              coalesce(fns.map { case (c, v) => when(coalesce(c, lit(false)), v) }: _*)
+            case m => throw new IllegalArgumentException(
+              s"score_mode '$m' (avg is fractional — " +
+                "multiply/sum/max/min/first only)")
+          }
+          val combined = Option(body.get("max_boost")) match {
+            case Some(n) => least(combined0, lit(posInt(n, "max_boost").toLong))
+            case None => combined0
+          }
+          val boosted: Column = Option(body.get("boost_mode")).map(_.asText)
+            .getOrElse("multiply") match {
+            case "multiply" => queryScore * combined
+            case "sum"      => queryScore + combined
+            case "max"      => greatest(queryScore, combined)
+            case "min"      => least(queryScore, combined)
+            case "replace"  => combined
+            case m => throw new IllegalArgumentException(
+              s"boost_mode '$m' (avg is fractional — " +
+                "multiply/sum/max/min/replace only)")
+          }
+          val finalScore = when(anyMatched, boosted).otherwise(queryScore)
+          val pred = Option(body.get("min_score")) match {
+            case Some(n) =>
+              require(n.isIntegralNumber,
+                s"min_score must be an integer (integer-scoring subset), got: $n")
+              innerPred && finalScore >= n.asLong
+            case None => innerPred
+          }
+          if (scoring) leaves += when(coalesce(pred, lit(false)), finalScore)
+            .otherwise(0L)
+          pred
         case "constant_score" =>
           // {"constant_score":{"filter":{...},"boost":N}} — the filter
           // matches or not; a matching row scores exactly `boost` for this

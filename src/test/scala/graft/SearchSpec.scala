@@ -638,6 +638,55 @@ class SearchSpec extends AnyFunSuite {
     assert(assoc == Seq("4")) // no doc has spark AND window; doc 4 has sort
   }
 
+  test("function_score: filtered weight, field_value_factor, modes, min_score") {
+    val d = Seq(
+      ("1", "spark batch engine", "en", 10L),
+      ("2", "streaming window state", "en", 20L),
+      ("3", "spark streaming joins", "de", 30L),
+      ("4", "batch sort merge", "de", 40L)).toDF("doc_id", "text", "lang", "n")
+    // weight 3 where lang=en, plus 2*n — summed, then multiplied into the
+    // query score (spark matches docs 1 and 3)
+    val q = """{"query":{"function_score":{
+      "query":{"match":{"text":"spark"}},
+      "functions":[{"filter":{"term":{"lang":"en"}},"weight":3},
+                   {"field_value_factor":{"field":"n","factor":2}}],
+      "score_mode":"sum","boost_mode":"multiply"}},"size":10}"""
+    val out = Search.search(d, q, IndexConfig())
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // doc 1: 1 * (3 + 20) = 23; doc 3: 1 * (0 + 60) = 60
+    assert(out == Seq(("3", 60L), ("1", 23L)))
+    // max_boost caps the function value; min_score filters; replace mode
+    val q2 = """{"query":{"function_score":{
+      "query":{"match":{"text":"spark"}},
+      "functions":[{"field_value_factor":{"field":"n","factor":2}}],
+      "boost_mode":"replace","max_boost":50,"min_score":50}},"size":10}"""
+    val out2 = Search.search(d, q2, IndexConfig())
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out2 == Seq(("3", 50L))) // doc 1: 20 < 50 dropped; doc 3: 60 capped to 50
+    // no function matches -> query score passes through unchanged
+    val q3 = """{"query":{"function_score":{
+      "query":{"match":{"text":"spark"}},
+      "functions":[{"filter":{"term":{"lang":"fr"}},"weight":9}]}},"size":10}"""
+    val out3 = Search.search(d, q3, IndexConfig())
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out3 == Set(("1", 1L), ("3", 1L)))
+    // fractional knobs are loud, not silently mis-scored
+    assert(QueryCompiler.validate("""{"query":{"function_score":{
+      "query":{"match_all":{}},"functions":[{"weight":2}],
+      "score_mode":"avg"}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"function_score":{
+      "query":{"match_all":{}},"functions":[
+        {"field_value_factor":{"field":"n","modifier":"log1p"}}]}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"function_score":{
+      "query":{"match_all":{}},"functions":[{"filter":{"term":{"a":"b"}}}]}}}""").isLeft)
+    // short single-function form normalizes to a one-entry list
+    assert(QueryCompiler.validate("""{"query":{"function_score":{
+      "query":{"match_all":{}},"weight":2}}}""").isRight)
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

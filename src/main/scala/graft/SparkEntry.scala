@@ -1107,6 +1107,37 @@ object SparkEntry {
           round(col("cum"), 2).as("cum"), round(col("diff"), 2).as("diff"),
           round(col("ma"), 2).as("ma"))
     }),
+    "q_agg_bucket_script" -> ((s, dir) => {
+      // bucket_script (params arithmetic) chained into bucket_selector,
+      // plus serial_diff — over an integer-exact histogram frame. The
+      // derived avg is floor-scaled to BIGINT (drift-proof: integer sums,
+      // one IEEE division, exact floor — no round() hazard)
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"h": {"histogram": {"field": "n_chars", "interval": 200},
+            "aggs": {"total": {"sum": {"field": "n_chars"}},
+                     "avg_chars": {"bucket_script": {
+                       "buckets_path": {"t": "total", "c": "_count"},
+                       "script": "params.t / params.c"}},
+                     "dd": {"serial_diff": {"buckets_path": "_count", "lag": 1}},
+                     "keep": {"bucket_selector": {
+                       "buckets_path": {"c": "_count"},
+                       "script": "params.c >= 5"}}}}}}""")
+        .select(col("key").cast("long").as("key"), col("doc_count"),
+          col("total").cast("long").as("total"),
+          floor(col("avg_chars") * 100).cast("long").as("avg_chars_x100"),
+          col("dd").cast("long").as("dd"))
+        .orderBy(col("key"))
+    }),
+    "q_agg_bucket_sort" -> ((s, dir) => {
+      // bucket_sort under terms: re-order the selected buckets by a metric
+      // and cut a from/size page — the dashboard pagination idiom
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"src": {"terms": {"field": "source", "size": 100},
+            "aggs": {"total": {"sum": {"field": "n_chars"}},
+                     "page": {"bucket_sort": {"sort": [{"total": "desc"}],
+                              "from": 1, "size": 3}}}}}}""")
+        .select(col("key"), col("doc_count"), col("total").cast("long").as("total"))
+    }),
     "q_agg_filters" -> ((s, dir) => {
       // named-filter buckets from ONE corpus pass (guarded aggregates, no
       // unions of scans) — the dashboard shape
@@ -2155,6 +2186,26 @@ object SparkEntry {
                > CAST(bg_count AS DOUBLE) / bg_total)
          SELECT key, doc_count, bg_count, round(raw, 6) AS score
          FROM s ORDER BY raw DESC, key LIMIT 10""",
+    "q_agg_bucket_script" ->
+      // serial_diff over the FULL bucket frame (declared before the
+      // selector), selector filter applied after; integer-exact arithmetic
+      """WITH b AS (
+           SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS key,
+             count(*) AS doc_count, sum(n_chars) AS total
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         p AS (
+           SELECT key, doc_count, total,
+             CAST(floor((total / doc_count) * 100) AS BIGINT) AS avg_chars_x100,
+             doc_count - lag(doc_count, 1) OVER (ORDER BY key) AS dd
+           FROM b)
+         SELECT key, doc_count, total, avg_chars_x100, dd
+         FROM p WHERE doc_count >= 5 ORDER BY key""",
+    "q_agg_bucket_sort" ->
+      """WITH b AS (
+           SELECT source AS key, count(*) AS doc_count, sum(n_chars) AS total
+           FROM documents WHERE source IS NOT NULL GROUP BY 1)
+         SELECT key, doc_count, total FROM b
+         ORDER BY total DESC, key ASC LIMIT 3 OFFSET 1""",
     "q_agg_pipeline" ->
       """WITH b AS (
            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,

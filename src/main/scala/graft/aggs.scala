@@ -156,7 +156,16 @@ object Aggs {
 
   private val bucketTypes =
     Set("terms", "date_histogram", "histogram", "range", "date_range")
-  private val pipelineTypes = Set("cumulative_sum", "derivative", "moving_avg")
+  /** Bucket-SEQUENCE pipelines need the equal-spaced ordered axis only the
+    * histogram family has (ES rejects them elsewhere too). */
+  private val seqPipelineTypes =
+    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff")
+  /** Bucket-SHAPING pipelines operate on any bucket list — ES allows them
+    * under `terms` (bucket_sort under terms is the dashboard pagination
+    * idiom). */
+  private val shapePipelineTypes =
+    Set("bucket_script", "bucket_selector", "bucket_sort")
+  private val pipelineTypes = seqPipelineTypes ++ shapePipelineTypes
 
   /** Unknown keys in a bucket-agg body are a miscompile without a trace
     * (a typo'd `order` silently reverts to the default) — the same
@@ -214,7 +223,8 @@ object Aggs {
         val shape = (keyShape("include") ++ keyShape("exclude").map(!_))
           .reduceOption(_ && _)
         val docsShaped = shape.map(docs.where).getOrElse(docs)
-        val base = bucketed(docsShaped, k, subAggs, name)
+        val base = bucketed(docsShaped, k, subAggs, name,
+          allowedPipelines = shapePipelineTypes)
         val filled =
           if (minDoc > 0) base.where(col("doc_count") >= minDoc)
           else {
@@ -229,7 +239,10 @@ object Aggs {
               .join(base, Seq("key"), "left")
               .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
           }
-        filled.orderBy(termsOrder(body, subAggs, name): _*).limit(size)
+        // shaping pipelines apply to the SELECTED top-size bucket frame
+        // (ES runs pipelines after the terms agg emits its buckets)
+        applyPipelines(filled.orderBy(termsOrder(body, subAggs, name): _*)
+          .limit(size), subAggs, name)
       case "composite" => composite(docs, name, body, subAggs)
       case "filters" => filtersAgg(docs, name, body, subAggs)
       case "filter" =>
@@ -239,7 +252,7 @@ object Aggs {
         q.set[JsonNode]("query", body)
         val pred = QueryCompiler.compile(q.toString, Int.MaxValue).predicate
         val ms = count(lit(1)).as("doc_count") +:
-          subAggMetricCols(subAggs, name, allowPipelines = false)
+          subAggMetricCols(subAggs, name, allowedPipelines = Set.empty)
         docs.where(pred).agg(ms.head, ms.tail: _*)
       case "global" =>
         // the UNFILTERED store, ignoring the body's query — ES's "compare
@@ -247,7 +260,7 @@ object Aggs {
         require(body.isObject && body.size == 0,
           s"global '$name' takes an empty body, got: $body")
         val ms = count(lit(1)).as("doc_count") +:
-          subAggMetricCols(subAggs, name, allowPipelines = false)
+          subAggMetricCols(subAggs, name, allowedPipelines = Set.empty)
         background.agg(ms.head, ms.tail: _*)
       case "missing" =>
         // docs missing the field — one count row, like ES's missing bucket
@@ -269,7 +282,7 @@ object Aggs {
             // a DECLARED divergence from ES's 0); 0 opts into the
             // continuous axis via zeroFillFrames, >1 thins
             val base = bucketed(docs, bucketKey(tpe, name, body), subAggs,
-              name, allowPipelines = true)
+              name, allowedPipelines = pipelineTypes)
             val minDoc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
             require(minDoc >= 0, s"'$tpe' '$name' min_doc_count must be >= 0")
             val filled =
@@ -433,11 +446,21 @@ object Aggs {
   }
 
   /** Bucket-sequence pipeline aggregations over an ordered histogram-family
-    * bucket frame: `cumulative_sum`, `derivative`, `moving_avg` — each a
-    * window over the BUCKET LIST, which is model-sized by construction
-    * (one row per day/interval), so the unpartitioned window is bounded by
-    * bucket count, never by corpus size. `buckets_path` names a sibling
-    * metric column (`_count` → `doc_count`). */
+    * bucket frame: `cumulative_sum`, `derivative`, `moving_avg`,
+    * `serial_diff` — each a window over the BUCKET LIST, which is
+    * model-sized by construction (one row per day/interval), so the
+    * unpartitioned window is bounded by bucket count, never by corpus
+    * size — plus the bucket-shaping trio `bucket_script` (derived column
+    * from sibling metrics via a [[Script]] expression), `bucket_selector`
+    * (keeps buckets where the boolean script holds) and `bucket_sort`
+    * (re-order + from/size page of the bucket list). `buckets_path` names
+    * a sibling metric column (`_count` → doc_count); script aggs take the
+    * ES map form `{"a": "path"}` binding `params.a`.
+    *
+    * Pipelines apply in DECLARATION order (ES resolves a dependency DAG;
+    * the declared-order subset makes `bucket_script` → `bucket_selector`
+    * chains work and is loud — an unknown column — when declared
+    * backwards). */
   private def applyPipelines(buckets: DataFrame, subAggs: Option[JsonNode],
                              parent: String): DataFrame = {
     val specs = subAggs.toSeq.flatMap { n =>
@@ -450,22 +473,219 @@ object Aggs {
     }
     val w = org.apache.spark.sql.expressions.Window.orderBy("key")
     specs.foldLeft(buckets) { case (df, (sub, tpe, body)) =>
-      val path = Option(body.get("buckets_path")).map(_.asText)
-        .getOrElse(throw new IllegalArgumentException(
-          s"pipeline agg '$sub' of '$parent' needs 'buckets_path'"))
-      val src = if (path == "_count") "doc_count" else path
-      require(df.columns.contains(src),
-        s"pipeline agg '$sub' of '$parent': buckets_path '$path' not found")
+      def pathCol(df2: DataFrame): String = {
+        val path = Option(body.get("buckets_path")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"pipeline agg '$sub' of '$parent' needs 'buckets_path'"))
+        val src = if (path == "_count") "doc_count" else path
+        require(df2.columns.contains(src),
+          s"pipeline agg '$sub' of '$parent': buckets_path '$path' not found")
+        src
+      }
+      // the script pair: buckets_path is a MAP {param: path}; the script
+      // references params.<param> (see [[Script]])
+      def scriptCol(df2: DataFrame): Column = {
+        val unknown = body.fieldNames.asScala.toSet --
+          Set("buckets_path", "script", "gap_policy")
+        require(unknown.isEmpty,
+          s"unsupported $tpe option(s) in '$sub': ${unknown.mkString(", ")}")
+        Option(body.get("gap_policy")).foreach { g =>
+          require(g.isTextual && g.asText == "skip",
+            s"$tpe '$sub' gap_policy: 'skip' only (nulls propagate natively)")
+        }
+        val bp = Option(body.get("buckets_path")).filter(_.isObject)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$tpe '$sub' needs 'buckets_path' as a {param: path} object"))
+        val binding = bp.fieldNames.asScala.map { p =>
+          val path = bp.get(p).asText
+          val src = if (path == "_count") "doc_count" else path
+          require(df2.columns.contains(src),
+            s"$tpe '$sub': buckets_path '$path' not found")
+          p -> col(src)
+        }.toMap
+        val script = Option(body.get("script")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$tpe '$sub' needs a 'script' string"))
+        Script.compile(script, binding, s"$tpe '$sub'")
+      }
       tpe match {
-        case "cumulative_sum" => df.withColumn(sub, sum(col(src)).over(
+        case "cumulative_sum" => df.withColumn(sub, sum(col(pathCol(df))).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-        case "derivative" => df.withColumn(sub, col(src) - lag(col(src), 1).over(w))
+        case "derivative" =>
+          val src = pathCol(df)
+          df.withColumn(sub, col(src) - lag(col(src), 1).over(w))
+        case "serial_diff" =>
+          // lag-N difference — derivative generalized to seasonal offsets
+          val src = pathCol(df)
+          val lagN = Option(body.get("lag")).map(_.asInt).getOrElse(1)
+          require(lagN >= 1, s"serial_diff '$sub' lag must be >= 1")
+          df.withColumn(sub, col(src) - lag(col(src), lagN).over(w))
         case "moving_avg" =>
           val win = Option(body.get("window")).map(_.asInt).getOrElse(5)
           require(win >= 1, s"moving_avg '$sub' window must be >= 1")
-          df.withColumn(sub, avg(col(src)).over(w.rowsBetween(-(win - 1), 0)))
+          df.withColumn(sub, avg(col(pathCol(df))).over(w.rowsBetween(-(win - 1), 0)))
+        case "bucket_script" => df.withColumn(sub, scriptCol(df))
+        case "bucket_selector" => df.where(scriptCol(df))
+        case "bucket_sort" =>
+          // re-order the bucket frame and cut a page; without `sort` it is
+          // ES's truncation idiom (keep parent order, apply from/size).
+          // The frame is bucket-sized, so sort/offset/limit are driver-cheap
+          val unknown = body.fieldNames.asScala.toSet -- Set("sort", "from", "size")
+          require(unknown.isEmpty,
+            s"unsupported bucket_sort option(s) in '$sub': ${unknown.mkString(", ")}")
+          val sorted = Option(body.get("sort")).map { s =>
+            require(s.isArray && s.size > 0,
+              s"bucket_sort '$sub' sort must be a non-empty array")
+            val keys = s.elements.asScala.toSeq.map { e =>
+              require(e.isObject && e.size == 1,
+                s"bucket_sort '$sub' sort entry must be {field: order}, got: $e")
+              val f = e.fieldNames.asScala.next()
+              val ord = if (e.get(f).isTextual) e.get(f).asText
+                        else Option(e.get(f).get("order")).map(_.asText).getOrElse("asc")
+              require(ord == "asc" || ord == "desc",
+                s"bucket_sort '$sub' bad order '$ord'")
+              require(df.columns.contains(f),
+                s"bucket_sort '$sub': sort field '$f' not found")
+              if (ord == "asc") col(f).asc else col(f).desc
+            }
+            // key tiebreak keeps the page deterministic under metric ties
+            df.orderBy(keys :+ col("key").asc: _*)
+          }.getOrElse(df)
+          val from = Option(body.get("from")).map(_.asInt).getOrElse(0)
+          require(from >= 0, s"bucket_sort '$sub' from must be >= 0")
+          val paged = if (from > 0) sorted.offset(from) else sorted
+          Option(body.get("size")).map { n =>
+            require(n.isInt && n.asInt >= 1, s"bucket_sort '$sub' size must be >= 1")
+            paged.limit(n.asInt)
+          }.getOrElse(paged)
       }
     }
+  }
+
+  /** The two-operand expression language ES pipeline `script`s actually
+    * use (`"params.a / params.b * 100"`): arithmetic (`+ - * / %`, unary
+    * minus), comparisons (`> >= < <= == !=`), boolean `&& || !`, numeric
+    * literals, parens, and `params.<name>` references bound to sibling
+    * metric columns. A declared Painless subset — anything else (method
+    * calls, strings, ternaries) is loud at compile. Division follows Spark
+    * SQL semantics (always double, null on divide-by-zero — ES Painless
+    * would throw; the null propagates like a gap). */
+  private[graft] object Script {
+    def compile(src: String, binding: Map[String, Column], where: String): Column = {
+      val toks = tokenize(src, where)
+      val (c, rest) = orE(toks, binding, where)
+      require(rest.isEmpty, s"$where script: trailing tokens ${rest.mkString(" ")}")
+      c
+    }
+
+    private def tokenize(s: String, where: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (c.isWhitespace) i += 1
+        else if (c.isDigit || (c == '.' && i + 1 < s.length && s(i + 1).isDigit)) {
+          val j0 = i
+          while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+          out += s.substring(j0, i)
+        } else if (c.isLetter || c == '_') {
+          val j0 = i
+          while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i += 1
+          out += s.substring(j0, i)
+        } else if ("><=!&|".contains(c)) {
+          val two = if (i + 1 < s.length) s.substring(i, i + 2) else ""
+          if (Set(">=", "<=", "==", "!=", "&&", "||").contains(two)) {
+            out += two; i += 2
+          } else { out += c.toString; i += 1 }
+        } else if ("+-*/%()".contains(c)) { out += c.toString; i += 1 }
+        else throw new IllegalArgumentException(
+          s"$where script: unexpected character '$c'")
+      }
+      out.toList
+    }
+
+    private def orE(t: List[String], b: Map[String, Column], where: String): (Column, List[String]) = {
+      var (l, rest) = andE(t, b, where)
+      while (rest.headOption.contains("||")) {
+        val (r, rr) = andE(rest.tail, b, where); l = l || r; rest = rr
+      }
+      (l, rest)
+    }
+
+    private def andE(t: List[String], b: Map[String, Column], where: String): (Column, List[String]) = {
+      var (l, rest) = cmp(t, b, where)
+      while (rest.headOption.contains("&&")) {
+        val (r, rr) = cmp(rest.tail, b, where); l = l && r; rest = rr
+      }
+      (l, rest)
+    }
+
+    private def cmp(t: List[String], b: Map[String, Column], where: String): (Column, List[String]) =
+      t match {
+        case "!" :: tail =>
+          val (c, rest) = cmp(tail, b, where); (!c, rest)
+        case _ =>
+          val (l, rest) = add(t, b, where)
+          rest match {
+            case op :: tail if Set(">", ">=", "<", "<=", "==", "!=").contains(op) =>
+              val (r, rr) = add(tail, b, where)
+              val c = op match {
+                case ">"  => l > r
+                case ">=" => l >= r
+                case "<"  => l < r
+                case "<=" => l <= r
+                case "==" => l === r
+                case _    => l =!= r
+              }
+              (c, rr)
+            case _ => (l, rest)
+          }
+      }
+
+    private def add(t: List[String], b: Map[String, Column], where: String): (Column, List[String]) = {
+      var (l, rest) = mul(t, b, where)
+      var done = false
+      while (!done) rest match {
+        case "+" :: tail => val (r, rr) = mul(tail, b, where); l = l + r; rest = rr
+        case "-" :: tail => val (r, rr) = mul(tail, b, where); l = l - r; rest = rr
+        case _ => done = true
+      }
+      (l, rest)
+    }
+
+    private def mul(t: List[String], b: Map[String, Column], where: String): (Column, List[String]) = {
+      var (l, rest) = unary(t, b, where)
+      var done = false
+      while (!done) rest match {
+        case "*" :: tail => val (r, rr) = unary(tail, b, where); l = l * r; rest = rr
+        case "/" :: tail => val (r, rr) = unary(tail, b, where); l = l / r; rest = rr
+        case "%" :: tail => val (r, rr) = unary(tail, b, where); l = l % r; rest = rr
+        case _ => done = true
+      }
+      (l, rest)
+    }
+
+    private def unary(t: List[String], b: Map[String, Column], where: String): (Column, List[String]) =
+      t match {
+        case "-" :: tail => val (c, rest) = unary(tail, b, where); (-c, rest)
+        case "(" :: tail =>
+          val (c, rest) = orE(tail, b, where)
+          rest match {
+            case ")" :: rr => (c, rr)
+            case _ => throw new IllegalArgumentException(s"$where script: unclosed '('")
+          }
+        case tok :: rest if tok.startsWith("params.") =>
+          val p = tok.stripPrefix("params.")
+          (b.getOrElse(p, throw new IllegalArgumentException(
+            s"$where script: unbound parameter '$p' " +
+              s"(buckets_path binds: ${b.keys.toSeq.sorted.mkString(", ")})")), rest)
+        case tok :: rest if tok.nonEmpty &&
+            (tok(0).isDigit || (tok(0) == '.' && tok.length > 1)) =>
+          val c = if (tok.contains('.')) lit(tok.toDouble) else lit(tok.toLong)
+          (c, rest)
+        case other => throw new IllegalArgumentException(
+          s"$where script: expected a value at ${other.headOption.getOrElse("end")}")
+      }
   }
 
   /** `composite` aggregation: keyset-paginated buckets — the agg-side
@@ -862,7 +1082,7 @@ object Aggs {
   /** Metric columns of a bucket agg's sub-agg block (shared by
     * [[bucketed]] and the single-bucket `filter`/`global` aggs). */
   private def subAggMetricCols(subAggs: Option[JsonNode], parent: String,
-                               allowPipelines: Boolean): Seq[Column] =
+                               allowedPipelines: Set[String]): Seq[Column] =
     subAggs.toSeq.flatMap { n =>
       require(n.isObject, s"sub-aggs of '$parent' must be an object")
       n.fieldNames.asScala.toSeq.flatMap { sub =>
@@ -872,21 +1092,25 @@ object Aggs {
           t == "aggs" || t == "aggregations" || bucketTypes.contains(t)),
           s"sub-agg '$sub' of '$parent' must be a single metric (no nested buckets)")
         // pipeline aggs transform the bucket frame afterwards
-        // ([[applyPipelines]]), not the groupBy — only the histogram family
-        // has a semantic bucket sequence, so elsewhere they fail loud (ES
-        // rejects pipeline aggs on non-histogram parents; silently dropping
+        // ([[applyPipelines]]), not the groupBy — sequence pipelines only
+        // under the histogram family (the ordered axis), shaping pipelines
+        // under terms too; elsewhere they fail loud (silently dropping
         // the column broke the fail-loud contract)
         if (pipelineTypes.contains(ts.head)) {
-          require(allowPipelines, s"pipeline sub-agg '$sub' (${ts.head}) of " +
-            s"'$parent' is only valid under a histogram-family parent")
+          require(allowedPipelines.contains(ts.head),
+            s"pipeline sub-agg '$sub' (${ts.head}) of '$parent' is not " +
+              "valid under this parent (sequence pipelines need a " +
+              "histogram-family parent; bucket_script/selector/sort also " +
+              "allow terms)")
           Nil
         } else metric(ts.head, sub, subSpec.get(ts.head))
       }
     }
 
   private def bucketed(docs: DataFrame, key: Column, subAggs: Option[JsonNode],
-                       parent: String, allowPipelines: Boolean = false): DataFrame = {
-    val metrics = subAggMetricCols(subAggs, parent, allowPipelines)
+                       parent: String,
+                       allowedPipelines: Set[String] = Set.empty): DataFrame = {
+    val metrics = subAggMetricCols(subAggs, parent, allowedPipelines)
     val aggCols = (count(lit(1)).as("doc_count") +: metrics)
     docs.where(key.isNotNull).groupBy(key.as("key"))
       .agg(aggCols.head, aggCols.tail: _*)

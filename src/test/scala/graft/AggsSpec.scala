@@ -447,6 +447,70 @@ class AggsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("histogram-family"))
   }
 
+  test("bucket_script / bucket_selector / serial_diff over histogram buckets") {
+    val rows = Seq((5.0, 1.0), (15.0, 2.0), (25.0, 4.0), (35.0, 8.0))
+      .toDF("x", "v")
+    // script derives a ratio; selector keeps buckets where it holds —
+    // declaration order makes the chain (script column visible to selector)
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"total":{"sum":{"field":"v"}},
+                   "pct":{"bucket_script":{
+                     "buckets_path":{"t":"total","c":"_count"},
+                     "script":"params.t / params.c * 100"}},
+                   "keep":{"bucket_selector":{
+                     "buckets_path":{"p":"pct"},
+                     "script":"params.p >= 200 && params.p < 800"}}}}}}""")
+      .collect().map(r => (r.getDouble(0), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((10.0, 2.0, 200.0), (20.0, 4.0, 400.0)))
+    // serial_diff with lag 2
+    val sd = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"total":{"sum":{"field":"v"}},
+                   "d2":{"serial_diff":{"buckets_path":"total","lag":2}}}}}}""")
+      .collect().map(r => Option(r.get(3)).map(_.asInstanceOf[Double]))
+    assert(sd.toSeq == Seq(None, None, Some(3.0), Some(6.0)))
+    // loud: unbound param, junk script, seq pipeline under terms stays loud
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"b":{"bucket_script":{"buckets_path":{"a":"_count"},
+                        "script":"params.zzz + 1"}}}}}}"""))
+      .getMessage.contains("unbound parameter"))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"b":{"bucket_script":{"buckets_path":{"a":"_count"},
+                        "script":"params.a ? 1 : 2"}}}}}}"""))
+      .getMessage.contains("unexpected character"))
+  }
+
+  test("bucket_sort under terms: metric sort, from/size page; seq pipeline still loud") {
+    val rows = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0), ("c", 5.0), ("c", 1.0),
+      ("d", 4.0)).toDF("g", "v")
+    // terms default order is _count desc — bucket_sort re-orders the
+    // SELECTED frame by the metric, then pages past the first
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","size":10},
+           "aggs":{"total":{"sum":{"field":"v"}},
+                   "page":{"bucket_sort":{"sort":[{"total":"desc"}],
+                           "from":1,"size":2}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    // totals: b=10, c=6, d=4, a=3 → page from 1 size 2 = c, d
+    assert(out.toSeq == Seq(("c", 6.0), ("d", 4.0)))
+    // bucket_script + selector work under terms too (ES allows them)
+    val sel = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","size":10},
+           "aggs":{"total":{"sum":{"field":"v"}},
+                   "keep":{"bucket_selector":{"buckets_path":{"t":"total"},
+                           "script":"params.t > 4"}}}}}}""")
+      .collect().map(_.getString(0))
+    assert(sel.toSet == Set("b", "c"))
+    // sequence pipelines under terms stay rejected
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g"},
+           "aggs":{"sd":{"serial_diff":{"buckets_path":"_count"}}}}}}"""))
+      .getMessage.contains("histogram-family"))
+  }
+
   test("nested terms in a histogram: per-bucket top-N with inner metrics") {
     val rows = Seq(
       (5.0, "a", 1.0), (6.0, "a", 3.0), (7.0, "b", 5.0),

@@ -1018,6 +1018,24 @@ object SparkEntry {
              "peak": {"max_bucket": {"buckets_path": "per_day>total"}}}}""")("peak")
         .select(round(col("value"), 2).as("value"))
     }),
+    "q_agg_stats_bucket" -> ((s, dir) => {
+      // stats_bucket + percentiles_bucket: scalar summaries of another
+      // agg's bucket frame; integer-exact except avg/percentile, which are
+      // floor-scaled (drift-proof)
+      val out = Aggs.run(tbl(s, dir, "documents"),
+        """{"aggs": {
+             "src": {"terms": {"field": "source", "size": 100},
+               "aggs": {"total": {"sum": {"field": "n_chars"}}}},
+             "st": {"stats_bucket": {"buckets_path": "src>total"}},
+             "pct": {"percentiles_bucket": {"buckets_path": "src>_count",
+                     "percents": [50]}}}}""")
+      out("st").crossJoin(out("pct"))
+        .select(col("count"), col("min").cast("long").as("min"),
+          col("max").cast("long").as("max"),
+          floor(col("avg") * 100).cast("long").as("avg_x100"),
+          col("sum").cast("long").as("sum"),
+          floor(col("p50") * 100).cast("long").as("p50_x100"))
+    }),
     "q_agg_extended_stats" -> ((s, dir) => {
       // ES extended_stats: stats + sum-of-squares + population variance/
       // stddev in ONE map-side-combinable aggregate row (order-dependent
@@ -2092,6 +2110,18 @@ object SparkEntry {
              sum(value) AS total
            FROM events GROUP BY 1)
          SELECT round(max(total), 2) AS value FROM d""",
+    "q_agg_stats_bucket" ->
+      // bucket totals are integer-exact; floor-scaled avg/percentile
+      """WITH b AS (
+           SELECT source AS key, count(*) AS doc_count, sum(n_chars) AS total
+           FROM documents WHERE source IS NOT NULL GROUP BY 1)
+         SELECT count(total) AS count, CAST(min(total) AS BIGINT) AS min,
+           CAST(max(total) AS BIGINT) AS max,
+           CAST(floor(avg(total) * 100) AS BIGINT) AS avg_x100,
+           CAST(sum(total) AS BIGINT) AS sum,
+           CAST(floor(quantile_cont(CAST(doc_count AS DOUBLE), 0.5) * 100)
+             AS BIGINT) AS p50_x100
+         FROM b""",
     "q_agg_extended_stats" ->
       """SELECT count(value) AS v_count, min(value) AS v_min, max(value) AS v_max,
            round(avg(value), 2) AS v_avg, round(sum(value), 2) AS v_sum,

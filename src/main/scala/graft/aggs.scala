@@ -89,7 +89,8 @@ object Aggs {
     * Spark's native null-skipping aggregate behavior. The frame is already
     * bucket-sized, so this is a driver-cheap second aggregate. */
   private val bucketMetricTypes =
-    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+      "stats_bucket", "percentiles_bucket")
 
   private def siblingBucketMetric(name: String, spec: JsonNode,
                                   primary: Map[String, DataFrame]): DataFrame = {
@@ -98,7 +99,17 @@ object Aggs {
       s"sibling agg '$name' must be exactly one bucket-metric type, got: " +
         spec.fieldNames.asScala.mkString(", "))
     val tpe = ts.head
-    val bp = Option(spec.get(tpe)).flatMap(n => Option(n.get("buckets_path")))
+    val body = spec.get(tpe)
+    val allowed = Set("buckets_path", "gap_policy") ++
+      (if (tpe == "percentiles_bucket") Set("percents") else Set.empty[String])
+    val unknown = body.fieldNames.asScala.toSet -- allowed
+    require(unknown.isEmpty,
+      s"unsupported $tpe option(s) in '$name': ${unknown.mkString(", ")}")
+    Option(body.get("gap_policy")).foreach { g =>
+      require(g.isTextual && g.asText == "skip",
+        s"$tpe '$name' gap_policy: 'skip' only (nulls skip natively)")
+    }
+    val bp = Option(body.get("buckets_path"))
       .map(_.asText).getOrElse(throw new IllegalArgumentException(
         s"$tpe '$name' needs 'buckets_path'"))
     val parts = bp.split(">")
@@ -109,13 +120,34 @@ object Aggs {
     val metricCol = if (parts(1) == "_count") "doc_count" else parts(1)
     require(src.columns.contains(metricCol),
       s"$tpe '$name': sibling '${parts(0)}' has no column '$metricCol'")
-    val agg = tpe match {
-      case "avg_bucket" => avg(col(metricCol))
-      case "sum_bucket" => sum(col(metricCol))
-      case "min_bucket" => min(col(metricCol))
-      case "max_bucket" => max(col(metricCol))
+    val c = col(metricCol)
+    tpe match {
+      case "avg_bucket" => src.agg(avg(c).as("value"))
+      case "sum_bucket" => src.agg(sum(c).as("value"))
+      case "min_bucket" => src.agg(min(c).as("value"))
+      case "max_bucket" => src.agg(max(c).as("value"))
+      case "stats_bucket" =>
+        // the ES response fields, flat: count/min/max/avg/sum of the
+        // sibling's bucket values
+        src.agg(count(c).as("count"), min(c).as("min"), max(c).as("max"),
+          avg(c).as("avg"), sum(c).as("sum"))
+      case "percentiles_bucket" =>
+        // exact interpolated percentiles of the bucket-value list — same
+        // p<percent> flattening as the `percentiles` metric. DECLARED
+        // DIVERGENCE: ES percentiles_bucket uses nearest-rank; the
+        // interpolated form matches this engine's percentiles metric
+        val percents = Option(body.get("percents")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.map(_.asDouble))
+          .getOrElse(Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0))
+        require(percents.nonEmpty && percents.forall(p => p >= 0 && p <= 100),
+          s"percentiles_bucket '$name' percents must be in [0, 100]")
+        val cols = percents.map { p =>
+          val suffix = (if (p == p.floor) p.toInt.toString else p.toString)
+            .replace('.', '_')
+          percentile(c.cast("double"), lit(p / 100.0)).as(s"p$suffix")
+        }
+        src.agg(cols.head, cols.tail: _*)
     }
-    src.agg(agg.as("value"))
   }
 
   /** Index-accelerated aggregations: restrict the doc source to the

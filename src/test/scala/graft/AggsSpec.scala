@@ -392,6 +392,32 @@ class AggsSpec extends AnyFunSuite {
            "p":{"max_bucket":{"buckets_path":"h>missing"}}}}"""))
   }
 
+  test("stats_bucket and percentiles_bucket over a sibling's frame") {
+    val rows = Seq((5.0, 1.0), (6.0, 3.0), (15.0, 2.0), (25.0, 8.0))
+      .toDF("x", "v")
+    val out = Aggs.run(rows,
+      """{"aggs":{
+           "h":{"histogram":{"field":"x","interval":10},
+                "aggs":{"total":{"sum":{"field":"v"}}}},
+           "st":{"stats_bucket":{"buckets_path":"h>total"}},
+           "pct":{"percentiles_bucket":{"buckets_path":"h>_count",
+                  "percents":[50,100]}}}}""")
+    // buckets: totals 4.0, 2.0, 8.0; counts 2, 1, 1
+    val st = out("st").collect().head
+    assert(st.getLong(0) == 3L)      // count
+    assert(st.getDouble(1) == 2.0)   // min
+    assert(st.getDouble(2) == 8.0)   // max
+    assert(math.abs(st.getDouble(3) - 14.0 / 3) < 1e-12) // avg
+    assert(st.getDouble(4) == 14.0)  // sum
+    val pct = out("pct").collect().head
+    assert(pct.getDouble(0) == 1.0)  // p50 of (1,1,2) interpolated
+    assert(pct.getDouble(1) == 2.0)  // p100
+    // junk options are loud
+    intercept[IllegalArgumentException](Aggs.run(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10}},
+           "p":{"stats_bucket":{"buckets_path":"h>_count","format":"0.0"}}}}"""))
+  }
+
   test("histogram-family min_doc_count 0 zero-fills frames; extended_bounds widen") {
     val ts = (d: Int, h: Int) =>
       java.sql.Timestamp.valueOf(f"2024-03-0$d%d $h%02d:00:00")

@@ -1018,6 +1018,25 @@ object SparkEntry {
              "peak": {"max_bucket": {"buckets_path": "per_day>total"}}}}""")("peak")
         .select(round(col("value"), 2).as("value"))
     }),
+    "q_agg_rare_terms" -> ((s, dir) => {
+      // long-tail users: event users seen at most 3 times (exact counts —
+      // declared divergence from ES's CuckooFilter approximation)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"query": {"term": {"event_type": "purchase"}},
+            "aggs": {"rare": {"rare_terms": {"field": "user_id",
+                     "max_doc_count": 3}}}}""")
+        .select(col("key"), col("doc_count"))
+    }),
+    "q_agg_multi_terms" -> ((s, dir) => {
+      // composite-key terms: (event_type, user bucket) tuples with an
+      // integer-exact value metric, count-desc key-asc, top 20
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"mt": {"multi_terms": {
+             "terms": [{"field": "event_type"}, {"field": "user_id"}],
+             "size": 20},
+             "aggs": {"events": {"value_count": {"field": "event_id"}}}}}}""")
+        .select(col("event_type"), col("user_id"), col("doc_count"), col("events"))
+    }),
     "q_agg_stats_bucket" -> ((s, dir) => {
       // stats_bucket + percentiles_bucket: scalar summaries of another
       // agg's bucket frame; integer-exact except avg/percentile, which are
@@ -2110,6 +2129,17 @@ object SparkEntry {
              sum(value) AS total
            FROM events GROUP BY 1)
          SELECT round(max(total), 2) AS value FROM d""",
+    "q_agg_rare_terms" ->
+      """SELECT user_id AS key, count(*) AS doc_count
+         FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+         GROUP BY 1 HAVING count(*) <= 3
+         ORDER BY doc_count, key""",
+    "q_agg_multi_terms" ->
+      """SELECT event_type, user_id, count(*) AS doc_count,
+           count(event_id) AS events
+         FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+         GROUP BY 1, 2
+         ORDER BY doc_count DESC, event_type, user_id LIMIT 20""",
     "q_agg_stats_bucket" ->
       // bucket totals are integer-exact; floor-scaled avg/percentile
       """WITH b AS (

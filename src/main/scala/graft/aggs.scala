@@ -211,7 +211,9 @@ object Aggs {
       "fixed_interval", "min_doc_count", "extended_bounds"),
     "histogram" -> Set("field", "interval", "min_doc_count", "extended_bounds"),
     "range" -> Set("field", "ranges"),
-    "date_range" -> Set("field", "ranges"))
+    "date_range" -> Set("field", "ranges"),
+    "rare_terms" -> Set("field", "max_doc_count", "missing"),
+    "multi_terms" -> Set("terms", "size"))
 
   private def one(docs: DataFrame, name: String, spec: JsonNode,
                   background: DataFrame): DataFrame = {
@@ -275,6 +277,46 @@ object Aggs {
         // (ES runs pipelines after the terms agg emits its buckets)
         applyPipelines(filled.orderBy(termsOrder(body, subAggs, name): _*)
           .limit(size), subAggs, name)
+      case "rare_terms" =>
+        // the long tail: buckets with doc_count <= max_doc_count, count
+        // ASC then key ASC (ES's order). DECLARED DIVERGENCE: exact counts
+        // (ES uses a CuckooFilter approximation with possible false
+        // positives) — exactness is the superset contract, and the plan is
+        // the same one hash aggregate as terms; the filter prunes AFTER
+        // the combine, so no extra pass
+        val maxDoc = Option(body.get("max_doc_count")).map(_.asLong).getOrElse(1L)
+        require(maxDoc >= 1, s"rare_terms '$name' max_doc_count must be >= 1")
+        bucketed(docs, bucketKey("terms", name, body), subAggs, name)
+          .where(col("doc_count") <= maxDoc)
+          .orderBy(asc("doc_count"), asc("key"))
+      case "multi_terms" =>
+        // composite-key terms: one bucket per distinct field-value TUPLE,
+        // default order _count desc then keys asc, size-capped. Output one
+        // column per source field (the flat analog of ES's key array) —
+        // same one-hash-aggregate plan, the grouping key just widens
+        val termsArr = Option(body.get("terms")).filter(_.isArray)
+          .getOrElse(throw new IllegalArgumentException(
+            s"multi_terms '$name' needs a 'terms' array"))
+        val fields = termsArr.elements.asScala.toSeq.map { t =>
+          val f = Option(t.get("field")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              s"multi_terms '$name' sources need a 'field'"))
+          val unknownT = t.fieldNames.asScala.toSet - "field"
+          require(unknownT.isEmpty,
+            s"unsupported multi_terms source option(s): ${unknownT.mkString(", ")}")
+          f
+        }
+        require(fields.size >= 2,
+          s"multi_terms '$name' needs at least two terms sources (use terms for one)")
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        val metrics = subAggMetricCols(subAggs, name, Set.empty)
+        val aggCols = count(lit(1)).as("doc_count") +: metrics
+        val nonNull = fields.map(col(_).isNotNull).reduce(_ && _)
+        docs.where(nonNull)
+          .groupBy(fields.map(f => col(f)): _*)
+          .agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(desc("doc_count") +: fields.map(asc): _*)
+          .limit(size)
       case "composite" => composite(docs, name, body, subAggs)
       case "filters" => filtersAgg(docs, name, body, subAggs)
       case "filter" =>

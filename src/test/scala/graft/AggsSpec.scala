@@ -392,6 +392,37 @@ class AggsSpec extends AnyFunSuite {
            "p":{"max_bucket":{"buckets_path":"h>missing"}}}}"""))
   }
 
+  test("rare_terms: the long tail, exact counts, count-asc key-asc") {
+    val rows = Seq("a", "a", "a", "b", "c", "c", "d").map(Tuple1(_)).toDF("g")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"rare":{"rare_terms":{"field":"g","max_doc_count":2}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("b", 1L), ("d", 1L), ("c", 2L)))
+    // default max_doc_count is 1; junk options are loud
+    assert(Aggs.runSingle(rows,
+      """{"aggs":{"rare":{"rare_terms":{"field":"g"}}}}""")
+      .collect().map(_.getString(0)).toSeq == Seq("b", "d"))
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"rare":{"rare_terms":{"field":"g","size":5}}}}"""))
+  }
+
+  test("multi_terms: composite-key buckets, count-desc key-asc, metrics") {
+    val rows = Seq(("a", "x", 1.0), ("a", "x", 3.0), ("a", "y", 5.0),
+      ("b", "x", 7.0), ("b", null, 9.0)).toDF("g1", "g2", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"mt":{"multi_terms":{
+           "terms":[{"field":"g1"},{"field":"g2"}],"size":10},
+           "aggs":{"total":{"sum":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // null tuple member drops the row (ES default, no missing)
+    assert(out.toSeq == Seq(("a", "x", 2L, 4.0), ("a", "y", 1L, 5.0),
+      ("b", "x", 1L, 7.0)))
+    // fewer than two sources is loud
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"mt":{"multi_terms":{"terms":[{"field":"g1"}]}}}}"""))
+  }
+
   test("stats_bucket and percentiles_bucket over a sibling's frame") {
     val rows = Seq((5.0, 1.0), (6.0, 3.0), (15.0, 2.0), (25.0, 8.0))
       .toDF("x", "v")

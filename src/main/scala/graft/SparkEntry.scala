@@ -1018,6 +1018,18 @@ object SparkEntry {
              "peak": {"max_bucket": {"buckets_path": "per_day>total"}}}}""")("peak")
         .select(round(col("value"), 2).as("value"))
     }),
+    "q_agg_cardinality_approx" -> ((s, dir) => {
+      // approximate-by-contract (no oracle: DuckDB's HLL sketch differs
+      // bit-for-bit) — precision_threshold opts into Spark's HLL++; the
+      // exact count rides along to witness the error bound in the dump
+      val approx = Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"users": {"cardinality": {"field": "user_id",
+             "precision_threshold": 1000}}}}""")
+      val exact = Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"users": {"cardinality": {"field": "user_id"}}}}""")
+      approx.select(col("users").as("approx_users"))
+        .crossJoin(exact.select(col("users").as("exact_users")))
+    }),
     "q_agg_rare_terms" -> ((s, dir) => {
       // long-tail users: event users seen at most 3 times (exact counts —
       // declared divergence from ES's CuckooFilter approximation)

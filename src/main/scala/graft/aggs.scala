@@ -1255,7 +1255,26 @@ object Aggs {
       case "min" => Seq(min(c).as(name))
       case "max" => Seq(max(c).as(name))
       case "value_count" => Seq(count(c).as(name))
-      case "cardinality" => Seq(count_distinct(c).as(name)) // exact (ES: approx HLL)
+      case "cardinality" =>
+        // default: EXACT count-distinct (declared divergence — a superset
+        // contract vs ES's always-approximate HLL). `precision_threshold`
+        // opts INTO the approximate path: Spark's own HyperLogLog++
+        // (deterministic, hash-based — same sketch family ES uses), with
+        // the threshold mapped to a relative error of 1.04/√threshold
+        // (the HLL error law: ES sizes its precision so counts up to the
+        // threshold stay near-exact). At 100 TB the approx path is the
+        // scale lever: a fixed-size sketch per partition instead of a
+        // distinct-key shuffle.
+        Option(body.get("precision_threshold")) match {
+          case Some(n) =>
+            require(n.isIntegralNumber && n.asInt >= 1,
+              s"cardinality '$name' precision_threshold must be a positive " +
+                s"integer, got: $n")
+            val rsd = math.min(0.1, math.max(0.005,
+              1.04 / math.sqrt(n.asInt.toDouble)))
+            Seq(approx_count_distinct(c, rsd).as(name))
+          case None => Seq(count_distinct(c).as(name))
+        }
       case "stats" => Seq(
         count(col(f)).as(s"${name}_count"), min(col(f)).as(s"${name}_min"),
         max(col(f)).as(s"${name}_max"), avg(col(f)).as(s"${name}_avg"),

@@ -392,6 +392,26 @@ class AggsSpec extends AnyFunSuite {
            "p":{"max_bucket":{"buckets_path":"h>missing"}}}}"""))
   }
 
+  test("cardinality precision_threshold: deterministic HLL++ within error bound") {
+    val rows = (1 to 5000).map(i => Tuple1(s"user-${i % 1713}")).toDF("u")
+    val body = """{"aggs":{"card":{"cardinality":{"field":"u",
+                   "precision_threshold":3000}}}}"""
+    val approx = Aggs.runSingle(rows, body).collect().head.getLong(0)
+    // rsd for threshold 3000 ≈ 1.9%; allow 4σ
+    assert(math.abs(approx - 1713L) <= (1713 * 0.019 * 4).toLong,
+      s"approx $approx too far from 1713")
+    // deterministic: same data, same sketch, same answer
+    assert(Aggs.runSingle(rows, body).collect().head.getLong(0) == approx)
+    // default stays exact
+    assert(Aggs.runSingle(rows,
+      """{"aggs":{"card":{"cardinality":{"field":"u"}}}}""")
+      .collect().head.getLong(0) == 1713L)
+    // junk threshold is loud
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"card":{"cardinality":{"field":"u",
+           "precision_threshold":0}}}}"""))
+  }
+
   test("rare_terms: the long tail, exact counts, count-asc key-asc") {
     val rows = Seq("a", "a", "a", "b", "c", "c", "d").map(Tuple1(_)).toDF("g")
     val out = Aggs.runSingle(rows,

@@ -385,6 +385,16 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_bool_prefix" -> ((s, dir) => {
+      // R3: match_bool_prefix — type-ahead: spark as a term AND quer* as
+      // the still-being-typed prefix, each its own scoring clause
+      val q = """{"query":{"match_bool_prefix":{"text":{
+                   "query":"spark quer","operator":"and"}}},"size":100000}"""
+      Search.search(tbl(s, dir, "documents"), q,
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_simple_qs" -> ((s, dir) => {
       // R3: simple_query_string — the search-box mini-language: `|` OR,
       // `+` AND, `-` negation, quoted phrase, trailing-* prefix, folded
@@ -2841,6 +2851,14 @@ object SparkEntry {
       """SELECT doc_id, 1 AS _score FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b')
             OR regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY doc_id""",
+    "q_search_bool_prefix" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bquer[^\s]*') THEN 1 ELSE 0 END) AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+           AND regexp_matches(lower(text), '\bquer[^\s]*')
          ORDER BY doc_id""",
     "q_search_simple_qs" ->
       // ((spark OR "batch stream") AND NOT join) AND quer* — the negated

@@ -58,7 +58,8 @@ object QueryMeta {
   * see [[termMatch]] for the declared word-boundary anchor semantics)
   * and the ES-DSL JSON
   * operators `term`, `terms`, `ids`, `match`, `match_phrase` (with `slop`),
-  * `match_phrase_prefix`, `prefix`, `wildcard`, `regexp` (whole-token),
+  * `match_phrase_prefix`, `match_bool_prefix`, `prefix`, `wildcard`,
+  * `regexp` (whole-token),
   * `fuzzy`, `range`, `exists`, `multi_match` (declared `most_fields`
   * scoring), `constant_score`, `dis_max` (max-of-subqueries scoring,
   * tie_breaker 0), `function_score` (weight / field_value_factor
@@ -1345,6 +1346,44 @@ object QueryCompiler {
           val inner = node(filterNode, leaves, scoring = false, idCol, defaultOr)
           if (scoring) leaves += leaf(inner, boost)
           inner
+        case "match_bool_prefix" =>
+          // {"match_bool_prefix":{"f":"quick bro"}} — the type-ahead query:
+          // every analyzed term matches as a TERM except the last, which
+          // matches as a PREFIX (the word still being typed); terms combine
+          // OR by default (`operator` narrows to AND), each its own scoring
+          // clause — exactly `match` semantics with a prefixed tail, and
+          // unlike match_phrase_prefix, NOT positional
+          val (f, vRaw) = singleField(body)
+          val (v, boost, mbpAnd) =
+            if (!vRaw.isObject) (vRaw, 1, false)
+            else {
+              val unknown = vRaw.fieldNames.asScala.toSet --
+                Set("query", "boost", "operator")
+              require(unknown.isEmpty,
+                s"unsupported match_bool_prefix option(s): ${unknown.mkString(", ")}")
+              val value = Option(vRaw.get("query")).getOrElse(throw
+                new IllegalArgumentException(
+                  "match_bool_prefix long form requires 'query'"))
+              val b = Option(vRaw.get("boost")).map { n =>
+                require(n.isIntegralNumber && n.asInt >= 1,
+                  s"boost must be a positive integer, got: $n")
+                n.asInt
+              }.getOrElse(1)
+              val a = Option(vRaw.get("operator")).map { n =>
+                require(n.isTextual && (n.asText.equalsIgnoreCase("and")
+                    || n.asText.equalsIgnoreCase("or")),
+                  s"match_bool_prefix operator must be and or or, got: $n")
+                n.asText.equalsIgnoreCase("and")
+              }.getOrElse(false)
+              (value, b, a)
+            }
+          require(v.isTextual && v.asText.trim.nonEmpty,
+            s"match_bool_prefix expects a non-empty string, got: $v")
+          val toks = v.asText.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+          val cols = toks.init.map(t => termMatch(f, escapeTerm(t))) :+
+            termMatch(f, escapeTerm(toks.last) + "*")
+          if (scoring) cols.foreach(tc => leaves += leaf(tc, boost))
+          if (mbpAnd) cols.reduce(_ && _) else cols.reduce(_ || _)
         case "match_phrase_prefix" =>
           // {"match_phrase_prefix":{"f":"quick bro"}} — phrase whose last
           // term is a prefix (contiguous-token + trailing wildcard)

@@ -638,6 +638,34 @@ class SearchSpec extends AnyFunSuite {
     assert(assoc == Seq("4")) // no doc has spark AND window; doc 4 has sort
   }
 
+  test("match_bool_prefix: terms OR, last term is a prefix, operator narrows") {
+    // docs: 1 "spark batch engine", 2 "streaming window state",
+    //       3 "spark streaming joins", 4 "batch sort merge"
+    val or = Search.search(docs,
+      """{"query":{"match_bool_prefix":{"text":"batch str"}}}""", IndexConfig())
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // str* matches streaming (2, 3); batch matches 1, 4 — OR of all
+    assert(or == Seq(("1", 1), ("2", 1), ("3", 1), ("4", 1)))
+    val and = Search.search(docs,
+      """{"query":{"match_bool_prefix":{"text":{"query":"spark str",
+         "operator":"and"}}}}""", IndexConfig())
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(and == Seq(("3", 2))) // only doc 3 has spark AND str*
+    // a single term is just a prefix; unlike match_phrase_prefix it is
+    // NOT positional: "engine spark" matches doc 1 (order-free)
+    val free = Search.search(docs,
+      """{"query":{"match_bool_prefix":{"text":{"query":"engine spark",
+         "operator":"and"}}}}""", IndexConfig())
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(free == Seq("1"))
+    // junk sub-keys are loud
+    assert(QueryCompiler.validate(
+      """{"query":{"match_bool_prefix":{"text":{"query":"x",
+         "slop":1}}}}""").isLeft)
+  }
+
   test("function_score: filtered weight, field_value_factor, modes, min_score") {
     val d = Seq(
       ("1", "spark batch engine", "en", 10L),

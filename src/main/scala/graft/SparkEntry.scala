@@ -1028,6 +1028,37 @@ object SparkEntry {
              "peak": {"max_bucket": {"buckets_path": "per_day>total"}}}}""")("peak")
         .select(round(col("value"), 2).as("value"))
     }),
+    "q_agg_histogram_offset" -> ((s, dir) => {
+      // histogram offset: boundaries shifted by 5 — same one hash
+      // aggregate, the key expression just re-anchors
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"v": {"histogram": {"field": "value", "interval": 20,
+             "offset": 5},
+             "aggs": {"n": {"value_count": {"field": "event_id"}}}}}}""")
+        .select(col("key"), col("doc_count"), col("n"))
+    }),
+    "q_agg_filters_other" -> ((s, dir) => {
+      // filters + other_bucket_key: the catch-all bucket rides the same
+      // single-pass guarded aggregate (no second scan)
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"f": {"filters": {
+             "filters": {"sp": {"match": {"text": "spark"}},
+                         "st": {"match": {"text": "stream"}}},
+             "other_bucket_key": "rest"},
+             "aggs": {"chars": {"sum": {"field": "n_chars"}}}}}}""")
+        .select(col("key"), col("doc_count"), col("chars").cast("long").as("chars"))
+    }),
+    "q_agg_top_metrics" -> ((s, dir) => {
+      // top_metrics: the value of each event type's LATEST event — argmax
+      // as a map-side-combinable aggregate, no window over the corpus
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"t": {"terms": {"field": "event_type", "size": 100,
+             "order": {"_key": "asc"}},
+             "aggs": {"latest": {"top_metrics": {
+               "metrics": {"field": "value"},
+               "sort": [{"ts": "desc"}]}}}}}}""")
+        .select(col("key"), col("doc_count"), col("latest_value"))
+    }),
     "q_agg_cardinality_approx" -> ((s, dir) => {
       // approximate-by-contract (no oracle: DuckDB's HLL sketch differs
       // bit-for-bit) — precision_threshold opts into Spark's HLL++; the
@@ -2151,6 +2182,40 @@ object SparkEntry {
              sum(value) AS total
            FROM events GROUP BY 1)
          SELECT round(max(total), 2) AS value FROM d""",
+    "q_agg_histogram_offset" ->
+      """SELECT floor((value - 5) / 20) * 20 + 5 AS key, count(*) AS doc_count,
+           count(event_id) AS n
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1 ORDER BY key""",
+    "q_agg_filters_other" ->
+      // guarded counts from one pass; the catch-all is null-safe NOT-any
+      """WITH t AS (
+           SELECT regexp_matches(lower(text), '\bspark\b') AS m1,
+                  regexp_matches(lower(text), '\bstream\b') AS m2,
+                  n_chars
+           FROM documents)
+         SELECT 'sp' AS key, count(*) FILTER (WHERE m1) AS doc_count,
+           CAST(sum(n_chars) FILTER (WHERE m1) AS BIGINT) AS chars FROM t
+         UNION ALL
+         SELECT 'st', count(*) FILTER (WHERE m2),
+           CAST(sum(n_chars) FILTER (WHERE m2) AS BIGINT) FROM t
+         UNION ALL
+         SELECT 'rest',
+           count(*) FILTER (WHERE NOT coalesce(m1, FALSE) AND NOT coalesce(m2, FALSE)),
+           CAST(sum(n_chars) FILTER (WHERE NOT coalesce(m1, FALSE)
+             AND NOT coalesce(m2, FALSE)) AS BIGINT) FROM t""",
+    "q_agg_top_metrics" ->
+      // per type, the value at the latest micros timestamp; ties break to
+      // the larger value (the engine's declared deterministic tiebreak)
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY epoch_ns(ts) // 1000 DESC, value DESC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS doc_count
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL)
+         SELECT event_type AS key, doc_count, value AS latest_value
+         FROM r WHERE rn = 1 ORDER BY key""",
     "q_agg_rare_terms" ->
       """SELECT user_id AS key, count(*) AS doc_count
          FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL

@@ -209,7 +209,8 @@ object Aggs {
       "exclude", "missing", "shard_size", "show_term_doc_count_error"),
     "date_histogram" -> Set("field", "calendar_interval", "interval",
       "fixed_interval", "min_doc_count", "extended_bounds"),
-    "histogram" -> Set("field", "interval", "min_doc_count", "extended_bounds"),
+    "histogram" -> Set("field", "interval", "min_doc_count", "extended_bounds",
+      "offset"),
     "range" -> Set("field", "ranges"),
     "date_range" -> Set("field", "ranges"),
     "rare_terms" -> Set("field", "max_doc_count", "missing"),
@@ -418,14 +419,37 @@ object Aggs {
     * return in name order (deterministic; ES returns insertion order). */
   private def filtersAgg(docs: DataFrame, name: String, body: JsonNode,
                          subAggs: Option[JsonNode]): DataFrame = {
+    val unknownK = body.fieldNames.asScala.toSet --
+      Set("filters", "other_bucket", "other_bucket_key")
+    require(unknownK.isEmpty,
+      s"unsupported filters option(s) in '$name': ${unknownK.mkString(", ")}")
     val fNode = Option(body.get("filters")).filter(_.isObject)
       .getOrElse(throw new IllegalArgumentException(
         s"filters '$name' needs a 'filters' object of named queries"))
     require(fNode.size > 0, s"filters '$name' has no named filters")
-    val preds = fNode.fieldNames.asScala.toSeq.sorted.map { fn =>
+    val named = fNode.fieldNames.asScala.toSeq.sorted.map { fn =>
       val q = mapper.createObjectNode()
       q.set[JsonNode]("query", fNode.get(fn))
       fn -> QueryCompiler.compile(q.toString, Int.MaxValue).predicate
+    }
+    // ES other_bucket: a catch-all bucket of rows matching NO named filter
+    // — one more guarded column of the same single pass. other_bucket_key
+    // names it (and implies it, per ES); null-safe so a row where every
+    // predicate is NULL still lands in the catch-all
+    val otherKey = Option(body.get("other_bucket_key")).map { n =>
+      require(n.isTextual && n.asText.nonEmpty,
+        s"filters '$name' other_bucket_key must be a non-empty string")
+      n.asText
+    }.orElse {
+      if (Option(body.get("other_bucket")).exists(_.asBoolean)) Some("_other_")
+      else None
+    }
+    otherKey.foreach { ok =>
+      require(!named.exists(_._1 == ok),
+        s"filters '$name' other_bucket_key '$ok' collides with a named filter")
+    }
+    val preds = named ++ otherKey.map { ok =>
+      ok -> !named.map { case (_, p) => coalesce(p, lit(false)) }.reduce(_ || _)
     }
     val metricSpecs = subAggs.toSeq.flatMap { n =>
       n.fieldNames.asScala.toSeq.map { sub =>
@@ -935,6 +959,7 @@ object Aggs {
         require(v.isNumber, s"histogram '$name' extended_bounds.$k must be a number")
         v.asDouble
       }
+      val off = histogramOffset(body, interval, name)
       val r = base.agg(min(col("key")), max(col("key"))).head()
       val obsLo = if (r.isNullAt(0)) None else Some(r.getDouble(0))
       val obsHi = if (r.isNullAt(1)) None else Some(r.getDouble(1))
@@ -942,21 +967,39 @@ object Aggs {
       val hi0 = (ebD("max").toSeq ++ obsHi).reduceOption(_ max _)
       (lo0, hi0) match {
         case (Some(l), Some(h)) =>
-          // frame key = (k0 + i) · interval: the same double product
-          // bucketKey's floor(x/interval)·interval produces, so the join
-          // keys are bit-identical
-          val k0 = math.floor(l / interval)
-          val n = (math.floor(h / interval) - k0 + 1).toLong
+          // frame key = (k0 + i) · interval (+ offset): the same double
+          // arithmetic bucketKey produces, so the join keys are
+          // bit-identical. Observed keys are already offset-shifted;
+          // extended_bounds are raw values — both floor the same way
+          val k0 = math.floor((l - off) / interval)
+          val n = (math.floor((h - off) / interval) - k0 + 1).toLong
           require(n > 0 && n <= maxFrames,
             s"'$name' zero-fill would create $n buckets (cap $maxFrames)")
+          val frameKey =
+            if (off == 0.0) (lit(k0) + col("id")) * interval
+            else (lit(k0) + col("id")) * interval + off
           spark.range(n)
-            .select(((lit(k0) + col("id")) * interval).as("key"))
+            .select(frameKey.as("key"))
             .join(base, Seq("key"), "left")
             .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
         case _ => base
       }
     }
   }
+
+  /** ES histogram `offset`: shifts every bucket boundary by a constant in
+    * `[0, interval)` (bills-land-on-the-3rd data). Shared by [[bucketKey]]
+    * and [[zeroFillFrames]] so both sides of the zero-fill join derive the
+    * key through identical double arithmetic. */
+  private def histogramOffset(body: JsonNode, interval: Double,
+                              name: String): Double =
+    Option(body.get("offset")).map { n =>
+      require(n.isNumber, s"histogram '$name' offset must be a number, got: $n")
+      val v = n.asDouble
+      require(v >= 0 && v < interval,
+        s"histogram '$name' offset must be in [0, interval), got $v")
+      v
+    }.getOrElse(0.0)
 
   /** ES fixed_interval duration → microseconds: `<n><unit>` with unit
     * ms/s/m/h/d (calendar units like months are calendar_interval's job —
@@ -1028,7 +1071,11 @@ object Aggs {
         val interval = Option(body.get("interval")).map(_.asDouble)
           .getOrElse(throw new IllegalArgumentException(s"histogram '$name' needs 'interval'"))
         require(interval > 0, s"histogram '$name' interval must be > 0")
-        floor(col(fieldOf(body)) / interval) * interval
+        val off = histogramOffset(body, interval, name)
+        // offset 0 keeps the exact unshifted expression — `x - 0.0 + 0.0`
+        // is NOT a bitwise no-op for negative-zero keys
+        if (off == 0.0) floor(col(fieldOf(body)) / interval) * interval
+        else floor((col(fieldOf(body)) - off) / interval) * interval + off
       case "range" =>
         val f = fieldOf(body)
         val ranges = Option(body.get("ranges")).filter(_.isArray)
@@ -1238,6 +1285,54 @@ object Aggs {
       // Σ(v·w)/Σ(w) over rows where both sides exist (ES skips missing)
       val mask = v.isNotNull && w.isNotNull
       return Seq((sum(when(mask, v * w)) / sum(when(mask, w))).as(name))
+    }
+    // top_metrics also nests its fields ({"metrics":{...},"sort":[...]})
+    // — handled before the flat-field contract below
+    if (tpe == "top_metrics") {
+      // the metric value AT the top sort row — argmax as an aggregate
+      // (Spark max_by/min_by: one map-side-combinable column, no window,
+      // no row materialization). Declared subset: ONE metric field, ONE
+      // sort key, size 1; sort ties resolve to the extreme metric value,
+      // which keeps the answer deterministic (ES leaves ties unspecified).
+      // Column: <name>_<metric field>.
+      val unknownT = body.fieldNames.asScala.toSet -- Set("metrics", "sort", "size")
+      require(unknownT.isEmpty,
+        s"unsupported top_metrics option(s) in '$name': ${unknownT.mkString(", ")}")
+      Option(body.get("size")).foreach { n =>
+        require(n.isIntegralNumber && n.asInt == 1,
+          s"top_metrics '$name' size must be 1 (declared subset)")
+      }
+      val mNode = Option(body.get("metrics")).map { n =>
+        if (n.isArray) {
+          require(n.size == 1,
+            s"top_metrics '$name': one metric field only (declared subset)")
+          n.get(0)
+        } else n
+      }.getOrElse(throw new IllegalArgumentException(
+        s"top_metrics '$name' needs 'metrics'"))
+      val mf = Option(mNode.get("field")).filter(_.isTextual).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"top_metrics '$name' metrics needs a 'field'"))
+      val sNode = Option(body.get("sort")).map { n =>
+        if (n.isArray) {
+          require(n.size == 1,
+            s"top_metrics '$name': one sort key only (declared subset)")
+          n.get(0)
+        } else n
+      }.getOrElse(throw new IllegalArgumentException(
+        s"top_metrics '$name' needs 'sort'"))
+      require(sNode.isObject && sNode.size == 1,
+        s"top_metrics '$name' sort must be {field: order}, got: $sNode")
+      val sf = sNode.fieldNames.asScala.next()
+      val dir = sNode.get(sf).asText
+      require(dir == "asc" || dir == "desc",
+        s"top_metrics '$name' sort order must be asc or desc, got '$dir'")
+      // rows missing the sort field are skipped (ES semantics): a null
+      // ordering value makes max_by/min_by ignore the row, but a STRUCT
+      // of a null field is itself non-null — guard explicitly
+      val ord = when(col(sf).isNotNull, struct(col(sf), col(mf)))
+      val picked = if (dir == "desc") max_by(col(mf), ord) else min_by(col(mf), ord)
+      return Seq(picked.as(s"${name}_$mf"))
     }
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"metric '$name' needs a 'field'"))

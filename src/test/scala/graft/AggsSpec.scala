@@ -392,6 +392,67 @@ class AggsSpec extends AnyFunSuite {
            "p":{"max_bucket":{"buckets_path":"h>missing"}}}}"""))
   }
 
+  test("histogram offset shifts bucket boundaries and composes with zero-fill") {
+    val rows = Seq(3.0, 7.0, 13.0, 33.0).map(Tuple1(_)).toDF("x")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10,"offset":3}}}}""")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // boundaries at 3, 13, 23, 33: [3,13)->{3,7}, [13,23)->{13}, [33,43)->{33}
+    assert(out.toSeq == Seq((3.0, 2L), (13.0, 1L), (33.0, 1L)))
+    // zero-fill inserts the empty [23,33) frame with the same offset key
+    val zf = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10,"offset":3,
+           "min_doc_count":0}}}}""")
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    assert(zf.toSeq == Seq((3.0, 2L), (13.0, 1L), (23.0, 0L), (33.0, 1L)))
+    // out-of-range offset is loud
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10,"offset":10}}}}"""))
+  }
+
+  test("filters other_bucket: catch-all from the same single pass") {
+    val rows = Seq(("spark rocks", 1.0), ("flink only", 2.0), ("neither", 4.0),
+      (null.asInstanceOf[String], 8.0)).toDF("text", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"f":{"filters":{
+           "filters":{"s":{"match":{"text":"spark"}},
+                      "fl":{"match":{"text":"flink"}}},
+           "other_bucket_key":"rest"},
+           "aggs":{"total":{"sum":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // named buckets sort by name; other lands last. The null-text row's
+    // predicates are NULL, not false — null-safe catch-all keeps it
+    assert(out.toSeq == Seq(("fl", 1L, 2.0), ("s", 1L, 1.0), ("rest", 2L, 12.0)))
+    // key collision with a named filter is loud
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"f":{"filters":{"filters":{"s":{"match":{"text":"x"}}},
+           "other_bucket_key":"s"}}}}"""))
+  }
+
+  test("top_metrics: metric value at the top sort row, per bucket") {
+    val rows = Seq(("a", Some(1.0), 10.0), ("a", Some(5.0), 20.0),
+      ("b", Some(2.0), 30.0), ("b", Some(2.0), 40.0),
+      ("c", Option.empty[Double], 50.0)).toDF("g", "s", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g","size":10,"order":{"_key":"asc"}},
+           "aggs":{"top":{"top_metrics":{"metrics":{"field":"v"},
+                   "sort":[{"s":"desc"}]}}}}}}""")
+      .collect().map(r => (r.getString(0), Option(r.get(2))
+        .map(_.asInstanceOf[Double])))
+    // a: s=5 -> v=20; b: sort tie at s=2 -> extreme metric 40 (declared);
+    // c: no non-null sort value -> null metric
+    assert(out.toSeq == Seq(("a", Some(20.0)), ("b", Some(40.0)), ("c", None)))
+    // asc picks the smallest sort row
+    val asc1 = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"top_metrics":{"metrics":{"field":"v"},
+           "sort":{"s":"asc"}}}}}""").collect().head.getDouble(0)
+    assert(asc1 == 10.0)
+    // size != 1 and multi metrics are loud (declared subset)
+    intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"top_metrics":{"metrics":{"field":"v"},
+           "sort":{"s":"asc"},"size":3}}}}"""))
+  }
+
   test("cardinality precision_threshold: deterministic HLL++ within error bound") {
     val rows = (1 to 5000).map(i => Tuple1(s"user-${i % 1713}")).toDF("u")
     val body = """{"aggs":{"card":{"cardinality":{"field":"u",

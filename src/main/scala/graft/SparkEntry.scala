@@ -385,6 +385,17 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_mlt" -> ((s, dir) => {
+      // more_like_this: docs similar to docs 1-3 — distinctive-term
+      // selection (tf/(df+1) ranking, drift-proof), 30% msm, sources
+      // excluded
+      Search.moreLikeThis(tbl(s, dir, "documents"), "text",
+          likeIds = Seq(1L, 2L, 3L), cfg = IndexConfig(maxResults = 100000),
+          minTermFreq = 2, minDocFreq = 5, maxQueryTerms = 10,
+          minimumShouldMatchPct = 30)
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_bool_prefix" -> ((s, dir) => {
       // R3: match_bool_prefix — type-ahead: spark as a term AND quer* as
       // the still-being-typed prefix, each its own scoring clause
@@ -2916,6 +2927,36 @@ object SparkEntry {
       """SELECT doc_id, 1 AS _score FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b')
             OR regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY doc_id""",
+    "q_search_mlt" ->
+      // replicate the declared selection: like-tf >= 2 → top-100 by tf →
+      // corpus df (distinct per doc) >= 5 → top-10 by tf/(df+1) — every
+      // ranking step integer or single-division (bit-stable)
+      """WITH liketok AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0)) AS t
+           FROM documents WHERE doc_id IN (1, 2, 3)),
+         ltf AS (
+           SELECT t, count(*) AS tf FROM liketok GROUP BY t HAVING count(*) >= 2),
+         cand AS (SELECT t, tf FROM ltf ORDER BY tf DESC, t LIMIT 100),
+         dfc AS (
+           SELECT tok.t, count(*) AS df, max(cand.tf) AS tf
+           FROM (SELECT unnest(list_distinct(list_filter(string_split_regex(
+                   lower(text), '[^a-z0-9_]+'), x -> len(x) > 0))) AS t
+                 FROM documents) tok
+           JOIN cand ON tok.t = cand.t GROUP BY tok.t),
+         picked AS (
+           SELECT t FROM dfc WHERE df >= 5
+           ORDER BY CAST(tf AS DOUBLE) / (df + 1) DESC, t LIMIT 10),
+         pc AS (SELECT count(*) AS n FROM picked),
+         hits AS (
+           SELECT d.doc_id,
+             (SELECT count(*) FROM picked p
+               WHERE regexp_matches(lower(d.text), '\b' || p.t || '\b')) AS raw
+           FROM documents d
+           WHERE d.doc_id NOT IN (1, 2, 3))
+         SELECT doc_id, CAST(raw AS INT) AS _score FROM hits, pc
+         WHERE raw >= greatest(1, (30 * n) // 100)
          ORDER BY doc_id""",
     "q_search_bool_prefix" ->
       """SELECT doc_id,

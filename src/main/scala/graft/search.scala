@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Read-path search executor (R4-R10).
@@ -461,5 +461,85 @@ object Search {
     scored.withColumn("_bm25", score)
       .drop((Seq("_dl", "_N", "_avgdl") ++
         terms.indices.flatMap(i => Seq(s"_tf$i", s"_df$i"))): _*)
+  }
+
+  /** ES `more_like_this`: find documents similar to the given ones (or to
+    * free text) by extracting the like-source's most DISTINCTIVE terms and
+    * searching for them. Function-level like [[bm25]] — term selection is
+    * a data-dependent phase (two bounded Spark jobs), which a compile-time
+    * `QueryCompiler` leaf cannot run (reference surfaces MLT through ES
+    * opaquely, ElasticIndex.java:663-665).
+    *
+    * Term selection (declared, drift-proof): tokenize the like-source with
+    * the index analyzer (`[^a-z0-9_]+` split on lowercase — the same token
+    * model as [[TextIndex]]); keep terms with like-tf >= `minTermFreq` and
+    * corpus-df >= `minDocFreq`; rank by `tf / (df + 1)` descending, term
+    * ascending, keep `maxQueryTerms`. The ranking is a monotone TF-IDF
+    * surrogate (increasing in tf, decreasing in df) chosen over Lucene's
+    * `tf·idf` because a single IEEE division is correctly rounded —
+    * bit-identical across engines — where `ln` is libm-dependent and can
+    * reorder near-ties. DECLARED DIVERGENCE from ES's tf·idf ranking.
+    *
+    * The query phase is the usual scan shape: OR of whole-token matches,
+    * `_score` = matched-term count, hits needing at least
+    * `minimumShouldMatchPct`% of the selected terms (ES default 30%),
+    * like-docs themselves excluded (when selected by id), ordered score
+    * desc / id asc, capped at `cfg.maxResults`.
+    *
+    * 100 TB shape: the like-tf pass reads only the like docs; candidates
+    * are capped (10× maxQueryTerms by tf) BEFORE the corpus df pass, which
+    * is one tokenize+distinct aggregate gated by a broadcast semi-join —
+    * the same candidate-first discipline as the dedup verifiers. With a
+    * postings store, df could be served index-side ([[TextIndex]]
+    * doc_freq) — the scan form here is the store-free baseline. */
+  def moreLikeThis(docs: DataFrame, field: String,
+                   likeIds: Seq[Any] = Seq.empty,
+                   likeText: Option[String] = None,
+                   cfg: IndexConfig = IndexConfig(),
+                   idCol: String = "doc_id",
+                   minTermFreq: Int = 2, minDocFreq: Int = 5,
+                   maxQueryTerms: Int = 25,
+                   minimumShouldMatchPct: Int = 30): DataFrame = {
+    require(likeIds.nonEmpty ^ likeText.isDefined,
+      "more_like_this needs exactly one of likeIds / likeText")
+    require(minTermFreq >= 1 && minDocFreq >= 1 && maxQueryTerms >= 1,
+      "more_like_this thresholds must be >= 1")
+    require(minimumShouldMatchPct >= 0 && minimumShouldMatchPct <= 100,
+      s"minimum_should_match must be a percentage in [0, 100]")
+    val spark = docs.sparkSession
+    def toks(c: Column) =
+      filter(split(lower(c), "[^a-z0-9_]+"), t => length(t) > 0)
+    val likeToks = likeText match {
+      case Some(t) =>
+        import spark.implicits._
+        Seq(t).toDF(field).select(explode(toks(col(field))).as("_t"))
+      case None =>
+        docs.where(col(idCol).isin(likeIds: _*))
+          .select(explode(toks(col(field))).as("_t"))
+    }
+    val tf = likeToks.groupBy("_t").agg(count(lit(1)).as("_tf"))
+      .where(col("_tf") >= minTermFreq)
+      .orderBy(desc("_tf"), asc("_t")).limit(maxQueryTerms * 10)
+    val corpusToks = docs
+      .select(explode(array_distinct(toks(col(field)))).as("_t"))
+    val picked = corpusToks.join(broadcast(tf), Seq("_t"))
+      .groupBy("_t").agg(count(lit(1)).as("_df"), max(col("_tf")).as("_tf"))
+      .where(col("_df") >= minDocFreq)
+      .withColumn("_s", col("_tf").cast("double") / (col("_df") + lit(1)))
+      .orderBy(desc("_s"), asc("_t"))
+      .limit(maxQueryTerms)
+      .select("_t").collect().map(_.getString(0)).toSeq // bounded: <= maxQueryTerms
+    if (picked.isEmpty) return docs.where(lit(false)).withColumn("_score", lit(0))
+    val matched = picked
+      .map(t => QueryCompiler.termMatch(field, QueryCompiler.escapeTerm(t)))
+      .map(c => when(coalesce(c, lit(false)), 1).otherwise(0))
+      .reduce(_ + _)
+    val msm = math.max(1, minimumShouldMatchPct * picked.size / 100)
+    val keep =
+      if (likeIds.nonEmpty) !col(idCol).isin(likeIds: _*) else lit(true)
+    docs.where(keep && matched >= msm)
+      .withColumn("_score", matched)
+      .orderBy(desc("_score"), asc(idCol))
+      .limit(cfg.maxResults)
   }
 }

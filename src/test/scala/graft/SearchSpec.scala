@@ -715,6 +715,43 @@ class SearchSpec extends AnyFunSuite {
       "query":{"match_all":{}},"weight":2}}}""").isRight)
   }
 
+  test("more_like_this: distinctive-term selection, msm filter, source excluded") {
+    // corpus: 'spark' is common (low idf), 'tungsten' is the distinctive
+    // repeated term of the like doc
+    val d = Seq(
+      ("1", "tungsten codegen tungsten pipeline spark spark"),
+      ("2", "tungsten runtime with codegen tungsten"),
+      ("3", "spark spark spark batch"),
+      ("4", "unrelated text entirely"),
+      ("5", "tungsten tungsten appears here codegen")).toDF("doc_id", "text")
+    val out = Search.moreLikeThis(d, "text", likeIds = Seq("1"),
+      minTermFreq = 2, minDocFreq = 2, maxQueryTerms = 2,
+      minimumShouldMatchPct = 50)
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // like doc 1: tf>=2 terms = {tungsten: 2, spark: 2}; df(tungsten)=3,
+    // df(spark)=2 → scores 2/4=0.5, 2/3=0.667 → both picked (max 2).
+    // doc 2,5 match tungsten only (score 1 >= msm 1); doc 3 matches spark;
+    // doc 1 excluded; doc 4 no match
+    assert(out == Seq(("2", 1), ("3", 1), ("5", 1)))
+    // free-text mode excludes nothing and needs no ids
+    val ft = Search.moreLikeThis(d, "text",
+      likeText = Some("tungsten tungsten codegen codegen"),
+      minTermFreq = 2, minDocFreq = 2, maxQueryTerms = 5,
+      minimumShouldMatchPct = 100)
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    // both terms required (msm 100%): docs 1, 2, 5 have tungsten+codegen
+    assert(ft == Seq("1", "2", "5"))
+    // no candidate survives the thresholds -> empty result, schema intact
+    val none = Search.moreLikeThis(d, "text", likeIds = Seq("4"),
+      minTermFreq = 2, minDocFreq = 2)
+    assert(none.columns.contains("_score") && none.count() == 0)
+    // both/neither like sources are loud
+    intercept[IllegalArgumentException](Search.moreLikeThis(d, "text"))
+    intercept[IllegalArgumentException](Search.moreLikeThis(d, "text",
+      likeIds = Seq("1"), likeText = Some("x")))
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

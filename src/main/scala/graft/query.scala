@@ -753,6 +753,49 @@ object QueryCompiler {
           s"dangling operator in simple_query_string at: $other")
       }
 
+    /** Positive (non-negated) atoms of `field` as highlight specs —
+      * (regex patterns, fuzzy (text, dist, prefix) triples), mirroring the
+      * compile walk so highlighting marks EXACTLY what the predicate can
+      * match: clauses under `-` never match a returned row's negated span,
+      * so they yield nothing. Malformed input → empty (the compiler is the
+      * loud path). */
+    private[graft] def leafSpecs(q: String, field: String,
+                                 fields: Seq[String])
+        : (Seq[String], Seq[(String, Int, Int)]) = {
+      if (!fields.contains(field)) return (Nil, Nil)
+      val pats = scala.collection.mutable.ListBuffer[String]()
+      val fuzz = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
+      def clause(toks: List[Tok], neg: Boolean): List[Tok] = toks match {
+        case NotOp :: tail => clause(tail, neg = true)
+        case LP :: tail =>
+          var rest = expr(tail, neg)
+          rest match { case RP :: rr => rr; case other => other }
+        case TermTok(t, _, Some(d)) :: rest =>
+          if (!neg) fuzz += ((t, d, 0)); rest
+        case TermTok(t, prefix, None) :: rest =>
+          if (!neg) pats += termPattern(escapeTerm(t) + (if (prefix) "*" else ""))
+          rest
+        case PhraseTok(p, 0) :: rest =>
+          if (!neg) pats += termPattern(escapeTerm(p)); rest
+        case PhraseTok(p, s) :: rest =>
+          if (!neg) pats += proximityPattern(p, s); rest
+        case other => other
+      }
+      def expr(toks: List[Tok], neg: Boolean): List[Tok] = {
+        var rest = clause(toks, neg)
+        var done = false
+        while (!done) rest match {
+          case Nil | RP :: _ => done = true
+          case (OrOp | AndOp) :: tail => rest = clause(tail, neg)
+          case _ => rest = clause(rest, neg)
+        }
+        rest
+      }
+      try expr(tokenize(q), neg = false)
+      catch { case _: Exception => return (Nil, Nil) }
+      (pats.toList, fuzz.toList)
+    }
+
     private def atom(tok: Tok, fields: Seq[(String, Int)],
                      leaves: scala.collection.mutable.ArrayBuffer[Column],
                      scoring: Boolean): Column = {

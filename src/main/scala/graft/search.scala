@@ -250,6 +250,20 @@ object Search {
       }.getOrElse(empty)
       case "match_phrase_prefix" => textOf("query")
         .map(t => (Seq(termPattern(escapeTerm(t) + "*")), Nil)).getOrElse(empty)
+      case "match_bool_prefix" => textOf("query")
+        .filter(t => tokens(t).nonEmpty)
+        .map { t =>
+          val ts = tokens(t)
+          ((ts.init.map(tok => termPattern(escapeTerm(tok))) :+
+            termPattern(escapeTerm(ts.last) + "*")), Nil)
+        }.getOrElse(empty)
+      case "simple_query_string" =>
+        val q = Option(body.get("query")).filter(_.isTextual).map(_.asText)
+        val fs = Option(body.get("fields")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.collect {
+            case fn if fn.isTextual => QueryCompiler.fieldBoost(fn.asText)._1
+          }).getOrElse(Seq.empty)
+        q.map(QueryCompiler.SimpleQs.leafSpecs(_, field, fs)).getOrElse(empty)
       case "prefix" => textOf("value")
         .map(t => (Seq(termPattern(escapeTerm(t) + "*")), Nil)).getOrElse(empty)
       case "wildcard" => textOf("value")

@@ -567,6 +567,23 @@ object TextIndex {
       case "match_phrase_prefix" => textValue("query").flatMap { case (f, v) =>
         if (fields.contains(f)) termProbe(f, QueryCompiler.escapeTerm(v) + "*").map(Set(_)) else None
       }
+      case "match_bool_prefix" => textValue("query").flatMap { case (f, v) =>
+        // OR of term matches with a prefixed tail — like `match`, the
+        // cover is the union of per-term probes (operator=and only
+        // tightens; the union stays a superset)
+        if (!fields.contains(f)) None
+        else {
+          val toks = v.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+          if (toks.isEmpty) None
+          else {
+            val probes = toks.init.map(t =>
+              termProbe(f, QueryCompiler.escapeTerm(t))) :+
+              termProbe(f, QueryCompiler.escapeTerm(toks.last) + "*")
+            if (probes.forall(_.isDefined)) Some(probes.flatten.toSet[Probe])
+            else None
+          }
+        }
+      }
       case "wildcard" => textValue("value").flatMap { case (f, v) =>
         if (fields.contains(f)) termProbe(f, v).map(Set(_)) else None
       }

@@ -715,6 +715,21 @@ class SearchSpec extends AnyFunSuite {
       "query":{"match_all":{}},"weight":2}}}""").isRight)
   }
 
+  test("highlight covers simple_query_string and match_bool_prefix leaves") {
+    val d = Seq(("1", "spark streaming engine", "en")).toDF("doc_id", "text", "lang")
+    val h1 = Search.highlight(d, """{"query":{"simple_query_string":{
+      "query":"spark str* -engine","fields":["text"],
+      "default_operator":"or"}}}""", IndexConfig(), hlFields = Seq("text"))
+      .collect().head.getAs[String]("_highlight_text")
+    // positive atoms marked; the negated term is NOT (it can't have
+    // matched a returned row's span contract)
+    assert(h1 == "<em>spark</em> <em>streaming</em> engine", h1)
+    val h2 = Search.highlight(d, """{"query":{"match_bool_prefix":{
+      "text":"spark stre"}}}""", IndexConfig(), hlFields = Seq("text"))
+      .collect().head.getAs[String]("_highlight_text")
+    assert(h2 == "<em>spark</em> <em>streaming</em> engine", h2)
+  }
+
   test("more_like_this: distinctive-term selection, msm filter, source excluded") {
     // corpus: 'spark' is common (low idf), 'tungsten' is the distinctive
     // repeated term of the like doc

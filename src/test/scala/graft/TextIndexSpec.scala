@@ -118,6 +118,12 @@ class TextIndexSpec extends AnyFunSuite {
     """{"query":{"dis_max":{"queries":[{"match":{"text":"spark"}},{"term":{"lang":"de"}}]}}}""",
     """{"query":{"terms":{"source":["src1","src3"]}}}""",
     """{"query":{"multi_match":{"query":"spark","fields":["text","source"]}}}""",
+    // r6 operators: bool-prefix covered; the rest scan-fallback
+    """{"query":{"match_bool_prefix":{"text":"spark batc"}}}""",
+    """{"query":{"simple_query_string":{"query":"spark | batc* -nicht",
+        "fields":["text"]}}}""",
+    """{"query":{"function_score":{"query":{"match":{"text":"spark"}},
+        "functions":[{"weight":3}],"boost_mode":"multiply"}}}""",
     // uncoverable → transparent scan fallback, still identical
     "NOT text:spark",
     "text:batc~1",

@@ -1184,6 +1184,57 @@ object SparkEntry {
         .select(round(col("v_p50"), 4).as("v_p50"),
           round(col("v_p90"), 4).as("v_p90"), round(col("v_p99"), 4).as("v_p99"))
     }),
+    "q_agg_boxplot" -> ((s, dir) => {
+      // per-event-type five-number summary — boxplot as a terms sub-agg,
+      // exact quartiles (declared divergence: ES boxplot is t-digest
+      // approximate)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"types": {"terms": {"field": "event_type", "size": 10},
+            "aggs": {"v": {"boxplot": {"field": "value"}}}}}}""")
+        .select(col("key"), col("doc_count"), col("v_min"), col("v_max"),
+          round(col("v_q1"), 4).as("v_q1"), round(col("v_q2"), 4).as("v_q2"),
+          round(col("v_q3"), 4).as("v_q3"))
+    }),
+    "q_agg_string_stats" -> ((s, dir) => {
+      // corpus-wide string stats over document text: count, length
+      // min/max/avg, and character-distribution Shannon entropy (the
+      // CharEntropy distributed histogram aggregate)
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"t": {"string_stats": {"field": "text"}}}}""")
+        .select(col("t_count"), col("t_min_length"), col("t_max_length"),
+          round(col("t_avg_length"), 2).as("t_avg_length"),
+          round(col("t_entropy"), 2).as("t_entropy"))
+    }),
+    "q_agg_matrix_stats" -> ((s, dir) => {
+      // pairwise second moments of (value, user_id): the flattened
+      // matrix_stats cells over pairwise-complete rows
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"m": {"matrix_stats": {"fields": ["value", "user_id"]}}}}""")
+        .select(col("m_count"),
+          round(col("m_mean_value"), 4).as("m_mean_value"),
+          round(col("m_mean_user_id"), 4).as("m_mean_user_id"),
+          round(col("m_variance_value"), 4).as("m_variance_value"),
+          round(col("m_variance_user_id"), 4).as("m_variance_user_id"),
+          round(col("m_covariance"), 4).as("m_covariance"),
+          round(col("m_correlation"), 6).as("m_correlation"))
+    }),
+    "q_agg_ttest" -> ((s, dir) => {
+      // Welch t statistic: click values vs view values (filtered sides,
+      // one aggregate pass; declared subset — statistic, not p-value)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"t": {"t_test": {
+              "a": {"field": "value", "filter": {"term": {"event_type": "click"}}},
+              "b": {"field": "value", "filter": {"term": {"event_type": "view"}}},
+              "type": "heteroscedastic"}}}}""")
+        .select(round(col("t"), 6).as("t"))
+    }),
+    "q_agg_mad" -> ((s, dir) => {
+      // exact median absolute deviation of event values — two sort-based
+      // aggregates joined by a broadcast 1-row median
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"vmad": {"median_absolute_deviation": {"field": "value"}}}}""")
+        .select(round(col("vmad"), 4).as("vmad"))
+    }),
     "q_agg_significant" -> ((s, dir) => {
       // significant_terms: langs over-represented among 'spark' docs vs the
       // whole corpus, JLH-scored (exact counts; ES shard approximation
@@ -2292,6 +2343,46 @@ object SparkEntry {
            round(quantile_cont(value, 0.90), 4) AS v_p90,
            round(quantile_cont(value, 0.99), 4) AS v_p99
          FROM events WHERE event_type = 'view'""",
+    "q_agg_boxplot" ->
+      """SELECT event_type AS key, count(*) AS doc_count,
+           min(value) AS v_min, max(value) AS v_max,
+           round(quantile_cont(value, 0.25), 4) AS v_q1,
+           round(quantile_cont(value, 0.50), 4) AS v_q2,
+           round(quantile_cont(value, 0.75), 4) AS v_q3
+         FROM events WHERE event_type IS NOT NULL GROUP BY event_type""",
+    "q_agg_string_stats" ->
+      """WITH chars AS (
+           SELECT unnest(string_split(text, '')) AS ch
+           FROM documents WHERE text IS NOT NULL)
+         SELECT (SELECT count(text) FROM documents) AS t_count,
+           (SELECT CAST(min(length(text)) AS INT) FROM documents) AS t_min_length,
+           (SELECT CAST(max(length(text)) AS INT) FROM documents) AS t_max_length,
+           (SELECT round(avg(length(text)), 2) FROM documents) AS t_avg_length,
+           round(entropy(ch), 2) AS t_entropy
+         FROM chars""",
+    "q_agg_matrix_stats" ->
+      """SELECT count(*) AS m_count,
+           round(avg(value), 4) AS m_mean_value,
+           round(avg(user_id), 4) AS m_mean_user_id,
+           round(var_samp(value), 4) AS m_variance_value,
+           round(var_samp(CAST(user_id AS DOUBLE)), 4) AS m_variance_user_id,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS m_covariance,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS m_correlation
+         FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL""",
+    "q_agg_ttest" ->
+      """WITH s AS (SELECT
+           avg(CASE WHEN event_type = 'click' THEN value END) AS ma,
+           var_samp(CASE WHEN event_type = 'click' THEN value END) AS va,
+           count(CASE WHEN event_type = 'click' THEN value END) AS na,
+           avg(CASE WHEN event_type = 'view' THEN value END) AS mb,
+           var_samp(CASE WHEN event_type = 'view' THEN value END) AS vb,
+           count(CASE WHEN event_type = 'view' THEN value END) AS nb
+         FROM events)
+         SELECT round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t FROM s""",
+    "q_agg_mad" ->
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events)
+         SELECT round(quantile_cont(abs(value - med), 0.5), 4) AS vmad
+         FROM events, m""",
     "q_agg_filters" ->
       """WITH w AS (
            SELECT

@@ -370,6 +370,19 @@ object Aggs {
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
           .orderBy(asc("key"))
 
+      case "median_absolute_deviation" =>
+        // MAD = median(|x − median(x)|): two exact sort-based aggregates —
+        // the inner median rides to every row via a broadcast 1-row stats
+        // join (the aggregate-then-broadcast rule; never a global window).
+        // Declared divergences: EXACT (ES approximates via t-digest), and
+        // top-level only (fail-loud under buckets, see [[metric]]).
+        val f = Option(body.get("field")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"median_absolute_deviation '$name' needs a 'field'"))
+        val med = docs.agg(percentile(col(f), lit(0.5)).as("_mad_median"))
+        docs.crossJoin(broadcast(med))
+          .agg(percentile(abs(col(f) - col("_mad_median")), lit(0.5)).as(name))
+
       // ---- top-level metric aggs: one global aggregate row
       case _ =>
         val ms = metric(tpe, name, body)
@@ -1334,6 +1347,89 @@ object Aggs {
       val picked = if (dir == "desc") max_by(col(mf), ord) else min_by(col(mf), ord)
       return Seq(picked.as(s"${name}_$mf"))
     }
+    if (tpe == "matrix_stats") {
+      // Pairwise second-moment statistics across fields. DECLARED SUBSET:
+      // exactly TWO fields; rows missing either field are skipped
+      // (pairwise-complete — ES's default missing handling); sample
+      // moments. Emits the flattened cells: count, per-field
+      // mean/variance, and the cross covariance + correlation — the
+      // off-diagonal entries of ES's matrices (the diagonals ARE the
+      // variances). One map-side-combinable aggregate; no shuffle beyond
+      // the group keys.
+      val unknownM = body.fieldNames.asScala.toSet -- Set("fields")
+      require(unknownM.isEmpty,
+        s"unsupported matrix_stats option(s) in '$name': ${unknownM.mkString(", ")}")
+      val fs = Option(body.get("fields")).filter(_.isArray)
+        .map(_.elements.asScala.toSeq.map(_.asText))
+        .getOrElse(throw new IllegalArgumentException(
+          s"matrix_stats '$name' needs 'fields': [..]"))
+      require(fs.size == 2,
+        s"matrix_stats '$name' supports exactly 2 fields (declared subset), got ${fs.size}")
+      val Seq(fa, fb) = fs
+      val mask = col(fa).isNotNull && col(fb).isNotNull
+      val (a, b) = (when(mask, col(fa)), when(mask, col(fb)))
+      return Seq(
+        count(a).as(s"${name}_count"),
+        avg(a).as(s"${name}_mean_$fa"), avg(b).as(s"${name}_mean_$fb"),
+        var_samp(a).as(s"${name}_variance_$fa"),
+        var_samp(b).as(s"${name}_variance_$fb"),
+        covar_samp(a, b).as(s"${name}_covariance"),
+        corr(a, b).as(s"${name}_correlation"))
+    }
+    if (tpe == "t_test") {
+      // Two-sample Student's t STATISTIC; `type`: paired / homoscedastic
+      // (pooled variance) / heteroscedastic (Welch — the ES default).
+      // DECLARED SUBSET: the t statistic, not ES's p-value — the p-value
+      // needs the t CDF (regularized incomplete beta), which no composition
+      // of builtin aggregates (or oracle SQL) states; the statistic is the
+      // deterministic sufficient part. Each side is a guarded column, so
+      // the whole test is ONE aggregate pass over the data.
+      val unknownTT = body.fieldNames.asScala.toSet -- Set("a", "b", "type")
+      require(unknownTT.isEmpty,
+        s"unsupported t_test option(s) in '$name': ${unknownTT.mkString(", ")}")
+      def side(k: String): (Column, Option[Column]) = {
+        val n = Option(body.get(k)).getOrElse(throw new IllegalArgumentException(
+          s"t_test '$name' needs '$k': {\"field\": ...}"))
+        val f = Option(n.get("field")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"t_test '$name' side '$k' needs a 'field'"))
+        val pred = Option(n.get("filter")).map { fq =>
+          val q = mapper.createObjectNode()
+          q.set[JsonNode]("query", fq)
+          QueryCompiler.compile(q.toString, Int.MaxValue).predicate
+        }
+        (col(f), pred)
+      }
+      val (va, pa) = side("a")
+      val (vb, pb) = side("b")
+      val tt = Option(body.get("type")).map(_.asText).getOrElse("heteroscedastic")
+      return tt match {
+        case "paired" =>
+          // per-row differences on rows where BOTH sides exist; filters
+          // would break the row pairing (ES rejects them here too)
+          require(pa.isEmpty && pb.isEmpty,
+            s"t_test '$name': paired type does not take filters")
+          val d = when(va.isNotNull && vb.isNotNull, va - vb)
+          Seq((avg(d) / (stddev_samp(d) / sqrt(count(d)))).as(name))
+        case "homoscedastic" | "heteroscedastic" =>
+          val a = when(pa.getOrElse(lit(true)) && va.isNotNull, va)
+          val b = when(pb.getOrElse(lit(true)) && vb.isNotNull, vb)
+          val (na, nb) = (count(a), count(b))
+          val diff = avg(a) - avg(b)
+          val t =
+            if (tt == "heteroscedastic")
+              diff / sqrt(var_samp(a) / na + var_samp(b) / nb)
+            else {
+              val sp2 = ((na - lit(1)) * var_samp(a) + (nb - lit(1)) * var_samp(b)) /
+                (na + nb - lit(2))
+              diff / sqrt(sp2 * (lit(1.0) / na + lit(1.0) / nb))
+            }
+          Seq(t.as(name))
+        case other => throw new IllegalArgumentException(
+          s"t_test '$name': unknown type '$other' " +
+            "(paired | homoscedastic | heteroscedastic)")
+      }
+    }
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"metric '$name' needs a 'field'"))
     // ES metric `missing`: substitute for null field values instead of
@@ -1398,6 +1494,31 @@ object Aggs {
             .replace('.', '_')
           percentile(col(f), lit(p / 100.0)).as(s"${name}_p$suffix")
         }
+      case "boxplot" =>
+        // five-number summary: min / q1 / q2 / q3 / max, flattened like
+        // `stats`. EXACT interpolated quartiles (Spark `percentile`, one
+        // sort-based aggregate) — the same declared divergence from ES's
+        // t-digest approximation as `percentiles`.
+        Seq(min(c).as(s"${name}_min"), max(c).as(s"${name}_max"),
+          percentile(c, lit(0.25)).as(s"${name}_q1"),
+          percentile(c, lit(0.5)).as(s"${name}_q2"),
+          percentile(c, lit(0.75)).as(s"${name}_q3"))
+      case "string_stats" =>
+        // value count, length min/max/avg, and Shannon entropy of the
+        // corpus-wide character distribution ([[graft.functions.CharEntropy]]:
+        // a distributed code-point histogram — alphabet-bounded partials,
+        // map-side combinable, one pass)
+        Seq(count(c).as(s"${name}_count"),
+          min(length(c)).as(s"${name}_min_length"),
+          max(length(c)).as(s"${name}_max_length"),
+          avg(length(c)).as(s"${name}_avg_length"),
+          org.apache.spark.sql.graft.Bridge.column(
+            graft.functions.CharEntropy(
+              org.apache.spark.sql.graft.Bridge.expression(c))
+              .toAggregateExpression()).as(s"${name}_entropy"))
+      case "median_absolute_deviation" => throw new IllegalArgumentException(
+        s"median_absolute_deviation '$name' is supported top-level only " +
+          "(a per-bucket inner median needs a bucket-keyed join; declared subset)")
       case other => throw new IllegalArgumentException(s"unsupported aggregation type '$other'")
     }
   }

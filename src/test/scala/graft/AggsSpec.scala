@@ -725,6 +725,84 @@ class AggsSpec extends AnyFunSuite {
     assert(bad("""{"query":{"match_all":{}}}""").getMessage.contains("aggs"))
   }
 
+  test("string_stats: lengths + char entropy of a known distribution") {
+    // "aab" + "b" → chars {a:2, b:2} → entropy exactly 1.0; repartition
+    // forces partial-buffer merge through CharEntropy.serialize/merge
+    val two = Seq((1L, "aab"), (2L, "b")).toDF("doc_id", "text").repartition(2)
+    val r = Aggs.runSingle(two,
+      """{"aggs":{"t":{"string_stats":{"field":"text"}}}}""").collect().head
+    assert(r.getLong(0) == 2L) // count
+    assert(r.getInt(1) == 1 && r.getInt(2) == 3) // min/max length
+    assert(r.getDouble(3) == 2.0) // avg length
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-12) // entropy of 50/50
+    // null-only input → null entropy, zero count
+    val nulls = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val rn = Aggs.runSingle(nulls,
+      """{"aggs":{"t":{"string_stats":{"field":"text"}}}}""").collect().head
+    assert(rn.getLong(0) == 0L && rn.isNullAt(4))
+  }
+
+  test("boxplot: exact quartiles under a bucket agg") {
+    val r = Aggs.runSingle(docs,
+      """{"aggs":{"by_lang":{"terms":{"field":"lang"},
+           "aggs":{"v":{"boxplot":{"field":"score"}}}}}}""")
+      .where(col("key") === "de").collect().head
+    // de scores {30, 40}: q1=32.5, q2=35, q3=37.5 (linear interpolation)
+    assert(r.getDouble(2) == 30.0 && r.getDouble(3) == 40.0)
+    assert(r.getDouble(4) == 32.5 && r.getDouble(5) == 35.0 && r.getDouble(6) == 37.5)
+  }
+
+  test("t_test: welch/pooled/paired statistics and fail-loud contract") {
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0), (4L, 4.0, 8.0))
+      .toDF("doc_id", "a", "b")
+    // paired: d = a-b = {-1,-2,-3,-4}, mean -2.5, sd = 1.2909945, n = 4
+    val paired = Aggs.runSingle(df,
+      """{"aggs":{"t":{"t_test":{"a":{"field":"a"},"b":{"field":"b"},
+           "type":"paired"}}}}""").collect().head.getDouble(0)
+    assert(math.abs(paired - (-2.5 / (1.2909944487358056 / 2))) < 1e-9)
+    // welch == pooled here (equal n): ma=2.5 mb=5, va=5/3 vb=20/3
+    val welch = Aggs.runSingle(df,
+      """{"aggs":{"t":{"t_test":{"a":{"field":"a"},"b":{"field":"b"}}}}}""")
+      .collect().head.getDouble(0)
+    val pooled = Aggs.runSingle(df,
+      """{"aggs":{"t":{"t_test":{"a":{"field":"a"},"b":{"field":"b"},
+           "type":"homoscedastic"}}}}""").collect().head.getDouble(0)
+    val expected = (2.5 - 5.0) / math.sqrt(5.0 / 3 / 4 + 20.0 / 3 / 4)
+    assert(math.abs(welch - expected) < 1e-9)
+    assert(math.abs(pooled - expected) < 1e-9) // equal n ⇒ same denominator
+    // paired + filter is rejected; unknown type is rejected
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(df,
+      """{"aggs":{"t":{"t_test":{"a":{"field":"a","filter":{"match_all":{}}},
+           "b":{"field":"b"},"type":"paired"}}}}""")).getMessage.contains("paired"))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(df,
+      """{"aggs":{"t":{"t_test":{"a":{"field":"a"},"b":{"field":"b"},
+           "type":"zweistichproben"}}}}""")).getMessage.contains("unknown type"))
+  }
+
+  test("matrix_stats: pairwise-complete moments; mad top-level only") {
+    val df = Seq((1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 3.0, 30.0))
+      .toDF("doc_id", "x", "y")
+    val r = Aggs.runSingle(df,
+      """{"aggs":{"m":{"matrix_stats":{"fields":["x","y"]}}}}""").collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 2.0 && r.getDouble(2) == 20.0) // means
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 100.0) // sample variances
+    assert(r.getDouble(5) == 10.0) // covariance
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12) // perfect correlation
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(df,
+      """{"aggs":{"m":{"matrix_stats":{"fields":["x"]}}}}"""))
+      .getMessage.contains("exactly 2 fields"))
+    // MAD of {1,2,3}: median 2, deviations {1,0,1} → 1.0; bucket use fails loud
+    val mad = Aggs.runSingle(df,
+      """{"aggs":{"m":{"median_absolute_deviation":{"field":"x"}}}}""")
+      .collect().head.getDouble(0)
+    assert(mad == 1.0)
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(df,
+      """{"aggs":{"g":{"terms":{"field":"doc_id"},
+           "aggs":{"m":{"median_absolute_deviation":{"field":"x"}}}}}}"""))
+      .getMessage.contains("top-level only"))
+  }
+
   test("plan: terms agg is a partial+final hash aggregate, no window, one exchange") {
     // size below the input's maxRows — on a tiny LocalRelation a limit >=
     // maxRows is optimized away (EliminateLimits) and no top-k can appear

@@ -1184,6 +1184,34 @@ object SparkEntry {
         .select(round(col("v_p50"), 4).as("v_p50"),
           round(col("v_p90"), 4).as("v_p90"), round(col("v_p99"), 4).as("v_p99"))
     }),
+    "q_agg_adjacency" -> ((s, dir) => {
+      // adjacency_matrix: named filters + pairwise intersections from ONE
+      // conditional-aggregate pass (no self-join); empty buckets omitted
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"adj": {"adjacency_matrix": {"filters": {
+              "clicks": {"term": {"event_type": "click"}},
+              "views": {"term": {"event_type": "view"}},
+              "big": {"range": {"value": {"gte": 300}}}}}}}}""")
+    }),
+    "q_agg_auto_date" -> ((s, dir) => {
+      // auto_date_histogram: finest ladder rung keeping <= 15 buckets,
+      // then plain fixed-frame bucketing (epoch-micros integer key both
+      // sides; the chosen rung surfaces as bucket_interval)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"auto": {"auto_date_histogram": {"field": "ts", "buckets": 15},
+            "aggs": {"avg_value": {"avg": {"field": "value"}}}}}}""")
+        .select(unix_micros(col("key")).as("key_us"), col("doc_count"),
+          round(col("avg_value"), 2).as("avg_value"), col("bucket_interval"))
+    }),
+    "q_agg_rate" -> ((s, dir) => {
+      // per-day value total re-expressed per hour: rate = sum·unit/interval
+      // as one more column of the daily histogram's single groupBy
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"daily": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {"hourly_value": {"rate": {"unit": "hour", "field": "value"}}}}}}""")
+        .select(unix_micros(col("key")).as("key_us"), col("doc_count"),
+          round(col("hourly_value"), 2).as("hourly_value"))
+    }),
     "q_agg_boxplot" -> ((s, dir) => {
       // per-event-type five-number summary — boxplot as a terms sub-agg,
       // exact quartiles (declared divergence: ES boxplot is t-digest
@@ -2343,6 +2371,44 @@ object SparkEntry {
            round(quantile_cont(value, 0.90), 4) AS v_p90,
            round(quantile_cont(value, 0.99), 4) AS v_p99
          FROM events WHERE event_type = 'view'""",
+    "q_agg_adjacency" ->
+      """WITH w AS (SELECT
+           count(CASE WHEN value >= 300 THEN 1 END) AS c_big,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS c_clicks,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS c_views,
+           count(CASE WHEN value >= 300 AND event_type = 'click' THEN 1 END)
+             AS c_big_clicks,
+           count(CASE WHEN value >= 300 AND event_type = 'view' THEN 1 END)
+             AS c_big_views
+         FROM events)
+         SELECT key, doc_count FROM (
+           SELECT 'big' AS key, c_big AS doc_count FROM w
+           UNION ALL SELECT 'clicks', c_clicks FROM w
+           UNION ALL SELECT 'views', c_views FROM w
+           UNION ALL SELECT 'big&clicks', c_big_clicks FROM w
+           UNION ALL SELECT 'big&views', c_big_views FROM w
+           UNION ALL SELECT 'clicks&views', 0 FROM w) t
+         WHERE doc_count > 0""",
+    "q_agg_auto_date" ->
+      """WITH s AS (SELECT min(epoch_ns(ts) // 1000) AS lo,
+                    max(epoch_ns(ts) // 1000) AS hi FROM events),
+         r AS (SELECT t.r AS r, t.lbl AS lbl FROM (VALUES
+                 (1000000,'1s'),(5000000,'5s'),(10000000,'10s'),(30000000,'30s'),
+                 (60000000,'1m'),(300000000,'5m'),(600000000,'10m'),(1800000000,'30m'),
+                 (3600000000,'1h'),(10800000000,'3h'),(43200000000,'12h'),
+                 (86400000000,'1d'),(604800000000,'7d'),(2592000000000,'30d'),
+                 (7776000000000,'90d'),(31536000000000,'365d')) t(r, lbl), s
+               WHERE (s.hi // t.r - s.lo // t.r + 1) <= 15 ORDER BY t.r LIMIT 1)
+         SELECT e.us - e.us % r.r AS key_us, count(*) AS doc_count,
+           round(avg(e.value), 2) AS avg_value, r.lbl AS bucket_interval
+         FROM (SELECT epoch_ns(ts) // 1000 AS us, value FROM events
+               WHERE ts IS NOT NULL) e, r
+         GROUP BY 1, 4 ORDER BY key_us""",
+    "q_agg_rate" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us, value FROM events)
+         SELECT us - us % 86400000000 AS key_us, count(*) AS doc_count,
+           round(sum(value) / 24, 2) AS hourly_value
+         FROM ev GROUP BY 1 ORDER BY key_us""",
     "q_agg_boxplot" ->
       """SELECT event_type AS key, count(*) AS doc_count,
            min(value) AS v_min, max(value) AS v_max,

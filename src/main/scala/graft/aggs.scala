@@ -320,6 +320,8 @@ object Aggs {
           .limit(size)
       case "composite" => composite(docs, name, body, subAggs)
       case "filters" => filtersAgg(docs, name, body, subAggs)
+      case "adjacency_matrix" => adjacencyMatrix(docs, name, body, subAggs)
+      case "auto_date_histogram" => autoDateHistogram(docs, name, body, subAggs)
       case "filter" =>
         // single-filter bucket: ONE row of doc_count + metrics over docs
         // matching the embedded query — the body IS a query operator
@@ -356,8 +358,15 @@ object Aggs {
             // min_doc_count: our default is 1 (only materialized buckets —
             // a DECLARED divergence from ES's 0); 0 opts into the
             // continuous axis via zeroFillFrames, >1 thins
+            // a fixed_interval date_histogram carries its bucket width to
+            // `rate` sub-aggs (compile-time constant — no extra pass)
+            val rateIv =
+              if (tpe == "date_histogram")
+                Option(body.get("fixed_interval"))
+                  .map(n => fixedIntervalMicros(n.asText, name))
+              else None
             val base = bucketed(docs, bucketKey(tpe, name, body), subAggs,
-              name, allowedPipelines = pipelineTypes)
+              name, allowedPipelines = pipelineTypes, histoIntervalUs = rateIv)
             val minDoc = Option(body.get("min_doc_count")).map(_.asLong).getOrElse(1L)
             require(minDoc >= 0, s"'$tpe' '$name' min_doc_count must be >= 0")
             val filled =
@@ -501,6 +510,100 @@ object Aggs {
       wide.select(lit(fn).as("key") +: col(s"__cnt_$fn").as("doc_count") +:
         metricSpecs.map { case (sub, _, _) => col(s"__${sub}_$fn").as(sub) }: _*)
     }.reduce(_.unionByName(_))
+  }
+
+  /** `adjacency_matrix`: one bucket per named filter plus one per filter
+    * PAIR (key `a&b`, ES's separator, configurable) counting docs matching
+    * both — the co-occurrence matrix dashboards build Venn panels from.
+    * Like [[filtersAgg]] this is ONE single-pass conditional aggregate
+    * (N + N·(N−1)/2 guarded count columns over one scan — no self-join,
+    * which is what a naive matrix would shuffle into at 100 TB), unpivoted
+    * driver-cheap; ES emits only non-empty buckets and so do we.
+    * Declared subset: doc_count only (no metric sub-aggs). */
+  private def adjacencyMatrix(docs: DataFrame, name: String, body: JsonNode,
+                              subAggs: Option[JsonNode]): DataFrame = {
+    require(subAggs.isEmpty,
+      s"adjacency_matrix '$name': metric sub-aggs unsupported (declared subset)")
+    val unknownK = body.fieldNames.asScala.toSet -- Set("filters", "separator")
+    require(unknownK.isEmpty,
+      s"unsupported adjacency_matrix option(s) in '$name': ${unknownK.mkString(", ")}")
+    val sep = Option(body.get("separator")).map(_.asText).getOrElse("&")
+    val fNode = Option(body.get("filters")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException(
+        s"adjacency_matrix '$name' needs a 'filters' object of named queries"))
+    require(fNode.size > 0, s"adjacency_matrix '$name' has no named filters")
+    val named = fNode.fieldNames.asScala.toSeq.sorted.map { fn =>
+      require(!fn.contains(sep),
+        s"adjacency_matrix '$name': filter name '$fn' contains separator '$sep'")
+      val q = mapper.createObjectNode()
+      q.set[JsonNode]("query", fNode.get(fn))
+      fn -> QueryCompiler.compile(q.toString, Int.MaxValue).predicate
+    }
+    val cells: Seq[(String, Column)] = named ++
+      (for {
+        i <- named.indices
+        j <- (i + 1) until named.size
+      } yield (s"${named(i)._1}$sep${named(j)._1}",
+        coalesce(named(i)._2, lit(false)) && coalesce(named(j)._2, lit(false))))
+    val aggCols = cells.zipWithIndex.map { case ((_, p), i) =>
+      count(when(coalesce(p, lit(false)), lit(1))).as(s"__c_$i")
+    }
+    val wide = docs.agg(aggCols.head, aggCols.tail: _*)
+    cells.zipWithIndex.map { case ((k, _), i) =>
+      wide.select(lit(k).as("key"), col(s"__c_$i").as("doc_count"))
+    }.reduce(_.unionByName(_)).where(col("doc_count") > 0).orderBy(asc("key"))
+  }
+
+  /** Fixed-width rung ladder for [[autoDateHistogram]] (micros): ES's
+    * second/minute/hour rungs plus fixed 1d/7d/30d/90d/365d stand-ins for
+    * its calendar day+/month/year rungs (declared subset — calendar
+    * months are not fixed-width). */
+  private val autoRungs: Seq[(Long, String)] = Seq(
+    1L -> "1s", 5L -> "5s", 10L -> "10s", 30L -> "30s",
+    60L -> "1m", 300L -> "5m", 600L -> "10m", 1800L -> "30m",
+    3600L -> "1h", 10800L -> "3h", 43200L -> "12h",
+    86400L -> "1d", 604800L -> "7d", 2592000L -> "30d",
+    7776000L -> "90d", 31536000L -> "365d")
+    .map { case (s, l) => (s * 1000000L, l) }
+
+  /** `auto_date_histogram`: pick the finest ladder interval that keeps the
+    * bucket count at or under the `buckets` target, then bucket like a
+    * fixed_interval date_histogram. The observed span is a 1-row min/max
+    * aggregate (bounded collect); the rung choice is driver arithmetic;
+    * the bucketing itself is the usual one-shuffle hash aggregate. The
+    * chosen rung is surfaced as a `bucket_interval` column (ES returns it
+    * in response meta). */
+  private def autoDateHistogram(docs: DataFrame, name: String, body: JsonNode,
+                                subAggs: Option[JsonNode]): DataFrame = {
+    val unknownK = body.fieldNames.asScala.toSet -- Set("field", "buckets")
+    require(unknownK.isEmpty,
+      s"unsupported auto_date_histogram option(s) in '$name': ${unknownK.mkString(", ")}")
+    val f = Option(body.get("field")).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException(
+        s"auto_date_histogram '$name' needs a 'field'"))
+    val target = Option(body.get("buckets")).map { n =>
+      require(n.isIntegralNumber && n.asInt >= 1,
+        s"auto_date_histogram '$name' buckets must be a positive integer")
+      n.asInt
+    }.getOrElse(10)
+    val tsUs = unix_micros(col(f))
+    val metrics = subAggMetricCols(subAggs, name, allowedPipelines = Set.empty)
+    val aggCols = count(lit(1)).as("doc_count") +: metrics
+    val span = docs.agg(min(tsUs), max(tsUs)).head()
+    if (span.isNullAt(0))
+      return docs.limit(0)
+        .groupBy(timestamp_micros(tsUs).as("key"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("bucket_interval", lit(""))
+    val (lo, hi) = (span.getLong(0), span.getLong(1))
+    val (rung, label) = autoRungs.find { case (u, _) =>
+      java.lang.Math.floorDiv(hi, u) - java.lang.Math.floorDiv(lo, u) + 1 <= target
+    }.getOrElse(autoRungs.last)
+    docs.where(col(f).isNotNull)
+      .groupBy(timestamp_micros(tsUs - pmod(tsUs, lit(rung))).as("key"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("bucket_interval", lit(label))
+      .orderBy(asc("key"))
   }
 
   /** The inner `terms` bucket sub-agg of a histogram-family agg, if any.
@@ -1216,7 +1319,8 @@ object Aggs {
   /** Metric columns of a bucket agg's sub-agg block (shared by
     * [[bucketed]] and the single-bucket `filter`/`global` aggs). */
   private def subAggMetricCols(subAggs: Option[JsonNode], parent: String,
-                               allowedPipelines: Set[String]): Seq[Column] =
+                               allowedPipelines: Set[String],
+                               histoIntervalUs: Option[Long] = None): Seq[Column] =
     subAggs.toSeq.flatMap { n =>
       require(n.isObject, s"sub-aggs of '$parent' must be an object")
       n.fieldNames.asScala.toSeq.flatMap { sub =>
@@ -1237,14 +1341,44 @@ object Aggs {
               "histogram-family parent; bucket_script/selector/sort also " +
               "allow terms)")
           Nil
+        } else if (ts.head == "rate") {
+          // per-bucket rate re-expressed in `unit`: (sum(field) | doc
+          // count) · unit/interval — one more column of the SAME groupBy,
+          // scaled by a compile-time constant. Needs the parent's fixed
+          // bucket width, so: date_histogram + fixed_interval parents
+          // only, fixed-width units (declared subset; ES also allows
+          // calendar units and month/quarter/year).
+          val rb = subSpec.get("rate")
+          val unknownR = rb.fieldNames.asScala.toSet -- Set("unit", "field")
+          require(unknownR.isEmpty,
+            s"unsupported rate option(s) in '$sub': ${unknownR.mkString(", ")}")
+          val iv = histoIntervalUs.getOrElse(throw new IllegalArgumentException(
+            s"rate '$sub' needs a date_histogram parent with fixed_interval " +
+              "(declared subset)"))
+          val unitUs = Option(rb.get("unit")).map(_.asText).getOrElse("day") match {
+            case "second" => 1000000L
+            case "minute" => 60000000L
+            case "hour" => 3600000000L
+            case "day" => 86400000000L
+            case "week" => 7L * 86400000000L
+            case other => throw new IllegalArgumentException(
+              s"rate '$sub': unsupported unit '$other' " +
+                "(second|minute|hour|day|week — fixed-width units only)")
+          }
+          val base = Option(rb.get("field")) match {
+            case Some(fn) => sum(col(fn.asText))
+            case None => count(lit(1))
+          }
+          Seq((base * (unitUs.toDouble / iv.toDouble)).as(sub))
         } else metric(ts.head, sub, subSpec.get(ts.head))
       }
     }
 
   private def bucketed(docs: DataFrame, key: Column, subAggs: Option[JsonNode],
                        parent: String,
-                       allowedPipelines: Set[String] = Set.empty): DataFrame = {
-    val metrics = subAggMetricCols(subAggs, parent, allowedPipelines)
+                       allowedPipelines: Set[String] = Set.empty,
+                       histoIntervalUs: Option[Long] = None): DataFrame = {
+    val metrics = subAggMetricCols(subAggs, parent, allowedPipelines, histoIntervalUs)
     val aggCols = (count(lit(1)).as("doc_count") +: metrics)
     docs.where(key.isNotNull).groupBy(key.as("key"))
       .agg(aggCols.head, aggCols.tail: _*)

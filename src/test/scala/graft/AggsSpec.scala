@@ -803,6 +803,79 @@ class AggsSpec extends AnyFunSuite {
       .getMessage.contains("top-level only"))
   }
 
+  test("adjacency_matrix: singles + pair intersections, empty pairs omitted") {
+    val out = Aggs.runSingle(docs,
+      """{"aggs":{"adj":{"adjacency_matrix":{"filters":{
+           "sparky":{"match":{"text":"spark"}},
+           "german":{"term":{"lang":"de"}},
+           "english":{"term":{"lang":"en"}}}}}}}""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("sparky") == 4L && out("german") == 2L && out("english") == 2L)
+    assert(out("german&sparky") == 1L) // doc 3 only
+    assert(out("english&sparky") == 2L)
+    assert(!out.contains("english&german")) // empty intersection omitted
+    // custom separator; name containing the separator fails loud
+    val sep = Aggs.runSingle(docs,
+      """{"aggs":{"adj":{"adjacency_matrix":{"separator":"|","filters":{
+           "a":{"term":{"lang":"de"}},"b":{"term":{"lang":"de"}}}}}}}""")
+      .collect().map(_.getString(0)).toSet
+    assert(sep == Set("a", "b", "a|b"))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(docs,
+      """{"aggs":{"adj":{"adjacency_matrix":{"filters":{
+           "a&b":{"term":{"lang":"de"}}}}}}}"""))
+      .getMessage.contains("separator"))
+  }
+
+  test("auto_date_histogram: finest rung that fits the bucket target") {
+    import java.sql.Timestamp
+    // 10 events 5 minutes apart (45-minute span): target 10 → the 5m rung
+    // fits exactly (10 frames); target 4 → 30m; target 60 → 1m
+    val ev = (0 until 10).map(i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 5 * 60 * 1000L)))
+      .toDF("doc_id", "ts")
+    def run(target: Int) = Aggs.runSingle(ev,
+      s"""{"aggs":{"a":{"auto_date_histogram":{"field":"ts","buckets":$target}}}}""")
+      .collect()
+    val coarse = run(10)
+    assert(coarse.forall(_.getString(2) == "5m") && coarse.length == 10)
+    assert(coarse.map(_.getLong(1)).sum == 10L)
+    val coarser = run(4)
+    assert(coarser.forall(_.getString(2) == "30m") && coarser.length <= 4)
+    assert(coarser.map(_.getLong(1)).sum == 10L)
+    val fine = run(60)
+    assert(fine.forall(_.getString(2) == "1m") && fine.length == 10)
+    // empty input → empty result, not a crash
+    assert(run(10).length > 0 && Aggs.runSingle(ev.limit(0),
+      """{"aggs":{"a":{"auto_date_histogram":{"field":"ts","buckets":5}}}}""")
+      .collect().isEmpty)
+  }
+
+  test("rate: unit rescale of sum/count under fixed_interval; fail-loud otherwise") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, new Timestamp(0L), 12.0), (2L, new Timestamp(3600 * 1000L), 36.0),
+      (3L, new Timestamp(90000 * 1000L), 48.0)) // day 2
+      .toDF("doc_id", "ts", "value")
+    val out = Aggs.runSingle(ev,
+      """{"aggs":{"d":{"date_histogram":{"field":"ts","fixed_interval":"1d"},
+           "aggs":{"vph":{"rate":{"unit":"hour","field":"value"}},
+                   "eph":{"rate":{"unit":"hour"}}}}}}""")
+      .collect()
+    assert(out.length == 2)
+    assert(out(0).getDouble(2) == 2.0) // (12+36)/24
+    assert(out(0).getDouble(3) == 2.0 / 24) // 2 events per day → /24 per hour
+    assert(out(1).getDouble(2) == 2.0) // 48/24
+    // no fixed_interval parent → loud
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(ev,
+      """{"aggs":{"g":{"terms":{"field":"doc_id"},
+           "aggs":{"r":{"rate":{"unit":"hour"}}}}}}"""))
+      .getMessage.contains("fixed_interval"))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(ev,
+      """{"aggs":{"d":{"date_histogram":{"field":"ts","fixed_interval":"1d"},
+           "aggs":{"r":{"rate":{"unit":"month"}}}}}}"""))
+      .getMessage.contains("unit"))
+  }
+
   test("plan: terms agg is a partial+final hash aggregate, no window, one exchange") {
     // size below the input's maxRows — on a tiny LocalRelation a limit >=
     // maxRows is optimized away (EliminateLimits) and no top-k can appear

@@ -1456,6 +1456,30 @@ object SparkEntry {
     }),
 
     // ---- north star: similarity search ----
+    "q_search_knn" -> ((s, dir) => {
+      // ES-8 knn search body: exact filtered cosine top-k over the vector
+      // column (declared divergence: ES HNSW is approximate), ES score
+      // mapping (1+cos)/2; double math for engine-portable round-4 scores
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val qv = (0 until 64).map(i => (i % 5 - 2).toDouble).mkString(", ")
+      Search.knnSearch(emb,
+        s"""{"knn": {"field": "embedding", "query_vector": [$qv], "k": 10,
+             "num_candidates": 100, "filter": {"term": {"label": 3}}}}""")
+        .select(col("vec_id"), round(col("_score"), 4).as("_score"))
+    }),
+    "q_search_rescore" -> ((s, dir) => {
+      // rescore: the top-20 'spark' window re-ranked by a 'streaming'
+      // secondary query (total mode, rescore weight 2) — the expensive
+      // second pass runs on a bounded window, never the corpus
+      val docs = tbl(s, dir, "documents")
+      Search.rescore(docs,
+        """{"query": {"match": {"text": "spark"}}, "size": 5,
+            "rescore": {"window_size": 20, "query": {
+              "rescore_query": {"match": {"text": "streaming"}},
+              "query_weight": 1.0, "rescore_query_weight": 2.0}}}""")
+        .select(col("doc_id"), col("_score").cast("double").as("_score"))
+    }),
     "q_similarity_topk" -> ((s, dir) => {
       // double-precision math so scores are engine-portable (float dot
       // products would diverge from the oracle at round-4)
@@ -2589,6 +2613,23 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_search_knn" ->
+      """WITH q AS (SELECT [CAST(x % 5 - 2 AS DOUBLE) FOR x IN range(64)] AS qv),
+         scored AS (
+           SELECT vec_id,
+             (1 + list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) / 2 AS s
+           FROM embeddings, q WHERE label = 3)
+         SELECT vec_id, round(s, 4) AS _score FROM scored
+         ORDER BY s DESC, vec_id LIMIT 10""",
+    "q_search_rescore" ->
+      """WITH hits AS (
+           SELECT doc_id, lower(text) AS lt FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b')
+           ORDER BY doc_id LIMIT 20)
+         SELECT doc_id,
+           CAST(1.0 + CASE WHEN regexp_matches(lt, '\bstreaming\b')
+                      THEN 2.0 ELSE 0.0 END AS DOUBLE) AS _score
+         FROM hits ORDER BY _score DESC, doc_id LIMIT 5""",
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
          q AS (SELECT vec_id AS query_id, embedding AS query_vec

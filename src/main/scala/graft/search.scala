@@ -1,7 +1,10 @@
 package graft
 
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
 
 /** Read-path search executor (R4-R10).
   *
@@ -555,5 +558,133 @@ object Search {
       .withColumn("_score", matched)
       .orderBy(desc("_score"), asc(idCol))
       .limit(cfg.maxResults)
+  }
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** ES-8 `knn` search body: top-k nearest neighbors of a literal
+    * `query_vector` over a vector column, optionally pre-filtered by a DSL
+    * `filter` (ES filtered-kNN: the filter applies DURING the search, so k
+    * survivors always come back — never a post-filter that starves the
+    * page). `_score` is ES's cosine mapping `(1 + cos) / 2`.
+    *
+    * EXACT brute-force scan — declared divergence: ES answers with
+    * approximate HNSW; exactness is the same superset contract as
+    * `cardinality`, and `num_candidates` is accepted as a no-op (it tunes
+    * an approximation we don't make). The scan is one codegen'd
+    * vec_cosine pass + TakeOrderedAndProject: no shuffle of vectors, only
+    * the k survivors move. The 100 TB scale path that trades exactness
+    * back for pruning is the IVF / IVF-PQ family (pipeline/ivf.scala,
+    * pipeline/pq.scala).
+    * Reference: search bodies pass to ES verbatim (ElasticIndex.java:663);
+    * `knn` is the ES-8 body shape. */
+  def knnSearch(docs: DataFrame, body: String, cfg: IndexConfig = IndexConfig(),
+                idCol: String = "vec_id"): DataFrame = {
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, "knn search body must be a JSON object")
+    val unknownTop = root.fieldNames.asScala.toSet -- Set("knn", "size")
+    require(unknownTop.isEmpty,
+      s"unsupported knn body key(s): ${unknownTop.mkString(", ")} " +
+        "(hybrid knn+query is not supported; declared subset)")
+    val kn = Option(root.get("knn")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException("body needs a 'knn' object"))
+    val unknownK = kn.fieldNames.asScala.toSet --
+      Set("field", "query_vector", "k", "num_candidates", "filter")
+    require(unknownK.isEmpty,
+      s"unsupported knn option(s): ${unknownK.mkString(", ")}")
+    val field = Option(kn.get("field")).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException("knn needs a 'field'"))
+    val qv = Option(kn.get("query_vector")).filter(_.isArray)
+      .map(_.elements.asScala.toSeq.map(_.asDouble))
+      .getOrElse(throw new IllegalArgumentException(
+        "knn needs 'query_vector': [..]"))
+    require(qv.nonEmpty, "knn query_vector must be non-empty")
+    val k = Option(kn.get("k")).map { n =>
+      require(n.isIntegralNumber && n.asInt >= 1, s"knn k must be >= 1, got $n")
+      n.asInt
+    }.getOrElse(throw new IllegalArgumentException("knn needs 'k'"))
+    Option(kn.get("num_candidates")).foreach { n =>
+      require(n.isIntegralNumber && n.asInt >= k,
+        s"knn num_candidates must be >= k") // accepted no-op: exact scan
+    }
+    // ES: `size` (default k) caps the returned page; k caps the search
+    val size = Option(root.get("size")).map(_.asInt).getOrElse(k).min(k)
+    val pred = Option(kn.get("filter")).map { fq =>
+      val w = mapper.createObjectNode()
+      w.set[JsonNode]("query", fq)
+      QueryCompiler.compile(w.toString, Int.MaxValue, idCol).predicate
+    }.getOrElse(lit(true))
+    // double-precision literal vector: engine-portable scores (and
+    // vec_cosine mixes element types, so float corpus columns are fine)
+    val qvCol = array(qv.map(lit): _*)
+    val scored = docs.where(pred)
+      .withColumn("_score",
+        (lit(1.0) + graft.functions.VecFunctions.vec_cosine(col(field), qvCol)) / 2)
+      .where(col("_score").isNotNull) // zero-norm vectors can't rank
+    scored.orderBy(desc("_score"), asc(idCol)).limit(size)
+  }
+
+  /** ES `rescore`: re-rank the top `window_size` hits of the main query
+    * with a (typically expensive) secondary query, combining the two
+    * scores per `score_mode` (total | multiply | avg | max | min, weighted
+    * by query_weight / rescore_query_weight). Hits that don't match the
+    * rescore query keep their weighted original score (ES semantics).
+    *
+    * The window is a bounded top-k (≤ max-results), so the second pass
+    * re-scores a capped set — at 100 TB the expensive secondary predicate
+    * runs on `window_size` rows, not the corpus; that bound is the whole
+    * point of the operator. Declared subset: `size` must fit inside
+    * `window_size` (fail-loud otherwise) — ES's below-window splice
+    * (original-order hits after the rescored window) is not modeled. */
+  def rescore(docs: DataFrame, body: String, cfg: IndexConfig = IndexConfig(),
+              idCol: String = "doc_id"): DataFrame = {
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, "search body must be a JSON object")
+    val rNode = Option(root.get("rescore")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException("body needs a 'rescore' object"))
+    val unknownR = rNode.fieldNames.asScala.toSet -- Set("window_size", "query")
+    require(unknownR.isEmpty,
+      s"unsupported rescore option(s): ${unknownR.mkString(", ")}")
+    val window = Option(rNode.get("window_size")).map(_.asInt).getOrElse(10)
+    require(window >= 1 && window <= cfg.maxResults,
+      s"rescore window_size must be in [1, ${cfg.maxResults}]")
+    val qNode = Option(rNode.get("query")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException("rescore needs a 'query' object"))
+    val unknownQ = qNode.fieldNames.asScala.toSet --
+      Set("rescore_query", "query_weight", "rescore_query_weight", "score_mode")
+    require(unknownQ.isEmpty,
+      s"unsupported rescore.query option(s): ${unknownQ.mkString(", ")}")
+    val rq = Option(qNode.get("rescore_query"))
+      .getOrElse(throw new IllegalArgumentException("rescore needs 'rescore_query'"))
+    val wq = Option(qNode.get("query_weight")).map(_.asDouble).getOrElse(1.0)
+    val wr = Option(qNode.get("rescore_query_weight")).map(_.asDouble).getOrElse(1.0)
+    val mode = Option(qNode.get("score_mode")).map(_.asText).getOrElse("total")
+    val base = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    base.remove("rescore")
+    val cq = QueryCompiler.compile(base.toString, 10, idCol)
+    val size = cq.limit.getOrElse(10)
+    require(size <= window,
+      s"rescore: size ($size) must fit window_size ($window) — the " +
+        "below-window original-order splice is not modeled (declared subset)")
+    val hits = topK(docs, cq.copy(limit = Some(window), from = 0), cfg, idCol)
+    val rqC = {
+      val w = mapper.createObjectNode()
+      w.set[JsonNode]("query", rq.deepCopy[JsonNode]())
+      QueryCompiler.compile(w.toString, Int.MaxValue, idCol)
+    }
+    val orig = col("_score") * wq
+    val rs = rqC.score * wr
+    val combined = mode match {
+      case "total" => orig + rs
+      case "multiply" => orig * rs
+      case "avg" => (orig + rs) / 2
+      case "max" => greatest(orig, rs)
+      case "min" => least(orig, rs)
+      case other => throw new IllegalArgumentException(
+        s"rescore: unknown score_mode '$other' (total|multiply|avg|max|min)")
+    }
+    hits.withColumn("_score", when(rqC.predicate, combined).otherwise(orig))
+      .orderBy(desc("_score"), asc(idCol))
+      .limit(size)
   }
 }

@@ -767,6 +767,56 @@ class SearchSpec extends AnyFunSuite {
       likeIds = Seq("1"), likeText = Some("x")))
   }
 
+  test("knn: exact cosine top-k, ES score mapping, filter during search") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0), "a"), (2L, Array(0.9, 0.1), "a"),
+      (3L, Array(0.0, 1.0), "a"), (4L, Array(1.0, 0.01), "b"))
+      .toDF("vec_id", "embedding", "grp")
+    val out = Search.knnSearch(vecs,
+      """{"knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 2,
+          "filter": {"term": {"grp": "a"}}}}""")
+      .select("vec_id", "_score").collect()
+    // filter keeps {1,2,3}; nearest two are 1 (cos=1 → score 1.0) then 2
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getDouble(1) == 1.0)
+    assert(out(1).getDouble(1) > 0.99 && out(1).getDouble(1) < 1.0)
+    // size caps below k; num_candidates < k fails loud; hybrid body fails loud
+    assert(Search.knnSearch(vecs,
+      """{"size": 1, "knn": {"field": "embedding", "query_vector": [1.0, 0.0],
+          "k": 3}}""").count() == 1)
+    assert(intercept[IllegalArgumentException](Search.knnSearch(vecs,
+      """{"knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 5,
+          "num_candidates": 2}}""")).getMessage.contains("num_candidates"))
+    assert(intercept[IllegalArgumentException](Search.knnSearch(vecs,
+      """{"query": {"match_all": {}},
+          "knn": {"field": "embedding", "query_vector": [1.0], "k": 1}}"""))
+      .getMessage.contains("hybrid"))
+  }
+
+  test("rescore: window re-rank with score modes; size>window fails loud") {
+    def run(mode: String) = Search.rescore(docs,
+      s"""{"query": {"match": {"text": "spark"}}, "size": 2,
+           "rescore": {"window_size": 3, "query": {
+             "rescore_query": {"match": {"text": "streaming"}},
+             "query_weight": 1.0, "rescore_query_weight": 2.0,
+             "score_mode": "$mode"}}}""")
+      .select("doc_id", "_score").collect()
+    // spark hits {1, 3}; doc 3 also matches streaming
+    val total = run("total")
+    assert(total.map(_.getString(0)).toSeq == Seq("3", "1"))
+    assert(total(0).getDouble(1) == 3.0 && total(1).getDouble(1) == 1.0)
+    val mult = run("multiply")
+    assert(mult(0).getString(0) == "3" && mult(0).getDouble(1) == 2.0)
+    assert(mult(1).getDouble(1) == 1.0) // non-match keeps weighted original
+    val mx = run("max")
+    assert(mx(0).getDouble(1) == 2.0)
+    assert(intercept[IllegalArgumentException](Search.rescore(docs,
+      """{"query": {"match_all": {}}, "size": 9,
+          "rescore": {"window_size": 3,
+            "query": {"rescore_query": {"match_all": {}}}}}"""))
+      .getMessage.contains("window_size"))
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

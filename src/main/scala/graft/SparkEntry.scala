@@ -1456,6 +1456,35 @@ object SparkEntry {
     }),
 
     // ---- north star: similarity search ----
+    "q_search_terms_lookup" -> ((s, dir) => {
+      // terms LOOKUP: the terms list lives in one stored doc (here a
+      // per-source lang roster) — resolved as a bounded single-doc read,
+      // spliced as a literal isin before compile
+      val docs = tbl(s, dir, "documents")
+      val roster = docs.groupBy(col("source").as("doc_id"))
+        .agg(sort_array(collect_set(col("lang"))).as("langs"))
+      val body = Search.resolveTermsLookup(
+        """{"query": {"terms": {"lang":
+              {"index": "rosters", "id": "src7", "path": "langs"}}},
+            "size": 10000}""",
+        Map("rosters" -> roster))
+      Search.search(docs, body, IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"))
+    }),
+    "q_suggest_term" -> ((s, dir) => {
+      // term suggester: spelling corrections from the corpus dictionary
+      // within edit distance 2, ranked distance then doc frequency
+      Search.termSuggest(tbl(s, dir, "documents"), "text",
+          "sparc streem", size = 5)
+        .select(col("token"), col("suggestion"),
+          col("distance").cast("int").as("distance"), col("freq"),
+          col("rank").cast("int").as("rank"))
+    }),
+    "q_suggest_completion" -> ((s, dir) => {
+      // completion suggester analog: prefix terms ranked by doc frequency
+      Search.completionSuggest(tbl(s, dir, "documents"), "text", "str",
+        size = 10)
+    }),
     "q_search_knn" -> ((s, dir) => {
       // ES-8 knn search body: exact filtered cosine top-k over the vector
       // column (declared divergence: ES HNSW is approximate), ES score
@@ -2613,6 +2642,41 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_search_terms_lookup" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE lang IN (SELECT DISTINCT lang FROM documents
+                        WHERE source = 'src7' AND lang IS NOT NULL)""",
+    "q_suggest_term" ->
+      """WITH input AS (
+           SELECT DISTINCT unnest(list_filter(
+             string_split_regex(lower('sparc streem'), '[^a-z0-9_]+'),
+             x -> len(x) > 0)) AS token),
+         d AS (
+           SELECT unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0))) AS cand
+           FROM documents),
+         dict AS (SELECT cand, count(*) AS freq FROM d GROUP BY cand),
+         c AS (
+           SELECT token, cand AS suggestion,
+             CAST(levenshtein(token, cand) AS INT) AS distance, freq
+           FROM dict, input
+           WHERE cand <> token AND levenshtein(token, cand) <= 2),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY token
+             ORDER BY distance, freq DESC, suggestion) AS INT) AS rank
+           FROM c)
+         SELECT token, suggestion, distance, freq, rank
+         FROM r WHERE rank <= 5 ORDER BY token, rank""",
+    "q_suggest_completion" ->
+      """WITH d AS (
+           SELECT unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0))) AS suggestion
+           FROM documents)
+         SELECT suggestion, count(*) AS freq FROM d
+         WHERE suggestion LIKE 'str%'
+         GROUP BY suggestion ORDER BY freq DESC, suggestion LIMIT 10""",
     "q_search_knn" ->
       """WITH q AS (SELECT [CAST(x % 5 - 2 AS DOUBLE) FOR x IN range(64)] AS qv),
          scored AS (

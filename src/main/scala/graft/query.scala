@@ -1010,8 +1010,12 @@ object QueryCompiler {
           c
         case "terms" => // {"terms":{"f":["a","b",...]}} — exact-value disjunction
           val (f, v) = singleField(body)
-          require(v.isArray && v.size > 0, s"terms expects a non-empty array, got: $v")
-          val c = col(f).isin(v.elements.asScala.map(scalarOf).toSeq: _*)
+          require(v.isArray, s"terms expects an array, got: $v")
+          // [] matches NOTHING (ES allows it — "no permitted values", and
+          // it's what a terms LOOKUP on a missing doc resolves to)
+          val c =
+            if (v.size == 0) lit(false)
+            else col(f).isin(v.elements.asScala.map(scalarOf).toSeq: _*)
           if (scoring) leaves += leaf(c, 1)
           c
         case "ids" => // {"ids":{"values":[...]}} — id lookup on the ES _id analog

@@ -687,4 +687,125 @@ object Search {
       .orderBy(desc("_score"), asc(idCol))
       .limit(size)
   }
+
+  /** ES terms LOOKUP: `{"terms": {"f": {"index": i, "id": v, "path": p}}}`
+    * uses ONE stored document's field value(s) as the terms list.
+    * Resolution happens BEFORE compile: the lookup is a bounded single-doc
+    * read (ES's own contract — the list lives in one document), spliced
+    * into the body as a literal array, so the compiled plan is the
+    * ordinary isin predicate and composes with every body consumer
+    * (search, aggs query, delete-by-query). A missing lookup doc resolves
+    * to the empty list — matches nothing, ES semantics.
+    * Reference: bodies pass to ES verbatim (ElasticIndex.java:663); the
+    * lookup form is the ES terms-query variant users send when the list
+    * is server-side. */
+  def resolveTermsLookup(body: String, tables: Map[String, DataFrame],
+                         idCol: String = "doc_id"): String = {
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+    val root = mapper.readTree(body)
+    def addScalar(arr: ArrayNode, v: Any): Unit = v match {
+      case null =>
+      case s: String => arr.add(s)
+      case i: Int => arr.add(i)
+      case l: Long => arr.add(l)
+      case d: Double => arr.add(d)
+      case f: Float => arr.add(f.toDouble)
+      case b: Boolean => arr.add(b)
+      case other => arr.add(String.valueOf(other))
+    }
+    def resolve(t: ObjectNode, f: String, spec: JsonNode): Unit = {
+      val unknown = spec.fieldNames.asScala.toSet -- Set("index", "id", "path")
+      require(unknown.isEmpty,
+        s"unsupported terms-lookup option(s) on '$f': ${unknown.mkString(", ")}")
+      def req(k: String): JsonNode = Option(spec.get(k)).getOrElse(
+        throw new IllegalArgumentException(s"terms lookup on '$f' needs '$k'"))
+      val idx = req("index").asText
+      val idNode = req("id")
+      val path = req("path").asText
+      val tbl = tables.getOrElse(idx, throw new IllegalArgumentException(
+        s"terms lookup on '$f': unknown lookup index '$idx'"))
+      val idVal: Any = if (idNode.isTextual) idNode.asText else idNode.numberValue
+      val rows = tbl.where(col(idCol) === lit(idVal))
+        .select(col(path)).limit(2).collect()
+      require(rows.length <= 1,
+        s"terms lookup on '$f': id '$idVal' is not unique in '$idx'")
+      val arr = mapper.createArrayNode()
+      rows.headOption.filterNot(_.isNullAt(0)).foreach { r =>
+        r.get(0) match {
+          case s: scala.collection.Seq[_] => s.foreach(addScalar(arr, _))
+          case x => addScalar(arr, x)
+        }
+      }
+      t.set[JsonNode](f, arr)
+    }
+    def walk(n: JsonNode): Unit = {
+      if (n.isObject) {
+        val o = n.asInstanceOf[ObjectNode]
+        Option(o.get("terms")).filter(_.isObject).foreach { t =>
+          t.fieldNames.asScala.toList.foreach { f =>
+            val v = t.get(f)
+            if (v.isObject) resolve(t.asInstanceOf[ObjectNode], f, v)
+          }
+        }
+        o.properties.asScala.foreach(e => walk(e.getValue))
+      } else if (n.isArray) n.elements.asScala.foreach(walk)
+    }
+    walk(root)
+    root.toString
+  }
+
+  private def analyzerTokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9_]+"), t => length(t) > 0)
+
+  /** ES `suggest` term suggester: spelling corrections for each analyzed
+    * input token, drawn from the corpus' term dictionary within
+    * `max_edits` Levenshtein distance, ranked distance-then-frequency
+    * (frequency = document frequency, ES's ranking signal). One dictionary
+    * aggregate + one broadcast of the (tiny) input tokens over it — the
+    * dictionary is vocabulary-bounded, never corpus-bounded, and no
+    * all-pairs shape exists. Declared subset: suggest_mode=always (ES's
+    * default `missing` gate — only suggest for absent terms — is the
+    * caller's one extra filter). */
+  def termSuggest(docs: DataFrame, field: String, text: String,
+                  size: Int = 5, maxEdits: Int = 2,
+                  idCol: String = "doc_id"): DataFrame = {
+    require(size >= 1, s"term suggester size must be >= 1, got $size")
+    require(maxEdits >= 1 && maxEdits <= 2, // ES's own cap
+      s"term suggester max_edits must be 1 or 2, got $maxEdits")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val input = Seq(text).toDF("_txt")
+      .select(explode(array_distinct(analyzerTokens(col("_txt")))).as("token"))
+    val dict = docs
+      .select(explode(array_distinct(analyzerTokens(col(field)))).as("cand"))
+      .groupBy("cand").agg(count(lit(1)).as("freq"))
+    val cands = dict.crossJoin(broadcast(input))
+      .where(col("cand") =!= col("token"))
+      .withColumn("distance", levenshtein(col("token"), col("cand")))
+      .where(col("distance") <= maxEdits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(asc("distance"), desc("freq"), asc("cand"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= size)
+      .select(col("token"), col("cand").as("suggestion"), col("distance"),
+        col("freq"), col("rank"))
+      .orderBy(asc("token"), asc("rank"))
+  }
+
+  /** ES completion suggester, re-expressed over the corpus term
+    * dictionary: terms with the given prefix ranked by document frequency
+    * (ES ranks by indexed weight over a dedicated FST field — our weight
+    * IS the doc frequency; declared analog). The prefix filter lands on
+    * the dictionary aggregate, so the cost is one vocabulary-bounded
+    * groupBy + a top-k. */
+  def completionSuggest(docs: DataFrame, field: String, prefix: String,
+                        size: Int = 5): DataFrame = {
+    require(prefix.nonEmpty, "completion suggester needs a non-empty prefix")
+    require(size >= 1, s"completion suggester size must be >= 1, got $size")
+    docs.select(explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"))
+      .where(col("suggestion").startsWith(prefix.toLowerCase))
+      .groupBy("suggestion").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("suggestion"))
+      .limit(size)
+  }
 }

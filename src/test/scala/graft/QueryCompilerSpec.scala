@@ -132,9 +132,12 @@ class QueryCompilerSpec extends AnyFunSuite {
       """{"query":{"query_string":{"query":"a:x AND b:y"}}}""").isRight)
   }
 
-  test("DSL terms / ids / match_phrase compile; empty lists rejected") {
+  test("DSL terms / ids / match_phrase compile; empty ids rejected") {
     assert(QueryCompiler.validate("""{"query":{"terms":{"f":["a","b"]}}}""").isRight)
-    assert(QueryCompiler.validate("""{"query":{"terms":{"f":[]}}}""").isLeft)
+    // [] is legal terms (matches nothing — ES parity; what a terms LOOKUP
+    // on a missing doc resolves to); a non-array is still rejected
+    assert(QueryCompiler.validate("""{"query":{"terms":{"f":[]}}}""").isRight)
+    assert(QueryCompiler.validate("""{"query":{"terms":{"f":"x"}}}""").isLeft)
     assert(QueryCompiler.validate("""{"query":{"ids":{"values":["1","2"]}}}""").isRight)
     assert(QueryCompiler.validate("""{"query":{"ids":{}}}""").isLeft)
     assert(QueryCompiler.validate(

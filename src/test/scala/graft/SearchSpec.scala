@@ -817,6 +817,50 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("window_size"))
   }
 
+  test("terms lookup: array and scalar paths splice literal lists; missing doc matches nothing") {
+    val roster = Seq(("g1", Seq("en", "de"), "en"), ("g2", Seq("fr"), "fr"))
+      .toDF("doc_id", "langs", "one_lang")
+    def resolved(id: String, path: String) = Search.resolveTermsLookup(
+      s"""{"query": {"terms": {"lang": {"index": "r", "id": "$id", "path": "$path"}}}}""",
+      Map("r" -> roster))
+    val hits = Search.search(docs, resolved("g1", "langs"), IndexConfig(), Seq("doc_id"))
+    assert(hits.count() == 4) // en + de docs
+    val scalarHits = Search.search(docs, resolved("g2", "one_lang"), IndexConfig(), Seq("doc_id"))
+    assert(scalarHits.count() == 0) // no fr docs in fixture
+    assert(resolved("g2", "one_lang").contains("\"fr\"")) // scalar became a list
+    val missing = Search.search(docs, resolved("nope", "langs"), IndexConfig(), Seq("doc_id"))
+    assert(missing.count() == 0) // absent lookup doc → empty list
+    assert(intercept[IllegalArgumentException](Search.resolveTermsLookup(
+      """{"query": {"terms": {"lang": {"index": "nope", "id": "x", "path": "p"}}}}""",
+      Map("r" -> roster))).getMessage.contains("unknown lookup index"))
+  }
+
+  test("term suggester: distance-then-frequency ranking from the corpus dictionary") {
+    val corpus = Seq(
+      ("1", "spark spark streaming"), ("2", "spark engine"), ("3", "sparse matrix"))
+      .toDF("doc_id", "text")
+    val out = Search.termSuggest(corpus, "text", "sparc", size = 3).collect()
+    // distance 1 from 'sparc': spark (df 2), sparse (d2 — no: levenshtein
+    // sparc→sparse = 2)... spark d=1 first; then d=2 candidates by freq
+    assert(out.head.getString(1) == "spark")
+    assert(out.head.getInt(2) == 1 && out.head.getLong(3) == 2L)
+    assert(out.map(_.getInt(4)).toSeq == (1 to out.length).toSeq)
+    // input token present in the corpus is never its own suggestion
+    assert(Search.termSuggest(corpus, "text", "spark", size = 5)
+      .collect().forall(_.getString(1) != "spark"))
+  }
+
+  test("completion suggester: prefix terms by doc frequency") {
+    val corpus = Seq(
+      ("1", "stream stream state"), ("2", "stream strong"), ("3", "strong state"))
+      .toDF("doc_id", "text")
+    val out = Search.completionSuggest(corpus, "text", "str", size = 2).collect()
+    // doc freqs: stream 2, strong 2, state 2 — but 'sta' filtered; tie
+    // breaks alphabetically: stream before strong
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("stream", 2L), ("strong", 2L)))
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

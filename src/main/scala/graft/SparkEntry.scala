@@ -1456,6 +1456,15 @@ object SparkEntry {
     }),
 
     // ---- north star: similarity search ----
+    "q_percolate" -> ((s, dir) => {
+      // percolator: three stored alerting queries (Lucene-lite + DSL)
+      // evaluated against every doc in ONE scan — (query_id, doc_id)
+      // match pairs
+      Search.percolate(tbl(s, dir, "documents"), Seq(
+        "sparky" -> "text:spark",
+        "de_docs" -> """{"query": {"term": {"lang": "de"}}}""",
+        "big" -> """{"query": {"range": {"n_chars": {"gte": 400}}}}"""))
+    }),
     "q_search_terms_lookup" -> ((s, dir) => {
       // terms LOOKUP: the terms list lives in one stored doc (here a
       // per-source lang roster) — resolved as a bounded single-doc read,
@@ -2642,6 +2651,13 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_percolate" ->
+      """SELECT 'sparky' AS query_id, doc_id FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+         UNION ALL
+         SELECT 'de_docs', doc_id FROM documents WHERE lang = 'de'
+         UNION ALL
+         SELECT 'big', doc_id FROM documents WHERE n_chars >= 400""",
     "q_search_terms_lookup" ->
       """SELECT doc_id, lang FROM documents
          WHERE lang IN (SELECT DISTINCT lang FROM documents

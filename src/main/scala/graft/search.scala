@@ -754,6 +754,32 @@ object Search {
     root.toString
   }
 
+  /** ES percolator, inverted-search direction: which STORED queries match
+    * each document. Every stored query (Lucene-lite or DSL JSON) compiles
+    * to a predicate column; one projection evaluates all of them per row
+    * and explodes the matching ids — a single corpus scan with zero
+    * shuffle, where the stored-query set is the bounded side (ES stores
+    * them in a percolator index; ours ride the plan as compiled columns).
+    * Declared divergence: no candidate pre-pruning via indexed query
+    * terms (ES's optimization, same answers), every predicate evaluates —
+    * fine up to thousands of stored queries, the percolator's real-world
+    * shape (alerting rules). Returns (query_id, doc id) match pairs. */
+  def percolate(docs: DataFrame, stored: Seq[(String, String)],
+                cfg: IndexConfig = IndexConfig(),
+                idCol: String = "doc_id"): DataFrame = {
+    require(stored.nonEmpty, "percolate needs at least one stored query")
+    require(stored.map(_._1).distinct.size == stored.size,
+      "percolate stored query ids must be unique")
+    val matches = array(stored.map { case (qid, q) =>
+      val pred = QueryCompiler.compile(q, Int.MaxValue, idCol,
+        cfg.defaultOperator).predicate
+      when(coalesce(pred, lit(false)), lit(qid))
+    }: _*)
+    docs.select(col(idCol),
+        explode(filter(matches, x => x.isNotNull)).as("query_id"))
+      .select(col("query_id"), col(idCol))
+  }
+
   private def analyzerTokens(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9_]+"), t => length(t) > 0)
 

@@ -861,6 +861,26 @@ class SearchSpec extends AnyFunSuite {
       Seq(("stream", 2L), ("strong", 2L)))
   }
 
+  test("percolate: stored queries match docs in one scan; null predicates safe") {
+    val out = Search.percolate(docs, Seq(
+      "sparky" -> "text:spark",
+      "german" -> """{"query": {"term": {"lang": "de"}}}"""))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("sparky", "1"), ("sparky", "3"), ("german", "3"), ("german", "4")))
+    // a doc with a null field must not poison the match array (coalesce)
+    val withNull = Seq(("9", null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(Search.percolate(withNull, Seq("s" -> "text:spark")).count() == 0)
+    // duplicate stored ids fail loud; one scan, no join/union in the plan
+    assert(intercept[IllegalArgumentException](
+      Search.percolate(docs, Seq("a" -> "text:x", "a" -> "text:y")))
+      .getMessage.contains("unique"))
+    val plan = Search.percolate(docs, Seq("a" -> "text:spark", "b" -> "lang:de"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"), plan)
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

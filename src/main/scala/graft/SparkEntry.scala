@@ -1518,6 +1518,19 @@ object SparkEntry {
               "query_weight": 1.0, "rescore_query_weight": 2.0}}}""")
         .select(col("doc_id"), col("_score").cast("double").as("_score"))
     }),
+    "q_search_knn_hybrid" -> ((s, dir) => {
+      // hybrid retrieval: term-query score + knn contribution for docs in
+      // the vector top-k (ES 8.4 additive combination) — one corpus pass
+      // plus a k-row broadcast join
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val qv = (0 until 64).map(i => (i % 5 - 2).toDouble).mkString(", ")
+      Search.knnSearch(emb,
+        s"""{"query": {"term": {"label": 2}},
+             "knn": {"field": "embedding", "query_vector": [$qv], "k": 10},
+             "size": 10}""")
+        .select(col("vec_id"), round(col("_score"), 4).as("_score"))
+    }),
     "q_similarity_topk" -> ((s, dir) => {
       // double-precision math so scores are engine-portable (float dot
       // products would diverge from the oracle at round-4)
@@ -2710,6 +2723,21 @@ object SparkEntry {
            CAST(1.0 + CASE WHEN regexp_matches(lt, '\bstreaming\b')
                       THEN 2.0 ELSE 0.0 END AS DOUBLE) AS _score
          FROM hits ORDER BY _score DESC, doc_id LIMIT 5""",
+    "q_search_knn_hybrid" ->
+      """WITH q AS (SELECT [CAST(x % 5 - 2 AS DOUBLE) FOR x IN range(64)] AS qv),
+         scored AS (
+           SELECT vec_id, label,
+             (1 + list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv)) / 2 AS ks
+           FROM embeddings, q),
+         k AS (SELECT vec_id, ks FROM scored ORDER BY ks DESC, vec_id LIMIT 10)
+         SELECT s.vec_id,
+           round(CASE WHEN s.label = 2 THEN 1.0 ELSE 0.0 END
+                 + coalesce(k.ks, 0), 4) AS _score
+         FROM scored s LEFT JOIN k ON s.vec_id = k.vec_id
+         WHERE s.label = 2 OR k.vec_id IS NOT NULL
+         ORDER BY (CASE WHEN s.label = 2 THEN 1.0 ELSE 0.0 END
+                   + coalesce(k.ks, 0)) DESC, s.vec_id
+         LIMIT 10""",
     "q_similarity_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
          q AS (SELECT vec_id AS query_id, embedding AS query_vec

@@ -582,14 +582,13 @@ object Search {
                 idCol: String = "vec_id"): DataFrame = {
     val root = mapper.readTree(body)
     require(root != null && root.isObject, "knn search body must be a JSON object")
-    val unknownTop = root.fieldNames.asScala.toSet -- Set("knn", "size")
+    val unknownTop = root.fieldNames.asScala.toSet -- Set("knn", "size", "query")
     require(unknownTop.isEmpty,
-      s"unsupported knn body key(s): ${unknownTop.mkString(", ")} " +
-        "(hybrid knn+query is not supported; declared subset)")
+      s"unsupported knn body key(s): ${unknownTop.mkString(", ")}")
     val kn = Option(root.get("knn")).filter(_.isObject)
       .getOrElse(throw new IllegalArgumentException("body needs a 'knn' object"))
     val unknownK = kn.fieldNames.asScala.toSet --
-      Set("field", "query_vector", "k", "num_candidates", "filter")
+      Set("field", "query_vector", "k", "num_candidates", "filter", "boost")
     require(unknownK.isEmpty,
       s"unsupported knn option(s): ${unknownK.mkString(", ")}")
     val field = Option(kn.get("field")).map(_.asText)
@@ -607,8 +606,7 @@ object Search {
       require(n.isIntegralNumber && n.asInt >= k,
         s"knn num_candidates must be >= k") // accepted no-op: exact scan
     }
-    // ES: `size` (default k) caps the returned page; k caps the search
-    val size = Option(root.get("size")).map(_.asInt).getOrElse(k).min(k)
+    val knnBoost = Option(kn.get("boost")).map(_.asDouble).getOrElse(1.0)
     val pred = Option(kn.get("filter")).map { fq =>
       val w = mapper.createObjectNode()
       w.set[JsonNode]("query", fq)
@@ -619,9 +617,34 @@ object Search {
     val qvCol = array(qv.map(lit): _*)
     val scored = docs.where(pred)
       .withColumn("_score",
-        (lit(1.0) + graft.functions.VecFunctions.vec_cosine(col(field), qvCol)) / 2)
+        (lit(1.0) + graft.functions.VecFunctions.vec_cosine(col(field), qvCol)) / 2
+          * knnBoost)
       .where(col("_score").isNotNull) // zero-norm vectors can't rank
-    scored.orderBy(desc("_score"), asc(idCol)).limit(size)
+    Option(root.get("query")) match {
+      case None =>
+        // ES: `size` (default k) caps the returned page; k caps the search
+        val size = Option(root.get("size")).map(_.asInt).getOrElse(k).min(k)
+        scored.orderBy(desc("_score"), asc(idCol)).limit(size)
+      case Some(_) =>
+        // HYBRID (ES 8.4 semantics): final score = query score + knn
+        // score, where knn contributes ONLY for docs inside its top-k.
+        // The k survivors broadcast back onto the query scan — one corpus
+        // pass plus a k-row broadcast join, never a second scan
+        val size = Option(root.get("size")).map(_.asInt).getOrElse(10)
+        val base = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        base.remove("knn")
+        val cq = QueryCompiler.compile(base.toString, 10, idCol)
+        val knnHits = scored.orderBy(desc("_score"), asc(idCol)).limit(k)
+          .select(col(idCol).as("_knn_id"), col("_score").as("_knn_score"))
+        val qScore = when(coalesce(cq.predicate, lit(false)),
+          cq.score).otherwise(lit(0.0))
+        docs.join(broadcast(knnHits), col(idCol) === col("_knn_id"), "left")
+          .withColumn("_score",
+            qScore.cast("double") + coalesce(col("_knn_score"), lit(0.0)))
+          .where(coalesce(cq.predicate, lit(false)) || col("_knn_id").isNotNull)
+          .drop("_knn_id", "_knn_score")
+          .orderBy(desc("_score"), asc(idCol)).limit(size)
+    }
   }
 
   /** ES `rescore`: re-rank the top `window_size` hits of the main query

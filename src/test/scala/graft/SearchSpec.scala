@@ -787,10 +787,32 @@ class SearchSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](Search.knnSearch(vecs,
       """{"knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 5,
           "num_candidates": 2}}""")).getMessage.contains("num_candidates"))
-    assert(intercept[IllegalArgumentException](Search.knnSearch(vecs,
-      """{"query": {"match_all": {}},
-          "knn": {"field": "embedding", "query_vector": [1.0], "k": 1}}"""))
-      .getMessage.contains("hybrid"))
+  }
+
+  test("hybrid knn+query: scores add, knn contributes only inside its top-k") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0), "a"), (2L, Array(0.9, 0.1), "b"),
+      (3L, Array(0.0, 1.0), "a"), (4L, Array(-1.0, 0.0), "b"))
+      .toDF("vec_id", "embedding", "grp")
+    val out = Search.knnSearch(vecs,
+      """{"query": {"term": {"grp": "a"}},
+          "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 2},
+          "size": 4}""", idCol = "vec_id")
+      .select("vec_id", "_score").collect()
+    // knn top-2 = {1 (score 1.0), 2 (~0.997)}; query matches {1, 3} at 1.
+    // combined: 1 → 2.0, 2 → ~0.997, 3 → 1.0 (knn beyond top-k adds 0),
+    // 4 → excluded (matches neither)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0).getDouble(1) == 2.0)
+    assert(out(1).getDouble(1) == 1.0)
+    assert(out(2).getDouble(1) > 0.99 && out(2).getDouble(1) < 1.0)
+    // knn boost scales only the vector contribution
+    val boosted = Search.knnSearch(vecs,
+      """{"query": {"term": {"grp": "a"}},
+          "knn": {"field": "embedding", "query_vector": [1.0, 0.0], "k": 1,
+                  "boost": 3.0}, "size": 1}""", idCol = "vec_id")
+      .select("_score").collect().head.getDouble(0)
+    assert(boosted == 4.0) // 1 (query) + 3·1 (knn)
   }
 
   test("rescore: window re-rank with score modes; size>window fails loud") {

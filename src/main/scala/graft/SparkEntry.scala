@@ -1456,6 +1456,18 @@ object SparkEntry {
     }),
 
     // ---- north star: similarity search ----
+    "q_search_runtime_field" -> ((s, dir) => {
+      // runtime_mappings: a query-time computed field (50-wide value
+      // bucket) queried like a stored one — the script folds into the one
+      // scan, nothing materialized. fmod is IEEE-exact so the bucket is an
+      // exact multiple of 50 and the long cast is engine-portable
+      val (docs, body) = Search.withRuntimeFields(tbl(s, dir, "events"),
+        """{"runtime_mappings": {"vb": {"type": "long",
+              "script": "value - value % 50"}},
+            "query": {"range": {"vb": {"gte": 100}}}, "size": 10000}""")
+      Search.search(docs, body, IndexConfig(), Seq("event_id"))
+        .select(col("event_id"), col("vb"))
+    }),
     "q_percolate" -> ((s, dir) => {
       // percolator: three stored alerting queries (Lucene-lite + DSL)
       // evaluated against every doc in ONE scan — (query_id, doc_id)
@@ -2664,6 +2676,10 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_search_runtime_field" ->
+      """WITH ev AS (SELECT event_id,
+             CAST(value - value % 50 AS BIGINT) AS vb FROM events)
+         SELECT event_id, vb FROM ev WHERE vb >= 100""",
     "q_percolate" ->
       """SELECT 'sparky' AS query_id, doc_id FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b')

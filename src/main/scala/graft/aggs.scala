@@ -893,6 +893,13 @@ object Aggs {
           (b.getOrElse(p, throw new IllegalArgumentException(
             s"$where script: unbound parameter '$p' " +
               s"(buckets_path binds: ${b.keys.toSeq.sorted.mkString(", ")})")), rest)
+        // bare identifiers resolve from the binding too — runtime fields
+        // bind the document's own columns (was an error before, so this
+        // widens nothing for bucket_script's params.-prefixed contract)
+        case tok :: rest if tok.nonEmpty && (tok(0).isLetter || tok(0) == '_') =>
+          (b.getOrElse(tok, throw new IllegalArgumentException(
+            s"$where script: unbound identifier '$tok' " +
+              s"(bound: ${b.keys.toSeq.sorted.mkString(", ")})")), rest)
         case tok :: rest if tok.nonEmpty &&
             (tok(0).isDigit || (tok(0) == '.' && tok.length > 1)) =>
           val c = if (tok.contains('.')) lit(tok.toDouble) else lit(tok.toLong)

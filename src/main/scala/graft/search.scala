@@ -777,6 +777,53 @@ object Search {
     root.toString
   }
 
+  /** ES `runtime_mappings`: per-search computed fields. Each mapping's
+    * script (the [[Aggs.Script]] arithmetic/boolean mini-language over the
+    * document's own columns — the same painless subset the pipeline aggs
+    * speak) becomes a `withColumn` cast to the declared type, so the
+    * runtime field is an ordinary column for every downstream consumer
+    * (query predicates, aggs, sort, `_source`) and Catalyst folds it into
+    * the one scan — query-time computation, nothing materialized, exactly
+    * ES's runtime-field contract. Returns the widened frame plus the body
+    * with `runtime_mappings` stripped, ready for [[search]]/[[Aggs.run]].
+    * Declared subset: numeric/boolean scripts (the mini-language has no
+    * string literals), types double | long | boolean. */
+  def withRuntimeFields(docs: DataFrame, body: String): (DataFrame, String) = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, "search body must be a JSON object")
+    val rm = Option(root.get("runtime_mappings")).filter(_.isObject)
+    if (rm.isEmpty) return (docs, body)
+    val binding = docs.columns.map(c => c -> col(c)).toMap
+    val out = rm.get.properties.asScala.foldLeft(docs) { (df, e) =>
+      val (name, spec) = (e.getKey, e.getValue)
+      val unknown = spec.fieldNames.asScala.toSet -- Set("type", "script")
+      require(unknown.isEmpty,
+        s"unsupported runtime field option(s) on '$name': ${unknown.mkString(", ")}")
+      val sparkType = Option(spec.get("type")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException(s"runtime field '$name' needs a 'type'")) match {
+        case "double" => "double"
+        case "long" => "long"
+        case "boolean" => "boolean"
+        case other => throw new IllegalArgumentException(
+          s"runtime field '$name': unsupported type '$other' " +
+            "(double | long | boolean — declared subset)")
+      }
+      val scriptNode = Option(spec.get("script")).getOrElse(
+        throw new IllegalArgumentException(s"runtime field '$name' needs a 'script'"))
+      val src =
+        if (scriptNode.isTextual) scriptNode.asText
+        else Option(scriptNode.get("source")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"runtime field '$name': script must be a string or {source: ...}"))
+      df.withColumn(name,
+        Aggs.Script.compile(src, binding, s"runtime field '$name'").cast(sparkType))
+    }
+    val stripped = root.asInstanceOf[ObjectNode]
+    stripped.remove("runtime_mappings")
+    (out, stripped.toString)
+  }
+
   /** ES percolator, inverted-search direction: which STORED queries match
     * each document. Every stored query (Lucene-lite or DSL JSON) compiles
     * to a predicate column; one projection evaluates all of them per row

@@ -903,6 +903,26 @@ class SearchSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("Union"), plan)
   }
 
+  test("runtime fields: script columns usable in query and sort; loud on bad type") {
+    val ev = Seq((1L, 10.0), (2L, 100.0), (3L, 250.0)).toDF("event_id", "value")
+    val (df, stripped) = Search.withRuntimeFields(ev,
+      """{"runtime_mappings": {
+           "big": {"type": "boolean", "script": {"source": "value >= 100"}},
+           "half": {"type": "double", "script": "value / 2"}},
+          "query": {"term": {"big": true}}, "sort": [{"half": "desc"}]}""")
+    assert(!stripped.contains("runtime_mappings"))
+    val hits = Search.search(df, stripped, IndexConfig(), Seq("event_id"))
+      .select("event_id", "half").collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(3L, 2L))
+    assert(hits.head.getDouble(1) == 125.0)
+    // body without runtime_mappings passes through untouched
+    val (same, body2) = Search.withRuntimeFields(ev, """{"query": {"match_all": {}}}""")
+    assert(same.columns.sameElements(ev.columns) && body2.contains("match_all"))
+    assert(intercept[IllegalArgumentException](Search.withRuntimeFields(ev,
+      """{"runtime_mappings": {"x": {"type": "keyword", "script": "value"}}}"""))
+      .getMessage.contains("unsupported type"))
+  }
+
   test("get_mapping returns schema rows with ES mapping types") {
     val m = Maintain.getMapping(docs).map(t => t._1 -> (t._2, t._3)).toMap
     assert(m == Map(

@@ -1456,6 +1456,24 @@ object SparkEntry {
     }),
 
     // ---- north star: similarity search ----
+    "q_agg_significant_text" -> ((s, dir) => {
+      // significant_text: the distinctive WORDS of German docs vs the
+      // whole corpus — JLH over analyzed-token document frequencies
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"query": {"term": {"lang": "de"}},
+            "aggs": {"sig": {"significant_text": {"field": "text", "size": 10}}}}""")
+        .select(col("key"), col("doc_count"), col("bg_count"),
+          round(col("score"), 6).as("score"))
+    }),
+    "q_agg_sampler" -> ((s, dir) => {
+      // diversified_sampler: at most 2 docs per source, first 100 by id
+      // (declared deterministic analog of ES's per-shard relevance
+      // sample), then a terms breakdown over the sample
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"sample": {"diversified_sampler":
+              {"shard_size": 100, "field": "source", "max_docs_per_value": 2},
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 20}}}}}}""")
+    }),
     "q_search_runtime_field" -> ((s, dir) => {
       // runtime_mappings: a query-time computed field (50-wide value
       // bucket) queried like a stored one — the script folds into the one
@@ -2676,6 +2694,39 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_agg_significant_text" ->
+      """WITH fgd AS (SELECT text FROM documents WHERE lang = 'de' AND text IS NOT NULL),
+         bgd AS (SELECT text FROM documents WHERE text IS NOT NULL),
+         fgt AS (SELECT unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0))) AS key FROM fgd),
+         bgt AS (SELECT unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0))) AS key FROM bgd),
+         fg AS (SELECT key, count(*) AS doc_count FROM fgt GROUP BY key),
+         bg AS (SELECT key, count(*) AS bg_count FROM bgt GROUP BY key),
+         ft AS (SELECT count(*) AS fg_total FROM fgd),
+         bt AS (SELECT count(*) AS bg_total FROM bgd),
+         s AS (
+           SELECT key, doc_count, bg_count,
+             (CAST(doc_count AS DOUBLE) / fg_total
+                - CAST(bg_count AS DOUBLE) / bg_total)
+               * ((CAST(doc_count AS DOUBLE) / fg_total)
+                  / (CAST(bg_count AS DOUBLE) / bg_total)) AS raw
+           FROM fg JOIN bg USING (key), ft, bt
+           WHERE CAST(doc_count AS DOUBLE) / fg_total
+               > CAST(bg_count AS DOUBLE) / bg_total)
+         SELECT key, doc_count, bg_count, round(raw, 6) AS score
+         FROM s ORDER BY raw DESC, key LIMIT 10""",
+    "q_agg_sampler" ->
+      """WITH pool AS (
+           SELECT doc_id, lang FROM (
+             SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+             FROM documents) t WHERE rn <= 2),
+         sample AS (SELECT doc_id, lang FROM pool ORDER BY doc_id LIMIT 100)
+         SELECT lang AS key, count(*) AS doc_count FROM sample
+         WHERE lang IS NOT NULL GROUP BY lang""",
     "q_search_runtime_field" ->
       """WITH ev AS (SELECT event_id,
              CAST(value - value % 50 AS BIGINT) AS vb FROM events)

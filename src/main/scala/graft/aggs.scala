@@ -75,7 +75,7 @@ object Aggs {
     val primary = primaries.map { case (name, spec) =>
       // significant_terms scores the query's result set AGAINST the
       // unfiltered background, so it alone also receives `background`
-      name -> one(filtered, name, spec, background = background)
+      name -> one(filtered, name, spec, background = background, idCol = idCol)
     }.toMap
     primary ++ siblings.map { case (name, spec) =>
       name -> siblingBucketMetric(name, spec, primary)
@@ -217,7 +217,7 @@ object Aggs {
     "multi_terms" -> Set("terms", "size"))
 
   private def one(docs: DataFrame, name: String, spec: JsonNode,
-                  background: DataFrame): DataFrame = {
+                  background: DataFrame, idCol: String = "doc_id"): DataFrame = {
     require(spec.isObject, s"aggregation '$name' must be an object")
     val subAggs = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
     val types = spec.fieldNames.asScala.filterNot(f => f == "aggs" || f == "aggregations").toList
@@ -345,6 +345,45 @@ object Aggs {
           .getOrElse(throw new IllegalArgumentException(s"missing '$name' needs a 'field'"))
         docs.where(col(f).isNull).agg(count(lit(1)).as("doc_count"))
       case "significant_terms" => significantTerms(docs, background, name, body)
+      case "significant_text" => significantText(docs, background, name, body)
+      case "sampler" | "diversified_sampler" =>
+        // ES samples the top-relevance docs per shard before running
+        // sub-aggs; the aggs path carries no relevance score, so the
+        // DECLARED deterministic analog samples the first shard_size docs
+        // in id order (one TakeOrderedAndProject — bounded, reproducible).
+        // diversified_sampler first caps docs per `field` value
+        // (max_docs_per_value, default 1) via a key-partitioned window —
+        // bounded per value, never global. Declared subset: exactly ONE
+        // sub-agg, whose frame is the result.
+        val allowed =
+          if (tpe == "sampler") Set("shard_size")
+          else Set("shard_size", "field", "max_docs_per_value")
+        val unknownS = body.fieldNames.asScala.toSet -- allowed
+        require(unknownS.isEmpty,
+          s"unsupported $tpe option(s) in '$name': ${unknownS.mkString(", ")}")
+        val shardSize = Option(body.get("shard_size")).map(_.asInt).getOrElse(100)
+        require(shardSize >= 1, s"$tpe '$name' shard_size must be >= 1")
+        val pool =
+          if (tpe == "sampler") docs
+          else {
+            val f = Option(body.get("field")).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException(
+                s"diversified_sampler '$name' needs a 'field'"))
+            val maxPer = Option(body.get("max_docs_per_value")).map(_.asInt).getOrElse(1)
+            require(maxPer >= 1, s"$tpe '$name' max_docs_per_value must be >= 1")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(f)).orderBy(asc(idCol))
+            docs.withColumn("__dv_rank", row_number().over(w))
+              .where(col("__dv_rank") <= maxPer).drop("__dv_rank")
+          }
+        val sample = pool.orderBy(asc(idCol)).limit(shardSize)
+        val subEntries = subAggs.toSeq.flatMap(n =>
+          n.fieldNames.asScala.toSeq.map(sn => sn -> n.get(sn)))
+        require(subEntries.size == 1,
+          s"$tpe '$name' needs exactly one sub-agg (declared subset), " +
+            s"got ${subEntries.size}")
+        val (subName, subSpec) = subEntries.head
+        one(sample, subName, subSpec, background, idCol)
       case "date_histogram" | "histogram" =>
         // one level of BUCKET nesting: an inner `terms` sub-agg turns each
         // outer bucket into its own top-N breakdown ("per day, top event
@@ -419,6 +458,38 @@ object Aggs {
       .groupBy(col(f).as("key")).agg(count(lit(1)).as("bg_count"))
     val fgTotal = fg.where(col(f).isNotNull).agg(count(lit(1)).as("_fg_total"))
     val bgTotal = bg.where(col(f).isNotNull).agg(count(lit(1)).as("_bg_total"))
+    jlhScored(fgCounts, bgCounts, fgTotal, bgTotal, size)
+  }
+
+  /** `significant_text`: [[significantTerms]] over the ANALYZED tokens of
+    * a text field — "which words are distinctive in the matching docs".
+    * Document frequencies (each doc contributes a token once), the same
+    * JLH scoring, the same two hash aggregates + broadcast totals; the
+    * explode is vocabulary-bounded per doc, never a corpus blow-up. */
+  private def significantText(fg: DataFrame, bg: DataFrame, name: String,
+                              body: JsonNode): DataFrame = {
+    val unknownK = body.fieldNames.asScala.toSet -- Set("field", "size")
+    require(unknownK.isEmpty,
+      s"unsupported significant_text option(s) in '$name': ${unknownK.mkString(", ")}")
+    val f = Option(body.get("field")).map(_.asText)
+      .getOrElse(throw new IllegalArgumentException(
+        s"significant_text '$name' needs a 'field'"))
+    val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    def toks(df: DataFrame) = df.where(col(f).isNotNull)
+      .select(explode(array_distinct(
+        filter(split(lower(col(f)), "[^a-z0-9_]+"), t => length(t) > 0))).as("key"))
+    val fgCounts = toks(fg).groupBy("key").agg(count(lit(1)).as("doc_count"))
+    val bgCounts = toks(bg).groupBy("key").agg(count(lit(1)).as("bg_count"))
+    val fgTotal = fg.where(col(f).isNotNull).agg(count(lit(1)).as("_fg_total"))
+    val bgTotal = bg.where(col(f).isNotNull).agg(count(lit(1)).as("_bg_total"))
+    jlhScored(fgCounts, bgCounts, fgTotal, bgTotal, size)
+  }
+
+  /** Shared JLH tail: `(fg% − bg%) · (fg% / bg%)` over doc frequencies,
+    * totals riding in as broadcast 1-row joins. */
+  private def jlhScored(fgCounts: DataFrame, bgCounts: DataFrame,
+                        fgTotal: DataFrame, bgTotal: DataFrame,
+                        size: Int): DataFrame =
     fgCounts
       .join(bgCounts, Seq("key")) // every fg key exists in bg (fg ⊆ bg)
       .crossJoin(broadcast(fgTotal)).crossJoin(broadcast(bgTotal))
@@ -430,7 +501,6 @@ object Aggs {
       .select(col("key"), col("doc_count"), col("bg_count"), col("score"))
       .orderBy(desc("score"), asc("key"))
       .limit(size)
-  }
 
   /** `filters` aggregation: one named bucket per sub-query, each with
     * doc_count + metric sub-aggs — compiled as ONE single-pass conditional

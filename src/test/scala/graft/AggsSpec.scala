@@ -876,6 +876,35 @@ class AggsSpec extends AnyFunSuite {
       .getMessage.contains("unit"))
   }
 
+  test("significant_text: distinctive tokens of the query slice, JLH-scored") {
+    val out = Aggs.runSingle(docs,
+      """{"query": {"term": {"lang": "en"}},
+          "aggs": {"sig": {"significant_text": {"field": "text", "size": 5}}}}""")
+      .collect().map(_.getString(0))
+    // en docs: "spark rocks", "spark and cassandra" — every en token has
+    // fg%=1/2 or 1; 'spark' appears in 4/6 bg docs so over-representation
+    // is mild; 'rocks'/'cassandra'/'and' (1/6 bg) score highest
+    assert(out.contains("rocks") && out.contains("cassandra"))
+    assert(!out.contains("flink")) // not in the fg slice at all
+  }
+
+  test("sampler/diversified_sampler: deterministic id-order sample feeds one sub-agg") {
+    val out = Aggs.runSingle(docs,
+      """{"aggs": {"s": {"sampler": {"shard_size": 3},
+          "aggs": {"by_lang": {"terms": {"field": "lang"}}}}}}""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("en" -> 2L, "de" -> 1L)) // docs 1,2,3 sampled
+    val div = Aggs.runSingle(docs,
+      """{"aggs": {"s": {"diversified_sampler":
+            {"shard_size": 10, "field": "lang", "max_docs_per_value": 1},
+          "aggs": {"c": {"value_count": {"field": "doc_id"}}}}}}""")
+      .collect().head.getLong(0)
+    assert(div == 4L) // one doc per lang: en, de, fr + the null-lang doc
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(docs,
+      """{"aggs": {"s": {"sampler": {"shard_size": 3}}}}"""))
+      .getMessage.contains("exactly one sub-agg"))
+  }
+
   test("plan: terms agg is a partial+final hash aggregate, no window, one exchange") {
     // size below the input's maxRows — on a tiny LocalRelation a limit >=
     // maxRows is optimized away (EliminateLimits) and no top-k can appear

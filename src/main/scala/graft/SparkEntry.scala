@@ -1456,6 +1456,26 @@ object SparkEntry {
     }),
 
     // ---- north star: similarity search ----
+    "q_search_span_near" -> ((s, dir) => {
+      // span_near: 'spark' within 3 tokens of 'window', either order
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"span_near": {"clauses": [
+              {"span_term": {"text": "spark"}},
+              {"span_term": {"text": "window"}}],
+            "slop": 3, "in_order": false}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_span_first" -> ((s, dir) => {
+      // span_first: docs OPENING with 'the' in the first two positions
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"span_first": {"match":
+              {"span_term": {"text": "the"}}, "end": 2}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_agg_significant_text" -> ((s, dir) => {
       // significant_text: the distinctive WORDS of German docs vs the
       // whole corpus — JLH over analyzed-token document frequencies
@@ -2694,6 +2714,15 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_search_span_near" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text),
+                 '\bspark(?:\s+\S+){0,3}\s+window\b')
+            OR regexp_matches(lower(text),
+                 '\bwindow(?:\s+\S+){0,3}\s+spark\b')""",
+    "q_search_span_first" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text), '^\s*(?:\S+\s+){0,1}the\b')""",
     "q_agg_significant_text" ->
       """WITH fgd AS (SELECT text FROM documents WHERE lang = 'de' AND text IS NOT NULL),
          bgd AS (SELECT text FROM documents WHERE text IS NOT NULL),

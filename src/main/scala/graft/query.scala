@@ -1455,6 +1455,86 @@ object QueryCompiler {
           val c = termMatch(f, escapeTerm(v.asText) + "*")
           if (scoring) leaves += leaf(c, boost)
           c
+        case "span_term" =>
+          // positional term leaf; alone it is an exact analyzed-term match
+          val (f, v) = singleField(body)
+          val text =
+            if (v.isTextual) v.asText
+            else Option(v.get("value")).filter(_.isTextual).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException(
+                s"span_term expects a string or {value: ...}, got: $v"))
+          require(text.nonEmpty, "span_term expects a non-empty term")
+          val c = termMatch(f, escapeTerm(text))
+          if (scoring) leaves += leaf(c, 1)
+          c
+        case "span_near" =>
+          // span_term clauses within `slop` intervening tokens of each
+          // other. Declared subset: span_term clauses only (no nesting),
+          // one shared field (Lucene's own requirement), slop counted PER
+          // GAP (Lucene counts total extra positions), and `in_order:
+          // false` for exactly two clauses (either order — n! orders for
+          // n clauses would explode the pattern)
+          val unknownS = body.fieldNames.asScala.toSet --
+            Set("clauses", "slop", "in_order")
+          require(unknownS.isEmpty,
+            s"unsupported span_near option(s): ${unknownS.mkString(", ")}")
+          val cl = Option(body.get("clauses")).filter(_.isArray)
+            .map(_.elements.asScala.toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              "span_near needs 'clauses': [..]"))
+          require(cl.size >= 2, "span_near needs at least two clauses")
+          val parts = cl.map { c =>
+            val st = Option(c.get("span_term")).filter(_.isObject)
+              .getOrElse(throw new IllegalArgumentException(
+                "span_near clauses must be span_term objects (declared subset)"))
+            val (f, v) = singleField(st)
+            val t = if (v.isTextual) v.asText
+              else Option(v.get("value")).map(_.asText).getOrElse("")
+            require(t.nonEmpty, "span_term expects a non-empty term")
+            (f, t.toLowerCase)
+          }
+          val fields = parts.map(_._1).distinct
+          require(fields.size == 1,
+            s"span_near clauses must share one field, got: ${fields.mkString(", ")}")
+          val f = fields.head
+          val slop = Option(body.get("slop")).map(_.asInt).getOrElse(0)
+          require(slop >= 0, s"span_near slop must be >= 0, got $slop")
+          val inOrder = Option(body.get("in_order")).exists(_.asBoolean)
+          val gap = "(?:\\s+\\S+){0," + slop + "}\\s+"
+          def ordered(ts: Seq[String]) =
+            lower(col(f)).rlike("\\b" + ts.map(reQuote).mkString(gap) + "\\b")
+          val terms = parts.map(_._2)
+          val c =
+            if (inOrder) ordered(terms)
+            else {
+              require(terms.size == 2,
+                "span_near in_order:false supports exactly two clauses " +
+                  "(declared subset)")
+              ordered(terms) || ordered(terms.reverse)
+            }
+          if (scoring) leaves += leaf(c, 1)
+          c
+        case "span_first" =>
+          // the term's span must END within the first `end` positions:
+          // at most end−1 tokens precede it
+          val unknownF = body.fieldNames.asScala.toSet -- Set("match", "end")
+          require(unknownF.isEmpty,
+            s"unsupported span_first option(s): ${unknownF.mkString(", ")}")
+          val st = Option(body.get("match")).flatMap(m =>
+            Option(m.get("span_term")).filter(_.isObject))
+            .getOrElse(throw new IllegalArgumentException(
+              "span_first needs 'match': {span_term: ...} (declared subset)"))
+          val (f, v) = singleField(st)
+          val t = (if (v.isTextual) v.asText
+            else Option(v.get("value")).map(_.asText).getOrElse("")).toLowerCase
+          require(t.nonEmpty, "span_term expects a non-empty term")
+          val end = Option(body.get("end")).map(_.asInt)
+            .getOrElse(throw new IllegalArgumentException("span_first needs 'end'"))
+          require(end >= 1, s"span_first end must be >= 1, got $end")
+          val c = lower(col(f)).rlike(
+            "^\\s*(?:\\S+\\s+){0," + (end - 1) + "}" + reQuote(t) + "\\b")
+          if (scoring) leaves += leaf(c, 1)
+          c
         case "bool" =>
           val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol, defaultOr))
           val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false, idCol, defaultOr))

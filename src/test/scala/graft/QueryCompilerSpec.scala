@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * QueryMetaDataTest.java:26-57 (option prefix) and the validation state
   * machine in ElasticIndexTest.java:222-300 (here: eager compile errors). */
 class QueryCompilerSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
 
   // --- QueryMeta (reference: QueryMetaDataTest.java:26-57) ---
 
@@ -143,6 +144,38 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"match_phrase":{"text":"exact phrase"}}}""").isRight)
     assert(QueryCompiler.validate("""{"query":{"match_phrase":{"text":""}}}""").isLeft)
+  }
+
+  test("span queries: span_term, span_near order/slop, span_first position cap") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "spark fast window join"), ("2", "window one two three spark"),
+      ("3", "the spark window"), ("4", "spark alone here"))
+      .toDF("doc_id", "text")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // ordered: spark ... window with <= 1 intervening token
+    assert(ids("""{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "spark"}}, {"span_term": {"text": "window"}}],
+      "slop": 1, "in_order": true}}}""") == Set("1", "3"))
+    // unordered widens to doc 2's window..spark only at slop >= 3
+    assert(ids("""{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "spark"}}, {"span_term": {"text": "window"}}],
+      "slop": 3, "in_order": false}}}""") == Set("1", "2", "3"))
+    // span_first: 'spark' must end within the first 2 positions
+    assert(ids("""{"query": {"span_first": {"match":
+        {"span_term": {"text": "spark"}}, "end": 2}}}""") == Set("1", "3", "4"))
+    assert(ids("""{"query": {"span_first": {"match":
+        {"span_term": {"text": "spark"}}, "end": 1}}}""") == Set("1", "4"))
+    // mixed fields and nested spans fail loud
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_near": {"clauses": [
+          {"span_term": {"text": "a"}}, {"span_term": {"doc_id": "b"}}],
+        "slop": 0}}}""")).getMessage.contains("share one field"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_near": {"clauses": [
+          {"span_near": {"clauses": []}}, {"span_term": {"text": "b"}}],
+        "slop": 0}}}""")).getMessage.contains("span_term"))
   }
 
   test("bool minimum_should_match compiles for integer thresholds") {

@@ -1456,6 +1456,15 @@ object SparkEntry {
     }),
 
     // ---- north star: similarity search ----
+    "q_search_msearch" -> ((s, dir) => {
+      // _msearch: two bodies in one call, hits tagged with the
+      // response-array ordinal
+      val docs = tbl(s, dir, "documents")
+      Search.msearch(docs, Seq(
+        """{"query": {"term": {"lang": "de"}}, "size": 10000}""",
+        """{"query": {"range": {"n_chars": {"gte": 500}}}, "size": 10000}"""))
+        .select(col("_msearch_index"), col("doc_id"))
+    }),
     "q_search_span_near" -> ((s, dir) => {
       // span_near: 'spark' within 3 tokens of 'window', either order
       val docs = tbl(s, dir, "documents")
@@ -2714,6 +2723,10 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
          WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_search_msearch" ->
+      """SELECT 0 AS _msearch_index, doc_id FROM documents WHERE lang = 'de'
+         UNION ALL
+         SELECT 1, doc_id FROM documents WHERE n_chars >= 500""",
     "q_search_span_near" ->
       """SELECT doc_id FROM documents
          WHERE regexp_matches(lower(text),

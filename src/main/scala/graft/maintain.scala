@@ -217,4 +217,21 @@ object Maintain {
   def getMapping(docs: DataFrame): Seq[(String, String, String)] =
     docs.schema.fields.toSeq.map(f =>
       (f.name, f.dataType.simpleString, DocModel.esType(f.dataType)))
+
+  /** ES `_field_caps` analog: per field, the ES type plus whether it is
+    * searchable and aggregatable. Everything the scan can read is
+    * searchable here (predicates are plan columns); aggregatable mirrors
+    * ES's rule — text is not (no fielddata), keyword/numeric/date/bool
+    * are. */
+  def fieldCaps(docs: DataFrame): Seq[(String, String, Boolean, Boolean)] =
+    docs.schema.fields.toSeq.map { f =>
+      val es = DocModel.esType(f.dataType)
+      (f.name, es, true, es != "text" && es != "binary")
+    }
+
+  /** ES `_analyze` analog: how the search analyzer tokenizes a string —
+    * the same lowercase/non-alphanumeric-split every match-family
+    * operator and the inverted index use. */
+  def analyze(text: String): Seq[String] =
+    text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
 }

@@ -711,6 +711,20 @@ object Search {
       .limit(size)
   }
 
+  /** ES `_msearch`: several search bodies answered in one call. Each body
+    * runs through [[search]] independently and the hits stack with a
+    * `_msearch_index` ordinal (the response-array position). Plans stay
+    * lazy, so the union is N independently-pruned top-ks over the same
+    * scan lineage — not one fat materialized pass. */
+  def msearch(docs: DataFrame, bodies: Seq[String],
+              cfg: IndexConfig = IndexConfig(),
+              pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(bodies.nonEmpty, "msearch needs at least one body")
+    bodies.zipWithIndex.map { case (b, i) =>
+      search(docs, b, cfg, pkCols).withColumn("_msearch_index", lit(i))
+    }.reduce(_.unionByName(_))
+  }
+
   /** ES terms LOOKUP: `{"terms": {"f": {"index": i, "id": v, "path": p}}}`
     * uses ONE stored document's field value(s) as the terms list.
     * Resolution happens BEFORE compile: the lookup is a bounded single-doc

@@ -930,4 +930,26 @@ class SearchSpec extends AnyFunSuite {
       "text" -> ("string", "text"),
       "lang" -> ("string", "text")))
   }
+
+  test("msearch stacks independent bodies with the response ordinal") {
+    val out = Search.msearch(docs, Seq(
+      """{"query": {"term": {"lang": "de"}}}""",
+      """{"query": {"match": {"text": "spark"}}, "size": 1}"""))
+      .select("_msearch_index", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((0, "3"), (0, "4"), (1, "1")))
+    assert(intercept[IllegalArgumentException](Search.msearch(docs, Nil))
+      .getMessage.contains("at least one"))
+  }
+
+  test("field_caps and analyze expose the engine's own rules") {
+    val caps = Maintain.fieldCaps(Seq((1L, "t", 2.5)).toDF("id", "txt", "v"))
+      .map(c => c._1 -> c).toMap
+    assert(caps("id") == ("id", "long", true, true))
+    assert(caps("txt") == ("txt", "text", true, false)) // text: no fielddata
+    assert(caps("v") == ("v", "double", true, true))
+    assert(Maintain.analyze("Spark-Streaming runs FAST, twice!") ==
+      Seq("spark", "streaming", "runs", "fast", "twice"))
+    assert(Maintain.analyze("") == Nil)
+  }
 }

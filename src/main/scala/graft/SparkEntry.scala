@@ -1485,6 +1485,42 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_search_span_or" -> ((s, dir) => {
+      // span_or: a bare span OR a compound span_near clause
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"span_or": {"clauses": [
+              {"span_term": {"text": "vector"}},
+              {"span_near": {"clauses": [
+                {"span_term": {"text": "sort"}},
+                {"span_term": {"text": "merge"}}],
+                "slop": 0, "in_order": true}}]}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_span_not" -> ((s, dir) => {
+      // span_not: an occurrence of 'hash' NOT followed by 'join'
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"span_not": {
+              "include": {"span_term": {"text": "hash"}},
+              "exclude": {"span_near": {"clauses": [
+                {"span_term": {"text": "hash"}},
+                {"span_term": {"text": "join"}}],
+                "slop": 0, "in_order": true}}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_wrapper" -> ((s, dir) => {
+      // wrapper: base64-smuggled term query, compiled in place
+      val docs = tbl(s, dir, "documents")
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        """{"term": {"lang": "fr"}}""".getBytes("UTF-8"))
+      Search.search(docs,
+        s"""{"query": {"wrapper": {"query": "$b64"}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_agg_significant_text" -> ((s, dir) => {
       // significant_text: the distinctive WORDS of German docs vs the
       // whole corpus — JLH over analyzed-token document frequencies
@@ -2736,6 +2772,20 @@ object SparkEntry {
     "q_search_span_first" ->
       """SELECT doc_id FROM documents
          WHERE regexp_matches(lower(text), '^\s*(?:\S+\s+){0,1}the\b')""",
+    "q_search_span_or" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text), '\bvector\b')
+            OR regexp_matches(lower(text), '\bsort\s+merge\b')""",
+    "q_search_span_not" ->
+      // DuckDB's RE2 has no lookahead: strip every excluded 'data model'
+      // bigram (each consumes exactly one excluded 'data' occurrence;
+      // distinct terms cannot overlap), then test for a surviving 'data'
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(
+                 regexp_replace(lower(text), '\bhash\s+join\b', '', 'g'),
+                 '\bhash\b')""",
+    "q_search_wrapper" ->
+      "SELECT doc_id FROM documents WHERE lang = 'fr'",
     "q_agg_significant_text" ->
       """WITH fgd AS (SELECT text FROM documents WHERE lang = 'de' AND text IS NOT NULL),
          bgd AS (SELECT text FROM documents WHERE text IS NOT NULL),

@@ -1535,6 +1535,116 @@ object QueryCompiler {
             "^\\s*(?:\\S+\\s+){0," + (end - 1) + "}" + reQuote(t) + "\\b")
           if (scoring) leaves += leaf(c, 1)
           c
+        case "span_or" =>
+          // union of span clauses — a doc matches when ANY clause has a
+          // span. Each sub-clause contributes its own integer scoring
+          // leaf (the bool-should analog of Lucene's per-span scoring).
+          val unknownO = body.fieldNames.asScala.toSet -- Set("clauses")
+          require(unknownO.isEmpty,
+            s"unsupported span_or option(s): ${unknownO.mkString(", ")}")
+          val cl = Option(body.get("clauses")).filter(_.isArray)
+            .map(_.elements.asScala.toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              "span_or needs 'clauses': [..]"))
+          require(cl.nonEmpty, "span_or needs at least one clause")
+          val cols = cl.map { c =>
+            require(c.isObject && c.size == 1
+                && c.fieldNames.asScala.next().startsWith("span_"),
+              s"span_or clauses must be span queries, got: $c")
+            node(c, leaves, scoring, idCol, defaultOr)
+          }
+          cols.reduce(_ || _)
+        case "span_not" =>
+          // spans of `include` that are NOT part of an `exclude` context.
+          // Declared subset: include = span_term; exclude = span_near of
+          // exactly two span_terms with in_order:true whose first or last
+          // clause IS the include term (the "t not followed by u" /
+          // "t not preceded by u" shapes) — compiled to a negative
+          // lookahead / bounded lookbehind around the include token.
+          // ES `pre`/`post` slack stays unsupported (loud).
+          val unknownN = body.fieldNames.asScala.toSet -- Set("include", "exclude")
+          require(unknownN.isEmpty,
+            s"unsupported span_not option(s): ${unknownN.mkString(", ")}")
+          val incSt = Option(body.get("include")).flatMap(m =>
+            Option(m.get("span_term")).filter(_.isObject))
+            .getOrElse(throw new IllegalArgumentException(
+              "span_not needs 'include': {span_term: ...} (declared subset)"))
+          val (f, incV) = singleField(incSt)
+          val incT = (if (incV.isTextual) incV.asText
+            else Option(incV.get("value")).map(_.asText).getOrElse("")).toLowerCase
+          require(incT.nonEmpty, "span_term expects a non-empty term")
+          val exSn = Option(body.get("exclude")).flatMap(m =>
+            Option(m.get("span_near")).filter(_.isObject))
+            .getOrElse(throw new IllegalArgumentException(
+              "span_not needs 'exclude': {span_near: ...} (declared subset)"))
+          val unknownE = exSn.fieldNames.asScala.toSet --
+            Set("clauses", "slop", "in_order")
+          require(unknownE.isEmpty,
+            s"unsupported span_not exclude option(s): ${unknownE.mkString(", ")}")
+          require(Option(exSn.get("in_order")).exists(_.asBoolean),
+            "span_not exclude span_near must set in_order: true (declared subset)")
+          val exCl = Option(exSn.get("clauses")).filter(_.isArray)
+            .map(_.elements.asScala.toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              "span_not exclude needs 'clauses': [..]"))
+          require(exCl.size == 2,
+            "span_not exclude supports exactly two span_term clauses (declared subset)")
+          val exParts = exCl.map { c =>
+            val st = Option(c.get("span_term")).filter(_.isObject)
+              .getOrElse(throw new IllegalArgumentException(
+                "span_not exclude clauses must be span_term objects"))
+            val (ef, ev) = singleField(st)
+            val t = (if (ev.isTextual) ev.asText
+              else Option(ev.get("value")).map(_.asText).getOrElse("")).toLowerCase
+            require(t.nonEmpty, "span_term expects a non-empty term")
+            (ef, t)
+          }
+          require(exParts.forall(_._1 == f),
+            "span_not include and exclude must share one field")
+          val exSlop = Option(exSn.get("slop")).map(_.asInt).getOrElse(0)
+          require(exSlop >= 0, s"span_near slop must be >= 0, got $exSlop")
+          require(exParts.head._2 == incT || exParts(1)._2 == incT,
+            "span_not exclude must contain the include term as its first or " +
+              "last clause (declared subset)")
+          // strip every excluded bigram span, then test for a SURVIVING
+          // include occurrence. Sound for this subset: a greedy
+          // non-overlapping "first gap last" match only ever consumes
+          // include occurrences that are themselves within `slop` of the
+          // context term (i.e. excluded); lookbehind is not an option
+          // (Java requires a bounded maximum; the \s+ gaps are unbounded)
+          // and this formulation is RE2-expressible for the oracle too.
+          val gapN = "(?:\\s+\\S+){0," + exSlop + "}\\s+"
+          val exPat = "\\b" + reQuote(exParts.head._2) + gapN +
+            reQuote(exParts(1)._2) + "\\b"
+          val c = regexp_replace(lower(col(f)), exPat, "")
+            .rlike("\\b" + reQuote(incT) + "\\b")
+          if (scoring) leaves += leaf(c, 1)
+          c
+        case "wrapper" =>
+          // {"wrapper": {"query": "<base64 of a query JSON>"}} — ES's
+          // escape hatch for clients that must smuggle a query through a
+          // string-typed config slot. Decode, parse, compile in place;
+          // scoring flows through the inner query unchanged.
+          val unknownW = body.fieldNames.asScala.toSet -- Set("query")
+          require(unknownW.isEmpty,
+            s"unsupported wrapper option(s): ${unknownW.mkString(", ")}")
+          val qn = Option(body.get("query")).filter(_.isTextual)
+            .getOrElse(throw new IllegalArgumentException(
+              "wrapper needs 'query': \"<base64>\""))
+          val decoded =
+            try new String(java.util.Base64.getDecoder.decode(qn.asText),
+              java.nio.charset.StandardCharsets.UTF_8)
+            catch {
+              case e: IllegalArgumentException => throw new IllegalArgumentException(
+                s"wrapper query is not valid base64: ${e.getMessage}")
+            }
+          val inner =
+            try mapper.readTree(decoded)
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"wrapper query does not decode to JSON: ${e.getMessage}")
+            }
+          node(inner, leaves, scoring, idCol, defaultOr)
         case "bool" =>
           val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol, defaultOr))
           val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false, idCol, defaultOr))

@@ -318,6 +318,24 @@ object Search {
           .map(dslLeafSpecs(_, field, defaultOr)))
       case "constant_score" => dslLeafSpecs(body.get("filter"), field, defaultOr)
       case "boosting" => dslLeafSpecs(body.get("positive"), field, defaultOr)
+      case "span_term" => textOf("value")
+        .map(t => (Seq(termPattern(escapeTerm(t))), Nil)).getOrElse(empty)
+      case "span_or" =>
+        merge(Option(body.get("clauses")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+          .map(dslLeafSpecs(_, field, defaultOr)))
+      case "wrapper" =>
+        // decode and recurse; malformed payloads already failed compile,
+        // but stay defensive (highlight must never be the thing that throws)
+        Option(body.get("query")).filter(_.isTextual).flatMap { qn =>
+          try {
+            val decoded = new String(
+              java.util.Base64.getDecoder.decode(qn.asText),
+              java.nio.charset.StandardCharsets.UTF_8)
+            Some(dslLeafSpecs(new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(decoded), field, defaultOr))
+          } catch { case _: Exception => None }
+        }.getOrElse(empty)
       case _ => empty
     }
   }

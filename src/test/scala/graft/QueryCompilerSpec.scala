@@ -178,6 +178,65 @@ class QueryCompilerSpec extends AnyFunSuite {
         "slop": 0}}}""")).getMessage.contains("span_term"))
   }
 
+  test("span_or unions span clauses; span_not excludes ordered context") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "jakarta apache tomcat"), ("2", "jakarta island in indonesia"),
+      ("3", "apache spark engine"), ("4", "big jakarta apache project"))
+      .toDF("doc_id", "text")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // span_or: either term's spans
+    assert(ids("""{"query": {"span_or": {"clauses": [
+        {"span_term": {"text": "tomcat"}},
+        {"span_term": {"text": "island"}}]}}}""") == Set("1", "2"))
+    // span_or accepts compound span clauses
+    assert(ids("""{"query": {"span_or": {"clauses": [
+        {"span_near": {"clauses": [{"span_term": {"text": "jakarta"}},
+          {"span_term": {"text": "apache"}}], "slop": 0, "in_order": true}},
+        {"span_term": {"text": "spark"}}]}}}""") == Set("1", "3", "4"))
+    // span_not: 'jakarta' NOT followed by 'apache' — doc 2 only
+    assert(ids("""{"query": {"span_not": {
+        "include": {"span_term": {"text": "jakarta"}},
+        "exclude": {"span_near": {"clauses": [
+          {"span_term": {"text": "jakarta"}}, {"span_term": {"text": "apache"}}],
+          "slop": 0, "in_order": true}}}}}""") == Set("2"))
+    // span_not reversed: 'apache' NOT preceded by 'jakarta' — doc 3 only
+    assert(ids("""{"query": {"span_not": {
+        "include": {"span_term": {"text": "apache"}},
+        "exclude": {"span_near": {"clauses": [
+          {"span_term": {"text": "jakarta"}}, {"span_term": {"text": "apache"}}],
+          "slop": 0, "in_order": true}}}}}""") == Set("3"))
+    // exclude must contain the include term
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_not": {
+          "include": {"span_term": {"text": "spark"}},
+          "exclude": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "slop": 0, "in_order": true}}}}}"""))
+      .getMessage.contains("include term"))
+    // non-span clause inside span_or fails loud
+    assert(QueryCompiler.validate(
+      """{"query":{"span_or":{"clauses":[{"term":{"f":"v"}}]}}}""").isLeft)
+  }
+
+  test("wrapper decodes base64 and compiles the inner query") {
+    import spark.implicits._
+    val docs = Seq(("1", "alpha beta"), ("2", "gamma delta"))
+      .toDF("doc_id", "text")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      """{"match": {"text": "gamma"}}""".getBytes("UTF-8"))
+    assert(ids(s"""{"query": {"wrapper": {"query": "$b64"}}}""") == Set("2"))
+    // invalid base64 and non-JSON payloads are loud, not silent
+    assert(QueryCompiler.validate(
+      """{"query":{"wrapper":{"query":"!!notb64!!"}}}""").isLeft)
+    val junk = java.util.Base64.getEncoder.encodeToString("not json".getBytes("UTF-8"))
+    assert(QueryCompiler.validate(
+      s"""{"query":{"wrapper":{"query":"$junk"}}}""").isLeft)
+  }
+
   test("bool minimum_should_match compiles for integer thresholds") {
     assert(QueryCompiler.validate(
       """{"query":{"bool":{"should":[{"term":{"a":"x"}},{"term":{"b":"y"}},

@@ -1511,6 +1511,36 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_search_terms_set" -> ((s, dir) => {
+      // terms_set: at least 2 of the 3 terms present (literal threshold)
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"terms_set": {"text": {
+              "terms": ["hash", "join", "merge"],
+              "minimum_should_match": 2}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_pinned" -> ((s, dir) => {
+      // pinned: docs 5 then 3 promoted above the organic 'spark' hits —
+      // the synthetic 1e6-spaced scores cross the oracle verbatim
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"pinned": {"ids": [5, 3],
+              "organic": {"match": {"text": "spark"}}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+    }),
+    "q_search_combined_fields" -> ((s, dir) => {
+      // combined_fields: each term must appear in text OR lang
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"combined_fields": {
+              "query": "de fast", "fields": ["text", "lang"],
+              "operator": "and"}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_search_wrapper" -> ((s, dir) => {
       // wrapper: base64-smuggled term query, compiled in place
       val docs = tbl(s, dir, "documents")
@@ -2786,6 +2816,23 @@ object SparkEntry {
                  '\bhash\b')""",
     "q_search_wrapper" ->
       "SELECT doc_id FROM documents WHERE lang = 'fr'",
+    "q_search_terms_set" ->
+      """SELECT doc_id FROM documents
+         WHERE (CASE WHEN regexp_matches(lower(text), '\bhash\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bjoin\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bmerge\b') THEN 1 ELSE 0 END) >= 2""",
+    "q_search_pinned" ->
+      """SELECT doc_id,
+              (CASE WHEN doc_id = 5 THEN 2000000 ELSE 0 END
+             + CASE WHEN doc_id = 3 THEN 1000000 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END)
+                AS _score
+         FROM documents
+         WHERE doc_id IN (5, 3) OR regexp_matches(lower(text), '\bspark\b')""",
+    "q_search_combined_fields" ->
+      """SELECT doc_id FROM documents
+         WHERE (regexp_matches(lower(text), '\bde\b') OR regexp_matches(lower(lang), '\bde\b'))
+           AND (regexp_matches(lower(text), '\bfast\b') OR regexp_matches(lower(lang), '\bfast\b'))""",
     "q_agg_significant_text" ->
       """WITH fgd AS (SELECT text FROM documents WHERE lang = 'de' AND text IS NOT NULL),
          bgd AS (SELECT text FROM documents WHERE text IS NOT NULL),

@@ -1645,6 +1645,123 @@ object QueryCompiler {
                 s"wrapper query does not decode to JSON: ${e.getMessage}")
             }
           node(inner, leaves, scoring, idCol, defaultOr)
+        case "terms_set" =>
+          // {"terms_set":{"f":{"terms":[...],"minimum_should_match_field":
+          // "m"}}} — at least <per-doc threshold> of the terms must match
+          // the field. Terms match ANALYZED (token model, like `match`) —
+          // the engine's analog of ES's indexed-token term matching.
+          // `minimum_should_match` (literal integer, ES 8.10+) is also
+          // accepted; `minimum_should_match_script` stays out (no script
+          // engine — loud). Scores one integer leaf, like `terms`.
+          val (f, spec) = singleField(body)
+          require(spec.isObject, s"terms_set expects an object body, got: $spec")
+          val unknownTs = spec.fieldNames.asScala.toSet --
+            Set("terms", "minimum_should_match_field", "minimum_should_match")
+          require(unknownTs.isEmpty,
+            s"unsupported terms_set option(s): ${unknownTs.mkString(", ")} " +
+              "(minimum_should_match_script needs a script engine)")
+          val termsNode = Option(spec.get("terms")).filter(_.isArray)
+            .getOrElse(throw new IllegalArgumentException(
+              "terms_set needs 'terms': [..]"))
+          val ts = termsNode.elements.asScala.toSeq.map { t =>
+            require(t.isTextual && t.asText.nonEmpty,
+              s"terms_set terms must be non-empty strings, got: $t")
+            t.asText
+          }
+          require(ts.nonEmpty, "terms_set needs at least one term")
+          val msmField = Option(spec.get("minimum_should_match_field"))
+            .map { n =>
+              require(n.isTextual && n.asText.nonEmpty,
+                s"minimum_should_match_field must be a field name, got: $n")
+              n.asText
+            }
+          val msmLit = Option(spec.get("minimum_should_match")).map { n =>
+            require(n.isIntegralNumber && n.asInt >= 0,
+              s"minimum_should_match must be a non-negative integer, got: $n")
+            n.asInt
+          }
+          require(msmField.isDefined != msmLit.isDefined,
+            "terms_set needs exactly one of minimum_should_match_field / " +
+              "minimum_should_match")
+          val matchedN = ts
+            .map(t => when(termMatch(f, escapeTerm(t)), 1).otherwise(0))
+            .reduce(_ + _)
+          // unclamped, like ES: a per-doc threshold larger than terms.size
+          // simply matches nothing (ES users clamp via a script; we don't)
+          // — and a null threshold field matches nothing rather than
+          // everything
+          val threshold = msmField.map(m => coalesce(col(m), lit(Int.MaxValue)))
+            .getOrElse(lit(msmLit.get))
+          val c = matchedN >= threshold && matchedN > 0
+          if (scoring) leaves += leaf(c, 1)
+          c
+        case "pinned" =>
+          // {"pinned":{"ids":[...],"organic":{...}}} — promoted docs rank
+          // ABOVE every organic hit, in the given order. Integer-scoring
+          // shape: pinned id i of n gets one leaf worth 1_000_000 * (n-i);
+          // organic leaves keep their normal weights. Declared subset: the
+          // organic score must stay below 1_000_000 (true for every
+          // integer-subset query — boosts are small ints), so pinned
+          // ordering can never be crossed by organic accumulation.
+          val unknownP = body.fieldNames.asScala.toSet -- Set("ids", "organic")
+          require(unknownP.isEmpty,
+            s"unsupported pinned option(s): ${unknownP.mkString(", ")} " +
+              "('docs' per-index pinning has no analog here)")
+          val idsNode = Option(body.get("ids")).filter(_.isArray)
+            .getOrElse(throw new IllegalArgumentException(
+              "pinned needs 'ids': [..]"))
+          val pinIds = idsNode.elements.asScala.toSeq.map(scalarOf)
+          require(pinIds.nonEmpty, "pinned needs at least one id")
+          val organic = Option(body.get("organic"))
+            .getOrElse(throw new IllegalArgumentException(
+              "pinned needs 'organic': {..}"))
+          val orgPred = node(organic, leaves, scoring, idCol, defaultOr)
+          val n = pinIds.size
+          if (scoring) pinIds.zipWithIndex.foreach { case (id, i) =>
+            leaves += when(col(idCol) === lit(id), lit(1000000L) * (n - i))
+              .otherwise(0L)
+          }
+          orgPred || col(idCol).isin(pinIds: _*)
+        case "combined_fields" =>
+          // {"combined_fields":{"query":"a b","fields":["f1","f2"],
+          // "operator":"or"}} — TERM-centric multi-field match: each
+          // analyzed term matches if it appears in ANY of the fields (ES
+          // models the fields as one combined field), and `operator`
+          // combines the per-term constraints. One scoring leaf per term
+          // (the combined-field analog of match's per-term leaves);
+          // per-field ^boosts are rejected — ES requires term-centric
+          // weights to agree, and the integer subset keeps them at 1.
+          val unknownC = body.fieldNames.asScala.toSet --
+            Set("query", "fields", "operator")
+          require(unknownC.isEmpty,
+            s"unsupported combined_fields option(s): ${unknownC.mkString(", ")}")
+          val qv = Option(body.get("query")).filter(_.isTextual)
+            .getOrElse(throw new IllegalArgumentException(
+              "combined_fields requires 'query'"))
+          require(qv.asText.trim.nonEmpty,
+            "combined_fields expects a non-empty string query")
+          val fieldsNode = Option(body.get("fields")).filter(_.isArray)
+            .getOrElse(throw new IllegalArgumentException(
+              "combined_fields requires 'fields'"))
+          val cfFields = fieldsNode.elements.asScala.toSeq.map { fn =>
+            require(fn.isTextual && fn.asText.nonEmpty,
+              s"combined_fields field must be a string, got: $fn")
+            require(!fn.asText.contains("^"),
+              "combined_fields rejects per-field boosts (term-centric scoring)")
+            fn.asText
+          }
+          require(cfFields.nonEmpty, "combined_fields expects a non-empty fields array")
+          val cfAnd = Option(body.get("operator")).map { n =>
+            require(n.isTextual && (n.asText.equalsIgnoreCase("and")
+                || n.asText.equalsIgnoreCase("or")),
+              s"combined_fields operator must be and or or, got: $n")
+            n.asText.equalsIgnoreCase("and")
+          }.getOrElse(false)
+          val toks = qv.asText.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+          val perTerm = toks.map(t =>
+            cfFields.map(f => termMatch(f, escapeTerm(t))).reduce(_ || _))
+          if (scoring) perTerm.foreach(tc => leaves += leaf(tc, 1))
+          if (cfAnd) perTerm.reduce(_ && _) else perTerm.reduce(_ || _)
         case "bool" =>
           val must = clauseList(body, "must").map(node(_, leaves, scoring, idCol, defaultOr))
           val filter = clauseList(body, "filter").map(node(_, leaves, scoring = false, idCol, defaultOr))

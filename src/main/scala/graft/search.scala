@@ -320,6 +320,22 @@ object Search {
       case "boosting" => dslLeafSpecs(body.get("positive"), field, defaultOr)
       case "span_term" => textOf("value")
         .map(t => (Seq(termPattern(escapeTerm(t))), Nil)).getOrElse(empty)
+      case "terms_set" => fieldBody.flatMap { v =>
+        Option(v.get("terms")).filter(_.isArray).map(ts =>
+          (ts.elements.asScala.toSeq.collect {
+            case t if t.isTextual => termPattern(escapeTerm(t.asText))
+          }, Seq.empty[(String, Int, Int)]))
+      }.getOrElse(empty)
+      case "pinned" => dslLeafSpecs(body.get("organic"), field, defaultOr)
+      case "combined_fields" =>
+        val q = Option(body.get("query")).filter(_.isTextual).map(_.asText)
+        val fs = Option(body.get("fields")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.collect {
+            case fn if fn.isTextual => fn.asText
+          }).getOrElse(Seq.empty)
+        if (q.isDefined && fs.contains(field))
+          (tokens(q.get).map(tok => termPattern(escapeTerm(tok))), Nil)
+        else empty
       case "span_or" =>
         merge(Option(body.get("clauses")).filter(_.isArray)
           .map(_.elements.asScala.toSeq).getOrElse(Seq.empty)

@@ -237,6 +237,73 @@ class QueryCompilerSpec extends AnyFunSuite {
       s"""{"query":{"wrapper":{"query":"$junk"}}}""").isLeft)
   }
 
+  test("terms_set matches per-doc minimums; literal form; loud errors") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "java scala spark", 2), ("2", "java alone", 2),
+      ("3", "java scala", 3), ("4", "python", 1))
+      .toDF("doc_id", "text", "required")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // per-doc field threshold: doc 1 matches 3>=2; doc 2 matches 1<2 no;
+    // doc 3 matches 2<3 no; doc 4 matches 0
+    assert(ids("""{"query": {"terms_set": {"text": {
+        "terms": ["java", "scala", "spark"],
+        "minimum_should_match_field": "required"}}}}""") == Set("1"))
+    // literal threshold
+    assert(ids("""{"query": {"terms_set": {"text": {
+        "terms": ["java", "scala", "spark"],
+        "minimum_should_match": 2}}}}""") == Set("1", "3"))
+    // both / neither threshold forms are loud
+    assert(QueryCompiler.validate("""{"query":{"terms_set":{"text":{
+      "terms":["a"],"minimum_should_match":1,
+      "minimum_should_match_field":"required"}}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"terms_set":{"text":{
+      "terms":["a"]}}}}""").isLeft)
+    assert(QueryCompiler.validate("""{"query":{"terms_set":{"text":{
+      "terms":["a"],"minimum_should_match_script":{"source":"x"}}}}}""").isLeft)
+  }
+
+  test("pinned ranks promoted ids above organic, in the given order") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "relevant relevant relevant"), ("2", "relevant"),
+      ("3", "nothing here"), ("4", "other"))
+      .toDF("doc_id", "text")
+    val hits = Search.search(docs,
+      """{"query": {"pinned": {"ids": ["4", "3"],
+          "organic": {"match": {"text": "relevant"}}}}}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    // pinned 4 then 3 (given order), then organic by score: 1 (x3), 2 (x1)
+    assert(hits == Seq("4", "3", "1", "2"))
+    assert(QueryCompiler.validate(
+      """{"query":{"pinned":{"ids":[],"organic":{"match_all":{}}}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"pinned":{"ids":["1"]}}}""").isLeft)
+  }
+
+  test("combined_fields matches terms across fields; operator and boosts") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "alpha", "beta"), ("2", "alpha", "gamma"),
+      ("3", "delta", "beta"), ("4", "delta", "gamma"))
+      .toDF("doc_id", "title", "body")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // or: either term in either field
+    assert(ids("""{"query": {"combined_fields": {
+        "query": "alpha beta", "fields": ["title", "body"]}}}""")
+      == Set("1", "2", "3"))
+    // and: both terms, each in SOME field
+    assert(ids("""{"query": {"combined_fields": {
+        "query": "alpha beta", "fields": ["title", "body"],
+        "operator": "and"}}}""") == Set("1"))
+    // per-field boosts are rejected (term-centric scoring)
+    assert(QueryCompiler.validate("""{"query":{"combined_fields":{
+      "query":"x","fields":["title^3"]}}}""").isLeft)
+  }
+
   test("bool minimum_should_match compiles for integer thresholds") {
     assert(QueryCompiler.validate(
       """{"query":{"bool":{"should":[{"term":{"a":"x"}},{"term":{"b":"y"}},

@@ -1287,6 +1287,46 @@ object SparkEntry {
           round(col("cum"), 2).as("cum"), round(col("diff"), 2).as("diff"),
           round(col("ma"), 2).as("ma"))
     }),
+    "q_agg_moving_fn" -> ((s, dir) => {
+      // moving_fn over the daily histogram: scripted windows on the
+      // integer _count axis — shift 0 EXCLUDES the current bucket (the ES
+      // frame), shift 1 is the trailing window. Integer max/sum: exact.
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"per_day": {"date_histogram":
+              {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"mx": {"moving_fn": {"buckets_path": "_count", "window": 3,
+                       "script": "MovingFunctions.max(values)"}},
+                     "sm": {"moving_fn": {"buckets_path": "_count", "window": 3,
+                       "shift": 1,
+                       "script": "MovingFunctions.sum(values)"}}}}}}""")
+        .select(col("key"), col("doc_count"),
+          col("mx").cast("long").as("mx"), col("sm").cast("long").as("sm"))
+    }),
+    "q_agg_normalize" -> ((s, dir) => {
+      // normalize percent_of_sum under terms: each source's share of the
+      // corpus character mass. Drift-proof: integer sums, one IEEE
+      // division (correctly rounded, bit-identical), exact floor → BIGINT.
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"src": {"terms": {"field": "source", "size": 100},
+            "aggs": {"total": {"sum": {"field": "n_chars"}},
+                     "share": {"normalize": {"buckets_path": "total",
+                       "method": "percent_of_sum"}}}}}}""")
+        .select(col("key"), col("doc_count"),
+          col("total").cast("long").as("total"),
+          floor(col("share") * 10000).cast("long").as("share_x10k"))
+    }),
+    "q_agg_percentile_ranks" -> ((s, dir) => {
+      // percentile_ranks: exact empirical CDF at three probe values
+      // (declared divergence from ES t-digest interpolation). Integer
+      // counts × 100.0 / count is one correctly-rounded division both
+      // sides; floor-scaled to BIGINT.
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"pr": {"percentile_ranks":
+              {"field": "value", "values": [100, 250, 400]}}}}""")
+        .select(floor(col("pr_100") * 100).cast("long").as("pr_100_x100"),
+          floor(col("pr_250") * 100).cast("long").as("pr_250_x100"),
+          floor(col("pr_400") * 100).cast("long").as("pr_400_x100"))
+    }),
     "q_agg_bucket_script" -> ((s, dir) => {
       // bucket_script (params arithmetic) chained into bucket_selector,
       // plus serial_diff — over an integer-exact histogram frame. The
@@ -2701,6 +2741,35 @@ object SparkEntry {
                > CAST(bg_count AS DOUBLE) / bg_total)
          SELECT key, doc_count, bg_count, round(raw, 6) AS score
          FROM s ORDER BY raw DESC, key LIMIT 10""",
+    "q_agg_moving_fn" ->
+      """WITH b AS (
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
+             count(*) AS doc_count
+           FROM events GROUP BY 1)
+         SELECT key, doc_count,
+           max(doc_count) OVER (ORDER BY key
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mx,
+           sum(doc_count) OVER (ORDER BY key
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sm
+         FROM b ORDER BY key""",
+    "q_agg_normalize" ->
+      """WITH b AS (
+           SELECT source AS key, count(*) AS doc_count,
+             sum(n_chars) AS total
+           FROM documents WHERE source IS NOT NULL GROUP BY 1)
+         SELECT key, doc_count, total,
+           CAST(floor(CAST(total AS DOUBLE) / sum(CAST(total AS DOUBLE)) OVER ()
+             * 10000) AS BIGINT) AS share_x10k
+         FROM b ORDER BY doc_count DESC, key""",
+    "q_agg_percentile_ranks" ->
+      """SELECT
+           CAST(floor(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) * 100.0
+             / count(value) * 100) AS BIGINT) AS pr_100_x100,
+           CAST(floor(sum(CASE WHEN value <= 250 THEN 1 ELSE 0 END) * 100.0
+             / count(value) * 100) AS BIGINT) AS pr_250_x100,
+           CAST(floor(sum(CASE WHEN value <= 400 THEN 1 ELSE 0 END) * 100.0
+             / count(value) * 100) AS BIGINT) AS pr_400_x100
+         FROM events""",
     "q_agg_bucket_script" ->
       // serial_diff over the FULL bucket frame (declared before the
       // selector), selector filter applied after; integer-exact arithmetic

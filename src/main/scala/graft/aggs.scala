@@ -191,12 +191,14 @@ object Aggs {
   /** Bucket-SEQUENCE pipelines need the equal-spaced ordered axis only the
     * histogram family has (ES rejects them elsewhere too). */
   private val seqPipelineTypes =
-    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff")
+    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "moving_fn")
   /** Bucket-SHAPING pipelines operate on any bucket list — ES allows them
     * under `terms` (bucket_sort under terms is the dashboard pagination
-    * idiom). */
+    * idiom). `normalize` reads the whole frame but is order-independent
+    * per bucket (percent_of_sum under terms is the dashboard share-of-total
+    * idiom), so it lives here rather than with the sequence pipelines. */
   private val shapePipelineTypes =
-    Set("bucket_script", "bucket_selector", "bucket_sort")
+    Set("bucket_script", "bucket_selector", "bucket_sort", "normalize")
   private val pipelineTypes = seqPipelineTypes ++ shapePipelineTypes
 
   /** Unknown keys in a bucket-agg body are a miscompile without a trace
@@ -808,6 +810,84 @@ object Aggs {
           val win = Option(body.get("window")).map(_.asInt).getOrElse(5)
           require(win >= 1, s"moving_avg '$sub' window must be >= 1")
           df.withColumn(sub, avg(col(pathCol(df))).over(w.rowsBetween(-(win - 1), 0)))
+        case "moving_fn" =>
+          // {"buckets_path":"x","window":N,"script":"MovingFunctions.max
+          // (values)","shift":S} — the scripted moving window, in the
+          // declared no-script-engine subset: the script must be ONE
+          // recognized MovingFunctions call over `values`. ES window
+          // semantics: shift 0 (default) EXCLUDES the current bucket —
+          // frame [i-window+shift, i+shift-1]; shift=1 is the trailing
+          // window moving_avg uses. An empty/all-null frame yields null
+          // (ES returns null there too).
+          val unknownMf = body.fieldNames.asScala.toSet --
+            Set("buckets_path", "window", "script", "shift", "gap_policy")
+          require(unknownMf.isEmpty,
+            s"unsupported moving_fn option(s) in '$sub': ${unknownMf.mkString(", ")}")
+          Option(body.get("gap_policy")).foreach { g =>
+            require(g.isTextual && g.asText == "skip",
+              s"moving_fn '$sub' gap_policy: 'skip' only (nulls propagate natively)")
+          }
+          val winF = Option(body.get("window")).map(_.asInt)
+            .getOrElse(throw new IllegalArgumentException(
+              s"moving_fn '$sub' needs 'window'"))
+          require(winF >= 1, s"moving_fn '$sub' window must be >= 1")
+          val shift = Option(body.get("shift")).map(_.asInt).getOrElse(0)
+          require(shift <= winF,
+            s"moving_fn '$sub' shift must be <= window (a frame fully past " +
+              "the current bucket reads future buckets only)")
+          val script = Option(body.get("script")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              s"moving_fn '$sub' needs a 'script' string"))
+          val fnRe =
+            """^\s*MovingFunctions\.(max|min|sum|unweightedAvg)\(values\)\s*$""".r
+          val stdRe = ("""^\s*MovingFunctions\.stdDev\(values,\s*""" +
+            """MovingFunctions\.unweightedAvg\(values\)\)\s*$""").r
+          val src = col(pathCol(df))
+          val frame = w.rowsBetween(shift.toLong - winF, shift.toLong - 1)
+          val out = script match {
+            case fnRe("max")           => max(src).over(frame)
+            case fnRe("min")           => min(src).over(frame)
+            case fnRe("sum")           => sum(src).over(frame)
+            case fnRe("unweightedAvg") => avg(src).over(frame)
+            case stdRe()               => stddev_pop(src).over(frame)
+            case other => throw new IllegalArgumentException(
+              s"moving_fn '$sub': unsupported script '$other' — " +
+                "MovingFunctions.max/min/sum/unweightedAvg(values) or " +
+                "MovingFunctions.stdDev(values, MovingFunctions.unweightedAvg" +
+                "(values)) (declared no-script-engine subset)")
+          }
+          df.withColumn(sub, out)
+        case "normalize" =>
+          // whole-frame rescaling of a sibling metric: each method is a
+          // window aggregate over the ENTIRE bucket list (model-sized by
+          // construction) — no extra pass over the data
+          val unknownN = body.fieldNames.asScala.toSet --
+            Set("buckets_path", "method")
+          require(unknownN.isEmpty,
+            s"unsupported normalize option(s) in '$sub': ${unknownN.mkString(", ")}")
+          val src = col(pathCol(df)).cast("double")
+          val all = w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+          val method = Option(body.get("method")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              s"normalize '$sub' needs 'method'"))
+          val out = method match {
+            case "rescale_0_1" =>
+              (src - min(src).over(all)) / (max(src).over(all) - min(src).over(all))
+            case "rescale_0_100" =>
+              (src - min(src).over(all)) * 100.0 /
+                (max(src).over(all) - min(src).over(all))
+            case "percent_of_sum" => src / sum(src).over(all)
+            case "mean" =>
+              (src - avg(src).over(all)) / (max(src).over(all) - min(src).over(all))
+            case "z-score" => (src - avg(src).over(all)) / stddev_pop(src).over(all)
+            case "softmax" => exp(src) / sum(exp(src)).over(all)
+            case other => throw new IllegalArgumentException(
+              s"normalize '$sub': unknown method '$other' (rescale_0_1 | " +
+                "rescale_0_100 | percent_of_sum | mean | z-score | softmax)")
+          }
+          df.withColumn(sub, out)
         case "bucket_script" => df.withColumn(sub, scriptCol(df))
         case "bucket_selector" => df.where(scriptCol(df))
         case "bucket_sort" =>
@@ -1704,6 +1784,25 @@ object Aggs {
           val suffix = (if (p == p.floor) p.toInt.toString else p.toString)
             .replace('.', '_')
           percentile(col(f), lit(p / 100.0)).as(s"${name}_p$suffix")
+        }
+      case "percentile_ranks" =>
+        // the inverse of `percentiles`: for each probe value, the percent
+        // of observed values at or below it — the EXACT empirical CDF
+        // (one guarded aggregate per probe; no sort, map-side combinable).
+        // DECLARED DIVERGENCE: ES interpolates through its t-digest; the
+        // exact rank is the deterministic superset contract, same trade as
+        // `percentiles`/`cardinality`. Flattened to <name>_<value> ('.'
+        // → '_'), mirroring the percentiles column convention.
+        val values = Option(body.get("values")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.map(_.asDouble))
+          .getOrElse(throw new IllegalArgumentException(
+            s"percentile_ranks '$name' needs 'values': [..]"))
+        require(values.nonEmpty, s"percentile_ranks '$name' values must be non-empty")
+        values.map { v =>
+          val suffix = (if (v == v.floor && !v.isInfinite) v.toLong.toString
+            else v.toString).replace('.', '_')
+          (sum(when(c.isNotNull && c <= lit(v), 1L).otherwise(0L)) * 100.0 /
+            count(c)).as(s"${name}_$suffix")
         }
       case "boxplot" =>
         // five-number summary: min / q1 / q2 / q3 / max, flattened like

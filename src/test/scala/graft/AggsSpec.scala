@@ -184,6 +184,68 @@ class AggsSpec extends AnyFunSuite {
       (30.0, 8.0, 15.0, Some(4.0), 1.0)))
   }
 
+  test("percentile_ranks: exact empirical CDF, flattened columns") {
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"pr":{"percentile_ranks":{"field":"v","values":[2, 3.5]}}}}""")
+    assert(out.columns.toSeq == Seq("pr_2", "pr_3_5"))
+    val r = out.collect().head
+    // 2 of 4 values <= 2 -> 50%; 3 of 4 <= 3.5 -> 75%
+    assert(r.getDouble(0) == 50.0 && r.getDouble(1) == 75.0)
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"pr":{"percentile_ranks":{"field":"v"}}}}"""))
+      .getMessage.contains("values"))
+  }
+
+  test("moving_fn: scripted window excludes current bucket at shift 0") {
+    val rows = Seq((5.0, 1.0), (15.0, 2.0), (25.0, 4.0), (35.0, 8.0))
+      .toDF("x", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"total":{"sum":{"field":"v"}},
+             "mx":{"moving_fn":{"buckets_path":"total","window":2,
+               "script":"MovingFunctions.max(values)"}},
+             "sm":{"moving_fn":{"buckets_path":"total","window":2,"shift":1,
+               "script":"MovingFunctions.sum(values)"}}}}}}""")
+      .collect().map(r => (r.getDouble(0),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+    // mx: max of the PREVIOUS two buckets (null at the first);
+    // sm: shift 1 = trailing window including current
+    assert(out.toSeq == Seq(
+      (0.0, None, 1.0), (10.0, Some(1.0), 3.0),
+      (20.0, Some(2.0), 6.0), (30.0, Some(4.0), 12.0)))
+    // unsupported script shapes are loud, not silently wrong
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"m":{"moving_fn":{"buckets_path":"_count","window":2,
+             "script":"params.x * 2"}}}}}}"""))
+      .getMessage.contains("unsupported script"))
+  }
+
+  test("normalize: percent_of_sum under terms, z-score under histogram") {
+    val rows = Seq(("a", 1.0), ("a", 1.0), ("b", 1.0), ("c", 1.0))
+      .toDF("g", "v")
+    val out = Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g"},
+           "aggs":{"share":{"normalize":{"buckets_path":"_count",
+             "method":"percent_of_sum"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 0.5), ("b", 0.25), ("c", 0.25)))
+    val hist2 = Seq((5.0, 0.0), (15.0, 0.0), (15.0, 0.0), (25.0, 0.0),
+      (25.0, 0.0), (25.0, 0.0)).toDF("x", "v")
+    val z2 = Aggs.runSingle(hist2,
+      """{"aggs":{"h":{"histogram":{"field":"x","interval":10},
+           "aggs":{"zz":{"normalize":{"buckets_path":"_count",
+             "method":"rescale_0_100"}}}}}}""")
+      .collect().map(_.getDouble(2))
+    assert(z2.toSeq == Seq(0.0, 50.0, 100.0))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(rows,
+      """{"aggs":{"t":{"terms":{"field":"g"},
+           "aggs":{"n":{"normalize":{"buckets_path":"_count",
+             "method":"bogus"}}}}}}"""))
+      .getMessage.contains("unknown method"))
+  }
+
   test("terms order (_key / metric sub-agg) and min_doc_count") {
     val rows = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0),
       ("c", 5.0), ("c", 7.0), ("c", 9.0)).toDF("g", "v")

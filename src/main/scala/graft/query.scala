@@ -1620,6 +1620,215 @@ object QueryCompiler {
             .rlike("\\b" + reQuote(incT) + "\\b")
           if (scoring) leaves += leaf(c, 1)
           c
+        case "span_containing" | "span_within" =>
+          // {big: {span_near: ...}, little: {span_term: ...}} — spans of
+          // `big` that contain a `little` span. `span_containing` returns
+          // the big span, `span_within` the little one; at the engine's
+          // document granularity the MATCH SET is identical (Lucene
+          // differs only in which span is scored), so both compile to the
+          // same predicate. Declared subset: big = span_near of exactly
+          // two span_terms with in_order:true, little = span_term on the
+          // same field. Compiled as an exact alternation over the little
+          // term's position inside the big window (an endpoint, or gap
+          // token #i with the remaining gap budget slop−1−i) — each
+          // alternative pins the split, so the slop budget is never
+          // double-spent.
+          val unknownCw = body.fieldNames.asScala.toSet -- Set("big", "little")
+          require(unknownCw.isEmpty,
+            s"unsupported $key option(s): ${unknownCw.mkString(", ")}")
+          val litSt = Option(body.get("little")).flatMap(m =>
+            Option(m.get("span_term")).filter(_.isObject))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$key needs 'little': {span_term: ...} (declared subset)"))
+          val (litF, litV) = singleField(litSt)
+          val litT = (if (litV.isTextual) litV.asText
+            else Option(litV.get("value")).map(_.asText).getOrElse("")).toLowerCase
+          require(litT.nonEmpty, "span_term expects a non-empty term")
+          val bigSn = Option(body.get("big")).flatMap(m =>
+            Option(m.get("span_near")).filter(_.isObject))
+            .getOrElse(throw new IllegalArgumentException(
+              s"$key needs 'big': {span_near: ...} (declared subset)"))
+          val unknownBg = bigSn.fieldNames.asScala.toSet --
+            Set("clauses", "slop", "in_order")
+          require(unknownBg.isEmpty,
+            s"unsupported $key big option(s): ${unknownBg.mkString(", ")}")
+          require(Option(bigSn.get("in_order")).exists(_.asBoolean),
+            s"$key big span_near must set in_order: true (declared subset)")
+          val bigCl = Option(bigSn.get("clauses")).filter(_.isArray)
+            .map(_.elements.asScala.toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              s"$key big needs 'clauses': [..]"))
+          require(bigCl.size == 2,
+            s"$key big supports exactly two span_term clauses (declared subset)")
+          val bigParts = bigCl.map { c =>
+            val st = Option(c.get("span_term")).filter(_.isObject)
+              .getOrElse(throw new IllegalArgumentException(
+                s"$key big clauses must be span_term objects"))
+            val (bf, bv) = singleField(st)
+            val t = (if (bv.isTextual) bv.asText
+              else Option(bv.get("value")).map(_.asText).getOrElse("")).toLowerCase
+            require(t.nonEmpty, "span_term expects a non-empty term")
+            (bf, t)
+          }
+          require(bigParts.forall(_._1 == litF),
+            s"$key big and little must share one field")
+          val bigSlop = Option(bigSn.get("slop")).map(_.asInt).getOrElse(0)
+          require(bigSlop >= 0, s"span_near slop must be >= 0, got $bigSlop")
+          val (bgA, bgB) = (bigParts.head._2, bigParts(1)._2)
+          val pats = scala.collection.mutable.ArrayBuffer[String]()
+          if (litT == bgA || litT == bgB)
+            // the little term IS an endpoint: every big span contains it
+            pats += ("\\b" + reQuote(bgA) + "\\b(?:\\s+\\S+){0," + bigSlop +
+              "}\\s+" + reQuote(bgB) + "\\b")
+          for (i <- 0 until bigSlop)
+            pats += ("\\b" + reQuote(bgA) + "\\b(?:\\s+\\S+){" + i + "}\\s+" +
+              reQuote(litT) + "\\b(?:\\s+\\S+){0," + (bigSlop - 1 - i) +
+              "}\\s+" + reQuote(bgB) + "\\b")
+          // slop 0 with a non-endpoint little term: no gap token can ever
+          // hold it — an empty result, not an error (ES matches nothing)
+          val c = pats.map(p => lower(col(litF)).rlike(p))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          if (scoring) leaves += leaf(c, 1)
+          c
+        case "span_multi" =>
+          // {"span_multi":{"match":{prefix|wildcard|regexp|fuzzy: ...}}} —
+          // a multi-term query lifted into span context. The engine's span
+          // composition is regex-over-text, so span_multi is supported
+          // where a whole-document span predicate suffices (top level,
+          // span_or clauses); span_near still takes span_term clauses only
+          // (declared there, loud). One integer leaf like other spans.
+          val unknownSm = body.fieldNames.asScala.toSet -- Set("match")
+          require(unknownSm.isEmpty,
+            s"unsupported span_multi option(s): ${unknownSm.mkString(", ")}")
+          val m = Option(body.get("match")).filter(n => n.isObject && n.size == 1)
+            .getOrElse(throw new IllegalArgumentException(
+              "span_multi needs 'match': {<multi-term query>}"))
+          val mk = m.fieldNames.asScala.next()
+          require(Set("prefix", "wildcard", "regexp", "fuzzy")(mk),
+            s"span_multi match must be prefix/wildcard/regexp/fuzzy, got: $mk")
+          val c = node(m, scala.collection.mutable.ArrayBuffer[Column](),
+            scoring = false, idCol, defaultOr)
+          if (scoring) leaves += leaf(c, 1)
+          c
+        case "intervals" =>
+          // {"intervals": {FIELD: {match|prefix|wildcard|any_of|all_of}}}
+          // — Lucene's interval queries in the regex-expressible subset.
+          // `match` analyzes multi-word text; `max_gaps` budgets foreign
+          // tokens PER GAP (declared divergence: Lucene budgets the total
+          // interval width — the per-gap form is the regex-expressible
+          // subset, consistent with match_phrase slop); `ordered` defaults
+          // false (ES parity). Unordered+bounded is two terms only;
+          // unordered+unbounded is an AND of term predicates (exactly
+          // ES semantics at document granularity). `all_of` composes
+          // single-term sub-rules under one ordered/max_gaps budget;
+          // `any_of` is a union. `filter`/`fuzzy`/`use_field`/`analyzer`
+          // rules stay out (loud). Scores ONE leaf per intervals query
+          // (like query_string), regardless of inner rule count.
+          val (iF, rootRule) = singleField(body)
+          def singleTok(r: JsonNode): Option[String] =
+            if (r.isObject && r.size == 1 && r.has("match")) {
+              val mb = r.get("match")
+              Option(mb.get("query")).filter(_.isTextual).map(_.asText.trim)
+                .filter(t => t.nonEmpty && !t.exists(_.isWhitespace) &&
+                  mb.fieldNames.asScala.toSet == Set("query"))
+            } else None
+          def compileRule(r: JsonNode): Column = {
+            require(r.isObject && r.size == 1,
+              s"an intervals rule is one object of match/prefix/wildcard/" +
+                s"any_of/all_of, got: $r")
+            val rk = r.fieldNames.asScala.next()
+            val rb = r.get(rk)
+            rk match {
+              case "match" =>
+                val unknownIm = rb.fieldNames.asScala.toSet --
+                  Set("query", "max_gaps", "ordered")
+                require(unknownIm.isEmpty,
+                  s"unsupported intervals match option(s): ${unknownIm.mkString(", ")}")
+                val q = Option(rb.get("query")).filter(_.isTextual).map(_.asText)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "intervals match needs 'query'"))
+                val toks = q.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+                require(toks.nonEmpty, "intervals match query must be non-empty")
+                val maxGaps = Option(rb.get("max_gaps")).map(_.asInt).getOrElse(-1)
+                val ordered = Option(rb.get("ordered")).exists(_.asBoolean)
+                if (toks.size == 1) termMatch(iF, escapeTerm(toks.head))
+                else if (ordered && maxGaps < 0)
+                  // in order, any distance: tokens chained by a free gap
+                  lower(col(iF)).rlike(toks.map(t => "\\b" + reQuote(t) + "\\b")
+                    .mkString("[\\s\\S]*"))
+                else if (ordered)
+                  proximityMatch(iF, toks.mkString(" "), maxGaps)
+                else if (maxGaps < 0)
+                  // any order, any distance = every term present
+                  toks.map(t => termMatch(iF, escapeTerm(t))).reduce(_ && _)
+                else {
+                  require(toks.size == 2,
+                    "intervals match unordered with max_gaps supports exactly " +
+                      "two terms (declared subset)")
+                  proximityMatch(iF, toks.mkString(" "), maxGaps) ||
+                    proximityMatch(iF, toks.reverse.mkString(" "), maxGaps)
+                }
+              case "prefix" =>
+                val p = Option(rb.get("prefix")).filter(_.isTextual).map(_.asText)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "intervals prefix needs 'prefix'"))
+                require(p.nonEmpty, "intervals prefix must be non-empty")
+                termMatch(iF, escapeTerm(p) + "*")
+              case "wildcard" =>
+                val p = Option(rb.get("pattern")).filter(_.isTextual).map(_.asText)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "intervals wildcard needs 'pattern'"))
+                require(p.nonEmpty, "intervals wildcard pattern must be non-empty")
+                termMatch(iF, p)
+              case "any_of" =>
+                val cl = Option(rb.get("intervals")).filter(_.isArray)
+                  .map(_.elements.asScala.toSeq)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "intervals any_of needs 'intervals': [..]"))
+                require(cl.nonEmpty, "intervals any_of needs at least one rule")
+                cl.map(compileRule).reduce(_ || _)
+              case "all_of" =>
+                val unknownAo = rb.fieldNames.asScala.toSet --
+                  Set("intervals", "ordered", "max_gaps")
+                require(unknownAo.isEmpty,
+                  s"unsupported intervals all_of option(s): ${unknownAo.mkString(", ")}")
+                val cl = Option(rb.get("intervals")).filter(_.isArray)
+                  .map(_.elements.asScala.toSeq)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "intervals all_of needs 'intervals': [..]"))
+                require(cl.nonEmpty, "intervals all_of needs at least one rule")
+                val ordered = Option(rb.get("ordered")).exists(_.asBoolean)
+                val maxGaps = Option(rb.get("max_gaps")).map(_.asInt).getOrElse(-1)
+                if (!ordered && maxGaps < 0)
+                  // positions unconstrained: the conjunction of sub-rules,
+                  // each of any supported shape
+                  cl.map(compileRule).reduce(_ && _)
+                else {
+                  // a positional budget needs literal tokens: every
+                  // sub-rule must be a single-term match (declared subset)
+                  val toks = cl.map(c => singleTok(c).getOrElse(
+                    throw new IllegalArgumentException(
+                      "intervals all_of with ordered/max_gaps supports " +
+                        "single-term match sub-rules only (declared subset)")))
+                  val mg = if (maxGaps < 0) Int.MaxValue - 1 else maxGaps
+                  if (ordered) proximityMatch(iF, toks.mkString(" "),
+                    math.min(mg, 1000))
+                  else {
+                    require(toks.size == 2,
+                      "intervals all_of unordered with max_gaps supports " +
+                        "exactly two sub-rules (declared subset)")
+                    proximityMatch(iF, toks.mkString(" "), mg) ||
+                      proximityMatch(iF, toks.reverse.mkString(" "), mg)
+                  }
+                }
+              case other => throw new IllegalArgumentException(
+                s"unsupported intervals rule '$other' (match/prefix/wildcard/" +
+                  "any_of/all_of; fuzzy/filter stay out of the declared subset)")
+            }
+          }
+          val c = compileRule(rootRule)
+          if (scoring) leaves += leaf(c, 1)
+          c
         case "wrapper" =>
           // {"wrapper": {"query": "<base64 of a query JSON>"}} — ES's
           // escape hatch for clients that must smuggle a query through a

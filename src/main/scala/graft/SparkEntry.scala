@@ -1551,6 +1551,104 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_search_dsl_nested" -> ((s, dir) => {
+      // nested query: parents assembled from orders as array<struct>; at
+      // least one order is BOTH status F and >= 200k — per-element
+      // conjunction (a flat AND would also match customers whose F order
+      // and big order are different rows)
+      val orders = tbl(s, dir, "orders")
+      val parents = orders.groupBy(col("o_custkey").as("doc_id"))
+        .agg(collect_list(struct(
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))).as("orders"))
+      Search.search(parents,
+        """{"query": {"nested": {"path": "orders", "score_mode": "none",
+              "query": {"bool": {"must": [
+                {"term": {"orders.status": "F"}},
+                {"range": {"orders.price": {"gte": 200000}}}]}}}},
+            "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_geo_bbox" -> ((s, dir) => {
+      // geo_bounding_box over deterministic integer-derived points (exact
+      // double math both sides)
+      val cust = tbl(s, dir, "customer")
+      val pts = cust.select(col("c_custkey").as("doc_id"),
+        struct((col("c_custkey") % 180 - 90).cast("double").as("lat"),
+               ((col("c_custkey") * 7) % 360 - 180).cast("double").as("lon"))
+          .as("loc"))
+      Search.search(pts,
+        """{"query": {"geo_bounding_box": {"loc": {
+              "top_left": {"lat": 40, "lon": -50},
+              "bottom_right": {"lat": -10, "lon": 60}}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_geo_distance" -> ((s, dir) => {
+      // geo_distance: haversine on the ES mean earth radius, same formula
+      // in the DuckDB oracle
+      val cust = tbl(s, dir, "customer")
+      val pts = cust.select(col("c_custkey").as("doc_id"),
+        struct((col("c_custkey") % 180 - 90).cast("double").as("lat"),
+               ((col("c_custkey") * 7) % 360 - 180).cast("double").as("lon"))
+          .as("loc"))
+      Search.search(pts,
+        """{"query": {"geo_distance": {"distance": "3000km",
+              "loc": {"lat": 10, "lon": 20}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_span_containing" -> ((s, dir) => {
+      // span_containing: a hash..join span (<=2 gaps) holding 'table'
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"span_containing": {
+              "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "hash"}},
+                {"span_term": {"text": "join"}}],
+                "slop": 2, "in_order": true}},
+              "little": {"span_term": {"text": "table"}}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_span_within" -> ((s, dir) => {
+      // span_within with the little term as an endpoint: the match set is
+      // every big span occurrence
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"span_within": {
+              "big": {"span_near": {"clauses": [
+                {"span_term": {"text": "spark"}},
+                {"span_term": {"text": "window"}}],
+                "slop": 1, "in_order": true}},
+              "little": {"span_term": {"text": "spark"}}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_span_multi" -> ((s, dir) => {
+      // span_multi: a wildcard lifted into span context, unioned with a
+      // span_term under span_or
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"span_or": {"clauses": [
+              {"span_multi": {"match": {"wildcard": {"text": "st?eam"}}}},
+              {"span_term": {"text": "dup"}}]}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_intervals" -> ((s, dir) => {
+      // intervals: any_of over an ordered all_of gap budget and a prefix
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"intervals": {"text": {"any_of": {"intervals": [
+              {"all_of": {"intervals": [
+                {"match": {"query": "sort"}}, {"match": {"query": "merge"}}],
+                "ordered": true, "max_gaps": 2}},
+              {"prefix": {"prefix": "vect"}}]}}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_search_terms_set" -> ((s, dir) => {
       // terms_set: at least 2 of the 3 terms present (literal threshold)
       val docs = tbl(s, dir, "documents")
@@ -2883,6 +2981,50 @@ object SparkEntry {
          WHERE regexp_matches(
                  regexp_replace(lower(text), '\bhash\s+join\b', '', 'g'),
                  '\bhash\b')""",
+    "q_search_dsl_nested" ->
+      // EXISTS over the parent's orders = the base-table predicate DISTINCT
+      """SELECT DISTINCT o_custkey AS doc_id FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice >= 200000""",
+    "q_search_geo_bbox" ->
+      """SELECT c_custkey AS doc_id FROM customer
+         WHERE (c_custkey % 180 - 90) BETWEEN -10 AND 40
+           AND ((c_custkey * 7) % 360 - 180) BETWEEN -50 AND 60""",
+    "q_search_geo_distance" ->
+      """WITH pts AS (
+           SELECT c_custkey AS doc_id,
+                  radians(CAST(c_custkey % 180 - 90 AS DOUBLE)) AS plat,
+                  radians(CAST((c_custkey * 7) % 360 - 180 AS DOUBLE)) AS plon
+           FROM customer),
+         h AS (
+           SELECT doc_id,
+                  sin((plat - radians(10.0)) / 2) AS sdlat,
+                  sin((plon - radians(20.0)) / 2) AS sdlon,
+                  cos(plat) AS cplat
+           FROM pts)
+         SELECT doc_id FROM h
+         WHERE 2 * 6371008.7714150598 *
+               asin(sqrt(sdlat * sdlat
+                 + cplat * cos(radians(10.0)) * sdlon * sdlon)) <= 3000000.0""",
+    "q_search_span_containing" ->
+      // the compiled alternation verbatim: 'table' pinned as gap token #i
+      // of the hash..join window, remaining budget slop-1-i
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text),
+                 '\bhash\b(?:\s+\S+){0}\s+table\b(?:\s+\S+){0,1}\s+join\b')
+            OR regexp_matches(lower(text),
+                 '\bhash\b(?:\s+\S+){1}\s+table\b(?:\s+\S+){0,0}\s+join\b')""",
+    "q_search_span_within" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text),
+                 '\bspark\b(?:\s+\S+){0,1}\s+window\b')""",
+    "q_search_span_multi" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text), '\bst[^\s]eam\b')
+            OR regexp_matches(lower(text), '\bdup\b')""",
+    "q_search_intervals" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text), '\bsort(?:\s+\S+){0,2}\s+merge\b')
+            OR regexp_matches(lower(text), '\bvect[^\s]*')""",
     "q_search_wrapper" ->
       "SELECT doc_id FROM documents WHERE lang = 'fr'",
     "q_search_terms_set" ->

@@ -80,7 +80,11 @@ object OptionReader {
       maxResults = num("max-results", 10000)(_.toInt),
       defaultOperator = opts.getOrElse("default-operator", "AND") match {
         case op if op.equalsIgnoreCase("OR") => "OR"
-        case _ => "AND" // malformed falls back, like the other readers
+        case op if op.equalsIgnoreCase("AND") => "AND"
+        // loud, matching QueryCompiler.resolveOperator: a typo here would
+        // silently flip every query's semantics, unlike the numeric knobs
+        case other => throw new IllegalArgumentException(
+          s"default-operator must be AND or OR, got: $other")
       },
       discardNulls = bool("discard-nulls", dflt = true),
       insertOnly = bool("insert-only", dflt = false),

@@ -1046,6 +1046,195 @@ object QueryCompiler {
           val c = parts.reduce(_ && _)
           if (scoring) leaves += leaf(c, 1)
           c
+        case "nested" =>
+          // {"nested": {"path": "p", "query": {...}}} — at least one
+          // element of the array-of-struct column `p` satisfies ALL inner
+          // conditions TOGETHER (ES nested semantics: per-element
+          // conjunction, not a cross-element AND — that distinction is the
+          // whole point of the operator). Inner fields are addressed
+          // "p.<field>" (ES convention). Compiled to a higher-order
+          // `exists(p, elem -> ...)` — no explode, no shuffle, evaluated
+          // rowwise inside codegen. Declared subset: inner query is
+          // term/terms/range/match/exists or a bool of those (no
+          // minimum_should_match, no nested-in-nested); score_mode only
+          // "none" — scores ONE integer leaf per nested query, like
+          // query_string. (Reference pipe: ElasticIndex.java:663.)
+          val unknownNq = body.fieldNames.asScala.toSet --
+            Set("path", "query", "score_mode", "ignore_unmapped")
+          require(unknownNq.isEmpty,
+            s"unsupported nested option(s): ${unknownNq.mkString(", ")}")
+          Option(body.get("ignore_unmapped")).foreach(n => require(!n.asBoolean,
+            "nested ignore_unmapped:true is unsupported (schemas are static " +
+              "here — declared subset)"))
+          Option(body.get("score_mode")).foreach { n =>
+            require(n.isTextual && n.asText == "none",
+              s"nested score_mode supports only 'none' (declared subset), got: $n")
+          }
+          val nPath = Option(body.get("path")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException("nested needs 'path'"))
+          require(nPath.nonEmpty, "nested path must be non-empty")
+          val nInner = Option(body.get("query")).filter(_.isObject)
+            .getOrElse(throw new IllegalArgumentException("nested needs 'query'"))
+          def innerField(raw: String): String = {
+            require(raw.startsWith(nPath + ".") && raw.length > nPath.length + 1,
+              s"nested query fields must be addressed '$nPath.<field>', got: $raw")
+            raw.substring(nPath.length + 1)
+          }
+          def elemPred(qn: JsonNode, x: Column): Column = {
+            require(qn.isObject && qn.size == 1,
+              s"expected single-operator object, got: $qn")
+            val iop = qn.fieldNames.asScala.next()
+            val ib = qn.get(iop)
+            iop match {
+              case "term" =>
+                val (f, v) = singleField(ib)
+                val value =
+                  if (v.isObject) Option(v.get("value")).getOrElse(
+                    throw new IllegalArgumentException(
+                      "term long form requires 'value'"))
+                  else v
+                x.getField(innerField(f)) === lit(scalarOf(value))
+              case "terms" =>
+                val (f, arr) = singleField(ib)
+                require(arr.isArray, s"terms expects an array, got: $arr")
+                val vals = arr.elements.asScala.toSeq.map(scalarOf)
+                if (vals.isEmpty) lit(false)
+                else x.getField(innerField(f)).isin(vals: _*)
+              case "range" =>
+                val (f, spec) = singleField(ib)
+                val cf = x.getField(innerField(f))
+                val parts = spec.fields.asScala.map { e =>
+                  val v = lit(scalarOf(e.getValue))
+                  e.getKey match {
+                    case "gte" => cf >= v
+                    case "gt"  => cf > v
+                    case "lte" => cf <= v
+                    case "lt"  => cf < v
+                    case k => throw new IllegalArgumentException(s"range op '$k'")
+                  }
+                }.toSeq
+                require(parts.nonEmpty, "empty range")
+                parts.reduce(_ && _)
+              case "match" =>
+                // analyzed like top-level match: whitespace terms OR
+                val (f, v) = singleField(ib)
+                require(v.isTextual && v.asText.nonEmpty,
+                  s"nested match expects a non-empty string value, got: $v")
+                val toks = v.asText.split("\\s+").filter(_.nonEmpty).toSeq
+                toks.map(t => lower(x.getField(innerField(f)))
+                  .rlike(termPattern(escapeTerm(t)))).reduce(_ || _)
+              case "exists" =>
+                val f = Option(ib.get("field")).filter(_.isTextual).map(_.asText)
+                  .getOrElse(throw new IllegalArgumentException(
+                    "exists needs 'field'"))
+                x.getField(innerField(f)).isNotNull
+              case "bool" =>
+                val unknownB = ib.fieldNames.asScala.toSet --
+                  Set("must", "filter", "must_not", "should")
+                require(unknownB.isEmpty,
+                  s"unsupported nested bool option(s): ${unknownB.mkString(", ")} " +
+                    "(declared subset)")
+                def cls(k: String): Seq[Column] =
+                  clauseList(ib, k).map(elemPred(_, x))
+                val positive = cls("must") ++ cls("filter")
+                val req = positive ++
+                  cls("must_not").map(c => !coalesce(c, lit(false)))
+                val base = if (req.nonEmpty) req.reduce(_ && _) else lit(true)
+                val should = cls("should")
+                // ES default minimum_should_match: 0 with positive clauses
+                // present, else 1
+                if (should.isEmpty || positive.nonEmpty) base
+                else base && should.reduce(_ || _)
+              case other => throw new IllegalArgumentException(
+                s"unsupported nested inner operator '$other' " +
+                  "(term/terms/range/match/exists/bool — declared subset)")
+            }
+          }
+          val nc = exists(col(nPath), x => elemPred(nInner, x))
+          if (scoring) leaves += leaf(nc, 1)
+          nc
+        case "geo_bounding_box" =>
+          // {"geo_bounding_box": {FIELD: {"top_left": {"lat","lon"},
+          //  "bottom_right": {...}}}} — the geo_point is a
+          // struct<lat:double,lon:double> column; pure comparisons, fully
+          // codegen'd and pushdown-friendly. Boxes crossing the antimeridian
+          // (left > right) wrap, as in ES.
+          val (gf, gspec) = singleField(body)
+          require(gspec.isObject, s"geo_bounding_box expects an object, got: $gspec")
+          val unknownGb = gspec.fieldNames.asScala.toSet --
+            Set("top_left", "bottom_right")
+          require(unknownGb.isEmpty,
+            s"unsupported geo_bounding_box option(s): ${unknownGb.mkString(", ")} " +
+              "(top_left/bottom_right objects — declared subset)")
+          def latLon(k: String): (Double, Double) = {
+            val n0 = Option(gspec.get(k)).filter(_.isObject)
+              .getOrElse(throw new IllegalArgumentException(
+                s"geo_bounding_box needs '$k': {lat, lon}"))
+            val la = Option(n0.get("lat")).filter(_.isNumber).map(_.asDouble)
+              .getOrElse(throw new IllegalArgumentException(s"$k needs numeric 'lat'"))
+            val lo = Option(n0.get("lon")).filter(_.isNumber).map(_.asDouble)
+              .getOrElse(throw new IllegalArgumentException(s"$k needs numeric 'lon'"))
+            require(la >= -90 && la <= 90, s"$k lat out of range: $la")
+            require(lo >= -180 && lo <= 180, s"$k lon out of range: $lo")
+            (la, lo)
+          }
+          val (top, left) = latLon("top_left")
+          val (bottom, right) = latLon("bottom_right")
+          require(top >= bottom,
+            s"geo_bounding_box top_left.lat ($top) must be >= bottom_right.lat ($bottom)")
+          val glat = col(gf).getField("lat")
+          val glon = col(gf).getField("lon")
+          val lonC =
+            if (left <= right) glon >= lit(left) && glon <= lit(right)
+            else glon >= lit(left) || glon <= lit(right) // antimeridian wrap
+          val gc = glat <= lit(top) && glat >= lit(bottom) && lonC
+          if (scoring) leaves += leaf(gc, 1)
+          gc
+        case "geo_distance" =>
+          // {"geo_distance": {"distance": "100km", FIELD: {"lat","lon"}}} —
+          // haversine great-circle distance on ES's mean earth radius
+          // (GeoUtils.EARTH_MEAN_RADIUS = 6371008.7714150598 m), expressed
+          // entirely in built-in double math so the whole predicate stays
+          // inside whole-stage codegen.
+          val distN = Option(body.get("distance")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "geo_distance needs 'distance': \"<number><unit>\""))
+          val distRe = "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*(m|km|mi|nmi|yd|ft|in|cm|mm)\\s*$".r
+          val meters = distN.toLowerCase match {
+            case distRe(v, u) =>
+              val scale = u match {
+                case "m" => 1.0; case "km" => 1000.0; case "mi" => 1609.344
+                case "nmi" => 1852.0; case "yd" => 0.9144; case "ft" => 0.3048
+                case "in" => 0.0254; case "cm" => 0.01; case "mm" => 0.001
+              }
+              v.toDouble * scale
+            case _ => throw new IllegalArgumentException(
+              s"unparseable geo_distance distance '$distN' " +
+                "(expected <number><unit>, e.g. \"100km\")")
+          }
+          val others = body.fieldNames.asScala.toSet - "distance"
+          require(others.size == 1,
+            s"geo_distance needs exactly one field with {lat, lon}, got: $others")
+          val gdf = others.head
+          val ctr = body.get(gdf)
+          require(ctr.isObject, s"geo_distance $gdf expects {lat, lon}, got: $ctr")
+          val cLat = Option(ctr.get("lat")).filter(_.isNumber).map(_.asDouble)
+            .getOrElse(throw new IllegalArgumentException("geo_distance needs numeric 'lat'"))
+          val cLon = Option(ctr.get("lon")).filter(_.isNumber).map(_.asDouble)
+            .getOrElse(throw new IllegalArgumentException("geo_distance needs numeric 'lon'"))
+          require(cLat >= -90 && cLat <= 90, s"geo_distance lat out of range: $cLat")
+          require(cLon >= -180 && cLon <= 180, s"geo_distance lon out of range: $cLon")
+          val earthR = 6371008.7714150598
+          val pLat = radians(col(gdf).getField("lat"))
+          val pLon = radians(col(gdf).getField("lon"))
+          val qLat = lit(math.toRadians(cLat))
+          val qLon = lit(math.toRadians(cLon))
+          val sinDLat = sin((pLat - qLat) / 2)
+          val sinDLon = sin((pLon - qLon) / 2)
+          val h = sinDLat * sinDLat + cos(pLat) * cos(qLat) * sinDLon * sinDLon
+          val gdc = lit(2 * earthR) * asin(sqrt(h)) <= lit(meters)
+          if (scoring) leaves += leaf(gdc, 1)
+          gdc
         case "query_string" =>
           // {"query_string":{"query":"a:b AND c:d"}} — optional
           // `default_field` binds BARE terms (ES's q=spark batch style);
@@ -1606,6 +1795,12 @@ object QueryCompiler {
           require(exParts.head._2 == incT || exParts(1)._2 == incT,
             "span_not exclude must contain the include term as its first or " +
               "last clause (declared subset)")
+          // when the include term is BOTH endpoints (e.g. include 'fox',
+          // exclude [fox,fox]), greedy non-overlapping stripping can leave
+          // a survivor Lucene would exclude — out of the declared subset
+          require(!(exParts.head._2 == incT && exParts(1)._2 == incT),
+            "span_not exclude with the include term at both endpoints " +
+              "diverges from Lucene overlap semantics (declared subset)")
           // strip every excluded bigram span, then test for a SURVIVING
           // include occurrence. Sound for this subset: a greedy
           // non-overlapping "first gap last" match only ever consumes
@@ -1620,7 +1815,7 @@ object QueryCompiler {
             .rlike("\\b" + reQuote(incT) + "\\b")
           if (scoring) leaves += leaf(c, 1)
           c
-        case "span_containing" | "span_within" =>
+        case key @ ("span_containing" | "span_within") =>
           // {big: {span_near: ...}, little: {span_term: ...}} — spans of
           // `big` that contain a `little` span. `span_containing` returns
           // the big span, `span_within` the little one; at the engine's
@@ -1810,15 +2005,26 @@ object QueryCompiler {
                     throw new IllegalArgumentException(
                       "intervals all_of with ordered/max_gaps supports " +
                         "single-term match sub-rules only (declared subset)")))
-                  val mg = if (maxGaps < 0) Int.MaxValue - 1 else maxGaps
-                  if (ordered) proximityMatch(iF, toks.mkString(" "),
-                    math.min(mg, 1000))
-                  else {
+                  if (ordered && maxGaps < 0)
+                    // in order, any distance: tokens chained by a free gap
+                    lower(col(iF)).rlike(toks.map(t => "\\b" + reQuote(t) +
+                      "\\b").mkString("[\\s\\S]*"))
+                  else if (ordered) {
+                    // fail loud past the regex engine's sane repetition
+                    // bound rather than silently narrowing the budget
+                    require(maxGaps <= 1000,
+                      "intervals all_of ordered supports max_gaps <= 1000 " +
+                        "(declared subset)")
+                    proximityMatch(iF, toks.mkString(" "), maxGaps)
+                  } else {
                     require(toks.size == 2,
                       "intervals all_of unordered with max_gaps supports " +
                         "exactly two sub-rules (declared subset)")
-                    proximityMatch(iF, toks.mkString(" "), mg) ||
-                      proximityMatch(iF, toks.reverse.mkString(" "), mg)
+                    require(maxGaps <= 1000,
+                      "intervals all_of unordered supports max_gaps <= 1000 " +
+                        "(declared subset)")
+                    proximityMatch(iF, toks.mkString(" "), maxGaps) ||
+                      proximityMatch(iF, toks.reverse.mkString(" "), maxGaps)
                   }
                 }
               case other => throw new IllegalArgumentException(

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr, struct}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pure-parser tests mirroring the reference's fixtures:
@@ -572,5 +573,231 @@ class QueryCompilerSpec extends AnyFunSuite {
          "flags":"ALL"}}}""").isLeft)
     // escaped specials are literal term characters
     assert(v("\"a\\\\+b\"").isRight)
+  }
+
+  test("span_containing / span_within: little span inside a big span_near") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "alpha mid beta"), ("2", "alpha beta"),
+      ("3", "mid alpha one beta"), ("4", "alpha one two beta mid"))
+      .toDF("doc_id", "text")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    def body(op: String, little: String, slop: Int) =
+      s"""{"query": {"$op": {
+          "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "alpha"}}, {"span_term": {"text": "beta"}}],
+            "slop": $slop, "in_order": true}},
+          "little": {"span_term": {"text": "$little"}}}}}"""
+    // 'mid' sits inside alpha..beta only in doc 1 (doc 3: before the big
+    // span; doc 4: after it)
+    assert(ids(body("span_containing", "mid", 2)) == Set("1"))
+    // span_within has the identical match set at document granularity
+    assert(ids(body("span_within", "mid", 2)) == Set("1"))
+    // little = an endpoint: every big span contains it (docs where the big
+    // span matches at all — slop 2 admits doc 4's two-gap span)
+    assert(ids(body("span_containing", "alpha", 2)) == Set("1", "2", "3", "4"))
+    // slop 0 leaves no gap token to hold a non-endpoint little: empty, not
+    // an error (ES matches nothing)
+    assert(ids(body("span_containing", "mid", 0)) == Set())
+    // loud: missing little, field mismatch, unordered big
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_containing": {"big": {"span_near": {"clauses": [
+          {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+          "slop": 0, "in_order": true}}}}}"""))
+      .getMessage.contains("little"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_within": {
+          "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "slop": 0, "in_order": true}},
+          "little": {"span_term": {"lang": "a"}}}}}"""))
+      .getMessage.contains("share one field"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_containing": {
+          "big": {"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "slop": 1}},
+          "little": {"span_term": {"text": "a"}}}}}"""))
+      .getMessage.contains("in_order"))
+  }
+
+  test("span_multi lifts prefix/wildcard/regexp/fuzzy into span context") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "sparkling water"), ("2", "spark core"), ("3", "other stuff"))
+      .toDF("doc_id", "text")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(ids("""{"query": {"span_multi": {"match":
+        {"prefix": {"text": "spark"}}}}}""") == Set("1", "2"))
+    assert(ids("""{"query": {"span_multi": {"match":
+        {"wildcard": {"text": "spark?ing"}}}}}""") == Set("1"))
+    // span_multi composes inside span_or
+    assert(ids("""{"query": {"span_or": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": "oth"}}}},
+        {"span_term": {"text": "core"}}]}}}""") == Set("2", "3"))
+    // loud: non-multi-term match, unknown option
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_multi": {"match": {"term": {"text": "spark"}}}}}"""))
+      .getMessage.contains("prefix/wildcard/regexp/fuzzy"))
+    assert(QueryCompiler.validate(
+      """{"query":{"span_multi":{"match":{"prefix":{"text":"a"}},"boost":2}}}""").isLeft)
+  }
+
+  test("intervals: match/prefix/wildcard/any_of/all_of in the regex subset") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "alpha one beta"), ("2", "beta alpha"),
+      ("3", "alpha beta gamma"), ("4", "gamma"))
+      .toDF("doc_id", "text")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // ordered adjacency (max_gaps 0) vs one-gap budget
+    assert(ids("""{"query": {"intervals": {"text": {"match":
+        {"query": "alpha beta", "max_gaps": 0, "ordered": true}}}}}""")
+      == Set("3"))
+    assert(ids("""{"query": {"intervals": {"text": {"match":
+        {"query": "alpha beta", "max_gaps": 1, "ordered": true}}}}}""")
+      == Set("1", "3"))
+    // unordered unbounded: both terms present, any order/distance
+    assert(ids("""{"query": {"intervals": {"text": {"match":
+        {"query": "alpha beta"}}}}}""") == Set("1", "2", "3"))
+    // unordered bounded: adjacency either way
+    assert(ids("""{"query": {"intervals": {"text": {"match":
+        {"query": "alpha beta", "max_gaps": 0}}}}}""") == Set("2", "3"))
+    // prefix and any_of union
+    assert(ids("""{"query": {"intervals": {"text":
+        {"prefix": {"prefix": "gam"}}}}}""") == Set("3", "4"))
+    assert(ids("""{"query": {"intervals": {"text": {"any_of": {"intervals": [
+        {"prefix": {"prefix": "gam"}},
+        {"match": {"query": "one"}}]}}}}}""") == Set("1", "3", "4"))
+    // all_of ordered unbounded: alpha then gamma somewhere after
+    assert(ids("""{"query": {"intervals": {"text": {"all_of": {
+        "intervals": [{"match": {"query": "alpha"}}, {"match": {"query": "gamma"}}],
+        "ordered": true}}}}}""") == Set("3"))
+    // all_of unordered unbounded: conjunction of sub-rules of any shape
+    assert(ids("""{"query": {"intervals": {"text": {"all_of": {
+        "intervals": [{"prefix": {"prefix": "alph"}},
+          {"match": {"query": "beta"}}]}}}}}""") == Set("1", "2", "3"))
+    // loud: oversized gap budget fails instead of silently clamping
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"intervals": {"text": {"all_of": {
+          "intervals": [{"match": {"query": "a"}}, {"match": {"query": "b"}}],
+          "ordered": true, "max_gaps": 5000}}}}}"""))
+      .getMessage.contains("max_gaps <= 1000"))
+    // loud: fuzzy rule stays out of the declared subset
+    assert(QueryCompiler.validate(
+      """{"query":{"intervals":{"text":{"fuzzy":{"term":"a"}}}}}""").isLeft)
+    // loud: all_of with a budget needs single-term match sub-rules
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"intervals": {"text": {"all_of": {
+          "intervals": [{"match": {"query": "two words"}},
+            {"match": {"query": "b"}}],
+          "ordered": true, "max_gaps": 1}}}}}"""))
+      .getMessage.contains("single-term"))
+  }
+
+  test("nested: per-element conjunction over array-of-struct (ES semantics)") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", Seq(("F", 100.0), ("O", 300.0))),
+      ("2", Seq(("F", 300.0))),
+      ("3", Seq(("O", 500.0))))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, x -> struct(x._1 as status, x._2 as price))").as("orders"))
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // THE nested distinction: doc 1 has status=F and price>=200 in
+    // DIFFERENT elements — a flat cross-element AND would wrongly match it
+    assert(ids("""{"query": {"nested": {"path": "orders", "query": {"bool": {
+        "must": [{"term": {"orders.status": "F"}},
+                 {"range": {"orders.price": {"gte": 200}}}]}}}}}""") == Set("2"))
+    // single inner term / terms / exists
+    assert(ids("""{"query": {"nested": {"path": "orders",
+        "query": {"term": {"orders.status": "O"}}}}}""") == Set("1", "3"))
+    assert(ids("""{"query": {"nested": {"path": "orders",
+        "query": {"terms": {"orders.status": ["O"]}}}}}""") == Set("1", "3"))
+    assert(ids("""{"query": {"nested": {"path": "orders",
+        "query": {"exists": {"field": "orders.price"}}}}}""") == Set("1", "2", "3"))
+    // bool should without positives: either term, per element
+    assert(ids("""{"query": {"nested": {"path": "orders", "query": {"bool": {
+        "should": [{"range": {"orders.price": {"gt": 400}}},
+                   {"term": {"orders.status": "F"}}]}}}}}""") == Set("1", "2", "3"))
+    // must_not inside the element: an element that is NOT status F and
+    // has price < 400
+    assert(ids("""{"query": {"nested": {"path": "orders", "query": {"bool": {
+        "must": [{"range": {"orders.price": {"lt": 400}}}],
+        "must_not": [{"term": {"orders.status": "F"}}]}}}}}""") == Set("1"))
+    // score_mode none accepted; others loud
+    assert(ids("""{"query": {"nested": {"path": "orders", "score_mode": "none",
+        "query": {"term": {"orders.status": "F"}}}}}""") == Set("1", "2"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"nested": {"path": "orders", "score_mode": "sum",
+          "query": {"term": {"orders.status": "F"}}}}}"""))
+      .getMessage.contains("score_mode"))
+    // loud: inner field must carry the path prefix; unsupported inner op
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"nested": {"path": "orders",
+          "query": {"term": {"status": "F"}}}}}"""))
+      .getMessage.contains("orders.<field>"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"nested": {"path": "orders",
+          "query": {"wildcard": {"orders.status": "F*"}}}}}"""))
+      .getMessage.contains("declared subset"))
+  }
+
+  test("geo_bounding_box and geo_distance over struct<lat,lon> points") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", 0.0, 0.0), ("2", 0.0, 1.0), ("3", 0.0, 10.0), ("4", 80.0, 179.0))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(ids("""{"query": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 30, "lon": -30},
+        "bottom_right": {"lat": -30, "lon": 5}}}}}""") == Set("1", "2"))
+    // antimeridian wrap: left > right means lon >= left OR lon <= right
+    assert(ids("""{"query": {"geo_bounding_box": {"loc": {
+        "top_left": {"lat": 90, "lon": 170},
+        "bottom_right": {"lat": -90, "lon": -160}}}}}""") == Set("4"))
+    // haversine: 1 deg lon at the equator ~ 111.2 km
+    assert(ids("""{"query": {"geo_distance": {"distance": "150km",
+        "loc": {"lat": 0, "lon": 0}}}}}""") == Set("1", "2"))
+    assert(ids("""{"query": {"geo_distance": {"distance": "1200km",
+        "loc": {"lat": 0, "lon": 0}}}}}""") == Set("1", "2", "3"))
+    // unit forms are equivalent
+    assert(ids("""{"query": {"geo_distance": {"distance": "150000m",
+        "loc": {"lat": 0, "lon": 0}}}}}""") == Set("1", "2"))
+    // loud: inverted box, bad unit, out-of-range center
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"geo_bounding_box": {"loc": {
+          "top_left": {"lat": -30, "lon": 0},
+          "bottom_right": {"lat": 30, "lon": 5}}}}}"""))
+      .getMessage.contains("top_left.lat"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"geo_distance": {"distance": "100parsec",
+          "loc": {"lat": 0, "lon": 0}}}}}"""))
+      .getMessage.contains("unparseable"))
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"geo_distance": {"distance": "1km",
+          "loc": {"lat": 99, "lon": 0}}}}}"""))
+      .getMessage.contains("lat out of range"))
+  }
+
+  test("span_not rejects the include term at both exclude endpoints") {
+    import spark.implicits._
+    val docs = Seq(("1", "fox fox fox")).toDF("doc_id", "text")
+    def ids(q: String) = Search.search(docs, q, IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(intercept[IllegalArgumentException](ids(
+      """{"query": {"span_not": {
+          "include": {"span_term": {"text": "fox"}},
+          "exclude": {"span_near": {"clauses": [
+            {"span_term": {"text": "fox"}}, {"span_term": {"text": "fox"}}],
+            "slop": 0, "in_order": true}}}}}"""))
+      .getMessage.contains("both endpoints"))
   }
 }

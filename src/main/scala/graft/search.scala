@@ -936,6 +936,117 @@ object Search {
       .orderBy(asc("token"), asc("rank"))
   }
 
+  /** ES `phrase` suggester (did-you-mean): whole-phrase corrections for a
+    * multi-token input, ranked by a stupid-backoff bigram language model
+    * over the corpus — the reproducible subset of ES's smoothed-LM scoring
+    * (reference pipe: any suggest body goes to ES verbatim,
+    * ElasticIndex.java:663).
+    *
+    * Per position, candidates = the input token itself (corpus frequency,
+    * 0 if absent) plus the top `perTermCandidates - 1` dictionary terms
+    * within `maxEdits` Levenshtein distance, ranked
+    * distance-then-frequency (the term-suggester machinery). Phrases are
+    * scored `Π cond(w_{i-1}, w_i)` with
+    * `cond = count(w1 w2) / count(w1)` when the bigram occurs, else
+    * `0.4 * count(w2) / N` (stupid backoff, ES's default discount 0.4).
+    *
+    * Scale: the unigram and bigram counts are vocabulary-bounded
+    * distributed aggregates; everything collected is provably tiny —
+    * per-position candidates (≤ positions × perTermCandidates rows) and
+    * the candidate-bigram counts (≤ Σ |C_i|·|C_{i+1}| rows, broadcast
+    * semi-joined against the corpus bigrams). The final path search runs
+    * on those collected counts with a beam of `max(10 * size, 100)`
+    * partial paths — exact whenever the full combination count fits the
+    * beam (always true for two-token inputs). */
+  def phraseSuggest(docs: DataFrame, field: String, text: String,
+                    size: Int = 3, maxEdits: Int = 2,
+                    perTermCandidates: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
+    require(toks.size >= 2 && toks.size <= 6,
+      s"phrase suggester supports 2..6 analyzed tokens (declared subset), " +
+        s"got ${toks.size}")
+    require(size >= 1, s"phrase suggester size must be >= 1, got $size")
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"phrase suggester max_edits must be 1 or 2, got $maxEdits")
+    require(perTermCandidates >= 2 && perTermCandidates <= 10,
+      s"phrase suggester per-term candidates must be 2..10, got $perTermCandidates")
+    // unigram OCCURRENCE counts (LM semantics — not the term suggester's
+    // document frequency)
+    val unis = docs.select(explode(analyzerTokens(col(field))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val totalN = unis.agg(sum(col("freq"))).as[Long].head()
+    val inputDf = toks.zipWithIndex.toDF("token", "pos")
+    // top corrections per position (vocabulary x tiny-input cross join)
+    val corrW = org.apache.spark.sql.expressions.Window
+      .partitionBy("pos").orderBy(asc("distance"), desc("freq"), asc("w"))
+    val corrections = unis.crossJoin(broadcast(inputDf))
+      .where(col("w") =!= col("token") &&
+        levenshtein(col("token"), col("w")) <= maxEdits)
+      .withColumn("distance", levenshtein(col("token"), col("w")))
+      .withColumn("rank", row_number().over(corrW))
+      .where(col("rank") <= perTermCandidates - 1)
+      .select(col("pos"), col("w"), col("freq"))
+    // the input token itself always stays a candidate (freq 0 if absent —
+    // backoff scores it 0, ranking it last); inner join + driver-side
+    // zero-fill keeps the broadcast on the tiny side
+    val originals = unis.join(broadcast(inputDf), col("token") === col("w"))
+      .select(col("pos"), col("w"), col("freq"))
+    val found =
+      corrections.unionByName(originals)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val zeroFill = toks.zipWithIndex.collect {
+      case (t, i) if !found.exists(f => f._1 == i && f._2 == t) => (i, t, 0L)
+    }
+    val cands: Map[Int, Seq[(String, Long)]] =
+      (found ++ zeroFill)
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3)).toSeq.sortBy(_._1)).toMap
+    // counts for just the candidate bigrams: a tiny pair list broadcast
+    // against the corpus-bigram aggregate
+    val pairList = (0 until toks.size - 1).flatMap { i =>
+      for ((w1, _) <- cands.getOrElse(i, Seq.empty);
+           (w2, _) <- cands.getOrElse(i + 1, Seq.empty)) yield w1 + " " + w2
+    }.distinct
+    val bigCounts: Map[String, Long] =
+      if (pairList.isEmpty) Map.empty
+      else {
+        val bigs = docs.select(analyzerTokens(col(field)).as("ts"))
+          .where(array_size(col("ts")) >= 2)
+          .select(explode(expr("transform(sequence(1, array_size(ts) - 1), " +
+            "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("freq"))
+        bigs.join(broadcast(pairList.toDF("pair")), col("b") === col("pair"))
+          .select("b", "freq").as[(String, Long)].collect().toMap
+      }
+    val uniOf: Map[String, Long] =
+      cands.values.flatten.toMap
+    // beam over positions; product of bigram conditionals
+    def cond(w1: String, w2: String): Double = {
+      val bc = bigCounts.getOrElse(w1 + " " + w2, 0L)
+      if (bc > 0) bc.toDouble / uniOf(w1)
+      else 0.4 * uniOf.getOrElse(w2, 0L) / totalN
+    }
+    val beam = math.max(10 * size, 100)
+    var paths: Seq[(Vector[String], Double)] =
+      cands.getOrElse(0, Seq.empty).map { case (w, _) => (Vector(w), 1.0) }
+    for (i <- 1 until toks.size) {
+      paths = paths.flatMap { case (p, s0) =>
+        cands.getOrElse(i, Seq.empty).map { case (w, _) =>
+          (p :+ w, s0 * cond(p.last, w))
+        }
+      }.sortBy { case (p, s0) => (-s0, p.mkString(" ")) }.take(beam)
+    }
+    val top = paths
+      .map { case (p, s0) => (p.mkString(" "), s0) }
+      .sortBy { case (t, s0) => (-s0, t) }
+      .take(size)
+      .zipWithIndex.map { case ((t, s0), i) => (t, s0, i + 1) }
+    top.toDF("suggestion", "score", "rank")
+  }
+
   /** ES completion suggester, re-expressed over the corpus term
     * dictionary: terms with the given prefix ranked by document frequency
     * (ES ranks by indexed weight over a dedicated FST field — our weight

@@ -883,6 +883,28 @@ class SearchSpec extends AnyFunSuite {
       Seq(("stream", 2L), ("strong", 2L)))
   }
 
+  test("phrase suggester: stupid-backoff bigram ranking of corrected phrases") {
+    val corpus = Seq(
+      ("1", "spark stream spark stream"), ("2", "spark batch"), ("3", "stream batch"))
+      .toDF("doc_id", "text")
+    // unigrams: spark 3, stream 3, batch 2 (N=8); bigrams: "spark stream" 2,
+    // "stream spark" 1, "spark batch" 1, "stream batch" 1
+    val out = Search.phraseSuggest(corpus, "text", "spork streem", size = 3).collect()
+    // "spark stream" = 2/3; "spork stream" backs off to 0.4*3/8 = 0.15;
+    // zero-score phrases keep the input tokens and rank last alphabetically
+    assert(out.map(r => (r.getString(0), r.getInt(2))).toSeq ==
+      Seq(("spark stream", 1), ("spork stream", 2), ("spark streem", 3)))
+    assert(math.abs(out.head.getDouble(1) - 2.0 / 3) < 1e-12)
+    // three tokens: the chain multiplies adjacent conditionals
+    val out3 = Search.phraseSuggest(corpus, "text", "spork streem batch", size = 1)
+      .collect()
+    assert(out3.head.getString(0) == "spark stream batch")
+    assert(math.abs(out3.head.getDouble(1) - (2.0 / 3) * (1.0 / 3)) < 1e-12)
+    // loud: single-token input belongs to the term suggester
+    assert(intercept[IllegalArgumentException](
+      Search.phraseSuggest(corpus, "text", "spark")).getMessage.contains("2..6"))
+  }
+
   test("percolate: stored queries match docs in one scan; null predicates safe") {
     val out = Search.percolate(docs, Seq(
       "sparky" -> "text:spark",

@@ -36,6 +36,34 @@ object SparkEntry {
   private val NowTs = java.sql.Timestamp.from(java.time.Instant.parse("2024-07-01T00:00:00Z"))
   private val NowEpoch = NowTs.toInstant.getEpochSecond
 
+  /** Deterministic struct<lat,lon> points for the geo queries — integer
+    * degree values derived from the customer key (exact double math on
+    * both engine and oracle sides). */
+  private def geoPoints(cust: DataFrame): DataFrame =
+    cust.select(col("c_custkey").as("doc_id"),
+      struct((col("c_custkey") % 180 - 90).cast("double").as("lat"),
+             ((col("c_custkey") * 7) % 360 - 180).cast("double").as("lon"))
+        .as("loc"))
+
+  /** Parent/child join-field frame for has_child/has_parent: customers
+    * (parents, id c<key>) and orders (children, id o<key> pointing at
+    * c<custkey>) in one frame, ES join-field style. */
+  private def familyFrame(s: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(s, dir, "customer")
+      .select(concat(lit("c"), col("c_custkey")).as("doc_id"),
+        lit("customer").as("join_name"),
+        lit(null).cast("string").as("join_parent"),
+        lit(null).cast("double").as("price"),
+        col("c_acctbal").as("acctbal"))
+    val ords = tbl(s, dir, "orders")
+      .select(concat(lit("o"), col("o_orderkey")).as("doc_id"),
+        lit("order").as("join_name"),
+        concat(lit("c"), col("o_custkey")).as("join_parent"),
+        col("o_totalprice").as("price"),
+        lit(null).cast("double").as("acctbal"))
+    cust.unionByName(ords)
+  }
+
   /** Flagship (SURVEY.md §7.2 step 4): full-text search over the `documents`
     * corpus — Lucene-lite query compiled to Catalyst predicates, deterministic
     * term-count scoring, top-k, metadata enrichment, hits joined back to the
@@ -1551,6 +1579,56 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_agg_nested_path" -> ((s, dir) => {
+      // nested agg over an array-of-struct column: element-granularity
+      // terms with a reverse_nested parent count and a per-bucket sum
+      val orders = tbl(s, dir, "orders")
+      val parents = orders.groupBy(col("o_custkey").as("doc_id"))
+        .agg(collect_list(struct(
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"))).as("orders"))
+      Aggs.runSingle(parents,
+        """{"aggs": {"n": {"nested": {"path": "orders"},
+            "aggs": {"by_status": {"terms": {"field": "orders.status"},
+              "aggs": {"parents": {"reverse_nested": {}},
+                       "total": {"sum": {"field": "orders.price"}}}}}}}}""")
+        .select(col("key"), col("doc_count"), col("parents_doc_count"),
+          round(col("total"), 2).as("total"))
+    }),
+    "q_agg_geo_bounds" -> ((s, dir) => {
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Aggs.runSingle(pts,
+        """{"aggs": {"box": {"geo_bounds": {"field": "loc"}}}}""")
+    }),
+    "q_agg_geo_centroid" -> ((s, dir) => {
+      // integer-degree points: the avg is a correctly-rounded exact-sum
+      // division, floor-scaled per the drift-proofing convention
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Aggs.runSingle(pts,
+        """{"aggs": {"c": {"geo_centroid": {"field": "loc"}}}}""")
+        .select(expr("CAST(floor(c_lat * 1e6) AS BIGINT)").as("lat_e6"),
+          expr("CAST(floor(c_lon * 1e6) AS BIGINT)").as("lon_e6"),
+          col("c_count"))
+    }),
+    "q_agg_geotile" -> ((s, dir) => {
+      // web-mercator tile buckets at precision 3 (45-degree tiles)
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Aggs.runSingle(pts,
+        """{"aggs": {"g": {"geotile_grid": {"field": "loc", "precision": 3}}}}""")
+    }),
+    "q_search_has_child" -> ((s, dir) => {
+      // has_child: customers with at least one >=300k order, via the
+      // join-field family frame (disjoint c…/o… id spaces)
+      Search.hasChild(familyFrame(s, dir), "order",
+        """{"query": {"range": {"price": {"gte": 300000}}}}""")
+        .select(col("doc_id"))
+    }),
+    "q_search_has_parent" -> ((s, dir) => {
+      // has_parent: orders whose customer runs a negative balance
+      Search.hasParent(familyFrame(s, dir), "customer",
+        """{"query": {"range": {"acctbal": {"lt": 0}}}}""")
+        .select(col("doc_id"))
+    }),
     "q_search_dsl_nested" -> ((s, dir) => {
       // nested query: parents assembled from orders as array<struct>; at
       // least one order is BOTH status F and >= 200k — per-element
@@ -1573,11 +1651,7 @@ object SparkEntry {
     "q_search_geo_bbox" -> ((s, dir) => {
       // geo_bounding_box over deterministic integer-derived points (exact
       // double math both sides)
-      val cust = tbl(s, dir, "customer")
-      val pts = cust.select(col("c_custkey").as("doc_id"),
-        struct((col("c_custkey") % 180 - 90).cast("double").as("lat"),
-               ((col("c_custkey") * 7) % 360 - 180).cast("double").as("lon"))
-          .as("loc"))
+      val pts = geoPoints(tbl(s, dir, "customer"))
       Search.search(pts,
         """{"query": {"geo_bounding_box": {"loc": {
               "top_left": {"lat": 40, "lon": -50},
@@ -1588,11 +1662,7 @@ object SparkEntry {
     "q_search_geo_distance" -> ((s, dir) => {
       // geo_distance: haversine on the ES mean earth radius, same formula
       // in the DuckDB oracle
-      val cust = tbl(s, dir, "customer")
-      val pts = cust.select(col("c_custkey").as("doc_id"),
-        struct((col("c_custkey") % 180 - 90).cast("double").as("lat"),
-               ((col("c_custkey") * 7) % 360 - 180).cast("double").as("lon"))
-          .as("loc"))
+      val pts = geoPoints(tbl(s, dir, "customer"))
       Search.search(pts,
         """{"query": {"geo_distance": {"distance": "3000km",
               "loc": {"lat": 10, "lon": 20}}}, "size": 10000}""",
@@ -2991,6 +3061,48 @@ object SparkEntry {
          WHERE regexp_matches(
                  regexp_replace(lower(text), '\bhash\s+join\b', '', 'g'),
                  '\bhash\b')""",
+    "q_agg_nested_path" ->
+      // element granularity == the flat orders table; parents = distinct
+      // custkeys per bucket
+      """SELECT o_orderstatus AS key, count(*) AS doc_count,
+              count(DISTINCT o_custkey) AS parents_doc_count,
+              round(sum(o_totalprice), 2) AS total
+         FROM orders GROUP BY 1 ORDER BY doc_count DESC, key""",
+    "q_agg_geo_bounds" ->
+      """SELECT CAST(max(c_custkey % 180 - 90) AS DOUBLE) AS box_top,
+              CAST(min(c_custkey % 180 - 90) AS DOUBLE) AS box_bottom,
+              CAST(min((c_custkey * 7) % 360 - 180) AS DOUBLE) AS box_left,
+              CAST(max((c_custkey * 7) % 360 - 180) AS DOUBLE) AS box_right
+         FROM customer""",
+    "q_agg_geo_centroid" ->
+      """SELECT CAST(floor(avg(c_custkey % 180 - 90) * 1e6) AS BIGINT) AS lat_e6,
+              CAST(floor(avg((c_custkey * 7) % 360 - 180) * 1e6) AS BIGINT) AS lon_e6,
+              count(*) AS c_count
+         FROM customer""",
+    "q_agg_geotile" ->
+      // the web-mercator projection verbatim, lat clipped to ES's bound
+      """WITH pts AS (
+           SELECT CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer),
+         cl AS (SELECT greatest(least(lat, 85.05112878), -85.05112878) AS latc,
+                       lon FROM pts),
+         t AS (SELECT
+           CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8.0), 0.0), 7.0)
+             AS BIGINT) AS x,
+           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc))
+               + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 8.0), 0.0), 7.0)
+             AS BIGINT) AS y
+           FROM cl)
+         SELECT '3/' || x || '/' || y AS key, count(*) AS doc_count
+         FROM t GROUP BY 1 ORDER BY doc_count DESC, key""",
+    "q_search_has_child" ->
+      """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS doc_id
+         FROM orders WHERE o_totalprice >= 300000""",
+    "q_search_has_parent" ->
+      """SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS doc_id
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal < 0""",
     "q_search_dsl_nested" ->
       // EXISTS over the parent's orders = the base-table predicate DISTINCT
       """SELECT DISTINCT o_custkey AS doc_id FROM orders

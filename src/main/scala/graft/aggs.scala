@@ -261,7 +261,7 @@ object Aggs {
           .reduceOption(_ && _)
         val docsShaped = shape.map(docs.where).getOrElse(docs)
         val base = bucketed(docsShaped, k, subAggs, name,
-          allowedPipelines = shapePipelineTypes)
+          allowedPipelines = shapePipelineTypes, idCol = idCol)
         val filled =
           if (minDoc > 0) base.where(col("doc_count") >= minDoc)
           else {
@@ -346,6 +346,75 @@ object Aggs {
         val f = Option(body.get("field")).map(_.asText)
           .getOrElse(throw new IllegalArgumentException(s"missing '$name' needs a 'field'"))
         docs.where(col(f).isNull).agg(count(lit(1)).as("doc_count"))
+      case "nested" =>
+        // {"nested": {"path": "p"}} — one row per ARRAY ELEMENT of the
+        // array-of-struct column `p` (ES nested doc counting). The explode
+        // replaces the array column IN PLACE, so inner aggs address
+        // element fields as ordinary "p.field" struct access while parent
+        // columns (and the parent id, for reverse_nested) stay visible.
+        // A generator in a project — no shuffle of its own; whatever
+        // shuffle follows belongs to the sub-agg.
+        val unknownNe = body.fieldNames.asScala.toSet - "path"
+        require(unknownNe.isEmpty,
+          s"unsupported nested option(s) in '$name': ${unknownNe.mkString(", ")}")
+        val nPath = Option(body.get("path")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"nested '$name' needs 'path'"))
+        require(docs.columns.contains(nPath),
+          s"nested '$name': path '$nPath' is not a column of the frame")
+        val exploded = docs.withColumn(nPath, explode(col(nPath)))
+        subAggs match {
+          case Some(sa) =>
+            val subEntries = sa.fieldNames.asScala.toSeq.map(sn => sn -> sa.get(sn))
+            require(subEntries.size == 1,
+              s"nested '$name' takes exactly one sub-agg (declared subset), " +
+                s"got ${subEntries.size}")
+            val (subName, subSpec) = subEntries.head
+            one(exploded, subName, subSpec, exploded, idCol)
+          case None => exploded.agg(count(lit(1)).as("doc_count"))
+        }
+      case "reverse_nested" =>
+        // {} under a nested frame — back to PARENT granularity: the
+        // distinct parent-doc count (ES's reverse_nested doc_count).
+        // Also valid as a per-bucket sub-agg of terms under nested (see
+        // [[subAggMetricCols]]).
+        require(body.isObject && body.size == 0,
+          s"reverse_nested '$name' takes an empty body (declared subset)")
+        docs.agg(count_distinct(col(idCol)).as("doc_count"))
+      case "geotile_grid" =>
+        // {"geotile_grid": {"field": f, "precision": z, "size": n}} —
+        // web-mercator tile buckets keyed "z/x/y" (ES's key format).
+        // Latitude is clipped to ES's mercator bound ±85.05112878 before
+        // the projection (keeps the math far from the pole singularity);
+        // the key is pure codegen'd double math, the agg is the same one
+        // hash aggregate as terms, ordered count desc then key asc.
+        val unknownG = body.fieldNames.asScala.toSet --
+          Set("field", "precision", "size")
+        require(unknownG.isEmpty,
+          s"unsupported geotile_grid option(s) in '$name': ${unknownG.mkString(", ")}")
+        val gf = Option(body.get("field")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"geotile_grid '$name' needs a 'field'"))
+        val z = Option(body.get("precision")).map { n =>
+          require(n.isIntegralNumber && n.asInt >= 0 && n.asInt <= 29,
+            s"geotile_grid '$name' precision must be 0..29, got: $n")
+          n.asInt
+        }.getOrElse(7)
+        val gSize = Option(body.get("size")).map(_.asInt).getOrElse(10000)
+        require(gSize >= 1, s"geotile_grid '$name' size must be >= 1")
+        val tiles = lit((1L << z).toDouble)
+        val maxMercLat = 85.05112878
+        val latClip = greatest(least(col(gf).getField("lat"), lit(maxMercLat)),
+          lit(-maxMercLat))
+        val latR = radians(latClip)
+        val xRaw = floor((col(gf).getField("lon") + lit(180.0)) / lit(360.0) * tiles)
+        val yRaw = floor((lit(1.0) -
+          log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / lit(2.0) * tiles)
+        val xT = least(greatest(xRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
+        val yT = least(greatest(yRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
+        val gKey = concat_ws("/", lit(z.toString), xT, yT)
+        bucketed(docs.where(col(gf).isNotNull), gKey, subAggs, name)
+          .orderBy(desc("doc_count"), asc("key")).limit(gSize)
       case "significant_terms" => significantTerms(docs, background, name, body)
       case "significant_text" => significantText(docs, background, name, body)
       case "sampler" | "diversified_sampler" =>
@@ -1477,7 +1546,8 @@ object Aggs {
     * [[bucketed]] and the single-bucket `filter`/`global` aggs). */
   private def subAggMetricCols(subAggs: Option[JsonNode], parent: String,
                                allowedPipelines: Set[String],
-                               histoIntervalUs: Option[Long] = None): Seq[Column] =
+                               histoIntervalUs: Option[Long] = None,
+                               idCol: String = "doc_id"): Seq[Column] =
     subAggs.toSeq.flatMap { n =>
       require(n.isObject, s"sub-aggs of '$parent' must be an object")
       n.fieldNames.asScala.toSeq.flatMap { sub =>
@@ -1527,6 +1597,14 @@ object Aggs {
             case None => count(lit(1))
           }
           Seq((base * (unitUs.toDouble / iv.toDouble)).as(sub))
+        } else if (ts.head == "reverse_nested") {
+          // per-bucket parent-doc count under a nested>terms frame: the
+          // distinct parent ids in the bucket — one more column of the
+          // same groupBy
+          val rb = subSpec.get("reverse_nested")
+          require(rb.isObject && rb.size == 0,
+            s"reverse_nested '$sub' takes an empty body (declared subset)")
+          Seq(count_distinct(col(idCol)).as(s"${sub}_doc_count"))
         } else metric(ts.head, sub, subSpec.get(ts.head))
       }
     }
@@ -1534,8 +1612,10 @@ object Aggs {
   private def bucketed(docs: DataFrame, key: Column, subAggs: Option[JsonNode],
                        parent: String,
                        allowedPipelines: Set[String] = Set.empty,
-                       histoIntervalUs: Option[Long] = None): DataFrame = {
-    val metrics = subAggMetricCols(subAggs, parent, allowedPipelines, histoIntervalUs)
+                       histoIntervalUs: Option[Long] = None,
+                       idCol: String = "doc_id"): DataFrame = {
+    val metrics = subAggMetricCols(subAggs, parent, allowedPipelines,
+      histoIntervalUs, idCol)
     val aggCols = (count(lit(1)).as("doc_count") +: metrics)
     docs.where(key.isNotNull).groupBy(key.as("key"))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -1723,6 +1803,20 @@ object Aggs {
     }
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"metric '$name' needs a 'field'"))
+    if (tpe == "geo_bounds")
+      // enclosing box of a struct<lat,lon> geo field (wrap_longitude:false
+      // semantics — plain min/max corners), flattened like stats
+      return Seq(
+        max(col(f).getField("lat")).as(s"${name}_top"),
+        min(col(f).getField("lat")).as(s"${name}_bottom"),
+        min(col(f).getField("lon")).as(s"${name}_left"),
+        max(col(f).getField("lon")).as(s"${name}_right"))
+    if (tpe == "geo_centroid")
+      // arithmetic mean point + contributing count (ES response shape)
+      return Seq(
+        avg(col(f).getField("lat")).as(s"${name}_lat"),
+        avg(col(f).getField("lon")).as(s"${name}_lon"),
+        count(when(col(f).isNotNull, 1)).as(s"${name}_count"))
     // ES metric `missing`: substitute for null field values instead of
     // skipping the row
     val c = Option(body.get("missing")) match {

@@ -936,6 +936,38 @@ object Search {
       .orderBy(asc("token"), asc("rank"))
   }
 
+  /** ES `has_child` over the single-index join-field model: parent and
+    * child rows share one frame, discriminated by `typeCol`; child rows
+    * carry their parent's id in `parentCol`. Returns the rows whose id is
+    * the parent of at least one `childType` row matching `query` (a full
+    * DSL body compiled by [[QueryCompiler]] against this frame). One
+    * left-semi join on the parent id — the distributed shape ES's
+    * doc-values join emulates; AQE broadcasts the matching-id side when
+    * small. Declared subset: no scoring (ES's default score_mode none) —
+    * parent and child id spaces must be disjoint, which the join-field
+    * model guarantees. */
+  def hasChild(docs: DataFrame, childType: String, query: String,
+               typeCol: String = "join_name", parentCol: String = "join_parent",
+               idCol: String = "doc_id"): DataFrame = {
+    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol).predicate
+    val matchIds = docs.where(col(typeCol) === childType && pred)
+      .select(col(parentCol).as("__pid")).where(col("__pid").isNotNull)
+    docs.join(matchIds, col(idCol) === col("__pid"), "left_semi")
+  }
+
+  /** ES `has_parent`: the dual of [[hasChild]] — returns CHILD rows whose
+    * parent row is of `parentType` and matches `query`. Same left-semi
+    * join shape, keyed the other way around. */
+  def hasParent(docs: DataFrame, parentType: String, query: String,
+                typeCol: String = "join_name", parentCol: String = "join_parent",
+                idCol: String = "doc_id"): DataFrame = {
+    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol).predicate
+    val matchIds = docs.where(col(typeCol) === parentType && pred)
+      .select(col(idCol).as("__pid"))
+    docs.where(col(parentCol).isNotNull)
+      .join(matchIds, col(parentCol) === col("__pid"), "left_semi")
+  }
+
   /** ES `phrase` suggester (did-you-mean): whole-phrase corrections for a
     * multi-token input, ranked by a stupid-backoff bigram language model
     * over the corpus — the reproducible subset of ES's smoothed-LM scoring

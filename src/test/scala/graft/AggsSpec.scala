@@ -967,6 +967,66 @@ class AggsSpec extends AnyFunSuite {
       .getMessage.contains("exactly one sub-agg"))
   }
 
+  test("nested agg: element granularity, path-addressed fields, reverse_nested") {
+    val parents = Seq(
+      (1L, Seq(("F", 100.0), ("O", 300.0))),
+      (2L, Seq(("F", 300.0))),
+      (3L, Seq.empty[(String, Double)]))
+      .toDF("doc_id", "raw")
+      .select(col("doc_id"), expr(
+        "transform(raw, x -> struct(x._1 as status, x._2 as price))").as("orders"))
+    // bare nested: doc_count = ELEMENT count (3), not parent count
+    assert(Aggs.runSingle(parents,
+      """{"aggs": {"n": {"nested": {"path": "orders"}}}}""")
+      .collect().head.getLong(0) == 3L)
+    // nested > metric on a "path.field" address
+    assert(Aggs.runSingle(parents,
+      """{"aggs": {"n": {"nested": {"path": "orders"},
+          "aggs": {"total": {"sum": {"field": "orders.price"}}}}}}""")
+      .collect().head.getDouble(0) == 700.0)
+    // nested > terms on the element field, with a reverse_nested parent
+    // count per bucket: status F occurs in 2 elements across 2 parents,
+    // O in 1 element / 1 parent
+    val byStatus = Aggs.runSingle(parents,
+      """{"aggs": {"n": {"nested": {"path": "orders"},
+          "aggs": {"by_status": {"terms": {"field": "orders.status"},
+            "aggs": {"parents": {"reverse_nested": {}}}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(byStatus.toSeq == Seq(("F", 2L, 2L), ("O", 1L, 1L)))
+    // loud: bad path, two sub-aggs
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(parents,
+      """{"aggs": {"n": {"nested": {"path": "nope"}}}}"""))
+      .getMessage.contains("not a column"))
+  }
+
+  test("geo_bounds / geo_centroid / geotile_grid over struct<lat,lon>") {
+    val pts = Seq(
+      (1L, 10.0, 20.0), (2L, -5.0, 40.0), (3L, 30.0, -10.0), (4L, 10.0, 21.0))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    val b = Aggs.runSingle(pts,
+      """{"aggs": {"box": {"geo_bounds": {"field": "loc"}}}}""").collect().head
+    assert((b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3)) ==
+      (30.0, -5.0, -10.0, 40.0)) // top, bottom, left, right
+    val c = Aggs.runSingle(pts,
+      """{"aggs": {"c": {"geo_centroid": {"field": "loc"}}}}""").collect().head
+    assert(c.getDouble(0) == 11.25 && c.getDouble(1) == 17.75 && c.getLong(2) == 4L)
+    // precision 0: the whole world is tile 0/0/0
+    val world = Aggs.runSingle(pts,
+      """{"aggs": {"g": {"geotile_grid": {"field": "loc", "precision": 0}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(world.toSeq == Seq(("0/0/0", 4L)))
+    // precision 2: 90-degree tiles; (10,20) and (10,21) share 2/2/1;
+    // (-5,40) also x=2 but y=2; (30,-10) falls in 2/1/1
+    val z2 = Aggs.runSingle(pts,
+      """{"aggs": {"g": {"geotile_grid": {"field": "loc", "precision": 2}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(z2.toSeq == Seq(("2/2/1", 2L), ("2/1/1", 1L), ("2/2/2", 1L)))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(pts,
+      """{"aggs": {"g": {"geotile_grid": {"field": "loc", "precision": 40}}}}"""))
+      .getMessage.contains("0..29"))
+  }
+
   test("plan: terms agg is a partial+final hash aggregate, no window, one exchange") {
     // size below the input's maxRows — on a tiny LocalRelation a limit >=
     // maxRows is optimized away (EliminateLimits) and no top-k can appear

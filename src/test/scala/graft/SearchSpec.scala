@@ -883,6 +883,28 @@ class SearchSpec extends AnyFunSuite {
       Seq(("stream", 2L), ("strong", 2L)))
   }
 
+  test("has_child / has_parent: join-field semi-joins") {
+    val fam = Seq(
+      ("c1", "customer", null, 50.0),
+      ("c2", "customer", null, -10.0),
+      ("o1", "order", "c1", 100.0),
+      ("o2", "order", "c1", 900.0),
+      ("o3", "order", "c2", 100.0))
+      .toDF("doc_id", "join_name", "join_parent", "price")
+    // parents with at least one big-order child
+    assert(Search.hasChild(fam, "order",
+        """{"query": {"range": {"price": {"gte": 500}}}}""")
+      .select("doc_id").collect().map(_.getString(0)).toSet == Set("c1"))
+    // children whose parent has a negative balance (price doubles as the
+    // parent's balance here)
+    assert(Search.hasParent(fam, "customer",
+        """{"query": {"range": {"price": {"lt": 0}}}}""")
+      .select("doc_id").collect().map(_.getString(0)).toSet == Set("o3"))
+    // no match -> empty, not an error
+    assert(Search.hasChild(fam, "order",
+      """{"query": {"range": {"price": {"gt": 99999}}}}""").count() == 0)
+  }
+
   test("phrase suggester: stupid-backoff bigram ranking of corrected phrases") {
     val corpus = Seq(
       ("1", "spark stream spark stream"), ("2", "spark batch"), ("3", "stream batch"))

@@ -1669,6 +1669,48 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_search_distance_feature" -> ((s, dir) => {
+      // distance_feature: inverse-distance decay scoring around an origin
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.search(pts,
+        """{"query": {"distance_feature": {"field": "loc",
+              "origin": {"lat": 10, "lon": 20}, "pivot": "1000km"}},
+            "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(floor(_score * 1e9) AS BIGINT)").as("score_e9"))
+    }),
+    "q_search_rank_feature" -> ((s, dir) => {
+      // rank_feature saturation on a numeric field: n_chars/(n_chars+500)
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"rank_feature": {"field": "n_chars",
+              "saturation": {"pivot": 500}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(floor(_score * 1e9) AS BIGINT)").as("score_e9"))
+    }),
+    "q_search_template" -> ((s, dir) => {
+      // search template: typed mustache params into a bool body
+      val docs = tbl(s, dir, "documents")
+      Search.searchTemplate(docs,
+        """{"source": {"query": {"bool": {"must": [
+              {"term": {"lang": "{{lang}}"}},
+              {"range": {"n_chars": {"gte": "{{min_chars}}"}}}]}},
+            "size": 10000},
+            "params": {"lang": "de", "min_chars": 400}}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_agg_geo_rings" -> ((s, dir) => {
+      // geo_distance agg: ring buckets around (10, 20) in km
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Aggs.runSingle(pts,
+        """{"aggs": {"rings": {"geo_distance": {"field": "loc",
+            "origin": {"lat": 10, "lon": 20}, "unit": "km",
+            "ranges": [{"to": 2000}, {"from": 2000, "to": 8000},
+                       {"from": 8000}]}}}}""")
+    }),
     "q_search_span_containing" -> ((s, dir) => {
       // span_containing: a hash..join span (<=2 gaps) holding 'table'
       val docs = tbl(s, dir, "documents")
@@ -3127,6 +3169,52 @@ object SparkEntry {
          WHERE 2 * 6371008.7714150598 *
                asin(sqrt(sdlat * sdlat
                  + cplat * cos(radians(10.0)) * sdlon * sdlon)) <= 3000000.0""",
+    "q_search_distance_feature" ->
+      // the haversine + decay formula verbatim (1.0 * pivot / (pivot + d))
+      """WITH pts AS (
+           SELECT c_custkey AS doc_id,
+                  radians(CAST(c_custkey % 180 - 90 AS DOUBLE)) AS plat,
+                  radians(CAST((c_custkey * 7) % 360 - 180 AS DOUBLE)) AS plon
+           FROM customer),
+         h AS (
+           SELECT doc_id,
+                  sin((plat - radians(10.0)) / 2) AS sdlat,
+                  sin((plon - radians(20.0)) / 2) AS sdlon,
+                  cos(plat) AS cplat
+           FROM pts),
+         d AS (
+           SELECT doc_id,
+                  2 * 6371008.7714150598 * asin(sqrt(sdlat * sdlat
+                    + cplat * cos(radians(10.0)) * sdlon * sdlon)) AS dist
+           FROM h)
+         SELECT doc_id,
+                CAST(floor(1.0 * 1000000.0 / (1000000.0 + dist) * 1e9) AS BIGINT)
+                  AS score_e9
+         FROM d""",
+    "q_search_rank_feature" ->
+      """SELECT doc_id,
+              CAST(floor(1.0 * n_chars / (n_chars + 500.0) * 1e9) AS BIGINT)
+                AS score_e9
+         FROM documents WHERE n_chars IS NOT NULL""",
+    "q_search_template" ->
+      """SELECT doc_id FROM documents WHERE lang = 'de' AND n_chars >= 400""",
+    "q_agg_geo_rings" ->
+      """WITH pts AS (
+           SELECT radians(CAST(c_custkey % 180 - 90 AS DOUBLE)) AS plat,
+                  radians(CAST((c_custkey * 7) % 360 - 180 AS DOUBLE)) AS plon
+           FROM customer),
+         d AS (
+           SELECT 2 * 6371008.7714150598 * asin(sqrt(
+                    sin((plat - radians(10.0)) / 2) * sin((plat - radians(10.0)) / 2)
+                  + cos(plat) * cos(radians(10.0))
+                    * sin((plon - radians(20.0)) / 2) * sin((plon - radians(20.0)) / 2)))
+                  / 1000.0 AS km
+           FROM pts)
+         SELECT CASE WHEN km < 2000 THEN '*-2000.0'
+                     WHEN km >= 2000 AND km < 8000 THEN '2000.0-8000.0'
+                     ELSE '8000.0-*' END AS key,
+                count(*) AS doc_count
+         FROM d GROUP BY 1 ORDER BY key""",
     "q_search_span_containing" ->
       // the compiled alternation verbatim: 'table' pinned as gap token #i
       // of the hash..join window, remaining budget slop-1-i

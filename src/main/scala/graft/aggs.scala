@@ -381,6 +381,53 @@ object Aggs {
         require(body.isObject && body.size == 0,
           s"reverse_nested '$name' takes an empty body (declared subset)")
         docs.agg(count_distinct(col(idCol)).as("doc_count"))
+      case "geo_distance" =>
+        // {"geo_distance": {"field": f, "origin": {lat,lon}, "ranges":
+        //  [{to}, {from,to}, {from}][, "unit": "km"]}} — ring buckets
+        // around the origin: the `range` fold applied to the haversine
+        // distance column (meters scaled to `unit`, default m). Labels
+        // "from-to" with * for open ends, from inclusive / to exclusive;
+        // first matching range wins for overlaps (the same declared
+        // divergence as `range`). One codegen'd key, one hash aggregate.
+        val unknownGd = body.fieldNames.asScala.toSet --
+          Set("field", "origin", "ranges", "unit")
+        require(unknownGd.isEmpty,
+          s"unsupported geo_distance option(s) in '$name': ${unknownGd.mkString(", ")}")
+        val gdf = Option(body.get("field")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"geo_distance '$name' needs a 'field'"))
+        val (oLat, oLon) = QueryCompiler.Geo.latLonOf(body.get("origin"),
+          s"geo_distance '$name' origin")
+        val unitScale = Option(body.get("unit")).map(_.asText).getOrElse("m") match {
+          case "m" => 1.0; case "km" => 1000.0; case "mi" => 1609.344
+          case "ft" => 0.3048; case "yd" => 0.9144; case "nmi" => 1852.0
+          case other => throw new IllegalArgumentException(
+            s"geo_distance '$name': unsupported unit '$other'")
+        }
+        val distU =
+          QueryCompiler.Geo.haversineMeters(col(gdf), oLat, oLon) / lit(unitScale)
+        val rangesGd = Option(body.get("ranges")).filter(_.isArray)
+          .getOrElse(throw new IllegalArgumentException(
+            s"geo_distance '$name' needs 'ranges'"))
+          .elements.asScala.toSeq
+        require(rangesGd.nonEmpty, s"geo_distance '$name' has no ranges")
+        val gdKey = rangesGd.foldLeft(lit(null).cast("string")) { (acc, r) =>
+          val from = Option(r.get("from")).map(_.asDouble)
+          val to = Option(r.get("to")).map(_.asDouble)
+          require(from.isDefined || to.isDefined,
+            s"geo_distance '$name' bucket needs from or to")
+          val label = Option(r.get("key")).map(_.asText).getOrElse(
+            s"${from.map(_.toString).getOrElse("*")}-${to.map(_.toString).getOrElse("*")}")
+          val in = (from.map(distU >= _), to.map(distU < _)) match {
+            case (Some(a), Some(b)) => a && b
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case _ => lit(true)
+          }
+          when(acc.isNotNull, acc).otherwise(when(in, lit(label)))
+        }
+        bucketed(docs.where(col(gdf).isNotNull), gdKey, subAggs, name)
+          .orderBy(asc("key"))
       case "geotile_grid" =>
         // {"geotile_grid": {"field": f, "precision": z, "size": n}} —
         // web-mercator tile buckets keyed "z/x/y" (ES's key format).

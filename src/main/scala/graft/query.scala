@@ -210,6 +210,56 @@ object QueryCompiler {
     }
   }
 
+  /** Shared geo math for the geo queries, distance_feature, and the
+    * geo_distance aggregation: haversine great-circle distance on ES's
+    * mean earth radius, expressed in built-in double functions so every
+    * consumer stays inside whole-stage codegen. */
+  private[graft] object Geo {
+    /** ES GeoUtils.EARTH_MEAN_RADIUS, meters. */
+    val EarthRadius = 6371008.7714150598
+
+    /** Distance in meters from a struct<lat,lon> column to a fixed point. */
+    def haversineMeters(point: Column, latDeg: Double, lonDeg: Double): Column = {
+      val pLat = radians(point.getField("lat"))
+      val pLon = radians(point.getField("lon"))
+      val qLat = lit(math.toRadians(latDeg))
+      val qLon = lit(math.toRadians(lonDeg))
+      val sinDLat = sin((pLat - qLat) / 2)
+      val sinDLon = sin((pLon - qLon) / 2)
+      val h = sinDLat * sinDLat + cos(pLat) * cos(qLat) * sinDLon * sinDLon
+      lit(2 * EarthRadius) * asin(sqrt(h))
+    }
+
+    private val DistRe =
+      "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*(m|km|mi|nmi|yd|ft|in|cm|mm)\\s*$".r
+
+    /** Parse an ES distance string ("100km") to meters — loud on anything
+      * unparseable. */
+    def distanceMeters(s: String): Double = s.toLowerCase match {
+      case DistRe(v, u) =>
+        val scale = u match {
+          case "m" => 1.0; case "km" => 1000.0; case "mi" => 1609.344
+          case "nmi" => 1852.0; case "yd" => 0.9144; case "ft" => 0.3048
+          case "in" => 0.0254; case "cm" => 0.01; case "mm" => 0.001
+        }
+        v.toDouble * scale
+      case _ => throw new IllegalArgumentException(
+        s"unparseable distance '$s' (expected <number><unit>, e.g. \"100km\")")
+    }
+
+    /** Parse and range-check a {lat, lon} object. */
+    def latLonOf(n: JsonNode, ctx: String): (Double, Double) = {
+      require(n != null && n.isObject, s"$ctx expects {lat, lon}, got: $n")
+      val la = Option(n.get("lat")).filter(_.isNumber).map(_.asDouble)
+        .getOrElse(throw new IllegalArgumentException(s"$ctx needs numeric 'lat'"))
+      val lo = Option(n.get("lon")).filter(_.isNumber).map(_.asDouble)
+        .getOrElse(throw new IllegalArgumentException(s"$ctx needs numeric 'lon'"))
+      require(la >= -90 && la <= 90, s"$ctx lat out of range: $la")
+      require(lo >= -180 && lo <= 180, s"$ctx lon out of range: $lo")
+      (la, lo)
+    }
+  }
+
   private val ReMeta = ".^$*+?()[]{}|\\".toSet
   private def reQuote(s: String): String =
     s.flatMap(c => if (ReMeta(c)) "\\" + c else c.toString)
@@ -1199,42 +1249,84 @@ object QueryCompiler {
           val distN = Option(body.get("distance")).filter(_.isTextual).map(_.asText)
             .getOrElse(throw new IllegalArgumentException(
               "geo_distance needs 'distance': \"<number><unit>\""))
-          val distRe = "^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*(m|km|mi|nmi|yd|ft|in|cm|mm)\\s*$".r
-          val meters = distN.toLowerCase match {
-            case distRe(v, u) =>
-              val scale = u match {
-                case "m" => 1.0; case "km" => 1000.0; case "mi" => 1609.344
-                case "nmi" => 1852.0; case "yd" => 0.9144; case "ft" => 0.3048
-                case "in" => 0.0254; case "cm" => 0.01; case "mm" => 0.001
-              }
-              v.toDouble * scale
-            case _ => throw new IllegalArgumentException(
-              s"unparseable geo_distance distance '$distN' " +
-                "(expected <number><unit>, e.g. \"100km\")")
-          }
+          val meters = Geo.distanceMeters(distN)
           val others = body.fieldNames.asScala.toSet - "distance"
           require(others.size == 1,
             s"geo_distance needs exactly one field with {lat, lon}, got: $others")
           val gdf = others.head
-          val ctr = body.get(gdf)
-          require(ctr.isObject, s"geo_distance $gdf expects {lat, lon}, got: $ctr")
-          val cLat = Option(ctr.get("lat")).filter(_.isNumber).map(_.asDouble)
-            .getOrElse(throw new IllegalArgumentException("geo_distance needs numeric 'lat'"))
-          val cLon = Option(ctr.get("lon")).filter(_.isNumber).map(_.asDouble)
-            .getOrElse(throw new IllegalArgumentException("geo_distance needs numeric 'lon'"))
-          require(cLat >= -90 && cLat <= 90, s"geo_distance lat out of range: $cLat")
-          require(cLon >= -180 && cLon <= 180, s"geo_distance lon out of range: $cLon")
-          val earthR = 6371008.7714150598
-          val pLat = radians(col(gdf).getField("lat"))
-          val pLon = radians(col(gdf).getField("lon"))
-          val qLat = lit(math.toRadians(cLat))
-          val qLon = lit(math.toRadians(cLon))
-          val sinDLat = sin((pLat - qLat) / 2)
-          val sinDLon = sin((pLon - qLon) / 2)
-          val h = sinDLat * sinDLat + cos(pLat) * cos(qLat) * sinDLon * sinDLon
-          val gdc = lit(2 * earthR) * asin(sqrt(h)) <= lit(meters)
+          val (cLat, cLon) = Geo.latLonOf(body.get(gdf), s"geo_distance $gdf")
+          val gdc = Geo.haversineMeters(col(gdf), cLat, cLon) <= lit(meters)
           if (scoring) leaves += leaf(gdc, 1)
           gdc
+        case "distance_feature" =>
+          // {"distance_feature": {"field": f, "origin": {lat,lon},
+          //  "pivot": "100km"[, "boost": b]}} — matches docs WITH the geo
+          // field, scored boost * pivot / (pivot + distance): ES's
+          // inverse-distance decay. The score is a shaped DOUBLE leaf
+          // (like dis_max), not an integer one. Declared subset: the geo
+          // form; the date form's "now"-anchored origin breaks the
+          // deterministic contract.
+          val unknownDf = body.fieldNames.asScala.toSet --
+            Set("field", "origin", "pivot", "boost")
+          require(unknownDf.isEmpty,
+            s"unsupported distance_feature option(s): ${unknownDf.mkString(", ")}")
+          val dff = Option(body.get("field")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "distance_feature needs 'field'"))
+          val (oLat, oLon) = Geo.latLonOf(body.get("origin"),
+            "distance_feature origin")
+          val pivotM = Geo.distanceMeters(Option(body.get("pivot"))
+            .filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "distance_feature needs 'pivot': \"<number><unit>\"")))
+          val dfBoost = Option(body.get("boost")).map { n =>
+            require(n.isNumber && n.asDouble > 0,
+              s"distance_feature boost must be a positive number, got: $n")
+            n.asDouble
+          }.getOrElse(1.0)
+          val dfMatched = col(dff).isNotNull
+          if (scoring) leaves += when(dfMatched,
+            lit(dfBoost) * lit(pivotM) /
+              (lit(pivotM) + Geo.haversineMeters(col(dff), oLat, oLon)))
+            .otherwise(lit(0.0))
+          dfMatched
+        case "rank_feature" =>
+          // {"rank_feature": {"field": f, "saturation": {"pivot": p}
+          //  [, "boost": b]}} — matches docs WITH the (non-negative)
+          // feature field, scored boost * x / (x + pivot). Declared
+          // subset: saturation with an EXPLICIT pivot — ES's default
+          // pivot is an index statistic (approximate geometric mean),
+          // which would make scores corpus-dependent; log/sigmoid forms
+          // stay out. Double leaf, like distance_feature.
+          val unknownRf = body.fieldNames.asScala.toSet --
+            Set("field", "saturation", "boost")
+          require(unknownRf.isEmpty,
+            s"unsupported rank_feature option(s): ${unknownRf.mkString(", ")} " +
+              "(saturation only — declared subset)")
+          val rff = Option(body.get("field")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "rank_feature needs 'field'"))
+          val satN = Option(body.get("saturation")).filter(_.isObject)
+            .getOrElse(throw new IllegalArgumentException(
+              "rank_feature needs 'saturation': {\"pivot\": N} (declared " +
+                "subset — ES's default pivot is an index statistic)"))
+          val unknownSat = satN.fieldNames.asScala.toSet - "pivot"
+          require(unknownSat.isEmpty,
+            s"unsupported rank_feature saturation option(s): ${unknownSat.mkString(", ")}")
+          val rfPivot = Option(satN.get("pivot")).filter(_.isNumber).map(_.asDouble)
+            .getOrElse(throw new IllegalArgumentException(
+              "rank_feature saturation needs a numeric 'pivot'"))
+          require(rfPivot > 0, s"rank_feature pivot must be > 0, got $rfPivot")
+          val rfBoost = Option(body.get("boost")).map { n =>
+            require(n.isNumber && n.asDouble > 0,
+              s"rank_feature boost must be a positive number, got: $n")
+            n.asDouble
+          }.getOrElse(1.0)
+          val rfMatched = col(rff).isNotNull
+          if (scoring) leaves += when(rfMatched,
+            lit(rfBoost) * col(rff) / (col(rff) + lit(rfPivot)))
+            .otherwise(lit(0.0))
+          rfMatched
         case "query_string" =>
           // {"query_string":{"query":"a:b AND c:d"}} — optional
           // `default_field` binds BARE terms (ES's q=spark batch style);

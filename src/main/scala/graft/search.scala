@@ -759,6 +759,64 @@ object Search {
     }.reduce(_.unionByName(_))
   }
 
+  /** ES search template (`_search/template` with inline source): renders
+    * mustache `{{var}}` placeholders from `params`, then runs the result
+    * like any other body. Declared subset: simple variable substitution —
+    * a QUOTED `"{{var}}"` splices the param's typed JSON value (numbers,
+    * booleans, arrays land unquoted; strings keep their quotes), a bare
+    * `{{var}}` inside a longer string splices a scalar's text; mustache
+    * sections/partials/toJson stay out (loud). Unknown placeholders and
+    * unused params are loud — a typo'd param silently matching nothing is
+    * exactly the miscompile class the fail-loud contract exists for. */
+  def searchTemplate(docs: DataFrame, request: String,
+                     cfg: IndexConfig = IndexConfig(),
+                     pkCols: Seq[String] = Seq("doc_id")): DataFrame =
+    search(docs, renderTemplate(request), cfg, pkCols)
+
+  /** The rendering half of [[searchTemplate]], exposed for validation. */
+  def renderTemplate(request: String): String = {
+    val root = mapper.readTree(request)
+    require(root != null && root.isObject, "search template must be a JSON object")
+    val unknownKeys = root.fieldNames.asScala.toSet -- Set("source", "params")
+    require(unknownKeys.isEmpty,
+      s"unsupported search template option(s): ${unknownKeys.mkString(", ")}")
+    val srcN = Option(root.get("source")).getOrElse(
+      throw new IllegalArgumentException("search template needs 'source'"))
+    // ES accepts the source inline as an object or as a string
+    val source = if (srcN.isTextual) srcN.asText else srcN.toString
+    require(!source.contains("{{#") && !source.contains("{{^") &&
+      !source.contains("{{>") && !source.contains("{{!"),
+      "mustache sections/partials/comments are not supported (declared subset)")
+    val placeholders = "\\{\\{([a-zA-Z0-9_.]+)\\}\\}".r
+      .findAllMatchIn(source).map(_.group(1)).toSet
+    val paramsN = Option(root.get("params")).map { n =>
+      require(n.isObject, s"search template params must be an object, got: $n")
+      n.fieldNames.asScala.toSeq.map(k => k -> n.get(k))
+    }.getOrElse(Seq.empty)
+    val paramKeys = paramsN.map(_._1).toSet
+    require(placeholders.subsetOf(paramKeys),
+      s"search template placeholders without params: " +
+        (placeholders -- paramKeys).mkString(", "))
+    require(paramKeys.subsetOf(placeholders),
+      s"search template params without placeholders: " +
+        (paramKeys -- placeholders).mkString(", "))
+    var out = source
+    for ((k, v) <- paramsN) {
+      // quoted occurrence first: the param's typed JSON value replaces the
+      // whole quoted token ("5" -> 5, "x" -> "x", "[1,2]" -> [1,2])
+      out = out.replace("\"{{" + k + "}}\"", v.toString)
+      // bare occurrence (inside a longer string): scalar text splice
+      if (out.contains("{{" + k + "}}")) {
+        require(v.isValueNode,
+          s"search template param '$k' splices into a string and must be a scalar")
+        out = out.replace("{{" + k + "}}", if (v.isTextual) v.asText else v.toString)
+      }
+    }
+    require(!out.contains("{{"),
+      s"search template placeholders left unrendered: $out")
+    out
+  }
+
   /** ES terms LOOKUP: `{"terms": {"f": {"index": i, "id": v, "path": p}}}`
     * uses ONE stored document's field value(s) as the terms list.
     * Resolution happens BEFORE compile: the lookup is a bounded single-doc

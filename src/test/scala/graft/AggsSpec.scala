@@ -770,8 +770,12 @@ class AggsSpec extends AnyFunSuite {
       """{"aggs":{"t":{"terms":{"field":"lang"},
            "aggs":{"a":{"avg":{"field":"score"}}}}}}""").isRight)
     assert(Aggs.validate(docs,
-      """{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")
+      """{"aggs":{"x":{"geohash_grid":{"field":"score"}}}}""")
       .left.exists(_.contains("unsupported")))
+    // geo_distance is supported but validates its body eagerly
+    assert(Aggs.validate(docs,
+      """{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")
+      .left.exists(_.contains("origin")))
     assert(Aggs.validate(docs,
       """{"aggs":{"t":{"terms":{"field":"no_such_column"}}}}""").isLeft)
     assert(Aggs.validate(docs, """{"aggs":{}}""").isLeft)
@@ -779,7 +783,7 @@ class AggsSpec extends AnyFunSuite {
 
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
-    assert(bad("""{"aggs":{"x":{"geo_distance":{"field":"score"}}}}""")
+    assert(bad("""{"aggs":{"x":{"geohash_grid":{"field":"score"}}}}""")
       .getMessage.contains("unsupported aggregation type"))
     assert(bad("""{"aggs":{"x":{"terms":{"field":"lang"},
         "aggs":{"y":{"terms":{"field":"lang"}}}}}}""")
@@ -1025,6 +1029,35 @@ class AggsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](Aggs.runSingle(pts,
       """{"aggs": {"g": {"geotile_grid": {"field": "loc", "precision": 40}}}}"""))
       .getMessage.contains("0..29"))
+  }
+
+  test("geo_distance agg: ring buckets around an origin") {
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 1.0), (3L, 0.0, 10.0), (4L, 80.0, 0.0))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    // 1 deg lon at the equator ~ 111.2km: rings 0-200km / 200-2000km / 2000km-*
+    val out = Aggs.runSingle(pts,
+      """{"aggs": {"rings": {"geo_distance": {"field": "loc",
+          "origin": {"lat": 0, "lon": 0}, "unit": "km",
+          "ranges": [{"to": 200}, {"from": 200, "to": 2000},
+                     {"from": 2000}]}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toMap == Map("*-200.0" -> 2L, "200.0-2000.0" -> 1L,
+      "2000.0-*" -> 1L))
+    // custom keys and a sub-metric
+    val named = Aggs.runSingle(pts,
+      """{"aggs": {"rings": {"geo_distance": {"field": "loc",
+          "origin": {"lat": 0, "lon": 0}, "unit": "km",
+          "ranges": [{"to": 200, "key": "near"}, {"from": 200, "key": "far"}]},
+          "aggs": {"ids": {"value_count": {"field": "doc_id"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(named.toSeq.sorted == Seq(("far", 2L, 2L), ("near", 2L, 2L)))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(pts,
+      """{"aggs": {"r": {"geo_distance": {"field": "loc",
+          "origin": {"lat": 0, "lon": 0}, "unit": "parsec",
+          "ranges": [{"to": 1}]}}}}"""))
+      .getMessage.contains("unit"))
   }
 
   test("plan: terms agg is a partial+final hash aggregate, no window, one exchange") {

@@ -787,6 +787,69 @@ class QueryCompilerSpec extends AnyFunSuite {
       .getMessage.contains("lat out of range"))
   }
 
+  test("distance_feature / rank_feature: decay-scored double leaves") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", 0.0, 0.0, 10.0), ("2", 0.0, 1.0, 90.0), ("3", 50.0, 100.0, 0.0))
+      .toDF("doc_id", "lat", "lon", "pagerank")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"),
+        col("pagerank"))
+    def hits(q: String) = Search.search(docs, q, IndexConfig(),
+        Seq("doc_id"))
+      .select("doc_id", "_score").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // distance_feature: origin point scores 1.0 (pivot/(pivot+0)); a
+    // point one degree away (~111.2km) scores pivot/(pivot+dist) < 1
+    val d = hits("""{"query": {"distance_feature": {"field": "loc",
+        "origin": {"lat": 0, "lon": 0}, "pivot": "100km"}}}""")
+    assert(d("1") == 1.0)
+    assert(d("2") > 0.4 && d("2") < 0.5) // 100/(100+111.2) ~ 0.473
+    assert(d("3") < 0.02)
+    // rank_feature saturation: x/(x+pivot) with explicit pivot 10
+    val r = hits("""{"query": {"rank_feature": {"field": "pagerank",
+        "saturation": {"pivot": 10}}}}""")
+    assert(r("1") == 0.5 && r("2") == 0.9 && r("3") == 0.0)
+    // boost scales the decay
+    val rb = hits("""{"query": {"rank_feature": {"field": "pagerank",
+        "saturation": {"pivot": 10}, "boost": 2}}}""")
+    assert(rb("1") == 1.0)
+    // loud: missing pivot, date-form origin, log form
+    assert(QueryCompiler.validate(
+      """{"query":{"rank_feature":{"field":"f"}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"rank_feature":{"field":"f","log":{"scaling_factor":2}}}}""").isLeft)
+    assert(QueryCompiler.validate(
+      """{"query":{"distance_feature":{"field":"f","origin":"2024-01-01",
+         "pivot":"7d"}}}""").isLeft)
+  }
+
+  test("search template: typed mustache substitution, fail-loud hygiene") {
+    import spark.implicits._
+    val docs = Seq(("1", "alpha beta", 5L), ("2", "gamma", 50L))
+      .toDF("doc_id", "text", "views")
+    def ids(req: String) = Search.searchTemplate(docs, req, IndexConfig(),
+        Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    // quoted placeholders splice typed: the number lands unquoted
+    assert(ids("""{"source": {"query": {"bool": {"must": [
+        {"match": {"text": "{{word}}"}},
+        {"range": {"views": {"gte": "{{min_views}}"}}}]}}},
+        "params": {"word": "alpha", "min_views": 3}}""") == Set("1"))
+    // string source + bare splice inside a longer string
+    assert(ids("""{"source": "{\"query\": {\"wildcard\": {\"text\": \"{{pre}}*\"}}}",
+        "params": {"pre": "gam"}}""") == Set("2"))
+    // loud: missing param, unused param, sections
+    assert(intercept[IllegalArgumentException](Search.renderTemplate(
+      """{"source": {"query": {"term": {"text": "{{w}}"}}}, "params": {}}"""))
+      .getMessage.contains("without params"))
+    assert(intercept[IllegalArgumentException](Search.renderTemplate(
+      """{"source": {"query": {"match_all": {}}}, "params": {"w": 1}}"""))
+      .getMessage.contains("without placeholders"))
+    assert(intercept[IllegalArgumentException](Search.renderTemplate(
+      """{"source": "{{#cond}}x{{/cond}}", "params": {"cond": true}}"""))
+      .getMessage.contains("sections"))
+  }
+
   test("span_not rejects the include term at both exclude endpoints") {
     import spark.implicits._
     val docs = Seq(("1", "fox fox fox")).toDF("doc_id", "text")

@@ -1702,6 +1702,12 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_agg_geohash" -> ((s, dir) => {
+      // geohash_grid at precision 4: exact integer interleave + base32
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Aggs.runSingle(pts,
+        """{"aggs": {"g": {"geohash_grid": {"field": "loc", "precision": 4}}}}""")
+    }),
     "q_agg_geo_rings" -> ((s, dir) => {
       // geo_distance agg: ring buckets around (10, 20) in km
       val pts = geoPoints(tbl(s, dir, "customer"))
@@ -3198,6 +3204,43 @@ object SparkEntry {
          FROM documents WHERE n_chars IS NOT NULL""",
     "q_search_template" ->
       """SELECT doc_id FROM documents WHERE lang = 'de' AND n_chars >= 400""",
+    "q_agg_geohash" ->
+      // the engine's bit math verbatim: quantize to 10 bits each, spread
+      // (masks are hex 0000FFFF0000FFFF … 5555555555555555 in decimal),
+      // interleave lon-first, base32 the four 5-bit groups
+      """WITH pts AS (
+           SELECT CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer),
+         q AS (
+           SELECT CAST(least(floor((lon + 180.0) / 360.0 * 1024.0), 1023.0)
+                    AS BIGINT) AS lonq,
+                  CAST(least(floor((lat + 90.0) / 180.0 * 1024.0), 1023.0)
+                    AS BIGINT) AS latq
+           FROM pts),
+         s0 AS (SELECT (lonq | (lonq << 16)) & 281470681808895 AS a,
+                       (latq | (latq << 16)) & 281470681808895 AS b FROM q),
+         s1 AS (SELECT (a | (a << 8)) & 71777214294589695 AS a,
+                       (b | (b << 8)) & 71777214294589695 AS b FROM s0),
+         s2 AS (SELECT (a | (a << 4)) & 1085102592571150095 AS a,
+                       (b | (b << 4)) & 1085102592571150095 AS b FROM s1),
+         s3 AS (SELECT (a | (a << 2)) & 3689348814741910323 AS a,
+                       (b | (b << 2)) & 3689348814741910323 AS b FROM s2),
+         s4 AS (SELECT (a | (a << 1)) & 6148914691236517205 AS a,
+                       (b | (b << 1)) & 6148914691236517205 AS b FROM s3),
+         iv AS (SELECT (a << 1) | b AS v FROM s4),
+         k AS (
+           SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                    CAST(((v >> 15) & 31) + 1 AS INT), 1)
+               || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                    CAST(((v >> 10) & 31) + 1 AS INT), 1)
+               || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                    CAST(((v >> 5) & 31) + 1 AS INT), 1)
+               || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                    CAST((v & 31) + 1 AS INT), 1) AS key
+           FROM iv)
+         SELECT key, count(*) AS doc_count FROM k
+         GROUP BY key ORDER BY doc_count DESC, key""",
     "q_agg_geo_rings" ->
       """WITH pts AS (
            SELECT radians(CAST(c_custkey % 180 - 90 AS DOUBLE)) AS plat,

@@ -428,6 +428,64 @@ object Aggs {
         }
         bucketed(docs.where(col(gdf).isNotNull), gdKey, subAggs, name)
           .orderBy(asc("key"))
+      case "geohash_grid" =>
+        // {"geohash_grid": {"field": f, "precision": 1..12, "size": n}} —
+        // classic geohash cells. The hash is EXACT integer math end to
+        // end: quantize lat/lon to their bit budgets (lon gets the extra
+        // bit at odd total widths), interleave with the shift-or spread
+        // trick (lon takes the MSB), then map 5-bit groups through the
+        // base32 alphabet — every step a builtin bitwise/substring
+        // expression, fully codegen'd, one hash aggregate, and the same
+        // formula states verbatim in SQL for the oracle. Ordered count
+        // desc then key asc (ES's order).
+        val unknownGh = body.fieldNames.asScala.toSet --
+          Set("field", "precision", "size")
+        require(unknownGh.isEmpty,
+          s"unsupported geohash_grid option(s) in '$name': ${unknownGh.mkString(", ")}")
+        val ghf = Option(body.get("field")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"geohash_grid '$name' needs a 'field'"))
+        val ghp = Option(body.get("precision")).map { n =>
+          require(n.isIntegralNumber && n.asInt >= 1 && n.asInt <= 12,
+            s"geohash_grid '$name' precision must be 1..12, got: $n")
+          n.asInt
+        }.getOrElse(5)
+        val ghSize = Option(body.get("size")).map(_.asInt).getOrElse(10000)
+        require(ghSize >= 1, s"geohash_grid '$name' size must be >= 1")
+        val totalBits = 5 * ghp
+        val lonBits = (totalBits + 1) / 2 // lon gets the extra bit
+        val latBits = totalBits / 2
+        // quantize: cell index in [0, 2^bits), top edge clamped into the
+        // last cell (lat=90 / lon=180 belong to the final cell, not a
+        // phantom one past it)
+        def quant(c: Column, lo: Double, span: Double, bits: Int): Column =
+          least(floor((c - lit(lo)) / lit(span) * lit((1L << bits).toDouble))
+            .cast("long"), lit((1L << bits) - 1))
+        // spread bit i to bit 2i (64-bit masks — up to 32 source bits, so
+        // the full precision-12 lon width of 30 bits fits)
+        def spread(c: Column): Column = {
+          val s0 = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+          val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+          val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+          val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x3333333333333333L))
+          s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x5555555555555555L))
+        }
+        val lonQ = quant(col(ghf).getField("lon"), -180.0, 360.0, lonBits)
+        val latQ = quant(col(ghf).getField("lat"), -90.0, 180.0, latBits)
+        // even total width: lon occupies the odd bit positions (MSB is
+        // lon's top bit); odd width: lon occupies the even positions
+        val interleaved =
+          if (totalBits % 2 == 0) shiftleft(spread(lonQ), 1).bitwiseOR(spread(latQ))
+          else spread(lonQ).bitwiseOR(shiftleft(spread(latQ), 1))
+        val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+        val ghKey = concat((0 until ghp).map { k =>
+          val shift = totalBits - 5 * (k + 1)
+          lit(alphabet).substr(
+            (shiftright(interleaved, shift).bitwiseAND(lit(31L)) + 1).cast("int"),
+            lit(1))
+        }: _*)
+        bucketed(docs.where(col(ghf).isNotNull), ghKey, subAggs, name)
+          .orderBy(desc("doc_count"), asc("key")).limit(ghSize)
       case "geotile_grid" =>
         // {"geotile_grid": {"field": f, "precision": z, "size": n}} —
         // web-mercator tile buckets keyed "z/x/y" (ES's key format).

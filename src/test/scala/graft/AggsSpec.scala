@@ -770,7 +770,7 @@ class AggsSpec extends AnyFunSuite {
       """{"aggs":{"t":{"terms":{"field":"lang"},
            "aggs":{"a":{"avg":{"field":"score"}}}}}}""").isRight)
     assert(Aggs.validate(docs,
-      """{"aggs":{"x":{"geohash_grid":{"field":"score"}}}}""")
+      """{"aggs":{"x":{"geo_hexgrid":{"field":"score"}}}}""")
       .left.exists(_.contains("unsupported")))
     // geo_distance is supported but validates its body eagerly
     assert(Aggs.validate(docs,
@@ -783,7 +783,7 @@ class AggsSpec extends AnyFunSuite {
 
   test("errors are loud: unsupported type, nested bucket sub-agg, missing aggs") {
     def bad(body: String) = intercept[IllegalArgumentException](Aggs.run(docs, body))
-    assert(bad("""{"aggs":{"x":{"geohash_grid":{"field":"score"}}}}""")
+    assert(bad("""{"aggs":{"x":{"geo_hexgrid":{"field":"score"}}}}""")
       .getMessage.contains("unsupported aggregation type"))
     assert(bad("""{"aggs":{"x":{"terms":{"field":"lang"},
         "aggs":{"y":{"terms":{"field":"lang"}}}}}}""")
@@ -1029,6 +1029,36 @@ class AggsSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](Aggs.runSingle(pts,
       """{"aggs": {"g": {"geotile_grid": {"field": "loc", "precision": 40}}}}"""))
       .getMessage.contains("0..29"))
+  }
+
+  test("geohash_grid: exact base32 cells at even and odd precisions") {
+    val pts = Seq(
+      (1L, 10.0, 20.0), (2L, 10.5, 20.5), (3L, -33.86, 151.21),
+      (4L, 48.8566, 2.3522), (5L, 10.0, 20.0))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    // precision 4 (even total bits) — values pinned against the classic
+    // bisection algorithm: (10,20)=s3y0, (10.5,20.5)=s3ye,
+    // (-33.86,151.21)=r3gx, (48.8566,2.3522)=u09t
+    val z4 = Aggs.runSingle(pts,
+      """{"aggs": {"g": {"geohash_grid": {"field": "loc", "precision": 4}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(z4.toSeq == Seq(("s3y0", 2L), ("r3gx", 1L), ("s3ye", 1L), ("u09t", 1L)))
+    // precision 5 (odd total bits — lon carries the extra bit)
+    val z5 = Aggs.runSingle(pts,
+      """{"aggs": {"g": {"geohash_grid": {"field": "loc", "precision": 5}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(z5 == Map("s3y0z" -> 2L, "s3yed" -> 1L, "r3gx2" -> 1L, "u09tv" -> 1L))
+    // boundary: the north pole and the antimeridian land in real cells
+    val edge = Seq((1L, 90.0, 180.0)).toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    val e = Aggs.runSingle(edge,
+      """{"aggs": {"g": {"geohash_grid": {"field": "loc", "precision": 4}}}}""")
+      .collect().map(_.getString(0))
+    assert(e.toSeq == Seq("zzzz"))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(pts,
+      """{"aggs": {"g": {"geohash_grid": {"field": "loc", "precision": 13}}}}"""))
+      .getMessage.contains("1..12"))
   }
 
   test("geo_distance agg: ring buckets around an origin") {

@@ -724,6 +724,24 @@ object SparkEntry {
       Indexer.delete(docs, deletes, Seq("l_orderkey"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "q_delete_by_query" -> ((s, dir) => {
+      // S5 DSL form: _delete_by_query — drop docs a bool body matches;
+      // docs with a NULL predicate (field missing) survive, ES semantics
+      Indexer.deleteByQuery(tbl(s, dir, "documents"),
+        """{"query": {"bool": {"must": [
+              {"term": {"lang": "de"}},
+              {"range": {"n_chars": {"gte": 200}}}]}}}""")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+    "q_update_by_query" -> ((s, dir) => {
+      // _update_by_query scriptless analog: declarative SET list applied in
+      // ONE projection against the original row (no chained withColumn)
+      Indexer.updateByQuery(tbl(s, dir, "documents"),
+        """{"query": {"term": {"lang": "fr"}}}""",
+        Map("source" -> upper(col("source")),
+            "n_chars" -> (col("n_chars") + 1000L)))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "q_bulk_ndjson" -> ((s, dir) => {
       // S3 wire format: ES bulk-API action+payload per doc (reference
       // upsert template, ElasticIndex.java:130)
@@ -1680,6 +1698,17 @@ object SparkEntry {
         .select(col("doc_id"),
           expr("CAST(floor(_score * 1e9) AS BIGINT)").as("score_e9"))
     }),
+    "q_search_geo_sort" -> ((s, dir) => {
+      // _geo_distance sort: nearest-first top-k around (10, 20); the id
+      // tiebreak makes the LIMIT boundary deterministic on both sides
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.search(pts,
+        """{"query": {"match_all": {}},
+            "sort": [{"_geo_distance": {"loc": {"lat": 10, "lon": 20}}}],
+            "size": 100}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_search_rank_feature" -> ((s, dir) => {
       // rank_feature saturation on a numeric field: n_chars/(n_chars+500)
       val docs = tbl(s, dir, "documents")
@@ -2588,6 +2617,14 @@ object SparkEntry {
          WHERE NOT EXISTS (SELECT 1 FROM orders
                            WHERE o_orderstatus = 'F' AND o_orderkey = l_orderkey)
          ORDER BY doc_id""",
+    "q_delete_by_query" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE NOT coalesce(lang = 'de' AND n_chars >= 200, FALSE)""",
+    "q_update_by_query" ->
+      """SELECT doc_id, lang,
+           CASE WHEN lang = 'fr' THEN upper(source) ELSE source END AS source,
+           CASE WHEN lang = 'fr' THEN n_chars + 1000 ELSE n_chars END AS n_chars
+         FROM documents""",
     "q_bulk_ndjson" ->
       """SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS doc_id,
            '{"update":{"_index":"lineitem_index@","_id":"'
@@ -3175,6 +3212,25 @@ object SparkEntry {
          WHERE 2 * 6371008.7714150598 *
                asin(sqrt(sdlat * sdlat
                  + cplat * cos(radians(10.0)) * sdlon * sdlon)) <= 3000000.0""",
+    "q_search_geo_sort" ->
+      """WITH pts AS (
+           SELECT c_custkey AS doc_id,
+                  radians(CAST(c_custkey % 180 - 90 AS DOUBLE)) AS plat,
+                  radians(CAST((c_custkey * 7) % 360 - 180 AS DOUBLE)) AS plon
+           FROM customer),
+         h AS (
+           SELECT doc_id,
+                  sin((plat - radians(10.0)) / 2) AS sdlat,
+                  sin((plon - radians(20.0)) / 2) AS sdlon,
+                  cos(plat) AS cplat
+           FROM pts)
+         SELECT doc_id FROM (
+           SELECT doc_id,
+                  2 * 6371008.7714150598 *
+                  asin(sqrt(sdlat * sdlat
+                    + cplat * cos(radians(10.0)) * sdlon * sdlon)) AS d
+           FROM h)
+         ORDER BY d, doc_id LIMIT 100""",
     "q_search_distance_feature" ->
       // the haversine + decay formula verbatim (1.0 * pivot / (pivot + d))
       """WITH pts AS (

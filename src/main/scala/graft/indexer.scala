@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -259,4 +259,51 @@ object Indexer {
              cfg: IndexConfig = IndexConfig()): DataFrame =
     if (cfg.analyticMode || cfg.dummy) docs // M6 / M13
     else docs.join(deletes.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+
+  /** ES `_delete_by_query`: drop the docs a DSL body matches. The
+    * null-safe negation keeps docs where the predicate is NULL (a doc
+    * missing the queried field did not match, so it survives — ES
+    * semantics), and the same analytic/dummy gates as [[delete]] apply.
+    * One scan, predicate pushed to the source. */
+  def deleteByQuery(docs: DataFrame, query: String, idCol: String = "doc_id",
+                    cfg: IndexConfig = IndexConfig()): DataFrame =
+    if (cfg.analyticMode || cfg.dummy) docs // M6 / M13
+    else {
+      val pred = QueryCompiler.compile(query, Int.MaxValue, idCol,
+        cfg.defaultOperator).predicate
+      docs.where(!coalesce(pred, lit(false)))
+    }
+
+  /** ES `_update_by_query` (scriptless analog): apply column assignments
+    * to the docs a DSL body matches, leaving every other row byte-identical.
+    * ES runs a painless script per matching doc; the declared analog is a
+    * declarative SET list (`field -> expression`), which is what the
+    * common ctx._source.f = v scripts state — and as one projection it
+    * stays codegen'd with no per-doc interpreter. Assignments may not
+    * touch the id column (ES forbids id mutation too). */
+  def updateByQuery(docs: DataFrame, query: String, set: Map[String, Column],
+                    idCol: String = "doc_id",
+                    cfg: IndexConfig = IndexConfig()): DataFrame = {
+    require(set.nonEmpty, "update_by_query needs at least one assignment")
+    require(!set.contains(idCol),
+      s"update_by_query may not reassign the id column '$idCol'")
+    set.keys.foreach(k => require(docs.columns.contains(k),
+      s"update_by_query target '$k' is not a column (new columns would " +
+        "change the schema for NON-matching rows too — declared subset)"))
+    if (cfg.dummy) docs // M13
+    else {
+      val pred = coalesce(QueryCompiler.compile(query, Int.MaxValue, idCol,
+        cfg.defaultOperator).predicate, lit(false))
+      // ONE projection: the predicate and every assignment read the
+      // ORIGINAL row (a chained withColumn would let assignment #2 see
+      // assignment #1's output — not what a per-doc script sees)
+      val cols = docs.columns.map { c =>
+        set.get(c) match {
+          case Some(v) => when(pred, v).otherwise(col(c)).as(c)
+          case None    => col(c)
+        }
+      }
+      docs.select(cols.toSeq: _*)
+    }
+  }
 }

@@ -84,12 +84,14 @@ object QueryMeta {
   * users at search_after.
   *
   * `sort` is the ES body's field sort (`"sort": [{"f": "desc"}, ...]`,
-  * short or long `{"order": ...}` form; `"_score"` names relevance):
-  * `(field, ascending)` pairs replacing the default (score DESC, id ASC)
-  * order; the executor's id tiebreak always appends, so results stay
-  * totally ordered. Declared subset: search_after pairs with the DEFAULT
-  * relevance order only — combining it with a custom sort is rejected at
-  * compile, not silently mis-paginated. */
+  * short or long `{"order": ...}` form; `"_score"` names relevance;
+  * `{"_geo_distance": {FIELD: {lat, lon}, "order": ...}}` sorts by
+  * haversine meters from the point): `(sort column, ascending)` pairs
+  * replacing the default (score DESC, id ASC) order; the executor's id
+  * tiebreak always appends, so results stay totally ordered. Declared
+  * subset: search_after pairs with the DEFAULT relevance order only —
+  * combining it with a custom sort is rejected at compile, not silently
+  * mis-paginated. */
 /** `sourceFields` is the ES body's `_source` filter (`"_source": ["f", …]`
   * or `false`): which document fields a hit returns. `Some(fields)` keeps
   * exactly those (+ PK + `_score`); `Some(Nil)` (`_source: false`) keeps
@@ -107,7 +109,7 @@ object QueryMeta {
   * before the size cut. A key-partitioned window, never a global one. */
 final case class CompiledQuery(predicate: Column, score: Column, limit: Option[Int],
                                searchAfter: Option[(Double, Any)] = None,
-                               sort: Option[Seq[(String, Boolean)]] = None,
+                               sort: Option[Seq[(Column, Boolean)]] = None,
                                sourceFields: Option[Seq[String]] = None,
                                from: Int = 0,
                                collapseField: Option[String] = None)
@@ -892,10 +894,28 @@ object QueryCompiler {
         s.elements.asScala.toSeq.map { e =>
           require(e.isObject && e.size == 1, s"sort entry must be {field: order}, got: $e")
           val f = e.fieldNames.asScala.next()
-          val ord = if (e.get(f).isTextual) e.get(f).asText
-                    else Option(e.get(f).get("order")).map(_.asText).getOrElse("asc")
-          require(ord == "asc" || ord == "desc", s"bad sort order '$ord'")
-          (f, ord == "asc")
+          if (f == "_geo_distance") {
+            // {"_geo_distance": {FIELD: {lat, lon}[, "order"][, "unit"]}}
+            // — sort by haversine distance from the point. The unit is
+            // accepted and ignored: a monotone rescale cannot change the
+            // order. ES default order for _geo_distance is asc (nearest
+            // first).
+            val gb = e.get(f)
+            val unknownGs = gb.fieldNames.asScala.toSet -- Set("order", "unit")
+            require(unknownGs.size == 1,
+              s"_geo_distance sort needs exactly one field with {lat, lon}, " +
+                s"got: ${unknownGs.mkString(", ")}")
+            val gf = unknownGs.head
+            val (sLat, sLon) = Geo.latLonOf(gb.get(gf), "_geo_distance sort")
+            val ord = Option(gb.get("order")).map(_.asText).getOrElse("asc")
+            require(ord == "asc" || ord == "desc", s"bad sort order '$ord'")
+            (Geo.haversineMeters(col(gf), sLat, sLon), ord == "asc")
+          } else {
+            val ord = if (e.get(f).isTextual) e.get(f).asText
+                      else Option(e.get(f).get("order")).map(_.asText).getOrElse("asc")
+            require(ord == "asc" || ord == "desc", s"bad sort order '$ord'")
+            (col(f), ord == "asc")
+          }
         }
       }
       require(after.isEmpty || sort.isEmpty,

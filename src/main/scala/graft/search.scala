@@ -45,8 +45,7 @@ object Search {
     // ES body `sort` replaces the relevance order; the id tiebreak always
     // appends so every result set has a total order
     val order = q.sort match {
-      case Some(keys) => keys.map { case (f, asc) =>
-        val c = if (f == "_score") col("_score") else col(f)
+      case Some(keys) => keys.map { case (c, asc) =>
         if (asc) c.asc else c.desc
       } :+ col(tiebreak).asc
       case None => Seq(desc("_score"), col(tiebreak).asc)

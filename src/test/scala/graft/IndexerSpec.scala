@@ -293,4 +293,33 @@ class IndexerSpec extends AnyFunSuite {
     assert(fixed.getTimestamp(0) == fixed.getTimestamp(1)) // 10:30 and 10:59 share the frame
     assert(Maintain.truncate(df).count() == 0)
   }
+
+  test("delete_by_query: matching docs drop, null-predicate docs survive") {
+    val docs = Seq(("1", "de", 10L), ("2", "fr", 20L),
+      ("3", null.asInstanceOf[String], 30L)).toDF("doc_id", "lang", "views")
+    val out = Indexer.deleteByQuery(docs,
+      """{"query": {"term": {"lang": "de"}}}""")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(out == Set("2", "3")) // null lang did not match -> survives
+    // analytic mode: deletes are a no-op (documents outlive source rows)
+    assert(Indexer.deleteByQuery(docs, """{"query": {"term": {"lang": "de"}}}""",
+      cfg = IndexConfig(analyticMode = true)).count() == 3)
+  }
+
+  test("update_by_query: one-projection SET against the original row") {
+    val docs = Seq(("1", "de", 10.0), ("2", "fr", 20.0))
+      .toDF("doc_id", "lang", "score")
+    val out = Indexer.updateByQuery(docs,
+      """{"query": {"term": {"lang": "de"}}}""",
+      Map("score" -> (col("score") * 2), "lang" -> upper(col("lang"))))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set(("1", "DE", 20.0), ("2", "fr", 20.0)))
+    // loud: id reassignment, unknown target column
+    assert(intercept[IllegalArgumentException](Indexer.updateByQuery(docs,
+      """{"query": {"match_all": {}}}""", Map("doc_id" -> lit("x"))))
+      .getMessage.contains("id column"))
+    assert(intercept[IllegalArgumentException](Indexer.updateByQuery(docs,
+      """{"query": {"match_all": {}}}""", Map("nope" -> lit(1))))
+      .getMessage.contains("not a column"))
+  }
 }

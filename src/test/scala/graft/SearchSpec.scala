@@ -883,6 +883,32 @@ class SearchSpec extends AnyFunSuite {
       Seq(("stream", 2L), ("strong", 2L)))
   }
 
+  test("_geo_distance sort: nearest-first with id tiebreak") {
+    val pts = Seq(
+      ("a", 0.0, 10.0), ("b", 0.0, 1.0), ("c", 0.0, 5.0), ("d", 0.0, 1.0))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    val out = Search.search(pts,
+      """{"query": {"match_all": {}},
+          "sort": [{"_geo_distance": {"loc": {"lat": 0, "lon": 0}}}],
+          "size": 3}""", IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    // b and d tie at 1 degree -> id order; c next; a cut by size
+    assert(out == Seq("b", "d", "c"))
+    val far = Search.search(pts,
+      """{"query": {"match_all": {}},
+          "sort": [{"_geo_distance": {"loc": {"lat": 0, "lon": 0},
+            "order": "desc", "unit": "km"}}], "size": 1}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(far == Seq("a"))
+    assert(intercept[IllegalArgumentException](Search.search(pts,
+      """{"query": {"match_all": {}},
+          "sort": [{"_geo_distance": {"order": "asc"}}]}""",
+      IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("exactly one field"))
+  }
+
   test("has_child / has_parent: join-field semi-joins") {
     val fam = Seq(
       ("c1", "customer", null, 50.0),

@@ -16,6 +16,10 @@ run / fork := true
 // unparseable to anything doing json.loads per line (every BENCH_rN
 // artifact to date recorded "parsed": null).
 run / outputStrategy := Some(StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line so graft.Bench's
+// one-line JSON stays the LAST line of stdout (harnesses that tail stdout
+// and json-parse the final line otherwise pick up the sbt banner).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

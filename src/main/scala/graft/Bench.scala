@@ -116,12 +116,36 @@ object Bench {
       s""""new_queries_since_baseline":$newQueries,""" +
       s""""action":"materialize_rows (toRdd.count; r5 change — a bare count() let the optimizer elide column decode and whole joins, under-measuring projection-shaped queries)",""" +
       s""""sf":"$sfDir"}"""
-    println(json)
-    // belt-and-braces for harnesses that read the sbt-wrapped stdout (whose
-    // logger prefix breaks line-oriented JSON parsing): the same line lands
-    // in bench.json in the working directory (= repo root under sbt)
+    // Full per-query detail (~7 KB with 190+ queries) goes to bench.json in
+    // the working directory (= repo root under sbt).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Stdout gets a COMPACT line instead: every BENCH_rN artifact to date
+    // has "parsed": null because the harness keeps only the last ~2000
+    // chars of stdout — the full JSON line is longer than that window, so
+    // its head is truncated and it never parses. Headline subset + rounded
+    // values keeps this line well under 1500 chars so it survives the tail
+    // window whole (build.sbt also suppresses the trailing "[success]"
+    // line so this stays the last stdout line).
+    val headline = Seq(
+      "q_search_topk", "q_search_rowload", "q_search_bm25", "q_search_wildcard",
+      "q_search_knn", "q_agg_terms", "q_agg_date_histogram", "q_agg_composite",
+      "q_agg_percentiles", "q_agg_cardinality_approx", "q_upsert_lww",
+      "q_bulk_ndjson", "q_doc_projection", "q_dedup_exact", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dedup_embedding", "q_similarity_topk",
+      "q_similarity_ivf", "q_text_langid", "q_text_quality", "q_text_tokens",
+      "q_text_fingerprint", "q_stream_window", "q_ttl_expire", "q_segment_roll",
+      "q_sessionize", "q_flatten")
+    val hq = headline.flatMap(k => results.get(k).map { case (v, _) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) })
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${
+      BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      },"unit":"sec","queries":$hq,""" +
+      s""""query_count":${results.size},"failed":${
+        results.count(_._2._1 < 0)},"total_shuffle_bytes":$totalShuffle,""" +
+      s""""queries_detail":"bench.json","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -71,11 +71,16 @@ object Bench {
       val shuffled = tap.shuffleBytes.get() - sh0
       name -> (if (ok) sec else -1.0, shuffled)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // failed queries serialize as null, never as -1: a -1 "timing" is
+    // indistinguishable from a real value to a consumer that averages or
+    // plots the map — the separate "failed" count is the failure signal
+    val qs = results.map { case (k, (v, _)) =>
+        s"\"" + k + "\":" + (if (v < 0) "null" else v.toString) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, (_, s)) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // total covers the queries that ran; failures are counted, not summed
+    val total = results.values.map(_._1).filter(_ >= 0).sum
     val totalShuffle = results.values.map(_._2).sum
     // keep round-over-round totals comparable: call out queries added since
     // the named baseline round, so a total delta is read against the
@@ -137,7 +142,8 @@ object Bench {
       "q_text_fingerprint", "q_stream_window", "q_ttl_expire", "q_segment_roll",
       "q_sessionize", "q_flatten")
     val hq = headline.flatMap(k => results.get(k).map { case (v, _) =>
-      "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) })
+      "\"" + k + "\":" + (if (v < 0) "null"
+        else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString) })
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${
       BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)

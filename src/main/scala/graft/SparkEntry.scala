@@ -959,7 +959,7 @@ object SparkEntry {
       // M4: doc-level TTL — keep docs alive at `now` (+ ttl-shift)
       val docs = tbl(s, dir, "events")
         .withColumn("_cassandraTtl",
-          unix_timestamp(col("ts")) + floor(col("value") * 1000).cast("long"))
+          Tsx.seconds(col("ts")) + floor(col("value") * 1000).cast("long"))
       // "now" mid-way through the events window so expiry actually splits it
       Maintain.ttlFilter(docs, 1705276800L /* 2024-01-15T00:00:00Z */,
           IndexConfig(ttlShiftSec = 3600))
@@ -1014,7 +1014,7 @@ object SparkEntry {
         """{"aggs": {"per_6h": {"date_histogram":
               {"field": "ts", "fixed_interval": "6h"},
             "aggs": {"total_value": {"sum": {"field": "value"}}}}}}""")
-        .select(unix_micros(col("key")).as("key_us"), col("doc_count"),
+        .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"),
           round(col("total_value"), 2).as("total_value"))
     }),
     "q_agg_terms_include" -> ((s, dir) => {
@@ -1034,7 +1034,7 @@ object SparkEntry {
             "aggs": {"per_hour": {"date_histogram": {"field": "ts",
               "fixed_interval": "1h", "min_doc_count": 0,
               "extended_bounds": {"min": 1704067200000, "max": 1706659200000}}}}}""")
-        .select(unix_micros(col("key")).as("key_us"), col("doc_count"))
+        .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"))
         .orderBy(col("key_us"))
     }),
     "q_agg_date_range" -> ((s, dir) => {
@@ -1246,7 +1246,7 @@ object SparkEntry {
       Aggs.runSingle(tbl(s, dir, "events"),
         """{"aggs": {"auto": {"auto_date_histogram": {"field": "ts", "buckets": 15},
             "aggs": {"avg_value": {"avg": {"field": "value"}}}}}}""")
-        .select(unix_micros(col("key")).as("key_us"), col("doc_count"),
+        .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"),
           round(col("avg_value"), 2).as("avg_value"), col("bucket_interval"))
     }),
     "q_agg_rate" -> ((s, dir) => {
@@ -1255,7 +1255,7 @@ object SparkEntry {
       Aggs.runSingle(tbl(s, dir, "events"),
         """{"aggs": {"daily": {"date_histogram": {"field": "ts", "fixed_interval": "1d"},
             "aggs": {"hourly_value": {"rate": {"unit": "hour", "field": "value"}}}}}}""")
-        .select(unix_micros(col("key")).as("key_us"), col("doc_count"),
+        .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"),
           round(col("hourly_value"), 2).as("hourly_value"))
     }),
     "q_agg_boxplot" -> ((s, dir) => {
@@ -1914,6 +1914,52 @@ object SparkEntry {
           expr("CAST(floor(score * 1e9) AS BIGINT)").as("score_e9"),
           col("rank").cast("int").as("rank"))
     }),
+    "q_suggest_completion_ctx" -> ((s, dir) => {
+      // completion suggester, production form: category contexts restrict
+      // the dictionary corpus, fuzzy prefix (edit distance 1 after an
+      // exact first char) tolerates the typo'd prefix
+      Search.completionSuggestFuzzy(tbl(s, dir, "documents"), "text",
+          "sca", size = 10, contexts = Map("lang" -> Seq("en", "de")),
+          fuzziness = 1, fuzzyPrefixLength = 1)
+    }),
+    "q_mget" -> ((s, dir) => {
+      // _mget: batch get-by-id in REQUEST order; absent ids stay as
+      // found=false rows with null doc columns (the ES response contract)
+      Search.mget(tbl(s, dir, "documents"), "doc_id",
+          Seq("17", "3", "999999", "42", "7"))
+        .select(col("_ord"), col("_id"), col("found"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("_ord"))
+    }),
+    "q_scroll" -> ((s, dir) => {
+      // PIT + scroll: open a snapshot, then three keyset-cursor pages of
+      // 100 over the doc_id total order — each page one pruned top-k scan
+      // (bulk export, the README.md:529 max-results workaround)
+      val docs = tbl(s, dir, "documents")
+      val snap = Scroll.read(s, Scroll.openPit(docs))
+      Scroll.pages(snap.select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("doc_id"), pageSize = 100, maxPages = 3)
+        .map { case (pg, df) => df.withColumn("page", lit(pg)) }
+        .reduce(_ unionAll _)
+        .orderBy(col("doc_id"))
+    }),
+    "q_search_explain" -> ((s, dir) => {
+      // explain=true: per-hit BM25 score breakdown — one (term, tf, df,
+      // idf, contrib) struct per query term, flattened to columns; round-4
+      // on the libm-dependent ln components (the q_search_bm25 convention)
+      def part(i: Int, f: String) = col("_explanation").getItem(i).getField(f)
+      Search.bm25Explain(tbl(s, dir, "documents"), "text", Seq("spark", "query"))
+        .where(col("_bm25") > 0)
+        .orderBy(desc("_bm25"), col("doc_id")).limit(20)
+        .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"),
+          part(0, "term").as("term0"), part(0, "tf").cast("long").as("tf0"),
+          part(0, "df").as("df0"), round(part(0, "idf"), 4).as("idf0"),
+          round(part(0, "contrib"), 4).as("contrib0"),
+          part(1, "term").as("term1"), part(1, "tf").cast("long").as("tf1"),
+          part(1, "df").as("df1"), round(part(1, "idf"), 4).as("idf1"),
+          round(part(1, "contrib"), 4).as("contrib1"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    }),
     "q_search_knn" -> ((s, dir) => {
       // ES-8 knn search body: exact filtered cosine top-k over the vector
       // column (declared divergence: ES HNSW is approximate), ES score
@@ -2171,8 +2217,8 @@ object SparkEntry {
       Sessionize.summarize(tbl(s, dir, "events"), "user_id", "ts",
           gapSec = 1800, orderCols = Seq("event_id"))
         .select(col("user_id"), col("session_seq"), col("n_events"),
-          unix_micros(col("session_start")).as("session_start_us"),
-          unix_micros(col("session_end")).as("session_end_us"))
+          Tsx.micros(col("session_start")).as("session_start_us"),
+          Tsx.micros(col("session_end")).as("session_end_us"))
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
@@ -3012,13 +3058,17 @@ object SparkEntry {
          SELECT key, doc_count,
            max(doc_count) OVER (ORDER BY key
              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mx,
-           sum(doc_count) OVER (ORDER BY key
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS sm
+           CAST(sum(doc_count) OVER (ORDER BY key
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sm
          FROM b ORDER BY key""",
     "q_agg_normalize" ->
+      // CAST(sum(...) AS BIGINT): DuckDB's integer sum returns HUGEINT
+      // (int128) — a type whose formatting is checker-build-dependent; the
+      // r7 driver hash-mismatch set was exactly the oracles emitting raw
+      // HUGEINT columns (same pin applied to all of them)
       """WITH b AS (
            SELECT source AS key, count(*) AS doc_count,
-             sum(n_chars) AS total
+             CAST(sum(n_chars) AS BIGINT) AS total
            FROM documents WHERE source IS NOT NULL GROUP BY 1)
          SELECT key, doc_count, total,
            CAST(floor(CAST(total AS DOUBLE) / sum(CAST(total AS DOUBLE)) OVER ()
@@ -3038,18 +3088,19 @@ object SparkEntry {
       // selector), selector filter applied after; integer-exact arithmetic
       """WITH b AS (
            SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS key,
-             count(*) AS doc_count, sum(n_chars) AS total
+             count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS total
            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
          p AS (
            SELECT key, doc_count, total,
-             CAST(floor((total / doc_count) * 100) AS BIGINT) AS avg_chars_x100,
+             CAST(floor((CAST(total AS DOUBLE) / doc_count) * 100) AS BIGINT) AS avg_chars_x100,
              doc_count - lag(doc_count, 1) OVER (ORDER BY key) AS dd
            FROM b)
          SELECT key, doc_count, total, avg_chars_x100, dd
          FROM p WHERE doc_count >= 5 ORDER BY key""",
     "q_agg_bucket_sort" ->
       """WITH b AS (
-           SELECT source AS key, count(*) AS doc_count, sum(n_chars) AS total
+           SELECT source AS key, count(*) AS doc_count,
+             CAST(sum(n_chars) AS BIGINT) AS total
            FROM documents WHERE source IS NOT NULL GROUP BY 1)
          SELECT key, doc_count, total FROM b
          ORDER BY total DESC, key ASC LIMIT 3 OFFSET 1""",
@@ -3476,6 +3527,70 @@ object SparkEntry {
                 CAST(row_number() OVER (ORDER BY score DESC, suggestion) AS INT)
                   AS rank
          FROM scored QUALIFY rank <= 3 ORDER BY rank""",
+    "q_suggest_completion_ctx" ->
+      """WITH d AS (
+           SELECT unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0))) AS suggestion
+           FROM documents WHERE lang IN ('en', 'de')),
+         f AS (SELECT suggestion, count(*) AS freq FROM d GROUP BY suggestion),
+         m AS (
+           SELECT suggestion, freq,
+             CAST(levenshtein(substr(suggestion, 1, 3), 'sca') AS INT) AS distance
+           FROM f WHERE substr(suggestion, 1, 1) = 's')
+         SELECT suggestion, freq, distance FROM m WHERE distance <= 1
+         ORDER BY freq DESC, suggestion LIMIT 10""",
+    "q_mget" ->
+      """WITH req(id, ord) AS (SELECT * FROM (VALUES
+             ('17', CAST(0 AS BIGINT)), ('3', 1), ('999999', 2),
+             ('42', 3), ('7', 4)) t)
+         SELECT req.ord AS _ord, req.id AS _id,
+           d.doc_id IS NOT NULL AS found,
+           d.text, d.lang, d.source, d.n_chars
+         FROM req LEFT JOIN documents d ON CAST(d.doc_id AS VARCHAR) = req.id
+         ORDER BY _ord""",
+    "q_scroll" ->
+      """WITH r AS (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY doc_id) AS rn
+           FROM documents)
+         SELECT doc_id, source, n_chars,
+           CAST((rn - 1) // 100 + 1 AS INT) AS page
+         FROM r WHERE rn <= 300 ORDER BY doc_id""",
+    "q_search_explain" ->
+      // the q_search_bm25 pipeline with per-term components surfaced;
+      // explanation entries ordered by term ('query' < 'spark')
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS dl,
+             CAST(len(regexp_extract_all(lower(text), '\bquery\b')) AS DOUBLE) AS tfq,
+             CAST(len(regexp_extract_all(lower(text), '\bspark\b')) AS DOUBLE) AS tfs
+           FROM documents),
+         s AS (
+           SELECT *, CAST(count(*) OVER () AS DOUBLE) AS N, avg(dl) OVER () AS avgdl,
+             sum(CASE WHEN tfq > 0 THEN 1.0 ELSE 0.0 END) OVER () AS dfq,
+             sum(CASE WHEN tfs > 0 THEN 1.0 ELSE 0.0 END) OVER () AS dfs
+           FROM d),
+         sc AS (
+           SELECT doc_id, tfq, dfq, tfs, dfs,
+             ln(1 + (N - dfq + 0.5)/(dfq + 0.5)) AS idfq,
+             ln(1 + (N - dfs + 0.5)/(dfs + 0.5)) AS idfs,
+             ln(1 + (N - dfq + 0.5)/(dfq + 0.5)) * tfq * 2.2
+               / (tfq + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS cq,
+             ln(1 + (N - dfs + 0.5)/(dfs + 0.5)) * tfs * 2.2
+               / (tfs + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS cs
+           FROM s),
+         top AS (
+           SELECT * FROM sc WHERE cq + cs > 0
+           ORDER BY cq + cs DESC, doc_id LIMIT 20)
+         SELECT doc_id, round(cq + cs, 4) AS bm25,
+           'query' AS term0, CAST(tfq AS BIGINT) AS tf0,
+           CAST(dfq AS BIGINT) AS df0, round(idfq, 4) AS idf0,
+           round(cq, 4) AS contrib0,
+           'spark' AS term1, CAST(tfs AS BIGINT) AS tf1,
+           CAST(dfs AS BIGINT) AS df1, round(idfs, 4) AS idf1,
+           round(cs, 4) AS contrib1
+         FROM top ORDER BY bm25 DESC, doc_id""",
     "q_search_knn" ->
       """WITH q AS (SELECT [CAST(x % 5 - 2 AS DOUBLE) FOR x IN range(64)] AS qv),
          scored AS (
@@ -3780,8 +3895,9 @@ object SparkEntry {
                   THEN 1 ELSE 0 END AS new_s
            FROM ev),
          s AS (
-           SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           SELECT user_id, us,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
            FROM e)
          SELECT user_id, session_seq, count(*) AS n_events,
            min(us) AS session_start_us, max(us) AS session_end_us
@@ -4267,8 +4383,8 @@ object SparkEntry {
     "q_domain_mix" ->
       """WITH stats AS (
            SELECT source, count(*) AS n_docs,
-             sum(len(list_filter(string_split_regex(trim(text), '\s+'),
-                     x -> len(x) > 0))) AS n_tokens
+             CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0))) AS BIGINT) AS n_tokens
            FROM documents GROUP BY source)
          SELECT source, n_docs, n_tokens,
            CAST(floor(least(CAST(1 AS DOUBLE), CAST(1400 AS DOUBLE) / n_tokens) * 10000)

@@ -19,13 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a failing query must leave a LOUD trace: stderr alone vanishes from
+    // the correctness artifact (the r7 NTZ breakage left 5 queries absent
+    // from CORRECTNESS with no error row) — so failures also accumulate
+    // into errors.json alongside the result dirs
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -71,6 +78,16 @@ object Verify {
       SparkEntry.queries.keys.filter(k => only.forall(_.contains(k)))
     Files.writeString(manifestPath,
       manifestOut.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    // merge semantics match the oracle map: a filtered re-run replaces its
+    // own entries (a now-green query drops out) and leaves others intact
+    val errorsPath = Paths.get(s"$outDir/errors.json")
+    val errorsOut = (existingObj(errorsPath) --
+      SparkEntry.queries.keys.filter(k => only.forall(_.contains(k)))) ++ errors
+    Files.writeString(errorsPath, errorsOut.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errorsOut.nonEmpty)
+      System.err.println(s"[verify] ${errorsOut.size} quer${
+        if (errorsOut.size == 1) "y" else "ies"} failed — see errors.json")
     spark.stop()
   }
 }

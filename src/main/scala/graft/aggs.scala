@@ -832,7 +832,7 @@ object Aggs {
         s"auto_date_histogram '$name' buckets must be a positive integer")
       n.asInt
     }.getOrElse(10)
-    val tsUs = unix_micros(col(f))
+    val tsUs = Tsx.micros(col(f))
     val metrics = subAggMetricCols(subAggs, name, allowedPipelines = Set.empty)
     val aggCols = count(lit(1)).as("doc_count") +: metrics
     val span = docs.agg(min(tsUs), max(tsUs)).head()
@@ -1381,7 +1381,7 @@ object Aggs {
           s"date_histogram '$name' extended_bounds.$k must be epoch_millis")
         v.asLong * 1000L
       }
-      val r = base.agg(min(unix_micros(col("key"))), max(unix_micros(col("key")))).head()
+      val r = base.agg(min(Tsx.micros(col("key"))), max(Tsx.micros(col("key")))).head()
       val obsLo = if (r.isNullAt(0)) None else Some(r.getLong(0))
       val obsHi = if (r.isNullAt(1)) None else Some(r.getLong(1))
       val lo0 = (ebUs("min").toSeq ++ obsLo).reduceOption(_ min _)
@@ -1499,7 +1499,7 @@ object Aggs {
             require(!body.has("calendar_interval") && !body.has("interval"),
               s"date_histogram '$name': fixed_interval excludes calendar_interval")
             val us = fixedIntervalMicros(fi, name)
-            val tsUs = unix_micros(col(fieldOf(body)))
+            val tsUs = Tsx.micros(col(fieldOf(body)))
             // subtract-the-remainder instead of divide-multiply: stays in
             // exact long arithmetic end to end (a double division truncates
             // wrong within half-ulp of frame boundaries)

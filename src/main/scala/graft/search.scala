@@ -1152,4 +1152,135 @@ object Search {
       .orderBy(desc("freq"), asc("suggestion"))
       .limit(size)
   }
+
+  /** ES completion suggester with `contexts` and `fuzzy` — the production
+    * form of [[completionSuggest]] (ES context suggester docs: a completion
+    * field indexed under category contexts; a fuzzy prefix tolerates typos).
+    *
+    * Contexts: each (column → allowed values) entry restricts the corpus
+    * BEFORE the dictionary aggregate — the Spark analog of ES's per-context
+    * FST partition, and a plain pushed-down `IN` filter on the scan.
+    *
+    * Fuzzy (declared subset of ES's `fuzzy` object): a dictionary term
+    * matches when its first `len(prefix)` characters are within Levenshtein
+    * distance `fuzziness` of the prefix, with the first `fuzzyPrefixLength`
+    * characters required exact (ES `prefix_length`, default 1 here — ES
+    * defaults fuzziness AUTO / prefix_length 1). `fuzziness = 0` degenerates
+    * to the exact form. Ranking stays weight-first (freq desc — ES ranks
+    * fuzzy completions by weight, not distance); `distance` is surfaced as
+    * a column for the caller. The distance computation runs on the
+    * vocabulary-bounded dictionary (post-aggregate), not per document —
+    * levenshtein on every corpus row would be the 100 TB mistake. */
+  def completionSuggestFuzzy(docs: DataFrame, field: String, prefix: String,
+                             size: Int = 5,
+                             contexts: Map[String, Seq[String]] = Map.empty,
+                             fuzziness: Int = 0,
+                             fuzzyPrefixLength: Int = 1): DataFrame = {
+    require(prefix.nonEmpty, "completion suggester needs a non-empty prefix")
+    require(size >= 1, s"completion suggester size must be >= 1, got $size")
+    require(fuzziness >= 0 && fuzziness <= 2,
+      s"completion fuzziness must be 0..2, got $fuzziness")
+    require(fuzzyPrefixLength >= 0,
+      s"fuzzy prefix_length must be >= 0, got $fuzzyPrefixLength")
+    val p = prefix.toLowerCase
+    val filtered = contexts.foldLeft(docs) { case (df, (c, vs)) =>
+      require(vs.nonEmpty, s"completion context '$c' needs at least one value")
+      df.where(col(c).isin(vs: _*))
+    }
+    val dict = filtered
+      .select(explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"))
+      .groupBy("suggestion").agg(count(lit(1)).as("freq"))
+    val head = substring(col("suggestion"), 1, p.length)
+    val matched =
+      if (fuzziness == 0) dict.where(col("suggestion").startsWith(p))
+        .withColumn("distance", lit(0))
+      else {
+        val exactHead = fuzzyPrefixLength.min(p.length)
+        dict
+          // cheap exact-head prune first so levenshtein runs on a sliver of
+          // the vocabulary (and the scan-side filter stays a prefix match)
+          .where(substring(col("suggestion"), 1, exactHead) === p.take(exactHead))
+          .withColumn("distance", levenshtein(head, lit(p)))
+          .where(col("distance") <= fuzziness)
+      }
+    matched.orderBy(desc("freq"), asc("suggestion")).limit(size)
+      .select(col("suggestion"), col("freq"), col("distance"))
+  }
+
+  /** ES `_mget`: batch get-by-id. One output row per REQUESTED id, in
+    * request order, with `found` false (and null doc columns) for absent
+    * ids — the ES `_mget` response contract. The reference serves doc-by-PK
+    * point reads one hit at a time (StreamingPartitionIterator.java:113-126);
+    * the batch form is one scan.
+    *
+    * 100 TB shape: the id list is a client batch (bounded — ES bulk
+    * conventions put it in the thousands), so it broadcasts onto the doc
+    * scan as an inner join (pushable IN/bloom on the PK), and only the
+    * ≤|ids| fetched rows come back to be outer-joined (again broadcast)
+    * with the request list. The big table is never shuffled and never
+    * outer-joined. */
+  def mget(docs: DataFrame, pkCol: String, ids: Seq[String]): DataFrame = {
+    require(ids.nonEmpty, "_mget needs at least one id")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val req = ids.zipWithIndex.map { case (id, i) => (id, i.toLong) }
+      .toDF("_mget_id", "_mget_ord")
+    val fetched = docs
+      .join(broadcast(req.select("_mget_id")),
+        docs(pkCol).cast("string") === col("_mget_id"))
+      .drop("_mget_id")
+    req.join(broadcast(fetched), req("_mget_id") === fetched(pkCol).cast("string"),
+        "left")
+      .withColumn("found", fetched(pkCol).isNotNull)
+      .drop(pkCol)
+      .withColumnRenamed("_mget_id", "_id")
+      .withColumnRenamed("_mget_ord", "_ord")
+  }
+
+  /** ES `explain=true`: per-hit score breakdown for a BM25 search — the
+    * response-metadata parity piece for [[bm25]] (the reference surfaces
+    * ES hit metadata per row, SearchResultPartitionIterator-style
+    * enrichment; `_explanation` is the standard debug companion).
+    *
+    * Emits the [[bm25]] corpus-stat machinery per term instead of only the
+    * folded sum: an `_explanation` array with one struct per query term —
+    * `(term, tf, df, idf, contrib)` — ordered by term, plus the `_bm25`
+    * total (identical to [[bm25]]'s — the sum of contribs by
+    * construction). Same two-codegen-scan cost as [[bm25]]; the struct
+    * column adds no extra pass. */
+  def bm25Explain(docs: DataFrame, textCol: String, terms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 explain needs at least one term")
+    val safeText = coalesce(col(textCol), lit(""))
+    val toks = split(trim(safeText), "\\s+")
+    val base = docs.withColumn("_dl", size(toks).cast("double"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
+      val rx = "\\b" + java.util.regex.Pattern.quote(t.toLowerCase) + "\\b"
+      df.withColumn(s"_tf$i",
+        size(regexp_extract_all(lower(safeText), lit(rx), lit(0))).cast("double"))
+    }
+    val statAggs = Seq(avg(col("_dl")).as("_avgdl")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"_tf$i") > 0, 1.0).otherwise(0.0)).as(s"_df$i"))
+    val stats = withTf.agg(count(lit(1)).cast("double").as("_N"), statAggs: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val parts = terms.zipWithIndex.sortBy(_._1).map { case (t, i) =>
+      val tf = col(s"_tf$i"); val df_ = col(s"_df$i")
+      val idf = log(lit(1.0) + (col("_N") - df_ + 0.5) / (df_ + 0.5))
+      val contrib = idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+      struct(lit(t).as("term"), tf.as("tf"), df_.cast("long").as("df"),
+        idf.as("idf"), contrib.as("contrib"))
+    }
+    val total = terms.indices.map { i =>
+      val tf = col(s"_tf$i"); val df_ = col(s"_df$i")
+      val idf = log(lit(1.0) + (col("_N") - df_ + 0.5) / (df_ + 0.5))
+      idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+    }.reduce(_ + _)
+    scored.withColumn("_bm25", total)
+      .withColumn("_explanation", array(parts: _*))
+      .drop((Seq("_dl", "_N", "_avgdl") ++
+        terms.indices.flatMap(i => Seq(s"_tf$i", s"_df$i"))): _*)
+  }
 }

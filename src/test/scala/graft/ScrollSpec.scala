@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scroll / PIT pagination + _mget + fuzzy completion + explain. */
+class ScrollSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private def docs = (1 to 25).map(i => (i.toLong, s"doc $i", i % 3))
+    .toDF("doc_id", "text", "grp")
+
+  test("scroll pages partition the total order exactly, no overlap or gap") {
+    val pages = Scroll.pages(docs, Seq("doc_id"), pageSize = 10, maxPages = 5).toSeq
+    // 25 rows / size 10 → pages of 10, 10, 5, then an empty page ends it
+    val sizes = pages.map(_._2.count())
+    assert(sizes == Seq(10, 10, 5, 0), sizes.toString)
+    val ids = pages.flatMap(_._2.select("doc_id").as[Long].collect())
+    assert(ids == (1L to 25L), ids.toString)
+  }
+
+  test("scroll multi-column keyset: composite sort resumes mid-group") {
+    val df = Seq((1, 1L), (1, 2L), (1, 3L), (2, 1L), (2, 2L))
+      .toDF("g", "id")
+    val pages = Scroll.pages(df, Seq("g", "id"), pageSize = 2, maxPages = 5).toSeq
+    val got = pages.flatMap(_._2.select("g", "id").as[(Int, Long)].collect())
+    assert(got == Seq((1, 1L), (1, 2L), (1, 3L), (2, 1L), (2, 2L)), got.toString)
+  }
+
+  test("PIT read pins the file set: later writes to the path are invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pit").toString
+    (1 to 5).map(i => (i.toLong, s"v1 $i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val pit = Scroll.openPit(spark.read.parquet(dir))
+    // append new data after the snapshot was opened
+    (6 to 9).map(i => (i.toLong, s"v2 $i")).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 9)        // live view sees all
+    val snap = Scroll.read(spark, pit)
+    assert(snap.count() == 5, "PIT must only read files pinned at open")
+    assert(snap.select("id").as[Long].collect().sorted.toSeq == (1L to 5L))
+  }
+
+  test("mget returns request order with found=false rows for absent ids") {
+    val out = Search.mget(docs, "doc_id", Seq("7", "99", "2"))
+      .orderBy("_ord")
+      .select("_id", "found", "text").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("7", "99", "2"))
+    assert(out.map(_.getBoolean(1)).toSeq == Seq(true, false, true))
+    assert(out(1).isNullAt(2), "missing id carries null doc columns")
+    assert(out(0).getString(2) == "doc 7" && out(2).getString(2) == "doc 2")
+  }
+
+  test("fuzzy completion: context filter + edit-distance-1 prefix, weight-ranked") {
+    val corpus = Seq(
+      ("1", "scan scan scan small spark", "en"),
+      ("2", "sort stream scan", "en"),
+      ("3", "scan small", "fr")).toDF("doc_id", "text", "lang")
+    val out = Search.completionSuggestFuzzy(corpus, "text", "sca", size = 10,
+        contexts = Map("lang" -> Seq("en")), fuzziness = 1, fuzzyPrefixLength = 1)
+      .collect()
+    // en docs only: scan df=2, small df=1 (sma~sca d1), spark df=1 (spa d1),
+    // sort (sor d2) and stream (str d2) excluded
+    val got = out.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(("scan", 2L, 0), ("small", 1L, 1), ("spark", 1L, 1)), got.toString)
+  }
+
+  test("fuzziness 0 degenerates to the exact prefix form") {
+    val corpus = Seq(("1", "scan small spark", "en")).toDF("doc_id", "text", "lang")
+    val got = Search.completionSuggestFuzzy(corpus, "text", "s", size = 10)
+      .select("suggestion").as[String].collect().toSeq
+    assert(got == Seq("scan", "small", "spark"), got.toString)
+  }
+
+  test("bm25Explain components sum to the bm25 total and match bm25()") {
+    val corpus = Seq(
+      ("1", "spark query engine"), ("2", "query query planner"),
+      ("3", "row store")).toDF("doc_id", "text")
+    val plain = Search.bm25(corpus, "text", Seq("spark", "query"))
+      .select("doc_id", "_bm25").as[(String, Double)].collect().toMap
+    val ex = Search.bm25Explain(corpus, "text", Seq("spark", "query"))
+      .select(col("doc_id"), col("_bm25"), col("_explanation")).collect()
+    ex.foreach { r =>
+      val total = r.getDouble(1)
+      assert(math.abs(total - plain(r.getString(0))) < 1e-12)
+      val parts = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(parts.map(_.getAs[String]("term")).toSeq == Seq("query", "spark"))
+      val sum = parts.map(_.getAs[Double]("contrib")).sum
+      assert(math.abs(sum - total) < 1e-9, s"contribs $sum != total $total")
+    }
+  }
+}

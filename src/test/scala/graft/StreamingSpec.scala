@@ -168,13 +168,13 @@ class StreamingSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       stage.resolve("events.parquet"))
     val batch = spark.read.parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tsx.ltz(col("ts")))
     val expected = batch.groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val stream = spark.readStream.schema(spark.read.parquet(stage.toString).schema)
       .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", Tsx.ltz(col("ts")))
     val q = stream.groupBy(col("event_type")).count()
       .writeStream.outputMode("complete").format("memory")
       .queryName("fs_out").start()

@@ -1348,6 +1348,35 @@ object SparkEntry {
         .select(col("key"), col("doc_count"),
           col("mx").cast("long").as("mx"), col("sm").cast("long").as("sm"))
     }),
+    "q_agg_cumulative_card" -> ((s, dir) => {
+      // cumulative_cardinality: distinct users seen up to each day (the
+      // "total unique users" dashboard line) — exact first-occurrence
+      // derivation (ES merges HLL sketches; declared divergence)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"daily": {"date_histogram":
+              {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"daily_users": {"cardinality": {"field": "user_id"}},
+                     "total_users": {"cumulative_cardinality":
+                       {"buckets_path": "daily_users"}}}}}}""")
+        .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"),
+          col("daily_users"), col("total_users"))
+        .orderBy(col("key_us"))
+    }),
+    "q_agg_moving_pctl" -> ((s, dir) => {
+      // moving_percentiles over the daily doc_count axis: trailing-week
+      // p25/p50/p75 (dyadic percents — integer inputs interpolate to exact
+      // dyadic rationals, so floor-scaling is bit-stable on any engine)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"per_day": {"date_histogram":
+              {"field": "ts", "calendar_interval": "day"},
+            "aggs": {"mp": {"moving_percentiles": {"buckets_path": "_count",
+              "window": 7, "shift": 1, "percents": [25, 50, 75]}}}}}}""")
+        .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"),
+          floor(col("mp_p25") * 100).cast("long").as("mp_p25_x100"),
+          floor(col("mp_p50") * 100).cast("long").as("mp_p50_x100"),
+          floor(col("mp_p75") * 100).cast("long").as("mp_p75_x100"))
+        .orderBy(col("key_us"))
+    }),
     "q_agg_normalize" -> ((s, dir) => {
       // normalize percent_of_sum under terms: each source's share of the
       // corpus character mass. Drift-proof: integer sums, one IEEE
@@ -3061,6 +3090,34 @@ object SparkEntry {
            CAST(sum(doc_count) OVER (ORDER BY key
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sm
          FROM b ORDER BY key""",
+    "q_agg_cumulative_card" ->
+      """WITH b AS (
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
+             count(*) AS doc_count, count(DISTINCT user_id) AS daily_users
+           FROM events GROUP BY 1),
+         f AS (
+           SELECT user_id,
+             min(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)) AS key
+           FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         n AS (SELECT key, count(*) AS new_u FROM f GROUP BY key)
+         SELECT epoch_us(b.key) AS key_us, b.doc_count, b.daily_users,
+           CAST(sum(coalesce(n.new_u, 0)) OVER (ORDER BY b.key
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS total_users
+         FROM b LEFT JOIN n USING (key) ORDER BY key_us""",
+    "q_agg_moving_pctl" ->
+      """WITH b AS (
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
+             count(*) AS doc_count
+           FROM events GROUP BY 1)
+         SELECT epoch_us(key) AS key_us, doc_count,
+           CAST(floor(quantile_cont(CAST(doc_count AS DOUBLE), 0.25) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS mp_p25_x100,
+           CAST(floor(quantile_cont(CAST(doc_count AS DOUBLE), 0.50) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS mp_p50_x100,
+           CAST(floor(quantile_cont(CAST(doc_count AS DOUBLE), 0.75) OVER (ORDER BY key
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100) AS BIGINT) AS mp_p75_x100
+         FROM b ORDER BY key_us""",
     "q_agg_normalize" ->
       // CAST(sum(...) AS BIGINT): DuckDB's integer sum returns HUGEINT
       // (int128) — a type whose formatting is checker-build-dependent; the

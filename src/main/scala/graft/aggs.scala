@@ -191,7 +191,8 @@ object Aggs {
   /** Bucket-SEQUENCE pipelines need the equal-spaced ordered axis only the
     * histogram family has (ES rejects them elsewhere too). */
   private val seqPipelineTypes =
-    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "moving_fn")
+    Set("cumulative_sum", "derivative", "moving_avg", "serial_diff", "moving_fn",
+      "moving_percentiles", "cumulative_cardinality")
   /** Bucket-SHAPING pipelines operate on any bucket list — ES allows them
     * under `terms` (bucket_sort under terms is the dashboard pagination
     * idiom). `normalize` reads the whole frame but is order-independent
@@ -588,7 +589,9 @@ object Aggs {
               if (minDoc == 0) zeroFillFrames(base, tpe, name, body)
               else if (minDoc > 1) base.where(col("doc_count") >= minDoc)
               else base
-            applyPipelines(filled.orderBy(asc("key")), subAggs, name)
+            val withCc = applyCumulativeCardinality(docs,
+              bucketKey(tpe, name, body), filled, subAggs, name)
+            applyPipelines(withCc.orderBy(asc("key")), subAggs, name)
         }
       case t if bucketTypes.contains(t) =>
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
@@ -926,11 +929,21 @@ object Aggs {
     val specs = subAggs.toSeq.flatMap { n =>
       n.fieldNames.asScala.toSeq.flatMap { sub =>
         val ts = n.get(sub).fieldNames.asScala.toList
-        if (ts.size == 1 && pipelineTypes.contains(ts.head))
+        // cumulative_cardinality is the one pipeline that cannot derive
+        // from the bucket frame (cumulative DISTINCT needs the source
+        // values) — [[applyCumulativeCardinality]] handles it upstream
+        if (ts.size == 1 && pipelineTypes.contains(ts.head) &&
+            ts.head != "cumulative_cardinality")
           Some((sub, ts.head, n.get(sub).get(ts.head)))
         else None
       }
     }
+    // unpartitioned window — deliberate and size-safe: pipeline aggs run
+    // over the PARENT'S BUCKET LIST (post-aggregation — at most `size`
+    // terms buckets or the zero-fill frame cap, never corpus rows), and ES
+    // pipeline semantics are inherently sequential over that list. The
+    // bucket producers upstream enforce the caps (terms size, maxFrames);
+    // a corpus-scale frame can never reach this window.
     val w = org.apache.spark.sql.expressions.Window.orderBy("key")
     specs.foldLeft(buckets) { case (df, (sub, tpe, body)) =>
       def pathCol(df2: DataFrame): String = {
@@ -1031,6 +1044,45 @@ object Aggs {
                 "(values)) (declared no-script-engine subset)")
           }
           df.withColumn(sub, out)
+        case "moving_percentiles" =>
+          // moving_fn's window frame, percentile flavor. DECLARED
+          // DIVERGENCE from ES: exact linear-interpolation percentiles
+          // over the frame's values (ES merges the sibling percentiles
+          // agg's t-digests), and the percents come from an explicit
+          // `percents` array (default [50]) instead of the referenced
+          // percentiles agg. One output column per percent:
+          // `<name>_p<pct>`. Frame semantics match moving_fn (shift 0
+          // excludes the current bucket; shift 1 trails inclusively).
+          val unknownMp = body.fieldNames.asScala.toSet --
+            Set("buckets_path", "window", "shift", "percents")
+          require(unknownMp.isEmpty,
+            s"unsupported moving_percentiles option(s) in '$sub': ${unknownMp.mkString(", ")}")
+          val winP = Option(body.get("window")).map(_.asInt)
+            .getOrElse(throw new IllegalArgumentException(
+              s"moving_percentiles '$sub' needs 'window'"))
+          require(winP >= 1, s"moving_percentiles '$sub' window must be >= 1")
+          val shiftP = Option(body.get("shift")).map(_.asInt).getOrElse(0)
+          require(shiftP <= winP,
+            s"moving_percentiles '$sub' shift must be <= window")
+          val percents = Option(body.get("percents")).map { arr =>
+            require(arr.isArray && arr.size > 0,
+              s"moving_percentiles '$sub' percents must be a non-empty array")
+            arr.elements.asScala.toSeq.map { p =>
+              require(p.isNumber, s"moving_percentiles '$sub' percents must be numbers")
+              val v = p.asDouble
+              require(v > 0 && v < 100,
+                s"moving_percentiles '$sub' percents must be in (0, 100), got $v")
+              v
+            }
+          }.getOrElse(Seq(50.0))
+          val srcP = col(pathCol(df)).cast("double")
+          val frameP = w.rowsBetween(shiftP.toLong - winP, shiftP.toLong - 1)
+          percents.foldLeft(df) { (d, p) =>
+            val label = (if (p == p.floor) p.toLong.toString
+                         else p.toString.replace('.', '_'))
+            d.withColumn(s"${sub}_p$label",
+              percentile(srcP, lit(p / 100.0)).over(frameP))
+          }
         case "normalize" =>
           // whole-frame rescaling of a sibling metric: each method is a
           // window aggregate over the ENTIRE bucket list (model-sized by
@@ -1431,6 +1483,59 @@ object Aggs {
             .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
         case _ => base
       }
+    }
+  }
+
+  /** ES `cumulative_cardinality`: per histogram bucket, the number of
+    * DISTINCT values of the referenced cardinality agg's field seen in any
+    * bucket up to and including this one ("new users per day" dashboards).
+    *
+    * The one pipeline agg a bucket frame cannot answer: cumulative
+    * distinct is not a function of per-bucket cardinalities (the same
+    * value may appear in many buckets). ES solves it by merging the
+    * sibling agg's HLL sketches; the exact Spark shape is first-occurrence
+    * derivation — `groupBy(value).agg(min(bucket))` (one hash aggregate
+    * keyed on the VALUE, map-side combined, ~|distinct values| rows),
+    * per-bucket first-seen counts, then a cumulative sum over the
+    * bucket list (bounded — the maxFrames/terms-size cap) joined back to
+    * the frame. DECLARED DIVERGENCE: exact where ES is HLL-approximate —
+    * the [[metric]] `cardinality` contract. */
+  private def applyCumulativeCardinality(docs: DataFrame, key: Column,
+                                         buckets: DataFrame,
+                                         subAggs: Option[JsonNode],
+                                         parent: String): DataFrame = {
+    val specs = subAggs.toSeq.flatMap { n =>
+      n.fieldNames.asScala.toSeq.flatMap { sub =>
+        val ts = n.get(sub).fieldNames.asScala.toList
+        if (ts == List("cumulative_cardinality"))
+          Some((sub, n.get(sub).get("cumulative_cardinality")))
+        else None
+      }
+    }
+    specs.foldLeft(buckets) { case (df, (sub, body)) =>
+      val unknown = body.fieldNames.asScala.toSet - "buckets_path"
+      require(unknown.isEmpty,
+        s"unsupported cumulative_cardinality option(s) in '$sub': ${unknown.mkString(", ")}")
+      val path = Option(body.get("buckets_path")).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cumulative_cardinality '$sub' needs 'buckets_path'"))
+      val field = subAggs.flatMap(n => Option(n.get(path))).map { card =>
+        require(card.fieldNames.asScala.toList == List("cardinality"),
+          s"cumulative_cardinality '$sub': buckets_path '$path' must point " +
+            "at a sibling cardinality agg")
+        Option(card.get("cardinality").get("field")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cardinality '$path' needs a 'field'"))
+      }.getOrElse(throw new IllegalArgumentException(
+        s"cumulative_cardinality '$sub': no sibling agg named '$path'"))
+      val firstSeen = docs.where(col(field).isNotNull && key.isNotNull)
+        .groupBy(col(field).as("_cc_value")).agg(min(key).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("_cc_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("key")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      df.join(firstSeen, Seq("key"), "left")
+        .withColumn(sub, sum(coalesce(col("_cc_new"), lit(0L))).over(w))
+        .drop("_cc_new")
     }
   }
 

@@ -1102,4 +1102,44 @@ class AggsSpec extends AnyFunSuite {
     // TakeOrderedAndProject handles the size cap — no global sort either
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("cumulative_cardinality counts each distinct value once, at first bucket") {
+    // user 1 spans buckets 0 and 100 — the cumulative line must not
+    // double-count it; bucket 200 introduces only user 3
+    val ev = Seq((0.0, 1L), (0.0, 2L), (100.0, 1L), (100.0, 1L), (200.0, 3L),
+        (200.0, 2L))
+      .toDF("v", "user_id")
+    val out = Aggs.runSingle(ev,
+      """{"aggs":{"h":{"histogram":{"field":"v","interval":100},
+           "aggs":{"u":{"cardinality":{"field":"user_id"}},
+                   "cu":{"cumulative_cardinality":{"buckets_path":"u"}}}}}}""")
+      .select("key", "u", "cu").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0.0, 2L, 2L), (100.0, 1L, 2L), (200.0, 2L, 3L)),
+      out.toSeq.toString)
+  }
+
+  test("cumulative_cardinality demands a sibling cardinality agg") {
+    val e = intercept[IllegalArgumentException] {
+      Aggs.runSingle(docs,
+        """{"aggs":{"h":{"histogram":{"field":"score","interval":100},
+             "aggs":{"cu":{"cumulative_cardinality":{"buckets_path":"ghost"}}}}}}""")
+    }
+    assert(e.getMessage.contains("no sibling agg named 'ghost'"))
+  }
+
+  test("moving_percentiles: shifted window frames, exact dyadic interpolation") {
+    // doc_counts per bucket: 1, 2, 3, 4 (score 10/20 in bucket 0 ... )
+    val ev = (1 to 10).map(i => (if (i <= 1) 0.0 else if (i <= 3) 100.0
+      else if (i <= 6) 200.0 else 300.0, i)).toDF("v", "n")
+    val out = Aggs.runSingle(ev,
+      """{"aggs":{"h":{"histogram":{"field":"v","interval":100},
+           "aggs":{"mp":{"moving_percentiles":{"buckets_path":"_count",
+             "window":2,"shift":1,"percents":[50]}}}}}}""")
+      .select("key", "doc_count", "mp_p50").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2)))
+    // trailing-2 inclusive median of counts 1,2,3,4: 1, 1.5, 2.5, 3.5
+    assert(out.toSeq == Seq((0.0, 1L, 1.0), (100.0, 2L, 1.5),
+      (200.0, 3L, 2.5), (300.0, 4L, 3.5)), out.toSeq.toString)
+  }
 }

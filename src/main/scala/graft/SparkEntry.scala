@@ -1951,6 +1951,35 @@ object SparkEntry {
           "sca", size = 10, contexts = Map("lang" -> Seq("en", "de")),
           fuzziness = 1, fuzzyPrefixLength = 1)
     }),
+    "q_agg_sampler" -> ((s, dir) => {
+      // sampler: sub-aggs over a deterministic shard_size pseudo-random
+      // sample (smallest md5(id) — engine-portable; declared divergence
+      // from ES's score-ordered sampling)
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"sample": {"sampler": {"shard_size": 100},
+            "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")
+        .select(col("doc_count"),
+          floor(col("avg_chars") * 100).cast("long").as("avg_chars_x100"))
+    }),
+    "q_search_script_score" -> ((s, dir) => {
+      // script_score: the script replaces the query score — arithmetic
+      // over _score, doc.<field>, params.<k>, floored to the integer
+      // scoring domain
+      Search.search(tbl(s, dir, "documents"),
+          """{"query": {"script_score": {
+               "query": {"match": {"text": "spark"}},
+               "script": {"source": "_score * params.w + doc.n_chars % 7",
+                          "params": {"w": 100}}}},
+             "size": 50}""", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(desc("_score"), col("doc_id"))
+    }),
+    "q_termvectors" -> ((s, dir) => {
+      // _termvectors: per-doc term stats (tf, first position) + corpus df
+      Search.termVectors(tbl(s, dir, "documents"), "doc_id", "text",
+          Seq("3", "17"))
+        .orderBy(col("_tv_id"), col("term"))
+    }),
     "q_mget" -> ((s, dir) => {
       // _mget: batch get-by-id in REQUEST order; absent ids stay as
       // found=false rows with null doc columns (the ES response contract)
@@ -3597,6 +3626,41 @@ object SparkEntry {
            FROM f WHERE substr(suggestion, 1, 1) = 's')
          SELECT suggestion, freq, distance FROM m WHERE distance <= 1
          ORDER BY freq DESC, suggestion LIMIT 10""",
+    "q_agg_sampler" ->
+      """WITH s AS (
+           SELECT n_chars FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
+         SELECT count(*) AS doc_count,
+           CAST(floor(avg(CAST(n_chars AS DOUBLE)) * 100) AS BIGINT)
+             AS avg_chars_x100
+         FROM s""",
+    "q_search_script_score" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars, 1 AS s FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b'))
+         SELECT doc_id, CAST(100 * s + n_chars % 7 AS BIGINT) AS _score
+         FROM h ORDER BY _score DESC, doc_id LIMIT 50""",
+    "q_termvectors" ->
+      """WITH t AS (
+           SELECT CAST(doc_id AS VARCHAR) AS _tv_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+               x -> len(x) > 0) AS tk
+           FROM documents WHERE doc_id IN (3, 17)),
+         p AS (SELECT _tv_id, unnest(tk) AS term, tk FROM t),
+         pd AS (
+           SELECT _tv_id, term, count(*) AS term_freq,
+             CAST(min(list_position(tk, term)) AS BIGINT) AS first_position
+           FROM p GROUP BY _tv_id, term),
+         alltk AS (
+           SELECT unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0))) AS term
+           FROM documents),
+         df AS (SELECT term, count(*) AS doc_freq FROM alltk GROUP BY term)
+         SELECT pd._tv_id, pd.term, pd.term_freq, pd.first_position,
+           coalesce(df.doc_freq, CAST(0 AS BIGINT)) AS doc_freq
+         FROM pd LEFT JOIN df USING (term)
+         ORDER BY _tv_id, term""",
     "q_mget" ->
       """WITH req(id, ord) AS (SELECT * FROM (VALUES
              ('17', CAST(0 AS BIGINT)), ('3', 1), ('999999', 2),

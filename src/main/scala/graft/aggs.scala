@@ -334,6 +334,31 @@ object Aggs {
         val ms = count(lit(1)).as("doc_count") +:
           subAggMetricCols(subAggs, name, allowedPipelines = Set.empty)
         docs.where(pred).agg(ms.head, ms.tail: _*)
+      case "sampler" =>
+        // ES sampler: run the sub-aggs over the `shard_size` "best" docs
+        // instead of all matches. ES samples top-scoring docs per shard;
+        // the deterministic analog takes the shard_size smallest
+        // md5(id) values — an unbiased, engine-portable pseudo-random
+        // sample with a reproducible answer (DECLARED DIVERGENCE from
+        // score-ordered sampling; our DSL scores are coarse integers, so
+        // score order would be tie-ridden anyway). Plan shape: the cap is
+        // a TakeOrderedAndProject (per-partition top-k then merge — the
+        // same distributed shape as terms' size cut), never a global sort
+        // materialization.
+        val unknownS = body.fieldNames.asScala.toSet - "shard_size"
+        require(unknownS.isEmpty,
+          s"unsupported sampler option(s) in '$name': ${unknownS.mkString(", ")}")
+        val shardSize = Option(body.get("shard_size")).map { n =>
+          require(n.isIntegralNumber && n.asInt >= 1,
+            s"sampler '$name' shard_size must be a positive integer")
+          n.asInt
+        }.getOrElse(100)
+        val sampled = docs
+          .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+          .limit(shardSize)
+        val msS = count(lit(1)).as("doc_count") +:
+          subAggMetricCols(subAggs, name, allowedPipelines = Set.empty, idCol = idCol)
+        sampled.agg(msS.head, msS.tail: _*)
       case "global" =>
         // the UNFILTERED store, ignoring the body's query — ES's "compare
         // my filtered slice against everything" bucket

@@ -1677,6 +1677,70 @@ object QueryCompiler {
           if (scoring) leaves += when(coalesce(pred, lit(false)), finalScore)
             .otherwise(0L)
           pred
+        case "script_score" =>
+          // {"script_score":{"query":{...},"script":{"source":"...",
+          // "params":{...}},"min_score":N}} — the script REPLACES the
+          // query score (ES semantics). Declared subset: the script is the
+          // engine's no-script-engine arithmetic grammar ([[Aggs.Script]])
+          // over three binding families — `_score` (the inner query's
+          // integer score), `doc.<field>` (dotted field access; ES spells
+          // it doc['field'].value), `params.<k>` (integral constants from
+          // the params object) — and the result is floored to LONG
+          // (integer-scoring subset; ES computes doubles). Unknown
+          // identifiers fail loud at compile, like every other operator.
+          val unknownSs = body.fieldNames.asScala.toSet --
+            Set("query", "script", "min_score")
+          require(unknownSs.isEmpty,
+            s"unsupported script_score option(s): ${unknownSs.mkString(", ")}")
+          val innerQss = Option(body.get("query"))
+            .getOrElse(mapper.readTree("""{"match_all":{}}"""))
+          val innerLeavesSs = scala.collection.mutable.ArrayBuffer[Column]()
+          val innerPredSs = node(innerQss, innerLeavesSs, scoring = true, idCol, defaultOr)
+          val queryScoreSs = scoreOf(innerLeavesSs.toSeq).cast("long")
+          val scriptNode = Option(body.get("script"))
+            .getOrElse(throw new IllegalArgumentException("script_score requires 'script'"))
+          val src =
+            if (scriptNode.isTextual) scriptNode.asText
+            else Option(scriptNode.get("source")).filter(_.isTextual).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException(
+                "script_score script needs a 'source' string"))
+          // the Script grammar strips a `params.` prefix before the
+          // binding lookup, so params bind by bare name; `_score` and
+          // dotted `doc.<field>` idents bind whole-token
+          val params = Option(scriptNode.get("params")).map { p =>
+            require(p.isObject, "script_score params must be an object")
+            p.properties().asScala.map { e =>
+              require(e.getValue.isIntegralNumber,
+                s"script_score param '${e.getKey}' must be integral " +
+                  s"(integer-scoring subset), got: ${e.getValue}")
+              e.getKey -> lit(e.getValue.asLong)
+            }.toMap
+          }.getOrElse(Map.empty[String, Column])
+          val idents = "[A-Za-z_][A-Za-z0-9_.]*".r.findAllIn(src).toSet
+          val binding: Map[String, Column] = idents.iterator.map {
+            case "_score" => "_score" -> queryScoreSs
+            case id if id.startsWith("params.") =>
+              val k = id.stripPrefix("params.")
+              k -> params.getOrElse(k, throw new IllegalArgumentException(
+                s"script_score: param '$k' not declared in params"))
+            case id if id.startsWith("doc.") && id.length > 4 =>
+              id -> col(id.stripPrefix("doc."))
+            case id => throw new IllegalArgumentException(
+              s"script_score: unbound identifier '$id' " +
+                "(_score, doc.<field>, params.<declared> only)")
+          }.toMap
+          val rawSs = Aggs.Script.compile(src, binding, "script_score")
+          val scriptScore = floor(rawSs.cast("double")).cast("long")
+          val predSs = Option(body.get("min_score")) match {
+            case Some(n) =>
+              require(n.isIntegralNumber,
+                s"min_score must be an integer (integer-scoring subset), got: $n")
+              innerPredSs && scriptScore >= n.asLong
+            case None => innerPredSs
+          }
+          if (scoring) leaves += when(coalesce(predSs, lit(false)), scriptScore)
+            .otherwise(0L)
+          predSs
         case "constant_score" =>
           // {"constant_score":{"filter":{...},"boost":N}} — the filter
           // matches or not; a matching row scores exactly `boost` for this

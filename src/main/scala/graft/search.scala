@@ -1207,6 +1207,35 @@ object Search {
       .select(col("suggestion"), col("freq"), col("distance"))
   }
 
+  /** ES `_termvectors`: per-document term statistics for the given doc
+    * ids — term frequency, first position (1-based), and corpus document
+    * frequency, over the index analyzer's token view. The doc-id list is a
+    * client batch (like [[mget]]): tf/position come from the selected
+    * docs only, while df needs one vocabulary-bounded aggregate over the
+    * corpus — joined to the (tiny) per-doc term set broadcast-side, so the
+    * corpus is scanned once and never shuffled by row. */
+  def termVectors(docs: DataFrame, pkCol: String, field: String,
+                  ids: Seq[String]): DataFrame = {
+    require(ids.nonEmpty, "_termvectors needs at least one doc id")
+    val toks = analyzerTokens(col(field))
+    val selected = docs.where(col(pkCol).cast("string").isin(ids: _*))
+      .select(col(pkCol).cast("string").as("_tv_id"), toks.as("_tv_tokens"))
+    val perDoc = selected
+      .select(col("_tv_id"), explode(col("_tv_tokens")).as("term"),
+        col("_tv_tokens"))
+      .groupBy(col("_tv_id"), col("term"))
+      .agg(count(lit(1)).as("term_freq"),
+        first(array_position(col("_tv_tokens"), col("term"))).as("first_position"))
+    // corpus df: one hash aggregate over distinct per-doc terms —
+    // vocabulary-sized output
+    val dfStats = docs
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    perDoc.join(dfStats, Seq("term"), "left")
+      .select(col("_tv_id"), col("term"), col("term_freq"),
+        col("first_position"), coalesce(col("doc_freq"), lit(0L)).as("doc_freq"))
+  }
+
   /** ES `_mget`: batch get-by-id. One output row per REQUESTED id, in
     * request order, with `found` false (and null doc columns) for absent
     * ids — the ES `_mget` response contract. The reference serves doc-by-PK

@@ -73,6 +73,56 @@ class ScrollSpec extends AnyFunSuite {
     assert(got == Seq("scan", "small", "spark"), got.toString)
   }
 
+  test("termVectors: tf, first position, and corpus df per selected doc") {
+    val corpus = Seq(
+      ("1", "spark spark scan"), ("2", "scan sort"), ("3", "sort"))
+      .toDF("doc_id", "text")
+    val out = Search.termVectors(corpus, "doc_id", "text", Seq("1"))
+      .orderBy("term").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // spark: tf 2, first pos 1, df 1; scan: tf 1, pos 3, df 2
+    assert(out.toSeq == Seq(("scan", 1L, 3L, 2L), ("spark", 2L, 1L, 1L)),
+      out.toSeq.toString)
+  }
+
+  test("script_score replaces the query score, binds doc fields and params") {
+    val corpus = Seq(("1", "spark fast", 10L), ("2", "spark slow", 20L),
+        ("3", "flink", 99L)).toDF("doc_id", "text", "n")
+    val out = Search.search(corpus,
+        """{"query": {"script_score": {
+             "query": {"match": {"text": "spark"}},
+             "script": {"source": "_score * params.w + doc.n",
+                        "params": {"w": 5}}}}}""",
+        IndexConfig(), Seq("doc_id"))
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("1" -> 15L, "2" -> 25L), out.toString) // 1*5 + n
+  }
+
+  test("script_score fails loud on unbound identifiers") {
+    val corpus = Seq(("1", "x", 1L)).toDF("doc_id", "text", "n")
+    val e = intercept[IllegalArgumentException] {
+      Search.search(corpus,
+        """{"query": {"script_score": {"script": {"source": "mystery + 1"}}}}""",
+        IndexConfig(), Seq("doc_id")).collect()
+    }
+    assert(e.getMessage.contains("unbound identifier"), e.getMessage)
+  }
+
+  test("sampler agg: deterministic md5-ordered sample feeds sub-aggs") {
+    val corpus = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "v")
+    val out = Aggs.runSingle(corpus,
+      """{"aggs": {"s": {"sampler": {"shard_size": 10},
+          "aggs": {"m": {"sum": {"field": "v"}}}}}}""").collect().head
+    assert(out.getLong(0) == 10L)
+    // reproducibility: the same sample every run
+    val expected = (1 to 50).map(i => (i, java.security.MessageDigest
+        .getInstance("MD5").digest(i.toString.getBytes)
+        .map("%02x".format(_)).mkString))
+      .sortBy { case (i, h) => (h, i) }.take(10).map(_._1.toDouble).sum
+    assert(out.getDouble(1) == expected, s"${out.getDouble(1)} != $expected")
+  }
+
   test("bm25Explain components sum to the bm25 total and match bm25()") {
     val corpus = Seq(
       ("1", "spark query engine"), ("2", "query query planner"),

@@ -1951,7 +1951,55 @@ object SparkEntry {
           "sca", size = 10, contexts = Map("lang" -> Seq("en", "de")),
           fuzziness = 1, fuzzyPrefixLength = 1)
     }),
-    "q_agg_sampler" -> ((s, dir) => {
+    "q_search_rrf" -> ((s, dir) => {
+      // ES-8 reciprocal rank fusion: two retrievers' hit lists fused by
+      // sum(1/(60+rank)); two-addend IEEE sums are order-free, so the
+      // floor-scaled score is bit-stable
+      val docs = tbl(s, dir, "documents")
+      val r1 = Search.search(docs, "text:spark", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+      val r2 = Search.search(docs, "text:query", IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+      Search.rrf(Seq(r1, r2), size = 20)
+        .select(col("doc_id"),
+          expr("CAST(floor(_score * 1e6) AS BIGINT)").as("score_e6"),
+          col("_rrf_matched"))
+        .orderBy(desc("score_e6"), col("doc_id"))
+    }),
+    "q_rank_eval" -> ((s, dir) => {
+      // _rank_eval: graded-judgment metrics for a two-request battery —
+      // precision/recall@10, MRR, DCG (round-4: the ln/log2 convention)
+      Search.rankEval(tbl(s, dir, "documents"), Seq(
+          ("spark_query", "text:spark AND text:query",
+            Map("4" -> 2, "11" -> 1, "99" -> 1, "5" -> 0)),
+          ("stream_window", "text:stream AND text:window",
+            Map("3" -> 1, "7" -> 2, "200" -> 1))),
+          IndexConfig(), Seq("doc_id"), k = 10)
+        .select(col("query_id"), round(col("precision_at_k"), 4).as("precision_at_k"),
+          round(col("recall_at_k"), 4).as("recall_at_k"),
+          round(col("mrr"), 4).as("mrr"), round(col("dcg"), 4).as("dcg"))
+        .orderBy(col("query_id"))
+    }),
+    "q_mix_temperature" -> ((s, dir) => {
+      // temperature-scaled mixing (alpha 0.5): flattened domain weights +
+      // keep fractions for a 2000-token budget (round-4 convention — the
+      // weight normalizer is a 20-addend float sum)
+      Curate.mixTemperature(tbl(s, dir, "documents"), "source", "text",
+          targetTokens = 2000L, alpha = 0.5)
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("weight"), 4).as("weight"),
+          round(col("keep_frac"), 4).as("keep_frac"))
+        .orderBy(col("source"))
+    }),
+    "q_agg_children" -> ((s, dir) => {
+      // children agg: market-segment parent buckets with child order
+      // statistics — the aggregation face of the has_child relation
+      Aggs.childrenAgg(tbl(s, dir, "customer"), tbl(s, dir, "orders"),
+          "c_custkey", "o_custkey", "c_mktsegment", size = 10,
+          childMetrics = """{"avg_price": {"avg": {"field": "o_totalprice"}}}""")
+        .select(col("key"), col("doc_count"), round(col("avg_price"), 2).as("avg_price"))
+    }),
+    "q_agg_sampler_plain" -> ((s, dir) => {
       // sampler: sub-aggs over a deterministic shard_size pseudo-random
       // sample (smallest md5(id) — engine-portable; declared divergence
       // from ES's score-ordered sampling)
@@ -3626,7 +3674,83 @@ object SparkEntry {
            FROM f WHERE substr(suggestion, 1, 1) = 's')
          SELECT suggestion, freq, distance FROM m WHERE distance <= 1
          ORDER BY freq DESC, suggestion LIMIT 10""",
-    "q_agg_sampler" ->
+    "q_search_rrf" ->
+      """WITH r1 AS (
+           SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+           FROM documents WHERE regexp_matches(lower(text), '\bspark\b')),
+         r2 AS (
+           SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+           FROM documents WHERE regexp_matches(lower(text), '\bquery\b')),
+         u AS (SELECT doc_id, 1.0 / (60 + rk) AS c FROM r1
+               UNION ALL SELECT doc_id, 1.0 / (60 + rk) FROM r2),
+         f AS (SELECT doc_id, sum(c) AS s, CAST(count(*) AS INT) AS m
+               FROM u GROUP BY doc_id)
+         SELECT doc_id, CAST(floor(s * 1e6) AS BIGINT) AS score_e6,
+           m AS _rrf_matched
+         FROM f ORDER BY s DESC, doc_id LIMIT 20""",
+    "q_rank_eval" ->
+      """WITH reqs AS (
+           SELECT * FROM (VALUES ('spark_query'), ('stream_window')) t(query_id)),
+         h1 AS (
+           SELECT CAST(doc_id AS VARCHAR) AS hid,
+             row_number() OVER (ORDER BY doc_id) AS rk
+           FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b')
+             AND regexp_matches(lower(text), '\bquery\b')
+           ORDER BY doc_id LIMIT 10),
+         r1(id, rating) AS (SELECT * FROM (VALUES
+           ('4', 2), ('11', 1), ('99', 1), ('5', 0)) t),
+         j1 AS (SELECT h.rk, coalesce(r.rating, 0) AS rating,
+                  CASE WHEN coalesce(r.rating, 0) > 0 THEN 1 ELSE 0 END AS rel
+                FROM h1 h LEFT JOIN r1 r ON r.id = h.hid),
+         m1 AS (
+           SELECT 'spark_query' AS query_id,
+             round(sum(rel) / 10.0, 4) AS precision_at_k,
+             round(sum(rel) / 3.0, 4) AS recall_at_k,
+             round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rk END), 0), 4) AS mrr,
+             round(coalesce(sum(CASE WHEN rel = 1
+               THEN (pow(2.0, rating) - 1) / log2(rk + 1.0) ELSE 0 END), 0), 4) AS dcg
+           FROM j1),
+         h2 AS (
+           SELECT CAST(doc_id AS VARCHAR) AS hid,
+             row_number() OVER (ORDER BY doc_id) AS rk
+           FROM documents
+           WHERE regexp_matches(lower(text), '\bstream\b')
+             AND regexp_matches(lower(text), '\bwindow\b')
+           ORDER BY doc_id LIMIT 10),
+         r2(id, rating) AS (SELECT * FROM (VALUES
+           ('3', 1), ('7', 2), ('200', 1)) t),
+         j2 AS (SELECT h.rk, coalesce(r.rating, 0) AS rating,
+                  CASE WHEN coalesce(r.rating, 0) > 0 THEN 1 ELSE 0 END AS rel
+                FROM h2 h LEFT JOIN r2 r ON r.id = h.hid),
+         m2 AS (
+           SELECT 'stream_window' AS query_id,
+             round(sum(rel) / 10.0, 4) AS precision_at_k,
+             round(sum(rel) / 3.0, 4) AS recall_at_k,
+             round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rk END), 0), 4) AS mrr,
+             round(coalesce(sum(CASE WHEN rel = 1
+               THEN (pow(2.0, rating) - 1) / log2(rk + 1.0) ELSE 0 END), 0), 4) AS dcg
+           FROM j2)
+         SELECT * FROM m1 UNION ALL SELECT * FROM m2 ORDER BY query_id""",
+    "q_mix_temperature" ->
+      """WITH stats AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> len(x) > 0))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT *, sqrt(CAST(n_tokens AS DOUBLE)) AS raw FROM stats),
+         t AS (SELECT sum(raw) AS total FROM w)
+         SELECT source, n_docs, n_tokens,
+           round(raw / total, 4) AS weight,
+           round(least(CAST(1 AS DOUBLE), 2000 * (raw / total) / n_tokens), 4)
+             AS keep_frac
+         FROM w, t ORDER BY source""",
+    "q_agg_children" ->
+      """SELECT c_mktsegment AS key, count(*) AS doc_count,
+           round(avg(o_totalprice), 2) AS avg_price
+         FROM customer JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10""",
+    "q_agg_sampler_plain" ->
       """WITH s AS (
            SELECT n_chars FROM documents
            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)

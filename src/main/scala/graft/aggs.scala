@@ -186,6 +186,39 @@ object Aggs {
     m.head._2
   }
 
+  /** ES `children` agg (join-field families): parent buckets by
+    * `bucketField` with per-bucket CHILD statistics — child doc_count plus
+    * `childMetrics` (a JSON object of metric aggs over child columns, the
+    * [[run]] metric grammar). The reference models parent/child through
+    * ES join fields and serves has_child/has_parent verbatim
+    * (ElasticIndex.java:663); this is the aggregation face of that
+    * relation. Two frames, so it cannot ride [[run]]'s single-table body.
+    *
+    * 100 TB shape: one equi-join on the family key (children shuffle by
+    * `childFkCol`, parents by `parentIdCol` — or broadcast when the parent
+    * side is small; AQE picks) followed by the usual capped terms
+    * hash-aggregate. Parents without children drop out (inner join), like
+    * ES buckets with zero child docs under min_doc_count 1. */
+  def childrenAgg(parents: DataFrame, children: DataFrame,
+                  parentIdCol: String, childFkCol: String,
+                  bucketField: String, size: Int = 10,
+                  childMetrics: String = "{}"): DataFrame = {
+    require(size >= 1, s"children agg size must be >= 1, got $size")
+    val metricsNode = mapper.readTree(childMetrics)
+    require(metricsNode.isObject, "childMetrics must be a JSON object of metric aggs")
+    val metrics = subAggMetricCols(
+      if (metricsNode.size == 0) None else Some(metricsNode),
+      "children", allowedPipelines = Set.empty)
+    val aggCols = count(lit(1)).as("doc_count") +: metrics
+    parents.select(col(parentIdCol).as("_ca_pid"), col(bucketField))
+      .where(col(bucketField).isNotNull && col("_ca_pid").isNotNull)
+      .join(children, col("_ca_pid") === children(childFkCol))
+      .groupBy(col(bucketField).as("key"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(desc("doc_count"), asc("key"))
+      .limit(size)
+  }
+
   private val bucketTypes =
     Set("terms", "date_histogram", "histogram", "range", "date_range")
   /** Bucket-SEQUENCE pipelines need the equal-spaced ordered axis only the

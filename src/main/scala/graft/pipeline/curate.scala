@@ -146,6 +146,35 @@ object Curate {
       .withColumn("keep_frac",
         least(lit(1.0), lit(targetTokens.toDouble) / col("n_tokens")))
 
+  /** Temperature-scaled domain mixing weights — the multilingual-pretraining
+    * convention (sampling probability ∝ share^alpha): flattens the domain
+    * distribution toward uniform as alpha → 0, keeps it natural at
+    * alpha = 1. For each domain: `weight = share^alpha / Σ share^alpha`
+    * and the per-domain keep fraction that realizes a `targetTokens`
+    * budget mixed by those weights (capped at 1 — no upsampling, like
+    * [[mixPlan]]). alpha = 0.5 (the common choice) computes via sqrt —
+    * correctly-rounded IEEE, so the plan is bit-stable across engines.
+    * Same shape as [[mixPlan]]: one map-side-combinable aggregate over the
+    * domain key plus a broadcast single-row total — never a global window. */
+  def mixTemperature(df: DataFrame, domainCol: String, textCol: String,
+                     targetTokens: Long, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"temperature alpha must be in (0, 1], got $alpha")
+    val stats = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TextStats.tokenCount(col(textCol))).as("n_tokens"))
+    val scaled = stats.withColumn("_w_raw",
+      // share^alpha = n^alpha / N^alpha; the N^alpha factor cancels in the
+      // normalization, so raw = n_tokens^alpha avoids one division
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), lit(alpha)))
+    val total = scaled.agg(sum(col("_w_raw")).as("_w_total"))
+    scaled.crossJoin(broadcast(total))
+      .withColumn("weight", col("_w_raw") / col("_w_total"))
+      .withColumn("keep_frac",
+        least(lit(1.0), lit(targetTokens.toDouble) * col("weight") / col("n_tokens")))
+      .drop("_w_raw", "_w_total")
+  }
+
   /** Deterministic stratified sample: per-domain keep fractions (e.g. from
     * [[mixPlan]]), hash-bucketed on the id so the decision is retry- and
     * join-stable like [[Sampling.deterministicSample]]. Unlisted domains

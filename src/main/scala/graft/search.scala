@@ -1207,6 +1207,93 @@ object Search {
       .select(col("suggestion"), col("freq"), col("distance"))
   }
 
+  /** ES 8 `rrf` retriever: reciprocal rank fusion of several ranked hit
+    * lists — score(d) = Σ_r 1/(rank_constant + rank_r(d)), documents
+    * missing from a ranking contribute nothing for it (the ES window
+    * semantics). Each input frame must carry `idCol` and `_score`; its
+    * ranking order is (score desc, id asc) — the engine's deterministic
+    * hit order.
+    *
+    * 100 TB shape: every input is an already-capped top-k hit list (ES
+    * caps at rank_window_size; ours at maxResults), so the per-ranking
+    * row_number window runs on k rows, and the fusion is a union +
+    * one hash aggregate over ≤ Σk rows — never corpus-sized. */
+  def rrf(rankings: Seq[DataFrame], idCol: String = "doc_id",
+          rankConstant: Int = 60, size: Int = 10): DataFrame = {
+    require(rankings.size >= 2, "rrf needs at least two rankings")
+    require(rankConstant >= 1, s"rrf rank_constant must be >= 1, got $rankConstant")
+    require(size >= 1, s"rrf size must be >= 1, got $size")
+    import org.apache.spark.sql.expressions.Window
+    val contribs = rankings.map { r =>
+      val w = Window.orderBy(desc("_score"), asc(idCol))
+      r.select(col(idCol), col("_score"))
+        .withColumn("_rrf_rank", row_number().over(w))
+        .select(col(idCol),
+          (lit(1.0) / (lit(rankConstant.toDouble) + col("_rrf_rank")))
+            .as("_rrf_contrib"))
+    }
+    contribs.reduce(_ unionAll _)
+      .groupBy(col(idCol))
+      .agg(sum(col("_rrf_contrib")).as("_score"),
+        count(lit(1)).cast("int").as("_rrf_matched"))
+      .orderBy(desc("_score"), asc(idCol))
+      .limit(size)
+  }
+
+  /** ES `_rank_eval`: relevance evaluation of a query battery against
+    * graded judgments. For each request: run the search top-`k`, join the
+    * (tiny, broadcast) rated set, emit the standard metrics —
+    * `precision_at_k` (rated-relevant hits / k), `recall_at_k`
+    * (rated-relevant hits / total relevant), `mrr` (1/rank of the first
+    * relevant hit; 0 when none), and `dcg` (Σ (2^rating − 1) /
+    * log2(rank + 1) — the ES dcg_at_k form). Ratings > 0 count as
+    * relevant, like ES's default.
+    *
+    * Each per-request frame is k rows; metrics are one aggregate over it.
+    * The battery is a client batch — the union is request-count-bounded. */
+  def rankEval(docs: DataFrame, requests: Seq[(String, String, Map[String, Int])],
+               cfg: IndexConfig, pkCols: Seq[String] = Seq("doc_id"),
+               k: Int = 10): DataFrame = {
+    require(requests.nonEmpty, "_rank_eval needs at least one request")
+    require(k >= 1, s"_rank_eval k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    requests.map { case (qid, query, ratings) =>
+      require(ratings.nonEmpty, s"_rank_eval request '$qid' needs ratings")
+      val rated = ratings.toSeq.toDF("_re_id", "_re_rating")
+      val totalRelevant = ratings.values.count(_ > 0)
+      val pk = pkCols.head
+      // rank in the engine's hit order — (score desc, pk asc) on the pk's
+      // NATIVE type (a string-cast rank would resort numerically-keyed
+      // docs lexicographically)
+      val hits = search(docs, query, cfg, pkCols)
+        .select(col(pk), col("_score"))
+        .withColumn("_re_rank",
+          row_number().over(Window.orderBy(desc("_score"), asc(pk))))
+        .where(col("_re_rank") <= k)
+        .select(col(pk).cast("string").as("_re_hit"), col("_re_rank"))
+      val joined = hits.join(broadcast(rated),
+          hits("_re_hit") === rated("_re_id"), "left")
+        .withColumn("_re_rel",
+          when(coalesce(col("_re_rating"), lit(0)) > 0, 1).otherwise(0))
+      joined.agg(
+          sum(col("_re_rel")).as("_hits_rel"),
+          min(when(col("_re_rel") === 1, col("_re_rank"))).as("_first_rel"),
+          sum(when(col("_re_rel") === 1,
+              (pow(lit(2.0), coalesce(col("_re_rating"), lit(0)).cast("double"))
+                - 1.0) / log2(col("_re_rank").cast("double") + 1.0))
+            .otherwise(0.0)).as("_dcg"))
+        .select(lit(qid).as("query_id"),
+          (coalesce(col("_hits_rel"), lit(0L)).cast("double") / k)
+            .as("precision_at_k"),
+          (coalesce(col("_hits_rel"), lit(0L)).cast("double") /
+            totalRelevant.max(1)).as("recall_at_k"),
+          coalesce(lit(1.0) / col("_first_rel"), lit(0.0)).as("mrr"),
+          coalesce(col("_dcg"), lit(0.0)).as("dcg"))
+    }.reduce(_ unionAll _)
+  }
+
   /** ES `_termvectors`: per-document term statistics for the given doc
     * ids — term frequency, first position (1-based), and corpus document
     * frequency, over the index analyzer's token view. The doc-id list is a

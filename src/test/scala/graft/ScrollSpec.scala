@@ -123,6 +123,57 @@ class ScrollSpec extends AnyFunSuite {
     assert(out.getDouble(1) == expected, s"${out.getDouble(1)} != $expected")
   }
 
+  test("rrf fuses rankings by reciprocal rank; missing docs contribute nothing") {
+    val r1 = Seq(("a", 10.0), ("b", 5.0), ("c", 1.0)).toDF("doc_id", "_score")
+    val r2 = Seq(("b", 9.0), ("d", 3.0)).toDF("doc_id", "_score")
+    val out = Search.rrf(Seq(r1, r2), rankConstant = 1, size = 10)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1) * 1e6).round, r.getInt(2)))
+      .toMap
+    // b: rank 2 in r1, rank 1 in r2 → 1/3 + 1/2; a: 1/2; c: 1/4; d: 1/3
+    assert(out == Map(
+      "b" -> (((1.0 / 3 + 1.0 / 2) * 1e6).round, 2),
+      "a" -> (500000L, 1), "d" -> ((1e6 / 3).round, 1), "c" -> (250000L, 1)),
+      out.toString)
+  }
+
+  test("rankEval: precision, recall, mrr, dcg over a rated top-k") {
+    val corpus = Seq((1L, "hit one"), (2L, "hit two"), (3L, "hit three"),
+      (4L, "miss four")).toDF("doc_id", "text")
+    val out = Search.rankEval(corpus,
+        Seq(("q", "text:hit", Map("2" -> 1, "3" -> 2, "9" -> 1))),
+        IndexConfig(), Seq("doc_id"), k = 2).collect().head
+    // hits in order: 1, 2 (k=2). relevant in top-k: doc 2 (rank 2).
+    assert(out.getString(0) == "q")
+    assert(out.getDouble(1) == 0.5)          // precision 1/2
+    assert(math.abs(out.getDouble(2) - 1.0 / 3) < 1e-12) // recall 1/3
+    assert(out.getDouble(3) == 0.5)          // mrr: first rel at rank 2
+    // dcg: (2^1 - 1)/log2(3)
+    assert(math.abs(out.getDouble(4) - 1.0 / (math.log(3) / math.log(2))) < 1e-9)
+  }
+
+  test("mixTemperature flattens toward uniform as alpha shrinks") {
+    val df = (1 to 90).map(i => ("big", s"tok $i")).toDF("source", "text")
+      .unionAll((1 to 10).map(i => ("small", s"tok $i")).toDF("source", "text"))
+    val w = pipeline.Curate.mixTemperature(df, "source", "text", targetTokens = 100L,
+        alpha = 0.5)
+      .select("source", "weight").as[(String, Double)].collect().toMap
+    // natural shares 0.9/0.1 → sqrt weights 3:1 (0.75/0.25)
+    assert(math.abs(w("big") - 0.75) < 1e-12 && math.abs(w("small") - 0.25) < 1e-12, w.toString)
+    assert(math.abs(w.values.sum - 1.0) < 1e-12)
+  }
+
+  test("childrenAgg buckets parents with child doc_count and metrics") {
+    val parents = Seq((1L, "A"), (2L, "A"), (3L, "B"), (4L, "C"))
+      .toDF("pid", "seg")
+    val children = Seq((1L, 10.0), (1L, 20.0), (2L, 30.0), (3L, 40.0))
+      .toDF("fk", "v")
+    val out = Aggs.childrenAgg(parents, children, "pid", "fk", "seg",
+        childMetrics = """{"avg_v": {"avg": {"field": "v"}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // A: 3 children avg 20; B: 1 child avg 40; C parent has none → absent
+    assert(out.toSeq == Seq(("A", 3L, 20.0), ("B", 1L, 40.0)), out.toSeq.toString)
+  }
+
   test("bm25Explain components sum to the bm25 total and match bm25()") {
     val corpus = Seq(
       ("1", "spark query engine"), ("2", "query query planner"),

@@ -1348,6 +1348,30 @@ object SparkEntry {
         .select(col("key"), col("doc_count"),
           col("mx").cast("long").as("mx"), col("sm").cast("long").as("sm"))
     }),
+    "q_agg_matrix_stats" -> ((s, dir) => {
+      // matrix_stats: pairwise sample statistics for two numeric fields
+      // (round-2/round-4 — multi-addend float sums)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"ms": {"matrix_stats": {"fields": ["value", "user_id"]}}}}""")
+        .select(col("ms_count"),
+          round(col("ms_mean_value"), 2).as("mean_value"),
+          round(col("ms_mean_user_id"), 2).as("mean_user_id"),
+          round(col("ms_variance_value"), 2).as("variance_value"),
+          round(col("ms_variance_user_id"), 2).as("variance_user_id"),
+          round(col("ms_covariance"), 2).as("covariance"),
+          round(col("ms_correlation"), 4).as("correlation"))
+    }),
+    "q_agg_var_width" -> ((s, dir) => {
+      // variable_width_histogram: deterministic equal-frequency buckets
+      // from exact dyadic quantile boundaries (declared divergence from
+      // ES's order-dependent streaming clustering)
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"vw": {"variable_width_histogram":
+              {"field": "value", "buckets": 4}}}}""")
+        .select(round(col("key"), 4).as("key"), col("min"), col("max"),
+          col("doc_count"))
+        .orderBy(col("key"))
+    }),
     "q_agg_cumulative_card" -> ((s, dir) => {
       // cumulative_cardinality: distinct users seen up to each day (the
       // "total unique users" dashboard line) — exact first-occurrence
@@ -2000,14 +2024,12 @@ object SparkEntry {
         .select(col("key"), col("doc_count"), round(col("avg_price"), 2).as("avg_price"))
     }),
     "q_agg_sampler_plain" -> ((s, dir) => {
-      // sampler: sub-aggs over a deterministic shard_size pseudo-random
-      // sample (smallest md5(id) — engine-portable; declared divergence
-      // from ES's score-ordered sampling)
+      // plain sampler: the one sub-agg runs over the first shard_size docs
+      // in id order (the engine's declared deterministic sample)
       Aggs.runSingle(tbl(s, dir, "documents"),
         """{"aggs": {"sample": {"sampler": {"shard_size": 100},
             "aggs": {"avg_chars": {"avg": {"field": "n_chars"}}}}}}""")
-        .select(col("doc_count"),
-          floor(col("avg_chars") * 100).cast("long").as("avg_chars_x100"))
+        .select(floor(col("avg_chars") * 100).cast("long").as("avg_chars_x100"))
     }),
     "q_search_script_score" -> ((s, dir) => {
       // script_score: the script replaces the query score — arithmetic
@@ -3167,6 +3189,27 @@ object SparkEntry {
            CAST(sum(doc_count) OVER (ORDER BY key
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sm
          FROM b ORDER BY key""",
+    "q_agg_matrix_stats" ->
+      """WITH m AS (
+           SELECT value AS a, CAST(user_id AS DOUBLE) AS b FROM events
+           WHERE value IS NOT NULL AND user_id IS NOT NULL)
+         SELECT count(*) AS ms_count,
+           round(avg(a), 2) AS mean_value,
+           round(avg(b), 2) AS mean_user_id,
+           round(var_samp(a), 2) AS variance_value,
+           round(var_samp(b), 2) AS variance_user_id,
+           round(covar_samp(a, b), 2) AS covariance,
+           round(corr(a, b), 4) AS correlation
+         FROM m""",
+    "q_agg_var_width" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+         b AS (SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS qs FROM v),
+         a AS (SELECT value,
+                 len(list_filter(b.qs, q -> q <= value)) AS bucket
+               FROM v, b)
+         SELECT round(avg(value), 4) AS key, min(value) AS min,
+           max(value) AS max, count(*) AS doc_count
+         FROM a GROUP BY bucket ORDER BY key""",
     "q_agg_cumulative_card" ->
       """WITH b AS (
            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,
@@ -3752,10 +3795,8 @@ object SparkEntry {
          GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10""",
     "q_agg_sampler_plain" ->
       """WITH s AS (
-           SELECT n_chars FROM documents
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100)
-         SELECT count(*) AS doc_count,
-           CAST(floor(avg(CAST(n_chars AS DOUBLE)) * 100) AS BIGINT)
+           SELECT n_chars FROM documents ORDER BY doc_id LIMIT 100)
+         SELECT CAST(floor(avg(CAST(n_chars AS DOUBLE)) * 100) AS BIGINT)
              AS avg_chars_x100
          FROM s""",
     "q_search_script_score" ->

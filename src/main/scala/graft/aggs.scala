@@ -367,31 +367,45 @@ object Aggs {
         val ms = count(lit(1)).as("doc_count") +:
           subAggMetricCols(subAggs, name, allowedPipelines = Set.empty)
         docs.where(pred).agg(ms.head, ms.tail: _*)
-      case "sampler" =>
-        // ES sampler: run the sub-aggs over the `shard_size` "best" docs
-        // instead of all matches. ES samples top-scoring docs per shard;
-        // the deterministic analog takes the shard_size smallest
-        // md5(id) values — an unbiased, engine-portable pseudo-random
-        // sample with a reproducible answer (DECLARED DIVERGENCE from
-        // score-ordered sampling; our DSL scores are coarse integers, so
-        // score order would be tie-ridden anyway). Plan shape: the cap is
-        // a TakeOrderedAndProject (per-partition top-k then merge — the
-        // same distributed shape as terms' size cut), never a global sort
-        // materialization.
-        val unknownS = body.fieldNames.asScala.toSet - "shard_size"
-        require(unknownS.isEmpty,
-          s"unsupported sampler option(s) in '$name': ${unknownS.mkString(", ")}")
-        val shardSize = Option(body.get("shard_size")).map { n =>
-          require(n.isIntegralNumber && n.asInt >= 1,
-            s"sampler '$name' shard_size must be a positive integer")
+      case "variable_width_histogram" =>
+        // ES: streaming 1-D clustering into ~`buckets` clusters —
+        // approximate AND order-dependent by design. DECLARED DIVERGENCE:
+        // deterministic equal-frequency buckets from exact quantile
+        // boundaries. `buckets` must be a power of two (2..32): dyadic
+        // quantile fractions interpolate to exact IEEE doubles, so bucket
+        // assignment is bit-identical on any engine — a non-dyadic
+        // boundary could flip a row at the edge. Two passes, both
+        // scale-safe: one aggregate for the boundary array (broadcast as a
+        // 1-row join — never collected, never a global sort/ntile window),
+        // then the usual hash aggregate on the derived bucket index.
+        // Output per bucket: key = centroid (ES's cluster key), min, max,
+        // doc_count.
+        val unknownV = body.fieldNames.asScala.toSet -- Set("field", "buckets")
+        require(unknownV.isEmpty,
+          s"unsupported variable_width_histogram option(s) in '$name': ${unknownV.mkString(", ")}")
+        val fV = Option(body.get("field")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"variable_width_histogram '$name' needs a 'field'"))
+        val nB = Option(body.get("buckets")).map { n =>
+          require(n.isIntegralNumber, s"variable_width_histogram '$name' buckets must be an integer")
           n.asInt
-        }.getOrElse(100)
-        val sampled = docs
-          .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-          .limit(shardSize)
-        val msS = count(lit(1)).as("doc_count") +:
-          subAggMetricCols(subAggs, name, allowedPipelines = Set.empty, idCol = idCol)
-        sampled.agg(msS.head, msS.tail: _*)
+        }.getOrElse(4)
+        require(nB >= 2 && nB <= 32 && (nB & (nB - 1)) == 0,
+          s"variable_width_histogram '$name' buckets must be a power of two " +
+            s"in 2..32 (dyadic quantile boundaries stay exact), got $nB")
+        val vV = col(fV).cast("double")
+        val fracs = (1 until nB).map(i => i.toDouble / nB)
+        val bounds = docs.where(vV.isNotNull)
+          .agg(percentile(vV, typedLit(fracs)).as("_vwh_bounds"))
+        docs.where(vV.isNotNull)
+          .crossJoin(broadcast(bounds))
+          .withColumn("_vwh_bucket",
+            size(filter(col("_vwh_bounds"), bCol => bCol <= vV)))
+          .groupBy(col("_vwh_bucket"))
+          .agg(avg(vV).as("key"), min(vV).as("min"), max(vV).as("max"),
+            count(lit(1)).as("doc_count"))
+          .drop("_vwh_bucket")
+          .orderBy(asc("key"))
       case "global" =>
         // the UNFILTERED store, ignoring the body's query — ES's "compare
         // my filtered slice against everything" bucket

@@ -1103,6 +1103,25 @@ class AggsSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("variable_width_histogram: equal-frequency buckets, dyadic boundaries") {
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val out = Aggs.runSingle(df,
+      """{"aggs":{"vw":{"variable_width_histogram":{"field":"v","buckets":4}}}}""")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // boundaries at q25/q50/q75 of 1..8 = 2.75, 4.5, 6.25 → buckets {1,2},
+    // {3,4}, {5,6}, {7,8}
+    assert(out.toSeq == Seq((1.0, 2.0, 2L), (3.0, 4.0, 2L),
+      (5.0, 6.0, 2L), (7.0, 8.0, 2L)), out.toSeq.toString)
+  }
+
+  test("variable_width_histogram rejects non-dyadic bucket counts") {
+    val e = intercept[IllegalArgumentException] {
+      Aggs.runSingle(docs,
+        """{"aggs":{"vw":{"variable_width_histogram":{"field":"score","buckets":10}}}}""")
+    }
+    assert(e.getMessage.contains("power of two"), e.getMessage)
+  }
+
   test("cumulative_cardinality counts each distinct value once, at first bucket") {
     // user 1 spans buckets 0 and 100 — the cumulative line must not
     // double-count it; bucket 200 introduces only user 3

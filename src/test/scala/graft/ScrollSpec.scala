@@ -109,20 +109,6 @@ class ScrollSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unbound identifier"), e.getMessage)
   }
 
-  test("sampler agg: deterministic md5-ordered sample feeds sub-aggs") {
-    val corpus = (1 to 50).map(i => (i.toLong, i.toDouble)).toDF("doc_id", "v")
-    val out = Aggs.runSingle(corpus,
-      """{"aggs": {"s": {"sampler": {"shard_size": 10},
-          "aggs": {"m": {"sum": {"field": "v"}}}}}}""").collect().head
-    assert(out.getLong(0) == 10L)
-    // reproducibility: the same sample every run
-    val expected = (1 to 50).map(i => (i, java.security.MessageDigest
-        .getInstance("MD5").digest(i.toString.getBytes)
-        .map("%02x".format(_)).mkString))
-      .sortBy { case (i, h) => (h, i) }.take(10).map(_._1.toDouble).sum
-    assert(out.getDouble(1) == expected, s"${out.getDouble(1)} != $expected")
-  }
-
   test("rrf fuses rankings by reciprocal rank; missing docs contribute nothing") {
     val r1 = Seq(("a", 10.0), ("b", 5.0), ("c", 1.0)).toDF("doc_id", "_score")
     val r2 = Seq(("b", 9.0), ("d", 3.0)).toDF("doc_id", "_score")
@@ -154,8 +140,8 @@ class ScrollSpec extends AnyFunSuite {
   test("mixTemperature flattens toward uniform as alpha shrinks") {
     val df = (1 to 90).map(i => ("big", s"tok $i")).toDF("source", "text")
       .unionAll((1 to 10).map(i => ("small", s"tok $i")).toDF("source", "text"))
-    val w = pipeline.Curate.mixTemperature(df, "source", "text", targetTokens = 100L,
-        alpha = 0.5)
+    val w = pipeline.Curate.mixTemperature(df, "source", "text",
+        targetTokens = 100L, alpha = 0.5)
       .select("source", "weight").as[(String, Double)].collect().toMap
     // natural shares 0.9/0.1 → sqrt weights 3:1 (0.75/0.25)
     assert(math.abs(w("big") - 0.75) < 1e-12 && math.abs(w("small") - 0.25) < 1e-12, w.toString)

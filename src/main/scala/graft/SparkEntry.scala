@@ -292,6 +292,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_collapse_inner" -> ((s, dir) => {
+      // collapse + inner_hits: top-3 langs by head relevance, each
+      // carrying its top-3 hits ranked within the group (the flat analog
+      // of ES's per-hit inner_hits array)
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query":{"match":{"text":"spark batch"}},
+            "collapse":{"field":"lang",
+              "inner_hits":{"name":"by_lang","size":3}},
+            "size": 3}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("_score"), col("_inner_rank"))
+    }),
     "q_search_fuzzy_auto" -> ((s, dir) => {
       // DSL fuzzy with ES parity shapes: fuzziness AUTO (5-char term →
       // 1 edit) and prefix_length 2 (leading 'sp' verbatim, edits beyond)
@@ -1737,6 +1750,20 @@ object SparkEntry {
       Search.search(pts,
         """{"query": {"geo_distance": {"distance": "3000km",
               "loc": {"lat": 10, "lon": 20}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_geo_polygon" -> ((s, dir) => {
+      // geo_polygon: even-odd ray-cast containment in a convex CCW quad
+      // (vertices at .5 offsets so no integer-derived point sits on an
+      // edge); the oracle verifies with the equivalent half-plane test —
+      // for a convex ring and off-boundary points the two agree exactly
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.search(pts,
+        """{"query": {"geo_polygon": {"loc": {"points": [
+              {"lat": -20.5, "lon": -60.5}, {"lat": -25.5, "lon": 40.5},
+              {"lat": 30.5, "lon": 70.5}, {"lat": 45.5, "lon": -30.5}]}}},
+            "size": 10000}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
@@ -3439,6 +3466,20 @@ object SparkEntry {
       """SELECT c_custkey AS doc_id FROM customer
          WHERE (c_custkey % 180 - 90) BETWEEN -10 AND 40
            AND ((c_custkey * 7) % 360 - 180) BETWEEN -50 AND 60""",
+    "q_search_geo_polygon" ->
+      // convex CCW quad — containment = strictly left of every edge
+      // (cross product > 0); equivalent to the engine's ray cast for
+      // off-boundary points
+      """WITH pts AS (
+           SELECT c_custkey AS doc_id,
+                  CAST(c_custkey % 180 - 90 AS DOUBLE) AS py,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS px
+           FROM customer)
+         SELECT doc_id FROM pts
+         WHERE 101.0 * (py - (-20.5)) - (-5.0) * (px - (-60.5)) > 0
+           AND  30.0 * (py - (-25.5)) -  56.0 * (px -   40.5)  > 0
+           AND -101.0 * (py -   30.5) -  15.0 * (px -   70.5)  > 0
+           AND  -30.0 * (py -   45.5) - (-66.0) * (px - (-30.5)) > 0""",
     "q_search_geo_distance" ->
       """WITH pts AS (
            SELECT c_custkey AS doc_id,
@@ -4103,6 +4144,24 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, lang, _score FROM r WHERE rn = 1
          ORDER BY _score DESC, doc_id""",
+    "q_search_collapse_inner" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+             (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+              CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END) AS _score
+           FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b')
+              OR regexp_matches(lower(text), '\bbatch\b')),
+         r AS (
+           SELECT doc_id, lang, _score,
+             row_number() OVER (PARTITION BY lang ORDER BY _score DESC, doc_id) AS rn
+           FROM sc),
+         ih AS (SELECT * FROM r WHERE rn <= 3),
+         heads AS (
+           SELECT lang FROM ih WHERE rn = 1
+           ORDER BY _score DESC, doc_id LIMIT 3)
+         SELECT i.doc_id, i.lang, i._score, i.rn AS _inner_rank
+         FROM ih i JOIN heads h ON i.lang = h.lang""",
     "q_search_fuzzy_auto" ->
       // prefix_length pins the folded prefix verbatim; the edit budget
       // (AUTO('spark') = 1, where OSA == DuckDB's unrestricted DL) applies

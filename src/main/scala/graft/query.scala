@@ -112,7 +112,8 @@ final case class CompiledQuery(predicate: Column, score: Column, limit: Option[I
                                sort: Option[Seq[(Column, Boolean)]] = None,
                                sourceFields: Option[Seq[String]] = None,
                                from: Int = 0,
-                               collapseField: Option[String] = None)
+                               collapseField: Option[String] = None,
+                               collapseInner: Option[Int] = None)
 
 object QueryCompiler {
 
@@ -935,18 +936,40 @@ object QueryCompiler {
       require(from == 0 || after.isEmpty,
         "'from' and 'search_after' are mutually exclusive (ES semantics)")
       val collapse = Option(root.get("collapse")).map { c =>
+        val unknownC = c.fieldNames.asScala.toSet -- Set("field", "inner_hits")
+        require(unknownC.isEmpty,
+          s"unsupported collapse option(s): ${unknownC.mkString(", ")}")
         val f = Option(c.get("field")).filter(_.isTextual).map(_.asText)
           .getOrElse(throw new IllegalArgumentException(
             "'collapse' needs {\"field\": ...}"))
         require(f.nonEmpty, "'collapse' field must be non-empty")
         f
       }
+      // collapse inner_hits: each collapsed hit also carries the top-k
+      // hits of its group ({"name": n, "size": k} — name accepted as ES
+      // cosmetics, the flat result encodes group membership in the
+      // collapse-key column itself). Declared subset: default relevance
+      // order (a custom inner sort would need a per-group re-sort spec).
+      val collapseInner = Option(root.get("collapse"))
+        .flatMap(c => Option(c.get("inner_hits"))).map { ih =>
+          require(ih.isObject, s"'inner_hits' must be an object, got: $ih")
+          val unknown = ih.fieldNames.asScala.toSet -- Set("name", "size")
+          require(unknown.isEmpty,
+            s"unsupported collapse inner_hits option(s): ${unknown.mkString(", ")} " +
+              "(name/size — declared subset, default relevance order)")
+          val k = Option(ih.get("size")).map(_.asInt).getOrElse(3)
+          require(k >= 1 && k <= 100,
+            s"collapse inner_hits size must be in [1, 100], got $k")
+          k
+        }
       require(collapse.isEmpty || after.isEmpty,
         "'collapse' with 'search_after' is not supported (declared subset)")
+      require(collapseInner.isEmpty || sort.isEmpty,
+        "'collapse' inner_hits with a custom 'sort' is not supported (declared subset)")
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol, defaultOr)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source,
-        from, collapse)
+        from, collapse, collapseInner)
     }
 
     private def node(n: JsonNode,
@@ -1278,6 +1301,42 @@ object QueryCompiler {
           val gdc = Geo.haversineMeters(col(gdf), cLat, cLon) <= lit(meters)
           if (scoring) leaves += leaf(gdc, 1)
           gdc
+        case "geo_polygon" =>
+          // {"geo_polygon": {FIELD: {"points": [{lat,lon}, ...]}}} —
+          // even-odd ray-cast containment over the closed vertex ring,
+          // expressed as an XOR chain of per-edge crossing predicates in
+          // pure double math (fully codegen'd, no UDF). ES serves this
+          // filter for geo_point fields (deprecated in favor of geo_shape
+          // but still the plain-polygon form clients emit). Declared
+          // analog: boundary points follow raw double comparison — no
+          // epsilon snapping.
+          val (pgf, pgspec) = singleField(body)
+          require(pgspec.isObject, s"geo_polygon expects an object, got: $pgspec")
+          val unknownPg = pgspec.fieldNames.asScala.toSet - "points"
+          require(unknownPg.isEmpty,
+            s"unsupported geo_polygon option(s): ${unknownPg.mkString(", ")} " +
+              "('points' vertex list — declared subset)")
+          val ptsN = Option(pgspec.get("points")).filter(_.isArray)
+            .getOrElse(throw new IllegalArgumentException(
+              s"geo_polygon $pgf needs 'points': [{lat, lon}, ...]"))
+          val verts = ptsN.elements.asScala.toSeq
+            .map(n => Geo.latLonOf(n, s"geo_polygon $pgf point"))
+          require(verts.size >= 3,
+            s"geo_polygon needs at least 3 points, got ${verts.size}")
+          val pLat = col(pgf).getField("lat")
+          val pLon = col(pgf).getField("lon")
+          // edge (i, i+1) toggles containment when it crosses the
+          // horizontal ray at pLat with the crossing right of pLon; a
+          // horizontal edge (latI == latJ) fails the first conjunct, so
+          // its division never matters (false && NULL = false)
+          val pgc = verts.zip(verts.tail :+ verts.head).map {
+            case ((latI, lonI), (latJ, lonJ)) =>
+              ((lit(latI) > pLat) =!= (lit(latJ) > pLat)) &&
+                pLon < (lit(lonJ - lonI) * (pLat - lit(latI)) /
+                  lit(latJ - latI) + lit(lonI))
+          }.reduce(_ =!= _) // odd crossings = inside
+          if (scoring) leaves += leaf(pgc, 1)
+          pgc
         case "distance_feature" =>
           // {"distance_feature": {"field": f, "origin": {lat,lon},
           //  "pivot": "100km"[, "boost": b]}} — matches docs WITH the geo

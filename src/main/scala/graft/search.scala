@@ -58,6 +58,39 @@ object Search {
     // A custom body `sort` (arbitrary types/directions, not encodable as
     // one orderable struct) keeps the key-partitioned window — bounded
     // per group, and custom-sorted collapses are the rare shape.
+    // collapse + inner_hits: every hit of the top-`limit` groups, ranked
+    // within its group — the flat analog of ES's per-hit inner_hits array
+    // (group membership is the collapse-key column itself; the outer page
+    // is the `_inner_rank = 1` subset). Two-phase bounded top-k: a salted
+    // local window first, then the global per-key window over at most
+    // SALT*k survivors per key — a low-cardinality collapse key (a handful
+    // of langs over 100 TB) never lands one key's whole row set in a
+    // single window partition.
+    if (q.collapseInner.isDefined) {
+      val k = q.collapseInner.get
+      val f = q.collapseField.get
+      val SALT = 32
+      val wSalt = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(f), pmod(xxhash64(col(tiebreak)), lit(SALT)))
+        .orderBy(desc("_score"), col(tiebreak).asc)
+      val local = paged.withColumn("_r", row_number().over(wSalt))
+        .where(col("_r") <= k).drop("_r")
+      val wKey = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(f)).orderBy(desc("_score"), col(tiebreak).asc)
+      val inner = local.withColumn("_inner_rank", row_number().over(wKey))
+        .where(col("_inner_rank") <= k)
+      // outer page: the top `limit` group heads by relevance; the heads
+      // list is ≤ limit rows — always broadcastable
+      val heads = inner.where(col("_inner_rank") === 1)
+        .orderBy(desc("_score"), col(tiebreak).asc).limit(limit)
+        .select(col(f).as("_head_key"))
+      val wHead = org.apache.spark.sql.expressions.Window.partitionBy(col(f))
+      return inner
+        .join(broadcast(heads), col(f) === col("_head_key"), "left_semi")
+        .withColumn("_head_score", max(col("_score")).over(wHead))
+        .orderBy(desc("_head_score"), col(f).asc, col("_inner_rank").asc)
+        .drop("_head_score")
+    }
     val collapsed = (q.collapseField, q.sort) match {
       case (Some(f), None) =>
         val cols = paged.columns

@@ -909,6 +909,64 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("exactly one field"))
   }
 
+  test("geo_polygon: even-odd ray-cast containment") {
+    // unit square (0,0)-(10,10): in, out, and a concave L-shape check
+    val pts = Seq(
+      ("in", 5.0, 5.0), ("out", 15.0, 5.0), ("neg", -1.0, 5.0),
+      ("notch", 8.0, 8.0))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    val sq = Search.search(pts,
+      """{"query": {"geo_polygon": {"loc": {"points": [
+            {"lat": 0, "lon": 0}, {"lat": 0, "lon": 10},
+            {"lat": 10, "lon": 10}, {"lat": 10, "lon": 0}]}}},
+          "size": 10}""", IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(sq == Set("in", "notch"))
+    // concave L: square minus the (6..10, 6..10) corner — ray cast must
+    // exclude the notch point a convex test would keep
+    val ell = Search.search(pts,
+      """{"query": {"geo_polygon": {"loc": {"points": [
+            {"lat": 0, "lon": 0}, {"lat": 0, "lon": 10},
+            {"lat": 6, "lon": 10}, {"lat": 6, "lon": 6},
+            {"lat": 10, "lon": 6}, {"lat": 10, "lon": 0}]}}},
+          "size": 10}""", IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(ell == Set("in"))
+    assert(intercept[IllegalArgumentException](Search.search(pts,
+      """{"query": {"geo_polygon": {"loc": {"points": [
+            {"lat": 0, "lon": 0}, {"lat": 1, "lon": 1}]}}}}""",
+      IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("at least 3"))
+  }
+
+  test("collapse inner_hits: top-k per group riding the collapsed page") {
+    val docs = Seq(
+      ("1", "a", "spark spark"), ("2", "a", "spark"), ("3", "a", "spark x"),
+      ("4", "a", "spark y"), ("5", "b", "spark"), ("6", "b", "spark z"),
+      ("7", "c", "nothing"))
+      .toDF("doc_id", "lang", "text")
+    val out = Search.search(docs,
+      """{"query": {"match": {"text": "spark"}},
+          "collapse": {"field": "lang", "inner_hits": {"size": 2}},
+          "size": 2}""", IndexConfig(), Seq("doc_id"))
+      .select("doc_id", "lang", "_inner_rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    // groups a and b make the page (c has no hit); 2 inner hits each,
+    // ranked by (score desc, id): within a doc 1 ties doc 2 on score=1
+    // leaf... all score 1 here so id order
+    assert(out.toSet == Set(
+      ("1", "a", 1), ("2", "a", 2), ("5", "b", 1), ("6", "b", 2)))
+    // outer page = the _inner_rank=1 subset
+    assert(out.count(_._3 == 1) == 2)
+    // custom sort with inner_hits is the declared unsupported shape
+    assert(intercept[IllegalArgumentException](Search.search(docs,
+      """{"query": {"match_all": {}}, "sort": [{"doc_id": "asc"}],
+          "collapse": {"field": "lang", "inner_hits": {"size": 2}}}""",
+      IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("custom 'sort'"))
+  }
+
   test("has_child / has_parent: join-field semi-joins") {
     val fam = Seq(
       ("c1", "customer", null, 50.0),

@@ -2050,6 +2050,35 @@ object SparkEntry {
           childMetrics = """{"avg_price": {"avg": {"field": "o_totalprice"}}}""")
         .select(col("key"), col("doc_count"), round(col("avg_price"), 2).as("avg_price"))
     }),
+    "q_agg_random_sampler" -> ((s, dir) => {
+      // random_sampler: LCG-scrambled 25% Bernoulli keep on doc_id (the
+      // declared deterministic analog — same integer math in the oracle),
+      // then a terms breakdown over the sample
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"sample": {"random_sampler":
+              {"probability": 0.25, "seed": 42},
+            "aggs": {"langs": {"terms": {"field": "lang", "size": 10}}}}}}""")
+    }),
+    "q_agg_parent" -> ((s, dir) => {
+      // parent agg: climb from finalized orders (child context) to their
+      // customers and bucket the PARENT docs by market segment — each
+      // customer counts once however many orders point at it
+      Aggs.parentAgg(
+          tbl(s, dir, "orders").where(col("o_orderstatus") === "F"),
+          tbl(s, dir, "customer"),
+          "o_custkey", "c_custkey", "c_mktsegment", size = 10,
+          parentMetrics = """{"avg_bal": {"avg": {"field": "c_acctbal"}}}""")
+        .select(col("key"), col("doc_count"),
+          floor(col("avg_bal") * 100).cast("long").as("avg_bal_x100"))
+    }),
+    "q_agg_categorize" -> ((s, dir) => {
+      // categorize_text: token-prefix signature buckets (first 3 tokens
+      // after lowercasing and digit/punct collapse) — the log-pattern
+      // clustering shape over free text
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"cats": {"categorize_text":
+              {"field": "text", "size": 8, "max_matched_tokens": 3}}}}""")
+    }),
     "q_agg_sampler_plain" -> ((s, dir) => {
       // plain sampler: the one sub-agg runs over the first shard_size docs
       // in id order (the engine's declared deterministic sample)
@@ -3849,6 +3878,25 @@ object SparkEntry {
            round(avg(o_totalprice), 2) AS avg_price
          FROM customer JOIN orders ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10""",
+    "q_agg_random_sampler" ->
+      """SELECT lang AS key, count(*) AS doc_count FROM documents
+         WHERE ((doc_id % 1000003 + 42) * 1103515245 + 12345) % 1000000 < 250000
+         GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10""",
+    "q_agg_parent" ->
+      """SELECT c_mktsegment AS key, count(*) AS doc_count,
+           CAST(floor(avg(c_acctbal) * 100) AS BIGINT) AS avg_bal_x100
+         FROM customer
+         WHERE c_custkey IN (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10""",
+    "q_agg_categorize" ->
+      """WITH k AS (
+           SELECT array_to_string(list_slice(list_filter(
+               string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+               x -> x <> ''), 1, 3), ' ') AS key
+           FROM documents WHERE text IS NOT NULL)
+         SELECT key, count(*) AS doc_count FROM k WHERE key <> ''
+         GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 8""",
     "q_agg_sampler_plain" ->
       """WITH s AS (
            SELECT n_chars FROM documents ORDER BY doc_id LIMIT 100)

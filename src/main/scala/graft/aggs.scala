@@ -219,6 +219,38 @@ object Aggs {
       .limit(size)
   }
 
+  /** ES `parent` aggregation (the inverse of [[childrenAgg]]): climb from
+    * a CHILD doc context to the parent side and bucket/aggregate over the
+    * PARENT docs — "which market segments do the customers behind these
+    * orders sit in". Each parent counts once no matter how many children
+    * point at it (ES parent-agg doc_count semantics), so the climb is a
+    * LEFT-SEMI join: parents keep their row shape, children only gate.
+    *
+    * 100 TB shape: one semi-join on the family key (never multiplies the
+    * parent side; AQE broadcasts when the child id set is small) followed
+    * by the capped terms hash-aggregate. */
+  def parentAgg(children: DataFrame, parents: DataFrame,
+                childFkCol: String, parentIdCol: String,
+                bucketField: String, size: Int = 10,
+                parentMetrics: String = "{}"): DataFrame = {
+    require(size >= 1, s"parent agg size must be >= 1, got $size")
+    val metricsNode = mapper.readTree(parentMetrics)
+    require(metricsNode.isObject, "parentMetrics must be a JSON object of metric aggs")
+    val metrics = subAggMetricCols(
+      if (metricsNode.size == 0) None else Some(metricsNode),
+      "parent", allowedPipelines = Set.empty)
+    val aggCols = count(lit(1)).as("doc_count") +: metrics
+    parents
+      .join(children.select(col(childFkCol).as("_pa_fk"))
+          .where(col("_pa_fk").isNotNull),
+        col(parentIdCol) === col("_pa_fk"), "left_semi")
+      .where(col(bucketField).isNotNull)
+      .groupBy(col(bucketField).as("key"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .orderBy(desc("doc_count"), asc("key"))
+      .limit(size)
+  }
+
   private val bucketTypes =
     Set("terms", "date_histogram", "histogram", "range", "date_range")
   /** Bucket-SEQUENCE pipelines need the equal-spaced ordered axis only the
@@ -593,6 +625,36 @@ object Aggs {
         val gKey = concat_ws("/", lit(z.toString), xT, yT)
         bucketed(docs.where(col(gf).isNotNull), gKey, subAggs, name)
           .orderBy(desc("doc_count"), asc("key")).limit(gSize)
+      case "categorize_text" =>
+        // ES ML log-pattern categorization. DECLARED deterministic analog:
+        // the category key is the doc's token-prefix signature — lowercase,
+        // digits/punctuation collapsed to separators, first
+        // `max_matched_tokens` tokens joined by spaces — so "Error 42 on
+        // node7" and "Error 99 on node3" land in one bucket. Pure string
+        // expressions (codegen'd, map-side) then the capped terms
+        // hash-aggregate; no ML state, no driver round-trip.
+        val unknownCt = body.fieldNames.asScala.toSet --
+          Set("field", "size", "max_matched_tokens")
+        require(unknownCt.isEmpty,
+          s"unsupported categorize_text option(s) in '$name': ${unknownCt.mkString(", ")} " +
+            "(field/size/max_matched_tokens — declared subset)")
+        val fCt = Option(body.get("field")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"categorize_text '$name' needs a 'field'"))
+        val sizeCt = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        require(sizeCt >= 1, s"categorize_text '$name' size must be >= 1")
+        val maxTok = Option(body.get("max_matched_tokens")).map(_.asInt).getOrElse(5)
+        require(maxTok >= 1, s"categorize_text '$name' max_matched_tokens must be >= 1")
+        val toksCt = filter(
+          split(regexp_replace(lower(col(fCt)), "[^a-z]+", " "), " "),
+          t => t =!= "")
+        val keyCt = array_join(slice(toksCt, 1, maxTok), " ")
+        docs.where(col(fCt).isNotNull)
+          .select(keyCt.as("key"))
+          .where(col("key") =!= "")
+          .groupBy("key").agg(count(lit(1)).as("doc_count"))
+          .orderBy(desc("doc_count"), asc("key"))
+          .limit(sizeCt)
       case "significant_terms" => significantTerms(docs, background, name, body)
       case "significant_text" => significantText(docs, background, name, body)
       case "sampler" | "diversified_sampler" =>
@@ -633,6 +695,41 @@ object Aggs {
             s"got ${subEntries.size}")
         val (subName, subSpec) = subEntries.head
         one(sample, subName, subSpec, background, idCol)
+      case "random_sampler" =>
+        // ES 8.2 probability sampling before the sub-agg. ES hashes doc
+        // ids against the probability; the DECLARED deterministic analog
+        // keeps a doc when an LCG scramble of its NUMERIC id lands under
+        // probability·1e6 — a stateless map-side filter (no shuffle, no
+        // per-shard state), reproducible at any partitioning and cluster
+        // size, and expressible in plain integer SQL (oracle parity —
+        // xxhash64 exists only on the Spark side). All intermediates stay
+        // < 1e6·1.2e9 « 2^63: no overflow in either engine. `seed` shifts
+        // the scramble additively, defaulting to 0 like ES's absent seed.
+        val unknownR = body.fieldNames.asScala.toSet -- Set("probability", "seed")
+        require(unknownR.isEmpty,
+          s"unsupported random_sampler option(s) in '$name': ${unknownR.mkString(", ")}")
+        val prob = Option(body.get("probability")).filter(_.isNumber).map(_.asDouble)
+          .getOrElse(throw new IllegalArgumentException(
+            s"random_sampler '$name' needs a numeric 'probability'"))
+        // ES allows (0, 0.5] or exactly 1 (a high sampling rate biases
+        // worse than no sampling; same contract here)
+        require((prob > 0 && prob <= 0.5) || prob == 1.0,
+          s"random_sampler '$name' probability must be in (0, 0.5] or 1, got $prob")
+        val seed = Option(body.get("seed")).map(_.asLong).getOrElse(0L)
+        require(seed >= 0 && seed <= 1000000L,
+          s"random_sampler '$name' seed must be in [0, 1e6], got $seed")
+        val keep = pmod(
+          (pmod(col(idCol).cast("long"), lit(1000003L)) + lit(seed)) *
+            lit(1103515245L) + lit(12345L), lit(1000000L)) <
+          lit((prob * 1e6).toLong)
+        val rsample = if (prob == 1.0) docs else docs.where(keep)
+        val subEntriesR = subAggs.toSeq.flatMap(n =>
+          n.fieldNames.asScala.toSeq.map(sn => sn -> n.get(sn)))
+        require(subEntriesR.size == 1,
+          s"random_sampler '$name' needs exactly one sub-agg (declared subset), " +
+            s"got ${subEntriesR.size}")
+        val (subNameR, subSpecR) = subEntriesR.head
+        one(rsample, subNameR, subSpecR, background, idCol)
       case "date_histogram" | "histogram" =>
         // one level of BUCKET nesting: an inner `terms` sub-agg turns each
         // outer bucket into its own top-N breakdown ("per day, top event

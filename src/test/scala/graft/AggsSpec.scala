@@ -971,6 +971,52 @@ class AggsSpec extends AnyFunSuite {
       .getMessage.contains("exactly one sub-agg"))
   }
 
+  test("random_sampler: LCG Bernoulli keep on the numeric id feeds one sub-agg") {
+    // ((id % 1000003 + 0) * 1103515245 + 12345) % 1e6 < 500000 keeps
+    // exactly ids 2, 4, 6 of the fixture
+    val n = Aggs.runSingle(docs,
+      """{"aggs": {"s": {"random_sampler": {"probability": 0.5},
+          "aggs": {"c": {"value_count": {"field": "doc_id"}}}}}}""")
+      .collect().head.getLong(0)
+    assert(n == 3L)
+    // probability 1 is the no-op passthrough
+    val all = Aggs.runSingle(docs,
+      """{"aggs": {"s": {"random_sampler": {"probability": 1},
+          "aggs": {"c": {"value_count": {"field": "doc_id"}}}}}}""")
+      .collect().head.getLong(0)
+    assert(all == 6L)
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(docs,
+      """{"aggs": {"s": {"random_sampler": {"probability": 0.75},
+          "aggs": {"c": {"value_count": {"field": "doc_id"}}}}}}"""))
+      .getMessage.contains("(0, 0.5]"))
+  }
+
+  test("parent agg: child context climbs to distinct parents") {
+    val parents = Seq(("c1", "A", 10.0), ("c2", "A", 20.0), ("c3", "B", 30.0))
+      .toDF("cid", "seg", "bal")
+    val children = Seq(("o1", "c1"), ("o2", "c1"), ("o3", "c3"))
+      .toDF("oid", "fk")
+    val out = Aggs.parentAgg(children, parents, "fk", "cid", "seg",
+        parentMetrics = """{"avg_bal": {"avg": {"field": "bal"}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // c1 counts ONCE despite two orders; c2 (childless) never appears
+    assert(out == Seq(("A", 1L, 10.0), ("B", 1L, 30.0)))
+  }
+
+  test("categorize_text: token-prefix signature buckets") {
+    val logs = Seq(
+      (1L, "Error 42 on node7"), (2L, "Error 99 on node3"),
+      (3L, "disk full"), (4L, "123 456"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Aggs.runSingle(logs,
+      """{"aggs": {"cats": {"categorize_text":
+            {"field": "text", "max_matched_tokens": 3}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // digits collapse: both error lines share one category; all-digit and
+    // null docs drop
+    assert(out == Seq(("error on node", 2L), ("disk full", 1L)))
+  }
+
   test("nested agg: element granularity, path-addressed fields, reverse_nested") {
     val parents = Seq(
       (1L, Seq(("F", 100.0), ("O", 300.0))),

@@ -2355,6 +2355,20 @@ object SparkEntry {
       TextStats.unigramLogLoss(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q_text_bigram_nll" -> ((s, dir) => {
+      // corpus-bigram conditional cross-entropy — one order up from the
+      // unigram NLL toward KenLM-style perplexity filtering (high = token
+      // salad the unigram stats miss)
+      TextStats.bigramLogLoss(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+    "q_text_dup_ngrams" -> ((s, dir) => {
+      // corpus-wide duplicate 3-gram fraction — the RefinedWeb/Dolma
+      // boilerplate signal (fraction of the doc's gram instances whose
+      // exact text occurs >= 2 times anywhere in the corpus)
+      TextStats.dupNgramFraction(tbl(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy(col("doc_id"))
+    }),
     "q_text_keywords" -> ((s, dir) => {
       // per-doc top-3 TF-IDF keywords, deterministic tie-break on token
       TextStats.keywords(tbl(s, dir, "documents"), "text", "doc_id", 3)
@@ -4272,6 +4286,39 @@ object SparkEntry {
            GROUP BY doc_id, w)
          SELECT doc_id, round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_bigram_nll" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest([array_to_string(list_slice(toks, i, i + 1), ' ')
+               for i in generate_series(1, greatest(len(toks) - 1, 0))]) AS bg
+           FROM t),
+         p AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g),
+         cb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM p GROUP BY bg),
+         ch AS (SELECT w1, CAST(count(*) AS DOUBLE) AS ch FROM p GROUP BY w1)
+         SELECT doc_id, round(-avg(ln(cb / ch)), 4) AS bigram_nll
+         FROM p JOIN cb USING (bg) JOIN ch USING (w1)
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_dup_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(
+             string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             unnest([array_to_string(list_slice(toks, i, i + 2), ' ')
+               for i in generate_series(1, greatest(len(toks) - 2, 0))]) AS g
+           FROM t),
+         c AS (SELECT g, count(*) AS cg FROM g GROUP BY g)
+         SELECT doc_id,
+           round(sum(CASE WHEN cg >= 2 THEN 1.0 ELSE 0.0 END) / count(*), 4)
+             AS dup_ngram_frac,
+           count(*) AS n_ngrams
+         FROM g JOIN c USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_text_unigram_nll" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

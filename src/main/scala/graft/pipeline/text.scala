@@ -177,6 +177,75 @@ object TextStats {
         .as("unigram_nll"))
   }
 
+  /** Word n-grams of a token-array column as an array of space-joined
+    * strings — a pure array expression (no window, no explode here): the
+    * doc's gram list never leaves its row until the caller explodes it.
+    * Empty when the doc has fewer than `n` tokens (Spark's `sequence`
+    * DESCENDS when stop < start, so the guard is load-bearing). */
+  private def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array())
+
+  /** Corpus-wide duplicate n-gram fraction — the RefinedWeb/Dolma-style
+    * "massive web duplication" signal: for each doc, the fraction of its
+    * word n-gram INSTANCES whose exact gram text occurs ≥ 2 times across
+    * the whole corpus (including its own repeats). High = boilerplate/
+    * templated text shared across pages; the usual curation gate drops
+    * docs above a threshold before expensive fuzzy dedup runs.
+    *
+    * Shape: one exploded gram relation feeds the corpus gram counts; the
+    * scoring join is gram-keyed with exactly one build row per distinct
+    * gram (Zipf-hot grams skew only the probe side — AQE territory), then
+    * a per-doc hash aggregate. Nothing all-pairs, nothing windowed; at
+    * 100 TB the exchange carries (id, gram-hash)-sized rows only. Docs
+    * with < n tokens have no grams and are absent, like [[tokenEntropy]]. */
+  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val g = df.select(col(idCol), explode(wordGrams(toks, n)).as("g"))
+    val corpus = g.groupBy("g").agg(count(lit(1)).as("cg"))
+    g.join(corpus, "g")
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(when(col("cg") >= 2, 1.0).otherwise(0.0)) /
+          count(lit(1)), 4).as("dup_ngram_frac"),
+        count(lit(1)).as("n_ngrams"))
+  }
+
+  /** Per-doc conditional bigram cross-entropy under the CORPUS bigram
+    * model — one order up from [[unigramLogLoss]] toward CCNet/KenLM-style
+    * perplexity filtering: `nll(d) = −(1/|B_d|) Σ ln(C(w1 w2) / C(w1 ·))`
+    * where `C(w1 ·)` counts bigrams headed by `w1`. No smoothing/backoff
+    * branch is ever taken within-corpus (every doc bigram is in the
+    * corpus by construction, so C ≥ 1 — the stupid-backoff path of the
+    * phrase suggester handles the open-vocabulary case instead). Low =
+    * locally predictable prose; high = token salad that unigram stats
+    * miss (right words, wrong order).
+    *
+    * Shape mirrors [[unigramLogLoss]] with bigram keys: an exploded
+    * (head, bigram) relation feeds both count tables; two hash joins
+    * keyed on bigram/head; per-doc aggregate. */
+  def bigramLogLoss(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - lit(1)),
+        i => struct(array_join(slice(toks, i, lit(1)), "").as("w1"),
+          array_join(slice(toks, i, lit(2)), " ").as("bg"))))
+      .otherwise(array())
+    val b = df.select(col(idCol), explode(pairs).as("p"))
+      .select(col(idCol), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val bigramC = b.groupBy("bg").agg(count(lit(1)).cast("double").as("cb"))
+    val headC = b.groupBy("w1").agg(count(lit(1)).cast("double").as("ch"))
+    b.join(bigramC, "bg").join(headC, "w1")
+      .groupBy(col(idCol))
+      .agg(round(-avg(log(col("cb") / col("ch"))), 4).as("bigram_nll"))
+  }
+
   /** Top-k distinctive terms per doc by TF-IDF
     * (`c(w,d) · ln(N/df(w))`, N = docs with ≥1 token) — keyword
     * extraction / topic fingerprinting over the corpus statistics the

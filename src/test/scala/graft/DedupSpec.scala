@@ -208,6 +208,37 @@ class DedupSpec extends AnyFunSuite {
     assert(!e.contains(3))
   }
 
+  test("bigram NLL: conditional cross-entropy under the corpus bigram model") {
+    val df = Seq((1, "a b a b"), (2, "a b"), (3, "x")).toDF("id", "text")
+    // corpus bigrams: doc1 (a b)(b a)(a b), doc2 (a b) → C(a b)=3,
+    // C(b a)=1; heads C(a ·)=3, C(b ·)=1.
+    // nll(1) = -(ln(3/3) + ln(1/1) + ln(3/3))/3 = 0
+    // nll(2) = -ln(3/3) = 0; doc3 has no bigram → absent
+    val e = TextStats.bigramLogLoss(df, "text", "id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(e(1) == 0.0 && e(2) == 0.0 && !e.contains(3))
+    // make the model discriminate: a rare continuation scores high
+    val df2 = Seq((1, "a b"), (2, "a b"), (3, "a c")).toDF("id", "text")
+    // C(a b)=2, C(a c)=1, C(a ·)=3: nll(3) = -ln(1/3) = 1.0986
+    val e2 = TextStats.bigramLogLoss(df2, "text", "id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    assert(e2(3) == 1.0986 && e2(1) == 0.4055) // -ln(2/3)
+  }
+
+  test("duplicate n-gram fraction: corpus-wide gram instances seen >= 2 times") {
+    val df = Seq(
+      (1, "the quick brown fox"), (2, "the quick brown cat"),
+      (3, "one two"), (4, "a a a a")).toDF("id", "text")
+    // 3-grams: doc1 {the quick brown, quick brown fox}, doc2 {the quick
+    // brown, quick brown cat} — 'the quick brown' occurs twice corpus-wide
+    // → frac 1/2 each; doc3 too short → absent; doc4 'a a a' ×2 → frac 1
+    val o = TextStats.dupNgramFraction(df, "text", "id", 3)
+      .collect().map(r => (r.getInt(0), (r.getDouble(1), r.getLong(2)))).toMap
+    assert(o(1) == ((0.5, 2L)) && o(2) == ((0.5, 2L)))
+    assert(o(4) == ((1.0, 2L)))
+    assert(!o.contains(3))
+  }
+
   test("tf-idf keywords: distinctive terms rank first, universal terms score 0") {
     val df = Seq(
       (1, "common rare rare"),

@@ -2079,6 +2079,29 @@ object SparkEntry {
         """{"aggs": {"cats": {"categorize_text":
               {"field": "text", "size": 8, "max_matched_tokens": 3}}}}""")
     }),
+    "q_agg_scripted_metric" -> ((s, dir) => {
+      // scripted_metric (declared subset): per-lang sum of an arithmetic
+      // map_script over doc fields — map per row, combine map-side,
+      // reduce across partitions, exactly Spark's partial aggregation
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"by_lang": {"terms": {"field": "lang", "size": 5},
+            "aggs": {"weight": {"scripted_metric":
+              {"map_script": "n_chars * 2 + 1", "reduce": "sum"}}}}}}""")
+    }),
+    "q_agg_geo_line" -> ((s, dir) => {
+      // geo_line: per-nation customer tracks in id order, emitted as the
+      // flat "lat,lon;…" LineString analog, capped at 100 points
+      val frame = tbl(s, dir, "customer").select(
+        col("c_nationkey"), col("c_custkey"),
+        struct((col("c_custkey") % 180 - 90).cast("double").as("lat"),
+               ((col("c_custkey") * 7) % 360 - 180).cast("double").as("lon"))
+          .as("loc"))
+      Aggs.runSingle(frame,
+        """{"aggs": {"tracks": {"terms": {"field": "c_nationkey", "size": 5},
+            "aggs": {"line": {"geo_line": {"point": {"field": "loc"},
+              "sort": {"field": "c_custkey"}, "size": 100}}}}}}""",
+        idCol = "c_custkey")
+    }),
     "q_agg_sampler_plain" -> ((s, dir) => {
       // plain sampler: the one sub-agg runs over the first shard_size docs
       // in id order (the engine's declared deterministic sample)
@@ -3911,6 +3934,21 @@ object SparkEntry {
            FROM documents WHERE text IS NOT NULL)
          SELECT key, count(*) AS doc_count FROM k WHERE key <> ''
          GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 8""",
+    "q_agg_scripted_metric" ->
+      """SELECT lang AS key, count(*) AS doc_count,
+           sum(n_chars * 2 + 1) AS weight
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5""",
+    "q_agg_geo_line" ->
+      """WITH pts AS (
+           SELECT c_nationkey AS k, c_custkey AS s,
+             CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+             CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer)
+         SELECT k AS key, count(*) AS doc_count,
+           array_to_string(list_slice(
+             list(lat || ',' || lon ORDER BY s), 1, 100), ';') AS line
+         FROM pts GROUP BY k ORDER BY doc_count DESC, key LIMIT 5""",
     "q_agg_sampler_plain" ->
       """WITH s AS (
            SELECT n_chars FROM documents ORDER BY doc_id LIMIT 100)

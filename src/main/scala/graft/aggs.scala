@@ -2049,6 +2049,62 @@ object Aggs {
       val mask = v.isNotNull && w.isNotNull
       return Seq((sum(when(mask, v * w)) / sum(when(mask, w))).as(name))
     }
+    if (tpe == "scripted_metric") {
+      // ES map/combine/reduce metric. DECLARED subset: `map_script` is an
+      // arithmetic expression over the doc's own numeric fields (the
+      // [[Script]] grammar, same as runtime fields), and combine/reduce
+      // collapse to ONE associative `reduce` op (sum default, avg|min|max)
+      // — exactly the shape Spark's partial aggregation already executes:
+      // map_script per row, combine map-side per partition, reduce across
+      // partitions. Arbitrary stateful painless bodies are out of scope.
+      val unknownS = body.fieldNames.asScala.toSet -- Set("map_script", "reduce")
+      require(unknownS.isEmpty,
+        s"unsupported scripted_metric option(s) in '$name': ${unknownS.mkString(", ")} " +
+          "(map_script/reduce — declared subset)")
+      val src = Option(body.get("map_script")).filter(_.isTextual).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"scripted_metric '$name' needs a 'map_script'"))
+      // bind every identifier in the script to the doc column of the same
+      // name (the runtime-field convention)
+      val ids = "[A-Za-z_][A-Za-z0-9_.]*".r.findAllIn(src)
+        .filterNot(_.startsWith("params.")).toSet
+      val mapped = Script.compile(src, ids.map(i => i -> col(i)).toMap,
+        s"scripted_metric '$name'")
+      val c = Option(body.get("reduce")).map(_.asText).getOrElse("sum") match {
+        case "sum" => sum(mapped)
+        case "avg" => avg(mapped)
+        case "min" => min(mapped)
+        case "max" => max(mapped)
+        case other => throw new IllegalArgumentException(
+          s"scripted_metric '$name': unsupported reduce '$other' " +
+            "(sum|avg|min|max)")
+      }
+      return Seq(c.as(name))
+    }
+    if (tpe == "geo_line") {
+      // ES geo_line: the bucket's points as an ordered track. Emitted as
+      // one "lat,lon;lat,lon;…" string (the flat analog of ES's GeoJSON
+      // LineString), sorted by the sort field with (lat, lon) tiebreaks so
+      // equal sort keys stay deterministic. The collect is bounded by the
+      // `size` cap AFTER sort like ES (default 10000); a per-entity track
+      // is bounded in practice — this is a per-bucket aggregate, never a
+      // corpus-wide collect.
+      val unknownG = body.fieldNames.asScala.toSet -- Set("point", "sort", "size")
+      require(unknownG.isEmpty,
+        s"unsupported geo_line option(s) in '$name': ${unknownG.mkString(", ")}")
+      def fieldIn(part: String): String = Option(body.get(part))
+        .flatMap(n => Option(n.get("field")).map(_.asText))
+        .getOrElse(throw new IllegalArgumentException(
+          s"geo_line '$name' needs '$part': {\"field\": ...}"))
+      val (pf, sf) = (fieldIn("point"), fieldIn("sort"))
+      val sizeG = Option(body.get("size")).map(_.asInt).getOrElse(10000)
+      require(sizeG >= 1, s"geo_line '$name' size must be >= 1")
+      val pts = array_sort(collect_list(struct(col(sf).as("s"),
+        col(pf).getField("lat").as("lat"), col(pf).getField("lon").as("lon"))))
+      return Seq(array_join(transform(slice(pts, 1, sizeG),
+        p => concat(p.getField("lat").cast("string"), lit(","),
+          p.getField("lon").cast("string"))), ";").as(name))
+    }
     // top_metrics also nests its fields ({"metrics":{...},"sort":[...]})
     // — handled before the flat-field contract below
     if (tpe == "top_metrics") {

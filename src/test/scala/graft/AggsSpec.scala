@@ -1017,6 +1017,48 @@ class AggsSpec extends AnyFunSuite {
     assert(out == Seq(("error on node", 2L), ("disk full", 1L)))
   }
 
+  test("scripted_metric: map_script over doc fields, one associative reduce") {
+    // top-level: sum of score*2 over all docs = 2*(10+...+60) = 420
+    val top = Aggs.runSingle(docs,
+      """{"aggs": {"t": {"scripted_metric": {"map_script": "score * 2"}}}}""")
+      .collect().head.getDouble(0)
+    assert(top == 420.0)
+    // under terms: per-lang avg of score+1
+    val by = Aggs.runSingle(docs,
+      """{"aggs": {"by": {"terms": {"field": "lang"},
+          "aggs": {"m": {"scripted_metric":
+            {"map_script": "score + 1", "reduce": "avg"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(by("en") == 16.0 && by("de") == 36.0) // (11+21)/2, (31+41)/2
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(docs,
+      """{"aggs": {"t": {"scripted_metric":
+          {"map_script": "score", "reduce": "median"}}}}"""))
+      .getMessage.contains("unsupported reduce"))
+  }
+
+  test("geo_line: sort-ordered track string, size cap") {
+    val pts = Seq(
+      ("a", 3L, 1.0, 10.0), ("a", 1L, 2.0, 20.0), ("a", 2L, 3.0, 30.0),
+      ("b", 1L, 5.0, 50.0))
+      .toDF("vehicle", "ts", "lat", "lon")
+      .select(col("vehicle"), col("ts"),
+        struct(col("lat"), col("lon")).as("loc"))
+    val out = Aggs.runSingle(pts,
+      """{"aggs": {"tracks": {"terms": {"field": "vehicle"},
+          "aggs": {"line": {"geo_line": {"point": {"field": "loc"},
+            "sort": {"field": "ts"}}}}}}}""", idCol = "ts")
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(out("a") == "2.0,20.0;3.0,30.0;1.0,10.0") // ts order 1,2,3
+    assert(out("b") == "5.0,50.0")
+    // size caps the track AFTER the sort
+    val capped = Aggs.runSingle(pts,
+      """{"aggs": {"tracks": {"terms": {"field": "vehicle"},
+          "aggs": {"line": {"geo_line": {"point": {"field": "loc"},
+            "sort": {"field": "ts"}, "size": 2}}}}}}""", idCol = "ts")
+      .collect().map(r => (r.getString(0), r.getString(2))).toMap
+    assert(capped("a") == "2.0,20.0;3.0,30.0")
+  }
+
   test("nested agg: element granularity, path-addressed fields, reverse_nested") {
     val parents = Seq(
       (1L, Seq(("F", 100.0), ("O", 300.0))),

@@ -2165,6 +2165,46 @@ object SparkEntry {
         .reduce(_ unionAll _)
         .orderBy(col("doc_id"))
     }),
+    "q_esql_stats" -> ((s, dir) => {
+      // ES|QL: filter → grouped STATS → ROUND pinning → deterministic sort,
+      // the canonical analytics pipe, one hash aggregate end to end
+      Esql.run(
+        "FROM lineitem | WHERE l_quantity > 10 " +
+          "| STATS n = COUNT(*), qty = SUM(l_quantity), hi = MAX(l_extendedprice) " +
+          "BY l_returnflag, l_linestatus " +
+          "| EVAL qty = ROUND(qty, 2), hi = ROUND(hi, 2) " +
+          "| SORT l_returnflag, l_linestatus",
+        Map("lineitem" -> tbl(s, dir, "lineitem")))
+    }),
+    "q_esql_eval" -> ((s, dir) => {
+      // ES|QL: wildcard LIKE + IN filters, computed EVAL columns, KEEP
+      // projection — filter and pruning both reach the scan (EsqlSpec)
+      Esql.run(
+        "FROM documents | WHERE lang IN (\"en\", \"fr\") AND text LIKE \"*spark*\" " +
+          "| EVAL chars2 = n_chars * 2 + LENGTH(lang), " +
+          "tag = CONCAT(lang, \"-\", source) " +
+          "| KEEP doc_id, chars2, tag | SORT doc_id",
+        Map("documents" -> tbl(s, dir, "documents")))
+    }),
+    "q_esql_lookup" -> ((s, dir) => {
+      // ES|QL: RENAME + LOOKUP JOIN (the ENRICH face) against the customer
+      // dimension, then grouped STATS — AQE broadcasts the dimension side
+      Esql.run(
+        "FROM orders | RENAME o_custkey AS c_custkey " +
+          "| LOOKUP JOIN customer ON c_custkey " +
+          "| STATS n = COUNT(*), total = SUM(o_totalprice) BY c_mktsegment " +
+          "| EVAL total = ROUND(total, 2) | SORT c_mktsegment",
+        Map("orders" -> tbl(s, dir, "orders"),
+          "customer" -> tbl(s, dir, "customer")))
+    }),
+    "q_esql_dissect" -> ((s, dir) => {
+      // ES|QL: DISSECT pattern extraction (literal separators → anchored
+      // regex, null on non-match) feeding a grouped count
+      Esql.run(
+        "FROM customer | EVAL s = CONCAT(c_name, \"|\", c_mktsegment) " +
+          "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
+        Map("customer" -> tbl(s, dir, "customer")))
+    }),
     "q_search_explain" -> ((s, dir) => {
       // explain=true: per-hit BM25 score breakdown — one (term, tf, df,
       // idf, contrib) struct per query term, flattened to columns; round-4
@@ -4013,6 +4053,26 @@ object SparkEntry {
          SELECT doc_id, source, n_chars,
            CAST((rn - 1) // 100 + 1 AS INT) AS page
          FROM r WHERE rn <= 300 ORDER BY doc_id""",
+    "q_esql_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty,
+           round(max(l_extendedprice), 2) AS hi
+         FROM lineitem WHERE l_quantity > 10
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_esql_eval" ->
+      """SELECT doc_id, n_chars * 2 + length(lang) AS chars2,
+           lang || '-' || source AS tag
+         FROM documents
+         WHERE lang IN ('en', 'fr') AND text LIKE '%spark%'
+         ORDER BY doc_id""",
+    "q_esql_lookup" ->
+      """SELECT c_mktsegment, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON c_custkey = o_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "q_esql_dissect" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n
+         FROM customer GROUP BY 1 ORDER BY 1""",
     "q_search_explain" ->
       // the q_search_bm25 pipeline with per-term components surfaced;
       // explanation entries ordered by term ('query' < 'spark')

@@ -1,0 +1,545 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ES|QL-lite: the modern Elasticsearch piped query language compiled to
+  * DataFrame transforms — each `|` stage is one declarative Spark
+  * operation, so Catalyst sees the whole pipe as a single logical plan
+  * (filters push into the scan, KEEP prunes the read schema, SORT+LIMIT
+  * fuses to TakeOrderedAndProject; `.explain` proven in EsqlSpec).
+  *
+  * DECLARED SUBSET of the ES|QL surface (fail-loud beyond it):
+  *   - `FROM idx[, idx2…]`        union of catalog tables by column name
+  *   - `| WHERE <bool expr>`      predicate pushdown territory
+  *   - `| EVAL n = expr, …`       computed columns (overwrite allowed)
+  *   - `| KEEP f, …` / `| DROP f, …` / `| RENAME old AS new, …`
+  *   - `| STATS n = AGG(expr), … [BY k, …]`
+  *       aggs: COUNT(*|expr), COUNT_DISTINCT, SUM, AVG, MIN, MAX,
+  *       MEDIAN (exact — ES approximates), PERCENTILE(expr, p) (exact)
+  *   - `| SORT f [ASC|DESC], …`
+  *   - `| LIMIT n`
+  *   - `| MV_EXPAND f`            explode a multi-value column
+  *   - `| DISSECT f "%{a}-%{b}"`  literal-separator pattern extraction
+  *   - `| LOOKUP JOIN idx ON f`   left equi-join against a catalog table
+  *       (the 8.18 lookup-join / ENRICH face; broadcast when small —
+  *       AQE decides, dimension tables always qualify)
+  *
+  * Expression grammar: field refs (dotted ok), `"strings"`, numbers,
+  * TRUE/FALSE/NULL, `+ - * / %`, comparisons, AND/OR/NOT, `IN (…)`,
+  * `LIKE "wild*card?"` (ES|QL wildcards → SQL LIKE), and the function set
+  * ABS, ROUND, LENGTH, TO_LOWER, TO_UPPER, SUBSTRING, CONCAT, COALESCE,
+  * GREATEST, LEAST, SPLIT, STARTS_WITH, ENDS_WITH, TO_LONG, TO_DOUBLE,
+  * TO_STRING, MV_COUNT. Everything compiles to built-in `functions._`
+  * columns — codegen'd, no UDFs.
+  *
+  * The reference serves verbatim ES DSL (ElasticIndex.java:663); ES|QL is
+  * the successor surface its users migrate to, hence first-class here.
+  */
+object Esql {
+
+  /** Parse and execute a pipe query against named tables. */
+  def run(query: String, catalog: Map[String, DataFrame]): DataFrame = {
+    val stages = splitStages(query)
+    require(stages.nonEmpty, "empty ES|QL query")
+    val head = stages.head
+    require(head.toUpperCase.startsWith("FROM"),
+      s"ES|QL must start with FROM, got: $head")
+    val names = head.drop(4).split(',').map(_.trim).filter(_.nonEmpty)
+    require(names.nonEmpty, "FROM needs at least one index name")
+    val sources = names.map(n => catalog.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"unknown index '$n' (catalog: ${catalog.keys.toSeq.sorted.mkString(", ")})")))
+    val base = sources.reduce(_.unionByName(_, allowMissingColumns = true))
+    stages.tail.foldLeft(base)(applyStage(_, _, catalog))
+  }
+
+  /** Validate without executing: Left(error) on a malformed pipe. */
+  def validate(query: String, catalog: Map[String, DataFrame]): Either[String, Unit] =
+    try { run(query, catalog).queryExecution.analyzed; Right(()) }
+    catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
+
+  /** Split on TOP-LEVEL pipes only — a `|` inside a string literal belongs
+    * to the stage. */
+  private def splitStages(q: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer[String]()
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < q.length) {
+      val c = q(i)
+      if (inStr) {
+        cur += c
+        if (c == '\\' && i + 1 < q.length) { cur += q(i + 1); i += 1 }
+        else if (c == '"') inStr = false
+      } else if (c == '"') { inStr = true; cur += c }
+      else if (c == '|') { out += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
+    }
+    require(!inStr, "unterminated string literal")
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toList
+  }
+
+  private def applyStage(df: DataFrame, stage: String,
+                         catalog: Map[String, DataFrame]): DataFrame = {
+    val (kw, rest) = keyword(stage)
+    kw match {
+      case "WHERE" => df.where(Expr.compile(rest))
+      case "EVAL" =>
+        Expr.assignments(rest).foldLeft(df) { case (d, (n, e)) =>
+          d.withColumn(n, e)
+        }
+      case "KEEP" =>
+        val fields = rest.split(',').map(_.trim)
+        require(fields.forall(_.nonEmpty), s"bad KEEP list: $rest")
+        df.select(fields.map(col).toSeq: _*)
+      case "DROP" =>
+        val fields = rest.split(',').map(_.trim)
+        require(fields.forall(_.nonEmpty), s"bad DROP list: $rest")
+        df.drop(fields.toSeq: _*)
+      case "RENAME" =>
+        rest.split(',').map(_.trim).foldLeft(df) { (d, spec) =>
+          spec.split("(?i)\\s+AS\\s+") match {
+            case Array(o, n) => d.withColumnRenamed(o.trim, n.trim)
+            case _ => throw new IllegalArgumentException(
+              s"RENAME needs 'old AS new', got: $spec")
+          }
+        }
+      case "SORT" =>
+        val keys = rest.split(',').map(_.trim).map { k =>
+          val up = k.toUpperCase
+          if (up.endsWith(" DESC")) col(k.dropRight(5).trim).desc
+          else if (up.endsWith(" ASC")) col(k.dropRight(4).trim).asc
+          else col(k).asc
+        }
+        df.orderBy(keys.toSeq: _*)
+      case "LIMIT" =>
+        val n = rest.trim.toInt
+        require(n >= 0, s"LIMIT must be >= 0, got $n")
+        df.limit(n)
+      case "STATS" => stats(df, rest)
+      case "MV_EXPAND" =>
+        val f = rest.trim
+        require(f.nonEmpty, "MV_EXPAND needs a field")
+        df.withColumn(f, explode(col(f)))
+      case "DISSECT" => dissect(df, rest)
+      case "LOOKUP" => lookupJoin(df, rest, catalog)
+      case other => throw new IllegalArgumentException(
+        s"unsupported ES|QL command '$other' (declared subset: WHERE, EVAL, " +
+          "KEEP, DROP, RENAME, SORT, LIMIT, STATS, MV_EXPAND, DISSECT, LOOKUP JOIN)")
+    }
+  }
+
+  private def keyword(stage: String): (String, String) = {
+    val t = stage.trim
+    val sp = t.indexWhere(_.isWhitespace)
+    if (sp < 0) (t.toUpperCase, "") else (t.take(sp).toUpperCase, t.drop(sp).trim)
+  }
+
+  /** `STATS n = AGG(expr), … [BY k, …]` — one hash aggregate; aggregate
+    * names are REQUIRED (ES|QL's default name is the verbatim source text,
+    * which is hostile to downstream column refs — declared divergence). */
+  private def stats(df: DataFrame, rest: String): DataFrame = {
+    val byIdx = findTopLevel(rest, "BY")
+    val (aggPart, byPart) =
+      if (byIdx < 0) (rest, "") else (rest.take(byIdx), rest.drop(byIdx + 2))
+    val aggs = Expr.splitTopLevel(aggPart, ',').map { a =>
+      val eq = findTopLevel(a, "=")
+      require(eq > 0,
+        s"STATS aggregate needs a name ('n = AGG(...)'), got: ${a.trim}")
+      val name = a.take(eq).trim
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"bad STATS column name '$name'")
+      Expr.aggregate(a.drop(eq + 1).trim).as(name)
+    }
+    require(aggs.nonEmpty, "STATS needs at least one aggregate")
+    if (byPart.trim.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else {
+      val keys = byPart.split(',').map(_.trim)
+      require(keys.forall(_.nonEmpty), s"bad BY list: $byPart")
+      df.groupBy(keys.map(col).toSeq: _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** `DISSECT f "%{a}<sep>%{b}…"` — compile the pattern to one regex with
+    * a capture group per key; literal separators only (no modifiers —
+    * declared subset). Non-matching rows yield null fields, like ES. */
+  private def dissect(df: DataFrame, rest: String): DataFrame = {
+    val m = "^\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s+\"(.*)\"\\s*$".r
+    val (f, pattern) = rest match {
+      case m(field, p) => (field, p)
+      case _ => throw new IllegalArgumentException(
+        s"DISSECT needs '<field> \"<pattern>\"', got: $rest")
+    }
+    val key = "%\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+    val names = key.findAllMatchIn(pattern).map(_.group(1)).toList
+    require(names.nonEmpty, s"DISSECT pattern has no %{key}: $pattern")
+    require(names.distinct == names, s"duplicate DISSECT keys in: $pattern")
+    // anchored regex: quoted literal runs between keys, one lazy capture
+    // group per key (the final group still reaches the anchor)
+    val sb = new StringBuilder("^")
+    var last = 0
+    for (mt <- key.findAllMatchIn(pattern)) {
+      if (mt.start > last)
+        sb ++= java.util.regex.Pattern.quote(pattern.substring(last, mt.start))
+      sb ++= "(.*?)"
+      last = mt.end
+    }
+    if (last < pattern.length)
+      sb ++= java.util.regex.Pattern.quote(pattern.substring(last))
+    sb += '$'
+    val regex = sb.toString
+    names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+      // non-matching rows yield null fields, like ES dissect
+      d.withColumn(n,
+        when(col(f).rlike(regex), regexp_extract(col(f), regex, i + 1)))
+    }
+  }
+
+  /** `LOOKUP JOIN idx ON f` — left equi-join with the catalog table on the
+    * shared field name. One row per left row preserved even on multiple
+    * matches? No: ES|QL lookup joins multiply on multi-match, and so does
+    * a left join — semantics align. */
+  private def lookupJoin(df: DataFrame, rest: String,
+                         catalog: Map[String, DataFrame]): DataFrame = {
+    val m = "(?i)^JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+    rest.trim match {
+      case m(idx, f) =>
+        val right = catalog.getOrElse(idx, throw new IllegalArgumentException(
+          s"LOOKUP JOIN: unknown index '$idx'"))
+        df.join(right, Seq(f), "left")
+      case _ => throw new IllegalArgumentException(
+        s"LOOKUP needs 'JOIN <index> ON <field>', got: $rest")
+    }
+  }
+
+  /** Index of a top-level (not in string/parens) occurrence of `tok`
+    * (word-bounded, case-insensitive for letters; `=` exact, skipping
+    * `==`, `!=`, `>=`, `<=`). −1 when absent. */
+  private def findTopLevel(s: String, tok: String): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) { if (c == '"') inStr = false }
+      else c match {
+        case '"' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          if (tok == "=") {
+            if (c == '=' && (i == 0 || !"=!<>".contains(s(i - 1))) &&
+                (i + 1 >= s.length || s(i + 1) != '=')) return i
+          } else {
+            val end = i + tok.length
+            if (end <= s.length && s.substring(i, end).equalsIgnoreCase(tok) &&
+                (i == 0 || s(i - 1).isWhitespace) &&
+                (end == s.length || s(end).isWhitespace)) return i
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Expression compiler: tokenizer + precedence-climbing descent, every
+    * node a built-in `Column` (codegen'd). */
+  private[graft] object Expr {
+
+    def compile(src: String): Column = {
+      val (c, rest) = orE(tokenize(src))
+      require(rest.isEmpty, s"trailing tokens in expression: ${rest.mkString(" ")}")
+      c
+    }
+
+    /** `name = expr, …` with top-level comma/`=` splitting. */
+    def assignments(src: String): Seq[(String, Column)] =
+      splitTopLevel(src, ',').map { a =>
+        val eq = findTopLevel(a, "=")
+        require(eq > 0, s"EVAL needs 'name = expr', got: ${a.trim}")
+        val name = a.take(eq).trim
+        require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"bad EVAL column name '$name'")
+        name -> compile(a.drop(eq + 1))
+      }
+
+    /** One STATS aggregate call. */
+    def aggregate(src: String): Column = {
+      val call = "^([A-Za-z_]+)\\s*\\((.*)\\)$".r
+      src.trim match {
+        case call(fn, args) => fn.toUpperCase match {
+          case "COUNT" =>
+            if (args.trim == "*") count(lit(1)) else count(compile(args))
+          case "COUNT_DISTINCT" => count_distinct(compile(args))
+          case "SUM" => sum(compile(args))
+          case "AVG" => avg(compile(args))
+          case "MIN" => min(compile(args))
+          case "MAX" => max(compile(args))
+          case "MEDIAN" => percentile(compile(args), lit(0.5))
+          case "PERCENTILE" =>
+            splitTopLevel(args, ',') match {
+              case Seq(v, p) => percentile(compile(v), lit(p.trim.toDouble / 100.0))
+              case _ => throw new IllegalArgumentException(
+                s"PERCENTILE needs (expr, percent), got: $args")
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported STATS aggregate '$other' (COUNT, COUNT_DISTINCT, " +
+              "SUM, AVG, MIN, MAX, MEDIAN, PERCENTILE)")
+        }
+        case other => throw new IllegalArgumentException(
+          s"STATS aggregate must be AGG(...), got: $other")
+      }
+    }
+
+    def splitTopLevel(s: String, sep: Char): Seq[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      val cur = new StringBuilder
+      var depth = 0; var inStr = false; var i = 0
+      while (i < s.length) {
+        val c = s(i)
+        if (inStr) { cur += c; if (c == '"') inStr = false }
+        else if (c == '"') { inStr = true; cur += c }
+        else if (c == '(') { depth += 1; cur += c }
+        else if (c == ')') { depth -= 1; cur += c }
+        else if (c == sep && depth == 0) { out += cur.toString; cur.clear() }
+        else cur += c
+        i += 1
+      }
+      out += cur.toString
+      out.filter(_.trim.nonEmpty).toSeq
+    }
+
+    // ---- tokenizer ----
+    private sealed trait Tok
+    private case class TId(s: String) extends Tok
+    private case class TNum(s: String) extends Tok
+    private case class TStr(s: String) extends Tok
+    private case class TOp(s: String) extends Tok
+
+    private def tokenize(src: String): List[Tok] = {
+      val out = scala.collection.mutable.ListBuffer[Tok]()
+      var i = 0
+      while (i < src.length) {
+        val c = src(i)
+        if (c.isWhitespace) i += 1
+        else if (c == '"') {
+          val sb = new StringBuilder
+          i += 1
+          while (i < src.length && src(i) != '"') {
+            if (src(i) == '\\' && i + 1 < src.length) { sb += src(i + 1); i += 2 }
+            else { sb += src(i); i += 1 }
+          }
+          require(i < src.length, s"unterminated string in: $src")
+          i += 1
+          out += TStr(sb.toString)
+        } else if (c.isDigit || (c == '.' && i + 1 < src.length && src(i + 1).isDigit)) {
+          val j0 = i
+          while (i < src.length && (src(i).isDigit || src(i) == '.')) i += 1
+          out += TNum(src.substring(j0, i))
+        } else if (c.isLetter || c == '_') {
+          val j0 = i
+          while (i < src.length &&
+            (src(i).isLetterOrDigit || src(i) == '_' || src(i) == '.')) i += 1
+          out += TId(src.substring(j0, i))
+        } else if ("=!<>".contains(c)) {
+          val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
+          if (Set("==", "!=", ">=", "<=").contains(two)) { out += TOp(two); i += 2 }
+          else { out += TOp(c.toString); i += 1 }
+        } else if ("+-*/%(),".contains(c)) { out += TOp(c.toString); i += 1 }
+        else throw new IllegalArgumentException(
+          s"unexpected character '$c' in expression: $src")
+      }
+      out.toList
+    }
+
+    // ---- precedence descent: OR < AND < NOT < cmp/IN/LIKE < add < mul < unary ----
+    private def orE(t: List[Tok]): (Column, List[Tok]) = {
+      var (l, rest) = andE(t)
+      while (rest.headOption.exists(isKw(_, "OR"))) {
+        val (r, rr) = andE(rest.tail); l = l || r; rest = rr
+      }
+      (l, rest)
+    }
+
+    private def andE(t: List[Tok]): (Column, List[Tok]) = {
+      var (l, rest) = notE(t)
+      while (rest.headOption.exists(isKw(_, "AND"))) {
+        val (r, rr) = notE(rest.tail); l = l && r; rest = rr
+      }
+      (l, rest)
+    }
+
+    private def notE(t: List[Tok]): (Column, List[Tok]) = t match {
+      case h :: tail if isKw(h, "NOT") =>
+        val (c, rest) = notE(tail); (!c, rest)
+      case _ => cmp(t)
+    }
+
+    private def cmp(t: List[Tok]): (Column, List[Tok]) = {
+      val (l, rest) = add(t)
+      rest match {
+        case TOp(op) :: tail if Set("==", "!=", ">", ">=", "<", "<=").contains(op) =>
+          val (r, rr) = add(tail)
+          (op match {
+            case "==" => l === r
+            case "!=" => l =!= r
+            case ">" => l > r
+            case ">=" => l >= r
+            case "<" => l < r
+            case _ => l <= r
+          }, rr)
+        case h :: tail if isKw(h, "LIKE") =>
+          tail match {
+            case TStr(p) :: rr =>
+              // ES|QL wildcards: * → %, ? → _ (escape existing SQL wilds)
+              val sql = p.replace("%", "\\%").replace("_", "\\_")
+                .replace('*', '%').replace('?', '_')
+              (l.like(sql), rr)
+            case _ => throw new IllegalArgumentException("LIKE needs a string pattern")
+          }
+        case h :: TOp("(") :: tail if isKw(h, "IN") =>
+          var vals = List.empty[Column]
+          var cur = tail
+          var done = false
+          while (!done) {
+            val (v, rr) = add(cur)
+            vals ::= v
+            rr match {
+              case TOp(",") :: more => cur = more
+              case TOp(")") :: more => cur = more; done = true
+              case _ => throw new IllegalArgumentException("bad IN list")
+            }
+          }
+          (l.isin(vals.reverse: _*), cur)
+        case _ => (l, rest)
+      }
+    }
+
+    private def add(t: List[Tok]): (Column, List[Tok]) = {
+      var (l, rest) = mul(t)
+      var done = false
+      while (!done) rest match {
+        case TOp("+") :: tail => val (r, rr) = mul(tail); l = l + r; rest = rr
+        case TOp("-") :: tail => val (r, rr) = mul(tail); l = l - r; rest = rr
+        case _ => done = true
+      }
+      (l, rest)
+    }
+
+    private def mul(t: List[Tok]): (Column, List[Tok]) = {
+      var (l, rest) = unary(t)
+      var done = false
+      while (!done) rest match {
+        case TOp("*") :: tail => val (r, rr) = unary(tail); l = l * r; rest = rr
+        case TOp("/") :: tail => val (r, rr) = unary(tail); l = l / r; rest = rr
+        case TOp("%") :: tail => val (r, rr) = unary(tail); l = l % r; rest = rr
+        case _ => done = true
+      }
+      (l, rest)
+    }
+
+    private def unary(t: List[Tok]): (Column, List[Tok]) = t match {
+      case TOp("-") :: tail => val (c, rest) = unary(tail); (-c, rest)
+      case TOp("(") :: tail =>
+        val (c, rest) = orE(tail)
+        rest match {
+          case TOp(")") :: rr => (c, rr)
+          case _ => throw new IllegalArgumentException("unclosed '('")
+        }
+      case TNum(n) :: rest =>
+        (if (n.contains('.')) lit(n.toDouble) else lit(n.toLong), rest)
+      case TStr(s) :: rest => (lit(s), rest)
+      case TId(id) :: TOp("(") :: tail => function(id.toUpperCase, tail)
+      case TId(id) :: rest => id.toUpperCase match {
+        case "TRUE" => (lit(true), rest)
+        case "FALSE" => (lit(false), rest)
+        case "NULL" => (lit(null), rest)
+        case _ => (col(id), rest)
+      }
+      case other => throw new IllegalArgumentException(
+        s"expected a value, got: ${other.headOption.getOrElse("end of input")}")
+    }
+
+    private def function(fn: String, t: List[Tok]): (Column, List[Tok]) = {
+      // parse comma-separated args to the closing paren; single-token
+      // literal args also surface their raw value (ROUND's scale and
+      // SPLIT's separator must be compile-time constants)
+      var args = List.empty[(Column, Option[Any])]
+      var cur = t
+      if (cur.headOption.contains(TOp(")"))) cur = cur.tail
+      else {
+        var done = false
+        while (!done) {
+          // NB: annotate the branches to Any — a bare if/else of
+          // Double/Long weak-lubs to Double and silently widens the Long
+          val litVal: Option[Any] = cur match {
+            case TNum(n) :: (TOp(",") | TOp(")")) :: _ =>
+              if (n.contains('.')) Some(n.toDouble) else Some(n.toLong)
+            case TStr(s) :: (TOp(",") | TOp(")")) :: _ => Some(s)
+            case _ => None
+          }
+          val (v, rr) = orE(cur)
+          args ::= (v, litVal)
+          rr match {
+            case TOp(",") :: more => cur = more
+            case TOp(")") :: more => cur = more; done = true
+            case _ => throw new IllegalArgumentException(s"bad argument list for $fn")
+          }
+        }
+      }
+      val argInfo = args.reverse.toIndexedSeq
+      val a = argInfo.map(_._1)
+      def arity(n: Int): Unit = require(a.length == n,
+        s"$fn expects $n argument(s), got ${a.length}")
+      val c = fn match {
+        case "ABS" => arity(1); abs(a(0))
+        case "ROUND" =>
+          require(a.length == 1 || a.length == 2, "ROUND expects 1 or 2 arguments")
+          if (a.length == 1) round(a(0))
+          else round(a(0), litInt(argInfo(1)._2, "ROUND"))
+        case "LENGTH" => arity(1); length(a(0))
+        case "TO_LOWER" => arity(1); lower(a(0))
+        case "TO_UPPER" => arity(1); upper(a(0))
+        case "SUBSTRING" =>
+          require(a.length == 2 || a.length == 3, "SUBSTRING expects 2 or 3 arguments")
+          if (a.length == 2) a(0).substr(a(1), length(a(0)))
+          else a(0).substr(a(1), a(2))
+        case "CONCAT" => concat(a: _*)
+        case "COALESCE" => coalesce(a: _*)
+        case "GREATEST" => greatest(a: _*)
+        case "LEAST" => least(a: _*)
+        case "SPLIT" => arity(2)
+          split(a(0), java.util.regex.Pattern.quote(litStr(argInfo(1)._2, "SPLIT")))
+        case "STARTS_WITH" => arity(2); a(0).startsWith(a(1))
+        case "ENDS_WITH" => arity(2); a(0).endsWith(a(1))
+        case "TO_LONG" => arity(1); a(0).cast("long")
+        case "TO_DOUBLE" => arity(1); a(0).cast("double")
+        case "TO_STRING" => arity(1); a(0).cast("string")
+        case "MV_COUNT" => arity(1); size(a(0))
+        case other => throw new IllegalArgumentException(
+          s"unsupported function '$other'")
+      }
+      (c, cur)
+    }
+
+    /** A literal-int argument (ROUND scale must be compile-time). */
+    private def litInt(v: Option[Any], fn: String): Int = v match {
+      case Some(l: Long) => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn needs a literal integer argument, got: $other")
+    }
+
+    private def litStr(v: Option[Any], fn: String): String = v match {
+      case Some(s: String) => s
+      case other => throw new IllegalArgumentException(
+        s"$fn needs a literal string argument, got: $other")
+    }
+
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TId(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ES|QL-lite pipe compiler (esql.scala): stage semantics, expression
+  * grammar, plan shape. */
+class EsqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta", "en", 10L, 1.5),
+    (2L, "gamma", "en", 20L, 2.5),
+    (3L, "delta epsilon zeta", "de", 30L, 3.5),
+    (4L, "eta", "fr", 40L, 4.5))
+    .toDF("id", "text", "lang", "n", "v")
+
+  private def cat = Map("docs" -> docs)
+
+  test("FROM | WHERE | KEEP | SORT | LIMIT: the basic pipe") {
+    val out = Esql.run(
+      "FROM docs | WHERE n >= 20 AND lang != \"fr\" " +
+        "| KEEP id, lang | SORT id DESC | LIMIT 1",
+      cat).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(3L))
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "lang"))
+  }
+
+  test("EVAL: computed columns, overwrite, function calls") {
+    val out = Esql.run(
+      "FROM docs | EVAL w = n * 2 + LENGTH(lang), lang = TO_UPPER(lang) " +
+        "| KEEP id, w, lang | SORT id",
+      cat).collect()
+    assert(out.head.getLong(1) == 22L && out.head.getString(2) == "EN")
+    assert(out(2).getLong(1) == 62L)
+  }
+
+  test("STATS: named aggregates, BY keys, global form") {
+    val by = Esql.run(
+      "FROM docs | STATS c = COUNT(*), total = SUM(n), top = MAX(v) BY lang " +
+        "| SORT lang",
+      cat).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(by == Seq(("de", 1L, 30L), ("en", 2L, 30L), ("fr", 1L, 40L)))
+    val g = Esql.run("FROM docs | STATS m = MEDIAN(n), p = PERCENTILE(n, 25)", cat)
+      .collect().head
+    assert(g.getDouble(0) == 25.0 && g.getDouble(1) == 17.5)
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM docs | STATS COUNT(*)", cat))
+      .getMessage.contains("needs a name"))
+  }
+
+  test("LIKE, IN, DISSECT, RENAME, LOOKUP JOIN") {
+    val like = Esql.run(
+      """FROM docs | WHERE text LIKE "*eta*" | STATS c = COUNT(*)""", cat)
+      .collect().head.getLong(0)
+    assert(like == 3L) // beta, zeta, eta
+    val in = Esql.run(
+      """FROM docs | WHERE lang IN ("de", "fr") | STATS c = COUNT(*)""", cat)
+      .collect().head.getLong(0)
+    assert(in == 2L)
+    val dis = Esql.run(
+      "FROM docs | EVAL s = CONCAT(lang, \"-\", TO_STRING(n)) " +
+        "| DISSECT s \"%{l}-%{num}\" | KEEP id, l, num | SORT id", cat).collect()
+    assert(dis.head.getString(1) == "en" && dis.head.getString(2) == "10")
+    val dims = Seq(("en", "english"), ("de", "german")).toDF("lang", "lang_name")
+    val lk = Esql.run(
+      "FROM docs | LOOKUP JOIN dims ON lang | WHERE lang_name == \"german\" " +
+        "| KEEP id", cat + ("dims" -> dims)).collect()
+    assert(lk.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("ROUND keeps its literal-Long scale (weak-lub regression)") {
+    val out = Esql.run(
+      "FROM docs | EVAL r = ROUND(v / 3, 2) | KEEP id, r | SORT id | LIMIT 1",
+      cat).collect().head.getDouble(1)
+    assert(out == 0.5)
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM docs | EVAL r = ROUND(v, n)", cat))
+      .getMessage.contains("literal integer"))
+  }
+
+  test("MV_EXPAND explodes multi-value columns") {
+    val out = Esql.run(
+      "FROM docs | EVAL toks = SPLIT(text, \" \") | MV_EXPAND toks " +
+        "| STATS c = COUNT(*)", cat).collect().head.getLong(0)
+    assert(out == 7L) // 2 + 1 + 3 + 1 tokens
+  }
+
+  test("plan shape: WHERE pushes into the scan, KEEP prunes columns") {
+    // write a parquet table so pushdown is observable
+    val dir = java.nio.file.Files.createTempDirectory("esql_plan").toString
+    docs.write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t = spark.read.parquet(s"$dir/t.parquet")
+    val plan = Esql.run(
+      """FROM t | WHERE n > 15 | KEEP id, n | SORT n | LIMIT 2""",
+      Map("t" -> t)).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n), GreaterThan(n,15)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,n:bigint>"),
+      s"columns not pruned:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"sort+limit not fused:\n$plan")
+  }
+
+  test("fail-loud: unknown command, unknown index, validate()") {
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM docs | FROB x", cat)).getMessage.contains("unsupported"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM nope", cat)).getMessage.contains("unknown index"))
+    assert(Esql.validate("FROM docs | WHERE n > ", cat).isLeft)
+    assert(Esql.validate("FROM docs | WHERE n > 1", cat).isRight)
+  }
+}

@@ -105,32 +105,19 @@ object Bench {
     // list self-describing — if a future round forgets to refresh it, the
     // field still reads truthfully as "since r3", never as a stale "new
     // this round".
-    val newQueriesBaseline = "r3" // ran 74 queries
+    val newQueriesBaseline = "r7" // ran 210 queries (205 + 5 NTZ-failed)
     val newQueries = Seq(
-        // r4
-        "q_ingest_pipeline", "q_maintain_drop", "q_dummy_mode",
-        "q_similarity_ivf_exact", "q_search_dsl_multi",
-        "q_search_dsl_phrase_prefix", "q_search_regex", "q_search_dsl_ids",
-        "q_maintain_compact", "q_dedup_incremental",
-        "q_decontaminate", "q_pii_redact", "q_domain_mix",
-        "q_sample_stratified", "q_pack_sequences", "q_text_repetition",
-        "q_search_proximity", "q_curate_corpus", "q_split_leakage_safe",
-        // r5
-        "q_dedup_spans", "q_dedup_span_removal", "q_similarity_pq",
-        "q_similarity_pq_exact", "q_similarity_ivfpq_exact", "q_agg_terms",
-        "q_agg_date_histogram", "q_agg_range", "q_agg_histogram",
-        "q_agg_top_hits", "q_agg_composite", "q_agg_percentiles",
-        "q_index_terms_agg", "q_search_after", "q_search_highlight",
-        "q_agg_significant", "q_agg_pipeline", "q_agg_nested", "q_agg_indexed",
-        "q_search_sorted", "q_agg_filters", "q_curate_spans",
-        "q_search_source_filter", "q_search_from",
-        // r6
-        "q_search_qstring_or", "q_agg_terms_order", "q_multimodal_decode_real",
-        "q_search_fuzzy_auto", "q_search_match_multi", "q_agg_date_fixed",
-        "q_agg_terms_include", "q_agg_extended_stats", "q_agg_weighted_avg",
-        "q_agg_date_zero_fill", "q_agg_sibling_max", "q_search_collapse",
-        "q_search_highlight_dsl", "q_agg_filter_global", "q_agg_terms_missing",
-        "q_agg_date_range")
+        // r8 (vs the r7 bench's 210 queries; the 5 NTZ-failed r7 queries
+        // are repairs, not additions, and are excluded)
+        "q_agg_categorize", "q_agg_children", "q_agg_cumulative_card",
+        "q_agg_geo_line", "q_agg_moving_pctl", "q_agg_parent",
+        "q_agg_random_sampler", "q_agg_sampler_plain", "q_agg_scripted_metric",
+        "q_agg_var_width", "q_analyze", "q_esql_dissect", "q_esql_eval",
+        "q_esql_lookup", "q_esql_stats", "q_field_caps", "q_mget",
+        "q_mix_temperature", "q_rank_eval", "q_scroll",
+        "q_search_collapse_inner", "q_search_explain", "q_search_geo_polygon",
+        "q_search_rrf", "q_search_script_score", "q_suggest_completion_ctx",
+        "q_termvectors", "q_text_bigram_nll", "q_text_dup_ngrams")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -2205,6 +2205,16 @@ object SparkEntry {
           "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
         Map("customer" -> tbl(s, dir, "customer")))
     }),
+    "q_esql_bucket" -> ((s, dir) => {
+      // ES|QL time-series face: grouped STATS over a DATE_TRUNC BY
+      // expression (emitted as epoch micros — the date-histogram compare
+      // convention)
+      Esql.run(
+        "FROM events | STATS n = COUNT(*), v = SUM(value) " +
+          "BY d = DATE_TRUNC(\"day\", ts) " +
+          "| EVAL d = TO_UNIX_MICROS(d), v = ROUND(v, 2) | SORT d",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
     "q_search_explain" -> ((s, dir) => {
       // explain=true: per-hit BM25 score breakdown — one (term, tf, df,
       // idf, contrib) struct per query term, flattened to columns; round-4
@@ -4073,6 +4083,10 @@ object SparkEntry {
     "q_esql_dissect" ->
       """SELECT c_mktsegment AS seg, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_esql_bucket" ->
+      """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
+           count(*) AS n, round(sum(value), 2) AS v
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_search_explain" ->
       // the q_search_bm25 pipeline with per-term components surfaced;
       // explanation entries ordered by term ('query' < 'spark')

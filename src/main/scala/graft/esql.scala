@@ -125,10 +125,12 @@ object Esql {
         require(f.nonEmpty, "MV_EXPAND needs a field")
         df.withColumn(f, explode(col(f)))
       case "DISSECT" => dissect(df, rest)
+      case "GROK" => grok(df, rest)
       case "LOOKUP" => lookupJoin(df, rest, catalog)
       case other => throw new IllegalArgumentException(
         s"unsupported ES|QL command '$other' (declared subset: WHERE, EVAL, " +
-          "KEEP, DROP, RENAME, SORT, LIMIT, STATS, MV_EXPAND, DISSECT, LOOKUP JOIN)")
+          "KEEP, DROP, RENAME, SORT, LIMIT, STATS, MV_EXPAND, DISSECT, GROK, " +
+          "LOOKUP JOIN)")
     }
   }
 
@@ -157,9 +159,19 @@ object Esql {
     require(aggs.nonEmpty, "STATS needs at least one aggregate")
     if (byPart.trim.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else {
-      val keys = byPart.split(',').map(_.trim)
-      require(keys.forall(_.nonEmpty), s"bad BY list: $byPart")
-      df.groupBy(keys.map(col).toSeq: _*).agg(aggs.head, aggs.tail: _*)
+      // BY entries are plain fields or `name = expr` (the ES|QL grouped-
+      // expression form, e.g. `BY d = DATE_TRUNC("day", ts)`)
+      val keys = Expr.splitTopLevel(byPart, ',').map { k =>
+        val eq = findTopLevel(k, "=")
+        if (eq < 0) { val f = k.trim; require(f.nonEmpty, s"bad BY key: $k"); col(f) }
+        else {
+          val name = k.take(eq).trim
+          require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+            s"bad BY column name '$name'")
+          Expr.compile(k.drop(eq + 1)).as(name)
+        }
+      }
+      df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     }
   }
 
@@ -193,6 +205,56 @@ object Esql {
     val regex = sb.toString
     names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
       // non-matching rows yield null fields, like ES dissect
+      d.withColumn(n,
+        when(col(f).rlike(regex), regexp_extract(col(f), regex, i + 1)))
+    }
+  }
+
+  /** The GROK pattern library (declared subset of the logstash set —
+    * the workhorses; %{PATTERN:name} references compile to named capture
+    * groups). */
+  private val GrokPatterns: Map[String, String] = Map(
+    "WORD" -> "\\w+",
+    "NOTSPACE" -> "\\S+",
+    "DATA" -> ".*?",
+    "GREEDYDATA" -> ".*",
+    "INT" -> "[+-]?\\d+",
+    "NUMBER" -> "[+-]?\\d+(?:\\.\\d+)?",
+    "IP" -> "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}",
+    "LOGLEVEL" -> "(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)")
+
+  /** `GROK f "%{PATTERN:name}…"` — like [[dissect]] but each key carries a
+    * library pattern instead of matching lazily to the next literal. Null
+    * fields on non-match, like ES. */
+  private def grok(df: DataFrame, rest: String): DataFrame = {
+    val m = "^\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s+\"(.*)\"\\s*$".r
+    val (f, pattern) = rest match {
+      case m(field, p) => (field, p)
+      case _ => throw new IllegalArgumentException(
+        s"GROK needs '<field> \"<pattern>\"', got: $rest")
+    }
+    val key = "%\\{([A-Z0-9_]+):([A-Za-z_][A-Za-z0-9_]*)\\}".r
+    val caps = key.findAllMatchIn(pattern).map(mt => (mt.group(1), mt.group(2))).toList
+    require(caps.nonEmpty, s"GROK pattern has no %{PATTERN:name}: $pattern")
+    val names = caps.map(_._2)
+    require(names.distinct == names, s"duplicate GROK names in: $pattern")
+    val sb = new StringBuilder("^")
+    var last = 0
+    for (mt <- key.findAllMatchIn(pattern)) {
+      if (mt.start > last)
+        sb ++= java.util.regex.Pattern.quote(pattern.substring(last, mt.start))
+      val lib = GrokPatterns.getOrElse(mt.group(1),
+        throw new IllegalArgumentException(
+          s"unknown GROK pattern '${mt.group(1)}' " +
+            s"(library: ${GrokPatterns.keys.toSeq.sorted.mkString(", ")})"))
+      sb ++= s"($lib)"
+      last = mt.end
+    }
+    if (last < pattern.length)
+      sb ++= java.util.regex.Pattern.quote(pattern.substring(last))
+    sb += '$'
+    val regex = sb.toString
+    names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
       d.withColumn(n,
         when(col(f).rlike(regex), regexp_extract(col(f), regex, i + 1)))
     }
@@ -390,6 +452,14 @@ object Esql {
             case "<" => l < r
             case _ => l <= r
           }, rr)
+        case h :: tail if isKw(h, "IS") =>
+          tail match {
+            case n :: rr if isKw(n, "NULL") => (l.isNull, rr)
+            case n :: m :: rr if isKw(n, "NOT") && isKw(m, "NULL") =>
+              (l.isNotNull, rr)
+            case _ => throw new IllegalArgumentException(
+              "IS must be followed by NULL or NOT NULL")
+          }
         case h :: tail if isKw(h, "LIKE") =>
           tail match {
             case TStr(p) :: rr =>
@@ -518,6 +588,19 @@ object Esql {
         case "TO_DOUBLE" => arity(1); a(0).cast("double")
         case "TO_STRING" => arity(1); a(0).cast("string")
         case "MV_COUNT" => arity(1); size(a(0))
+        case "DATE_TRUNC" => arity(2)
+          // unit first like ES|QL's span argument; the input normalizes
+          // through Tsx so NTZ parquet timestamps work (UTC session)
+          val unit = litStr(argInfo(0)._2, "DATE_TRUNC")
+          require(Set("year", "quarter", "month", "week", "day", "hour",
+            "minute", "second").contains(unit.toLowerCase),
+            s"DATE_TRUNC: unsupported unit '$unit'")
+          date_trunc(unit, Tsx.ltz(a(1)))
+        case "TO_UNIX_MICROS" => arity(1); Tsx.micros(a(0))
+        case "BUCKET" =>
+          // numeric span bucketing: floor(x / span) * span (the ES|QL
+          // numeric BUCKET form; date bucketing is DATE_TRUNC)
+          arity(2); floor(a(0) / a(1)) * a(1)
         case other => throw new IllegalArgumentException(
           s"unsupported function '$other'")
       }

@@ -101,6 +101,36 @@ class EsqlSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"sort+limit not fused:\n$plan")
   }
 
+  test("GROK: library patterns to named captures, null on non-match") {
+    val logs = Seq((1L, "ERROR disk full on 10.0.0.7"), (2L, "not a log line"))
+      .toDF("id", "line")
+    val out = Esql.run(
+      "FROM logs | GROK line \"%{LOGLEVEL:lvl} %{GREEDYDATA:msg} on %{IP:host}\" " +
+        "| KEEP id, lvl, host | SORT id", Map("logs" -> logs)).collect()
+    assert(out(0).getString(1) == "ERROR" && out(0).getString(2) == "10.0.0.7")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    assert(intercept[IllegalArgumentException](Esql.run(
+      "FROM logs | GROK line \"%{NOPE:x}\"", Map("logs" -> logs)))
+      .getMessage.contains("unknown GROK pattern"))
+  }
+
+  test("BY expressions, BUCKET, DATE_TRUNC, IS NULL") {
+    val b = Esql.run(
+      "FROM docs | STATS c = COUNT(*) BY g = BUCKET(n, 25) | SORT g", cat)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(b == Seq((0L, 2L), (25L, 2L))) // n=10,20 → 0; n=30,40 → 25
+    val nulls = Esql.run(
+      "FROM docs | EVAL x = NULL | WHERE x IS NULL | STATS c = COUNT(*)", cat)
+      .collect().head.getLong(0)
+    assert(nulls == 4L)
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-03-05 13:45:00")))
+      .toDF("id", "ts")
+    val d = Esql.run(
+      "FROM t | EVAL d = TO_UNIX_MICROS(DATE_TRUNC(\"day\", ts)) | KEEP d",
+      Map("t" -> ts)).collect().head.getLong(0)
+    assert(d == java.sql.Timestamp.valueOf("2024-03-05 00:00:00").getTime * 1000L)
+  }
+
   test("fail-loud: unknown command, unknown index, validate()") {
     assert(intercept[IllegalArgumentException](
       Esql.run("FROM docs | FROB x", cat)).getMessage.contains("unsupported"))

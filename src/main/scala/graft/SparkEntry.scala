@@ -2205,6 +2205,30 @@ object SparkEntry {
           "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
         Map("customer" -> tbl(s, dir, "customer")))
     }),
+    "q_count" -> ((s, dir) => {
+      // _count endpoint: hit count of a DSL query without materializing
+      // hits — the filter reaches the scan, the count is one partial-agg
+      // pass (no top-k, no sort, no row load)
+      val docs = tbl(s, dir, "documents")
+      val pred = QueryCompiler.compile(
+        """{"query": {"bool": {"must": [{"match": {"text": "spark"}}],
+            "filter": [{"term": {"lang": "en"}}]}}}""",
+        Int.MaxValue).predicate
+      docs.where(pred).agg(count(lit(1)).as("count"))
+    }),
+    "q_admin_stats" -> ((s, dir) => {
+      // _stats / _cat-indices analog: doc count + per-field usage (non-null
+      // cells) in ONE partial-aggregated pass — the index statistics a
+      // migrating operator reads off the cluster
+      val docs = tbl(s, dir, "documents")
+      docs.agg(
+        count(lit(1)).as("docs"),
+        count(col("text")).as("text_docs"),
+        count(col("lang")).as("lang_docs"),
+        count(col("source")).as("source_docs"),
+        count_distinct(col("lang")).as("lang_cardinality"),
+        sum(length(col("text"))).as("text_bytes"))
+    }),
     "q_esql_bucket" -> ((s, dir) => {
       // ES|QL time-series face: grouped STATS over a DATE_TRUNC BY
       // expression (emitted as epoch micros — the date-histogram compare
@@ -4083,6 +4107,15 @@ object SparkEntry {
     "q_esql_dissect" ->
       """SELECT c_mktsegment AS seg, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_count" ->
+      """SELECT count(*) AS count FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') AND lang = 'en'""",
+    "q_admin_stats" ->
+      """SELECT count(*) AS docs, count(text) AS text_docs,
+           count(lang) AS lang_docs, count(source) AS source_docs,
+           count(DISTINCT lang) AS lang_cardinality,
+           sum(length(text)) AS text_bytes
+         FROM documents""",
     "q_esql_bucket" ->
       """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
            count(*) AS n, round(sum(value), 2) AS v

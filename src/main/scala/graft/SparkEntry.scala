@@ -2205,6 +2205,17 @@ object SparkEntry {
           "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
         Map("customer" -> tbl(s, dir, "customer")))
     }),
+    "q_search_min_score" -> ((s, dir) => {
+      // min_score: the score floor drops single-term matches before the
+      // page — only docs matching BOTH terms survive
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"match": {"text": "spark batch"}},
+            "min_score": 2, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_count" -> ((s, dir) => {
       // _count endpoint: hit count of a DSL query without materializing
       // hits — the filter reaches the scan, the count is one partial-agg
@@ -4107,6 +4118,15 @@ object SparkEntry {
     "q_esql_dissect" ->
       """SELECT c_mktsegment AS seg, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_search_min_score" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bbatch\b') THEN 1 ELSE 0 END)
+             AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b')
+           AND regexp_matches(lower(text), '\bbatch\b')
+         ORDER BY doc_id""",
     "q_count" ->
       """SELECT count(*) AS count FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b') AND lang = 'en'""",

@@ -113,7 +113,8 @@ final case class CompiledQuery(predicate: Column, score: Column, limit: Option[I
                                sourceFields: Option[Seq[String]] = None,
                                from: Int = 0,
                                collapseField: Option[String] = None,
-                               collapseInner: Option[Int] = None)
+                               collapseInner: Option[Int] = None,
+                               minScore: Option[Double] = None)
 
 object QueryCompiler {
 
@@ -966,10 +967,16 @@ object QueryCompiler {
         "'collapse' with 'search_after' is not supported (declared subset)")
       require(collapseInner.isEmpty || sort.isEmpty,
         "'collapse' inner_hits with a custom 'sort' is not supported (declared subset)")
+      // ES `min_score`: drop hits scoring below the floor BEFORE paging —
+      // a post-scoring filter, not a re-rank
+      val minScore = Option(root.get("min_score")).map { n =>
+        require(n.isNumber, s"'min_score' must be a number, got: $n")
+        n.asDouble
+      }
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
       val pred = node(qNode, leaves, scoring = true, idCol, defaultOr)
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source,
-        from, collapse, collapseInner)
+        from, collapse, collapseInner, minScore)
     }
 
     private def node(n: JsonNode,

@@ -32,7 +32,13 @@ object Search {
     // would slip past the guard as a negative number
     require(q.from.toLong + limit <= cfg.maxResults,
       s"from + size (${q.from} + $limit) exceeds max-results ${cfg.maxResults}")
-    val scored = docs.where(q.predicate).withColumn("_score", q.score)
+    val scored0 = docs.where(q.predicate).withColumn("_score", q.score)
+    // min_score: a post-scoring filter before any paging/collapse — hits
+    // under the floor never enter the top-k
+    val scored = q.minScore match {
+      case Some(ms) => scored0.where(col("_score") >= lit(ms))
+      case None => scored0
+    }
     // search_after: keyset-resume strictly after (score, id) in the
     // (score DESC, id ASC) total order — the page predicate composes with
     // the scan filter, so every page is one pruned top-k, never a

@@ -909,6 +909,21 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("exactly one field"))
   }
 
+  test("min_score: score floor applies before paging") {
+    val docs = Seq(
+      ("1", "spark batch"), ("2", "spark only"), ("3", "batch only"),
+      ("4", "neither")).toDF("doc_id", "text")
+    val out = Search.search(docs,
+      """{"query": {"match": {"text": "spark batch"}}, "min_score": 2}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("1")) // both terms required by the floor
+    assert(intercept[IllegalArgumentException](Search.search(docs,
+      """{"query": {"match_all": {}}, "min_score": "high"}""",
+      IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("must be a number"))
+  }
+
   test("geo_polygon: even-odd ray-cast containment") {
     // unit square (0,0)-(10,10): in, out, and a concave L-shape check
     val pts = Seq(

@@ -2245,9 +2245,9 @@ object SparkEntry {
       // expression (emitted as epoch micros — the date-histogram compare
       // convention)
       Esql.run(
-        "FROM events | STATS n = COUNT(*), v = SUM(value) " +
+        "FROM events | STATS n = COUNT(*), v = ROUND(SUM(value), 2) " +
           "BY d = DATE_TRUNC(\"day\", ts) " +
-          "| EVAL d = TO_UNIX_MICROS(d), v = ROUND(v, 2) | SORT d",
+          "| EVAL d = TO_UNIX_MICROS(d) | SORT d",
         Map("events" -> tbl(s, dir, "events")))
     }),
     "q_search_explain" -> ((s, dir) => {

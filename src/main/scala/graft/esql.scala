@@ -327,32 +327,41 @@ object Esql {
         name -> compile(a.drop(eq + 1))
       }
 
-    /** One STATS aggregate call. */
+    /** One STATS aggregate expression: scalar functions may wrap the
+      * aggregate calls (`ROUND(SUM(x) / COUNT(*), 2)`) — aggMode descent
+      * turns COUNT/SUM/… calls into aggregate columns in place; at least
+      * one aggregate call is required (enforced by requiring the text to
+      * contain an agg function — a pure scalar over grouped data is an
+      * EVAL, not a STATS). */
     def aggregate(src: String): Column = {
-      val call = "^([A-Za-z_]+)\\s*\\((.*)\\)$".r
-      src.trim match {
-        case call(fn, args) => fn.toUpperCase match {
-          case "COUNT" =>
-            if (args.trim == "*") count(lit(1)) else count(compile(args))
-          case "COUNT_DISTINCT" => count_distinct(compile(args))
-          case "SUM" => sum(compile(args))
-          case "AVG" => avg(compile(args))
-          case "MIN" => min(compile(args))
-          case "MAX" => max(compile(args))
-          case "MEDIAN" => percentile(compile(args), lit(0.5))
-          case "PERCENTILE" =>
-            splitTopLevel(args, ',') match {
-              case Seq(v, p) => percentile(compile(v), lit(p.trim.toDouble / 100.0))
-              case _ => throw new IllegalArgumentException(
-                s"PERCENTILE needs (expr, percent), got: $args")
-            }
-          case other => throw new IllegalArgumentException(
-            s"unsupported STATS aggregate '$other' (COUNT, COUNT_DISTINCT, " +
-              "SUM, AVG, MIN, MAX, MEDIAN, PERCENTILE)")
-        }
-        case other => throw new IllegalArgumentException(
-          s"STATS aggregate must be AGG(...), got: $other")
-      }
+      val hasAgg = "(?i)\\b(COUNT|COUNT_DISTINCT|SUM|AVG|MIN|MAX|MEDIAN|PERCENTILE)\\s*\\(".r
+        .findFirstIn(src).isDefined
+      require(hasAgg,
+        s"STATS needs an aggregate call (COUNT, COUNT_DISTINCT, SUM, AVG, " +
+          s"MIN, MAX, MEDIAN, PERCENTILE), got: ${src.trim}")
+      val (c, rest) = orE(tokenize(src), aggMode = true)
+      require(rest.isEmpty, s"trailing tokens in aggregate: ${rest.mkString(" ")}")
+      c
+    }
+
+    private def aggCall(fn: String, args: IndexedSeq[Column],
+                        star: Boolean): Option[Column] = fn match {
+      case "COUNT" =>
+        Some(if (star) count(lit(1)) else { require(args.length == 1,
+          "COUNT expects one argument or *"); count(args(0)) })
+      case "COUNT_DISTINCT" => require(args.length == 1,
+        "COUNT_DISTINCT expects one argument"); Some(count_distinct(args(0)))
+      case "SUM" => require(args.length == 1, "SUM expects one argument")
+        Some(sum(args(0)))
+      case "AVG" => require(args.length == 1, "AVG expects one argument")
+        Some(avg(args(0)))
+      case "MIN" => require(args.length == 1, "MIN expects one argument")
+        Some(min(args(0)))
+      case "MAX" => require(args.length == 1, "MAX expects one argument")
+        Some(max(args(0)))
+      case "MEDIAN" => require(args.length == 1, "MEDIAN expects one argument")
+        Some(percentile(args(0), lit(0.5)))
+      case _ => None // PERCENTILE handled by its caller (literal percent)
     }
 
     def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -417,30 +426,30 @@ object Esql {
     }
 
     // ---- precedence descent: OR < AND < NOT < cmp/IN/LIKE < add < mul < unary ----
-    private def orE(t: List[Tok]): (Column, List[Tok]) = {
-      var (l, rest) = andE(t)
+    private def orE(t: List[Tok], aggMode: Boolean = false): (Column, List[Tok]) = {
+      var (l, rest) = andE(t, aggMode)
       while (rest.headOption.exists(isKw(_, "OR"))) {
-        val (r, rr) = andE(rest.tail); l = l || r; rest = rr
+        val (r, rr) = andE(rest.tail, aggMode); l = l || r; rest = rr
       }
       (l, rest)
     }
 
-    private def andE(t: List[Tok]): (Column, List[Tok]) = {
-      var (l, rest) = notE(t)
+    private def andE(t: List[Tok], aggMode: Boolean = false): (Column, List[Tok]) = {
+      var (l, rest) = notE(t, aggMode)
       while (rest.headOption.exists(isKw(_, "AND"))) {
-        val (r, rr) = notE(rest.tail); l = l && r; rest = rr
+        val (r, rr) = notE(rest.tail, aggMode); l = l && r; rest = rr
       }
       (l, rest)
     }
 
-    private def notE(t: List[Tok]): (Column, List[Tok]) = t match {
+    private def notE(t: List[Tok], aggMode: Boolean = false): (Column, List[Tok]) = t match {
       case h :: tail if isKw(h, "NOT") =>
-        val (c, rest) = notE(tail); (!c, rest)
-      case _ => cmp(t)
+        val (c, rest) = notE(tail, aggMode); (!c, rest)
+      case _ => cmp(t, aggMode)
     }
 
-    private def cmp(t: List[Tok]): (Column, List[Tok]) = {
-      val (l, rest) = add(t)
+    private def cmp(t: List[Tok], aggMode: Boolean = false): (Column, List[Tok]) = {
+      val (l, rest) = add(t, aggMode)
       rest match {
         case TOp(op) :: tail if Set("==", "!=", ">", ">=", "<", "<=").contains(op) =>
           val (r, rr) = add(tail)
@@ -487,33 +496,33 @@ object Esql {
       }
     }
 
-    private def add(t: List[Tok]): (Column, List[Tok]) = {
-      var (l, rest) = mul(t)
+    private def add(t: List[Tok], aggMode: Boolean = false): (Column, List[Tok]) = {
+      var (l, rest) = mul(t, aggMode)
       var done = false
       while (!done) rest match {
-        case TOp("+") :: tail => val (r, rr) = mul(tail); l = l + r; rest = rr
-        case TOp("-") :: tail => val (r, rr) = mul(tail); l = l - r; rest = rr
+        case TOp("+") :: tail => val (r, rr) = mul(tail, aggMode); l = l + r; rest = rr
+        case TOp("-") :: tail => val (r, rr) = mul(tail, aggMode); l = l - r; rest = rr
         case _ => done = true
       }
       (l, rest)
     }
 
-    private def mul(t: List[Tok]): (Column, List[Tok]) = {
-      var (l, rest) = unary(t)
+    private def mul(t: List[Tok], aggMode: Boolean = false): (Column, List[Tok]) = {
+      var (l, rest) = unary(t, aggMode)
       var done = false
       while (!done) rest match {
-        case TOp("*") :: tail => val (r, rr) = unary(tail); l = l * r; rest = rr
-        case TOp("/") :: tail => val (r, rr) = unary(tail); l = l / r; rest = rr
-        case TOp("%") :: tail => val (r, rr) = unary(tail); l = l % r; rest = rr
+        case TOp("*") :: tail => val (r, rr) = unary(tail, aggMode); l = l * r; rest = rr
+        case TOp("/") :: tail => val (r, rr) = unary(tail, aggMode); l = l / r; rest = rr
+        case TOp("%") :: tail => val (r, rr) = unary(tail, aggMode); l = l % r; rest = rr
         case _ => done = true
       }
       (l, rest)
     }
 
-    private def unary(t: List[Tok]): (Column, List[Tok]) = t match {
-      case TOp("-") :: tail => val (c, rest) = unary(tail); (-c, rest)
+    private def unary(t: List[Tok], aggMode: Boolean = false): (Column, List[Tok]) = t match {
+      case TOp("-") :: tail => val (c, rest) = unary(tail, aggMode); (-c, rest)
       case TOp("(") :: tail =>
-        val (c, rest) = orE(tail)
+        val (c, rest) = orE(tail, aggMode)
         rest match {
           case TOp(")") :: rr => (c, rr)
           case _ => throw new IllegalArgumentException("unclosed '('")
@@ -521,7 +530,7 @@ object Esql {
       case TNum(n) :: rest =>
         (if (n.contains('.')) lit(n.toDouble) else lit(n.toLong), rest)
       case TStr(s) :: rest => (lit(s), rest)
-      case TId(id) :: TOp("(") :: tail => function(id.toUpperCase, tail)
+      case TId(id) :: TOp("(") :: tail => function(id.toUpperCase, tail, aggMode)
       case TId(id) :: rest => id.toUpperCase match {
         case "TRUE" => (lit(true), rest)
         case "FALSE" => (lit(false), rest)
@@ -532,10 +541,15 @@ object Esql {
         s"expected a value, got: ${other.headOption.getOrElse("end of input")}")
     }
 
-    private def function(fn: String, t: List[Tok]): (Column, List[Tok]) = {
+    private def function(fn: String, t: List[Tok],
+                         aggMode: Boolean = false): (Column, List[Tok]) = {
       // parse comma-separated args to the closing paren; single-token
       // literal args also surface their raw value (ROUND's scale and
       // SPLIT's separator must be compile-time constants)
+      // COUNT(*) star form (aggregate context only)
+      if (aggMode && fn == "COUNT" && t.headOption.contains(TOp("*")) &&
+          t.drop(1).headOption.contains(TOp(")")))
+        return (count(lit(1)), t.drop(2))
       var args = List.empty[(Column, Option[Any])]
       var cur = t
       if (cur.headOption.contains(TOp(")"))) cur = cur.tail
@@ -550,7 +564,7 @@ object Esql {
             case TStr(s) :: (TOp(",") | TOp(")")) :: _ => Some(s)
             case _ => None
           }
-          val (v, rr) = orE(cur)
+          val (v, rr) = orE(cur, aggMode)
           args ::= (v, litVal)
           rr match {
             case TOp(",") :: more => cur = more
@@ -563,6 +577,23 @@ object Esql {
       val a = argInfo.map(_._1)
       def arity(n: Int): Unit = require(a.length == n,
         s"$fn expects $n argument(s), got ${a.length}")
+      if (aggMode) {
+        aggCall(fn, a, star = false) match {
+          case Some(c0) => return (c0, cur)
+          case None =>
+        }
+        if (fn == "PERCENTILE") {
+          arity(2)
+          val pct = argInfo(1)._2 match {
+            case Some(l: Long) => l.toDouble
+            case Some(d: Double) => d
+            case other => throw new IllegalArgumentException(
+              s"PERCENTILE needs a literal percent, got: $other")
+          }
+          require(pct >= 0 && pct <= 100, s"PERCENTILE percent out of range: $pct")
+          return (percentile(a(0), lit(pct / 100.0)), cur)
+        }
+      }
       val c = fn match {
         case "ABS" => arity(1); abs(a(0))
         case "ROUND" =>

@@ -47,6 +47,15 @@ class EsqlSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Esql.run("FROM docs | STATS COUNT(*)", cat))
       .getMessage.contains("needs a name"))
+    // scalar functions wrap aggregates inline (the natural ES|QL form)
+    val wrapped = Esql.run(
+      "FROM docs | STATS r = ROUND(SUM(v) / COUNT(*), 2) BY lang | SORT lang",
+      cat).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(wrapped == Seq(("de", 3.5), ("en", 2.0), ("fr", 4.5)))
+    // a STATS entry with no aggregate call is an EVAL, not a STATS
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM docs | STATS r = n * 2", cat))
+      .getMessage.contains("needs an aggregate call"))
   }
 
   test("LIKE, IN, DISSECT, RENAME, LOOKUP JOIN") {

@@ -2079,6 +2079,17 @@ object SparkEntry {
         """{"aggs": {"cats": {"categorize_text":
               {"field": "text", "size": 8, "max_matched_tokens": 3}}}}""")
     }),
+    "q_agg_composite_date" -> ((s, dir) => {
+      // composite with a date_histogram source — the rollup-pagination
+      // shape: (day bucket, event_type) tuple keys, exact long bucket math
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"by": {"composite": {"size": 8, "sources": [
+            {"d": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}}},
+            {"t": {"terms": {"field": "event_type"}}}]},
+          "aggs": {"v": {"avg": {"field": "value"}}}}}}""")
+        .select(col("d"), col("t"), col("doc_count"),
+          floor(col("v") * 100).cast("long").as("v_x100"))
+    }),
     "q_agg_scripted_metric" -> ((s, dir) => {
       // scripted_metric (declared subset): per-lang sum of an arithmetic
       // map_script over doc fields — map per row, combine map-side,
@@ -4019,6 +4030,14 @@ object SparkEntry {
            FROM documents WHERE text IS NOT NULL)
          SELECT key, count(*) AS doc_count FROM k WHERE key <> ''
          GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 8""",
+    "q_agg_composite_date" ->
+      """WITH b AS (
+           SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS d,
+                  event_type AS t, count(*) AS doc_count, avg(value) AS v
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2)
+         SELECT d, t, doc_count, CAST(floor(v * 100) AS BIGINT) AS v_x100
+         FROM b ORDER BY d, t LIMIT 8""",
     "q_agg_scripted_metric" ->
       """SELECT lang AS key, count(*) AS doc_count,
            sum(n_chars * 2 + 1) AS weight

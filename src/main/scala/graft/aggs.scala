@@ -1469,17 +1469,58 @@ object Aggs {
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
     val sourcesNode = Option(body.get("sources")).filter(_.isArray)
       .getOrElse(throw new IllegalArgumentException(s"composite '$name' needs 'sources'"))
-    val sources = sourcesNode.elements.asScala.toSeq.map { s =>
-      require(s.isObject && s.size == 1, s"composite source must be a single-entry object: $s")
-      val srcName = s.fieldNames.asScala.next()
-      val terms = Option(s.get(srcName).get("terms"))
-        .getOrElse(throw new IllegalArgumentException(
-          s"composite '$name' source '$srcName' must be a terms source"))
-      val f = Option(terms.get("field")).map(_.asText)
-        .getOrElse(throw new IllegalArgumentException(
-          s"composite source '$srcName' needs a 'field'"))
-      srcName -> f
-    }
+    // a source is terms, histogram, or date_histogram (the full ES set);
+    // histogram keys are the bucket floor, date keys epoch-micro bucket
+    // starts (the engine's date-histogram key convention). All bucketing
+    // is exact integer/double arithmetic — the date path in particular is
+    // `us − us mod interval` LONG math (a floor(us/iv) through double
+    // loses low bits at e18 magnitudes).
+    val sources: Seq[(String, Column, Column)] =
+      sourcesNode.elements.asScala.toSeq.map { s =>
+        require(s.isObject && s.size == 1,
+          s"composite source must be a single-entry object: $s")
+        val srcName = s.fieldNames.asScala.next()
+        val spec = s.get(srcName)
+        require(spec.isObject && spec.size == 1,
+          s"composite source '$srcName' must have exactly one type")
+        val tpe = spec.fieldNames.asScala.next()
+        val body2 = spec.get(tpe)
+        def fieldOf2: String = Option(body2.get("field")).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"composite source '$srcName' needs a 'field'"))
+        tpe match {
+          case "terms" =>
+            val f = fieldOf2
+            (srcName, col(f), col(f).isNotNull)
+          case "histogram" =>
+            val f = fieldOf2
+            val iv = Option(body2.get("interval")).filter(_.isNumber).map(_.asDouble)
+              .getOrElse(throw new IllegalArgumentException(
+                s"composite histogram source '$srcName' needs a numeric 'interval'"))
+            require(iv > 0, s"composite source '$srcName' interval must be > 0")
+            (srcName, floor(col(f) / iv) * iv, col(f).isNotNull)
+          case "date_histogram" =>
+            val f = fieldOf2
+            val ivUs = Option(body2.get("fixed_interval")).map(_.asText)
+              .map(fixedIntervalMicros(_, s"$name source $srcName"))
+              .orElse(Option(body2.get("calendar_interval")).map(_.asText).map {
+                case "day" => 86400000000L
+                case "hour" => 3600000000L
+                case "minute" => 60000000L
+                case other => throw new IllegalArgumentException(
+                  s"composite source '$srcName': calendar_interval '$other' " +
+                    "unsupported (day/hour/minute — fixed-duration units)")
+              })
+              .getOrElse(throw new IllegalArgumentException(
+                s"composite date_histogram source '$srcName' needs " +
+                  "fixed_interval or calendar_interval"))
+            val us = Tsx.micros(col(f))
+            (srcName, us - pmod(us, lit(ivUs)), col(f).isNotNull)
+          case other => throw new IllegalArgumentException(
+            s"composite source '$srcName': unsupported type '$other' " +
+              "(terms/histogram/date_histogram)")
+        }
+      }
     require(sources.nonEmpty, s"composite '$name' has no sources")
     val metrics = subAggs.toSeq.flatMap { n =>
       n.fieldNames.asScala.toSeq.flatMap { sub =>
@@ -1489,27 +1530,27 @@ object Aggs {
         metric(ts.head, sub, n.get(sub).get(ts.head))
       }
     }
-    val nonNull = sources.map { case (_, f) => col(f).isNotNull }.reduce(_ && _)
+    val nonNull = sources.map(_._3).reduce(_ && _)
     val aggCols = count(lit(1)).as("doc_count") +: metrics
     val grouped = docs.where(nonNull)
-      .groupBy(sources.map { case (n2, f) => col(f).as(n2) }: _*)
+      .groupBy(sources.map { case (n2, key, _) => key.as(n2) }: _*)
       .agg(aggCols.head, aggCols.tail: _*)
     // after: strictly-greater tuple in the sources' ascending order
     val paged = Option(body.get("after")).map { a =>
-      val afterVals = sources.map { case (n2, _) =>
+      val afterVals = sources.map { case (n2, _, _) =>
         val v = Option(a.get(n2)).getOrElse(throw new IllegalArgumentException(
           s"composite 'after' is missing source '$n2'"))
         if (v.isTextual) lit(v.asText)
         else if (v.isIntegralNumber) lit(v.asLong)
         else lit(v.asDouble)
       }
-      val keys = sources.map { case (n2, _) => col(n2) }
+      val keys = sources.map { case (n2, _, _) => col(n2) }
       val gt = keys.zip(afterVals).reverse.foldLeft(lit(false)) {
         case (acc, (k, av)) => (k > av) || (k === av && acc)
       }
       grouped.where(gt)
     }.getOrElse(grouped)
-    paged.orderBy(sources.map { case (n2, _) => asc(n2) }: _*).limit(size)
+    paged.orderBy(sources.map { case (n2, _, _) => asc(n2) }: _*).limit(size)
   }
 
   /** Streaming form of a `date_histogram` aggregation: the same ES body,

@@ -1017,6 +1017,31 @@ class AggsSpec extends AnyFunSuite {
     assert(out == Seq(("error on node", 2L), ("disk full", 1L)))
   }
 
+  test("composite: histogram and date_histogram sources page like terms") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 5.0),
+      (2L, java.sql.Timestamp.valueOf("2024-03-01 23:00:00"), 15.0),
+      (3L, java.sql.Timestamp.valueOf("2024-03-02 01:00:00"), 25.0))
+      .toDF("doc_id", "ts", "v")
+    val out = Aggs.runSingle(ev,
+      """{"aggs": {"by": {"composite": {"size": 10, "sources": [
+          {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+          {"h": {"histogram": {"field": "v", "interval": 10}}}]}}}}""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val day1 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime * 1000L
+    val day2 = java.sql.Timestamp.valueOf("2024-03-02 00:00:00").getTime * 1000L
+    assert(out == Seq((day1, 0.0, 1L), (day1, 10.0, 1L), (day2, 20.0, 1L)))
+    // after-cursor pages strictly beyond the tuple
+    val page2 = Aggs.runSingle(ev,
+      s"""{"aggs": {"by": {"composite": {"size": 10,
+          "after": {"d": $day1, "h": 0},
+          "sources": [
+          {"d": {"date_histogram": {"field": "ts", "calendar_interval": "day"}}},
+          {"h": {"histogram": {"field": "v", "interval": 10}}}]}}}}""")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(page2 == Seq((day1, 10.0), (day2, 20.0)))
+  }
+
   test("scripted_metric: map_script over doc fields, one associative reduce") {
     // top-level: sum of score*2 over all docs = 2*(10+...+60) = 420
     val top = Aggs.runSingle(docs,

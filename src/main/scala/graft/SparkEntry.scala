@@ -2216,6 +2216,39 @@ object SparkEntry {
           "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
         Map("customer" -> tbl(s, dir, "customer")))
     }),
+    "q_reindex" -> ((s, dir) => {
+      // _reindex: source query + dest ingest pipeline + store write, read
+      // back from the destination — one distributed pass, no scroll+bulk
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_reindex").toString + "/dest"
+      Indexer.reindex(s, d, dest,
+        query = Some("""{"query": {"term": {"lang": "en"}}}"""),
+        pipeline = Some("""{"processors": [
+            {"uppercase": {"field": "source"}},
+            {"rename": {"field": "n_chars", "target_field": "chars"}}]}"""))
+        .orderBy(col("doc_id"))
+    }),
+    "q_snapshot_restore" -> ((s, dir) => {
+      // snapshot → destructive mutation → restore: the read-back must be
+      // byte-identical to the pre-snapshot store (oracle = the original
+      // table), proving restore undoes arbitrary damage
+      val d = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_snapshot").toString
+      val store = s"$base/store"
+      val snap = s"$base/snap"
+      d.write.mode("overwrite").parquet(store)
+      Maintain.snapshot(s, store, snap)
+      // damage the store: overwrite with only the non-en docs (written
+      // from the source frame — overwriting a path from its own open
+      // reader is the FAILED_READ_FILE trap)
+      d.where(col("lang") =!= "en").write.mode("overwrite").parquet(store)
+      Maintain.restore(s, snap, store)
+      s.read.parquet(store).orderBy(col("doc_id"))
+    }),
     "q_search_min_score" -> ((s, dir) => {
       // min_score: the score floor drops single-term matches before the
       // page — only docs matching BOTH terms survive
@@ -4137,6 +4170,11 @@ object SparkEntry {
     "q_esql_dissect" ->
       """SELECT c_mktsegment AS seg, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_reindex" ->
+      """SELECT doc_id, lang, upper(source) AS source, n_chars AS chars
+         FROM documents WHERE lang = 'en' ORDER BY doc_id""",
+    "q_snapshot_restore" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""",
     "q_search_min_score" ->
       """SELECT doc_id,
            (CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END +

@@ -251,6 +251,27 @@ object Indexer {
     df.where(pmod(xxhash64(pkCols.map(col): _*), lit(nShards.toLong)) === shard)
   }
 
+  /** ES `_reindex`: source query → optional ingest pipeline → destination
+    * store write → read back from the destination. The batch analog of
+    * `POST _reindex {"source": {"query": …}, "dest": {"pipeline": …}}`:
+    * ONE pushed-filter scan, the codegen'd processor chain, one
+    * partitioned write — where ES scrolls the source and re-bulks every
+    * hit through the wire (max_docs batching, client-side throttling),
+    * this is a single distributed pass with no per-doc round-trips.
+    * (reference analog: the full-scan rebuild, SURVEY S2.) */
+  def reindex(spark: org.apache.spark.sql.SparkSession, source: DataFrame,
+              destPath: String, query: Option[String] = None,
+              pipeline: Option[String] = None,
+              idCol: String = "doc_id"): DataFrame = {
+    val filtered = query.map { q =>
+      source.where(QueryCompiler.compile(q, Int.MaxValue, idCol).predicate)
+    }.getOrElse(source)
+    val shaped = pipeline.map(p => IngestPipeline.compile(p)(filtered))
+      .getOrElse(filtered)
+    shaped.write.mode("overwrite").parquet(destPath)
+    spark.read.parquet(destPath)
+  }
+
   /** S5: delete — drop docs whose key appears in the delete set; a no-op in
     * analytic mode (M6), where documents deliberately outlive their source
     * rows (reference: ElasticIndex.java:642-649; gate EsSecondaryIndex.java:413;

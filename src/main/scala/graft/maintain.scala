@@ -124,6 +124,43 @@ object Maintain {
     * (reference: ElasticIndex.java:817-822). */
   def truncate(docs: DataFrame): DataFrame = docs.limit(0)
 
+  /** ES snapshot/restore analog over the file-backed doc store: `snapshot`
+    * copies the store's CURRENT file set to an immutable snapshot
+    * directory, `restore` replaces the store with a snapshot's content.
+    * Both are driver-side FS tree copies — metadata-scale work (file
+    * count, the same plane as [[compactSegments]]' listing), zero row
+    * movement through Spark; on an object store this is a server-side
+    * copy per file. A restore after arbitrary mutations reproduces the
+    * snapshot state exactly (roundtrip-proven by q_snapshot_restore).
+    * Returns the number of files copied. */
+  def snapshot(spark: org.apache.spark.sql.SparkSession,
+               tablePath: String, snapshotPath: String): Int =
+    copyTree(spark, tablePath, snapshotPath)
+
+  def restore(spark: org.apache.spark.sql.SparkSession,
+              snapshotPath: String, tablePath: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(tablePath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dst)) fs.delete(dst, true) // restore REPLACES the store
+    copyTree(spark, snapshotPath, tablePath)
+  }
+
+  private def copyTree(spark: org.apache.spark.sql.SparkSession,
+                       from: String, to: String): Int = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val src = new Path(from)
+    val dst = new Path(to)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(src), s"snapshot source does not exist: $from")
+    FileUtil.copy(fs, src, fs, dst, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(dst, true)
+    var n = 0
+    while (it.hasNext) { it.next(); n += 1 }
+    n
+  }
+
   /** M3/M5/M8 physical plane: delete the partition directories of segments
     * that fail `keep`, via the Hadoop FileSystem API (works on local fs,
     * HDFS, and object stores alike). At 100 TB dropping a segment is this —

@@ -119,4 +119,39 @@ class MaintainSpec extends AnyFunSuite {
       Maintain.segmentIndexNameCol("ks_t", SegmentGranularity.Fixed(1000), col("ts"))
     }
   }
+
+  test("snapshot/restore: the store round-trips through arbitrary damage") {
+    val base = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
+    val store = s"$base/store"
+    val snap = s"$base/snap"
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    df.write.mode("overwrite").parquet(store)
+    val n = Maintain.snapshot(spark, store, snap)
+    assert(n > 0)
+    // damage: truncate the store entirely
+    df.limit(0).write.mode("overwrite").parquet(store)
+    assert(spark.read.parquet(store).count() == 0)
+    Maintain.restore(spark, snap, store)
+    assert(spark.read.parquet(store).orderBy("id").collect().map(_.getInt(0)).toSeq
+      == Seq(1, 2, 3))
+    // a missing snapshot source fails loud
+    intercept[IllegalArgumentException] {
+      Maintain.restore(spark, s"$base/nope", store)
+    }
+  }
+
+  test("reindex: query + pipeline land in the destination store") {
+    val d = Seq((1, "en", "web"), (2, "de", "book"), (3, "en", "wiki"))
+      .toDF("doc_id", "lang", "source")
+    val dest = java.nio.file.Files.createTempDirectory("graft_reidx_spec")
+      .toString + "/dest"
+    val out = Indexer.reindex(spark, d, dest,
+      query = Some("""{"query": {"term": {"lang": "en"}}}"""),
+      pipeline = Some("""{"processors": [{"uppercase": {"field": "source"}}]}"""))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(2))).toSeq ==
+      Seq((1, "WEB"), (3, "WIKI")))
+    // the write is real: a fresh read of the dest path sees the same rows
+    assert(spark.read.parquet(dest).count() == 2)
+  }
 }

@@ -2216,6 +2216,25 @@ object SparkEntry {
           "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
         Map("customer" -> tbl(s, dir, "customer")))
     }),
+    "q_search_sparse_vector" -> ((s, dir) => {
+      // sparse_vector (ELSER analog): doc term-weight maps built from
+      // corpus tf, scored against a literal query vector — integer tf ×
+      // integer weights keeps the double dot product exact
+      val docs = tbl(s, dir, "documents")
+      val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+        t => length(t) > 0)
+      val tf = docs.select(col("doc_id"), explode(toks).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).cast("double").as("c"))
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("c"))))
+          .as("weights"))
+      Search.search(tf,
+        """{"query": {"sparse_vector": {"field": "weights",
+            "query_vector": {"spark": 2, "streaming": 1}}}, "size": 20}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score").cast("long").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+    }),
     "q_reindex" -> ((s, dir) => {
       // _reindex: source query + dest ingest pipeline + store write, read
       // back from the destination — one distributed pass, no scroll+bulk
@@ -4170,6 +4189,20 @@ object SparkEntry {
     "q_esql_dissect" ->
       """SELECT c_mktsegment AS seg, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_search_sparse_vector" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+           FROM documents),
+         tf AS (
+           SELECT doc_id, w, count(*) AS c FROM toks WHERE length(w) > 0
+           GROUP BY 1, 2),
+         sc AS (
+           SELECT doc_id,
+             sum(CASE WHEN w = 'spark' THEN 2.0 * c
+                      WHEN w = 'streaming' THEN 1.0 * c ELSE 0 END) AS s
+           FROM tf GROUP BY 1)
+         SELECT doc_id, CAST(s AS BIGINT) AS score FROM sc WHERE s > 0
+         ORDER BY s DESC, doc_id LIMIT 20""",
     "q_reindex" ->
       """SELECT doc_id, lang, upper(source) AS source, n_chars AS chars
          FROM documents WHERE lang = 'en' ORDER BY doc_id""",

@@ -1376,6 +1376,36 @@ object QueryCompiler {
               (lit(pivotM) + Geo.haversineMeters(col(dff), oLat, oLon)))
             .otherwise(lit(0.0))
           dfMatched
+        case "sparse_vector" =>
+          // {"sparse_vector": {"field": f, "query_vector": {tok: w, …}}}
+          // — the ELSER-style learned-sparse scoring face (ES 8.15+,
+          // pre-computed query-vector form): the doc field is a
+          // map<token,double> of term weights (ES rank_features storage),
+          // score = Σ q_w · d_w over the query's tokens. The query vector
+          // is compile-time literal, so the dot product unrolls to a
+          // coalesce/element_at product chain — fully codegen'd, no
+          // explode, no shuffle; a doc matches on positive overlap.
+          val unknownSv = body.fieldNames.asScala.toSet --
+            Set("field", "query_vector")
+          require(unknownSv.isEmpty,
+            s"unsupported sparse_vector option(s): ${unknownSv.mkString(", ")} " +
+              "(field/query_vector — declared subset; inference forms need a model)")
+          val svf = Option(body.get("field")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "sparse_vector needs 'field'"))
+          val qvN = Option(body.get("query_vector")).filter(_.isObject)
+            .getOrElse(throw new IllegalArgumentException(
+              "sparse_vector needs 'query_vector': {token: weight, …}"))
+          require(qvN.size > 0, "sparse_vector query_vector is empty")
+          val svScore = qvN.fields.asScala.toSeq.map { e =>
+            require(e.getValue.isNumber,
+              s"sparse_vector weight for '${e.getKey}' must be a number")
+            coalesce(element_at(col(svf), lit(e.getKey)), lit(0.0)) *
+              lit(e.getValue.asDouble)
+          }.reduce(_ + _)
+          val svc = svScore > lit(0.0)
+          if (scoring) leaves += when(svc, svScore)
+          svc
         case "rank_feature" =>
           // {"rank_feature": {"field": f, "saturation": {"pivot": p}
           //  [, "boost": b]}} — matches docs WITH the (non-negative)

@@ -909,6 +909,26 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("exactly one field"))
   }
 
+  test("sparse_vector: literal query vector dot doc weight maps") {
+    val docs = Seq(
+      ("1", Map("spark" -> 3.0, "sql" -> 1.0)),
+      ("2", Map("flink" -> 2.0)),
+      ("3", Map("spark" -> 1.0, "streaming" -> 4.0)))
+      .toDF("doc_id", "weights")
+    val out = Search.search(docs,
+      """{"query": {"sparse_vector": {"field": "weights",
+          "query_vector": {"spark": 2, "streaming": 1}}}}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id", "_score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // doc1: 2*3 = 6; doc3: 2*1 + 1*4 = 6 → id tiebreak; doc2 no overlap
+    assert(out == Seq(("1", 6.0), ("3", 6.0)))
+    assert(intercept[IllegalArgumentException](Search.search(docs,
+      """{"query": {"sparse_vector": {"field": "weights",
+          "query_vector": {}}}}""", IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("empty"))
+  }
+
   test("min_score: score floor applies before paging") {
     val docs = Seq(
       ("1", "spark batch"), ("2", "spark only"), ("3", "batch only"),

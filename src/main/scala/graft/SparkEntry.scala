@@ -2216,6 +2216,16 @@ object SparkEntry {
           "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
         Map("customer" -> tbl(s, dir, "customer")))
     }),
+    "q_mix_epochs" -> ((s, dir) => {
+      // fractional-epoch mixing: src0 ×2 (exact), src1 ×1.3 (each doc
+      // once + 30% twice by the LCG pick), src2 ×0.5, everything else
+      // dropped — the oracle re-derives the exact row multiset
+      Curate.mixEpochs(
+          tbl(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 2.0, "src1" -> 1.3, "src2" -> 0.5), seed = 7L)
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
     "q_search_sparse_vector" -> ((s, dir) => {
       // sparse_vector (ELSER analog): doc term-weight maps built from
       // corpus tf, scored against a literal query vector — integer tf ×
@@ -4189,6 +4199,22 @@ object SparkEntry {
     "q_esql_dissect" ->
       """SELECT c_mktsegment AS seg, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_mix_epochs" ->
+      """WITH d AS (
+           SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.3
+                         WHEN 'src2' THEN 0.5 ELSE -1 END AS e,
+             ((doc_id % 1000003 + 7) * 1103515245 + 12345) % 1000000 AS b
+           FROM documents),
+         c AS (
+           SELECT doc_id, source,
+             CAST(floor(e) AS BIGINT) +
+               (CASE WHEN b < CAST((e - floor(e)) * 1000000 AS BIGINT)
+                     THEN 1 ELSE 0 END) AS copies
+           FROM d WHERE e >= 0)
+         SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS epoch
+         FROM c WHERE copies > 0
+         ORDER BY doc_id, epoch""",
     "q_search_sparse_vector" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

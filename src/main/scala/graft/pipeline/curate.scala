@@ -175,6 +175,39 @@ object Curate {
       .drop("_w_raw", "_w_total")
   }
 
+  /** Fractional-epoch dataset mixing — the Dolma/LLaMA recipe notation
+    * ("2.5 epochs of wiki, 0.3 of books"): a domain's docs each repeat
+    * ⌊e⌋ times, plus once more when the doc's scrambled NUMERIC id lands
+    * inside the fractional remainder (the same LCG convention as the
+    * random_sampler aggregation — deterministic at any partitioning AND
+    * expressible in plain integer SQL, so the oracle verifies the exact
+    * row multiset, not just counts). Output rows carry `epoch` (0-based
+    * copy index). One narrow projection + an inline sequence explode —
+    * no shuffle, no join, upsampling never materializes the corpus more
+    * than the recipe demands. Domains absent from the map are DROPPED
+    * (a silent 1.0 default would unbalance the recipe). */
+  def mixEpochs(df: DataFrame, idCol: String, domainCol: String,
+                epochs: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(epochs.nonEmpty, "epochs map is empty")
+    require(epochs.values.forall(e => e >= 0 && e <= 1000),
+      s"epochs must be in [0, 1000]")
+    require(seed >= 0 && seed <= 1000000L, s"seed must be in [0, 1e6], got $seed")
+    val buckets = 1000000L
+    val b = pmod((pmod(col(idCol).cast("long"), lit(1000003L)) + lit(seed)) *
+      lit(1103515245L) + lit(12345L), lit(buckets))
+    val e = epochs.toSeq.sortBy(_._1).foldLeft(lit(-1.0)) {
+      case (acc, (dom, ep)) =>
+        when(col(domainCol) === dom, lit(ep)).otherwise(acc)
+    }
+    val copies = floor(e).cast("long") +
+      when(b < ((e - floor(e)) * buckets).cast("long"), 1L).otherwise(0L)
+    df.where(e >= 0)
+      .withColumn("_copies", copies)
+      .where(col("_copies") > 0) // sequence(0, -1) DESCENDS — guard first
+      .withColumn("epoch", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies")
+  }
+
   /** Deterministic stratified sample: per-domain keep fractions (e.g. from
     * [[mixPlan]]), hash-bucketed on the id so the decision is retry- and
     * join-stable like [[Sampling.deterministicSample]]. Unlisted domains

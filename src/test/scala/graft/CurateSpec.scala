@@ -99,6 +99,27 @@ class CurateSpec extends AnyFunSuite {
     assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
   }
 
+  test("fractional-epoch mixing: exact integral repeats, LCG fractional pick") {
+    val df = (0L until 9000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "dom")
+    val out = Curate.mixEpochs(df, "id", "dom",
+      Map("a" -> 2.0, "b" -> 1.4), seed = 3L) // c unlisted → dropped
+    val byDom = out.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom.keySet == Set("a", "b"))
+    assert(byDom("a") == 6000L) // integral epochs repeat EXACTLY
+    assert(math.abs(byDom("b") - 4200L) < 200, byDom.toString)
+    // copy indices are dense 0..copies-1 per doc
+    val epochs = out.where($"dom" === "a").groupBy("id")
+      .agg(org.apache.spark.sql.functions.collect_list("epoch").as("es"))
+      .select("es").as[Seq[Long]].collect()
+    assert(epochs.forall(_.sorted == Seq(0L, 1L)))
+    // deterministic across runs
+    val again = Curate.mixEpochs(df, "id", "dom",
+      Map("a" -> 2.0, "b" -> 1.4), seed = 3L)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
+
   test("leakage-safe split keeps near-dup clusters on one side, covers, splits fairly") {
     // 3000 docs in near-dup pairs (2i, 2i+1 share text) + 4000 singletons
     val docs = ((0L until 3000L).map(i => (i, s"group text number ${i / 2} padded with words")) ++

@@ -2216,6 +2216,23 @@ object SparkEntry {
           "| DISSECT s \"%{nm}|%{seg}\" | STATS n = COUNT(*) BY seg | SORT seg",
         Map("customer" -> tbl(s, dir, "customer")))
     }),
+    "q_search_retriever" -> ((s, dir) => {
+      // ES 8.14 retriever tree: two standard retrievers fused by the rrf
+      // node — same fusion math as q_search_rrf, reached through the
+      // modern composition surface
+      val docs = tbl(s, dir, "documents")
+      Search.retriever(docs,
+        """{"retriever": {"rrf": {
+              "retrievers": [
+                {"standard": {"query": {"match": {"text": "spark"}}}},
+                {"standard": {"query": {"match": {"text": "query"}}}}],
+              "rank_window_size": 10000, "rank_constant": 60}},
+            "size": 20}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST(floor(_score * 1e6) AS BIGINT)").as("score_e6"),
+          col("_rrf_matched"))
+    }),
     "q_mix_epochs" -> ((s, dir) => {
       // fractional-epoch mixing: src0 ×2 (exact), src1 ×1.3 (each doc
       // once + 30% twice by the LCG pick), src2 ×0.5, everything else
@@ -4199,6 +4216,20 @@ object SparkEntry {
     "q_esql_dissect" ->
       """SELECT c_mktsegment AS seg, count(*) AS n
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q_search_retriever" ->
+      """WITH r1 AS (
+           SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+           FROM documents WHERE regexp_matches(lower(text), '\bspark\b')),
+         r2 AS (
+           SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+           FROM documents WHERE regexp_matches(lower(text), '\bquery\b')),
+         u AS (SELECT doc_id, 1.0 / (60 + rk) AS c FROM r1
+               UNION ALL SELECT doc_id, 1.0 / (60 + rk) FROM r2),
+         f AS (SELECT doc_id, sum(c) AS s, CAST(count(*) AS INT) AS m
+               FROM u GROUP BY doc_id)
+         SELECT doc_id, CAST(floor(s * 1e6) AS BIGINT) AS score_e6,
+           m AS _rrf_matched
+         FROM f ORDER BY s DESC, doc_id LIMIT 20""",
     "q_mix_epochs" ->
       """WITH d AS (
            SELECT doc_id, source,

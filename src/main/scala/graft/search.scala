@@ -1257,6 +1257,69 @@ object Search {
     * caps at rank_window_size; ours at maxResults), so the per-ranking
     * row_number window runs on k rows, and the fusion is a union +
     * one hash aggregate over ≤ Σk rows — never corpus-sized. */
+  /** ES 8.14+ retriever tree: `{"retriever": {…}, "size": N}` — the
+    * modern search-API composition surface. Declared subset of retriever
+    * types: `standard` (a query body over the doc frame), `knn` (the ES-8
+    * knn shape over a vector column of the SAME frame), and `rrf` over a
+    * list of child retrievers (`rank_window_size` caps each child's hit
+    * list, `rank_constant` feeds [[rrf]]). Every leaf is a capped top-k;
+    * the fusion is a union + one hash aggregate over ≤ Σk rows — the tree
+    * never widens past its window sizes, whatever the corpus size. */
+  def retriever(docs: DataFrame, body: String, cfg: IndexConfig = IndexConfig(),
+                pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    val root = mapper.readTree(body)
+    require(root != null && root.isObject, "retriever body must be a JSON object")
+    val unknownTop = root.fieldNames.asScala.toSet -- Set("retriever", "size")
+    require(unknownTop.isEmpty,
+      s"unsupported retriever body key(s): ${unknownTop.mkString(", ")}")
+    val rNode = Option(root.get("retriever")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException("body needs a 'retriever' object"))
+    val size = Option(root.get("size")).map(_.asInt).getOrElse(10)
+    require(size >= 1, s"retriever size must be >= 1, got $size")
+    def eval(node: JsonNode, cap: Int): DataFrame = {
+      require(node.isObject && node.size == 1,
+        s"retriever must be a single-type object, got: $node")
+      val tpe = node.fieldNames.asScala.next()
+      val spec = node.get(tpe)
+      tpe match {
+        case "standard" =>
+          val unknownS = spec.fieldNames.asScala.toSet - "query"
+          require(unknownS.isEmpty,
+            s"unsupported standard retriever key(s): ${unknownS.mkString(", ")}")
+          val q = Option(spec.get("query")).getOrElse(
+            throw new IllegalArgumentException("standard retriever needs 'query'"))
+          val w = mapper.createObjectNode()
+          w.set[JsonNode]("query", q)
+          w.put("size", cap)
+          search(docs, w.toString, cfg, pkCols)
+            .select(col(pkCols.head), col("_score"))
+        case "knn" =>
+          val w = mapper.createObjectNode()
+          w.set[JsonNode]("knn", spec)
+          knnSearch(docs, w.toString, cfg, pkCols.head)
+            .select(col(pkCols.head), col("_score"))
+            .limit(cap)
+        case "rrf" =>
+          val unknownR = spec.fieldNames.asScala.toSet --
+            Set("retrievers", "rank_window_size", "rank_constant")
+          require(unknownR.isEmpty,
+            s"unsupported rrf retriever key(s): ${unknownR.mkString(", ")}")
+          val children = Option(spec.get("retrievers")).filter(_.isArray)
+            .map(_.elements.asScala.toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              "rrf retriever needs 'retrievers': [...]"))
+          require(children.size >= 2, "rrf needs at least two child retrievers")
+          val window = Option(spec.get("rank_window_size")).map(_.asInt)
+            .getOrElse(math.max(cap, 10))
+          val rc = Option(spec.get("rank_constant")).map(_.asInt).getOrElse(60)
+          rrf(children.map(eval(_, window)), pkCols.head, rc, cap)
+        case other => throw new IllegalArgumentException(
+          s"unsupported retriever type '$other' (standard/knn/rrf — declared subset)")
+      }
+    }
+    eval(rNode, size)
+  }
+
   def rrf(rankings: Seq[DataFrame], idCol: String = "doc_id",
           rankConstant: Int = 60, size: Int = 10): DataFrame = {
     require(rankings.size >= 2, "rrf needs at least two rankings")

@@ -909,6 +909,35 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("exactly one field"))
   }
 
+  test("retriever tree: standard + knn leaves under an rrf node") {
+    val docs = Seq(
+      ("1", "spark spark", Array(1.0, 0.0)),
+      ("2", "spark", Array(0.9, 0.1)),
+      ("3", "flink", Array(0.0, 1.0)))
+      .toDF("doc_id", "text", "vec")
+    val out = Search.retriever(docs,
+      """{"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "spark"}}}},
+            {"knn": {"field": "vec", "query_vector": [1, 0], "k": 2,
+              "num_candidates": 3}}],
+          "rank_window_size": 10, "rank_constant": 60}}, "size": 3}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id", "_rrf_matched").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // docs 1, 2 appear in both rankings; doc 3 in neither list's top
+    assert(out.map(_._1).toSet == Set("1", "2"))
+    assert(out.forall(_._2 == 2))
+    // a single leaf works without fusion
+    val leaf = Search.retriever(docs,
+      """{"retriever": {"standard": {"query": {"match": {"text": "flink"}}}},
+          "size": 5}""", IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSeq
+    assert(leaf == Seq("3"))
+    assert(intercept[IllegalArgumentException](Search.retriever(docs,
+      """{"retriever": {"linear": {}}}""", IndexConfig(), Seq("doc_id")))
+      .getMessage.contains("unsupported retriever type"))
+  }
+
   test("sparse_vector: literal query vector dot doc weight maps") {
     val docs = Seq(
       ("1", Map("spark" -> 3.0, "sql" -> 1.0)),

@@ -2155,6 +2155,17 @@ object SparkEntry {
       toks.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
         .toDF("token", "position").orderBy(col("position"))
     }),
+    "q_analyze_custom" -> ((s, dir) => {
+      // _analyze with a custom chain: standard tokenizer then
+      // lowercase → asciifolding → stop → unique → stemmer
+      import s.implicits._
+      val toks = Maintain.analyzeChain(
+        "Thé QUICK brown-Fox AND thé lazy Ingénieurs visits Queries",
+        "standard",
+        Seq("lowercase", "asciifolding", "stop", "unique", "stemmer"))
+      toks.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
+        .toDF("token", "position").orderBy(col("position"))
+    }),
     "q_mget" -> ((s, dir) => {
       // _mget: batch get-by-id in REQUEST order; absent ids stay as
       // found=false rows with null doc columns (the ES response contract)
@@ -4174,6 +4185,14 @@ object SparkEntry {
            ('text', 'text', true, false))
          t(field, es_type, searchable, aggregatable)
          ORDER BY field""",
+    "q_analyze_custom" ->
+      // hand-derived through the declared chain (lowercase → asciifolding
+      // → stop → unique → stemmer); the chain logic itself is spec-tested
+      """SELECT * FROM (VALUES
+           ('quick', CAST(1 AS BIGINT)), ('brown', 2), ('fox', 3),
+           ('lazy', 4), ('ingenieur', 5), ('visit', 6), ('queri', 7))
+           t(token, position)
+         ORDER BY position""",
     "q_analyze" ->
       """SELECT * FROM (VALUES
            ('spark', CAST(1 AS BIGINT)), ('streaming', 2), ('joins', 3),

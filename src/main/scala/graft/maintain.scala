@@ -271,4 +271,50 @@ object Maintain {
     * operator and the inverted index use. */
   def analyze(text: String): Seq[String] =
     text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
+
+  /** ES `_analyze` with an explicit tokenizer + token-filter chain — the
+    * analyzer-preview endpoint for CUSTOM analyzers. Declared subset:
+    * tokenizers `standard` (unicode letter/digit/underscore runs),
+    * `whitespace`, `letter`, `keyword`; filters `lowercase`, `uppercase`,
+    * `asciifolding` (NFD + strip combining marks), `stop` (the engine's
+    * stopword set), `unique` (first-occurrence dedup), `reverse`, and
+    * `stemmer` (minimal English suffix-strip — sses→ss, ies→i, plural s;
+    * declared divergence from ES's full Porter). Driver-side string work:
+    * the endpoint analyzes ONE string, never a corpus. */
+  def analyzeChain(text: String, tokenizer: String = "standard",
+                   filters: Seq[String] = Seq("lowercase")): Seq[String] = {
+    val toks0: Seq[String] = tokenizer match {
+      case "standard" => text.split("[^\\p{L}\\p{N}_]+").toSeq.filter(_.nonEmpty)
+      case "whitespace" => text.split("\\s+").toSeq.filter(_.nonEmpty)
+      case "letter" => text.split("[^\\p{L}]+").toSeq.filter(_.nonEmpty)
+      case "keyword" => Seq(text)
+      case other => throw new IllegalArgumentException(
+        s"unsupported tokenizer '$other' (standard/whitespace/letter/keyword)")
+    }
+    filters.foldLeft(toks0) { (ts, f) =>
+      f match {
+        case "lowercase" => ts.map(_.toLowerCase)
+        case "uppercase" => ts.map(_.toUpperCase)
+        case "asciifolding" => ts.map(t =>
+          java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD)
+            .replaceAll("\\p{M}+", ""))
+        case "stop" =>
+          val sw = graft.pipeline.TextStats.Stopwords.toSet
+          ts.filterNot(t => sw.contains(t.toLowerCase))
+        case "unique" => ts.distinct
+        case "reverse" => ts.map(_.reverse)
+        case "stemmer" => ts.map(stemLite)
+        case other => throw new IllegalArgumentException(
+          s"unsupported token filter '$other' (lowercase/uppercase/" +
+            "asciifolding/stop/unique/reverse/stemmer)")
+      }
+    }
+  }
+
+  private def stemLite(t: String): String =
+    if (t.endsWith("sses")) t.dropRight(2)
+    else if (t.endsWith("ies") && t.length > 4) t.dropRight(3) + "i"
+    else if (t.endsWith("ss") || t.length <= 3) t
+    else if (t.endsWith("s")) t.dropRight(1)
+    else t
 }

@@ -120,6 +120,23 @@ class MaintainSpec extends AnyFunSuite {
     }
   }
 
+  test("analyzeChain: tokenizers and the token-filter library") {
+    import Maintain.analyzeChain
+    assert(analyzeChain("Thé Fox-Runs", "standard", Seq("lowercase")) ==
+      Seq("thé", "fox", "runs"))
+    assert(analyzeChain("a b-c", "whitespace", Seq.empty) == Seq("a", "b-c"))
+    assert(analyzeChain("Keep AS IS", "keyword", Seq.empty) == Seq("Keep AS IS"))
+    assert(analyzeChain("Thé café", "standard",
+      Seq("lowercase", "asciifolding")) == Seq("the", "cafe"))
+    assert(analyzeChain("the quick THE fox", "standard",
+      Seq("lowercase", "stop", "unique")) == Seq("quick", "fox"))
+    assert(analyzeChain("ponies glasses visits mass fox", "standard",
+      Seq("lowercase", "stemmer")) ==
+      Seq("poni", "glass", "visit", "mass", "fox"))
+    intercept[IllegalArgumentException](analyzeChain("x", "ngram", Seq.empty))
+    intercept[IllegalArgumentException](analyzeChain("x", "standard", Seq("soundex")))
+  }
+
   test("snapshot/restore: the store round-trips through arbitrary damage") {
     val base = java.nio.file.Files.createTempDirectory("graft_snap_spec").toString
     val store = s"$base/store"

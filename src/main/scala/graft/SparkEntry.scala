@@ -2254,6 +2254,17 @@ object SparkEntry {
           Map("src0" -> 2.0, "src1" -> 1.3, "src2" -> 0.5), seed = 7L)
         .orderBy(col("doc_id"), col("epoch"))
     }),
+    "q_search_synonyms" -> ((s, dir) => {
+      // query-time synonym expansion: 'quick' also matches fast/rapid —
+      // the search-analyzer synonym filter as a pre-compile DSL rewrite
+      val docs = tbl(s, dir, "documents")
+      val rewritten = QueryCompiler.expandSynonyms(
+        """{"query": {"match": {"text": "quick spark"}}, "size": 10000}""",
+        Map("quick" -> Seq("fast", "rapid")))
+      Search.search(docs, rewritten, IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_sparse_vector" -> ((s, dir) => {
       // sparse_vector (ELSER analog): doc term-weight maps built from
       // corpus tf, scored against a literal query vector — integer tf ×
@@ -4265,6 +4276,19 @@ object SparkEntry {
          SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS epoch
          FROM c WHERE copies > 0
          ORDER BY doc_id, epoch""",
+    "q_search_synonyms" ->
+      """SELECT doc_id,
+           (CASE WHEN regexp_matches(lower(text), '\bquick\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bfast\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\brapid\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END)
+             AS _score
+         FROM documents
+         WHERE (regexp_matches(lower(text), '\bquick\b')
+             OR regexp_matches(lower(text), '\bfast\b')
+             OR regexp_matches(lower(text), '\brapid\b'))
+           AND regexp_matches(lower(text), '\bspark\b')
+         ORDER BY doc_id""",
     "q_search_sparse_vector" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w

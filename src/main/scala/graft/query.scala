@@ -132,6 +132,74 @@ object QueryCompiler {
     else LuceneLite.compile(q, defaultLimit, defaultField = None, defaultOr = dOr)
   }
 
+  /** Query-time SYNONYM expansion — the analyzer synonym-graph filter
+    * re-expressed as a pre-compile DSL rewrite (same effect as ES's
+    * search_analyzer synonyms: a query term matches itself or any listed
+    * synonym). Walks the query tree; every `match`/`term` leaf whose
+    * analyzed token hits the map expands to a `bool.should` of the
+    * original plus one leaf per synonym (minimum_should_match 1 — the OR
+    * the filter produces). Multi-token match values expand per token into
+    * a `bool.must` of per-token shoulds under the default-AND contract.
+    * Non-leaf operators pass through untouched; the rewritten JSON then
+    * compiles normally, so every downstream path (scoring, pushdown,
+    * highlight) sees plain DSL. */
+  def expandSynonyms(query: String, synonyms: Map[String, Seq[String]]): String = {
+    require(synonyms.values.forall(_.nonEmpty), "synonym lists must be non-empty")
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(query)
+    require(root != null && root.isObject, "synonym expansion needs a DSL JSON query")
+    def leafFor(op: String, field: String, value: String): JsonNode = {
+      val leaf = mapper.createObjectNode()
+      leaf.putObject(op).put(field, value)
+      leaf
+    }
+    def expandLeaf(op: String, field: String, value: String): JsonNode = {
+      val tokens =
+        if (op == "term") Seq(value)
+        else value.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
+      def tokenNode(tok: String): JsonNode = synonyms.get(tok) match {
+        case Some(syns) =>
+          val bool = mapper.createObjectNode()
+          val b = bool.putObject("bool")
+          val should = b.putArray("should")
+          (tok +: syns).foreach(sv => should.add(leafFor(op, field, sv)))
+          b.put("minimum_should_match", 1)
+          bool
+        case None => leafFor(op, field, tok)
+      }
+      if (tokens.size == 1) tokenNode(tokens.head)
+      else if (tokens.forall(t => !synonyms.contains(t)))
+        leafFor(op, field, value) // no hits — leave the leaf verbatim
+      else {
+        val bool = mapper.createObjectNode()
+        val must = bool.putObject("bool").putArray("must")
+        tokens.foreach(t => must.add(tokenNode(t)))
+        bool
+      }
+    }
+    def walk(n: JsonNode): JsonNode =
+      if (n.isArray) {
+        val arr = mapper.createArrayNode()
+        n.elements.asScala.foreach(e => arr.add(walk(e)))
+        arr
+      } else if (n.isObject && n.size == 1 &&
+          Seq("match", "term").contains(n.fieldNames.asScala.next()) &&
+          n.get(n.fieldNames.asScala.next()).isObject &&
+          n.get(n.fieldNames.asScala.next()).size == 1 &&
+          n.get(n.fieldNames.asScala.next())
+            .get(n.get(n.fieldNames.asScala.next())
+              .fieldNames.asScala.next()).isTextual) {
+        val op = n.fieldNames.asScala.next()
+        val field = n.get(op).fieldNames.asScala.next()
+        expandLeaf(op, field, n.get(op).get(field).asText)
+      } else if (n.isObject) {
+        val obj = mapper.createObjectNode()
+        n.fields.asScala.foreach(e => obj.set[JsonNode](e.getKey, walk(e.getValue)))
+        obj
+      } else n
+    walk(root).toString
+  }
+
   /** The operator bare adjacency compiles to, normalized to "AND"/"OR":
     * the per-query `#options:default-operator=or#` override wins over the
     * store-level [[IndexConfig.defaultOperator]]. Callers that strip the

@@ -863,4 +863,30 @@ class QueryCompilerSpec extends AnyFunSuite {
             "slop": 0, "in_order": true}}}}}"""))
       .getMessage.contains("both endpoints"))
   }
+
+  test("expandSynonyms: leaf expansion, multi-token split, pass-through") {
+    val syn = Map("quick" -> Seq("fast"))
+    // single-token hit -> bool.should of original + synonyms
+    val one = QueryCompiler.expandSynonyms(
+      """{"query": {"match": {"text": "quick"}}}""", syn)
+    assert(one.contains("should") && one.contains("fast")
+      && one.contains("minimum_should_match"))
+    // multi-token: per-token shoulds under a must
+    val multi = QueryCompiler.expandSynonyms(
+      """{"query": {"match": {"text": "quick spark"}}}""", syn)
+    assert(multi.contains("must") && multi.contains("fast")
+      && multi.contains("spark"))
+    // no synonym hits -> leaf verbatim
+    val none = QueryCompiler.expandSynonyms(
+      """{"query": {"match": {"text": "slow turtle"}}}""", syn)
+    assert(none.contains("slow turtle") && !none.contains("should"))
+    // term leaves expand without tokenization; other operators untouched
+    val term = QueryCompiler.expandSynonyms(
+      """{"query": {"bool": {"must": [{"term": {"lang": "quick"}},
+          {"range": {"n": {"gte": 1}}}]}}}""", syn)
+    assert(term.contains("fast") && term.contains("range"))
+    // empty synonym list is loud
+    intercept[IllegalArgumentException](QueryCompiler.expandSynonyms(
+      """{"query": {"match": {"text": "x"}}}""", Map("x" -> Seq.empty)))
+  }
 }

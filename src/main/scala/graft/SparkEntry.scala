@@ -2254,6 +2254,11 @@ object SparkEntry {
           Map("src0" -> 2.0, "src1" -> 1.3, "src2" -> 0.5), seed = 7L)
         .orderBy(col("doc_id"), col("epoch"))
     }),
+    "q_terms_enum" -> ((s, dir) => {
+      // _terms_enum: keyword autocomplete — distinct source values under
+      // the prefix, ascending, capped
+      Search.termsEnum(tbl(s, dir, "documents"), "source", "src1", size = 8)
+    }),
     "q_search_synonyms" -> ((s, dir) => {
       // query-time synonym expansion: 'quick' also matches fast/rapid —
       // the search-analyzer synonym filter as a pre-compile DSL rewrite
@@ -4276,6 +4281,9 @@ object SparkEntry {
          SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS epoch
          FROM c WHERE copies > 0
          ORDER BY doc_id, epoch""",
+    "q_terms_enum" ->
+      """SELECT DISTINCT source AS term FROM documents
+         WHERE source LIKE 'src1%' ORDER BY term LIMIT 8""",
     "q_search_synonyms" ->
       """SELECT doc_id,
            (CASE WHEN regexp_matches(lower(text), '\bquick\b') THEN 1 ELSE 0 END +

@@ -619,6 +619,20 @@ object Esql {
         case "TO_DOUBLE" => arity(1); a(0).cast("double")
         case "TO_STRING" => arity(1); a(0).cast("string")
         case "MV_COUNT" => arity(1); size(a(0))
+        case "TRIM" => arity(1); trim(a(0))
+        case "REPLACE" => arity(3)
+          regexp_replace(a(0),
+            java.util.regex.Pattern.quote(litStr(argInfo(1)._2, "REPLACE")),
+            litStr(argInfo(2)._2, "REPLACE"))
+        case "CASE" =>
+          // CASE(cond1, v1[, cond2, v2…][, default]) — ES|QL's conditional
+          require(a.length >= 2, "CASE expects at least (condition, value)")
+          val pairs = a.grouped(2).toSeq
+          val default = if (a.length % 2 == 1) a.last else lit(null)
+          pairs.takeWhile(_.length == 2).foldRight(default) {
+            case (Seq(c0, v0), acc) => when(c0, v0).otherwise(acc)
+            case (_, acc) => acc
+          }
         case "DATE_TRUNC" => arity(2)
           // unit first like ES|QL's span argument; the input normalizes
           // through Tsx so NTZ parquet timestamps work (UTC session)

@@ -1320,6 +1320,22 @@ object Search {
     eval(rNode, size)
   }
 
+  /** ES `_terms_enum`: the low-latency keyword-autocomplete endpoint —
+    * distinct values of a keyword field starting with `prefix`,
+    * ascending, capped at `size`. The prefix filter pushes to the scan
+    * (StartsWith pushdown), the distinct is one hash aggregate over the
+    * surviving slice, and the cap fuses into TakeOrderedAndProject. */
+  def termsEnum(docs: DataFrame, field: String, prefix: String,
+                size: Int = 10, caseInsensitive: Boolean = false): DataFrame = {
+    require(size >= 1, s"terms_enum size must be >= 1, got $size")
+    val c = col(field)
+    val p =
+      if (caseInsensitive) lower(c).startsWith(prefix.toLowerCase)
+      else c.startsWith(prefix)
+    docs.where(c.isNotNull && p).select(c.as("term")).distinct()
+      .orderBy(asc("term")).limit(size)
+  }
+
   def rrf(rankings: Seq[DataFrame], idCol: String = "doc_id",
           rankConstant: Int = 60, size: Int = 10): DataFrame = {
     require(rankings.size >= 2, "rrf needs at least two rankings")

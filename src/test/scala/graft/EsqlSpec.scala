@@ -110,6 +110,21 @@ class EsqlSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"sort+limit not fused:\n$plan")
   }
 
+  test("CASE, TRIM, REPLACE functions") {
+    val out = Esql.run(
+      "FROM docs | EVAL band = CASE(n < 15, \"low\", n < 35, \"mid\", \"high\"), " +
+        "t = REPLACE(TRIM(CONCAT(\" \", lang, \" \")), \"e\", \"3\") " +
+        "| KEEP id, band, t | SORT id", cat).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(out == Seq((1L, "low", "3n"), (2L, "mid", "3n"),
+      (3L, "mid", "d3"), (4L, "high", "fr")))
+    // CASE with no default yields null beyond the conditions
+    val nul = Esql.run(
+      "FROM docs | EVAL x = CASE(n > 100, 1) | WHERE x IS NULL " +
+        "| STATS c = COUNT(*)", cat).collect().head.getLong(0)
+    assert(nul == 4L)
+  }
+
   test("GROK: library patterns to named captures, null on non-match") {
     val logs = Seq((1L, "ERROR disk full on 10.0.0.7"), (2L, "not a log line"))
       .toDF("id", "line")

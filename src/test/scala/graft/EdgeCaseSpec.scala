@@ -196,4 +196,50 @@ class EdgeCaseSpec extends AnyFunSuite {
     // whitespace-only phrase is a loud error, not a silent match-none
     assert(QueryCompiler.validate("""text:"  "~2""").isLeft)
   }
+
+  test("r8 text signals are total on empty/short docs") {
+    assert(TextStats.bigramLogLoss(emptyDocs, "text", "doc_id").count() == 0)
+    assert(TextStats.dupNgramFraction(emptyDocs, "text", "doc_id", 3).count() == 0)
+    // one-token docs have no bigrams/3-grams anywhere -> empty, no error
+    val short = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    assert(TextStats.bigramLogLoss(short, "text", "doc_id").count() == 0)
+    assert(TextStats.dupNgramFraction(short, "text", "doc_id", 3).count() == 0)
+  }
+
+  test("ES|QL: multi-index FROM unions by name; empty result pipes are total") {
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, 9L)).toDF("id", "n") // different columns
+    val u = Esql.run("FROM a, b | SORT id", Map("a" -> a, "b" -> b)).collect()
+    assert(u.length == 2 && u(0).isNullAt(2) && u(1).isNullAt(1))
+    assert(Esql.run(
+      "FROM a | WHERE id > 100 | STATS c = COUNT(*) BY v | SORT v",
+      Map("a" -> a)).count() == 0)
+  }
+
+  test("retriever rrf honors a window smaller than size; mixEpochs drops zero-epoch domains") {
+    val docs = Seq(("1", "x y"), ("2", "x"), ("3", "x")).toDF("doc_id", "text")
+    val out = Search.retriever(docs,
+      """{"retriever": {"rrf": {"retrievers": [
+            {"standard": {"query": {"match": {"text": "x"}}}},
+            {"standard": {"query": {"match": {"text": "y"}}}}],
+          "rank_window_size": 1}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id")).count()
+    assert(out <= 2) // each child contributes at most window=1 ids
+    val mixed = graft.pipeline.Curate.mixEpochs(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "dom"), "id", "dom",
+      Map("a" -> 0.0, "b" -> 1.0))
+    assert(mixed.select("dom").collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("sparse_vector skips docs with a null weight map; analyzeChain on empty text") {
+    val docs = Seq(("1", Map("x" -> 1.0)), ("2", null.asInstanceOf[Map[String, Double]]))
+      .toDF("doc_id", "weights")
+    val hits = Search.search(docs,
+      """{"query": {"sparse_vector": {"field": "weights",
+          "query_vector": {"x": 1}}}}""",
+      IndexConfig(), Seq("doc_id")).select("doc_id").collect().map(_.getString(0))
+    assert(hits.toSeq == Seq("1"))
+    assert(Maintain.analyzeChain("", "standard",
+      Seq("lowercase", "stop", "stemmer")).isEmpty)
+  }
 }

@@ -2254,6 +2254,27 @@ object SparkEntry {
           Map("src0" -> 2.0, "src1" -> 1.3, "src2" -> 0.5), seed = 7L)
         .orderBy(col("doc_id"), col("epoch"))
     }),
+    "q_search_index_pattern" -> ((s, dir) => {
+      // index-pattern targeting: wildcard inclusion + '-' exclusion over a
+      // catalog of per-lang indices, rows tagged with their _index
+      val d = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("n_chars"))
+      val cat = Map(
+        "docs_en" -> d.where(col("lang") === "en"),
+        "docs_fr" -> d.where(col("lang") === "fr"),
+        "docs_de" -> d.where(col("lang") === "de"),
+        "other_idx" -> d.where(!col("lang").isin("en", "fr", "de")))
+      Search.indexPattern(cat, "docs_*,-docs_de").orderBy(col("doc_id"))
+    }),
+    "q_esql_metadata" -> ((s, dir) => {
+      // ES|QL METADATA _index: multi-index FROM with per-row source
+      // tagging, aggregated per index
+      Esql.run(
+        "FROM lineitem, orders METADATA _index " +
+          "| STATS c = COUNT(*) BY _index | SORT _index",
+        Map("lineitem" -> tbl(s, dir, "lineitem"),
+          "orders" -> tbl(s, dir, "orders")))
+    }),
     "q_terms_enum" -> ((s, dir) => {
       // _terms_enum: keyword autocomplete — distinct source values under
       // the prefix, ascending, capped
@@ -4281,6 +4302,14 @@ object SparkEntry {
          SELECT doc_id, source, unnest(generate_series(0, copies - 1)) AS epoch
          FROM c WHERE copies > 0
          ORDER BY doc_id, epoch""",
+    "q_search_index_pattern" ->
+      """SELECT doc_id, lang, n_chars, 'docs_' || lang AS _index
+         FROM documents WHERE lang IN ('en', 'fr') ORDER BY doc_id""",
+    "q_esql_metadata" ->
+      """SELECT * FROM (
+           SELECT 'lineitem' AS _index, count(*) AS c FROM lineitem
+           UNION ALL SELECT 'orders', count(*) FROM orders) t
+         ORDER BY _index""",
     "q_terms_enum" ->
       """SELECT DISTINCT source AS term FROM documents
          WHERE source LIKE 'src1%' ORDER BY term LIMIT 8""",

@@ -45,11 +45,18 @@ object Esql {
     val head = stages.head
     require(head.toUpperCase.startsWith("FROM"),
       s"ES|QL must start with FROM, got: $head")
-    val names = head.drop(4).split(',').map(_.trim).filter(_.nonEmpty)
+    // `FROM idx[, …] [METADATA _index]` — the metadata clause tags every
+    // row with its source index name (the ES|QL _index metadata field)
+    val metaRx = "(?i)\\s+METADATA\\s+_index\\s*$".r
+    val withMeta = metaRx.findFirstIn(head).isDefined
+    val fromList = metaRx.replaceAllIn(head.drop(4), "")
+    val names = fromList.split(',').map(_.trim).filter(_.nonEmpty)
     require(names.nonEmpty, "FROM needs at least one index name")
-    val sources = names.map(n => catalog.getOrElse(n,
-      throw new IllegalArgumentException(
-        s"unknown index '$n' (catalog: ${catalog.keys.toSeq.sorted.mkString(", ")})")))
+    val sources = names.map { n =>
+      val df = catalog.getOrElse(n, throw new IllegalArgumentException(
+        s"unknown index '$n' (catalog: ${catalog.keys.toSeq.sorted.mkString(", ")})"))
+      if (withMeta) df.withColumn("_index", lit(n)) else df
+    }
     val base = sources.reduce(_.unionByName(_, allowMissingColumns = true))
     stages.tail.foldLeft(base)(applyStage(_, _, catalog))
   }

@@ -1320,6 +1320,33 @@ object Search {
     eval(rNode, size)
   }
 
+  /** ES index-pattern resolution: expand `logs-*`-style patterns (comma
+    * lists, `*`/`?` wildcards, `-name` exclusions — the _search/_msearch
+    * target grammar) against a catalog of named frames and union the
+    * matches by column name, each row tagged with its source index in
+    * `_index` (the ES hit metadata field). Missing columns null-fill like
+    * ES's sparse mappings. Fail-loud when nothing matches (ES
+    * allow_no_indices=false). */
+  def indexPattern(catalog: Map[String, DataFrame],
+                   pattern: String): DataFrame = {
+    val parts = pattern.split(',').map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, "empty index pattern")
+    val (excludes, includes) = parts.partition(_.startsWith("-"))
+    require(includes.nonEmpty, s"index pattern '$pattern' has no inclusions")
+    def rx(p: String) = ("^" + java.util.regex.Pattern.quote(p)
+      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$").r
+    val inc = includes.map(rx)
+    val exc = excludes.map(e => rx(e.stripPrefix("-")))
+    val matched = catalog.keys.toSeq.sorted.filter(n =>
+      inc.exists(_.findFirstIn(n).isDefined) &&
+        !exc.exists(_.findFirstIn(n).isDefined))
+    require(matched.nonEmpty,
+      s"index pattern '$pattern' matches nothing " +
+        s"(catalog: ${catalog.keys.toSeq.sorted.mkString(", ")})")
+    matched.map(n => catalog(n).withColumn("_index", lit(n)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** ES `_terms_enum`: the low-latency keyword-autocomplete endpoint —
     * distinct values of a keyword field starting with `prefix`,
     * ascending, capped at `size`. The prefix filter pushes to the scan

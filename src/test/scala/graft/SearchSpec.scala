@@ -909,6 +909,22 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("exactly one field"))
   }
 
+  test("index patterns: wildcards, exclusions, _index tagging, fail-loud") {
+    val a = Seq(("1", "x")).toDF("id", "v")
+    val b = Seq(("2", "y")).toDF("id", "v")
+    val c = Seq(("3", 7L)).toDF("id", "n") // different schema
+    val cat = Map("logs_a" -> a, "logs_b" -> b, "metrics_c" -> c)
+    val out = Search.indexPattern(cat, "logs_*")
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(out == Seq(("1", "logs_a"), ("2", "logs_b")))
+    // exclusion wins; sparse columns null-fill across schemas
+    assert(Search.indexPattern(cat, "*,-logs_b").count() == 2)
+    val sparse = Search.indexPattern(cat, "logs_a,metrics_c").orderBy("id").collect()
+    assert(sparse(0).isNullAt(3) && sparse(1).isNullAt(1)) // n null / v null
+    assert(intercept[IllegalArgumentException](
+      Search.indexPattern(cat, "nope_*")).getMessage.contains("matches nothing"))
+  }
+
   test("retriever tree: standard + knn leaves under an rrf node") {
     val docs = Seq(
       ("1", "spark spark", Array(1.0, 0.0)),

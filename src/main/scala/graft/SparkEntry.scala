@@ -2378,6 +2378,19 @@ object SparkEntry {
         count_distinct(col("lang")).as("lang_cardinality"),
         sum(length(col("text"))).as("text_bytes"))
     }),
+    "q_esql_inlinestats" -> ((s, dir) => {
+      // INLINESTATS: per-group totals joined back without collapsing —
+      // each first-line item carries its return-flag group total and its
+      // exact share of it (floor-pinned)
+      Esql.run(
+        "FROM lineitem | INLINESTATS gtotal = SUM(l_quantity) BY l_returnflag " +
+          "| WHERE l_linenumber == 1 " +
+          "| EVAL share_e5 = TO_LONG(FLOOR(l_quantity * 100000 / gtotal)), " +
+          "gtotal = ROUND(gtotal, 2) " +
+          "| KEEP l_orderkey, l_returnflag, gtotal, share_e5 " +
+          "| SORT l_orderkey, l_returnflag",
+        Map("lineitem" -> tbl(s, dir, "lineitem")))
+    }),
     "q_esql_bucket" -> ((s, dir) => {
       // ES|QL time-series face: grouped STATS over a DATE_TRUNC BY
       // expression (emitted as epoch micros — the date-histogram compare
@@ -4363,6 +4376,15 @@ object SparkEntry {
            count(DISTINCT lang) AS lang_cardinality,
            sum(length(text)) AS text_bytes
          FROM documents""",
+    "q_esql_inlinestats" ->
+      """WITH g AS (
+           SELECT l_returnflag AS rf, sum(l_quantity) AS gtotal
+           FROM lineitem GROUP BY 1)
+         SELECT l_orderkey, l_returnflag, round(gtotal, 2) AS gtotal,
+           CAST(floor(l_quantity * 100000 / gtotal) AS BIGINT) AS share_e5
+         FROM lineitem JOIN g ON l_returnflag = rf
+         WHERE l_linenumber = 1
+         ORDER BY l_orderkey, l_returnflag""",
     "q_esql_bucket" ->
       """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
            count(*) AS n, round(sum(value), 2) AS v

@@ -134,10 +134,35 @@ object Esql {
       case "DISSECT" => dissect(df, rest)
       case "GROK" => grok(df, rest)
       case "LOOKUP" => lookupJoin(df, rest, catalog)
+      case "ENRICH" =>
+        // `ENRICH <policy> ON <field>` — the pre-8.18 enrichment syntax;
+        // a policy resolves to a catalog table (our declared analog of
+        // the enrich-policy store), then behaves exactly like LOOKUP JOIN
+        val m = "(?i)^([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+        rest.trim match {
+          case m(policy, f) => lookupJoin(df, s"JOIN $policy ON $f", catalog)
+          case _ => throw new IllegalArgumentException(
+            s"ENRICH needs '<policy> ON <field>', got: $rest")
+        }
+      case "INLINESTATS" =>
+        // `INLINESTATS n = AGG(expr), … [BY k, …]` — the STATS aggregates
+        // computed per group and JOINED BACK onto every row instead of
+        // collapsing (ES|QL tech-preview semantics). The grouped frame is
+        // group-cardinality-sized, so the join back broadcasts; no window
+        // function, no per-key skew.
+        val byIdx = findTopLevel(rest, "BY")
+        val grouped = stats(df, rest)
+        if (byIdx < 0) df.crossJoin(broadcast(grouped))
+        else {
+          val keys = rest.drop(byIdx + 2).split(',').map(_.trim)
+          require(keys.forall(_.matches("[A-Za-z_][A-Za-z0-9_.]*")),
+            "INLINESTATS BY keys must be plain fields (declared subset)")
+          df.join(broadcast(grouped), keys.toSeq, "left")
+        }
       case other => throw new IllegalArgumentException(
         s"unsupported ES|QL command '$other' (declared subset: WHERE, EVAL, " +
-          "KEEP, DROP, RENAME, SORT, LIMIT, STATS, MV_EXPAND, DISSECT, GROK, " +
-          "LOOKUP JOIN)")
+          "KEEP, DROP, RENAME, SORT, LIMIT, STATS, INLINESTATS, MV_EXPAND, " +
+          "DISSECT, GROK, LOOKUP JOIN, ENRICH)")
     }
   }
 
@@ -627,6 +652,8 @@ object Esql {
         case "TO_STRING" => arity(1); a(0).cast("string")
         case "MV_COUNT" => arity(1); size(a(0))
         case "TRIM" => arity(1); trim(a(0))
+        case "FLOOR" => arity(1); floor(a(0))
+        case "CEIL" => arity(1); ceil(a(0))
         case "REPLACE" => arity(3)
           regexp_replace(a(0),
             java.util.regex.Pattern.quote(litStr(argInfo(1)._2, "REPLACE")),

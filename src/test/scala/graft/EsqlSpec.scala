@@ -155,6 +155,26 @@ class EsqlSpec extends AnyFunSuite {
     assert(d == java.sql.Timestamp.valueOf("2024-03-05 00:00:00").getTime * 1000L)
   }
 
+  test("ENRICH aliases LOOKUP JOIN; INLINESTATS joins group stats back") {
+    val dims = Seq(("en", "english"), ("de", "german")).toDF("lang", "lang_name")
+    val en = Esql.run(
+      "FROM docs | ENRICH dims ON lang | WHERE lang_name IS NOT NULL " +
+        "| STATS c = COUNT(*)", cat + ("dims" -> dims))
+      .collect().head.getLong(0)
+    assert(en == 3L) // 2 en + 1 de
+    val inl = Esql.run(
+      "FROM docs | INLINESTATS total = SUM(n) BY lang " +
+        "| EVAL share = TO_LONG(n * 100 / total) | KEEP id, total, share | SORT id",
+      cat).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // en total 30 (10+20), de 30, fr 40 — every row keeps its identity
+    assert(inl == Seq((1L, 30L, 33L), (2L, 30L, 66L), (3L, 30L, 100L),
+      (4L, 40L, 100L)))
+    // global (no BY) broadcasts one row onto all
+    val g = Esql.run("FROM docs | INLINESTATS m = MAX(n) | STATS c = COUNT_DISTINCT(m)",
+      cat).collect().head.getLong(0)
+    assert(g == 1L)
+  }
+
   test("fail-loud: unknown command, unknown index, validate()") {
     assert(intercept[IllegalArgumentException](
       Esql.run("FROM docs | FROB x", cat)).getMessage.contains("unsupported"))

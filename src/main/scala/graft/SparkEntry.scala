@@ -2079,6 +2079,23 @@ object SparkEntry {
         """{"aggs": {"cats": {"categorize_text":
               {"field": "text", "size": 8, "max_matched_tokens": 3}}}}""")
     }),
+    "q_agg_ip_range" -> ((s, dir) => {
+      // ip_range over deterministic key-derived IPv4 strings: open range,
+      // bounded range, and a CIDR mask bucket — pure long math both sides
+      val ips = tbl(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        concat_ws(".",
+          (col("c_custkey") % 223 + 1).cast("string"),
+          ((col("c_custkey") * 3) % 256).cast("string"),
+          ((col("c_custkey") * 7) % 256).cast("string"),
+          ((col("c_custkey") * 11) % 256).cast("string")).as("client_ip"))
+      Aggs.runSingle(ips,
+        """{"aggs": {"by_block": {"ip_range": {"field": "client_ip",
+            "ranges": [
+              {"to": "64.0.0.0"},
+              {"from": "64.0.0.0", "to": "128.0.0.0"},
+              {"mask": "200.0.0.0/5"}]}}}}""")
+    }),
     "q_agg_composite_date" -> ((s, dir) => {
       // composite with a date_histogram source — the rollup-pagination
       // shape: (day bucket, event_type) tuple keys, exact long bucket math
@@ -4170,6 +4187,24 @@ object SparkEntry {
            FROM documents WHERE text IS NOT NULL)
          SELECT key, count(*) AS doc_count FROM k WHERE key <> ''
          GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 8""",
+    "q_agg_ip_range" ->
+      """WITH ips AS (
+           SELECT (c_custkey % 223 + 1) * CAST(16777216 AS BIGINT)
+                + ((c_custkey * 3) % 256) * 65536
+                + ((c_custkey * 7) % 256) * 256
+                + ((c_custkey * 11) % 256) AS ip
+           FROM customer),
+         b AS (
+           SELECT CASE
+             WHEN ip < 64 * CAST(16777216 AS BIGINT) THEN '*-64.0.0.0'
+             WHEN ip < 128 * CAST(16777216 AS BIGINT) THEN '64.0.0.0-128.0.0.0'
+             WHEN ip >= 200 * CAST(16777216 AS BIGINT)
+               AND ip < 208 * CAST(16777216 AS BIGINT)
+               THEN '200.0.0.0/5'
+             END AS key
+           FROM ips)
+         SELECT key, count(*) AS doc_count FROM b WHERE key IS NOT NULL
+         GROUP BY 1 ORDER BY key""",
     "q_agg_composite_date" ->
       """WITH b AS (
            SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS d,

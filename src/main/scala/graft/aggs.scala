@@ -252,7 +252,8 @@ object Aggs {
   }
 
   private val bucketTypes =
-    Set("terms", "date_histogram", "histogram", "range", "date_range")
+    Set("terms", "date_histogram", "histogram", "range", "date_range",
+      "ip_range")
   /** Bucket-SEQUENCE pipelines need the equal-spaced ordered axis only the
     * histogram family has (ES rejects them elsewhere too). */
   private val seqPipelineTypes =
@@ -280,6 +281,7 @@ object Aggs {
     "histogram" -> Set("field", "interval", "min_doc_count", "extended_bounds",
       "offset"),
     "range" -> Set("field", "ranges"),
+    "ip_range" -> Set("field", "ranges"),
     "date_range" -> Set("field", "ranges"),
     "rare_terms" -> Set("field", "max_doc_count", "missing"),
     "multi_terms" -> Set("terms", "size"))
@@ -1860,6 +1862,62 @@ object Aggs {
           // first matching range wins for overlaps (ES puts a doc in every
           // matching range; one-bucket-per-doc keeps doc_count additive —
           // declared divergence, overlapping ranges are rare and explicit)
+          when(acc.isNotNull, acc).otherwise(when(in, lit(label)))
+        }
+      case "ip_range" =>
+        // {"ip_range": {"field": f, "ranges": [{"from"/"to": "a.b.c.d"} |
+        //  {"mask": "a.b.c.d/n"}]}} — IPv4 dotted-quads on a STRING field
+        // compared numerically (a·2²⁴ + b·2¹⁶ + c·2⁸ + d; plain long math
+        // the oracle reproduces); from inclusive, to exclusive, a CIDR
+        // mask expands to its [network, network + 2^(32−n)) span and
+        // labels with the mask text (ES's key). Declared subset: IPv4
+        // (IPv6 needs 128-bit math). First matching range wins, like the
+        // numeric range fold.
+        val f = fieldOf(body)
+        val parts = split(col(f), "\\.")
+        val ipCol = parts.getItem(0).cast("long") * 16777216L +
+          parts.getItem(1).cast("long") * 65536L +
+          parts.getItem(2).cast("long") * 256L + parts.getItem(3).cast("long")
+        def parseIp(s: String): Long = {
+          val ps = s.split("\\.")
+          require(ps.length == 4 && ps.forall(p =>
+            p.nonEmpty && p.forall(_.isDigit) && p.toInt <= 255),
+            s"ip_range '$name': bad IPv4 '$s'")
+          ps.map(_.toLong).reduce(_ * 256L + _)
+        }
+        val ipRanges = Option(body.get("ranges")).filter(_.isArray)
+          .getOrElse(throw new IllegalArgumentException(
+            s"ip_range '$name' needs 'ranges'"))
+          .elements.asScala.toSeq
+        require(ipRanges.nonEmpty, s"ip_range '$name' has no ranges")
+        ipRanges.foldLeft(lit(null).cast("string")) { (acc, r) =>
+          val unknownIr = r.fieldNames.asScala.toSet --
+            Set("from", "to", "mask", "key")
+          require(unknownIr.isEmpty,
+            s"unsupported ip_range bucket option(s) in '$name': ${unknownIr.mkString(", ")}")
+          val (fromN, toN, defLabel) = Option(r.get("mask")).map(_.asText) match {
+            case Some(mask) =>
+              val Array(ip, bits) = mask.split("/")
+              val n = bits.toInt
+              require(n >= 0 && n <= 32, s"ip_range '$name': bad mask '$mask'")
+              val span = 1L << (32 - n)
+              val base = parseIp(ip) / span * span // snap to the network
+              (Some(base), Some(base + span), mask)
+            case None =>
+              val fromS = Option(r.get("from")).map(_.asText)
+              val toS = Option(r.get("to")).map(_.asText)
+              require(fromS.isDefined || toS.isDefined,
+                s"ip_range '$name' bucket needs from, to, or mask")
+              (fromS.map(parseIp), toS.map(parseIp),
+                s"${fromS.getOrElse("*")}-${toS.getOrElse("*")}")
+          }
+          val label = Option(r.get("key")).map(_.asText).getOrElse(defLabel)
+          val in = (fromN.map(ipCol >= _), toN.map(ipCol < _)) match {
+            case (Some(a), Some(b)) => a && b
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case _ => lit(true)
+          }
           when(acc.isNotNull, acc).otherwise(when(in, lit(label)))
         }
       case "date_range" =>

@@ -1017,6 +1017,27 @@ class AggsSpec extends AnyFunSuite {
     assert(out == Seq(("error on node", 2L), ("disk full", 1L)))
   }
 
+  test("ip_range: numeric IPv4 buckets, CIDR masks, first-match-wins") {
+    val ips = Seq((1L, "10.0.0.5"), (2L, "63.255.255.255"), (3L, "64.0.0.0"),
+      (4L, "201.17.3.9"), (5L, "208.0.0.1"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "addr")
+    val out = Aggs.runSingle(ips,
+      """{"aggs": {"b": {"ip_range": {"field": "addr", "ranges": [
+          {"to": "64.0.0.0"},
+          {"from": "64.0.0.0", "to": "128.0.0.0"},
+          {"mask": "200.0.0.0/5"}]}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 10.* and 63.255… under the open range (to exclusive → 64.0.0.0 is
+    // NOT in it); 64.0.0.0 starts the second (from inclusive); 201.* in
+    // the /5 block [200.0.0.0, 208.0.0.0); 208.0.0.1 and null unmatched
+    assert(out == Seq(("*-64.0.0.0", 2L), ("200.0.0.0/5", 1L),
+      ("64.0.0.0-128.0.0.0", 1L)))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(ips,
+      """{"aggs": {"b": {"ip_range": {"field": "addr",
+          "ranges": [{"mask": "10.0.0.0/40"}]}}}}"""))
+      .getMessage.contains("bad mask"))
+  }
+
   test("composite: histogram and date_histogram sources page like terms") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 5.0),

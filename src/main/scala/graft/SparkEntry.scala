@@ -2261,6 +2261,13 @@ object SparkEntry {
           expr("CAST(floor(_score * 1e6) AS BIGINT)").as("score_e6"),
           col("_rrf_matched"))
     }),
+    "q_bpe_train" -> ((s, dir) => {
+      // BPE tokenizer induction: 8 greedy merges learned from corpus pair
+      // statistics (rows-only contract — the iterative argmax has no SQL
+      // oracle; BpeSpec pins the algorithm on hand-computed corpora)
+      graft.pipeline.Bpe.train(tbl(s, dir, "documents"), "text", 8)
+        .orderBy(col("rank"))
+    }),
     "q_mix_epochs" -> ((s, dir) => {
       // fractional-epoch mixing: src0 ×2 (exact), src1 ×1.3 (each doc
       // once + 30% twice by the LCG pick), src2 ×0.5, everything else

@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.Bpe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE induction (pipeline/bpe.scala): hand-computed merges on a tiny
+  * corpus, the greedy non-overlap rule, encode round-trip. */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpecBase.spark
+  import spark.implicits._
+
+  test("train learns the classic low/lower merges in frequency order") {
+    // the Sennrich toy corpus shape: low ×5, lower ×2, newest ×6, widest ×3
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("id", "text")
+    val m = Bpe.train(corpus, "text", 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    // pair counts round 1: es 9 (newest 6 + widest 3), st 9, ne 6, ew 6,
+    // we 8 (lower 2 + newest 6)... recompute: lo 7, ow 7, we 2+6=8, er 2,
+    // ne 6, ew 6, es 9, st 9, wi 3, id 3, de 3. argmax ties es/st at 9 →
+    // lexicographic: "e","s" < "s","t" → es first
+    assert(m(0) == ((1, "e", "s", 9L)))
+    // round 2: "es"+"t" now 9 → st pair is gone, (es, t) = 9 wins over we 8
+    assert(m(1) == ((2, "es", "t", 9L)))
+    // round 3: after est, newest is n-e-w-est — its (w,e) pair is GONE,
+    // so (w,e) counts only lower's 2; (l,o) 7 and (o,w) 7 tie → lex
+    assert(m(2) == ((3, "l", "o", 7L)))
+    // round 4: (lo,w) 7 (low 5 + lower 2) is the new max
+    assert(m(3) == ((4, "lo", "w", 7L)))
+  }
+
+  test("greedy non-overlap: aaa merges to (aa, a)") {
+    val corpus = Seq((1L, "aaa")).toDF("id", "text")
+    val m = Bpe.train(corpus, "text", 1).collect().head
+    assert(m.getString(1) == "a" && m.getString(2) == "a")
+    val enc = Bpe.encode(corpus, "text", Bpe.train(corpus, "text", 1))
+      .collect().head.getSeq[String](1)
+    assert(enc == Seq("aa", "a"))
+  }
+
+  test("encode applies merges in rank order; unseen words still tokenize") {
+    val corpus = Seq((1L, "low low lowest")).toDF("id", "text")
+    val merges = Bpe.train(corpus, "text", 2)
+    val enc = Bpe.encode(Seq((1L, "low slows")).toDF("id", "text"),
+      "text", merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // lo + ow? round1: lo 3, ow 3, we 1, es 1, st 1 → lo wins (lex);
+    // round2: (lo, w) 3 → low
+    assert(enc("low") == Seq("low"))
+    // 'slows' contains l-o-w — the learned merges apply inside it
+    assert(enc("slows") == Seq("s", "low", "s"))
+  }
+}

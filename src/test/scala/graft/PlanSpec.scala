@@ -178,4 +178,48 @@ class PlanSpec extends AnyFunSuite {
       plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("r8: ES|QL pipes stay one fused plan — filter pushed, lookup broadcast") {
+    val plan = planOf("q_esql_stats")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10.0)]"),
+      plan.take(3000))
+    val lk = planOf("q_esql_lookup")
+    assert(lk.contains("BroadcastHashJoin"), lk.take(3000))
+    assert(!lk.contains("SortMergeJoin"), lk.take(3000))
+    // INLINESTATS joins the group frame back broadcast, never a window
+    val inl = planOf("q_esql_inlinestats")
+    assert(inl.contains("BroadcastHashJoin") && !inl.contains("Window"),
+      inl.take(3000))
+  }
+
+  test("r8: retriever rrf fuses capped lists; terms_enum prunes and pushes the prefix") {
+    val plan = planOf("q_search_retriever")
+    // each child is a capped top-k (TakeOrderedAndProject), fusion is one
+    // hash aggregate — no sort-merge join anywhere
+    assert(plan.contains("TakeOrderedAndProject") && !plan.contains("SortMergeJoin"),
+      plan.take(3000))
+    val te = planOf("q_terms_enum")
+    assert(te.contains("PushedFilters: [IsNotNull(source), StringStartsWith(source,src1)]"),
+      te.take(3000))
+    assert(te.contains("ReadSchema: struct<source:string>"), te.take(3000))
+  }
+
+  test("r8: bigram NLL keeps corpus-instance shuffles to two, joins broadcast") {
+    // the head-count table aggregates DISTINCT bigrams, never the exploded
+    // instance relation: exactly two exchanges carry instance-keyed rows
+    // (the count groupBy and the final per-doc aggregate); the two count
+    // tables are vocabulary-sized and broadcast into the scoring join
+    val df = SparkEntry.queries("q_text_bigram_nll")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(!fin.contains("SortMergeJoin"), fin.take(4000))
+    assert("BroadcastHashJoin".r.findAllIn(fin).length >= 2, fin.take(4000))
+  }
+
+  test("r8: ip_range is one scan + hash aggregate; sparse_vector stays scan-side") {
+    val ip = planOf("q_agg_ip_range")
+    assert(!ip.contains("SortMergeJoin") && !ip.contains("Window"), ip.take(3000))
+    val sv = planOf("q_search_sparse_vector")
+    assert(!sv.contains("CartesianProduct"), sv.take(3000))
+  }
 }

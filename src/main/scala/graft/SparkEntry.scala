@@ -2096,6 +2096,64 @@ object SparkEntry {
               {"from": "64.0.0.0", "to": "128.0.0.0"},
               {"mask": "200.0.0.0/5"}]}}}}""")
     }),
+    "q_agg_ip_prefix" -> ((s, dir) => {
+      // ip_prefix /12 networks over the same derived quads — masked
+      // network key with the ES "/len" suffix, pure long math both sides
+      val ips = tbl(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        concat_ws(".",
+          (col("c_custkey") % 223 + 1).cast("string"),
+          ((col("c_custkey") * 3) % 256).cast("string"),
+          ((col("c_custkey") * 7) % 256).cast("string"),
+          ((col("c_custkey") * 11) % 256).cast("string")).as("client_ip"))
+      Aggs.runSingle(ips,
+        """{"aggs": {"nets": {"ip_prefix": {"field": "client_ip",
+            "prefix_length": 12, "append_prefix_length": true}}}}""")
+    }),
+    "q_agg_frequent_sets" -> ((s, dir) => {
+      // frequent_item_sets over (lang, source): singles + pairs above 1%
+      // support — the co-occurrence mining shape; support pinned to
+      // floor-scaled BIGINT (exact integer division both sides)
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"aggs": {"fis": {"frequent_item_sets": {
+            "fields": [{"field": "lang"}, {"field": "source"}],
+            "minimum_set_size": 1, "minimum_support": 0.01, "size": 12}}}}""")
+        .select(col("key"), col("set_size"), col("doc_count"),
+          floor(col("support") * 1000000).cast("long").as("support_x1m"))
+    }),
+    "q_agg_change_point" -> ((s, dir) => {
+      // change_point over the daily event-count sequence: the scaled
+      // mean-shift argmax — integer counts keep every partial sum exact,
+      // so the statistic is bit-reproducible; pinned at 1e3
+      Aggs.run(tbl(s, dir, "events"),
+        """{"aggs": {
+             "per_day": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+             "shift": {"change_point": {"buckets_path": "per_day>_count"}}}}""")("shift")
+        .select(Tsx.micros(col("change_key")).as("change_key_us"),
+          floor(col("value") * 1000).cast("long").as("stat_x1k"))
+    }),
+    "q_agg_bucket_corr" -> ((s, dir) => {
+      // bucket_correlation: daily purchase share vs a linear ramp
+      // indicator — Pearson via the exact sum-of-products identity
+      Aggs.run(tbl(s, dir, "events"),
+        """{"aggs": {
+             "by_type": {"terms": {"field": "event_type", "size": 10}},
+             "corr": {"bucket_correlation": {"buckets_path": "by_type>_count",
+               "function": {"count_correlation": {"indicator": {
+                 "expectations": [1, 2, 3, 4, 5]}}}}}}}""")("corr")
+        .select(floor(col("value") * 1000000).cast("long").as("corr_x1m"))
+    }),
+    "q_agg_ks_test" -> ((s, dir) => {
+      // bucket_count_ks_test: daily counts against the uniform CDF — the
+      // KS D statistic, integer running sums + one division per bucket
+      Aggs.run(tbl(s, dir, "events"),
+        """{"aggs": {
+             "per_day": {"date_histogram": {"field": "ts", "fixed_interval": "1d"}},
+             "ks": {"bucket_count_ks_test": {"buckets_path": "per_day>_count",
+               "fractions": [1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1,1],
+               "alternative": ["two_sided"]}}}}""")("ks")
+        .select(floor(col("value") * 1000000).cast("long").as("d_x1m"))
+    }),
     "q_agg_composite_date" -> ((s, dir) => {
       // composite with a date_histogram source — the rollup-pagination
       // shape: (day bucket, event_type) tuple keys, exact long bucket math
@@ -4212,6 +4270,85 @@ object SparkEntry {
            FROM ips)
          SELECT key, count(*) AS doc_count FROM b WHERE key IS NOT NULL
          GROUP BY 1 ORDER BY key""",
+    "q_agg_ip_prefix" ->
+      """WITH ips AS (
+           SELECT (c_custkey % 223 + 1) * CAST(16777216 AS BIGINT)
+                + ((c_custkey * 3) % 256) * 65536
+                + ((c_custkey * 7) % 256) * 256
+                + ((c_custkey * 11) % 256) AS ip
+           FROM customer),
+         n AS (SELECT (ip // 1048576) * 1048576 AS net FROM ips)
+         SELECT CAST(net // 16777216 % 256 AS VARCHAR) || '.' ||
+                CAST(net // 65536 % 256 AS VARCHAR) || '.' ||
+                CAST(net // 256 % 256 AS VARCHAR) || '.' ||
+                CAST(net % 256 AS VARCHAR) || '/12' AS key,
+                count(*) AS doc_count
+         FROM n GROUP BY 1 ORDER BY key""",
+    "q_agg_frequent_sets" ->
+      """WITH t AS (SELECT count(*) AS total FROM documents),
+         sets AS (
+           SELECT 'lang=' || lang AS key, 1 AS set_size, count(*) AS doc_count
+           FROM documents WHERE lang IS NOT NULL GROUP BY 1
+           UNION ALL
+           SELECT 'source=' || source, 1, count(*)
+           FROM documents WHERE source IS NOT NULL GROUP BY 1
+           UNION ALL
+           SELECT 'lang=' || lang || ',source=' || source, 2, count(*)
+           FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+           GROUP BY 1)
+         SELECT key, set_size, doc_count,
+           CAST(floor((CAST(doc_count AS DOUBLE) / total) * 1000000) AS BIGINT)
+             AS support_x1m
+         FROM sets, t
+         WHERE CAST(doc_count AS DOUBLE) / total >= 0.01
+         ORDER BY doc_count DESC, key LIMIT 12""",
+    "q_agg_change_point" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us FROM events),
+         b AS (SELECT us - us % 86400000000 AS key_us,
+                 CAST(count(*) AS DOUBLE) AS c
+               FROM ev GROUP BY 1),
+         s AS (SELECT key_us,
+                 row_number() OVER (ORDER BY key_us) AS t,
+                 lead(key_us) OVER (ORDER BY key_us) AS next_key_us,
+                 sum(c) OVER (ORDER BY key_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 count(*) OVER () AS n,
+                 sum(c) OVER () AS tot
+               FROM b),
+         sc AS (SELECT key_us, next_key_us,
+                 abs(cum / t - (tot - cum) / (n - t))
+                   * sqrt((t * (n - t)) / CAST(n AS DOUBLE)) AS stat
+               FROM s WHERE t >= 2 AND t <= n - 2)
+         SELECT next_key_us AS change_key_us,
+           CAST(floor(stat * 1000) AS BIGINT) AS stat_x1k
+         FROM sc ORDER BY stat DESC, key_us LIMIT 1""",
+    "q_agg_bucket_corr" ->
+      """WITH b AS (SELECT event_type, count(*) AS c FROM events
+                    WHERE event_type IS NOT NULL GROUP BY 1),
+         s AS (SELECT row_number() OVER (ORDER BY c DESC, event_type) AS r,
+                 event_type, CAST(c AS DOUBLE) AS x FROM b
+               ORDER BY c DESC, event_type LIMIT 10),
+         o AS (SELECT row_number() OVER (ORDER BY event_type) AS t, x FROM s),
+         a AS (SELECT sum(x) AS sx, sum(x * x) AS sxx,
+                 sum(x * CAST(t AS DOUBLE)) AS sxy FROM o)
+         SELECT CAST(floor(((5.0 * sxy - sx * 15.0)
+             / (sqrt(5.0 * sxx - sx * sx) * sqrt(50.0))) * 1000000) AS BIGINT)
+           AS corr_x1m
+         FROM a""",
+    "q_agg_ks_test" ->
+      """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us FROM events),
+         b AS (SELECT us - us % 86400000000 AS key_us,
+                 CAST(count(*) AS DOUBLE) AS c
+               FROM ev GROUP BY 1),
+         s AS (SELECT key_us,
+                 row_number() OVER (ORDER BY key_us) AS t,
+                 sum(c) OVER (ORDER BY key_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 sum(c) OVER () AS tot
+               FROM b)
+         SELECT CAST(floor(max(abs(cum / tot - CAST(t AS DOUBLE) / 30.0))
+             * 1000000) AS BIGINT) AS d_x1m
+         FROM s""",
     "q_agg_composite_date" ->
       """WITH b AS (
            SELECT epoch_us(ts) - epoch_us(ts) % 86400000000 AS d,

@@ -90,7 +90,10 @@ object Aggs {
     * bucket-sized, so this is a driver-cheap second aggregate. */
   private val bucketMetricTypes =
     Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-      "stats_bucket", "percentiles_bucket")
+      "stats_bucket", "percentiles_bucket",
+      // bucket-ANALYSIS siblings: a statistic over the whole ordered
+      // bucket sequence rather than a reduce of its values
+      "change_point", "bucket_correlation", "bucket_count_ks_test")
 
   private def siblingBucketMetric(name: String, spec: JsonNode,
                                   primary: Map[String, DataFrame]): DataFrame = {
@@ -101,7 +104,12 @@ object Aggs {
     val tpe = ts.head
     val body = spec.get(tpe)
     val allowed = Set("buckets_path", "gap_policy") ++
-      (if (tpe == "percentiles_bucket") Set("percents") else Set.empty[String])
+      (tpe match {
+        case "percentiles_bucket" => Set("percents")
+        case "bucket_correlation" => Set("function")
+        case "bucket_count_ks_test" => Set("fractions", "alternative")
+        case _ => Set.empty[String]
+      })
     val unknown = body.fieldNames.asScala.toSet -- allowed
     require(unknown.isEmpty,
       s"unsupported $tpe option(s) in '$name': ${unknown.mkString(", ")}")
@@ -147,6 +155,127 @@ object Aggs {
           percentile(c.cast("double"), lit(p / 100.0)).as(s"p$suffix")
         }
         src.agg(cols.head, cols.tail: _*)
+
+      case "change_point" =>
+        // ES ML's change_point, re-expressed as a deterministic mean-shift
+        // scan: for every split t of the key-ordered bucket sequence, the
+        // scaled mean difference |mean(left) − mean(right)|·√(t(n−t)/n)
+        // (the CUSUM-style statistic); the argmax split is the change
+        // point. Output: the first right-side bucket's key + the statistic
+        // (`p_value`/spike-vs-dip typing are out of the declared subset).
+        // The frame is an already-aggregated bucket list — the single-
+        // partition window is bounded by bucket count, same contract as
+        // applyPipelines.
+        require(src.columns.contains("key"),
+          s"change_point '$name': sibling has no 'key' ordering column")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(asc("key"))
+        val stats = src
+          .withColumn("_t", row_number().over(w))
+          .withColumn("_next_key", lead(col("key"), 1).over(w))
+          .withColumn("_cum", sum(c.cast("double")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("_tot", sum(c.cast("double")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        // split AFTER row t: left = first t rows; both sides >= 2 buckets.
+        // The reported bucket is the FIRST of the new regime (row t+1) —
+        // ES's "where the distribution changed".
+        val scored = stats
+          .where(col("_t") >= 2 && col("_t") <= col("_n") - 2)
+          .withColumn("_stat",
+            abs(col("_cum") / col("_t") -
+              (col("_tot") - col("_cum")) / (col("_n") - col("_t"))) *
+              sqrt(col("_t") * (col("_n") - col("_t")) / col("_n")))
+        scored.orderBy(desc("_stat"), asc("key"))
+          .limit(1)
+          .select(col("_next_key").as("change_key"), col("_stat").as("value"))
+
+      case "bucket_correlation" =>
+        // {"bucket_correlation": {"buckets_path": p, "function":
+        //   {"count_correlation": {"indicator": {"expectations": [...]}}}}}
+        // DECLARED DIVERGENCE: Pearson correlation between the key-ordered
+        // bucket sequence and the indicator expectations (ES's
+        // count_correlation is a rescaled variant of the same quantity).
+        // Fail-loud if the indicator length doesn't match the bucket count.
+        val fn = Option(body.get("function"))
+          .flatMap(f => Option(f.get("count_correlation")))
+          .flatMap(f => Option(f.get("indicator")))
+          .getOrElse(throw new IllegalArgumentException(
+            s"bucket_correlation '$name' needs function.count_correlation.indicator"))
+        val exps = Option(fn.get("expectations")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.map(_.asDouble))
+          .getOrElse(throw new IllegalArgumentException(
+            s"bucket_correlation '$name' indicator needs 'expectations'"))
+        require(exps.nonEmpty, s"bucket_correlation '$name': empty expectations")
+        require(src.columns.contains("key"),
+          s"bucket_correlation '$name': sibling has no 'key' ordering column")
+        // Pearson via the explicit sum-of-products identity rather than
+        // Spark's streaming co-moment `corr`: with integer-valued bucket
+        // counts and indicator values every partial sum is exact in
+        // double, so the result is summation-order independent and an
+        // external checker computing the same identity reproduces it bit
+        // for bit (the unpinned-double lesson from round 7).
+        val w = org.apache.spark.sql.expressions.Window.orderBy(asc("key"))
+        val nD = exps.size.toDouble
+        val sy = exps.sum
+        val syy = exps.map(e => e * e).sum
+        src.withColumn("_t", row_number().over(w))
+          .withColumn("_exp",
+            element_at(array(exps.map(lit): _*), col("_t").cast("int")))
+          .agg(
+            sum(c.cast("double")).as("_sx"),
+            sum(c.cast("double") * c.cast("double")).as("_sxx"),
+            sum(c.cast("double") * col("_exp")).as("_sxy"),
+            assert_true(count(lit(1)) === lit(exps.size.toLong),
+              lit(s"bucket_correlation '$name': ${exps.size} expectations " +
+                "but a different bucket count")).as("_check"))
+          .select(
+            ((lit(nD) * col("_sxy") - col("_sx") * lit(sy)) /
+              (sqrt(lit(nD) * col("_sxx") - col("_sx") * col("_sx")) *
+                sqrt(lit(nD * syy - sy * sy)))).as("value"))
+
+      case "bucket_count_ks_test" =>
+        // {"bucket_count_ks_test": {"buckets_path": p, "fractions": [...]}}
+        // — the two-sample Kolmogorov–Smirnov D statistic between the
+        // empirical bucket-count CDF (key order) and the expected-fraction
+        // CDF. Declared subset: the D statistic itself (ES returns
+        // p-values per alternative; D is the deterministic core).
+        val fracs = Option(body.get("fractions")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.map(_.asDouble))
+          .getOrElse(throw new IllegalArgumentException(
+            s"bucket_count_ks_test '$name' needs 'fractions'"))
+        require(fracs.nonEmpty && fracs.forall(_ >= 0) && fracs.sum > 0,
+          s"bucket_count_ks_test '$name': fractions must be non-negative, sum > 0")
+        Option(body.get("alternative")).foreach { alts =>
+          val vs = alts.elements.asScala.map(_.asText).toSet
+          require(vs.subsetOf(Set("two_sided", "less", "greater")),
+            s"bucket_count_ks_test '$name': bad alternative $vs")
+        }
+        val fsum = fracs.sum
+        require(src.columns.contains("key"),
+          s"bucket_count_ks_test '$name': sibling has no 'key' ordering column")
+        val w = org.apache.spark.sql.expressions.Window.orderBy(asc("key"))
+        val cumW = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        // scan the RAW fractions, divide by the sum last: with integer-
+        // valued fractions the running sums are exact in double, so the
+        // expected CDF is one correctly-rounded division per bucket —
+        // reproducible by an external checker (vs normalizing first,
+        // which accumulates rounded increments)
+        val cumExps = fracs.scanLeft(0.0)(_ + _).tail.map(_ / fsum)
+        src.withColumn("_t", row_number().over(w))
+          .withColumn("_cum", sum(c.cast("double")).over(cumW))
+          .withColumn("_tot", sum(c.cast("double")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("_cumExp",
+            element_at(array(cumExps.map(lit): _*), col("_t").cast("int")))
+          .agg(
+            max(abs(col("_cum") / col("_tot") - col("_cumExp"))).as("value"),
+            assert_true(count(lit(1)) === lit(fracs.size.toLong),
+              lit(s"bucket_count_ks_test '$name': ${fracs.size} fractions " +
+                "but a different bucket count")).as("_check"))
+          .drop("_check")
     }
   }
 
@@ -253,7 +382,7 @@ object Aggs {
 
   private val bucketTypes =
     Set("terms", "date_histogram", "histogram", "range", "date_range",
-      "ip_range")
+      "ip_range", "ip_prefix")
   /** Bucket-SEQUENCE pipelines need the equal-spaced ordered axis only the
     * histogram family has (ES rejects them elsewhere too). */
   private val seqPipelineTypes =
@@ -282,6 +411,8 @@ object Aggs {
       "offset"),
     "range" -> Set("field", "ranges"),
     "ip_range" -> Set("field", "ranges"),
+    "ip_prefix" -> Set("field", "prefix_length", "is_ipv6",
+      "append_prefix_length"),
     "date_range" -> Set("field", "ranges"),
     "rare_terms" -> Set("field", "max_doc_count", "missing"),
     "multi_terms" -> Set("terms", "size"))
@@ -767,6 +898,69 @@ object Aggs {
       case t if bucketTypes.contains(t) =>
         bucketed(docs, bucketKey(tpe, name, body), subAggs, name)
           .orderBy(asc("key"))
+
+      case "frequent_item_sets" =>
+        // ES 8.4's frequent_item_sets over single-valued keyword fields:
+        // an itemset = one value per field for a SUBSET of the declared
+        // fields (size >= minimum_set_size); a doc supports the set when
+        // it carries every value. With m declared fields there are at most
+        // 2^m − 1 subsets per doc, so the per-row explosion is bounded by
+        // the field list, never the corpus — ONE scan builds the
+        // (itemset, doc) pairs, one hash aggregate counts them (the
+        // Apriori candidate walk collapses into a single pass because the
+        // field list, not the value universe, bounds the lattice).
+        // Support = doc_count / corpus size rides in via the aggregate-
+        // then-broadcast rule.
+        val unknownFis = body.fieldNames.asScala.toSet --
+          Set("fields", "minimum_set_size", "minimum_support", "size")
+        require(unknownFis.isEmpty,
+          s"unsupported frequent_item_sets option(s) in '$name': ${unknownFis.mkString(", ")}")
+        val fieldNodes = Option(body.get("fields")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq)
+          .getOrElse(throw new IllegalArgumentException(
+            s"frequent_item_sets '$name' needs 'fields'"))
+        val fields = fieldNodes.map { fn =>
+          val f = Option(fn.get("field")).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              s"frequent_item_sets '$name': each fields entry needs 'field'"))
+          val unknownF = fn.fieldNames.asScala.toSet -- Set("field")
+          require(unknownF.isEmpty,
+            s"frequent_item_sets '$name': unsupported field option(s) ${unknownF.mkString(", ")}")
+          f
+        }.sorted
+        require(fields.nonEmpty && fields.size <= 8,
+          s"frequent_item_sets '$name': 1..8 fields (got ${fields.size})")
+        val minSet = Option(body.get("minimum_set_size")).map(_.asInt).getOrElse(1)
+        require(minSet >= 1 && minSet <= fields.size,
+          s"frequent_item_sets '$name': minimum_set_size out of range")
+        val minSupport = Option(body.get("minimum_support")).map(_.asDouble).getOrElse(0.1)
+        require(minSupport > 0 && minSupport <= 1,
+          s"frequent_item_sets '$name': minimum_support must be in (0, 1]")
+        val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+        require(size > 0, s"frequent_item_sets '$name': size must be > 0")
+        val combos = (minSet to fields.size).flatMap(k =>
+          fields.combinations(k).map(_.toSeq))
+        // per-row: one "f1=v1,f2=v2" key per subset whose fields are all
+        // non-null (null field => that subset contributes nothing)
+        val comboCols = combos.map { fs =>
+          val allPresent = fs.map(col(_).isNotNull).reduce(_ && _)
+          val keyStr = concat_ws(",",
+            fs.map(f => concat(lit(s"$f="), col(f).cast("string"))): _*)
+          when(allPresent,
+            struct(keyStr.as("key"), lit(fs.size).as("set_size")))
+        }
+        val total = docs.agg(count(lit(1)).as("_fis_total"))
+        docs.select(explode(array(comboCols: _*)).as("_it"))
+          .where(col("_it").isNotNull)
+          .groupBy(col("_it.key").as("key"), col("_it.set_size").as("set_size"))
+          .agg(count(lit(1)).as("doc_count"))
+          .crossJoin(broadcast(total))
+          .withColumn("support",
+            col("doc_count").cast("double") / col("_fis_total"))
+          .where(col("support") >= minSupport)
+          .drop("_fis_total")
+          .orderBy(desc("doc_count"), asc("key"))
+          .limit(size)
 
       case "median_absolute_deviation" =>
         // MAD = median(|x − median(x)|): two exact sort-based aggregates —
@@ -1864,6 +2058,38 @@ object Aggs {
           // declared divergence, overlapping ranges are rare and explicit)
           when(acc.isNotNull, acc).otherwise(when(in, lit(label)))
         }
+      case "ip_prefix" =>
+        // {"ip_prefix": {"field": f, "prefix_length": n}} — bucket IPv4
+        // strings by their /n network: key = dotted-quad of (ip AND mask),
+        // "/n" appended when append_prefix_length (ES's response key
+        // format). Same long math as ip_range so the oracle reproduces it
+        // exactly. Declared subset: IPv4 (is_ipv6 accepted only as false).
+        val f = fieldOf(body)
+        val n = Option(body.get("prefix_length")).map(_.asInt)
+          .getOrElse(throw new IllegalArgumentException(
+            s"ip_prefix '$name' needs 'prefix_length'"))
+        require(n >= 0 && n <= 32,
+          s"ip_prefix '$name': prefix_length must be in [0, 32], got $n")
+        Option(body.get("is_ipv6")).foreach(v => require(!v.asBoolean,
+          s"ip_prefix '$name': IPv4 only (declared subset)"))
+        val appendLen = Option(body.get("append_prefix_length"))
+          .exists(_.asBoolean)
+        val parts = split(col(f), "\\.")
+        val ipNum = parts.getItem(0).cast("long") * 16777216L +
+          parts.getItem(1).cast("long") * 65536L +
+          parts.getItem(2).cast("long") * 256L + parts.getItem(3).cast("long")
+        val span = 1L << (32 - n)
+        // Column `/` is TRUE division — keep the snap and the quad
+        // components in integer math (shift-right + mask)
+        val net = shiftrightunsigned(ipNum, 32 - n) * span
+        // concat_ws SKIPS nulls — guard so a null address yields a null
+        // key (dropped) rather than an empty dotted-quad
+        val dotted = when(col(f).isNotNull, concat_ws(".",
+          (shiftrightunsigned(net, 24) % 256L).cast("string"),
+          (shiftrightunsigned(net, 16) % 256L).cast("string"),
+          (shiftrightunsigned(net, 8) % 256L).cast("string"),
+          (net % 256L).cast("string")))
+        if (appendLen) concat(dotted, lit(s"/$n")) else dotted
       case "ip_range" =>
         // {"ip_range": {"field": f, "ranges": [{"from"/"to": "a.b.c.d"} |
         //  {"mask": "a.b.c.d/n"}]}} — IPv4 dotted-quads on a STRING field

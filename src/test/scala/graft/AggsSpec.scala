@@ -1038,6 +1038,91 @@ class AggsSpec extends AnyFunSuite {
       .getMessage.contains("bad mask"))
   }
 
+  test("ip_prefix: network snap, /len suffix, IPv4-only gate") {
+    val ips = Seq((1L, "10.1.2.3"), (2L, "10.200.0.1"), (3L, "192.168.1.1"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "addr")
+    val out = Aggs.runSingle(ips,
+      """{"aggs": {"b": {"ip_prefix": {"field": "addr", "prefix_length": 8,
+          "append_prefix_length": true}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("10.0.0.0/8", 2L), ("192.0.0.0/8", 1L)))
+    // without the suffix, and a mid-octet prefix
+    val out2 = Aggs.runSingle(ips,
+      """{"aggs": {"b": {"ip_prefix": {"field": "addr", "prefix_length": 12}}}}""")
+      .collect().map(_.getString(0)).toSeq
+    assert(out2 == Seq("10.0.0.0", "10.192.0.0", "192.160.0.0"))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(ips,
+      """{"aggs": {"b": {"ip_prefix": {"field": "addr", "prefix_length": 8,
+          "is_ipv6": true}}}}""")).getMessage.contains("IPv4 only"))
+  }
+
+  test("frequent_item_sets: subset lattice per doc, support filter, top-N") {
+    val df = Seq(
+      (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "book"),
+      (4L, "de", "web"), (5L, "de", null.asInstanceOf[String]))
+      .toDF("doc_id", "lang", "src")
+    val out = Aggs.runSingle(df,
+      """{"aggs": {"f": {"frequent_item_sets": {
+          "fields": [{"field": "src"}, {"field": "lang"}],
+          "minimum_set_size": 2, "minimum_support": 0.3, "size": 10}}}}""")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // pairs only (min_set_size 2): {en,web} in 2/5 docs = 0.4; {en,book}
+    // and {de,web} at 0.2 fall below 0.3; doc 5's null src contributes no pair
+    assert(out == Seq(("lang=en,src=web", 2, 2L)))
+    // singles appear at min_set_size 1, field-name-sorted keys
+    val singles = Aggs.runSingle(df,
+      """{"aggs": {"f": {"frequent_item_sets": {
+          "fields": [{"field": "src"}, {"field": "lang"}],
+          "minimum_set_size": 1, "minimum_support": 0.5, "size": 10}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(singles == Seq(("lang=en", 3L), ("src=web", 3L)))
+  }
+
+  test("change_point: mean-shift argmax reports the first new-regime bucket") {
+    val ev = (1 to 8).flatMap { k =>
+      val reps = if (k <= 4) 10 else 20
+      (1 to reps).map(i => (k.toLong * 100 + i, f"b$k%02d"))
+    }.toDF("doc_id", "bucket")
+    val out = Aggs.run(ev,
+      """{"aggs": {
+           "per_b": {"terms": {"field": "bucket", "size": 10, "order": {"_key": "asc"}}},
+           "cp": {"change_point": {"buckets_path": "per_b>_count"}}}}""")("cp")
+      .collect().head
+    assert(out.getString(0) == "b05") // the step starts at bucket 5
+    assert(math.abs(out.getDouble(1) - 10.0 * math.sqrt(2.0)) < 1e-9)
+  }
+
+  test("bucket_correlation: exact Pearson identity, length gate") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "c"), (5L, "c"), (6L, "c"))
+      .toDF("doc_id", "k")
+    val v = Aggs.run(df,
+      """{"aggs": {
+           "b": {"terms": {"field": "k", "size": 10}},
+           "r": {"bucket_correlation": {"buckets_path": "b>_count",
+             "function": {"count_correlation": {"indicator": {
+               "expectations": [2, 4, 6]}}}}}}}""")("r")
+      .collect().head.getDouble(0)
+    assert(math.abs(v - 1.0) < 1e-12) // counts 1,2,3 vs 2,4,6: perfect corr
+    assertThrows[Exception](Aggs.run(df,
+      """{"aggs": {
+           "b": {"terms": {"field": "k", "size": 10}},
+           "r": {"bucket_correlation": {"buckets_path": "b>_count",
+             "function": {"count_correlation": {"indicator": {
+               "expectations": [1, 2]}}}}}}}""")("r").collect())
+  }
+
+  test("bucket_count_ks_test: D against the expected CDF") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("doc_id", "k")
+    val d = Aggs.run(df,
+      """{"aggs": {
+           "b": {"terms": {"field": "k", "size": 10}},
+           "ks": {"bucket_count_ks_test": {"buckets_path": "b>_count",
+             "fractions": [1, 3]}}}}""")("ks")
+      .collect().head.getDouble(0)
+    assert(d == 0.25) // cum actual [0.5, 1] vs expected [0.25, 1]
+  }
+
   test("composite: histogram and date_histogram sources page like terms") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 5.0),

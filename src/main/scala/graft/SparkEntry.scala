@@ -1628,6 +1628,21 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_search_span_masking" -> ((s, dir) => {
+      // span_field_masking: a clause from a same-source shadow field
+      // re-homed onto text inside span_near — the multi-analyzer idiom;
+      // the shadow column carries the identical source text
+      val docs = tbl(s, dir, "documents").withColumn("shadow", col("text"))
+      Search.search(docs,
+        """{"query": {"span_near": {"clauses": [
+              {"span_term": {"text": "merge"}},
+              {"span_field_masking": {
+                "query": {"span_term": {"shadow": "join"}},
+                "field": "text"}}],
+            "slop": 2, "in_order": true}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_search_span_first" -> ((s, dir) => {
       // span_first: docs OPENING with 'the' in the first two positions
       val docs = tbl(s, dir, "documents")
@@ -1764,6 +1779,34 @@ object SparkEntry {
               {"lat": -20.5, "lon": -60.5}, {"lat": -25.5, "lon": 40.5},
               {"lat": 30.5, "lon": 70.5}, {"lat": 45.5, "lon": -30.5}]}}},
             "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_geo_shape" -> ((s, dir) => {
+      // geo_shape polygon WITH A HOLE over point docs: even-odd ray cast
+      // across both rings (GeoJSON [lon, lat], closed rings); the oracle
+      // is the convex half-plane test minus the hole box — exact for
+      // off-boundary integer-derived points vs .5-offset vertices
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.search(pts,
+        """{"query": {"geo_shape": {"loc": {"shape": {"type": "polygon",
+              "coordinates": [
+                [[-60.5, -20.5], [40.5, -25.5], [70.5, 30.5], [-30.5, 45.5],
+                 [-60.5, -20.5]],
+                [[-10.5, 0.5], [19.5, 0.5], [19.5, 20.5], [-10.5, 20.5],
+                 [-10.5, 0.5]]]},
+              "relation": "intersects"}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
+    "q_search_geo_shape_envelope" -> ((s, dir) => {
+      // geo_shape envelope + disjoint: everything OUTSIDE the inclusive
+      // box — the negation path over docs that have the field
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.search(pts,
+        """{"query": {"geo_shape": {"loc": {"shape": {"type": "envelope",
+              "coordinates": [[-50, 40], [60, -10]]},
+              "relation": "disjoint"}}}, "size": 10000}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
@@ -3785,6 +3828,10 @@ object SparkEntry {
                  '\bspark(?:\s+\S+){0,3}\s+window\b')
             OR regexp_matches(lower(text),
                  '\bwindow(?:\s+\S+){0,3}\s+spark\b')""",
+    "q_search_span_masking" ->
+      """SELECT doc_id FROM documents
+         WHERE regexp_matches(lower(text),
+                 '\bmerge(?:\s+\S+){0,2}\s+join\b')""",
     "q_search_span_first" ->
       """SELECT doc_id FROM documents
          WHERE regexp_matches(lower(text), '^\s*(?:\S+\s+){0,1}the\b')""",
@@ -3864,6 +3911,24 @@ object SparkEntry {
            AND  30.0 * (py - (-25.5)) -  56.0 * (px -   40.5)  > 0
            AND -101.0 * (py -   30.5) -  15.0 * (px -   70.5)  > 0
            AND  -30.0 * (py -   45.5) - (-66.0) * (px - (-30.5)) > 0""",
+    "q_search_geo_shape" ->
+      // the geo_polygon half-plane quad minus the hole box (even-odd
+      // with one hole ring = outer AND NOT hole for a hole fully inside)
+      """WITH pts AS (
+           SELECT c_custkey AS doc_id,
+                  CAST(c_custkey % 180 - 90 AS DOUBLE) AS py,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS px
+           FROM customer)
+         SELECT doc_id FROM pts
+         WHERE 101.0 * (py - (-20.5)) - (-5.0) * (px - (-60.5)) > 0
+           AND  30.0 * (py - (-25.5)) -  56.0 * (px -   40.5)  > 0
+           AND -101.0 * (py -   30.5) -  15.0 * (px -   70.5)  > 0
+           AND  -30.0 * (py -   45.5) - (-66.0) * (px - (-30.5)) > 0
+           AND NOT (py > 0.5 AND py < 20.5 AND px > -10.5 AND px < 19.5)""",
+    "q_search_geo_shape_envelope" ->
+      """SELECT c_custkey AS doc_id FROM customer
+         WHERE NOT ((c_custkey % 180 - 90) BETWEEN -10 AND 40
+           AND ((c_custkey * 7) % 360 - 180) BETWEEN -50 AND 60)""",
     "q_search_geo_distance" ->
       """WITH pts AS (
            SELECT c_custkey AS doc_id,

@@ -319,6 +319,24 @@ object QueryCompiler {
         s"unparseable distance '$s' (expected <number><unit>, e.g. \"100km\")")
     }
 
+    /** Even-odd ray-cast containment of a struct<lat,lon> point in a
+      * closed vertex ring: an XOR chain of per-edge crossing predicates in
+      * pure double math (fully codegen'd, no UDF). An edge toggles
+      * containment when it crosses the horizontal ray at the point's lat
+      * with the crossing right of its lon; a horizontal edge fails the
+      * first conjunct so its division never matters (false && NULL =
+      * false). Boundary points follow raw double comparison. */
+    def pointInRing(point: Column, verts: Seq[(Double, Double)]): Column = {
+      val pLat = point.getField("lat")
+      val pLon = point.getField("lon")
+      verts.zip(verts.tail :+ verts.head).map {
+        case ((latI, lonI), (latJ, lonJ)) =>
+          ((lit(latI) > pLat) =!= (lit(latJ) > pLat)) &&
+            pLon < (lit(lonJ - lonI) * (pLat - lit(latI)) /
+              lit(latJ - latI) + lit(lonI))
+      }.reduce(_ =!= _) // odd crossings = inside
+    }
+
     /** Parse and range-check a {lat, lon} object. */
     def latLonOf(n: JsonNode, ctx: String): (Double, Double) = {
       require(n != null && n.isObject, s"$ctx expects {lat, lon}, got: $n")
@@ -1398,20 +1416,79 @@ object QueryCompiler {
             .map(n => Geo.latLonOf(n, s"geo_polygon $pgf point"))
           require(verts.size >= 3,
             s"geo_polygon needs at least 3 points, got ${verts.size}")
-          val pLat = col(pgf).getField("lat")
-          val pLon = col(pgf).getField("lon")
-          // edge (i, i+1) toggles containment when it crosses the
-          // horizontal ray at pLat with the crossing right of pLon; a
-          // horizontal edge (latI == latJ) fails the first conjunct, so
-          // its division never matters (false && NULL = false)
-          val pgc = verts.zip(verts.tail :+ verts.head).map {
-            case ((latI, lonI), (latJ, lonJ)) =>
-              ((lit(latI) > pLat) =!= (lit(latJ) > pLat)) &&
-                pLon < (lit(lonJ - lonI) * (pLat - lit(latI)) /
-                  lit(latJ - latI) + lit(lonI))
-          }.reduce(_ =!= _) // odd crossings = inside
+          val pgc = Geo.pointInRing(col(pgf), verts)
           if (scoring) leaves += leaf(pgc, 1)
           pgc
+        case "geo_shape" =>
+          // {"geo_shape": {FIELD: {"shape": {"type": "envelope"|"polygon",
+          //   "coordinates": ...}, "relation": ...}}} — the modern ES
+          // geo filter, served here for geo_point docs. GeoJSON
+          // coordinate order is [lon, lat]; envelope coordinates are
+          // [[minLon, maxLat], [maxLon, minLat]] (bounds inclusive, like
+          // geo_bounding_box); polygon rings are CLOSED (first == last)
+          // and extra rings are holes — even-odd XOR across rings gives
+          // hole semantics with the same ray-cast chain. For point docs
+          // intersects == within (a point is its own extent) and disjoint
+          // is the negation over docs that HAVE the field; "contains" is
+          // shape-vs-shape and out of the declared subset.
+          val (gsf, gsspec) = singleField(body)
+          require(gsspec.isObject, s"geo_shape expects an object, got: $gsspec")
+          val unknownGs = gsspec.fieldNames.asScala.toSet --
+            Set("shape", "relation")
+          require(unknownGs.isEmpty,
+            s"unsupported geo_shape option(s): ${unknownGs.mkString(", ")}")
+          val relation = Option(gsspec.get("relation")).map(_.asText)
+            .getOrElse("intersects")
+          require(Set("intersects", "within", "disjoint").contains(relation),
+            s"geo_shape relation '$relation' unsupported " +
+              "(intersects/within/disjoint over point docs — declared subset)")
+          val shape = Option(gsspec.get("shape")).filter(_.isObject)
+            .getOrElse(throw new IllegalArgumentException(
+              s"geo_shape $gsf needs 'shape': {type, coordinates}"))
+          val shapeType = Option(shape.get("type")).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "geo_shape shape needs 'type'")).toLowerCase
+          val coords = Option(shape.get("coordinates"))
+            .getOrElse(throw new IllegalArgumentException(
+              "geo_shape shape needs 'coordinates'"))
+          def lonLatOf(n: JsonNode): (Double, Double) = {
+            require(n != null && n.isArray && n.size == 2 &&
+              n.get(0).isNumber && n.get(1).isNumber,
+              s"geo_shape coordinates expect [lon, lat] pairs, got: $n")
+            (n.get(1).asDouble, n.get(0).asDouble) // → (lat, lon)
+          }
+          val inside = shapeType match {
+            case "envelope" =>
+              require(coords.isArray && coords.size == 2,
+                "geo_shape envelope coordinates must be " +
+                  "[[minLon, maxLat], [maxLon, minLat]]")
+              val (maxLat, minLon) = lonLatOf(coords.get(0))
+              val (minLat, maxLon) = lonLatOf(coords.get(1))
+              require(maxLat >= minLat && maxLon >= minLon,
+                s"geo_shape envelope corners inverted: " +
+                  s"[[$minLon, $maxLat], [$maxLon, $minLat]]")
+              val pLat = col(gsf).getField("lat")
+              val pLon = col(gsf).getField("lon")
+              pLat <= maxLat && pLat >= minLat &&
+                pLon >= minLon && pLon <= maxLon
+            case "polygon" =>
+              require(coords.isArray && coords.size >= 1,
+                "geo_shape polygon coordinates must be [[[lon, lat], ...], ...]")
+              coords.elements.asScala.toSeq.map { ring =>
+                require(ring.isArray && ring.size >= 4,
+                  "geo_shape polygon rings need >= 4 closed points")
+                val pts = ring.elements.asScala.toSeq.map(lonLatOf)
+                require(pts.head == pts.last,
+                  "geo_shape polygon rings must be closed (first == last)")
+                Geo.pointInRing(col(gsf), pts.dropRight(1))
+              }.reduce(_ =!= _) // outer XOR holes: even-odd across rings
+            case other => throw new IllegalArgumentException(
+              s"geo_shape type '$other' unsupported " +
+                "(envelope/polygon — declared subset)")
+          }
+          val gsc = if (relation == "disjoint") !inside else inside
+          if (scoring) leaves += leaf(gsc, 1)
+          gsc
         case "distance_feature" =>
           // {"distance_feature": {"field": f, "origin": {lat,lon},
           //  "pivot": "100km"[, "boost": b]}} — matches docs WITH the geo
@@ -1996,6 +2073,15 @@ object QueryCompiler {
           val c = termMatch(f, escapeTerm(text))
           if (scoring) leaves += leaf(c, 1)
           c
+        case "span_field_masking" =>
+          // standalone masking is a no-op wrapper in ES too (it only
+          // changes which field a COMPOUND sees) — evaluate the inner term
+          // on the masking field, consistent with its in-compound meaning
+          val (mf, mt) = spanTermOf(mapper.createObjectNode()
+            .set[JsonNode]("span_field_masking", body))
+          val c = termMatch(mf, escapeTerm(mt))
+          if (scoring) leaves += leaf(c, 1)
+          c
         case "span_near" =>
           // span_term clauses within `slop` intervening tokens of each
           // other. Declared subset: span_term clauses only (no nesting),
@@ -2012,16 +2098,7 @@ object QueryCompiler {
             .getOrElse(throw new IllegalArgumentException(
               "span_near needs 'clauses': [..]"))
           require(cl.size >= 2, "span_near needs at least two clauses")
-          val parts = cl.map { c =>
-            val st = Option(c.get("span_term")).filter(_.isObject)
-              .getOrElse(throw new IllegalArgumentException(
-                "span_near clauses must be span_term objects (declared subset)"))
-            val (f, v) = singleField(st)
-            val t = if (v.isTextual) v.asText
-              else Option(v.get("value")).map(_.asText).getOrElse("")
-            require(t.nonEmpty, "span_term expects a non-empty term")
-            (f, t.toLowerCase)
-          }
+          val parts = cl.map(spanTermOf)
           val fields = parts.map(_._1).distinct
           require(fields.size == 1,
             s"span_near clauses must share one field, got: ${fields.mkString(", ")}")
@@ -2576,6 +2653,44 @@ object QueryCompiler {
     private def singleField(body: JsonNode): (String, JsonNode) = {
       val f = body.fieldNames.asScala.next()
       (f, body.get(f))
+    }
+
+    /** A span-compound clause: a `span_term`, or a `span_field_masking`
+      * wrapping one. Masking re-homes the inner clause onto `field` — the
+      * ES idiom for mixing a differently-analyzed SUBFIELD of the same
+      * source text into one span_near. In this engine spans evaluate by
+      * position over the field's raw text, so the masked clause's term is
+      * matched against the MASKING field (sound exactly when both fields
+      * carry the same source text — ES's own documented constraint that
+      * masked span positions are only meaningful for same-source fields). */
+    private def spanTermOf(c: JsonNode): (String, String) = {
+      def termOf(st: JsonNode): (String, String) = {
+        val (f, v) = singleField(st)
+        val t = if (v.isTextual) v.asText
+          else Option(v.get("value")).map(_.asText).getOrElse("")
+        require(t.nonEmpty, "span_term expects a non-empty term")
+        (f, t.toLowerCase)
+      }
+      Option(c.get("span_field_masking")).filter(_.isObject) match {
+        case Some(m) =>
+          val unknownM = m.fieldNames.asScala.toSet -- Set("query", "field")
+          require(unknownM.isEmpty,
+            s"unsupported span_field_masking option(s): ${unknownM.mkString(", ")}")
+          val maskF = Option(m.get("field")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "span_field_masking needs 'field'"))
+          val inner = Option(m.get("query"))
+            .flatMap(q => Option(q.get("span_term")).filter(_.isObject))
+            .getOrElse(throw new IllegalArgumentException(
+              "span_field_masking needs 'query': {span_term: ...} (declared subset)"))
+          (maskF, termOf(inner)._2)
+        case None =>
+          val st = Option(c.get("span_term")).filter(_.isObject)
+            .getOrElse(throw new IllegalArgumentException(
+              "span compound clauses must be span_term or span_field_masking " +
+                "objects (declared subset)"))
+          termOf(st)
+      }
     }
 
     private def scalarOf(n: JsonNode): Any =

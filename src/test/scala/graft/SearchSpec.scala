@@ -1020,6 +1020,73 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("at least 3"))
   }
 
+  test("geo_shape: envelope, polygon with a hole, disjoint, gates") {
+    val pts = Seq(
+      ("in", 5.0, 5.0), ("hole", 5.0, 4.0), ("out", 15.0, 5.0))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    // envelope [[minLon, maxLat], [maxLon, minLat]] — inclusive box
+    val env = Search.search(pts,
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "envelope",
+            "coordinates": [[0, 10], [10, 0]]}}}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(env == Set("in", "hole"))
+    // polygon ring (closed, [lon, lat]) with a hole around (4..4.5, 4..6):
+    // even-odd drops the point inside the hole
+    val holed = Search.search(pts,
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "polygon",
+            "coordinates": [
+              [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]],
+              [[3.5, 3.5], [4.5, 3.5], [4.5, 6.5], [3.5, 6.5], [3.5, 3.5]]]},
+            "relation": "intersects"}}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(holed == Set("in")) // (5,4) falls in the hole ring
+    val disjoint = Search.search(pts,
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "envelope",
+            "coordinates": [[0, 10], [10, 0]]},
+            "relation": "disjoint"}}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(disjoint == Set("out"))
+    assert(intercept[IllegalArgumentException](Search.search(pts,
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "polygon",
+            "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10]]]}}}}}""",
+      IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("closed"))
+    assert(intercept[IllegalArgumentException](Search.search(pts,
+      """{"query": {"geo_shape": {"loc": {"shape": {"type": "circle",
+            "coordinates": [0, 0]}}}}}""",
+      IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("unsupported"))
+  }
+
+  test("span_field_masking: re-homes a same-source clause into span_near") {
+    val docs = Seq(
+      ("1", "sort merge join fast", "sort merge join fast"),
+      ("2", "merge of the join", "merge of the join"),
+      ("3", "join then merge", "join then merge"))
+      .toDF("doc_id", "text", "shadow")
+    val out = Search.search(docs,
+      """{"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_field_masking": {
+              "query": {"span_term": {"shadow": "join"}},
+              "field": "text"}}],
+          "slop": 2, "in_order": true}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(out == Set("1", "2")) // doc 3 has the pair out of order
+    // unmasked cross-field clauses still fail loud
+    assert(intercept[IllegalArgumentException](Search.search(docs,
+      """{"query": {"span_near": {"clauses": [
+            {"span_term": {"text": "merge"}},
+            {"span_term": {"shadow": "join"}}],
+          "slop": 2}}}""", IndexConfig(), Seq("doc_id")).collect())
+      .getMessage.contains("share one field"))
+  }
+
   test("collapse inner_hits: top-k per group riding the collapsed page") {
     val docs = Seq(
       ("1", "a", "spark spark"), ("2", "a", "spark"), ("3", "a", "spark x"),

@@ -2516,6 +2516,56 @@ object SparkEntry {
           "| SORT l_orderkey, l_returnflag",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_sample" -> ((s, dir) => {
+      // SAMPLE: seeded xxhash64 Bernoulli keep — deterministic across
+      // runs but engine-specific hash, so rows-only contract (the simhash
+      // convention); grouped stats keep the smoke meaningful
+      Esql.run(
+        "FROM events | SAMPLE 0.1 42 | STATS n = COUNT(*) " +
+          "BY event_type | SORT event_type",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
+    "q_esql_change_point" -> ((s, dir) => {
+      // the ES|QL ML command over a STATS series: daily counts →
+      // mean-shift argmax; integer counts keep the statistic bit-exact
+      Esql.run(
+        "FROM events | STATS c = COUNT(*) BY d = DATE_TRUNC(\"day\", ts) " +
+          "| EVAL d = TO_UNIX_MICROS(d) | CHANGE_POINT c ON d " +
+          "| EVAL stat_x1k = TO_LONG(FLOOR(stat * 1000)) | KEEP d, stat_x1k",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
+    "q_esql_row" -> ((s, dir) => {
+      // ROW literal source + ip/string/math functions, fully constant-
+      // folded on both sides
+      Esql.run(
+        "ROW ip = \"10.1.2.3\", s = \"graft\" " +
+          "| EVAL net = IP_PREFIX(ip, 8, 0), " +
+          "inb = CIDR_MATCH(ip, \"10.0.0.0/8\", \"192.168.0.0/16\"), " +
+          "r = REVERSE(s), lg = TO_LONG(LOG10(100.0)) " +
+          "| KEEP net, inb, r, lg",
+        Map.empty)
+    }),
+    "q_esql_mv" -> ((s, dir) => {
+      // multivalue family over SPLIT tokens — size/first/last/max per doc
+      Esql.run(
+        "FROM documents | WHERE doc_id < 50 " +
+          "| EVAL parts = SPLIT(text, \" \"), nw = MV_COUNT(parts), " +
+          "first = MV_FIRST(parts), last = MV_LAST(parts), " +
+          "top = MV_MAX(parts) " +
+          "| KEEP doc_id, nw, first, last, top | SORT doc_id",
+        Map("documents" -> tbl(s, dir, "documents")))
+    }),
+    "q_esql_dates" -> ((s, dir) => {
+      // DATE_EXTRACT/DATE_FORMAT over event timestamps (NTZ-normalized
+      // through Tsx under the pinned UTC session)
+      Esql.run(
+        "FROM events | WHERE event_id < 100 " +
+          "| EVAL day = DATE_EXTRACT(\"day_of_month\", ts), " +
+          "hr = DATE_EXTRACT(\"hour_of_day\", ts), " +
+          "fmt = DATE_FORMAT(\"yyyy-MM-dd\", ts) " +
+          "| KEEP event_id, day, hr, fmt | SORT event_id",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
     "q_esql_bucket" -> ((s, dir) => {
       // ES|QL time-series face: grouped STATS over a DATE_TRUNC BY
       // expression (emitted as epoch micros — the date-histogram compare
@@ -4633,6 +4683,41 @@ object SparkEntry {
       """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
            count(*) AS n, round(sum(value), 2) AS v
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_esql_change_point" ->
+      """WITH b AS (
+           SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
+             CAST(count(*) AS DOUBLE) AS c
+           FROM events GROUP BY 1),
+         s AS (SELECT d,
+                 row_number() OVER (ORDER BY d) AS t,
+                 lead(d) OVER (ORDER BY d) AS next_d,
+                 sum(c) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 count(*) OVER () AS n,
+                 sum(c) OVER () AS tot
+               FROM b),
+         sc AS (SELECT d, next_d,
+                 abs(cum / t - (tot - cum) / (n - t))
+                   * sqrt((t * (n - t)) / CAST(n AS DOUBLE)) AS stat
+               FROM s WHERE t >= 2 AND t <= n - 2)
+         SELECT next_d AS d, CAST(floor(stat * 1000) AS BIGINT) AS stat_x1k
+         FROM sc ORDER BY stat DESC, sc.d LIMIT 1""",
+    "q_esql_row" ->
+      """SELECT '10.0.0.0' AS net, TRUE AS inb, 'tfarg' AS r,
+           CAST(2 AS BIGINT) AS lg""",
+    "q_esql_mv" ->
+      """SELECT doc_id,
+           len(string_split(text, ' ')) AS nw,
+           string_split(text, ' ')[1] AS first,
+           string_split(text, ' ')[-1] AS last,
+           list_aggregate(string_split(text, ' '), 'max') AS top
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "q_esql_dates" ->
+      """SELECT event_id,
+           CAST(date_part('day', ts) AS BIGINT) AS day,
+           CAST(date_part('hour', ts) AS BIGINT) AS hr,
+           strftime(ts, '%Y-%m-%d') AS fmt
+         FROM events WHERE event_id < 100 ORDER BY event_id""",
     "q_search_explain" ->
       // the q_search_bm25 pipeline with per-term components surfaced;
       // explanation entries ordered by term ('query' < 'spark')

@@ -43,6 +43,15 @@ object Esql {
     val stages = splitStages(query)
     require(stages.nonEmpty, "empty ES|QL query")
     val head = stages.head
+    if (head.toUpperCase.startsWith("ROW")) {
+      // `ROW a = 1, b = "x" | …` — a one-row literal source (the ES|QL
+      // scratch-pad form); assignments share EVAL's expression grammar
+      val spark = org.apache.spark.sql.SparkSession.active
+      val cols = Expr.assignments(head.drop(3)).map { case (n, e) => e.as(n) }
+      require(cols.nonEmpty, "ROW needs at least one assignment")
+      val base = spark.range(1).select(cols: _*)
+      return stages.tail.foldLeft(base)(applyStage(_, _, catalog))
+    }
     require(head.toUpperCase.startsWith("FROM"),
       s"ES|QL must start with FROM, got: $head")
     // `FROM idx[, …] [METADATA _index]` — the metadata clause tags every
@@ -134,6 +143,56 @@ object Esql {
       case "DISSECT" => dissect(df, rest)
       case "GROK" => grok(df, rest)
       case "LOOKUP" => lookupJoin(df, rest, catalog)
+      case "SAMPLE" =>
+        // `SAMPLE <probability> [<seed>]` — deterministic Bernoulli keep:
+        // xxhash64 over the whole row with the seed, kept when the hash
+        // lands under probability·2^63 scaled into the non-negative half.
+        // Stateless map-side filter (no shuffle), reproducible across
+        // runs and partitionings — same contract as the random_sampler
+        // agg. DIVERGENCE from ES|QL: seeded hashing, not true RNG (a
+        // deterministic engine cannot re-sample per execution).
+        val parts = rest.trim.split("\\s+").filter(_.nonEmpty)
+        require(parts.length == 1 || parts.length == 2,
+          s"SAMPLE expects <probability> [<seed>], got: $rest")
+        val p = parts(0).toDouble
+        require(p > 0 && p < 1, s"SAMPLE probability must be in (0, 1), got $p")
+        val seed = if (parts.length == 2) parts(1).toLong else 0L
+        val h = abs(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
+          lit(seed)))
+        df.where(h < lit((p * Long.MaxValue).toLong))
+      case "CHANGE_POINT" =>
+        // `CHANGE_POINT <value> ON <key>` — the mean-shift scan over the
+        // key-ordered rows: emits the first new-regime key + the CUSUM
+        // statistic as a 1-row frame (`type`/`pvalue` of ES|QL's ML
+        // command are out of the declared subset; the frame is expected
+        // to be a pre-aggregated series, same bound as pipeline aggs).
+        val m = "(?i)^\\s*(\\S+)\\s+ON\\s+(\\S+)\\s*$".r
+        rest match {
+          case m(valueCol, keyCol) =>
+            require(df.columns.contains(valueCol),
+              s"CHANGE_POINT: unknown value column '$valueCol'")
+            require(df.columns.contains(keyCol),
+              s"CHANGE_POINT: unknown key column '$keyCol'")
+            val w = org.apache.spark.sql.expressions.Window.orderBy(asc(keyCol))
+            val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+            df.withColumn("_t", row_number().over(w))
+              .withColumn("_next_key", lead(col(keyCol), 1).over(w))
+              .withColumn("_cum", sum(col(valueCol).cast("double")).over(
+                w.rowsBetween(
+                  org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+              .withColumn("_n", count(lit(1)).over(whole))
+              .withColumn("_tot", sum(col(valueCol).cast("double")).over(whole))
+              .where(col("_t") >= 2 && col("_t") <= col("_n") - 2)
+              .withColumn("_stat",
+                abs(col("_cum") / col("_t") -
+                  (col("_tot") - col("_cum")) / (col("_n") - col("_t"))) *
+                  sqrt(col("_t") * (col("_n") - col("_t")) / col("_n")))
+              .orderBy(desc("_stat"), asc(keyCol))
+              .limit(1)
+              .select(col("_next_key").as(keyCol), col("_stat").as("stat"))
+          case _ => throw new IllegalArgumentException(
+            s"CHANGE_POINT expects '<value> ON <key>', got: $rest")
+        }
       case "ENRICH" =>
         // `ENRICH <policy> ON <field>` — the pre-8.18 enrichment syntax;
         // a policy resolves to a catalog table (our declared analog of
@@ -680,6 +739,146 @@ object Esql {
           // numeric span bucketing: floor(x / span) * span (the ES|QL
           // numeric BUCKET form; date bucketing is DATE_TRUNC)
           arity(2); floor(a(0) / a(1)) * a(1)
+        // ---- math
+        case "POW" => arity(2); pow(a(0), a(1))
+        case "SQRT" => arity(1); sqrt(a(0))
+        case "EXP" => arity(1); exp(a(0))
+        case "LOG" =>
+          // LOG(x) = natural log; LOG(base, x) = log_base(x)
+          require(a.length == 1 || a.length == 2, "LOG expects 1 or 2 arguments")
+          if (a.length == 1) log(a(0)) else log(a(1)) / log(a(0))
+        case "LOG10" => arity(1); log10(a(0))
+        case "SIGNUM" => arity(1); signum(a(0))
+        case "PI" => arity(0); lit(math.Pi)
+        case "E" => arity(0); lit(math.E)
+        case "SIN" => arity(1); sin(a(0))
+        case "COS" => arity(1); cos(a(0))
+        case "TAN" => arity(1); tan(a(0))
+        case "ASIN" => arity(1); asin(a(0))
+        case "ACOS" => arity(1); acos(a(0))
+        case "ATAN" => arity(1); atan(a(0))
+        case "ATAN2" => arity(2); atan2(a(0), a(1))
+        // ---- strings
+        case "LEFT" => arity(2); a(0).substr(lit(1), a(1))
+        case "RIGHT" => arity(2)
+          when(length(a(0)) <= a(1), a(0))
+            .otherwise(a(0).substr(length(a(0)) - a(1) + 1, a(1)))
+        case "REVERSE" => arity(1); reverse(a(0))
+        case "LTRIM" => arity(1); ltrim(a(0))
+        case "RTRIM" => arity(1); rtrim(a(0))
+        case "LOCATE" =>
+          // LOCATE(string, substring[, start]) — 1-based, 0 = not found
+          require(a.length == 2 || a.length == 3, "LOCATE expects 2 or 3 arguments")
+          val sub = litStr(argInfo(1)._2, "LOCATE")
+          if (a.length == 2) locate(sub, a(0))
+          else locate(sub, a(0), litInt(argInfo(2)._2, "LOCATE"))
+        // ---- multivalue
+        case "MV_MIN" => arity(1); array_min(a(0))
+        case "MV_MAX" => arity(1); array_max(a(0))
+        case "MV_SUM" => arity(1)
+          org.apache.spark.sql.functions.aggregate(
+            a(0), lit(0.0), (acc, x) => acc + x.cast("double"))
+        case "MV_AVG" => arity(1)
+          org.apache.spark.sql.functions.aggregate(
+            a(0), lit(0.0), (acc, x) => acc + x.cast("double")) / size(a(0))
+        case "MV_CONCAT" => arity(2)
+          array_join(a(0), litStr(argInfo(1)._2, "MV_CONCAT"))
+        case "MV_DEDUPE" => arity(1); array_distinct(a(0))
+        case "MV_SORT" =>
+          require(a.length == 1 || a.length == 2, "MV_SORT expects 1 or 2 arguments")
+          val descOrder = a.length == 2 &&
+            litStr(argInfo(1)._2, "MV_SORT").equalsIgnoreCase("DESC")
+          sort_array(a(0), asc = !descOrder)
+        case "MV_FIRST" => arity(1); element_at(a(0), 1)
+        case "MV_LAST" => arity(1); element_at(a(0), -1)
+        case "MV_SLICE" =>
+          // MV_SLICE(field, start[, end]) — 0-based inclusive, like ES|QL
+          require(a.length == 2 || a.length == 3, "MV_SLICE expects 2 or 3 arguments")
+          val start = litInt(argInfo(1)._2, "MV_SLICE")
+          require(start >= 0, "MV_SLICE start must be >= 0 (declared subset)")
+          val end =
+            if (a.length == 3) litInt(argInfo(2)._2, "MV_SLICE") else start
+          require(end >= start, s"MV_SLICE end ($end) must be >= start ($start)")
+          slice(a(0), start + 1, end - start + 1)
+        // ---- dates
+        case "DATE_FORMAT" =>
+          // DATE_FORMAT("pattern", ts) — Spark datetime patterns
+          // (declared subset of ES|QL's Java-time patterns)
+          arity(2)
+          date_format(Tsx.ltz(a(1)), litStr(argInfo(0)._2, "DATE_FORMAT"))
+        case "DATE_PARSE" => arity(2)
+          to_timestamp(a(1), litStr(argInfo(0)._2, "DATE_PARSE"))
+        case "DATE_DIFF" =>
+          // DATE_DIFF("unit", start, end) — whole units, truncated toward
+          // zero (exact long micros arithmetic)
+          arity(3)
+          val unitUs: Long = litStr(argInfo(0)._2, "DATE_DIFF").toLowerCase match {
+            case "microseconds" => 1L
+            case "milliseconds" => 1000L
+            case "seconds" => 1000000L
+            case "minutes" => 60000000L
+            case "hours" => 3600000000L
+            case "days" => 86400000000L
+            case u => throw new IllegalArgumentException(
+              s"DATE_DIFF: unsupported unit '$u'")
+          }
+          ((Tsx.micros(a(2)) - Tsx.micros(a(1))) / unitUs).cast("long")
+        case "DATE_EXTRACT" =>
+          arity(2)
+          val part = litStr(argInfo(0)._2, "DATE_EXTRACT").toLowerCase
+          val ts = Tsx.ltz(a(1))
+          part match {
+            case "year" => year(ts).cast("long")
+            case "month_of_year" | "month" => month(ts).cast("long")
+            case "day_of_month" | "day" => dayofmonth(ts).cast("long")
+            case "day_of_week" => dayofweek(ts).cast("long")
+            case "day_of_year" => dayofyear(ts).cast("long")
+            case "hour_of_day" | "hour" => hour(ts).cast("long")
+            case "minute_of_hour" | "minute" => minute(ts).cast("long")
+            case "second_of_minute" | "second" => second(ts).cast("long")
+            case p => throw new IllegalArgumentException(
+              s"DATE_EXTRACT: unsupported part '$p'")
+          }
+        // ---- ip
+        case "CIDR_MATCH" =>
+          // CIDR_MATCH(ip, "a.b.c.d/n"[, ...]) — IPv4 numeric containment
+          // per block, OR across blocks (same long math as ip_range)
+          require(a.length >= 2, "CIDR_MATCH expects (ip, block, ...)")
+          val parts4 = split(a(0), "\\.")
+          val ipNum = parts4.getItem(0).cast("long") * 16777216L +
+            parts4.getItem(1).cast("long") * 65536L +
+            parts4.getItem(2).cast("long") * 256L +
+            parts4.getItem(3).cast("long")
+          (1 until a.length).map { i =>
+            val block = litStr(argInfo(i)._2, "CIDR_MATCH")
+            val Array(ip, bits) = block.split("/")
+            val n = bits.toInt
+            require(n >= 0 && n <= 32, s"CIDR_MATCH: bad block '$block'")
+            val ps = ip.split("\\.")
+            require(ps.length == 4 && ps.forall(p =>
+              p.nonEmpty && p.forall(_.isDigit) && p.toInt <= 255),
+              s"CIDR_MATCH: bad IPv4 '$ip'")
+            val span = 1L << (32 - n)
+            val base = ps.map(_.toLong).reduce(_ * 256L + _) / span * span
+            ipNum >= base && ipNum < base + span
+          }.reduce(_ || _)
+        case "IP_PREFIX" =>
+          // IP_PREFIX(ip, v4Len, v6Len) — the masked IPv4 network as a
+          // dotted quad (v6 length accepted, IPv4-only declared subset)
+          require(a.length == 2 || a.length == 3, "IP_PREFIX expects 2 or 3 arguments")
+          val n = litInt(argInfo(1)._2, "IP_PREFIX")
+          require(n >= 0 && n <= 32, s"IP_PREFIX length out of range: $n")
+          val parts4 = split(a(0), "\\.")
+          val ipNum = parts4.getItem(0).cast("long") * 16777216L +
+            parts4.getItem(1).cast("long") * 65536L +
+            parts4.getItem(2).cast("long") * 256L +
+            parts4.getItem(3).cast("long")
+          val net = shiftrightunsigned(ipNum, 32 - n) * (1L << (32 - n))
+          when(a(0).isNotNull, concat_ws(".",
+            (shiftrightunsigned(net, 24) % 256L).cast("string"),
+            (shiftrightunsigned(net, 16) % 256L).cast("string"),
+            (shiftrightunsigned(net, 8) % 256L).cast("string"),
+            (net % 256L).cast("string")))
         case other => throw new IllegalArgumentException(
           s"unsupported function '$other'")
       }

@@ -175,6 +175,79 @@ class EsqlSpec extends AnyFunSuite {
     assert(g == 1L)
   }
 
+  test("ROW: one-row literal source feeding the pipe") {
+    val out = Esql.run(
+      "ROW a = 1, b = \"x\", c = 2.5 | EVAL d = a + c | KEEP a, b, d",
+      cat).collect().head
+    assert(out.getLong(0) == 1L && out.getString(1) == "x" &&
+      out.getDouble(2) == 3.5)
+  }
+
+  test("SAMPLE: deterministic seeded Bernoulli, stable across runs") {
+    val many = (1L to 400L).map(i => (i, s"t$i")).toDF("id", "text")
+    val a1 = Esql.run("FROM d | SAMPLE 0.25 7 | STATS c = COUNT(*)",
+      Map("d" -> many)).collect().head.getLong(0)
+    val a2 = Esql.run("FROM d | SAMPLE 0.25 7 | STATS c = COUNT(*)",
+      Map("d" -> many)).collect().head.getLong(0)
+    assert(a1 == a2 && a1 > 40 && a1 < 160) // reproducible, plausibly ~100
+    val b = Esql.run("FROM d | SAMPLE 0.25 8 | STATS c = COUNT(*)",
+      Map("d" -> many)).collect().head.getLong(0)
+    assert(b > 40 && b < 160)
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM d | SAMPLE 1.5", Map("d" -> many)))
+      .getMessage.contains("probability"))
+  }
+
+  test("CHANGE_POINT: first new-regime key over a keyed series") {
+    val series = (1 to 10).map(k => (k.toLong, if (k <= 6) 5L else 50L))
+      .toDF("k", "c")
+    val out = Esql.run("FROM s | CHANGE_POINT c ON k", Map("s" -> series))
+      .collect().head
+    assert(out.getLong(0) == 7L) // the step starts at k=7
+    assert(out.getDouble(1) > 0)
+  }
+
+  test("math, string, MV, date, and ip function families") {
+    val out = Esql.run(
+      "ROW s = \"abcdef\", n = 16.0, ip = \"10.1.2.3\", t = \"2024-03-05 10:30:00\" " +
+        "| EVAL lf = LEFT(s, 2), rt = RIGHT(s, 2), rev = REVERSE(s), " +
+        "p = POW(2.0, 3.0), lg = LOG(2.0, n), sq = SQRT(n), " +
+        "loc = LOCATE(s, \"cd\"), " +
+        "inblock = CIDR_MATCH(ip, \"10.0.0.0/8\"), " +
+        "outblock = CIDR_MATCH(ip, \"192.168.0.0/16\"), " +
+        "net = IP_PREFIX(ip, 12, 0), " +
+        "ts = DATE_PARSE(\"yyyy-MM-dd HH:mm:ss\", t), " +
+        "day = DATE_EXTRACT(\"day_of_month\", ts), " +
+        "fmt = DATE_FORMAT(\"yyyy/MM\", ts) " +
+        "| KEEP lf, rt, rev, p, lg, sq, loc, inblock, outblock, net, day, fmt",
+      cat).collect().head
+    assert(out.getString(0) == "ab" && out.getString(1) == "ef" &&
+      out.getString(2) == "fedcba")
+    assert(out.getDouble(3) == 8.0 && out.getDouble(4) == 4.0 &&
+      out.getDouble(5) == 4.0)
+    assert(out.getInt(6) == 3)
+    assert(out.getBoolean(7) && !out.getBoolean(8))
+    assert(out.getString(9) == "10.0.0.0")
+    assert(out.getLong(10) == 5L && out.getString(11) == "2024/03")
+    val mv = Esql.run(
+      "FROM docs | WHERE id == 1 | EVAL parts = SPLIT(text, \" \"), " +
+        "mn = MV_MIN(parts), mx = MV_MAX(parts), cnt = MV_COUNT(parts), " +
+        "joined = MV_CONCAT(parts, \"-\"), first = MV_FIRST(parts), " +
+        "srt = MV_CONCAT(MV_SORT(parts, \"DESC\"), \",\") " +
+        "| KEEP mn, mx, cnt, joined, first, srt",
+      cat).collect().head
+    assert(mv.getString(0) == "alpha" && mv.getString(1) == "beta")
+    assert(mv.getInt(2) == 2 && mv.getString(3) == "alpha-beta")
+    assert(mv.getString(4) == "alpha" && mv.getString(5) == "beta,alpha")
+    val dd = Esql.run(
+      "ROW a = \"2024-01-01 00:00:00\", b = \"2024-01-03 12:00:00\" " +
+        "| EVAL s = DATE_PARSE(\"yyyy-MM-dd HH:mm:ss\", a), " +
+        "e = DATE_PARSE(\"yyyy-MM-dd HH:mm:ss\", b), " +
+        "d = DATE_DIFF(\"days\", s, e), h = DATE_DIFF(\"hours\", s, e) " +
+        "| KEEP d, h", cat).collect().head
+    assert(dd.getLong(0) == 2L && dd.getLong(1) == 60L)
+  }
+
   test("fail-loud: unknown command, unknown index, validate()") {
     assert(intercept[IllegalArgumentException](
       Esql.run("FROM docs | FROB x", cat)).getMessage.contains("unsupported"))

@@ -2753,6 +2753,92 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
+    "q_quality_gopher" -> ((s, dir) => {
+      // the named Gopher rule set as a per-doc report — every rule a
+      // boolean column, hit rates auditable before anything drops
+      TextStats.qualityGopher(tbl(s, dir, "documents"), "text",
+          stops = Seq("the", "data", "join", "scan", "fast", "slow", "key", "row"))
+        .select(col("doc_id"), col("g_words"), col("g_word_count"),
+          col("g_mean_len"), col("g_symbol_ratio"), col("g_alpha_words"),
+          col("g_stopwords"), col("gopher_pass"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_quality_c4" -> ((s, dir) => {
+      // C4 line/page rules over a synthesized multi-line page (the corpus
+      // text is single-line): terminal-punct line keep, 3-word minimum,
+      // javascript/lorem/brace drops, 5-sentence page floor
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        substring(col("text"), 1, 60), lit(".\n"),
+        lit("tiny line\n"),
+        lit("good second sentence here. it has words. end.\n"),
+        when(col("doc_id") % 5 === 0, lit("lorem ipsum filler here.\n"))
+          .otherwise(lit("clean closing line here.\n")),
+        when(col("doc_id") % 7 === 0, lit("config { block }\n"))
+          .otherwise(lit(""))).as("page"))
+      TextStats.c4Report(docs, "page")
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          col("has_brace"), col("has_lorem"), col("n_sentences"),
+          col("c4_keep"), col("c4_text"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_filter_url" -> ((s, dir) => {
+      // URL/domain provenance gate over derived URLs: blocklist domains
+      // (exact + subdomain), TLD allowlist
+      val docs = tbl(s, dir, "documents")
+      val tldPick = element_at(
+        array(lit("com"), lit("org"), lit("net"), lit("xyz")),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 11 === 0, lit("ads.example.com"))
+          .otherwise(concat(col("source"), lit(".example."), tldPick)),
+        lit("/p/"), col("doc_id"))
+      pipeline.Curate.urlReport(
+          docs.select(col("doc_id"), url.as("url")), "url",
+          blockedDomains = Seq("ads.example.com", "spam.example"),
+          allowedTlds = Seq("com", "org", "net"))
+        .select(col("doc_id"), col("host"), col("tld"),
+          col("domain_blocked"), col("tld_allowed"), col("url_keep"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_text_normalize" -> ((s, dir) => {
+      // ftfy-lite canonicalization over deliberately-messy derivations:
+      // curly quotes, en/em dashes, zero-width, control chars, run
+      // whitespace — all reduced to the canonical ASCII-ish form
+      val messy = concat(
+        lit("\u201Cquoted\u201D \u2018x\u2019 \u2013 dash \u2014 em \u200Bzw\u0007"),
+        lit("  \ttabs  "), substring(col("text"), 1, 40), lit(" end"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextStats.normalizeText(messy).as("norm"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_corpus_stats" -> ((s, dir) => {
+      // the dataset-card one-rower: totals, token quantiles, dimension
+      // cardinalities
+      TextStats.corpusStats(tbl(s, dir, "documents"), "text",
+        dims = Seq("lang", "source"))
+    }),
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDeDup with the label column as the cluster assignment — the
+      // within-cluster keep-lowest-id prune is exactly oracle-checkable
+      // (the k-means variant is q_dedup_semantic_kmeans, rows-only)
+      pipeline.Dedup.semanticDedup(tbl(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", threshold = 0.3)
+        .select(col("vec_id"), col("label"), col("dup_of"), col("is_dup"))
+        .orderBy(col("vec_id"))
+    }),
+    "q_dedup_semantic_kmeans" -> ((s, dir) => {
+      // the paper-faithful composition: spherical k-means clusters feed
+      // the same within-cluster prune; engine-specific float iteration →
+      // rows-only contract
+      val emb = tbl(s, dir, "embeddings")
+      val cents = pipeline.Ivf.train(emb, c = 8, iters = 2)
+      val assigned = pipeline.Ivf.assign(emb, cents,
+        idCol = "vec_id", vecCol = "embedding")
+      pipeline.Dedup.semanticDedup(assigned,
+          "vec_id", "embedding", "list_id", threshold = 0.3)
+        .select(col("vec_id"), col("list_id"), col("is_dup"))
+        .orderBy(col("vec_id"))
+    }),
     "q_text_tokens" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
@@ -4877,6 +4963,125 @@ object SparkEntry {
            AND punct_ratio <= 0.2 AND stopword_ratio >= 0.05
            AND alpha_ratio >= 0.5
          ORDER BY doc_id""",
+    "q_quality_gopher" ->
+      // the line-level rules (bullet/ellipsis) are constant-true on the
+      // single-line corpus, so the pass flag is the conjunction of the
+      // five content rules on both sides
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               x -> len(x) > 0) AS tk,
+             text
+           FROM documents),
+         m AS (
+           SELECT doc_id, len(tk) AS g_words,
+             len(tk) >= 50 AND len(tk) <= 100000 AS g_word_count,
+             (CAST(len(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS DOUBLE)
+                / greatest(len(tk), 1)) >= 3.0 AND
+             (CAST(len(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS DOUBLE)
+                / greatest(len(tk), 1)) <= 10.0 AS g_mean_len,
+             (CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+                / greatest(len(tk), 1)) <= 0.1 AS g_symbol_ratio,
+             (CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                / greatest(len(tk), 1)) >= 0.8 AS g_alpha_words,
+             len(list_intersect(list_distinct(tk),
+               ['the','data','join','scan','fast','slow','key','row'])) >= 2 AS g_stopwords
+           FROM toks)
+         SELECT doc_id, g_words, g_word_count, g_mean_len, g_symbol_ratio,
+           g_alpha_words, g_stopwords,
+           g_word_count AND g_mean_len AND g_symbol_ratio AND g_alpha_words
+             AND g_stopwords AS gopher_pass
+         FROM m ORDER BY doc_id""",
+    "q_quality_c4" ->
+      """WITH d AS (
+           SELECT doc_id,
+             substr(text, 1, 60) || '.' || chr(10) ||
+             'tiny line' || chr(10) ||
+             'good second sentence here. it has words. end.' || chr(10) ||
+             CASE WHEN doc_id % 5 = 0 THEN 'lorem ipsum filler here.'
+                  ELSE 'clean closing line here.' END || chr(10) ||
+             CASE WHEN doc_id % 7 = 0 THEN 'config { block }' || chr(10)
+                  ELSE '' END AS page
+           FROM documents),
+         l AS (
+           SELECT doc_id, page,
+             list_filter(string_split(page, chr(10)),
+               x -> len(trim(x)) > 0) AS lines
+           FROM d),
+         k AS (
+           SELECT doc_id, page, lines,
+             list_filter(lines, x -> regexp_matches(trim(x), '[.!?"'']$')
+               AND len(list_filter(string_split_regex(trim(x), '\s+'),
+                 w -> len(w) > 0)) >= 3
+               AND NOT contains(lower(x), 'javascript')) AS kept
+           FROM l)
+         SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines,
+           contains(page, '{') AS has_brace,
+           contains(lower(page), 'lorem ipsum') AS has_lorem,
+           len(regexp_extract_all(page, '[.!?]')) AS n_sentences,
+           len(kept) >= 1 AND len(regexp_extract_all(page, '[.!?]')) >= 5
+             AND NOT contains(page, '{')
+             AND NOT contains(lower(page), 'lorem ipsum') AS c4_keep,
+           array_to_string(kept, chr(10)) AS c4_text
+         FROM k ORDER BY doc_id""",
+    "q_filter_url" ->
+      """WITH u AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'ads.example.com'
+                  ELSE source || '.example.' ||
+                    CASE CAST(doc_id % 4 AS INTEGER)
+                      WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      WHEN 2 THEN 'net' ELSE 'xyz' END
+             END AS host
+           FROM documents),
+         t AS (
+           SELECT doc_id, host,
+             regexp_extract(host, '\.([a-z0-9-]+)$', 1) AS tld
+           FROM u),
+         b AS (
+           SELECT doc_id, host, tld,
+             (host = 'ads.example.com' OR ends_with(host, '.ads.example.com')
+              OR host = 'spam.example' OR ends_with(host, '.spam.example'))
+               AS domain_blocked,
+             tld IN ('com', 'org', 'net') AS tld_allowed
+           FROM t)
+         SELECT doc_id, host, tld, domain_blocked, tld_allowed,
+           len(host) > 0 AND NOT domain_blocked AND tld_allowed AS url_keep
+         FROM b ORDER BY doc_id""",
+    "q_text_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               translate('“quoted” ‘x’ – dash — em ​zw' || chr(7) ||
+                   '  ' || chr(9) || 'tabs  ' || substr(text, 1, 40) || ' end',
+                 '‘’“”–—', '''''""--'),
+               '[\x00-\x08\x0b-\x1f\x7f\x{200b}-\x{200d}\x{feff}]', '', 'g'),
+             '\s+', ' ', 'g')) AS norm
+         FROM documents ORDER BY doc_id""",
+    "q_corpus_stats" ->
+      """WITH t AS (
+           SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS nt,
+             lang, source
+           FROM documents)
+         SELECT count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+           min(nt) AS min_tokens,
+           quantile_cont(nt, 0.5) AS p50_tokens,
+           quantile_cont(nt, 0.9) AS p90_tokens,
+           max(nt) AS max_tokens,
+           count(DISTINCT lang) AS n_lang, count(DISTINCT source) AS n_source
+         FROM t""",
+    "q_dedup_semantic" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+           FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+             AND list_cosine_similarity(a.emb, b.emb) >= 0.3
+           GROUP BY 1)
+         SELECT e.vec_id, e.label, p.dup_of, p.dup_of IS NOT NULL AS is_dup
+         FROM e LEFT JOIN p ON e.vec_id = p.vec_id ORDER BY e.vec_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
            len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_ws_tokens,

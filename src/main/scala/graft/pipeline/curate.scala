@@ -293,4 +293,28 @@ object Curate {
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(budgetTokens)))
       .select(col(idCol), col(groupCol), col("n_tokens"), col("shard"))
   }
+
+  // ------------------------------------------------------------ url filtering
+
+  /** URL/domain filtering report (the RefinedWeb/C4 provenance gate):
+    * host + TLD extraction, domain blocklist (exact or subdomain match),
+    * TLD allowlist, and the combined keep flag. Pure regex/equality
+    * column work — a narrow codegen'd projection; the blocklist rides the
+    * plan as literals (curated blocklists are model parameters, not data;
+    * for million-entry lists switch to a broadcast anti-join on `host`). */
+  def urlReport(df: DataFrame, urlCol: String, blockedDomains: Seq[String],
+                allowedTlds: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty && allowedTlds.nonEmpty,
+      "urlReport needs non-empty blockedDomains and allowedTlds")
+    val host = lower(regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val tld = regexp_extract(host, "\\.([a-z0-9-]+)$", 1)
+    df.withColumn("host", host)
+      .withColumn("tld", tld)
+      .withColumn("domain_blocked",
+        blockedDomains.map(d => col("host") === d ||
+          col("host").endsWith("." + d)).reduce(_ || _))
+      .withColumn("tld_allowed", col("tld").isin(allowedTlds: _*))
+      .withColumn("url_keep",
+        length(col("host")) > 0 && !col("domain_blocked") && col("tld_allowed"))
+  }
 }

@@ -560,4 +560,30 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** SemDeDup (semantic dedup over embeddings, Abbas et al. 2023): cluster
+    * the corpus, then WITHIN each cluster drop every vector that has a
+    * lower-id neighbor above the cosine threshold (keep-lowest-id — the
+    * deterministic stand-in for the paper's keep-one-per-near-dup-group).
+    *
+    * The cluster column is an INPUT: feed it from [[Ivf.train]]/
+    * [[Ivf.assign]] (k-means, the paper's choice) or any partition that
+    * bounds cluster size. The pairwise join never crosses clusters —
+    * shuffle on cluster id, candidate pairs are O(Σ cluster²), which the
+    * caller bounds by choosing k ≈ corpus/√target so clusters stay small;
+    * never an all-pairs join across the corpus. Returns every input row
+    * with `is_dup` (and the witness neighbor) attached. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VecFunctions.vec_cosine
+    val base = df.select(col(idCol).as("id"), col(clusterCol).as("cl"),
+      col(vecCol).cast("array<double>").as("v"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.cl") === col("b.cl") && col("b.id") < col("a.id") &&
+          vec_cosine(col("a.v"), col("b.v")) >= threshold)
+      .groupBy(col("a.id").as("id"))
+      .agg(min(col("b.id")).as("dup_of"))
+    df.join(pairs.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+  }
 }

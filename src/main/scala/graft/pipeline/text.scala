@@ -297,4 +297,103 @@ object TextStats {
         round(col("rep.dup_gram_frac"), 4).as("dup_gram_frac"),
         col("rep.n_grams").as("n_grams"))
   }
+
+  /** Gopher's stop-word presence list (Rae et al. 2021 §A1.1). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rules (Rae et al. 2021, appendix A1) as
+    * a per-doc REPORT: one boolean column per rule plus the conjunction —
+    * report form so rule hit rates stay auditable before anything is
+    * dropped. One codegen'd projection, no shuffle. */
+  def qualityGopher(df: DataFrame, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    stops: Seq[String] = GopherStops): DataFrame = {
+    val t = col(textCol)
+    val toks = Dedup.tokens(t)
+    val nWords = size(toks)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1))
+    val stopArr = array(stops.map(lit): _*)
+    df.withColumn("g_words", nWords)
+      .withColumn("g_word_count",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("g_mean_len", {
+        val m = length(regexp_replace(trim(lower(t)), "\\s+", "")).cast("double") /
+          greatest(nWords, lit(1))
+        m >= 3.0 && m <= 10.0
+      })
+      .withColumn("g_symbol_ratio",
+        (size(regexp_extract_all(t, lit("#|\\.\\.\\."), lit(0))).cast("double") /
+          greatest(nWords, lit(1))) <= 0.1)
+      .withColumn("g_bullet_lines",
+        (size(filter(lines, l => trim(l).rlike("^[-*\\u2022]"))).cast("double") /
+          nLines) <= 0.9)
+      .withColumn("g_ellipsis_lines",
+        (size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("double") /
+          nLines) <= 0.3)
+      .withColumn("g_alpha_words",
+        (size(filter(toks, w => w.rlike("[a-z]"))).cast("double") /
+          greatest(nWords, lit(1))) >= 0.8)
+      .withColumn("g_stopwords",
+        size(array_intersect(array_distinct(toks), stopArr)) >= 2)
+      .withColumn("gopher_pass",
+        col("g_word_count") && col("g_mean_len") && col("g_symbol_ratio") &&
+          col("g_bullet_lines") && col("g_ellipsis_lines") &&
+          col("g_alpha_words") && col("g_stopwords"))
+  }
+
+  /** C4's line/page heuristics (Raffel et al. 2020 §2.2) as a per-doc
+    * report: a line survives when it ends in terminal punctuation, has
+    * >= 3 words, and doesn't mention javascript; the page flags record the
+    * lorem-ipsum / curly-brace / sentence-count drops. `c4_text` is the
+    * surviving-line join (the filtered page). Narrow projection, no
+    * shuffle. */
+  def c4Report(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"']$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript"))
+    df.withColumn("n_lines", size(lines))
+      .withColumn("n_kept_lines", size(kept))
+      .withColumn("has_brace", t.contains("{"))
+      .withColumn("has_lorem", lower(t).contains("lorem ipsum"))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(t, lit("[.!?]"), lit(0))))
+      .withColumn("c4_keep",
+        col("n_kept_lines") >= 1 && col("n_sentences") >= 5 &&
+          !col("has_brace") && !col("has_lorem"))
+      .withColumn("c4_text", array_join(kept, "\n"))
+  }
+
+  /** One-row corpus datasheet: doc/token totals, token-count quantiles,
+    * and dimension cardinalities — the "dataset card" numbers every
+    * training-data pipeline reports. One hash aggregate (exact
+    * percentiles are sort-based but over the single token-count column). */
+  def corpusStats(df: DataFrame, textCol: String,
+                  dims: Seq[String]): DataFrame = {
+    val n = tokenCount(col(textCol))
+    val dimAggs = dims.map(d => count_distinct(col(d)).as(s"n_$d"))
+    df.select((Seq(n.as("_nt")) ++ dims.map(col)): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(sum(col("_nt")).as("total_tokens"),
+          min(col("_nt")).as("min_tokens"),
+          percentile(col("_nt"), lit(0.5)).as("p50_tokens"),
+          percentile(col("_nt"), lit(0.9)).as("p90_tokens"),
+          max(col("_nt")).as("max_tokens")) ++ dimAggs): _*)
+  }
+
+  /** Canonical text normalization (the ftfy-lite pass every ingest needs):
+    * curly quotes/dashes to ASCII, zero-width and control characters
+    * stripped, whitespace runs collapsed to one space, trimmed. Pure
+    * codegen'd string expressions, reproducible in any engine. */
+  def normalizeText(text: Column): Column = {
+    val quoted = translate(text,
+      "‘’“”–—", "''\"\"--")
+    val stripped = regexp_replace(quoted,
+      "[\\x00-\\x08\\x0b-\\x1f\\x7f\\u200b\\u200c\\u200d\\ufeff]", "")
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
 }

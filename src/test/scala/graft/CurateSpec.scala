@@ -187,4 +187,69 @@ class CurateSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("urlReport: host/tld extraction, blocklist, subdomain match, allowlist") {
+    val df = Seq(
+      (1L, "https://news.example.com/a"),
+      (2L, "https://ads.example.com/b"),
+      (3L, "https://x.ads.example.com/c"),   // subdomain of a blocked domain
+      (4L, "https://fine.example.xyz/d"),    // TLD outside the allowlist
+      (5L, "not a url"))
+      .toDF("id", "url")
+    val out = Curate.urlReport(df, "url",
+        blockedDomains = Seq("ads.example.com"), allowedTlds = Seq("com"))
+      .select("id", "host", "tld", "domain_blocked", "url_keep")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, "news.example.com", "com", false, true),
+      (2L, "ads.example.com", "com", true, false),
+      (3L, "x.ads.example.com", "com", true, false),
+      (4L, "fine.example.xyz", "xyz", false, false),
+      (5L, "", "", false, false))) // unparseable → empty host, never kept
+  }
+
+  test("gopher + c4 reports: rule-by-rule booleans on crafted docs") {
+    import graft.pipeline.TextStats
+    val good = ("the data rows join the scan " * 12).trim       // 72 words
+    val short = "tiny doc"
+    val symbols = (("# " * 40) + "the data scan join ").trim    // symbol-heavy
+    val df = Seq((1L, good), (2L, short), (3L, symbols)).toDF("id", "text")
+    val g = TextStats.qualityGopher(df, "text", minWords = 50,
+        stops = Seq("the", "data", "join", "scan"))
+      .select("id", "g_word_count", "g_symbol_ratio", "g_stopwords", "gopher_pass")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4))).toSet
+    assert(g == Set((1L, true, true, true, true),
+      (2L, false, true, false, false),
+      (3L, false, false, true, false)))
+    val page = "A good first sentence here.\nshort one\n" +
+      "uses javascript heavily today.\nthe closing line stands well. ok? yes! fine. sure."
+    val c4 = TextStats.c4Report(Seq((1L, page)).toDF("id", "text"), "text")
+      .select("n_lines", "n_kept_lines", "n_sentences", "c4_keep")
+      .collect().head
+    // 4 lines; 'short one' (<3 words) and the javascript line drop → 2 kept
+    assert(c4.getInt(0) == 4 && c4.getInt(1) == 2)
+    assert(c4.getInt(2) == 7 && c4.getBoolean(3))
+    val braced = TextStats.c4Report(
+        Seq((1L, "good line stays here. { " + page)).toDF("id", "text"), "text")
+      .select("c4_keep").collect().head.getBoolean(0)
+    assert(!braced)
+  }
+
+  test("normalizeText and corpusStats") {
+    import graft.pipeline.TextStats
+    val out = Seq((1L, "“hi” – x​  y\t z "))
+      .toDF("id", "t")
+      .select(TextStats.normalizeText(col("t")).as("n"))
+      .collect().head.getString(0)
+    assert(out == "\"hi\" - x y z")
+    val stats = TextStats.corpusStats(
+        Seq((1L, "a b c", "en"), (2L, "d e", "en"), (3L, "f g h i", "de"))
+          .toDF("id", "text", "lang"), "text", dims = Seq("lang"))
+      .collect().head
+    assert(stats.getLong(0) == 3L && stats.getLong(1) == 9L) // docs, tokens
+    assert(stats.getDouble(3) == 3.0)                        // p50
+    assert(stats.getLong(6) == 2L)                           // n_lang
+  }
 }

@@ -366,4 +366,20 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 2L))) // only the near-parallel pair passes 0.5
   }
+
+  test("semanticDedup: within-cluster keep-lowest-id, clusters never mix") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)),   // cluster 0 keeper
+      (2L, 0, Seq(0.99f, 0.1f)),  // near-parallel to 1 → dup of 1
+      (3L, 0, Seq(0.0f, 1.0f)),   // orthogonal → kept
+      (4L, 1, Seq(1.0f, 0.0f)),   // identical direction to 1 but OTHER cluster
+      (5L, 1, Seq(0.98f, 0.05f))) // dup of 4 within cluster 1
+      .toDF("vec_id", "cl", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", "cl", 0.9)
+      .select("vec_id", "dup_of", "is_dup")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(2))).toSet
+    assert(out == Set((1L, -1L, false), (2L, 1L, true), (3L, -1L, false),
+      (4L, -1L, false), (5L, 4L, true)))
+  }
 }

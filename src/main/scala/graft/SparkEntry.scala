@@ -2490,6 +2490,23 @@ object SparkEntry {
         Int.MaxValue).predicate
       docs.where(pred).agg(count(lit(1)).as("count"))
     }),
+    "q_sql" -> ((s, dir) => {
+      // _sql endpoint analog: indices as temp views, the query through
+      // Catalyst whole, the ES-DSL `filter` compiled by QueryCompiler and
+      // applied under the table reference, fetch_size = one page
+      EsSql.run(s, Map("documents" -> tbl(s, dir, "documents")),
+        """{"query": "SELECT lang, count(*) AS n, sum(n_chars) AS chars FROM documents GROUP BY lang ORDER BY lang",
+            "fetch_size": 10,
+            "filter": {"range": {"n_chars": {"gte": 200}}}}""")
+    }),
+    "q_sql_join" -> ((s, dir) => {
+      // the cross-index join ES SQL cannot serve from one index — here
+      // it's one Catalyst plan (AQE broadcasts the dimension side)
+      EsSql.run(s, Map(
+          "orders" -> tbl(s, dir, "orders"),
+          "customer" -> tbl(s, dir, "customer")),
+        """{"query": "SELECT c.c_mktsegment AS seg, count(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey WHERE o.o_totalprice > 150000 GROUP BY c.c_mktsegment ORDER BY seg"}""")
+    }),
     "q_admin_stats" -> ((s, dir) => {
       // _stats / _cat-indices analog: doc count + per-field usage (non-null
       // cells) in ONE partial-aggregated pass — the index statistics a
@@ -4750,6 +4767,15 @@ object SparkEntry {
     "q_count" ->
       """SELECT count(*) AS count FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b') AND lang = 'en'""",
+    "q_sql" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM documents WHERE n_chars >= 200
+         GROUP BY lang ORDER BY lang LIMIT 10""",
+    "q_sql_join" ->
+      """SELECT c.c_mktsegment AS seg, count(*) AS n
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_totalprice > 150000
+         GROUP BY c.c_mktsegment ORDER BY seg""",
     "q_admin_stats" ->
       """SELECT count(*) AS docs, count(text) AS text_docs,
            count(lang) AS lang_docs, count(source) AS source_docs,

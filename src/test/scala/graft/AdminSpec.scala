@@ -57,4 +57,23 @@ class AdminSpec extends AnyFunSuite {
     val hits = Search.searchAlias(Seq(docs, other), "text:batch", IndexConfig())
     assert(hits.select("doc_id").collect().map(_.getString(0)).sorted.toSeq == Seq("1", "9"))
   }
+
+  test("_sql endpoint: views, DSL filter under the table, fetch_size, gates") {
+    val d = Seq((1L, "en", 10L), (2L, "en", 30L), (3L, "de", 50L), (4L, "fr", 70L))
+      .toDF("doc_id", "lang", "n")
+    val out = EsSql.run(spark, Map("idx" -> d),
+      """{"query": "SELECT lang, count(*) AS c FROM idx GROUP BY lang ORDER BY lang",
+          "filter": {"range": {"n": {"gte": 30}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("de", 1L), ("en", 1L), ("fr", 1L))) // doc 1 filtered out
+    val capped = EsSql.run(spark, Map("idx" -> d),
+      """{"query": "SELECT doc_id FROM idx ORDER BY doc_id", "fetch_size": 2}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(capped == Seq(1L, 2L))
+    assert(intercept[IllegalArgumentException](EsSql.run(spark, Map("idx" -> d),
+      """{"fetch_size": 2}""")).getMessage.contains("needs 'query'"))
+    assert(intercept[IllegalArgumentException](EsSql.run(spark, Map("idx" -> d),
+      """{"query": "SELECT 1", "cursor": "abc"}"""))
+      .getMessage.contains("unsupported _sql option"))
+  }
 }

@@ -117,7 +117,21 @@ object Bench {
         "q_mix_temperature", "q_rank_eval", "q_scroll",
         "q_search_collapse_inner", "q_search_explain", "q_search_geo_polygon",
         "q_search_rrf", "q_search_script_score", "q_suggest_completion_ctx",
-        "q_termvectors", "q_text_bigram_nll", "q_text_dup_ngrams")
+        "q_termvectors", "q_text_bigram_nll", "q_text_dup_ngrams",
+        "q_search_sparse_vector", "q_search_min_score", "q_count",
+        "q_admin_stats", "q_reindex", "q_snapshot_restore",
+        "q_agg_composite_date", "q_mix_epochs", "q_search_retriever",
+        "q_search_synonyms", "q_analyze_custom", "q_terms_enum",
+        "q_search_index_pattern", "q_esql_metadata", "q_esql_inlinestats",
+        "q_esql_bucket", "q_agg_ip_range", "q_bpe_train",
+        // r8 second session
+        "q_agg_ip_prefix", "q_agg_frequent_sets", "q_agg_change_point",
+        "q_agg_bucket_corr", "q_agg_ks_test", "q_search_geo_shape",
+        "q_search_geo_shape_envelope", "q_search_span_masking",
+        "q_esql_sample", "q_esql_change_point", "q_esql_row", "q_esql_mv",
+        "q_esql_dates", "q_quality_gopher", "q_quality_c4", "q_filter_url",
+        "q_text_normalize", "q_corpus_stats", "q_dedup_semantic",
+        "q_dedup_semantic_kmeans", "q_sql", "q_sql_join")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -2533,6 +2533,25 @@ object SparkEntry {
           "| SORT l_orderkey, l_returnflag",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_hash" -> ((s, dir) => {
+      // hash/encoding functions + KEEP wildcard projection
+      Esql.run(
+        "FROM documents | WHERE doc_id < 20 " +
+          "| EVAL h_md5 = MD5(text), h_sha = SHA256(lang), " +
+          "h_b64 = TO_BASE64(source), h_rt = FROM_BASE64(TO_BASE64(lang)) " +
+          "| KEEP doc_id, h_* | SORT doc_id",
+        Map("documents" -> tbl(s, dir, "documents")))
+    }),
+    "q_esql_fork" -> ((s, dir) => {
+      // FORK: two branch sub-pipes over the same frame, unioned by name
+      // with the _fork discriminator (missing columns null-filled)
+      Esql.run(
+        "FROM events | FORK " +
+          "(WHERE event_type == \"purchase\" | STATS n = COUNT(*), v = ROUND(SUM(value), 2)) " +
+          "(STATS n = COUNT(*) BY event_type | SORT event_type) " +
+          "| KEEP _fork, event_type, n, v | SORT _fork, event_type",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
     "q_esql_sample" -> ((s, dir) => {
       // SAMPLE: seeded xxhash64 Bernoulli keep — deterministic across
       // runs but engine-specific hash, so rows-only contract (the simhash
@@ -2970,6 +2989,19 @@ object SparkEntry {
           Tsx.micros(col("session_start")).as("session_start_us"),
           Tsx.micros(col("session_end")).as("session_end_us"))
         .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    "q_session_window" -> ((s, dir) => {
+      // Spark's NATIVE session_window: mergeable session aggregation, no
+      // per-user sort window; inclusive gap boundary (same as the custom
+      // twin) and end = last-event + gap, both mirrored in the oracle
+      Sessionize.summarizeNative(tbl(s, dir, "events"), "user_id", "ts",
+          gap = "30 minutes")
+        .select(col("user_id"),
+          Tsx.micros(col("session_start")).as("start_us"),
+          Tsx.micros(col("session_end")).as("end_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
     }),
 
     // ---- north star: corpus curation (decontamination, PII, mixing, packing) ----
@@ -4795,6 +4827,18 @@ object SparkEntry {
       """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
            count(*) AS n, round(sum(value), 2) AS v
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_esql_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(lang) AS h_sha,
+           base64(encode(source)) AS h_b64, lang AS h_rt
+         FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
+    "q_esql_fork" ->
+      """SELECT 'fork1' AS _fork, NULL AS event_type, count(*) AS n,
+           round(sum(value), 2) AS v
+         FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT 'fork2', event_type, count(*), NULL
+         FROM events GROUP BY event_type
+         ORDER BY _fork, event_type""",
     "q_esql_change_point" ->
       """WITH b AS (
            SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
@@ -5346,6 +5390,25 @@ object SparkEntry {
            min(us) AS session_start_us, max(us) AS session_end_us
          FROM s GROUP BY user_id, session_seq
          ORDER BY user_id, session_seq""",
+    "q_session_window" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+         e AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                    OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                      > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM ev),
+         s AS (
+           SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM e)
+         SELECT user_id, min(us) AS start_us,
+           max(us) + 1800000000 AS end_us, count(*) AS n_events
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, start_us""",
     "q_dedup_corpus" ->
       """WITH RECURSIVE t AS (
            SELECT doc_id,

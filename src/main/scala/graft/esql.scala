@@ -75,12 +75,13 @@ object Esql {
     try { run(query, catalog).queryExecution.analyzed; Right(()) }
     catch { case e: Exception => Left(Option(e.getMessage).getOrElse(e.toString)) }
 
-  /** Split on TOP-LEVEL pipes only — a `|` inside a string literal belongs
-    * to the stage. */
+  /** Split on TOP-LEVEL pipes only — a `|` inside a string literal or a
+    * paren group (a FORK branch sub-pipe) belongs to the stage. */
   private def splitStages(q: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer[String]()
     val cur = new StringBuilder
     var inStr = false
+    var depth = 0
     var i = 0
     while (i < q.length) {
       val c = q(i)
@@ -89,11 +90,14 @@ object Esql {
         if (c == '\\' && i + 1 < q.length) { cur += q(i + 1); i += 1 }
         else if (c == '"') inStr = false
       } else if (c == '"') { inStr = true; cur += c }
-      else if (c == '|') { out += cur.toString; cur.clear() }
+      else if (c == '(') { depth += 1; cur += c }
+      else if (c == ')') { depth -= 1; cur += c }
+      else if (c == '|' && depth == 0) { out += cur.toString; cur.clear() }
       else cur += c
       i += 1
     }
     require(!inStr, "unterminated string literal")
+    require(depth == 0, "unbalanced parentheses")
     out += cur.toString
     out.map(_.trim).filter(_.nonEmpty).toList
   }
@@ -108,13 +112,35 @@ object Esql {
           d.withColumn(n, e)
         }
       case "KEEP" =>
+        // names or ES|QL wildcard patterns; each pattern must hit at
+        // least one column (fail-loud on a typo'd pattern); KEEP order is
+        // projection order, first-match-wins on overlap
         val fields = rest.split(',').map(_.trim)
         require(fields.forall(_.nonEmpty), s"bad KEEP list: $rest")
-        df.select(fields.map(col).toSeq: _*)
+        val picked = scala.collection.mutable.LinkedHashSet[String]()
+        fields.foreach { f =>
+          if (f.contains("*")) {
+            val rx = f.split("\\*", -1).map(java.util.regex.Pattern.quote)
+              .mkString(".*")
+            val hits = df.columns.filter(_.matches(rx))
+            require(hits.nonEmpty, s"KEEP pattern '$f' matches no column")
+            picked ++= hits
+          } else picked += f
+        }
+        df.select(picked.toSeq.map(col): _*)
       case "DROP" =>
         val fields = rest.split(',').map(_.trim)
         require(fields.forall(_.nonEmpty), s"bad DROP list: $rest")
-        df.drop(fields.toSeq: _*)
+        val dropped = fields.toSeq.flatMap { f =>
+          if (f.contains("*")) {
+            val rx = f.split("\\*", -1).map(java.util.regex.Pattern.quote)
+              .mkString(".*")
+            val hits = df.columns.filter(_.matches(rx)).toSeq
+            require(hits.nonEmpty, s"DROP pattern '$f' matches no column")
+            hits
+          } else Seq(f)
+        }
+        df.drop(dropped.toSeq: _*)
       case "RENAME" =>
         rest.split(',').map(_.trim).foldLeft(df) { (d, spec) =>
           spec.split("(?i)\\s+AS\\s+") match {
@@ -143,6 +169,36 @@ object Esql {
       case "DISSECT" => dissect(df, rest)
       case "GROK" => grok(df, rest)
       case "LOOKUP" => lookupJoin(df, rest, catalog)
+      case "FORK" =>
+        // `FORK (sub-pipe) (sub-pipe) …` — run each parenthesized branch
+        // against the CURRENT frame and union the results, `_fork`
+        // discriminating the branch (fork1, fork2, … — the ES|QL 8.18
+        // column). Branches may project different shapes; the union is
+        // by-name with missing columns null-filled, like ES|QL's.
+        val branches = scala.collection.mutable.ListBuffer[String]()
+        var depth = 0; var inStr = false
+        val cur = new StringBuilder
+        rest.foreach {
+          case '"' => inStr = !inStr; cur += '"'
+          case '(' if !inStr =>
+            depth += 1; if (depth > 1) cur += '(' // outer paren opens a branch
+          case ')' if !inStr =>
+            depth -= 1
+            if (depth == 0) { branches += cur.toString; cur.clear() }
+            else cur += ')'
+          case c =>
+            if (depth >= 1) cur += c
+            else require(c.isWhitespace,
+              s"FORK expects only parenthesized branches, got: '$c'")
+        }
+        require(depth == 0 && !inStr, "FORK: unbalanced branch")
+        require(branches.size >= 2, "FORK needs at least two branches")
+        branches.zipWithIndex.map { case (b, i) =>
+          val sub = splitStages(b)
+          require(sub.nonEmpty, s"FORK branch ${i + 1} is empty")
+          sub.foldLeft(df)(applyStage(_, _, catalog))
+            .withColumn("_fork", lit(s"fork${i + 1}"))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
       case "SAMPLE" =>
         // `SAMPLE <probability> [<seed>]` — deterministic Bernoulli keep:
         // xxhash64 over the whole row with the seed, kept when the hash
@@ -879,6 +935,12 @@ object Esql {
             (shiftrightunsigned(net, 16) % 256L).cast("string"),
             (shiftrightunsigned(net, 8) % 256L).cast("string"),
             (net % 256L).cast("string")))
+        // ---- hashes / encodings
+        case "MD5" => arity(1); md5(a(0))
+        case "SHA1" => arity(1); sha1(a(0))
+        case "SHA256" => arity(1); sha2(a(0), 256)
+        case "TO_BASE64" => arity(1); base64(a(0).cast("binary"))
+        case "FROM_BASE64" => arity(1); unbase64(a(0)).cast("string")
         case other => throw new IllegalArgumentException(
           s"unsupported function '$other'")
       }

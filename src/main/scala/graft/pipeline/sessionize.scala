@@ -47,6 +47,24 @@ object Sessionize {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** Session summary via Spark's NATIVE `session_window` aggregation —
+    * one hash aggregate with mergeable session state instead of
+    * [[assign]]'s per-user sort window; at 100 TB that buys map-side
+    * partial merging and removes the WindowExec sort entirely. Gap
+    * semantics match [[summarize]] (an event exactly `gap` after the
+    * last one stays in-session — Spark's merge is inclusive); the one
+    * shape difference is `session_end` = last event + gap (the native
+    * window's close), not the last event time. */
+  def summarizeNative(df: DataFrame, userCol: String, tsCol: String,
+                      gap: String): DataFrame =
+    df.groupBy(col(userCol),
+        session_window(graft.Tsx.ltz(col(tsCol)), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming event for [[assignStream]]: epoch-second event time. */
   final case class SessEvent(user: String, eventId: Long, tsSec: Double)
   final case class SessOut(user: String, eventId: Long, sessionSeq: Int)

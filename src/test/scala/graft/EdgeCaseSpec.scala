@@ -78,6 +78,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Sampling.deterministicSample(oneDoc, Seq("doc_id"), 0.0).count() == 0)
   }
 
+  test("summarizeNative: session_window semantics incl. the at-gap boundary") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-01-01 00:00:00")),
+      ("u1", ts("2024-01-01 00:10:00")),  // within 30 min → same session
+      ("u1", ts("2024-01-01 00:40:00")),  // EXACTLY the gap after the last
+      ("u1", ts("2024-01-01 02:00:00")),  // far → third session
+      ("u2", ts("2024-01-01 00:05:00")))
+      .toDF("user_id", "ts")
+    val out = Sessionize.summarizeNative(ev, "user_id", "ts", "30 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getString(0), r.getLong(3))).toSeq
+    // the at-gap 00:40 event MERGES (inclusive boundary, same as the
+    // custom `>`-gap twin): u1 = {00:00,00:10,00:40} + {02:00}
+    assert(out == Seq(("u1", 3L), ("u1", 1L), ("u2", 1L)))
+    assert(Sessionize.summarize(ev, "user_id", "ts", 1800).count() == 3)
+    // end = last event + gap, start = first event
+    val first = Sessionize.summarizeNative(ev, "user_id", "ts", "30 minutes")
+      .orderBy("user_id", "session_start").collect().head
+    assert(first.getTimestamp(1) == ts("2024-01-01 00:00:00"))
+    assert(first.getTimestamp(2) == ts("2024-01-01 01:10:00"))
+  }
+
   test("indexer paths on empty batches") {
     val docs = Seq(("k1", 1L, "v")).toDF("doc_id", "ver", "v")
     val empty = Seq.empty[(String, Long, String)].toDF("doc_id", "ver", "v")

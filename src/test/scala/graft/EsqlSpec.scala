@@ -248,6 +248,22 @@ class EsqlSpec extends AnyFunSuite {
     assert(dd.getLong(0) == 2L && dd.getLong(1) == 60L)
   }
 
+  test("FORK: branches run on the current frame, union with _fork") {
+    val out = Esql.run(
+      "FROM docs | FORK (WHERE lang == \"en\" | STATS c = COUNT(*)) " +
+        "(SORT n DESC | LIMIT 1 | KEEP id) | SORT _fork",
+      cat).collect()
+    assert(out.length == 2)
+    val f1 = out(0) // fork1: the count row
+    assert(f1.getAs[String]("_fork") == "fork1" && f1.getAs[Long]("c") == 2L)
+    val f2 = out(1) // fork2: top-n row, c null
+    assert(f2.getAs[String]("_fork") == "fork2" && f2.getAs[Long]("id") == 4L)
+    assert(f2.isNullAt(f2.fieldIndex("c")))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM docs | FORK (WHERE n > 1)", cat))
+      .getMessage.contains("at least two"))
+  }
+
   test("fail-loud: unknown command, unknown index, validate()") {
     assert(intercept[IllegalArgumentException](
       Esql.run("FROM docs | FROB x", cat)).getMessage.contains("unsupported"))

@@ -1782,6 +1782,19 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"))
     }),
+    "q_search_named" -> ((s, dir) => {
+      // named queries (_name): per-hit matched_queries membership, flags
+      // evaluated on the same scan as the page (no second pass)
+      Search.searchNamed(tbl(s, dir, "documents"),
+        """{"query": {"bool": {"should": [
+              {"match": {"text": {"query": "spark", "_name": "has_spark"}}},
+              {"range": {"n_chars": {"gte": 400, "_name": "long_doc"}}}],
+            "minimum_should_match": 1}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_join(col("matched_queries"), ",").as("matched"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_geo_shape" -> ((s, dir) => {
       // geo_shape polygon WITH A HOLE over point docs: even-odd ray cast
       // across both rings (GeoJSON [lon, lat], closed rings); the oracle
@@ -4096,6 +4109,15 @@ object SparkEntry {
            AND  30.0 * (py - (-25.5)) -  56.0 * (px -   40.5)  > 0
            AND -101.0 * (py -   30.5) -  15.0 * (px -   70.5)  > 0
            AND  -30.0 * (py -   45.5) - (-66.0) * (px - (-30.5)) > 0""",
+    "q_search_named" ->
+      """SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN regexp_matches(lower(text), '\bspark\b')
+                  THEN 'has_spark' END,
+             CASE WHEN n_chars >= 400 THEN 'long_doc' END) AS matched
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bspark\b') OR n_chars >= 400
+         ORDER BY doc_id""",
     "q_search_geo_shape" ->
       // the geo_polygon half-plane quad minus the hole box (even-odd
       // with one hole ring = outer AND NOT hole for a hole fully inside)

@@ -132,6 +132,53 @@ object QueryCompiler {
     else LuceneLite.compile(q, defaultLimit, defaultField = None, defaultOr = dOr)
   }
 
+  /** Named-query support (`_name`): walk a DSL JSON tree, collect every
+    * leaf clause carrying `_name` in its long-form body, and return the
+    * query with the names STRIPPED (so the core compiler never sees the
+    * annotation) plus each named clause as a standalone single-clause
+    * query string. The caller compiles each independently — ES's
+    * matched_queries is per-hit membership of each named predicate, which
+    * composes at the JSON level without threading state through the
+    * compiler. Declared subset: `_name` on term / match / match_phrase /
+    * wildcard / prefix / range long forms (the places clients put it). */
+  def namedClauses(query: String): (String, Seq[(String, String)]) = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(query)
+    require(root != null && root.isObject, "named-query walk needs DSL JSON")
+    val nameable = Set("term", "match", "match_phrase", "wildcard", "prefix",
+      "range")
+    val found = scala.collection.mutable.ListBuffer[(String, String)]()
+    def walk(n: JsonNode): Unit = n match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode =>
+        val fields = o.fieldNames.asScala.toSeq
+        fields.foreach { k =>
+          val v = o.get(k)
+          if (nameable.contains(k) && v.isObject && v.size == 1) {
+            val f = v.fieldNames.asScala.next()
+            val body = v.get(f)
+            if (body.isObject && body.has("_name")) {
+              val nm = body.get("_name")
+              require(nm.isTextual && nm.asText.nonEmpty,
+                s"_name must be a non-empty string, got: $nm")
+              body.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+                .remove("_name")
+              val clause = mapper.createObjectNode()
+              clause.set[JsonNode](k, v.deepCopy[JsonNode]())
+              found += nm.asText -> clause.toString
+            }
+          }
+          walk(v)
+        }
+      case a if a != null && a.isArray => a.elements.asScala.foreach(walk)
+      case _ =>
+    }
+    walk(root)
+    val names = found.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate _name: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    (root.toString, found.toSeq)
+  }
+
   /** Query-time SYNONYM expansion — the analyzer synonym-graph filter
     * re-expressed as a pre-compile DSL rewrite (same effect as ES's
     * search_analyzer synonyms: a query term matches itself or any listed

@@ -410,6 +410,28 @@ object Search {
     * "cross-table" results (reference: README.md:680-683; alias
     * ElasticIndex.java:891-896). Spark shape: union the doc tables by name
     * (missing columns null-padded) and search once. */
+  /** Search with `_name` annotations: runs [[search]] on the name-stripped
+    * body and attaches `matched_queries` — per hit, the names of the named
+    * clauses whose predicate the row satisfies, in clause document order
+    * (ES's response field). Each named clause compiles to one more
+    * codegen'd boolean on the SAME scan — membership costs no extra pass. */
+  def searchNamed(docs: DataFrame, query: String, cfg: IndexConfig,
+                  pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
+    val (stripped, named) = QueryCompiler.namedClauses(query)
+    require(named.nonEmpty, "searchNamed: no _name annotations in the query")
+    val preds = named.map { case (nm, clause) =>
+      (nm, QueryCompiler.compile(s"""{"query": $clause}""", Int.MaxValue,
+        pkCols.head).predicate)
+    }
+    // attach the flags BEFORE the search: one scan, no join — the page
+    // carries matched_queries out like any other doc column
+    val flagged = docs.withColumn("matched_queries",
+      filter(array(preds.map { case (nm, p) =>
+          when(p, lit(nm)).otherwise(lit(null).cast("string"))
+        }: _*), x => x.isNotNull))
+    search(flagged, stripped, cfg, pkCols)
+  }
+
   def searchAlias(tables: Seq[DataFrame], query: String, cfg: IndexConfig,
                   pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
     require(tables.nonEmpty, "alias must span at least one table")

@@ -1087,6 +1087,29 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("share one field"))
   }
 
+  test("searchNamed: matched_queries membership, duplicate-name gate") {
+    val docs = Seq(
+      ("1", "spark rocks", 100L), ("2", "plain words", 500L),
+      ("3", "spark again", 600L), ("4", "nothing here", 50L))
+      .toDF("doc_id", "text", "n")
+    val out = Search.searchNamed(docs,
+      """{"query": {"bool": {"should": [
+            {"match": {"text": {"query": "spark", "_name": "s"}}},
+            {"range": {"n": {"gte": 400, "_name": "big"}}}],
+          "minimum_should_match": 1}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id"))
+      .select(col("doc_id"), col("matched_queries"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList)).toMap
+    assert(out == Map("1" -> List("s"), "2" -> List("big"),
+      "3" -> List("s", "big")))
+    assert(intercept[IllegalArgumentException](
+      QueryCompiler.namedClauses(
+        """{"query": {"bool": {"should": [
+             {"term": {"a": {"value": "x", "_name": "n1"}}},
+             {"term": {"b": {"value": "y", "_name": "n1"}}}]}}}"""))
+      .getMessage.contains("duplicate _name"))
+  }
+
   test("collapse inner_hits: top-k per group riding the collapsed page") {
     val docs = Seq(
       ("1", "a", "spark spark"), ("2", "a", "spark"), ("3", "a", "spark x"),

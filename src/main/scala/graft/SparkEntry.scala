@@ -1722,6 +1722,16 @@ object SparkEntry {
         """{"query": {"range": {"price": {"gte": 300000}}}}""")
         .select(col("doc_id"))
     }),
+    "q_search_has_child_inner" -> ((s, dir) => {
+      // has_child + inner_hits: parents with their first-3 matching child
+      // ids and the total — capped arrays aggregate before the join
+      Search.hasChildInnerHits(familyFrame(s, dir), "order",
+          """{"query": {"range": {"price": {"gte": 300000}}}}""", k = 3)
+        .select(col("doc_id"),
+          array_join(col("inner_hits"), ",").as("inner_ids"),
+          col("inner_total"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_has_parent" -> ((s, dir) => {
       // has_parent: orders whose customer runs a negative balance
       Search.hasParent(familyFrame(s, dir), "customer",
@@ -4083,6 +4093,15 @@ object SparkEntry {
     "q_search_has_child" ->
       """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS doc_id
          FROM orders WHERE o_totalprice >= 300000""",
+    "q_search_has_child_inner" ->
+      """WITH m AS (
+           SELECT 'c' || CAST(o_custkey AS VARCHAR) AS pid,
+                  'o' || CAST(o_orderkey AS VARCHAR) AS cid
+           FROM orders WHERE o_totalprice >= 300000)
+         SELECT pid AS doc_id,
+           array_to_string((list_sort(list(cid)))[1:3], ',') AS inner_ids,
+           count(*) AS inner_total
+         FROM m GROUP BY pid ORDER BY doc_id""",
     "q_search_has_parent" ->
       """SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS doc_id
          FROM orders JOIN customer ON o_custkey = c_custkey

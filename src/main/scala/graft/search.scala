@@ -1073,6 +1073,26 @@ object Search {
     docs.join(matchIds, col(idCol) === col("__pid"), "left_semi")
   }
 
+  /** [[hasChild]] with ES `inner_hits`: each returned parent also carries
+    * the first `k` matching child ids (ascending — the deterministic
+    * stand-in for score order under score_mode none) and the total match
+    * count. Children aggregate per parent BEFORE the join, so the join
+    * payload is one capped array per matching parent — never a
+    * parent×child row explosion. */
+  def hasChildInnerHits(docs: DataFrame, childType: String, query: String,
+                        k: Int, typeCol: String = "join_name",
+                        parentCol: String = "join_parent",
+                        idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"inner_hits size must be >= 1, got $k")
+    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol).predicate
+    val inner = docs.where(col(typeCol) === childType && pred)
+      .where(col(parentCol).isNotNull)
+      .groupBy(col(parentCol).as("__pid"))
+      .agg(slice(sort_array(collect_list(col(idCol))), 1, k).as("inner_hits"),
+        count(lit(1)).as("inner_total"))
+    docs.join(inner, col(idCol) === col("__pid"), "inner").drop("__pid")
+  }
+
   /** ES `has_parent`: the dual of [[hasChild]] — returns CHILD rows whose
     * parent row is of `parentType` and matches `query`. Same left-semi
     * join shape, keyed the other way around. */

@@ -1087,6 +1087,25 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("share one field"))
   }
 
+  test("hasChildInnerHits: capped sorted child ids and totals per parent") {
+    val fam = Seq(
+      ("c1", "customer", null.asInstanceOf[String], 0.0),
+      ("c2", "customer", null.asInstanceOf[String], 0.0),
+      ("o1", "order", "c1", 10.0),
+      ("o2", "order", "c1", 20.0),
+      ("o3", "order", "c1", 30.0),
+      ("o4", "order", "c2", 5.0))
+      .toDF("doc_id", "join_name", "join_parent", "price")
+    val out = Search.hasChildInnerHits(fam, "order",
+        """{"query": {"range": {"price": {"gte": 10}}}}""", k = 2)
+      .select("doc_id", "inner_hits", "inner_total")
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toList,
+        r.getLong(2))).toSet
+    // c1: three matches, first two ids ride along; c2's only order is
+    // under the floor so the parent drops entirely
+    assert(out == Set(("c1", List("o1", "o2"), 3L)))
+  }
+
   test("searchNamed: matched_queries membership, duplicate-name gate") {
     val docs = Seq(
       ("1", "spark rocks", 100L), ("2", "plain words", 500L),

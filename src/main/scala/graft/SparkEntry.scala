@@ -2556,6 +2556,16 @@ object SparkEntry {
           "| SORT l_orderkey, l_returnflag",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_stats_where" -> ((s, dir) => {
+      // ES|QL 8.16 filtered aggregates: per-aggregate WHERE inside one
+      // hash aggregate (null-skipping when(), no second scan)
+      Esql.run(
+        "FROM lineitem | STATS n = COUNT(*), " +
+          "heavy = COUNT(*) WHERE l_quantity > 30, " +
+          "hv = SUM(l_extendedprice) WHERE l_quantity > 30 " +
+          "BY l_returnflag | EVAL hv = ROUND(hv, 2) | SORT l_returnflag",
+        Map("lineitem" -> tbl(s, dir, "lineitem")))
+    }),
     "q_esql_hash" -> ((s, dir) => {
       // hash/encoding functions + KEEP wildcard projection
       Esql.run(
@@ -4868,6 +4878,11 @@ object SparkEntry {
       """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
            count(*) AS n, round(sum(value), 2) AS v
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_esql_stats_where" ->
+      """SELECT l_returnflag, count(*) AS n,
+           count(CASE WHEN l_quantity > 30 THEN 1 END) AS heavy,
+           round(sum(CASE WHEN l_quantity > 30 THEN l_extendedprice END), 2) AS hv
+         FROM lineitem GROUP BY 1 ORDER BY l_returnflag""",
     "q_esql_hash" ->
       """SELECT doc_id, md5(text) AS h_md5, sha256(lang) AS h_sha,
            base64(encode(source)) AS h_b64, lang AS h_rt

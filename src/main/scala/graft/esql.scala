@@ -253,11 +253,27 @@ object Esql {
         // `ENRICH <policy> ON <field>` — the pre-8.18 enrichment syntax;
         // a policy resolves to a catalog table (our declared analog of
         // the enrich-policy store), then behaves exactly like LOOKUP JOIN
-        val m = "(?i)^([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+        val m = ("(?i)^([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)" +
+          "(?:\\s+WITH\\s+(.+?))?\\s*$").r
         rest.trim match {
-          case m(policy, f) => lookupJoin(df, s"JOIN $policy ON $f", catalog)
+          case m(policy, f, withList) =>
+            val joined = lookupJoin(df, s"JOIN $policy ON $f", catalog)
+            if (withList == null) joined
+            else {
+              // `WITH a, b` keeps only the listed enrich fields — drop
+              // every other column the policy table brought in
+              val wanted = withList.split(',').map(_.trim).toSeq
+              require(wanted.forall(_.nonEmpty),
+                s"bad ENRICH WITH list: $withList")
+              val added = catalog.get(policy).map(_.columns.toSet - f)
+                .getOrElse(Set.empty)
+              val missing = wanted.filterNot(added.contains)
+              require(missing.isEmpty,
+                s"ENRICH WITH field(s) not in policy '$policy': ${missing.mkString(", ")}")
+              joined.drop((added -- wanted.toSet).toSeq: _*)
+            }
           case _ => throw new IllegalArgumentException(
-            s"ENRICH needs '<policy> ON <field>', got: $rest")
+            s"ENRICH needs '<policy> ON <field> [WITH f, ...]', got: $rest")
         }
       case "INLINESTATS" =>
         // `INLINESTATS n = AGG(expr), … [BY k, …]` — the STATS aggregates
@@ -480,34 +496,53 @@ object Esql {
       * one aggregate call is required (enforced by requiring the text to
       * contain an agg function — a pure scalar over grouped data is an
       * EVAL, not a STATS). */
+    /** The active per-aggregate filter (`AGG(x) WHERE cond` — ES|QL 8.16
+      * filtered aggregates). Parsing is synchronous, so a dynamic scope
+      * carries the compiled condition down to every [[aggCall]] inside
+      * this aggregate's expression tree (scalar-wrapped aggregates
+      * included) without threading a parameter through the whole parser;
+      * DynamicVariable keeps concurrent Esql.run calls isolated. */
+    private val aggFilter = new scala.util.DynamicVariable[Option[Column]](None)
+
     def aggregate(src: String): Column = {
+      val wIdx = findTopLevel(src, "WHERE")
+      val (aggSrc, filt) =
+        if (wIdx < 0) (src, None)
+        else (src.take(wIdx), Some(compile(src.drop(wIdx + 5))))
       val hasAgg = "(?i)\\b(COUNT|COUNT_DISTINCT|SUM|AVG|MIN|MAX|MEDIAN|PERCENTILE)\\s*\\(".r
-        .findFirstIn(src).isDefined
+        .findFirstIn(aggSrc).isDefined
       require(hasAgg,
         s"STATS needs an aggregate call (COUNT, COUNT_DISTINCT, SUM, AVG, " +
-          s"MIN, MAX, MEDIAN, PERCENTILE), got: ${src.trim}")
-      val (c, rest) = orE(tokenize(src), aggMode = true)
-      require(rest.isEmpty, s"trailing tokens in aggregate: ${rest.mkString(" ")}")
-      c
+          s"MIN, MAX, MEDIAN, PERCENTILE), got: ${aggSrc.trim}")
+      aggFilter.withValue(filt) {
+        val (c, rest) = orE(tokenize(aggSrc), aggMode = true)
+        require(rest.isEmpty, s"trailing tokens in aggregate: ${rest.mkString(" ")}")
+        c
+      }
     }
+
+    /** Rows failing the aggregate's WHERE become null inputs — every
+      * aggregate here skips nulls natively, which IS filter semantics. */
+    private def flt(c: Column): Column =
+      aggFilter.value.map(f => when(f, c)).getOrElse(c)
 
     private def aggCall(fn: String, args: IndexedSeq[Column],
                         star: Boolean): Option[Column] = fn match {
       case "COUNT" =>
-        Some(if (star) count(lit(1)) else { require(args.length == 1,
-          "COUNT expects one argument or *"); count(args(0)) })
+        Some(if (star) count(flt(lit(1))) else { require(args.length == 1,
+          "COUNT expects one argument or *"); count(flt(args(0))) })
       case "COUNT_DISTINCT" => require(args.length == 1,
-        "COUNT_DISTINCT expects one argument"); Some(count_distinct(args(0)))
+        "COUNT_DISTINCT expects one argument"); Some(count_distinct(flt(args(0))))
       case "SUM" => require(args.length == 1, "SUM expects one argument")
-        Some(sum(args(0)))
+        Some(sum(flt(args(0))))
       case "AVG" => require(args.length == 1, "AVG expects one argument")
-        Some(avg(args(0)))
+        Some(avg(flt(args(0))))
       case "MIN" => require(args.length == 1, "MIN expects one argument")
-        Some(min(args(0)))
+        Some(min(flt(args(0))))
       case "MAX" => require(args.length == 1, "MAX expects one argument")
-        Some(max(args(0)))
+        Some(max(flt(args(0))))
       case "MEDIAN" => require(args.length == 1, "MEDIAN expects one argument")
-        Some(percentile(args(0), lit(0.5)))
+        Some(percentile(flt(args(0)), lit(0.5)))
       case _ => None // PERCENTILE handled by its caller (literal percent)
     }
 
@@ -696,7 +731,7 @@ object Esql {
       // COUNT(*) star form (aggregate context only)
       if (aggMode && fn == "COUNT" && t.headOption.contains(TOp("*")) &&
           t.drop(1).headOption.contains(TOp(")")))
-        return (count(lit(1)), t.drop(2))
+        return (count(flt(lit(1))), t.drop(2))
       var args = List.empty[(Column, Option[Any])]
       var cur = t
       if (cur.headOption.contains(TOp(")"))) cur = cur.tail
@@ -738,7 +773,7 @@ object Esql {
               s"PERCENTILE needs a literal percent, got: $other")
           }
           require(pct >= 0 && pct <= 100, s"PERCENTILE percent out of range: $pct")
-          return (percentile(a(0), lit(pct / 100.0)), cur)
+          return (percentile(flt(a(0)), lit(pct / 100.0)), cur)
         }
       }
       val c = fn match {

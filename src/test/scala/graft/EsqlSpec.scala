@@ -248,6 +248,35 @@ class EsqlSpec extends AnyFunSuite {
     assert(dd.getLong(0) == 2L && dd.getLong(1) == 60L)
   }
 
+  test("filtered aggregates: AGG(x) WHERE cond is per-aggregate") {
+    val out = Esql.run(
+      "FROM docs | STATS all = COUNT(*), en = COUNT(*) WHERE lang == \"en\", " +
+        "bign = SUM(n) WHERE n >= 30, m = MAX(v) WHERE lang != \"en\"",
+      cat).collect().head
+    assert(out.getLong(0) == 4L && out.getLong(1) == 2L)
+    assert(out.getLong(2) == 70L && out.getDouble(3) == 4.5)
+    // grouped form: the filter applies within each group independently
+    val by = Esql.run(
+      "FROM docs | STATS c = COUNT(*) WHERE n >= 20 BY lang | SORT lang",
+      cat).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(by == Seq(("de", 1L), ("en", 1L), ("fr", 1L)))
+  }
+
+  test("ENRICH WITH keeps only the listed policy fields") {
+    val dims = Seq(("en", "English", 1L), ("de", "German", 2L))
+      .toDF("lang", "lang_name", "lang_rank")
+    val out = Esql.run(
+      "FROM docs | ENRICH dims ON lang WITH lang_name | WHERE id == 1 | KEEP id, lang_name",
+      Map("docs" -> docs, "dims" -> dims)).collect().head
+    assert(out.getString(1) == "English")
+    assert(!Esql.run("FROM docs | ENRICH dims ON lang WITH lang_name",
+      Map("docs" -> docs, "dims" -> dims)).columns.contains("lang_rank"))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM docs | ENRICH dims ON lang WITH nope",
+        Map("docs" -> docs, "dims" -> dims)))
+      .getMessage.contains("not in policy"))
+  }
+
   test("FORK: branches run on the current frame, union with _fork") {
     val out = Esql.run(
       "FROM docs | FORK (WHERE lang == \"en\" | STATS c = COUNT(*)) " +

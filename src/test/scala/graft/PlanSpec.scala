@@ -222,4 +222,45 @@ class PlanSpec extends AnyFunSuite {
     val sv = planOf("q_search_sparse_vector")
     assert(!sv.contains("CartesianProduct"), sv.take(3000))
   }
+
+  test("r8s2: frequent_item_sets is one scan + one hash aggregate") {
+    val p = planOf("q_agg_frequent_sets")
+    // the subset lattice explodes row-side (Generate) into a single
+    // aggregation — no join between per-size passes, no window
+    assert(p.contains("Generate") && p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("r8s2: semanticDedup joins inside clusters only, never all-pairs") {
+    val p = planOf("q_dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // cluster-keyed equi-join (label) carries the pair generation
+    assert(p.contains("Join") || p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("r8s2: _sql filter lands under the view and reaches the scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = EsSql.run(spark, Map("sqldocs" -> docs),
+      """{"query": "SELECT lang, count(*) AS n FROM sqldocs GROUP BY lang",
+          "filter": {"range": {"n_chars": {"gte": 200}}}}""")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,200)]") ||
+      p.contains("GreaterThanOrEqual(n_chars,200)"), p.take(3000))
+  }
+
+  test("r8s2: native session_window is an aggregate, not a window function") {
+    val p = planOf("q_session_window")
+    assert(!p.contains("WindowExec") && !p.replace("session_window", "")
+      .contains("Window("), p.take(3000))
+    assert(p.contains("Aggregate") || p.contains("HashAggregate") ||
+      p.contains("SortAggregate"), p.take(3000))
+  }
+
+  test("r8s2: searchNamed flags ride the same scan — one FileScan only") {
+    val p = planOf("q_search_named")
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 scan, got $scans\n" + p.take(3000))
+  }
 }

@@ -924,6 +924,14 @@ object SparkEntry {
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
         .orderBy(col("segment"))
     }),
+    "q_zorder" -> ((s, dir) => {
+      // z-order clustering rewrite: rows pass through unchanged (the
+      // oracle is the identity projection) — locality and partitioning
+      // shape are spec-proven (MaintainSpec/PlanSpec)
+      Maintain.zorderRewrite(tbl(s, dir, "events"), "user_id", "value")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("value_x100"))
+    }),
     "q_maintain_compact" -> ((s, dir) => {
       // small-file compaction: fragment the store (8 files per segment,
       // the incremental-upsert aftermath), compact, read back — the
@@ -5650,6 +5658,10 @@ object SparkEntry {
       """SELECT 'y' || strftime(o_orderdate, '%Y') AS segment, count(*) AS doc_count,
            round(sum(o_totalprice), 2) AS total_price
          FROM orders GROUP BY 1 ORDER BY segment""",
+    "q_zorder" ->
+      """SELECT event_id, user_id,
+           CAST(floor(value * 100) AS BIGINT) AS value_x100
+         FROM events""",
     "q_search_grouping" ->
       // group boost ^2 distributes over (spark OR batch); `-lang:de` is a
       // prohibited (non-scoring) clause with Lucene absent-field semantics;

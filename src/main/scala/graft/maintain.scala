@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Maintenance plane (M2-M9): segment roll, purge, TTL enforcement, truncate.
@@ -317,4 +317,45 @@ object Maintain {
     else if (t.endsWith("ss") || t.length <= 3) t
     else if (t.endsWith("s")) t.dropRight(1)
     else t
+
+  /** Z-order clustering rewrite — the multi-column layout pass a 100 TB
+    * lakehouse runs before mixed-predicate scanning. Each key column
+    * rank-normalizes into a 16-bit cell against its global min/max (one
+    * 1-row aggregate, broadcast back — the aggregate-then-broadcast
+    * rule), the cells interleave into a 32-bit Morton code with the
+    * shift-or spread trick (the geohash machinery generalized), and the
+    * data range-partitions + sorts on it. Files then cover compact
+    * hyper-rectangles in (k1, k2) space, so parquet min/max pruning cuts
+    * scans filtered on EITHER key — not just a lexicographic prefix,
+    * which a plain ORDER BY k1, k2 gives. Rows pass through unchanged
+    * with `_zorder` attached; callers write and drop it.
+    * Declared subset: exactly two numeric keys (the dominant use);
+    * a constant column degenerates to cell 0. */
+  def zorderRewrite(df: DataFrame, k1: String, k2: String,
+                    partitions: Int = 32): DataFrame = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val stats = df.agg(
+      min(col(k1).cast("double")).as("_z_min1"),
+      max(col(k1).cast("double")).as("_z_max1"),
+      min(col(k2).cast("double")).as("_z_min2"),
+      max(col(k2).cast("double")).as("_z_max2"))
+    def cell(c: Column, lo: Column, hi: Column): Column =
+      when(hi <= lo, lit(0L)).otherwise(
+        least(floor((c.cast("double") - lo) / (hi - lo) * 65536.0)
+          .cast("long"), lit(65535L)))
+    // spread bit i of a 16-bit value to bit 2i (the geohash masks)
+    def spread(c: Column): Column = {
+      val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x3333333333333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    val z = shiftleft(spread(cell(col(k1), col("_z_min1"), col("_z_max1"))), 1)
+      .bitwiseOR(spread(cell(col(k2), col("_z_min2"), col("_z_max2"))))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_zorder", z)
+      .drop("_z_min1", "_z_max1", "_z_min2", "_z_max2")
+      .repartitionByRange(partitions, col("_zorder"))
+      .sortWithinPartitions("_zorder")
+  }
 }

@@ -171,4 +171,26 @@ class MaintainSpec extends AnyFunSuite {
     // the write is real: a fresh read of the dest path sees the same rows
     assert(spark.read.parquet(dest).count() == 2)
   }
+
+  test("zorderRewrite: exact Morton corners, row preservation, degenerate key") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 3.0, 3.0), (3L, 0.0, 3.0),
+      (4L, 3.0, 0.0)).toDF("id", "x", "y")
+    val z = Maintain.zorderRewrite(pts, "x", "y", partitions = 2)
+      .select("id", "_zorder")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // 16-bit cells: min corner → 0, max corner → all 32 bits set; the
+    // mixed corners take exactly the odd (x) / even (y) bit planes
+    assert(z(1L) == 0L)
+    assert(z(2L) == 0xFFFFFFFFL)
+    assert(z(4L) == 0xAAAAAAAAL) // x=max, y=min → odd bits
+    assert(z(3L) == 0x55555555L) // x=min, y=max → even bits
+    // no row lost or duplicated by the repartition+sort
+    assert(Maintain.zorderRewrite(pts, "x", "y").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // a constant column degenerates to cell 0 (no div-by-zero)
+    val const = Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0)).toDF("id", "x", "y")
+    val zc = Maintain.zorderRewrite(const, "x", "y")
+      .select("_zorder").collect().map(_.getLong(0)).toSet
+    assert(zc.forall(v => (v & 0xAAAAAAAAL) == 0L)) // x bits all zero
+  }
 }

@@ -258,6 +258,17 @@ class PlanSpec extends AnyFunSuite {
       p.contains("SortAggregate"), p.take(3000))
   }
 
+  test("r8s2: zorder rewrite range-partitions on the Morton code") {
+    val p = planOf("q_zorder")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+      || p.contains("REPARTITION_BY_RANGE"), p.take(2000))
+    // exactly two scans: the 1-row min/max stats pass (broadcast back)
+    // and the data pass — never a third
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 scans (stats + data), got $scans")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("r8s2: searchNamed flags ride the same scan — one FileScan only") {
     val p = planOf("q_search_named")
     val scans = "FileScan parquet".r.findAllIn(p).length

@@ -1970,6 +1970,23 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
     }),
+    "q_search_rule" -> ((s, dir) => {
+      // query rules: the pro-segment rule fires (criteria == request
+      // match_criteria) and pins 7 then 13 while excluding 21; the free-
+      // segment rule stays dormant
+      val docs = tbl(s, dir, "documents")
+      Search.search(docs,
+        """{"query": {"rule": {
+              "match_criteria": {"user_segment": "pro"},
+              "ruleset": [
+                {"criteria": {"user_segment": "pro"},
+                 "pinned_ids": [7, 13], "excluded_ids": [21]},
+                {"criteria": {"user_segment": "free"},
+                 "pinned_ids": [99]}],
+              "organic": {"match": {"text": "spark"}}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+    }),
     "q_search_combined_fields" -> ((s, dir) => {
       // combined_fields: each term must appear in text OR lang
       val docs = tbl(s, dir, "documents")
@@ -4326,6 +4343,15 @@ object SparkEntry {
                 AS _score
          FROM documents
          WHERE doc_id IN (5, 3) OR regexp_matches(lower(text), '\bspark\b')""",
+    "q_search_rule" ->
+      """SELECT doc_id,
+              (CASE WHEN doc_id = 7 THEN 2000000 ELSE 0 END
+             + CASE WHEN doc_id = 13 THEN 1000000 ELSE 0 END
+             + CASE WHEN regexp_matches(lower(text), '\bspark\b') THEN 1 ELSE 0 END)
+                AS _score
+         FROM documents
+         WHERE (doc_id IN (7, 13) OR regexp_matches(lower(text), '\bspark\b'))
+           AND doc_id != 21""",
     "q_search_combined_fields" ->
       """SELECT doc_id FROM documents
          WHERE (regexp_matches(lower(text), '\bde\b') OR regexp_matches(lower(lang), '\bde\b'))

@@ -429,14 +429,20 @@ object Esql {
     * a left join — semantics align. */
   private def lookupJoin(df: DataFrame, rest: String,
                          catalog: Map[String, DataFrame]): DataFrame = {
-    val m = "(?i)^JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+([A-Za-z_][A-Za-z0-9_.]*)\\s*$".r
+    // `JOIN <index> ON f1[, f2, …]` — composite keys join on every listed
+    // field (ES|QL 8.18 multi-key lookup)
+    val m = ("(?i)^JOIN\\s+([A-Za-z_][A-Za-z0-9_]*)\\s+ON\\s+" +
+      "([A-Za-z_][A-Za-z0-9_.]*(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_.]*)*)\\s*$").r
     rest.trim match {
-      case m(idx, f) =>
+      case m(idx, fs) =>
         val right = catalog.getOrElse(idx, throw new IllegalArgumentException(
           s"LOOKUP JOIN: unknown index '$idx'"))
-        df.join(right, Seq(f), "left")
+        val keys = fs.split(',').map(_.trim).toSeq
+        require(keys.distinct.size == keys.size,
+          s"LOOKUP JOIN: duplicate key in '$fs'")
+        df.join(right, keys, "left")
       case _ => throw new IllegalArgumentException(
-        s"LOOKUP needs 'JOIN <index> ON <field>', got: $rest")
+        s"LOOKUP needs 'JOIN <index> ON <field>[, <field>...]', got: $rest")
     }
   }
 

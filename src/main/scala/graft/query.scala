@@ -2601,6 +2601,61 @@ object QueryCompiler {
               .otherwise(0L)
           }
           orgPred || col(idCol).isin(pinIds: _*)
+        case "rule" =>
+          // ES query rules, self-contained: {"rule": {"organic": {...},
+          //  "match_criteria": {k: v, ...}, "ruleset": [{"criteria":
+          //  {k: v}, "pinned_ids": [...], "excluded_ids": [...]}, ...]}}.
+          // A rule FIRES when every criteria entry equals the request's
+          // match_criteria value (ES's `exact` rule type); firing rules
+          // pool their pinned ids (promoted with the pinned-query scoring
+          // shape, request order) and excluded ids (dropped — exclusion
+          // wins over pinning, ES 8.16 exclude semantics). DECLARED
+          // ANALOG: the ruleset rides in the body instead of a stored
+          // ruleset id — this engine has no mutable rule store.
+          val unknownR = body.fieldNames.asScala.toSet --
+            Set("organic", "match_criteria", "ruleset")
+          require(unknownR.isEmpty,
+            s"unsupported rule option(s): ${unknownR.mkString(", ")}")
+          val rOrganic = Option(body.get("organic"))
+            .getOrElse(throw new IllegalArgumentException(
+              "rule needs 'organic': {..}"))
+          val mcNode = Option(body.get("match_criteria")).filter(_.isObject)
+            .getOrElse(throw new IllegalArgumentException(
+              "rule needs 'match_criteria': {..}"))
+          val mc = mcNode.fieldNames.asScala.map(k =>
+            k -> mcNode.get(k).asText).toMap
+          val ruleset = Option(body.get("ruleset")).filter(_.isArray)
+            .map(_.elements.asScala.toSeq)
+            .getOrElse(throw new IllegalArgumentException(
+              "rule needs 'ruleset': [..]"))
+          require(ruleset.nonEmpty, "rule needs at least one ruleset entry")
+          val active = ruleset.filter { r =>
+            val unknownRe = r.fieldNames.asScala.toSet --
+              Set("criteria", "pinned_ids", "excluded_ids")
+            require(unknownRe.isEmpty,
+              s"unsupported ruleset entry option(s): ${unknownRe.mkString(", ")}")
+            val cNode = Option(r.get("criteria")).filter(_.isObject)
+              .getOrElse(throw new IllegalArgumentException(
+                "ruleset entry needs 'criteria': {..}"))
+            cNode.fieldNames.asScala.forall(k =>
+              mc.get(k).contains(cNode.get(k).asText))
+          }
+          def idsOf(r: JsonNode, key: String): Seq[Any] =
+            Option(r.get(key)).filter(_.isArray)
+              .map(_.elements.asScala.toSeq.map(scalarOf)).getOrElse(Nil)
+          val exIds = active.flatMap(idsOf(_, "excluded_ids")).distinct
+          val pinIds2 = active.flatMap(idsOf(_, "pinned_ids")).distinct
+            .filterNot(exIds.contains)
+          val orgPred2 = node(rOrganic, leaves, scoring, idCol, defaultOr)
+          if (scoring) pinIds2.zipWithIndex.foreach { case (id, i) =>
+            leaves += when(col(idCol) === lit(id),
+              lit(1000000L) * (pinIds2.size - i)).otherwise(0L)
+          }
+          val base =
+            if (pinIds2.isEmpty) orgPred2
+            else orgPred2 || col(idCol).isin(pinIds2: _*)
+          if (exIds.isEmpty) base
+          else base && !col(idCol).isin(exIds: _*)
         case "combined_fields" =>
           // {"combined_fields":{"query":"a b","fields":["f1","f2"],
           // "operator":"or"}} — TERM-centric multi-field match: each

@@ -175,6 +175,21 @@ class EsqlSpec extends AnyFunSuite {
     assert(g == 1L)
   }
 
+  test("LOOKUP JOIN on composite keys") {
+    val dims = Seq(("en", 10L, "en-ten"), ("en", 20L, "en-twenty"),
+      ("de", 30L, "de-thirty")).toDF("lang", "n", "tag")
+    val out = Esql.run(
+      "FROM docs | LOOKUP JOIN dims ON lang, n | KEEP id, tag | SORT id",
+      Map("docs" -> docs, "dims" -> dims))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("-")))
+    assert(out.toSeq == Seq((1L, "en-ten"), (2L, "en-twenty"),
+      (3L, "de-thirty"), (4L, "-")))
+    assert(intercept[IllegalArgumentException](
+      Esql.run("FROM docs | LOOKUP JOIN dims ON lang, lang",
+        Map("docs" -> docs, "dims" -> dims)))
+      .getMessage.contains("duplicate key"))
+  }
+
   test("ROW: one-row literal source feeding the pipe") {
     val out = Esql.run(
       "ROW a = 1, b = \"x\", c = 2.5 | EVAL d = a + c | KEEP a, b, d",

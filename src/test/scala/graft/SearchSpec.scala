@@ -1106,6 +1106,26 @@ class SearchSpec extends AnyFunSuite {
     assert(out == Set(("c1", List("o1", "o2"), 3L)))
   }
 
+  test("rule query: criteria-gated pinning and exclusion") {
+    val docs = Seq(("1", "spark a"), ("2", "spark b"), ("3", "other"),
+      ("4", "spark c")).toDF("doc_id", "text")
+    val out = Search.search(docs,
+      """{"query": {"rule": {
+            "match_criteria": {"seg": "pro"},
+            "ruleset": [
+              {"criteria": {"seg": "pro"},
+               "pinned_ids": ["3"], "excluded_ids": ["2"]},
+              {"criteria": {"seg": "free"}, "pinned_ids": ["2"]}],
+            "organic": {"match": {"text": "spark"}}}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id", "_score")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // pinned 3 tops; organic 1 and 4 follow; 2 excluded even though the
+    // dormant free rule would pin it
+    assert(out.map(_._1) == Seq("3", "1", "4"))
+    assert(out.head._2 == 1000000L)
+  }
+
   test("searchNamed: matched_queries membership, duplicate-name gate") {
     val docs = Seq(
       ("1", "spark rocks", 100L), ("2", "plain words", 500L),

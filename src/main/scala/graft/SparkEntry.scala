@@ -3162,6 +3162,27 @@ object SparkEntry {
       TextStats.repetitionMetrics(tbl(s, dir, "documents"), "text", "doc_id", n = 2)
         .orderBy(col("doc_id"))
     }),
+    "q_multimodal_patches" -> ((s, dir) => {
+      // ViT patch planning: 16x16 grid cover over derived dims, edge
+      // patches clipped — exact integer math both sides
+      val dims = tbl(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          (col("doc_id") % 50 + 16).as("w"),
+          ((col("doc_id") * 3) % 40 + 16).as("h"))
+      pipeline.Multimodal.patchify(dims, "doc_id", "w", "h", p = 16)
+        .select(col("doc_id"), col("patch_id"), col("x0"), col("y0"),
+          col("pw"), col("ph"))
+        .orderBy(col("doc_id"), col("patch_id"))
+    }),
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      // embedding-space decontamination: train rows within 0.3 cosine of
+      // any benchmark vector drop; bench broadcasts, one train scan
+      val emb = tbl(s, dir, "embeddings")
+      val bench = emb.where(col("vec_id") % 50 === 0)
+      val train = emb.where(col("vec_id") % 50 =!= 0)
+      pipeline.Curate.decontaminateSemantic(train, bench, "embedding", 0.3)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
     "q_pack_sequences" -> ((s, dir) => {
       // greedy shard layout: ~500-token shards per source, id order
       Curate.packSequences(tbl(s, dir, "documents"), "doc_id", "source", "text",
@@ -6090,6 +6111,33 @@ object SparkEntry {
              / sum(c), 4) AS dup_gram_frac,
            CAST(sum(c) AS BIGINT) AS n_grams
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_multimodal_patches" ->
+      """WITH d AS (
+           SELECT doc_id, doc_id % 50 + 16 AS w, (doc_id * 3) % 40 + 16 AS h
+           FROM documents WHERE doc_id < 100),
+         g AS (
+           SELECT doc_id, w, h,
+             CAST(floor((w + 15) / 16.0) AS BIGINT) AS nx,
+             CAST(floor((h + 15) / 16.0) AS BIGINT) AS ny
+           FROM d),
+         p AS (
+           SELECT doc_id, w, h, nx,
+             unnest(range(0, nx * ny)) AS patch_id
+           FROM g)
+         SELECT doc_id, patch_id,
+           (patch_id % nx) * 16 AS x0, (patch_id // nx) * 16 AS y0,
+           least(16, w - (patch_id % nx) * 16) AS pw,
+           least(16, h - (patch_id // nx) * 16) AS ph
+         FROM p ORDER BY doc_id, patch_id""",
+    "q_decontaminate_semantic" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         b AS (SELECT emb FROM e WHERE vec_id % 50 = 0),
+         t AS (SELECT vec_id, emb FROM e WHERE vec_id % 50 != 0)
+         SELECT t.vec_id FROM t
+         WHERE NOT EXISTS (
+           SELECT 1 FROM b WHERE list_cosine_similarity(t.emb, b.emb) >= 0.3)
+         ORDER BY vec_id""",
     "q_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id, source,

@@ -294,6 +294,24 @@ object Curate {
       .select(col(idCol), col(groupCol), col("n_tokens"), col("shard"))
   }
 
+  /** Semantic decontamination: drop training rows whose embedding lands
+    * within `threshold` cosine of ANY benchmark embedding — the
+    * embedding-space twin of the n-gram [[decontaminate]]. The benchmark
+    * is small by definition, so it broadcasts and the train side streams
+    * through ONE scan as a left-anti non-equi join (NOT EXISTS) — never a
+    * shuffled all-pairs product. */
+  def decontaminateSemantic(train: DataFrame, bench: DataFrame,
+                            vecCol: String, threshold: Double): DataFrame = {
+    import graft.functions.VecFunctions.vec_cosine
+    import org.apache.spark.sql.functions.broadcast
+    val b = broadcast(bench
+      .select(col(vecCol).cast("array<double>").as("_bench_vec")))
+    train.join(b,
+      vec_cosine(col(vecCol).cast("array<double>"), col("_bench_vec"))
+        >= threshold,
+      "left_anti")
+  }
+
   // ------------------------------------------------------------ url filtering
 
   /** URL/domain filtering report (the RefinedWeb/C4 provenance gate):

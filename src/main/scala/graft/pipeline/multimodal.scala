@@ -196,4 +196,27 @@ object Multimodal {
         }
       }
   }
+
+  /** ViT patch-grid planning over decoded image dimensions: one row per
+    * `p × p` patch of the ceil(w/p) × ceil(h/p) cover — the image
+    * tokenization step a vision-language pipeline runs after decode.
+    * Edge patches carry their clipped extent (pw/ph < p at the borders).
+    * Pure integer column math + one explode; the explosion factor is the
+    * per-image patch count (a model constant), everything codegen'd. */
+  def patchify(meta: DataFrame, idCol: String, wCol: String, hCol: String,
+               p: Int): DataFrame = {
+    require(p >= 1, s"patch size must be >= 1, got $p")
+    def ceilDiv(c: org.apache.spark.sql.Column) =
+      floor((c + lit(p - 1)) / lit(p)).cast("long")
+    val nx = ceilDiv(col(wCol))
+    val ny = ceilDiv(col(hCol))
+    meta.withColumn("_nx", nx)
+      .withColumn("patch_id", explode(sequence(lit(0L), nx * ny - 1)))
+      .withColumn("x0", (col("patch_id") % col("_nx")) * p)
+      .withColumn("y0",
+        floor(col("patch_id") / col("_nx")).cast("long") * p)
+      .withColumn("pw", least(lit(p.toLong), col(wCol) - col("x0")))
+      .withColumn("ph", least(lit(p.toLong), col(hCol) - col("y0")))
+      .drop("_nx")
+  }
 }

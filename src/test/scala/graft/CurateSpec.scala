@@ -188,6 +188,15 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminateSemantic: near-benchmark embeddings drop, others stay") {
+    val train = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.98f, 0.05f))).toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(0.99f, 0.1f))).toDF("vec_id", "embedding")
+    val kept = Curate.decontaminateSemantic(train, bench, "embedding", 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L)) // 1 and 3 are near-parallel to the bench vector
+  }
+
   test("urlReport: host/tld extraction, blocklist, subdomain match, allowlist") {
     val df = Seq(
       (1L, "https://news.example.com/a"),

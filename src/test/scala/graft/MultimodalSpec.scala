@@ -93,4 +93,18 @@ class MultimodalSpec extends AnyFunSuite {
     // 1000 bytes / 256 = 3 frames → idx 0, 2; 100 bytes → 0 frames
     assert(out == Seq((1L, 0L, 0L), (1L, 2L, 512L)))
   }
+
+  test("patchify: grid cover with clipped edges, area identity") {
+    val dims = Seq((1L, 33L, 20L)).toDF("id", "w", "h") // 3x2 patch grid
+    val out = Multimodal.patchify(dims, "id", "w", "h", 16)
+      .select("patch_id", "x0", "y0", "pw", "ph")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(out.size == 6)
+    assert(out.head == ((0L, 0L, 0L, 16L, 16L)))
+    assert(out(2) == ((2L, 32L, 0L, 1L, 16L)))  // right edge clipped to 1
+    assert(out(5) == ((5L, 32L, 16L, 1L, 4L)))  // corner clipped both ways
+    // the patches tile the image exactly: areas sum to w*h
+    assert(out.map(p => p._4 * p._5).sum == 33L * 20L)
+  }
 }

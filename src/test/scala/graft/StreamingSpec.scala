@@ -215,6 +215,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.toSeq == Seq("2", "3"))
   }
 
+  test("streaming session_window: native session aggregation under a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("user", "tsSec")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes").as("sw"))
+      .count()
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("native_sess").start()
+    try {
+      input.addData(("u1", 1000.0), ("u1", 1600.0), ("u2", 500.0))
+      q.processAllAvailable()
+      input.addData(("u1", 9000.0)) // 2h later → second u1 session
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT user, count FROM native_sess")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // sessions merge ACROSS micro-batches: u1 = [2 events, 1 event]
+    assert(out == Map("u1" -> Seq(1L, 2L), "u2" -> Seq(1L)))
+  }
+
   test("streaming sessionization (mapGroupsWithState) matches the batch twin") {
     import graft.pipeline.Sessionize
     import spark.implicits._

@@ -703,6 +703,32 @@ object SparkEntry {
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
         .orderBy(col("segment"))
     }),
+    "q_ingest_processors" -> ((s, dir) => {
+      // the extended processor library in one chain: dissect, fingerprint
+      // (SHA-256 of joined fields), split+join, kv (str_to_map), date —
+      // every step a codegen'd column transform
+      val docs = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        concat(col("source"), lit(":"), col("lang")).as("line"),
+        lit("a=1;b=2").as("props"),
+        lit("2024-01-15").as("d"))
+      val pipe = IngestPipeline.compile(
+        """{"processors": [
+            {"dissect": {"field": "line", "pattern": "%{src_part}:%{lang_part}"}},
+            {"fingerprint": {"fields": ["lang", "source"],
+              "target_field": "fp", "method": "SHA-256"}},
+            {"split": {"field": "source", "separator": "rc"}},
+            {"join": {"field": "source", "separator": "-"}},
+            {"kv": {"field": "props", "field_split": ";", "value_split": "=",
+              "target_field": "kvm"}},
+            {"date": {"field": "d", "formats": ["yyyy-MM-dd"],
+              "target_field": "ts"}}]}""")
+      pipe(docs).select(col("doc_id"), col("src_part"), col("lang_part"),
+        col("fp"), col("source").as("split_join"),
+        element_at(col("kvm"), "b").as("kv_b"),
+        Tsx.micros(col("ts")).as("ts_us"))
+        .orderBy(col("doc_id"))
+    }),
     "q_ingest_pipeline" -> ((s, dir) => {
       // S4: ingest pipeline — the update batch is shaped by the compiled
       // processor chain, then lands with insert (create-or-replace)
@@ -5683,6 +5709,14 @@ object SparkEntry {
          FROM e a JOIN e b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
          ORDER BY id_a, id_b""",
+    "q_ingest_processors" ->
+      """SELECT doc_id,
+           source AS src_part, lang AS lang_part,
+           sha256(lang || '|' || source) AS fp,
+           replace(source, 'rc', '-') AS split_join,
+           '2' AS kv_b,
+           epoch_us(TIMESTAMP '2024-01-15') AS ts_us
+         FROM documents ORDER BY doc_id""",
     "q_ingest_pipeline" ->
       // insert path: updates (pipeline-shaped) replace overlapping existing
       // docs wholesale; lowercase/gsub/set/convert are plain SQL

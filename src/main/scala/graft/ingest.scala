@@ -115,6 +115,82 @@ object IngestPipeline {
           case other => throw new IllegalArgumentException(s"convert type '$other'")
         }
         df => df.withColumn(f, col(f).cast(t))
+      case "split" =>
+        // {field, separator} — string → array on a LITERAL separator
+        val f = field; val sep = text("separator")
+        df => df.withColumn(f,
+          split(col(f), java.util.regex.Pattern.quote(sep)))
+      case "join" =>
+        val f = field; val sep = text("separator")
+        df => df.withColumn(f, array_join(col(f), sep))
+      case "dissect" =>
+        // {field, pattern} — "%{a}<sep>%{b}" to one anchored regex, one
+        // new column per key; non-matching rows yield nulls (ES's
+        // ignore_failure-free behavior is per-doc failure — nulls are the
+        // columnar analog, same contract as ES|QL DISSECT)
+        val f = field; val pattern = text("pattern")
+        val key = "%\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
+        val names = key.findAllMatchIn(pattern).map(_.group(1)).toList
+        require(names.nonEmpty, s"dissect pattern has no %{key}: $pattern")
+        require(names.distinct == names, s"duplicate dissect keys in: $pattern")
+        // anchored regex, quoted literal runs between lazy capture groups
+        // (the ES|QL DISSECT construction)
+        val sb = new StringBuilder("^")
+        var last = 0
+        for (mt <- key.findAllMatchIn(pattern)) {
+          if (mt.start > last)
+            sb ++= java.util.regex.Pattern.quote(pattern.substring(last, mt.start))
+          sb ++= "(.*?)"
+          last = mt.end
+        }
+        if (last < pattern.length)
+          sb ++= java.util.regex.Pattern.quote(pattern.substring(last))
+        sb += '$'
+        val rx = sb.toString
+        df => names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+          d.withColumn(n,
+            when(col(f).rlike(rx), regexp_extract(col(f), rx, i + 1)))
+        }
+      case "fingerprint" =>
+        // {fields: [...], target_field?, method?} — stable content hash of
+        // the listed fields joined with the ES separator; sha1 default
+        val fsNode = Option(body.get("fields")).filter(_.isArray)
+          .getOrElse(throw new IllegalArgumentException(
+            "fingerprint requires 'fields': [..]"))
+        val fs = fsNode.elements.asScala.toSeq.map(_.asText)
+        require(fs.nonEmpty, "fingerprint needs at least one field")
+        val target = Option(body.get("target_field")).map(_.asText)
+          .getOrElse("fingerprint")
+        val joined = concat_ws("|", fs.map(f => col(f).cast("string")): _*)
+        Option(body.get("method")).map(_.asText).getOrElse("SHA-1") match {
+          case "SHA-1" => df => df.withColumn(target, sha1(joined))
+          case "SHA-256" => df => df.withColumn(target, sha2(joined, 256))
+          case "MD5" => df => df.withColumn(target, md5(joined))
+          case other => throw new IllegalArgumentException(
+            s"fingerprint method '$other' (SHA-1/SHA-256/MD5)")
+        }
+      case "date" =>
+        // {field, formats: [f], target_field?} — declared subset: one
+        // Spark datetime pattern (ES tries a format list in order)
+        val f = field
+        val formats = Option(body.get("formats")).filter(_.isArray)
+          .map(_.elements.asScala.toSeq.map(_.asText))
+          .getOrElse(throw new IllegalArgumentException(
+            "date requires 'formats': [..]"))
+        require(formats.size == 1,
+          "date: exactly one format (declared subset)")
+        val target = Option(body.get("target_field")).map(_.asText)
+          .getOrElse("@timestamp")
+        df => df.withColumn(target, to_timestamp(col(f), formats.head))
+      case "kv" =>
+        // {field, field_split, value_split, target_field?} — key=value
+        // text to a map column (Spark's str_to_map is the exact analog)
+        val f = field
+        val fieldSplit = text("field_split")
+        val valueSplit = text("value_split")
+        val target = Option(body.get("target_field")).map(_.asText).getOrElse(f)
+        df => df.withColumn(target,
+          str_to_map(col(f), lit(fieldSplit), lit(valueSplit)))
       case other => throw new IllegalArgumentException(s"unsupported processor '$other'")
     }
   }

@@ -243,6 +243,33 @@ class IndexerSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("1", "KEEP", "old"), ("2", "new", "filled"), ("3", "fresh", "x")))
   }
 
+  test("ingest processors: dissect, fingerprint, split/join, kv, date") {
+    val df = Seq(("u1 GET /idx", "k1=a;k2=b", "2024-02-03", "x", "y"))
+      .toDF("line", "props", "d", "f1", "f2")
+    val t = IngestPipeline.compile(
+      """{"processors":[
+           {"dissect":{"field":"line","pattern":"%{user} %{verb} %{path}"}},
+           {"fingerprint":{"fields":["f1","f2"],"target_field":"fp"}},
+           {"split":{"field":"props","separator":";"}},
+           {"join":{"field":"props","separator":","}},
+           {"kv":{"field":"d","field_split":";","value_split":"=","target_field":"dm"}},
+           {"date":{"field":"d","formats":["yyyy-MM-dd"],"target_field":"ts"}}]}""")
+    val row = t(df).select("user", "verb", "path", "fp", "props", "ts").head
+    assert(row.getString(0) == "u1" && row.getString(1) == "GET" &&
+      row.getString(2) == "/idx")
+    // sha1("x|y") — the ES default method over the joined field values
+    assert(row.getString(3) ==
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest("x|y".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(row.getString(4) == "k1=a,k2=b")
+    assert(row.getTimestamp(5).toString.startsWith("2024-02-03"))
+    // dissect non-match yields nulls, not garbage
+    val miss = IngestPipeline.compile(
+      """{"processors":[{"dissect":{"field":"line","pattern":"%{a}::%{b}"}}]}""")(
+      df).select("a", "b").head
+    assert(miss.isNullAt(0) && miss.isNullAt(1))
+  }
+
   test("ingest pipeline processors: rename, remove, gsub, convert; unknown rejected") {
     val df = Seq(("a", "src1", "41")).toDF("id", "origin", "n")
     val t = IngestPipeline.compile(

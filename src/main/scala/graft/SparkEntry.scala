@@ -1095,6 +1095,16 @@ object SparkEntry {
         .select(col("key"), col("doc_count"), round(col("total"), 2).as("total"))
         .orderBy(col("key"))
     }),
+    "q_agg_terms_partition" -> ((s, dir) => {
+      // terms partitioning: each term lands in exactly one hash
+      // partition; the union of all partitions must equal the plain
+      // terms result (the completeness contract the oracle checks)
+      def part(p: Int) = Aggs.runSingle(tbl(s, dir, "documents"),
+        s"""{"aggs": {"langs": {"terms": {"field": "lang", "size": 10,
+            "include": {"partition": $p, "num_partitions": 2},
+            "order": {"_key": "asc"}}}}}""")
+      part(0).unionByName(part(1)).orderBy(col("key"))
+    }),
     "q_agg_terms_missing" -> ((s, dir) => {
       // ES `missing` param: the gate tables carry no nulls, so nullify a
       // deterministic slice in-query (identically in the oracle) and
@@ -1363,6 +1373,16 @@ object SparkEntry {
       Aggs.runSingle(tbl(s, dir, "documents"),
         """{"query": {"match": {"text": "spark"}},
             "aggs": {"sig": {"significant_terms": {"field": "lang"}}}}""")
+        .select(col("key"), col("doc_count"), col("bg_count"),
+          round(col("score"), 6).as("score"))
+    }),
+    "q_agg_significant_chi" -> ((s, dir) => {
+      // the chi_square heuristic over the same foreground: textbook 2x2
+      // statistic, integer-exact doubles end to end
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"query": {"match": {"text": "spark"}},
+            "aggs": {"sig": {"significant_terms": {"field": "lang",
+              "chi_square": {}}}}}""")
         .select(col("key"), col("doc_count"), col("bg_count"),
           round(col("score"), 6).as("score"))
     }),
@@ -3685,6 +3705,12 @@ object SparkEntry {
            FROM events)
          SELECT key, count(*) AS doc_count, round(sum(value), 2) AS total
          FROM b GROUP BY key ORDER BY key""",
+    "q_agg_terms_partition" ->
+      // union of the two hash partitions == the plain terms result:
+      // disjointness + completeness in one hash compare
+      """SELECT lang AS key, count(*) AS doc_count
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY lang ORDER BY key""",
     "q_agg_terms_missing" ->
       """SELECT coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END,
                 'unknown') AS key,
@@ -3937,6 +3963,35 @@ object SparkEntry {
                > CAST(bg_count AS DOUBLE) / bg_total)
          SELECT key, doc_count, bg_count, round(raw, 6) AS score
          FROM s ORDER BY raw DESC, key LIMIT 10""",
+    "q_agg_significant_chi" ->
+      """WITH fg AS (
+           SELECT lang AS key, count(*) AS doc_count FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL
+           GROUP BY 1),
+         bg AS (
+           SELECT lang AS key, count(*) AS bg_count FROM documents
+           WHERE lang IS NOT NULL GROUP BY 1),
+         ft AS (
+           SELECT count(*) AS fg_total FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL),
+         bt AS (SELECT count(*) AS bg_total FROM documents WHERE lang IS NOT NULL),
+         s AS (
+           SELECT key, doc_count, bg_count,
+             CAST(doc_count AS DOUBLE) AS o11,
+             fg_total - doc_count AS o12,
+             CAST(bg_count - doc_count AS DOUBLE) AS o21,
+             bg_total - fg_total - (bg_count - doc_count) AS o22,
+             fg_total, bg_total
+           FROM fg JOIN bg USING (key), ft, bt
+           WHERE CAST(doc_count AS DOUBLE) / fg_total
+               > CAST(bg_count AS DOUBLE) / bg_total),
+         sc AS (
+           SELECT key, doc_count, bg_count,
+             bg_total * (o11 * o22 - o12 * o21) * (o11 * o22 - o12 * o21)
+               / ((o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22)) AS raw
+           FROM s)
+         SELECT key, doc_count, bg_count, round(raw, 6) AS score
+         FROM sc ORDER BY raw DESC, key LIMIT 10""",
     "q_agg_moving_fn" ->
       """WITH b AS (
            SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS key,

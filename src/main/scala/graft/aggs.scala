@@ -444,7 +444,32 @@ object Aggs {
         // zero-fill universe obeys the same shape
         def keyShape(optName: String): Option[Column] =
           Option(body.get(optName)).map { n =>
-            if (n.isArray) {
+            if (n.isObject) {
+              // {"include": {"partition": p, "num_partitions": n}} — ES's
+              // terms paging for high-cardinality fields: every term
+              // belongs to exactly one of n hash partitions, a request
+              // reads one. DECLARED DIVERGENCE: the assignment hash is
+              // this engine's (stable xxhash64), not Lucene's — the
+              // contract (disjoint, complete across partitions, stable
+              // across requests) is what callers rely on, and the driver
+              // query proves union-completeness against the plain terms
+              // oracle.
+              require(optName == "include",
+                s"terms '$name': partitioning lives under 'include' only")
+              val unknownP = n.fieldNames.asScala.toSet --
+                Set("partition", "num_partitions")
+              require(unknownP.isEmpty,
+                s"terms '$name' include option(s): ${unknownP.mkString(", ")}")
+              val np = Option(n.get("num_partitions")).map(_.asInt)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"terms '$name' include.partition needs num_partitions"))
+              val p = Option(n.get("partition")).map(_.asInt)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"terms '$name' include needs 'partition'"))
+              require(np >= 1 && p >= 0 && p < np,
+                s"terms '$name': partition must be in [0, num_partitions)")
+              pmod(xxhash64(k.cast("string")), lit(np.toLong)) === p.toLong
+            } else if (n.isArray) {
               val vs = n.elements.asScala.toSeq.map { e =>
                 if (e.isTextual) e.asText else e.numberValue
               }
@@ -990,8 +1015,25 @@ object Aggs {
     * stats join (the aggregate-then-broadcast rule — never a global
     * window). Declared subset: exact counts (no shard approximation),
     * JLH only. */
+  /** The significance heuristic a body selects: `jlh` (default) or
+    * `chi_square` — the key's presence picks it, like ES. */
+  private def sigHeuristic(name: String, body: JsonNode): String = {
+    val picked = Seq("jlh", "chi_square").filter(body.has)
+    require(picked.size <= 1,
+      s"'$name': at most one significance heuristic, got ${picked.mkString(", ")}")
+    picked.foreach { h =>
+      require(body.get(h).isObject && body.get(h).size == 0,
+        s"'$name' $h takes an empty object (declared subset)")
+    }
+    picked.headOption.getOrElse("jlh")
+  }
+
   private def significantTerms(fg: DataFrame, bg: DataFrame, name: String,
                                body: JsonNode): DataFrame = {
+    val unknownK = body.fieldNames.asScala.toSet --
+      Set("field", "size", "jlh", "chi_square")
+    require(unknownK.isEmpty,
+      s"unsupported significant_terms option(s) in '$name': ${unknownK.mkString(", ")}")
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(
         s"significant_terms '$name' needs a 'field'"))
@@ -1002,7 +1044,8 @@ object Aggs {
       .groupBy(col(f).as("key")).agg(count(lit(1)).as("bg_count"))
     val fgTotal = fg.where(col(f).isNotNull).agg(count(lit(1)).as("_fg_total"))
     val bgTotal = bg.where(col(f).isNotNull).agg(count(lit(1)).as("_bg_total"))
-    jlhScored(fgCounts, bgCounts, fgTotal, bgTotal, size)
+    sigScored(fgCounts, bgCounts, fgTotal, bgTotal, size,
+      sigHeuristic(name, body))
   }
 
   /** `significant_text`: [[significantTerms]] over the ANALYZED tokens of
@@ -1012,7 +1055,8 @@ object Aggs {
     * explode is vocabulary-bounded per doc, never a corpus blow-up. */
   private def significantText(fg: DataFrame, bg: DataFrame, name: String,
                               body: JsonNode): DataFrame = {
-    val unknownK = body.fieldNames.asScala.toSet -- Set("field", "size")
+    val unknownK = body.fieldNames.asScala.toSet --
+      Set("field", "size", "jlh", "chi_square")
     require(unknownK.isEmpty,
       s"unsupported significant_text option(s) in '$name': ${unknownK.mkString(", ")}")
     val f = Option(body.get("field")).map(_.asText)
@@ -1026,25 +1070,49 @@ object Aggs {
     val bgCounts = toks(bg).groupBy("key").agg(count(lit(1)).as("bg_count"))
     val fgTotal = fg.where(col(f).isNotNull).agg(count(lit(1)).as("_fg_total"))
     val bgTotal = bg.where(col(f).isNotNull).agg(count(lit(1)).as("_bg_total"))
-    jlhScored(fgCounts, bgCounts, fgTotal, bgTotal, size)
+    sigScored(fgCounts, bgCounts, fgTotal, bgTotal, size,
+      sigHeuristic(name, body))
   }
 
-  /** Shared JLH tail: `(fg% − bg%) · (fg% / bg%)` over doc frequencies,
-    * totals riding in as broadcast 1-row joins. */
-  private def jlhScored(fgCounts: DataFrame, bgCounts: DataFrame,
+  /** Shared significance tail: JLH `(fg% − bg%) · (fg% / bg%)` or the
+    * textbook 2×2 chi-square over doc frequencies (declared analog of
+    * ES's ChiSquare heuristic; only over-represented terms surface —
+    * include_negatives:false semantics). Totals ride in as broadcast
+    * 1-row joins; every quantity is an integer-exact double, so the
+    * statistic reproduces bit-for-bit in the external checker. */
+  private def sigScored(fgCounts: DataFrame, bgCounts: DataFrame,
                         fgTotal: DataFrame, bgTotal: DataFrame,
-                        size: Int): DataFrame =
-    fgCounts
+                        size: Int, heuristic: String = "jlh"): DataFrame = {
+    val base = fgCounts
       .join(bgCounts, Seq("key")) // every fg key exists in bg (fg ⊆ bg)
       .crossJoin(broadcast(fgTotal)).crossJoin(broadcast(bgTotal))
       .withColumn("_fg_pct", col("doc_count").cast("double") / col("_fg_total"))
       .withColumn("_bg_pct", col("bg_count").cast("double") / col("_bg_total"))
       .where(col("_fg_pct") > col("_bg_pct")) // only over-represented terms signify
-      .withColumn("score",
-        (col("_fg_pct") - col("_bg_pct")) * (col("_fg_pct") / col("_bg_pct")))
+    val scored = heuristic match {
+      case "jlh" =>
+        base.withColumn("score",
+          (col("_fg_pct") - col("_bg_pct")) * (col("_fg_pct") / col("_bg_pct")))
+      case "chi_square" =>
+        // 2×2 contingency: O11 = term∧subset, O12 = ¬term∧subset,
+        // O21 = term∧¬subset, O22 = ¬term∧¬subset (background superset)
+        val o11 = col("doc_count").cast("double")
+        val o12 = col("_fg_total") - col("doc_count")
+        val o21 = (col("bg_count") - col("doc_count")).cast("double")
+        val o22 = col("_bg_total") - col("_fg_total") -
+          (col("bg_count") - col("doc_count"))
+        val d = o11 * o22 - o12 * o21
+        base.withColumn("score",
+          col("_bg_total") * d * d /
+            ((o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported significance heuristic '$other'")
+    }
+    scored
       .select(col("key"), col("doc_count"), col("bg_count"), col("score"))
       .orderBy(desc("score"), asc("key"))
       .limit(size)
+  }
 
   /** `filters` aggregation: one named bucket per sub-query, each with
     * doc_count + metric sub-aggs — compiled as ONE single-pass conditional

@@ -888,6 +888,24 @@ object Esql {
           sort_array(a(0), asc = !descOrder)
         case "MV_FIRST" => arity(1); element_at(a(0), 1)
         case "MV_LAST" => arity(1); element_at(a(0), -1)
+        case "MV_MEDIAN" => arity(1)
+          // numeric multivalue median: sorted middle, even sizes average
+          // the two central values (the ES|QL contract)
+          val s = sort_array(a(0))
+          val n = size(a(0))
+          when(n === 0, lit(null)).otherwise(
+            when(n % 2 === 1,
+              element_at(s, ((n + 1) / 2).cast("int")).cast("double"))
+            .otherwise(
+              (element_at(s, (n / 2).cast("int")).cast("double") +
+                element_at(s, (n / 2 + 1).cast("int")).cast("double")) / 2))
+        case "MV_ZIP" =>
+          // MV_ZIP(a, b[, delim]) — pairwise string join, "," default
+          require(a.length == 2 || a.length == 3, "MV_ZIP expects 2 or 3 arguments")
+          val delim = if (a.length == 3) litStr(argInfo(2)._2, "MV_ZIP") else ","
+          zip_with(a(0), a(1), (x, y) =>
+            concat_ws(delim, x.cast("string"), y.cast("string")))
+        case "MV_APPEND" => arity(2); concat(a(0), a(1))
         case "MV_SLICE" =>
           // MV_SLICE(field, start[, end]) — 0-based inclusive, like ES|QL
           require(a.length == 2 || a.length == 3, "MV_SLICE expects 2 or 3 arguments")

@@ -1056,6 +1056,39 @@ class AggsSpec extends AnyFunSuite {
           "is_ipv6": true}}}}""")).getMessage.contains("IPv4 only"))
   }
 
+  test("terms partitioning: disjoint, complete, stable; gates") {
+    val parts = (0 until 3).map { p =>
+      Aggs.runSingle(docs,
+        s"""{"aggs": {"b": {"terms": {"field": "lang", "size": 10,
+            "include": {"partition": $p, "num_partitions": 3}}}}}""")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val all = parts.flatten
+    assert(all.map(_._1).distinct.size == all.size) // disjoint
+    assert(all.toSet == Set(("de", 2L), ("en", 2L), ("fr", 1L))) // complete
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(docs,
+      """{"aggs": {"b": {"terms": {"field": "lang",
+          "include": {"partition": 3, "num_partitions": 3}}}}}"""))
+      .getMessage.contains("partition must be in"))
+  }
+
+  test("significant_terms chi_square: textbook 2x2, perfect association") {
+    // term 'x' appears in ALL subset docs and NOWHERE else → chi² = N
+    val df = Seq((1L, "x", "hit"), (2L, "x", "hit"),
+      (3L, "y", "miss"), (4L, "y", "miss")).toDF("doc_id", "tag", "text")
+    val out = Aggs.runSingle(df,
+      """{"query": {"match": {"text": "hit"}},
+          "aggs": {"s": {"significant_terms": {"field": "tag",
+            "chi_square": {}}}}}""")
+      .collect().head
+    assert(out.getString(0) == "x")
+    assert(out.getDouble(3) == 4.0) // N for a perfect 2x2 association
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(df,
+      """{"aggs": {"s": {"significant_terms": {"field": "tag",
+          "chi_square": {}, "jlh": {}}}}}"""))
+      .getMessage.contains("at most one"))
+  }
+
   test("frequent_item_sets: subset lattice per doc, support filter, top-N") {
     val df = Seq(
       (1L, "en", "web"), (2L, "en", "web"), (3L, "en", "book"),

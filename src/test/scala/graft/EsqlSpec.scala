@@ -254,6 +254,16 @@ class EsqlSpec extends AnyFunSuite {
     assert(mv.getString(0) == "alpha" && mv.getString(1) == "beta")
     assert(mv.getInt(2) == 2 && mv.getString(3) == "alpha-beta")
     assert(mv.getString(4) == "alpha" && mv.getString(5) == "beta,alpha")
+    val mv2 = Esql.run(
+      "ROW a = 1 | EVAL l = SPLIT(\"3 1 2\", \" \"), " +
+        "zipd = MV_CONCAT(MV_ZIP(l, MV_SORT(l), \"-\"), \",\"), " +
+        "app = MV_COUNT(MV_APPEND(l, l)) | KEEP zipd, app",
+      cat).collect().head
+    assert(mv2.getString(0) == "3-1,1-2,2-3" && mv2.getInt(1) == 6)
+    val med = Esql.run(
+      "ROW a = 1 | EVAL l = SPLIT(\"4 1 3 2\", \" \"), m = MV_MEDIAN(l) | KEEP m",
+      cat).collect().head.getDouble(0)
+    assert(med == 2.5) // even size averages the two central values
     val dd = Esql.run(
       "ROW a = \"2024-01-01 00:00:00\", b = \"2024-01-03 12:00:00\" " +
         "| EVAL s = DATE_PARSE(\"yyyy-MM-dd HH:mm:ss\", a), " +

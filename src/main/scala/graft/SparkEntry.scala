@@ -2584,6 +2584,31 @@ object SparkEntry {
         Int.MaxValue).predicate
       docs.where(pred).agg(count(lit(1)).as("count"))
     }),
+    "q_transform_pivot" -> ((s, dir) => {
+      // _transform pivot: entity-centric materialization — one hash
+      // aggregate (status, month) with exact metrics
+      Transform.pivot(tbl(s, dir, "orders"),
+        """{"group_by": {
+              "status": {"terms": {"field": "o_orderstatus"}},
+              "month": {"date_histogram": {"field": "o_orderdate",
+                "calendar_interval": "month"}}},
+            "aggregations": {
+              "n": {"value_count": {"field": "o_orderkey"}},
+              "total": {"sum": {"field": "o_totalprice"}},
+              "custs": {"cardinality": {"field": "o_custkey"}}}}""")
+        .select(col("status"), col("month"), col("n"),
+          round(col("total"), 2).as("total"), col("custs"))
+        .orderBy(col("status"), col("month"))
+    }),
+    "q_transform_latest" -> ((s, dir) => {
+      // _transform latest: most-recent event per user via max_by — the
+      // LWW single-aggregate shape, never a window sort
+      Transform.latest(tbl(s, dir, "events"),
+          """{"unique_key": ["user_id"], "sort": "ts"}""")
+        .select(col("user_id"), col("event_id"),
+          Tsx.micros(col("ts")).as("ts_us"))
+        .orderBy(col("user_id"))
+    }),
     "q_sql" -> ((s, dir) => {
       // _sql endpoint analog: indices as temp views, the query through
       // Catalyst whole, the ES-DSL `filter` compiled by QueryCompiler and
@@ -4986,6 +5011,19 @@ object SparkEntry {
     "q_count" ->
       """SELECT count(*) AS count FROM documents
          WHERE regexp_matches(lower(text), '\bspark\b') AND lang = 'en'""",
+    "q_transform_pivot" ->
+      """SELECT o_orderstatus AS status,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           count(o_orderkey) AS n, round(sum(o_totalprice), 2) AS total,
+           count(DISTINCT o_custkey) AS custs
+         FROM orders GROUP BY 1, 2 ORDER BY status, month""",
+    "q_transform_latest" ->
+      """SELECT user_id, event_id, us AS ts_us FROM (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
     "q_sql" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
          FROM documents WHERE n_chars >= 200

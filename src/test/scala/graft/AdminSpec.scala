@@ -58,6 +58,26 @@ class AdminSpec extends AnyFunSuite {
     assert(hits.select("doc_id").collect().map(_.getString(0)).sorted.toSeq == Seq("1", "9"))
   }
 
+  test("_transform analogs: pivot groups + metrics, latest per key") {
+    val ev = Seq(
+      ("u1", 1L, "a", 10.0), ("u1", 2L, "a", 30.0),
+      ("u2", 3L, "b", 20.0), ("u2", 4L, "a", 40.0))
+      .toDF("user", "seq", "kind", "v")
+    val piv = Transform.pivot(ev,
+      """{"group_by": {"k": {"terms": {"field": "kind"}}},
+          "aggregations": {"n": {"value_count": {"field": "seq"}},
+            "hi": {"max": {"field": "v"}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(piv == Set(("a", 3L, 40.0), ("b", 1L, 20.0)))
+    val lat = Transform.latest(ev,
+      """{"unique_key": ["user"], "sort": "seq"}""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(lat == Set(("u1", 2L), ("u2", 4L)))
+    assert(intercept[IllegalArgumentException](Transform.pivot(ev,
+      """{"group_by": {"k": {"terms": {"field": "kind"}}}}"""))
+      .getMessage.contains("needs 'aggregations'"))
+  }
+
   test("_sql endpoint: views, DSL filter under the table, fetch_size, gates") {
     val d = Seq((1L, "en", 10L), (2L, "en", 30L), (3L, "de", 50L), (4L, "fr", 70L))
       .toDF("doc_id", "lang", "n")

@@ -2016,6 +2016,15 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
     }),
+    "q_search_term_ci" -> ((s, dir) => {
+      // term case_insensitive: the exact-value compare lowercased on both
+      // sides (the keyword-field idiom ES 7.10 added)
+      Search.search(tbl(s, dir, "documents"),
+        """{"query": {"term": {"lang": {"value": "EN",
+              "case_insensitive": true}}}, "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_search_rule" -> ((s, dir) => {
       // query rules: the pro-segment rule fires (criteria == request
       // match_criteria) and pins 7 then 13 while excluding 21; the free-
@@ -4470,6 +4479,8 @@ object SparkEntry {
                 AS _score
          FROM documents
          WHERE doc_id IN (5, 3) OR regexp_matches(lower(text), '\bspark\b')""",
+    "q_search_term_ci" ->
+      """SELECT doc_id FROM documents WHERE lower(lang) = 'en'""",
     "q_search_rule" ->
       """SELECT doc_id,
               (CASE WHEN doc_id = 7 THEN 2000000 ELSE 0 END

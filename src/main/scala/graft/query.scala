@@ -1137,10 +1137,12 @@ object QueryCompiler {
             else {
               // match_phrase additionally takes ES's `slop` (ordered
               // proximity, see proximityMatch); match takes `operator`
-              // (how ITS analyzed terms combine — AND/OR, ES default OR)
+              // (how ITS analyzed terms combine — AND/OR, ES default OR);
+              // term/prefix/wildcard take `case_insensitive`
               val extra = op match {
                 case "match_phrase" => Set("slop")
                 case "match" => Set("operator")
+                case "term" | "prefix" | "wildcard" => Set("case_insensitive")
                 case _ => Set.empty[String]
               }
               val unknown = vRaw.fieldNames.asScala.toSet --
@@ -1167,6 +1169,20 @@ object QueryCompiler {
               }.getOrElse(false)
               (value, b, sl, mAnd)
             }
+          // ES 7.10 case_insensitive: `term` compares raw values (case-
+          // sensitive), so true switches to a lowercased compare; prefix/
+          // wildcard match ANALYZED (lowercased) text already — true is
+          // the existing behavior (accepted), false would demand case-
+          // sensitive wildcards the analyzed field cannot give (loud).
+          val caseInsensitive =
+            vRaw.isObject && Option(vRaw.get("case_insensitive")).exists { n =>
+              require(n.isBoolean,
+                s"case_insensitive must be a boolean, got: $n")
+              require(n.asBoolean || op == "term",
+                s"$op: case_insensitive:false unsupported — $op matches " +
+                  "analyzed (lowercased) text (declared subset)")
+              n.asBoolean
+            }
           def text: String = {
             require(v.isTextual && v.asText.nonEmpty,
               s"$op expects a non-empty string value, got: $v")
@@ -1185,6 +1201,8 @@ object QueryCompiler {
               if (matchAnd) cols.reduce(_ && _) else cols.reduce(_ || _)
             case _ =>
               val c = op match {
+                case "term" if caseInsensitive =>
+                  lower(col(f)) === lit(text.toLowerCase)
                 case "term"         => col(f) === lit(scalarOf(v)) // exact value
                 // contiguous-token phrase: quoted-term semantics (termMatch
                 // keeps inner spaces inside the \b…\b anchor); with slop,

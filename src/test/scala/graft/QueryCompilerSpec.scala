@@ -748,6 +748,25 @@ class QueryCompilerSpec extends AnyFunSuite {
       .getMessage.contains("declared subset"))
   }
 
+  test("term case_insensitive: lowercased compare; wildcard gates false") {
+    import spark.implicits._
+    val docs = Seq(("1", "EN"), ("2", "en"), ("3", "de"))
+      .toDF("doc_id", "lang")
+    def ids(q: String): Set[String] =
+      docs.where(QueryCompiler.compile(q, 100, "doc_id").predicate)
+        .collect().map(_.getString(0)).toSet
+    assert(ids("""{"query": {"term": {"lang": "en"}}}""") == Set("2"))
+    assert(ids("""{"query": {"term": {"lang": {"value": "En",
+      "case_insensitive": true}}}}""") == Set("1", "2"))
+    // wildcard matches analyzed text: true accepted, false loud
+    assert(ids("""{"query": {"wildcard": {"lang": {"value": "E*",
+      "case_insensitive": true}}}}""") == Set("1", "2"))
+    assert(intercept[IllegalArgumentException](
+      ids("""{"query": {"wildcard": {"lang": {"value": "E*",
+        "case_insensitive": false}}}}"""))
+      .getMessage.contains("case_insensitive:false unsupported"))
+  }
+
   test("geo_bounding_box and geo_distance over struct<lat,lon> points") {
     import spark.implicits._
     val docs = Seq(

@@ -1786,6 +1786,14 @@ object SparkEntry {
           col("inner_total"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_parent_id" -> ((s, dir) => {
+      // parent_id: one parent's children by plain pointer equality
+      Search.search(familyFrame(s, dir),
+        """{"query": {"parent_id": {"type": "order", "id": "c42"}},
+            "size": 10000}""",
+        IndexConfig(), Seq("doc_id"))
+        .select(col("doc_id"))
+    }),
     "q_search_has_parent" -> ((s, dir) => {
       // has_parent: orders whose customer runs a negative balance
       Search.hasParent(familyFrame(s, dir), "customer",
@@ -4273,6 +4281,9 @@ object SparkEntry {
            array_to_string((list_sort(list(cid)))[1:3], ',') AS inner_ids,
            count(*) AS inner_total
          FROM m GROUP BY pid ORDER BY doc_id""",
+    "q_search_parent_id" ->
+      """SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS doc_id
+         FROM orders WHERE o_custkey = 42""",
     "q_search_has_parent" ->
       """SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS doc_id
          FROM orders JOIN customer ON o_custkey = c_custkey

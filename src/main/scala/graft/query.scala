@@ -1121,6 +1121,25 @@ object QueryCompiler {
       val body = n.get(op)
       op match {
         case "match_all" => lit(true)
+        case "match_none" => lit(false)
+        case "parent_id" =>
+          // {"parent_id": {"type": t, "id": v}} — children of ONE parent
+          // in the join-field model: a plain equality on the parent
+          // pointer (the type names the child relation; the single-index
+          // frame carries it in join_name). Declared columns: join_name /
+          // join_parent, same as has_child/has_parent.
+          val unknownPi = body.fieldNames.asScala.toSet -- Set("type", "id")
+          require(unknownPi.isEmpty,
+            s"unsupported parent_id option(s): ${unknownPi.mkString(", ")}")
+          val pit = Option(body.get("type")).filter(_.isTextual).map(_.asText)
+            .getOrElse(throw new IllegalArgumentException(
+              "parent_id needs 'type'"))
+          val piv = Option(body.get("id")).map(scalarOf)
+            .getOrElse(throw new IllegalArgumentException(
+              "parent_id needs 'id'"))
+          val pic = col("join_name") === pit && col("join_parent") === lit(piv)
+          if (scoring) leaves += leaf(pic, 1)
+          pic
         case "term" | "match" | "match_phrase" | "prefix" | "wildcard" =>
           val (f, vRaw) = singleField(body)
           // both forms: short scalar {"match":{"f":"x"}} and the long

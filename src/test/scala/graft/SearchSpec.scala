@@ -1087,6 +1087,20 @@ class SearchSpec extends AnyFunSuite {
       .getMessage.contains("share one field"))
   }
 
+  test("parent_id picks one parent's children; match_none matches nothing") {
+    val fam = Seq(
+      ("c1", "customer", null.asInstanceOf[String]),
+      ("o1", "order", "c1"), ("o2", "order", "c1"), ("o3", "order", "c2"))
+      .toDF("doc_id", "join_name", "join_parent")
+    val kids = Search.search(fam,
+      """{"query": {"parent_id": {"type": "order", "id": "c1"}}, "size": 10}""",
+      IndexConfig(), Seq("doc_id"))
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(kids == Set("o1", "o2"))
+    assert(Search.search(fam, """{"query": {"match_none": {}}}""",
+      IndexConfig(), Seq("doc_id")).count() == 0)
+  }
+
   test("hasChildInnerHits: capped sorted child ids and totals per parent") {
     val fam = Seq(
       ("c1", "customer", null.asInstanceOf[String], 0.0),

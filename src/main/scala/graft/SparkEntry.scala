@@ -2787,6 +2787,17 @@ object SparkEntry {
              "num_candidates": 100, "filter": {"term": {"label": 3}}}}""")
         .select(col("vec_id"), round(col("_score"), 4).as("_score"))
     }),
+    "q_search_knn_sim" -> ((s, dir) => {
+      // knn with the ES 8.8 similarity floor: only docs clearing the raw
+      // cosine threshold match at all (gates on similarity, not score)
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val qv = (0 until 64).map(i => (i % 5 - 2).toDouble).mkString(", ")
+      Search.knnSearch(emb,
+        s"""{"knn": {"field": "embedding", "query_vector": [$qv], "k": 50,
+             "similarity": 0.2}}""")
+        .select(col("vec_id"), round(col("_score"), 4).as("_score"))
+    }),
     "q_search_rescore" -> ((s, dir) => {
       // rescore: the top-20 'spark' window re-ranked by a 'streaming'
       // secondary query (total mode, rescore weight 2) — the expensive
@@ -5168,6 +5179,14 @@ object SparkEntry {
            FROM embeddings, q WHERE label = 3)
          SELECT vec_id, round(s, 4) AS _score FROM scored
          ORDER BY s DESC, vec_id LIMIT 10""",
+    "q_search_knn_sim" ->
+      """WITH q AS (SELECT [CAST(x % 5 - 2 AS DOUBLE) FOR x IN range(64)] AS qv),
+         scored AS (
+           SELECT vec_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv) AS c
+           FROM embeddings, q)
+         SELECT vec_id, round((1 + c) / 2, 4) AS _score FROM scored
+         WHERE c >= 0.2 ORDER BY c DESC, vec_id LIMIT 50""",
     "q_search_rescore" ->
       """WITH hits AS (
            SELECT doc_id, lower(text) AS lt FROM documents

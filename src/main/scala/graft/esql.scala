@@ -806,6 +806,9 @@ object Esql {
         case "TO_LONG" => arity(1); a(0).cast("long")
         case "TO_DOUBLE" => arity(1); a(0).cast("double")
         case "TO_STRING" => arity(1); a(0).cast("string")
+        case "TO_INTEGER" => arity(1); a(0).cast("int")
+        case "TO_BOOLEAN" => arity(1); a(0).cast("boolean")
+        case "TO_DATETIME" => arity(1); Tsx.ltz(a(0).cast("timestamp"))
         case "MV_COUNT" => arity(1); size(a(0))
         case "TRIM" => arity(1); trim(a(0))
         case "FLOOR" => arity(1); floor(a(0))

@@ -682,7 +682,8 @@ object Search {
     val kn = Option(root.get("knn")).filter(_.isObject)
       .getOrElse(throw new IllegalArgumentException("body needs a 'knn' object"))
     val unknownK = kn.fieldNames.asScala.toSet --
-      Set("field", "query_vector", "k", "num_candidates", "filter", "boost")
+      Set("field", "query_vector", "k", "num_candidates", "filter", "boost",
+        "similarity")
     require(unknownK.isEmpty,
       s"unsupported knn option(s): ${unknownK.mkString(", ")}")
     val field = Option(kn.get("field")).map(_.asText)
@@ -701,6 +702,12 @@ object Search {
         s"knn num_candidates must be >= k") // accepted no-op: exact scan
     }
     val knnBoost = Option(kn.get("boost")).map(_.asDouble).getOrElse(1.0)
+    // ES 8.8 `similarity`: the raw-cosine floor a doc must clear to match
+    // at all (independent of boost — it gates on similarity, not score)
+    val minSim = Option(kn.get("similarity")).map { n =>
+      require(n.isNumber, s"knn similarity must be a number, got: $n")
+      n.asDouble
+    }
     val pred = Option(kn.get("filter")).map { fq =>
       val w = mapper.createObjectNode()
       w.set[JsonNode]("query", fq)
@@ -709,11 +716,11 @@ object Search {
     // double-precision literal vector: engine-portable scores (and
     // vec_cosine mixes element types, so float corpus columns are fine)
     val qvCol = array(qv.map(lit): _*)
+    val cos = graft.functions.VecFunctions.vec_cosine(col(field), qvCol)
     val scored = docs.where(pred)
-      .withColumn("_score",
-        (lit(1.0) + graft.functions.VecFunctions.vec_cosine(col(field), qvCol)) / 2
-          * knnBoost)
+      .withColumn("_score", (lit(1.0) + cos) / 2 * knnBoost)
       .where(col("_score").isNotNull) // zero-norm vectors can't rank
+      .where(minSim.map(s => cos >= s).getOrElse(lit(true)))
     Option(root.get("query")) match {
       case None =>
         // ES: `size` (default k) caps the returned page; k caps the search

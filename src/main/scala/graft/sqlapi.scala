@@ -5,7 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.jdk.CollectionConverters._
 
-/** The Elasticsearch `_sql` endpoint analog.
+/** The Elasticsearch `_sql` endpoint analog (reference surface: the
+  * verbatim request pipe, reference ElasticIndex.java:663 — clients run
+  * SQL against the backing alias the same way they run DSL).
   *
   * ES SQL exposes indices as tables and runs ANSI-ish SQL with an optional
   * ES-DSL `filter` that is ANDed under every table reference, paged by

@@ -8,8 +8,9 @@ import scala.jdk.CollectionConverters._
 
 /** The Elasticsearch `_transform` API analog: continuous entity-centric
   * materialization, re-expressed as batch DataFrame transforms (the
-  * reference pipes any index-management call to ES verbatim; transforms
-  * are the summarize-an-index face of that surface).
+  * reference pipes any index-management call to ES verbatim — reference
+  * ElasticIndex.java:663; transforms are the summarize-an-index face of
+  * that surface).
   *
   *  - `pivot`: group-by + metric aggregations → one row per entity. In
   *    Spark this IS a hash aggregate with map-side partial combine; a

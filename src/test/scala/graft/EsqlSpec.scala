@@ -264,6 +264,12 @@ class EsqlSpec extends AnyFunSuite {
       "ROW a = 1 | EVAL l = SPLIT(\"4 1 3 2\", \" \"), m = MV_MEDIAN(l) | KEEP m",
       cat).collect().head.getDouble(0)
     assert(med == 2.5) // even size averages the two central values
+    val casts = Esql.run(
+      "ROW s = \"41\", b = \"true\", t = \"2024-05-06 07:08:09\" " +
+        "| EVAL i = TO_INTEGER(s), bb = TO_BOOLEAN(b), " +
+        "dt = DATE_EXTRACT(\"day_of_month\", TO_DATETIME(t)) | KEEP i, bb, dt",
+      cat).collect().head
+    assert(casts.getInt(0) == 41 && casts.getBoolean(1) && casts.getLong(2) == 6L)
     val dd = Esql.run(
       "ROW a = \"2024-01-01 00:00:00\", b = \"2024-01-03 12:00:00\" " +
         "| EVAL s = DATE_PARSE(\"yyyy-MM-dd HH:mm:ss\", a), " +

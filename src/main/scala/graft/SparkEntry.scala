@@ -2088,6 +2088,16 @@ object SparkEntry {
               {"shard_size": 100, "field": "source", "max_docs_per_value": 2},
             "aggs": {"langs": {"terms": {"field": "lang", "size": 20}}}}}}""")
     }),
+    "q_search_script" -> ((s, dir) => {
+      // the script FILTER: a painless-lite boolean over doc fields +
+      // params, folded into the scan
+      Search.search(tbl(s, dir, "events"),
+        """{"query": {"script": {"script": {
+              "source": "doc.value * 2 > params.floor && doc.event_type == params.t",
+              "params": {"floor": 150, "t": "purchase"}}}}, "size": 100000}""",
+        IndexConfig(), Seq("event_id"))
+        .select(col("event_id"))
+    }),
     "q_search_runtime_field" -> ((s, dir) => {
       // runtime_mappings: a query-time computed field (50-wide value
       // bucket) queried like a stored one — the script folds into the one
@@ -4549,6 +4559,9 @@ object SparkEntry {
          sample AS (SELECT doc_id, lang FROM pool ORDER BY doc_id LIMIT 100)
          SELECT lang AS key, count(*) AS doc_count FROM sample
          WHERE lang IS NOT NULL GROUP BY lang""",
+    "q_search_script" ->
+      """SELECT event_id FROM events
+         WHERE value * 2 > 150 AND event_type = 'purchase'""",
     "q_search_runtime_field" ->
       """WITH ev AS (SELECT event_id,
              CAST(value - value % 50 AS BIGINT) AS vb FROM events)

@@ -2066,6 +2066,63 @@ object QueryCompiler {
           if (scoring) leaves += when(coalesce(predSs, lit(false)), scriptScore)
             .otherwise(0L)
           predSs
+        case "script" =>
+          // {"script": {"script": {"source": "doc.f > 10 && …"[,
+          //  "params": {...}]}}} (or the short string form) — the
+          // painless-lite FILTER: the shared Script grammar over
+          // doc.<field> / params.<k> bindings; rows where the boolean
+          // expression holds match. A pure row predicate, so it folds
+          // into the scan like any other leaf (a non-boolean script fails
+          // analysis loud rather than coercing).
+          val unknownSq = body.fieldNames.asScala.toSet -- Set("script")
+          require(unknownSq.isEmpty,
+            s"unsupported script option(s): ${unknownSq.mkString(", ")}")
+          val sNode = Option(body.get("script"))
+            .getOrElse(throw new IllegalArgumentException(
+              "script query needs 'script'"))
+          val (src, paramsNode) =
+            if (sNode.isTextual) (sNode.asText, None)
+            else {
+              val unknownSs = sNode.fieldNames.asScala.toSet --
+                Set("source", "params", "lang")
+              require(unknownSs.isEmpty,
+                s"unsupported script option(s): ${unknownSs.mkString(", ")}")
+              Option(sNode.get("lang")).foreach(l => require(
+                l.isTextual && l.asText == "painless",
+                s"script lang must be painless, got: $l"))
+              (Option(sNode.get("source")).filter(_.isTextual).map(_.asText)
+                .getOrElse(throw new IllegalArgumentException(
+                  "script query needs 'source'")),
+                Option(sNode.get("params")))
+            }
+          val sqParams: Map[String, Column] = paramsNode.map { p =>
+            require(p.isObject, s"script params must be an object, got: $p")
+            p.fields.asScala.map { e =>
+              val v = e.getValue
+              val c =
+                if (v.isIntegralNumber) lit(v.asLong)
+                else if (v.isNumber) lit(v.asDouble)
+                else if (v.isTextual) lit(v.asText)
+                else throw new IllegalArgumentException(
+                  s"script param '${e.getKey}' must be a scalar, got: $v")
+              e.getKey -> c
+            }.toMap
+          }.getOrElse(Map.empty)
+          val sqIdents = "[A-Za-z_][A-Za-z0-9_.]*".r.findAllIn(src).toSet
+          val sqBinding: Map[String, Column] = sqIdents.iterator.map {
+            case id if id.startsWith("params.") =>
+              val k = id.stripPrefix("params.")
+              k -> sqParams.getOrElse(k, throw new IllegalArgumentException(
+                s"script query: param '$k' not declared in params"))
+            case id if id.startsWith("doc.") && id.length > 4 =>
+              id -> col(id.stripPrefix("doc."))
+            case id => throw new IllegalArgumentException(
+              s"script query: unbound identifier '$id' " +
+                "(doc.<field>, params.<declared> only)")
+          }.toMap
+          val sqc = Aggs.Script.compile(src, sqBinding, "script query")
+          if (scoring) leaves += leaf(sqc, 1)
+          sqc
         case "constant_score" =>
           // {"constant_score":{"filter":{...},"boost":N}} — the filter
           // matches or not; a matching row scores exactly `boost` for this

@@ -748,6 +748,23 @@ class QueryCompilerSpec extends AnyFunSuite {
       .getMessage.contains("declared subset"))
   }
 
+  test("script query: painless-lite filter over doc fields and params") {
+    import spark.implicits._
+    val docs = Seq(("1", 10L, "a"), ("2", 80L, "a"), ("3", 90L, "b"))
+      .toDF("doc_id", "n", "k")
+    def ids(q: String): Set[String] =
+      docs.where(QueryCompiler.compile(q, 100, "doc_id").predicate)
+        .collect().map(_.getString(0)).toSet
+    assert(ids("""{"query": {"script": {"script": {
+        "source": "doc.n + 5 > params.lo && doc.k == params.kk",
+        "params": {"lo": 50, "kk": "a"}}}}}""") == Set("2"))
+    // short string form; unbound identifiers loud
+    assert(ids("""{"query": {"script": {"script": "doc.n < 50"}}}""") == Set("1"))
+    assert(intercept[IllegalArgumentException](
+      ids("""{"query": {"script": {"script": "mystery > 1"}}}"""))
+      .getMessage.contains("unbound identifier"))
+  }
+
   test("term case_insensitive: lowercased compare; wildcard gates false") {
     import spark.implicits._
     val docs = Seq(("1", "EN"), ("2", "en"), ("3", "de"))

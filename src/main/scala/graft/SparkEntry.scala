@@ -3020,6 +3020,20 @@ object SparkEntry {
       TextStats.corpusStats(tbl(s, dir, "documents"), "text",
         dims = Seq("lang", "source"))
     }),
+    "q_dedup_bloom" -> ((s, dir) => {
+      // bloom-prefiltered incremental dedup: 50 content dups (re-keyed
+      // copies of corpus docs) + 100 new docs arrive; the sketch screens
+      // out definite-new rows before the exact anti-join — the result is
+      // exact regardless of bloom false positives
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.where(col("doc_id") < 400)
+      val incoming = docs.where(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + 10000)
+        .unionByName(docs.where(col("doc_id") >= 400))
+      pipeline.Dedup.bloomNewContent(corpus, incoming, "text", "doc_id",
+          expectedItems = 1000L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDeDup with the label column as the cluster assignment — the
       // within-cluster keep-lowest-id prune is exactly oracle-checkable
@@ -5425,6 +5439,18 @@ object SparkEntry {
            max(nt) AS max_tokens,
            count(DISTINCT lang) AS n_lang, count(DISTINCT source) AS n_source
          FROM t""",
+    "q_dedup_bloom" ->
+      """WITH corpus AS (
+           SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents WHERE doc_id < 400),
+         inc AS (
+           SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50
+           UNION ALL
+           SELECT doc_id, text FROM documents WHERE doc_id >= 400)
+         SELECT i.doc_id FROM inc i
+         WHERE NOT EXISTS (SELECT 1 FROM corpus c
+           WHERE c.fp = md5(lower(regexp_replace(trim(i.text), '\s+', ' ', 'g'))))
+         ORDER BY doc_id""",
     "q_dedup_semantic" ->
       """WITH e AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb

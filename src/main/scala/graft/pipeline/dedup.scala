@@ -561,6 +561,48 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Bloom-prefiltered incremental dedup — the 100 TB ingest shape. ONE
+    * compact bloom sketch builds over the existing corpus' content
+    * fingerprints (Spark's native `BloomFilterAggregate`, the same sketch
+    * its runtime row-level join filtering uses), rides to executors as a
+    * literal, and the codegen'd `might_contain` splits the incoming batch
+    * BEFORE any join: definite-new rows (~1−fpp of the genuinely new)
+    * skip the shuffle entirely; only might-contain candidates reach the
+    * exact fingerprint anti-join that removes bloom false positives. The
+    * returned new-content rows are EXACT — the bloom only ever
+    * over-admits, and the join corrects it. Sketch size is `numBits/8`
+    * bytes regardless of corpus size. */
+  def bloomNewContent(corpus: DataFrame, incoming: DataFrame,
+                      textCol: String, idCol: String,
+                      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    def fpHash(c: Column) = xxhash64(TextStats.fingerprint(c))
+    val sketchCol = Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          Bridge.expression(fpHash(col(textCol))), expectedItems)
+        .toAggregateExpression())
+    val sketch = corpus.agg(sketchCol.as("bf")).head.getAs[Array[Byte]](0)
+    // empty corpus → the aggregate yields null, and a null sketch would
+    // null-propagate through might_contain and drop EVERYTHING: nothing
+    // to collide with means every incoming row is new
+    if (sketch == null) return incoming
+    val mightContain = Bridge.column(
+      new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Bridge.expression(lit(sketch)),
+        Bridge.expression(fpHash(col(textCol)))))
+    val marked = incoming.withColumn("_bf_maybe", mightContain)
+    val definiteNew = marked.where(!col("_bf_maybe"))
+    val candidates = marked.where(col("_bf_maybe"))
+    val corpusFps = corpus
+      .select(TextStats.fingerprint(col(textCol)).as("_fp")).distinct()
+    val confirmedNew = candidates
+      .withColumn("_fp", TextStats.fingerprint(col(textCol)))
+      .join(corpusFps, Seq("_fp"), "left_anti")
+      .drop("_fp")
+    definiteNew.unionByName(confirmedNew).drop("_bf_maybe")
+  }
+
   /** SemDeDup (semantic dedup over embeddings, Abbas et al. 2023): cluster
     * the corpus, then WITHIN each cluster drop every vector that has a
     * lower-id neighbor above the cosine threshold (keep-lowest-id — the

@@ -367,6 +367,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L))) // only the near-parallel pair passes 0.5
   }
 
+  test("bloomNewContent: exact new set; normalization-equal dups drop") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("id", "text")
+    val incoming = Seq(
+      (10L, "alpha beta"),    // exact content dup
+      (11L, "ALPHA   beta "), // dup after fingerprint normalization
+      (12L, "epsilon zeta"))  // genuinely new
+      .toDF("id", "text")
+    val out = Dedup.bloomNewContent(corpus, incoming, "text", "id",
+        expectedItems = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(12L))
+    // empty corpus: the sketch admits nothing, everything is new
+    val empty = corpus.limit(0)
+    assert(Dedup.bloomNewContent(empty, incoming, "text", "id", 100L)
+      .count() == 3)
+  }
+
   test("semanticDedup: within-cluster keep-lowest-id, clusters never mix") {
     val df = Seq(
       (1L, 0, Seq(1.0f, 0.0f)),   // cluster 0 keeper

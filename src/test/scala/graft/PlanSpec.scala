@@ -269,6 +269,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("r8s2: bloom prefilter evaluates might_contain scan-side, no cartesian") {
+    val p = planOf("q_dedup_bloom")
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("r8s2: searchNamed flags ride the same scan — one FileScan only") {
     val p = planOf("q_search_named")
     val scans = "FileScan parquet".r.findAllIn(p).length

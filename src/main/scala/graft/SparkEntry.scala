@@ -193,6 +193,16 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(desc("_score"), col("doc_id"))
     }),
+    "q_search_mm_best" -> ((s, dir) => {
+      // multi_match type best_fields: per-field match dis_max'd — a doc
+      // strong in ONE field wins over a doc weak in both
+      Search.search(tbl(s, dir, "documents"),
+        """{"query": {"multi_match": {"query": "fast join",
+              "fields": ["text", "lang^2"], "type": "best_fields"}},
+            "size": 100000}""",
+        IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id"), col("_score"))
+    }),
     "q_search_proximity" -> ((s, dir) => {
       // R2: ordered proximity — "spark batch" within 2 interlopers scores 2
       // (boost), near "hash join" within 1 as an OR alternative
@@ -3466,6 +3476,19 @@ object SparkEntry {
          WHERE regexp_matches(lower(text), '\bspark\b')
             OR regexp_matches(lower(text), '\bbatch\b')
          ORDER BY _score DESC, doc_id""",
+    "q_search_mm_best" ->
+      """SELECT doc_id,
+           greatest(
+             (CASE WHEN regexp_matches(lower(text), '\bfast\b') THEN 1 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(text), '\bjoin\b') THEN 1 ELSE 0 END),
+             (CASE WHEN regexp_matches(lower(lang), '\bfast\b') THEN 2 ELSE 0 END
+              + CASE WHEN regexp_matches(lower(lang), '\bjoin\b') THEN 2 ELSE 0 END))
+             AS _score
+         FROM documents
+         WHERE regexp_matches(lower(text), '\bfast\b')
+            OR regexp_matches(lower(text), '\bjoin\b')
+            OR regexp_matches(lower(lang), '\bfast\b')
+            OR regexp_matches(lower(lang), '\bjoin\b')""",
     "q_search_proximity" ->
       """SELECT doc_id,
            (CASE WHEN regexp_matches(lower(text),

@@ -1709,7 +1709,7 @@ object QueryCompiler {
           // (`operator:"and"` requires all of them per field). Per-field
           // `^N` boosts apply; rejected keys (type, …) are loud.
           val unknown = body.fieldNames.asScala.toSet --
-            Set("query", "fields", "operator")
+            Set("query", "fields", "operator", "type")
           require(unknown.isEmpty,
             s"unsupported multi_match option(s): ${unknown.mkString(", ")}")
           val mmAnd = Option(body.get("operator")).map { n =>
@@ -1726,16 +1726,62 @@ object QueryCompiler {
             .getOrElse(throw new IllegalArgumentException("multi_match requires 'fields'"))
           require(fieldsNode.isArray && fieldsNode.size > 0,
             "multi_match expects a non-empty fields array")
-          val perField = fieldsNode.elements.asScala.toSeq.map { fn =>
+          val mmFields = fieldsNode.elements.asScala.toSeq.map { fn =>
             require(fn.isTextual, s"multi_match field must be a string, got: $fn")
-            val (f, b) = fieldBoost(fn.asText)
-            val toks = qv.asText.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
-            require(toks.nonEmpty, s"multi_match expects a non-empty string query")
-            val termCols = toks.map(t => termMatch(f, escapeTerm(t)))
-            (if (mmAnd) termCols.reduce(_ && _) else termCols.reduce(_ || _), b)
+            fieldBoost(fn.asText)
           }
-          if (scoring) leaves ++= perField.map { case (c, b) => leaf(c, b) }
-          perField.map(_._1).reduce(_ || _)
+          Option(body.get("type")).map(_.asText).getOrElse("most_fields") match {
+            case "most_fields" =>
+              // one scoring leaf per field, summed
+              val perField = mmFields.map { case (f, b) =>
+                val toks = qv.asText.split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+                require(toks.nonEmpty, s"multi_match expects a non-empty string query")
+                val termCols = toks.map(t => termMatch(f, escapeTerm(t)))
+                (if (mmAnd) termCols.reduce(_ && _) else termCols.reduce(_ || _), b)
+              }
+              if (scoring) leaves ++= perField.map { case (c, b) => leaf(c, b) }
+              perField.map(_._1).reduce(_ || _)
+            case "best_fields" =>
+              // ES semantics verbatim: dis_max over per-field match —
+              // rewrite and recurse, so scoring takes the max field
+              val dm = mapper.createObjectNode()
+              val arr = dm.putObject("dis_max").putArray("queries")
+              mmFields.foreach { case (f, b) =>
+                val m = arr.addObject().putObject("match").putObject(f)
+                m.put("query", qv.asText)
+                if (b != 1) m.put("boost", b)
+                if (mmAnd) m.put("operator", "and")
+              }
+              node(dm, leaves, scoring, idCol, defaultOr)
+            case "phrase" =>
+              // per-field match_phrase (contiguous tokens), best leaf wins
+              // via the same dis_max rewrite
+              val dm = mapper.createObjectNode()
+              val arr = dm.putObject("dis_max").putArray("queries")
+              mmFields.foreach { case (f, b) =>
+                val m = arr.addObject().putObject("match_phrase").putObject(f)
+                m.put("query", qv.asText)
+                if (b != 1) m.put("boost", b)
+              }
+              node(dm, leaves, scoring, idCol, defaultOr)
+            case "cross_fields" =>
+              // term-centric: each term matches in ANY field — exactly the
+              // combined_fields operator; per-field boosts are rejected
+              // there (term-centric weights must agree), surface that
+              require(mmFields.forall(_._2 == 1),
+                "multi_match cross_fields: per-field ^boosts unsupported " +
+                  "(term-centric weights must agree, like combined_fields)")
+              val cf = mapper.createObjectNode()
+              val b = cf.putObject("combined_fields")
+              b.put("query", qv.asText)
+              val fa = b.putArray("fields")
+              mmFields.foreach { case (f, _) => fa.add(f) }
+              if (mmAnd) b.put("operator", "and")
+              node(cf, leaves, scoring, idCol, defaultOr)
+            case other => throw new IllegalArgumentException(
+              s"multi_match type '$other' unsupported (most_fields/" +
+                "best_fields/phrase/cross_fields — declared subset)")
+          }
         case "simple_query_string" =>
           // {"simple_query_string":{"query":"a | b -c","fields":["f","g^2"],
           // "default_operator":"and"}} — the search-box mini-language (see

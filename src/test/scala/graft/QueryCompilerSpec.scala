@@ -374,8 +374,8 @@ class QueryCompilerSpec extends AnyFunSuite {
       """{"query":{"multi_match":{"query":"x"}}}""").isLeft)     // no fields
     assert(QueryCompiler.validate(
       """{"query":{"multi_match":{"query":"x","fields":[]}}}""").isLeft)
-    assert(QueryCompiler.validate(                               // unknown option
-      """{"query":{"multi_match":{"query":"x","fields":["a"],"type":"best_fields"}}}""").isLeft)
+    assert(QueryCompiler.validate(                               // unknown type
+      """{"query":{"multi_match":{"query":"x","fields":["a"],"type":"bool_prefix"}}}""").isLeft)
     // regexp: compile-time pattern validation, long form with boost
     assert(QueryCompiler.validate("""{"query":{"regexp":{"f":"src[0-9]+"}}}""").isRight)
     assert(QueryCompiler.validate(
@@ -746,6 +746,35 @@ class QueryCompilerSpec extends AnyFunSuite {
       """{"query": {"nested": {"path": "orders",
           "query": {"wildcard": {"orders.status": "F*"}}}}}"""))
       .getMessage.contains("declared subset"))
+  }
+
+  test("multi_match types: best_fields dis_max, phrase, cross_fields") {
+    import spark.implicits._
+    val docs = Seq(
+      ("1", "spark fast", "spark"),   // strong in both fields
+      ("2", "spark slow", "other"),   // text only
+      ("3", "nothing", "spark fast")) // tag only
+      .toDF("doc_id", "text", "tag")
+    def scored(q: String): Map[String, Long] = {
+      val c = QueryCompiler.compile(q, 100, "doc_id")
+      docs.where(c.predicate).withColumn("_s", c.score.cast("long"))
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    }
+    val best = scored("""{"query": {"multi_match": {"query": "spark fast",
+      "fields": ["text", "tag"], "type": "best_fields"}}}""")
+    // doc 1: max(text 2, tag 1) = 2; doc 2: 1; doc 3: max(0, 2) = 2
+    assert(best == Map("1" -> 2L, "2" -> 1L, "3" -> 2L))
+    val phrase = scored("""{"query": {"multi_match": {"query": "spark fast",
+      "fields": ["text", "tag"], "type": "phrase"}}}""")
+    assert(phrase.keySet == Set("1", "3")) // contiguous phrase only
+    val cross = scored("""{"query": {"multi_match": {"query": "spark fast",
+      "fields": ["text", "tag"], "type": "cross_fields",
+      "operator": "and"}}}""")
+    assert(cross.keySet == Set("1", "3")) // each term in ANY field
+    assert(intercept[IllegalArgumentException](
+      scored("""{"query": {"multi_match": {"query": "x",
+        "fields": ["a^2"], "type": "cross_fields"}}}"""))
+      .getMessage.contains("boosts unsupported"))
   }
 
   test("script query: painless-lite filter over doc fields and params") {

@@ -1105,6 +1105,15 @@ object SparkEntry {
         .select(col("key"), col("doc_count"), round(col("total"), 2).as("total"))
         .orderBy(col("key"))
     }),
+    "q_agg_missing" -> ((s, dir) => {
+      // the missing agg standalone: docs without the (synthetically
+      // nulled) field, one count row
+      val docs = tbl(s, dir, "documents").withColumn("lang_n",
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")))
+      Aggs.runSingle(docs,
+        """{"aggs": {"no_lang": {"missing": {"field": "lang_n"}}}}""")
+    }),
     "q_agg_terms_partition" -> ((s, dir) => {
       // terms partitioning: each term lands in exactly one hash
       // partition; the union of all partitions must equal the plain
@@ -3805,6 +3814,8 @@ object SparkEntry {
            FROM events)
          SELECT key, count(*) AS doc_count, round(sum(value), 2) AS total
          FROM b GROUP BY key ORDER BY key""",
+    "q_agg_missing" ->
+      """SELECT count(*) AS doc_count FROM documents WHERE doc_id % 7 = 0""",
     "q_agg_terms_partition" ->
       // union of the two hash partitions == the plain terms result:
       // disjointness + completeness in one hash compare

@@ -1764,6 +1764,19 @@ object QueryCompiler {
                 if (b != 1) m.put("boost", b)
               }
               node(dm, leaves, scoring, idCol, defaultOr)
+            case "bool_prefix" =>
+              // per-field match_bool_prefix (terms + trailing prefix),
+              // best field wins — the type-ahead multi-field form
+              val dm = mapper.createObjectNode()
+              val arr = dm.putObject("dis_max").putArray("queries")
+              mmFields.foreach { case (f, b) =>
+                val m = arr.addObject().putObject("match_bool_prefix")
+                  .putObject(f)
+                m.put("query", qv.asText)
+                if (b != 1) m.put("boost", b)
+                if (mmAnd) m.put("operator", "and")
+              }
+              node(dm, leaves, scoring, idCol, defaultOr)
             case "cross_fields" =>
               // term-centric: each term matches in ANY field — exactly the
               // combined_fields operator; per-field boosts are rejected

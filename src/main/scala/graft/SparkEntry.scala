@@ -2698,6 +2698,16 @@ object SparkEntry {
           "| SORT l_orderkey, l_returnflag",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_match" -> ((s, dir) => {
+      // ES|QL full-text functions: MATCH (analyzed OR terms) and QSTR
+      // (the Lucene-lite grammar) inside WHERE — same term pattern as
+      // the search compiler
+      Esql.run(
+        "FROM documents | WHERE MATCH(text, \"spark batch\") " +
+          "AND QSTR(\"lang:en OR lang:de\") " +
+          "| STATS n = COUNT(*) BY lang | SORT lang",
+        Map("documents" -> tbl(s, dir, "documents")))
+    }),
     "q_esql_stats_where" -> ((s, dir) => {
       // ES|QL 8.16 filtered aggregates: per-aggregate WHERE inside one
       // hash aggregate (null-skipping when(), no second scan)
@@ -5146,6 +5156,12 @@ object SparkEntry {
       """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
            count(*) AS n, round(sum(value), 2) AS v
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_esql_match" ->
+      """SELECT lang, count(*) AS n FROM documents
+         WHERE (regexp_matches(lower(text), '\bspark\b')
+             OR regexp_matches(lower(text), '\bbatch\b'))
+           AND (lang = 'en' OR lang = 'de')
+         GROUP BY lang ORDER BY lang""",
     "q_esql_stats_where" ->
       """SELECT l_returnflag, count(*) AS n,
            count(CASE WHEN l_quantity > 30 THEN 1 END) AS heavy,

@@ -997,6 +997,24 @@ object Esql {
             (shiftrightunsigned(net, 16) % 256L).cast("string"),
             (shiftrightunsigned(net, 8) % 256L).cast("string"),
             (net % 256L).cast("string")))
+        // ---- full text (ES|QL 8.17)
+        case "MATCH" =>
+          // MATCH(field, "query text") — match-query semantics: analyzed
+          // terms OR'd, evaluated with the SAME term pattern the search
+          // compiler uses (one definition of "term matches")
+          arity(2)
+          val mToks = litStr(argInfo(1)._2, "MATCH")
+            .split("[ \t\n\f\r]+").filter(_.nonEmpty).toSeq
+          require(mToks.nonEmpty, "MATCH needs a non-empty query string")
+          mToks.map(t => lower(a(0)).rlike(
+            QueryCompiler.termPattern(QueryCompiler.escapeTerm(t))))
+            .reduce(_ || _)
+        case "QSTR" =>
+          // QSTR("field:term AND other:x") — the full Lucene-lite grammar
+          // compiled to a predicate over this frame's columns
+          arity(1)
+          QueryCompiler.compile(litStr(argInfo(0)._2, "QSTR"),
+            Int.MaxValue).predicate
         // ---- hashes / encodings
         case "MD5" => arity(1); md5(a(0))
         case "SHA1" => arity(1); sha1(a(0))

@@ -279,6 +279,17 @@ class EsqlSpec extends AnyFunSuite {
     assert(dd.getLong(0) == 2L && dd.getLong(1) == 60L)
   }
 
+  test("MATCH and QSTR full-text functions in WHERE") {
+    val out = Esql.run(
+      "FROM docs | WHERE MATCH(text, \"alpha gamma\") | KEEP id | SORT id",
+      cat).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L)) // alpha in doc 1, gamma in doc 2
+    val q = Esql.run(
+      "FROM docs | WHERE QSTR(\"lang:de OR lang:fr\") | STATS c = COUNT(*)",
+      cat).collect().head.getLong(0)
+    assert(q == 2L)
+  }
+
   test("filtered aggregates: AGG(x) WHERE cond is per-aggregate") {
     val out = Esql.run(
       "FROM docs | STATS all = COUNT(*), en = COUNT(*) WHERE lang == \"en\", " +

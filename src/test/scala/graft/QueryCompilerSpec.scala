@@ -375,7 +375,7 @@ class QueryCompilerSpec extends AnyFunSuite {
     assert(QueryCompiler.validate(
       """{"query":{"multi_match":{"query":"x","fields":[]}}}""").isLeft)
     assert(QueryCompiler.validate(                               // unknown type
-      """{"query":{"multi_match":{"query":"x","fields":["a"],"type":"bool_prefix"}}}""").isLeft)
+      """{"query":{"multi_match":{"query":"x","fields":["a"],"type":"nope_fields"}}}""").isLeft)
     // regexp: compile-time pattern validation, long form with boost
     assert(QueryCompiler.validate("""{"query":{"regexp":{"f":"src[0-9]+"}}}""").isRight)
     assert(QueryCompiler.validate(

@@ -1074,6 +1074,16 @@ object SparkEntry {
         .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"),
           round(col("total_value"), 2).as("total_value"))
     }),
+    "q_agg_date_tz" -> ((s, dir) => {
+      // fixed 1d frames bucketed in UTC+05:00 with a +3h offset — the
+      // dashboard timezone shape; one anchor shift in exact long micros
+      Aggs.runSingle(tbl(s, dir, "events"),
+        """{"aggs": {"per_day": {"date_histogram": {"field": "ts",
+            "fixed_interval": "1d", "time_zone": "+05:00",
+            "offset": "+3h"}}}}""")
+        .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"))
+        .orderBy(col("key_us"))
+    }),
     "q_agg_terms_include" -> ((s, dir) => {
       // include regex + exclude shape the bucket key set before the scan
       Aggs.runSingle(tbl(s, dir, "documents"),
@@ -3794,6 +3804,13 @@ object SparkEntry {
          SELECT us - us % 21600000000 AS key_us, count(*) AS doc_count,
            round(sum(value), 2) AS total_value
          FROM ev GROUP BY 1 ORDER BY key_us""",
+    "q_agg_date_tz" ->
+      // anchor = offset − tz = 3h − 5h = −2h; shift, snap, unshift
+      """WITH ev AS (SELECT epoch_ns(ts) // 1000 AS us FROM events),
+         b AS (SELECT us + 7200000000 AS a FROM ev)
+         SELECT a - a % 86400000000 - 7200000000 AS key_us,
+           count(*) AS doc_count
+         FROM b GROUP BY 1 ORDER BY key_us""",
     "q_agg_terms_include" ->
       """SELECT lang AS key, count(*) AS doc_count
          FROM documents

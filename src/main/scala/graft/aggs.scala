@@ -406,7 +406,8 @@ object Aggs {
     "terms" -> Set("field", "size", "order", "min_doc_count", "include",
       "exclude", "missing", "shard_size", "show_term_doc_count_error"),
     "date_histogram" -> Set("field", "calendar_interval", "interval",
-      "fixed_interval", "min_doc_count", "extended_bounds"),
+      "fixed_interval", "min_doc_count", "extended_bounds", "offset",
+      "time_zone"),
     "histogram" -> Set("field", "interval", "min_doc_count", "extended_bounds",
       "offset"),
     "range" -> Set("field", "ranges"),
@@ -2049,6 +2050,33 @@ object Aggs {
     }
   }
 
+  /** An ES offset duration ("+3h" / "-30m" / "6h") in signed micros. */
+  private def signedDurationMicros(s: String, name: String): Long = {
+    val (sign, rest) =
+      if (s.startsWith("-")) (-1L, s.drop(1))
+      else if (s.startsWith("+")) (1L, s.drop(1))
+      else (1L, s)
+    sign * fixedIntervalMicros(rest, name)
+  }
+
+  /** A FIXED-offset time zone ("+02:00" / "-0530" / "Z" / "UTC") in
+    * micros east of UTC — named DST zones are out of the declared subset
+    * (they would un-fix a fixed frame width). */
+  private def fixedZoneMicros(z: String, name: String): Long = {
+    val m = "^([+-])(\\d{2}):?(\\d{2})$".r
+    z match {
+      case "Z" | "UTC" => 0L
+      case m(sg, hh, mm) =>
+        val v = hh.toLong * 3600000000L + mm.toLong * 60000000L
+        require(hh.toInt <= 18 && mm.toInt < 60,
+          s"date_histogram '$name': bad time_zone '$z'")
+        if (sg == "-") -v else v
+      case _ => throw new IllegalArgumentException(
+        s"date_histogram '$name': time_zone '$z' unsupported " +
+          "(fixed offsets ±HH:MM / Z only — declared subset)")
+    }
+  }
+
   /** The grouping key a bucket-agg spec derives (shared by [[one]]'s
     * groupBy path and [[topHits]]'s window path). */
   private def bucketKey(tpe: String, name: String, body: JsonNode): Column = {
@@ -2079,11 +2107,31 @@ object Aggs {
               s"date_histogram '$name': fixed_interval excludes calendar_interval")
             val us = fixedIntervalMicros(fi, name)
             val tsUs = Tsx.micros(col(fieldOf(body)))
+            // ES `offset` shifts bucket anchors by a signed duration;
+            // fixed-offset `time_zone` buckets in local time but reports
+            // UTC keys. Both are the same anchor shift with opposite
+            // signs: bucket = (t − a) − ((t − a) mod frame) + a where
+            // a = offset − tz. Declared subset: fixed-offset zones only
+            // (named DST zones would un-fix the frame width).
+            val offUs = Option(body.get("offset")).map(o =>
+              signedDurationMicros(o.asText, name)).getOrElse(0L)
+            val tzUs = Option(body.get("time_zone")).map(z =>
+              fixedZoneMicros(z.asText, name)).getOrElse(0L)
+            val anchor = offUs - tzUs
             // subtract-the-remainder instead of divide-multiply: stays in
             // exact long arithmetic end to end (a double division truncates
-            // wrong within half-ulp of frame boundaries)
-            timestamp_micros(tsUs - pmod(tsUs, lit(us)))
+            // wrong within half-ulp of frame boundaries); pmod keeps
+            // pre-anchor timestamps on the correct side
+            if (anchor == 0L) timestamp_micros(tsUs - pmod(tsUs, lit(us)))
+            else {
+              val shifted = tsUs - lit(anchor)
+              timestamp_micros(shifted - pmod(shifted, lit(us)) + lit(anchor))
+            }
           case None =>
+            require(!body.has("offset") && !body.has("time_zone"),
+              s"date_histogram '$name': offset/time_zone support " +
+                "fixed_interval only (calendar + zone is DST territory — " +
+                "declared subset)")
             val interval = Option(body.get("calendar_interval"))
               .orElse(Option(body.get("interval"))).map(_.asText)
               .getOrElse(throw new IllegalArgumentException(

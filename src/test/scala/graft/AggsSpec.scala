@@ -1038,6 +1038,34 @@ class AggsSpec extends AnyFunSuite {
       .getMessage.contains("bad mask"))
   }
 
+  test("date_histogram offset and fixed-offset time_zone shift anchors") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq((1L, ts("2024-01-01 01:00:00")), (2L, ts("2024-01-01 23:00:00")))
+      .toDF("doc_id", "ts")
+    def keys(body: String): Seq[Long] =
+      Aggs.runSingle(ev, body).orderBy("key")
+        .collect().map(r => r.getTimestamp(0).getTime * 1000L).toSeq
+    def us(s: String) = ts(s).getTime * 1000L
+    // UTC+02: 01:00 lands in local Jan 1, 23:00 in local Jan 2 — two
+    // buckets whose UTC keys start at 22:00 the previous day
+    assert(keys("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "fixed_interval": "1d", "time_zone": "+02:00"}}}}""")
+      == Seq(us("2023-12-31 22:00:00"), us("2024-01-01 22:00:00")))
+    // +6h offset: the 01:00 event belongs to the frame anchored at the
+    // PREVIOUS day's 06:00 (pmod keeps pre-anchor timestamps correct)
+    assert(keys("""{"aggs": {"d": {"date_histogram": {"field": "ts",
+        "fixed_interval": "1d", "offset": "+6h"}}}}""")
+      == Seq(us("2023-12-31 06:00:00"), us("2024-01-01 06:00:00")))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+          "calendar_interval": "day", "time_zone": "+02:00"}}}}"""))
+      .getMessage.contains("fixed_interval only"))
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(ev,
+      """{"aggs": {"d": {"date_histogram": {"field": "ts",
+          "fixed_interval": "1d", "time_zone": "CET"}}}}"""))
+      .getMessage.contains("fixed offsets"))
+  }
+
   test("ip_prefix: network snap, /len suffix, IPv4-only gate") {
     val ips = Seq((1L, "10.1.2.3"), (2L, "10.200.0.1"), (3L, "192.168.1.1"),
       (4L, null.asInstanceOf[String])).toDF("doc_id", "addr")

@@ -2708,6 +2708,20 @@ object SparkEntry {
           "| SORT l_orderkey, l_returnflag",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_top" -> ((s, dir) => {
+      // ES|QL 8.14+ aggregates: TOP (ordered multivalue), VALUES (sorted
+      // distinct), WEIGHTED_AVG — one hash aggregate, array outputs
+      // surfaced through the MV functions
+      Esql.run(
+        "FROM events | STATS top_u = TOP(user_id, 3, \"desc\"), " +
+          "vals = VALUES(event_type), " +
+          "wa = ROUND(WEIGHTED_AVG(value, user_id), 2), n = COUNT(*) " +
+          "BY band = TO_LONG(user_id % 3) " +
+          "| EVAL u1 = MV_FIRST(top_u), u3 = MV_LAST(top_u), " +
+          "u2 = MV_FIRST(MV_SLICE(top_u, 1, 1)), vj = MV_CONCAT(vals, \",\") " +
+          "| KEEP band, n, u1, u2, u3, vj, wa | SORT band",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
     "q_esql_match" -> ((s, dir) => {
       // ES|QL full-text functions: MATCH (analyzed OR terms) and QSTR
       // (the Lucene-lite grammar) inside WHERE — same term pattern as
@@ -5173,6 +5187,16 @@ object SparkEntry {
       """SELECT epoch_us(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS d,
            count(*) AS n, round(sum(value), 2) AS v
          FROM events GROUP BY 1 ORDER BY 1""",
+    "q_esql_top" ->
+      """WITH e AS (
+           SELECT user_id, event_type, value, user_id % 3 AS band FROM events)
+         SELECT band, count(*) AS n,
+           (list_sort(list(user_id), 'DESC'))[1] AS u1,
+           (list_sort(list(user_id), 'DESC'))[2] AS u2,
+           (list_sort(list(user_id), 'DESC'))[3] AS u3,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS vj,
+           round(sum(value * user_id) / sum(user_id), 2) AS wa
+         FROM e GROUP BY band ORDER BY band""",
     "q_esql_match" ->
       """SELECT lang, count(*) AS n FROM documents
          WHERE (regexp_matches(lower(text), '\bspark\b')

@@ -515,11 +515,13 @@ object Esql {
       val (aggSrc, filt) =
         if (wIdx < 0) (src, None)
         else (src.take(wIdx), Some(compile(src.drop(wIdx + 5))))
-      val hasAgg = "(?i)\\b(COUNT|COUNT_DISTINCT|SUM|AVG|MIN|MAX|MEDIAN|PERCENTILE)\\s*\\(".r
+      val hasAgg = ("(?i)\\b(COUNT|COUNT_DISTINCT|SUM|AVG|MIN|MAX|MEDIAN|" +
+        "PERCENTILE|TOP|VALUES|WEIGHTED_AVG)\\s*\\(").r
         .findFirstIn(aggSrc).isDefined
       require(hasAgg,
         s"STATS needs an aggregate call (COUNT, COUNT_DISTINCT, SUM, AVG, " +
-          s"MIN, MAX, MEDIAN, PERCENTILE), got: ${aggSrc.trim}")
+          s"MIN, MAX, MEDIAN, PERCENTILE, TOP, VALUES, WEIGHTED_AVG), " +
+          s"got: ${aggSrc.trim}")
       aggFilter.withValue(filt) {
         val (c, rest) = orE(tokenize(aggSrc), aggMode = true)
         require(rest.isEmpty, s"trailing tokens in aggregate: ${rest.mkString(" ")}")
@@ -549,7 +551,16 @@ object Esql {
         Some(max(flt(args(0))))
       case "MEDIAN" => require(args.length == 1, "MEDIAN expects one argument")
         Some(percentile(flt(args(0)), lit(0.5)))
-      case _ => None // PERCENTILE handled by its caller (literal percent)
+      case "VALUES" =>
+        // distinct group values as a multivalue — sorted for determinism
+        // (ES|QL leaves the order unspecified; a fixed order is a superset
+        // contract)
+        require(args.length == 1, "VALUES expects one argument")
+        Some(sort_array(collect_set(flt(args(0)))))
+      case "WEIGHTED_AVG" =>
+        require(args.length == 2, "WEIGHTED_AVG expects (value, weight)")
+        Some(sum(flt(args(0) * args(1))) / sum(flt(args(1))))
+      case _ => None // PERCENTILE/TOP handled by the caller (literal args)
     }
 
     def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -769,6 +780,19 @@ object Esql {
         aggCall(fn, a, star = false) match {
           case Some(c0) => return (c0, cur)
           case None =>
+        }
+        if (fn == "TOP") {
+          // TOP(field, limit, "asc"|"desc") — the first `limit` values in
+          // the given order as a multivalue (dups kept, like ES|QL)
+          arity(3)
+          val n = litInt(argInfo(1)._2, "TOP")
+          require(n >= 1, s"TOP limit must be >= 1, got $n")
+          val ord = litStr(argInfo(2)._2, "TOP").toLowerCase
+          require(ord == "asc" || ord == "desc",
+            s"TOP order must be asc or desc, got '$ord'")
+          return (slice(
+            sort_array(collect_list(flt(a(0))), asc = ord == "asc"),
+            1, n), cur)
         }
         if (fn == "PERCENTILE") {
           arity(2)

@@ -279,6 +279,22 @@ class EsqlSpec extends AnyFunSuite {
     assert(dd.getLong(0) == 2L && dd.getLong(1) == 60L)
   }
 
+  test("TOP, VALUES, WEIGHTED_AVG aggregates") {
+    val out = Esql.run(
+      "FROM docs | STATS t = TOP(n, 2, \"desc\"), vs = VALUES(lang), " +
+        "wa = WEIGHTED_AVG(v, n)",
+      cat).collect().head
+    assert(out.getSeq[Long](0) == Seq(40L, 30L))
+    assert(out.getSeq[String](1) == Seq("de", "en", "fr"))
+    // weighted avg of v by n: (10*1.5+20*2.5+30*3.5+40*4.5)/(100) = 3.5
+    assert(out.getDouble(2) == 3.5)
+    // filtered TOP composes with the per-aggregate WHERE
+    val ft = Esql.run(
+      "FROM docs | STATS t = TOP(n, 2, \"asc\") WHERE lang == \"en\"",
+      cat).collect().head.getSeq[Long](0)
+    assert(ft == Seq(10L, 20L))
+  }
+
   test("MATCH and QSTR full-text functions in WHERE") {
     val out = Esql.run(
       "FROM docs | WHERE MATCH(text, \"alpha gamma\") | KEEP id | SORT id",

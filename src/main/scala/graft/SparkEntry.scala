@@ -1405,6 +1405,18 @@ object SparkEntry {
         .select(col("key"), col("doc_count"), col("bg_count"),
           round(col("score"), 6).as("score"))
     }),
+    "q_agg_significant_bgf" -> ((s, dir) => {
+      // background_filter: distinctive langs of 'spark' docs vs the
+      // en/de/fr SUB-population, not the whole corpus
+      Aggs.runSingle(tbl(s, dir, "documents"),
+        """{"query": {"bool": {"must": [
+              {"match": {"text": "spark"}},
+              {"terms": {"lang": ["en", "de", "fr"]}}]}},
+            "aggs": {"sig": {"significant_terms": {"field": "lang",
+              "background_filter": {"terms": {"lang": ["en", "de", "fr"]}}}}}}""")
+        .select(col("key"), col("doc_count"), col("bg_count"),
+          round(col("score"), 6).as("score"))
+    }),
     "q_agg_significant_chi" -> ((s, dir) => {
       // the chi_square heuristic over the same foreground: textbook 2x2
       // statistic, integer-exact doubles end to end
@@ -4104,6 +4116,31 @@ object SparkEntry {
            SELECT count(*) AS fg_total FROM documents
            WHERE regexp_matches(lower(text), '\bspark\b') AND lang IS NOT NULL),
          bt AS (SELECT count(*) AS bg_total FROM documents WHERE lang IS NOT NULL),
+         s AS (
+           SELECT key, doc_count, bg_count,
+             (CAST(doc_count AS DOUBLE) / fg_total
+                - CAST(bg_count AS DOUBLE) / bg_total)
+               * ((CAST(doc_count AS DOUBLE) / fg_total)
+                  / (CAST(bg_count AS DOUBLE) / bg_total)) AS raw
+           FROM fg JOIN bg USING (key), ft, bt
+           WHERE CAST(doc_count AS DOUBLE) / fg_total
+               > CAST(bg_count AS DOUBLE) / bg_total)
+         SELECT key, doc_count, bg_count, round(raw, 6) AS score
+         FROM s ORDER BY raw DESC, key LIMIT 10""",
+    "q_agg_significant_bgf" ->
+      """WITH fg AS (
+           SELECT lang AS key, count(*) AS doc_count FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b')
+             AND lang IN ('en', 'de', 'fr') GROUP BY 1),
+         bg AS (
+           SELECT lang AS key, count(*) AS bg_count FROM documents
+           WHERE lang IN ('en', 'de', 'fr') GROUP BY 1),
+         ft AS (
+           SELECT count(*) AS fg_total FROM documents
+           WHERE regexp_matches(lower(text), '\bspark\b')
+             AND lang IN ('en', 'de', 'fr')),
+         bt AS (SELECT count(*) AS bg_total FROM documents
+                WHERE lang IN ('en', 'de', 'fr')),
          s AS (
            SELECT key, doc_count, bg_count,
              (CAST(doc_count AS DOUBLE) / fg_total

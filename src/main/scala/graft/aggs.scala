@@ -1032,19 +1032,26 @@ object Aggs {
   private def significantTerms(fg: DataFrame, bg: DataFrame, name: String,
                                body: JsonNode): DataFrame = {
     val unknownK = body.fieldNames.asScala.toSet --
-      Set("field", "size", "jlh", "chi_square")
+      Set("field", "size", "jlh", "chi_square", "background_filter")
     require(unknownK.isEmpty,
       s"unsupported significant_terms option(s) in '$name': ${unknownK.mkString(", ")}")
     val f = Option(body.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(
         s"significant_terms '$name' needs a 'field'"))
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
+    // ES background_filter: "distinctive vs WHICH population" — narrows
+    // the background set with a DSL clause (the caller keeps fg ⊆ bg,
+    // like ES expects; the inner count join drops strays either way)
+    val bgF = Option(body.get("background_filter")).map { fq =>
+      bg.where(QueryCompiler.compile(s"""{"query": ${fq.toString}}""",
+        Int.MaxValue, "doc_id").predicate)
+    }.getOrElse(bg)
     val fgCounts = fg.where(col(f).isNotNull)
       .groupBy(col(f).as("key")).agg(count(lit(1)).as("doc_count"))
-    val bgCounts = bg.where(col(f).isNotNull)
+    val bgCounts = bgF.where(col(f).isNotNull)
       .groupBy(col(f).as("key")).agg(count(lit(1)).as("bg_count"))
     val fgTotal = fg.where(col(f).isNotNull).agg(count(lit(1)).as("_fg_total"))
-    val bgTotal = bg.where(col(f).isNotNull).agg(count(lit(1)).as("_bg_total"))
+    val bgTotal = bgF.where(col(f).isNotNull).agg(count(lit(1)).as("_bg_total"))
     sigScored(fgCounts, bgCounts, fgTotal, bgTotal, size,
       sigHeuristic(name, body))
   }

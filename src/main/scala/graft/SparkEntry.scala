@@ -1804,6 +1804,15 @@ object SparkEntry {
           expr("CAST(floor(c_lon * 1e6) AS BIGINT)").as("lon_e6"),
           col("c_count"))
     }),
+    "q_agg_composite_geo" -> ((s, dir) => {
+      // composite with a geotile_grid source: tile-keyed rollup paging,
+      // same mercator math as the standalone agg
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Aggs.runSingle(pts,
+        """{"aggs": {"by": {"composite": {"size": 20, "sources": [
+            {"tile": {"geotile_grid": {"field": "loc", "precision": 3}}}]},
+          "aggs": {"n_docs": {"value_count": {"field": "doc_id"}}}}}}""")
+    }),
     "q_agg_geotile" -> ((s, dir) => {
       // web-mercator tile buckets at precision 3 (45-degree tiles)
       val pts = geoPoints(tbl(s, dir, "customer"))
@@ -4399,6 +4408,23 @@ object SparkEntry {
               CAST(floor(avg((c_custkey * 7) % 360 - 180) * 1e6) AS BIGINT) AS lon_e6,
               count(*) AS c_count
          FROM customer""",
+    "q_agg_composite_geo" ->
+      """WITH pts AS (
+           SELECT CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer),
+         cl AS (SELECT greatest(least(lat, 85.05112878), -85.05112878) AS latc,
+                       lon FROM pts),
+         t AS (SELECT
+           CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8.0), 0.0), 7.0)
+             AS BIGINT) AS x,
+           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc))
+               + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 8.0), 0.0), 7.0)
+             AS BIGINT) AS y
+           FROM cl)
+         SELECT '3/' || x || '/' || y AS tile, count(*) AS doc_count,
+           count(*) AS n_docs
+         FROM t GROUP BY 1 ORDER BY tile LIMIT 20""",
     "q_agg_geotile" ->
       // the web-mercator projection verbatim, lat clipped to ES's bound
       """WITH pts AS (

@@ -1788,9 +1788,33 @@ object Aggs {
                   "fixed_interval or calendar_interval"))
             val us = Tsx.micros(col(f))
             (srcName, us - pmod(us, lit(ivUs)), col(f).isNotNull)
+          case "geotile_grid" =>
+            // the geotile_grid key math as a paging source: "z/x/y" keys
+            // (web-mercator tiles, ES mercator lat clip — same formula as
+            // the standalone agg so keys agree across both surfaces)
+            val f = fieldOf2
+            val z = Option(body2.get("precision")).map { n =>
+              require(n.isIntegralNumber && n.asInt >= 0 && n.asInt <= 29,
+                s"composite source '$srcName' precision must be 0..29")
+              n.asInt
+            }.getOrElse(7)
+            val tiles = lit((1L << z).toDouble)
+            val maxMercLat = 85.05112878
+            val latClip = greatest(least(col(f).getField("lat"),
+              lit(maxMercLat)), lit(-maxMercLat))
+            val latR = radians(latClip)
+            val xRaw = floor((col(f).getField("lon") + lit(180.0)) /
+              lit(360.0) * tiles)
+            val yRaw = floor((lit(1.0) -
+              log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) /
+              lit(2.0) * tiles)
+            val xT = least(greatest(xRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
+            val yT = least(greatest(yRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
+            (srcName, concat_ws("/", lit(z.toString), xT, yT),
+              col(f).isNotNull)
           case other => throw new IllegalArgumentException(
             s"composite source '$srcName': unsupported type '$other' " +
-              "(terms/histogram/date_histogram)")
+              "(terms/histogram/date_histogram/geotile_grid)")
         }
       }
     require(sources.nonEmpty, s"composite '$name' has no sources")

@@ -861,8 +861,26 @@ object Esql {
         case "TO_UNIX_MICROS" => arity(1); Tsx.micros(a(0))
         case "BUCKET" =>
           // numeric span bucketing: floor(x / span) * span (the ES|QL
-          // numeric BUCKET form; date bucketing is DATE_TRUNC)
-          arity(2); floor(a(0) / a(1)) * a(1)
+          // numeric BUCKET form; date bucketing is DATE_TRUNC). The
+          // 4-arg target-count form BUCKET(x, count, min, max) uses the
+          // EXACT span (max−min)/count — DECLARED DIVERGENCE from ES|QL's
+          // human-friendly width rounding, which is presentation sugar.
+          require(a.length == 2 || a.length == 4,
+            "BUCKET expects (x, span) or (x, count, min, max)")
+          if (a.length == 2) floor(a(0) / a(1)) * a(1)
+          else {
+            def num(i: Int): Double = argInfo(i)._2 match {
+              case Some(l: Long) => l.toDouble
+              case Some(d: Double) => d
+              case other => throw new IllegalArgumentException(
+                s"BUCKET needs literal count/min/max, got: $other")
+            }
+            val (n, lo, hi) = (num(1), num(2), num(3))
+            require(n >= 1 && hi > lo,
+              s"BUCKET: count >= 1 and max > min required")
+            val span = (hi - lo) / n
+            floor((a(0) - lo) / span) * span + lo
+          }
         // ---- math
         case "POW" => arity(2); pow(a(0), a(1))
         case "SQRT" => arity(1); sqrt(a(0))

@@ -279,6 +279,17 @@ class EsqlSpec extends AnyFunSuite {
     assert(dd.getLong(0) == 2L && dd.getLong(1) == 60L)
   }
 
+  test("BUCKET 4-arg target-count form") {
+    val by = Esql.run(
+      "FROM docs | STATS c = COUNT(*) BY b = BUCKET(n, 4, 0, 40) | SORT b",
+      cat).collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // span (40-0)/4 = 10: n=10→10, 20→20, 30→30, 40→40 (floor boundary)
+    assert(by == Seq((10.0, 1L), (20.0, 1L), (30.0, 1L), (40.0, 1L)))
+    assert(intercept[IllegalArgumentException](Esql.run(
+      "FROM docs | STATS c = COUNT(*) BY b = BUCKET(n, 4, 40, 0)", cat))
+      .getMessage.contains("max > min"))
+  }
+
   test("TOP, VALUES, WEIGHTED_AVG aggregates") {
     val out = Esql.run(
       "FROM docs | STATS t = TOP(n, 2, \"desc\"), vs = VALUES(lang), " +

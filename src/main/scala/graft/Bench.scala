@@ -131,7 +131,11 @@ object Bench {
         "q_esql_sample", "q_esql_change_point", "q_esql_row", "q_esql_mv",
         "q_esql_dates", "q_quality_gopher", "q_quality_c4", "q_filter_url",
         "q_text_normalize", "q_corpus_stats", "q_dedup_semantic",
-        "q_dedup_semantic_kmeans", "q_sql", "q_sql_join")
+        "q_dedup_semantic_kmeans", "q_sql", "q_sql_join",
+        // r8 third session
+        "q_agg_time_series", "q_agg_geohex", "q_search_mvt_hits",
+        "q_search_mvt_grid", "q_upsert_versioned", "q_upsert_cas",
+        "q_upsert_scripted", "q_admin_search_shards", "q_train_shuffle")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

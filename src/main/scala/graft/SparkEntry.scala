@@ -3385,6 +3385,95 @@ object SparkEntry {
       Curate.packSequences(tbl(s, dir, "documents"), "doc_id", "source", "text",
           budgetTokens = 500L)
         .orderBy(col("source"), col("doc_id"))
+    }),
+    "q_agg_time_series" -> ((s, dir) => {
+      // TSDB time_series agg: one bucket per (event_type, host) series
+      // with doc_count + an exact metric; dimensions carried in the body
+      // (mapping-free analog of time_series_dimension fields)
+      val ev = tbl(s, dir, "events").select(col("event_id").as("doc_id"),
+        col("event_type"), (col("user_id") % 7).as("host"), col("value"))
+      Aggs.runSingle(ev,
+        """{"aggs": {"series": {"time_series": {"dimensions":
+            ["event_type", "host"], "size": 100},
+          "aggs": {"max_v": {"max": {"field": "value"}}}}}}""")
+    }),
+    "q_agg_geohex" -> ((s, dir) => {
+      // hex-grid buckets at precision 2 (11.25-degree circumradius cells);
+      // flat axial lattice keys "z/q/r" — declared H3 divergence
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Aggs.runSingle(pts,
+        """{"aggs": {"hex": {"geohex_grid": {"field": "loc", "precision": 2}}}}""")
+    }),
+    "q_search_mvt_hits" -> ((s, dir) => {
+      // _mvt hits layer for tile z=2/x=2/y=1: in-tile docs with integer
+      // pixel positions in the 4096-extent MVT grid
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.mvtHits(pts, "loc", 2, 2, 1)
+        .select(col("doc_id"), col("px"), col("py"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_search_mvt_grid" -> ((s, dir) => {
+      // _mvt aggs layer: the same tile bucketed on the 2^8×2^8 MVT cell
+      // grid (16-pixel cells), doc_count per non-empty cell
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.mvtGrid(pts, "loc", 2, 2, 1)
+    }),
+    "q_upsert_versioned" -> ((s, dir) => {
+      // ES external versioning (version = event_id): the update batch
+      // applies only above the stored version — the survivor is the
+      // overall-latest row per user
+      val ev = tbl(s, dir, "events")
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val before = ev.where(col("ts") < cutoff)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val after = ev.where(col("ts") >= cutoff)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val existing = Indexer.latestPerKey(before, "user_id", Seq("event_id"))
+      Indexer.upsertVersioned(existing, after, "user_id", "event_id", "external")
+        .orderBy(col("user_id"))
+    }),
+    "q_upsert_cas" -> ((s, dir) => {
+      // ES if_seq_no compare-and-set: per-user stored seq = count of
+      // before-cutoff events; the update carries its own seq (count of
+      // after-cutoff events) and applies only on exact match, bumping the
+      // stored seq by one — the miss rows keep the store untouched
+      val ev = tbl(s, dir, "events")
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val store = ev.where(col("ts") < cutoff).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("seq"), min(col("event_type")).as("etype"))
+      val batch = ev.where(col("ts") >= cutoff).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("seq"), max(col("event_type")).as("etype"))
+      Indexer.upsertVersioned(store, batch, "user_id", "seq", "cas")
+        .orderBy(col("user_id"))
+    }),
+    "q_upsert_scripted" -> ((s, dir) => {
+      // ES scripted_upsert counter pattern: cnt += params.cnt on update,
+      // script over the upsert default (0) for fresh keys; the unscripted
+      // tag column field-merges (absent from the batch → kept)
+      val ev = tbl(s, dir, "events")
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val store = ev.where(col("ts") < cutoff).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_type")).as("tag"))
+      val batch = ev.where(col("ts") >= cutoff).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      Indexer.scriptedUpsert(store, batch, "user_id",
+          scripts = Map("cnt" -> "ctx.cnt + params.cnt"),
+          upsertDefaults = Map("cnt" -> 0L))
+        .orderBy(col("user_id"))
+    }),
+    "q_admin_search_shards" -> ((s, dir) => {
+      // _search_shards routing table: 8 disjoint complete signed-64 token
+      // ranges (pure metadata — no scan)
+      Admin.searchShards(s, 8)
+    }),
+    "q_train_shuffle" -> ((s, dir) => {
+      // deterministic global shuffle: order = md5(id ‖ seed), realized as
+      // a range exchange + in-partition sort (plan-shape spec'd — never a
+      // single-partition sort or window)
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      pipeline.Sampling.globalShuffle(docs, Seq("doc_id"), seed = 42L,
+          numPartitions = 8)
+        .select(col("doc_id"), col("shuffle_key"))
     })
   )
 
@@ -6509,7 +6598,114 @@ object SparkEntry {
            CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
              / CAST(500 AS DOUBLE)) AS BIGINT) AS shard
-         FROM t ORDER BY source, doc_id"""
+         FROM t ORDER BY source, doc_id""",
+    "q_agg_time_series" ->
+      """SELECT event_type, user_id % 7 AS host, count(*) AS doc_count,
+           max(value) AS max_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 100""",
+    "q_agg_geohex" ->
+      // the flat axial hex lattice verbatim: pointy-top axial coords over
+      // the lon/lat plane, cube rounding via floor(v+0.5)
+      """WITH pts AS (
+           SELECT CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer),
+         h AS (SELECT
+           (sqrt(3.0) / 3.0 * lon - lat / 3.0) / 11.25 AS qf,
+           lat * 2.0 / 3.0 / 11.25 AS rf FROM pts),
+         r0 AS (SELECT qf, rf,
+           CAST(floor(qf + 0.5) AS BIGINT) AS rx0,
+           CAST(floor(rf + 0.5) AS BIGINT) AS rz0,
+           CAST(floor(-qf - rf + 0.5) AS BIGINT) AS ry0 FROM h),
+         fx AS (SELECT rx0, rz0, ry0,
+           abs(rx0 - qf) AS dx, abs(ry0 + qf + rf) AS dy,
+           abs(rz0 - rf) AS dz FROM r0),
+         k AS (SELECT
+           CASE WHEN dx > dy AND dx > dz THEN -ry0 - rz0 ELSE rx0 END AS hq,
+           CASE WHEN NOT (dx > dy AND dx > dz) AND dz >= dy
+                THEN -rx0 - ry0 ELSE rz0 END AS hr
+          FROM fx)
+         SELECT '2/' || hq || '/' || hr AS key, count(*) AS doc_count
+         FROM k GROUP BY 1 ORDER BY doc_count DESC, key""",
+    "q_search_mvt_hits" ->
+      // world pixel span at z=2 with extent 4096 = 16384; tile (2,1)
+      // origin = (8192, 4096)
+      """WITH pts AS (
+           SELECT c_custkey AS doc_id,
+                  CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer),
+         cl AS (SELECT doc_id, lon,
+                  greatest(least(lat, 85.05112878), -85.05112878) AS latc
+                FROM pts),
+         g AS (SELECT doc_id,
+           CAST(floor((lon + 180.0) / 360.0 * 16384.0) AS BIGINT) - 8192 AS px,
+           CAST(floor((1.0 - ln(tan(radians(latc))
+               + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 16384.0)
+             AS BIGINT) - 4096 AS py
+          FROM cl)
+         SELECT doc_id, px, py FROM g
+         WHERE px >= 0 AND px < 4096 AND py >= 0 AND py < 4096
+         ORDER BY doc_id""",
+    "q_search_mvt_grid" ->
+      """WITH pts AS (
+           SELECT CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer),
+         cl AS (SELECT lon,
+                  greatest(least(lat, 85.05112878), -85.05112878) AS latc
+                FROM pts),
+         g AS (SELECT
+           CAST(floor((lon + 180.0) / 360.0 * 16384.0) AS BIGINT) - 8192 AS px,
+           CAST(floor((1.0 - ln(tan(radians(latc))
+               + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 16384.0)
+             AS BIGINT) - 4096 AS py
+          FROM cl),
+         h AS (SELECT px, py FROM g
+               WHERE px >= 0 AND px < 4096 AND py >= 0 AND py < 4096)
+         SELECT CAST(floor(px / 16.0) AS BIGINT) || '/' ||
+                CAST(floor(py / 16.0) AS BIGINT) AS cell,
+           count(*) AS doc_count
+         FROM h GROUP BY 1 ORDER BY doc_count DESC, cell""",
+    "q_upsert_versioned" ->
+      // external versioning with version=event_id → the overall-latest
+      // row per user survives
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC)
+               AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q_upsert_cas" ->
+      """WITH a AS (SELECT user_id, count(*) AS seq, min(event_type) AS etype
+                    FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+            b AS (SELECT user_id, count(*) AS seq, max(event_type) AS etype
+                  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1)
+         SELECT a.user_id AS user_id,
+           CASE WHEN b.seq = a.seq THEN a.seq + 1 ELSE a.seq END AS seq,
+           CASE WHEN b.seq = a.seq THEN b.etype ELSE a.etype END AS etype
+         FROM a LEFT JOIN b ON a.user_id = b.user_id ORDER BY user_id""",
+    "q_upsert_scripted" ->
+      """WITH a AS (SELECT user_id, count(*) AS cnt, min(event_type) AS tag
+                    FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+            b AS (SELECT user_id, count(*) AS cnt
+                  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1)
+         SELECT user_id, COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt,
+           a.tag AS tag
+         FROM a FULL JOIN b USING (user_id) ORDER BY user_id""",
+    "q_admin_search_shards" ->
+      // 2^64 / 8 = 2305843009213693952
+      """SELECT CAST(i AS INTEGER) AS shard,
+           CAST(-9223372036854775808
+             + CAST(i AS HUGEINT) * 2305843009213693952 AS BIGINT)
+             AS token_start,
+           CAST(CASE WHEN i = 7 THEN 9223372036854775807
+                ELSE -9223372036854775808
+                  + CAST(i + 1 AS HUGEINT) * 2305843009213693952 - 1
+                END AS BIGINT) AS token_end
+         FROM generate_series(0, 7) AS t(i) ORDER BY shard""",
+    "q_train_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '42') AS shuffle_key
+         FROM documents ORDER BY shuffle_key"""
     // rows-only (genuinely approximate or non-SQL): q_dedup_simhash
     // (xxhash64 signature), q_similarity_ivf (IVF recall < 1 — honest
     // approximation; its exhaustive twin q_similarity_ivf_exact IS oracled),

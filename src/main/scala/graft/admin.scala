@@ -75,6 +75,26 @@ object Admin {
     }
   }
 
+  /** ES `_search_shards` analog: the deterministic token ring behind the
+    * shard filter ([[Indexer.shardFilter]] hashes pks into `nShards`
+    * slots; the reference walks real Cassandra token ranges for the same
+    * purpose — EsSecondaryIndex.java:490-504). One row per shard with its
+    * signed-64 token range: disjoint, complete, reproducible — the
+    * routing table a coordinator needs to fan a query out with no overlap
+    * and no gap. Pure metadata (N driver-built rows), no data scan. */
+  def searchShards(spark: SparkSession, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import spark.implicits._
+    val span = BigInt(2).pow(64) / nShards
+    val min = BigInt(Long.MinValue)
+    (0 until nShards).map { i =>
+      val start = min + span * i
+      val end = if (i == nShards - 1) BigInt(Long.MaxValue)
+                else min + span * (i + 1) - 1
+      (i, start.toLong, end.toLong)
+    }.toDF("shard", "token_start", "token_end")
+  }
+
   private implicit class IterShim[A](it: java.util.Iterator[A]) {
     def asScalaIterator: Iterator[A] = {
       import scala.jdk.CollectionConverters._

@@ -416,7 +416,9 @@ object Aggs {
       "append_prefix_length"),
     "date_range" -> Set("field", "ranges"),
     "rare_terms" -> Set("field", "max_doc_count", "missing"),
-    "multi_terms" -> Set("terms", "size"))
+    "multi_terms" -> Set("terms", "size"),
+    "time_series" -> Set("dimensions", "size"),
+    "geohex_grid" -> Set("field", "precision", "size"))
 
   private def one(docs: DataFrame, name: String, spec: JsonNode,
                   background: DataFrame, idCol: String = "doc_id"): DataFrame = {
@@ -784,6 +786,78 @@ object Aggs {
         val gKey = concat_ws("/", lit(z.toString), xT, yT)
         bucketed(docs.where(col(gf).isNotNull), gKey, subAggs, name)
           .orderBy(desc("doc_count"), asc("key")).limit(gSize)
+      case "geohex_grid" =>
+        // {"geohex_grid": {"field": f, "precision": z, "size": n}} — ES's
+        // hexagonal grid buckets (8.1+). DECLARED DIVERGENCE: ES keys are
+        // H3 cell ids (icosahedral projection, aperture-7 hierarchy); this
+        // engine buckets on a flat axial hex lattice over the lon/lat plane
+        // (pointy-top hexes, circumradius 45/2^z degrees) keyed "z/q/r" —
+        // the contract callers rely on (every point in exactly one
+        // roughly-equal hex cell, deterministic across runs, finer with
+        // rising precision) holds; the cell ids are this engine's, not
+        // H3's. Same plan as geotile: codegen'd double math for the key,
+        // one hash aggregate, count-desc/key-asc, size cap. The cube-round
+        // step uses floor(v+0.5) (not half-even round) so an external
+        // checker reproduces it with plain SQL.
+        val hf = Option(body.get("field")).filter(_.isTextual).map(_.asText)
+          .getOrElse(throw new IllegalArgumentException(
+            s"geohex_grid '$name' needs a 'field'"))
+        val hz = Option(body.get("precision")).map { n =>
+          require(n.isIntegralNumber && n.asInt >= 0 && n.asInt <= 15,
+            s"geohex_grid '$name' precision must be 0..15, got: $n")
+          n.asInt
+        }.getOrElse(6)
+        val hSize = Option(body.get("size")).map(_.asInt).getOrElse(10000)
+        require(hSize >= 1, s"geohex_grid '$name' size must be >= 1")
+        val hexS = 45.0 / math.pow(2.0, hz) // exact: 45 / power of two
+        val lonH = col(hf).getField("lon")
+        val latH = col(hf).getField("lat")
+        // pointy-top axial coords, then cube rounding (Red Blob Games'
+        // textbook hex-rounding, re-expressed as columns)
+        val qf = (sqrt(lit(3.0)) / lit(3.0) * lonH - latH / lit(3.0)) / lit(hexS)
+        val rf = latH * lit(2.0) / lit(3.0) / lit(hexS)
+        val rx0 = floor(qf + lit(0.5))            // bigint in Spark & oracle
+        val rz0 = floor(rf + lit(0.5))
+        val ry0 = floor(-qf - rf + lit(0.5))
+        val dx = abs(rx0 - qf)
+        val dy = abs(ry0 + qf + rf)               // |ry0 - (-q-r)|
+        val dz = abs(rz0 - rf)
+        val fixQ = dx > dy && dx > dz
+        val hq = when(fixQ, -ry0 - rz0).otherwise(rx0)
+        val hr = when(!fixQ && dz >= dy, -rx0 - ry0).otherwise(rz0)
+        val hKey = concat_ws("/", lit(hz.toString), hq, hr)
+        bucketed(docs.where(col(hf).isNotNull), hKey, subAggs, name)
+          .orderBy(desc("doc_count"), asc("key")).limit(hSize)
+      case "time_series" =>
+        // ES TSDB `time_series` agg: one bucket per time series, i.e. per
+        // distinct dimension-field tuple (_tsid). DECLARED DIVERGENCE:
+        // ES derives the dimension set from index-mapping flags
+        // (time_series_dimension: true); this mapping-free engine carries
+        // it in the body as `dimensions: [f1, f2]`. Output one column per
+        // dimension (the flat analog of ES's keyed tsid) + doc_count +
+        // metric sub-aggs — one hash aggregate, buckets ordered by the
+        // dimension tuple ascending (ES's tsid order), size-capped
+        // (ES default 10000). Rows with a null dimension belong to no
+        // series and drop, as in ES.
+        val dimsArr = Option(body.get("dimensions")).filter(_.isArray)
+          .getOrElse(throw new IllegalArgumentException(
+            s"time_series '$name' needs a 'dimensions' array " +
+              "(mapping-free analog of time_series_dimension fields)"))
+        val dims = dimsArr.elements.asScala.toSeq.map { d =>
+          require(d.isTextual, s"time_series '$name' dimensions must be field names")
+          d.asText
+        }
+        require(dims.nonEmpty, s"time_series '$name' needs at least one dimension")
+        val tsSize = Option(body.get("size")).map(_.asInt).getOrElse(10000)
+        require(tsSize >= 1, s"time_series '$name' size must be >= 1")
+        val tsMetrics = subAggMetricCols(subAggs, name, Set.empty)
+        val tsAggCols = count(lit(1)).as("doc_count") +: tsMetrics
+        val tsNonNull = dims.map(col(_).isNotNull).reduce(_ && _)
+        docs.where(tsNonNull)
+          .groupBy(dims.map(col): _*)
+          .agg(tsAggCols.head, tsAggCols.tail: _*)
+          .orderBy(dims.map(asc): _*)
+          .limit(tsSize)
       case "categorize_text" =>
         // ES ML log-pattern categorization. DECLARED deterministic analog:
         // the category key is the doc's token-prefix signature — lowercase,

@@ -200,6 +200,106 @@ object Indexer {
     }
   }
 
+  /** ES optimistic concurrency, batch-shaped: gate an update batch against
+    * the stored doc's version before applying it (conflicting updates are
+    * the rows ES answers 409 for — here they silently drop, the bulk-API
+    * `conflicts: proceed` behavior the reference always uses for its
+    * delete/update flows).
+    *
+    *  - `external` mode (ES `version_type=external`, the reference's own
+    *    writetime-based LWW is the same idea — ElasticIndex.java:130 sends
+    *    the Cassandra writetime as the doc version): an update applies iff
+    *    its version strictly exceeds the stored one, or the doc is absent;
+    *    the update's version is stored.
+    *  - `cas` mode (ES `if_seq_no`): an update applies iff the version it
+    *    carries EQUALS the stored one (compare-and-set; a miss means a
+    *    concurrent writer won); the stored version then bumps by one, as
+    *    ES bumps `_seq_no` on every write. Absent docs reject (no seq to
+    *    match).
+    *
+    * Accepted updates replace the doc wholesale (index action). Plan: the
+    * store is scanned once for the version gate (key+version columns only
+    * cross that join — broadcast/AQE-sized) and once for the anti-join by
+    * key; the wide store rows are never shuffled. */
+  def upsertVersioned(existing: DataFrame, updates: DataFrame, keyCol: String,
+                      versionCol: String, mode: String = "external",
+                      cfg: IndexConfig = IndexConfig()): DataFrame = {
+    require(mode == "external" || mode == "cas",
+      s"upsertVersioned mode must be external or cas, got '$mode'")
+    if (cfg.dummy) return existing
+    val batch = latestPerKey(updates, keyCol, Seq(versionCol))
+    val stored = existing.select(col(keyCol), col(versionCol).as("_cur"))
+    val joined = batch.join(stored, Seq(keyCol), "left")
+    val accepted = (mode match {
+      case "external" => joined.where(col("_cur").isNull ||
+        col(versionCol) > col("_cur"))
+      case "cas" => joined
+        .where(col("_cur").isNotNull && col(versionCol) === col("_cur"))
+        .withColumn(versionCol, col("_cur") + lit(1L))
+    }).select(batch.columns.toSeq.map(col): _*)
+    existing.join(accepted.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(accepted.select(existing.columns.toSeq.map(col): _*))
+  }
+
+  /** ES `scripted_upsert`: the update script computes the new doc from the
+    * stored one (`ctx.<field>`) and the request params (`params.<field>`,
+    * bound to the update row's columns); when the doc is absent the script
+    * runs against the `upsert` defaults — exactly ES's
+    * `{"scripted_upsert": true, "script": …, "upsert": {…}}` counter
+    * pattern. `scripts` maps each computed column to a painless-lite
+    * expression (the same [[Aggs.Script]] grammar bucket_script uses);
+    * unscripted columns field-merge (update value wins when present).
+    * All script evaluation is codegen'd column math on the one
+    * store-scan — the store's wide rows never shuffle (same join shape as
+    * [[upsert]]: left-join for merges + key-anti-join for inserts). */
+  def scriptedUpsert(existing: DataFrame, updates: DataFrame, keyCol: String,
+                     scripts: Map[String, String],
+                     upsertDefaults: Map[String, Any] = Map.empty,
+                     cfg: IndexConfig = IndexConfig()): DataFrame = {
+    require(scripts.nonEmpty, "scriptedUpsert needs at least one script")
+    if (cfg.dummy) return existing
+    val dataCols = existing.columns.filterNot(_ == keyCol).toSeq
+    val batchCols = updates.columns.filterNot(_ == keyCol).toSeq
+    require(scripts.keySet.subsetOf(dataCols.toSet),
+      s"scripted column(s) not in the store: ${scripts.keySet -- dataCols}")
+    def dflt(c: String): Column =
+      upsertDefaults.get(c).map(v => lit(v).cast(existing.schema(c).dataType))
+        .getOrElse(lit(null).cast(existing.schema(c).dataType))
+    // updated docs: script over (stored value, update params)
+    val joined = existing.alias("e")
+      .join(updates.alias("b").withColumn("_upd", lit(true)), Seq(keyCol), "left")
+    // `params.X` tokens strip their prefix before binding lookup
+    // (Aggs.Script contract), so params bind bare; ctx binds dotted
+    val updBind: Map[String, Column] =
+      dataCols.map(c => s"ctx.$c" -> col(s"e.$c")).toMap ++
+        batchCols.map(c => c -> col(s"b.$c")).toMap
+    val merged = joined.select(col(keyCol) +: dataCols.map { c =>
+      scripts.get(c) match {
+        case Some(src) => when(col("_upd"),
+            Aggs.Script.compile(src, updBind, s"scripted_upsert.$c"))
+          .otherwise(col(s"e.$c")).as(c)
+        case None =>
+          if (batchCols.contains(c)) coalesce(col(s"b.$c"), col(s"e.$c")).as(c)
+          else col(s"e.$c").as(c)
+      }
+    }: _*)
+    // new docs: script over (upsert defaults, update params)
+    val fresh = updates.join(existing.select(keyCol), Seq(keyCol), "left_anti")
+    val newBind: Map[String, Column] =
+      dataCols.map(c => s"ctx.$c" -> dflt(c)).toMap ++
+        batchCols.map(c => c -> col(c)).toMap
+    val inserted = fresh.select(col(keyCol) +: dataCols.map { c =>
+      scripts.get(c) match {
+        case Some(src) =>
+          Aggs.Script.compile(src, newBind, s"scripted_upsert.$c").as(c)
+        case None =>
+          if (batchCols.contains(c)) coalesce(col(c), dflt(c)).as(c)
+          else dflt(c).as(c)
+      }
+    }: _*)
+    merged.unionByName(inserted)
+  }
+
   /** W12 analog: exactly-once ingest. The reference elects one indexing
     * replica per DC and skips commit-log replays so each mutation indexes
     * once (reference: CStarUtils.java:490-506 isOwner;

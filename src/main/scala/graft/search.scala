@@ -1593,4 +1593,60 @@ object Search {
       .drop((Seq("_dl", "_N", "_avgdl") ++
         terms.indices.flatMap(i => Seq(s"_tf$i", s"_df$i"))): _*)
   }
+
+  /** ES `_mvt` vector-tile search (`GET /<idx>/_mvt/<field>/<z>/<x>/<y>`),
+    * hits layer: the docs whose point falls inside web-mercator tile
+    * (z, x, y), each with its integer pixel position in the tile's
+    * `extent`×`extent` coordinate grid (ES default extent 4096 — the MVT
+    * spec's local grid; this analog returns the decoded feature rows, not
+    * the protobuf encoding). One scan: the tile-membership predicate and
+    * the pixel math are the same codegen'd mercator expressions as
+    * geotile_grid — a point is in the tile iff its global pixel at zoom z
+    * lands in [x·extent, (x+1)·extent) × [y·extent, (y+1)·extent). Docs
+    * with a null point drop; latitude clips to ES's mercator bound
+    * ±85.05112878 (as in geotile_grid). */
+  def mvtHits(docs: DataFrame, field: String, z: Int, x: Long, y: Long,
+              extent: Int = 4096): DataFrame = {
+    require(z >= 0 && z <= 29, s"mvt zoom must be 0..29, got $z")
+    val n = 1L << z
+    require(x >= 0 && x < n && y >= 0 && y < n,
+      s"mvt tile ($x,$y) out of range for zoom $z")
+    require(extent >= 1, "mvt extent must be >= 1")
+    val world = lit(n.toDouble * extent) // global pixel span at zoom z
+    val maxMercLat = 85.05112878
+    val latClip = greatest(least(col(field).getField("lat"), lit(maxMercLat)),
+      lit(-maxMercLat))
+    val latR = radians(latClip)
+    val pxG = floor((col(field).getField("lon") + lit(180.0)) / lit(360.0) * world)
+    val pyG = floor((lit(1.0) -
+      log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / lit(2.0) * world)
+    val px = pxG - lit(x * extent)
+    val py = pyG - lit(y * extent)
+    docs.where(col(field).isNotNull &&
+        px >= 0 && px < extent && py >= 0 && py < extent)
+      .withColumn("px", px.cast("long"))
+      .withColumn("py", py.cast("long"))
+  }
+
+  /** `_mvt` aggs layer: the tile's hits bucketed on the MVT grid —
+    * `grid_precision` extra zoom levels inside the tile (ES default 8 →
+    * 2^8×2^8 cells, i.e. geotile cells at zoom z+8 clipped to this tile),
+    * one `doc_count` per non-empty cell keyed by the in-tile cell
+    * coordinates "gx/gy". Same single hash aggregate as geotile_grid —
+    * the cell id is integer division of the pixel position. */
+  def mvtGrid(docs: DataFrame, field: String, z: Int, x: Long, y: Long,
+              extent: Int = 4096, gridPrecision: Int = 8): DataFrame = {
+    require(gridPrecision >= 1 && gridPrecision <= 12,
+      s"mvt grid_precision must be 1..12, got $gridPrecision")
+    val cells = 1 << gridPrecision
+    require(extent % cells == 0,
+      s"extent $extent must be divisible by 2^grid_precision ($cells)")
+    val cellPx = extent / cells
+    mvtHits(docs, field, z, x, y, extent)
+      .groupBy(concat_ws("/",
+        floor(col("px") / cellPx),
+        floor(col("py") / cellPx)).as("cell"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(desc("doc_count"), asc("cell"))
+  }
 }

@@ -96,4 +96,22 @@ class AdminSpec extends AnyFunSuite {
       """{"query": "SELECT 1", "cursor": "abc"}"""))
       .getMessage.contains("unsupported _sql option"))
   }
+
+  test("search_shards ring: disjoint, complete, ends meet exactly") {
+    val ring = Admin.searchShards(spark, 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ring.map(_._1).toSeq == (0 until 5))
+    assert(ring.head._2 == Long.MinValue)
+    assert(ring.last._3 == Long.MaxValue)
+    // adjacent ranges meet with no gap and no overlap
+    ring.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 + 1 == b._2, s"$a -> $b")
+    }
+    // ranges are non-empty and roughly even (within one token of 2^64/5)
+    ring.foreach { case (_, s, e) => assert(e > s) }
+    val one = Admin.searchShards(spark, 1).collect()
+    assert(one.length == 1 && one(0).getLong(1) == Long.MinValue &&
+      one(0).getLong(2) == Long.MaxValue)
+  }
 }

@@ -1441,4 +1441,49 @@ class AggsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0.0, 1L, 1.0), (100.0, 2L, 1.5),
       (200.0, 3L, 2.5), (300.0, 4L, 3.5)), out.toSeq.toString)
   }
+
+  test("time_series: one bucket per dimension tuple, null dims drop, " +
+       "metric sub-aggs ride the same aggregate") {
+    val ev = Seq(("cpu", "h1", 1.0), ("cpu", "h1", 3.0), ("cpu", "h2", 5.0),
+        ("mem", "h1", 7.0), ("mem", null, 9.0))
+      .toDF("metric", "host", "v")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val out = Aggs.runSingle(ev,
+      """{"aggs":{"s":{"time_series":{"dimensions":["metric","host"]},
+           "aggs":{"mx":{"max":{"field":"v"}}}}}}""")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("cpu", "h1", 2L, 3.0), ("cpu", "h2", 1L, 5.0),
+      ("mem", "h1", 1L, 7.0)), out.toSeq.toString) // null host row dropped
+    assert(intercept[IllegalArgumentException](Aggs.runSingle(ev,
+      """{"aggs":{"s":{"time_series":{}}}}"""))
+      .getMessage.contains("dimensions"))
+  }
+
+  test("geohex_grid: total cover, centers land in their own cell, " +
+       "precision refines") {
+    val pts = Seq((1L, 0.001, 0.001), (2L, 0.001, 0.002), (3L, 40.0, -75.0),
+        (4L, -33.9, 151.2), (5L, 89.0, 179.0))
+      .map { case (id, lat, lon) => (id, lat, lon) }
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    def run(z: Int) = Aggs.runSingle(pts,
+      s"""{"aggs":{"hex":{"geohex_grid":{"field":"loc","precision":$z}}}}""")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val z0 = run(0)
+    assert(z0.map(_._2).sum == 5L)            // every point in exactly one cell
+    assert(z0.forall(_._1.startsWith("0/")))  // key carries the precision
+    // near-identical points share a cell; a finer precision separates the
+    // far-apart ones into at least as many cells
+    val z3 = run(3)
+    assert(z3.map(_._2).sum == 5L)
+    assert(z3.length >= z0.length)
+    assert(z3.count(_._2 == 2L) == 1)         // the two ~(0,0) points together
+    // the lattice origin's cell is (0,0) at every precision
+    val origin = Seq((9L, 0.0, 0.0)).toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    val ok = Aggs.runSingle(origin,
+      """{"aggs":{"hex":{"geohex_grid":{"field":"loc","precision":5}}}}""")
+      .head.getString(0)
+    assert(ok == "5/0/0", ok)
+  }
 }

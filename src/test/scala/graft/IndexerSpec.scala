@@ -349,4 +349,49 @@ class IndexerSpec extends AnyFunSuite {
       """{"query": {"match_all": {}}}""", Map("nope" -> lit(1))))
       .getMessage.contains("not a column"))
   }
+
+  test("upsertVersioned external: only strictly-higher versions apply") {
+    val store = Seq(("a", 5L, "old-a"), ("b", 5L, "old-b"))
+      .toDF("doc_id", "ver", "val")
+    val batch = Seq(("a", 7L, "new-a"),   // higher → applies
+                    ("b", 5L, "stale-b"), // equal → conflict, drops
+                    ("c", 1L, "new-c"))   // absent → applies
+      .toDF("doc_id", "ver", "val")
+    val out = Indexer.upsertVersioned(store, batch, "doc_id", "ver")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(("a", 7L, "new-a"), ("b", 5L, "old-b"), ("c", 1L, "new-c")))
+  }
+
+  test("upsertVersioned cas: exact seq match applies and bumps; miss keeps") {
+    val store = Seq(("a", 3L, "old-a"), ("b", 3L, "old-b"))
+      .toDF("doc_id", "seq", "val")
+    val batch = Seq(("a", 3L, "new-a"),   // matches → applies, seq bumps
+                    ("b", 2L, "racy-b"),  // stale seq → 409-drop
+                    ("c", 0L, "new-c"))   // absent doc → no seq to match
+      .toDF("doc_id", "seq", "val")
+    val out = Indexer.upsertVersioned(store, batch, "doc_id", "seq", "cas")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(out == Set(("a", 4L, "new-a"), ("b", 3L, "old-b")))
+    assert(intercept[IllegalArgumentException](
+      Indexer.upsertVersioned(store, batch, "doc_id", "seq", "nope"))
+      .getMessage.contains("mode"))
+  }
+
+  test("scriptedUpsert: counter increments, defaults seed fresh keys, " +
+       "unscripted columns field-merge") {
+    val store = Seq(("a", 10L, "t-a"), ("b", 20L, "t-b"))
+      .toDF("doc_id", "cnt", "tag")
+    val batch = Seq(("a", 3L), ("c", 5L)).toDF("doc_id", "cnt")
+    val out = Indexer.scriptedUpsert(store, batch, "doc_id",
+        scripts = Map("cnt" -> "ctx.cnt + params.cnt"),
+        upsertDefaults = Map("cnt" -> 0L))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      ("a", 13L, Some("t-a")),  // scripted: 10 + 3; tag kept
+      ("b", 20L, Some("t-b")),  // no update row → untouched
+      ("c", 5L, None)))         // fresh: default 0 + 5; tag default null
+    assert(intercept[IllegalArgumentException](
+      Indexer.scriptedUpsert(store, batch, "doc_id",
+        scripts = Map("nope" -> "1"))).getMessage.contains("not in the store"))
+  }
 }

@@ -52,4 +52,29 @@ class SamplingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(500))
   }
+
+  test("globalShuffle: a seed-keyed permutation — same rows, scrambled " +
+       "order, reproducible; epoch reshuffle is a seed change") {
+    val shuffled = Sampling.globalShuffle(ids, Seq("id"), seed = 3L,
+      numPartitions = 4)
+    val rows = shuffled.select("id").collect().map(_.getLong(0))
+    assert(rows.sorted.toSeq == (0L until 10000L).toSeq) // permutation
+    assert(rows.take(100).toSeq != (0L until 100L).toSeq) // actually scrambled
+    val again = Sampling.globalShuffle(ids, Seq("id"), seed = 3L,
+      numPartitions = 4).select("id").collect().map(_.getLong(0))
+    assert(rows.toSeq == again.toSeq) // reproducible from the seed alone
+    val epoch2 = Sampling.globalShuffle(ids, Seq("id"), seed = 4L,
+      numPartitions = 4).select("id").collect().map(_.getLong(0))
+    assert(rows.toSeq != epoch2.toSeq) // new epoch, new order
+  }
+
+  test("globalShuffle plan: range exchange + within-partition sort, " +
+       "never a single-partition global sort") {
+    val plan = Sampling.globalShuffle(ids, Seq("id"), seed = 1L,
+      numPartitions = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(800))
+    assert(!plan.contains("SinglePartition"), plan.take(800))
+    // the Sort node must be within-partition (global=false)
+    assert(!plan.matches("(?s).*Sort \\[[^\\]]*\\], true.*"), plan.take(800))
+  }
 }

@@ -1303,4 +1303,28 @@ class SearchSpec extends AnyFunSuite {
       Seq("spark", "streaming", "runs", "fast", "twice"))
     assert(Maintain.analyze("") == Nil)
   }
+
+  test("mvt hits: tile membership + pixel coords inside the extent; " +
+       "grid cells partition the hits") {
+    // z=1 → 2×2 tiles; tile (1,0) covers lon [0,180), "north" mercator half
+    val pts = Seq((1L, 45.0, 90.0), (2L, 10.0, 10.0), (3L, 45.0, -90.0),
+        (4L, -45.0, 90.0), (5L, 45.01, 90.01))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    val hits = Search.mvtHits(pts, "loc", 1, 1, 0)
+      .select("doc_id", "px", "py").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 3 (west half) and 4 (south half) fall outside the tile
+    assert(hits.map(_._1).toSet == Set(1L, 2L, 5L))
+    assert(hits.forall(h => h._2 >= 0 && h._2 < 4096 &&
+      h._3 >= 0 && h._3 < 4096), hits.mkString(","))
+    // grid layer: cells partition the hits (counts sum to the hit count)
+    val grid = Search.mvtGrid(pts, "loc", 1, 1, 0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grid.map(_._2).sum == 3L)
+    // the two near-identical points land in one 16px cell, the third apart
+    assert(grid.length == 2 && grid.head._2 == 2L, grid.mkString(","))
+    assert(intercept[IllegalArgumentException](
+      Search.mvtHits(pts, "loc", 1, 2, 0)).getMessage.contains("out of range"))
+  }
 }

@@ -3466,6 +3466,18 @@ object SparkEntry {
       // ranges (pure metadata — no scan)
       Admin.searchShards(s, 8)
     }),
+    "q_search_date_math" -> ((s, dir) => {
+      // ES date math in range bounds, pinned now (engine extension: the
+      // body's top-level "now"): the 7 calendar days before 2024-01-25,
+      // day-rounded — gte floors, lt floors (start of today excluded)
+      val q = """{"query": {"range": {"ts":
+          {"gte": "now-7d/d", "lt": "now/d", "format": "strict_date_optional_time"}}},
+        "now": "2024-01-25T12:00:00Z", "size": 100000}"""
+      Search.search(tbl(s, dir, "events"), q,
+          IndexConfig(maxResults = 100000), Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
     "q_train_shuffle" -> ((s, dir) => {
       // deterministic global shuffle: order = md5(id ‖ seed), realized as
       // a range exchange + in-partition sort (plan-shape spec'd — never a
@@ -6703,6 +6715,10 @@ object SparkEntry {
                   + CAST(i + 1 AS HUGEINT) * 2305843009213693952 - 1
                 END AS BIGINT) AS token_end
          FROM generate_series(0, 7) AS t(i) ORDER BY shard""",
+    "q_search_date_math" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-18' AND ts < TIMESTAMP '2024-01-25'
+         ORDER BY event_id""",
     "q_train_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '42') AS shuffle_key
          FROM documents ORDER BY shuffle_key"""

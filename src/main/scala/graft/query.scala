@@ -1003,10 +1003,116 @@ object QueryCompiler {
     }
   }
 
+  // ---- ES date math ----
+
+  /** ES date-math expressions for range bounds: `now` or `<ISO>||` anchor,
+    * `±N(y|M|w|d|h|H|m|s)` arithmetic, one trailing `/unit` rounding —
+    * `now-7d/d`, `2024-01-15||+1M/d`. Resolution returns BOTH period ends:
+    * ES's operator-dependent rounding picks the floor for gte/lt and the
+    * ceiling for gt/lte (so `lte: now/d` spans all of today). DECLARED
+    * DIVERGENCE: the ceiling is start-of-next-period minus one MICROsecond
+    * (this engine's timestamp resolution) where ES subtracts one
+    * millisecond (its own); weeks round to Monday (ISO, as ES). All math
+    * in UTC — the deterministic contract (a non-UTC `time_zone` on the
+    * range is rejected, not ignored). */
+  private[graft] object DateMath {
+    import java.time._
+    import java.time.temporal.ChronoUnit
+    private val OpRx = "([+-])(\\d+)([yMwdhHms])".r
+
+    def looksLike(s: String): Boolean =
+      s.startsWith("now") || s.contains("||")
+
+    /** (floor, ceil) instants of the resolved expression's period; equal
+      * when no rounding is requested. */
+    def resolve(expr: String, now: Instant): (Instant, Instant) = {
+      val (anchorStr, math) =
+        if (expr.startsWith("now")) ("now", expr.drop(3))
+        else {
+          val i = expr.indexOf("||")
+          require(i > 0, s"date math needs a 'now' or '<date>||' anchor: '$expr'")
+          (expr.take(i), expr.drop(i + 2))
+        }
+      var t: ZonedDateTime =
+        if (anchorStr == "now") now.atZone(ZoneOffset.UTC)
+        else parseAnchor(anchorStr)
+      var rest = math
+      var rounding: Option[Char] = None
+      while (rest.nonEmpty) {
+        if (rest.startsWith("/")) {
+          require(rest.length == 2 && "yMwdhHms".contains(rest(1)),
+            s"date-math rounding must be a single trailing /unit: '$expr'")
+          rounding = Some(rest(1)); rest = ""
+        } else OpRx.findPrefixMatchOf(rest) match {
+          case Some(m) =>
+            val n = m.group(2).toLong * (if (m.group(1) == "-") -1L else 1L)
+            t = m.group(3).charAt(0) match {
+              case 'y' => t.plusYears(n)
+              case 'M' => t.plusMonths(n)
+              case 'w' => t.plusWeeks(n)
+              case 'd' => t.plusDays(n)
+              case 'h' | 'H' => t.plusHours(n)
+              case 'm' => t.plusMinutes(n)
+              case 's' => t.plusSeconds(n)
+            }
+            rest = rest.substring(m.end)
+          case None => throw new IllegalArgumentException(
+            s"bad date math '$expr' at '$rest'")
+        }
+      }
+      rounding match {
+        case None => (t.toInstant, t.toInstant)
+        case Some(u) =>
+          val floor = u match {
+            case 's' => t.truncatedTo(ChronoUnit.SECONDS)
+            case 'm' => t.truncatedTo(ChronoUnit.MINUTES)
+            case 'h' | 'H' => t.truncatedTo(ChronoUnit.HOURS)
+            case 'd' => t.truncatedTo(ChronoUnit.DAYS)
+            case 'w' => t.`with`(java.time.temporal.TemporalAdjusters
+                .previousOrSame(DayOfWeek.MONDAY)).truncatedTo(ChronoUnit.DAYS)
+            case 'M' => t.withDayOfMonth(1).truncatedTo(ChronoUnit.DAYS)
+            case 'y' => t.withDayOfYear(1).truncatedTo(ChronoUnit.DAYS)
+          }
+          val next = u match {
+            case 's' => floor.plusSeconds(1)
+            case 'm' => floor.plusMinutes(1)
+            case 'h' | 'H' => floor.plusHours(1)
+            case 'd' => floor.plusDays(1)
+            case 'w' => floor.plusWeeks(1)
+            case 'M' => floor.plusMonths(1)
+            case 'y' => floor.plusYears(1)
+          }
+          (floor.toInstant, next.minusNanos(1000L).toInstant)
+      }
+    }
+
+    private def parseAnchor(s: String): ZonedDateTime = {
+      val d = "\\d{4}-\\d{2}-\\d{2}".r
+      s match {
+        case _ if s.matches("\\d{4}-\\d{2}-\\d{2}") =>
+          LocalDate.parse(s).atStartOfDay(ZoneOffset.UTC)
+        case _ if s.matches(d.regex + "[T ]\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?") =>
+          LocalDateTime.parse(s.replace(' ', 'T')).atZone(ZoneOffset.UTC)
+        case _ if s.matches(d.regex + "T\\d{2}:\\d{2}:\\d{2}(\\.\\d+)?Z") =>
+          Instant.parse(s).atZone(ZoneOffset.UTC)
+        case _ => throw new IllegalArgumentException(
+          s"date-math anchor must be ISO yyyy-MM-dd[THH:mm:ss[.SSS][Z]], got '$s'")
+      }
+    }
+  }
+
   // ---- ES-DSL JSON subset ----
 
   private[graft] object DslJson {
     private val mapper = new ObjectMapper()
+
+    /** Pinned `now` for date-math resolution, scoped per compile: the
+      * body's top-level `"now"` (engine extension — ES takes the
+      * coordinator's clock; a distributed deterministic engine must pin
+      * it explicitly, same rule as the TTL/IndexationDate literals).
+      * Absent → wall clock at compile time. */
+    private[graft] val nowAnchor =
+      new scala.util.DynamicVariable[java.time.Instant](null)
 
     def compile(json: String, defaultLimit: Int,
                 idCol: String = "doc_id",
@@ -1107,7 +1213,13 @@ object QueryCompiler {
         n.asDouble
       }
       val leaves = scala.collection.mutable.ArrayBuffer[Column]()
-      val pred = node(qNode, leaves, scoring = true, idCol, defaultOr)
+      val anchor = Option(root.get("now")).map { n =>
+        require(n.isTextual, s"'now' must be an ISO instant string, got: $n")
+        java.time.Instant.parse(n.asText)
+      }.orNull
+      val pred = nowAnchor.withValue(anchor) {
+        node(qNode, leaves, scoring = true, idCol, defaultOr)
+      }
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source,
         from, collapse, collapseInner, minScore)
     }
@@ -1302,14 +1414,45 @@ object QueryCompiler {
         case "range" =>
           val f = body.fieldNames.asScala.next()
           val spec = body.get(f)
-          val parts = spec.fields.asScala.map { e =>
-            val v = lit(scalarOf(e.getValue))
+          val parts = spec.fields.asScala.flatMap { e =>
+            val raw = e.getValue
             e.getKey match {
-              case "gte" => col(f) >= v
-              case "gt"  => col(f) > v
-              case "lte" => col(f) <= v
-              case "lt"  => col(f) < v
-              case k => throw new IllegalArgumentException(s"range op '$k'")
+              // `format` is accepted and ignored: the bound parser already
+              // binds both ISO strings and numbers, which is what clients
+              // declare with it
+              case "format" => None
+              case "time_zone" =>
+                require(raw.isTextual &&
+                    Set("UTC", "Z", "+00:00").contains(raw.asText),
+                  s"range time_zone must be UTC (deterministic contract), " +
+                    s"got: $raw")
+                None
+              case k if raw.isTextual && DateMath.looksLike(raw.asText) =>
+                // ES operator-dependent rounding: the floor of the period
+                // for gte/lt, the ceiling for gt/lte
+                val anchorNow = Option(nowAnchor.value)
+                  .getOrElse(java.time.Instant.now())
+                val (fl, ce) = DateMath.resolve(raw.asText, anchorNow)
+                def ts(i: java.time.Instant) =
+                  lit(java.sql.Timestamp.from(i))
+                Some(k match {
+                  case "gte" => col(f) >= ts(fl)
+                  case "gt"  => col(f) > ts(ce)
+                  case "lte" => col(f) <= ts(ce)
+                  case "lt"  => col(f) < ts(fl)
+                  case other => throw new IllegalArgumentException(
+                    s"range op '$other'")
+                })
+              case k =>
+                val v = lit(scalarOf(raw))
+                Some(k match {
+                  case "gte" => col(f) >= v
+                  case "gt"  => col(f) > v
+                  case "lte" => col(f) <= v
+                  case "lt"  => col(f) < v
+                  case other => throw new IllegalArgumentException(
+                    s"range op '$other'")
+                })
             }
           }.toSeq
           require(parts.nonEmpty, "empty range")

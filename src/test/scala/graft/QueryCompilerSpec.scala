@@ -954,4 +954,52 @@ class QueryCompilerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](QueryCompiler.expandSynonyms(
       """{"query": {"match": {"text": "x"}}}""", Map("x" -> Seq.empty)))
   }
+
+  test("date math: anchors, arithmetic, rounding floor/ceil, week=Monday") {
+    import java.time.Instant
+    val now = Instant.parse("2024-01-25T12:34:56Z")
+    def r(e: String) = QueryCompiler.DateMath.resolve(e, now)
+    assert(r("now") == ((now, now)))
+    assert(r("now-7d") == ((Instant.parse("2024-01-18T12:34:56Z"),
+      Instant.parse("2024-01-18T12:34:56Z"))))
+    assert(r("now/d") == ((Instant.parse("2024-01-25T00:00:00Z"),
+      Instant.parse("2024-01-25T23:59:59.999999Z"))))
+    assert(r("now-1M/M")._1 == Instant.parse("2023-12-01T00:00:00Z"))
+    // 2024-01-25 is a Thursday → week floors to Monday the 22nd
+    assert(r("now/w")._1 == Instant.parse("2024-01-22T00:00:00Z"))
+    assert(r("2024-01-15||+1M/d") == ((Instant.parse("2024-02-15T00:00:00Z"),
+      Instant.parse("2024-02-15T23:59:59.999999Z"))))
+    assert(r("now+2h-30m")._1 == Instant.parse("2024-01-25T14:04:56Z"))
+    intercept[IllegalArgumentException](r("tomorrow"))
+    intercept[IllegalArgumentException](r("now/d+1d")) // rounding must end it
+  }
+
+  test("range with date math: operator-dependent rounding, pinned now, " +
+       "UTC-only time_zone gate") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-17 23:59:59"), ("b", "2024-01-18 00:00:00"),
+      ("c", "2024-01-24 23:59:59"), ("d", "2024-01-25 00:00:00"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("timestamp").as("ts"))
+    def run(q: String) = {
+      val cq = QueryCompiler.compile(q)
+      df.where(cq.predicate).collect().map(_.getString(0)).toSet
+    }
+    // gte floors, lt floors: [Jan 18, Jan 25)
+    assert(run("""{"query": {"range": {"ts": {"gte": "now-7d/d", "lt": "now/d"}}},
+        "now": "2024-01-25T12:00:00Z"}""") == Set("b", "c"))
+    // lte ceils: Jan 25 itself included
+    assert(run("""{"query": {"range": {"ts": {"gte": "now-7d/d", "lte": "now/d"}}},
+        "now": "2024-01-25T12:00:00Z"}""") == Set("b", "c", "d"))
+    // gt ceils: the whole floor day excluded
+    assert(run("""{"query": {"range": {"ts": {"gt": "now-8d/d"}}},
+        "now": "2024-01-25T12:00:00Z"}""") == Set("b", "c", "d"))
+    // UTC time_zone accepted; anything else is loud, not ignored
+    assert(run("""{"query": {"range": {"ts": {"gte": "now/d", "time_zone": "UTC"}}},
+        "now": "2024-01-25T12:00:00Z"}""") == Set("d"))
+    intercept[IllegalArgumentException](run(
+      """{"query": {"range": {"ts": {"gte": "now/d", "time_zone": "+02:00"}}},
+        "now": "2024-01-25T12:00:00Z"}"""))
+  }
 }

@@ -3466,6 +3466,21 @@ object SparkEntry {
       // ranges (pure metadata — no scan)
       Admin.searchShards(s, 8)
     }),
+    "q_quality_classifier" -> ((s, dir) => {
+      // hashed-feature linear classifier: unigram+bigram features,
+      // md5-bucket weights, integer-exact logit sum
+      TextStats.classifierLogit(tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("w_sum"), col("n_feats"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_augment_mask" -> ((s, dir) => {
+      // masked-LM augmentation: deterministic 15% token masking, seed 7
+      TextStats.maskTokens(tbl(s, dir, "documents"), "doc_id", "text",
+          pct = 15, seed = 7L)
+        .select(col("doc_id"), col("masked_text"),
+          array_join(col("targets"), ",").as("targets"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_date_math" -> ((s, dir) => {
       // ES date math in range bounds, pinned now (engine extension: the
       // body's top-level "now"): the 7 calendar days before 2024-01-25,
@@ -6715,6 +6730,40 @@ object SparkEntry {
                   + CAST(i + 1 AS HUGEINT) * 2305843009213693952 - 1
                 END AS BIGINT) AS token_end
          FROM generate_series(0, 7) AS t(i) ORDER BY shard""",
+    "q_quality_classifier" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+               x -> len(x) > 0) AS toks
+           FROM documents),
+         f AS (SELECT doc_id,
+             list_concat(toks, list_transform(range(1, len(toks)),
+               i -> toks[i] || '_' || toks[i+1])) AS feats
+           FROM t)
+         SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(feats, x ->
+             (CAST('0x' || substr(md5(x), 1, 8) AS BIGINT) % 4096)
+               * 2654435761 % 1001 - 500)), 0) AS BIGINT) AS w_sum,
+           len(feats) AS n_feats
+         FROM f ORDER BY doc_id""",
+    "q_augment_mask" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0) AS toks
+           FROM documents),
+         p AS (SELECT doc_id, toks,
+             list_transform(range(1, len(toks) + 1), i ->
+               CAST('0x' || substr(md5(doc_id || ':' || i || ':' || '7'),
+                 1, 8) AS BIGINT) % 100 < 15) AS m
+           FROM t)
+         SELECT doc_id,
+           COALESCE(array_to_string(list_transform(range(1, len(toks) + 1),
+             i -> CASE WHEN m[i] THEN '[MASK]' ELSE toks[i] END), ' '), '')
+             AS masked_text,
+           COALESCE(array_to_string(list_filter(
+             list_transform(range(1, len(toks) + 1),
+               i -> CASE WHEN m[i] THEN i || ':' || toks[i] END),
+             x -> x IS NOT NULL), ','), '') AS targets
+         FROM p ORDER BY doc_id""",
     "q_search_date_math" ->
       """SELECT event_id, user_id, event_type FROM events
          WHERE ts >= TIMESTAMP '2024-01-18' AND ts < TIMESTAMP '2024-01-25'

@@ -389,6 +389,65 @@ object TextStats {
     * curly quotes/dashes to ASCII, zero-width and control characters
     * stripped, whitespace runs collapsed to one space, trimmed. Pure
     * codegen'd string expressions, reproducible in any engine. */
+  /** fastText-shaped linear quality classifier, the hashed-feature
+    * production plumbing with integer-exact arithmetic: lowercase word
+    * unigrams + bigrams → feature-hash into `buckets` (md5-derived — the
+    * same hash any external scorer can reproduce) → per-bucket weight →
+    * summed logit. The weight table here is a deterministic stand-in
+    * keyed by bucket id (`(bucket · 2654435761) mod 1001 − 500`, integers
+    * in [−500, 500]); a trained model swaps in a learned bucket→weight
+    * map without touching the pipeline shape. Emits `w_sum` (exact
+    * BIGINT — no float summation to drift) and `n_feats`; the mean logit
+    * `w_sum / n_feats` is the score consumers threshold on. Pure array
+    * expressions: no explode, no shuffle, one codegen'd projection. */
+  def classifierLogit(df: DataFrame, textCol: String,
+                      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "classifierLogit needs at least 2 buckets")
+    val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "")
+    val bigramLen = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(toks, lit(1), bigramLen),
+      slice(toks, lit(2), bigramLen),
+      (a, b) => concat(a, lit("_"), b))
+    val feats = concat(toks, bigrams)
+    def weight(f: Column): Column = {
+      val bucket = conv(substring(md5(f.cast("binary")), 1, 8), 16, 10)
+        .cast("long") % buckets
+      (bucket * lit(2654435761L)) % 1001L - 500L
+    }
+    df.withColumn("w_sum",
+        aggregate(transform(feats, weight(_)), lit(0L), (acc, x) => acc + x))
+      .withColumn("n_feats", size(feats))
+  }
+
+  /** BERT-style deterministic token masking — the masked-LM augmentation
+    * pass as a corpus-scale operator. Each whitespace token masks when its
+    * (doc id, position) hash lands under `pct` percent — reproducible
+    * across runs and cluster sizes (md5, not rand()), so the same corpus
+    * + seed always yields the same training pairs. Returns the text with
+    * masked tokens replaced by `[MASK]` plus the recovery targets
+    * (`pos:token`, 1-based, in order). Pure array expressions, no
+    * shuffle; epoch re-draws are a seed change. */
+  def maskTokens(df: DataFrame, idCol: String, textCol: String,
+                 pct: Int = 15, seed: Long = 0L): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
+    def masked(i: Column): Column = {
+      val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        i.cast("string"), lit(":"), lit(seed.toString)).cast("binary")),
+        1, 8), 16, 10).cast("long")
+      h % 100L < pct
+    }
+    val withPos = transform(toks, (t, i0) =>
+      struct(t.as("t"), (i0 + 1).as("i"))) // 1-based positions
+    df.withColumn("masked_text", array_join(transform(withPos,
+        p => when(masked(p.getField("i")), lit("[MASK]"))
+          .otherwise(p.getField("t"))), " "))
+      .withColumn("targets", transform(
+        filter(withPos, p => masked(p.getField("i"))),
+        p => concat(p.getField("i").cast("string"), lit(":"), p.getField("t"))))
+  }
+
   def normalizeText(text: Column): Column = {
     val quoted = translate(text,
       "‘’“”–—", "''\"\"--")

@@ -261,4 +261,50 @@ class CurateSpec extends AnyFunSuite {
     assert(stats.getDouble(3) == 3.0)                        // p50
     assert(stats.getLong(6) == 2L)                           // n_lang
   }
+
+  test("classifierLogit: unigram+bigram feature count, integer-exact sum, " +
+       "identical text → identical score, empty text → zero features") {
+    import graft.pipeline.TextStats
+    val df = Seq((1L, "spark rocks hard"), (2L, "spark rocks hard"),
+        (3L, "!!! 123"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = TextStats.classifierLogit(df, "text")
+      .select("doc_id", "w_sum", "n_feats").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1)._2 == 5)                 // 3 unigrams + 2 bigrams
+    assert(out(1) == out(2))               // same text, same hashed features
+    assert(out(3) == ((0L, 0)))            // no a-z runs → no features
+    assert(out(4)._2 == 1)                 // one unigram, no bigram
+    // weights are bounded by construction: |w| <= 500 per feature
+    assert(math.abs(out(1)._1) <= 5 * 500L)
+    // no shuffle: pure projection
+    val plan = TextStats.classifierLogit(df, "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
+  test("maskTokens: deterministic per (id, pos, seed); targets recover " +
+       "exactly the masked positions; epoch = seed change") {
+    import graft.pipeline.TextStats
+    val df = Seq((1L, (1 to 40).map(i => s"w$i").mkString(" ")), (2L, ""))
+      .toDF("doc_id", "text")
+    def run(seed: Long) = TextStats.maskTokens(df, "doc_id", "text",
+        pct = 30, seed = seed)
+      .select("doc_id", "masked_text", "targets").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getSeq[String](2)))).toMap
+    val a = run(0L); val b = run(0L); val c = run(1L)
+    assert(a == b)                         // reproducible
+    assert(a(1)._1 != c(1)._1)             // new seed, new mask draw
+    assert(a(2) == (("", Seq.empty)))      // empty doc → empty pair
+    // every [MASK] in the text has exactly one pos:token target, and
+    // substituting targets back reconstructs the original
+    val toks = a(1)._1.split(" ")
+    val targets = a(1)._2.map { t =>
+      val Array(p, w) = t.split(":", 2); p.toInt -> w }.toMap
+    assert(toks.zipWithIndex.count(_._1 == "[MASK]") == targets.size)
+    val restored = toks.zipWithIndex.map { case (t, i0) =>
+      if (t == "[MASK]") targets(i0 + 1) else t }.mkString(" ")
+    assert(restored == (1 to 40).map(i => s"w$i").mkString(" "))
+    assert(targets.nonEmpty && targets.size < 40) // ~30% of 40, not all/none
+  }
 }

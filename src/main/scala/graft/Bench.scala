@@ -136,7 +136,8 @@ object Bench {
         "q_agg_time_series", "q_agg_geohex", "q_search_mvt_hits",
         "q_search_mvt_grid", "q_upsert_versioned", "q_upsert_cas",
         "q_upsert_scripted", "q_admin_search_shards", "q_train_shuffle",
-        "q_search_date_math", "q_quality_classifier", "q_augment_mask")
+        "q_search_date_math", "q_quality_classifier", "q_augment_mask",
+        "q_search_geo_grid")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -3466,6 +3466,16 @@ object SparkEntry {
       // ranges (pure metadata — no scan)
       Admin.searchShards(s, 8)
     }),
+    "q_search_geo_grid" -> ((s, dir) => {
+      // geo_grid query: docs inside ONE named geotile cell — the same
+      // cell math the geotile_grid agg buckets on (drill-down contract)
+      val pts = geoPoints(tbl(s, dir, "customer"))
+      Search.search(pts,
+          """{"query": {"geo_grid": {"loc": {"geotile": "3/2/1"}}},
+            "size": 100000}""",
+          IndexConfig(maxResults = 100000), Seq("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // hashed-feature linear classifier: unigram+bigram features,
       // md5-bucket weights, integer-exact logit sum
@@ -6730,6 +6740,24 @@ object SparkEntry {
                   + CAST(i + 1 AS HUGEINT) * 2305843009213693952 - 1
                 END AS BIGINT) AS token_end
          FROM generate_series(0, 7) AS t(i) ORDER BY shard""",
+    "q_search_geo_grid" ->
+      // the tile-3 mercator key restricted to tile 3/2/1
+      """WITH pts AS (
+           SELECT c_custkey AS doc_id,
+                  CAST(c_custkey % 180 - 90 AS DOUBLE) AS lat,
+                  CAST((c_custkey * 7) % 360 - 180 AS DOUBLE) AS lon
+           FROM customer),
+         cl AS (SELECT doc_id, lon,
+                  greatest(least(lat, 85.05112878), -85.05112878) AS latc
+                FROM pts),
+         t AS (SELECT doc_id,
+           CAST(least(greatest(floor((lon + 180.0) / 360.0 * 8.0), 0.0), 7.0)
+             AS BIGINT) AS x,
+           CAST(least(greatest(floor((1.0 - ln(tan(radians(latc))
+               + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 8.0), 0.0), 7.0)
+             AS BIGINT) AS y
+           FROM cl)
+         SELECT doc_id FROM t WHERE x = 2 AND y = 1 ORDER BY doc_id""",
     "q_quality_classifier" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z]+'),

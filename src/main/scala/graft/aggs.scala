@@ -718,38 +718,9 @@ object Aggs {
         }.getOrElse(5)
         val ghSize = Option(body.get("size")).map(_.asInt).getOrElse(10000)
         require(ghSize >= 1, s"geohash_grid '$name' size must be >= 1")
-        val totalBits = 5 * ghp
-        val lonBits = (totalBits + 1) / 2 // lon gets the extra bit
-        val latBits = totalBits / 2
-        // quantize: cell index in [0, 2^bits), top edge clamped into the
-        // last cell (lat=90 / lon=180 belong to the final cell, not a
-        // phantom one past it)
-        def quant(c: Column, lo: Double, span: Double, bits: Int): Column =
-          least(floor((c - lit(lo)) / lit(span) * lit((1L << bits).toDouble))
-            .cast("long"), lit((1L << bits) - 1))
-        // spread bit i to bit 2i (64-bit masks — up to 32 source bits, so
-        // the full precision-12 lon width of 30 bits fits)
-        def spread(c: Column): Column = {
-          val s0 = c.bitwiseOR(shiftleft(c, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
-          val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
-          val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
-          val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x3333333333333333L))
-          s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x5555555555555555L))
-        }
-        val lonQ = quant(col(ghf).getField("lon"), -180.0, 360.0, lonBits)
-        val latQ = quant(col(ghf).getField("lat"), -90.0, 180.0, latBits)
-        // even total width: lon occupies the odd bit positions (MSB is
-        // lon's top bit); odd width: lon occupies the even positions
-        val interleaved =
-          if (totalBits % 2 == 0) shiftleft(spread(lonQ), 1).bitwiseOR(spread(latQ))
-          else spread(lonQ).bitwiseOR(shiftleft(spread(latQ), 1))
-        val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
-        val ghKey = concat((0 until ghp).map { k =>
-          val shift = totalBits - 5 * (k + 1)
-          lit(alphabet).substr(
-            (shiftright(interleaved, shift).bitwiseAND(lit(31L)) + 1).cast("int"),
-            lit(1))
-        }: _*)
+        // the cell math lives in GeoGrid — shared verbatim with the
+        // geo_grid query so bucket keys and cell membership always agree
+        val ghKey = GeoGrid.geohashKey(col(ghf), ghp)
         bucketed(docs.where(col(ghf).isNotNull), ghKey, subAggs, name)
           .orderBy(desc("doc_count"), asc("key")).limit(ghSize)
       case "geotile_grid" =>
@@ -773,17 +744,7 @@ object Aggs {
         }.getOrElse(7)
         val gSize = Option(body.get("size")).map(_.asInt).getOrElse(10000)
         require(gSize >= 1, s"geotile_grid '$name' size must be >= 1")
-        val tiles = lit((1L << z).toDouble)
-        val maxMercLat = 85.05112878
-        val latClip = greatest(least(col(gf).getField("lat"), lit(maxMercLat)),
-          lit(-maxMercLat))
-        val latR = radians(latClip)
-        val xRaw = floor((col(gf).getField("lon") + lit(180.0)) / lit(360.0) * tiles)
-        val yRaw = floor((lit(1.0) -
-          log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) / lit(2.0) * tiles)
-        val xT = least(greatest(xRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
-        val yT = least(greatest(yRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
-        val gKey = concat_ws("/", lit(z.toString), xT, yT)
+        val gKey = GeoGrid.geotileKey(col(gf), z)
         bucketed(docs.where(col(gf).isNotNull), gKey, subAggs, name)
           .orderBy(desc("doc_count"), asc("key")).limit(gSize)
       case "geohex_grid" =>
@@ -809,23 +770,7 @@ object Aggs {
         }.getOrElse(6)
         val hSize = Option(body.get("size")).map(_.asInt).getOrElse(10000)
         require(hSize >= 1, s"geohex_grid '$name' size must be >= 1")
-        val hexS = 45.0 / math.pow(2.0, hz) // exact: 45 / power of two
-        val lonH = col(hf).getField("lon")
-        val latH = col(hf).getField("lat")
-        // pointy-top axial coords, then cube rounding (Red Blob Games'
-        // textbook hex-rounding, re-expressed as columns)
-        val qf = (sqrt(lit(3.0)) / lit(3.0) * lonH - latH / lit(3.0)) / lit(hexS)
-        val rf = latH * lit(2.0) / lit(3.0) / lit(hexS)
-        val rx0 = floor(qf + lit(0.5))            // bigint in Spark & oracle
-        val rz0 = floor(rf + lit(0.5))
-        val ry0 = floor(-qf - rf + lit(0.5))
-        val dx = abs(rx0 - qf)
-        val dy = abs(ry0 + qf + rf)               // |ry0 - (-q-r)|
-        val dz = abs(rz0 - rf)
-        val fixQ = dx > dy && dx > dz
-        val hq = when(fixQ, -ry0 - rz0).otherwise(rx0)
-        val hr = when(!fixQ && dz >= dy, -rx0 - ry0).otherwise(rz0)
-        val hKey = concat_ws("/", lit(hz.toString), hq, hr)
+        val hKey = GeoGrid.geohexKey(col(hf), hz)
         bucketed(docs.where(col(hf).isNotNull), hKey, subAggs, name)
           .orderBy(desc("doc_count"), asc("key")).limit(hSize)
       case "time_series" =>
@@ -1872,20 +1817,7 @@ object Aggs {
                 s"composite source '$srcName' precision must be 0..29")
               n.asInt
             }.getOrElse(7)
-            val tiles = lit((1L << z).toDouble)
-            val maxMercLat = 85.05112878
-            val latClip = greatest(least(col(f).getField("lat"),
-              lit(maxMercLat)), lit(-maxMercLat))
-            val latR = radians(latClip)
-            val xRaw = floor((col(f).getField("lon") + lit(180.0)) /
-              lit(360.0) * tiles)
-            val yRaw = floor((lit(1.0) -
-              log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi)) /
-              lit(2.0) * tiles)
-            val xT = least(greatest(xRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
-            val yT = least(greatest(yRaw, lit(0.0)), tiles - lit(1.0)).cast("long")
-            (srcName, concat_ws("/", lit(z.toString), xT, yT),
-              col(f).isNotNull)
+            (srcName, GeoGrid.geotileKey(col(f), z), col(f).isNotNull)
           case other => throw new IllegalArgumentException(
             s"composite source '$srcName': unsupported type '$other' " +
               "(terms/histogram/date_histogram/geotile_grid)")

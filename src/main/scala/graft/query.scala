@@ -1603,6 +1603,43 @@ object QueryCompiler {
           val gc = glat <= lit(top) && glat >= lit(bottom) && lonC
           if (scoring) leaves += leaf(gc, 1)
           gc
+        case "geo_grid" =>
+          // {"geo_grid": {FIELD: {"geotile": "z/x/y"}}} (ES 8.x; also
+          // geohash / geohex forms) — docs whose point falls in ONE named
+          // grid cell. The predicate recomputes the cell key with the
+          // SAME GeoGrid expressions the grid aggregations bucket on, so
+          // drilling from a grid bucket into its member docs is exact by
+          // construction. Precision derives from the key itself (geotile/
+          // geohex: the z prefix; geohash: the string length). Pure
+          // codegen'd math in the scan filter.
+          val (ggf, ggspec) = singleField(body)
+          require(ggspec.isObject && ggspec.size == 1,
+            s"geo_grid expects one {geotile|geohash|geohex: key}, got: $ggspec")
+          val kind = ggspec.fieldNames.asScala.next()
+          val keyN = ggspec.get(kind)
+          require(keyN.isTextual, s"geo_grid $kind key must be a string")
+          val key = keyN.asText
+          val ggc = kind match {
+            case "geotile" =>
+              val parts = key.split("/")
+              require(parts.length == 3 && parts.forall(_.nonEmpty),
+                s"geotile key must be 'z/x/y', got '$key'")
+              GeoGrid.geotileKey(col(ggf), parts(0).toInt) === lit(key)
+            case "geohash" =>
+              require(key.nonEmpty && key.length <= 12,
+                s"geohash key must be 1..12 chars, got '$key'")
+              GeoGrid.geohashKey(col(ggf), key.length) === lit(key)
+            case "geohex" =>
+              val parts = key.split("/")
+              require(parts.length == 3 && parts.forall(_.nonEmpty),
+                s"geohex key must be 'z/q/r' (this engine's flat-lattice " +
+                  s"cell ids — declared H3 divergence), got '$key'")
+              GeoGrid.geohexKey(col(ggf), parts(0).toInt) === lit(key)
+            case other => throw new IllegalArgumentException(
+              s"geo_grid grid type must be geotile/geohash/geohex, got '$other'")
+          }
+          if (scoring) leaves += leaf(ggc, 1)
+          ggc
         case "geo_distance" =>
           // {"geo_distance": {"distance": "100km", FIELD: {"lat","lon"}}} —
           // haversine great-circle distance on ES's mean earth radius

@@ -1486,4 +1486,32 @@ class AggsSpec extends AnyFunSuite {
       .head.getString(0)
     assert(ok == "5/0/0", ok)
   }
+
+  test("geo_grid query: drilling into a grid bucket returns exactly its " +
+       "docs, for all three grid kinds") {
+    val pts = (1 to 200).map(i => (i.toLong,
+        (i * 37 % 180 - 90).toDouble, ((i * 91) % 360 - 180).toDouble))
+      .toDF("doc_id", "lat", "lon")
+      .select(col("doc_id"), struct(col("lat"), col("lon")).as("loc"))
+    val cases = Seq(
+      "geotile" -> """{"aggs":{"g":{"geotile_grid":{"field":"loc","precision":3}}}}""",
+      "geohash" -> """{"aggs":{"g":{"geohash_grid":{"field":"loc","precision":2}}}}""",
+      "geohex" -> """{"aggs":{"g":{"geohex_grid":{"field":"loc","precision":2}}}}""")
+    for ((kind, body) <- cases) {
+      val buckets = Aggs.runSingle(pts, body).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(buckets.map(_._2).sum == 200L, s"$kind buckets must cover")
+      val (key, cnt) = buckets.head
+      val q = s"""{"query": {"geo_grid": {"loc": {"$kind": "$key"}}}, "size": 1000}"""
+      val hits = Search.search(pts, q, IndexConfig(), Seq("doc_id")).count()
+      assert(hits == cnt, s"$kind bucket $key: agg says $cnt, query says $hits")
+    }
+    // malformed keys and unknown grid kinds are loud
+    intercept[IllegalArgumentException](Search.search(pts,
+      """{"query": {"geo_grid": {"loc": {"geotile": "3-2-1"}}}}""",
+      IndexConfig(), Seq("doc_id")).count())
+    intercept[IllegalArgumentException](Search.search(pts,
+      """{"query": {"geo_grid": {"loc": {"s2": "abc"}}}}""",
+      IndexConfig(), Seq("doc_id")).count())
+  }
 }

@@ -3466,6 +3466,17 @@ object SparkEntry {
       // ranges (pure metadata — no scan)
       Admin.searchShards(s, 8)
     }),
+    "q_search_script_fields" -> ((s, dir) => {
+      // per-hit derived fields through the script grammar (integer-exact)
+      val q = """{"query": {"term": {"event_type": "purchase"}},
+        "script_fields": {"s2": {"script":
+          {"source": "doc.user_id * 3 + doc.event_id % 10"}}},
+        "size": 100000}"""
+      Search.search(tbl(s, dir, "events"), q,
+          IndexConfig(maxResults = 100000), Seq("event_id"))
+        .select(col("event_id"), col("s2"))
+        .orderBy(col("event_id"))
+    }),
     "q_search_geo_grid" -> ((s, dir) => {
       // geo_grid query: docs inside ONE named geotile cell — the same
       // cell math the geotile_grid agg buckets on (drill-down contract)
@@ -6740,6 +6751,9 @@ object SparkEntry {
                   + CAST(i + 1 AS HUGEINT) * 2305843009213693952 - 1
                 END AS BIGINT) AS token_end
          FROM generate_series(0, 7) AS t(i) ORDER BY shard""",
+    "q_search_script_fields" ->
+      """SELECT event_id, user_id * 3 + event_id % 10 AS s2
+         FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
     "q_search_geo_grid" ->
       // the tile-3 mercator key restricted to tile 3/2/1
       """WITH pts AS (

@@ -114,7 +114,11 @@ final case class CompiledQuery(predicate: Column, score: Column, limit: Option[I
                                from: Int = 0,
                                collapseField: Option[String] = None,
                                collapseInner: Option[Int] = None,
-                               minScore: Option[Double] = None)
+                               minScore: Option[Double] = None,
+                               // name → script source; resolved against the
+                               // doc frame's columns at execution (the
+                               // compiler has no frame to bind against)
+                               scriptFields: Option[Seq[(String, String)]] = None)
 
 object QueryCompiler {
 
@@ -1220,8 +1224,27 @@ object QueryCompiler {
       val pred = nowAnchor.withValue(anchor) {
         node(qNode, leaves, scoring = true, idCol, defaultOr)
       }
+      // ES `script_fields`: per-hit derived values through the shared
+      // Script grammar — {"name": {"script": "doc.a * 2"}} (or the long
+      // {"script": {"source": …}} form). Sources carry through to the
+      // search executor, which binds `doc.<col>` against the actual frame.
+      val scriptFields = Option(root.get("script_fields")).map { sf =>
+        require(sf.isObject && sf.size > 0,
+          s"'script_fields' must be a non-empty object, got: $sf")
+        sf.fieldNames.asScala.toSeq.map { n =>
+          val body = sf.get(n)
+          val src = Option(body.get("script")).map { s =>
+            if (s.isTextual) s.asText
+            else Option(s.get("source")).filter(_.isTextual).map(_.asText)
+              .getOrElse(throw new IllegalArgumentException(
+                s"script_fields '$n' script needs a string or {source}"))
+          }.getOrElse(throw new IllegalArgumentException(
+            s"script_fields '$n' needs a 'script'"))
+          n -> src
+        }
+      }
       CompiledQuery(pred, scoreOf(leaves.toSeq), Some(size), after, sort, source,
-        from, collapse, collapseInner, minScore)
+        from, collapse, collapseInner, minScore, scriptFields)
     }
 
     private def node(n: JsonNode,

@@ -130,9 +130,22 @@ object Search {
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head,
       QueryCompiler.resolveOperator(meta, cfg.defaultOperator))
     val hits0 = topK(docs, compiled, cfg, pkCols.head)
-    val hits = withSource(hits0, docs.columns.toSeq, meta)
+    val hits1 = withSource(hits0, docs.columns.toSeq, meta)
+    // script_fields: per-hit derived columns through the Script grammar,
+    // `doc.<col>` (and bare column names) bound to the frame — pure column
+    // math appended to the hit rows, codegen'd with the projection
+    val (hits, sfNames) = compiled.scriptFields match {
+      case Some(sfs) =>
+        val bind: Map[String, Column] = docs.columns
+          .flatMap(c => Seq(c -> col(c), s"doc.$c" -> col(c))).toMap
+        val withSf = sfs.foldLeft(hits1) { case (h, (n, src)) =>
+          h.withColumn(n, Aggs.Script.compile(src, bind, s"script_fields.$n"))
+        }
+        (withSf, sfs.map(_._1))
+      case None => (hits1, Seq.empty[String])
+    }
     if (!meta.loadRows)
-      hits.select((pkCols.map(col) :+ col("_score")) ++
+      hits.select((pkCols.map(col) :+ col("_score")) ++ sfNames.map(col) ++
         (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
     else compiled.sourceFields match {
       // body `_source` filter: response shaping that Catalyst turns into
@@ -141,6 +154,7 @@ object Search {
       // as one JSON column and is kept when requested.
       case Some(fields) =>
         hits.select((pkCols ++ fields).distinct.map(col) ++ Seq(col("_score")) ++
+          sfNames.map(col) ++
           (if (meta.loadSource) Seq(col("_source")) else Nil): _*)
       case None => hits
     }

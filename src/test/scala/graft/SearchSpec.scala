@@ -1327,4 +1327,33 @@ class SearchSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Search.mvtHits(pts, "loc", 1, 2, 0)).getMessage.contains("out of range"))
   }
+
+  test("script_fields: derived per-hit columns, both script forms, " +
+       "kept in pk-only and _source-filtered shapes, unbound is loud") {
+    val docs = Seq(("1", 10L, 3L), ("2", 20L, 7L)).toDF("doc_id", "a", "b")
+    val out = Search.search(docs,
+        """{"query": {"match_all": {}}, "script_fields": {
+            "sum2": {"script": "doc.a + params.b"},
+            "sq": {"script": {"source": "a * a"}}}}""",
+        IndexConfig(), Seq("doc_id"))
+      .select("doc_id", "sum2", "sq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("1", 13L, 100L), ("2", 27L, 400L)))
+    // pk-only option still carries the script field
+    val pkOnly = Search.search(docs,
+      """#options:load-rows=false#{"query": {"match_all": {}},
+         "script_fields": {"s": {"script": "b % 2"}}}""",
+      IndexConfig(), Seq("doc_id"))
+    assert(pkOnly.columns.toSeq == Seq("doc_id", "_score", "s"))
+    // _source filter keeps requested fields + script fields
+    val shaped = Search.search(docs,
+      """{"query": {"match_all": {}}, "_source": ["a"],
+         "script_fields": {"s": {"script": "b + 1"}}}""",
+      IndexConfig(), Seq("doc_id"))
+    assert(shaped.columns.toSeq == Seq("doc_id", "a", "_score", "s"))
+    intercept[IllegalArgumentException](Search.search(docs,
+      """{"query": {"match_all": {}},
+         "script_fields": {"s": {"script": "doc.nope + 1"}}}""",
+      IndexConfig(), Seq("doc_id")).collect())
+  }
 }

@@ -2562,6 +2562,21 @@ object SparkEntry {
         "other_idx" -> d.where(!col("lang").isin("en", "fr", "de")))
       Search.indexPattern(cat, "docs_*,-docs_de").orderBy(col("doc_id"))
     }),
+    "q_search_indices_boost" -> ((s, dir) => {
+      // indices_boost: per-index score multipliers, first pattern wins
+      val d = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("text"))
+      val cat = Map(
+        "docs_en" -> d.where(col("lang") === "en"),
+        "docs_fr" -> d.where(col("lang") === "fr"))
+      val frame = Search.indexPattern(cat, "docs_*")
+      val hits = Search.search(frame,
+        """{"query": {"match": {"text": "spark"}}, "size": 100000}""",
+        IndexConfig(maxResults = 100000), Seq("doc_id"))
+      Search.indicesBoost(hits, Seq("docs_en" -> 3, "docs_*" -> 2))
+        .select(col("doc_id"), col("_index"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_esql_metadata" -> ((s, dir) => {
       // ES|QL METADATA _index: multi-index FROM with per-row source
       // tagging, aggregated per index
@@ -6751,6 +6766,13 @@ object SparkEntry {
                   + CAST(i + 1 AS HUGEINT) * 2305843009213693952 - 1
                 END AS BIGINT) AS token_end
          FROM generate_series(0, 7) AS t(i) ORDER BY shard""",
+    "q_search_indices_boost" ->
+      """SELECT doc_id,
+           CASE WHEN lang = 'en' THEN 'docs_en' ELSE 'docs_fr' END AS _index,
+           CASE WHEN lang = 'en' THEN 3 ELSE 2 END AS _score
+         FROM documents
+         WHERE lang IN ('en', 'fr') AND regexp_matches(lower(text), '\bspark\b')
+         ORDER BY doc_id""",
     "q_search_script_fields" ->
       """SELECT event_id, user_id * 3 + event_id % 10 AS s2
          FROM events WHERE event_type = 'purchase' ORDER BY event_id""",

@@ -1410,6 +1410,26 @@ object Search {
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
+  /** ES `indices_boost`: per-index score multipliers over an
+    * index-pattern search's hits (the `_index` column [[indexPattern]]
+    * tags). First matching pattern wins, factor 1 when none — ES's own
+    * first-match rule for the object-array form. Integer factors (the
+    * engine's integer-scoring subset); pure column math on the hit rows. */
+  def indicesBoost(hits: DataFrame, boosts: Seq[(String, Int)]): DataFrame = {
+    require(boosts.nonEmpty, "indices_boost needs at least one entry")
+    require(hits.columns.contains("_index"),
+      "indices_boost needs the _index column (search over indexPattern output)")
+    boosts.foreach { case (p, f) => require(f >= 1,
+      s"indices_boost '$p': factor must be a positive integer " +
+        s"(integer-scoring subset), got $f") }
+    def rxStr(p: String) = "^" + java.util.regex.Pattern.quote(p)
+      .replace("*", "\\E.*\\Q").replace("?", "\\E.\\Q") + "$"
+    val factor = boosts.foldLeft(lit(null).cast("long")) { case (acc, (p, f)) =>
+      coalesce(acc, when(col("_index").rlike(rxStr(p)), lit(f.toLong)))
+    }
+    hits.withColumn("_score", col("_score") * coalesce(factor, lit(1L)))
+  }
+
   /** ES `_terms_enum`: the low-latency keyword-autocomplete endpoint —
     * distinct values of a keyword field starting with `prefix`,
     * ascending, capped at `size`. The prefix filter pushes to the scan

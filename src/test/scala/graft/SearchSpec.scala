@@ -1356,4 +1356,23 @@ class SearchSpec extends AnyFunSuite {
          "script_fields": {"s": {"script": "doc.nope + 1"}}}""",
       IndexConfig(), Seq("doc_id")).collect())
   }
+
+  test("indices_boost: first matching pattern wins, unmatched keeps 1, " +
+       "non-positive factors and missing _index are loud") {
+    val cat = Map(
+      "logs_a" -> Seq(("1", "x")).toDF("doc_id", "t"),
+      "logs_b" -> Seq(("2", "x")).toDF("doc_id", "t"),
+      "other" -> Seq(("3", "x")).toDF("doc_id", "t"))
+    val hits = Search.search(Search.indexPattern(cat, "*"),
+      """{"query": {"term": {"t": "x"}}}""", IndexConfig(), Seq("doc_id"))
+    val out = Search.indicesBoost(hits,
+        Seq("logs_a" -> 5, "logs_*" -> 2))
+      .select("doc_id", "_score").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("1" -> 5L, "2" -> 2L, "3" -> 1L))
+    intercept[IllegalArgumentException](
+      Search.indicesBoost(hits, Seq("logs_a" -> 0)))
+    intercept[IllegalArgumentException](
+      Search.indicesBoost(hits.drop("_index"), Seq("logs_a" -> 2)))
+  }
 }

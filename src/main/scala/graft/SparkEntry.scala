@@ -3502,6 +3502,17 @@ object SparkEntry {
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "q_strip_boilerplate" -> ((s, dir) => {
+      // cross-document boilerplate: per-source header/footer lines wrap
+      // each doc; lines repeating across >= 5 docs of a source strip,
+      // returning the original body
+      val d = tbl(s, dir, "documents")
+        .withColumn("text", concat(lit("HDR "), col("source"), lit("\n"),
+          col("text"), lit("\nFOOTER")))
+      Curate.stripBoilerplate(d, "doc_id", "text", "source", minDocs = 5L)
+        .select(col("doc_id"), col("text_clean"), col("n_boiler"))
+        .orderBy(col("doc_id"))
+    }),
     "q_quality_classifier" -> ((s, dir) => {
       // hashed-feature linear classifier: unigram+bigram features,
       // md5-bucket weights, integer-exact logit sum
@@ -6794,6 +6805,25 @@ object SparkEntry {
              AS BIGINT) AS y
            FROM cl)
          SELECT doc_id FROM t WHERE x = 2 AND y = 1 ORDER BY doc_id""",
+    "q_strip_boilerplate" ->
+      """WITH d AS (SELECT doc_id, source,
+             'HDR ' || source || chr(10) || text || chr(10) || 'FOOTER'
+               AS text2
+           FROM documents),
+         dl AS (SELECT doc_id, source, string_split(text2, chr(10)) AS ls
+                FROM d),
+         e AS (SELECT DISTINCT doc_id, source, unnest(ls) AS line FROM dl),
+         sup AS (SELECT source, line FROM e
+                 GROUP BY 1, 2 HAVING count(*) >= 5),
+         bl AS (SELECT source, list(line) AS bad FROM sup GROUP BY 1)
+         SELECT dl.doc_id,
+           array_to_string(list_filter(dl.ls,
+             x -> NOT list_contains(COALESCE(bl.bad, CAST([] AS VARCHAR[])), x)),
+             chr(10)) AS text_clean,
+           len(dl.ls) - len(list_filter(dl.ls,
+             x -> NOT list_contains(COALESCE(bl.bad, CAST([] AS VARCHAR[])), x)))
+             AS n_boiler
+         FROM dl LEFT JOIN bl USING (source) ORDER BY dl.doc_id""",
     "q_quality_classifier" ->
       """WITH t AS (SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z]+'),

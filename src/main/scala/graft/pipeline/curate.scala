@@ -335,4 +335,42 @@ object Curate {
       .withColumn("url_keep",
         length(col("host")) > 0 && !col("domain_blocked") && col("tld_allowed"))
   }
+
+  /** Corpus-level boilerplate removal: drop every LINE that repeats across
+    * `minDocs`+ distinct documents of the same group (site/source) —
+    * headers, footers, nav bars, cookie banners; the cross-document
+    * complement of the per-document C4 line rules. Two-phase, scale-safe:
+    *
+    *  1. distinct (group, line, doc) → one hash aggregate per (group,
+    *     line) counts supporting DOCS (a doc repeating its own header
+    *     still counts once);
+    *  2. qualifying lines aggregate into one per-group array — bounded by
+    *     construction (a line must appear in ≥ minDocs docs, so a group
+    *     contributes at most lines/minDocs entries; real boilerplate sets
+    *     are tiny) — which joins back BROADCAST onto the doc table, and
+    *     each doc's text filters through a higher-order lambda: the wide
+    *     corpus rows never shuffle.
+    *
+    * Returns the frame with `text_clean` (boilerplate lines removed, line
+    * order preserved) and `n_boiler` (lines dropped). */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, minDocs: Long = 5L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = split(col(textCol), "\n")
+    val support = df
+      .select(col(idCol), col(groupCol), explode(lines).as("_line"))
+      .distinct()
+      .groupBy(col(groupCol), col("_line"))
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= minDocs)
+    val badPerGroup = support.groupBy(col(groupCol))
+      .agg(collect_list(col("_line")).as("_bad"))
+    val bad = coalesce(col("_bad"), array().cast("array<string>"))
+    df.join(broadcast(badPerGroup), Seq(groupCol), "left")
+      .withColumn("text_clean", array_join(
+        filter(lines, l => !exists(bad, b => b === l)), "\n"))
+      .withColumn("n_boiler",
+        size(lines) - size(filter(lines, l => !exists(bad, b => b === l))))
+      .drop("_bad")
+  }
 }

@@ -307,4 +307,28 @@ class CurateSpec extends AnyFunSuite {
     assert(restored == (1 to 40).map(i => s"w$i").mkString(" "))
     assert(targets.nonEmpty && targets.size < 40) // ~30% of 40, not all/none
   }
+
+  test("stripBoilerplate: per-group repeated lines drop, body and order " +
+       "survive, own-doc repeats count once, wide rows never shuffle") {
+    import graft.pipeline.Curate
+    val docs = (1 to 6).map(i => (i.toLong, "siteA",
+        s"NAV\nbody $i\nNAV\nCOOKIES")) ++ // NAV twice in one doc: 1 vote
+      Seq((7L, "siteB", "NAV\nother body\nEND"),
+          (8L, "siteB", "unique only"))
+    val df = docs.toDF("doc_id", "grp", "text")
+    val out = Curate.stripBoilerplate(df, "doc_id", "text", "grp", minDocs = 5L)
+      .select("doc_id", "text_clean", "n_boiler").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    // siteA: NAV (6 docs) and COOKIES (6 docs) strip; bodies unique
+    assert(out(1L) == (("body 1", 3)))   // both NAVs + COOKIES dropped
+    // siteB: NAV appears in 1 doc there — boilerplate is per-group
+    assert(out(7L) == (("NAV\nother body\nEND", 0)))
+    assert(out(8L) == (("unique only", 0)))
+    // plan: the doc table joins the per-group array broadcast — no
+    // shuffle of the wide rows into the join
+    val plan = Curate.stripBoilerplate(df, "doc_id", "text", "grp")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoop"), plan.take(600))
+  }
 }

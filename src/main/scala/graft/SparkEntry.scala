@@ -3502,6 +3502,17 @@ object SparkEntry {
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "q_contrastive_pairs" -> ((s, dir) => {
+      // CLIP-style pair table: every doc paired with its own caption plus
+      // 3 deterministic hash-drawn negatives (never its own), seed 11
+      val d = tbl(s, dir, "documents")
+      Multimodal.contrastivePairs(d.select(col("doc_id")),
+          d.select(col("doc_id"), col("text")), "doc_id", "text",
+          negatives = 3, seed = 11L)
+        .select(col("doc_id"), col("pair_j"), col("is_positive"),
+          col("caption"))
+        .orderBy(col("doc_id"), col("pair_j"))
+    }),
     "q_strip_boilerplate" -> ((s, dir) => {
       // cross-document boilerplate: per-source header/footer lines wrap
       // each doc; lines repeating across >= 5 docs of a source strip,
@@ -6805,6 +6816,18 @@ object SparkEntry {
              AS BIGINT) AS y
            FROM cl)
          SELECT doc_id FROM t WHERE x = 2 AND y = 1 ORDER BY doc_id""",
+    "q_contrastive_pairs" ->
+      """WITH c AS (SELECT min(doc_id) AS lo, count(*) AS n FROM documents),
+         r AS (SELECT d.doc_id, j AS pair_j, (j = 0) AS is_positive,
+           CASE WHEN j = 0 THEN d.doc_id
+             ELSE lo + ((d.doc_id - lo + 1
+               + (CAST('0x' || substr(md5(d.doc_id || ':' || j || ':' || '11'),
+                   1, 8) AS BIGINT) % (n - 1))) % n)
+           END AS cap_ref
+           FROM documents d, c, generate_series(0, 3) AS g(j))
+         SELECT r.doc_id, r.pair_j, r.is_positive, cap.text AS caption
+         FROM r JOIN documents cap ON cap.doc_id = r.cap_ref
+         ORDER BY r.doc_id, r.pair_j""",
     "q_strip_boilerplate" ->
       """WITH d AS (SELECT doc_id, source,
              'HDR ' || source || chr(10) || text || chr(10) || 'FOOTER'

@@ -219,4 +219,46 @@ object Multimodal {
       .withColumn("ph", least(lit(p.toLong), col(hCol) - col("y0")))
       .drop("_nx")
   }
+
+  /** CLIP-style contrastive pair construction: each (item, caption)
+    * positive plus `negatives` deterministic hard-ish negatives drawn from
+    * the caption pool by hash — `neg_id = md5(item_id ‖ j ‖ seed) mod
+    * pool`, re-drawn at `j+pool` when it lands on the item's own caption
+    * (never a false negative). Reproducible across runs, cluster sizes,
+    * and epochs (seed change = fresh negative draw — the property a
+    * training loop needs; `rand()` gives none of it). Caption ids must be
+    * the DENSE range [minId, minId+pool) — the contract a curated caption
+    * table provides; loud otherwise. Plan: the negative references join
+    * the caption pool on its id (hash join on the pool's key; the item
+    * table fans out ×(1+negatives) map-side, no other shuffle). */
+  def contrastivePairs(items: DataFrame, captions: DataFrame, idCol: String,
+                       captionCol: String, negatives: Int = 3,
+                       seed: Long = 0L): DataFrame = {
+    require(negatives >= 1, s"negatives must be >= 1, got $negatives")
+    val stats = captions.agg(min(col(idCol)).cast("long").as("lo"),
+      max(col(idCol)).cast("long").as("hi"),
+      count(lit(1)).as("n")).head()
+    val (lo, hi, n) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    require(n >= 2, "contrastivePairs needs at least 2 captions")
+    require(hi - lo + 1 == n,
+      s"caption ids must be dense [$lo, ${lo + n - 1}]: found $n ids in [$lo, $hi]")
+    // offset draw: own_index + 1 + (hash mod pool−1), mod pool — lands on
+    // every caption EXCEPT the item's own (never a false negative, no
+    // rejection loop)
+    def draw(j: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),
+        j.cast("string"), lit(":"), lit(seed.toString)).cast("binary")),
+        1, 8), 16, 10).cast("long")
+      lit(lo) + pmod(col(idCol).cast("long") - lit(lo) + 1L + pmod(h, lit(n - 1)),
+        lit(n))
+    }
+    val refs = items.withColumn("pair_j",
+        explode(sequence(lit(0), lit(negatives))))
+      .withColumn("is_positive", col("pair_j") === 0)
+      .withColumn("cap_ref", when(col("is_positive"), col(idCol))
+        .otherwise(draw(col("pair_j"))))
+    refs.join(captions.select(col(idCol).as("cap_ref"),
+        col(captionCol).as("caption")), Seq("cap_ref"))
+      .drop("cap_ref")
+  }
 }

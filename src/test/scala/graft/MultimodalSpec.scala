@@ -107,4 +107,40 @@ class MultimodalSpec extends AnyFunSuite {
     // the patches tile the image exactly: areas sum to w*h
     assert(out.map(p => p._4 * p._5).sum == 33L * 20L)
   }
+
+  test("contrastivePairs: one positive + k negatives per item, never the " +
+       "own caption, reproducible, dense-id gate is loud") {
+    import spark.implicits._
+    val caps = (0L until 20L).map(i => (i, s"cap$i")).toDF("doc_id", "text")
+    val items = (0L until 20L).toDF("doc_id")
+    val out = graft.pipeline.Multimodal.contrastivePairs(
+        items, caps, "doc_id", "text", negatives = 3, seed = 5L)
+      .select("doc_id", "pair_j", "is_positive", "caption").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getString(3)))
+    assert(out.length == 20 * 4)
+    val byItem = out.groupBy(_._1)
+    byItem.foreach { case (id, rows) =>
+      val pos = rows.filter(_._3)
+      assert(pos.length == 1 && pos.head._4 == s"cap$id")
+      // negatives never the own caption
+      assert(rows.filterNot(_._3).forall(_._4 != s"cap$id"), rows.mkString(","))
+    }
+    // reproducible; seed change redraws at least one negative
+    val again = graft.pipeline.Multimodal.contrastivePairs(
+        items, caps, "doc_id", "text", negatives = 3, seed = 5L)
+      .select("doc_id", "pair_j", "caption").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)).toString).sorted
+    val a1 = out.map(r => (r._1, r._2, r._4).toString).sorted
+    assert(a1.sameElements(again))
+    val other = graft.pipeline.Multimodal.contrastivePairs(
+        items, caps, "doc_id", "text", negatives = 3, seed = 6L)
+      .select("doc_id", "pair_j", "caption").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)).toString).sorted
+    assert(!a1.sameElements(other))
+    // sparse caption ids are rejected, not silently mis-drawn
+    val sparse = Seq((0L, "a"), (5L, "b")).toDF("doc_id", "text")
+    assert(intercept[IllegalArgumentException](
+      graft.pipeline.Multimodal.contrastivePairs(items, sparse, "doc_id", "text"))
+      .getMessage.contains("dense"))
+  }
 }

@@ -137,7 +137,8 @@ object Bench {
         "q_search_mvt_grid", "q_upsert_versioned", "q_upsert_cas",
         "q_upsert_scripted", "q_admin_search_shards", "q_train_shuffle",
         "q_search_date_math", "q_quality_classifier", "q_augment_mask",
-        "q_search_geo_grid", "q_search_script_fields", "q_search_indices_boost", "q_strip_boilerplate", "q_contrastive_pairs")
+        "q_search_geo_grid", "q_search_script_fields", "q_search_indices_boost", "q_strip_boilerplate", "q_contrastive_pairs",
+        "q_similarity_bbq", "q_similarity_bbq_exact")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

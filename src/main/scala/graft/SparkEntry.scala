@@ -2941,6 +2941,28 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 10, vecCol = "q_emb")
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_bbq" -> ((s, dir) => {
+      // binary quantization ANN: sign-bit hamming coarse pass, exact
+      // cosine rerank of k·oversample candidates — recall < 1 by contract
+      // at oversample 4 (rows-only); the exact twin below is the oracle
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bbqTopK(emb, queries, k = 10, oversample = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_similarity_bbq_exact" -> ((s, dir) => {
+      // k·oversample >= corpus → the coarse pass keeps everything and the
+      // rerank IS brute force: an end-to-end oracle over binarize/hamming/
+      // rerank machinery
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      Similarity.bbqTopK(emb, queries, k = 10, oversample = 50)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_similarity_ivf" -> ((s, dir) => {
       // rows-only: IVF coarse-quantizer ANN (train → assign → probe)
       val emb = tbl(s, dir, "embeddings")
@@ -6447,6 +6469,22 @@ object SparkEntry {
       // equal brute force on the same slice
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
                     FROM embeddings WHERE vec_id < 500),
+         q AS (SELECT vec_id AS query_id, embedding AS query_vec
+               FROM e WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding, q.query_vec) AS raw_cos
+           FROM e, q WHERE e.vec_id <> q.query_id),
+         ranked AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, neighbor_id, round(raw_cos, 4) AS cos, rank FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_similarity_bbq_exact" ->
+      // oversample spans the corpus → brute-force top-k is the exact
+      // oracle for the binarize/hamming/rerank pipeline
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
          q AS (SELECT vec_id AS query_id, embedding AS query_vec
                FROM e WHERE vec_id < 5),
          scored AS (

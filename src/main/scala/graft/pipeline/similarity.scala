@@ -167,4 +167,69 @@ object Similarity {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Binary quantization (the BBQ/1-bit trade): pack each dimension's
+    * SIGN bit into 64-bit words — a 32× payload reduction over float32.
+    * Pure fold expressions (per word: a running-acc × running-bit-value
+    * aggregate over the 64-dim slice); the packed column is engine-
+    * internal (coarse hamming ranking only — never an output value). */
+  def binarize(df: DataFrame, vecCol: String, bCol: String = "b_emb"): DataFrame = {
+    val v = col(vecCol)
+    val nWords = floor((size(v) + lit(63)) / lit(64)).cast("int")
+    df.withColumn(bCol, transform(sequence(lit(0), nWords - 1), w =>
+      aggregate(slice(v, w * 64 + 1, lit(64)),
+        struct(lit(0L).as("acc"), lit(1L).as("bit")),
+        (st, x) => struct(
+          // bitwise OR/shift, not +/×: the 64th doubling wraps to the sign
+          // bit, which ANSI arithmetic rejects but bit ops pack correctly
+          (st.getField("acc").bitwiseOR(
+            when(x >= 0, st.getField("bit")).otherwise(lit(0L)))).as("acc"),
+          shiftleft(st.getField("bit"), 1).as("bit")),
+        st => st.getField("acc"))))
+  }
+
+  /** Hamming distance between two packed sign-bit arrays: XOR + popcount
+    * per word, summed — d/64 codegen'd ops per comparison where float
+    * cosine pays d multiplies. */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, v) => acc + v)
+
+  /** ANN via binary quantization + exact rerank (the ES 8.16 BBQ shape):
+    * the corpus's packed sign bits rank by hamming distance against each
+    * query's (the cheap coarse pass — the corpus is scanned once, 1 bit
+    * per dimension crosses the comparator), the best `k · oversample`
+    * candidates rerank by exact float cosine. Recall grows with
+    * `oversample`; `k · oversample ≥ corpus` makes it exhaustive (=
+    * brute force — the driver's exact twin proves the whole pipeline).
+    * Same shuffle discipline as [[lshTopK]]: only (query, id) pairs cross
+    * the candidate exchange; vectors join back afterwards. */
+  def bbqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              oversample: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              qIdCol: String = "query_id", qVecCol: String = "query_vec",
+              excludeSelf: Boolean = true): DataFrame = {
+    require(k >= 1 && oversample >= 1, "k and oversample must be >= 1")
+    val bc = binarize(corpus.select(col(idCol), col(vecCol)), vecCol, "_bc")
+      .select(col(idCol), col("_bc"))
+    val bq = binarize(queries.select(col(qIdCol), col(qVecCol)), qVecCol, "_bq")
+      .select(col(qIdCol), col("_bq"))
+    val joined = bc.crossJoin(broadcast(bq))
+    val coarse = (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol))
+                  else joined)
+      .withColumn("_ham", hamming(col("_bc"), col("_bq")))
+    val wC = Window.partitionBy(col(qIdCol)).orderBy(asc("_ham"), asc(idCol))
+    val cand = coarse.withColumn("_crank", row_number().over(wC))
+      .where(col("_crank") <= k * oversample)
+      .select(col(qIdCol), col(idCol))
+    val rescored = cand
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
 }

@@ -66,4 +66,34 @@ class IvfSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf == brute) // clusters are well separated → full recall
   }
+
+  test("bbq: sign-bit packing round-trips hamming; exhaustive oversample " +
+       "equals brute force; 65+ dims pack into a second word") {
+    val c64 = corpus.withColumn("embedding", col("embedding").cast("array<double>"))
+    val q = c64.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val bbq = Similarity.bbqTopK(c64, q, k = 5, oversample = 20) // 100 ≥ 40
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(c64, q, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bbq == brute)
+    // packing: opposite sign patterns are maximally distant, equal are 0;
+    // a 65th dimension lands in word 2 and still counts
+    val pair = Seq(
+      (1L, Array.fill(65)(1.0)),
+      (2L, Array.fill(65)(-1.0)),
+      (3L, Array.fill(65)(1.0))).toDF("vec_id", "embedding")
+    val b = Similarity.binarize(pair, "embedding")
+    val packed = b.select("vec_id", "b_emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(packed(1L).length == 2) // 65 dims → 2 words
+    val hd = b.alias("x").crossJoin(b.alias("y"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Similarity.hamming(col("x.b_emb"), col("y.b_emb")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(hd((1L, 3L)) == 0)
+    assert(hd((1L, 2L)) == 65)
+  }
 }

@@ -3524,6 +3524,22 @@ object SparkEntry {
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "q_esql_now" -> ((s, dir) => {
+      // ES|QL NOW() with an explicitly pinned anchor (2024-02-01Z):
+      // per-event age in whole days, bucketed
+      Esql.run(
+        "FROM events | EVAL age = DATE_DIFF(\"days\", ts, NOW()) " +
+          "| STATS n = COUNT(*) BY age | SORT age",
+        Map("events" -> tbl(s, dir, "events")),
+        now = Some(java.time.Instant.parse("2024-02-01T00:00:00Z")))
+    }),
+    "q_dedup_edit" -> ((s, dir) => {
+      // character-level near-dup: length-window blocking + thresholded
+      // levenshtein verification (dist <= 10)
+      Dedup.editDistancePairs(tbl(s, dir, "documents"), "text", "doc_id",
+          maxDist = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_contrastive_pairs" -> ((s, dir) => {
       // CLIP-style pair table: every doc paired with its own caption plus
       // 3 deterministic hash-drawn negatives (never its own), seed 11
@@ -6854,6 +6870,22 @@ object SparkEntry {
              AS BIGINT) AS y
            FROM cl)
          SELECT doc_id FROM t WHERE x = 2 AND y = 1 ORDER BY doc_id""",
+    "q_esql_now" ->
+      """WITH t AS (SELECT
+           CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+             // 86400000000 AS BIGINT) AS age
+           FROM events)
+         SELECT age, count(*) AS n FROM t GROUP BY age ORDER BY age""",
+    "q_dedup_edit" ->
+      // all-pairs with the same length prefilter is the exact oracle for
+      // the engine's bucketed candidate generation (recall 1 by the
+      // length-window argument)
+      """WITH b AS (SELECT doc_id AS id, text AS t, len(text) AS l
+                    FROM documents)
+         SELECT x.id AS id_a, y.id AS id_b, levenshtein(x.t, y.t) AS dist
+         FROM b x JOIN b y ON x.id < y.id AND abs(x.l - y.l) <= 10
+         WHERE levenshtein(x.t, y.t) <= 10
+         ORDER BY id_a, id_b""",
     "q_contrastive_pairs" ->
       """WITH c AS (SELECT min(doc_id) AS lo, count(*) AS n FROM documents),
          r AS (SELECT d.doc_id, j AS pair_j, (j = 0) AS is_positive,
@@ -6930,6 +6962,8 @@ object SparkEntry {
     // (xxhash64 signature), q_similarity_ivf (IVF recall < 1 — honest
     // approximation; its exhaustive twin q_similarity_ivf_exact IS oracled),
     // q_similarity_pq (ADC quantization error by contract; its lossless
-    // twins q_similarity_pq_exact / q_similarity_ivfpq_exact ARE oracled)
+    // twins q_similarity_pq_exact / q_similarity_ivfpq_exact ARE oracled),
+    // q_similarity_bbq (hamming recall < 1 at oversample 4; its exhaustive
+    // twin q_similarity_bbq_exact IS oracled)
   )
 }

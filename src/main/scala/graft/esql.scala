@@ -38,8 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object Esql {
 
-  /** Parse and execute a pipe query against named tables. */
-  def run(query: String, catalog: Map[String, DataFrame]): DataFrame = {
+  /** Pinned `NOW()` anchor, scoped per run — ES|QL's NOW() reads the
+    * coordinator clock; a deterministic distributed engine pins it
+    * explicitly (same rule as the search body's top-level "now"). */
+  private[graft] val nowAnchor =
+    new scala.util.DynamicVariable[java.time.Instant](null)
+
+  /** Parse and execute a pipe query against named tables. `now` pins
+    * NOW() (absent → wall clock at compile). */
+  def run(query: String, catalog: Map[String, DataFrame],
+          now: Option[java.time.Instant] = None): DataFrame =
+    nowAnchor.withValue(now.orNull) { runPinned(query, catalog) }
+
+  private def runPinned(query: String, catalog: Map[String, DataFrame]): DataFrame = {
     val stages = splitStages(query)
     require(stages.nonEmpty, "empty ES|QL query")
     val head = stages.head
@@ -859,6 +870,10 @@ object Esql {
             s"DATE_TRUNC: unsupported unit '$unit'")
           date_trunc(unit, Tsx.ltz(a(1)))
         case "TO_UNIX_MICROS" => arity(1); Tsx.micros(a(0))
+        case "NOW" =>
+          arity(0)
+          lit(java.sql.Timestamp.from(
+            Option(nowAnchor.value).getOrElse(java.time.Instant.now())))
         case "BUCKET" =>
           // numeric span bucketing: floor(x / span) * span (the ES|QL
           // numeric BUCKET form; date bucketing is DATE_TRUNC). The

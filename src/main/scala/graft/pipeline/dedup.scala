@@ -628,4 +628,42 @@ object Dedup {
     df.join(pairs.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
   }
+
+  /** Near-dup pairs by EDIT DISTANCE — the character-level complement of
+    * [[jaccardPairs]] (word sets miss transposed/typo'd variants; edit
+    * distance catches them). Candidate generation blocks on the length
+    * window: `maxDist` edits change length by at most `maxDist`, so every
+    * qualifying pair shares a length bucket or borders one — each doc
+    * joins into its own bucket and the one above, never all-pairs across
+    * the corpus. Verification is thresholded `levenshtein(a, b, maxDist)`
+    * (early-exit O(len·maxDist), not the full O(len²) table). Quadratic
+    * WITHIN a length class by construction — like [[jaccardPairs]] and
+    * [[Similarity.cosinePairsExact]] this is the bounded-slice verifier:
+    * at corpus scale, generate candidates with [[minhashPairs]]/banding
+    * first and verify those pairs here. */
+  def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
+                        maxDist: Int, bucketWidth: Int = 20): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(bucketWidth > maxDist,
+      s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist) or " +
+        "cross-bucket pairs at distance maxDist get missed")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).as("len"),
+      floor(length(col(textCol)) / lit(bucketWidth)).as("b"))
+    // the probe side (always the smaller id) visits its own bucket and
+    // BOTH neighbors — id order says nothing about bucket order, so a
+    // one-sided probe would miss pairs where the smaller id sits in the
+    // higher bucket; |len diff| <= maxDist < bucketWidth guarantees a
+    // qualifying pair is at most one bucket apart, and exactly one of the
+    // three probes lands on the partner's bucket (no double-count)
+    val probes = base.select(col("id"), col("t"), col("len"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+    probes.as("x").join(base.as("y"),
+        col("x.b") === col("y.b") && col("x.id") < col("y.id") &&
+          abs(col("x.len") - col("y.len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("x.t"), col("y.t"), maxDist))
+      .where(col("dist") >= 0) // threshold form: -1 = above maxDist
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("dist"))
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -400,4 +400,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set((1L, -1L, false), (2L, 1L, true), (3L, -1L, false),
       (4L, -1L, false), (5L, 4L, true)))
   }
+
+  test("editDistancePairs: catches typos/transpositions across bucket " +
+       "edges, respects maxDist, never double-counts") {
+    // bucketWidth 4: "abcd" (len 4 → bucket 1) vs "abc" (len 3 → bucket 0)
+    // is a cross-edge pair; smaller id in the HIGHER bucket
+    val docs = Seq(
+      (1L, "abcd"),         // bucket 1
+      (2L, "abc"),          // bucket 0, dist 1 to doc 1
+      (3L, "abdc"),         // transposition of 1: dist 2
+      (4L, "zzzzzzzzzzzz"), // far from everything
+      (5L, "abcd"))         // exact dup of 1: dist 0
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "text", "doc_id",
+        maxDist = 2, bucketWidth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out == Map((1L, 2L) -> 1, (1L, 3L) -> 2, (1L, 5L) -> 0,
+      (2L, 3L) -> 1, (3L, 5L) -> 2, (2L, 5L) -> 1), out.toString)
+    // each pair appears exactly once (the Map build would mask dupes —
+    // count the raw rows)
+    assert(Dedup.editDistancePairs(docs, "text", "doc_id", 2, 4).count() == 6)
+    // gate: bucketWidth must exceed maxDist
+    intercept[IllegalArgumentException](
+      Dedup.editDistancePairs(docs, "text", "doc_id", maxDist = 5,
+        bucketWidth = 4))
+  }
 }

@@ -370,4 +370,21 @@ class EsqlSpec extends AnyFunSuite {
     assert(Esql.validate("FROM docs | WHERE n > ", cat).isLeft)
     assert(Esql.validate("FROM docs | WHERE n > 1", cat).isRight)
   }
+
+  test("NOW() pins to the provided anchor; arity is enforced") {
+    import spark.implicits._
+    val ev = Seq(("2024-01-30 00:00:00"), ("2024-01-25 12:00:00"))
+      .toDF("s")
+      .select(org.apache.spark.sql.functions.col("s")
+        .cast("timestamp").as("ts"))
+    val out = Esql.run(
+        "FROM e | EVAL age = DATE_DIFF(\"days\", ts, NOW()) | KEEP age | SORT age",
+        Map("e" -> ev),
+        now = Some(java.time.Instant.parse("2024-02-01T00:00:00Z")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L, 6L)) // 2 whole days and 6.5 → 6
+    assert(intercept[IllegalArgumentException](Esql.run(
+      "FROM e | EVAL x = NOW(ts)", Map("e" -> ev)))
+      .getMessage.contains("0 argument"))
+  }
 }

@@ -647,42 +647,20 @@ object Dedup {
     require(bucketWidth > maxDist,
       s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist) or " +
         "cross-bucket pairs at distance maxDist get missed")
-    // character-bag lower bound, precomputed once per doc: every edit
-    // changes at most one char count on each side, so with Δ_c the
-    // per-char count difference, lev(a,b) >= max(Σ max(0,Δ), Σ max(0,−Δ))
-    // = (Σ|Δ| + |ΣΔ|)/2. Counting a SUBSET of chars (a-z + space, the
-    // corpus alphabet) only weakens the bound, never breaks it. The
-    // counts live in 27 FLAT INT COLUMNS and the bound is one arithmetic
-    // expression — whole-stage-codegen'd per candidate pair (an earlier
-    // array + zip_with form ran interpreted per element and cost more
-    // than the DP it was pruning). sf0.1: 518k length-window candidates
-    // → 391 DP calls.
-    val alphabet = ('a' to 'z').map(_.toString) :+ " "
-    val countCols = alphabet.zipWithIndex.map { case (ch, i) =>
-      (length(col(textCol)) - length(replace(col(textCol), lit(ch), lit(""))))
-        .cast("int").as(s"_cc$i")
-    }
-    val base = df.select(Seq(col(idCol).as("id"), col(textCol).as("t"),
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
       length(col(textCol)).as("len"),
-      floor(length(col(textCol)) / lit(bucketWidth)).as("b")) ++ countCols: _*)
+      floor(length(col(textCol)) / lit(bucketWidth)).as("b"))
     // the probe side (always the smaller id) visits its own bucket and
     // BOTH neighbors — id order says nothing about bucket order, so a
     // one-sided probe would miss pairs where the smaller id sits in the
     // higher bucket; |len diff| <= maxDist < bucketWidth guarantees a
     // qualifying pair is at most one bucket apart, and exactly one of the
     // three probes lands on the partner's bucket (no double-count)
-    val probes = base.select(Seq(col("id"), col("t"), col("len")) ++
-      alphabet.indices.map(i => col(s"_cc$i")) :+
-      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"): _*)
-    val sumAbs = alphabet.indices
-      .map(i => abs(col(s"x._cc$i") - col(s"y._cc$i"))).reduce(_ + _)
-    val sumDelta = alphabet.indices
-      .map(i => col(s"x._cc$i") - col(s"y._cc$i")).reduce(_ + _)
-    val bagBound = shiftright(sumAbs + abs(sumDelta), 1) // (Σ|Δ|+|ΣΔ|)/2
+    val probes = base.select(col("id"), col("t"), col("len"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
     probes.as("x").join(base.as("y"),
         col("x.b") === col("y.b") && col("x.id") < col("y.id") &&
           abs(col("x.len") - col("y.len")) <= maxDist)
-      .where(bagBound <= maxDist)
       .withColumn("dist", levenshtein(col("x.t"), col("y.t"), maxDist))
       .where(col("dist") >= 0) // threshold form: -1 = above maxDist
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("dist"))

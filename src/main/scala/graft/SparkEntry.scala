@@ -3535,9 +3535,9 @@ object SparkEntry {
     }),
     "q_dedup_edit" -> ((s, dir) => {
       // character-level near-dup: length-window blocking + thresholded
-      // levenshtein verification (dist <= 10)
+      // levenshtein verification (dist <= 5)
       Dedup.editDistancePairs(tbl(s, dir, "documents"), "text", "doc_id",
-          maxDist = 10)
+          maxDist = 5)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "q_contrastive_pairs" -> ((s, dir) => {
@@ -6883,8 +6883,8 @@ object SparkEntry {
       """WITH b AS (SELECT doc_id AS id, text AS t, len(text) AS l
                     FROM documents)
          SELECT x.id AS id_a, y.id AS id_b, levenshtein(x.t, y.t) AS dist
-         FROM b x JOIN b y ON x.id < y.id AND abs(x.l - y.l) <= 10
-         WHERE levenshtein(x.t, y.t) <= 10
+         FROM b x JOIN b y ON x.id < y.id AND abs(x.l - y.l) <= 5
+         WHERE levenshtein(x.t, y.t) <= 5
          ORDER BY id_a, id_b""",
     "q_contrastive_pairs" ->
       """WITH c AS (SELECT min(doc_id) AS lo, count(*) AS n FROM documents),

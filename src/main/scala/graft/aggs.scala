@@ -1877,9 +1877,39 @@ object Aggs {
       "streaming aggs body must have exactly one date_histogram aggregation")
     val name = aggsNode.fieldNames.asScala.next()
     val spec = aggsNode.get(name)
+    // streaming `terms`: running per-key totals with no window — the
+    // stateful groupBy form (update/complete output modes; state is one
+    // row per key, bounded by the field's cardinality). No watermark: a
+    // keyed running total never closes.
+    Option(spec.get("terms")).foreach { tn =>
+      val tf = Option(tn.get("field")).map(_.asText)
+        .getOrElse(throw new IllegalArgumentException(
+          s"terms '$name' needs a 'field'"))
+      val unknownT = tn.fieldNames.asScala.toSet - "field"
+      require(unknownT.isEmpty,
+        s"streaming terms '$name' supports 'field' only (size/order are " +
+          s"sink-side concerns on an unbounded stream): ${unknownT.mkString(", ")}")
+      val subAggsT = Option(spec.get("aggs")).orElse(Option(spec.get("aggregations")))
+      val metricsT = subAggsT.toSeq.flatMap { n =>
+        n.fieldNames.asScala.toSeq.flatMap { sub =>
+          val ts = n.get(sub).fieldNames.asScala.toList
+          require(ts.size == 1 && !bucketTypes.contains(ts.head),
+            s"sub-agg '$sub' of '$name' must be a single metric")
+          metric(ts.head, sub, n.get(sub).get(ts.head))
+        }
+      }
+      val filteredT =
+        if (root.has("query"))
+          stream.where(QueryCompiler.compile(body, Int.MaxValue, idCol).predicate)
+        else stream
+      val aggColsT = count(lit(1)).as("doc_count") +: metricsT
+      return filteredT.where(col(tf).isNotNull)
+        .groupBy(col(tf).as("key"))
+        .agg(aggColsT.head, aggColsT.tail: _*)
+    }
     val dh = Option(spec.get("date_histogram")).getOrElse(
       throw new IllegalArgumentException(
-        s"streaming aggregation '$name' must be a date_histogram"))
+        s"streaming aggregation '$name' must be a date_histogram or terms"))
     val f = Option(dh.get("field")).map(_.asText)
       .getOrElse(throw new IllegalArgumentException(s"date_histogram '$name' needs a 'field'"))
     // fixed_interval maps straight onto a Structured Streaming tumbling

@@ -425,4 +425,31 @@ class StreamingSpec extends AnyFunSuite {
     // store now holds corpus + both batches
     assert(spark.read.parquet(store).count() == 5)
   }
+
+  test("streaming terms agg: running per-key totals accumulate across " +
+       "micro-batches; query filter applies; unknown options are loud") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val body = """{"query": {"term": {"lang": "en"}},
+      "aggs": {"by_src": {"terms": {"field": "src"},
+        "aggs": {"mx": {"max": {"field": "v"}}}}}}"""
+    val input = MemoryStream[(String, String, Double)]
+    val q = Aggs.runStream(input.toDF().toDF("src", "lang", "v"), body)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("terms_stream").start()
+    try {
+      input.addData(("web", "en", 1.0), ("web", "en", 5.0), ("book", "en", 2.0),
+        ("web", "fr", 99.0)) // filtered by the query
+      q.processAllAvailable()
+      input.addData(("web", "en", 3.0)) // accumulates into the web bucket
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT key, doc_count, mx FROM terms_stream")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("web", 3L, 5.0), ("book", 1L, 2.0)), out.toString)
+    assert(intercept[IllegalArgumentException](Aggs.runStream(
+      spark.readStream.format("rate").load(),
+      """{"aggs": {"t": {"terms": {"field": "value", "size": 5}}}}"""))
+      .getMessage.contains("sink-side"))
+  }
 }

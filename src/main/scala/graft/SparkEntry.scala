@@ -3524,6 +3524,18 @@ object SparkEntry {
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+    "q_agg_composite_missing" -> ((s, dir) => {
+      // composite with missing_bucket: docs whose dimension is null form
+      // an explicit first bucket instead of dropping
+      val ev = tbl(s, dir, "events").select(
+        col("event_id").as("doc_id"),
+        when(col("value") >= 100, col("event_type")).as("etype"),
+        col("value"))
+      Aggs.runSingle(ev,
+        """{"aggs": {"by": {"composite": {"size": 10, "sources": [
+            {"etype": {"terms": {"field": "etype", "missing_bucket": true}}}]},
+          "aggs": {"n_docs": {"value_count": {"field": "doc_id"}}}}}}""")
+    }),
     "q_esql_now" -> ((s, dir) => {
       // ES|QL NOW() with an explicitly pinned anchor (2024-02-01Z):
       // per-event age in whole days, bucketed
@@ -6870,6 +6882,13 @@ object SparkEntry {
              AS BIGINT) AS y
            FROM cl)
          SELECT doc_id FROM t WHERE x = 2 AND y = 1 ORDER BY doc_id""",
+    "q_agg_composite_missing" ->
+      """WITH e AS (SELECT
+           CASE WHEN value >= 100 THEN event_type END AS etype
+           FROM events)
+         SELECT etype, count(*) AS doc_count, count(*) AS n_docs
+         FROM e GROUP BY etype
+         ORDER BY etype NULLS FIRST LIMIT 10""",
     "q_esql_now" ->
       """WITH t AS (SELECT
            CAST((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))

@@ -1779,7 +1779,14 @@ object Aggs {
         def fieldOf2: String = Option(body2.get("field")).map(_.asText)
           .getOrElse(throw new IllegalArgumentException(
             s"composite source '$srcName' needs a 'field'"))
-        tpe match {
+        // `missing_bucket: true` keeps null-keyed docs as an explicit
+        // null bucket, ordered FIRST (Spark asc = nulls first, ES's own
+        // missing-first order). Paging past it works because the null
+        // bucket always lands on page 1; an `after` cursor carries
+        // non-null keys only (declared subset).
+        val keepMissing =
+          Option(body2.get("missing_bucket")).exists(_.asBoolean)
+        val (srcName2, keyCol2, cond2): (String, Column, Column) = tpe match {
           case "terms" =>
             val f = fieldOf2
             (srcName, col(f), col(f).isNotNull)
@@ -1822,6 +1829,7 @@ object Aggs {
             s"composite source '$srcName': unsupported type '$other' " +
               "(terms/histogram/date_histogram/geotile_grid)")
         }
+        (srcName2, keyCol2, if (keepMissing) lit(true) else cond2)
       }
     require(sources.nonEmpty, s"composite '$name' has no sources")
     val metrics = subAggs.toSeq.flatMap { n =>

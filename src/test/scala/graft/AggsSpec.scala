@@ -1514,4 +1514,22 @@ class AggsSpec extends AnyFunSuite {
       """{"query": {"geo_grid": {"loc": {"s2": "abc"}}}}""",
       IndexConfig(), Seq("doc_id")).count())
   }
+
+  test("composite missing_bucket: null keys form the FIRST bucket; " +
+       "default still drops them; paging resumes past it") {
+    val d = Seq((1L, "a"), (2L, null), (3L, "b"), (4L, null), (5L, "a"))
+      .toDF("doc_id", "k")
+    def run(src: String, extra: String = "") = Aggs.runSingle(d,
+      s"""{"aggs":{"by":{"composite":{"size":10,$extra
+          "sources":[{"k":{"terms":$src}}]}}}}""")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)))
+    val withMissing = run("""{"field":"k","missing_bucket":true}""")
+    assert(withMissing.toSeq == Seq((None, 2L), (Some("a"), 2L), (Some("b"), 1L)))
+    val default = run("""{"field":"k"}""")
+    assert(default.toSeq == Seq((Some("a"), 2L), (Some("b"), 1L)))
+    // a page after "a" excludes the null bucket and "a" itself
+    val page2 = run("""{"field":"k","missing_bucket":true}""",
+      """"after":{"k":"a"},""")
+    assert(page2.toSeq == Seq((Some("b"), 1L)))
+  }
 }

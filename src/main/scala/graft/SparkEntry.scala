@@ -2886,6 +2886,20 @@ object SparkEntry {
              "num_candidates": 100, "filter": {"term": {"label": 3}}}}""")
         .select(col("vec_id"), round(col("_score"), 4).as("_score"))
     }),
+    "q_search_knn_multi" -> ((s, dir) => {
+      // ES 8.7 multi-knn: two clauses, each contributing its (boosted)
+      // score only inside its own top-k; final score = sum
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val qv1 = (0 until 64).map(i => (i % 5 - 2).toDouble).mkString(", ")
+      val qv2 = (0 until 64).map(i => (i % 7 - 3).toDouble).mkString(", ")
+      Search.knnSearch(emb,
+        s"""{"knn": [
+            {"field": "embedding", "query_vector": [$qv1], "k": 20},
+            {"field": "embedding", "query_vector": [$qv2], "k": 20, "boost": 2}],
+          "size": 15}""")
+        .select(col("vec_id"), round(col("_score"), 4).as("_score"))
+    }),
     "q_search_knn_sim" -> ((s, dir) => {
       // knn with the ES 8.8 similarity floor: only docs clearing the raw
       // cosine threshold match at all (gates on similarity, not score)
@@ -5584,6 +5598,19 @@ object SparkEntry {
            FROM embeddings, q WHERE label = 3)
          SELECT vec_id, round(s, 4) AS _score FROM scored
          ORDER BY s DESC, vec_id LIMIT 10""",
+    "q_search_knn_multi" ->
+      """WITH q1 AS (SELECT [CAST(x % 5 - 2 AS DOUBLE) FOR x IN range(64)] AS v),
+         q2 AS (SELECT [CAST(x % 7 - 3 AS DOUBLE) FOR x IN range(64)] AS v),
+         s1 AS (SELECT vec_id,
+             (1 + list_cosine_similarity(CAST(embedding AS DOUBLE[]), q1.v)) / 2 AS s
+           FROM embeddings, q1 ORDER BY s DESC, vec_id LIMIT 20),
+         s2 AS (SELECT vec_id,
+             (1 + list_cosine_similarity(CAST(embedding AS DOUBLE[]), q2.v)) / 2 * 2 AS s
+           FROM embeddings, q2 ORDER BY s DESC, vec_id LIMIT 20),
+         u AS (SELECT vec_id, sum(s) AS s
+               FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) GROUP BY 1)
+         SELECT vec_id, round(s, 4) AS _score FROM u
+         ORDER BY s DESC, vec_id LIMIT 15""",
     "q_search_knn_sim" ->
       """WITH q AS (SELECT [CAST(x % 5 - 2 AS DOUBLE) FOR x IN range(64)] AS qv),
          scored AS (

@@ -693,7 +693,35 @@ object Search {
     val unknownTop = root.fieldNames.asScala.toSet -- Set("knn", "size", "query")
     require(unknownTop.isEmpty,
       s"unsupported knn body key(s): ${unknownTop.mkString(", ")}")
-    val kn = Option(root.get("knn")).filter(_.isObject)
+    val knRaw = Option(root.get("knn"))
+      .getOrElse(throw new IllegalArgumentException("body needs a 'knn' object"))
+    // ES 8.7 multi-knn: `knn` as an ARRAY of clauses — each clause
+    // retrieves its own top-k and the final score is the SUM of the
+    // clauses' contributions for docs inside each clause's k (a doc
+    // outside a clause's top-k gets nothing from it, exactly ES).
+    // Declared subset: no `query` alongside (single-clause hybrid covers
+    // that composition). Each clause runs through the single-clause path
+    // recursively; k-row contribution lists merge in one hash aggregate
+    // and broadcast back onto the doc table for the output page.
+    if (knRaw.isArray) {
+      require(!root.has("query"),
+        "multi-knn with a sibling 'query' is not in the declared subset " +
+          "(use a single knn clause for hybrid)")
+      val clauses = knRaw.elements.asScala.toSeq
+      require(clauses.size >= 2, "multi-knn needs at least two clauses")
+      val size = Option(root.get("size")).map(_.asInt).getOrElse(10)
+      val parts = clauses.map { c =>
+        val w = mapper.createObjectNode()
+        w.set[JsonNode]("knn", c)
+        knnSearch(docs, w.toString, cfg, idCol)
+          .select(col(idCol), col("_score"))
+      }
+      val merged = parts.reduce(_ unionByName _)
+        .groupBy(col(idCol)).agg(sum(col("_score")).as("_score"))
+      return docs.join(broadcast(merged), Seq(idCol))
+        .orderBy(desc("_score"), asc(idCol)).limit(size)
+    }
+    val kn = Some(knRaw).filter(_.isObject)
       .getOrElse(throw new IllegalArgumentException("body needs a 'knn' object"))
     val unknownK = kn.fieldNames.asScala.toSet --
       Set("field", "query_vector", "k", "num_candidates", "filter", "boost",

@@ -1357,6 +1357,32 @@ class SearchSpec extends AnyFunSuite {
       IndexConfig(), Seq("doc_id")).collect())
   }
 
+  test("multi-knn: per-clause top-k contributions sum; outside a " +
+       "clause's k it contributes nothing; query sibling is rejected") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Search.knnSearch(vecs,
+        """{"knn": [
+            {"field": "embedding", "query_vector": [1.0, 0.0], "k": 2},
+            {"field": "embedding", "query_vector": [0.0, 1.0], "k": 1, "boost": 3}],
+          "size": 10}""")
+      .select("vec_id", "_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // clause 1 top-2: ids 1 (cos 1 → score 1.0) and 2; clause 2 top-1:
+    // id 3 (score 1.0 × 3). id 4 is in neither top-k → absent
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == 1.0)
+    assert(out(3L) == 3.0)  // boost multiplies the one clause it rides
+    assert(out(2L) > 0.9 && out(2L) < 1.0)
+    assert(intercept[IllegalArgumentException](Search.knnSearch(vecs,
+      """{"knn": [{"field": "embedding", "query_vector": [1.0, 0.0], "k": 1},
+          {"field": "embedding", "query_vector": [0.0, 1.0], "k": 1}],
+        "query": {"match_all": {}}}"""))
+      .getMessage.contains("declared subset"))
+  }
+
   test("indices_boost: first matching pattern wins, unmatched keeps 1, " +
        "non-positive factors and missing _index are loud") {
     val cat = Map(

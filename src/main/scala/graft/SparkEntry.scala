@@ -2540,6 +2540,17 @@ object SparkEntry {
       graft.pipeline.Bpe.train(tbl(s, dir, "documents"), "text", 8)
         .orderBy(col("rank"))
     }),
+    "q_tokenize_ids" -> ((s, dir) => {
+      // doc → input_ids export through learned BPE merges (rows-only
+      // contract like q_bpe_train: the merge induction has no SQL oracle;
+      // BpeSpec pins ranks, order, and round-trip on hand-built corpora)
+      val d = tbl(s, dir, "documents")
+      val merges = graft.pipeline.Bpe.train(d, "text", 8)
+      graft.pipeline.Bpe.encodeToIds(d, "doc_id", "text", merges)
+        .select(col("doc_id"), array_join(col("input_ids"), ",").as("ids"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q_mix_epochs" -> ((s, dir) => {
       // fractional-epoch mixing: src0 ×2 (exact), src1 ×1.3 (each doc
       // once + 30% twice by the LCG pick), src2 ×0.5, everything else
@@ -7010,6 +7021,7 @@ object SparkEntry {
     // q_similarity_pq (ADC quantization error by contract; its lossless
     // twins q_similarity_pq_exact / q_similarity_ivfpq_exact ARE oracled),
     // q_similarity_bbq (hamming recall < 1 at oversample 4; its exhaustive
-    // twin q_similarity_bbq_exact IS oracled)
+    // twin q_similarity_bbq_exact IS oracled), q_bpe_train / q_tokenize_ids
+    // (iterative merge induction has no SQL oracle; BpeSpec pins both)
   )
 }

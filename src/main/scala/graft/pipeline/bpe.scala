@@ -100,4 +100,40 @@ object Bpe {
     }
     words.select(col("w"), enc.as("tokens"))
   }
+
+  /** Tokenize documents to dense `input_ids` — the array-of-int export a
+    * training loop actually consumes. Ids are the vocabulary's
+    * sorted-token ranks (deterministic, seedless, stable across runs on
+    * the same merges). Scale shape: the per-WORD encoding table and the
+    * vocabulary are both bounded by construction (≤ distinct words /
+    * ≤ alphabet + merges) and broadcast; the corpus explodes to (doc,
+    * word-pos, token-pos) rows, joins the two small tables, and
+    * re-assembles per doc ordered by (word pos, token pos) — one
+    * corpus-keyed aggregate, no corpus-side windows. The vocab's global
+    * rank window runs on the BOUNDED vocab relation only. */
+  def encodeToIds(df: DataFrame, idCol: String, textCol: String,
+                  merges: DataFrame): DataFrame = {
+    val wordEnc = encode(df, textCol, merges) // (w, tokens) — distinct words
+    val vocab = wordEnc
+      .select(explode(col("tokens")).as("tok")).distinct()
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val exploded = df.select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
+    val assembled = exploded
+      .join(broadcast(wordEnc), "w")
+      .select(col(idCol), col("pos"),
+        posexplode(col("tokens")).as(Seq("tpos", "tok")))
+      .join(broadcast(vocab), "tok")
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("tpos"), col("tid")))),
+        s => s.getField("tid")).as("input_ids"))
+    df.select(col(idCol))
+      .join(assembled, Seq(idCol), "left")
+      .withColumn("input_ids",
+        coalesce(col("input_ids"), array().cast("array<int>")))
+      .withColumn("n_tokens", size(col("input_ids")))
+  }
 }

@@ -53,4 +53,28 @@ class BpeSpec extends AnyFunSuite {
     // 'slows' contains l-o-w — the learned merges apply inside it
     assert(enc("slows") == Seq("s", "low", "s"))
   }
+
+  test("encodeToIds: ids are sorted-vocab ranks, doc order preserved, " +
+       "round-trip through the vocab recovers the token stream") {
+    val corpus = Seq((1L, "low low lowest")).toDF("id", "text")
+    val merges = Bpe.train(corpus, "text", 2)
+    val docs = Seq((10L, "low slows low"), (11L, ""), (12L, "slows"))
+      .toDF("id", "text")
+    val out = Bpe.encodeToIds(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getInt(2)))).toMap
+    // token stream of doc 10: [low] [s low s] [low]; vocab sorted ranks
+    // are stable, so equal tokens get equal ids and order is positional
+    val (ids10, n10) = out(10L)
+    assert(n10 == 5 && ids10.length == 5)
+    assert(ids10(0) == ids10(2) && ids10(2) == ids10(4)) // the three 'low's
+    assert(ids10(1) == ids10(3)) // the two 's's
+    assert(ids10(0) != ids10(1))
+    assert(out(11L) == ((Seq.empty[Int], 0))) // empty doc → empty ids
+    assert(out(12L)._1 == Seq(ids10(1), ids10(0), ids10(1))) // s low s
+    // deterministic across runs
+    val again = Bpe.encodeToIds(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(again(10L) == ids10)
+  }
 }

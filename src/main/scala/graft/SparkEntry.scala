@@ -5268,7 +5268,7 @@ object SparkEntry {
          FROM b ORDER BY d, t LIMIT 8""",
     "q_agg_scripted_metric" ->
       """SELECT lang AS key, count(*) AS doc_count,
-           sum(n_chars * 2 + 1) AS weight
+           CAST(sum(n_chars * 2 + 1) AS BIGINT) AS weight
          FROM documents WHERE lang IS NOT NULL
          GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 5""",
     "q_agg_geo_line" ->
@@ -5484,7 +5484,7 @@ object SparkEntry {
       """SELECT count(*) AS docs, count(text) AS text_docs,
            count(lang) AS lang_docs, count(source) AS source_docs,
            count(DISTINCT lang) AS lang_cardinality,
-           sum(length(text)) AS text_bytes
+           CAST(sum(length(text)) AS BIGINT) AS text_bytes
          FROM documents""",
     "q_esql_inlinestats" ->
       """WITH g AS (

@@ -1474,16 +1474,33 @@ object Search {
       .orderBy(asc("term")).limit(size)
   }
 
+  /** Global 1-based rank of every row under a TOTAL order (the caller's
+    * sort keys must be tie-free — ours always end in the unique pk),
+    * computed WITHOUT a single-partition window: `orderBy` range-partitions
+    * the sort, and `zipWithIndex` turns per-partition positions into global
+    * indices with one extra partition-size job. Each task ranks only its
+    * own slice — the frame never funnels through one partition, so the
+    * rank survives an unbounded (corpus-sized) input where
+    * `Window.orderBy` (no partitionBy) would not. */
+  private[graft] def globalRank(df: DataFrame, order: Seq[Column],
+                                rankCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = df.orderBy(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    df.sparkSession.createDataFrame(ranked, schema)
+  }
+
   def rrf(rankings: Seq[DataFrame], idCol: String = "doc_id",
           rankConstant: Int = 60, size: Int = 10): DataFrame = {
     require(rankings.size >= 2, "rrf needs at least two rankings")
     require(rankConstant >= 1, s"rrf rank_constant must be >= 1, got $rankConstant")
     require(size >= 1, s"rrf size must be >= 1, got $size")
-    import org.apache.spark.sql.expressions.Window
     val contribs = rankings.map { r =>
-      val w = Window.orderBy(desc("_score"), asc(idCol))
-      r.select(col(idCol), col("_score"))
-        .withColumn("_rrf_rank", row_number().over(w))
+      globalRank(r.select(col(idCol), col("_score")),
+          Seq(desc("_score"), asc(idCol)), "_rrf_rank")
         .select(col(idCol),
           (lit(1.0) / (lit(rankConstant.toDouble) + col("_rrf_rank")))
             .as("_rrf_contrib"))
@@ -1514,7 +1531,6 @@ object Search {
     require(k >= 1, s"_rank_eval k must be >= 1, got $k")
     val spark = docs.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
     requests.map { case (qid, query, ratings) =>
       require(ratings.nonEmpty, s"_rank_eval request '$qid' needs ratings")
       val rated = ratings.toSeq.toDF("_re_id", "_re_rating")
@@ -1522,12 +1538,13 @@ object Search {
       val pk = pkCols.head
       // rank in the engine's hit order — (score desc, pk asc) on the pk's
       // NATIVE type (a string-cast rank would resort numerically-keyed
-      // docs lexicographically)
-      val hits = search(docs, query, cfg, pkCols)
+      // docs lexicographically). Only the top-k matter, so the cut is a
+      // distributed TakeOrderedAndProject and the rank runs on ≤ k rows —
+      // never a corpus-sized single-partition window.
+      val topK = search(docs, query, cfg, pkCols)
         .select(col(pk), col("_score"))
-        .withColumn("_re_rank",
-          row_number().over(Window.orderBy(desc("_score"), asc(pk))))
-        .where(col("_re_rank") <= k)
+        .orderBy(desc("_score"), asc(pk)).limit(k)
+      val hits = globalRank(topK, Seq(desc("_score"), asc(pk)), "_re_rank")
         .select(col(pk).cast("string").as("_re_hit"), col("_re_rank"))
       val joined = hits.join(broadcast(rated),
           hits("_re_hit") === rated("_re_id"), "left")

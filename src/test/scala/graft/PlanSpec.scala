@@ -280,4 +280,18 @@ class PlanSpec extends AnyFunSuite {
     val scans = "FileScan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected 1 scan, got $scans\n" + p.take(3000))
   }
+
+  test("r9: rrf and rankEval rank without a single-partition window") {
+    // ranks come from a range-partitioned sort + zipWithIndex (rrf) or a
+    // TakeOrderedAndProject top-k cut (rankEval) — no unpartitioned
+    // WindowExec anywhere on the search path
+    val rrf = planOf("q_search_rrf")
+    assert(!rrf.contains("Window"), rrf.take(3000))
+    val re = planOf("q_rank_eval")
+    assert(!re.contains("Window"), re.take(3000))
+    // the ranked top-k materializes as an RDD scan (the sort+limit runs in
+    // the child execution); the rated join stays broadcast
+    assert(re.contains("Scan ExistingRDD") && re.contains("BroadcastHashJoin"),
+      re.take(3000))
+  }
 }

@@ -9,96 +9,163 @@ import org.apache.spark.sql.functions._
   * applies them back. Deterministic: ties in pair frequency break
   * lexicographically.
   *
-  * 100 TB shape: after ONE corpus pass builds the WORD TABLE (distinct
-  * words + frequencies — vocabulary-bounded, Zipf-small next to the
-  * corpus), every training round runs on that table alone: pair counting
-  * explodes the per-word symbol arrays (≤ vocab × max word length rows),
-  * one hash aggregate + a 1-row argmax collect picks the merge, and a
-  * fold rewrite updates the arrays. The table persists between rounds
-  * (iterative-algorithm caching, the MLlib convention) so round N never
-  * re-reads the corpus; per-round cost SHRINKS as symbols merge. The
-  * driver holds only the learned (rank, pair) list.
+  * 100 TB shape: ONE distributed corpus pass builds the WORD TABLE
+  * (distinct words + frequencies — Zipf-small next to the corpus, and
+  * capped at `maxWords` by frequency, the standard min-frequency floor
+  * every production BPE trainer applies). The merge loop then runs on
+  * that bounded table DRIVER-SIDE with incremental pair counts and a
+  * lazy-deletion heap — the structure of the reference fast trainers —
+  * so training is TWO Spark jobs total (word count + nothing else)
+  * regardless of `numMerges`, instead of the 2-jobs-per-merge round
+  * trip of the first implementation. The driver holds only the capped
+  * word table (≤ maxWords rows) and the learned rules.
   */
 object Bpe {
 
   /** Learn `numMerges` merge rules. Returns (rank, left, right, merged,
     * pair_count) — rank 1 is the first (most frequent) merge; pair_count
-    * is the word-frequency-weighted occurrence count at learn time. */
-  def train(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    require(numMerges >= 1 && numMerges <= 10000,
-      s"numMerges must be in [1, 10000], got $numMerges")
+    * is the word-frequency-weighted occurrence count at learn time.
+    *
+    * `maxWords` caps the word table collected to the driver (top-N by
+    * frequency, then word — deterministic). Words below the cap are
+    * ignored for training, the standard frequency floor: at any corpus
+    * size the driver state stays bounded while the learned merges are
+    * statistically indistinguishable (rare tails don't move pair argmax).
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            maxWords: Int = 1 << 20): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 100000,
+      s"numMerges must be in [1, 100000], got $numMerges")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
+    // the one distributed pass: word frequencies, frequency-capped
+    val wordRows: Array[(String, Long)] = df
       .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         x => length(x) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      // symbol arrays start as characters (no end-of-word marker —
-      // declared simplification; the marker changes nothing structural)
-      .select(filter(split(col("w"), ""), c => length(c) > 0).as("syms"),
-        col("n"))
-    var table = words.persist()
-    table.count() // materialize: rounds must not re-scan the corpus
-    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
-    try {
-      for (rank <- 1 to numMerges) {
-        val top = pairCounts(table).orderBy(desc("c"), asc("l"), asc("r"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val row = top.head
-          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += ((rank, l, r, l + r, c))
-          val next = table
-            .withColumn("syms", mergePair(col("syms"), l, r)).persist()
-          next.count()
-          table.unpersist()
-          table = next
+      .orderBy(desc("n"), asc("w")).limit(maxWords)
+      .as[(String, Long)].collect()
+
+    // driver-side classic greedy trainer: exact Sennrich semantics (pick
+    // the (count desc, left asc, right asc) argmax, greedy left-to-right
+    // non-overlapping rewrite), with incremental pair counts + a
+    // lazy-deletion max-heap so each merge touches only the words that
+    // contain its pair.
+    val words = new Array[Array[String]](wordRows.length)
+    val freq = new Array[Long](wordRows.length)
+    var wi = 0
+    while (wi < wordRows.length) {
+      val w = wordRows(wi)._1
+      val buf = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        val n = Character.charCount(cp)
+        buf += w.substring(ci, ci + n)
+        ci += n
+      }
+      words(wi) = buf.toArray
+      freq(wi) = wordRows(wi)._2
+      wi += 1
+    }
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    // max-heap: highest count first, then lexicographically smallest pair
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val l = b._2.compareTo(a._2)
+          if (l != 0) l else b._3.compareTo(a._3)
         }
       }
-    } finally table.unpersist()
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+
+    def bump(pair: (String, String), delta: Long, word: Int): Unit = {
+      val next = counts.getOrElse(pair, 0L) + delta
+      if (next <= 0L) counts.remove(pair)
+      else {
+        counts(pair) = next
+        heap.enqueue((next, pair._1, pair._2))
+      }
+      if (delta > 0)
+        occurs.getOrElseUpdate(pair, scala.collection.mutable.BitSet.empty) += word
+    }
+    wi = 0
+    while (wi < words.length) {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length - 1) { bump((s(i), s(i + 1)), freq(wi), wi); i += 1 }
+      wi += 1
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var rank = 1
+    while (rank <= numMerges && heap.nonEmpty) {
+      // lazy deletion: pop until the entry matches the live count
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val cand = heap.dequeue()
+        if (counts.getOrElse((cand._2, cand._3), 0L) == cand._1) top = cand
+      }
+      if (top != null) {
+        val (c, l, r) = (top._1, top._2, top._3)
+        val m = l + r
+        merges += ((rank, l, r, m, c))
+        val hit = occurs.getOrElse((l, r), scala.collection.mutable.BitSet.empty)
+        occurs.remove((l, r))
+        hit.foreach { w =>
+          val s = words(w)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            if (s(i) == l && s(i + 1) == r) has = true
+            i += 1
+          }
+          if (has) { // occurs entries can be stale — verify before rewriting
+            i = 0
+            while (i < s.length - 1) { bump((s(i), s(i + 1)), -freq(w), w); i += 1 }
+            val out = new Array[String](s.length)
+            var o = 0
+            i = 0
+            while (i < s.length) {
+              if (o > 0 && out(o - 1) == l && s(i) == r) out(o - 1) = m
+              else { out(o) = s(i); o += 1 }
+              i += 1
+            }
+            val ns = java.util.Arrays.copyOf(out, o)
+            words(w) = ns
+            i = 0
+            while (i < ns.length - 1) { bump((ns(i), ns(i + 1)), freq(w), w); i += 1 }
+          }
+        }
+        rank += 1
+      }
+    }
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
   }
 
-  /** Word-frequency-weighted adjacent-pair counts of the current symbol
-    * arrays — one explode + one hash aggregate, vocabulary-bounded. */
-  private def pairCounts(table: DataFrame): DataFrame =
-    table
-      .where(size(col("syms")) >= 2)
-      .select(explode(transform(sequence(lit(1), size(col("syms")) - 1),
-        i => struct(element_at(col("syms"), i).as("l"),
-          element_at(col("syms"), i + lit(1)).as("r")))).as("p"),
-        col("n"))
-      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-      .agg(sum(col("n")).as("c"))
-
-  /** Greedy left-to-right non-overlapping merge of one adjacent pair
-    * inside a symbol array — a fold with the array as accumulator
-    * (interpreted HOF, but it only ever runs on the vocabulary-bounded
-    * word table, never the corpus). */
-  private def mergePair(syms: Column, l: String, r: String): Column =
-    aggregate(syms, array().cast("array<string>"),
-      (acc, x) => when(
-        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-        .otherwise(concat(acc, array(x))))
-
   /** Encode text with a learned merge list: per word, apply every merge
-    * in rank order (the BPE encode rule). Returns (original word, final
-    * symbol array) per distinct word — join it back to token streams as
-    * needed. `merges` is collected to the driver (numMerges rows). */
+    * in rank order (the BPE encode rule) inside ONE native expression
+    * holding the whole rule table ([[graft.functions.BpeEncode]] — a
+    * tight loop per row, not a rule-count-deep fold tree). Returns
+    * (original word, final symbol array) per distinct word — join it
+    * back to token streams as needed. `merges` is collected to the
+    * driver (numMerges rows). */
   def encode(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
     val rules = merges.select("rank", "left", "right")
       .collect().sortBy(_.getInt(0))
-      .map(r => (r.getString(1), r.getString(2)))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
     val words = df
       .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         x => length(x) > 0)).as("w"))
       .distinct()
-    val start = filter(split(col("w"), ""), c => length(c) > 0)
-    val enc = rules.foldLeft(start: Column) { case (c, (l, r)) =>
-      mergePair(c, l, r)
-    }
-    words.select(col("w"), enc.as("tokens"))
+    words.select(col("w"),
+      graft.functions.BpeOps.bpeEncode(col("w"), rules).as("tokens"))
   }
 
   /** Tokenize documents to dense `input_ids` — the array-of-int export a
@@ -109,15 +176,17 @@ object Bpe {
     * ≤ alphabet + merges) and broadcast; the corpus explodes to (doc,
     * word-pos, token-pos) rows, joins the two small tables, and
     * re-assembles per doc ordered by (word pos, token pos) — one
-    * corpus-keyed aggregate, no corpus-side windows. The vocab's global
-    * rank window runs on the BOUNDED vocab relation only. */
+    * corpus-keyed aggregate, no corpus-side windows. The vocab rank
+    * comes from [[graft.Search.globalRank]] (range-partitioned sort +
+    * zipWithIndex) so even the bounded vocab never funnels through a
+    * single-partition window. */
   def encodeToIds(df: DataFrame, idCol: String, textCol: String,
                   merges: DataFrame): DataFrame = {
     val wordEnc = encode(df, textCol, merges) // (w, tokens) — distinct words
-    val vocab = wordEnc
-      .select(explode(col("tokens")).as("tok")).distinct()
-      .withColumn("tid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("tok")) - 1)
+    val vocab = graft.Search.globalRank(
+        wordEnc.select(explode(col("tokens")).as("tok")).distinct(),
+        Seq(asc("tok")), "_vrank")
+      .select(col("tok"), (col("_vrank") - 1).cast("int").as("tid"))
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
     val exploded = df.select(col(idCol), posexplode(toks).as(Seq("pos", "w")))

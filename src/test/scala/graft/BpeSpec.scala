@@ -77,4 +77,23 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     assert(again(10L) == ids10)
   }
+
+  test("r9: train job count is bounded — it does not scale with numMerges") {
+    // one distributed word-count pass + the local merge loop: asking for
+    // 1000 merges must cost the same Spark jobs as asking for 1
+    val text = Iterator.continually(
+      "the quick brown foxes jumped over the lazy dogs repeatedly")
+      .take(50).mkString(" ")
+    val corpus = Seq((1L, text), (2L, text.reverse), (3L, text + " extras"))
+      .toDF("id", "text")
+    val sc = spark.sparkContext
+    sc.setJobGroup("bpe-train-bounded", "BpeSpec r9")
+    val m = try Bpe.train(corpus, "text", 1000).collect()
+    finally sc.clearJobGroup()
+    assert(m.nonEmpty && m.length <= 1000)
+    // merges exhaust well before 1000 on this corpus — the loop must stop
+    assert(m.last.getInt(0) == m.length) // ranks are dense 1..N
+    val jobs = sc.statusTracker.getJobIdsForGroup("bpe-train-bounded").length
+    assert(jobs <= 8, s"train(numMerges=1000) ran $jobs Spark jobs")
+  }
 }

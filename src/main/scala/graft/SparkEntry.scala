@@ -3523,6 +3523,24 @@ object SparkEntry {
           upsertDefaults = Map("cnt" -> 0L))
         .orderBy(col("user_id"))
     }),
+    "q_upsert_scripted_dup" -> ((s, dir) => {
+      // duplicate-key bulk: one op per (user, day) after the cutoff — ES
+      // applies bulk ops for the same key SEQUENTIALLY, so the per-day
+      // increments all accumulate onto the stored counter (a fold in bulk
+      // order, never a fan-out or last-write-wins)
+      val ev = tbl(s, dir, "events")
+      val cutoff = lit("2024-01-15 00:00:00").cast("timestamp")
+      val store = ev.where(col("ts") < cutoff).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), min(col("event_type")).as("tag"))
+      val batch = ev.where(col("ts") >= cutoff)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      Indexer.scriptedUpsert(store, batch, "user_id",
+          scripts = Map("cnt" -> "ctx.cnt + params.cnt"),
+          upsertDefaults = Map("cnt" -> 0L),
+          orderCols = Seq("day"))
+        .orderBy(col("user_id"))
+    }),
     "q_admin_search_shards" -> ((s, dir) => {
       // _search_shards routing table: 8 disjoint complete signed-64 token
       // ranges (pure metadata — no scan)
@@ -6881,6 +6899,17 @@ object SparkEntry {
          SELECT user_id, COALESCE(a.cnt, 0) + COALESCE(b.cnt, 0) AS cnt,
            a.tag AS tag
          FROM a FULL JOIN b USING (user_id) ORDER BY user_id""",
+    "q_upsert_scripted_dup" ->
+      """WITH a AS (SELECT user_id, count(*) AS cnt, min(event_type) AS tag
+                    FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+            b AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                  FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+                  GROUP BY user_id, date_trunc('day', ts)),
+            s AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS inc
+                  FROM b GROUP BY 1)
+         SELECT user_id, COALESCE(a.cnt, 0) + COALESCE(s.inc, 0) AS cnt,
+           a.tag AS tag
+         FROM a FULL JOIN s USING (user_id) ORDER BY user_id""",
     "q_admin_search_shards" ->
       // 2^64 / 8 = 2305843009213693952
       """SELECT CAST(i AS INTEGER) AS shard,

@@ -249,55 +249,76 @@ object Indexer {
     * pattern. `scripts` maps each computed column to a painless-lite
     * expression (the same [[Aggs.Script]] grammar bucket_script uses);
     * unscripted columns field-merge (update value wins when present).
-    * All script evaluation is codegen'd column math on the one
-    * store-scan — the store's wide rows never shuffle (same join shape as
-    * [[upsert]]: left-join for merges + key-anti-join for inserts). */
+    *
+    * **Duplicate batch keys fold sequentially.** ES applies bulk ops one
+    * HTTP request at a time (reference: ElasticIndex.java:470-621 — one
+    * update per mutated row), so a counter batch carrying two ops for one
+    * key must ACCUMULATE (10 +3 +4 → 17), not fan out into two result rows
+    * or last-write-win. Each key's ops are collected into one ordered array
+    * (`orderCols` first, then the remaining batch columns, for a
+    * deterministic total order) and folded with `functions.aggregate`:
+    * state = the doc, one script application per op. All evaluation is
+    * still codegen'd column math; the store scan joins the per-key op
+    * arrays ONCE (full-outer on key — matched keys merge, store-only keys
+    * pass through, batch-only keys seed from the upsert defaults), so the
+    * store's wide rows cross a single exchange instead of the previous
+    * left-join + anti-join pair. */
   def scriptedUpsert(existing: DataFrame, updates: DataFrame, keyCol: String,
                      scripts: Map[String, String],
                      upsertDefaults: Map[String, Any] = Map.empty,
-                     cfg: IndexConfig = IndexConfig()): DataFrame = {
+                     cfg: IndexConfig = IndexConfig(),
+                     orderCols: Seq[String] = Seq.empty): DataFrame = {
     require(scripts.nonEmpty, "scriptedUpsert needs at least one script")
     if (cfg.dummy) return existing
     val dataCols = existing.columns.filterNot(_ == keyCol).toSeq
     val batchCols = updates.columns.filterNot(_ == keyCol).toSeq
     require(scripts.keySet.subsetOf(dataCols.toSet),
       s"scripted column(s) not in the store: ${scripts.keySet -- dataCols}")
+    require(orderCols.forall(batchCols.contains),
+      s"order column(s) not in the batch: ${orderCols.filterNot(batchCols.contains)}")
+    def typed(c: String) = existing.schema(c).dataType
     def dflt(c: String): Column =
-      upsertDefaults.get(c).map(v => lit(v).cast(existing.schema(c).dataType))
-        .getOrElse(lit(null).cast(existing.schema(c).dataType))
-    // updated docs: script over (stored value, update params)
-    val joined = existing.alias("e")
-      .join(updates.alias("b").withColumn("_upd", lit(true)), Seq(keyCol), "left")
-    // `params.X` tokens strip their prefix before binding lookup
-    // (Aggs.Script contract), so params bind bare; ctx binds dotted
-    val updBind: Map[String, Column] =
-      dataCols.map(c => s"ctx.$c" -> col(s"e.$c")).toMap ++
-        batchCols.map(c => c -> col(s"b.$c")).toMap
-    val merged = joined.select(col(keyCol) +: dataCols.map { c =>
-      scripts.get(c) match {
-        case Some(src) => when(col("_upd"),
-            Aggs.Script.compile(src, updBind, s"scripted_upsert.$c"))
-          .otherwise(col(s"e.$c")).as(c)
-        case None =>
-          if (batchCols.contains(c)) coalesce(col(s"b.$c"), col(s"e.$c")).as(c)
-          else col(s"e.$c").as(c)
-      }
-    }: _*)
-    // new docs: script over (upsert defaults, update params)
-    val fresh = updates.join(existing.select(keyCol), Seq(keyCol), "left_anti")
-    val newBind: Map[String, Column] =
-      dataCols.map(c => s"ctx.$c" -> dflt(c)).toMap ++
-        batchCols.map(c => c -> col(c)).toMap
-    val inserted = fresh.select(col(keyCol) +: dataCols.map { c =>
-      scripts.get(c) match {
-        case Some(src) =>
-          Aggs.Script.compile(src, newBind, s"scripted_upsert.$c").as(c)
-        case None =>
-          if (batchCols.contains(c)) coalesce(col(c), dflt(c)).as(c)
-          else dflt(c).as(c)
-      }
-    }: _*)
-    merged.unionByName(inserted)
+      upsertDefaults.get(c).map(v => lit(v).cast(typed(c)))
+        .getOrElse(lit(null).cast(typed(c)))
+    // per-key ordered op list: one hash aggregate over the batch; the sort
+    // key leads with orderCols so callers with a real sequence column get
+    // ES's arrival order, and falls back to all batch columns so the fold
+    // is deterministic either way
+    val ordCols = orderCols ++ batchCols.filterNot(orderCols.contains)
+    val opsDf = updates.groupBy(col(keyCol))
+      .agg(array_sort(collect_list(struct(
+        struct(ordCols.map(col): _*).as("_o"),
+        struct(batchCols.map(col): _*).as("_p")))).as("_ops"))
+    val joined = existing.withColumn("_ex", lit(true)).alias("e")
+      .join(opsDf.alias("b"), Seq(keyCol), "full_outer")
+    // fold seed: the stored doc when it exists, the upsert defaults when
+    // the key is batch-only (ES runs the script over the `upsert` doc)
+    val seed = struct(dataCols.map { c =>
+      when(col("_ex"), col(s"e.$c").cast(typed(c)))
+        .otherwise(dflt(c)).as(c) }: _*)
+    // one fold step = one bulk op: `params.X` tokens strip their prefix
+    // before binding lookup (Aggs.Script contract), so params bind bare;
+    // ctx binds dotted against the accumulated doc state
+    def step(acc: Column, op: Column): Column = {
+      val bind: Map[String, Column] =
+        dataCols.map(c => s"ctx.$c" -> acc.getField(c)).toMap ++
+          batchCols.map(c => c -> op.getField("_p").getField(c)).toMap
+      struct(dataCols.map { c =>
+        (scripts.get(c) match {
+          case Some(src) =>
+            Aggs.Script.compile(src, bind, s"scripted_upsert.$c")
+          case None =>
+            if (batchCols.contains(c))
+              coalesce(op.getField("_p").getField(c), acc.getField(c))
+            else acc.getField(c)
+        }).cast(typed(c)).as(c)
+      }: _*)
+    }
+    val opsOrEmpty = coalesce(col("_ops"),
+      array().cast(opsDf.schema("_ops").dataType))
+    joined
+      .withColumn("_doc", aggregate(opsOrEmpty, seed, step))
+      .select(col(keyCol) +: dataCols.map(c => col(s"_doc.$c").as(c)): _*)
   }
 
   /** W12 analog: exactly-once ingest. The reference elects one indexing

@@ -394,4 +394,34 @@ class IndexerSpec extends AnyFunSuite {
       Indexer.scriptedUpsert(store, batch, "doc_id",
         scripts = Map("nope" -> "1"))).getMessage.contains("not in the store"))
   }
+
+  test("scriptedUpsert: duplicate batch keys fold sequentially (ES bulk " +
+       "order), never fan out or last-write-win") {
+    val store = Seq(("a", 10L, "t-a")).toDF("doc_id", "cnt", "tag")
+    // three ops for "a" (one stored), two for "c" (fresh): a counter batch
+    // must accumulate every op — ES applies bulk updates one at a time
+    val batch = Seq(("a", 1, 3L), ("a", 2, 4L), ("a", 3, 5L),
+                    ("c", 1, 7L), ("c", 2, 2L)).toDF("doc_id", "seq", "cnt")
+    val out = Indexer.scriptedUpsert(store, batch, "doc_id",
+        scripts = Map("cnt" -> "ctx.cnt + params.cnt"),
+        upsertDefaults = Map("cnt" -> 0L),
+        orderCols = Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSet
+    // one row per key (store invariant), all ops applied
+    assert(out == Set(
+      ("a", 22L, Some("t-a")),  // 10 +3 +4 +5
+      ("c", 9L, None)))         // 0 +7 +2
+    // non-commutative script: order matters, orderCols pins it
+    val store2 = Seq(("k", 10L, "t")).toDF("doc_id", "cnt", "tag")
+    val b2 = Seq(("k", 1, 5L), ("k", 2, 3L)).toDF("doc_id", "seq", "cnt")
+    val doubled = Indexer.scriptedUpsert(store2, b2, "doc_id",
+        scripts = Map("cnt" -> "ctx.cnt * 2 - params.cnt"),
+        orderCols = Seq("seq"))
+      .collect().map(r => r.getLong(1)).toSeq
+    assert(doubled == Seq((10L * 2 - 5) * 2 - 3)) // 15 → 27, not 17
+    assert(intercept[IllegalArgumentException](
+      Indexer.scriptedUpsert(store2, b2, "doc_id",
+        scripts = Map("cnt" -> "ctx.cnt"), orderCols = Seq("nope")))
+      .getMessage.contains("not in the batch"))
+  }
 }

@@ -1477,20 +1477,40 @@ object Search {
   /** Global 1-based rank of every row under a TOTAL order (the caller's
     * sort keys must be tie-free — ours always end in the unique pk),
     * computed WITHOUT a single-partition window: `orderBy` range-partitions
-    * the sort, and `zipWithIndex` turns per-partition positions into global
-    * indices with one extra partition-size job. Each task ranks only its
-    * own slice — the frame never funnels through one partition, so the
-    * rank survives an unbounded (corpus-sized) input where
-    * `Window.orderBy` (no partitionBy) would not. */
+    * the sort, and each task ranks only its own slice — the frame never
+    * funnels through one partition, so the rank survives an unbounded
+    * (corpus-sized) input where `Window.orderBy` (no partitionBy) would not.
+    *
+    * Fully lazy, all-declarative (replacing an earlier `rdd.zipWithIndex`
+    * form, whose constructor launched the sort at PLAN-CONSTRUCTION time
+    * and computed the sorted child twice): `monotonically_increasing_id`
+    * after the sort encodes `partitionId << 33 | localPosition`, where the
+    * local position follows the sort order within the partition. Global
+    * rank = (rows in earlier partitions) + local position + 1; the earlier-
+    * rows offsets come from a per-partition count (ids only, one partial
+    * aggregate) turned into a prefix sum by a triangular broadcast
+    * self-join over the numPartitions-row count table — bounded by cluster
+    * topology, never data size, and windowless so the search path keeps
+    * its no-WindowExec invariant. The range exchange is shared between the
+    * data and count branches via exchange reuse, so nothing sorts twice. */
   private[graft] def globalRank(df: DataFrame, order: Seq[Column],
                                 rankCol: String): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outCols = df.columns.toSeq
     val sorted = df.orderBy(order: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    df.sparkSession.createDataFrame(ranked, schema)
+      .withColumn("_gr_mid", monotonically_increasing_id())
+      .withColumn("_gr_pid", shiftrightunsigned(col("_gr_mid"), 33))
+    val counts = sorted.groupBy(col("_gr_pid")).agg(count(lit(1)).as("_gr_n"))
+    val countsB = counts.select(col("_gr_pid").as("_gr_pid_b"),
+      col("_gr_n").as("_gr_n_b"))
+    val offsets = counts
+      .join(broadcast(countsB), col("_gr_pid_b") < col("_gr_pid"), "left")
+      .groupBy(col("_gr_pid"))
+      .agg(coalesce(sum(col("_gr_n_b")), lit(0L)).as("_gr_off"))
+      .select(col("_gr_pid").as("_gr_pid_o"), col("_gr_off"))
+    sorted.join(broadcast(offsets), col("_gr_pid") === col("_gr_pid_o"))
+      .withColumn(rankCol,
+        col("_gr_off") + col("_gr_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .select(outCols.map(col) :+ col(rankCol): _*)
   }
 
   def rrf(rankings: Seq[DataFrame], idCol: String = "doc_id",

@@ -282,16 +282,37 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("r9: rrf and rankEval rank without a single-partition window") {
-    // ranks come from a range-partitioned sort + zipWithIndex (rrf) or a
-    // TakeOrderedAndProject top-k cut (rankEval) — no unpartitioned
-    // WindowExec anywhere on the search path
+    // ranks come from globalRank's sorted monotonic-id + broadcast prefix
+    // sum — no unpartitioned WindowExec anywhere on the search path
     val rrf = planOf("q_search_rrf")
     assert(!rrf.contains("Window"), rrf.take(3000))
     val re = planOf("q_rank_eval")
     assert(!re.contains("Window"), re.take(3000))
-    // the ranked top-k materializes as an RDD scan (the sort+limit runs in
-    // the child execution); the rated join stays broadcast
-    assert(re.contains("Scan ExistingRDD") && re.contains("BroadcastHashJoin"),
+    // r10: the rank is one lazy declarative plan (the zipWithIndex form
+    // materialized an RDD scan and launched the sort at construction);
+    // the offset and rated joins stay broadcast
+    assert(!re.contains("Scan ExistingRDD") && re.contains("BroadcastHashJoin"),
       re.take(3000))
+    assert(!rrf.contains("Scan ExistingRDD"), rrf.take(3000))
+  }
+
+  test("r10: globalRank builds lazily — constructing rrf launches no job") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val a = Seq(("a", 3.0), ("b", 2.0), ("c", 1.0)).toDF("doc_id", "_score")
+    val b = Seq(("a", 1.0), ("b", 2.5), ("c", 0.5)).toDF("doc_id", "_score")
+    val built = Search.rrf(Seq(a, b), "doc_id", 60, 3) // no action yet
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"plan construction launched ${after - before} job(s)")
+    // and the rank itself is right: global 1-based, sort-order exact
+    val ranked = Search.globalRank(
+        a.unionByName(b.withColumn("_score", col("_score") + 10)),
+        Seq(desc("_score"), asc("doc_id")), "rk")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(ranked == Set(("b", 12.5, 1L), ("a", 11.0, 2L), ("c", 10.5, 3L),
+      ("a", 3.0, 4L), ("b", 2.0, 5L), ("c", 1.0, 6L)), ranked.toString)
+    built.collect() // sanity: the lazily-built rrf still executes
   }
 }

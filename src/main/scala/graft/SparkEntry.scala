@@ -1649,6 +1649,21 @@ object SparkEntry {
       Dedup.minhashPairs(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_minhash_salted" -> ((s, dir) => {
+      // same pairs with the verify joins' threshold salting FORCED on
+      // (saltAt=1 → every candidate id is "hot" and spreads over 4 salts):
+      // proves against the exact-jaccard oracle that the skew path is
+      // output-invariant. Conf reads happen at plan construction, so the
+      // finally-reset can't leak into other queries.
+      s.conf.set("graft.skew.saltAt", "1")
+      s.conf.set("graft.skew.saltFactor", "4")
+      try Dedup.minhashPairs(tbl(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+      finally {
+        s.conf.unset("graft.skew.saltAt")
+        s.conf.unset("graft.skew.saltFactor")
+      }
+    }),
     "q_dedup_incremental" -> ((s, dir) => {
       // continuous-ingestion dedup: sketch store holds doc_id < 300, a
       // batch of new docs (>= 300) arrives — pairs touching the batch,
@@ -6198,6 +6213,23 @@ object SparkEntry {
          WHERE jaccard >= 0.5 AND (id_a >= 300 OR id_b >= 300)
          ORDER BY id_a, id_b""",
     "q_dedup_minhash" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+               i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS s
+           FROM t),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM p WHERE jaccard >= 0.5
+         ORDER BY id_a, id_b""",
+    "q_dedup_minhash_salted" ->
       """WITH t AS (
            SELECT doc_id,
              list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS tk

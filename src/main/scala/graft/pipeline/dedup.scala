@@ -220,9 +220,25 @@ object Dedup {
         .unionAll(cand.select(col("id_b").as("id")))
         .distinct())
     val candSh = shingled.join(candIds, Seq("id"), "left_semi")
-    cand
-      .join(candSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(candSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    // skew-hardened verify joins: a boilerplate-heavy corpus can put one
+    // doc-id in millions of candidate pairs (every bucket it collides
+    // with), and when the shingle side outgrows broadcast the sort-merge
+    // reducer owning that id gets the whole load. Threshold-gated salting
+    // ([[Skew.adaptiveSaltedJoin]]) spreads only such hot ids — keys below
+    // `graft.skew.saltAt` (default 1M pairs) join exactly as before, so
+    // the common-case plan cost is one id-only count + an empty broadcast,
+    // with no driver-side action. Output is salt-invariant.
+    val sess = shingled.sparkSession
+    val saltAt = sess.conf.getOption("graft.skew.saltAt")
+      .map(_.toLong).getOrElse(1000000L)
+    val saltF = sess.conf.getOption("graft.skew.saltFactor")
+      .map(_.toInt).getOrElse(16)
+    Skew.adaptiveSaltedJoin(
+        Skew.adaptiveSaltedJoin(cand,
+          candSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+          Seq("id_a"), saltAt, saltF),
+        candSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"), saltAt, saltF)
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

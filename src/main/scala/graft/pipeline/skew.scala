@@ -44,6 +44,49 @@ object Skew {
     saltedLarge.join(saltedSmall, keyCols :+ "_salt", joinType).drop("_salt")
   }
 
+  /** Threshold-gated salting, fully lazy — the 100 TB shape for the LSH
+    * verify joins, where skew is DATA-dependent (a boilerplate-heavy crawl
+    * makes a few doc-ids carry most candidate pairs) and salting every key
+    * would replicate the small side's heavy payload rows for nothing.
+    *
+    * Hot keys are detected inside the plan: a per-key count over the large
+    * side (keys + a long — the cheapest possible aggregate) filtered to
+    * `> hotAt`, broadcast onto both sides. ONLY hot keys salt: the large
+    * side spreads a hot key's rows across `saltFactor` salt values, the
+    * small side replicates a hot key's rows `saltFactor`×; every other key
+    * joins on salt 0 exactly as unsalted. No driver-side action, no
+    * construction-time job (the hot-key set resolves at execution, where
+    * the stats actually exist), and join OUTPUT is salt-invariant — only
+    * the row→task placement changes, so a reducer's share of a hot key is
+    * bounded by its pair count / saltFactor instead of the whole key.
+    * The unskewed-case overhead is one id-only aggregate and an
+    * (almost always empty) broadcast. */
+  def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, keyCols: Seq[String],
+                         hotAt: Long, saltFactor: Int,
+                         joinType: String = "inner"): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(hotAt >= 1, "hotAt must be >= 1")
+    val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace("_", "")),
+      s"adaptiveSaltedJoin supports large-side-preserving join types only, got '$joinType'")
+    val hot = large.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_hn")).where(col("_hn") > hotAt)
+      .select(keyCols.map(col): _*).withColumn("_hot", lit(true))
+    // same per-row-unique salt rationale as [[saltedJoin]]; `_hot` is true
+    // or null (left-join miss), so the `when` falls through to salt 0 for
+    // every key below the threshold
+    val saltedLarge = large.join(broadcast(hot), keyCols, "left")
+      .withColumn("_salt", when(col("_hot"),
+        pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+        .otherwise(lit(0)))
+      .drop("_hot")
+    val saltedSmall = small.join(broadcast(hot), keyCols, "left")
+      .withColumn("_salt", explode(when(col("_hot"),
+        array((0 until saltFactor).map(lit): _*)).otherwise(array(lit(0)))))
+      .drop("_hot")
+    saltedLarge.join(saltedSmall, keyCols :+ "_salt", joinType).drop("_salt")
+  }
+
   /** Two-phase (partial → final) count per key with an explicit salt —
     * demonstrates the map-side-combine shape for skewed aggregations where
     * a single reducer would otherwise own the hot key. Spark's hash

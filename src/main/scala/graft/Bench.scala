@@ -50,16 +50,18 @@ object Bench {
       .where(lower(col("text")).rlike("\\bwarmup_token_zzz\\b")).count()
     val tap = new ShuffleTap
     spark.sparkContext.addSparkListener(tap)
-    // Cold-I/O outlier guard: on the current sandbox, storage latency is
-    // erratic enough that a single cold read can multiply one query's
-    // timing 30-40× (r7: q_dedup_corpus 184 s driver vs 5 s on an idle
-    // rerun — same code, same data). Any query whose first run exceeds
-    // this threshold is run once more and the MINIMUM kept: the repeat
-    // costs time only on the slow tail (a handful of queries), and the min
-    // of two runs is a plan-quality signal where a single cold timing is a
-    // storage-latency sample.
-    val repeatThreshold =
-      sys.env.getOrElse("SPARK_GRAFT_REPEAT_THRESHOLD_S", "3.0").toDouble
+    // Repeat-and-keep-median guard (r10, replacing the r7 slow-tail-only
+    // min-of-two): EVERY query runs `benchRuns` times and the MEDIAN is
+    // kept. Single timings on this sandbox carry ±50% noise on sub-3 s
+    // queries (r9: two dedup queries swung +50%/+31% in a round that never
+    // touched them) and a single cold read can multiply a timing 30-40×
+    // (r7: q_dedup_corpus 184 s driver vs 5 s idle) — the median of three
+    // is robust to one outlier in either direction, where min-of-two still
+    // passed one-sided noise through. Even run counts keep the LOWER
+    // middle: always an actually-observed run, biased toward the
+    // plan-quality signal rather than the storage-latency sample.
+    val benchRuns =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val sh0 = { // complete metrics before reading the counter
         org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
@@ -82,10 +84,13 @@ object Bench {
       }
       val first = run()
       // shuffle volume is a plan property — read it after the FIRST run so
-      // a repeat doesn't double-count the exchange bytes
+      // the repeats don't double-count the exchange bytes
       org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
       val shuffled = tap.shuffleBytes.get() - sh0
-      val sec = if (first > repeatThreshold) math.min(first, run()) else first
+      val runs = first +: Seq.fill(benchRuns - 1)(run())
+      val good = runs.filter(_ >= 0).sorted
+      // any successful run counts; all-failed stays the -1 failure marker
+      val sec = if (good.isEmpty) -1.0 else good((good.size - 1) / 2)
       name -> (sec, shuffled)
     }
     // failed queries serialize as null, never as -1: a -1 "timing" is
@@ -145,6 +150,7 @@ object Bench {
       s""""query_count":${results.size},"new_queries_baseline":"$newQueriesBaseline",""" +
       s""""new_queries_since_baseline":$newQueries,""" +
       s""""action":"materialize_rows (toRdd.count; r5 change — a bare count() let the optimizer elide column decode and whole joins, under-measuring projection-shaped queries)",""" +
+      s""""runs_per_query":$benchRuns,"stat":"median (r10 — single timings carry sandbox noise; lower middle on even counts)",""" +
       s""""sf":"$sfDir"}"""
     // Full per-query detail (~7 KB with 190+ queries) goes to bench.json in
     // the working directory (= repo root under sbt).

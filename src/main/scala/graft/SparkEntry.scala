@@ -229,6 +229,24 @@ object SparkEntry {
       battery.map(q => (q, QueryCompiler.validate(q).isRight))
         .toDF("query", "valid").orderBy(col("query"))
     }),
+    "q_query_validate_explain" -> ((s, dir) => {
+      // R11 `_validate?explain` SUCCESS payload (reference returns ES's
+      // rewritten-query explanation, ElasticIndex.java:733-782): valid
+      // queries carry the compiled predicate rendered as SQL — the exact
+      // expression the scan evaluates; invalid ones stay (false, NULL)
+      import s.implicits._
+      val battery = Seq(
+        "text:spark", "lang:en AND text:fast",
+        "{\"query\":{\"term\":{\"lang\":\"en\"}}}",
+        "{\"query\":{\"range\":{\"n_chars\":{\"gte\":100}}}}",
+        "text:spark AND (", "{not json")
+      battery.map { q =>
+        QueryCompiler.validateExplain(q) match {
+          case Right(expl) => (q, true, expl)
+          case Left(_)     => (q, false, null: String)
+        }
+      }.toDF("query", "valid", "explanation").orderBy(col("query"))
+    }),
     "q_admin_get_mapping" -> ((s, dir) => {
       // S9: #get_mapping# — doc-store schema as rows with ES mapping types
       import s.implicits._
@@ -3874,6 +3892,18 @@ object SparkEntry {
            ('{"query":{"match_all":{}}}', true), ('text:spark AND (', false),
            ('{"query":{"bogus_op":{}}}', false), ('{not json', false),
            (':nofield', false)) AS t(query, valid)
+         ORDER BY query""",
+    "q_query_validate_explain" ->
+      """SELECT * FROM (VALUES
+           ('lang:en AND text:fast', true,
+            'and(rlike(lower(lang), ''\\b\\Qen\\E\\b''), rlike(lower(text), ''\\b\\Qfast\\E\\b''))'),
+           ('text:spark', true, 'rlike(lower(text), ''\\b\\Qspark\\E\\b'')'),
+           ('text:spark AND (', false, NULL),
+           ('{"query":{"range":{"n_chars":{"gte":100}}}}', true,
+            '`>=`(n_chars, 100L)'),
+           ('{"query":{"term":{"lang":"en"}}}', true, '`=`(lang, ''en'')'),
+           ('{not json', false, NULL)
+         ) AS t(query, valid, explanation)
          ORDER BY query""",
     "q_admin_get_mapping" ->
       """SELECT * FROM (VALUES

@@ -270,6 +270,16 @@ object QueryCompiler {
   def validate(query: String): Either[String, CompiledQuery] =
     try Right(compile(query)) catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
 
+  /** `_validate/query?explain=true`: the success payload. ES returns the
+    * rewritten Lucene query as the `explanation` field on valid queries
+    * (the reference forwards it verbatim, ElasticIndex.java:733-782);
+    * here the analog is the compiled predicate rendered as ANSI SQL — the
+    * exact expression the scan will evaluate, which is this engine's
+    * "rewritten query". Invalid queries keep the Left(error) shape. */
+  def validateExplain(query: String): Either[String, String] =
+    validate(query).map(cq =>
+      org.apache.spark.sql.graft.Bridge.sql(cq.predicate))
+
   // ---- shared leaf semantics (declared; see Scaladoc above) ----
 
   /** `field:term` → case-insensitive whole-token containment; `*` (any run)
@@ -1452,19 +1462,41 @@ object QueryCompiler {
                 None
               case k if raw.isTextual && DateMath.looksLike(raw.asText) =>
                 // ES operator-dependent rounding: the floor of the period
-                // for gte/lt, the ceiling for gt/lte
+                // for gte/lt, the ceiling for gt/lte. `looksLike` is a
+                // HEURISTIC (any text starting with "now" trips it), so a
+                // failed parse falls back to the plain scalar compare —
+                // ES's behavior for a keyword-field bound like "nowhere" —
+                // instead of rejecting the query.
                 val anchorNow = Option(nowAnchor.value)
                   .getOrElse(java.time.Instant.now())
-                val (fl, ce) = DateMath.resolve(raw.asText, anchorNow)
-                def ts(i: java.time.Instant) =
-                  lit(java.sql.Timestamp.from(i))
-                Some(k match {
-                  case "gte" => col(f) >= ts(fl)
-                  case "gt"  => col(f) > ts(ce)
-                  case "lte" => col(f) <= ts(ce)
-                  case "lt"  => col(f) < ts(fl)
-                  case other => throw new IllegalArgumentException(
-                    s"range op '$other'")
+                val resolved =
+                  try Some(DateMath.resolve(raw.asText, anchorNow))
+                  catch {
+                    case _: IllegalArgumentException |
+                         _: java.time.DateTimeException => None
+                  }
+                Some(resolved match {
+                  case Some((fl, ce)) =>
+                    def ts(i: java.time.Instant) =
+                      lit(java.sql.Timestamp.from(i))
+                    k match {
+                      case "gte" => col(f) >= ts(fl)
+                      case "gt"  => col(f) > ts(ce)
+                      case "lte" => col(f) <= ts(ce)
+                      case "lt"  => col(f) < ts(fl)
+                      case other => throw new IllegalArgumentException(
+                        s"range op '$other'")
+                    }
+                  case None =>
+                    val v = lit(scalarOf(raw))
+                    k match {
+                      case "gte" => col(f) >= v
+                      case "gt"  => col(f) > v
+                      case "lte" => col(f) <= v
+                      case "lt"  => col(f) < v
+                      case other => throw new IllegalArgumentException(
+                        s"range op '$other'")
+                    }
                 })
               case k =>
                 val v = lit(scalarOf(raw))

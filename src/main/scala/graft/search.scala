@@ -136,6 +136,18 @@ object Search {
     // math appended to the hit rows, codegen'd with the projection
     val (hits, sfNames) = compiled.scriptFields match {
       case Some(sfs) =>
+        // ES script_fields are ADDITIVE response fields — a name colliding
+        // with a stored column, a pk, or the engine's _score/_source would
+        // silently clobber it through withColumn; reject loudly instead
+        val reserved = docs.columns.toSet ++ pkCols + "_score" + "_source"
+        val clash = sfs.map(_._1).filter(reserved.contains)
+        require(clash.isEmpty,
+          s"script_fields name(s) collide with existing columns: " +
+            s"${clash.mkString(", ")} — script_fields are additive, rename them")
+        val dups = sfs.map(_._1).groupBy(identity).collect {
+          case (n, vs) if vs.size > 1 => n }
+        require(dups.isEmpty,
+          s"duplicate script_fields name(s): ${dups.mkString(", ")}")
         val bind: Map[String, Column] = docs.columns
           .flatMap(c => Seq(c -> col(c), s"doc.$c" -> col(c))).toMap
         val withSf = sfs.foldLeft(hits1) { case (h, (n, src)) =>

@@ -16,6 +16,12 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Render a Column's full Catalyst tree as SQL. `expression` returns a
+    * lazy `ColumnNodeExpression` wrapper (whose `.sql` is just the wrapper
+    * name); the converter walks the node into the real expression tree. */
+  def sql(c: Column): String =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node).sql
+
   /** Drain the listener bus so SparkListener-collected task metrics are
     * complete before reading them (listenerBus is private[spark]). */
   def drainListeners(sc: org.apache.spark.SparkContext): Unit =

@@ -1002,4 +1002,37 @@ class QueryCompilerSpec extends AnyFunSuite {
       """{"query": {"range": {"ts": {"gte": "now/d", "time_zone": "+02:00"}}},
         "now": "2024-01-25T12:00:00Z"}"""))
   }
+
+  test("validateExplain: success carries the compiled predicate as SQL, " +
+       "failure keeps the error") {
+    val ok = QueryCompiler.validateExplain("lang:en")
+    assert(ok.isRight && ok.toOption.get.contains("rlike(lower(lang)"), ok)
+    val term = QueryCompiler.validateExplain("""{"query":{"term":{"lang":"en"}}}""")
+    assert(term == Right("`=`(lang, 'en')"), term)
+    val bad = QueryCompiler.validateExplain("text:spark AND (")
+    assert(bad.isLeft)
+  }
+
+  test("range bound that merely LOOKS like date math falls back to the " +
+       "scalar compare (ES keyword-range behavior)") {
+    import spark.implicits._
+    val df = Seq(("1", "atlantis"), ("2", "nowhere"), ("3", "utopia"))
+      .toDF("doc_id", "s")
+    def run(q: String) = df.where(QueryCompiler.compile(q).predicate)
+      .collect().map(_.getString(0)).toSet
+    // "nowhere" starts with "now" but is not date math → lexicographic
+    assert(run("""{"query": {"range": {"s": {"gte": "nowhere"}}}}""")
+      == Set("2", "3"))
+    assert(run("""{"query": {"range": {"s": {"lt": "nowhere"}}}}""")
+      == Set("1"))
+    // real date math on a timestamp column still resolves (control)
+    val ts = Seq(("a", "2024-01-24 12:00:00"), ("b", "2024-01-26 12:00:00"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("timestamp").as("ts"))
+    val cq = QueryCompiler.compile(
+      """{"query": {"range": {"ts": {"gte": "now/d"}}},
+         "now": "2024-01-25T12:00:00Z"}""")
+    assert(ts.where(cq.predicate).collect().map(_.getString(0)).toSet
+      == Set("b"))
+  }
 }

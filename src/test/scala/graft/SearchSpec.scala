@@ -1357,6 +1357,25 @@ class SearchSpec extends AnyFunSuite {
       IndexConfig(), Seq("doc_id")).collect())
   }
 
+  test("script_fields: names colliding with columns, pk, _score, or each " +
+       "other are loud, never silently clobbered") {
+    val docs = Seq(("1", 10L)).toDF("doc_id", "a")
+    def q(fields: String) =
+      s"""{"query": {"match_all": {}}, "script_fields": {$fields}}"""
+    // stored column
+    assert(intercept[IllegalArgumentException](Search.search(docs,
+      q(""""a": {"script": "a + 1"}"""), IndexConfig(), Seq("doc_id")))
+      .getMessage.contains("collide"))
+    // engine column
+    assert(intercept[IllegalArgumentException](Search.search(docs,
+      q(""""_score": {"script": "a"}"""), IndexConfig(), Seq("doc_id")))
+      .getMessage.contains("collide"))
+    // pk
+    assert(intercept[IllegalArgumentException](Search.search(docs,
+      q(""""doc_id": {"script": "a"}"""), IndexConfig(), Seq("doc_id")))
+      .getMessage.contains("collide"))
+  }
+
   test("multi-knn: per-clause top-k contributions sum; outside a " +
        "clause's k it contributes nothing; query sibling is rejected") {
     val vecs = Seq(

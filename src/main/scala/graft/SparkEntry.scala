@@ -2775,6 +2775,13 @@ object SparkEntry {
         count_distinct(col("lang")).as("lang_cardinality"),
         sum(length(col("text"))).as("text_bytes"))
     }),
+    "q_admin_stats_segments" -> ((s, dir) => {
+      // M12 analog: per-segment stats (docs, string store bytes, per-field
+      // presence) for every month segment in one partial-aggregated pass
+      val ev = tbl(s, dir, "events")
+        .withColumn("segment", Maintain.segmentOf(col("ts"), SegmentGranularity.Month))
+      Maintain.segmentStats(ev, "segment").orderBy(col("segment"))
+    }),
     "q_esql_inlinestats" -> ((s, dir) => {
       // INLINESTATS: per-group totals joined back without collapsing —
       // each first-line item carries its return-flag group total and its
@@ -5549,6 +5556,16 @@ object SparkEntry {
            count(DISTINCT lang) AS lang_cardinality,
            CAST(sum(length(text)) AS BIGINT) AS text_bytes
          FROM documents""",
+    "q_admin_stats_segments" ->
+      """SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS segment,
+           count(*) AS docs,
+           CAST(sum(COALESCE(length(event_type), 0)
+             + COALESCE(length(props), 0)) AS BIGINT) AS store_bytes,
+           count(event_id) AS docs_event_id, count(ts) AS docs_ts,
+           count(user_id) AS docs_user_id,
+           count(event_type) AS docs_event_type,
+           count(value) AS docs_value, count(props) AS docs_props
+         FROM events GROUP BY 1 ORDER BY segment""",
     "q_esql_inlinestats" ->
       """WITH g AS (
            SELECT l_returnflag AS rf, sum(l_quantity) AS gtotal

@@ -204,7 +204,18 @@ object Maintain {
     * filesAfter).
     *
     * The reference has no analog — ES merges Lucene segments internally;
-    * a parquet store must do this itself. */
+    * a parquet store must do this itself.
+    *
+    * CONCURRENCY CONTRACT (see README "Write-path concurrency contract"):
+    * single-writer per segment. Concurrent compact/write on DIFFERENT
+    * segments is safe (directories are independent; `target` scopes the
+    * listing and the swap). A write to the SAME segment after the listing
+    * here is deleted by the swap — serialize same-segment maintenance and
+    * ingest, as the reference serializes per-index maintenance on one
+    * manager thread (DefaultIndexManager.java:49-75). Store CREATION races
+    * are absorbed, not errored: `writeSegmented` overwrites, the analog of
+    * the reference treating `resource_already_exists` as success
+    * (ElasticIndex.java:391-397). */
   def compactSegments(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                       segmentCol: String, maxRecordsPerFile: Long = 0L,
                       minFilesToCompact: Int = 2,
@@ -357,5 +368,33 @@ object Maintain {
       .drop("_z_min1", "_z_max1", "_z_min2", "_z_max2")
       .repartitionByRange(partitions, col("_zorder"))
       .sortWithinPartitions("_zorder")
+  }
+
+  /** M12 analog: PER-SEGMENT statistics frame — the per-index numbers the
+    * reference exposes over JMX (reference: monitor/EsJmxBridge.java:48-141
+    * publishes doc count / store size / field presence per ES index; one
+    * index = one segment here). `docs` (row count), `store_bytes` (string
+    * payload size — the dominant store cost), and a `docs_<field>`
+    * non-null count per column, for EVERY segment in ONE
+    * partial-aggregated pass: counts and sums map-side combine, so the
+    * shuffle carries one partial row per (task, segment) — never a
+    * per-segment job or scan, which is what makes the surface usable on a
+    * store with thousands of segments at 100 TB. */
+  def segmentStats(docs: DataFrame, segmentCol: String = "segment"): DataFrame = {
+    require(docs.columns.contains(segmentCol),
+      s"segment column '$segmentCol' not in the frame")
+    val dataCols = docs.columns.filterNot(_ == segmentCol).toSeq
+    val strCols = docs.schema.fields
+      .filter(f => f.name != segmentCol &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    val rowBytes: Column =
+      if (strCols.isEmpty) lit(0L)
+      else strCols.map(c => coalesce(length(col(c)).cast("long"), lit(0L)))
+        .reduce(_ + _)
+    val aggs = Seq(count(lit(1)).as("docs"),
+        sum(rowBytes).as("store_bytes")) ++
+      dataCols.map(c => count(col(c)).as(s"docs_$c"))
+    docs.groupBy(col(segmentCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

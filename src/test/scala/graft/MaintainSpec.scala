@@ -107,6 +107,57 @@ class MaintainSpec extends AnyFunSuite {
     assert(Maintain.compactSegments(spark, path, "segment").isEmpty)
   }
 
+  test("segmentStats: per-segment docs, string bytes, field presence — " +
+       "one partial-aggregated pass") {
+    import spark.implicits._
+    val df = Seq(("a", "s1", "xx", java.lang.Double.valueOf(1.0)),
+                 ("b", "s1", null, null),
+                 ("c", "s2", "yyyy", java.lang.Double.valueOf(2.0)))
+      .toDF("id", "segment", "t", "x")
+    val out = Maintain.segmentStats(df, "segment").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // (docs, store_bytes = Σ len(id)+len(t), docs_id, docs_t, docs_x)
+    assert(out == Map("s1" -> ((2L, 4L, 2L, 1L, 1L)),
+                      "s2" -> ((1L, 5L, 1L, 1L, 1L))), out.toString)
+    assert(Maintain.segmentStats(df, "segment").columns.toSeq ==
+      Seq("segment", "docs", "store_bytes", "docs_id", "docs_t", "docs_x"))
+    // exactly one exchange: partials combine map-side, never a per-segment job
+    val plan = Maintain.segmentStats(df, "segment")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1, plan.take(1500))
+    assert(intercept[IllegalArgumentException](
+      Maintain.segmentStats(df, "nope")).getMessage.contains("not in the frame"))
+  }
+
+  test("concurrency contract: targeted compact never touches other " +
+       "segments' files, and store creation races absorb via overwrite") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_ccw").toString
+    val df = (1 to 400).map(i => (i.toLong, s"seg${i % 2}", s"v$i"))
+      .toDF("id", "segment", "v")
+    df.repartition(4).write.mode("overwrite").partitionBy("segment").parquet(path)
+    // a "concurrent" writer lands an extra batch in seg1 before a compact
+    // targeting seg0 only — the non-target segment, files and all, must
+    // come through untouched (segment dirs are the isolation unit)
+    Seq((1000L, "seg1", "late")).toDF("id", "segment", "v")
+      .write.mode("append").partitionBy("segment").parquet(path)
+    val seg1Before = new java.io.File(s"$path/segment=seg1").list().sorted.toSeq
+    val report = Maintain.compactSegments(spark, path, "segment",
+      target = _ == "seg0")
+    assert(report.map(_._1) == Seq("seg0"))
+    val seg1After = new java.io.File(s"$path/segment=seg1").list().sorted.toSeq
+    assert(seg1After == seg1Before, "non-target segment files changed")
+    val all = spark.read.parquet(path)
+    assert(all.count() == 401 && all.where(col("v") === "late").count() == 1)
+    // creation race: a second creator overwrites and wins wholesale — the
+    // reference's resource_already_exists-is-success analog, and what
+    // makes re-running a failed build idempotent
+    Indexer.writeSegmented(df, path, "segment")
+    assert(spark.read.parquet(path).count() == 400)
+  }
+
   test("segmentIndexNameCol labels rows with their physical segment name") {
     val df = Seq(("2024-03-05 10:30:00", 1)).toDF("ts", "v")
       .withColumn("ts", col("ts").cast("timestamp"))

@@ -164,12 +164,12 @@ object Aggs {
         // point. Output: the first right-side bucket's key + the statistic
         // (`p_value`/spike-vs-dip typing are out of the declared subset).
         // The frame is an already-aggregated bucket list — the single-
-        // partition window is bounded by bucket count, same contract as
-        // applyPipelines.
+        // partition window is bounded by bucket count, ENFORCED by
+        // boundedFrame (same contract as applyPipelines).
         require(src.columns.contains("key"),
           s"change_point '$name': sibling has no 'key' ordering column")
         val w = org.apache.spark.sql.expressions.Window.orderBy(asc("key"))
-        val stats = src
+        val stats = boundedFrame(src, s"change_point '$name'")
           .withColumn("_t", row_number().over(w))
           .withColumn("_next_key", lead(col("key"), 1).over(w))
           .withColumn("_cum", sum(c.cast("double")).over(
@@ -1384,6 +1384,27 @@ object Aggs {
     * the declared-order subset makes `bucket_script` → `bucket_selector`
     * chains work and is loud — an unknown column — when declared
     * backwards). */
+  /** ENFORCED bounded-frame contract for the single-partition pipeline
+    * windows (r10 — previously documentation only): pipeline aggs and the
+    * change-point/KS scans run over a parent BUCKET LIST, never corpus
+    * rows, and their unpartitioned windows are size-safe only because of
+    * that. This guard makes the contract fail loud INSIDE the plan (no
+    * driver-side count job — the assertion rides the same single-partition
+    * exchange the window itself needs): frames beyond `maxBuckets` (the
+    * zero-fill / `search.max_buckets` cap) raise instead of serializing a
+    * corpus through one task. The filter keeps the assertion un-prunable
+    * (`assert_true` is null on success, so `isNull` passes every row). */
+  private[graft] def boundedFrame(df: DataFrame, what: String,
+                                  maxBuckets: Long = 100000L): DataFrame = {
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.withColumn("_frame_ok",
+        assert_true(count(lit(1)).over(whole) <= lit(maxBuckets),
+          lit(s"$what: bucket frame exceeds the $maxBuckets-row pipeline " +
+            "cap (search.max_buckets analog) — aggregate further before piping")))
+      .where(col("_frame_ok").isNull)
+      .drop("_frame_ok")
+  }
+
   private def applyPipelines(buckets: DataFrame, subAggs: Option[JsonNode],
                              parent: String): DataFrame = {
     val specs = subAggs.toSeq.flatMap { n =>
@@ -1402,10 +1423,12 @@ object Aggs {
     // over the PARENT'S BUCKET LIST (post-aggregation — at most `size`
     // terms buckets or the zero-fill frame cap, never corpus rows), and ES
     // pipeline semantics are inherently sequential over that list. The
-    // bucket producers upstream enforce the caps (terms size, maxFrames);
-    // a corpus-scale frame can never reach this window.
+    // contract is ENFORCED by [[boundedFrame]] below, not just documented.
     val w = org.apache.spark.sql.expressions.Window.orderBy("key")
-    specs.foldLeft(buckets) { case (df, (sub, tpe, body)) =>
+    val guarded =
+      if (specs.isEmpty) buckets
+      else boundedFrame(buckets, s"pipeline aggs under '$parent'")
+    specs.foldLeft(guarded) { case (df, (sub, tpe, body)) =>
       def pathCol(df2: DataFrame): String = {
         val path = Option(body.get("buckets_path")).map(_.asText)
           .getOrElse(throw new IllegalArgumentException(

@@ -242,7 +242,11 @@ object Esql {
               s"CHANGE_POINT: unknown key column '$keyCol'")
             val w = org.apache.spark.sql.expressions.Window.orderBy(asc(keyCol))
             val whole = org.apache.spark.sql.expressions.Window.partitionBy()
-            df.withColumn("_t", row_number().over(w))
+            // bounded-frame contract ENFORCED in-plan (same guard as the
+            // pipeline aggs): the series must be pre-aggregated, never
+            // corpus rows
+            Aggs.boundedFrame(df, "CHANGE_POINT")
+              .withColumn("_t", row_number().over(w))
               .withColumn("_next_key", lead(col(keyCol), 1).over(w))
               .withColumn("_cum", sum(col(valueCol).cast("double")).over(
                 w.rowsBetween(

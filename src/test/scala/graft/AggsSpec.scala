@@ -1532,4 +1532,27 @@ class AggsSpec extends AnyFunSuite {
       """"after":{"k":"a"},""")
     assert(page2.toSeq == Seq((Some("b"), 1L)))
   }
+
+  test("boundedFrame ENFORCES the pipeline bucket cap in-plan: oversized " +
+       "frames raise, bounded ones pass through untouched") {
+    val d = (1 to 5).map(i => (i.toLong, i * 10.0)).toDF("key", "v")
+    // within bounds: identity
+    val ok = Aggs.boundedFrame(d, "spec", maxBuckets = 5)
+      .orderBy("key").collect().map(_.getLong(0)).toSeq
+    assert(ok == (1L to 5L))
+    // beyond: the plan raises at execution with the loud contract message
+    val e = intercept[Exception](
+      Aggs.boundedFrame(d, "spec", maxBuckets = 3).collect())
+    assert(e.getMessage.contains("bucket frame exceeds"), e.getMessage)
+    // and the real surface is wired: a derivative over a bucket list
+    // passes (bounded), proving the guard doesn't disturb pipeline output
+    val src = Seq((1L, "2024-01-01"), (2L, "2024-01-01"), (3L, "2024-01-02"))
+      .toDF("doc_id", "d")
+      .select(col("doc_id"), col("d").cast("timestamp").as("ts"))
+    val out = Aggs.runSingle(src,
+      """{"aggs":{"h":{"date_histogram":{"field":"ts","calendar_interval":"day"},
+          "aggs":{"dx":{"derivative":{"buckets_path":"_count"}}}}}}""")
+      .collect()
+    assert(out.length == 2)
+  }
 }

@@ -46,6 +46,14 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("w")).limit(maxWords)
       .as[(String, Long)].collect()
+    // the cap is a declared approximation — when it actually bites, say so
+    // loudly (training then ran on a truncated vocabulary and learned
+    // merges can diverge from an exact trainer on the rare tail)
+    if (wordRows.length == maxWords)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"BPE training vocabulary truncated: distinct-word count reached " +
+          s"maxWords=$maxWords (frequency floor applied); raise maxWords " +
+          "for exact-tail merges")
 
     // driver-side classic greedy trainer: exact Sennrich semantics (pick
     // the (count desc, left asc, right asc) argmax, greedy left-to-right

@@ -87,6 +87,14 @@ class BpeSpec extends AnyFunSuite {
     val corpus = Seq((1L, text), (2L, text.reverse), (3L, text + " extras"))
       .toDF("id", "text")
     val sc = spark.sparkContext
+    // r10: assert against a baseline measured IN this test (numMerges=1),
+    // not a fixed constant — collect/AQE job splitting varies by Spark
+    // version, and the invariant is "jobs don't scale with numMerges"
+    sc.setJobGroup("bpe-train-base", "BpeSpec r10 baseline")
+    val base = try Bpe.train(corpus, "text", 1).collect()
+    finally sc.clearJobGroup()
+    assert(base.length == 1)
+    val baseJobs = sc.statusTracker.getJobIdsForGroup("bpe-train-base").length
     sc.setJobGroup("bpe-train-bounded", "BpeSpec r9")
     val m = try Bpe.train(corpus, "text", 1000).collect()
     finally sc.clearJobGroup()
@@ -94,6 +102,7 @@ class BpeSpec extends AnyFunSuite {
     // merges exhaust well before 1000 on this corpus — the loop must stop
     assert(m.last.getInt(0) == m.length) // ranks are dense 1..N
     val jobs = sc.statusTracker.getJobIdsForGroup("bpe-train-bounded").length
-    assert(jobs <= 8, s"train(numMerges=1000) ran $jobs Spark jobs")
+    assert(jobs == baseJobs,
+      s"train(numMerges=1000) ran $jobs Spark jobs vs $baseJobs at numMerges=1")
   }
 }

@@ -143,7 +143,10 @@ object Bench {
         "q_upsert_scripted", "q_admin_search_shards", "q_train_shuffle",
         "q_search_date_math", "q_quality_classifier", "q_augment_mask",
         "q_search_geo_grid", "q_search_script_fields", "q_search_indices_boost", "q_strip_boilerplate", "q_contrastive_pairs",
-        "q_similarity_bbq", "q_similarity_bbq_exact", "q_dedup_edit", "q_esql_now", "q_agg_composite_missing", "q_search_knn_multi", "q_tokenize_ids")
+        "q_similarity_bbq", "q_similarity_bbq_exact", "q_dedup_edit", "q_esql_now", "q_agg_composite_missing", "q_search_knn_multi", "q_tokenize_ids",
+        // r10
+        "q_upsert_scripted_dup", "q_dedup_minhash_salted",
+        "q_query_validate_explain", "q_admin_stats_segments")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -148,8 +148,13 @@ object Dedup {
   private[graft] def incrementalPairs(store: DataFrame, fresh: DataFrame,
                                       numHashes: Int, bands: Int,
                                       threshold: Double): DataFrame = {
-    val bNew = bandedOf(fresh, numHashes, bands)
-    val bAll = bandedOf(store, numHashes, bands).unionByName(bNew)
+    val bNew0 = bandedOf(fresh, numHashes, bands)
+    val bAll0 = bandedOf(store, numHashes, bands).unionByName(bNew0)
+    // the cap (when set) is judged on the UNION's bucket population and
+    // applied to both join sides — a bucket degenerate across store+batch
+    // can't explode an incremental batch either
+    val bNew = capBuckets(bNew0, bAll0)
+    val bAll = capBuckets(bAll0, bAll0)
     // one side always new: join the (small) new banding against everything;
     // least/greatest normalizes to the id_a < id_b convention
     val candidates = bNew.select(col("band"), col("bucket"), col("id").as("id_n"))
@@ -168,7 +173,7 @@ object Dedup {
     * exactly against the carried shingle sets. `sketches` = (id, sh, sig). */
   private def pairsFromSketches(sketches: DataFrame, numHashes: Int, bands: Int,
                                 threshold: Double): DataFrame = {
-    val banded = bandedOf(sketches, numHashes, bands)
+    val banded = capBuckets(bandedOf(sketches, numHashes, bands))
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -176,6 +181,54 @@ object Dedup {
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     verifyPairs(candidates, sketches.select(col("id"), col("sh")), threshold)
+  }
+
+  /** OPT-IN bucket-size cap for the LSH candidate self-join — the
+    * volume-side complement to the verify joins' threshold salting. A
+    * bucket of B near-identical docs emits B²/2 candidate pairs; salting
+    * balances where those pairs land, but nothing bounds HOW MANY there
+    * are. With `graft.lsh.maxBucket` = N (conf; 0/unset = off), buckets
+    * larger than N are excluded from candidate generation, bounding the
+    * join's output at buckets × N² — the standard production cap
+    * (oversized buckets are near-identical boilerplate that [[exact]]
+    * dedup should have removed first).
+    *
+    * EXPLICITLY recall-affecting, which is why it is opt-in and never a
+    * silent default: pairs whose ONLY collision is an over-cap bucket are
+    * not emitted. [[lshBucketStats]] is the companion diagnostic — run it
+    * first to see exactly which buckets (and how many docs) a cap would
+    * drop. The over-cap bucket list is detected lazily in-plan and
+    * broadcast (tiny by construction: buckets above N docs). */
+  private[graft] def capBuckets(banded: DataFrame,
+                                pop: DataFrame = null): DataFrame = {
+    val maxBucket = banded.sparkSession.conf
+      .getOption("graft.lsh.maxBucket").map(_.toInt).getOrElse(0)
+    if (maxBucket <= 0) banded
+    else {
+      val basis = Option(pop).getOrElse(banded)
+      val over = basis.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("_bn")).where(col("_bn") > maxBucket)
+        .select(col("band"), col("bucket")).withColumn("_over", lit(true))
+      banded.join(broadcast(over), Seq("band", "bucket"), "left")
+        .where(col("_over").isNull).drop("_over")
+    }
+  }
+
+  /** Per-bucket population of the MinHash banding — the diagnostic to run
+    * BEFORE setting `graft.lsh.maxBucket`: shows which (band, bucket)
+    * cells are degenerate and how many docs a cap at N would exclude.
+    * One id-only aggregate; never touches text. */
+  def lshBucketStats(df: DataFrame, textCol: String, idCol: String,
+                     shingleK: Int = 3, numHashes: Int = 32,
+                     bands: Int = 16): DataFrame = {
+    import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val sketches = df.select(col(idCol).as("id"),
+      minhash_sig(word_shingles(tokens(col(textCol)), shingleK), numHashes).as("sig"))
+    bandedOf(sketches, numHashes, bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("docs"))
   }
 
   /** Band MinHash signatures to (id, band, bucket) rows — the only shape

@@ -131,8 +131,10 @@ object Similarity {
     // shuffle ids, not vectors: the banded self-join and pair-dedup move
     // only (band, bucket, id); embeddings join back per surviving side —
     // the same discipline as Dedup.minhashPairs' shingle-set verification
-    val b = banded(df, idCol, vecCol, bands, bitsPerBand)
-      .select(col("band"), col("bucket"), col(idCol))
+    // graft.lsh.maxBucket (opt-in, see Dedup.capBuckets) bounds candidate
+    // volume from degenerate buckets here exactly as in the text path
+    val b = Dedup.capBuckets(banded(df, idCol, vecCol, bands, bitsPerBand)
+      .select(col("band"), col("bucket"), col(idCol)))
     val idPairs0 = b.select(col("band"), col("bucket"), col(idCol).as("id_a"))
       .join(b.select(col("band"), col("bucket"), col(idCol).as("id_b")),
         Seq("band", "bucket"))

@@ -425,4 +425,30 @@ class DedupSpec extends AnyFunSuite {
       Dedup.editDistancePairs(docs, "text", "doc_id", maxDist = 5,
         bucketWidth = 4))
   }
+
+  test("graft.lsh.maxBucket: opt-in cap excludes degenerate buckets from " +
+       "candidate generation; other pairs and the diagnostic survive") {
+    val boiler = "identical boilerplate text repeated across the whole crawl"
+    val docs = ((1 to 40).map(i => (i.toLong, boiler)) ++ Seq(
+      (100L, "a genuinely unique document about spark execution engines"),
+      (101L, "a genuinely unique document about spark execution engines today")))
+      .toDF("doc_id", "text")
+    val base = Dedup.minhashPairs(docs, "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.contains((100L, 101L)))
+    assert(base.count(p => p._1 < 100L) == 40 * 39 / 2) // boilerplate pairs
+    // diagnostic first: the degenerate bucket is visible before capping
+    val worst = Dedup.lshBucketStats(docs, "text", "doc_id")
+      .agg(max(col("docs"))).head.getLong(0)
+    assert(worst >= 40L, s"expected a 40-doc bucket, worst=$worst")
+    spark.conf.set("graft.lsh.maxBucket", "10")
+    try {
+      val capped = Dedup.minhashPairs(docs, "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped == Set((100L, 101L)), capped.toString) // boilerplate gone
+    } finally spark.conf.unset("graft.lsh.maxBucket")
+    // off by default: unset conf reproduces the full pair set
+    val again = Dedup.minhashPairs(docs, "text", "doc_id").count()
+    assert(again == base.size)
+  }
 }

@@ -282,9 +282,15 @@ object Indexer {
         .getOrElse(lit(null).cast(typed(c)))
     // per-key ordered op list: one hash aggregate over the batch; the sort
     // key leads with orderCols so callers with a real sequence column get
-    // ES's arrival order, and falls back to all batch columns so the fold
-    // is deterministic either way
+    // ES's arrival order, and falls back to the remaining ORDERABLE batch
+    // columns (a map-typed update column can ride along as a param but
+    // cannot key the sort) so the fold is deterministic either way
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
     val ordCols = orderCols ++ batchCols.filterNot(orderCols.contains)
+      .filter(c => RowOrdering.isOrderable(updates.schema(c).dataType))
+    require(ordCols.nonEmpty,
+      "scriptedUpsert needs at least one orderable batch column to make " +
+        "the per-key fold deterministic (or pass orderCols)")
     val opsDf = updates.groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(
         struct(ordCols.map(col): _*).as("_o"),

@@ -151,7 +151,13 @@ object Similarity {
     // on the gate corpus where vectors broadcast anyway — so it's opt-in,
     // not the small-corpus default.
     val (idPairs, vecSide) =
-      if (!reduceCandidates) (idPairs0, df.select(col(idCol), col(vecCol)))
+      if (!reduceCandidates)
+        // persisted (ids only) because the salted verify joins below read
+        // the pair set once per hot-set barrier — without the cache the
+        // bucket self-join would re-execute per read; LRU eviction only
+        // ever costs recompute
+        (idPairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY),
+          df.select(col(idCol), col(vecCol)))
       else {
         val cand = idPairs0.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
@@ -171,12 +177,15 @@ object Similarity {
       .map(_.toLong).getOrElse(1000000L)
     val saltF = sess.conf.getOption("graft.skew.saltFactor")
       .map(_.toInt).getOrElse(16)
+    // hotFrom = the persisted pair ids for the outer link: the v_a join is
+    // 1:1 per pair row, so id_b multiplicities match and the hot-set
+    // barrier never re-executes the vector join (see Dedup.verifyPairs)
     Skew.adaptiveSaltedJoin(
         Skew.adaptiveSaltedJoin(idPairs,
           vecSide.select(col(idCol).as("id_a"), col(vecCol).as("v_a")),
           Seq("id_a"), saltAt, saltF),
         vecSide.select(col(idCol).as("id_b"), col(vecCol).as("v_b")),
-        Seq("id_b"), saltAt, saltF)
+        Seq("id_b"), saltAt, saltF, hotFrom = idPairs)
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -63,13 +63,22 @@ object Skew {
     * (almost always empty) broadcast. */
   def adaptiveSaltedJoin(large: DataFrame, small: DataFrame, keyCols: Seq[String],
                          hotAt: Long, saltFactor: Int,
-                         joinType: String = "inner"): DataFrame = {
+                         joinType: String = "inner",
+                         hotFrom: DataFrame = null): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     require(hotAt >= 1, "hotAt must be >= 1")
     val allowed = Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
     require(allowed.contains(joinType.toLowerCase.replace("_", "")),
       s"adaptiveSaltedJoin supports large-side-preserving join types only, got '$joinType'")
-    val hot = large.groupBy(keyCols.map(col): _*)
+    // `hotFrom` lets chained salted joins detect hot keys from a CHEAP
+    // equivalent-multiplicity frame (e.g. the persisted candidate-pair ids)
+    // instead of re-executing the upstream join: the hot-set broadcast is a
+    // job barrier, so its subtree runs once per chain link — detect from
+    // the frame whose per-key row counts match `large`'s but whose compute
+    // is already paid. Correctness is unaffected (salting is output-
+    // invariant; an imperfect hot set only changes WHICH keys spread).
+    val basis = Option(hotFrom).getOrElse(large)
+    val hot = basis.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_hn")).where(col("_hn") > hotAt)
       .select(keyCols.map(col): _*).withColumn("_hot", lit(true))
     // same per-row-unique salt rationale as [[saltedJoin]]; `_hot` is true

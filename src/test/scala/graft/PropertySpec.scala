@@ -274,4 +274,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: scriptedUpsert equals a driver-side sequential replay " +
+       "of the bulk, for random duplicate-key batches") {
+    val rnd = new scala.util.Random(42)
+    (0 until 5).foreach { trial =>
+      val keys = Seq("a", "b", "c", "d")
+      val store = keys.take(2 + trial % 3).zipWithIndex
+        .map { case (k, i) => (k, 10L * (i + 1)) }
+      val batch = (0 until 8 + trial).map { i =>
+        (keys(rnd.nextInt(keys.length)), i.toLong, rnd.nextInt(20).toLong - 5L)
+      }
+      // reference semantics: apply ops per key in seq order, seed = stored
+      // value or the upsert default 0, script: ctx.cnt * 1 + params.inc →
+      // use a NON-commutative script so order actually matters
+      def script(ctx: Long, inc: Long): Long = ctx * 2 - inc
+      val expected = {
+        val m = scala.collection.mutable.Map(store.map { case (k, v) => k -> v }: _*)
+        val touched = scala.collection.mutable.Map[String, Long]()
+        batch.sortBy(op => (op._1, op._2)).foreach { case (k, _, inc) =>
+          val cur = touched.getOrElse(k, m.getOrElse(k, 0L))
+          touched(k) = script(cur, inc)
+        }
+        (m ++ touched).toMap
+      }
+      val out = Indexer.scriptedUpsert(
+          store.toDF("doc_id", "cnt"),
+          batch.toDF("doc_id", "seq", "inc"),
+          "doc_id",
+          scripts = Map("cnt" -> "ctx.cnt * 2 - params.inc"),
+          upsertDefaults = Map("cnt" -> 0L),
+          orderCols = Seq("seq"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"trial $trial: got $out, want $expected")
+    }
+  }
 }

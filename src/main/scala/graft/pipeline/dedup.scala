@@ -286,16 +286,10 @@ object Dedup {
       .map(_.toLong).getOrElse(1000000L)
     val saltF = sess.conf.getOption("graft.skew.saltFactor")
       .map(_.toInt).getOrElse(16)
-    // both hot sets detect from the PERSISTED pair ids (hotFrom = cand) —
-    // the sh_a join is 1:1 per pair row, so id_b multiplicities match, and
-    // detecting from the joined output would re-execute that join for the
-    // hot-set barrier (measured 3× on q_dedup_minhash)
-    Skew.adaptiveSaltedJoin(
-        Skew.adaptiveSaltedJoin(cand,
-          candSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
-          Seq("id_a"), saltAt, saltF),
+    Skew.saltedVerifyJoin(cand,
+        candSh.select(col("id").as("id_a"), col("sh").as("sh_a")),
         candSh.select(col("id").as("id_b"), col("sh").as("sh_b")),
-        Seq("id_b"), saltAt, saltF, hotFrom = cand)
+        saltAt, saltF)
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

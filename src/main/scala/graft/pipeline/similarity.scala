@@ -177,15 +177,10 @@ object Similarity {
       .map(_.toLong).getOrElse(1000000L)
     val saltF = sess.conf.getOption("graft.skew.saltFactor")
       .map(_.toInt).getOrElse(16)
-    // hotFrom = the persisted pair ids for the outer link: the v_a join is
-    // 1:1 per pair row, so id_b multiplicities match and the hot-set
-    // barrier never re-executes the vector join (see Dedup.verifyPairs)
-    Skew.adaptiveSaltedJoin(
-        Skew.adaptiveSaltedJoin(idPairs,
-          vecSide.select(col(idCol).as("id_a"), col(vecCol).as("v_a")),
-          Seq("id_a"), saltAt, saltF),
+    Skew.saltedVerifyJoin(idPairs,
+        vecSide.select(col(idCol).as("id_a"), col(vecCol).as("v_a")),
         vecSide.select(col(idCol).as("id_b"), col(vecCol).as("v_b")),
-        Seq("id_b"), saltAt, saltF, hotFrom = idPairs)
+        saltAt, saltF)
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -96,6 +96,44 @@ object Skew {
     saltedLarge.join(saltedSmall, keyCols :+ "_salt", joinType).drop("_salt")
   }
 
+  /** The LSH verify-join specialization of [[adaptiveSaltedJoin]]: join a
+    * candidate-pair frame `(id_a, id_b, …)` against per-id payload sides
+    * for BOTH ends with ONE shared hot-id detection. The generic form
+    * chained two adaptive joins, costing two hot aggregates and two
+    * broadcast barriers; here one exploded pass over the (persisted,
+    * ids-only) pair frame counts each id's pair multiplicity across both
+    * roles, and the single broadcast hot set is reused by all four salt
+    * joins (identical subtree → one exchange). A doc hot in either role
+    * salts in both joins — more spreading than strictly needed, which is
+    * harmless: salting is output-invariant. Overhead on an unskewed corpus
+    * is one id-only aggregate and one (almost always empty) broadcast. */
+  def saltedVerifyJoin(pairs: DataFrame, sideA: DataFrame, sideB: DataFrame,
+                       hotAt: Long, saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    require(hotAt >= 1, "hotAt must be >= 1")
+    val hot = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("_hid"))
+      .groupBy(col("_hid")).agg(count(lit(1)).as("_hn"))
+      .where(col("_hn") > hotAt)
+      .select(col("_hid")).withColumn("_hot", lit(true))
+    def saltLarge(df: DataFrame, key: String): DataFrame =
+      df.join(broadcast(hot), col(key) === col("_hid"), "left")
+        .withColumn(s"_salt_$key", when(col("_hot"),
+          pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
+          .otherwise(lit(0)))
+        .drop("_hid", "_hot")
+    def saltSmall(df: DataFrame, key: String): DataFrame =
+      df.join(broadcast(hot), col(key) === col("_hid"), "left")
+        .withColumn(s"_salt_$key", explode(when(col("_hot"),
+          array((0 until saltFactor).map(lit): _*)).otherwise(array(lit(0)))))
+        .drop("_hid", "_hot")
+    saltLarge(saltLarge(pairs, "id_a")
+        .join(saltSmall(sideA, "id_a"), Seq("id_a", "_salt_id_a"))
+        .drop("_salt_id_a"), "id_b")
+      .join(saltSmall(sideB, "id_b"), Seq("id_b", "_salt_id_b"))
+      .drop("_salt_id_b")
+  }
+
   /** Two-phase (partial → final) count per key with an explicit salt —
     * demonstrates the map-side-combine shape for skewed aggregations where
     * a single reducer would otherwise own the hot key. Spark's hash

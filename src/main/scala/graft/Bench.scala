@@ -155,7 +155,8 @@ object Bench {
         "q_similarity_bbq", "q_similarity_bbq_exact", "q_dedup_edit", "q_esql_now", "q_agg_composite_missing", "q_search_knn_multi", "q_tokenize_ids",
         // r10
         "q_upsert_scripted_dup", "q_dedup_minhash_salted",
-        "q_query_validate_explain", "q_admin_stats_segments")
+        "q_query_validate_explain", "q_admin_stats_segments",
+        "q_skew_adaptive")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -572,6 +572,17 @@ object SparkEntry {
       pipeline.Skew.saltedJoin(large, small, Seq("l_orderkey"), saltFactor = 8)
         .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
     }),
+    "q_skew_adaptive" -> ((s, dir) => {
+      // threshold-gated salting (r10): with hotAt=1, every multi-row order
+      // key is "hot" and spreads across 8 salts — the oracle (same SQL as
+      // q_skew_join) proves the hot/cold split machinery output-invariant
+      val large = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val small = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      pipeline.Skew.adaptiveSaltedJoin(large, small, Seq("l_orderkey"),
+          hotAt = 1, saltFactor = 8)
+        .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
+    }),
     "q_segment_name" -> ((s, dir) => {
       // M2 naming: rows labeled with their physical segment-index name
       // (reference <alias>_index@<utc-date> convention)
@@ -6067,6 +6078,11 @@ object SparkEntry {
          WHERE regexp_matches(lower(text), '\bspark\b') OR regexp_matches(lower(text), '\bbatch\b')
          ORDER BY _score DESC, doc_id""",
     "q_skew_join" ->
+      """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
+         FROM lineitem l JOIN orders o
+           ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'
+         ORDER BY l_orderkey, l_quantity, o_totalprice""",
+    "q_skew_adaptive" ->
       """SELECT l.l_orderkey, l.l_quantity, o.o_totalprice
          FROM lineitem l JOIN orders o
            ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'

@@ -1234,6 +1234,21 @@ class SearchSpec extends AnyFunSuite {
       Search.phraseSuggest(corpus, "text", "spark")).getMessage.contains("2..6"))
   }
 
+  test("phrase suggester store: write once, serve identically — corpus " +
+       "never read at query time") {
+    val corpus = Seq(
+      ("1", "spark stream spark stream"), ("2", "spark batch"), ("3", "stream batch"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sugg_store").toString
+    Search.writeSuggestStore(corpus, "text", path)
+    val direct = Search.phraseSuggest(corpus, "text", "spork streem", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
+    val stored = Search.phraseSuggestFromStore(spark, path, "spork streem", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(stored == direct, s"stored=$stored direct=$direct")
+  }
+
   test("percolate: stored queries match docs in one scan; null predicates safe") {
     val out = Search.percolate(docs, Seq(
       "sparky" -> "text:spark",

@@ -37,6 +37,8 @@ object SparkEntry {
   // q_suggest_phrase_store — repeat invocations measure serve cost)
   private val suggestStoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val bm25StoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val NowTs = java.sql.Timestamp.from(java.time.Instant.parse("2024-07-01T00:00:00Z"))
   private val NowEpoch = NowTs.toInstant.getEpochSecond
@@ -729,6 +731,30 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       val postings = TextIndex.buildPostings(d, "doc_id", Seq("text"), 16)
       val norms = TextIndex.buildNorms(d, "doc_id", Seq("text"))
+      TextIndex.bm25Indexed(postings, norms, "text", Seq("spark", "query"),
+          nBuckets = 16)
+        .orderBy(desc("_bm25"), col("doc_id")).limit(50)
+        .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    }),
+    "q_search_bm25_store" -> ((s, dir) => {
+      // the materialized form of q_search_bm25_indexed (same oracle): the
+      // postings + norms stores are written ONCE per dataset (memoized —
+      // write-once is the index's semantics; see q_suggest_phrase_store)
+      // and BM25 is served from disk with bucket pruning, corpus untouched
+      val path = bm25StoreFor.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_bm25_store").toString
+        val d = tbl(s, dir, "documents")
+        TextIndex.writePostings(
+          TextIndex.buildPostings(d, "doc_id", Seq("text"), 16), s"$p/postings")
+        TextIndex.buildNorms(d, "doc_id", Seq("text"))
+          .write.mode("overwrite").parquet(s"$p/norms")
+        p
+      })
+      val postings = s.read.option("basePath", s"$path/postings")
+        .parquet(s"$path/postings")
+      val norms = s.read.parquet(s"$path/norms")
       TextIndex.bm25Indexed(postings, norms, "text", Seq("spark", "query"),
           nBuckets = 16)
         .orderBy(desc("_bm25"), col("doc_id")).limit(50)
@@ -4045,6 +4071,26 @@ object SparkEntry {
          WHERE regexp_matches(lower(text), '\bdup\b') AND lower(lang) = 'de'
          ORDER BY doc_id""",
     "q_search_bm25_indexed" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                    '[^a-z0-9_]+'), x -> x <> '')) AS DOUBLE) AS dl,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bspark\b')) AS DOUBLE) AS tf0,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bquery\b')) AS DOUBLE) AS tf1
+           FROM documents),
+         s AS (
+           SELECT *, CAST(count(*) OVER () AS DOUBLE) AS N, avg(dl) OVER () AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df1
+           FROM d),
+         sc AS (
+           SELECT doc_id,
+             ln(1 + (N - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+             ln(1 + (N - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) AS bm25
+           FROM s WHERE tf0 > 0 OR tf1 > 0)
+         SELECT doc_id, round(bm25, 4) AS bm25 FROM sc
+         ORDER BY bm25 DESC, doc_id LIMIT 50""",
+    "q_search_bm25_store" ->
       """WITH d AS (
            SELECT doc_id,
              CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),

@@ -156,7 +156,8 @@ object Bench {
         // r10
         "q_upsert_scripted_dup", "q_dedup_minhash_salted",
         "q_query_validate_explain", "q_admin_stats_segments",
-        "q_skew_adaptive", "q_suggest_phrase_store", "q_search_bm25_store")
+        "q_skew_adaptive", "q_suggest_phrase_store", "q_search_bm25_store",
+        "q_suggest_completion_store")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -39,6 +39,8 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val bm25StoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val completionStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   private val NowTs = java.sql.Timestamp.from(java.time.Instant.parse("2024-07-01T00:00:00Z"))
   private val NowEpoch = NowTs.toInstant.getEpochSecond
@@ -2308,6 +2310,22 @@ object SparkEntry {
       Search.completionSuggestFuzzy(tbl(s, dir, "documents"), "text",
           "sca", size = 10, contexts = Map("lang" -> Seq("en", "de")),
           fuzziness = 1, fuzzyPrefixLength = 1)
+    }),
+    "q_suggest_completion_store" -> ((s, dir) => {
+      // the materialized dictionary form (r10, same oracle as _ctx): the
+      // per-(lang, term) doc-count store is written once (memoized — see
+      // q_suggest_phrase_store) and the context-filtered fuzzy completion
+      // is served from it; corpus never read at query time
+      val path = completionStoreFor.getOrElseUpdate(dir, {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_completion_store").toString
+        Search.writeCompletionStore(tbl(s, dir, "documents"), "text", p,
+          contextCols = Seq("lang"))
+        p
+      })
+      Search.completionSuggestFromStore(s, path, "sca", size = 10,
+        contexts = Map("lang" -> Seq("en", "de")),
+        fuzziness = 1, fuzzyPrefixLength = 1)
     }),
     "q_search_rrf" -> ((s, dir) => {
       // ES-8 reciprocal rank fusion: two retrievers' hit lists fused by
@@ -5248,6 +5266,19 @@ object SparkEntry {
                   AS rank
          FROM scored QUALIFY rank <= 3 ORDER BY rank""",
     "q_suggest_completion_ctx" ->
+      """WITH d AS (
+           SELECT unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '[^a-z0-9_]+'),
+             x -> len(x) > 0))) AS suggestion
+           FROM documents WHERE lang IN ('en', 'de')),
+         f AS (SELECT suggestion, count(*) AS freq FROM d GROUP BY suggestion),
+         m AS (
+           SELECT suggestion, freq,
+             CAST(levenshtein(substr(suggestion, 1, 3), 'sca') AS INT) AS distance
+           FROM f WHERE substr(suggestion, 1, 1) = 's')
+         SELECT suggestion, freq, distance FROM m WHERE distance <= 1
+         ORDER BY freq DESC, suggestion LIMIT 10""",
+    "q_suggest_completion_store" ->
       """WITH d AS (
            SELECT unnest(list_distinct(list_filter(
              string_split_regex(lower(text), '[^a-z0-9_]+'),

@@ -1370,6 +1370,12 @@ object Search {
     val dict = filtered
       .select(explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"))
       .groupBy("suggestion").agg(count(lit(1)).as("freq"))
+    completionOver(dict, p, size, fuzziness, fuzzyPrefixLength)
+  }
+
+  /** Shared completion core over a `(suggestion, freq)` dictionary. */
+  private def completionOver(dict: DataFrame, p: String, size: Int,
+                             fuzziness: Int, fuzzyPrefixLength: Int): DataFrame = {
     val head = substring(col("suggestion"), 1, p.length)
     val matched =
       if (fuzziness == 0) dict.where(col("suggestion").startsWith(p))
@@ -1385,6 +1391,54 @@ object Search {
       }
     matched.orderBy(desc("freq"), asc("suggestion")).limit(size)
       .select(col("suggestion"), col("freq"), col("distance"))
+  }
+
+  /** Materialized completion dictionary (the [[writeSuggestStore]] pattern
+    * for the completion suggester): per (context columns…, term) DOC
+    * counts, written `partitionBy(contextCols)` (directory pruning for
+    * context filters) and term-sorted within files (row-group pruning for
+    * the prefix probe). Contract: each context column is SCALAR per doc,
+    * so a doc lands in exactly one partition combo and restricted sums
+    * count it once — exactly the corpus-filtered doc frequency the direct
+    * form computes. */
+  def writeCompletionStore(docs: DataFrame, field: String, path: String,
+                           contextCols: Seq[String] = Seq.empty): Unit = {
+    val dict = docs
+      .select(contextCols.map(col) :+
+        explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"): _*)
+      .groupBy((contextCols :+ "suggestion").map(col): _*)
+      .agg(count(lit(1)).as("freq"))
+    val clustered =
+      if (contextCols.nonEmpty) dict.repartition(contextCols.map(col): _*)
+      else dict
+    val writer = clustered.sortWithinPartitions("suggestion")
+      .write.mode("overwrite")
+    (if (contextCols.nonEmpty) writer.partitionBy(contextCols: _*) else writer)
+      .parquet(path)
+  }
+
+  /** Serve [[completionSuggestFuzzy]] from a [[writeCompletionStore]]
+    * store — identical output on the same corpus for any context filter
+    * over the store's context columns (SearchSpec pins it). Cost: a
+    * directory/row-group-pruned scan of the vocabulary-sized dictionary +
+    * one re-aggregate; the corpus is never read. */
+  def completionSuggestFromStore(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, prefix: String, size: Int = 5,
+                                 contexts: Map[String, Seq[String]] = Map.empty,
+                                 fuzziness: Int = 0,
+                                 fuzzyPrefixLength: Int = 1): DataFrame = {
+    require(prefix.nonEmpty, "completion suggester needs a non-empty prefix")
+    require(size >= 1, s"completion suggester size must be >= 1, got $size")
+    require(fuzziness >= 0 && fuzziness <= 2,
+      s"completion fuzziness must be 0..2, got $fuzziness")
+    val store = spark.read.option("basePath", path).parquet(path)
+    val filtered = contexts.foldLeft(store) { case (df, (c, vs)) =>
+      require(vs.nonEmpty, s"completion context '$c' needs at least one value")
+      df.where(col(c).isin(vs: _*))
+    }
+    val dict = filtered.groupBy("suggestion")
+      .agg(sum(col("freq")).cast("long").as("freq"))
+    completionOver(dict, prefix.toLowerCase, size, fuzziness, fuzzyPrefixLength)
   }
 
   /** ES 8 `rrf` retriever: reciprocal rank fusion of several ranked hit

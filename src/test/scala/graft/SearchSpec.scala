@@ -1249,6 +1249,30 @@ class SearchSpec extends AnyFunSuite {
     assert(stored == direct, s"stored=$stored direct=$direct")
   }
 
+  test("completion store: context-filtered fuzzy completion served from " +
+       "the materialized dictionary equals the direct form") {
+    val corpus = Seq(
+      ("1", "en", "scala spark scaling"), ("2", "en", "scala streams"),
+      ("3", "de", "skala spark"), ("4", "fr", "scala partout"))
+      .toDF("doc_id", "lang", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_compl_store").toString
+    Search.writeCompletionStore(corpus, "text", path, contextCols = Seq("lang"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    val ctx = Map("lang" -> Seq("en", "de"))
+    val direct = norm(Search.completionSuggestFuzzy(corpus, "text", "sca",
+      size = 10, contexts = ctx, fuzziness = 1, fuzzyPrefixLength = 1))
+    val stored = norm(Search.completionSuggestFromStore(spark, path, "sca",
+      size = 10, contexts = ctx, fuzziness = 1, fuzzyPrefixLength = 1))
+    assert(stored == direct, s"stored=$stored direct=$direct")
+    assert(direct.nonEmpty && direct.map(_._1).contains("scala"))
+    // exact (fuzziness 0), no contexts: whole-store sum path
+    val d0 = norm(Search.completionSuggestFuzzy(corpus, "text", "scala", 5))
+    val s0 = norm(Search.completionSuggestFromStore(spark, path, "scala", 5))
+    assert(s0 == d0, s"s0=$s0 d0=$d0")
+  }
+
   test("percolate: stored queries match docs in one scan; null predicates safe") {
     val out = Search.percolate(docs, Seq(
       "sparky" -> "text:spark",

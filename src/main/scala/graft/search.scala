@@ -1252,7 +1252,11 @@ object Search {
       s"phrase suggester max_edits must be 1 or 2, got $maxEdits")
     require(perTermCandidates >= 2 && perTermCandidates <= 10,
       s"phrase suggester per-term candidates must be 2..10, got $perTermCandidates")
-    val totalN = unis.agg(sum(col("freq"))).as[Long].head()
+    // coalesce + floor-at-1: an empty corpus sums to NULL and would make
+    // every backoff a 0/0 NaN — with no occurrences the numerators are 0,
+    // so the floor only turns those into honest 0.0 scores
+    val totalN = math.max(1L,
+      unis.agg(coalesce(sum(col("freq")), lit(0L))).as[Long].head())
     val inputDf = toks.zipWithIndex.toDF("token", "pos")
     // top corrections per position (vocabulary x tiny-input cross join)
     val corrW = org.apache.spark.sql.expressions.Window

@@ -1271,6 +1271,22 @@ class SearchSpec extends AnyFunSuite {
     val d0 = norm(Search.completionSuggestFuzzy(corpus, "text", "scala", 5))
     val s0 = norm(Search.completionSuggestFromStore(spark, path, "scala", 5))
     assert(s0 == d0, s"s0=$s0 d0=$d0")
+    // unmatched prefix / context: empty result, never an error
+    assert(Search.completionSuggestFromStore(spark, path, "zzz", 5).count() == 0)
+    assert(Search.completionSuggestFromStore(spark, path, "sca", 5,
+      contexts = Map("lang" -> Seq("xx"))).count() == 0)
+  }
+
+  test("suggest stores survive an empty corpus: write succeeds, serving " +
+       "returns empty results, never an error") {
+    val empty = Seq.empty[(String, String)].toDF("doc_id", "text")
+    val p1 = java.nio.file.Files.createTempDirectory("graft_sugg_e").toString
+    Search.writeSuggestStore(empty, "text", p1)
+    assert(Search.phraseSuggestFromStore(spark, p1, "ab cd", 3)
+      .collect().forall(_.getDouble(1) == 0.0)) // all-backoff zero scores
+    val p2 = java.nio.file.Files.createTempDirectory("graft_compl_e").toString
+    Search.writeCompletionStore(empty, "text", p2)
+    assert(Search.completionSuggestFromStore(spark, p2, "ab", 3).count() == 0)
   }
 
   test("percolate: stored queries match docs in one scan; null predicates safe") {

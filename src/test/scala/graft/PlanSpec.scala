@@ -296,6 +296,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!rrf.contains("Scan ExistingRDD"), rrf.take(3000))
   }
 
+  test("r10: completion store scan prunes by context partition and pushes " +
+       "the prefix filter") {
+    import spark.implicits._
+    val corpus = Seq(("1", "en", "scala spark"), ("2", "de", "skala"), ("3", "fr", "scala"))
+      .toDF("doc_id", "lang", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_plan_compl").toString
+    Search.writeCompletionStore(corpus, "text", path, contextCols = Seq("lang"))
+    val plan = Search.completionSuggestFromStore(spark, path, "sca", 5,
+        contexts = Map("lang" -> Seq("en")))
+      .queryExecution.executedPlan.toString
+    // context filter becomes partition-directory pruning, prefix probe a
+    // pushed StartsWith — the dictionary scan reads a sliver of the store
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      plan.take(2000))
+    assert(plan.contains("StringStartsWith(suggestion,sca)"), plan.take(2000))
+  }
+
   test("r10: globalRank builds lazily — constructing rrf launches no job") {
     import spark.implicits._
     val sc = spark.sparkContext

@@ -12,14 +12,14 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * Enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or call
   * [[GraftExtensions.register]] on an existing session. No custom
-  * `Rule`/`SparkStrategy` is injected — per SURVEY.md §4 the reference's
+  * `Rule` is injected for the reference surface — per SURVEY.md §4 its
   * plan shapes are all standard scan-filter-project-join-limit, so the
   * extension surface is deliberately expression-only.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, arity, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder(args)
         }))
     }
+    // the one whole-operator plan (global rank; see plans/GlobalRank.scala
+    // for why no built-in composition is safe at scale). Search.globalRank
+    // also self-registers via experimental.extraStrategies, so sessions
+    // without the extension still plan it.
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRankStrategy)
+  }
 }
 
 object GraftExtensions {

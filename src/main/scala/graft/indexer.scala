@@ -291,10 +291,17 @@ object Indexer {
     require(ordCols.nonEmpty,
       "scriptedUpsert needs at least one orderable batch column to make " +
         "the per-key fold deterministic (or pass orderCols)")
+    // the comparator reads ONLY `_o`: a default (whole-struct) array_sort
+    // would pull `_p` — which may carry a non-orderable map-typed param —
+    // into the ordering and fail analysis with INVALID_ORDERING_TYPE
     val opsDf = updates.groupBy(col(keyCol))
       .agg(array_sort(collect_list(struct(
         struct(ordCols.map(col): _*).as("_o"),
-        struct(batchCols.map(col): _*).as("_p")))).as("_ops"))
+        struct(batchCols.map(col): _*).as("_p"))),
+        (l: Column, r: Column) =>
+          when(l.getField("_o") < r.getField("_o"), -1)
+            .when(l.getField("_o") > r.getField("_o"), 1)
+            .otherwise(0)).as("_ops"))
     val joined = existing.withColumn("_ex", lit(true)).alias("e")
       .join(opsDf.alias("b"), Seq(keyCol), "full_outer")
     // fold seed: the stored doc when it exists, the upsert defaults when
@@ -391,7 +398,8 @@ object Indexer {
               pipeline: Option[String] = None,
               idCol: String = "doc_id"): DataFrame = {
     val filtered = query.map { q =>
-      source.where(QueryCompiler.compile(q, Int.MaxValue, idCol).predicate)
+      source.where(QueryCompiler.compile(q, Int.MaxValue, idCol,
+        schema = source.schema).predicate)
     }.getOrElse(source)
     val shaped = pipeline.map(p => IngestPipeline.compile(p)(filtered))
       .getOrElse(filtered)
@@ -418,7 +426,7 @@ object Indexer {
     if (cfg.analyticMode || cfg.dummy) docs // M6 / M13
     else {
       val pred = QueryCompiler.compile(query, Int.MaxValue, idCol,
-        cfg.defaultOperator).predicate
+        cfg.defaultOperator, docs.schema).predicate
       docs.where(!coalesce(pred, lit(false)))
     }
 
@@ -441,7 +449,7 @@ object Indexer {
     if (cfg.dummy) docs // M13
     else {
       val pred = coalesce(QueryCompiler.compile(query, Int.MaxValue, idCol,
-        cfg.defaultOperator).predicate, lit(false))
+        cfg.defaultOperator, docs.schema).predicate, lit(false))
       // ONE projection: the predicate and every assignment read the
       // ORIGINAL row (a chained withColumn would let assignment #2 see
       // assignment #1's output — not what a per-doc script sees)

@@ -128,11 +128,18 @@ object QueryCompiler {
     * analog — callers with a different PK pass it through). */
   def compile(query: String, defaultLimit: Int = 10000,
               idCol: String = "doc_id",
-              defaultOperator: String = "AND"): CompiledQuery = {
+              defaultOperator: String = "AND",
+              schema: org.apache.spark.sql.types.StructType = null): CompiledQuery = {
     val meta = QueryMeta.parse(query)
     val q = meta.query.trim
     val dOr = resolveOperator(meta, defaultOperator) == "OR"
-    if (q.startsWith("{")) DslJson.compile(q, defaultLimit, idCol, dOr)
+    if (q.startsWith("{"))
+      // the schema (when the caller has a frame) scopes the DateMath
+      // fallback: unparseable "now…" on a DATE field raises like ES,
+      // on a keyword field it degrades to the scalar compare
+      DslJson.schemaHint.withValue(schema) {
+        DslJson.compile(q, defaultLimit, idCol, dOr)
+      }
     else LuceneLite.compile(q, defaultLimit, defaultField = None, defaultOr = dOr)
   }
 
@@ -1128,6 +1135,13 @@ object QueryCompiler {
     private[graft] val nowAnchor =
       new scala.util.DynamicVariable[java.time.Instant](null)
 
+    /** The target frame's schema when the caller has one (search entry
+      * points pass it) — lets field-type-dependent compile decisions
+      * (the DateMath fallback) match ES, which always knows the mapping.
+      * Null (no frame in scope) keeps the lenient legacy behavior. */
+    private[graft] val schemaHint =
+      new scala.util.DynamicVariable[org.apache.spark.sql.types.StructType](null)
+
     def compile(json: String, defaultLimit: Int,
                 idCol: String = "doc_id",
                 defaultOr: Boolean = false): CompiledQuery = {
@@ -1466,14 +1480,29 @@ object QueryCompiler {
                 // HEURISTIC (any text starting with "now" trips it), so a
                 // failed parse falls back to the plain scalar compare —
                 // ES's behavior for a keyword-field bound like "nowhere" —
-                // instead of rejecting the query.
+                // UNLESS the schema says the target is a date/timestamp
+                // field: there ES raises a parse error, and the scalar
+                // fallback would silently compile a string-vs-timestamp
+                // compare (null predicate, zero hits) for a typo like
+                // "now-1x".
                 val anchorNow = Option(nowAnchor.value)
                   .getOrElse(java.time.Instant.now())
+                val isDateField = Option(schemaHint.value).exists(sc =>
+                  sc.fields.exists(fd => fd.name == f && (fd.dataType match {
+                    case _: org.apache.spark.sql.types.DateType |
+                         _: org.apache.spark.sql.types.TimestampType |
+                         _: org.apache.spark.sql.types.TimestampNTZType => true
+                    case _ => false
+                  })))
                 val resolved =
                   try Some(DateMath.resolve(raw.asText, anchorNow))
                   catch {
-                    case _: IllegalArgumentException |
-                         _: java.time.DateTimeException => None
+                    case e @ (_: IllegalArgumentException |
+                              _: java.time.DateTimeException) =>
+                      if (isDateField) throw new IllegalArgumentException(
+                        s"unparseable date math '${raw.asText}' on date " +
+                          s"field '$f'", e)
+                      None
                   }
                 Some(resolved match {
                   case Some((fl, ce)) =>

@@ -128,7 +128,7 @@ object Search {
              pkCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val meta = QueryMeta.parse(query)
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head,
-      QueryCompiler.resolveOperator(meta, cfg.defaultOperator))
+      QueryCompiler.resolveOperator(meta, cfg.defaultOperator), docs.schema)
     val hits0 = topK(docs, compiled, cfg, pkCols.head)
     val hits1 = withSource(hits0, docs.columns.toSeq, meta)
     // script_fields: per-hit derived columns through the Script grammar,
@@ -447,7 +447,7 @@ object Search {
     require(named.nonEmpty, "searchNamed: no _name annotations in the query")
     val preds = named.map { case (nm, clause) =>
       (nm, QueryCompiler.compile(s"""{"query": $clause}""", Int.MaxValue,
-        pkCols.head).predicate)
+        pkCols.head, schema = docs.schema).predicate)
     }
     // attach the flags BEFORE the search: one scan, no join — the page
     // carries matched_queries out like any other doc column
@@ -532,7 +532,7 @@ object Search {
                       matchDocs: Option[DataFrame] = None): DataFrame = {
     val meta = QueryMeta.parse(query)
     val compiled = QueryCompiler.compile(meta.query, cfg.maxResults, pkCols.head,
-      QueryCompiler.resolveOperator(meta, cfg.defaultOperator))
+      QueryCompiler.resolveOperator(meta, cfg.defaultOperator), docs.schema)
     val limit = compiled.limit.getOrElse(cfg.maxResults).min(cfg.maxResults)
     // matchDocs: an optional pre-filter of `docs` that provably contains
     // every match (TextIndex candidates) — match rows/stats read it, while
@@ -765,7 +765,8 @@ object Search {
     val pred = Option(kn.get("filter")).map { fq =>
       val w = mapper.createObjectNode()
       w.set[JsonNode]("query", fq)
-      QueryCompiler.compile(w.toString, Int.MaxValue, idCol).predicate
+      QueryCompiler.compile(w.toString, Int.MaxValue, idCol,
+        schema = docs.schema).predicate
     }.getOrElse(lit(true))
     // double-precision literal vector: engine-portable scores (and
     // vec_cosine mixes element types, so float corpus columns are fine)
@@ -788,7 +789,8 @@ object Search {
         val size = Option(root.get("size")).map(_.asInt).getOrElse(10)
         val base = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
         base.remove("knn")
-        val cq = QueryCompiler.compile(base.toString, 10, idCol)
+        val cq = QueryCompiler.compile(base.toString, 10, idCol,
+          schema = docs.schema)
         val knnHits = scored.orderBy(desc("_score"), asc(idCol)).limit(k)
           .select(col(idCol).as("_knn_id"), col("_score").as("_knn_score"))
         val qScore = when(coalesce(cq.predicate, lit(false)),
@@ -839,7 +841,8 @@ object Search {
     val mode = Option(qNode.get("score_mode")).map(_.asText).getOrElse("total")
     val base = root.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
     base.remove("rescore")
-    val cq = QueryCompiler.compile(base.toString, 10, idCol)
+    val cq = QueryCompiler.compile(base.toString, 10, idCol,
+      schema = docs.schema)
     val size = cq.limit.getOrElse(10)
     require(size <= window,
       s"rescore: size ($size) must fit window_size ($window) — the " +
@@ -848,7 +851,8 @@ object Search {
     val rqC = {
       val w = mapper.createObjectNode()
       w.set[JsonNode]("query", rq.deepCopy[JsonNode]())
-      QueryCompiler.compile(w.toString, Int.MaxValue, idCol)
+      QueryCompiler.compile(w.toString, Int.MaxValue, idCol,
+        schema = docs.schema)
     }
     val orig = col("_score") * wq
     val rs = rqC.score * wr
@@ -1069,7 +1073,7 @@ object Search {
       "percolate stored query ids must be unique")
     val matches = array(stored.map { case (qid, q) =>
       val pred = QueryCompiler.compile(q, Int.MaxValue, idCol,
-        cfg.defaultOperator).predicate
+        cfg.defaultOperator, docs.schema).predicate
       when(coalesce(pred, lit(false)), lit(qid))
     }: _*)
     docs.select(col(idCol),
@@ -1128,7 +1132,8 @@ object Search {
   def hasChild(docs: DataFrame, childType: String, query: String,
                typeCol: String = "join_name", parentCol: String = "join_parent",
                idCol: String = "doc_id"): DataFrame = {
-    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol).predicate
+    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol,
+      schema = docs.schema).predicate
     val matchIds = docs.where(col(typeCol) === childType && pred)
       .select(col(parentCol).as("__pid")).where(col("__pid").isNotNull)
     docs.join(matchIds, col(idCol) === col("__pid"), "left_semi")
@@ -1145,7 +1150,8 @@ object Search {
                         parentCol: String = "join_parent",
                         idCol: String = "doc_id"): DataFrame = {
     require(k >= 1, s"inner_hits size must be >= 1, got $k")
-    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol).predicate
+    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol,
+      schema = docs.schema).predicate
     val inner = docs.where(col(typeCol) === childType && pred)
       .where(col(parentCol).isNotNull)
       .groupBy(col(parentCol).as("__pid"))
@@ -1160,7 +1166,8 @@ object Search {
   def hasParent(docs: DataFrame, parentType: String, query: String,
                 typeCol: String = "join_name", parentCol: String = "join_parent",
                 idCol: String = "doc_id"): DataFrame = {
-    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol).predicate
+    val pred = QueryCompiler.compile(query, Int.MaxValue, idCol,
+      schema = docs.schema).predicate
     val matchIds = docs.where(col(typeCol) === parentType && pred)
       .select(col(idCol).as("__pid"))
     docs.where(col(parentCol).isNotNull)
@@ -1584,41 +1591,33 @@ object Search {
 
   /** Global 1-based rank of every row under a TOTAL order (the caller's
     * sort keys must be tie-free — ours always end in the unique pk),
-    * computed WITHOUT a single-partition window: `orderBy` range-partitions
-    * the sort, and each task ranks only its own slice — the frame never
-    * funnels through one partition, so the rank survives an unbounded
-    * (corpus-sized) input where `Window.orderBy` (no partitionBy) would not.
-    *
-    * Fully lazy, all-declarative (replacing an earlier `rdd.zipWithIndex`
-    * form, whose constructor launched the sort at PLAN-CONSTRUCTION time
-    * and computed the sorted child twice): `monotonically_increasing_id`
-    * after the sort encodes `partitionId << 33 | localPosition`, where the
-    * local position follows the sort order within the partition. Global
-    * rank = (rows in earlier partitions) + local position + 1; the earlier-
-    * rows offsets come from a per-partition count (ids only, one partial
-    * aggregate) turned into a prefix sum by a triangular broadcast
-    * self-join over the numPartitions-row count table — bounded by cluster
-    * topology, never data size, and windowless so the search path keeps
-    * its no-WindowExec invariant. The range exchange is shared between the
-    * data and count branches via exchange reuse, so nothing sorts twice. */
+    * computed WITHOUT a single-partition window: the custom
+    * [[graft.plans.GlobalRankPlan]] operator range-partitions the sort
+    * and each task ranks only its own slice against a prefix-summed
+    * per-partition offset — the frame never funnels through one partition,
+    * so the rank survives an unbounded (corpus-sized) input where
+    * `Window.orderBy` (no partitionBy) would not. Lazy at construction
+    * (nothing runs until an action), and structurally consistent: the
+    * count pass and the output pass share ONE materialized child RDD, so
+    * the rank no longer depends on the optimizer reusing a range exchange
+    * between two declarative branches (which `spark.sql.exchange.reuse=
+    * false` broke — see GlobalRank.scala for the failure mode). */
   private[graft] def globalRank(df: DataFrame, order: Seq[Column],
                                 rankCol: String): DataFrame = {
-    val outCols = df.columns.toSeq
-    val sorted = df.orderBy(order: _*)
-      .withColumn("_gr_mid", monotonically_increasing_id())
-      .withColumn("_gr_pid", shiftrightunsigned(col("_gr_mid"), 33))
-    val counts = sorted.groupBy(col("_gr_pid")).agg(count(lit(1)).as("_gr_n"))
-    val countsB = counts.select(col("_gr_pid").as("_gr_pid_b"),
-      col("_gr_n").as("_gr_n_b"))
-    val offsets = counts
-      .join(broadcast(countsB), col("_gr_pid_b") < col("_gr_pid"), "left")
-      .groupBy(col("_gr_pid"))
-      .agg(coalesce(sum(col("_gr_n_b")), lit(0L)).as("_gr_off"))
-      .select(col("_gr_pid").as("_gr_pid_o"), col("_gr_off"))
-    sorted.join(broadcast(offsets), col("_gr_pid") === col("_gr_pid_o"))
-      .withColumn(rankCol,
-        col("_gr_off") + col("_gr_mid").bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
-      .select(outCols.map(col) :+ col(rankCol): _*)
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, SortOrder}
+    import org.apache.spark.sql.graft.Bridge
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.GlobalRankStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.GlobalRankStrategy
+    val sortOrders = order.map(c => Bridge.catalystExpression(c) match {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    })
+    val rankAttr = AttributeReference(rankCol,
+      org.apache.spark.sql.types.LongType, nullable = false)()
+    Bridge.ofRows(spark,
+      graft.plans.GlobalRankPlan(sortOrders, rankAttr, Bridge.logicalPlan(df)))
   }
 
   def rrf(rankings: Seq[DataFrame], idCol: String = "doc_id",

@@ -16,14 +16,35 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Render a Column's full Catalyst tree as SQL. `expression` returns a
-    * lazy `ColumnNodeExpression` wrapper (whose `.sql` is just the wrapper
-    * name); the converter walks the node into the real expression tree. */
-  def sql(c: Column): String =
-    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node).sql
+  /** A Column's full Catalyst expression tree. `expression` returns a
+    * lazy `ColumnNodeExpression` wrapper (fine inside plans Spark
+    * converts itself, but unserializable and opaque to pattern matches);
+    * the converter walks the node into the real tree — needed when the
+    * expression feeds a CUSTOM logical plan (e.g. the sort keys of
+    * [[graft.plans.GlobalRankPlan]]). */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Render a Column's full Catalyst tree as SQL. */
+  def sql(c: Column): String = catalystExpression(c).sql
 
   /** Drain the listener bus so SparkListener-collected task metrics are
     * complete before reading them (listenerBus is private[spark]). */
   def drainListeners(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
+  /** Wrap a custom logical plan as a DataFrame (classic.Dataset.ofRows is
+    * private[sql]) — the entry point for whole-operator custom plans like
+    * [[graft.plans.GlobalRankPlan]]. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan (private[sql] on classic.Dataset). */
+  def logicalPlan(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .logicalPlan
 }

@@ -424,4 +424,21 @@ class IndexerSpec extends AnyFunSuite {
         scripts = Map("cnt" -> "ctx.cnt"), orderCols = Seq("nope")))
       .getMessage.contains("not in the batch"))
   }
+
+  test("scriptedUpsert: a map-typed batch column rides along as a param " +
+       "without keying the sort (documented usage, duplicate keys included)") {
+    val store = Seq(("a", 10L, "t-a")).toDF("doc_id", "cnt", "tag")
+    // `meta` is map-typed — non-orderable, so it must NOT participate in
+    // the per-key op ordering; `seq` keys the fold
+    val batch = Seq(("a", 1, 3L, Map("src" -> "x")),
+                    ("a", 2, 4L, Map("src" -> "y")),
+                    ("c", 1, 7L, Map.empty[String, String]))
+      .toDF("doc_id", "seq", "cnt", "meta")
+    val out = Indexer.scriptedUpsert(store, batch, "doc_id",
+        scripts = Map("cnt" -> "ctx.cnt + params.cnt"),
+        upsertDefaults = Map("cnt" -> 0L),
+        orderCols = Seq("seq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("a", 17L), ("c", 7L)))
+  }
 }

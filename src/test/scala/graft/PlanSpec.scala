@@ -288,12 +288,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!rrf.contains("Window"), rrf.take(3000))
     val re = planOf("q_rank_eval")
     assert(!re.contains("Window"), re.take(3000))
-    // r10: the rank is one lazy declarative plan (the zipWithIndex form
-    // materialized an RDD scan and launched the sort at construction);
-    // the offset and rated joins stay broadcast
-    assert(!re.contains("Scan ExistingRDD") && re.contains("BroadcastHashJoin"),
-      re.take(3000))
-    assert(!rrf.contains("Scan ExistingRDD"), rrf.take(3000))
+    // r10: the rank builds lazily (the zipWithIndex form launched the
+    // sort at construction — the no-job test below pins laziness); the
+    // offset and rated joins stay broadcast. (r11: the sorted frame is a
+    // lazy localCheckpoint, so a `Scan ExistingRDD` is now EXPECTED — it
+    // is the structural pin that keeps the data and count branches on the
+    // same partitions.)
+    assert(re.contains("BroadcastHashJoin"), re.take(3000))
+  }
+
+  test("r11: globalRank ranks are exact with exchange reuse disabled — " +
+       "branch consistency is structural, not optimizer-dependent") {
+    // without the localCheckpoint pin, each branch's RangePartitioner
+    // samples its own boundaries under exchange.reuse=false and ranks
+    // duplicate/gap (observed ~188k unique over 200k rows)
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val n = 50000
+      val df = spark.range(n).select(
+        concat(lit("d"), col("id")).as("doc_id"),
+        (pmod(col("id") * 2654435761L, lit(1000003L))).cast("double").as("_score"))
+      val ranks = Search.globalRank(df,
+          Seq(desc("_score"), asc("doc_id")), "rk")
+        .select(col("rk")).as[Long].collect().sorted
+      assert(ranks.length == n)
+      assert(ranks.head == 1L && ranks.last == n.toLong)
+      assert(ranks.distinct.length == n,
+        s"duplicate ranks: ${ranks.length - ranks.distinct.length}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)
+        case None => spark.conf.unset("spark.sql.exchange.reuse")
+      }
+    }
   }
 
   test("r10: completion store scan prunes by context partition and pushes " +

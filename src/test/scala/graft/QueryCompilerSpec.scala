@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, expr, struct}
+import org.apache.spark.sql.functions.{col, expr, lit, struct}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pure-parser tests mirroring the reference's fixtures:
@@ -1034,5 +1034,41 @@ class QueryCompilerSpec extends AnyFunSuite {
          "now": "2024-01-25T12:00:00Z"}""")
     assert(ts.where(cq.predicate).collect().map(_.getString(0)).toSet
       == Set("b"))
+  }
+
+  test("r11: unparseable date math on a DATE field raises (ES parse error) " +
+       "while the keyword fallback keeps working under the same schema") {
+    import spark.implicits._
+    val ts = Seq(("a", "2024-01-24 12:00:00"))
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("timestamp").as("ts"),
+        lit("nowhere-ville").as("kw"))
+    // typo'd unit on a timestamp column: with the schema hint the compile
+    // FAILS LOUDLY instead of silently becoming a null predicate
+    val e = intercept[IllegalArgumentException] {
+      QueryCompiler.compile(
+        """{"query": {"range": {"ts": {"gte": "now-1x"}}}}""",
+        schema = ts.schema)
+    }
+    assert(e.getMessage.contains("date math") && e.getMessage.contains("ts"),
+      e.getMessage)
+    // the same schema still lets a keyword bound degrade to scalar compare
+    val cq = QueryCompiler.compile(
+      """{"query": {"range": {"kw": {"gte": "nowhere"}}}}""",
+      schema = ts.schema)
+    assert(ts.where(cq.predicate).count() == 1)
+    // with NO schema hint the compile stays lenient (it cannot know the
+    // field type); under ANSI the bad bound then fails at RUNTIME with an
+    // opaque cast error — which is exactly why the schema-aware compile
+    // path above fails fast with the field name instead
+    val lenient = QueryCompiler.compile(
+      """{"query": {"range": {"ts": {"gte": "now-1x"}}}}""")
+    intercept[Exception](ts.where(lenient.predicate).count())
+    // the search entry point threads the frame schema automatically
+    val e2 = intercept[IllegalArgumentException] {
+      Search.search(ts, """{"query": {"range": {"ts": {"gte": "now-1x"}}}}""",
+        IndexConfig()).collect()
+    }
+    assert(e2.getMessage.contains("date math"), e2.getMessage)
   }
 }

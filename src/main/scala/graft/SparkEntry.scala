@@ -780,6 +780,33 @@ object SparkEntry {
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id"))
     }),
+    "q_norms_append" -> ((s, dir) => {
+      // incremental-index proof (same oracle as q_search_bm25_store): the
+      // postings AND norms stores are BUILT from half the corpus and
+      // brought current with appendPostings/appendNorms over the other
+      // half — insert-only appends are exact, so BM25 served from the
+      // appended stores must hash-equal the full-corpus oracle
+      val path = memoStore("bm25_store_app", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val half = pmod(xxhash64(col("doc_id")), lit(2))
+        TextIndex.writePostings(TextIndex.buildPostings(
+          d.where(half === 0), "doc_id", Seq("text"), 16), s"$p/postings")
+        TextIndex.appendPostings(d.where(half === 1), "doc_id", Seq("text"),
+          s"$p/postings", 16)
+        TextIndex.buildNorms(d.where(half === 0), "doc_id", Seq("text"))
+          .write.mode("overwrite").parquet(s"$p/norms")
+        TextIndex.appendNorms(d.where(half === 1), "doc_id", Seq("text"),
+          s"$p/norms")
+      }
+      val postings = s.read.option("basePath", s"$path/postings")
+        .parquet(s"$path/postings")
+      val norms = s.read.parquet(s"$path/norms")
+      TextIndex.bm25Indexed(postings, norms, "text", Seq("spark", "query"),
+          nBuckets = 16)
+        .orderBy(desc("_bm25"), col("doc_id")).limit(50)
+        .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    }),
     "q_index_create" -> ((s, dir) => {
       // M1+M2 physically: write the doc table partitioned by segment, read
       // it back, count per partition — create/roll as partition layout
@@ -2312,6 +2339,23 @@ object SparkEntry {
           expr("CAST(floor(score * 1e9) AS BIGINT)").as("score_e9"),
           col("rank").cast("int").as("rank"))
     }),
+    "q_suggest_store_append" -> ((s, dir) => {
+      // incremental-maintenance proof (same oracle as
+      // q_suggest_phrase_store): the LM store is BUILT from half the
+      // corpus and brought current by appendSuggestStore over the other
+      // half — counts are associative, so the served suggestion must
+      // hash-equal the full-corpus oracle
+      val path = memoStore("suggest_store_app", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val half = pmod(xxhash64(col("doc_id")), lit(2))
+        Search.writeSuggestStore(d.where(half === 0), "text", p)
+        Search.appendSuggestStore(d.where(half === 1), "text", p)
+      }
+      Search.phraseSuggestFromStore(s, path, "pert streem", size = 3)
+        .select(col("suggestion"),
+          expr("CAST(floor(score * 1e9) AS BIGINT)").as("score_e9"),
+          col("rank").cast("int").as("rank"))
+    }),
     "q_suggest_completion_ctx" -> ((s, dir) => {
       // completion suggester, production form: category contexts restrict
       // the dictionary corpus, fuzzy prefix (edit distance 1 after an
@@ -2328,6 +2372,23 @@ object SparkEntry {
       val path = memoStore("completion_store", dir)(p =>
         Search.writeCompletionStore(tbl(s, dir, "documents"), "text", p,
           contextCols = Seq("lang")))
+      Search.completionSuggestFromStore(s, path, "sca", size = 10,
+        contexts = Map("lang" -> Seq("en", "de")),
+        fuzziness = 1, fuzzyPrefixLength = 1)
+    }),
+    "q_completion_store_append" -> ((s, dir) => {
+      // incremental-maintenance proof (same oracle as
+      // q_suggest_completion_store): dictionary built from half the
+      // corpus, appendCompletionStore merges the other half's
+      // per-(lang, term) doc counts — served completion must hash-equal
+      // the full-corpus oracle
+      val path = memoStore("completion_store_app", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val half = pmod(xxhash64(col("doc_id")), lit(2))
+        Search.writeCompletionStore(d.where(half === 0), "text", p,
+          contextCols = Seq("lang"))
+        Search.appendCompletionStore(d.where(half === 1), "text", p)
+      }
       Search.completionSuggestFromStore(s, path, "sca", size = 10,
         contexts = Map("lang" -> Seq("en", "de")),
         fuzziness = 1, fuzzyPrefixLength = 1)
@@ -3778,7 +3839,7 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
-  def oracleSql: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "q_search_from" ->
       """SELECT doc_id, n_chars,
            CAST(regexp_matches(lower(text), '\bspark\b') AS INT) AS _score
@@ -7295,4 +7356,12 @@ object SparkEntry {
     // twin q_similarity_bbq_exact IS oracled), q_bpe_train / q_tokenize_ids
     // (iterative merge induction has no SQL oracle; BpeSpec pins both)
   )
+
+  // the append-path proofs serve the SAME answers as their write-once
+  // twins — build(half) + append(half) must equal build(all), so they
+  // share the full-corpus oracle verbatim
+  def oracleSql: Map[String, String] = baseOracles ++ Map(
+    "q_suggest_store_append" -> baseOracles("q_suggest_phrase_store"),
+    "q_completion_store_append" -> baseOracles("q_suggest_completion_store"),
+    "q_norms_append" -> baseOracles("q_search_bm25_store"))
 }

@@ -258,6 +258,27 @@ object Maintain {
     report
   }
 
+  /** Atomic overwrite of a store directory whose NEW contents are computed
+    * FROM its current contents (read → merge → rewrite): stage the rewrite
+    * into a sibling temp dir (running the plan — and therefore the read of
+    * the old data — to completion), then delete the original and rename
+    * the staging dir in. Spark cannot `mode("overwrite")` a path that
+    * feeds its own plan; this is the same swap discipline as
+    * [[compactSegments]] / [[TextIndex.compactPostings]], shared by the
+    * store append paths. Same single-writer contract as compactSegments. */
+  private[graft] def stagedRewrite(spark: org.apache.spark.sql.SparkSession,
+                                   path: String)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"stagedRewrite target does not exist: $path")
+    val tmp = new Path(root.getParent, root.getName + ".rewrite_tmp")
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(root, true)
+    require(fs.rename(tmp, root), s"staged rewrite rename failed: $tmp -> $root")
+  }
+
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +
     * ES-recommended mapping type per §1.3), the analog of returning the ES
     * mapping as a fake result row

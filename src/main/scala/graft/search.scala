@@ -1232,6 +1232,32 @@ object Search {
       .write.mode("overwrite").parquet(s"$path/bigrams")
   }
 
+  /** Incremental maintenance for [[writeSuggestStore]] (the
+    * [[TextIndex.appendPostings]] analog): aggregate the LM delta over
+    * ONLY the new docs, then merge it into the stored count tables by key
+    * — one batch-sized pass plus a vocabulary-bounded rewrite, never a
+    * corpus pass. Counts are associative, so
+    * `append(A); append(B)` ≡ `write(A ∪ B)` exactly (pinned by
+    * `q_suggest_store_append` against the full-corpus oracle and a
+    * SearchSpec frame-equality case). Contract: `newDocs` are NEW
+    * documents — an in-place EDIT would need its old tokens subtracted;
+    * rebuild (or reindex the edited segment) for that, as with postings
+    * frequency stats. The ES analog: suggesters read the live index, so
+    * every doc write keeps them current implicitly
+    * (reference: ElasticIndex.java:470-621). */
+  def appendSuggestStore(newDocs: DataFrame, field: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    def merge(delta: DataFrame, sub: String, key: String, sorted: Boolean): Unit =
+      Maintain.stagedRewrite(spark, s"$path/$sub") { tmp =>
+        val merged = spark.read.parquet(s"$path/$sub").unionByName(delta)
+          .groupBy(col(key)).agg(sum(col("freq")).cast("long").as("freq"))
+        (if (sorted) merged.sort(key) else merged)
+          .write.parquet(tmp)
+      }
+    merge(lmUnigrams(newDocs, field), "unigrams", "w", sorted = false)
+    merge(lmBigrams(newDocs, field), "bigrams", "b", sorted = true)
+  }
+
   /** Serve [[phraseSuggest]] from a [[writeSuggestStore]] store —
     * identical output to the direct form on the same corpus (pinned in
     * SearchSpec). Cost: one vocabulary-bounded scan for corrections + a
@@ -1426,6 +1452,39 @@ object Search {
       .write.mode("overwrite")
     (if (contextCols.nonEmpty) writer.partitionBy(contextCols: _*) else writer)
       .parquet(path)
+  }
+
+  /** Incremental maintenance for [[writeCompletionStore]]: per-context
+    * doc-count delta over ONLY the new docs, merged into the stored
+    * dictionary by (contexts…, term) — batch-sized pass + vocabulary-
+    * bounded rewrite, same associativity/NEW-docs contract and swap
+    * discipline as [[appendSuggestStore]]. The context columns are read
+    * from the store's own partition layout (not re-declared by the
+    * caller), and the delta's context values are cast to the store's
+    * read-back partition types so the merge keys align. */
+  def appendCompletionStore(newDocs: DataFrame, field: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val store = spark.read.option("basePath", path).parquet(path)
+    val contextCols =
+      store.columns.filterNot(Set("suggestion", "freq").contains).toSeq
+    val delta0 = newDocs
+      .select(contextCols.map(col) :+
+        explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"): _*)
+      .groupBy((contextCols :+ "suggestion").map(col): _*)
+      .agg(count(lit(1)).as("freq"))
+    val delta = contextCols.foldLeft(delta0)((df, c) =>
+      df.withColumn(c, col(c).cast(store.schema(c).dataType)))
+    Maintain.stagedRewrite(spark, path) { tmp =>
+      val merged = store.unionByName(delta)
+        .groupBy((contextCols :+ "suggestion").map(col): _*)
+        .agg(sum(col("freq")).cast("long").as("freq"))
+      val clustered =
+        if (contextCols.nonEmpty) merged.repartition(contextCols.map(col): _*)
+        else merged
+      val writer = clustered.sortWithinPartitions("suggestion").write
+      (if (contextCols.nonEmpty) writer.partitionBy(contextCols: _*) else writer)
+        .parquet(tmp)
+    }
   }
 
   /** Serve [[completionSuggestFuzzy]] from a [[writeCompletionStore]]

@@ -219,6 +219,20 @@ object TextIndex {
     perField.reduce(_.union(_))
   }
 
+  /** Incremental maintenance for a written norms table (the doc-length
+    * sidecar [[bm25Indexed]] reads): new docs' norms rows append blind —
+    * norms are per-(doc, field) FACTS, so for NEW documents
+    * `append(A); append(B)` ≡ `write(A ∪ B)` exactly (one row per key
+    * either way; pinned by `q_norms_append` and a TextIndexSpec case).
+    * Contract: INSERT-only batches, same as [[appendPostings]]'s
+    * frequency-stats caveat — an in-place doc EDIT would leave two dl
+    * rows for the key and silently skew BM25 length normalization; use
+    * [[reindexSegment]]-style repair (rebuild the affected segment's
+    * norms) for edits. */
+  def appendNorms(newDocs: DataFrame, idCol: String, fields: Seq[String],
+                  path: String): Unit =
+    buildNorms(newDocs, idCol, fields).write.mode("append").parquet(path)
+
   /** Write the postings store: clustered by bucket (one file per partition
     * dir, not tasks×buckets), sorted by `(token, field)` within files so
     * parquet min/max stats make the pushed token filter skip most

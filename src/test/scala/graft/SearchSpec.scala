@@ -1277,6 +1277,44 @@ class SearchSpec extends AnyFunSuite {
       contexts = Map("lang" -> Seq("xx"))).count() == 0)
   }
 
+  test("r11: append(A)+append(B) equals rebuild(A∪B) for the suggest LM " +
+       "and completion stores (insert-only contract)") {
+    val a = Seq(("1", "en", "spark stream spark stream"), ("2", "en", "spark batch"))
+      .toDF("doc_id", "lang", "text")
+    val b = Seq(("3", "de", "stream batch"), ("4", "en", "spark stream scala"))
+      .toDF("doc_id", "lang", "text")
+    val all = a.unionByName(b)
+    // suggest LM store: built from A, appended with B, appended again with
+    // an empty batch (idempotent on empties) — serves the A∪B answer
+    val p1 = java.nio.file.Files.createTempDirectory("graft_sugg_app").toString
+    Search.writeSuggestStore(a, "text", p1)
+    Search.appendSuggestStore(b, "text", p1)
+    Search.appendSuggestStore(all.limit(0), "text", p1)
+    val p1full = java.nio.file.Files.createTempDirectory("graft_sugg_full").toString
+    Search.writeSuggestStore(all, "text", p1full)
+    def sugg(p: String) = Search.phraseSuggestFromStore(spark, p, "spork streem", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(sugg(p1) == sugg(p1full), s"appended=${sugg(p1)} full=${sugg(p1full)}")
+    // and the merged tables themselves are row-identical to the rebuild
+    def tbl(p: String, sub: String) = spark.read.parquet(s"$p/$sub")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(tbl(p1, "unigrams") == tbl(p1full, "unigrams"))
+    assert(tbl(p1, "bigrams") == tbl(p1full, "bigrams"))
+    // completion store: context columns come from the store's own layout;
+    // batch B introduces a NEW context value (de) — append must add the
+    // partition, not drop it
+    val p2 = java.nio.file.Files.createTempDirectory("graft_compl_app").toString
+    Search.writeCompletionStore(a, "text", p2, contextCols = Seq("lang"))
+    Search.appendCompletionStore(b, "text", p2)
+    val p2full = java.nio.file.Files.createTempDirectory("graft_compl_full").toString
+    Search.writeCompletionStore(all, "text", p2full, contextCols = Seq("lang"))
+    def compl(p: String) = Search.completionSuggestFromStore(spark, p, "s",
+        size = 20, contexts = Map("lang" -> Seq("en", "de")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(compl(p2) == compl(p2full),
+      s"appended=${compl(p2)} full=${compl(p2full)}")
+  }
+
   test("suggest stores survive an empty corpus: write succeeds, serving " +
        "returns empty results, never an error") {
     val empty = Seq.empty[(String, String)].toDF("doc_id", "text")

@@ -444,4 +444,40 @@ class TextIndexSpec extends AnyFunSuite {
       IndexConfig(), Seq("doc_id"), fields, 8)
     assert(sp2.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
+
+  test("r11: appendNorms on insert-only batches equals a full rebuild; " +
+       "BM25 served from appended postings+norms matches the all-at-once " +
+       "stores") {
+    val a = Seq((1L, "spark makes batch fast"), (2L, "batch jobs move data"))
+      .toDF("doc_id", "text")
+    val b = Seq((3L, "spark spark spark"), (4L, "nothing to see"))
+      .toDF("doc_id", "text")
+    val all = a.unionByName(b)
+    val dir = java.nio.file.Files.createTempDirectory("graft_norms_app").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(a, "doc_id", Seq("text"), 8), s"$dir/postings")
+    TextIndex.appendPostings(b, "doc_id", Seq("text"), s"$dir/postings", 8)
+    TextIndex.buildNorms(a, "doc_id", Seq("text"))
+      .write.mode("overwrite").parquet(s"$dir/norms")
+    TextIndex.appendNorms(b, "doc_id", Seq("text"), s"$dir/norms")
+    // the norms table is row-identical to the rebuild (per-doc facts)
+    val appended = spark.read.parquet(s"$dir/norms")
+      .select("doc_id", "field", "dl").as[(Long, String, Int)].collect().toSet
+    val rebuilt = TextIndex.buildNorms(all, "doc_id", Seq("text"))
+      .select("doc_id", "field", "dl").as[(Long, String, Int)].collect().toSet
+    assert(appended == rebuilt)
+    // BM25 from the appended stores == BM25 from all-at-once builds
+    def scores(p: org.apache.spark.sql.DataFrame,
+               n: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "batch"), nBuckets = 8)
+        .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fromStores = scores(
+      spark.read.option("basePath", s"$dir/postings").parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/norms"))
+    val direct = scores(
+      TextIndex.buildPostings(all, "doc_id", Seq("text"), 8),
+      TextIndex.buildNorms(all, "doc_id", Seq("text")))
+    assert(fromStores == direct, s"stores=$fromStores direct=$direct")
+  }
 }

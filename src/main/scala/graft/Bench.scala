@@ -31,8 +31,14 @@ object Bench {
     // frames whose size is ENFORCED in-plan (Aggs.boundedFrame raises
     // beyond the 100k cap — AggsSpec pins it), so WindowExec's
     // single-partition warning is a false positive here by construction.
-    // Demote that one logger in the bench harness only, to keep the tail
-    // signal-dense; the library itself never touches log config.
+    // Named occupants (r11 audit — every Window.orderBy in main source):
+    // the ES pipeline aggregations over their parent's bucket frame
+    // (derivative / cumulative_sum / moving_fn / serial_diff at
+    // aggs.scala:171-258, change_point at :172, percentiles_bucket via the
+    // same applyPipelines gate) and ES|QL's CHANGE_POINT (esql.scala:248)
+    // — all routed through boundedFrame; no corpus-sized frame can reach
+    // them. Demote that one logger in the bench harness only, to keep the
+    // tail signal-dense; the library itself never touches log config.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)

@@ -14,6 +14,60 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  private val hotObsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The degeneracy warnings' test/diagnostic surface: every executed
+    * query whose plan carried a [[saltedVerifyJoin]] hot-id observation
+    * with a NON-EMPTY hot set records `(hotIds, maxPairs, hotAt)` here
+    * (bounded buffer, newest last). Drain the listener bus before reading
+    * (listeners fire asynchronously). */
+  private val recentHot =
+    new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+  def recentHotObservations: Seq[(Long, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    recentHot.asScala.toSeq
+  }
+  def clearHotObservations(): Unit = recentHot.clear()
+
+  private val listenerSessions = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
+      java.lang.Boolean]())
+
+  /** Register (once per session) the QueryExecutionListener that turns
+    * the in-plan hot-id observations into log warnings — LSH bucket
+    * degeneracy auto-diagnosis with zero extra jobs: detection resolves
+    * inside the plan that runs anyway, and the listener only reads the
+    * already-collected metric row. */
+  private def ensureHotListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (listenerSessions.add(spark)) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_skew_hot_")) {
+              val hotIds = row.getAs[Long]("hot_ids")
+              if (hotIds > 0) {
+                val maxPairs = row.getAs[Long]("max_pairs")
+                val hotAt = row.getAs[Long]("hot_at")
+                recentHot.add((hotIds, maxPairs, hotAt))
+                while (recentHot.size > 64) recentHot.poll()
+                org.slf4j.LoggerFactory.getLogger(Skew.getClass).warn(
+                  s"LSH degeneracy: $hotIds doc id(s) exceed $hotAt candidate " +
+                    s"pairs (max $maxPairs). Verify joins salted them, but " +
+                    "candidate VOLUME is unbounded — run Dedup.lshBucketStats " +
+                    "to see the degenerate buckets, remove the exact-dup class " +
+                    "with Dedup.exact first, and consider the opt-in " +
+                    "graft.lsh.maxBucket cap.")
+              }
+            }
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
   /** Salted equi-join of a skewed large side against a small side.
     *
     * The salt comes from `monotonically_increasing_id()` — partition-layout
@@ -111,10 +165,23 @@ object Skew {
                        hotAt: Long, saltFactor: Int): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
     require(hotAt >= 1, "hotAt must be >= 1")
-    val hot = pairs
+    ensureHotListener(pairs.sparkSession)
+    val hotRaw = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("_hid"))
       .groupBy(col("_hid")).agg(count(lit(1)).as("_hn"))
       .where(col("_hn") > hotAt)
+    // auto-diagnosis rides the aggregate the salting already pays for: an
+    // `observe` over the (tiny, usually empty) hot-id frame costs nothing
+    // and resolves at EXECUTION, where the stats exist — the listener logs
+    // a degeneracy warning whenever hot ids appear (a doc id hot in the
+    // candidate-pair frame IS a member of a degenerate LSH bucket; see
+    // Dedup.lshBucketStats / graft.lsh.maxBucket for the follow-ups).
+    // The metric name is uniquified per call — CollectMetrics names must
+    // be unique within one query, and a plan may verify twice.
+    val hot = hotRaw
+      .observe(s"graft_skew_hot_${hotObsId.incrementAndGet()}",
+        count(lit(1)).as("hot_ids"), max(col("_hn")).as("max_pairs"),
+        lit(hotAt).as("hot_at"))
       .select(col("_hid")).withColumn("_hot", lit(true))
     def saltLarge(df: DataFrame, key: String): DataFrame =
       df.join(broadcast(hot), col(key) === col("_hid"), "left")

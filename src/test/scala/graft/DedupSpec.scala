@@ -451,4 +451,35 @@ class DedupSpec extends AnyFunSuite {
     val again = Dedup.minhashPairs(docs, "text", "doc_id").count()
     assert(again == base.size)
   }
+
+  test("r11: LSH degeneracy auto-warns — hot ids observed in-plan on the " +
+       "boilerplate corpus, silent on a clean one") {
+    val boiler = "identical boilerplate text repeated across the whole crawl"
+    val docs = ((1 to 40).map(i => (i.toLong, boiler)) ++ Seq(
+      (100L, "a genuinely unique document about spark execution engines"),
+      (101L, "a genuinely unique document about spark execution engines today")))
+      .toDF("doc_id", "text")
+    graft.pipeline.Skew.clearHotObservations()
+    // low threshold so the 40-doc boilerplate class counts as hot (each of
+    // its ids rides 39 pairs x band collisions in the candidate frame)
+    spark.conf.set("graft.skew.saltAt", "10")
+    try {
+      Dedup.minhashPairs(docs, "text", "doc_id").count()
+      org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+      val obs = graft.pipeline.Skew.recentHotObservations
+      assert(obs.nonEmpty, "expected a degeneracy observation")
+      val (hotIds, maxPairs, hotAt) = obs.last
+      assert(hotIds >= 40L && maxPairs > 10L && hotAt == 10L,
+        s"hotIds=$hotIds maxPairs=$maxPairs hotAt=$hotAt")
+    } finally spark.conf.unset("graft.skew.saltAt")
+    // clean corpus at the default threshold: no observation, no warning
+    graft.pipeline.Skew.clearHotObservations()
+    val clean = Seq(
+      (1L, "a genuinely unique document about spark execution engines"),
+      (2L, "a genuinely unique document about spark execution engines today"))
+      .toDF("doc_id", "text")
+    Dedup.minhashPairs(clean, "text", "doc_id").count()
+    org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+    assert(graft.pipeline.Skew.recentHotObservations.isEmpty)
+  }
 }

@@ -244,4 +244,58 @@ class MaintainSpec extends AnyFunSuite {
       .select("_zorder").collect().map(_.getLong(0)).toSet
     assert(zc.forall(v => (v & 0xAAAAAAAAL) == 0L)) // x bits all zero
   }
+
+  test("r11: store catalog sweep — every materialized layout (README " +
+       "catalog) writes and serves through its own reader") {
+    val base = java.nio.file.Files.createTempDirectory("graft_catalog").toString
+    val docs = Seq(
+      (1L, "en", "spark runs the fast query engine", "2024-01-15 10:00:00"),
+      (2L, "en", "spark query planner details", "2024-02-15 10:00:00"),
+      (3L, "de", "schnelle abfragen mit spark", "2024-02-16 10:00:00"))
+      .toDF("doc_id", "lang", "text", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // 1. doc store: segment-partitioned write, read back whole
+    val segDocs = docs.withColumn("segment", date_format(col("ts"), "yyyy-MM"))
+    Indexer.writeSegmented(segDocs, s"$base/docs")
+    assert(spark.read.parquet(s"$base/docs").count() == 3)
+    // 2. postings: sidecar round-trip + index-served search
+    TextIndex.writePostings(
+      TextIndex.buildPostings(docs, "doc_id", Seq("text"), 8), s"$base/postings")
+    val (_, meta) = TextIndex.openPostings(spark, s"$base/postings")
+    assert(meta.nBuckets == 8 && meta.fields == Seq("text"))
+    assert(TextIndex.searchStore(docs, s"$base/postings", "text:spark",
+      IndexConfig(), Seq("doc_id")).count() == 3)
+    // 3. norms: written + served by bm25Indexed
+    TextIndex.buildNorms(docs, "doc_id", Seq("text"))
+      .write.parquet(s"$base/norms")
+    val bm = TextIndex.bm25Indexed(
+      spark.read.option("basePath", s"$base/postings").parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/norms"), "text", Seq("query"), nBuckets = 8)
+    assert(bm.count() == 2)
+    // 4. suggest LM: write + serve
+    Search.writeSuggestStore(docs, "text", s"$base/suggest")
+    assert(Search.phraseSuggestFromStore(spark, s"$base/suggest",
+      "spark queery", size = 1).count() == 1)
+    // 5. completion dictionary: context-partitioned, served with contexts
+    Search.writeCompletionStore(docs, "text", s"$base/completion",
+      contextCols = Seq("lang"))
+    assert(Search.completionSuggestFromStore(spark, s"$base/completion",
+      "qu", size = 5, contexts = Map("lang" -> Seq("en"))).count() >= 1)
+    // 6. minhash sketches: write + pair from store
+    graft.pipeline.Dedup.writeSketchStore(docs, s"$base/sketches", "text", "doc_id")
+    assert(graft.pipeline.Dedup.minhashPairsFromStore(spark, s"$base/sketches",
+      threshold = 0.0).count() >= 0) // serves (tiny corpus may pair nothing)
+    // 7. IVF lists: partitioned assignment store, partition-pruned probe
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)), (3L, Array(0.0, 1.0)),
+      (4L, Array(0.1, 0.9))).toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Ivf.train(vecs, c = 2, iters = 2)
+    graft.pipeline.Ivf.assign(vecs, cents)
+      .write.partitionBy("list_id").parquet(s"$base/ivf")
+    val lists = spark.read.option("basePath", s"$base/ivf").parquet(s"$base/ivf")
+    assert(lists.select("list_id").distinct().count() == 2)
+    val queries = Seq((100L, Array(1.0, 0.05))).toDF("query_id", "query_vec")
+    val nn = graft.pipeline.Ivf.topK(lists, queries, cents, k = 2, nprobe = 1)
+    assert(nn.count() == 2)
+  }
 }

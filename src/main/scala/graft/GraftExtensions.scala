@@ -46,6 +46,9 @@ object GraftExtensions {
     ("gram_hashes", 2, args => GramHashes(args(0), intArg(args(1), "gram_hashes"))),
     ("minhash_sig", 2, args => MinHashSig(args(0), intArg(args(1), "minhash_sig"))),
     ("simhash64", 1, args => SimHash64(args.head)),
+    ("char_hist", 2, args => graft.functions.CharHist(args(0),
+      intArg(args(1), "char_hist"))),
+    ("hist_l1", 2, args => graft.functions.HistL1(args(0), args(1))),
     ("vec_dot", 2, args => VecDot(args(0), args(1))),
     ("vec_cosine", 2, args => VecCosine(args(0), args(1))),
     ("vec_norm", 1, args => VecNorm(args.head)),

@@ -1,0 +1,17 @@
+package graft
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val (dir, name) = (args(0), args(1))
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4").config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (1 to args.lift(2).map(_.toInt).getOrElse(3)).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      println(s"RUN$i ${(System.nanoTime()-t0)/1e9}")
+    }
+  }
+}

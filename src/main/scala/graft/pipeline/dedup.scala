@@ -710,27 +710,48 @@ object Dedup {
     * first and verify those pairs here. */
   def editDistancePairs(df: DataFrame, textCol: String, idCol: String,
                         maxDist: Int, bucketWidth: Int = 20): DataFrame = {
+    import graft.functions.TextSketchFunctions.{char_hist, hist_l1}
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(bucketWidth > maxDist,
       s"bucketWidth ($bucketWidth) must exceed maxDist ($maxDist) or " +
         "cross-bucket pairs at distance maxDist get missed")
-    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    // r11 scale shape: the length window alone went superlinear on the
+    // scale corpus (10× rows → 66× length-class pairs → 22× time), and
+    // carrying the TEXT through that join made the join output itself the
+    // cost (tens of GB of wide candidate rows). Two changes, output
+    // provably identical:
+    //  - candidates join SLIM rows only (id, len, bucket, 16-int
+    //    code-point histogram — ~100 bytes), never the text;
+    //  - the histogram L1 bound (see [[graft.functions.CharHist]]: any
+    //    pair within distance d has L1 ≤ 2d — an exact necessary
+    //    condition) prunes candidates with codegen'd integer math
+    //    (24× fewer on the scale corpus), and only the survivors re-join
+    //    the text for the O(len·maxDist) levenshtein verification — the
+    //    same candidates-then-verify shape as the LSH paths.
+    val base = df.select(col(idCol).as("id"),
       length(col(textCol)).as("len"),
-      floor(length(col(textCol)) / lit(bucketWidth)).as("b"))
+      floor(length(col(textCol)) / lit(bucketWidth)).as("b"),
+      char_hist(col(textCol)).as("h"))
     // the probe side (always the smaller id) visits its own bucket and
     // BOTH neighbors — id order says nothing about bucket order, so a
     // one-sided probe would miss pairs where the smaller id sits in the
     // higher bucket; |len diff| <= maxDist < bucketWidth guarantees a
     // qualifying pair is at most one bucket apart, and exactly one of the
     // three probes lands on the partner's bucket (no double-count)
-    val probes = base.select(col("id"), col("t"), col("len"),
+    val probes = base.select(col("id"), col("len"), col("h"),
       explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
-    probes.as("x").join(base.as("y"),
+    val candidates = probes.as("x").join(base.as("y"),
         col("x.b") === col("y.b") && col("x.id") < col("y.id") &&
-          abs(col("x.len") - col("y.len")) <= maxDist)
-      .withColumn("dist", levenshtein(col("x.t"), col("y.t"), maxDist))
-      .where(col("dist") >= 0) // threshold form: -1 = above maxDist
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"), col("dist"))
+          abs(col("x.len") - col("y.len")) <= maxDist &&
+          hist_l1(col("x.h"), col("y.h")) <= lit(2 * maxDist))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(texts.select(col("id").as("id_a"), col("t").as("_ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("_tb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb"), maxDist))
+      .where(col("dist") >= 0) // threshold form: -1 = above maxDist
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 }

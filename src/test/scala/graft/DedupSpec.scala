@@ -426,6 +426,59 @@ class DedupSpec extends AnyFunSuite {
         bucketWidth = 4))
   }
 
+  test("r11: char_hist L1 bound is a sound edit-distance prefilter — " +
+       "L1 <= 2*dist for random edit chains, and editDistancePairs " +
+       "output matches a brute-force all-pairs reference") {
+    import graft.functions.TextSketchFunctions.{char_hist, hist_l1}
+    // property: apply k random edits, the histogram L1 never exceeds 2k
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghij xyz"
+    def edit(s: String): String = {
+      val sb = new StringBuilder(s)
+      rnd.nextInt(3) match {
+        case 0 if sb.nonEmpty => sb.deleteCharAt(rnd.nextInt(sb.length)).toString
+        case 1 => sb.insert(rnd.nextInt(sb.length + 1),
+          alphabet(rnd.nextInt(alphabet.length))).toString
+        case _ if sb.nonEmpty =>
+          sb.setCharAt(rnd.nextInt(sb.length), alphabet(rnd.nextInt(alphabet.length)))
+          sb.toString
+        case _ => sb.toString
+      }
+    }
+    val cases = (1 to 30).map { i =>
+      val a = (1 to 20 + rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val k = 1 + rnd.nextInt(5)
+      val b = (1 to k).foldLeft(a)((s, _) => edit(s))
+      (a, b, k)
+    }
+    val checked = cases.toDF("a", "b", "k")
+      .select(hist_l1(char_hist(col("a")), char_hist(col("b"))).as("l1"), col("k"))
+      .collect()
+    checked.foreach(r => assert(r.getInt(0) <= 2 * r.getInt(1),
+      s"L1 ${r.getInt(0)} > 2*${r.getInt(1)}"))
+    // end-to-end: filtered candidate generation loses no pair vs brute force
+    val corpus = (1L to 60L).map { i =>
+      val base = (1 to 40).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      (i, if (i % 3 == 0) edit(edit(base)) else base)
+    }.toDF("doc_id", "text")
+    val fast = Dedup.editDistancePairs(corpus, "text", "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, ta) <- rows; (ib, tb) <- rows if ia < ib
+      d = {
+        // full Levenshtein reference
+        val m = Array.tabulate(ta.length + 1, tb.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to ta.length; j <- 1 to tb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (ta(i - 1) == tb(j - 1)) 0 else 1))
+        m(ta.length)(tb.length)
+      } if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(fast == brute, s"fast-brute=${fast -- brute} brute-fast=${brute -- fast}")
+  }
+
   test("graft.lsh.maxBucket: opt-in cap excludes degenerate buckets from " +
        "candidate generation; other pairs and the diagnostic survive") {
     val boiler = "identical boilerplate text repeated across the whole crawl"

@@ -79,6 +79,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(gone.count() == 0)
   }
 
+  test("r11: suggester freshness composes in foreachBatch — an insert-only " +
+       "stream keeps the LM store current via appendSuggestStore") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, String)]
+    val mutations = input.toDF().toDF("doc_id", "ver", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sugg").toString
+    val seed = Seq(("seed", 0L, "spark stream spark stream"))
+      .toDF("doc_id", "ver", "text")
+    Search.writeSuggestStore(seed, "text", dir)
+    // the building blocks compose: same foreachBatch that upserts docs
+    // appends the batch's LM delta (insert-only stream by contract)
+    val q = StreamingIndexer.upsertStream(mutations, "doc_id", Seq("ver"),
+      sink = (batch, _) => {
+        val rows = batch.collect().toIndexedSeq
+        val mat = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows), batch.schema)
+        Search.appendSuggestStore(mat, "text", dir)
+      }).start()
+    try {
+      input.addData(("k1", 1L, "spark batch"), ("k2", 1L, "stream batch"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // store counts now reflect seed + streamed docs exactly
+    val served = Search.phraseSuggestFromStore(spark, dir, "spork streem", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
+    val direct = Search.phraseSuggest(
+      seed.unionByName(Seq(("k1", 1L, "spark batch"), ("k2", 1L, "stream batch"))
+        .toDF("doc_id", "ver", "text")), "text", "spork streem", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
+    assert(served == direct, s"served=$served direct=$direct")
+  }
+
   test("windowed counts emit closed windows through a real stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

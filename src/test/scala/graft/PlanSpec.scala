@@ -297,6 +297,21 @@ class PlanSpec extends AnyFunSuite {
     assert(re.contains("BroadcastHashJoin"), re.take(3000))
   }
 
+  test("r11: edit-distance dedup joins slim candidates — histogram bound " +
+       "in the join condition, text re-joined only for verification") {
+    val p = planOf("q_dedup_edit")
+    // the L1 prefilter prunes INSIDE the candidate join (codegen'd int
+    // math), before any levenshtein
+    assert(p.contains("hist_l1("), p.take(3000))
+    assert(p.contains("levenshtein"), p.take(3000))
+    // the exploded probe side carries (id, len, hist) — never the text:
+    // carrying text through the length-class join was the 22×-at-10×-rows
+    // regression the sf1 medians caught
+    val gen = p.linesIterator.find(_.contains("Generate explode")).getOrElse(
+      fail("no Generate in plan:\n" + p.take(3000)))
+    assert(!gen.contains("text#"), gen)
+  }
+
   test("r11: globalRank ranks are exact with exchange reuse disabled — " +
        "branch consistency is structural, not optimizer-dependent") {
     // without the localCheckpoint pin, each branch's RangePartitioner

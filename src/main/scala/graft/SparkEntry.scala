@@ -2614,6 +2614,16 @@ object SparkEntry {
           Seq("3", "17"))
         .orderBy(col("_tv_id"), col("term"))
     }),
+    "q_termvectors_store" -> ((s, dir) => {
+      // _termvectors served from the memoized POSITIONAL postings store —
+      // tf, first position, and corpus df are all index data (ES's own
+      // model); the corpus is never read. Same oracle as q_termvectors.
+      val d = tbl(s, dir, "documents")
+      val path = memoStore("postings_pos", dir)(p => TextIndex.writePostings(
+        TextIndex.buildPostingsPositional(d, "doc_id", Seq("text"), 16), p))
+      TextIndex.termVectorsFromStore(s, path, "text", Seq("3", "17"))
+        .orderBy(col("_tv_id"), col("term"))
+    }),
     "q_field_caps" -> ((s, dir) => {
       // _field_caps: per-field type + searchable/aggregatable (ES's
       // no-fielddata-on-text rule) for the documents store
@@ -7369,6 +7379,7 @@ object SparkEntry {
   // twins — build(half) + append(half) must equal build(all), so they
   // share the full-corpus oracle verbatim
   def oracleSql: Map[String, String] = baseOracles ++ Map(
+    "q_termvectors_store" -> baseOracles("q_termvectors"),
     "q_suggest_store_append" -> baseOracles("q_suggest_phrase_store"),
     "q_completion_store_append" -> baseOracles("q_suggest_completion_store"),
     "q_norms_append" -> baseOracles("q_search_bm25_store"))

@@ -358,6 +358,37 @@ object TextIndex {
       meta.nBuckets, pureIndex)
   }
 
+  /** ES `_termvectors` served from a POSITIONAL postings store — term
+    * frequency, first position, and corpus document frequency all come
+    * from the index; the corpus is never read. This is ES's own execution
+    * model (term vectors ARE index data), and the store-amortized twin of
+    * [[Search.termVectors]], whose per-call corpus df pass is linear in
+    * the corpus. Row-identical to the direct form when the store indexes
+    * the same field (same word-run analyzer view; `q_termvectors_store`
+    * shares `q_termvectors`' oracle, TextIndexSpec pins a frame compare).
+    * Positions in the store are 0-based word-run indices; the `_termvectors`
+    * contract is 1-based, hence the +1. */
+  def termVectorsFromStore(spark: SparkSession, path: String, field: String,
+                           ids: Seq[String]): DataFrame = {
+    require(ids.nonEmpty, "_termvectors needs at least one doc id")
+    val (store, meta) = openPostings(spark, path)
+    require(meta.positional, s"store at $path carries no positions")
+    require(meta.fields.contains(field),
+      s"field '$field' is not indexed in the store (${meta.fields.mkString(", ")})")
+    val f = store.where(col("field") === field)
+    val sel = f.where(col("doc_id").cast("string").isin(ids: _*))
+      .select(col("doc_id").cast("string").as("_tv_id"),
+        col("token").as("term"), col("tf").cast("long").as("term_freq"),
+        (element_at(col("positions"), 1) + 1).cast("long").as("first_position"))
+    // df: one row per (token, doc) in a fresh/compacted store → a count per
+    // token IS the document frequency (vocabulary-sized aggregate output)
+    val dfStats = f.groupBy(col("token").as("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+    sel.join(dfStats, Seq("term"), "left")
+      .select(col("_tv_id"), col("term"), col("term_freq"),
+        col("first_position"), coalesce(col("doc_freq"), lit(0L)).as("doc_freq"))
+  }
+
   /** Append-only incremental maintenance: index an upsert batch's postings
     * into an existing store (see class doc for why append alone preserves
     * correctness). `nBuckets` and `segmentCol` must match the store's. */

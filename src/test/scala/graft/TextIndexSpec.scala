@@ -445,6 +445,34 @@ class TextIndexSpec extends AnyFunSuite {
     assert(sp2.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
   }
 
+  test("r11: termVectorsFromStore equals the direct corpus form, and " +
+       "rejects non-positional stores and unindexed fields") {
+    val d = Seq((1L, "spark spark-fast spark. batch"), (2L, "batch jobs"),
+      (3L, "spark alone"), (4L, ""), (5L, null))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tv_store").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostingsPositional(d, "doc_id", Seq("text"), 8), dir)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("_tv_id", "term").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val stored = norm(TextIndex.termVectorsFromStore(spark, dir, "text",
+      Seq("1", "3")))
+    val direct = norm(Search.termVectors(d, "doc_id", "text", Seq("1", "3")))
+    assert(stored == direct, s"stored=$stored direct=$direct")
+    // non-positional store refuses loudly (first_position would be a lie)
+    val flat = java.nio.file.Files.createTempDirectory("graft_tv_flat").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(d, "doc_id", Seq("text"), 8), flat)
+    assert(intercept[IllegalArgumentException](
+      TextIndex.termVectorsFromStore(spark, flat, "text", Seq("1")))
+      .getMessage.contains("positions"))
+    assert(intercept[IllegalArgumentException](
+      TextIndex.termVectorsFromStore(spark, dir, "lang", Seq("1")))
+      .getMessage.contains("not indexed"))
+  }
+
   test("r11: appendNorms on insert-only batches equals a full rebuild; " +
        "BM25 served from appended postings+norms matches the all-at-once " +
        "stores") {

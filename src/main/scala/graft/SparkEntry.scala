@@ -2318,6 +2318,18 @@ object SparkEntry {
           col("distance").cast("int").as("distance"), col("freq"),
           col("rank").cast("int").as("rank"))
     }),
+    "q_suggest_term_store" -> ((s, dir) => {
+      // the store-served twin (same oracle): the dictionary comes from the
+      // memoized completion store summed over its contexts — one
+      // vocabulary-sized scan, corpus never read at query time
+      val path = memoStore("completion_store", dir)(p =>
+        Search.writeCompletionStore(tbl(s, dir, "documents"), "text", p,
+          contextCols = Seq("lang")))
+      Search.termSuggestFromStore(s, path, "sparc streem", size = 5)
+        .select(col("token"), col("suggestion"),
+          col("distance").cast("int").as("distance"), col("freq"),
+          col("rank").cast("int").as("rank"))
+    }),
     "q_suggest_completion" -> ((s, dir) => {
       // completion suggester analog: prefix terms ranked by doc frequency
       Search.completionSuggest(tbl(s, dir, "documents"), "text", "str",
@@ -7380,6 +7392,7 @@ object SparkEntry {
   // share the full-corpus oracle verbatim
   def oracleSql: Map[String, String] = baseOracles ++ Map(
     "q_termvectors_store" -> baseOracles("q_termvectors"),
+    "q_suggest_term_store" -> baseOracles("q_suggest_term"),
     "q_suggest_store_append" -> baseOracles("q_suggest_phrase_store"),
     "q_completion_store_append" -> baseOracles("q_suggest_completion_store"),
     "q_norms_append" -> baseOracles("q_search_bm25_store"))

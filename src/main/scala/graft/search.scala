@@ -1119,6 +1119,39 @@ object Search {
       .orderBy(asc("token"), asc("rank"))
   }
 
+  /** [[termSuggest]] served from a [[writeCompletionStore]] store: the
+    * term suggester's dictionary (per-term DOCUMENT counts) is exactly
+    * the completion dictionary summed over its context columns — each doc
+    * carries one scalar context value, so the restricted sums count it
+    * once. One vocabulary-sized store scan replaces the per-call corpus
+    * dictionary aggregate; identical output on the same corpus
+    * (`q_suggest_term_store` shares `q_suggest_term`'s oracle, SearchSpec
+    * pins the frame compare). */
+  def termSuggestFromStore(spark: org.apache.spark.sql.SparkSession,
+                           path: String, text: String,
+                           size: Int = 5, maxEdits: Int = 2): DataFrame = {
+    require(size >= 1, s"term suggester size must be >= 1, got $size")
+    require(maxEdits >= 1 && maxEdits <= 2,
+      s"term suggester max_edits must be 1 or 2, got $maxEdits")
+    import spark.implicits._
+    val input = Seq(text).toDF("_txt")
+      .select(explode(array_distinct(analyzerTokens(col("_txt")))).as("token"))
+    val dict = spark.read.option("basePath", path).parquet(path)
+      .groupBy(col("suggestion").as("cand"))
+      .agg(sum(col("freq")).cast("long").as("freq"))
+    val cands = dict.crossJoin(broadcast(input))
+      .where(col("cand") =!= col("token"))
+      .withColumn("distance", levenshtein(col("token"), col("cand")))
+      .where(col("distance") <= maxEdits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("token").orderBy(asc("distance"), desc("freq"), asc("cand"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= size)
+      .select(col("token"), col("cand").as("suggestion"), col("distance"),
+        col("freq"), col("rank"))
+      .orderBy(asc("token"), asc("rank"))
+  }
+
   /** ES `has_child` over the single-index join-field model: parent and
     * child rows share one frame, discriminated by `typeCol`; child rows
     * carry their parent's id in `parentCol`. Returns the rows whose id is

@@ -1277,6 +1277,24 @@ class SearchSpec extends AnyFunSuite {
       contexts = Map("lang" -> Seq("xx"))).count() == 0)
   }
 
+  test("r11: termSuggestFromStore equals the direct term suggester — the " +
+       "completion dictionary summed over contexts IS the term dictionary") {
+    val corpus = Seq(
+      ("1", "en", "spark stream spark"), ("2", "en", "spark batch"),
+      ("3", "de", "stream batch spark"), ("4", "fr", "sparc"))
+      .toDF("doc_id", "lang", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_term_store").toString
+    Search.writeCompletionStore(corpus, "text", path, contextCols = Seq("lang"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getInt(4))).toSeq
+    val direct = norm(Search.termSuggest(corpus, "text", "spork streem", 5))
+    val stored = norm(Search.termSuggestFromStore(spark, path, "spork streem", 5))
+    assert(stored == direct, s"stored=$stored direct=$direct")
+    assert(direct.nonEmpty)
+  }
+
   test("r11: append(A)+append(B) equals rebuild(A∪B) for the suggest LM " +
        "and completion stores (insert-only contract)") {
     val a = Seq(("1", "en", "spark stream spark stream"), ("2", "en", "spark batch"))

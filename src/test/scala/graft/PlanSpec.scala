@@ -332,6 +332,15 @@ class PlanSpec extends AnyFunSuite {
       assert(ranks.head == 1L && ranks.last == n.toLong)
       assert(ranks.distinct.length == n,
         s"duplicate ranks: ${ranks.length - ranks.distinct.length}")
+      // edge cases: empty frame ranks to empty, singleton to rank 1
+      import spark.implicits._
+      val empty = Seq.empty[(String, Double)].toDF("doc_id", "_score")
+      assert(Search.globalRank(empty,
+        Seq(desc("_score"), asc("doc_id")), "rk").count() == 0)
+      val one = Search.globalRank(Seq(("a", 1.0)).toDF("doc_id", "_score"),
+          Seq(desc("_score"), asc("doc_id")), "rk")
+        .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+      assert(one == Seq(("a", 1L)))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.exchange.reuse", v)

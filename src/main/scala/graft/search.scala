@@ -1136,7 +1136,11 @@ object Search {
     import spark.implicits._
     val input = Seq(text).toDF("_txt")
       .select(explode(array_distinct(analyzerTokens(col("_txt")))).as("token"))
-    val dict = spark.read.option("basePath", path).parquet(path)
+    val store = spark.read.option("basePath", path).parquet(path)
+    require(Set("suggestion", "freq").subsetOf(store.columns.toSet),
+      s"$path is not a completion store (needs suggestion/freq columns, " +
+        s"found: ${store.columns.mkString(", ")})")
+    val dict = store
       .groupBy(col("suggestion").as("cand"))
       .agg(sum(col("freq")).cast("long").as("freq"))
     val cands = dict.crossJoin(broadcast(input))
@@ -1498,6 +1502,9 @@ object Search {
   def appendCompletionStore(newDocs: DataFrame, field: String, path: String): Unit = {
     val spark = newDocs.sparkSession
     val store = spark.read.option("basePath", path).parquet(path)
+    require(Set("suggestion", "freq").subsetOf(store.columns.toSet),
+      s"$path is not a completion store (needs suggestion/freq columns, " +
+        s"found: ${store.columns.mkString(", ")})")
     val contextCols =
       store.columns.filterNot(Set("suggestion", "freq").contains).toSeq
     val delta0 = newDocs

@@ -54,6 +54,37 @@ object StreamingIndexer {
         sink(docs, id)
       }
 
+  /** [[upsertStreamIndexed]] for INSERT-ONLY streams, maintaining the
+    * full serving surface: each micro-batch appends its postings AND its
+    * norms rows (so index-served BM25 stays current — norms are per-doc
+    * facts, exact under insert-only batches), and optionally the phrase-
+    * suggester LM delta. CONTRACT: every key is globally NEW — an
+    * in-place edit would leave duplicate norms rows (skewing BM25 length
+    * normalization) and stale LM counts; deduplicate replays upstream
+    * with [[exactlyOnceStream]] and repair edits with
+    * [[graft.TextIndex.reindexSegment]]-style rebuilds, per the append
+    * contracts on [[graft.TextIndex.appendNorms]] /
+    * [[graft.Search.appendSuggestStore]]. StreamingSpec pins that BM25
+    * served from the streamed stores equals an all-at-once batch build. */
+  def insertStreamServed(mutations: DataFrame, keyCol: String,
+                         versionCols: Seq[String], fields: Seq[String],
+                         postingsPath: String, normsPath: String,
+                         nBuckets: Int, suggestPath: Option[String] = None,
+                         suggestField: Option[String] = None,
+                         sink: (DataFrame, Long) => Unit = (_, _) => (),
+                         trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    mutations.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val docs = Indexer.latestPerKey(batch, keyCol, versionCols)
+        graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath, nBuckets)
+        graft.TextIndex.appendNorms(docs, keyCol, fields, normsPath)
+        suggestPath.foreach(p => graft.Search.appendSuggestStore(docs,
+          suggestField.getOrElse(fields.head), p))
+        sink(docs, id)
+      }
+
   /** W12 streaming: exactly-once ingest with BOUNDED state. The batch twin
     * ([[Indexer.exactlyOnce]]) and a plain streaming `dropDuplicates`
     * remember every (key, mutation id) forever — at 100 TB/day the state

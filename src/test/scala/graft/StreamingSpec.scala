@@ -79,6 +79,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(gone.count() == 0)
   }
 
+  test("r11: insertStreamServed maintains postings+norms per micro-batch — " +
+       "streamed BM25 equals an all-at-once batch build") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val mutations = input.toDF().toDF("doc_id", "ver", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-bm25").toString
+    val seed = Seq((1L, 0L, "spark makes batch fast"))
+      .toDF("doc_id", "ver", "text")
+    TextIndex.writePostings(
+      TextIndex.buildPostings(seed, "doc_id", Seq("text"), 8), s"$base/postings")
+    TextIndex.buildNorms(seed, "doc_id", Seq("text"))
+      .write.parquet(s"$base/norms")
+    val q = StreamingIndexer.insertStreamServed(mutations, "doc_id", Seq("ver"),
+      fields = Seq("text"), postingsPath = s"$base/postings",
+      normsPath = s"$base/norms", nBuckets = 8).start()
+    try {
+      input.addData((2L, 1L, "batch jobs move data"), (3L, 1L, "spark spark spark"))
+      q.processAllAvailable()
+      input.addData((4L, 1L, "nothing to see"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = seed.unionByName(Seq(
+      (2L, 1L, "batch jobs move data"), (3L, 1L, "spark spark spark"),
+      (4L, 1L, "nothing to see")).toDF("doc_id", "ver", "text"))
+    def scores(p: org.apache.spark.sql.DataFrame,
+               n: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "batch"), nBuckets = 8)
+        .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = scores(
+      spark.read.option("basePath", s"$base/postings").parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/norms"))
+    val batchBuilt = scores(
+      TextIndex.buildPostings(all, "doc_id", Seq("text"), 8),
+      TextIndex.buildNorms(all, "doc_id", Seq("text")))
+    assert(streamed == batchBuilt, s"streamed=$streamed batch=$batchBuilt")
+  }
+
   test("r11: suggester freshness composes in foreachBatch — an insert-only " +
        "stream keeps the LM store current via appendSuggestStore") {
     import spark.implicits._

@@ -265,7 +265,16 @@ object Maintain {
     * the staging dir in. Spark cannot `mode("overwrite")` a path that
     * feeds its own plan; this is the same swap discipline as
     * [[compactSegments]] / [[TextIndex.compactPostings]], shared by the
-    * store append paths. Same single-writer contract as compactSegments. */
+    * store append paths. Same single-writer contract as compactSegments;
+    * READERS must also be excluded during the swap — the store path is
+    * briefly a fresh rename target, and a reader racing it can see a
+    * partial listing. The swap keeps a recoverable copy at every step:
+    * the old data is renamed ASIDE (`.rewrite_old`) before the staging
+    * dir renames in, so a crash at any point leaves either the original
+    * or the fully-written replacement on disk under a recoverable name —
+    * never a window with no copy at the store path's parent. A leftover
+    * `.rewrite_old` from a previous crash is stale (its replacement was
+    * fully staged when it was renamed aside) and is cleared on entry. */
   private[graft] def stagedRewrite(spark: org.apache.spark.sql.SparkSession,
                                    path: String)(write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
@@ -273,10 +282,16 @@ object Maintain {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"stagedRewrite target does not exist: $path")
     val tmp = new Path(root.getParent, root.getName + ".rewrite_tmp")
+    val old = new Path(root.getParent, root.getName + ".rewrite_old")
     fs.delete(tmp, true)
+    fs.delete(old, true)
     write(tmp.toString)
-    fs.delete(root, true)
-    require(fs.rename(tmp, root), s"staged rewrite rename failed: $tmp -> $root")
+    // crash between these renames: the data survives as .rewrite_old (and
+    // the replacement as .rewrite_tmp) — recover by renaming either back
+    require(fs.rename(root, old), s"staged rewrite rename failed: $root -> $old")
+    require(fs.rename(tmp, root), s"staged rewrite rename failed: $tmp -> $root " +
+      s"— previous contents preserved at $old")
+    fs.delete(old, true)
   }
 
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +

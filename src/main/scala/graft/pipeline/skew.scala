@@ -20,7 +20,10 @@ object Skew {
     * query whose plan carried a [[saltedVerifyJoin]] hot-id observation
     * with a NON-EMPTY hot set records `(hotIds, maxPairs, hotAt)` here
     * (bounded buffer, newest last). Drain the listener bus before reading
-    * (listeners fire asynchronously). */
+    * (listeners fire asynchronously). PROCESS-GLOBAL by design: this is a
+    * diagnostic tap (tests and operator triage), not a query result — in a
+    * multi-session JVM, observations from all sessions interleave here,
+    * exactly like the shared log they mirror. */
   private val recentHot =
     new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
   def recentHotObservations: Seq[(Long, Long, Long)] = {
@@ -29,9 +32,14 @@ object Skew {
   }
   def clearHotObservations(): Unit = recentHot.clear()
 
+  // weakly keyed: the registry must not pin a closed SparkSession in a
+  // long-lived multi-session JVM — the session owns the listener, so when
+  // the session is collected the listener goes with it and the entry here
+  // only exists to make registration once-per-session
   private val listenerSessions = java.util.Collections.newSetFromMap(
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession,
-      java.lang.Boolean]())
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        java.lang.Boolean]()))
 
   /** Register (once per session) the QueryExecutionListener that turns
     * the in-plan hot-id observations into log warnings — LSH bucket

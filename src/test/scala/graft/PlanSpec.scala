@@ -290,10 +290,11 @@ class PlanSpec extends AnyFunSuite {
     assert(!re.contains("Window"), re.take(3000))
     // r10: the rank builds lazily (the zipWithIndex form launched the
     // sort at construction — the no-job test below pins laziness); the
-    // offset and rated joins stay broadcast. (r11: the sorted frame is a
-    // lazy localCheckpoint, so a `Scan ExistingRDD` is now EXPECTED — it
-    // is the structural pin that keeps the data and count branches on the
-    // same partitions.)
+    // offset and rated joins stay broadcast. (r11: ranking runs through
+    // the custom GlobalRankPlan/GlobalRankExec operator — the count job
+    // and the output rows share ONE shuffle dependency, so branch
+    // consistency is structural; the operator must appear in the plan.)
+    assert(re.contains("GlobalRank"), re.take(3000))
     assert(re.contains("BroadcastHashJoin"), re.take(3000))
   }
 
@@ -314,9 +315,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("r11: globalRank ranks are exact with exchange reuse disabled — " +
        "branch consistency is structural, not optimizer-dependent") {
-    // without the localCheckpoint pin, each branch's RangePartitioner
-    // samples its own boundaries under exchange.reuse=false and ranks
-    // duplicate/gap (observed ~188k unique over 200k rows)
+    // with two independent physical branches, each branch's
+    // RangePartitioner samples its own boundaries under
+    // exchange.reuse=false and ranks duplicate/gap (observed ~188k unique
+    // over 200k rows); GlobalRankExec makes the count job and the output
+    // rows share one shuffle dependency, so ranks stay exact regardless
+    // of reuse
     import spark.implicits._
     val prev = spark.conf.getOption("spark.sql.exchange.reuse")
     spark.conf.set("spark.sql.exchange.reuse", "false")

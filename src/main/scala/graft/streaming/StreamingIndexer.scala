@@ -30,6 +30,41 @@ object StreamingIndexer {
         sink(Indexer.latestPerKey(batch, keyCol, versionCols), id)
       }
 
+  /** `foreachBatch` is AT-LEAST-ONCE: a crash between the store appends
+    * and the checkpoint commit redelivers the batch, and a blind re-append
+    * would double postings rows, norms rows, and LM counts — exactly the
+    * BM25 skew the append contracts warn about. The marker makes the
+    * per-batch appends idempotent under redelivery: each store group
+    * records the last APPLIED batch id in a `_graft_batch` file next to
+    * the postings, written after all of the batch's appends; a redelivered
+    * id ≤ marker is skipped whole. Residual window: a crash AFTER some
+    * append but BEFORE the marker write still replays that batch's
+    * appends — [[graft.TextIndex.compactPostings]] (exact-duplicate
+    * dedup) repairs postings residue, and [[upsertStreamServed]]'s
+    * merge-by-key norms + serve-time dedup are replay-idempotent by
+    * construction. Batch ids are monotone per streaming query, so a
+    * single long marker suffices. */
+  private def lastAppliedBatch(spark: org.apache.spark.sql.SparkSession,
+                               storePath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(storePath, "_graft_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      try raw.toLong catch { case _: NumberFormatException => -1L }
+    }
+  }
+
+  private def markAppliedBatch(spark: org.apache.spark.sql.SparkSession,
+                               storePath: String, id: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath, "_graft_batch")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Continuous inverted-index maintenance: like [[upsertStream]], but each
     * micro-batch ALSO appends its own postings to the text index before the
     * doc sink runs — the search path stays index-served while mutations
@@ -39,7 +74,10 @@ object StreamingIndexer {
     * ([[graft.TextIndex]] class doc); only a MISSING posting could lose a
     * hit, and the append in the same `foreachBatch` prevents exactly that.
     * Run [[graft.TextIndex.compactPostings]] on a maintenance cadence for
-    * size, like Lucene's background merges. */
+    * size, like Lucene's background merges. Redelivered batches are
+    * skipped via the `_graft_batch` marker (see [[lastAppliedBatch]]);
+    * the doc `sink` still runs for them — idempotence THERE is the sink's
+    * own contract, as in plain [[upsertStream]]. */
   def upsertStreamIndexed(mutations: DataFrame, keyCol: String,
                           versionCols: Seq[String], fields: Seq[String],
                           postingsPath: String, nBuckets: Int,
@@ -50,7 +88,10 @@ object StreamingIndexer {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val docs = Indexer.latestPerKey(batch, keyCol, versionCols)
-        graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath, nBuckets)
+        if (id > lastAppliedBatch(batch.sparkSession, postingsPath)) {
+          graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath, nBuckets)
+          markAppliedBatch(batch.sparkSession, postingsPath, id)
+        }
         sink(docs, id)
       }
 
@@ -58,19 +99,29 @@ object StreamingIndexer {
     * full serving surface: each micro-batch appends its postings AND its
     * norms rows (so index-served BM25 stays current — norms are per-doc
     * facts, exact under insert-only batches), and optionally the phrase-
-    * suggester LM delta. CONTRACT: every key is globally NEW — an
-    * in-place edit would leave duplicate norms rows (skewing BM25 length
-    * normalization) and stale LM counts; deduplicate replays upstream
-    * with [[exactlyOnceStream]] and repair edits with
-    * [[graft.TextIndex.reindexSegment]]-style rebuilds, per the append
-    * contracts on [[graft.TextIndex.appendNorms]] /
-    * [[graft.Search.appendSuggestStore]]. StreamingSpec pins that BM25
-    * served from the streamed stores equals an all-at-once batch build. */
+    * suggester LM delta. CONTRACT: every key is globally NEW — and the
+    * contract is ENFORCED, not trusted: [[graft.TextIndex.appendNorms]]'s
+    * key-collision probe runs FIRST, before any store is touched, so an
+    * in-place edit raises (or warns, per `graft.append.insertCheck`)
+    * instead of silently leaving duplicate norms rows and stale LM
+    * counts. The one norms-store probe covers all three appends — they
+    * share the batch's doc set, and the norms store is the store group's
+    * doc-key authority (the LM tables carry no doc keys). For streams
+    * WITH edits use [[upsertStreamServed]]; deduplicate replays upstream
+    * with [[exactlyOnceStream]]. Redelivered batches are skipped via the
+    * `_graft_batch` marker (see [[lastAppliedBatch]]). With `segmentCol`
+    * set, postings land in the doc's segment partition (the docs must
+    * carry that column), so per-segment repair/compaction
+    * ([[graft.TextIndex.reindexSegment]] / `dropSegmentDirs`) stays the
+    * maintenance unit — the M2 partition story, streamed. StreamingSpec
+    * pins that BM25 served from the streamed stores equals an
+    * all-at-once batch build. */
   def insertStreamServed(mutations: DataFrame, keyCol: String,
                          versionCols: Seq[String], fields: Seq[String],
                          postingsPath: String, normsPath: String,
                          nBuckets: Int, suggestPath: Option[String] = None,
                          suggestField: Option[String] = None,
+                         segmentCol: Option[String] = None,
                          sink: (DataFrame, Long) => Unit = (_, _) => (),
                          trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
     mutations.writeStream
@@ -78,12 +129,99 @@ object StreamingIndexer {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val docs = Indexer.latestPerKey(batch, keyCol, versionCols)
-        graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath, nBuckets)
-        graft.TextIndex.appendNorms(docs, keyCol, fields, normsPath)
-        suggestPath.foreach(p => graft.Search.appendSuggestStore(docs,
-          suggestField.getOrElse(fields.head), p))
+        applyInsertServedBatch(docs, id, keyCol, fields, postingsPath,
+          normsPath, nBuckets, suggestPath, suggestField, segmentCol)
         sink(docs, id)
       }
+
+  /** [[insertStreamServed]]'s per-batch body, factored so the
+    * redelivery-skip is directly testable. Returns true when the batch
+    * was applied, false when the `_graft_batch` marker says it already
+    * was (at-least-once redelivery). The marker binds the store group to
+    * ONE streaming query lineage: batch ids restart at 0 for a fresh
+    * checkpoint, so starting a new query against an existing store group
+    * requires clearing the marker along with the checkpoint (else its
+    * early batches read as already-applied). */
+  private[graft] def applyInsertServedBatch(docs: DataFrame, id: Long,
+      keyCol: String, fields: Seq[String], postingsPath: String,
+      normsPath: String, nBuckets: Int, suggestPath: Option[String] = None,
+      suggestField: Option[String] = None,
+      segmentCol: Option[String] = None): Boolean = {
+    if (id <= lastAppliedBatch(docs.sparkSession, postingsPath)) return false
+    // norms first: its insert-only probe is the gate for the whole
+    // group — if the batch edits an existing key, NOTHING is written
+    graft.TextIndex.appendNorms(docs, keyCol, fields, normsPath)
+    graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath,
+      nBuckets, segmentCol)
+    suggestPath.foreach(p => graft.Search.appendSuggestStore(docs,
+      suggestField.getOrElse(fields.head), p))
+    markAppliedBatch(docs.sparkSession, postingsPath, id)
+    true
+  }
+
+  /** Streamed serving that SURVIVES EDITS — the upsert twin of
+    * [[insertStreamServed]], closing the reference's actual contract:
+    * every mutation, including updates, keeps search current
+    * (reference: EsSecondaryIndex.java:390-414; ElasticIndex.java:470-621
+    * `doc_as_upsert` re-indexes the doc). Per micro-batch, against a
+    * VERSIONED store (postings and norms both carry a `gen` column —
+    * seed with `buildPostings(..).withColumn("gen", lit(0L))` and
+    * `buildNorms(..).withColumn("gen", lit(0L))`):
+    *
+    *  - postings APPEND, stamped `gen = batchId + 1` (batch ids start at
+    *    0, so the +1 keeps every streamed generation newer than the
+    *    conventional gen-0 seed) — stale rows for edited docs stay in the
+    *    store but die at serve time;
+    *  - norms MERGE-BY-KEY ([[graft.TextIndex.upsertNorms]], the
+    *    `appendSuggestStore` read-delta-merge shape), stamped with the
+    *    same gen — norms are per-doc facts, so the merged store is the
+    *    per-doc generation authority;
+    *  - serving: [[graft.TextIndex.bm25Indexed]] keeps a postings row iff
+    *    its gen equals its doc's current norms gen (Lucene's
+    *    doc-generation model), so tf, df, N, and avgdl all see exactly
+    *    the latest version of every doc — store-served BM25 equals a
+    *    from-scratch rebuild of the current corpus (StreamingSpec pins
+    *    hash-equality across a mid-stream edit).
+    *
+    * The phrase-LM store is NOT maintained here: bigram counts are
+    * additive, not per-doc facts — subtracting an edited doc's old tokens
+    * needs the old text, which the stream does not carry. Serve
+    * suggestions from a periodic [[graft.Search.writeSuggestStore]]
+    * rebuild when the corpus takes edits. Redelivered batches are skipped
+    * via the `_graft_batch` marker; replay residue inside the residual
+    * crash window is absorbed by the merge-by-key norms and the
+    * serve-time live-row dedup. Run [[graft.TextIndex.compactPostings]]
+    * on a maintenance cadence to reclaim dead generations' rows. */
+  def upsertStreamServed(mutations: DataFrame, keyCol: String,
+                         versionCols: Seq[String], fields: Seq[String],
+                         postingsPath: String, normsPath: String,
+                         nBuckets: Int, segmentCol: Option[String] = None,
+                         sink: (DataFrame, Long) => Unit = (_, _) => (),
+                         trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    mutations.writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val docs = Indexer.latestPerKey(batch, keyCol, versionCols)
+        applyUpsertServedBatch(docs, id, keyCol, fields, postingsPath,
+          normsPath, nBuckets, segmentCol)
+        sink(docs, id)
+      }
+
+  /** [[upsertStreamServed]]'s per-batch body (see
+    * [[applyInsertServedBatch]] on the marker contract). */
+  private[graft] def applyUpsertServedBatch(docs: DataFrame, id: Long,
+      keyCol: String, fields: Seq[String], postingsPath: String,
+      normsPath: String, nBuckets: Int,
+      segmentCol: Option[String] = None): Boolean = {
+    if (id <= lastAppliedBatch(docs.sparkSession, postingsPath)) return false
+    graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath,
+      nBuckets, segmentCol, gen = Some(id + 1))
+    graft.TextIndex.upsertNorms(docs, keyCol, fields, normsPath,
+      gen = Some(id + 1))
+    markAppliedBatch(docs.sparkSession, postingsPath, id)
+    true
+  }
 
   /** W12 streaming: exactly-once ingest with BOUNDED state. The batch twin
     * ([[Indexer.exactlyOnce]]) and a plain streaming `dropDuplicates`

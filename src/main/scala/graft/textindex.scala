@@ -227,11 +227,75 @@ object TextIndex {
     * Contract: INSERT-only batches, same as [[appendPostings]]'s
     * frequency-stats caveat — an in-place doc EDIT would leave two dl
     * rows for the key and silently skew BM25 length normalization; use
-    * [[reindexSegment]]-style repair (rebuild the affected segment's
-    * norms) for edits. */
+    * [[upsertNorms]] (merge-by-key) or [[reindexSegment]]-style repair
+    * for edits. The contract is ENFORCED, not trusted: a key-collision
+    * probe (one doc_id-only pruned scan of the store, batch-sized
+    * output) raises on an already-present key — a violated contract is
+    * a silent wrong answer, so it must be loud. Gate with
+    * `graft.append.insertCheck` = `error` (default) | `warn` | `off`
+    * (off for ingest paths that guarantee key-freshness upstream and
+    * don't want the per-append store scan). */
   def appendNorms(newDocs: DataFrame, idCol: String, fields: Seq[String],
-                  path: String): Unit =
-    buildNorms(newDocs, idCol, fields).write.mode("append").parquet(path)
+                  path: String): Unit = {
+    val delta = buildNorms(newDocs, idCol, fields)
+    requireInsertOnly(newDocs.sparkSession, path,
+      delta.select(col("doc_id")).distinct(), "appendNorms")
+    delta.write.mode("append").parquet(path)
+  }
+
+  /** Enforcement for the insert-only append contracts: raise (or warn,
+    * per `graft.append.insertCheck`) when any delta key already exists in
+    * the store — turning the silent BM25 skew of a violated contract into
+    * a loud failure. Cost: one single-column scan of the store semi-joined
+    * against the (broadcast, batch-sized) delta keys. The suggest/LM
+    * stores carry no doc keys, so THEIR contract is enforced where doc
+    * identity exists: [[graft.streaming.StreamingIndexer.insertStreamServed]]
+    * probes the norms store once per micro-batch before any append. */
+  private[graft] def requireInsertOnly(spark: SparkSession, path: String,
+                                       deltaKeys: DataFrame,
+                                       what: String): Unit = {
+    val mode = spark.conf.getOption("graft.append.insertCheck").getOrElse("error")
+    if (mode == "off" || !hasDataFiles(spark, path)) return
+    val collided = spark.read.parquet(path)
+      .select(col("doc_id"))
+      .join(broadcast(deltaKeys.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .limit(5).collect().map(_.get(0)).toSeq
+    if (collided.nonEmpty) {
+      val msg = s"$what: insert-only contract violated — key(s) " +
+        s"${collided.mkString(", ")} already exist in $path. Blind-appending " +
+        "an edited doc leaves duplicate rows and silently skews BM25 " +
+        "length/frequency stats; use upsertNorms / reindexSegment for edits, " +
+        "or set graft.append.insertCheck=off if freshness is guaranteed upstream."
+      if (mode == "warn")
+        org.slf4j.LoggerFactory.getLogger(TextIndex.getClass).warn(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
+  /** Merge-by-key norms maintenance — the EDIT-tolerant twin of
+    * [[appendNorms]]: norms are per-(doc, field) facts, so an upsert batch
+    * replaces its keys' rows wholesale (read → anti-join the batch's keys
+    * out → union the fresh delta → staged rewrite, the
+    * [[Search.appendSuggestStore]] swap discipline). One batch-sized delta
+    * build plus one norms-store-sized rewrite of SLIM (doc_id, field, dl)
+    * rows — never a corpus text pass. With `gen` set, the fresh rows carry
+    * a generation stamp: [[bm25Indexed]] uses it as the live-row filter
+    * for postings under edits (Lucene's doc-generation model — see
+    * [[graft.streaming.StreamingIndexer.upsertStreamServed]]). */
+  def upsertNorms(docs: DataFrame, idCol: String, fields: Seq[String],
+                  path: String, gen: Option[Long] = None): Unit = {
+    val spark = docs.sparkSession
+    val delta0 = buildNorms(docs, idCol, fields)
+    val delta = gen.map(g => delta0.withColumn("gen", lit(g))).getOrElse(delta0)
+    if (!hasDataFiles(spark, path)) { delta.write.mode("append").parquet(path); return }
+    Maintain.stagedRewrite(spark, path) { tmp =>
+      val store = spark.read.parquet(path)
+      val keys = delta.select(col("doc_id")).distinct()
+      store.join(broadcast(keys), Seq("doc_id"), "left_anti")
+        .unionByName(delta)
+        .write.parquet(tmp)
+    }
+  }
 
   /** Write the postings store: clustered by bucket (one file per partition
     * dir, not tasks×buckets), sorted by `(token, field)` within files so
@@ -391,12 +455,20 @@ object TextIndex {
 
   /** Append-only incremental maintenance: index an upsert batch's postings
     * into an existing store (see class doc for why append alone preserves
-    * correctness). `nBuckets` and `segmentCol` must match the store's. */
+    * correctness). `nBuckets` and `segmentCol` must match the store's.
+    * With `gen` set, every appended row carries the generation stamp — the
+    * versioned-store layout [[upsertStreamServed]]-style maintenance uses
+    * so [[bm25Indexed]] can drop an edited doc's stale rows at serve time
+    * (the store's existing rows must already carry `gen`; mixing stamped
+    * and unstamped files in one store is a schema error, not a merge). */
   def appendPostings(newDocs: DataFrame, idCol: String, fields: Seq[String],
                      path: String, nBuckets: Int = 64,
-                     segmentCol: Option[String] = None): Unit = {
+                     segmentCol: Option[String] = None,
+                     gen: Option[Long] = None): Unit = {
     val parts = segmentCol.toSeq :+ "bucket"
-    buildPostings(newDocs, idCol, fields, nBuckets, segmentCol)
+    val built0 = buildPostings(newDocs, idCol, fields, nBuckets, segmentCol)
+    val built = gen.map(g => built0.withColumn("gen", lit(g))).getOrElse(built0)
+    built
       .repartition(parts.map(col): _*)
       .sortWithinPartitions("token", "field")
       .write.mode("append").partitionBy(parts: _*).parquet(path)
@@ -786,9 +858,21 @@ object TextIndex {
     * word runs, not whitespace splits, so scores differ from the scan
     * executor's exactly where a doc contains hyphenated/punctuated tokens
     * (the two agree on clean single-space text, proven in TextIndexSpec).
-    * Returns only docs matching ≥1 term (score > 0); requires a freshly
-    * built store (see [[buildPostings]] on appended-store statistics) and
-    * word-token terms (anything else cannot be an index probe). */
+    * Returns only docs matching ≥1 term (score > 0); requires either a
+    * freshly built / insert-only-appended store (see [[buildPostings]] on
+    * appended-store statistics) or a VERSIONED store: when both postings
+    * and norms carry a `gen` column (written by [[appendPostings]]/
+    * [[upsertNorms]] with a generation stamp), a postings row is live iff
+    * its gen equals its doc's current norms gen — Lucene's doc-generation
+    * model, Spark-shaped. The norms store (merged by key, one row per
+    * (doc, field)) is the per-doc authority: an edited doc's stale rows
+    * (old tf, disappeared tokens) carry an older gen and drop out of tf,
+    * df, N, and avgdl alike, so served scores equal a from-scratch
+    * rebuild. Serve-time cost of versioning: one equality filter inside
+    * the norms join the score already pays for, plus a candidate-sized
+    * dedup that also absorbs replayed-batch residue
+    * (see [[graft.streaming.StreamingIndexer.upsertStreamServed]]).
+    * Word-token terms only (anything else cannot be an index probe). */
   def bm25Indexed(postings: DataFrame, norms: DataFrame, field: String,
                   terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                   nBuckets: Int = 64): DataFrame = {
@@ -797,18 +881,35 @@ object TextIndex {
     uniq.foreach(t => require(WordTerm.matches(t),
       s"bm25Indexed terms must be word tokens (index probes): '$t'"))
     val probes: Set[Probe] = uniq.map(EqProbe(field, _)).toSet
-    val rows = postingsFor(postings, probes, nBuckets)
-      .select(col("token"), col("doc_id"), col("tf").cast("double").as("tf"))
-    val fieldNorms = norms.where(col("field") === field)
-      .select(col("doc_id"), col("dl").cast("double").as("dl"))
+    val versioned = postings.columns.contains("gen") &&
+      norms.columns.contains("gen")
+    val rows0 = postingsFor(postings, probes, nBuckets)
+    val rows =
+      if (!versioned)
+        rows0.select(col("token"), col("doc_id"), col("tf").cast("double").as("tf"))
+      else rows0.select(col("token"), col("doc_id"),
+        col("tf").cast("double").as("tf"), col("gen").as("_pgen"))
+    val fieldNorms0 = norms.where(col("field") === field)
+    val fieldNorms =
+      if (!versioned)
+        fieldNorms0.select(col("doc_id"), col("dl").cast("double").as("dl"))
+      else fieldNorms0.select(col("doc_id"), col("dl").cast("double").as("dl"),
+        col("gen").as("_ngen"))
     val stats = fieldNorms.agg(count(lit(1)).cast("double").as("N"),
       avg(col("dl")).as("avgdl"))
-    // df per queried term: postings rows are unique per (token, doc) in a
-    // fresh store, so a plain count is the document frequency
-    val dfs = rows.groupBy("token").agg(count(lit(1)).as("df"))
-    rows
+    // norms join BEFORE df: in a versioned store only live rows (postings
+    // gen == the doc's current norms gen) may count toward df; the dedup
+    // guards against replayed same-gen appends (see scaladoc). In a fresh
+    // store rows are unique per (token, doc) and all docs have norms, so
+    // the reordering does not change df.
+    val live0 = rows.join(fieldNorms, "doc_id")
+    val live =
+      if (!versioned) live0
+      else live0.where(col("_pgen") === col("_ngen"))
+        .dropDuplicates("token", "doc_id").drop("_pgen", "_ngen")
+    val dfs = live.groupBy("token").agg(count(lit(1)).as("df"))
+    live
       .join(broadcast(dfs), "token")
-      .join(fieldNorms, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("_contrib",
         log(lit(1.0) + (col("N") - col("df") + 0.5) / (col("df") + 0.5)) *

@@ -118,6 +118,153 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchBuilt, s"streamed=$streamed batch=$batchBuilt")
   }
 
+  test("r12: upsertStreamServed survives a mid-stream EDIT — store-served " +
+       "BM25 hash-equals an all-at-once batch rebuild of the final corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)]
+    val mutations = input.toDF().toDF("doc_id", "ver", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+    // versioned seed: postings AND norms carry the conventional gen 0
+    val seed = Seq((1L, 0L, "spark makes batch fast"))
+      .toDF("doc_id", "ver", "text")
+    TextIndex.writePostings(
+      TextIndex.buildPostings(seed, "doc_id", Seq("text"), 8)
+        .withColumn("gen", lit(0L)), s"$base/postings")
+    TextIndex.buildNorms(seed, "doc_id", Seq("text")).withColumn("gen", lit(0L))
+      .write.parquet(s"$base/norms")
+    val q = StreamingIndexer.upsertStreamServed(mutations, "doc_id", Seq("ver"),
+      fields = Seq("text"), postingsPath = s"$base/postings",
+      normsPath = s"$base/norms", nBuckets = 8).start()
+    try {
+      input.addData((2L, 1L, "batch jobs move data"), (3L, 1L, "spark spark spark"))
+      q.processAllAvailable()
+      // EDIT doc 2 in place: 'jobs'/'move' disappear, 'spark' appears —
+      // tf, df, dl, and avgdl must all see ONLY the new version
+      input.addData((2L, 2L, "spark pipelines stream batch data"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = seed.unionByName(Seq(
+      (2L, 2L, "spark pipelines stream batch data"),
+      (3L, 1L, "spark spark spark")).toDF("doc_id", "ver", "text"))
+    def scores(p: org.apache.spark.sql.DataFrame,
+               n: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "batch", "jobs"),
+          nBuckets = 8)
+        .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = scores(
+      spark.read.option("basePath", s"$base/postings").parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/norms"))
+    val batchBuilt = scores(
+      TextIndex.buildPostings(all, "doc_id", Seq("text"), 8),
+      TextIndex.buildNorms(all, "doc_id", Seq("text")))
+    assert(streamed == batchBuilt, s"streamed=$streamed batch=$batchBuilt")
+    // the stale generation is physically present but dead: raw postings
+    // still hold doc 2's old 'jobs' row, served scores exclude it
+    val raw = spark.read.option("basePath", s"$base/postings")
+      .parquet(s"$base/postings")
+    assert(raw.where($"token" === "jobs" && $"doc_id" === 2L).count() == 1)
+    assert(!streamed.contains(2L) ||
+      !batchBuilt.contains(2L) || streamed(2L) == batchBuilt(2L))
+  }
+
+  test("r12: segment-aware streamed appends — postings land per segment, " +
+       "reindexSegment + upsertNorms repair ONE segment after an edit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, String)]
+    val mutations = input.toDF().toDF("doc_id", "ver", "text", "seg")
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-seg").toString
+    val seed = Seq((1L, 0L, "spark makes batch fast", "a"),
+      (2L, 0L, "data moves in pipelines", "b"))
+      .toDF("doc_id", "ver", "text", "seg")
+    TextIndex.writePostings(
+      TextIndex.buildPostings(seed, "doc_id", Seq("text"), 8, Some("seg")),
+      s"$base/postings", Some("seg"))
+    TextIndex.buildNorms(seed, "doc_id", Seq("text"))
+      .write.parquet(s"$base/norms")
+    // insertCheck off for the whole query: this test SIMULATES an
+    // upstream-guaranteed pipeline that lets an edit slip through (the
+    // conf must be set before start — the streaming query clones the
+    // session, so later conf changes don't reach foreachBatch)
+    spark.conf.set("graft.append.insertCheck", "off")
+    val q = StreamingIndexer.insertStreamServed(mutations, "doc_id", Seq("ver"),
+      fields = Seq("text"), postingsPath = s"$base/postings",
+      normsPath = s"$base/norms", nBuckets = 8,
+      segmentCol = Some("seg")).start()
+    try {
+      input.addData((3L, 1L, "spark streams data", "a"),
+        (4L, 1L, "batch data lands here", "b"))
+      q.processAllAvailable()
+      // an in-place edit of doc 4 arrives and skews segment b
+      input.addData((4L, 2L, "spark replaces the batch text", "b"))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.conf.unset("graft.append.insertCheck")
+    }
+    // both segment partitions exist — lifecycle ops stay directory ops
+    val segDirs = new java.io.File(s"$base/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(segDirs == Set("seg=a", "seg=b"), segDirs.toString)
+    val current = Seq(
+      (1L, "spark makes batch fast", "a"),
+      (2L, "data moves in pipelines", "b"),
+      (3L, "spark streams data", "a"),
+      (4L, "spark replaces the batch text", "b"))
+      .toDF("doc_id", "text", "seg")
+    // bounded repair: ONLY segment b's postings rebuild; norms merge by key
+    TextIndex.reindexSegment(spark, current, "doc_id", Seq("text"),
+      s"$base/postings", 8, "seg", "b")
+    TextIndex.upsertNorms(current.where($"seg" === "b"), "doc_id",
+      Seq("text"), s"$base/norms")
+    def scores(p: org.apache.spark.sql.DataFrame,
+               n: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "batch", "data"),
+          nBuckets = 8)
+        .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = scores(
+      spark.read.option("basePath", s"$base/postings").parquet(s"$base/postings"),
+      spark.read.parquet(s"$base/norms"))
+    val rebuilt = scores(
+      TextIndex.buildPostings(current, "doc_id", Seq("text"), 8),
+      TextIndex.buildNorms(current, "doc_id", Seq("text")))
+    assert(served == rebuilt, s"served=$served rebuilt=$rebuilt")
+  }
+
+  test("r12: redelivered micro-batches are skipped — the _graft_batch " +
+       "marker makes the per-batch appends idempotent") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-redeliver").toString
+    val seed = Seq((1L, "spark makes batch fast")).toDF("doc_id", "text")
+    TextIndex.writePostings(
+      TextIndex.buildPostings(seed, "doc_id", Seq("text"), 8), s"$base/postings")
+    TextIndex.buildNorms(seed, "doc_id", Seq("text"))
+      .write.parquet(s"$base/norms")
+    val b0 = Seq((2L, "fresh content arrives")).toDF("doc_id", "text")
+    assert(StreamingIndexer.applyInsertServedBatch(b0, 0L, "doc_id",
+      Seq("text"), s"$base/postings", s"$base/norms", 8))
+    val normsAfter = spark.read.parquet(s"$base/norms").count()
+    val postingsAfter = spark.read.option("basePath", s"$base/postings")
+      .parquet(s"$base/postings").count()
+    // at-least-once redelivery of batch 0: skipped whole, stores unchanged
+    assert(!StreamingIndexer.applyInsertServedBatch(b0, 0L, "doc_id",
+      Seq("text"), s"$base/postings", s"$base/norms", 8))
+    assert(spark.read.parquet(s"$base/norms").count() == normsAfter)
+    assert(spark.read.option("basePath", s"$base/postings")
+      .parquet(s"$base/postings").count() == postingsAfter)
+    // the next NEW batch still applies
+    assert(StreamingIndexer.applyInsertServedBatch(
+      Seq((3L, "more new content")).toDF("doc_id", "text"), 1L, "doc_id",
+      Seq("text"), s"$base/postings", s"$base/norms", 8))
+    assert(spark.read.parquet(s"$base/norms").count() == normsAfter + 1)
+    // the upsert twin shares the marker discipline (same store group)
+    assert(!StreamingIndexer.applyUpsertServedBatch(b0, 1L, "doc_id",
+      Seq("text"), s"$base/postings", s"$base/norms", 8))
+  }
+
   test("r11: suggester freshness composes in foreachBatch — an insert-only " +
        "stream keeps the LM store current via appendSuggestStore") {
     import spark.implicits._

@@ -508,4 +508,76 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndex.buildNorms(all, "doc_id", Seq("text")))
     assert(fromStores == direct, s"stores=$fromStores direct=$direct")
   }
+
+  test("r12: appendNorms ENFORCES the insert-only contract — an edited " +
+       "key raises instead of silently skewing BM25") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_norms_probe").toString
+    val seed = Seq((1L, "alpha beta gamma"), (2L, "delta words here"))
+      .toDF("doc_id", "text")
+    TextIndex.buildNorms(seed, "doc_id", Seq("text"))
+      .write.parquet(s"$dir/norms")
+    // genuinely new key: append goes through
+    TextIndex.appendNorms(Seq((3L, "fresh doc")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), s"$dir/norms")
+    assert(spark.read.parquet(s"$dir/norms").count() == 3)
+    // edited key: loud failure, nothing written
+    val err = intercept[IllegalArgumentException](
+      TextIndex.appendNorms(Seq((2L, "edited text")).toDF("doc_id", "text"),
+        "doc_id", Seq("text"), s"$dir/norms"))
+    assert(err.getMessage.contains("insert-only"), err.getMessage)
+    assert(spark.read.parquet(s"$dir/norms").count() == 3)
+    // warn mode lets a declared-safe pipeline through (and off entirely)
+    spark.conf.set("graft.append.insertCheck", "warn")
+    try TextIndex.appendNorms(Seq((2L, "edited text")).toDF("doc_id", "text"),
+      "doc_id", Seq("text"), s"$dir/norms")
+    finally spark.conf.unset("graft.append.insertCheck")
+    assert(spark.read.parquet(s"$dir/norms").count() == 4)
+  }
+
+  test("r12: upsertNorms merges by key; with gen stamps bm25Indexed drops " +
+       "an edited doc's stale postings generation — equals a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_norms").toString
+    val v0 = Seq((1L, "spark makes batch fast"), (2L, "batch jobs move data"))
+      .toDF("doc_id", "text")
+    TextIndex.writePostings(
+      TextIndex.buildPostings(v0, "doc_id", Seq("text"), 8)
+        .withColumn("gen", lit(0L)), s"$dir/postings")
+    TextIndex.buildNorms(v0, "doc_id", Seq("text")).withColumn("gen", lit(0L))
+      .write.parquet(s"$dir/norms")
+    // upsert batch: doc 2 EDITED, doc 3 new — postings append at gen 1,
+    // norms merge by key at gen 1
+    val batch = Seq((2L, "spark pipelines stream data"), (3L, "spark spark"))
+      .toDF("doc_id", "text")
+    TextIndex.appendPostings(batch, "doc_id", Seq("text"), s"$dir/postings",
+      8, gen = Some(1L))
+    TextIndex.upsertNorms(batch, "doc_id", Seq("text"), s"$dir/norms",
+      gen = Some(1L))
+    // norms: one row per key; edited key carries the new dl and gen
+    val norms = spark.read.parquet(s"$dir/norms")
+    assert(norms.count() == 3)
+    assert(norms.where($"doc_id" === 2L).select("dl", "gen")
+      .as[(Int, Long)].head() == ((4, 1L)))
+    val current = Seq((1L, "spark makes batch fast"),
+      (2L, "spark pipelines stream data"), (3L, "spark spark"))
+      .toDF("doc_id", "text")
+    def scores(p: org.apache.spark.sql.DataFrame,
+               n: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "batch", "jobs"),
+          nBuckets = 8)
+        .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = scores(
+      spark.read.option("basePath", s"$dir/postings").parquet(s"$dir/postings"),
+      norms)
+    val rebuilt = scores(
+      TextIndex.buildPostings(current, "doc_id", Seq("text"), 8),
+      TextIndex.buildNorms(current, "doc_id", Seq("text")))
+    assert(served == rebuilt, s"served=$served rebuilt=$rebuilt")
+    // doc 2's stale 'jobs' row is physically present but never scores
+    assert(spark.read.option("basePath", s"$dir/postings")
+      .parquet(s"$dir/postings")
+      .where($"token" === "jobs" && $"doc_id" === 2L).count() == 1)
+    assert(!served.keySet.exists(id =>
+      !rebuilt.contains(id)), "a dead-generation doc leaked into scores")
+  }
 }

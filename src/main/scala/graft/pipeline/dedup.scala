@@ -678,22 +678,143 @@ object Dedup {
     * The cluster column is an INPUT: feed it from [[Ivf.train]]/
     * [[Ivf.assign]] (k-means, the paper's choice) or any partition that
     * bounds cluster size. The pairwise join never crosses clusters —
-    * shuffle on cluster id, candidate pairs are O(Σ cluster²), which the
-    * caller bounds by choosing k ≈ corpus/√target so clusters stay small;
-    * never an all-pairs join across the corpus. Returns every input row
+    * shuffle on cluster id — and the quadratic-within-cluster shape (the
+    * paper's own, GPU-pairwise in the original) is GATED: clusters up to
+    * `graft.semdedup.escapeAt` (default 1024) take the exact all-pairs
+    * join; above the gate, candidates come from RHP-LSH banding WITHIN
+    * the cluster ([[Similarity.cosinePairs]]' machinery, keyed on
+    * (cluster, band, bucket)) and are verified with the exact cosine
+    * predicate through [[Skew.saltedVerifyJoin]], so candidate volume
+    * tracks bucket collisions — not cluster² — and a skew-funneled hot
+    * vector spreads across reducers instead of straggling one task.
+    *
+    * The escape is RECALL-GATED, never silently lossy: banded RHP recall
+    * at the exact threshold is analytic ([[lshEscapeRecall]] — with the
+    * defaults `graft.semdedup.bands`=16 / `bitsPerBand`=8 it is 99.6% at
+    * cos 0.9, 99.99% at 0.95, and exactly 1 for identical vectors), and
+    * the escape only engages when that recall meets
+    * `graft.semdedup.minRecall` (default 0.99). In the SemDeDup regime
+    * (near-identical vectors, threshold ≥~0.9 — the paper dedups at
+    * eps≈0.95) the gate passes; at LOW thresholds banding is
+    * recall-unsound (23% at cos 0.3 under the defaults — and no
+    * sub-quadratic exact escape exists there: a 0.3-cosine pair in
+    * high dimensions is barely outside the random-pair distribution, so
+    * candidate generation cannot separate it from background), so the
+    * EXACT path is kept for every cluster and a warning names the only
+    * real control: re-cluster with a larger k, SemDeDup's own knob.
+    *
+    * Exact-path shape: vectors are L2-normalized ONCE per row
+    * ([[graft.functions.VecFunctions.vec_normalize]]), so the pair
+    * predicate is a codegen'd dot product (`vec_dot ≥ threshold` — one
+    * multiply-add per element, vs three plus two sqrt for the fused
+    * per-pair cosine; cosine ≡ dot of unit vectors, and zero vectors
+    * normalize to zero → dot 0 < threshold, the same exclusion as
+    * cosine's NULL — hence the `threshold > 0` requirement). Below the
+    * gate the output is exact — and the gate poll itself is one
+    * cluster-cardinality-sized aggregate (bounded by the clustering
+    * contract), collected at plan-construction time so an all-small
+    * input builds exactly the ungated plan. Returns every input row
     * with `is_dup` (and the witness neighbor) attached. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     clusterCol: String, threshold: Double): DataFrame = {
-    import graft.functions.VecFunctions.vec_cosine
+    import graft.functions.VecFunctions.{vec_dot, vec_normalize}
+    require(threshold > 0,
+      s"semanticDedup threshold must be > 0, got $threshold — at 0 or below " +
+        "every within-cluster pair matches and the operator is a cluster-id " +
+        "grouping, not a similarity dedup")
+    val sess = df.sparkSession
+    val escapeAt = sess.conf.getOption("graft.semdedup.escapeAt")
+      .map(_.toLong).getOrElse(1024L)
     val base = df.select(col(idCol).as("id"), col(clusterCol).as("cl"),
-      col(vecCol).cast("array<double>").as("v"))
-    val pairs = base.as("a").join(base.as("b"),
+      vec_normalize(col(vecCol).cast("array<double>")).as("v"))
+    val bigClusters = base.groupBy(col("cl"))
+      .agg(count(lit(1)).as("_cn")).where(col("_cn") > escapeAt)
+      .select(col("cl")).collect().map(_.get(0)).toSeq
+    def exactPairs(part: DataFrame) = part.as("a").join(part.as("b"),
         col("a.cl") === col("b.cl") && col("b.id") < col("a.id") &&
-          vec_cosine(col("a.v"), col("b.v")) >= threshold)
-      .groupBy(col("a.id").as("id"))
-      .agg(min(col("b.id")).as("dup_of"))
+          vec_dot(col("a.v"), col("b.v")) >= threshold)
+      .select(col("a.id").as("id"), col("b.id").as("dup_id"))
+    val bands = sess.conf.getOption("graft.semdedup.bands")
+      .map(_.toInt).getOrElse(16)
+    val bits = sess.conf.getOption("graft.semdedup.bitsPerBand")
+      .map(_.toInt).getOrElse(8)
+    val minRecall = sess.conf.getOption("graft.semdedup.minRecall")
+      .map(_.toDouble).getOrElse(0.99)
+    val escRecall = lshEscapeRecall(threshold, bands, bits)
+    val allPairs =
+      if (bigClusters.isEmpty) exactPairs(base)
+      else if (escRecall < minRecall) {
+        org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+          s"semanticDedup: ${bigClusters.size} cluster(s) exceed escapeAt=" +
+            s"$escapeAt but the RHP-LSH escape is recall-unsound at " +
+            f"threshold=$threshold (banded recall ≈ $escRecall%.3f with " +
+            s"bands=$bands bits=$bits < minRecall=$minRecall) — keeping the " +
+            "EXACT quadratic-within-cluster path. Low-threshold semantic " +
+            "dedup has no sound sub-quadratic escape; re-cluster with a " +
+            "larger k (SemDeDup's own control) to bound cluster size.")
+        exactPairs(base)
+      } else {
+        val small = base.where(!col("cl").isin(bigClusters: _*))
+        val big = base.where(col("cl").isin(bigClusters: _*))
+        // LSH candidates within (cluster, band, bucket); ids-only through
+        // the self-join and pair dedup (the cosinePairs shuffle
+        // discipline), persisted because the salted verify reads the pair
+        // set once per hot-set barrier
+        val cand = semanticLshCandidates(big, sess)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val saltAt = sess.conf.getOption("graft.skew.saltAt")
+          .map(_.toLong).getOrElse(1000000L)
+        val saltF = sess.conf.getOption("graft.skew.saltFactor")
+          .map(_.toInt).getOrElse(16)
+        val verified = Skew.saltedVerifyJoin(cand,
+            big.select(col("id").as("id_a"), col("v").as("v_a")),
+            big.select(col("id").as("id_b"), col("v").as("v_b")),
+            saltAt, saltF)
+          .where(vec_dot(col("v_a"), col("v_b")) >= threshold)
+          .select(col("id_a").as("id"), col("id_b").as("dup_id"))
+        exactPairs(small).unionByName(verified)
+      }
+    val pairs = allPairs
+      .groupBy(col("id")).agg(min(col("dup_id")).as("dup_of"))
     df.join(pairs.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("is_dup", col("dup_of").isNotNull)
+  }
+
+  /** Analytic recall of the banded-RHP escape for a pair AT the
+    * threshold (pairs above it only do better — recall is monotone in
+    * cosine): per-bit collision `1 − θ/π`, a pair survives if all `bits`
+    * bits of SOME band agree. This is what makes the escape's recall gate
+    * checkable instead of hoped-for. */
+  private[graft] def lshEscapeRecall(threshold: Double, bands: Int,
+                                     bits: Int): Double = {
+    val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(pBit, bits), bands)
+  }
+
+  /** [[semanticDedup]]'s escape-path candidate generation, factored so
+    * DedupSpec can pin candidate volume ≪ pairs² directly: RHP-LSH
+    * banding of the big-cluster rows, self-joined on
+    * (cluster, band, bucket) — a candidate pair must share a bucket in
+    * SOME band of ITS OWN cluster. Output is `(id_a, id_b)` with
+    * `id_b < id_a` (the dup_of direction), deduplicated across bands. */
+  private[graft] def semanticLshCandidates(
+      big: DataFrame, sess: org.apache.spark.sql.SparkSession): DataFrame = {
+    import graft.functions.VecFunctions.rhp_buckets
+    val bands = sess.conf.getOption("graft.semdedup.bands")
+      .map(_.toInt).getOrElse(16)
+    val bits = sess.conf.getOption("graft.semdedup.bitsPerBand")
+      .map(_.toInt).getOrElse(8)
+    val bb = big.select(col("cl"), col("id"),
+        posexplode(rhp_buckets(col("v"), bands, bits)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(col("cl"), col("band"), col("bucket"), col("id"))
+    val capped = capBuckets(bb)
+    capped.select(col("cl"), col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("cl"), col("band"), col("bucket"),
+        col("id").as("id_b")), Seq("cl", "band", "bucket"))
+      .where(col("id_b") < col("id_a"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Near-dup pairs by EDIT DISTANCE — the character-level complement of

@@ -535,4 +535,106 @@ class DedupSpec extends AnyFunSuite {
     org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
     assert(graft.pipeline.Skew.recentHotObservations.isEmpty)
   }
+
+  test("r12: semanticDedup escapes quadratic mega-clusters — LSH candidates " +
+       "+ salted exact verify, output equal to the exact path") {
+    // one mega cluster: 40 groups x 3 identical vectors, one 30-wide
+    // boilerplate group (its ids ride 29 pairs each -> hot under
+    // saltAt=10), 150 distinct singles; plus a small cluster that must
+    // keep riding the exact path alongside
+    val rnd = new scala.util.Random(42)
+    val dim = 32
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
+    val groups = (0 until 40).flatMap { _ => val v = vec(); Seq.fill(3)(v) }
+    val boiler = { val v = vec(); Seq.fill(30)(v) }
+    val singles = Seq.fill(150)(vec())
+    val mega = (groups ++ boiler ++ singles).zipWithIndex.map {
+      case (v, i) => (i.toLong + 1L, 0, v)
+    }
+    val smallCl = Seq((9001L, 1, Seq.fill(dim)(1.0f)),
+      (9002L, 1, Seq.fill(dim)(1.0f)))
+    val df = (mega ++ smallCl).toDF("vec_id", "cl", "embedding")
+
+    def run() = Dedup.semanticDedup(df, "vec_id", "embedding", "cl", 0.9)
+      .select("vec_id", "dup_of", "is_dup").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2))).toSet
+
+    graft.pipeline.Skew.clearHotObservations()
+    spark.conf.set("graft.semdedup.escapeAt", "64")
+    spark.conf.set("graft.skew.saltAt", "10")
+    val escaped = try run() finally {
+      spark.conf.unset("graft.semdedup.escapeAt")
+      spark.conf.unset("graft.skew.saltAt")
+    }
+    val exact = run() // default escapeAt 1024 > 302 rows -> all-exact path
+    assert(escaped == exact,
+      s"escape path diverged: only-escaped=${(escaped -- exact).take(5)} " +
+        s"only-exact=${(exact -- escaped).take(5)}")
+    assert(exact.count(_._3) >= 80 + 29, "planted dups not found") // sanity
+    // the escape engaged the salting machinery: the boilerplate ids are
+    // hot in the candidate-pair frame, observed in-plan, and spread
+    // across salt reducers instead of straggling one task
+    org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+    val obs = graft.pipeline.Skew.recentHotObservations
+    assert(obs.nonEmpty, "expected a hot-id observation from the escape path")
+    assert(obs.last._1 >= 30L && obs.last._2 > 10L,
+      s"hotIds=${obs.last._1} maxPairs=${obs.last._2}")
+    // candidate volume tracks bucket collisions, not cluster^2
+    val big = df.where(col("cl") === 0).select(col("vec_id").as("id"),
+      col("cl"), col("embedding").cast("array<double>").as("v"))
+    val n = mega.size.toLong
+    val cands = Dedup.semanticLshCandidates(big, spark).count()
+    assert(cands < n * (n - 1) / 2 / 5,
+      s"candidates $cands vs all-pairs ${n * (n - 1) / 2}")
+  }
+
+  test("r12: the escape is RECALL-GATED — at a low threshold semanticDedup " +
+       "keeps the exact path even above escapeAt, never silently lossy") {
+    // analytic banded-RHP recall at the threshold: sound in the SemDeDup
+    // regime, hopeless at 0.3 (a 0.3-cosine pair is barely outside the
+    // random-pair distribution — banding can't separate it from background)
+    assert(Dedup.lshEscapeRecall(1.0, 16, 8) == 1.0)
+    assert(Dedup.lshEscapeRecall(0.95, 16, 8) > 0.999)
+    assert(Dedup.lshEscapeRecall(0.9, 16, 8) > 0.99)
+    assert(Dedup.lshEscapeRecall(0.3, 16, 8) < 0.5)
+    // one over-gate cluster whose qualifying pairs live at cos ≈ 0.45 —
+    // exactly the regime the banding would drop ~3/4 of. A hub vector
+    // rides ~30 pairs, so IF the salted escape engaged at saltAt=1 it
+    // would record a hot-id observation; the gate must refuse instead.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    def vec(): Seq[Double] = Seq.fill(dim)(rnd.nextGaussian())
+    val hub = vec()
+    val spokes = (0 until 30).map { _ =>
+      val u = vec(); hub.zip(u).map { case (x, y) => 0.45 * x + 0.9 * y }
+    }
+    val singles = Seq.fill(100)(vec())
+    val rows = (Seq(hub) ++ spokes ++ singles).zipWithIndex.map {
+      case (v, i) => (i.toLong + 1L, 0, v)
+    }
+    val df = rows.toDF("vec_id", "cl", "embedding")
+    def run() = Dedup.semanticDedup(df, "vec_id", "embedding", "cl", 0.3)
+      .select("vec_id", "dup_of", "is_dup").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2))).toSet
+    graft.pipeline.Skew.clearHotObservations()
+    spark.conf.set("graft.semdedup.escapeAt", "8")
+    spark.conf.set("graft.skew.saltAt", "1")
+    val gated = try run() finally {
+      spark.conf.unset("graft.semdedup.escapeAt")
+      spark.conf.unset("graft.skew.saltAt")
+    }
+    val exact = run() // default escapeAt 1024 > 131 rows -> exact by size
+    assert(gated == exact,
+      s"recall gate diverged: only-gated=${(gated -- exact).take(5)} " +
+        s"only-exact=${(exact -- gated).take(5)}")
+    assert(exact.count(_._3) >= 20, "planted moderate-cosine dups not found")
+    // structural proof the LSH escape never ran: at saltAt=1 the hub id is
+    // hot in any candidate-pair frame, so an engaged escape would have
+    // recorded an observation
+    org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+    assert(graft.pipeline.Skew.recentHotObservations.isEmpty,
+      "salted escape machinery engaged despite the recall gate")
+  }
 }

@@ -42,6 +42,16 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
+    // fixture identity gate (r12): when a checked-in manifest exists for
+    // this fixture (fixtures/<basename>.manifest.json — recorded for the
+    // regenerable /tmp/graft-sf1, absent for the driver-owned testdata
+    // dirs), refuse to time a fixture that doesn't match it — otherwise a
+    // silently-different regeneration poisons every round-over-round
+    // comparison. One counting pass per table, before any timer starts.
+    FixtureManifest.checkedInManifest(sfDir).foreach { m =>
+      FixtureManifest.check(spark, sfDir, m.toString)
+      System.err.println(s"[bench] fixture $sfDir matches manifest $m")
+    }
     // warm the session (codegen compiler, parquet reader init, OS page
     // cache) so no timed query absorbs one-time setup: the first read of
     // documents.parquet otherwise costs ~1.5s of decompress/init that

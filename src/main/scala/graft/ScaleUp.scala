@@ -94,6 +94,15 @@ object ScaleUp {
         s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
           s"slice(embedding, 1, $i))"))
     }, "embeddings")
+    // fixture identity (see FixtureManifest): the manifest rides with the
+    // generated data; Bench compares it against the checked-in contract
+    // (fixtures/<basename>.manifest.json) so round-over-round numbers are
+    // provably same-data, not same-path
+    FixtureManifest.write(spark, out, s"$out/manifest.json")
+    FixtureManifest.checkedInManifest(out).foreach { m =>
+      FixtureManifest.check(spark, out, m.toString)
+      System.err.println(s"[scaleup] fixture matches checked-in manifest $m")
+    }
     spark.stop()
   }
 }

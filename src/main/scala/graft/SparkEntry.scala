@@ -807,6 +807,42 @@ object SparkEntry {
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id"))
     }),
+    "q_bm25_upsert_store" -> ((s, dir) => {
+      // EDIT-tolerant maintenance proof (same oracle as
+      // q_search_bm25_store): the VERSIONED stores seed from half the
+      // corpus with POLLUTED text (an extra stale token per doc, gen 0);
+      // then EVERY doc — including the polluted half, edited back to its
+      // true text — upserts at gen 1: appendPostings stamps the fresh
+      // rows, upsertNorms merges by key, and bm25Indexed's live-row
+      // filter (postings gen == the doc's current norms gen) drops the
+      // whole stale generation, so BM25 served from the upserted stores
+      // must hash-equal the full-corpus oracle. This is the batch twin of
+      // StreamingIndexer.upsertStreamServed's per-micro-batch maintenance.
+      val path = memoStore("bm25_store_upsert", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val half = pmod(xxhash64(col("doc_id")), lit(2))
+        val polluted = d.where(half === 0)
+          .withColumn("text", concat(col("text"), lit(" zzstaletoken")))
+        TextIndex.writePostings(
+          TextIndex.buildPostings(polluted, "doc_id", Seq("text"), 16)
+            .withColumn("gen", lit(0L)), s"$p/postings")
+        TextIndex.buildNorms(polluted, "doc_id", Seq("text"))
+          .withColumn("gen", lit(0L))
+          .write.mode("overwrite").parquet(s"$p/norms")
+        TextIndex.appendPostings(d, "doc_id", Seq("text"), s"$p/postings",
+          16, gen = Some(1L))
+        TextIndex.upsertNorms(d, "doc_id", Seq("text"), s"$p/norms",
+          gen = Some(1L))
+      }
+      val postings = s.read.option("basePath", s"$path/postings")
+        .parquet(s"$path/postings")
+      val norms = s.read.parquet(s"$path/norms")
+      TextIndex.bm25Indexed(postings, norms, "text", Seq("spark", "query"),
+          nBuckets = 16)
+        .orderBy(desc("_bm25"), col("doc_id")).limit(50)
+        .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    }),
     "q_index_create" -> ((s, dir) => {
       // M1+M2 physically: write the doc table partitioned by segment, read
       // it back, count per partition — create/roll as partition layout
@@ -3403,6 +3439,30 @@ object SparkEntry {
           "vec_id", "embedding", "list_id", threshold = 0.3)
         .select(col("vec_id"), col("list_id"), col("is_dup"))
         .orderBy(col("vec_id"))
+    }),
+    "q_dedup_semantic_escape" -> ((s, dir) => {
+      // the ESCAPE-path twin of q_dedup_semantic, in the threshold regime
+      // the escape is sound for (SemDeDup's own eps ≈ 0.95, where the
+      // recall gate passes — at this corpus's pair-cosine distribution the
+      // 0.3 threshold keeps the exact path by design, so this query is
+      // what exercises the banded path against a full oracle). Planted
+      // exact duplicates (every 4th vec_id re-inserted under a shifted id)
+      // are the ONLY ≥0.95 pairs (verified: nothing in [0.9, 1) among
+      // originals), and identical vectors collide in EVERY band — banding
+      // recall is exactly 1 here, so the LSH escape is oracle-exact, not
+      // approximately so. escapeAt=32 forces every label cluster through
+      // the escape at all scales; conf reads happen at plan construction,
+      // so the finally-reset can't leak into other queries.
+      val emb = tbl(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val copies = emb.where(pmod(col("vec_id"), lit(4)) === 0)
+        .withColumn("vec_id", col("vec_id") + lit(maxId + 1L))
+      s.conf.set("graft.semdedup.escapeAt", "32")
+      try pipeline.Dedup.semanticDedup(emb.unionByName(copies),
+          "vec_id", "embedding", "label", threshold = 0.95)
+        .select(col("vec_id"), col("label"), col("dup_of"), col("is_dup"))
+        .orderBy(col("vec_id"))
+      finally s.conf.unset("graft.semdedup.escapeAt")
     }),
     "q_text_tokens" -> ((s, dir) => {
       tbl(s, dir, "documents")
@@ -6207,6 +6267,22 @@ object SparkEntry {
            GROUP BY 1)
          SELECT e.vec_id, e.label, p.dup_of, p.dup_of IS NOT NULL AS is_dup
          FROM e LEFT JOIN p ON e.vec_id = p.vec_id ORDER BY e.vec_id""",
+    "q_dedup_semantic_escape" ->
+      """WITH e0 AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+         e AS (
+           SELECT vec_id, label, emb FROM e0
+           UNION ALL
+           SELECT vec_id + (SELECT max(vec_id) + 1 FROM e0), label, emb
+           FROM e0 WHERE vec_id % 4 = 0),
+         p AS (
+           SELECT a.vec_id AS vec_id, min(b.vec_id) AS dup_of
+           FROM e a JOIN e b ON a.label = b.label AND b.vec_id < a.vec_id
+             AND list_cosine_similarity(a.emb, b.emb) >= 0.95
+           GROUP BY 1)
+         SELECT e.vec_id, e.label, p.dup_of, p.dup_of IS NOT NULL AS is_dup
+         FROM e LEFT JOIN p ON e.vec_id = p.vec_id ORDER BY e.vec_id""",
     "q_text_tokens" ->
       """SELECT doc_id,
            len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS n_ws_tokens,
@@ -7395,5 +7471,6 @@ object SparkEntry {
     "q_suggest_term_store" -> baseOracles("q_suggest_term"),
     "q_suggest_store_append" -> baseOracles("q_suggest_phrase_store"),
     "q_completion_store_append" -> baseOracles("q_suggest_completion_store"),
-    "q_norms_append" -> baseOracles("q_search_bm25_store"))
+    "q_norms_append" -> baseOracles("q_search_bm25_store"),
+    "q_bm25_upsert_store" -> baseOracles("q_search_bm25_store"))
 }

@@ -3507,6 +3507,36 @@ object SparkEntry {
       TextStats.bigramLogLoss(tbl(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))
     }),
+    "q_text_bigram_nll_store" -> ((s, dir) => {
+      // store-served twin of q_text_bigram_nll (the CCNet shape at
+      // 100 TB: the corpus LM is built ONCE into a vocabulary-sized
+      // count table; scoring joins that table and never re-aggregates
+      // the corpus). Same oracle; oov_bigrams is 0 on the building
+      // corpus by construction and projected away.
+      val path = memoStore("bigram_lm", dir) { p =>
+        pipeline.TextStats.writeBigramLm(tbl(s, dir, "documents"), "text", p)
+      }
+      pipeline.TextStats.bigramLogLossFromStore(
+          tbl(s, dir, "documents"), "text", "doc_id", path)
+        .select(col("doc_id"), col("bigram_nll"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_bigram_lm_append" -> ((s, dir) => {
+      // incremental LM maintenance: build the store from half the corpus,
+      // append the other half — counts are additive, so serve-from-store
+      // must hash-equal the SAME full-corpus oracle as q_text_bigram_nll
+      // (the q_norms_append / q_suggest_store_append convention).
+      val path = memoStore("bigram_lm_append", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val half = pmod(xxhash64(col("doc_id")), lit(2))
+        pipeline.TextStats.writeBigramLm(d.where(half === 0), "text", p)
+        pipeline.TextStats.appendBigramLm(d.where(half === 1), "text", p)
+      }
+      pipeline.TextStats.bigramLogLossFromStore(
+          tbl(s, dir, "documents"), "text", "doc_id", path)
+        .select(col("doc_id"), col("bigram_nll"))
+        .orderBy(col("doc_id"))
+    }),
     "q_text_dup_ngrams" -> ((s, dir) => {
       // corpus-wide duplicate 3-gram fraction — the RefinedWeb/Dolma
       // boilerplate signal (fraction of the doc's gram instances whose
@@ -7472,5 +7502,7 @@ object SparkEntry {
     "q_suggest_store_append" -> baseOracles("q_suggest_phrase_store"),
     "q_completion_store_append" -> baseOracles("q_suggest_completion_store"),
     "q_norms_append" -> baseOracles("q_search_bm25_store"),
-    "q_bm25_upsert_store" -> baseOracles("q_search_bm25_store"))
+    "q_bm25_upsert_store" -> baseOracles("q_search_bm25_store"),
+    "q_text_bigram_nll_store" -> baseOracles("q_text_bigram_nll"),
+    "q_bigram_lm_append" -> baseOracles("q_text_bigram_nll"))
 }

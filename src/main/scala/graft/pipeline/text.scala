@@ -239,13 +239,7 @@ object TextStats {
     * tables are vocabulary-sized, so AQE broadcasts them into the scoring
     * join. */
   def bigramLogLoss(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      x => length(x) > 0)
-    val pairs = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - lit(1)),
-        i => array_join(slice(toks, i, lit(2)), " ")))
-      .otherwise(array())
-    val b = df.select(col(idCol), explode(pairs).as("bg"))
+    val b = df.select(col(idCol), explode(wsBigramPairs(textCol)).as("bg"))
     val bigramC = b.groupBy("bg").agg(count(lit(1)).cast("double").as("cb"))
     val headC = bigramC
       .withColumn("w1", split(col("bg"), " ").getItem(0))
@@ -254,6 +248,84 @@ object TextStats {
       .join(bigramC, "bg").join(headC, "w1")
       .groupBy(col(idCol))
       .agg(round(-avg(log(col("cb") / col("ch"))), 4).as("bigram_nll"))
+  }
+
+  /** Adjacent whitespace-token bigrams of a text column ("w1 w2" strings,
+    * lowercased), the key relation shared by [[bigramLogLoss]] and the
+    * bigram-LM store. Docs with < 2 tokens yield the empty array. */
+  private def wsBigramPairs(textCol: String): Column = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - lit(1)),
+        i => array_join(slice(toks, i, lit(2)), " ")))
+      .otherwise(array())
+  }
+
+  /** Materialize the corpus bigram LM — the 100 TB shape behind
+    * [[bigramLogLoss]] (and CCNet/KenLM-style perplexity filtering
+    * generally): the LM build is a corpus pass, but the MODEL is
+    * vocabulary-sized (one `(bg, cb)` count row per distinct bigram).
+    * Build it once; every scoring run after that reads the count table
+    * and never re-aggregates the corpus — exactly how CCNet scores
+    * incoming shards against a pretrained LM rather than rebuilding one
+    * per shard. Written sorted on the bigram key so probe-shaped reads
+    * prune row groups by min/max (the [[graft.Search.writeSuggestStore]]
+    * discipline; that store is the ANALYZER-tokenized twin serving the
+    * phrase suggester — this one keeps [[bigramLogLoss]]'s whitespace
+    * tokenization so served scores can equal the direct operator's). */
+  def writeBigramLm(df: DataFrame, textCol: String, path: String): Unit =
+    df.select(explode(wsBigramPairs(textCol)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).cast("long").as("cb"))
+      .sort("bg").write.mode("overwrite").parquet(path)
+
+  /** Incremental maintenance for [[writeBigramLm]]: counts are additive,
+    * so the delta LM over ONLY the new docs merges by key into the stored
+    * table — one batch-sized pass plus a vocabulary-bounded rewrite,
+    * never a corpus pass, and `append(A); append(B)` ≡ `write(A ∪ B)`
+    * exactly (pinned by `q_bigram_lm_append` against the full-corpus
+    * oracle). Contract: NEW documents only — an in-place edit would need
+    * its old bigrams subtracted; rebuild for that, as with
+    * [[graft.Search.appendSuggestStore]]. */
+  def appendBigramLm(newDocs: DataFrame, textCol: String, path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val delta = newDocs.select(explode(wsBigramPairs(textCol)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).cast("long").as("cb"))
+    graft.Maintain.stagedRewrite(spark, path) { tmp =>
+      spark.read.parquet(path).unionByName(delta)
+        .groupBy("bg").agg(sum(col("cb")).cast("long").as("cb"))
+        .sort("bg").write.parquet(tmp)
+    }
+  }
+
+  /** Serve [[bigramLogLoss]] from a [[writeBigramLm]] store: per-doc
+    * bigram explode (narrow scan-side work) joined against the
+    * vocabulary-sized count tables (head counts derive from the stored
+    * table by one vocabulary-bounded aggregate — `Σ cb` per head), then
+    * one per-doc hash aggregate. The corpus that BUILT the LM is never
+    * re-read. On that corpus the output equals the direct operator
+    * exactly (every bigram is in the model by construction, `oov_bigrams`
+    * = 0). Scoring NOVEL docs is the open-vocabulary case the in-corpus
+    * operator never faces: unseen bigrams carry no model probability, so
+    * they are EXCLUDED from the average (never a fake penalty constant)
+    * and reported per doc in `oov_bigrams`; a doc whose bigrams are all
+    * unseen gets a NULL nll. Callers wanting smoothed open-vocabulary
+    * scores should add them explicitly — silent backoff here would make
+    * served and direct scores disagree on shared docs. */
+  def bigramLogLossFromStore(df: DataFrame, textCol: String, idCol: String,
+                             lmPath: String): DataFrame = {
+    val lm = df.sparkSession.read.parquet(lmPath)
+      .select(col("bg"), col("cb").cast("double").as("cb"))
+    val headC = lm.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("cb")).as("ch"))
+    df.select(col(idCol), explode(wsBigramPairs(textCol)).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(lm, Seq("bg"), "left")
+      .join(headC, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        round(-avg(log(col("cb") / col("ch"))), 4).as("bigram_nll"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("oov_bigrams"))
   }
 
   /** Top-k distinctive terms per doc by TF-IDF

@@ -225,6 +225,36 @@ class DedupSpec extends AnyFunSuite {
     assert(e2(3) == 1.0986 && e2(1) == 0.4055) // -ln(2/3)
   }
 
+  test("r12: bigram LM store — served NLL equals direct, appends merge " +
+       "additively, unseen bigrams count as oov instead of faking a score") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram_lm").toString
+    val a = Seq((1, "a b a b"), (2, "a b")).toDF("id", "text")
+    val b = Seq((3, "a c"), (4, "x")).toDF("id", "text")
+    val all = a.unionByName(b)
+    // build(A) + append(B) must serve exactly like build(A ∪ B)
+    TextStats.writeBigramLm(a, "text", s"$dir/lm")
+    TextStats.appendBigramLm(b, "text", s"$dir/lm")
+    val served = TextStats.bigramLogLossFromStore(all, "text", "id", s"$dir/lm")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = TextStats.bigramLogLoss(all, "text", "id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), 0L)).toSet
+    assert(served == direct, s"served=$served direct=$direct")
+    assert(served.forall(_._3 == 0L)) // building corpus: nothing is oov
+    // open vocabulary: 'a q' and 'q b' are not in the LM — excluded from
+    // the average and counted, never scored with a made-up probability;
+    // in-model bigrams still score (corpus: C(a b)=3, C(b a)=1, C(a c)=1
+    // -> heads C(a ·)=4, C(b ·)=1)
+    val novel = Seq((9, "a b"), (10, "a q"), (11, "q b a b"))
+      .toDF("id", "text")
+    val nine = TextStats.bigramLogLossFromStore(novel, "text", "id", s"$dir/lm")
+      .collect().map(r => r.getInt(0) -> ((if (r.isNullAt(1)) None
+        else Some(r.getDouble(1))), r.getLong(2))).toMap
+    assert(nine(9) == ((Some(0.2877), 0L)))  // -ln(3/4)
+    assert(nine(10) == ((None, 1L)))         // all bigrams oov -> null nll
+    // 'q b' oov; scored half: -avg(ln(1/1), ln(3/4)) = 0.1438
+    assert(nine(11) == ((Some(0.1438), 1L)))
+  }
+
   test("duplicate n-gram fraction: corpus-wide gram instances seen >= 2 times") {
     val df = Seq(
       (1, "the quick brown fox"), (2, "the quick brown cat"),

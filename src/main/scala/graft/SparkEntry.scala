@@ -497,6 +497,28 @@ object SparkEntry {
         .select(col("doc_id"), col("_score"))
         .orderBy(col("doc_id"))
     }),
+    "q_search_mlt_store" -> ((s, dir) => {
+      // store-served twin of q_search_mlt (same oracle): the corpus-df
+      // statistics pass reads the bucketed postings store through the
+      // candidate-bounded probe path instead of re-tokenizing the corpus;
+      // the one remaining corpus scan is the hit page itself (inherent —
+      // MLT returns corpus hits). Shares the bm25_store postings.
+      val path = memoStore("bm25_store", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        TextIndex.writePostings(
+          TextIndex.buildPostings(d, "doc_id", Seq("text"), 16), s"$p/postings")
+        TextIndex.buildNorms(d, "doc_id", Seq("text"))
+          .write.mode("overwrite").parquet(s"$p/norms")
+      }
+      val postings = s.read.option("basePath", s"$path/postings")
+        .parquet(s"$path/postings")
+      Search.moreLikeThisFromStore(tbl(s, dir, "documents"), postings, "text",
+          likeIds = Seq(1L, 2L, 3L), cfg = IndexConfig(maxResults = 100000),
+          minTermFreq = 2, minDocFreq = 5, maxQueryTerms = 10,
+          minimumShouldMatchPct = 30, nBuckets = 16)
+        .select(col("doc_id"), col("_score"))
+        .orderBy(col("doc_id"))
+    }),
     "q_search_bool_prefix" -> ((s, dir) => {
       // R3: match_bool_prefix — type-ahead: spark as a term AND quer* as
       // the still-being-typed prefix, each its own scoring clause
@@ -7504,5 +7526,6 @@ object SparkEntry {
     "q_norms_append" -> baseOracles("q_search_bm25_store"),
     "q_bm25_upsert_store" -> baseOracles("q_search_bm25_store"),
     "q_text_bigram_nll_store" -> baseOracles("q_text_bigram_nll"),
-    "q_bigram_lm_append" -> baseOracles("q_text_bigram_nll"))
+    "q_bigram_lm_append" -> baseOracles("q_text_bigram_nll"),
+    "q_search_mlt_store" -> baseOracles("q_search_mlt"))
 }

@@ -666,6 +666,20 @@ object Search {
       .orderBy(desc("_s"), asc("_t"))
       .limit(maxQueryTerms)
       .select("_t").collect().map(_.getString(0)).toSeq // bounded: <= maxQueryTerms
+    mltQueryPhase(docs, field, picked, likeIds, idCol,
+      minimumShouldMatchPct, cfg)
+  }
+
+  /** [[moreLikeThis]]'s query phase, shared with the store-served form:
+    * OR of whole-token matches over the selected terms, `_score` =
+    * matched-term count, `minimumShouldMatchPct`% floor, like-docs
+    * excluded, score-desc/id-asc page. One codegen'd corpus scan — the
+    * inherent cost of RETURNING corpus hits; what the two forms differ on
+    * is how the term-selection df statistics were paid for. */
+  private def mltQueryPhase(docs: DataFrame, field: String,
+                            picked: Seq[String], likeIds: Seq[Any],
+                            idCol: String, minimumShouldMatchPct: Int,
+                            cfg: IndexConfig): DataFrame = {
     if (picked.isEmpty) return docs.where(lit(false)).withColumn("_score", lit(0))
     val matched = picked
       .map(t => QueryCompiler.termMatch(field, QueryCompiler.escapeTerm(t)))
@@ -678,6 +692,75 @@ object Search {
       .withColumn("_score", matched)
       .orderBy(desc("_score"), asc(idCol))
       .limit(cfg.maxResults)
+  }
+
+  /** [[moreLikeThis]] with the corpus-df pass served from a
+    * [[TextIndex.buildPostings]] store instead of re-tokenizing the
+    * corpus — the store-served twin the scan form's own doc points at.
+    * df(term) is the term's postings row count (rows are unique per
+    * (token, field, doc)), read through the bucket-pruned probe path
+    * ([[TextIndex.postingsFor]]): the candidate set is bounded
+    * (≤ 10·maxQueryTerms terms by like-tf), so the df probe touches
+    * candidate-sized data where the scan form pays one full corpus
+    * tokenize+distinct per call. Term selection then ranks driver-side
+    * over those ≤ 10·maxQueryTerms (tf, df) pairs — same `tf/(df+1)`
+    * IEEE division, same desc-score/asc-term order, so the selected
+    * terms (and with them the hit page) are IDENTICAL to the scan form's
+    * on the store's own corpus (pinned in SearchSpec; the driver proves
+    * it against `q_search_mlt`'s oracle). The store must index `field`
+    * over the same docs frame with the shared analyzer token model —
+    * stats staleness under edits is [[TextIndex.buildPostings]]'s
+    * documented contract, same as BM25 serving. The query phase is the
+    * same single corpus scan: MLT RETURNS corpus hits, so that pass is
+    * inherent; the store removes the second (statistics) pass. */
+  def moreLikeThisFromStore(docs: DataFrame, postings: DataFrame,
+                            field: String,
+                            likeIds: Seq[Any] = Seq.empty,
+                            likeText: Option[String] = None,
+                            cfg: IndexConfig = IndexConfig(),
+                            idCol: String = "doc_id",
+                            minTermFreq: Int = 2, minDocFreq: Int = 5,
+                            maxQueryTerms: Int = 25,
+                            minimumShouldMatchPct: Int = 30,
+                            nBuckets: Int = 64): DataFrame = {
+    require(likeIds.nonEmpty ^ likeText.isDefined,
+      "more_like_this needs exactly one of likeIds / likeText")
+    require(minTermFreq >= 1 && minDocFreq >= 1 && maxQueryTerms >= 1,
+      "more_like_this thresholds must be >= 1")
+    require(minimumShouldMatchPct >= 0 && minimumShouldMatchPct <= 100,
+      s"minimum_should_match must be a percentage in [0, 100]")
+    val spark = docs.sparkSession
+    def toks(c: Column) =
+      filter(split(lower(c), "[^a-z0-9_]+"), t => length(t) > 0)
+    val likeToks = likeText match {
+      case Some(t) =>
+        import spark.implicits._
+        Seq(t).toDF(field).select(explode(toks(col(field))).as("_t"))
+      case None =>
+        docs.where(col(idCol).isin(likeIds: _*))
+          .select(explode(toks(col(field))).as("_t"))
+    }
+    // bounded: <= 10 * maxQueryTerms (term, like-tf) pairs
+    val cand = likeToks.groupBy("_t").agg(count(lit(1)).as("_tf"))
+      .where(col("_tf") >= minTermFreq)
+      .orderBy(desc("_tf"), asc("_t")).limit(maxQueryTerms * 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    if (cand.isEmpty)
+      return docs.where(lit(false)).withColumn("_score", lit(0))
+    val probes: Set[TextIndex.Probe] =
+      cand.map { case (t, _) => TextIndex.EqProbe(field, t) }.toSet
+    val dfMap = TextIndex.postingsFor(postings, probes, nBuckets)
+      .where(col("field") === field)
+      .groupBy(col("token")).agg(count(lit(1)).as("_df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val picked = cand
+      .map { case (t, tf) => (t, tf, dfMap.getOrElse(t, 0L)) }
+      .filter(_._3 >= minDocFreq)
+      .map { case (t, tf, df) => (t, tf.toDouble / (df + 1L)) }
+      .sortBy { case (t, s) => (-s, t) }
+      .take(maxQueryTerms).map(_._1)
+    mltQueryPhase(docs, field, picked, likeIds, idCol,
+      minimumShouldMatchPct, cfg)
   }
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -767,6 +767,50 @@ class SearchSpec extends AnyFunSuite {
       likeIds = Seq("1"), likeText = Some("x")))
   }
 
+  test("r12: more_like_this from the postings store — selected terms and " +
+       "hit page equal the scan form; df probe is candidate-bounded") {
+    val d = Seq(
+      ("1", "tungsten codegen tungsten pipeline spark spark"),
+      ("2", "tungsten runtime with codegen tungsten"),
+      ("3", "spark spark spark batch"),
+      ("4", "unrelated text entirely"),
+      ("5", "tungsten tungsten appears here codegen")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mlt_store").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(d, "doc_id", Seq("text"), 8), s"$dir/postings")
+    val postings = spark.read.option("basePath", s"$dir/postings")
+      .parquet(s"$dir/postings")
+    def page(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "_score").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSeq
+    // tie-heavy parameters exercise the desc-score/asc-term ordering both
+    // selection phases must agree on
+    for ((mtf, mdf, mqt, msm) <- Seq((2, 2, 2, 50), (1, 1, 5, 30),
+                                     (2, 3, 1, 100))) {
+      val scan = page(Search.moreLikeThis(d, "text", likeIds = Seq("1"),
+        minTermFreq = mtf, minDocFreq = mdf, maxQueryTerms = mqt,
+        minimumShouldMatchPct = msm))
+      val served = page(Search.moreLikeThisFromStore(d, postings, "text",
+        likeIds = Seq("1"), minTermFreq = mtf, minDocFreq = mdf,
+        maxQueryTerms = mqt, minimumShouldMatchPct = msm, nBuckets = 8))
+      assert(served == scan, s"params=($mtf,$mdf,$mqt,$msm) " +
+        s"served=$served scan=$scan")
+    }
+    // free-text likes serve identically too
+    val ftScan = page(Search.moreLikeThis(d, "text",
+      likeText = Some("tungsten tungsten codegen codegen"),
+      minTermFreq = 2, minDocFreq = 2, minimumShouldMatchPct = 100))
+    val ftServed = page(Search.moreLikeThisFromStore(d, postings, "text",
+      likeText = Some("tungsten tungsten codegen codegen"),
+      minTermFreq = 2, minDocFreq = 2, minimumShouldMatchPct = 100,
+      nBuckets = 8))
+    assert(ftServed == ftScan)
+    // no surviving candidate: empty result, schema intact, store untouched
+    val none = Search.moreLikeThisFromStore(d, postings, "text",
+      likeIds = Seq("4"), minTermFreq = 2, minDocFreq = 2, nBuckets = 8)
+    assert(none.columns.contains("_score") && none.count() == 0)
+  }
+
   test("knn: exact cosine top-k, ES score mapping, filter during search") {
     val vecs = Seq(
       (1L, Array(1.0, 0.0), "a"), (2L, Array(0.9, 0.1), "a"),

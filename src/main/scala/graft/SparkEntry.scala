@@ -2312,6 +2312,28 @@ object SparkEntry {
         .select(col("key"), col("doc_count"), col("bg_count"),
           round(col("score"), 6).as("score"))
     }),
+    "q_agg_significant_text_store" -> ((s, dir) => {
+      // store-served twin of q_agg_significant_text (same oracle): the
+      // background token statistics read from the postings + norms stores
+      // (bg df = postings row count per token, bg total = norms rows),
+      // so only the hit set is tokenized per call — the corpus pass moved
+      // into the one-time store build. Shares the bm25_store.
+      val path = memoStore("bm25_store", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        TextIndex.writePostings(
+          TextIndex.buildPostings(d, "doc_id", Seq("text"), 16), s"$p/postings")
+        TextIndex.buildNorms(d, "doc_id", Seq("text"))
+          .write.mode("overwrite").parquet(s"$p/norms")
+      }
+      val postings = s.read.option("basePath", s"$path/postings")
+        .parquet(s"$path/postings")
+      val norms = s.read.parquet(s"$path/norms")
+      Aggs.significantTextFromStore(
+          tbl(s, dir, "documents").where(col("lang") === "de"),
+          postings, norms, "text", size = 10)
+        .select(col("key"), col("doc_count"), col("bg_count"),
+          round(col("score"), 6).as("score"))
+    }),
     "q_agg_sampler" -> ((s, dir) => {
       // diversified_sampler: at most 2 docs per source, first 100 by id
       // (declared deterministic analog of ES's per-shard relevance
@@ -7527,5 +7549,6 @@ object SparkEntry {
     "q_bm25_upsert_store" -> baseOracles("q_search_bm25_store"),
     "q_text_bigram_nll_store" -> baseOracles("q_text_bigram_nll"),
     "q_bigram_lm_append" -> baseOracles("q_text_bigram_nll"),
-    "q_search_mlt_store" -> baseOracles("q_search_mlt"))
+    "q_search_mlt_store" -> baseOracles("q_search_mlt"),
+    "q_agg_significant_text_store" -> baseOracles("q_agg_significant_text"))
 }

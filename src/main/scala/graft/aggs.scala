@@ -1141,6 +1141,42 @@ object Aggs {
       .limit(size)
   }
 
+  /** `significant_text` served from index stores — the store twin of the
+    * in-query form: the background statistics it needs are EXACTLY what
+    * the text index already materializes (bg doc frequency per token =
+    * postings row count — rows are unique per (token, field, doc) with
+    * each doc contributing a distinct-token set, the same `array_distinct`
+    * the scan form applies; bg total = the norms table's row count for the
+    * field), so only the FOREGROUND pass still reads text — and fg is the
+    * query's hit set, not the corpus. The scan form re-tokenizes the whole
+    * background corpus per call; at 100 TB that is the difference between
+    * a hit-sized job and a corpus job. Output is identical to the
+    * in-query `significant_text` on the store's own corpus (same JLH /
+    * chi-square arithmetic via the shared scoring tail; pinned in
+    * AggsSpec and against `q_agg_significant_text`'s oracle), with one
+    * declared edge: [[TextIndex.buildNorms]] indexes a NULL field as the
+    * empty string (one norms row per doc regardless), so on a corpus WITH
+    * null fields the scan form's is-not-null bg total differs — filter
+    * nulls out before building the stores if that distinction matters. */
+  def significantTextFromStore(fg: DataFrame, postings: DataFrame,
+                               norms: DataFrame, field: String,
+                               size: Int = 10,
+                               heuristic: String = "jlh"): DataFrame = {
+    val fgCounts = fg.where(col(field).isNotNull)
+      .select(explode(array_distinct(
+        filter(split(lower(col(field)), "[^a-z0-9_]+"),
+          t => length(t) > 0))).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("doc_count"))
+    val bgCounts = postings.where(col("field") === field)
+      .groupBy(col("token").as("key"))
+      .agg(count(lit(1)).as("bg_count"))
+    val fgTotal = fg.where(col(field).isNotNull)
+      .agg(count(lit(1)).as("_fg_total"))
+    val bgTotal = norms.where(col("field") === field)
+      .agg(count(lit(1)).as("_bg_total"))
+    sigScored(fgCounts, bgCounts, fgTotal, bgTotal, size, heuristic)
+  }
+
   /** `filters` aggregation: one named bucket per sub-query, each with
     * doc_count + metric sub-aggs — compiled as ONE single-pass conditional
     * aggregate (`count(when(pred, 1))` / `avg(when(pred, f))` …): every

@@ -954,6 +954,30 @@ class AggsSpec extends AnyFunSuite {
     assert(!out.contains("flink")) // not in the fg slice at all
   }
 
+  test("r12: significant_text from the postings + norms stores equals the " +
+       "scan form — bg statistics read index-side, only the hits tokenize") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_store").toString
+    TextIndex.writePostings(
+      TextIndex.buildPostings(docs, "doc_id", Seq("text"), 4), s"$dir/postings")
+    TextIndex.buildNorms(docs, "doc_id", Seq("text"))
+      .write.parquet(s"$dir/norms")
+    val postings = spark.read.option("basePath", s"$dir/postings")
+      .parquet(s"$dir/postings")
+    val norms = spark.read.parquet(s"$dir/norms")
+    for (h <- Seq("jlh", "chi_square")) {
+      val scan = Aggs.runSingle(docs,
+        s"""{"query": {"term": {"lang": "en"}},
+            "aggs": {"sig": {"significant_text":
+              {"field": "text", "size": 5, "$h": {}}}}}""")
+        .collect().map(_.toString).toSeq
+      val served = Aggs.significantTextFromStore(
+          docs.where($"lang" === "en"), postings, norms, "text",
+          size = 5, heuristic = h)
+        .collect().map(_.toString).toSeq
+      assert(served == scan, s"heuristic=$h served=$served scan=$scan")
+    }
+  }
+
   test("sampler/diversified_sampler: deterministic id-order sample feeds one sub-agg") {
     val out = Aggs.runSingle(docs,
       """{"aggs": {"s": {"sampler": {"shard_size": 3},

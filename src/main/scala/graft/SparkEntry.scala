@@ -3588,6 +3588,31 @@ object SparkEntry {
       TextStats.dupNgramFraction(tbl(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy(col("doc_id"))
     }),
+    "q_text_dup_ngrams_store" -> ((s, dir) => {
+      // store-served twin of q_text_dup_ngrams (same oracle): the corpus
+      // gram-count table is built once; scoring joins it instead of
+      // re-aggregating the corpus — the incremental boilerplate gate.
+      val path = memoStore("ngram_counts", dir) { p =>
+        pipeline.TextStats.writeNgramCounts(tbl(s, dir, "documents"),
+          "text", 3, p)
+      }
+      pipeline.TextStats.dupNgramFractionFromStore(
+          tbl(s, dir, "documents"), "text", "doc_id", 3, path)
+        .orderBy(col("doc_id"))
+    }),
+    "q_ngram_store_append" -> ((s, dir) => {
+      // half-corpus build + half-corpus append must serve exactly like a
+      // full build: gram counts are additive (same oracle again).
+      val path = memoStore("ngram_counts_append", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val half = pmod(xxhash64(col("doc_id")), lit(2))
+        pipeline.TextStats.writeNgramCounts(d.where(half === 0), "text", 3, p)
+        pipeline.TextStats.appendNgramCounts(d.where(half === 1), "text", 3, p)
+      }
+      pipeline.TextStats.dupNgramFractionFromStore(
+          tbl(s, dir, "documents"), "text", "doc_id", 3, path)
+        .orderBy(col("doc_id"))
+    }),
     "q_text_keywords" -> ((s, dir) => {
       // per-doc top-3 TF-IDF keywords, deterministic tie-break on token
       TextStats.keywords(tbl(s, dir, "documents"), "text", "doc_id", 3)
@@ -7550,5 +7575,7 @@ object SparkEntry {
     "q_text_bigram_nll_store" -> baseOracles("q_text_bigram_nll"),
     "q_bigram_lm_append" -> baseOracles("q_text_bigram_nll"),
     "q_search_mlt_store" -> baseOracles("q_search_mlt"),
-    "q_agg_significant_text_store" -> baseOracles("q_agg_significant_text"))
+    "q_agg_significant_text_store" -> baseOracles("q_agg_significant_text"),
+    "q_text_dup_ngrams_store" -> baseOracles("q_text_dup_ngrams"),
+    "q_ngram_store_append" -> baseOracles("q_text_dup_ngrams"))
 }

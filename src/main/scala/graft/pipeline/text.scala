@@ -216,6 +216,71 @@ object TextStats {
         count(lit(1)).as("n_ngrams"))
   }
 
+  /** Materialize corpus n-gram occurrence counts — [[dupNgramFraction]]'s
+    * store twin, the incremental-curation shape: the boilerplate gate
+    * asks "is this gram common in the corpus", and that count table is
+    * gram-vocabulary-sized while the build is a corpus pass. Write it
+    * once ([[writeNgramCounts]]), keep it current with batch-sized merges
+    * ([[appendNgramCounts]] — counts are additive, so
+    * `append(A); append(B)` ≡ `write(A ∪ B)` exactly, pinned by
+    * `q_ngram_store_append`), and score docs against it without
+    * re-counting the corpus ([[dupNgramFractionFromStore]]). */
+  def writeNgramCounts(df: DataFrame, textCol: String, n: Int,
+                       path: String): Unit = {
+    require(n >= 1, s"n must be positive, got $n")
+    ngramCounts(df, textCol, n)
+      .sort("g").write.mode("overwrite").parquet(path)
+  }
+
+  /** See [[writeNgramCounts]]; NEW documents only (an in-place edit would
+    * need its old grams subtracted — rebuild for that). */
+  def appendNgramCounts(newDocs: DataFrame, textCol: String, n: Int,
+                        path: String): Unit = {
+    require(n >= 1, s"n must be positive, got $n")
+    val spark = newDocs.sparkSession
+    val delta = ngramCounts(newDocs, textCol, n)
+    graft.Maintain.stagedRewrite(spark, path) { tmp =>
+      spark.read.parquet(path).unionByName(delta)
+        .groupBy("g").agg(sum(col("cg")).cast("long").as("cg"))
+        .sort("g").write.parquet(tmp)
+    }
+  }
+
+  private def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    df.select(explode(wordGrams(toks, n)).as("g"))
+      .groupBy("g").agg(count(lit(1)).cast("long").as("cg"))
+  }
+
+  /** Serve [[dupNgramFraction]] from a [[writeNgramCounts]] store: the
+    * per-doc gram explode (narrow scan-side work) joins the stored count
+    * table instead of a freshly-aggregated corpus relation — the corpus
+    * that built the store is never re-counted. On that corpus the output
+    * equals the direct operator exactly (every gram is in the store,
+    * including each doc's own repeats). Scoring NOVEL docs measures
+    * duplication AGAINST THE STORED CORPUS — the incremental-ingest gate
+    * "is this incoming doc boilerplate relative to what we have": a gram
+    * absent from the store counts as fresh (0), and a novel doc's
+    * internal repeats do NOT flag themselves the way an in-corpus count
+    * would — append the batch first if self-inclusive counts are
+    * wanted. */
+  def dupNgramFractionFromStore(df: DataFrame, textCol: String,
+                                idCol: String, n: Int,
+                                path: String): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val store = df.sparkSession.read.parquet(path)
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    df.select(col(idCol), explode(wordGrams(toks, n)).as("g"))
+      .join(store, Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(when(col("cg") >= 2, 1.0).otherwise(0.0)) /
+          count(lit(1)), 4).as("dup_ngram_frac"),
+        count(lit(1)).as("n_ngrams"))
+  }
+
   /** Per-doc conditional bigram cross-entropy under the CORPUS bigram
     * model — one order up from [[unigramLogLoss]] toward CCNet/KenLM-style
     * perplexity filtering: `nll(d) = −(1/|B_d|) Σ ln(C(w1 w2) / C(w1 ·))`

@@ -255,6 +255,29 @@ class DedupSpec extends AnyFunSuite {
     assert(nine(11) == ((Some(0.1438), 1L)))
   }
 
+  test("r12: n-gram count store — served dup fraction equals direct, " +
+       "appends merge additively, novel grams read as fresh") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ngram_store").toString
+    val a = Seq((1, "the quick brown fox"), (2, "the quick brown cat"))
+      .toDF("id", "text")
+    val b = Seq((3, "one two"), (4, "a a a a")).toDF("id", "text")
+    val all = a.unionByName(b)
+    TextStats.writeNgramCounts(a, "text", 3, s"$dir/ng")
+    TextStats.appendNgramCounts(b, "text", 3, s"$dir/ng")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val served = m(TextStats.dupNgramFractionFromStore(all, "text", "id", 3, s"$dir/ng"))
+    val direct = m(TextStats.dupNgramFraction(all, "text", "id", 3))
+    assert(served == direct, s"served=$served direct=$direct")
+    // novel doc vs the stored corpus: 'the quick brown' is boilerplate
+    // there (count 2); its unseen gram and its own internal repeat are NOT
+    // self-flagging — duplication is measured against the store
+    val novel = Seq((9, "the quick brown dog"), (10, "zz yy zz yy zz yy"))
+      .toDF("id", "text")
+    val o = m(TextStats.dupNgramFractionFromStore(novel, "text", "id", 3, s"$dir/ng"))
+    assert(o == Set((9, 0.5, 2L), (10, 0.0, 4L)), o.toString)
+  }
+
   test("duplicate n-gram fraction: corpus-wide gram instances seen >= 2 times") {
     val df = Seq(
       (1, "the quick brown fox"), (2, "the quick brown cat"),

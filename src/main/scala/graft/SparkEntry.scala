@@ -2838,6 +2838,22 @@ object SparkEntry {
           col("n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    "q_tokenize_ids_store" -> ((s, dir) => {
+      // store-served twin of q_tokenize_ids (rows-only by the same
+      // contract): the tokenizer (merges + frozen vocab) is trained and
+      // written once; encoding reads it back — no corpus training pass,
+      // no vocab re-rank. BpeSpec pins served ≡ direct on the training
+      // corpus and the frozen-vocab UNK contract on novel text.
+      val path = memoStore("bpe_tokenizer", dir) { p =>
+        graft.pipeline.Bpe.writeTokenizer(tbl(s, dir, "documents"),
+          "text", 8, p)
+      }
+      graft.pipeline.Bpe.encodeToIdsFromStore(
+          tbl(s, dir, "documents"), "doc_id", "text", path)
+        .select(col("doc_id"), array_join(col("input_ids"), ",").as("ids"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "q_mix_epochs" -> ((s, dir) => {
       // fractional-epoch mixing: src0 ×2 (exact), src1 ×1.3 (each doc
       // once + 30% twice by the LCG pick), src2 ×0.5, everything else

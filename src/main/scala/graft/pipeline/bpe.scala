@@ -176,6 +176,61 @@ object Bpe {
       graft.functions.BpeOps.bpeEncode(col("w"), rules).as("tokens"))
   }
 
+  /** Materialize a trained tokenizer — [[encodeToIds]]'s store twin.
+    * Training is the corpus pass; encoding is per-doc work that should
+    * never pay it again. Writes two vocabulary-bounded tables under
+    * `path`: `merges` (rank, left, right, merged, pair_count) and
+    * `vocab` (tok, tid — the same sorted-token ranks [[encodeToIds]]
+    * assigns, so serving from the store is id-for-id identical on the
+    * training corpus). No append variant: merge rules are a global
+    * frequency argmax, not additive facts — vocabulary drift means
+    * RETRAIN, exactly as production tokenizers are versioned. */
+  def writeTokenizer(df: DataFrame, textCol: String, numMerges: Int,
+                     path: String, maxWords: Int = 1 << 20): Unit = {
+    val merges = train(df, textCol, numMerges, maxWords)
+    merges.coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    val wordEnc = encode(df, textCol, merges)
+    graft.Search.globalRank(
+        wordEnc.select(explode(col("tokens")).as("tok")).distinct(),
+        Seq(asc("tok")), "_vrank")
+      .select(col("tok"), (col("_vrank") - 1).cast("int").as("tid"))
+      .sort("tid").write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Serve [[encodeToIds]] from a [[writeTokenizer]] store: merges and
+    * vocab are read back (both bounded — ≤ numMerges rows / ≤ alphabet +
+    * merges ids) and broadcast; no training pass, no vocab re-rank. On
+    * the training corpus the output equals [[encodeToIds]] on the same
+    * merges exactly. Novel docs encode with the FROZEN vocabulary — a
+    * token outside it (an unseen base character) maps to id -1, the
+    * explicit UNK sentinel, rather than silently re-deriving ids that
+    * would renumber the whole vocabulary. */
+  def encodeToIdsFromStore(df: DataFrame, idCol: String, textCol: String,
+                           path: String): DataFrame = {
+    val spark = df.sparkSession
+    val merges = spark.read.parquet(s"$path/merges")
+    val vocab = spark.read.parquet(s"$path/vocab")
+    val wordEnc = encode(df, textCol, merges) // distinct words of df only
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    val exploded = df.select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
+    val assembled = exploded
+      .join(broadcast(wordEnc), "w")
+      .select(col(idCol), col("pos"),
+        posexplode(col("tokens")).as(Seq("tpos", "tok")))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(transform(
+        sort_array(collect_list(struct(col("pos"), col("tpos"),
+          coalesce(col("tid"), lit(-1)).as("tid")))),
+        s => s.getField("tid")).as("input_ids"))
+    df.select(col(idCol))
+      .join(assembled, Seq(idCol), "left")
+      .withColumn("input_ids",
+        coalesce(col("input_ids"), array().cast("array<int>")))
+      .withColumn("n_tokens", size(col("input_ids")))
+  }
+
   /** Tokenize documents to dense `input_ids` — the array-of-int export a
     * training loop actually consumes. Ids are the vocabulary's
     * sorted-token ranks (deterministic, seedless, stable across runs on

@@ -105,4 +105,29 @@ class BpeSpec extends AnyFunSuite {
     assert(jobs == baseJobs,
       s"train(numMerges=1000) ran $jobs Spark jobs vs $baseJobs at numMerges=1")
   }
+
+  test("r12: tokenizer store — served ids equal direct on the training " +
+       "corpus; novel text encodes with the frozen vocab, OOV chars → -1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_store").toString
+    val corpus = Seq(
+      (1L, "low low low low low"), (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("id", "text")
+    Bpe.writeTokenizer(corpus, "text", 4, s"$dir/tok")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).mkString(","), r.getInt(2)))
+      .toSet
+    val direct = ids(Bpe.encodeToIds(corpus, "id", "text",
+      Bpe.train(corpus, "text", 4)))
+    val served = ids(Bpe.encodeToIdsFromStore(corpus, "id", "text", s"$dir/tok"))
+    assert(served == direct, s"served=$served direct=$direct")
+    // novel doc: known symbols keep their FROZEN ids (no renumbering);
+    // an unseen base character is OOV → the -1 UNK sentinel
+    val lowId = served.find(_._1 == 1L).get._2.split(",").head
+    val novel = Seq((9L, "low zzz")).toDF("id", "text")
+    val o = ids(Bpe.encodeToIdsFromStore(novel, "id", "text", s"$dir/tok"))
+    val (_, novelIds, n) = o.head
+    assert(novelIds.startsWith(lowId + ","), s"frozen id drifted: $o")
+    assert(novelIds.split(",").count(_ == "-1") == 3 && n == 4, o.toString)
+  }
 }

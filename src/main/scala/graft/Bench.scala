@@ -173,7 +173,17 @@ object Bench {
         "q_upsert_scripted_dup", "q_dedup_minhash_salted",
         "q_query_validate_explain", "q_admin_stats_segments",
         "q_skew_adaptive", "q_suggest_phrase_store", "q_search_bm25_store",
-        "q_suggest_completion_store")
+        "q_suggest_completion_store",
+        // r11
+        "q_completion_store_append", "q_norms_append",
+        "q_suggest_store_append", "q_suggest_term_store",
+        "q_termvectors_store",
+        // r12
+        "q_agg_significant_text_store", "q_bigram_lm_append",
+        "q_bm25_upsert_store", "q_dedup_semantic_escape",
+        "q_ngram_store_append", "q_search_mlt_store",
+        "q_text_bigram_nll_store", "q_text_dup_ngrams_store",
+        "q_tokenize_ids_store")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -297,5 +297,19 @@ class MaintainSpec extends AnyFunSuite {
     val queries = Seq((100L, Array(1.0, 0.05))).toDF("query_id", "query_vec")
     val nn = graft.pipeline.Ivf.topK(lists, queries, cents, k = 2, nprobe = 1)
     assert(nn.count() == 2)
+    // 8. whitespace bigram LM: write + serve per-doc NLL
+    graft.pipeline.TextStats.writeBigramLm(docs, "text", s"$base/bigram_lm")
+    assert(graft.pipeline.TextStats.bigramLogLossFromStore(
+      docs, "text", "doc_id", s"$base/bigram_lm").count() == 3)
+    // 9. n-gram counts: write + serve the boilerplate gate
+    graft.pipeline.TextStats.writeNgramCounts(docs, "text", 2, s"$base/ngrams")
+    assert(graft.pipeline.TextStats.dupNgramFractionFromStore(
+      docs, "text", "doc_id", 2, s"$base/ngrams").count() == 3)
+    // 10. tokenizer: write merges + frozen vocab, serve input_ids
+    graft.pipeline.Bpe.writeTokenizer(docs, "text", 4, s"$base/tokenizer")
+    val enc = graft.pipeline.Bpe.encodeToIdsFromStore(
+      docs, "doc_id", "text", s"$base/tokenizer")
+    assert(enc.count() == 3 &&
+      enc.agg(min(col("n_tokens"))).head.getInt(0) > 0)
   }
 }

@@ -223,6 +223,51 @@ object StreamingIndexer {
     true
   }
 
+  /** Streaming boilerplate gate — the incremental-ingest curation shape
+    * at 100 TB: each micro-batch is SCORED against the n-gram corpus
+    * store as it stood BEFORE the batch
+    * ([[graft.pipeline.TextStats.dupNgramFractionFromStore]] — "is this
+    * incoming doc boilerplate relative to what we already have"; a doc's
+    * own novel repeats don't self-flag, by that method's contract),
+    * handed to `sink` with `dup_ngram_frac`/`n_ngrams` columns joined on
+    * (null for docs shorter than n tokens), and then folded into the
+    * store ([[graft.pipeline.TextStats.appendNgramCounts]] — counts are
+    * additive, so the store after the stream equals a batch build over
+    * seed + all batches exactly). Seed the store with
+    * [[graft.pipeline.TextStats.writeNgramCounts]] over the initial
+    * corpus. Redelivered batches are skipped whole via the
+    * `_graft_batch` marker, keeping the additive appends idempotent
+    * under foreachBatch's at-least-once delivery. The sink MUST
+    * materialize its frame before returning — the store append that
+    * follows rewrites the store the scored plan reads. */
+  def ngramGateStream(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, storePath: String,
+                      sink: (DataFrame, Long) => Unit,
+                      trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyNgramGateBatch(batch, id, idCol, textCol, n, storePath, sink)
+        ()
+      }
+
+  /** [[ngramGateStream]]'s per-batch body (see [[applyInsertServedBatch]]
+    * on the marker contract). */
+  private[graft] def applyNgramGateBatch(batch: DataFrame, id: Long,
+      idCol: String, textCol: String, n: Int, storePath: String,
+      sink: (DataFrame, Long) => Unit): Boolean = {
+    if (id <= lastAppliedBatch(batch.sparkSession, storePath)) return false
+    val scored = batch.join(
+      graft.pipeline.TextStats.dupNgramFractionFromStore(
+        batch, textCol, idCol, n, storePath),
+      Seq(idCol), "left")
+    sink(scored, id) // scored against the corpus BEFORE this batch
+    graft.pipeline.TextStats.appendNgramCounts(batch, textCol, n, storePath)
+    markAppliedBatch(batch.sparkSession, storePath, id)
+    true
+  }
+
   /** W12 streaming: exactly-once ingest with BOUNDED state. The batch twin
     * ([[Indexer.exactlyOnce]]) and a plain streaming `dropDuplicates`
     * remember every (key, mutation id) forever — at 100 TB/day the state

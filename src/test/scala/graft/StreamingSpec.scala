@@ -671,4 +671,52 @@ class StreamingSpec extends AnyFunSuite {
       """{"aggs": {"t": {"terms": {"field": "value", "size": 5}}}}"""))
       .getMessage.contains("sink-side"))
   }
+
+  test("r12: streamed n-gram gate — batches score against the corpus so " +
+       "far, counts fold in additively, redelivery is skipped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-ng").toString
+    val seed = Seq((1L, "the quick brown fox"), (2L, "the quick brown cat"))
+      .toDF("doc_id", "text")
+    pipeline.TextStats.writeNgramCounts(seed, "text", 3, s"$base/ng")
+    val scored = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Double])]
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingIndexer.ngramGateStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, s"$base/ng",
+      sink = (df, _) => scored ++= df.select("doc_id", "dup_ngram_frac")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1))))).start()
+    val b1 = Seq((3L, "the quick brown dog"), (4L, "one two three four"),
+      (5L, "one two three five"))
+    val b2 = Seq((6L, "one two three six"), (7L, "hi"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val byId = scored.toMap
+    // batch 1 vs the SEED corpus: doc 3 repeats seed boilerplate ('the
+    // quick brown' ×2 there), docs 4/5 are fresh — their shared gram is
+    // not yet in the store when they score
+    assert(byId(3L) == Some(0.5) && byId(4L) == Some(0.0) &&
+      byId(5L) == Some(0.0), byId.toString)
+    // batch 2 vs seed+batch1: 'one two three' now counts 2 in the store —
+    // the gate ADVANCED; a sub-n doc scores null but passes through
+    assert(byId(6L) == Some(0.5) && byId(7L) == None, byId.toString)
+    // the store after the stream equals a batch build over everything
+    val all = seed.unionByName((b1 ++ b2).toDF("doc_id", "text"))
+    pipeline.TextStats.writeNgramCounts(all, "text", 3, s"$base/ng_ref")
+    def m(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(m(s"$base/ng") == m(s"$base/ng_ref"))
+    // at-least-once redelivery: an already-applied id is skipped whole
+    val before = m(s"$base/ng")
+    val applied = StreamingIndexer.applyNgramGateBatch(
+      b1.toDF("doc_id", "text"), 0L, "doc_id", "text", 3, s"$base/ng",
+      sink = (_, _) => fail("redelivered batch must not reach the sink"))
+    assert(!applied && m(s"$base/ng") == before)
+  }
 }

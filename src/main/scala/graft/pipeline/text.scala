@@ -196,19 +196,26 @@ object TextStats {
     * docs above a threshold before expensive fuzzy dedup runs.
     *
     * Shape: one exploded gram relation feeds the corpus gram counts; the
-    * scoring join is gram-keyed with exactly one build row per distinct
-    * gram (Zipf-hot grams skew only the probe side — AQE territory), then
-    * a per-doc hash aggregate. Nothing all-pairs, nothing windowed; at
-    * 100 TB the exchange carries (id, gram-hash)-sized rows only. Docs
-    * with < n tokens have no grams and are absent, like [[tokenEntropy]]. */
+    * scoring join is gram-keyed with one build row per distinct
+    * NON-SINGLETON gram (the singleton Zipf tail is filtered out of the
+    * build side — a miss scores 0 exactly like cg=1; Zipf-hot grams skew
+    * only the probe side — AQE territory), then a per-doc hash aggregate.
+    * Nothing all-pairs, nothing windowed; the exchange carries (id, gram
+    * text) rows — exact strings, because the output is oracle-exact, not
+    * candidates-then-verify. Docs with < n tokens have no grams and are
+    * absent, like [[tokenEntropy]]. */
   def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
                        n: Int): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
     val g = df.select(col(idCol), explode(wordGrams(toks, n)).as("g"))
+    // the score only asks cg >= 2 and a join MISS scores 0, so the build
+    // side drops to the non-singleton vocabulary — the singleton Zipf
+    // tail (most of the distinct grams) never enters the join
     val corpus = g.groupBy("g").agg(count(lit(1)).as("cg"))
-    g.join(corpus, "g")
+      .where(col("cg") >= 2)
+    g.join(corpus, Seq("g"), "left")
       .groupBy(col(idCol))
       .agg(
         round(sum(when(col("cg") >= 2, 1.0).otherwise(0.0)) /
@@ -269,7 +276,12 @@ object TextStats {
                                 idCol: String, n: Int,
                                 path: String): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    val store = df.sparkSession.read.parquet(path)
+    // scoring only asks cg >= 2, and a join MISS already scores 0, so
+    // singleton grams — the dominant Zipf tail of the stored vocabulary —
+    // are filtered at the scan (pushed to parquet row groups), identical
+    // output with a fraction of the join build side. The store itself
+    // keeps full counts: appends need singletons to merge 1+1 → 2.
+    val store = df.sparkSession.read.parquet(path).where(col("cg") >= 2)
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
     df.select(col(idCol), explode(wordGrams(toks, n)).as("g"))

@@ -390,4 +390,13 @@ class PlanSpec extends AnyFunSuite {
       ("a", 3.0, 4L), ("b", 2.0, 5L), ("c", 1.0, 6L)), ranked.toString)
     built.collect() // sanity: the lazily-built rrf still executes
   }
+
+  test("r12: dup-ngram store scoring pushes the cg >= 2 prune into the " +
+       "store scan — the singleton Zipf tail never enters the join") {
+    val plan = planOf("q_text_dup_ngrams_store")
+    val scan = plan.linesIterator
+      .find(l => l.contains("PushedFilters") && l.contains("cg"))
+      .getOrElse(fail(s"no store scan with a cg filter in:\n${plan.take(3000)}"))
+    assert(scan.contains("GreaterThanOrEqual(cg,2)"), scan)
+  }
 }

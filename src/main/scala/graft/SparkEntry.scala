@@ -2774,6 +2774,17 @@ object SparkEntry {
           "| SORT l_returnflag, l_linestatus",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_stats_ext" -> ((s, dir) => {
+      // ES|QL late-8.x additions: STD_DEV (population), HASH with a
+      // compile-time algorithm literal, REPEAT/SPACE string builders
+      Esql.run(
+        "FROM events " +
+          "| STATS sd = STD_DEV(value), n = COUNT(*) BY event_type " +
+          "| EVAL sd = ROUND(sd, 4), tag = HASH(\"md5\", event_type), " +
+          "bar = REPEAT(\"ab\", 2), pad = CONCAT(SPACE(2), event_type) " +
+          "| SORT event_type",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
     "q_esql_eval" -> ((s, dir) => {
       // ES|QL: wildcard LIKE + IN filters, computed EVAL columns, KEEP
       // projection — filter and pruning both reach the scan (EsqlSpec)
@@ -5853,6 +5864,11 @@ object SparkEntry {
            round(max(l_extendedprice), 2) AS hi
          FROM lineitem WHERE l_quantity > 10
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_esql_stats_ext" ->
+      """SELECT event_type, round(stddev_pop(value), 4) AS sd, count(*) AS n,
+           md5(event_type) AS tag, repeat('ab', 2) AS bar,
+           '  ' || event_type AS pad
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_esql_eval" ->
       """SELECT doc_id, n_chars * 2 + length(lang) AS chars2,
            lang || '-' || source AS tag

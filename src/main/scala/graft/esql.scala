@@ -531,12 +531,12 @@ object Esql {
         if (wIdx < 0) (src, None)
         else (src.take(wIdx), Some(compile(src.drop(wIdx + 5))))
       val hasAgg = ("(?i)\\b(COUNT|COUNT_DISTINCT|SUM|AVG|MIN|MAX|MEDIAN|" +
-        "PERCENTILE|TOP|VALUES|WEIGHTED_AVG)\\s*\\(").r
+        "PERCENTILE|TOP|VALUES|WEIGHTED_AVG|STD_DEV)\\s*\\(").r
         .findFirstIn(aggSrc).isDefined
       require(hasAgg,
         s"STATS needs an aggregate call (COUNT, COUNT_DISTINCT, SUM, AVG, " +
-          s"MIN, MAX, MEDIAN, PERCENTILE, TOP, VALUES, WEIGHTED_AVG), " +
-          s"got: ${aggSrc.trim}")
+          s"MIN, MAX, MEDIAN, PERCENTILE, TOP, VALUES, WEIGHTED_AVG, " +
+          s"STD_DEV), got: ${aggSrc.trim}")
       aggFilter.withValue(filt) {
         val (c, rest) = orE(tokenize(aggSrc), aggMode = true)
         require(rest.isEmpty, s"trailing tokens in aggregate: ${rest.mkString(" ")}")
@@ -566,6 +566,10 @@ object Esql {
         Some(max(flt(args(0))))
       case "MEDIAN" => require(args.length == 1, "MEDIAN expects one argument")
         Some(percentile(flt(args(0)), lit(0.5)))
+      case "STD_DEV" =>
+        // ES|QL STD_DEV is the POPULATION standard deviation
+        require(args.length == 1, "STD_DEV expects one argument")
+        Some(stddev_pop(flt(args(0))))
       case "VALUES" =>
         // distinct group values as a multivalue — sorted for determinism
         // (ES|QL leaves the order unspecified; a fixed order is a superset
@@ -1080,6 +1084,21 @@ object Esql {
         case "MD5" => arity(1); md5(a(0))
         case "SHA1" => arity(1); sha1(a(0))
         case "SHA256" => arity(1); sha2(a(0), 256)
+        case "HASH" =>
+          // HASH(algorithm, input) — the algorithm must be a literal, so
+          // an unsupported name fails at compile, not per row
+          arity(2)
+          litStr(argInfo(0)._2, "HASH").toLowerCase match {
+            case "md5" => md5(a(1))
+            case "sha1" => sha1(a(1))
+            case "sha256" => sha2(a(1), 256)
+            case "sha512" => sha2(a(1), 512)
+            case other => throw new IllegalArgumentException(
+              s"HASH: unsupported algorithm '$other' " +
+                "(md5, sha1, sha256, sha512)")
+          }
+        case "REPEAT" => arity(2); repeat(a(0), a(1).cast("int"))
+        case "SPACE" => arity(1); repeat(lit(" "), a(0).cast("int"))
         case "TO_BASE64" => arity(1); base64(a(0).cast("binary"))
         case "FROM_BASE64" => arity(1); unbase64(a(0)).cast("string")
         case other => throw new IllegalArgumentException(

@@ -387,4 +387,25 @@ class EsqlSpec extends AnyFunSuite {
       "FROM e | EVAL x = NOW(ts)", Map("e" -> ev)))
       .getMessage.contains("0 argument"))
   }
+
+  test("r12: STD_DEV is population; HASH algorithm is compile-time; " +
+       "REPEAT/SPACE build strings") {
+    val df = Seq(("a", 2.0), ("a", 4.0), ("b", 5.0)).toDF("k", "v")
+    val out = Esql.run(
+        "FROM t | STATS sd = STD_DEV(v) BY k " +
+          "| EVAL h = HASH(\"sha256\", k), r = REPEAT(k, 3), " +
+          "s = CONCAT(SPACE(1), k) | SORT k",
+        Map("t" -> df))
+      .collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getString(2), r.getString(3), r.getString(4)))
+    // population std dev of {2,4} is 1.0 (sample would be ~1.414)
+    assert(out(0) == (("a", 1.0,
+      "ca978112ca1bbdcafac231b39a23dc4da786eff8147c4e72b9807785afee48bb",
+      "aaa", " a")), out(0).toString)
+    assert(out(1)._1 == "b" && out(1)._2 == 0.0)
+    // an unsupported algorithm fails at COMPILE, not per row
+    assert(intercept[IllegalArgumentException](Esql.run(
+      "FROM t | EVAL h = HASH(\"crc32\", k)", Map("t" -> df)))
+      .getMessage.contains("unsupported algorithm"))
+  }
 }

@@ -2774,6 +2774,24 @@ object SparkEntry {
           "| SORT l_returnflag, l_linestatus",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_to_ip" -> ((s, dir) => {
+      // TO_IP validate-to-null: valid dotted quads pass through, a fifth
+      // octet and an out-of-range octet both null out
+      val third = pmod(col("c_custkey"), lit(3))
+      val o2 = ((col("c_custkey") * 3) % 256).cast("string")
+      val o3 = ((col("c_custkey") * 7) % 256).cast("string")
+      val o4 = ((col("c_custkey") * 11) % 256).cast("string")
+      val ip = concat_ws(".",
+        (col("c_custkey") % 223 + 1).cast("string"), o2, o3, o4)
+      val raw = tbl(s, dir, "customer").select(
+        col("c_custkey").as("doc_id"),
+        when(third === 0, ip)                       // valid
+          .when(third === 1, concat(ip, lit(".9"))) // five octets
+          .otherwise(concat_ws(".", lit("300"), o2, o3, o4)) // octet > 255
+          .as("raw"))
+      Esql.run("FROM t | EVAL ip = TO_IP(raw) | KEEP doc_id, raw, ip " +
+        "| SORT doc_id", Map("t" -> raw))
+    }),
     "q_esql_stats_ext" -> ((s, dir) => {
       // ES|QL late-8.x additions: STD_DEV (population), HASH with a
       // compile-time algorithm literal, REPEAT/SPACE string builders
@@ -5864,6 +5882,24 @@ object SparkEntry {
            round(max(l_extendedprice), 2) AS hi
          FROM lineitem WHERE l_quantity > 10
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_esql_to_ip" ->
+      """WITH t AS (
+           SELECT c_custkey AS doc_id,
+             CASE c_custkey % 3
+               WHEN 0 THEN (c_custkey % 223 + 1) || '.' || (c_custkey * 3) % 256
+                 || '.' || (c_custkey * 7) % 256 || '.' || (c_custkey * 11) % 256
+               WHEN 1 THEN (c_custkey % 223 + 1) || '.' || (c_custkey * 3) % 256
+                 || '.' || (c_custkey * 7) % 256 || '.' || (c_custkey * 11) % 256
+                 || '.9'
+               ELSE '300.' || (c_custkey * 3) % 256 || '.'
+                 || (c_custkey * 7) % 256 || '.' || (c_custkey * 11) % 256
+             END AS raw
+           FROM customer)
+         SELECT doc_id, raw,
+           CASE WHEN regexp_full_match(raw,
+             '(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}')
+           THEN raw END AS ip
+         FROM t ORDER BY doc_id""",
     "q_esql_stats_ext" ->
       """SELECT event_type, round(stddev_pop(value), 4) AS sd, count(*) AS n,
            md5(event_type) AS tag, repeat('ab', 2) AS bar,

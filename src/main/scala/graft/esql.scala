@@ -850,6 +850,16 @@ object Esql {
         case "TO_DOUBLE" => arity(1); a(0).cast("double")
         case "TO_STRING" => arity(1); a(0).cast("string")
         case "TO_INTEGER" => arity(1); a(0).cast("int")
+        case "TO_IP" =>
+          // ES|QL's ip conversion as validate-to-null: the engine's ip
+          // fields are dotted-quad strings (same model as the ip_range /
+          // ip_prefix aggs), so TO_IP keeps a valid IPv4 literal and
+          // nulls anything else — ES's invalid-value-becomes-null-with-
+          // warning contract, minus the warning header. IPv6 declared out
+          // (nothing else in the engine speaks v6).
+          arity(1)
+          val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+          when(a(0).rlike(s"^$octet(\\.$octet){3}$$"), a(0))
         case "TO_BOOLEAN" => arity(1); a(0).cast("boolean")
         case "TO_DATETIME" => arity(1); Tsx.ltz(a(0).cast("timestamp"))
         case "MV_COUNT" => arity(1); size(a(0))

@@ -2774,6 +2774,16 @@ object SparkEntry {
           "| SORT l_returnflag, l_linestatus",
         Map("lineitem" -> tbl(s, dir, "lineitem")))
     }),
+    "q_esql_mad" -> ((s, dir) => {
+      // MEDIAN_ABSOLUTE_DEVIATION: exact two-aggregate plan — per-group
+      // medians broadcast-joined in, then MEDIAN(ABS(x - med)) (the same
+      // shape as the ES-DSL median_absolute_deviation agg)
+      Esql.run(
+        "FROM events | STATS vmad = MEDIAN_ABSOLUTE_DEVIATION(value), " +
+          "n = COUNT(*) BY event_type " +
+          "| EVAL vmad = ROUND(vmad, 4) | SORT event_type",
+        Map("events" -> tbl(s, dir, "events")))
+    }),
     "q_esql_to_ip" -> ((s, dir) => {
       // TO_IP validate-to-null: valid dotted quads pass through, a fifth
       // octet and an out-of-range octet both null out
@@ -5882,6 +5892,15 @@ object SparkEntry {
            round(max(l_extendedprice), 2) AS hi
          FROM lineitem WHERE l_quantity > 10
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_esql_mad" ->
+      """WITH m AS (
+           SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY 1)
+         SELECT e.event_type,
+           round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS vmad,
+           count(*) AS n
+         FROM events e JOIN m USING (event_type)
+         GROUP BY 1 ORDER BY 1""",
     "q_esql_to_ip" ->
       """WITH t AS (
            SELECT c_custkey AS doc_id,

@@ -323,8 +323,16 @@ object Esql {
     * which is hostile to downstream column refs — declared divergence). */
   private def stats(df: DataFrame, rest: String): DataFrame = {
     val byIdx = findTopLevel(rest, "BY")
-    val (aggPart, byPart) =
+    val (aggPart0, byPart) =
       if (byIdx < 0) (rest, "") else (rest.take(byIdx), rest.drop(byIdx + 2))
+    // MEDIAN_ABSOLUTE_DEVIATION pre-pass: MAD needs each group's median
+    // BEFORE the aggregate runs, which no single-pass aggregate can see.
+    // Rewrite MAD(x) → MEDIAN(ABS((x) - _graft_mad_med_i)) and join the
+    // per-group medians in first (group-cardinality-sized, broadcast) —
+    // exact ES semantics in two aggregates, the same shape as the
+    // ES-DSL median_absolute_deviation agg. Identical inner expressions
+    // share one median column.
+    val (aggPart, madInners) = rewriteMad(aggPart0)
     val aggs = Expr.splitTopLevel(aggPart, ',').map { a =>
       val eq = findTopLevel(a, "=")
       require(eq > 0,
@@ -335,22 +343,87 @@ object Esql {
       Expr.aggregate(a.drop(eq + 1).trim).as(name)
     }
     require(aggs.nonEmpty, "STATS needs at least one aggregate")
-    if (byPart.trim.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-    else {
-      // BY entries are plain fields or `name = expr` (the ES|QL grouped-
-      // expression form, e.g. `BY d = DATE_TRUNC("day", ts)`)
-      val keys = Expr.splitTopLevel(byPart, ',').map { k =>
-        val eq = findTopLevel(k, "=")
-        if (eq < 0) { val f = k.trim; require(f.nonEmpty, s"bad BY key: $k"); col(f) }
+    // BY entries are plain fields or `name = expr` (the ES|QL grouped-
+    // expression form, e.g. `BY d = DATE_TRUNC("day", ts)`)
+    val keys = Expr.splitTopLevel(byPart, ',').filter(_.trim.nonEmpty).map { k =>
+      val eq = findTopLevel(k, "=")
+      if (eq < 0) { val f = k.trim; require(f.nonEmpty, s"bad BY key: $k")
+        (f, col(f)) }
+      else {
+        val name = k.take(eq).trim
+        require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+          s"bad BY column name '$name'")
+        (name, Expr.compile(k.drop(eq + 1)).as(name))
+      }
+    }
+    val base =
+      if (madInners.isEmpty) df
+      else {
+        val medExprs = madInners.map { case (src, name) =>
+          percentile(Expr.compile(src), lit(0.5)).as(name) }.toSeq
+        if (keys.isEmpty)
+          df.crossJoin(broadcast(df.agg(medExprs.head, medExprs.tail: _*)))
         else {
-          val name = k.take(eq).trim
-          require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-            s"bad BY column name '$name'")
-          Expr.compile(k.drop(eq + 1)).as(name)
+          // materialize the keys so the median pre-agg and the main
+          // aggregate group on the same named columns
+          val withKeys = keys.foldLeft(df) { case (d, (n, c)) =>
+            d.withColumn(n, c) }
+          val meds = withKeys.groupBy(keys.map(k => col(k._1)): _*)
+            .agg(medExprs.head, medExprs.tail: _*)
+          return withKeys.join(broadcast(meds), keys.map(_._1))
+            .groupBy(keys.map(k => col(k._1)): _*)
+            .agg(aggs.head, aggs.tail: _*)
         }
       }
-      df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    if (keys.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+    else base.groupBy(keys.map(_._2): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Replace every top-level-or-nested `MEDIAN_ABSOLUTE_DEVIATION(inner)`
+    * in an aggregate source with `MEDIAN(ABS((inner) - <medCol>))`,
+    * returning the rewritten source and the (inner → medCol) map for the
+    * pre-aggregate. Per-aggregate WHERE is refused alongside MAD: the
+    * median pre-pass cannot see that filter, and a silently unfiltered
+    * median would be a wrong answer, not a degraded one. */
+  private def rewriteMad(aggSrc: String): (String, Seq[(String, String)]) = {
+    val MAD = "MEDIAN_ABSOLUTE_DEVIATION"
+    if (!aggSrc.toUpperCase.contains(MAD)) return (aggSrc, Nil)
+    Expr.splitTopLevel(aggSrc, ',').foreach { entry =>
+      require(!(entry.toUpperCase.contains(MAD) &&
+          findTopLevel(entry, "WHERE") >= 0),
+        s"$MAD with a per-aggregate WHERE is unsupported (the median " +
+          "pre-pass would not see the filter); filter with | WHERE first")
     }
+    val inners = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < aggSrc.length) {
+      val c = aggSrc(i)
+      if (c == '"') { inStr = !inStr; sb += c; i += 1 }
+      else if (!inStr && aggSrc.regionMatches(true, i, MAD, 0, MAD.length) &&
+          (i == 0 || (!aggSrc(i - 1).isLetterOrDigit && aggSrc(i - 1) != '_'))) {
+        var j = i + MAD.length
+        while (j < aggSrc.length && aggSrc(j).isWhitespace) j += 1
+        require(j < aggSrc.length && aggSrc(j) == '(',
+          s"$MAD expects (field)")
+        var depth = 0; var k = j; var s2 = false
+        while ({
+          val ch = aggSrc(k)
+          if (ch == '"') s2 = !s2
+          else if (!s2 && ch == '(') depth += 1
+          else if (!s2 && ch == ')') depth -= 1
+          depth != 0
+        }) { k += 1; require(k < aggSrc.length, s"$MAD: unbalanced parens") }
+        val inner = aggSrc.substring(j + 1, k).trim
+        require(inner.nonEmpty, s"$MAD expects a non-empty argument")
+        val medCol = inners.getOrElseUpdate(inner,
+          s"_graft_mad_med_${inners.size}")
+        sb ++= s"MEDIAN(ABS(($inner) - $medCol))"
+        i = k + 1
+      } else { sb += c; i += 1 }
+    }
+    (sb.toString, inners.toSeq)
   }
 
   /** `DISSECT f "%{a}<sep>%{b}…"` — compile the pattern to one regex with

@@ -408,4 +408,34 @@ class EsqlSpec extends AnyFunSuite {
       "FROM t | EVAL h = HASH(\"crc32\", k)", Map("t" -> df)))
       .getMessage.contains("unsupported algorithm"))
   }
+
+  test("r12: MEDIAN_ABSOLUTE_DEVIATION — exact per-group median pre-pass, " +
+       "global form, scalar wrapping, WHERE refused") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("a", 9.0),
+      ("b", 5.0)).toDF("k", "v")
+    // group a: median 3.0; |v-3| = {2,1,1,6} → median 1.5. group b: 0.
+    val grouped = Esql.run(
+        "FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(v) BY k | SORT k",
+        Map("t" -> df))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(grouped == Seq(("a", 1.5), ("b", 0.0)), grouped.toString)
+    // global (no BY), wrapped in a scalar, next to another aggregate —
+    // all rows: median 4.0 wait: {1,2,4,9,5} median 4; |v-4|={3,2,0,5,1}
+    // → median 2.0
+    val global = Esql.run(
+        "FROM t | STATS m = ROUND(MEDIAN_ABSOLUTE_DEVIATION(v), 2), " +
+          "n = COUNT(*)",
+        Map("t" -> df))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).head
+    assert(global == ((2.0, 5L)), global.toString)
+    // the _graft_mad_med_* helper column must not leak into the output
+    val cols = Esql.run(
+      "FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(v) BY k",
+      Map("t" -> df)).columns.toSeq
+    assert(cols == Seq("k", "m"), cols.toString)
+    // per-aggregate WHERE cannot reach the median pre-pass — refuse it
+    assert(intercept[IllegalArgumentException](Esql.run(
+      "FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(v) WHERE v > 1 BY k",
+      Map("t" -> df))).getMessage.contains("WHERE"))
+  }
 }

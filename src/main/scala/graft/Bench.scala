@@ -183,7 +183,8 @@ object Bench {
         "q_bm25_upsert_store", "q_dedup_semantic_escape",
         "q_ngram_store_append", "q_search_mlt_store",
         "q_text_bigram_nll_store", "q_text_dup_ngrams_store",
-        "q_tokenize_ids_store")
+        "q_tokenize_ids_store", "q_esql_stats_ext", "q_esql_to_ip",
+        "q_esql_mad")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +

@@ -1050,6 +1050,21 @@ object Esql {
             .otherwise(
               (element_at(s, (n / 2).cast("int")).cast("double") +
                 element_at(s, (n / 2 + 1).cast("int")).cast("double")) / 2))
+        case "MV_PERCENTILE" => arity(2)
+          // MV_PERCENTILE(values, p) — p in [0,100], may be a per-row
+          // expression; linear interpolation between the two closest
+          // ranks of the sorted values (the ES|QL contract, matching
+          // PERCENTILE's continuous interpolation). Out-of-range p and
+          // empty multivalues yield null, like ES.
+          val sp = sort_array(a(0))
+          val np = size(a(0))
+          val pf = a(1).cast("double") / 100.0
+          val rank = (np - 1).cast("double") * pf // 0-based fractional
+          val lo = floor(rank).cast("int")
+          val frac = rank - lo.cast("double")
+          when(np === 0 || pf < 0.0 || pf > 1.0, lit(null)).otherwise(
+            element_at(sp, lo + 1).cast("double") * (lit(1.0) - frac) +
+              element_at(sp, ceil(rank).cast("int") + 1).cast("double") * frac)
         case "MV_ZIP" =>
           // MV_ZIP(a, b[, delim]) — pairwise string join, "," default
           require(a.length == 2 || a.length == 3, "MV_ZIP expects 2 or 3 arguments")

@@ -438,4 +438,17 @@ class EsqlSpec extends AnyFunSuite {
       "FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(v) WHERE v > 1 BY k",
       Map("t" -> df))).getMessage.contains("WHERE"))
   }
+
+  test("r12: MV_PERCENTILE interpolates between closest ranks; " +
+       "out-of-range p is null") {
+    val df = Seq((1, Seq(4.0, 1.0, 3.0, 2.0))).toDF("id", "mv")
+    def p(x: String) = Esql.run(
+        s"FROM t | EVAL r = MV_PERCENTILE(mv, $x) | KEEP r", Map("t" -> df))
+      .collect().head
+    assert(p("50").getDouble(0) == 2.5)
+    assert(p("0").getDouble(0) == 1.0)
+    assert(p("100").getDouble(0) == 4.0)
+    assert(p("75").getDouble(0) == 3.25)
+    assert(p("101").isNullAt(0) && p("-1").isNullAt(0))
+  }
 }

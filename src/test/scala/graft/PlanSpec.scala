@@ -399,4 +399,11 @@ class PlanSpec extends AnyFunSuite {
       .getOrElse(fail(s"no store scan with a cg filter in:\n${plan.take(3000)}"))
     assert(scan.contains("GreaterThanOrEqual(cg,2)"), scan)
   }
+
+  test("r12: ES|QL MAD joins its median pre-pass broadcast, never " +
+       "sort-merge — the pre-aggregate is group-cardinality-sized") {
+    val plan = planOf("q_esql_mad")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
 }

@@ -3820,9 +3820,11 @@ object SparkEntry {
       // exact pair set and asserts the invariant as a constant — any pair
       // the split separates hash-mismatches.
       val docs = tbl(s, dir, "documents")
-      val split = Curate.leakageSafeSplit(docs, "text", "doc_id",
-        Seq(0.8, 0.1, 0.1), seed = 7L)
+      // ONE pair pass feeds both the split and the invariant check — the
+      // pipeline shape leakageSafeSplitFromPairs exists for
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      val split = Curate.leakageSafeSplitFromPairs(docs, pairs, "doc_id",
+        Seq(0.8, 0.1, 0.1), seed = 7L)
       pairs
         .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
         .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))

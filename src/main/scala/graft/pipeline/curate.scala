@@ -239,8 +239,18 @@ object Curate {
     * filter. Returns the input schema plus a `split` index column in
     * weight order. */
   def leakageSafeSplit(docs: DataFrame, textCol: String, idCol: String,
-                       weights: Seq[Double], seed: Long = 0L): DataFrame = {
-    val pairs = Dedup.minhashPairs(docs, textCol, idCol)
+                       weights: Seq[Double], seed: Long = 0L): DataFrame =
+    leakageSafeSplitFromPairs(docs,
+      Dedup.minhashPairs(docs, textCol, idCol), idCol, weights, seed)
+
+  /** [[leakageSafeSplit]] over an ALREADY-COMPUTED near-dup pair set —
+    * the shape a real pipeline uses: the pair graph is the expensive
+    * corpus pass and usually exists already (dedup ran first, or pairs
+    * came from the sketch store); splitting must not re-pay it. Pairs
+    * must carry `id_a`/`id_b` ([[Dedup.minhashPairs]]'s schema). */
+  def leakageSafeSplitFromPairs(docs: DataFrame, pairs: DataFrame,
+                                idCol: String, weights: Seq[Double],
+                                seed: Long = 0L): DataFrame = {
     val labels = Dedup.clusters(pairs)
       .select(col("id").as(idCol), col("cluster_id"))
     val keyed = docs.join(labels, Seq(idCol), "left")

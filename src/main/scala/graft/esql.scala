@@ -370,7 +370,16 @@ object Esql {
             d.withColumn(n, c) }
           val meds = withKeys.groupBy(keys.map(k => col(k._1)): _*)
             .agg(medExprs.head, medExprs.tail: _*)
-          return withKeys.join(broadcast(meds), keys.map(_._1))
+          // null-SAFE join: the main groupBy keeps a null-key group (ES|QL
+          // emits one), so the meds attach must too — a using-columns join
+          // would silently drop every null-key row from EVERY aggregate in
+          // this STATS, not just the MAD. Rename the meds' key columns and
+          // join on <=> so the null group gets its median like any other.
+          val medsR = keys.foldLeft(meds) { case (d, (n, _)) =>
+            d.withColumnRenamed(n, s"_graft_mad_k_$n") }
+          val cond = keys.map(k =>
+            col(k._1) <=> col(s"_graft_mad_k_${k._1}")).reduce(_ && _)
+          return withKeys.join(broadcast(medsR), cond)
             .groupBy(keys.map(k => col(k._1)): _*)
             .agg(aggs.head, aggs.tail: _*)
         }

@@ -241,7 +241,16 @@ case class VecQuantize(child: Expression)
   * The hyperplane sign matrix is derived from a splitmix64-style hash of
   * (dimension, bit) — reproducible across runs with no RNG state — and
   * cached per (dims, bits) so it is computed once per executor, not per row.
-  */
+  *
+  * The ±1 (Rademacher) family is NOT the Gaussian family the standard
+  * SimHash collision formula `1 − θ/π` assumes: in high dimension a ±1
+  * projection is Gaussian to CLT accuracy and the formula holds, but in
+  * low dimension the family has few distinct directions (2-d: exactly
+  * two), so collision probabilities for structured/axis-aligned inputs
+  * can sit far from the formula. Consumers that GATE on that formula
+  * ([[graft.pipeline.Dedup.lshEscapeRecall]]) should spot-check
+  * empirically near the gate ([[graft.pipeline.Dedup.empiricalLshRecall]],
+  * `graft.semdedup.recallSample`). */
 case class RhpBuckets(child: Expression, bands: Int, bitsPerBand: Int)
     extends UnaryExpression with CodegenFallback {
   require(bands >= 1, s"bands must be >= 1, got $bands")

@@ -740,7 +740,33 @@ object Dedup {
       .map(_.toInt).getOrElse(8)
     val minRecall = sess.conf.getOption("graft.semdedup.minRecall")
       .map(_.toDouble).getOrElse(0.99)
-    val escRecall = lshEscapeRecall(threshold, bands, bits)
+    val analyticRecall = lshEscapeRecall(threshold, bands, bits)
+    // the analytic formula assumes GAUSSIAN hyperplanes; rhp_buckets draws
+    // a deterministic Rademacher (±1) sign matrix, so for low-dimensional
+    // or axis-aligned embeddings the true recall can sit below the
+    // formula (see [[lshEscapeRecall]]). `graft.semdedup.recallSample` > 0
+    // spot-checks the gate empirically on that many big-cluster rows and
+    // gates on min(analytic, measured) — the measured value catches
+    // exactly the degenerate-geometry regimes the expectation misses.
+    val sampleN = sess.conf.getOption("graft.semdedup.recallSample")
+      .map(_.toInt).getOrElse(0)
+    val escRecall =
+      if (bigClusters.isEmpty || sampleN <= 0 || analyticRecall < minRecall)
+        analyticRecall
+      else empiricalLshRecall(
+          base.where(col("cl").isin(bigClusters: _*)),
+          threshold, bands, bits, sampleN) match {
+        case Some(emp) =>
+          if (emp < analyticRecall)
+            org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+              f"semanticDedup: measured escape recall $emp%.3f on a " +
+                f"$sampleN-row sample sits BELOW the analytic " +
+                f"$analyticRecall%.3f (Rademacher sign matrix vs the " +
+                "Gaussian-hyperplane formula — low-dim or axis-aligned " +
+                "embeddings); gating on the measured value")
+          math.min(analyticRecall, emp)
+        case None => analyticRecall // no qualifying sample pairs to measure
+      }
     val allPairs =
       if (bigClusters.isEmpty) exactPairs(base)
       else if (escRecall < minRecall) {
@@ -758,10 +784,17 @@ object Dedup {
         val big = base.where(col("cl").isin(bigClusters: _*))
         // LSH candidates within (cluster, band, bucket); ids-only through
         // the self-join and pair dedup (the cosinePairs shuffle
-        // discipline), persisted because the salted verify reads the pair
-        // set once per hot-set barrier
-        val cand = semanticLshCandidates(big, sess)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        // discipline). Materialized ONCE via an eager localCheckpoint (the
+        // salted verify reads the pair set once per hot-set barrier and
+        // again at execution): unlike Dataset.persist — whose CacheManager
+        // entry holds the plan strongly and leaks cached blocks across
+        // calls in a long-lived session until someone unpersists — the
+        // checkpoint's blocks are RDD-level-persisted (MEMORY_AND_DISK,
+        // spill-safe) and the ContextCleaner frees them when the returned
+        // plan is dropped. Eager: lazy localCheckpoint still runs its
+        // sampling at construction, and the hot-set barrier needs the
+        // pairs anyway.
+        val cand = semanticLshCandidates(big, sess).localCheckpoint(true)
         val saltAt = sess.conf.getOption("graft.skew.saltAt")
           .map(_.toLong).getOrElse(1000000L)
         val saltF = sess.conf.getOption("graft.skew.saltFactor")
@@ -784,11 +817,53 @@ object Dedup {
     * threshold (pairs above it only do better — recall is monotone in
     * cosine): per-bit collision `1 − θ/π`, a pair survives if all `bits`
     * bits of SOME band agree. This is what makes the escape's recall gate
-    * checkable instead of hoped-for. */
+    * checkable instead of hoped-for.
+    *
+    * APPROXIMATION, stated honestly: `1 − θ/π` is the collision
+    * probability for a RANDOM GAUSSIAN hyperplane; [[graft.functions
+    * .VecFunctions.rhp_buckets]] projects onto a FIXED deterministic
+    * Rademacher (±1) sign matrix. In high dimension a ±1 projection is
+    * Gaussian to CLT accuracy and the formula holds; in LOW dimension or
+    * for axis-aligned/structured embeddings the ±1 family has few
+    * distinct directions (2-d has exactly two), bits within a band are
+    * perfectly correlated, and true recall can fall WELL below this
+    * expectation (DedupSpec constructs a 2-d corpus where it is ~0 while
+    * the formula says 0.996). When operating near `minRecall`, set
+    * `graft.semdedup.recallSample` to spot-check the gate empirically —
+    * [[empiricalLshRecall]] — instead of trusting the expectation. */
   private[graft] def lshEscapeRecall(threshold: Double, bands: Int,
                                      bits: Int): Double = {
     val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, threshold))) / math.Pi
     1.0 - math.pow(1.0 - math.pow(pBit, bits), bands)
+  }
+
+  /** Measured banded-RHP recall on a bounded sample: take `sampleN` rows
+    * of the (normalized `(id, v, …)`) frame, enumerate the sample's exact
+    * above-threshold pairs (sample² work — bounded by construction, and
+    * the sample side broadcasts), and return the fraction whose
+    * [[graft.functions.VecFunctions.rhp_buckets]] codes agree in SOME
+    * band — i.e. the fraction the escape's candidate join would have
+    * found. None when the sample holds no qualifying pair (nothing to
+    * measure — fall back to the analytic gate). This is the empirical
+    * check for the regimes where [[lshEscapeRecall]]'s Gaussian
+    * assumption breaks on the deterministic ±1 sign matrix. */
+  private[graft] def empiricalLshRecall(vecs: DataFrame, threshold: Double,
+                                        bands: Int, bits: Int,
+                                        sampleN: Int): Option[Double] = {
+    import graft.functions.VecFunctions.{rhp_buckets, vec_dot}
+    val s = vecs.select(col("id"), col("v"),
+        rhp_buckets(col("v"), bands, bits).as("bk"))
+      .limit(sampleN).localCheckpoint(true)
+    val row = s.as("a").join(broadcast(s.as("b")),
+        col("b.id") < col("a.id") &&
+          vec_dot(col("a.v"), col("b.v")) >= threshold)
+      .select(exists(zip_with(col("a.bk"), col("b.bk"),
+        (x, y) => x === y), c => c).as("hit"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("found"))
+      .head()
+    val n = row.getLong(0)
+    if (n == 0L) None else Some(row.getLong(1).toDouble / n)
   }
 
   /** [[semanticDedup]]'s escape-path candidate generation, factored so
@@ -808,7 +883,35 @@ object Dedup {
         posexplode(rhp_buckets(col("v"), bands, bits)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       .select(col("cl"), col("band"), col("bucket"), col("id"))
-    val capped = capBuckets(bb)
+    // Bucket cap, SEMANTIC-escape edition — deliberately NOT [[capBuckets]]:
+    // that one counts per (band, bucket) ACROSS clusters and reads the
+    // MinHash text-dedup knob `graft.lsh.maxBucket`, so a conf set for text
+    // dedup would silently drop candidate pairs here based on populations
+    // the within-cluster join never sees — outside the lshEscapeRecall
+    // gate's accounting. This cap counts within (cl, band, bucket) — the
+    // actual join key — engages only on its own `graft.semdedup.maxBucket`
+    // conf (default off: the escape is recall-gated, so any cap is an
+    // explicit recall trade the caller opts into), and LOGS the loss.
+    val semMax = sess.conf.getOption("graft.semdedup.maxBucket")
+      .map(_.toInt).getOrElse(0)
+    val capped =
+      if (semMax <= 0) bb
+      else {
+        val over = bb.groupBy(col("cl"), col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_bn")).where(col("_bn") > semMax)
+          .select(col("cl"), col("band"), col("bucket"))
+          .withColumn("_over", lit(true))
+        val nOver = over.count()
+        if (nOver > 0)
+          org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(
+            s"semanticDedup escape: graft.semdedup.maxBucket=$semMax drops " +
+              s"$nOver (cluster, band, bucket) cell(s) — candidate recall " +
+              "below the analytic lshEscapeRecall gate for pairs whose only " +
+              "shared buckets were capped. This is an explicit opt-in " +
+              "recall trade; unset the conf for gated-recall candidates.")
+        bb.join(broadcast(over), Seq("cl", "band", "bucket"), "left")
+          .where(col("_over").isNull).drop("_over")
+      }
     capped.select(col("cl"), col("band"), col("bucket"), col("id").as("id_a"))
       .join(capped.select(col("cl"), col("band"), col("bucket"),
         col("id").as("id_b")), Seq("cl", "band", "bucket"))

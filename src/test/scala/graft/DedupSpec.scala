@@ -690,4 +690,100 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.pipeline.Skew.recentHotObservations.isEmpty,
       "salted escape machinery engaged despite the recall gate")
   }
+
+  test("r13: the analytic recall gate is a GAUSSIAN expectation the " +
+       "Rademacher sign matrix can miss — the empirical spot-check " +
+       "catches it and refuses the escape") {
+    // 2-d corpus: the ±1 hyperplane family has exactly two distinct
+    // directions, so every (1,-1)-type bit separates 40° from 50°
+    // vectors deterministically — pairs straddling 45° almost never
+    // share a band, while the formula (blind to the geometry) says
+    // recall 0.996 at cos 0.9
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    val rows = ((1 to 10).map(i => (i.toLong, 0, at(40.0))) ++
+      (11 to 20).map(i => (i.toLong, 0, at(50.0))))
+    val df = rows.toDF("vec_id", "cl", "embedding")
+    val base = df.select(col("vec_id").as("id"), col("cl"),
+      col("embedding").cast("array<double>").as("v"))
+    val analytic = Dedup.lshEscapeRecall(0.9, 16, 8)
+    assert(analytic > 0.99, analytic.toString)
+    // all 190 pairs qualify (within-group cos 1.0, cross-group cos 10° =
+    // 0.985 ≥ 0.9); the 100 straddling pairs are the ones banding loses
+    val measured = Dedup.empiricalLshRecall(base, 0.9, 16, 8, 100)
+    assert(measured.isDefined)
+    assert(measured.get < 0.9,
+      s"2-d Rademacher degeneracy not caught: measured=$measured")
+    // no qualifying pairs in the sample -> None, analytic fallback
+    assert(Dedup.empiricalLshRecall(base.where(col("id") <= 1),
+      0.9, 16, 8, 100).isEmpty)
+
+    def run() = Dedup.semanticDedup(df, "vec_id", "embedding", "cl", 0.9)
+      .select("vec_id", "dup_of", "is_dup").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(2))).toSet
+    val exact = run() // default escapeAt 1024 > 20 rows -> exact path
+    // vec 11's only lower-id neighbors are the 40° group: an UNGATED
+    // escape loses that pair (dup_of(11)=1 in truth)
+    assert(exact.contains((11L, 1L, true)), exact.toString)
+    spark.conf.set("graft.semdedup.escapeAt", "8")
+    graft.pipeline.Skew.clearHotObservations()
+    val unGated = try run() finally ()
+    assert(unGated != exact && !unGated.contains((11L, 1L, true)),
+      "expected the Gaussian-formula-approved escape to lose straddling " +
+        "pairs on this corpus — if this starts passing, the sign matrix " +
+        "changed and this spec needs a new adversarial construction")
+    // with the spot-check conf, the measured recall gates the escape off:
+    // output exact, and the salted escape machinery never engages
+    spark.conf.set("graft.semdedup.recallSample", "100")
+    spark.conf.set("graft.skew.saltAt", "1")
+    graft.pipeline.Skew.clearHotObservations()
+    val gated = try run() finally {
+      spark.conf.unset("graft.semdedup.escapeAt")
+      spark.conf.unset("graft.semdedup.recallSample")
+      spark.conf.unset("graft.skew.saltAt")
+    }
+    assert(gated == exact,
+      s"measured-recall gate diverged: only-gated=${(gated -- exact).take(5)} " +
+        s"only-exact=${(exact -- gated).take(5)}")
+    org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+    assert(graft.pipeline.Skew.recentHotObservations.isEmpty,
+      "salted escape machinery engaged despite the measured-recall gate")
+  }
+
+  test("r13: the semantic escape's bucket cap counts within (cluster, " +
+       "band, bucket) on its own conf — never the MinHash text knob, " +
+       "never cross-cluster populations") {
+    // two clusters, each holding 2 copies of the SAME vector: the old
+    // capBuckets counted the (band, bucket) cell ACROSS clusters (pop 4),
+    // so a cap of 3 — meant per join key — dropped both within-cluster
+    // pairs the join could actually form
+    val v = Seq.fill(16)(1.0)
+    val df = Seq((1L, 0, v), (2L, 0, v), (11L, 1, v), (12L, 1, v))
+      .toDF("vec_id", "cl", "embedding")
+    val big = df.select(col("vec_id").as("id"), col("cl"),
+      col("embedding").cast("array<double>").as("v"))
+    def cands() = Dedup.semanticLshCandidates(big, spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseline = cands()
+    assert(baseline == Set((2L, 1L), (12L, 11L)), baseline.toString)
+    // the text-dedup knob must not reach the semantic escape
+    spark.conf.set("graft.lsh.maxBucket", "1")
+    val withTextKnob = try cands()
+      finally spark.conf.unset("graft.lsh.maxBucket")
+    assert(withTextKnob == baseline,
+      "graft.lsh.maxBucket leaked into the semantic escape")
+    // the dedicated knob counts within-cluster: pop 2 per (cl, band,
+    // bucket) cell, so a cap of 3 keeps everything (cross-cluster
+    // counting would see 4 and drop both pairs)
+    spark.conf.set("graft.semdedup.maxBucket", "3")
+    val within = try cands()
+      finally spark.conf.unset("graft.semdedup.maxBucket")
+    assert(within == baseline, "cap counted across clusters")
+    // and an explicit cap of 1 empties every cell — the opt-in trade
+    spark.conf.set("graft.semdedup.maxBucket", "1")
+    val capped = try cands()
+      finally spark.conf.unset("graft.semdedup.maxBucket")
+    assert(capped.isEmpty, capped.toString)
+  }
 }

@@ -439,6 +439,31 @@ class EsqlSpec extends AnyFunSuite {
       Map("t" -> df))).getMessage.contains("WHERE"))
   }
 
+  test("r13: MAD with BY keeps the null-key group — and every other " +
+       "aggregate in the STATS sees it too") {
+    // the r12 meds attach was a using-columns inner join: null != null, so
+    // the null-key group vanished from the WHOLE STATS output (COUNT
+    // included), where the non-MAD path keeps it
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 14.0), (None, 30.0)).toDF("k", "v")
+    val out = Esql.run(
+        "FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(v), n = COUNT(*) BY k",
+        Map("t" -> df))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0), r.getDouble(1),
+          r.getLong(2))).toSeq.sortBy(_._3)
+    // null group: median 14, |v-14| = {4,0,16} → MAD 4; count 3
+    assert(out == Seq(("a", 1.0, 2L), (null, 4.0, 3L)), out.toString)
+    // two BY keys, null in each position — the <=> condition is per-key
+    val df2 = Seq((Some("a"), Some(1), 2.0), (Some("a"), Some(1), 6.0),
+      (None, Some(1), 8.0), (Some("a"), None, 5.0)).toDF("k1", "k2", "v")
+    val out2 = Esql.run(
+        "FROM t | STATS m = MEDIAN_ABSOLUTE_DEVIATION(v) BY k1, k2",
+        Map("t" -> df2))
+      .collect().map(r => (r.getDouble(2))).toSeq.sorted
+    assert(out2 == Seq(0.0, 0.0, 2.0), out2.toString)
+  }
+
   test("r12: MV_PERCENTILE interpolates between closest ranks; " +
        "out-of-range p is null") {
     val df = Seq((1, Seq(4.0, 1.0, 3.0, 2.0))).toDF("id", "mv")

@@ -294,6 +294,38 @@ object Maintain {
     fs.delete(old, true)
   }
 
+  /** Batch-application stamp INSIDE a store directory: a `_graft_applied`
+    * file carrying the last batch id whose merge produced this directory's
+    * contents. Underscore-prefixed, so parquet readers ignore it. Written
+    * into the STAGING dir of a [[stagedRewrite]] before the swap, it makes
+    * the (merge, stamp) pair atomic — the one property the store-group
+    * `_graft_batch` marker (written after ALL of a batch's appends) cannot
+    * give an individual additive store, and exactly what lets an
+    * at-least-once redelivery of a half-applied batch skip the merges that
+    * already landed instead of double-counting them. */
+  private[graft] def readAppliedStamp(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): Option[Long] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, "_graft_applied")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      raw.toLongOption
+    }
+  }
+
+  private[graft] def writeAppliedStamp(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, id: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir, "_graft_applied")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +
     * ES-recommended mapping type per §1.3), the analog of returning the ES
     * mapping as a fake result row

@@ -240,16 +240,25 @@ object TextStats {
   }
 
   /** See [[writeNgramCounts]]; NEW documents only (an in-place edit would
-    * need its old grams subtracted — rebuild for that). */
+    * need its old grams subtracted — use the doc-keyed layout
+    * ([[writeNgramCountsKeyed]] / [[subtractNgramCounts]]) or rebuild).
+    * With `batchId` set, the merge stamps a `_graft_applied` file into
+    * the staging dir — atomic with the swap — so an at-least-once
+    * redelivery of the same batch skips a merge that already landed
+    * instead of double-counting it (the counts carry no doc keys, so
+    * nothing downstream could repair a silent double-merge). */
   def appendNgramCounts(newDocs: DataFrame, textCol: String, n: Int,
-                        path: String): Unit = {
+                        path: String, batchId: Option[Long] = None): Unit = {
     require(n >= 1, s"n must be positive, got $n")
     val spark = newDocs.sparkSession
+    if (batchId.isDefined &&
+        graft.Maintain.readAppliedStamp(spark, path) == batchId) return
     val delta = ngramCounts(newDocs, textCol, n)
     graft.Maintain.stagedRewrite(spark, path) { tmp =>
       spark.read.parquet(path).unionByName(delta)
         .groupBy("g").agg(sum(col("cg")).cast("long").as("cg"))
         .sort("g").write.parquet(tmp)
+      batchId.foreach(graft.Maintain.writeAppliedStamp(spark, tmp, _))
     }
   }
 

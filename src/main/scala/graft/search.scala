@@ -1365,15 +1365,30 @@ object Search {
     * frequency stats. The ES analog: suggesters read the live index, so
     * every doc write keeps them current implicitly
     * (reference: ElasticIndex.java:470-621). */
-  def appendSuggestStore(newDocs: DataFrame, field: String, path: String): Unit = {
+  def appendSuggestStore(newDocs: DataFrame, field: String, path: String): Unit =
+    appendSuggestStore(newDocs, field, path, None)
+
+  /** [[appendSuggestStore]] with per-batch idempotence for at-least-once
+    * callers (the streamed insert path): each sub-store's merge writes a
+    * `_graft_applied` stamp INTO the staging dir, so the (merge, stamp)
+    * pair swaps in atomically, and a redelivered batch id skips sub-merges
+    * that already landed — the LM tables carry no doc keys, so WITHOUT the
+    * stamp a replayed merge would silently double the batch's counts. */
+  def appendSuggestStore(newDocs: DataFrame, field: String, path: String,
+                         batchId: Option[Long]): Unit = {
     val spark = newDocs.sparkSession
-    def merge(delta: DataFrame, sub: String, key: String, sorted: Boolean): Unit =
-      Maintain.stagedRewrite(spark, s"$path/$sub") { tmp =>
-        val merged = spark.read.parquet(s"$path/$sub").unionByName(delta)
+    def merge(delta: DataFrame, sub: String, key: String, sorted: Boolean): Unit = {
+      val dir = s"$path/$sub"
+      if (batchId.isDefined &&
+          Maintain.readAppliedStamp(spark, dir) == batchId) return
+      Maintain.stagedRewrite(spark, dir) { tmp =>
+        val merged = spark.read.parquet(dir).unionByName(delta)
           .groupBy(col(key)).agg(sum(col("freq")).cast("long").as("freq"))
         (if (sorted) merged.sort(key) else merged)
           .write.parquet(tmp)
+        batchId.foreach(Maintain.writeAppliedStamp(spark, tmp, _))
       }
+    }
     merge(lmUnigrams(newDocs, field), "unigrams", "w", sorted = false)
     merge(lmBigrams(newDocs, field), "bigrams", "b", sorted = true)
   }

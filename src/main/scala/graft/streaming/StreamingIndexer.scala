@@ -37,32 +37,136 @@ object StreamingIndexer {
     * per-batch appends idempotent under redelivery: each store group
     * records the last APPLIED batch id in a `_graft_batch` file next to
     * the postings, written after all of the batch's appends; a redelivered
-    * id ≤ marker is skipped whole. Residual window: a crash AFTER some
-    * append but BEFORE the marker write still replays that batch's
-    * appends — [[graft.TextIndex.compactPostings]] (exact-duplicate
-    * dedup) repairs postings residue, and [[upsertStreamServed]]'s
-    * merge-by-key norms + serve-time dedup are replay-idempotent by
-    * construction. Batch ids are monotone per streaming query, so a
-    * single long marker suffices. */
+    * id ≤ marker is skipped whole. The residual window — a crash AFTER
+    * some append but BEFORE the marker write — is closed per path: a
+    * `_graft_batch.pending` marker written before the FIRST append flags
+    * the replay, and each store's re-apply is convergent (content-checked
+    * norms, key-probed postings, stamp-checked LM merges — see
+    * [[applyInsertServedBatch]]); [[upsertStreamServed]]'s merge-by-key
+    * norms + serve-time dedup are replay-idempotent by construction.
+    *
+    * LINEAGE (r13): batch ids are monotone only WITHIN one streaming
+    * query — they restart at 0 for a fresh checkpoint, so a NEW query
+    * pointed at an EXISTING store group would read its early batches as
+    * already-applied and silently drop them from the index. The marker
+    * therefore records the streaming queryId (stable across restarts from
+    * the same checkpoint) next to the id, and a mismatch RAISES, naming
+    * [[resetBatchMarker]] as the explicit repair — a missed runbook step
+    * must be loud, never data loss. Direct batch-apply calls outside a
+    * streaming query (no queryId local property) skip the check and
+    * preserve any recorded lineage. */
   private def lastAppliedBatch(spark: org.apache.spark.sql.SparkSession,
                                storePath: String): Long = {
+    val (id, lineage) = readMarker(spark, storePath)
+    (lineage, currentQueryId(spark)) match {
+      case (Some(recorded), Some(cur)) if recorded != cur && id >= 0L =>
+        throw new IllegalStateException(
+          s"store group at $storePath was last written by streaming query " +
+            s"$recorded (batch $id), but this batch belongs to query $cur. " +
+            "Batch ids restart at 0 for a fresh checkpoint, so continuing " +
+            "would silently skip this query's early batches. If the new " +
+            "query is intentional (the old one is retired and the store " +
+            "should accept a fresh lineage), call " +
+            "StreamingIndexer.resetBatchMarker(spark, storePath) first — " +
+            "after confirming the store holds everything the old query " +
+            "committed; to resume the OLD query, restart it from its " +
+            "original checkpoint instead.")
+      case _ => ()
+    }
+    id
+  }
+
+  private def readMarker(spark: org.apache.spark.sql.SparkSession,
+                         storePath: String): (Long, Option[String]) = {
     val p = new org.apache.hadoop.fs.Path(storePath, "_graft_batch")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
+    if (!fs.exists(p)) (-1L, None)
     else {
       val in = fs.open(p)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                 finally in.close()
-      try raw.toLong catch { case _: NumberFormatException => -1L }
+      raw.split('|') match {
+        case Array(id, lineage) => (id.toLongOption.getOrElse(-1L), Some(lineage))
+        case Array(id) => (id.toLongOption.getOrElse(-1L), None) // pre-r13 marker
+        case _ => (-1L, None)
+      }
     }
   }
 
+  /** The streaming queryId of the batch being applied, when running inside
+    * a streaming query (Spark sets it as a local property on the
+    * micro-batch thread); None for direct batch-apply calls. */
+  private def currentQueryId(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+
   private def markAppliedBatch(spark: org.apache.spark.sql.SparkSession,
                                storePath: String, id: Long): Unit = {
+    // a direct (non-streaming) apply must not erase a recorded lineage —
+    // the protection would silently lapse after one maintenance call
+    val lineage = currentQueryId(spark).orElse(readMarker(spark, storePath)._2)
     val p = new org.apache.hadoop.fs.Path(storePath, "_graft_batch")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
+    try out.write((id.toString + lineage.fold("")("|" + _)).getBytes("UTF-8"))
+    finally out.close()
+    clearPending(spark, storePath)
+  }
+
+  /** Explicit lineage repair: forget the store group's `_graft_batch`
+    * marker (and any in-flight pending marker) so a NEW streaming query —
+    * with a fresh checkpoint and batch ids restarting at 0 — may take
+    * over an existing store. Named by the lineage-mismatch error; never
+    * called implicitly. */
+  def resetBatchMarker(spark: org.apache.spark.sql.SparkSession,
+                       storePath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(storePath, "_graft_batch"), false)
+    clearPending(spark, storePath)
+  }
+
+  /** The in-flight marker closing the crash window between a batch's first
+    * append and its `_graft_batch` commit: written BEFORE any store is
+    * touched, cleared by [[markAppliedBatch]]. A redelivered id that
+    * matches the pending marker is a self-replay of a possibly
+    * half-applied batch — the apply paths switch to their convergent
+    * variants for exactly that id. The marker is a SIBLING of the store
+    * directory, not a member: merge-shaped appends
+    * ([[graft.Maintain.stagedRewrite]] — the n-gram store, the LM
+    * sub-stores) replace the directory wholesale, and an in-dir pending
+    * marker would be wiped by the very append it is supposed to witness. */
+  private def pendingPath(storePath: String): org.apache.hadoop.fs.Path = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    new org.apache.hadoop.fs.Path(root.getParent,
+      root.getName + ".batch_pending")
+  }
+
+  private[graft] def writePending(spark: org.apache.spark.sql.SparkSession,
+                                  storePath: String, id: Long): Unit = {
+    val p = pendingPath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readPending(spark: org.apache.spark.sql.SparkSession,
+                                 storePath: String): Option[Long] = {
+    val p = pendingPath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      raw.toLongOption
+    }
+  }
+
+  private def clearPending(spark: org.apache.spark.sql.SparkSession,
+                           storePath: String): Unit = {
+    val p = pendingPath(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, false)
   }
 
   /** Continuous inverted-index maintenance: like [[upsertStream]], but each
@@ -109,7 +213,11 @@ object StreamingIndexer {
     * doc-key authority (the LM tables carry no doc keys). For streams
     * WITH edits use [[upsertStreamServed]]; deduplicate replays upstream
     * with [[exactlyOnceStream]]. Redelivered batches are skipped via the
-    * `_graft_batch` marker (see [[lastAppliedBatch]]). With `segmentCol`
+    * `_graft_batch` marker (see [[lastAppliedBatch]]), and a replay of a
+    * HALF-APPLIED batch (crash before the marker write) converges — the
+    * pending marker flags it and each store re-applies idempotently,
+    * never the probe-collides-with-its-own-keys poison pill, never a
+    * silent double append (see [[applyInsertServedBatch]]). With `segmentCol`
     * set, postings land in the doc's segment partition (the docs must
     * carry that column), so per-segment repair/compaction
     * ([[graft.TextIndex.reindexSegment]] / `dropSegmentDirs`) stays the
@@ -138,24 +246,55 @@ object StreamingIndexer {
     * redelivery-skip is directly testable. Returns true when the batch
     * was applied, false when the `_graft_batch` marker says it already
     * was (at-least-once redelivery). The marker binds the store group to
-    * ONE streaming query lineage: batch ids restart at 0 for a fresh
-    * checkpoint, so starting a new query against an existing store group
-    * requires clearing the marker along with the checkpoint (else its
-    * early batches read as already-applied). */
+    * ONE streaming query lineage (the recorded queryId): batch ids
+    * restart at 0 for a fresh checkpoint, so a NEW query against an
+    * existing store group RAISES instead of silently reading its early
+    * batches as applied — [[resetBatchMarker]] is the explicit repair. */
   private[graft] def applyInsertServedBatch(docs: DataFrame, id: Long,
       keyCol: String, fields: Seq[String], postingsPath: String,
       normsPath: String, nBuckets: Int, suggestPath: Option[String] = None,
       suggestField: Option[String] = None,
       segmentCol: Option[String] = None): Boolean = {
-    if (id <= lastAppliedBatch(docs.sparkSession, postingsPath)) return false
-    // norms first: its insert-only probe is the gate for the whole
-    // group — if the batch edits an existing key, NOTHING is written
-    graft.TextIndex.appendNorms(docs, keyCol, fields, normsPath)
-    graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath,
-      nBuckets, segmentCol)
+    val spark = docs.sparkSession
+    if (id <= lastAppliedBatch(spark, postingsPath)) return false
+    // crash-window discipline (r13): the pending marker distinguishes a
+    // SELF-REPLAY of a half-applied batch (crash after some append, before
+    // markAppliedBatch) from a fresh batch. Fresh batches keep the strict
+    // insert-only probe; a replayed id switches each store to its
+    // convergent re-apply — content-checked norms (raises on same-key-
+    // DIFFERENT-content, so replay tolerance never becomes edit
+    // tolerance), key-probed postings, stamp-checked LM merge — so
+    // at-least-once redelivery converges instead of wedging the stream on
+    // its own half-applied keys (insertCheck=error) or silently
+    // double-appending (insertCheck=off).
+    val replay = readPending(spark, postingsPath).contains(id)
+    writePending(spark, postingsPath, id)
+    if (replay) {
+      // probe EVERY store before touching ANY: an edit wearing the
+      // replay's batch id must raise with zero half-mutations (the
+      // postings probe is the strong edit detector — token-level; the
+      // norms probe closes its own store's window)
+      val needPostings = graft.TextIndex.postingsReplayNeedsAppend(docs,
+        keyCol, fields, postingsPath, nBuckets, segmentCol)
+      val needNorms = graft.TextIndex.normsReplayNeedsAppend(docs, keyCol,
+        fields, normsPath)
+      if (needNorms) // strict probe passes: the probe saw no rows for keys
+        graft.TextIndex.appendNorms(docs, keyCol, fields, normsPath)
+      if (needPostings)
+        graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath,
+          nBuckets, segmentCol)
+    } else {
+      // norms first: its insert-only probe is the gate for the whole
+      // group — if the batch edits an existing key, NOTHING is written
+      graft.TextIndex.appendNorms(docs, keyCol, fields, normsPath)
+      graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath,
+        nBuckets, segmentCol)
+    }
+    // the LM merge stamps the batch id atomically with its swap, so it is
+    // replay-idempotent on both paths
     suggestPath.foreach(p => graft.Search.appendSuggestStore(docs,
-      suggestField.getOrElse(fields.head), p))
-    markAppliedBatch(docs.sparkSession, postingsPath, id)
+      suggestField.getOrElse(fields.head), p, Some(id)))
+    markAppliedBatch(spark, postingsPath, id)
     true
   }
 
@@ -237,9 +376,13 @@ object StreamingIndexer {
     * [[graft.pipeline.TextStats.writeNgramCounts]] over the initial
     * corpus. Redelivered batches are skipped whole via the
     * `_graft_batch` marker, keeping the additive appends idempotent
-    * under foreachBatch's at-least-once delivery. The sink MUST
-    * materialize its frame before returning — the store append that
-    * follows rewrites the store the scored plan reads. */
+    * under foreachBatch's at-least-once delivery — including the
+    * half-applied crash window, via the count merge's own atomic
+    * `_graft_applied` stamp. The scored frame is eagerly checkpointed
+    * BEFORE the sink sees it, so a sink that defers evaluation still
+    * reads the pre-batch scores (enforced in code, not by contract —
+    * the store the plan reads is rewritten right after the sink
+    * returns). */
   def ngramGateStream(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, storePath: String,
                       sink: (DataFrame, Long) => Unit,
@@ -257,14 +400,35 @@ object StreamingIndexer {
   private[graft] def applyNgramGateBatch(batch: DataFrame, id: Long,
       idCol: String, textCol: String, n: Int, storePath: String,
       sink: (DataFrame, Long) => Unit): Boolean = {
-    if (id <= lastAppliedBatch(batch.sparkSession, storePath)) return false
+    val spark = batch.sparkSession
+    if (id <= lastAppliedBatch(spark, storePath)) return false
+    // crash window: the count merge landed but the marker write didn't —
+    // the merge's own `_graft_applied` stamp (atomic with its swap) says
+    // so. Re-scoring now would read a store that already CONTAINS the
+    // batch (docs self-flag as boilerplate), and the sink already ran with
+    // the correct pre-batch scores before the merge — so skip whole.
+    if (readPending(spark, storePath).contains(id) &&
+        graft.Maintain.readAppliedStamp(spark, storePath).contains(id)) {
+      markAppliedBatch(spark, storePath, id)
+      return false
+    }
+    writePending(spark, storePath, id)
+    // materialize the scored frame BEFORE the sink sees it (eager local
+    // checkpoint): the plan reads the store path that appendNgramCounts
+    // rewrites right after the sink returns, so a sink that defers
+    // evaluation would otherwise score docs against a corpus that already
+    // contains them — each doc silently self-flagging as boilerplate. The
+    // checkpoint pins the pre-batch scores no matter when (or how often)
+    // the sink's frame is evaluated.
     val scored = batch.join(
-      graft.pipeline.TextStats.dupNgramFractionFromStore(
-        batch, textCol, idCol, n, storePath),
-      Seq(idCol), "left")
+        graft.pipeline.TextStats.dupNgramFractionFromStore(
+          batch, textCol, idCol, n, storePath),
+        Seq(idCol), "left")
+      .localCheckpoint(true)
     sink(scored, id) // scored against the corpus BEFORE this batch
-    graft.pipeline.TextStats.appendNgramCounts(batch, textCol, n, storePath)
-    markAppliedBatch(batch.sparkSession, storePath, id)
+    graft.pipeline.TextStats.appendNgramCounts(batch, textCol, n, storePath,
+      Some(id))
+    markAppliedBatch(spark, storePath, id)
     true
   }
 

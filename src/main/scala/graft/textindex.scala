@@ -243,6 +243,82 @@ object TextIndex {
     delta.write.mode("append").parquet(path)
   }
 
+  /** Replay probe for [[appendNorms]] when a batch may be an
+    * at-least-once REPLAY of itself (the streamed insert path's crash
+    * window: norms landed, the `_graft_batch` marker didn't — see
+    * [[graft.streaming.StreamingIndexer.insertStreamServed]]). The strict
+    * key-only probe would see the batch's OWN half-applied keys and throw
+    * forever — a poison pill. This probe compares CONTENT and WRITES
+    * NOTHING (the caller probes every store in the group before touching
+    * any, so an edit raises with zero half-mutations): the store's rows
+    * for the delta's keys are either absent (crash before the norms job
+    * committed → true, append needed), exactly the delta (the append job
+    * commits atomically → false, converged), or different — which no
+    * crash of this batch can produce, so it is a genuine contract
+    * violation (an edited key smuggled into a replay) and raises
+    * regardless of `graft.append.insertCheck`: replay tolerance must not
+    * become edit tolerance. Cost over the strict probe: one extra
+    * batch-keys-restricted store read — paid only on detected replays. */
+  private[graft] def normsReplayNeedsAppend(
+      newDocs: DataFrame, idCol: String, fields: Seq[String],
+      path: String): Boolean = {
+    val spark = newDocs.sparkSession
+    if (!hasDataFiles(spark, path)) return true
+    val delta = buildNorms(newDocs, idCol, fields)
+      .select(col("doc_id"), col("field"), col("dl"))
+    val keys = delta.select(col("doc_id")).distinct()
+    val present = spark.read.parquet(path)
+      .join(broadcast(keys), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("field"), col("dl"))
+    if (present.isEmpty) return true
+    val mismatch = delta.exceptAll(present)
+      .unionByName(present.exceptAll(delta)).limit(5)
+      .collect().map(r => r.get(0)).distinct.toSeq
+    if (mismatch.nonEmpty)
+      throw new IllegalArgumentException(
+        s"appendNorms (replay): key(s) ${mismatch.mkString(", ")} exist in " +
+          s"$path with DIFFERENT content than this batch — an exact " +
+          "self-replay would match row-for-row, so this is an edited key, " +
+          "not redelivery. Use upsertNorms / reindexSegment for edits.")
+    false // store already holds exactly this batch's rows: converged
+  }
+
+  /** Replay probe for [[appendPostings]] under the same self-replay crash
+    * window as [[normsReplayNeedsAppend]] — and the deeper content check
+    * of the pair: norms carry only token COUNTS, so a same-length edit
+    * smuggled into a replay sails past the norms compare; the postings
+    * rows carry the token multiset, which any edit must change. Writes
+    * nothing. Store rows for the batch's keys are absent (true — append
+    * needed), exactly the batch's delta on (doc_id, field, token, tf)
+    * (atomically-committed append already landed → false, converged), or
+    * different → raise: that is an edit wearing a replay's batch id, not
+    * redelivery. */
+  private[graft] def postingsReplayNeedsAppend(
+      newDocs: DataFrame, idCol: String, fields: Seq[String], path: String,
+      nBuckets: Int, segmentCol: Option[String] = None): Boolean = {
+    val spark = newDocs.sparkSession
+    if (!hasDataFiles(spark, path)) return true
+    val cols = Seq("doc_id", "field", "token", "tf").map(col)
+    val delta = buildPostings(newDocs, idCol, fields, nBuckets, segmentCol)
+      .select(cols: _*)
+    val keys = newDocs.select(col(idCol).as("doc_id")).distinct()
+    val present = spark.read.parquet(path)
+      .join(broadcast(keys), Seq("doc_id"), "left_semi")
+      .select(cols: _*)
+    if (present.isEmpty) return true
+    val mismatch = delta.exceptAll(present)
+      .unionByName(present.exceptAll(delta)).limit(5)
+      .collect().map(_.get(0)).distinct.toSeq
+    if (mismatch.nonEmpty)
+      throw new IllegalArgumentException(
+        s"appendPostings (replay): key(s) ${mismatch.mkString(", ")} exist " +
+          s"in $path with DIFFERENT content than this batch — an exact " +
+          "self-replay would match row-for-row, so this is an edited key, " +
+          "not redelivery. Use the upsert-served path / reindexSegment for " +
+          "edits.")
+    false // store already holds exactly this batch's postings: converged
+  }
+
   /** Enforcement for the insert-only append contracts: raise (or warn,
     * per `graft.append.insertCheck`) when any delta key already exists in
     * the store — turning the silent BM25 skew of a violated contract into

@@ -719,4 +719,159 @@ class StreamingSpec extends AnyFunSuite {
       sink = (_, _) => fail("redelivered batch must not reach the sink"))
     assert(!applied && m(s"$base/ng") == before)
   }
+
+  test("r13: a replay of a HALF-APPLIED insert batch CONVERGES — no " +
+       "poison-pill raise, no duplicate rows, at every crash point") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-crashwin").toString
+    val pp = s"$base/postings"; val np = s"$base/norms"; val sp = s"$base/sugg"
+    def apply(docs: DataFrame, id: Long) =
+      StreamingIndexer.applyInsertServedBatch(docs, id, "doc_id",
+        Seq("text"), pp, np, 8, suggestPath = Some(sp),
+        suggestField = Some("text"))
+    // seeded store group (the insertStreamServed contract: LM stores are
+    // seeded by writeSuggestStore before the stream starts)
+    val seed = Seq((100L, "seed corpus words")).toDF("doc_id", "text")
+    TextIndex.writePostings(
+      TextIndex.buildPostings(seed, "doc_id", Seq("text"), 8), pp)
+    TextIndex.buildNorms(seed, "doc_id", Seq("text")).write.parquet(np)
+    Search.writeSuggestStore(seed, "text", sp)
+    val b0 = Seq((1L, "spark makes batch fast")).toDF("doc_id", "text")
+    assert(apply(b0, 0L))
+    // crash point A: pending + norms landed; postings, suggest, marker did
+    // not. The old strict probe would now collide with the batch's OWN
+    // keys and throw forever — at-least-once redelivery wedged the stream.
+    val b1 = Seq((2L, "fresh spark content"), (3L, "more batch data"))
+      .toDF("doc_id", "text")
+    StreamingIndexer.writePending(spark, pp, 1L)
+    TextIndex.appendNorms(b1, "doc_id", Seq("text"), np)
+    assert(apply(b1, 1L)) // converges, no raise
+    // crash point B: everything but the marker landed (suggest stamped)
+    val b2 = Seq((4L, "entirely new words")).toDF("doc_id", "text")
+    StreamingIndexer.writePending(spark, pp, 2L)
+    TextIndex.appendNorms(b2, "doc_id", Seq("text"), np)
+    TextIndex.appendPostings(b2, "doc_id", Seq("text"), pp, 8)
+    Search.appendSuggestStore(b2, "text", sp, Some(2L))
+    assert(apply(b2, 2L)) // converges, skips every store
+    // zero duplicates anywhere: the streamed stores hash-equal an
+    // all-at-once batch build of the full corpus
+    val all = seed.unionByName(b0).unionByName(b1).unionByName(b2)
+    def bm25(p: DataFrame, n: DataFrame) =
+      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "batch"), nBuckets = 8)
+        .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 1e6))
+        .toMap
+    assert(spark.read.parquet(np).count() == 5L) // one norms row per doc
+    assert(bm25(spark.read.option("basePath", pp).parquet(pp),
+        spark.read.parquet(np)) ==
+      bm25(TextIndex.buildPostings(all, "doc_id", Seq("text"), 8),
+        TextIndex.buildNorms(all, "doc_id", Seq("text"))))
+    Search.writeSuggestStore(all, "text", s"$base/sugg_ref")
+    def uni(p: String) = spark.read.parquet(s"$p/unigrams").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(uni(sp) == uni(s"$base/sugg_ref"))
+    // replay tolerance is NOT edit tolerance: a pending id whose batch
+    // carries DIFFERENT content for an existing key still raises
+    StreamingIndexer.writePending(spark, pp, 3L)
+    val edited = Seq((4L, "edited words entirely")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException](apply(edited, 3L))
+    assert(ex.getMessage.contains("DIFFERENT content"), ex.getMessage)
+  }
+
+  test("r13: a NEW streaming query against an EXISTING store group raises " +
+       "loudly and names the repair — never silently drops early batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-lineage").toString
+    val pp = s"$base/postings"; val np = s"$base/norms"
+    def serve(input: MemoryStream[(Long, Long, String)]) =
+      StreamingIndexer.insertStreamServed(
+        input.toDF().toDF("doc_id", "ver", "text"),
+        "doc_id", Seq("ver"), Seq("text"), pp, np, 8)
+    // stream A builds the store; its marker records A's queryId
+    val inA = MemoryStream[(Long, Long, String)]
+    val qA = serve(inA).start()
+    try {
+      inA.addData((1L, 1L, "spark makes batch fast"), (2L, 1L, "more data"))
+      qA.processAllAvailable()
+    } finally qA.stop()
+    // stream B: fresh checkpoint, batch ids restart at 0 — before r13 its
+    // batch 0 read as already-applied and was silently dropped from the
+    // index; now the lineage mismatch raises and names the repair
+    val inB = MemoryStream[(Long, Long, String)]
+    val qB = serve(inB).start()
+    val exB = intercept[Exception] {
+      try { inB.addData((3L, 1L, "lost words")); qB.processAllAvailable() }
+      finally qB.stop()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(rootMsg).getOrElse("")
+    assert(rootMsg(exB).contains("resetBatchMarker"), rootMsg(exB).take(500))
+    // doc 3 was NOT silently half-indexed
+    assert(spark.read.parquet(np).where(col("doc_id") === 3L).count() == 0)
+    // the named repair makes an intentional takeover work
+    StreamingIndexer.resetBatchMarker(spark, pp)
+    val inC = MemoryStream[(Long, Long, String)]
+    val qC = serve(inC).start()
+    try {
+      inC.addData((4L, 1L, "taken over cleanly"))
+      qC.processAllAvailable()
+    } finally qC.stop()
+    assert(spark.read.parquet(np).where(col("doc_id") === 4L).count() == 1)
+    // restarting the SAME query from its checkpoint keeps working — the
+    // lineage is the queryId, stable across restarts (pinned implicitly by
+    // qC's batches above landing after qA's marker was reset; a same-id
+    // restart shares the checkpoint and therefore the recorded lineage)
+  }
+
+  test("r13: the n-gram gate's scored frame is materialized BEFORE the " +
+       "store advances — a lazy sink still reads pre-batch scores") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-lazysink").toString
+    val seed = Seq((1L, "the quick brown fox"), (2L, "the quick brown cat"))
+      .toDF("doc_id", "text")
+    pipeline.TextStats.writeNgramCounts(seed, "text", 3, s"$base/ng")
+    // the deliberately-lazy sink: keeps the frame, evaluates AFTER the
+    // batch body has already folded the batch into the store
+    var kept: DataFrame = null
+    val b1 = Seq((3L, "the quick brown dog")).toDF("doc_id", "text")
+    assert(StreamingIndexer.applyNgramGateBatch(b1, 0L, "doc_id", "text", 3,
+      s"$base/ng", sink = (df, _) => { kept = df }))
+    val late = kept.select("doc_id", "dup_ngram_frac").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pre-batch truth: 'the quick brown' counts 2 in the SEED store (docs
+    // 1, 2), so doc 3 scores 0.5; an unmaterialized plan would re-read the
+    // store that now also holds doc 3's grams and self-flag 'quick brown
+    // dog' — scoring 1.0
+    assert(late == Map(3L -> 0.5), late.toString)
+  }
+
+  test("r13: n-gram gate crash window — counts merged but marker missing: " +
+       "the redelivery skips whole instead of double-counting or " +
+       "re-scoring against the advanced store") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ngcrash").toString
+    val seed = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    pipeline.TextStats.writeNgramCounts(seed, "text", 3, s"$base/ng")
+    def counts() = spark.read.parquet(s"$base/ng").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // half-applied batch 0: pending + (stamped) count merge landed, the
+    // sink ran with correct scores, the marker write crashed
+    val b0 = Seq((2L, "the quick brown cat")).toDF("doc_id", "text")
+    StreamingIndexer.writePending(spark, s"$base/ng", 0L)
+    pipeline.TextStats.appendNgramCounts(b0, "text", 3, s"$base/ng", Some(0L))
+    val after = counts()
+    // redelivery: skipped whole — the sink must NOT see re-scored (now
+    // self-flagging) rows, and the counts must not double
+    val applied = StreamingIndexer.applyNgramGateBatch(b0, 0L, "doc_id",
+      "text", 3, s"$base/ng",
+      sink = (_, _) => fail("half-applied replay must not re-run the sink " +
+        "against a store that already contains the batch"))
+    assert(!applied && counts() == after)
+    // and the NEXT batch proceeds normally
+    assert(StreamingIndexer.applyNgramGateBatch(
+      Seq((3L, "one two three four")).toDF("doc_id", "text"), 1L, "doc_id",
+      "text", 3, s"$base/ng", sink = (_, _) => ()))
+    assert(counts() != after)
+  }
 }

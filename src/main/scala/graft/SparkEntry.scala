@@ -2439,6 +2439,30 @@ object SparkEntry {
           expr("CAST(floor(score * 1e9) AS BIGINT)").as("score_e9"),
           col("rank").cast("int").as("rank"))
     }),
+    "q_suggest_rebuild" -> ((s, dir) => {
+      // M-plane LM freshness (r13): the suggest store is seeded from a
+      // PRE-EDIT version of the corpus (a slice of docs carries different
+      // text), the corpus then takes its edits, and the maintenance
+      // rebuild (Maintain.rebuildSuggestStore — the cadence-parameterized
+      // sanctioned freshness path for edit-heavy corpora, which the
+      // additive LM store cannot absorb) swaps in the CURRENT corpus.
+      // Served suggestions must equal the direct operator over the true
+      // documents — q_suggest_phrase_store's oracle.
+      val path = memoStore("suggest_rebuild", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val preEdit = d.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            lit("stale placeholder boilerplate text"))
+            .otherwise(col("text")))
+        Search.writeSuggestStore(preEdit, "text", p)
+        require(Maintain.rebuildSuggestStore(d, "text", p, NowEpoch),
+          "unstamped store must count as infinitely old")
+      }
+      Search.phraseSuggestFromStore(s, path, "pert streem", size = 3)
+        .select(col("suggestion"),
+          expr("CAST(floor(score * 1e9) AS BIGINT)").as("score_e9"),
+          col("rank").cast("int").as("rank"))
+    }),
     "q_suggest_store_append" -> ((s, dir) => {
       // incremental-maintenance proof (same oracle as
       // q_suggest_phrase_store): the LM store is BUILT from half the
@@ -3666,6 +3690,40 @@ object SparkEntry {
       }
       pipeline.TextStats.dupNgramFractionFromStore(
           tbl(s, dir, "documents"), "text", "doc_id", 3, path)
+        .orderBy(col("doc_id"))
+    }),
+    "q_ngram_store_subtract" -> ((s, dir) => {
+      // the store that FORGETS (r13): doc-keyed gram ledger, delete a
+      // slice by key, and the served boilerplate gate hash-equals the
+      // direct operator over the SURVIVING corpus — the M4/M5
+      // data-leaves-the-system contract extended to the pipeline stores
+      // (an additive store with no doc keys would carry the deleted
+      // docs' grams forever).
+      val path = memoStore("ngram_counts_keyed_sub", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        pipeline.TextStats.writeNgramCountsKeyed(d, "text", "doc_id", 3, p)
+        pipeline.TextStats.subtractNgramCounts(s, p,
+          d.where(col("doc_id") % 7 === 0).select(col("doc_id")))
+      }
+      pipeline.TextStats.dupNgramFractionFromKeyedStore(
+          tbl(s, dir, "documents").where(col("doc_id") % 7 =!= 0),
+          "text", "doc_id", 3, path)
+        .orderBy(col("doc_id"))
+    }),
+    "q_bigram_lm_subtract" -> ((s, dir) => {
+      // the LM that FORGETS (r13): subtract deleted docs' bigrams by key;
+      // served NLL over the survivors hash-equals the direct operator on
+      // the survivor corpus (deleted docs stop shaping the model).
+      val path = memoStore("bigram_lm_keyed_sub", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        pipeline.TextStats.writeBigramLmKeyed(d, "text", "doc_id", p)
+        pipeline.TextStats.subtractBigramLm(s, p,
+          d.where(col("doc_id") % 7 === 0).select(col("doc_id")))
+      }
+      pipeline.TextStats.bigramLogLossFromKeyedStore(
+          tbl(s, dir, "documents").where(col("doc_id") % 7 =!= 0),
+          "text", "doc_id", path)
+        .select(col("doc_id"), col("bigram_nll"))
         .orderBy(col("doc_id"))
     }),
     "q_text_keywords" -> ((s, dir) => {
@@ -7666,5 +7724,17 @@ object SparkEntry {
     "q_search_mlt_store" -> baseOracles("q_search_mlt"),
     "q_agg_significant_text_store" -> baseOracles("q_agg_significant_text"),
     "q_text_dup_ngrams_store" -> baseOracles("q_text_dup_ngrams"),
-    "q_ngram_store_append" -> baseOracles("q_text_dup_ngrams"))
+    "q_ngram_store_append" -> baseOracles("q_text_dup_ngrams"),
+    // the subtraction proofs serve the SURVIVOR corpus' answers — build
+    // over everything, forget a slice by key, and the store must serve
+    // exactly what a rebuild without the deleted docs would (their oracle
+    // is the direct SQL restricted to the survivors on BOTH sides: the
+    // scored docs and the corpus statistics)
+    "q_ngram_store_subtract" ->
+      baseOracles("q_text_dup_ngrams").replace("FROM documents",
+        "FROM documents WHERE doc_id % 7 <> 0"),
+    "q_bigram_lm_subtract" ->
+      baseOracles("q_text_bigram_nll").replace("FROM documents",
+        "FROM documents WHERE doc_id % 7 <> 0"),
+    "q_suggest_rebuild" -> baseOracles("q_suggest_phrase_store"))
 }

@@ -303,10 +303,10 @@ object Maintain {
     * give an individual additive store, and exactly what lets an
     * at-least-once redelivery of a half-applied batch skip the merges that
     * already landed instead of double-counting them. */
-  private[graft] def readAppliedStamp(spark: org.apache.spark.sql.SparkSession,
-                                      dir: String): Option[Long] = {
+  private def readLongMarker(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, name: String): Option[Long] = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(dir, "_graft_applied")
+    val p = new Path(dir, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else {
@@ -317,13 +317,61 @@ object Maintain {
     }
   }
 
-  private[graft] def writeAppliedStamp(spark: org.apache.spark.sql.SparkSession,
-                                       dir: String, id: Long): Unit = {
+  private def writeLongMarker(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, name: String, v: Long): Unit = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(dir, "_graft_applied")
+    val p = new Path(dir, name)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readAppliedStamp(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): Option[Long] =
+    readLongMarker(spark, dir, "_graft_applied")
+
+  private[graft] def writeAppliedStamp(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String, id: Long): Unit =
+    writeLongMarker(spark, dir, "_graft_applied", id)
+
+  /** M-plane freshness for the phrase-suggester LM store — the sanctioned
+    * rebuild for corpora that take EDITS, as a maintenance operator with a
+    * cadence knob instead of a doc-comment: the LM tables are additive and
+    * carry no doc keys, so [[graft.streaming.StreamingIndexer
+    * .upsertStreamServed]] deliberately skips them and an edit-heavy
+    * corpus would otherwise serve stale suggestions with no sanctioned
+    * freshness path. Rebuilds the unigram/bigram tables from the CURRENT
+    * corpus into a staging sibling and swaps WHOLE (the [[stagedRewrite]]
+    * discipline — a reader never sees one rebuilt sub-table next to a
+    * stale one, which two independent overwrites would expose), stamping
+    * the build time into `_graft_built`.
+    *
+    * `ifOlderThanSec` > 0 is the cadence shape of the reference's hourly
+    * maintenance sweeps (M3/M5 — DefaultIndexManager.java:70-72): call on
+    * every sweep, act only when the last build is older than the knob; an
+    * unstamped store (seeded by [[Search.writeSuggestStore]] directly)
+    * counts as infinitely old. `nowEpochSec` is the caller's clock, same
+    * as [[ttlFilter]]. Returns true when rebuilt. Pinned by
+    * `q_suggest_rebuild`: edit → rebuild → served suggestions equal the
+    * direct operator over the edited corpus. */
+  def rebuildSuggestStore(docs: org.apache.spark.sql.DataFrame, field: String,
+                          path: String, nowEpochSec: Long,
+                          ifOlderThanSec: Long = 0L): Boolean = {
+    val spark = docs.sparkSession
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (ifOlderThanSec > 0 && fs.exists(root) &&
+        readLongMarker(spark, path, "_graft_built")
+          .exists(b => nowEpochSec - b < ifOlderThanSec))
+      return false
+    def buildInto(dir: String): Unit = {
+      Search.writeSuggestStore(docs, field, dir)
+      writeLongMarker(spark, dir, "_graft_built", nowEpochSec)
+    }
+    if (!fs.exists(root)) buildInto(path)
+    else stagedRewrite(spark, path)(buildInto)
+    true
   }
 
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +

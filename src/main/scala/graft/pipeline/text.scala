@@ -414,6 +414,165 @@ object TextStats {
         sum(when(col("cb").isNull, 1L).otherwise(0L)).as("oov_bigrams"))
   }
 
+  // ---- doc-KEYED count stores: additive stores that can FORGET ----
+  //
+  // The flat n-gram/bigram-LM stores are additive by contract and carry
+  // no doc keys, so a deleted or TTL-expired doc's grams pollute the
+  // boilerplate gate and the LM forever — the one place the pipeline
+  // stores diverged from the maintenance plane's data-LEAVES-the-system
+  // contract (M4/M5 TTL, S5 deletes — reference:
+  // ElasticIndex.java:825-836). The keyed layout fixes that with a
+  // subtraction ledger:
+  //
+  //   path/agg    (g,cg)/(bg,cb) — the serving table; SAME schema as the
+  //               flat store, so every FromStore scorer serves it as-is
+  //   path/bydoc  (doc_id, gram, c) — per-doc counts, sorted by doc_id so
+  //               a delete sweep's semi-join prunes row groups
+  //
+  // Deletes subtract BY KEY: anti-join the ledger, rebuild the agg from
+  // the clean ledger. The rebuild (not a delta subtract) is deliberate —
+  // it makes the sweep IDEMPOTENT under crash-and-retry (a half-applied
+  // delta subtract either double-subtracts or silently leaves the agg
+  // stale depending on which rewrite survived; re-running a rebuild
+  // always converges on the clean ledger). Cost: one gram-ledger pass
+  // per delete sweep — maintenance-cadence work (M3/M4's plane), never a
+  // corpus TEXT pass.
+
+  private def byDocCounts(df: DataFrame, idCol: String, gram: Column,
+                          key: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(gram).as(key))
+      .groupBy(col("doc_id"), col(key))
+      .agg(count(lit(1)).cast("long").as("c"))
+
+  private def rebuildAggFromLedger(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, key: String,
+                                   cnt: String): Unit = {
+    val agg = spark.read.parquet(s"$path/bydoc")
+      .groupBy(col(key)).agg(sum(col("c")).cast("long").as(cnt))
+      .sort(key)
+    if (!new org.apache.hadoop.fs.Path(s"$path/agg")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(s"$path/agg")))
+      agg.write.parquet(s"$path/agg")
+    else graft.Maintain.stagedRewrite(spark, s"$path/agg")(tmp =>
+      agg.write.parquet(tmp))
+  }
+
+  private def writeKeyedCounts(df: DataFrame, idCol: String, gram: Column,
+                               key: String, cnt: String, path: String): Unit = {
+    val spark = df.sparkSession
+    byDocCounts(df, idCol, gram, key).sort("doc_id", key)
+      .write.mode("overwrite").parquet(s"$path/bydoc")
+    // agg derives from the written ledger — one ledger read instead of a
+    // second corpus tokenize
+    spark.read.parquet(s"$path/bydoc")
+      .groupBy(col(key)).agg(sum(col("c")).cast("long").as(cnt))
+      .sort(key).write.mode("overwrite").parquet(s"$path/agg")
+  }
+
+  private def appendKeyedCounts(newDocs: DataFrame, idCol: String,
+                                gram: Column, key: String, cnt: String,
+                                path: String, batchId: Option[Long],
+                                what: String): Unit = {
+    val spark = newDocs.sparkSession
+    val delta = byDocCounts(newDocs, idCol, gram, key)
+    // NEW documents only, enforced on the ledger's doc keys (the strict
+    // probe — an edit must subtract first: subtract(ids) then append)
+    graft.TextIndex.requireInsertOnly(spark, s"$path/bydoc",
+      delta.select(col("doc_id")).distinct(), what)
+    delta.write.mode("append").parquet(s"$path/bydoc")
+    if (batchId.isDefined &&
+        graft.Maintain.readAppliedStamp(spark, s"$path/agg") == batchId)
+      return // replayed batch: the agg merge already landed
+    graft.Maintain.stagedRewrite(spark, s"$path/agg") { tmp =>
+      spark.read.parquet(s"$path/agg")
+        .unionByName(delta.groupBy(col(key))
+          .agg(sum(col("c")).cast("long").as(cnt)))
+        .groupBy(col(key)).agg(sum(col(cnt)).cast("long").as(cnt))
+        .sort(key).write.parquet(tmp)
+      batchId.foreach(graft.Maintain.writeAppliedStamp(spark, tmp, _))
+    }
+  }
+
+  private def subtractKeyedCounts(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, deletedIds: DataFrame,
+                                  key: String, cnt: String): Unit = {
+    val ids = deletedIds
+      .select(col(deletedIds.columns.head).as("doc_id")).distinct()
+    graft.Maintain.stagedRewrite(spark, s"$path/bydoc") { tmp =>
+      spark.read.parquet(s"$path/bydoc")
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .sort("doc_id", key).write.parquet(tmp)
+    }
+    rebuildAggFromLedger(spark, path, key, cnt)
+  }
+
+  /** Doc-keyed twin of [[writeNgramCounts]] — see the layout/contract
+    * block above. Serve with [[dupNgramFractionFromKeyedStore]]; forget
+    * deleted/expired docs with [[subtractNgramCounts]]. */
+  def writeNgramCountsKeyed(df: DataFrame, textCol: String, idCol: String,
+                            n: Int, path: String): Unit = {
+    require(n >= 1, s"n must be positive, got $n")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    writeKeyedCounts(df, idCol, wordGrams(toks, n), "g", "cg", path)
+  }
+
+  /** See [[writeNgramCountsKeyed]]; NEW documents only (enforced on the
+    * ledger's doc keys — for an edit, [[subtractNgramCounts]] the old doc
+    * first). `batchId` gives the agg merge at-least-once idempotence, as
+    * in [[appendNgramCounts]]. */
+  def appendNgramCountsKeyed(newDocs: DataFrame, textCol: String,
+                             idCol: String, n: Int, path: String,
+                             batchId: Option[Long] = None): Unit = {
+    require(n >= 1, s"n must be positive, got $n")
+    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0)
+    appendKeyedCounts(newDocs, idCol, wordGrams(toks, n), "g", "cg", path,
+      batchId, "appendNgramCountsKeyed")
+  }
+
+  /** Forget deleted docs BY KEY: after this, the store serves exactly as
+    * if rebuilt over the corpus without them (pinned by
+    * `q_ngram_store_subtract` against the full direct oracle on the
+    * surviving corpus). Idempotent under crash-and-retry — see the
+    * layout block. `deletedIds` is a one-column frame of doc ids
+    * (delete-sweep-sized, broadcast into the ledger anti-join). */
+  def subtractNgramCounts(spark: org.apache.spark.sql.SparkSession,
+                          path: String, deletedIds: DataFrame): Unit =
+    subtractKeyedCounts(spark, path, deletedIds, "g", "cg")
+
+  /** [[dupNgramFractionFromStore]] over a keyed store's serving table. */
+  def dupNgramFractionFromKeyedStore(df: DataFrame, textCol: String,
+                                     idCol: String, n: Int,
+                                     path: String): DataFrame =
+    dupNgramFractionFromStore(df, textCol, idCol, n, s"$path/agg")
+
+  /** Doc-keyed twin of [[writeBigramLm]] — the LM that can forget (see
+    * the layout/contract block). Serve with
+    * [[bigramLogLossFromKeyedStore]]; forget with [[subtractBigramLm]]. */
+  def writeBigramLmKeyed(df: DataFrame, textCol: String, idCol: String,
+                         path: String): Unit =
+    writeKeyedCounts(df, idCol, wsBigramPairs(textCol), "bg", "cb", path)
+
+  /** See [[writeBigramLmKeyed]]; NEW documents only (enforced). */
+  def appendBigramLmKeyed(newDocs: DataFrame, textCol: String,
+                          idCol: String, path: String,
+                          batchId: Option[Long] = None): Unit =
+    appendKeyedCounts(newDocs, idCol, wsBigramPairs(textCol), "bg", "cb",
+      path, batchId, "appendBigramLmKeyed")
+
+  /** Forget deleted docs' bigrams BY KEY — [[subtractNgramCounts]] for
+    * the LM (pinned by `q_bigram_lm_subtract`). */
+  def subtractBigramLm(spark: org.apache.spark.sql.SparkSession,
+                       path: String, deletedIds: DataFrame): Unit =
+    subtractKeyedCounts(spark, path, deletedIds, "bg", "cb")
+
+  /** [[bigramLogLossFromStore]] over a keyed store's serving table. */
+  def bigramLogLossFromKeyedStore(df: DataFrame, textCol: String,
+                                  idCol: String, path: String): DataFrame =
+    bigramLogLossFromStore(df, textCol, idCol, s"$path/agg")
+
   /** Top-k distinctive terms per doc by TF-IDF
     * (`c(w,d) · ln(N/df(w))`, N = docs with ≥1 token) — keyword
     * extraction / topic fingerprinting over the corpus statistics the

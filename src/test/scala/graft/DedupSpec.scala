@@ -278,6 +278,55 @@ class DedupSpec extends AnyFunSuite {
     assert(o == Set((9, 0.5, 2L), (10, 0.0, 4L)), o.toString)
   }
 
+  test("r13: doc-KEYED count stores forget by key — delete docs, and the " +
+       "served scores hash-equal a rebuild without them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_keyed_store").toString
+    val keep = Seq((1, "the quick brown fox"), (2, "the quick brown cat"),
+      (4, "a a a a a")).toDF("id", "text")
+    val doomed = Seq((3, "the quick brown rat"), (5, "a a a b"))
+      .toDF("id", "text")
+    val all = keep.unionByName(doomed)
+    // n-gram store: build keyed over everything, append-contract enforced
+    TextStats.writeNgramCountsKeyed(all, "text", "id", 3, s"$dir/ng")
+    val ex = intercept[IllegalArgumentException](
+      TextStats.appendNgramCountsKeyed(
+        Seq((3, "an edited doc here")).toDF("id", "text"),
+        "text", "id", 3, s"$dir/ng"))
+    assert(ex.getMessage.contains("insert-only"), ex.getMessage)
+    // forget docs 3 and 5; serving the survivors must equal the direct
+    // operator over the survivor corpus — the deleted docs' grams are GONE
+    // (before: 'the quick brown' counted 3, so doc 3's deletion changes
+    // nothing for 1/2... but 'a a a' counted 4 with doc 5's contribution)
+    TextStats.subtractNgramCounts(spark, s"$dir/ng",
+      Seq(3, 5).toDF("id"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(m(TextStats.dupNgramFractionFromKeyedStore(
+        keep, "text", "id", 3, s"$dir/ng")) ==
+      m(TextStats.dupNgramFraction(keep, "text", "id", 3)))
+    // idempotent under crash-and-retry: re-running the same sweep is a no-op
+    TextStats.subtractNgramCounts(spark, s"$dir/ng", Seq(3, 5).toDF("id"))
+    assert(m(TextStats.dupNgramFractionFromKeyedStore(
+        keep, "text", "id", 3, s"$dir/ng")) ==
+      m(TextStats.dupNgramFraction(keep, "text", "id", 3)))
+    // append after subtraction works (the edit path: subtract, then append)
+    TextStats.appendNgramCountsKeyed(
+      Seq((3, "the quick brown eel")).toDF("id", "text"),
+      "text", "id", 3, s"$dir/ng")
+    val re = keep.unionByName(Seq((3, "the quick brown eel")).toDF("id", "text"))
+    assert(m(TextStats.dupNgramFractionFromKeyedStore(
+        re, "text", "id", 3, s"$dir/ng")) ==
+      m(TextStats.dupNgramFraction(re, "text", "id", 3)))
+    // bigram LM twin: same ledger discipline
+    TextStats.writeBigramLmKeyed(all, "text", "id", s"$dir/lm")
+    TextStats.subtractBigramLm(spark, s"$dir/lm", Seq(3, 5).toDF("id"))
+    def lm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(lm(TextStats.bigramLogLossFromKeyedStore(
+        keep, "text", "id", s"$dir/lm").select("id", "bigram_nll")) ==
+      lm(TextStats.bigramLogLoss(keep, "text", "id")))
+  }
+
   test("duplicate n-gram fraction: corpus-wide gram instances seen >= 2 times") {
     val df = Seq(
       (1, "the quick brown fox"), (2, "the quick brown cat"),

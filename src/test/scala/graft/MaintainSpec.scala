@@ -312,4 +312,34 @@ class MaintainSpec extends AnyFunSuite {
     assert(enc.count() == 3 &&
       enc.agg(min(col("n_tokens"))).head.getInt(0) > 0)
   }
+
+  test("r13: rebuildSuggestStore is the sanctioned freshness path for " +
+       "edited corpora — whole-store swap, cadence-gated, stamped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sugg_rb").toString
+    val before = Seq((1L, "spark stream spark stream"), (2L, "spark batch"))
+      .toDF("doc_id", "text")
+    // the corpus then takes an EDIT the additive LM store cannot absorb
+    val after = Seq((1L, "flink stream flink stream"), (2L, "spark batch"))
+      .toDF("doc_id", "text")
+    Search.writeSuggestStore(before, "text", dir) // unstamped seed
+    def served() = Search.phraseSuggestFromStore(spark, dir, "spork streem", 3)
+      .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    def direct(d: org.apache.spark.sql.DataFrame) =
+      Search.phraseSuggest(d, "text", "spork streem", 3)
+        .collect().map(r => (r.getString(0), r.getInt(2))).toSeq
+    assert(served() == direct(before))
+    // an unstamped store counts as infinitely old: the cadence knob does
+    // not block the first sanctioned rebuild
+    assert(Maintain.rebuildSuggestStore(after, "text", dir,
+      nowEpochSec = 1000L, ifOlderThanSec = 3600L))
+    assert(served() == direct(after), "suggestions must reflect the edit")
+    // within cadence: the sweep is a no-op (still serving the rebuild)
+    assert(!Maintain.rebuildSuggestStore(before, "text", dir,
+      nowEpochSec = 1500L, ifOlderThanSec = 3600L))
+    assert(served() == direct(after))
+    // past cadence: the sweep acts
+    assert(Maintain.rebuildSuggestStore(before, "text", dir,
+      nowEpochSec = 5000L, ifOlderThanSec = 3600L))
+    assert(served() == direct(before))
+  }
 }

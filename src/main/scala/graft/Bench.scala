@@ -56,23 +56,35 @@ object Bench {
     // cache) so no timed query absorbs one-time setup: the first read of
     // documents.parquet otherwise costs ~1.5s of decompress/init that
     // belongs to no particular query
-    spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    // collect() the per-column aggregate — its VALUES force every data page
-    // to decompress. (A terminal .count() lets ColumnPruning strip the inner
-    // aggregates down to a metadata-only scan, warming nothing; same for a
-    // bare count().)
-    Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
-        "events", "documents", "embeddings")
-      .foreach { t =>
-        val df = spark.read.parquet(s"$sfDir/$t.parquet")
-        df.select(df.columns.map(c =>
-          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col(c)).as(c)): _*).collect()
-      }
-    // JIT-warm the regex text-match path (~2s of cold java.util.regex +
-    // codegen that otherwise lands on whichever search query runs first)
-    import org.apache.spark.sql.functions.{col, lower}
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .where(lower(col("text")).rlike("\\bwarmup_token_zzz\\b")).count()
+    def warm(s: SparkSession): Unit = {
+      s.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+      // collect() the per-column aggregate — its VALUES force every data page
+      // to decompress. (A terminal .count() lets ColumnPruning strip the inner
+      // aggregates down to a metadata-only scan, warming nothing; same for a
+      // bare count().)
+      Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings")
+        .foreach { t =>
+          val df = s.read.parquet(s"$sfDir/$t.parquet")
+          df.select(df.columns.map(c =>
+            org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.col(c)).as(c)): _*).collect()
+        }
+      // JIT-warm the regex text-match path (~2s of cold java.util.regex +
+      // codegen that otherwise lands on whichever search query runs first)
+      import org.apache.spark.sql.functions.{col, lower}
+      s.read.parquet(s"$sfDir/documents.parquet")
+        .where(lower(col("text")).rlike("\\bwarmup_token_zzz\\b")).count()
+    }
+    warm(spark)
+    // self-certification taps (r13): the verdict's standing rule is that a
+    // bench regression needs worktree archaeology to tell code from a
+    // contended sandbox — so the artifact now carries the evidence itself:
+    // per-query RAW runs (spread visible), the OS load average sampled as
+    // each query starts (contention visible), and a small cpus=4 companion
+    // pass at the end (a contended 32-thread window inflates wide plans
+    // 2-3x while the 4-thread medians sit at their usual level — the r12
+    // signature; a real plan regression moves BOTH).
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val tap = new ShuffleTap
     spark.sparkContext.addSparkListener(tap)
     // Repeat-and-keep-median guard (r10, replacing the r7 slow-tail-only
@@ -92,6 +104,7 @@ object Bench {
         org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
         tap.shuffleBytes.get()
       }
+      val load0 = osBean.getSystemLoadAverage
       // a failed query must be visible as a failure, not recorded as a
       // normal (time-to-failure) timing.
       // Action = materialize the query's OWN plan (toRdd.count): a bare
@@ -116,15 +129,75 @@ object Bench {
       val good = runs.filter(_ >= 0).sorted
       // any successful run counts; all-failed stays the -1 failure marker
       val sec = if (good.isEmpty) -1.0 else good((good.size - 1) / 2)
-      name -> (sec, shuffled)
+      name -> (sec, shuffled, runs, load0)
     }
+    // cpus=4 companion medians over a pinned subset — the sandbox-noise
+    // canaries (every query the r9-r12 rounds ever suspected of a
+    // regression that turned out environmental, plus the headline search/
+    // agg paths). Runs in a FRESH local[4] session after the main pass:
+    // at 4 threads the sandbox's CPU contention has ~no room to inflate a
+    // wide plan, so "32-thread median up, 4-thread median flat" reads as
+    // contention from the artifact alone. Opt out with SPARK_GRAFT_CPUS4=0.
+    val cpus4Queries = Seq(
+      "q_search_topk", "q_search_rowload", "q_search_bm25",
+      "q_search_wildcard", "q_upsert_lww", "q_agg_terms",
+      "q_agg_date_histogram", "q_dedup_exact", "q_dedup_minhash",
+      "q_dedup_minhash_salted", "q_dedup_embedding", "q_dedup_semantic",
+      "q_dedup_corpus", "q_dedup_edit", "q_suggest_phrase_store",
+      "q_split_leakage_safe", "q_curate_corpus")
+    val cpus4: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_CPUS4", "4") == "0") Map.empty
+      else {
+        spark.stop()
+        val s4 = SparkSession.builder()
+          .master("local[4]")
+          .config("spark.sql.shuffle.partitions", "4")
+          .config("spark.ui.enabled", "false")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .config("spark.sql.adaptive.enabled", "true")
+          .getOrCreate()
+        s4.sparkContext.setLogLevel("WARN")
+        warm(s4)
+        val out = cpus4Queries.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            def run4(): Double = {
+              val t0 = System.nanoTime()
+              val ok = try { fn(s4, sfDir).queryExecution.toRdd.count(); true }
+                       catch { case _: Throwable => false }
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (ok) sec else -1.0
+            }
+            val good = Seq.fill(benchRuns)(run4()).filter(_ >= 0).sorted
+            name -> (if (good.isEmpty) -1.0 else good((good.size - 1) / 2))
+          }
+        }.toMap
+        s4.stop()
+        out
+      }
     // failed queries serialize as null, never as -1: a -1 "timing" is
     // indistinguishable from a real value to a consumer that averages or
     // plots the map — the separate "failed" count is the failure signal
-    val qs = results.map { case (k, (v, _)) =>
+    val qs = results.map { case (k, (v, _, _, _)) =>
         s"\"" + k + "\":" + (if (v < 0) "null" else v.toString) }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, s)) => s"\"" + k + "\":" + s }
+    val sh = results.map { case (k, (_, s, _, _)) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    // self-certification detail: the raw runs behind each median (failed
+    // runs as -1 — the medians above already exclude them), and the OS
+    // 1-min load average as the query started
+    val rawRuns = results.map { case (k, (_, _, rs, _)) =>
+        s"\"" + k + "\":" + rs.map(r =>
+          BigDecimal(r).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+          .mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val loads = results.map { case (k, (_, _, _, l)) =>
+        s"\"" + k + "\":" +
+          BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    val cpus4Json = cpus4.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"\"" + k + "\":" + (if (v < 0) "null"
+          else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)) }
       .mkString("{", ",", "}")
     // total covers the queries that ran; failures are counted, not summed
     val total = results.values.map(_._1).filter(_ >= 0).sum
@@ -186,12 +259,18 @@ object Bench {
         "q_tokenize_ids_store", "q_esql_stats_ext", "q_esql_to_ip",
         "q_esql_mad")
       .filter(results.contains).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cpus4Total = cpus4.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"total_shuffle_bytes":$totalShuffle,""" +
       s""""query_count":${results.size},"new_queries_baseline":"$newQueriesBaseline",""" +
       s""""new_queries_since_baseline":$newQueries,""" +
       s""""action":"materialize_rows (toRdd.count; r5 change — a bare count() let the optimizer elide column decode and whole joins, under-measuring projection-shaped queries)",""" +
       s""""runs_per_query":$benchRuns,"stat":"median (r10 — single timings carry sandbox noise; lower middle on even counts)",""" +
+      s""""runs":$rawRuns,"load_avg_1m":$loads,""" +
+      s""""available_processors":${Runtime.getRuntime.availableProcessors},""" +
+      s""""cpus4":$cpus4Json,"cpus4_total":${
+        BigDecimal(cpus4Total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
+      s""""self_certification":"runs = raw timings behind each median (spread exposes one-sided noise); load_avg_1m = OS load as the query started; cpus4 = fresh local[4] medians over the noise-canary subset — 32-thread median up while cpus4 flat reads as sandbox contention, both up reads as a real regression",""" +
       s""""sf":"$sfDir"}"""
     // Full per-query detail (~7 KB with 190+ queries) goes to bench.json in
     // the working directory (= repo root under sbt).
@@ -213,7 +292,7 @@ object Bench {
       "q_similarity_ivf", "q_text_langid", "q_text_quality", "q_text_tokens",
       "q_text_fingerprint", "q_stream_window", "q_ttl_expire", "q_segment_roll",
       "q_sessionize", "q_flatten")
-    val hq = headline.flatMap(k => results.get(k).map { case (v, _) =>
+    val hq = headline.flatMap(k => results.get(k).map { case (v, _, _, _) =>
       "\"" + k + "\":" + (if (v < 0) "null"
         else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString) })
       .mkString("{", ",", "}")
@@ -222,7 +301,12 @@ object Bench {
       },"unit":"sec","queries":$hq,""" +
       s""""query_count":${results.size},"failed":${
         results.count(_._2._1 < 0)},"total_shuffle_bytes":$totalShuffle,""" +
-      s""""queries_detail":"bench.json","sf":"$sfDir"}"""
+      s""""cpus4_total":${
+        BigDecimal(cpus4Total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      },"load_avg_max":${
+        BigDecimal(results.values.map(_._4).max)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      },"queries_detail":"bench.json (runs/load_avg_1m/cpus4 self-certification)","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

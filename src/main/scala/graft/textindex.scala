@@ -579,15 +579,22 @@ object TextIndex {
                  !st.getPath.getName.startsWith(".")) 1 else 0
       }.sum
     val before = dataFiles(root)
-    // the sidecar must survive the swap — read it before the root delete
-    val metaPath = new Path(root, MetaFile)
-    val sidecar =
-      if (!fs.exists(metaPath)) None
+    // the sidecars must survive the swap — read them before the root
+    // delete: the schema/options meta, AND the streaming `_graft_batch`
+    // marker (r13): compaction used to wipe it, silently discarding both
+    // the redelivery skip (a crash-then-replay right after compaction
+    // re-applied its batch) and the queryId lineage guard
+    def slurp(name: String): Option[String] = {
+      val p = new Path(root, name)
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(metaPath)
+        val in = fs.open(p)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
         finally in.close()
       }
+    }
+    val sidecar = slurp(MetaFile)
+    val batchMarker = slurp("_graft_batch")
     // a segmented store keeps its segment partition through the rewrite
     val segCol = sidecar.flatMap { raw =>
       Option(dslMapper.readTree(raw).get("segmentCol")).filter(!_.isNull).map(_.asText)
@@ -601,10 +608,12 @@ object TextIndex {
       .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)
     fs.delete(root, true)
     require(fs.rename(tmp, root), s"compaction rename failed: $tmp -> $root")
-    sidecar.foreach { raw =>
-      val out = fs.create(new Path(root, MetaFile), true)
+    def restore(name: String, raw: String): Unit = {
+      val out = fs.create(new Path(root, name), true)
       try out.write(raw.getBytes("UTF-8")) finally out.close()
     }
+    sidecar.foreach(restore(MetaFile, _))
+    batchMarker.foreach(restore("_graft_batch", _))
     (before, dataFiles(root))
   }
 

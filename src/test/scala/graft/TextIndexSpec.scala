@@ -436,9 +436,20 @@ class TextIndexSpec extends AnyFunSuite {
     val sp = TextIndex.searchIndexed(current, store, "text:spark",
       IndexConfig(), Seq("doc_id"), fields, 8)
     assert(sp.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // the streaming batch marker must SURVIVE compaction (r13): losing it
+    // silently discarded both the redelivery skip and the lineage guard
+    val markerPath = new org.apache.hadoop.fs.Path(dir, "_graft_batch")
+    val mfs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mout = mfs.create(markerPath, true)
+    try mout.write("7|some-query-id".getBytes("UTF-8")) finally mout.close()
     // compaction dedups without changing answers
     val (before, after) = TextIndex.compactPostings(spark, dir)
     assert(after <= before)
+    val min = mfs.open(markerPath)
+    val marker = try scala.io.Source.fromInputStream(min, "UTF-8").mkString
+                 finally min.close()
+    assert(marker == "7|some-query-id",
+      s"compaction must preserve the _graft_batch marker, got '$marker'")
     val store2 = spark.read.option("basePath", dir).parquet(dir)
     val sp2 = TextIndex.searchIndexed(current, store2, "text:spark",
       IndexConfig(), Seq("doc_id"), fields, 8)

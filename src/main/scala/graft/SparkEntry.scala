@@ -3383,6 +3383,75 @@ object SparkEntry {
       pipeline.Ivf.topK(assigned, queries, centroids, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_ann_store" -> ((s, dir) => {
+      // the MATERIALIZED ANN index (r13): train+assign are paid once into
+      // the store (centroids + cells partitioned by inverted list); the
+      // search reads ONLY its nprobe probe cells — partition-pruned at the
+      // scan, the 100 TB serving shape. Rows-only by the same recall<1
+      // contract as q_similarity_ivf; the exhaustive twin below is the
+      // oracle for the whole store path.
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store", dir)(p =>
+        pipeline.Ivf.writeIndex(emb, c = 8, p, iters = 2))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_similarity_ann_store_exact" -> ((s, dir) => {
+      // nprobe = C reads every cell — exhaustive, so the served result
+      // must equal brute force exactly: the end-to-end oracle over
+      // write-index → read-centroids → partition-pruned probe → verify
+      // (q_similarity_ivf_exact's oracle, corpus never rescanned).
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store", dir)(p =>
+        pipeline.Ivf.writeIndex(emb, c = 8, p, iters = 2))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_hybrid_retrieval_store" -> ((s, dir) => {
+      // store-served HYBRID retrieval (r13) — the RAG-stack shape, end to
+      // end from indexes: the text leg serves BM25 from the postings+norms
+      // store, the vector leg serves doc-0's neighbors from the IVF store
+      // (exhaustive probe → exact, so the fused output is oracle-exact),
+      // and reciprocal-rank fusion combines them. The corpus is never
+      // scanned: both legs read vocabulary/cell-pruned index data.
+      val bmPath = memoStore("bm25_store", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        TextIndex.writePostings(
+          TextIndex.buildPostings(d, "doc_id", Seq("text"), 16), s"$p/postings")
+        TextIndex.buildNorms(d, "doc_id", Seq("text"))
+          .write.mode("overwrite").parquet(s"$p/norms")
+      }
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val annPath = memoStore("ann_ivf_store", dir)(p =>
+        pipeline.Ivf.writeIndex(emb, c = 8, p, iters = 2))
+      val textLeg = TextIndex.bm25Indexed(
+          s.read.option("basePath", s"$bmPath/postings").parquet(s"$bmPath/postings"),
+          s.read.parquet(s"$bmPath/norms"), "text", Seq("spark", "query"),
+          nBuckets = 16)
+        .orderBy(desc("_bm25"), col("doc_id")).limit(50)
+        .select(col("doc_id"), col("_bm25").as("_score"))
+      val q0 = emb.where(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      // the leg's own rank is the fusion key (1/rank is monotone in it):
+      // the output cosine is rounded for display, and fusing on it would
+      // re-break ties differently than the leg's raw-cosine ranking
+      val vecLeg = pipeline.Ivf.topKFromStore(s, annPath, q0, k = 50,
+          nprobe = 8)
+        .select(col("neighbor_id").as("doc_id"),
+          (lit(1.0) / col("rank")).as("_score"))
+      Search.rrf(Seq(textLeg, vecLeg), size = 20)
+        .select(col("doc_id"),
+          expr("CAST(floor(_score * 1e6) AS BIGINT)").as("score_e6"),
+          col("_rrf_matched"))
+        .orderBy(desc("score_e6"), col("doc_id"))
+    }),
     "q_similarity_pq" -> ((s, dir) => {
       // rows-only: product-quantization ADC top-k (m=8 subspaces, ksub=16
       // — ~32x less vector payload than float32; approximate by contract,
@@ -7736,5 +7805,49 @@ object SparkEntry {
     "q_bigram_lm_subtract" ->
       baseOracles("q_text_bigram_nll").replace("FROM documents",
         "FROM documents WHERE doc_id % 7 <> 0"),
-    "q_suggest_rebuild" -> baseOracles("q_suggest_phrase_store"))
+    "q_suggest_rebuild" -> baseOracles("q_suggest_phrase_store"),
+    // the materialized ANN index at nprobe = C is exhaustive — brute-force
+    // top-k oracles the whole write-index → pruned-probe → verify path
+    // (q_similarity_ann_store itself is rows-only: recall < 1 at
+    // nprobe = 2 is its honest contract, like q_similarity_ivf)
+    "q_similarity_ann_store_exact" -> baseOracles("q_similarity_ivf_exact"),
+    // hybrid fusion: BM25 top-50 (raw-score ranking, the bm25_indexed
+    // CTEs) and exact cosine top-50 around doc 0, fused by 1/(60+rank)
+    "q_hybrid_retrieval_store" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                    '[^a-z0-9_]+'), x -> x <> '')) AS DOUBLE) AS dl,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bspark\b')) AS DOUBLE) AS tf0,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')), '\bquery\b')) AS DOUBLE) AS tf1
+           FROM documents),
+         s AS (
+           SELECT *, CAST(count(*) OVER () AS DOUBLE) AS N, avg(dl) OVER () AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) OVER () AS df1
+           FROM d),
+         sc AS (
+           SELECT doc_id,
+             ln(1 + (N - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) +
+             ln(1 + (N - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) AS bm25
+           FROM s WHERE tf0 > 0 OR tf1 > 0),
+         t50 AS (
+           SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+           FROM sc QUALIFY rk <= 50),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+         qv AS (SELECT embedding AS query_vec FROM e WHERE vec_id = 0),
+         cos AS (
+           SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(e.embedding, q.query_vec) AS c
+           FROM e, qv q WHERE e.vec_id <> 0),
+         v50 AS (
+           SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS rk
+           FROM cos QUALIFY rk <= 50),
+         u AS (SELECT doc_id, 1.0 / (60 + rk) AS c FROM t50
+               UNION ALL SELECT doc_id, 1.0 / (60 + rk) FROM v50),
+         f AS (SELECT doc_id, sum(c) AS fused, CAST(count(*) AS INT) AS m
+               FROM u GROUP BY doc_id)
+         SELECT doc_id, CAST(floor(fused * 1e6) AS BIGINT) AS score_e6,
+           m AS _rrf_matched
+         FROM f ORDER BY fused DESC, doc_id LIMIT 20""")
 }

@@ -66,6 +66,75 @@ object Ivf {
     corpus.withColumn("list_id",
       nearest_centroid(col(vecCol).cast("array<double>"), centroids))
 
+  /** Materialized IVF index — the ANN layout of the store catalog: the
+    * training pass (k-means over the corpus) and the assignment pass are
+    * paid ONCE; every search after that reads the index and never scans
+    * the corpus. Layout under `path`:
+    *
+    *   centroids  (list_id, centroid)     — C rows, collected+broadcast
+    *                                        at serve time (model params)
+    *   cells      the assigned corpus,    — a probe reads ONLY its
+    *              partitionBy("list_id")    nprobe matching partitions
+    *
+    * The cells partitioning is the 100 TB point: serving filters on the
+    * PARTITION column with literal probe ids, so the scan touches
+    * ~nprobe/C of the data as directory pruning — never a full scan that
+    * discards rows. Vectors are stored as `array<double>` so served
+    * cosines are bit-identical to the in-memory path and the DuckDB
+    * oracle. No append variant: centroids are a global argmax like the
+    * BPE merges — corpus drift means retrain-and-version. */
+  def writeIndex(corpus: DataFrame, c: Int, path: String, iters: Int = 3,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val normed = corpus.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    val centroids = train(normed, c, iters, idCol, vecCol)
+    spark.createDataFrame(centroids.toIndexedSeq.zipWithIndex
+        .map { case (v, i) => (i, v.toIndexedSeq) })
+      .toDF("list_id", "centroid")
+      .coalesce(1).sort("list_id")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assign(normed, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/cells")
+  }
+
+  /** Serve [[topK]] from a [[writeIndex]] store. The centroid table is
+    * C-row-bounded (collected like the in-memory path's model); the probe
+    * ids become a LITERAL `isin` on the cells' partition column, so the
+    * scan is partition-pruned at planning time (PlanSpec pins the
+    * PartitionFilters entry). With `nprobe` = C the read is exhaustive
+    * and the result equals brute force exactly — the oracled twin; pruned
+    * probes trade recall for reading nprobe/C of the index, the same
+    * honest contract as the in-memory [[topK]]. */
+  def topKFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, nprobe: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    qIdCol: String = "query_id", qVecCol: String = "query_vec",
+                    excludeSelf: Boolean = true): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val probes = queries.select(col(qIdCol), col(qVecCol),
+      explode(probe_lists(col(qVecCol).cast("array<double>"), centroids, nprobe))
+        .as("list_id"))
+    // literal partition predicate: queries are a bounded probe set by
+    // contract (the broadcast below already assumes it), so collecting
+    // their probe ids costs a queries×nprobe-sized plan-time job and buys
+    // static directory pruning on the cells scan
+    val probeIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("list_id").isin(probeIds: _*))
+    val joined = cells.join(broadcast(probes), Seq("list_id"))
+    val candidates =
+      (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
+        .withColumn("cos", vec_cosine(col(vecCol), col(qVecCol)))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
+    candidates.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** Probe: exact cosine top-k within the `nprobe` nearest lists per query. */
   def topK(assigned: DataFrame, queries: DataFrame,
            centroids: Array[Array[Double]], k: Int, nprobe: Int = 2,

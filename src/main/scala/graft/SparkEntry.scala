@@ -3489,6 +3489,36 @@ object SparkEntry {
       pipeline.Pq.ivfPqTopK(assigned, queries, centroids, cb, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_ivfpq_store" -> ((s, dir) => {
+      // the COMPRESSED materialized ANN index (r13): cells persist
+      // (list_id, id, code) only — 8 codes instead of 64 doubles per
+      // vector — so a probe is partition-pruned AND code-sized. Honest
+      // config (ksub=16) stays rows-only by the ADC contract; the
+      // lossless twin below oracles the whole store path.
+      val emb = tbl(s, dir, "embeddings")
+      val path = memoStore("ivfpq_store", dir)(p =>
+        pipeline.Pq.writeIvfPqIndex(emb, c = 8, m = 8, p, ksub = 16,
+          pqIters = 2, ivfIters = 2))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_similarity_ivfpq_store_exact" -> ((s, dir) => {
+      // lossless codebooks (ksub ≥ distinct subvectors) + nprobe = C make
+      // the served composition exhaustive and exact — brute force oracles
+      // write-index → read-models → pruned-probe → ADC end to end
+      // (q_similarity_ivfpq_exact's oracle, float vectors never read at
+      // query time).
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 500)
+      val path = memoStore("ivfpq_store_exact", dir)(p =>
+        pipeline.Pq.writeIvfPqIndex(emb, c = 8, m = 8, p, ksub = 512,
+          pqIters = 0, ivfIters = 2))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_similarity_lsh" -> ((s, dir) => {
       // ANN via random-hyperplane LSH banding, oracle-checked against the
       // brute-force top-k (recall 1.0 on the gate corpus at 32 bands ×
@@ -7769,8 +7799,9 @@ object SparkEntry {
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '42') AS shuffle_key
          FROM documents ORDER BY shuffle_key"""
     // rows-only (genuinely approximate or non-SQL): q_dedup_simhash
-    // (xxhash64 signature), q_similarity_ivf (IVF recall < 1 — honest
-    // approximation; its exhaustive twin q_similarity_ivf_exact IS oracled),
+    // (xxhash64 signature), q_similarity_ivf / q_similarity_ann_store
+    // (IVF recall < 1 — honest approximation; the exhaustive twins
+    // q_similarity_ivf_exact / q_similarity_ann_store_exact ARE oracled),
     // q_similarity_pq (ADC quantization error by contract; its lossless
     // twins q_similarity_pq_exact / q_similarity_ivfpq_exact ARE oracled),
     // q_similarity_bbq (hamming recall < 1 at oversample 4; its exhaustive
@@ -7811,6 +7842,8 @@ object SparkEntry {
     // (q_similarity_ann_store itself is rows-only: recall < 1 at
     // nprobe = 2 is its honest contract, like q_similarity_ivf)
     "q_similarity_ann_store_exact" -> baseOracles("q_similarity_ivf_exact"),
+    "q_similarity_ivfpq_store_exact" ->
+      baseOracles("q_similarity_ivfpq_exact"),
     // hybrid fusion: BM25 top-50 (raw-score ranking, the bm25_indexed
     // CTEs) and exact cosine top-50 around doc 0, fused by 1/(60+rank)
     "q_hybrid_retrieval_store" ->

@@ -131,6 +131,82 @@ object Pq {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Materialized IVF-PQ index — [[Ivf.writeIndex]]'s COMPRESSED sibling
+    * (FAISS's on-disk composed shape): cells hold `(id, code)` ONLY — `m`
+    * small ints per vector instead of `dims` doubles, a ~dims·8/m payload
+    * reduction (64-dim float64 → 8 codes is 64×) — so at 100 TB a probe
+    * reads nprobe/C of the index by directory pruning AND only code-sized
+    * rows for what it touches; the float vectors never leave the build.
+    * Model tables: `centroids` (C rows) and `codebooks`
+    * ((subspace, code, centroid) rows, m·ksub total) — both collected at
+    * serve time like model parameters. Same retrain-on-drift contract as
+    * [[Ivf.writeIndex]]. */
+  def writeIvfPqIndex(corpus: DataFrame, c: Int, m: Int, path: String,
+                      ksub: Int = 16, pqIters: Int = 2, ivfIters: Int = 3,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cb = train(corpus, m, ksub, pqIters, idCol, vecCol)
+    val centroids = Ivf.train(corpus, c, ivfIters, idCol, vecCol)
+    spark.createDataFrame(centroids.toIndexedSeq.zipWithIndex
+        .map { case (v, i) => (i, v.toIndexedSeq) })
+      .toDF("list_id", "centroid")
+      .coalesce(1).sort("list_id")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cbRows = for {
+      s <- cb.indices; k <- cb(s).indices
+    } yield (s, k, cb(s)(k).toIndexedSeq)
+    spark.createDataFrame(cbRows).toDF("s", "c", "centroid")
+      .coalesce(1).sort("s", "c")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(Ivf.assign(corpus, centroids, idCol, vecCol), cb, vecCol)
+      .select(col("list_id"), col(idCol), col("code"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/cells")
+  }
+
+  /** Serve [[ivfPqTopK]] from a [[writeIvfPqIndex]] store — the
+    * [[graft.pipeline.Ivf.topKFromStore]] probe discipline (literal
+    * partition filter from the collected probe ids) over code-only
+    * cells: each probed row costs `m` ADC lookups, no float vector is
+    * ever read. With lossless codebooks and nprobe = C the served result
+    * equals brute force exactly (the oracled twin); honest configs stay
+    * approximate by the ADC contract. */
+  def ivfPqTopKFromStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, queries: DataFrame, k: Int,
+                         nprobe: Int = 2, idCol: String = "vec_id",
+                         qIdCol: String = "query_id",
+                         qVecCol: String = "query_vec",
+                         excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.IvfFunctions.probe_lists
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val codebooks: Array[Array[Array[Double]]] =
+      spark.read.parquet(s"$path/codebooks").collect()
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_.getInt(1))
+          .map(_.getSeq[Double](2).toArray))
+        .map(_.toArray).toArray
+    val ksub = codebooks(0).length
+    val probes = queries.select(col(qIdCol),
+      pq_lut(col(qVecCol), codebooks).as("_lut"),
+      explode(probe_lists(col(qVecCol).cast("array<double>"), centroids,
+        nprobe)).as("list_id"))
+    val probeIds = probes.select(col("list_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("list_id").isin(probeIds: _*))
+    val joined = cells.join(broadcast(probes), Seq("list_id"))
+    val scored =
+      (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)
+        .withColumn("cos", pq_adc(col("code"), col("_lut"), ksub))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(desc("cos"), col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col(idCol).as("neighbor_id"),
+        round(col("cos"), 4).as("cos"), col("rank"))
+  }
+
   /** IVF-PQ: coarse-prune with the IVF lists, score survivors with ADC —
     * FAISS's composed shape: a query touches `nprobe/C` of the corpus
     * (partition pruning) AND reads only `m`-byte codes for what it touches.

@@ -76,6 +76,33 @@ class PqSpec extends AnyFunSuite {
     assert(out.toSeq == full.toSeq)
   }
 
+  test("r13: the materialized IVF-PQ index serves searches equal to the " +
+       "in-memory composition from code-only, partition-pruned cells") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    Pq.writeIvfPqIndex(corpus, c = 2, m = 4, path, ksub = 8,
+      pqIters = 1, ivfIters = 2)
+    val qs = queriesOf(corpus, 0L, 10L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // served == the in-memory composition on the same deterministic models
+    val cb = Pq.train(corpus, m = 4, ksub = 8, iters = 1)
+    val centroids = Ivf.train(corpus, c = 2, iters = 2)
+    val assigned = Pq.encode(Ivf.assign(corpus, centroids), cb)
+    assert(pairs(Pq.ivfPqTopKFromStore(spark, path, qs, k = 3, nprobe = 1)) ==
+      pairs(Pq.ivfPqTopK(assigned, qs, centroids, cb, k = 3, nprobe = 1)))
+    assert(pairs(Pq.ivfPqTopKFromStore(spark, path, qs, k = 3, nprobe = 2)) ==
+      pairs(Pq.ivfPqTopK(assigned, qs, centroids, cb, k = 3, nprobe = 2)))
+    // the compression point: cells persist codes ONLY — no float vectors
+    val cellCols = spark.read.parquet(s"$path/cells").columns.toSet
+    assert(cellCols == Set("list_id", "vec_id", "code"), cellCols.toString)
+    // and the pruned probe's scan carries a literal partition filter
+    val scans = Pq.ivfPqTopKFromStore(spark, path, qs, k = 3, nprobe = 1)
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scans.contains("PartitionFilters") && scans.contains("list_id"),
+      scans.take(1500))
+  }
+
   test("plan: corpus side is never shuffled before scoring; queries broadcast") {
     val cb = Pq.train(corpus, m = 4, ksub = 4, iters = 1)
     val plan = Pq.adcTopK(Pq.encode(corpus, cb), queriesOf(corpus, 0L), cb, k = 3)

@@ -3413,6 +3413,62 @@ object SparkEntry {
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_similarity_ann_store_append" -> ((s, dir) => {
+      // the ANN store's data-ARRIVES path (r13): build on half the corpus,
+      // append the other half under the FROZEN centroids (FAISS add() — one
+      // assignment pass over the delta, the stored corpus never read).
+      // nprobe = C is exhaustive regardless of centroid quality, so
+      // build(half)+append(half) must equal brute force over the union —
+      // the full-corpus oracle, shared verbatim with the write-once twin.
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store_app", dir) { p =>
+        pipeline.Ivf.writeIndex(emb.where(col("vec_id") % 2 === 0),
+          c = 8, p, iters = 2)
+        pipeline.Ivf.appendToIndex(s, p, emb.where(col("vec_id") % 2 === 1))
+      }
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_similarity_ann_store_delete" -> ((s, dir) => {
+      // the ANN store's data-LEAVES path (r13): tombstone a slice of ids —
+      // served searches anti-join the sidecar IMMEDIATELY, before any
+      // compaction. Exhaustive probe == brute force over the survivors:
+      // the write-once oracle restricted to the surviving neighbors.
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store_del", dir) { p =>
+        pipeline.Ivf.writeIndex(emb, c = 8, p, iters = 2)
+        pipeline.Ivf.deleteFromIndex(s, p,
+          emb.where(col("vec_id") % 7 === 3).select("vec_id"))
+      }
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_ann_store_compact" -> ((s, dir) => {
+      // M-plane for the ANN store (r13): compactAnnIndex applies the
+      // tombstones PHYSICALLY — only the affected cells partitions are
+      // rewritten (compactSegments' swap discipline), the sidecar is
+      // cleared last so serving stays correct through any crash prefix.
+      // Served results must be unchanged from the tombstone-filtered path:
+      // same survivor oracle as q_similarity_ann_store_delete.
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store_cmp", dir) { p =>
+        pipeline.Ivf.writeIndex(emb, c = 8, p, iters = 2)
+        pipeline.Ivf.deleteFromIndex(s, p,
+          emb.where(col("vec_id") % 7 === 3).select("vec_id"))
+        Maintain.compactAnnIndex(s, p)
+      }
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_hybrid_retrieval_store" -> ((s, dir) => {
       // store-served HYBRID retrieval (r13) — the RAG-stack shape, end to
       // end from indexes: the text leg serves BM25 from the postings+norms
@@ -3514,6 +3570,29 @@ object SparkEntry {
       val path = memoStore("ivfpq_store_exact", dir)(p =>
         pipeline.Pq.writeIvfPqIndex(emb, c = 8, m = 8, p, ksub = 512,
           pqIters = 0, ivfIters = 2))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q_similarity_ivfpq_store_cycle" -> ((s, dir) => {
+      // the COMPRESSED index through a full maintenance cycle (r13):
+      // delete a slice → compact (code-only partitions rewritten, sidecar
+      // cleared) → re-append the rows under the FROZEN models. Lossless
+      // codebooks re-encode a returning row to identical codes, so the
+      // exhaustive served result must equal brute force over the full
+      // slice — q_similarity_ivfpq_exact's oracle, now additionally
+      // witnessing delete+compact+append on the compressed layout.
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 500)
+      val path = memoStore("ivfpq_store_cycle", dir) { p =>
+        pipeline.Pq.writeIvfPqIndex(emb, c = 8, m = 8, p, ksub = 512,
+          pqIters = 0, ivfIters = 2)
+        pipeline.Ivf.deleteFromIndex(s, p,
+          emb.where(col("vec_id") % 7 === 3).select("vec_id"))
+        Maintain.compactAnnIndex(s, p)
+        pipeline.Pq.appendToIvfPqIndex(s, p,
+          emb.where(col("vec_id") % 7 === 3))
+      }
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
@@ -7843,6 +7922,21 @@ object SparkEntry {
     // nprobe = 2 is its honest contract, like q_similarity_ivf)
     "q_similarity_ann_store_exact" -> baseOracles("q_similarity_ivf_exact"),
     "q_similarity_ivfpq_store_exact" ->
+      baseOracles("q_similarity_ivfpq_exact"),
+    // ANN maintenance plane (r13): append shares the write-once oracle
+    // verbatim (build(half)+append(half) == build(all) at an exhaustive
+    // probe); delete/compact serve the SURVIVOR corpus' answers — the same
+    // oracle restricted to surviving neighbors (queries still query: only
+    // the indexed side forgets); the ivfpq cycle returns every row, so the
+    // full-slice oracle witnesses delete→compact→append end to end
+    "q_similarity_ann_store_append" -> baseOracles("q_similarity_ivf_exact"),
+    "q_similarity_ann_store_delete" -> baseOracles("q_similarity_ivf_exact")
+      .replace("WHERE e.vec_id <> q.query_id",
+        "WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> 3"),
+    "q_ann_store_compact" -> baseOracles("q_similarity_ivf_exact")
+      .replace("WHERE e.vec_id <> q.query_id",
+        "WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> 3"),
+    "q_similarity_ivfpq_store_cycle" ->
       baseOracles("q_similarity_ivfpq_exact"),
     // hybrid fusion: BM25 top-50 (raw-score ranking, the bm25_indexed
     // CTEs) and exact cosine top-50 around doc 0, fused by 1/(60+rank)

@@ -374,6 +374,66 @@ object Maintain {
     true
   }
 
+  /** M-plane maintenance for the materialized ANN indexes
+    * ([[graft.pipeline.Ivf.writeIndex]] / [[graft.pipeline.Pq.writeIvfPqIndex]]
+    * — the layouts share `cells` + `deletes`): apply the tombstone sidecar
+    * PHYSICALLY. [[graft.pipeline.Ivf.deleteFromIndex]] makes deletes
+    * instant (served searches anti-join the sidecar); this reclaims the
+    * space and restores the no-filter serve path — Lucene's
+    * deleted-docs-bitset → segment-merge lifecycle, and the ANN analog of
+    * the reference's data-leaves plane (M4/M5 TTL, S5 deletes —
+    * DefaultIndexManager.java:70-72, ElasticIndex.java:825-836).
+    *
+    * Scale shape: one id+partition-column pruned scan finds which of the C
+    * cells partitions physically hold tombstoned ids (output bounded by
+    * C), then ONLY those partitions are re-written (anti-join on the
+    * delete keys) and swapped in with the [[compactSegments]] rename
+    * discipline — untouched lists are never read or rewritten. The sidecar
+    * is cleared LAST: a crash at any point leaves every remaining
+    * tombstone still filtering at serve time (already-swapped partitions
+    * anti-join to a no-op), so serving is correct through any prefix of
+    * the compaction. Same single-writer-per-store contract as
+    * [[compactSegments]]. Returns (rows physically removed, partitions
+    * rewritten); (0, 0) with the sidecar cleared when the tombstones
+    * matched nothing. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String = "vec_id"): (Long, Int) = {
+    import org.apache.hadoop.fs.Path
+    val cellsRoot = new Path(s"$path/cells")
+    val delDir = new Path(s"$path/deletes")
+    val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!graft.pipeline.Ivf.hasDataFiles(spark, delDir.toString)) return (0L, 0)
+    val dels = spark.read.parquet(delDir.toString).select(col(idCol)).distinct()
+    val cells = spark.read.parquet(cellsRoot.toString)
+    // which lists physically hold tombstoned ids: id + partition column
+    // only (column-pruned), output bounded by C
+    val affected = cells.join(dels, Seq(idCol), "left_semi")
+      .select(col("list_id")).distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) { fs.delete(delDir, true); return (0L, 0) }
+    val removed = cells.where(col("list_id").isin(affected: _*))
+      .join(dels, Seq(idCol), "left_semi").count()
+    val tmp = new Path(cellsRoot, ".compact_tmp")
+    fs.delete(tmp, true)
+    // one job stages every affected list's survivors; basePath keeps the
+    // partition column so the staging layout mirrors the store's
+    spark.read.option("basePath", cellsRoot.toString)
+      .parquet(affected.map(l => s"$cellsRoot/list_id=$l"): _*)
+      .join(dels, Seq(idCol), "left_anti")
+      .write.mode("overwrite").partitionBy("list_id").parquet(tmp.toString)
+    affected.foreach { l =>
+      val dir = new Path(cellsRoot, s"list_id=$l")
+      val staged = new Path(tmp, s"list_id=$l")
+      // a fully-tombstoned list stages no output dir — swap in an empty one
+      if (!fs.exists(staged)) fs.mkdirs(staged)
+      require(fs.delete(dir, true), s"failed to delete $dir before swap")
+      require(fs.rename(staged, dir),
+        s"failed to swap $staged into $dir — data preserved in $staged")
+    }
+    fs.delete(tmp, true)
+    fs.delete(delDir, true)
+    (removed, affected.size)
+  }
+
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +
     * ES-recommended mapping type per §1.3), the analog of returning the ES
     * mapping as a fake result row

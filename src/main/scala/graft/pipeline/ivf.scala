@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.IvfFunctions.{nearest_centroid, probe_lists}
 import graft.functions.VecFunctions.vec_cosine
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -81,8 +81,17 @@ object Ivf {
     * ~nprobe/C of the data as directory pruning — never a full scan that
     * discards rows. Vectors are stored as `array<double>` so served
     * cosines are bit-identical to the in-memory path and the DuckDB
-    * oracle. No append variant: centroids are a global argmax like the
-    * BPE merges — corpus drift means retrain-and-version. */
+    * oracle.
+    *
+    * Maintenance plane (the data-arrives / data-leaves contract every
+    * other store in the catalog carries): [[appendToIndex]] adds vectors
+    * under the FROZEN centroids (FAISS `add()` — no retrain; recall for
+    * drifted data degrades honestly, never silently: the centroids are
+    * versioned model parameters and drift means retrain-and-version, like
+    * the BPE merges), [[deleteFromIndex]] tombstones ids (served searches
+    * filter them immediately), and
+    * [[graft.Maintain.compactAnnIndex]] applies tombstones physically,
+    * rewriting only the cells partitions that contain deleted ids. */
   def writeIndex(corpus: DataFrame, c: Int, path: String, iters: Int = 3,
                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
@@ -97,6 +106,117 @@ object Ivf {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/cells")
   }
 
+  /** The store's centroid model table, in list order — C rows, collected
+    * like model parameters (the same bounded collect the in-memory path's
+    * training already does). */
+  private[graft] def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  private[graft] def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def any(p: Path): Boolean = fs.exists(p) && fs.listStatus(p).exists { st =>
+      if (st.isDirectory) any(st.getPath)
+      else !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    }
+    any(root)
+  }
+
+  /** Insert-only probe for the ANN cell stores — the
+    * [[graft.TextIndex]] `requireInsertOnly` discipline applied to vector
+    * ids. Two checks, one append-blocking error each:
+    *
+    *  - a delta id already PHYSICALLY in `cells` (gated by
+    *    `graft.append.insertCheck` = `error` (default) | `warn` | `off`,
+    *    the same knob as the text stores): blind-appending it would serve
+    *    the same id twice with possibly different vectors — silent skew.
+    *  - a delta id currently TOMBSTONED (`deletes` sidecar): raised
+    *    REGARDLESS of the knob, because the failure mode is worse than
+    *    skew — the serve-time tombstone filter would silently hide the
+    *    freshly appended row too, so the insert would simply not exist.
+    *    Compact first ([[graft.Maintain.compactAnnIndex]]), then append.
+    *
+    * Cost: one id-column-pruned scan of cells + one of the (delete-sized)
+    * tombstone sidecar, each semi-joined against the broadcast,
+    * batch-sized delta keys. */
+  private[graft] def requireAnnInsertOnly(spark: SparkSession, path: String,
+                                             deltaIds: DataFrame, idCol: String,
+                                             what: String): Unit = {
+    val keys = deltaIds.select(col(idCol)).distinct()
+    if (hasDataFiles(spark, s"$path/deletes")) {
+      val shadowed = spark.read.parquet(s"$path/deletes")
+        .join(broadcast(keys), Seq(idCol), "left_semi")
+        .limit(5).collect().map(_.get(0)).toSeq
+      if (shadowed.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$what: id(s) ${shadowed.mkString(", ")} are tombstoned in " +
+            s"$path/deletes — an append would be silently hidden by the " +
+            "serve-time delete filter. Run Maintain.compactAnnIndex to " +
+            "apply the tombstones, then append.")
+    }
+    val mode = spark.conf.getOption("graft.append.insertCheck").getOrElse("error")
+    if (mode == "off" || !hasDataFiles(spark, s"$path/cells")) return
+    val collided = spark.read.parquet(s"$path/cells")
+      .select(col(idCol))
+      .join(broadcast(keys), Seq(idCol), "left_semi")
+      .limit(5).collect().map(_.get(0)).toSeq
+    if (collided.nonEmpty) {
+      val msg = s"$what: insert-only contract violated — id(s) " +
+        s"${collided.mkString(", ")} already exist in $path/cells. " +
+        "Blind-appending an edited vector serves the same id twice; " +
+        "deleteFromIndex + compactAnnIndex first for edits, or set " +
+        "graft.append.insertCheck=off if freshness is guaranteed upstream."
+      if (mode == "warn")
+        org.slf4j.LoggerFactory.getLogger(Ivf.getClass).warn(msg)
+      else throw new IllegalArgumentException(msg)
+    }
+  }
+
+  /** Append vectors to a [[writeIndex]] store under its FROZEN centroids —
+    * FAISS `add()`: one assignment pass over the delta (never the stored
+    * corpus), appended into the `partitionBy(list_id)` cells so probes
+    * stay partition-pruned over old and new rows alike. The centroids are
+    * NOT retrained: an exhaustive (`nprobe` = C) probe over
+    * build(half)+append(half) equals brute force over the union exactly
+    * (the oracle contract), and pruned-probe recall for drifted data
+    * degrades exactly as the in-memory path's would — drift means
+    * retrain-and-version. Insert-only, enforced ([[requireAnnInsertOnly]]). */
+  def appendToIndex(spark: SparkSession, path: String, newRows: DataFrame,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = readCentroids(spark, path)
+    val normed = newRows.withColumn(vecCol, col(vecCol).cast("array<double>"))
+    requireAnnInsertOnly(spark, path, normed.select(col(idCol)), idCol,
+      "Ivf.appendToIndex")
+    assign(normed, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/cells")
+  }
+
+  /** Tombstone-delete ids from a materialized ANN index (works on both the
+    * [[writeIndex]] and [[Pq.writeIvfPqIndex]] layouts — the sidecar only
+    * carries ids). Served searches filter tombstoned ids IMMEDIATELY (the
+    * `deletes` anti-join in [[topKFromStore]] /
+    * [[Pq.ivfPqTopKFromStore]]); the physical rows leave at the next
+    * [[graft.Maintain.compactAnnIndex]], which rewrites only the affected
+    * cells partitions — the Lucene deleted-docs-bitset shape: deletes are
+    * cheap and instant, space is reclaimed by maintenance. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
+                      idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/deletes")
+
+  /** Apply the `deletes` tombstone sidecar to a cells frame — a no-op scan
+    * shape when no tombstones exist (the common case costs one driver-side
+    * existence check, not a join). */
+  private[graft] def liveCells(spark: SparkSession, path: String,
+                                  cells: DataFrame, idCol: String): DataFrame =
+    if (hasDataFiles(spark, s"$path/deletes"))
+      cells.join(spark.read.parquet(s"$path/deletes").select(col(idCol)),
+        Seq(idCol), "left_anti")
+    else cells
+
   /** Serve [[topK]] from a [[writeIndex]] store. The centroid table is
     * C-row-bounded (collected like the in-memory path's model); the probe
     * ids become a LITERAL `isin` on the cells' partition column, so the
@@ -110,9 +230,7 @@ object Ivf {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     qIdCol: String = "query_id", qVecCol: String = "query_vec",
                     excludeSelf: Boolean = true): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("list_id").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = readCentroids(spark, path)
     val probes = queries.select(col(qIdCol), col(qVecCol),
       explode(probe_lists(col(qVecCol).cast("array<double>"), centroids, nprobe))
         .as("list_id"))
@@ -122,8 +240,9 @@ object Ivf {
     // static directory pruning on the cells scan
     val probeIds = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cells = spark.read.parquet(s"$path/cells")
-      .where(col("list_id").isin(probeIds: _*))
+    val cells = liveCells(spark, path,
+      spark.read.parquet(s"$path/cells").where(col("list_id").isin(probeIds: _*)),
+      idCol)
     val joined = cells.join(broadcast(probes), Seq("list_id"))
     val candidates =
       (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)

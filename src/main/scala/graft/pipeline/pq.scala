@@ -164,6 +164,43 @@ object Pq {
       .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/cells")
   }
 
+  /** The store's PQ codebook model table as the in-memory
+    * `[subspace][code][dim]` array — m·ksub rows, collected like model
+    * parameters. */
+  private[graft] def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                                   path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(s"$path/codebooks").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray))
+      .map(_.toArray).toArray
+
+  /** Append vectors to a [[writeIvfPqIndex]] store under its FROZEN
+    * models — [[graft.pipeline.Ivf.appendToIndex]]'s contract for the
+    * compressed layout: one assign+encode pass over the delta (the stored
+    * corpus is never read), code-only rows appended into the
+    * `partitionBy(list_id)` cells. Neither the coarse centroids nor the
+    * codebooks are retrained: with lossless codebooks and an exhaustive
+    * probe, build(half)+append(half) equals brute force over the union
+    * (the oracle contract); under honest configs, quantization error for
+    * drifted data degrades exactly as an in-memory re-encode would.
+    * Insert-only, enforced (same probe + `graft.append.insertCheck` knob
+    * as the IVF store; a tombstoned id raises unconditionally). Deletes:
+    * [[Ivf.deleteFromIndex]] and [[graft.Maintain.compactAnnIndex]] work
+    * on this layout unchanged — the sidecar and the swap only touch ids
+    * and partitions, never vector payloads. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newRows: DataFrame, idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val centroids = Ivf.readCentroids(spark, path)
+    val cb = readCodebooks(spark, path)
+    Ivf.requireAnnInsertOnly(spark, path, newRows.select(col(idCol)), idCol,
+      "Pq.appendToIvfPqIndex")
+    encode(Ivf.assign(newRows, centroids, idCol, vecCol), cb, vecCol)
+      .select(col("list_id"), col(idCol), col("code"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/cells")
+  }
+
   /** Serve [[ivfPqTopK]] from a [[writeIvfPqIndex]] store — the
     * [[graft.pipeline.Ivf.topKFromStore]] probe discipline (literal
     * partition filter from the collected probe ids) over code-only
@@ -178,15 +215,8 @@ object Pq {
                          qVecCol: String = "query_vec",
                          excludeSelf: Boolean = true): DataFrame = {
     import graft.functions.IvfFunctions.probe_lists
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy("list_id").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val codebooks: Array[Array[Array[Double]]] =
-      spark.read.parquet(s"$path/codebooks").collect()
-        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-        .map(_._2.sortBy(_.getInt(1))
-          .map(_.getSeq[Double](2).toArray))
-        .map(_.toArray).toArray
+    val centroids = Ivf.readCentroids(spark, path)
+    val codebooks = readCodebooks(spark, path)
     val ksub = codebooks(0).length
     val probes = queries.select(col(qIdCol),
       pq_lut(col(qVecCol), codebooks).as("_lut"),
@@ -194,8 +224,9 @@ object Pq {
         nprobe)).as("list_id"))
     val probeIds = probes.select(col("list_id")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cells = spark.read.parquet(s"$path/cells")
-      .where(col("list_id").isin(probeIds: _*))
+    val cells = Ivf.liveCells(spark, path,
+      spark.read.parquet(s"$path/cells").where(col("list_id").isin(probeIds: _*)),
+      idCol)
     val joined = cells.join(broadcast(probes), Seq("list_id"))
     val scored =
       (if (excludeSelf) joined.where(col(idCol) =!= col(qIdCol)) else joined)

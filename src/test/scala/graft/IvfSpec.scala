@@ -104,6 +104,74 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf == brute) // clusters are well separated → full recall
   }
 
+  test("r13: ANN index maintenance — append under frozen centroids makes an " +
+       "exhaustive probe equal brute force over the union; insert-only enforced") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_app").toString
+    Ivf.writeIndex(corpus.where(col("vec_id") % 2 === 0), c = 2, path, iters = 2)
+    Ivf.appendToIndex(spark, path, corpus.where(col("vec_id") % 2 === 1))
+    val queries = corpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(Ivf.topKFromStore(spark, path, queries, k = 5, nprobe = 2)) ==
+      pairs(Similarity.bruteForceTopK(
+        corpus.withColumn("embedding", col("embedding").cast("array<double>")),
+        queries, k = 5)))
+    // appended rows live inside the partitioned layout (probes stay pruned)
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.count() == 40 && cells.columns.contains("list_id"))
+    // re-appending an existing id raises (insert-only contract, default mode)
+    val e = intercept[IllegalArgumentException](
+      Ivf.appendToIndex(spark, path, corpus.where(col("vec_id") === 1)))
+    assert(e.getMessage.contains("insert-only"))
+  }
+
+  test("r13: tombstone delete filters served results immediately; compact " +
+       "applies physically, clears the sidecar, and is idempotent; a " +
+       "tombstoned id refuses re-insert until compacted") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    Ivf.writeIndex(corpus, c = 2, path, iters = 2)
+    Ivf.deleteFromIndex(spark, path,
+      corpus.where(col("vec_id").isin(2L, 4L)).select("vec_id"))
+    val queries = corpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val survivors = corpus.where(!col("vec_id").isin(2L, 4L))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val served = Ivf.topKFromStore(spark, path, queries, k = 5, nprobe = 2)
+    assert(pairs(served) == pairs(Similarity.bruteForceTopK(survivors, queries, k = 5)))
+    assert(!served.collect().map(_.getLong(1)).toSet.exists(Set(2L, 4L)))
+    // a tombstoned id refuses re-insert EVEN with the insert check off —
+    // the serve-time filter would silently hide the new row
+    spark.conf.set("graft.append.insertCheck", "off")
+    try {
+      val e = intercept[IllegalArgumentException](
+        Ivf.appendToIndex(spark, path, corpus.where(col("vec_id") === 2)))
+      assert(e.getMessage.contains("tombstoned"))
+    } finally spark.conf.unset("graft.append.insertCheck")
+    // compact: physical removal, sidecar cleared, serving unchanged
+    val (removed, parts) = Maintain.compactAnnIndex(spark, path)
+    assert(removed == 2L && parts >= 1)
+    assert(spark.read.parquet(s"$path/cells")
+      .where(col("vec_id").isin(2L, 4L)).count() == 0)
+    assert(!new java.io.File(s"$path/deletes").exists())
+    assert(pairs(Ivf.topKFromStore(spark, path, queries, k = 5, nprobe = 2)) ==
+      pairs(Similarity.bruteForceTopK(survivors, queries, k = 5)))
+    // idempotent: nothing left to do
+    assert(Maintain.compactAnnIndex(spark, path) == ((0L, 0)))
+    // after compaction the id is genuinely gone — re-insert is legal again
+    Ivf.appendToIndex(spark, path, corpus.where(col("vec_id") === 2))
+    val back = corpus.where(col("vec_id") =!= 4L)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    assert(pairs(Ivf.topKFromStore(spark, path, queries, k = 5, nprobe = 2)) ==
+      pairs(Similarity.bruteForceTopK(back, queries, k = 5)))
+  }
+
   test("bbq: sign-bit packing round-trips hamming; exhaustive oversample " +
        "equals brute force; 65+ dims pack into a second word") {
     val c64 = corpus.withColumn("embedding", col("embedding").cast("array<double>"))

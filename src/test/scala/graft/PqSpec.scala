@@ -103,6 +103,36 @@ class PqSpec extends AnyFunSuite {
       scans.take(1500))
   }
 
+  test("r13: IVF-PQ store maintenance cycle — delete → compact → re-append " +
+       "under frozen models serves exactly brute force again (lossless config)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_cyc").toString
+    // lossless codebooks trained on the FULL corpus: any row that leaves
+    // and returns re-encodes to the identical codes
+    Pq.writeIvfPqIndex(corpus, c = 2, m = 4, path, ksub = 8,
+      pqIters = 0, ivfIters = 2)
+    val qs = queriesOf(corpus, 0L, 10L)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    Ivf.deleteFromIndex(spark, path,
+      corpus.where(col("vec_id").isin(2L, 12L)).select("vec_id"))
+    // tombstones filter the served codes immediately
+    val survivors = corpus.where(!col("vec_id").isin(2L, 12L))
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    assert(pairs(Pq.ivfPqTopKFromStore(spark, path, qs, k = 3, nprobe = 2)) ==
+      pairs(Similarity.bruteForceTopK(survivors, qs, k = 3)))
+    val (removed, _) = Maintain.compactAnnIndex(spark, path)
+    assert(removed == 2L)
+    // cells stay code-only through the compaction swap
+    assert(spark.read.parquet(s"$path/cells").columns.toSet ==
+      Set("list_id", "vec_id", "code"))
+    Pq.appendToIvfPqIndex(spark, path, corpus.where(col("vec_id").isin(2L, 12L)))
+    assert(pairs(Pq.ivfPqTopKFromStore(spark, path, qs, k = 3, nprobe = 2)) ==
+      pairs(Similarity.bruteForceTopK(
+        corpus.withColumn("embedding", col("embedding").cast("array<double>")),
+        qs, k = 3)))
+  }
+
   test("plan: corpus side is never shuffled before scoring; queries broadcast") {
     val cb = Pq.train(corpus, m = 4, ksub = 4, iters = 1)
     val plan = Pq.adcTopK(Pq.encode(corpus, cb), queriesOf(corpus, 0L), cb, k = 3)

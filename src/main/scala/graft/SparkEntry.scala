@@ -3449,6 +3449,30 @@ object SparkEntry {
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_stream_store" -> ((s, dir) => {
+      // streamed ANN maintenance's batch twin (r13): seed the IVF index on
+      // half the corpus, then apply the other half as two micro-batches
+      // through StreamingIndexer.applyAnnStreamBatch — the same body the
+      // foreachBatch stream runs, marker discipline included. Exhaustive
+      // serve over seed + batches must equal the full-corpus brute force:
+      // the write-once oracle verbatim (StreamingSpec drives the same path
+      // through a real MemoryStream, incl. redelivery and crash-window
+      // convergence).
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store_stream", dir) { p =>
+        pipeline.Ivf.writeIndex(emb.where(col("vec_id") % 2 === 0),
+          c = 8, p, iters = 2)
+        streaming.StreamingIndexer.applyAnnStreamBatch(
+          emb.where(col("vec_id") % 4 === 1), 0L, p)
+        streaming.StreamingIndexer.applyAnnStreamBatch(
+          emb.where(col("vec_id") % 4 === 3), 1L, p)
+      }
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_ann_store_compact" -> ((s, dir) => {
       // M-plane for the ANN store (r13): compactAnnIndex applies the
       // tombstones PHYSICALLY — only the affected cells partitions are
@@ -7930,6 +7954,7 @@ object SparkEntry {
     // the indexed side forgets); the ivfpq cycle returns every row, so the
     // full-slice oracle witnesses delete→compact→append end to end
     "q_similarity_ann_store_append" -> baseOracles("q_similarity_ivf_exact"),
+    "q_ann_stream_store" -> baseOracles("q_similarity_ivf_exact"),
     "q_similarity_ann_store_delete" -> baseOracles("q_similarity_ivf_exact")
       .replace("WHERE e.vec_id <> q.query_id",
         "WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> 3"),

@@ -194,6 +194,44 @@ object Ivf {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/cells")
   }
 
+  /** Replay probe for [[appendToIndex]] under the streamed crash window
+    * (the [[graft.TextIndex]] `normsReplayNeedsAppend` discipline for the
+    * ANN layout): a crash after the cells append committed but before the
+    * `_graft_batch` marker write redelivers the batch, and the strict
+    * insert-only probe would collide with the batch's OWN keys — a poison
+    * pill. This probe compares CONTENT and writes nothing: the store's
+    * rows for the delta's ids are either absent (crash before the append
+    * job committed → true, append needed), exactly the delta's
+    * deterministic assignment (the append commits atomically → false,
+    * converged), or different — which no self-replay can produce
+    * (assignment under frozen centroids is deterministic), so it raises:
+    * an edited vector wearing a replay's batch id, not redelivery. */
+  private[graft] def replayNeedsAppend(spark: SparkSession, path: String,
+                                       newRows: DataFrame, idCol: String,
+                                       vecCol: String): Boolean = {
+    if (!hasDataFiles(spark, s"$path/cells")) return true
+    val centroids = readCentroids(spark, path)
+    val cmp = Seq(col(idCol), col(vecCol), col("list_id"))
+    val delta = assign(newRows.withColumn(vecCol, col(vecCol).cast("array<double>")),
+      centroids, idCol, vecCol).select(cmp: _*)
+    val keys = delta.select(col(idCol)).distinct()
+    val present = spark.read.parquet(s"$path/cells")
+      .join(broadcast(keys), Seq(idCol), "left_semi")
+      .select(cmp: _*)
+    if (present.isEmpty) return true
+    val mismatch = delta.exceptAll(present)
+      .unionByName(present.exceptAll(delta)).limit(5)
+      .collect().map(_.get(0)).distinct.toSeq
+    if (mismatch.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Ivf.appendToIndex (replay): id(s) ${mismatch.mkString(", ")} exist " +
+          s"in $path/cells with DIFFERENT content than this batch — an exact " +
+          "self-replay assigns identically under the frozen centroids, so " +
+          "this is an edited vector, not redelivery. Use deleteFromIndex + " +
+          "compactAnnIndex, then append, for edits.")
+    false // cells already hold exactly this batch's assignment: converged
+  }
+
   /** Tombstone-delete ids from a materialized ANN index (works on both the
     * [[writeIndex]] and [[Pq.writeIvfPqIndex]] layouts — the sidecar only
     * carries ids). Served searches filter tombstoned ids IMMEDIATELY (the

@@ -362,6 +362,60 @@ object StreamingIndexer {
     true
   }
 
+  /** Streamed ANN-index maintenance — [[insertStreamServed]] for the
+    * materialized IVF index ([[graft.pipeline.Ivf.writeIndex]] layout,
+    * float-vector cells; the code-only IVF-PQ layout is batch-append-only
+    * via [[graft.pipeline.Pq.appendToIvfPqIndex]]): each micro-batch of
+    * (id, vector) rows is assigned under the store's FROZEN centroids and
+    * appended into the `partitionBy(list_id)` cells, so vector search
+    * serves partition-pruned from the index while embeddings stream in —
+    * the vector-leg twin of the streamed BM25 stores, completing the
+    * streamed hybrid-retrieval stack. Centroids are never retrained
+    * mid-stream (drift means retrain-and-version, the store's model
+    * contract). INSERT-ONLY, enforced by [[graft.pipeline.Ivf
+    * .appendToIndex]]'s key-collision probe; ids the stream deletes go
+    * through [[graft.pipeline.Ivf.deleteFromIndex]] +
+    * [[graft.Maintain.compactAnnIndex]], not edits-in-place.
+    *
+    * Redelivery discipline (see [[applyInsertServedBatch]]): batches are
+    * skipped whole via the `_graft_batch` marker (written next to the
+    * cells), the queryId lineage guard raises on a new query against an
+    * existing store, and a replay of a HALF-APPLIED batch (crash between
+    * the cells append and the marker write) converges through a
+    * content-checked probe — assignment under frozen centroids is
+    * deterministic, so rows present-and-equal mean converged, and
+    * present-but-different raises (an edit wearing a replay's id), never
+    * the probe-collides-with-its-own-keys poison pill, never a silent
+    * double append. */
+  def annStreamServed(mutations: DataFrame, path: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      sink: (DataFrame, Long) => Unit = (_, _) => (),
+                      trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    mutations.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyAnnStreamBatch(batch, id, path, idCol, vecCol)
+        sink(batch, id)
+      }
+
+  /** [[annStreamServed]]'s per-batch body (see [[applyInsertServedBatch]]
+    * on the marker contract). Returns true when the batch was applied. */
+  private[graft] def applyAnnStreamBatch(batch: DataFrame, id: Long,
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val spark = batch.sparkSession
+    val cellsPath = s"$path/cells"
+    if (id <= lastAppliedBatch(spark, cellsPath)) return false
+    val replay = readPending(spark, cellsPath).contains(id)
+    writePending(spark, cellsPath, id)
+    if (!replay ||
+        graft.pipeline.Ivf.replayNeedsAppend(spark, path, batch, idCol, vecCol))
+      graft.pipeline.Ivf.appendToIndex(spark, path, batch, idCol, vecCol)
+    markAppliedBatch(spark, cellsPath, id)
+    true
+  }
+
   /** Streaming boilerplate gate — the incremental-ingest curation shape
     * at 100 TB: each micro-batch is SCORED against the n-gram corpus
     * store as it stood BEFORE the batch

@@ -265,6 +265,70 @@ class StreamingSpec extends AnyFunSuite {
       Seq("text"), s"$base/postings", s"$base/norms", 8))
   }
 
+  test("r13: annStreamServed — streamed appends under frozen centroids " +
+       "serve exactly brute force over seed + all batches; redelivery " +
+       "skips whole; the crash window converges without double rows; an " +
+       "edit wearing a replay's id raises") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def vecs(ids: Range): Seq[(Long, Array[Double])] = ids.map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0)
+                 else Array(0.0, 1.0, 0.0, 0.0)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01 * (((i * 7 + d * 3) % 5) - 2) })
+    }
+    val path = java.nio.file.Files.createTempDirectory("graft-stream-ann").toString
+    graft.pipeline.Ivf.writeIndex(
+      vecs(0 until 20).toDF("vec_id", "embedding"), c = 2, path, iters = 2)
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = StreamingIndexer.annStreamServed(
+      input.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      input.addData(vecs(20 until 30): _*)
+      q.processAllAvailable()
+      input.addData(vecs(30 until 40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = vecs(0 until 40).toDF("vec_id", "embedding")
+    val queries = all.where($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    def pairs(df: DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs(graft.pipeline.Ivf.topKFromStore(spark, path, queries,
+        k = 5, nprobe = 2)) ==
+      pairs(graft.pipeline.Similarity.bruteForceTopK(all, queries, k = 5)))
+    // redelivery of an already-marked batch: skipped whole (ids 0 and 1 ran)
+    val cellsBefore = spark.read.parquet(s"$path/cells").count()
+    assert(!StreamingIndexer.applyAnnStreamBatch(
+      vecs(20 until 30).toDF("vec_id", "embedding"), 0L, path))
+    assert(spark.read.parquet(s"$path/cells").count() == cellsBefore)
+    // crash window: batch 2's append COMMITTED but the marker write didn't
+    // (pending marker present, _graft_batch still at 1) — redelivery must
+    // converge: content probe sees rows present-and-equal, no second append
+    val b2 = vecs(40 until 46).toDF("vec_id", "embedding")
+    StreamingIndexer.writePending(spark, s"$path/cells", 2L)
+    graft.pipeline.Ivf.appendToIndex(spark, path, b2)
+    assert(StreamingIndexer.applyAnnStreamBatch(b2, 2L, path))
+    assert(spark.read.parquet(s"$path/cells")
+      .where($"vec_id" >= 40).count() == 6) // one copy, not two
+    // ...and the converged store serves the union exactly
+    val all2 = vecs(0 until 46).toDF("vec_id", "embedding")
+    assert(pairs(graft.pipeline.Ivf.topKFromStore(spark, path, queries,
+        k = 5, nprobe = 2)) ==
+      pairs(graft.pipeline.Similarity.bruteForceTopK(all2, queries, k = 5)))
+    // an EDITED vector wearing a replay's batch id raises, converging never
+    // becomes edit tolerance
+    StreamingIndexer.writePending(spark, s"$path/cells", 3L)
+    graft.pipeline.Ivf.appendToIndex(spark, path,
+      vecs(46 until 48).toDF("vec_id", "embedding"))
+    val edited = vecs(46 until 48)
+      .map { case (i, v) => (i, v.map(_ * -1.0)) }.toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      StreamingIndexer.applyAnnStreamBatch(edited, 3L, path))
+    assert(e.getMessage.contains("DIFFERENT content"))
+  }
+
   test("r11: suggester freshness composes in foreachBatch — an insert-only " +
        "stream keeps the LM store current via appendSuggestStore") {
     import spark.implicits._

@@ -3449,6 +3449,27 @@ object SparkEntry {
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_store_retrain" -> ((s, dir) => {
+      // retrain-and-version made concrete (r13): v1 trains on half the
+      // corpus and serves while v2 (full corpus) builds BESIDE it; the
+      // pointer flip is one small-file overwrite (no unservable window),
+      // and pruneIndexVersions reclaims the retired v1. Exhaustive serve
+      // from the current version must equal the full-corpus brute force —
+      // the write-once oracle, now additionally witnessing the blue/green
+      // swap and the version GC.
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store_ver", dir) { p =>
+        pipeline.Ivf.writeVersionedIndex(emb.where(col("vec_id") % 2 === 0),
+          c = 8, p, iters = 2)
+        pipeline.Ivf.retrainIndex(emb, c = 8, p, iters = 2)
+        Maintain.pruneIndexVersions(s, p)
+      }
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Ivf.topKFromVersionedStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_ann_stream_store" -> ((s, dir) => {
       // streamed ANN maintenance's batch twin (r13): seed the IVF index on
       // half the corpus, then apply the other half as two micro-batches
@@ -7955,6 +7976,7 @@ object SparkEntry {
     // full-slice oracle witnesses delete→compact→append end to end
     "q_similarity_ann_store_append" -> baseOracles("q_similarity_ivf_exact"),
     "q_ann_stream_store" -> baseOracles("q_similarity_ivf_exact"),
+    "q_ann_store_retrain" -> baseOracles("q_similarity_ivf_exact"),
     "q_similarity_ann_store_delete" -> baseOracles("q_similarity_ivf_exact")
       .replace("WHERE e.vec_id <> q.query_id",
         "WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> 3"),

@@ -442,6 +442,36 @@ object Maintain {
     docs.schema.fields.toSeq.map(f =>
       (f.name, f.dataType.simpleString, DocModel.esType(f.dataType)))
 
+  /** Reclaim retired versions of a versioned ANN index root
+    * ([[graft.pipeline.Ivf.writeVersionedIndex]] /
+    * [[graft.pipeline.Ivf.retrainIndex]]): keep the current version plus
+    * the `keepPrevious` most recent below it (rollback depth), delete the
+    * rest — the M5 data-leaves sweep for retired index generations, the
+    * analog of dropping a reference `<alias>_index@date` after the alias
+    * moved on. Never touches the current version (or anything newer — a
+    * concurrent retrain staging v_N+1 is invisible to the prune by
+    * construction). Returns the versions deleted. */
+  def pruneIndexVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                         keepPrevious: Int = 0): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    require(keepPrevious >= 0, "keepPrevious must be >= 0")
+    val cur = graft.pipeline.Ivf.currentVersion(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"$path is not a versioned ANN index root (no _graft_current)"))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
+      .filter(v => v < cur - keepPrevious)
+      .sorted
+    stale.foreach { v =>
+      require(fs.delete(new Path(root, s"v$v"), true),
+        s"failed to delete retired index version $path/v$v")
+    }
+    stale
+  }
+
   /** ES `_field_caps` analog: per field, the ES type plus whether it is
     * searchable and aggregatable. Everything the scan can read is
     * searchable here (predicates are plan columns); aggregatable mirrors

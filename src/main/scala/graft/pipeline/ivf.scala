@@ -292,6 +292,101 @@ object Ivf {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  // ---- versioned index lifecycle: retrain-and-version made concrete ----
+  //
+  // Every doc-comment above says "drift means retrain-and-version"; these
+  // are the verbs. The layout is blue/green at directory granularity:
+  //
+  //   path/v1/{centroids,cells,deletes}   — a complete writeIndex store
+  //   path/v2/...                         — the retrained replacement
+  //   path/_graft_current                 — ONE small file naming the
+  //                                         servable version
+  //
+  // Retraining builds the ENTIRE new version beside the old one (readers
+  // keep serving v_N, untouched, for however long the 100 TB rebuild
+  // takes), then swaps the pointer — a single create-overwrite of a
+  // one-line file, atomic at the filesystem API. Old versions stay on
+  // disk for rollback until [[graft.Maintain.pruneIndexVersions]] reclaims
+  // them — the ES reindex-into-new-index + alias-flip lifecycle
+  // (reference: the `<alias>_index@date` naming convention plays the same
+  // role for segments), applied to the ANN store.
+
+  private def currentPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_current")
+
+  /** The servable version number, or None for an unversioned/empty root. */
+  def currentVersion(spark: SparkSession, path: String): Option[Int] = {
+    val p = currentPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      raw.toIntOption
+    }
+  }
+
+  private def writeCurrent(spark: SparkSession, path: String, v: Int): Unit = {
+    val p = currentPath(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The directory of the currently-servable version. Raises on a root
+    * with no `_graft_current` — an unversioned store should be read with
+    * the flat-path entry points. */
+  def currentIndexPath(spark: SparkSession, path: String): String = {
+    val v = currentVersion(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"$path has no _graft_current marker — not a versioned ANN index root " +
+        "(seed it with writeVersionedIndex, or read a flat store with " +
+        "topKFromStore directly)"))
+    s"$path/v$v"
+  }
+
+  /** Seed a VERSIONED index root: builds v1 and points `_graft_current`
+    * at it. All maintenance verbs ([[appendToIndex]], [[deleteFromIndex]],
+    * [[graft.Maintain.compactAnnIndex]], the streamed appends) apply to
+    * the resolved version directory — [[currentIndexPath]]. */
+  def writeVersionedIndex(corpus: DataFrame, c: Int, path: String,
+                          iters: Int = 3, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    require(currentVersion(spark, path).isEmpty,
+      s"$path is already a versioned index root — use retrainIndex for a new version")
+    writeIndex(corpus, c, s"$path/v1", iters, idCol, vecCol)
+    writeCurrent(spark, path, 1)
+  }
+
+  /** Blue/green retrain: train + assign the corpus into version N+1 while
+    * version N keeps serving untouched, then flip the pointer. The swap is
+    * one small-file overwrite — readers planned before it serve the old
+    * version to completion (their paths are resolved), readers planned
+    * after it serve the new one; there is no window where the root is
+    * unservable. Returns the new version number. Rollback = the old
+    * version directory is still on disk: point `_graft_current` back until
+    * [[graft.Maintain.pruneIndexVersions]] reclaims it. */
+  def retrainIndex(corpus: DataFrame, c: Int, path: String, iters: Int = 3,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+    val spark = corpus.sparkSession
+    val next = currentVersion(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"$path is not a versioned index root — seed it with writeVersionedIndex")) + 1
+    writeIndex(corpus, c, s"$path/v$next", iters, idCol, vecCol)
+    writeCurrent(spark, path, next)
+    next
+  }
+
+  /** [[topKFromStore]] against a versioned root: resolves the servable
+    * version at plan time and probes it. */
+  def topKFromVersionedStore(spark: SparkSession, path: String,
+                             queries: DataFrame, k: Int, nprobe: Int = 2,
+                             idCol: String = "vec_id", vecCol: String = "embedding",
+                             qIdCol: String = "query_id", qVecCol: String = "query_vec",
+                             excludeSelf: Boolean = true): DataFrame =
+    topKFromStore(spark, currentIndexPath(spark, path), queries, k, nprobe,
+      idCol, vecCol, qIdCol, qVecCol, excludeSelf)
+
   /** Probe: exact cosine top-k within the `nprobe` nearest lists per query. */
   def topK(assigned: DataFrame, queries: DataFrame,
            centroids: Array[Array[Double]], k: Int, nprobe: Int = 2,

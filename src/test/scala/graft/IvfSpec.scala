@@ -172,6 +172,49 @@ class IvfSpec extends AnyFunSuite {
       pairs(Similarity.bruteForceTopK(back, queries, k = 5)))
   }
 
+  test("r13: versioned index lifecycle — retrain builds beside the serving " +
+       "version, the pointer flip is the only swap, prune keeps rollback depth") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_ver").toString
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val queries = corpus.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    def brute(c: org.apache.spark.sql.DataFrame) = Similarity.bruteForceTopK(
+      c.withColumn("embedding", col("embedding").cast("array<double>")),
+      queries, k = 5)
+    // v1: half the corpus
+    Ivf.writeVersionedIndex(corpus.where(col("vec_id") % 2 === 0),
+      c = 2, path, iters = 2)
+    assert(Ivf.currentVersion(spark, path).contains(1))
+    assert(pairs(Ivf.topKFromVersionedStore(spark, path, queries, k = 5,
+      nprobe = 2)) == pairs(brute(corpus.where(col("vec_id") % 2 === 0))))
+    // a second seed raises — versions only move through retrainIndex
+    intercept[IllegalArgumentException](
+      Ivf.writeVersionedIndex(corpus, c = 2, path))
+    // retrain on the FULL corpus: v2 appears, pointer flips, v1 stays on
+    // disk as the rollback copy
+    assert(Ivf.retrainIndex(corpus, c = 2, path, iters = 2) == 2)
+    assert(Ivf.currentVersion(spark, path).contains(2))
+    assert(pairs(Ivf.topKFromVersionedStore(spark, path, queries, k = 5,
+      nprobe = 2)) == pairs(brute(corpus)))
+    assert(new java.io.File(s"$path/v1/cells").exists())
+    // maintenance verbs compose through the resolved version directory
+    Ivf.deleteFromIndex(spark, Ivf.currentIndexPath(spark, path),
+      corpus.where(col("vec_id") === 4).select("vec_id"))
+    assert(pairs(Ivf.topKFromVersionedStore(spark, path, queries, k = 5,
+      nprobe = 2)) == pairs(brute(corpus.where(col("vec_id") =!= 4))))
+    // prune reclaims retired versions, never the current one
+    assert(Maintain.pruneIndexVersions(spark, path) == Seq(1))
+    assert(!new java.io.File(s"$path/v1").exists())
+    assert(Ivf.currentVersion(spark, path).contains(2))
+    assert(pairs(Ivf.topKFromVersionedStore(spark, path, queries, k = 5,
+      nprobe = 2)) == pairs(brute(corpus.where(col("vec_id") =!= 4))))
+    // nothing left below the rollback depth: prune is idempotent
+    assert(Maintain.pruneIndexVersions(spark, path).isEmpty)
+  }
+
   test("bbq: sign-bit packing round-trips hamming; exhaustive oversample " +
        "equals brute force; 65+ dims pack into a second word") {
     val c64 = corpus.withColumn("embedding", col("embedding").cast("array<double>"))

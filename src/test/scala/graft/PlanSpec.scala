@@ -371,6 +371,36 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("StringStartsWith(suggestion,sca)"), plan.take(2000))
   }
 
+  test("r13: ANN serve with tombstones keeps partition pruning — the " +
+       "deletes anti-join sits ABOVE the pruned cells scan, never widens it") {
+    import spark.implicits._
+    val corpus = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0)
+                 else Array(0.0, 1.0, 0.0, 0.0)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01 * (((i * 7 + d * 3) % 5) - 2) })
+    }.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_plan_ann").toString
+    graft.pipeline.Ivf.writeIndex(corpus, c = 2, path, iters = 2)
+    graft.pipeline.Ivf.deleteFromIndex(spark, path,
+      Seq(2L, 4L).toDF("vec_id"))
+    val queries = corpus.where(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))
+    val served = graft.pipeline.Ivf.topKFromStore(spark, path, queries,
+      k = 5, nprobe = 1)
+    val plan = served.queryExecution.executedPlan.toString
+    // the cells scan still carries the literal probe-list partition filter
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      plan.take(2000))
+    // the tombstone filter is an anti-join on the (small) sidecar, planned
+    // as broadcast — never a shuffle of the probed cells
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    // and the result is still tombstone-filtered
+    assert(!served.collect().map(_.getLong(1)).toSet.exists(Set(2L, 4L)))
+  }
+
   test("r10: globalRank builds lazily — constructing rrf launches no job") {
     import spark.implicits._
     val sc = spark.sparkContext

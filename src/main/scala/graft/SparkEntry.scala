@@ -3449,6 +3449,23 @@ object SparkEntry {
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_store_stats" -> ((s, dir) => {
+      // M12-analog observability for the ANN store (r13): list balance
+      // (the IVF skew signal — a disproportionate list pays its share at
+      // probe time), tombstone backlog (compaction debt), version. The
+      // SQL-derivable cells (lists/rows/tombstoned) are oracled; the
+      // balance columns (min/max list size) depend on the k-means
+      // assignment and are pinned by MaintainSpec instead.
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store_stats", dir) { p =>
+        pipeline.Ivf.writeIndex(emb, c = 8, p, iters = 2)
+        pipeline.Ivf.deleteFromIndex(s, p,
+          emb.where(col("vec_id") % 7 === 3).select("vec_id"))
+      }
+      Maintain.annIndexStats(s, path)
+        .select(col("lists"), col("rows"), col("tombstoned"))
+    }),
     "q_ann_store_retrain" -> ((s, dir) => {
       // retrain-and-version made concrete (r13): v1 trains on half the
       // corpus and serves while v2 (full corpus) builds BESIDE it; the
@@ -7977,6 +7994,12 @@ object SparkEntry {
     "q_similarity_ann_store_append" -> baseOracles("q_similarity_ivf_exact"),
     "q_ann_stream_store" -> baseOracles("q_similarity_ivf_exact"),
     "q_ann_store_retrain" -> baseOracles("q_similarity_ivf_exact"),
+    // stats: lists is the build-time C, rows/tombstoned recount the store's
+    // inputs (count FILTER keeps DuckDB in BIGINT, matching Spark's long)
+    "q_ann_store_stats" ->
+      """SELECT CAST(8 AS BIGINT) AS lists, count(*) AS rows,
+           count(*) FILTER (WHERE vec_id % 7 = 3) AS tombstoned
+         FROM embeddings""",
     "q_similarity_ann_store_delete" -> baseOracles("q_similarity_ivf_exact")
       .replace("WHERE e.vec_id <> q.query_id",
         "WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> 3"),

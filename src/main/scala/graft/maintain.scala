@@ -586,6 +586,42 @@ object Maintain {
     * shuffle carries one partial row per (task, segment) — never a
     * per-segment job or scan, which is what makes the surface usable on a
     * store with thousands of segments at 100 TB. */
+  /** M12-analog observability for a materialized ANN index: one row of
+    * store health — list count and CELL-BALANCE (an IVF list holding a
+    * disproportionate share of the corpus is the ANN skew problem: its
+    * probes pay that share at query time; rebalancing means retraining,
+    * so the signal must be visible BEFORE queries slow down), plus the
+    * tombstone backlog (compaction debt — [[compactAnnIndex]]'s input
+    * queue) and the servable version for a versioned root. One
+    * column-pruned aggregate over (list_id) plus two bounded reads
+    * (centroid count, sidecar count); the vectors themselves are never
+    * read. Accepts either a flat [[graft.pipeline.Ivf.writeIndex]] /
+    * [[graft.pipeline.Pq.writeIvfPqIndex]] store or a versioned root
+    * (resolved through `_graft_current`). */
+  def annIndexStats(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame = {
+    val version = graft.pipeline.Ivf.currentVersion(spark, path)
+    val p = version.fold(path)(v => s"$path/v$v")
+    val lists = spark.read.parquet(s"$p/centroids").count()
+    val tombstoned =
+      if (graft.pipeline.Ivf.hasDataFiles(spark, s"$p/deletes"))
+        spark.read.parquet(s"$p/deletes").distinct().count()
+      else 0L
+    spark.read.parquet(s"$p/cells")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("rows"),
+        count(lit(1)).as("nonempty_lists"),
+        min(col("n")).as("min_list"),
+        max(col("n")).as("max_list"))
+      .select(lit(lists).as("lists"),
+        coalesce(col("rows"), lit(0L)).as("rows"),
+        coalesce(col("nonempty_lists"), lit(0L)).as("nonempty_lists"),
+        coalesce(col("min_list"), lit(0L)).as("min_list"),
+        coalesce(col("max_list"), lit(0L)).as("max_list"),
+        lit(tombstoned).as("tombstoned"),
+        lit(version.map(_.toLong).getOrElse(-1L)).as("version"))
+  }
+
   def segmentStats(docs: DataFrame, segmentCol: String = "segment"): DataFrame = {
     require(docs.columns.contains(segmentCol),
       s"segment column '$segmentCol' not in the frame")

@@ -313,6 +313,36 @@ class MaintainSpec extends AnyFunSuite {
       enc.agg(min(col("n_tokens"))).head.getInt(0) > 0)
   }
 
+  test("r13: annIndexStats — list balance, tombstone backlog, and version " +
+       "resolution, without ever reading a vector column") {
+    val corpus = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.0, 0.0, 0.0)
+                 else Array(0.0, 1.0, 0.0, 0.0)
+      (i.toLong, base.zipWithIndex.map { case (x, d) =>
+        x + 0.01 * (((i * 7 + d * 3) % 5) - 2) })
+    }.toDF("vec_id", "embedding")
+    val flat = java.nio.file.Files.createTempDirectory("graft_ann_stats").toString
+    graft.pipeline.Ivf.writeIndex(corpus, c = 2, flat, iters = 2)
+    def stats(p: String) = Maintain.annIndexStats(spark, p).collect()(0)
+    val s0 = stats(flat)
+    // two well-separated clusters of 20: perfectly balanced lists
+    assert((s0.getLong(0), s0.getLong(1), s0.getLong(2), s0.getLong(3),
+      s0.getLong(4), s0.getLong(5), s0.getLong(6)) ==
+      ((2L, 40L, 2L, 20L, 20L, 0L, -1L)))
+    // tombstones count as backlog; physical rows are untouched until compact
+    graft.pipeline.Ivf.deleteFromIndex(spark, flat, Seq(0L, 2L).toDF("vec_id"))
+    val s1 = stats(flat)
+    assert(s1.getLong(1) == 40L && s1.getLong(5) == 2L)
+    Maintain.compactAnnIndex(spark, flat)
+    val s2 = stats(flat)
+    assert(s2.getLong(1) == 38L && s2.getLong(5) == 0L)
+    // a versioned root resolves through _graft_current
+    val vroot = java.nio.file.Files.createTempDirectory("graft_ann_stats_v").toString
+    graft.pipeline.Ivf.writeVersionedIndex(corpus, c = 2, vroot, iters = 2)
+    val sv = stats(vroot)
+    assert(sv.getLong(1) == 40L && sv.getLong(6) == 1L)
+  }
+
   test("r13: rebuildSuggestStore is the sanctioned freshness path for " +
        "edited corpora — whole-store swap, cadence-gated, stamped") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sugg_rb").toString

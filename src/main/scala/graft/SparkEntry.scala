@@ -3449,6 +3449,25 @@ object SparkEntry {
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ann_recall" -> ((s, dir) => {
+      // the ANN tuning loop's measurement (r13): recall@10 of the pruned
+      // store probe (nprobe=2 of 8 lists) against brute force on the query
+      // sample — the number an operator reads before committing a serving
+      // config at scale. Rows-only by contract: the value depends on the
+      // k-means assignment (deterministic, but not SQL-derivable); IvfSpec
+      // pins the arithmetic on known-recall fixtures (1.0 / 0.6 / 0.0).
+      val emb = tbl(s, dir, "embeddings")
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      val path = memoStore("ann_ivf_store", dir)(p =>
+        pipeline.Ivf.writeIndex(emb, c = 8, p, iters = 2))
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val approx = pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 2)
+      val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
+      Similarity.recallAtK(approx, exact)
+        .select(col("query_id"), round(col("recall"), 4).as("recall"))
+        .orderBy(col("query_id"))
+    }),
     "q_ann_store_stats" -> ((s, dir) => {
       // M12-analog observability for the ANN store (r13): list balance
       // (the IVF skew signal — a disproportionate list pays its share at
@@ -7947,7 +7966,10 @@ object SparkEntry {
     // twins q_similarity_pq_exact / q_similarity_ivfpq_exact ARE oracled),
     // q_similarity_bbq (hamming recall < 1 at oversample 4; its exhaustive
     // twin q_similarity_bbq_exact IS oracled), q_bpe_train / q_tokenize_ids
-    // (iterative merge induction has no SQL oracle; BpeSpec pins both)
+    // (iterative merge induction has no SQL oracle; BpeSpec pins both),
+    // q_ann_recall (the measured recall depends on the k-means assignment —
+    // deterministic but not SQL-derivable; IvfSpec pins the arithmetic on
+    // known-recall fixtures)
   )
 
   // the append-path proofs serve the SAME answers as their write-once

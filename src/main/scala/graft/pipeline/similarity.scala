@@ -47,6 +47,31 @@ object Similarity {
         round(col("cos"), 4).as("cos"), col("rank"))
   }
 
+  /** Recall@k of an approximate neighbor result against an exact one —
+    * the measurement half of "measure, don't guess" for the ANN suite:
+    * tuning `nprobe` / band counts / oversample on a QUERY SAMPLE before
+    * committing a 100 TB serving configuration is the loop a real
+    * operator runs, and this is its one operator. Both inputs are
+    * (query, neighbor[, rank]) frames as produced by every topK in the
+    * suite; `exact` defines the ground-truth set per query (take
+    * [[bruteForceTopK]] at the same k over the sample). Per query:
+    * |approx ∩ exact| / |exact|. Probe-sized inputs (|queries|·k rows)
+    * — the aggregate is bounded by the sample, never the corpus; the
+    * macro average over queries is one more tiny aggregate away
+    * (`.agg(avg("recall"))`). Ties at the boundary cosine are counted
+    * as hits only when the approximate path returns the same
+    * tie-break — the suite orders ties by neighbor id everywhere, so
+    * equal-configured paths agree. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                qIdCol: String = "query_id",
+                nCol: String = "neighbor_id"): DataFrame =
+    exact.select(col(qIdCol), col(nCol))
+      .join(approx.select(col(qIdCol), col(nCol), lit(1).as("_hit")),
+        Seq(qIdCol, nCol), "left")
+      .groupBy(col(qIdCol))
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast("double") /
+        count(lit(1))).as("recall"))
+
   /** Explode a table into (band, bucket) rows from the native LSH expression. */
   private def banded(df: DataFrame, id: String, vec: String,
                      bands: Int, bitsPerBand: Int): DataFrame =

@@ -172,6 +172,31 @@ class IvfSpec extends AnyFunSuite {
       pairs(Similarity.bruteForceTopK(back, queries, k = 5)))
   }
 
+  test("r13: recallAtK — 1.0 when the pruned probe recovers brute force, " +
+       "exact fractions when it misses, 0.0 on an empty approximation") {
+    val corpusD = corpus.withColumn("embedding",
+      col("embedding").cast("array<double>"))
+    val queries = corpusD.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    val exact = Similarity.bruteForceTopK(corpusD, queries, k = 5)
+    // separated clusters: nprobe=1 recovers everything → recall 1.0/query
+    val cents = Ivf.train(corpusD, c = 2, iters = 2)
+    val pruned = Ivf.topK(Ivf.assign(corpusD, cents), queries, cents,
+      k = 5, nprobe = 1)
+    val r1 = Similarity.recallAtK(pruned, exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r1.size == 2 && r1.values.forall(_ == 1.0), r1.toString)
+    // a result missing 2 of 5 true neighbors per query scores exactly 0.6
+    val crippled = exact.where(col("rank") <= 3)
+    val r2 = Similarity.recallAtK(crippled, exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r2.values.forall(_ == 0.6), r2.toString)
+    // empty approximation: every query still reports, at 0.0
+    val r3 = Similarity.recallAtK(exact.limit(0), exact).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r3.size == 2 && r3.values.forall(_ == 0.0), r3.toString)
+  }
+
   test("r13: versioned index lifecycle — retrain builds beside the serving " +
        "version, the pointer flip is the only swap, prune keeps rollback depth") {
     val path = java.nio.file.Files.createTempDirectory("graft_ann_ver").toString

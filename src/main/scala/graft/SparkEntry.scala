@@ -829,6 +829,34 @@ object SparkEntry {
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
         .orderBy(desc("bm25"), col("doc_id"))
     }),
+    "q_bm25_store_delete" -> ((s, dir) => {
+      // the data-LEAVES proof for the BM25 store group (r13, the
+      // q_ngram_store_subtract convention): build postings+norms over the
+      // FULL corpus, deleteDocs a slice by key (norms is the live-docs
+      // authority: N, avgdl, and df all derive from the norms join, so
+      // serving reflects the deletes immediately), then purgeDeadPostings
+      // reclaims the dead rows physically. Served BM25 must hash-equal the
+      // direct SQL restricted to the survivors on BOTH sides — scored docs
+      // and corpus statistics.
+      val path = memoStore("bm25_store_del", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        TextIndex.writePostings(
+          TextIndex.buildPostings(d, "doc_id", Seq("text"), 16), s"$p/postings")
+        TextIndex.buildNorms(d, "doc_id", Seq("text"))
+          .write.mode("overwrite").parquet(s"$p/norms")
+        TextIndex.deleteDocs(s, s"$p/norms",
+          d.where(col("doc_id") % 7 === 0).select("doc_id"))
+        TextIndex.purgeDeadPostings(s, s"$p/postings", s"$p/norms")
+      }
+      val postings = s.read.option("basePath", s"$path/postings")
+        .parquet(s"$path/postings")
+      val norms = s.read.parquet(s"$path/norms")
+      TextIndex.bm25Indexed(postings, norms, "text", Seq("spark", "query"),
+          nBuckets = 16)
+        .orderBy(desc("_bm25"), col("doc_id")).limit(50)
+        .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+    }),
     "q_bm25_upsert_store" -> ((s, dir) => {
       // EDIT-tolerant maintenance proof (same oracle as
       // q_search_bm25_store): the VERSIONED stores seed from half the
@@ -8000,6 +8028,8 @@ object SparkEntry {
       baseOracles("q_text_bigram_nll").replace("FROM documents",
         "FROM documents WHERE doc_id % 7 <> 0"),
     "q_suggest_rebuild" -> baseOracles("q_suggest_phrase_store"),
+    "q_bm25_store_delete" -> baseOracles("q_search_bm25_store")
+      .replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0"),
     // the materialized ANN index at nprobe = C is exhaustive — brute-force
     // top-k oracles the whole write-index → pruned-probe → verify path
     // (q_similarity_ann_store itself is rows-only: recall < 1 at

@@ -568,7 +568,51 @@ object TextIndex {
   /** Optional size reclaim after many appends: global dedup + rewrite,
     * atomic per the same staging-dir pattern as
     * [[Maintain.compactSegments]]. Returns (files before, files after). */
-  def compactPostings(spark: SparkSession, path: String): (Int, Int) = {
+  def compactPostings(spark: SparkSession, path: String): (Int, Int) =
+    rewritePostings(spark, path)(_.distinct())
+
+  /** S5/M4's data-leaves verb for the BM25 store group: delete docs BY KEY.
+    * The norms store is the group's live-docs authority — [[bm25Indexed]]
+    * derives N, avgdl, AND df from the norms join — so removing a doc's
+    * norms rows makes served scores equal a rebuild without it
+    * IMMEDIATELY; its postings rows become dead weight (false candidates
+    * the doc-store join already drops, rows the norms join discards),
+    * physically reclaimed by [[purgeDeadPostings]] on a maintenance
+    * cadence. Lucene's lifecycle exactly: a delete flips live-docs, the
+    * merge reclaims space (reference analog: delete_by_query,
+    * ElasticIndex.java:825-836). One staged rewrite of the SLIM norms
+    * rows — never a corpus text pass.
+    *
+    * Staleness note: PURE-index serving (`searchIndexed(pureIndex=true)`,
+    * postings-only aggregations) reads postings alone and keeps surfacing
+    * a deleted doc until the purge runs — the same append-side staleness
+    * those paths already declare; the norms-joined and doc-store-joined
+    * paths are exact from the moment this returns. */
+  def deleteDocs(spark: SparkSession, normsPath: String, ids: DataFrame,
+                 idCol: String = "doc_id"): Unit = {
+    val keys = ids.select(col(idCol).as("doc_id")).distinct()
+    Maintain.stagedRewrite(spark, normsPath) { tmp =>
+      spark.read.parquet(normsPath)
+        .join(broadcast(keys), Seq("doc_id"), "left_anti")
+        .write.parquet(tmp)
+    }
+  }
+
+  /** Physically reclaim postings whose doc is no longer live (has no norms
+    * row — [[deleteDocs]]' tombstone semantics): the segment-merge half of
+    * the delete lifecycle. One norms key scan + one layout-preserving
+    * postings rewrite (bucket clustering, token sort, sidecars and the
+    * streaming marker survive — the [[compactPostings]] swap). Returns
+    * (files before, files after). */
+  def purgeDeadPostings(spark: SparkSession, postingsPath: String,
+                        normsPath: String): (Int, Int) = {
+    val live = spark.read.parquet(normsPath).select(col("doc_id")).distinct()
+    rewritePostings(spark, postingsPath)(
+      _.join(live, Seq("doc_id"), "left_semi"))
+  }
+
+  private def rewritePostings(spark: SparkSession, path: String)(
+      transform: DataFrame => DataFrame): (Int, Int) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -602,7 +646,7 @@ object TextIndex {
     val parts = segCol.toSeq :+ "bucket"
     val tmp = new Path(root.getParent, root.getName + ".compact_tmp")
     fs.delete(tmp, true)
-    val deduped = spark.read.option("basePath", path).parquet(path).distinct()
+    val deduped = transform(spark.read.option("basePath", path).parquet(path))
     deduped.repartition(parts.map(col): _*)
       .sortWithinPartitions("token", "field")
       .write.mode("overwrite").partitionBy(parts: _*).parquet(tmp.toString)

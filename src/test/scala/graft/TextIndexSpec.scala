@@ -591,4 +591,44 @@ class TextIndexSpec extends AnyFunSuite {
     assert(!served.keySet.exists(id =>
       !rebuilt.contains(id)), "a dead-generation doc leaked into scores")
   }
+
+  test("r13: deleteDocs drops a doc from served BM25 immediately (norms is " +
+       "the live-docs authority); purgeDeadPostings reclaims its postings " +
+       "physically, preserving layout and sidecars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_del_docs").toString
+    val docs = Seq((1L, "spark makes batch fast"),
+      (2L, "query engines move data"), (3L, "spark query spark"),
+      (4L, "nothing relevant here")).toDF("doc_id", "text")
+    TextIndex.writePostings(
+      TextIndex.buildPostings(docs, "doc_id", Seq("text"), 8), s"$dir/postings")
+    TextIndex.buildNorms(docs, "doc_id", Seq("text")).write.parquet(s"$dir/norms")
+    def scores(p: org.apache.spark.sql.DataFrame,
+               n: org.apache.spark.sql.DataFrame) =
+      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "query"), nBuckets = 8)
+        .select($"doc_id", round($"_bm25", 6).as("s")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def served() = scores(
+      spark.read.option("basePath", s"$dir/postings").parquet(s"$dir/postings"),
+      spark.read.parquet(s"$dir/norms"))
+    // delete doc 3 (a scorer): N, avgdl, df, and the result set must all
+    // reflect the deletion at once — equals a rebuild without the doc
+    TextIndex.deleteDocs(spark, s"$dir/norms", Seq(3L).toDF("doc_id"))
+    val survivors = docs.where($"doc_id" =!= 3L)
+    val rebuilt = scores(
+      TextIndex.buildPostings(survivors, "doc_id", Seq("text"), 8),
+      TextIndex.buildNorms(survivors, "doc_id", Seq("text")))
+    assert(served() == rebuilt, s"served=${served()} rebuilt=$rebuilt")
+    // the postings rows are dead weight until the purge — then gone, with
+    // the store's bucket layout and self-describing sidecar intact
+    val deadBefore = spark.read.option("basePath", s"$dir/postings")
+      .parquet(s"$dir/postings").where($"doc_id" === 3L).count()
+    assert(deadBefore > 0)
+    TextIndex.purgeDeadPostings(spark, s"$dir/postings", s"$dir/norms")
+    val store = spark.read.option("basePath", s"$dir/postings")
+      .parquet(s"$dir/postings")
+    assert(store.where($"doc_id" === 3L).count() == 0)
+    assert(store.columns.contains("bucket"))
+    assert(TextIndex.openPostings(spark, s"$dir/postings")._2.nBuckets == 8)
+    assert(served() == rebuilt) // serving unchanged by the physical reclaim
+  }
 }

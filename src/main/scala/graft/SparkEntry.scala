@@ -1873,6 +1873,21 @@ object SparkEntry {
           "text", "doc_id")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q_dedup_store_delete" -> ((s, dir) => {
+      // data-LEAVES proof for the dedup sketch store (r13): a deleted
+      // doc's sketch must stop emitting candidate pairs. Full-corpus
+      // sketch store → deleteFromSketchStore(doc_id % 7 = 0) → pairs
+      // served from the store equal exact all-pairs jaccard over the
+      // SURVIVORS (q_dedup_minhash's oracle restricted on both sides —
+      // LSH recall stays 1.0: deleting docs only removes pairs).
+      val docs = tbl(s, dir, "documents")
+      val path = tmpDir("dedup_del")
+      Dedup.writeSketchStore(docs, path, "text", "doc_id")
+      Dedup.deleteFromSketchStore(s, path,
+        docs.where(col("doc_id") % 7 === 0).select(col("doc_id").as("id")))
+      Dedup.minhashPairsFromStore(s, path)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_spans" -> ((s, dir) => {
       // exact duplicate-SPAN detection (Lee-et-al-style substring dedup as
       // runs of duplicated 8-token windows). Hash candidates are re-verified
@@ -8029,6 +8044,8 @@ object SparkEntry {
         "FROM documents WHERE doc_id % 7 <> 0"),
     "q_suggest_rebuild" -> baseOracles("q_suggest_phrase_store"),
     "q_bm25_store_delete" -> baseOracles("q_search_bm25_store")
+      .replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0"),
+    "q_dedup_store_delete" -> baseOracles("q_dedup_minhash")
       .replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0"),
     // the materialized ANN index at nprobe = C is exhaustive — brute-force
     // top-k oracles the whole write-index → pruned-probe → verify path

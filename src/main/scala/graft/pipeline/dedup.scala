@@ -99,6 +99,25 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Data-leaves verb for the sketch store (S5/M4 for the dedup plane,
+    * r13): a deleted doc's sketch otherwise keeps emitting candidate
+    * pairs forever, steering downstream keep/drop decisions with a doc
+    * that no longer exists. Deletes BY KEY via one staged rewrite of the
+    * slim (id, sh, sig) rows — the upsertNorms discipline (the store is
+    * flat, so there is no partition-scoped shortcut; sketches are
+    * numHashes ints + shingle hashes per doc, orders of magnitude slimmer
+    * than the corpus). Batch deletes to amortize the rewrite. */
+  def deleteFromSketchStore(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            idCol: String = "id"): Unit = {
+    val keys = ids.select(col(idCol).as("id")).distinct()
+    graft.Maintain.stagedRewrite(spark, path) { tmp =>
+      spark.read.parquet(path)
+        .join(broadcast(keys), Seq("id"), "left_anti")
+        .write.parquet(tmp)
+    }
+  }
+
   /** Run MinHash-LSH pairs from a [[writeSketchStore]] store — identical
     * output to [[minhashPairs]] on the original corpus. `numHashes` must
     * match the store's signature length (checked at runtime against the

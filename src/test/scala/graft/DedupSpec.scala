@@ -46,6 +46,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("r13: deleteFromSketchStore — a deleted doc's sketch stops emitting " +
+       "pairs; the store equals a rebuild over the survivors") {
+    val path = java.nio.file.Files.createTempDirectory("graft_del_sketch").toString
+    Dedup.writeSketchStore(corpus, path, "text", "doc_id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // docs 1/2/4 are mutual near-dups; delete doc 4 — its pairs must vanish
+    val before = norm(Dedup.minhashPairsFromStore(spark, path, threshold = 0.4))
+    assert(before.exists(p => p._1 == 4L || p._2 == 4L))
+    Dedup.deleteFromSketchStore(spark, path, Seq(4L).toDF("id"))
+    val after = norm(Dedup.minhashPairsFromStore(spark, path, threshold = 0.4))
+    assert(!after.exists(p => p._1 == 4L || p._2 == 4L))
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft_del_sk2").toString
+    Dedup.writeSketchStore(corpus.where(col("doc_id") =!= 4L), rebuilt,
+      "text", "doc_id")
+    assert(after == norm(Dedup.minhashPairsFromStore(spark, rebuilt,
+      threshold = 0.4)) && after.nonEmpty)
+    // the incremental path sees the survivor store: re-inserting the doc
+    // as a NEW batch re-pairs it against survivors only
+    val inc = Dedup.minhashPairsIncremental(spark, path,
+        corpus.where(col("doc_id") === 4L), "text", "doc_id", threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == Set((1L, 4L), (2L, 4L)))
+  }
+
   test("incremental pairs vs a sketch store equal the full run's new-touching pairs") {
     val path = java.nio.file.Files.createTempDirectory("graft_inc_store").toString
     // store holds docs 1-3; docs 4 (near-dup of 1/2) and 5 (fresh) arrive

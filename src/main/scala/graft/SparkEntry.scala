@@ -2543,6 +2543,30 @@ object SparkEntry {
         contexts = Map("lang" -> Seq("en", "de")),
         fuzziness = 1, fuzzyPrefixLength = 1)
     }),
+    "q_completion_rebuild" -> ((s, dir) => {
+      // M-plane freshness for the completion dictionary (r13, the
+      // q_suggest_rebuild pattern): per-(context, term) doc counts are not
+      // doc-keyed, so edits cannot subtract — the store seeds from a
+      // PRE-EDIT corpus (a slice of docs polluted), the corpus takes its
+      // edits, and Maintain.rebuildCompletionStore swaps in the CURRENT
+      // dictionary whole (cadence-gated like M3/M4 sweeps). Served
+      // completions must equal the direct operator over the true
+      // documents — q_suggest_completion_store's oracle.
+      val path = memoStore("completion_rebuild", dir) { p =>
+        val d = tbl(s, dir, "documents")
+        val preEdit = d.withColumn("text",
+          when(col("doc_id") % 5 === 0,
+            lit("scandal scaffold scattered placeholder"))
+            .otherwise(col("text")))
+        Search.writeCompletionStore(preEdit, "text", p, contextCols = Seq("lang"))
+        require(Maintain.rebuildCompletionStore(d, "text", p, NowEpoch,
+          contextCols = Seq("lang")),
+          "unstamped store must count as infinitely old")
+      }
+      Search.completionSuggestFromStore(s, path, "sca", size = 10,
+        contexts = Map("lang" -> Seq("en", "de")),
+        fuzziness = 1, fuzzyPrefixLength = 1)
+    }),
     "q_completion_store_append" -> ((s, dir) => {
       // incremental-maintenance proof (same oracle as
       // q_suggest_completion_store): dictionary built from half the
@@ -8047,6 +8071,7 @@ object SparkEntry {
       .replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0"),
     "q_dedup_store_delete" -> baseOracles("q_dedup_minhash")
       .replace("FROM documents", "FROM documents WHERE doc_id % 7 <> 0"),
+    "q_completion_rebuild" -> baseOracles("q_suggest_completion_store"),
     // the materialized ANN index at nprobe = C is exhaustive — brute-force
     // top-k oracles the whole write-index → pruned-probe → verify path
     // (q_similarity_ann_store itself is rows-only: recall < 1 at

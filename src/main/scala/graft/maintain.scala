@@ -356,8 +356,33 @@ object Maintain {
     * direct operator over the edited corpus. */
   def rebuildSuggestStore(docs: org.apache.spark.sql.DataFrame, field: String,
                           path: String, nowEpochSec: Long,
-                          ifOlderThanSec: Long = 0L): Boolean = {
-    val spark = docs.sparkSession
+                          ifOlderThanSec: Long = 0L): Boolean =
+    cadencedRebuild(docs.sparkSession, path, nowEpochSec, ifOlderThanSec)(
+      dir => Search.writeSuggestStore(docs, field, dir))
+
+  /** [[rebuildSuggestStore]]'s twin for the COMPLETION dictionary — the
+    * other suggester store whose counts are not doc-keyed (per-(context,
+    * term) doc counts), so edits and deletes cannot subtract; the
+    * sanctioned freshness path is the same cadence-gated whole-store swap.
+    * Pinned by `q_completion_rebuild`: edit → rebuild → served completions
+    * equal the direct operator over the edited corpus. */
+  def rebuildCompletionStore(docs: org.apache.spark.sql.DataFrame, field: String,
+                             path: String, nowEpochSec: Long,
+                             ifOlderThanSec: Long = 0L,
+                             contextCols: Seq[String] = Seq.empty): Boolean =
+    cadencedRebuild(docs.sparkSession, path, nowEpochSec, ifOlderThanSec)(
+      dir => Search.writeCompletionStore(docs, field, dir, contextCols))
+
+  /** The cadence-gated whole-store rebuild shared by the suggester stores:
+    * act only when the `_graft_built` stamp is older than the knob (an
+    * unstamped store counts as infinitely old), build into a staging
+    * sibling, swap WHOLE ([[stagedRewrite]] — a reader never sees one
+    * rebuilt sub-table beside a stale one), stamp the build time. Returns
+    * true when rebuilt. */
+  private def cadencedRebuild(spark: org.apache.spark.sql.SparkSession,
+                              path: String, nowEpochSec: Long,
+                              ifOlderThanSec: Long)(
+                              build: String => Unit): Boolean = {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -366,7 +391,7 @@ object Maintain {
           .exists(b => nowEpochSec - b < ifOlderThanSec))
       return false
     def buildInto(dir: String): Unit = {
-      Search.writeSuggestStore(docs, field, dir)
+      build(dir)
       writeLongMarker(spark, dir, "_graft_built", nowEpochSec)
     }
     if (!fs.exists(root)) buildInto(path)

@@ -372,4 +372,26 @@ class MaintainSpec extends AnyFunSuite {
       nowEpochSec = 5000L, ifOlderThanSec = 3600L))
     assert(served() == direct(before))
   }
+
+  test("r13: rebuildCompletionStore — the completion dictionary's " +
+       "sanctioned freshness path under edits, cadence-gated like the LM's") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compl_rb").toString
+    val before = Seq((1L, "en", "scala scaffold"), (2L, "en", "scatter plot"))
+      .toDF("doc_id", "lang", "text")
+    val after = Seq((1L, "en", "scala scala"), (2L, "en", "scatter plot"))
+      .toDF("doc_id", "lang", "text")
+    Search.writeCompletionStore(before, "text", dir, contextCols = Seq("lang"))
+    def served() = Search.completionSuggestFromStore(spark, dir, "sca", 10,
+        contexts = Map("lang" -> Seq("en")))
+      .collect().map(r => r.getString(0)).toSet
+    assert(served() == Set("scala", "scaffold", "scatter"))
+    // unstamped seed counts as infinitely old; the rebuild swaps whole
+    assert(Maintain.rebuildCompletionStore(after, "text", dir,
+      nowEpochSec = 1000L, ifOlderThanSec = 3600L, contextCols = Seq("lang")))
+    assert(served() == Set("scala", "scatter"), "the edit must drop scaffold")
+    // within cadence: no-op
+    assert(!Maintain.rebuildCompletionStore(before, "text", dir,
+      nowEpochSec = 1500L, ifOlderThanSec = 3600L, contextCols = Seq("lang")))
+    assert(served() == Set("scala", "scatter"))
+  }
 }

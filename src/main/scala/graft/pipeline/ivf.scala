@@ -366,7 +366,19 @@ object Ivf {
     * after it serve the new one; there is no window where the root is
     * unservable. Returns the new version number. Rollback = the old
     * version directory is still on disk: point `_graft_current` back until
-    * [[graft.Maintain.pruneIndexVersions]] reclaims it. */
+    * [[graft.Maintain.pruneIndexVersions]] reclaims it.
+    *
+    * COORDINATION with continuous appenders (the single-writer rule's
+    * versioned form): an appender ([[appendToIndex]] or a
+    * [[graft.streaming.StreamingIndexer.annStreamServed]] stream) resolves
+    * its version directory ONCE — appends that land on v_N after the
+    * pointer flipped to v_N+1 serve nobody. Retrain from the same
+    * scheduler slot as ingest: quiesce the appender, retrain over a corpus
+    * that includes everything it committed, flip, restart the appender
+    * against [[currentIndexPath]] (a restarted STREAM also needs
+    * [[graft.streaming.StreamingIndexer.resetBatchMarker]] on the new
+    * version directory — it has no marker — or a fresh checkpoint; the
+    * lineage guard will otherwise raise on the first batch). */
   def retrainIndex(corpus: DataFrame, c: Int, path: String, iters: Int = 3,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
     val spark = corpus.sparkSession

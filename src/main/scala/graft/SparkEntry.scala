@@ -3723,6 +3723,26 @@ object SparkEntry {
       pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ivfpq_store_retrain" -> ((s, dir) => {
+      // blue/green retrain for the COMPRESSED layout (r13): v1's models
+      // (centroids + codebooks) train on half the slice, the full-slice
+      // retrain builds v2 beside it, the pointer flips, prune reclaims v1.
+      // Lossless codebooks + exhaustive probe through the current version
+      // equal the full-slice brute force — q_similarity_ivfpq_exact's
+      // oracle, witnessing both models swapping atomically with the cells.
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 500)
+      val path = memoStore("ivfpq_store_ver", dir) { p =>
+        pipeline.Pq.writeVersionedIvfPqIndex(emb.where(col("vec_id") % 2 === 0),
+          c = 8, m = 8, p, ksub = 512, pqIters = 0, ivfIters = 2)
+        pipeline.Pq.retrainIvfPqIndex(emb, c = 8, m = 8, p, ksub = 512,
+          pqIters = 0, ivfIters = 2)
+        Maintain.pruneIndexVersions(s, p)
+      }
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.ivfPqTopKFromVersionedStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_similarity_ivfpq_store_cycle" -> ((s, dir) => {
       // the COMPRESSED index through a full maintenance cycle (r13):
       // delete a slice → compact (code-only partitions rewritten, sidecar
@@ -8102,6 +8122,7 @@ object SparkEntry {
         "WHERE e.vec_id <> q.query_id AND e.vec_id % 7 <> 3"),
     "q_similarity_ivfpq_store_cycle" ->
       baseOracles("q_similarity_ivfpq_exact"),
+    "q_ivfpq_store_retrain" -> baseOracles("q_similarity_ivfpq_exact"),
     // hybrid fusion: BM25 top-50 (raw-score ranking, the bm25_indexed
     // CTEs) and exact cosine top-50 around doc 0, fused by 1/(60+rank)
     "q_hybrid_retrieval_store" ->

@@ -345,19 +345,40 @@ object Ivf {
     s"$path/v$v"
   }
 
+  /** Layout-agnostic versioned-root seeding: `build` writes a COMPLETE
+    * index store (any layout — [[writeIndex]], [[Pq.writeIvfPqIndex]])
+    * into the directory it is handed; the pointer flips to v1 after.
+    * Shared by [[writeVersionedIndex]] and
+    * [[Pq.writeVersionedIvfPqIndex]]. */
+  private[graft] def seedVersionedRoot(spark: SparkSession, path: String)(
+      build: String => Unit): Unit = {
+    require(currentVersion(spark, path).isEmpty,
+      s"$path is already a versioned index root — use retrainIndex for a new version")
+    build(s"$path/v1")
+    writeCurrent(spark, path, 1)
+  }
+
+  /** Layout-agnostic blue/green version bump (the [[retrainIndex]]
+    * contract): `build` writes the complete replacement into v_N+1 while
+    * v_N keeps serving; the pointer flips after. */
+  private[graft] def bumpVersion(spark: SparkSession, path: String)(
+      build: String => Unit): Int = {
+    val next = currentVersion(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"$path is not a versioned index root — seed it with writeVersionedIndex")) + 1
+    build(s"$path/v$next")
+    writeCurrent(spark, path, next)
+    next
+  }
+
   /** Seed a VERSIONED index root: builds v1 and points `_graft_current`
     * at it. All maintenance verbs ([[appendToIndex]], [[deleteFromIndex]],
     * [[graft.Maintain.compactAnnIndex]], the streamed appends) apply to
     * the resolved version directory — [[currentIndexPath]]. */
   def writeVersionedIndex(corpus: DataFrame, c: Int, path: String,
                           iters: Int = 3, idCol: String = "vec_id",
-                          vecCol: String = "embedding"): Unit = {
-    val spark = corpus.sparkSession
-    require(currentVersion(spark, path).isEmpty,
-      s"$path is already a versioned index root — use retrainIndex for a new version")
-    writeIndex(corpus, c, s"$path/v1", iters, idCol, vecCol)
-    writeCurrent(spark, path, 1)
-  }
+                          vecCol: String = "embedding"): Unit =
+    seedVersionedRoot(corpus.sparkSession, path)(
+      dir => writeIndex(corpus, c, dir, iters, idCol, vecCol))
 
   /** Blue/green retrain: train + assign the corpus into version N+1 while
     * version N keeps serving untouched, then flip the pointer. The swap is
@@ -380,14 +401,9 @@ object Ivf {
     * version directory — it has no marker — or a fresh checkpoint; the
     * lineage guard will otherwise raise on the first batch). */
   def retrainIndex(corpus: DataFrame, c: Int, path: String, iters: Int = 3,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
-    val spark = corpus.sparkSession
-    val next = currentVersion(spark, path).getOrElse(throw new IllegalArgumentException(
-      s"$path is not a versioned index root — seed it with writeVersionedIndex")) + 1
-    writeIndex(corpus, c, s"$path/v$next", iters, idCol, vecCol)
-    writeCurrent(spark, path, next)
-    next
-  }
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Int =
+    bumpVersion(corpus.sparkSession, path)(
+      dir => writeIndex(corpus, c, dir, iters, idCol, vecCol))
 
   /** [[topKFromStore]] against a versioned root: resolves the servable
     * version at plan time and probes it. */

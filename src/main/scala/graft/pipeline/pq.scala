@@ -201,6 +201,40 @@ object Pq {
       .write.mode("append").partitionBy("list_id").parquet(s"$path/cells")
   }
 
+  /** [[graft.pipeline.Ivf.writeVersionedIndex]] for the compressed
+    * layout: seeds `path/v1` with a complete [[writeIvfPqIndex]] store
+    * and points `_graft_current` at it. The version verbs are shared —
+    * [[retrainIvfPqIndex]] bumps, [[graft.Maintain.pruneIndexVersions]]
+    * reclaims, [[Ivf.currentIndexPath]] resolves. */
+  def writeVersionedIvfPqIndex(corpus: DataFrame, c: Int, m: Int, path: String,
+                               ksub: Int = 16, pqIters: Int = 2,
+                               ivfIters: Int = 3, idCol: String = "vec_id",
+                               vecCol: String = "embedding"): Unit =
+    Ivf.seedVersionedRoot(corpus.sparkSession, path)(dir =>
+      writeIvfPqIndex(corpus, c, m, dir, ksub, pqIters, ivfIters, idCol, vecCol))
+
+  /** Blue/green retrain for the compressed layout — BOTH models (coarse
+    * centroids and PQ codebooks) retrain into version N+1 while N keeps
+    * serving; same pointer-flip/rollback/coordination contract as
+    * [[graft.pipeline.Ivf.retrainIndex]]. */
+  def retrainIvfPqIndex(corpus: DataFrame, c: Int, m: Int, path: String,
+                        ksub: Int = 16, pqIters: Int = 2, ivfIters: Int = 3,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Int =
+    Ivf.bumpVersion(corpus.sparkSession, path)(dir =>
+      writeIvfPqIndex(corpus, c, m, dir, ksub, pqIters, ivfIters, idCol, vecCol))
+
+  /** [[ivfPqTopKFromStore]] against a versioned root — resolves the
+    * servable version at plan time. */
+  def ivfPqTopKFromVersionedStore(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, queries: DataFrame, k: Int,
+                                  nprobe: Int = 2, idCol: String = "vec_id",
+                                  qIdCol: String = "query_id",
+                                  qVecCol: String = "query_vec",
+                                  excludeSelf: Boolean = true): DataFrame =
+    ivfPqTopKFromStore(spark, Ivf.currentIndexPath(spark, path), queries, k,
+      nprobe, idCol, qIdCol, qVecCol, excludeSelf)
+
   /** Serve [[ivfPqTopK]] from a [[writeIvfPqIndex]] store — the
     * [[graft.pipeline.Ivf.topKFromStore]] probe discipline (literal
     * partition filter from the collected probe ids) over code-only

@@ -133,6 +133,33 @@ class PqSpec extends AnyFunSuite {
         qs, k = 3)))
   }
 
+  test("r13: versioned IVF-PQ root — retrain rebuilds BOTH models beside " +
+       "the serving version; the shared pointer/prune verbs apply") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_ver").toString
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val qs = queriesOf(corpus, 0L, 10L)
+    // v1: models trained on the first cluster only (lossless for it)
+    Pq.writeVersionedIvfPqIndex(corpus.where(col("vec_id") < 10), c = 2,
+      m = 4, root, ksub = 8, pqIters = 0, ivfIters = 2)
+    assert(Ivf.currentVersion(spark, root).contains(1))
+    // retrain on the FULL corpus: lossless codebooks + exhaustive probe
+    // through the new version equal brute force
+    assert(Pq.retrainIvfPqIndex(corpus, c = 2, m = 4, root, ksub = 8,
+      pqIters = 0, ivfIters = 2) == 2)
+    assert(pairs(Pq.ivfPqTopKFromVersionedStore(spark, root, qs, k = 3,
+        nprobe = 2)) ==
+      pairs(Similarity.bruteForceTopK(
+        corpus.withColumn("embedding", col("embedding").cast("array<double>")),
+        qs, k = 3)))
+    // the shared GC reclaims v1, never the current version
+    assert(Maintain.pruneIndexVersions(spark, root) == Seq(1))
+    assert(!new java.io.File(s"$root/v1").exists())
+    assert(spark.read.parquet(s"$root/v2/cells").columns.toSet ==
+      Set("list_id", "vec_id", "code"))
+  }
+
   test("plan: corpus side is never shuffled before scoring; queries broadcast") {
     val cb = Pq.train(corpus, m = 4, ksub = 4, iters = 1)
     val plan = Pq.adcTopK(Pq.encode(corpus, cb), queriesOf(corpus, 0L), cb, k = 3)

@@ -421,9 +421,10 @@ object Maintain {
     * [[compactSegments]]. Returns (rows physically removed, partitions
     * rewritten); (0, 0) with the sidecar cleared when the tombstones
     * matched nothing. */
-  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, path0: String,
                       idCol: String = "vec_id"): (Long, Int) = {
     import org.apache.hadoop.fs.Path
+    val path = graft.pipeline.Ivf.resolveStore(spark, path0)
     val cellsRoot = new Path(s"$path/cells")
     val delDir = new Path(s"$path/deletes")
     val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -626,7 +627,7 @@ object Maintain {
   def annIndexStats(spark: org.apache.spark.sql.SparkSession,
                     path: String): DataFrame = {
     val version = graft.pipeline.Ivf.currentVersion(spark, path)
-    val p = version.fold(path)(v => s"$path/v$v")
+    val p = graft.pipeline.Ivf.resolveStore(spark, path)
     val lists = spark.read.parquet(s"$p/centroids").count()
     val tombstoned =
       if (graft.pipeline.Ivf.hasDataFiles(spark, s"$p/deletes"))

@@ -184,8 +184,9 @@ object Ivf {
     * (the oracle contract), and pruned-probe recall for drifted data
     * degrades exactly as the in-memory path's would — drift means
     * retrain-and-version. Insert-only, enforced ([[requireAnnInsertOnly]]). */
-  def appendToIndex(spark: SparkSession, path: String, newRows: DataFrame,
+  def appendToIndex(spark: SparkSession, path0: String, newRows: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val path = resolveStore(spark, path0)
     val centroids = readCentroids(spark, path)
     val normed = newRows.withColumn(vecCol, col(vecCol).cast("array<double>"))
     requireAnnInsertOnly(spark, path, normed.select(col(idCol)), idCol,
@@ -240,10 +241,15 @@ object Ivf {
     * [[graft.Maintain.compactAnnIndex]], which rewrites only the affected
     * cells partitions — the Lucene deleted-docs-bitset shape: deletes are
     * cheap and instant, space is reclaimed by maintenance. */
-  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
-                      idCol: String = "vec_id"): Unit =
+  def deleteFromIndex(spark: SparkSession, path0: String, ids: DataFrame,
+                      idCol: String = "vec_id"): Unit = {
+    val path = resolveStore(spark, path0)
+    require(hasDataFiles(spark, s"$path/cells"),
+      s"$path/cells has no data — not a materialized ANN index (tombstones " +
+        "beside a nonexistent store would never filter anything)")
     ids.select(col(idCol)).distinct()
       .write.mode("append").parquet(s"$path/deletes")
+  }
 
   /** Apply the `deletes` tombstone sidecar to a cells frame — a no-op scan
     * shape when no tombstones exist (the common case costs one driver-side
@@ -313,6 +319,20 @@ object Ivf {
 
   private def currentPath(path: String) =
     new org.apache.hadoop.fs.Path(path, "_graft_current")
+
+  /** Maintenance-verb path resolution: a versioned ROOT resolves to its
+    * servable version directory; a flat store passes through. Every
+    * maintenance verb ([[appendToIndex]], [[deleteFromIndex]],
+    * [[graft.Maintain.compactAnnIndex]], [[graft.Maintain.annIndexStats]],
+    * [[Pq.appendToIvfPqIndex]]) resolves, so calling one on a root is
+    * never a silent miss (a tombstone written beside the versions instead
+    * of inside one would filter nothing, forever). SERVING keeps explicit
+    * entry points per form ([[topKFromStore]] vs [[topKFromVersionedStore]])
+    * and the STREAMED appender deliberately does not resolve per batch —
+    * a pointer flip mid-stream must follow the quiesce/retrain/restart
+    * contract on [[retrainIndex]], not silently re-target. */
+  private[graft] def resolveStore(spark: SparkSession, path: String): String =
+    currentVersion(spark, path).fold(path)(v => s"$path/v$v")
 
   /** The servable version number, or None for an unversioned/empty root. */
   def currentVersion(spark: SparkSession, path: String): Option[Int] = {

@@ -189,9 +189,10 @@ object Pq {
     * [[Ivf.deleteFromIndex]] and [[graft.Maintain.compactAnnIndex]] work
     * on this layout unchanged — the sidecar and the swap only touch ids
     * and partitions, never vector payloads. */
-  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path0: String,
                          newRows: DataFrame, idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit = {
+    val path = Ivf.resolveStore(spark, path0)
     val centroids = Ivf.readCentroids(spark, path)
     val cb = readCodebooks(spark, path)
     Ivf.requireAnnInsertOnly(spark, path, newRows.select(col(idCol)), idCol,

@@ -225,11 +225,20 @@ class IvfSpec extends AnyFunSuite {
     assert(pairs(Ivf.topKFromVersionedStore(spark, path, queries, k = 5,
       nprobe = 2)) == pairs(brute(corpus)))
     assert(new java.io.File(s"$path/v1/cells").exists())
-    // maintenance verbs compose through the resolved version directory
-    Ivf.deleteFromIndex(spark, Ivf.currentIndexPath(spark, path),
+    // maintenance verbs called on the ROOT resolve to the servable
+    // version — never a silent tombstone beside the versions
+    Ivf.deleteFromIndex(spark, path,
       corpus.where(col("vec_id") === 4).select("vec_id"))
+    assert(new java.io.File(s"$path/v2/deletes").exists())
     assert(pairs(Ivf.topKFromVersionedStore(spark, path, queries, k = 5,
       nprobe = 2)) == pairs(brute(corpus.where(col("vec_id") =!= 4))))
+    // compaction resolves the same way; a flat-path delete with no store
+    // underneath raises instead of writing dead tombstones
+    val (removedV, _) = Maintain.compactAnnIndex(spark, path)
+    assert(removedV == 1L &&
+      !new java.io.File(s"$path/v2/deletes").exists())
+    intercept[IllegalArgumentException](Ivf.deleteFromIndex(spark,
+      path + "/nonexistent", corpus.limit(1).select("vec_id")))
     // prune reclaims retired versions, never the current one
     assert(Maintain.pruneIndexVersions(spark, path) == Seq(1))
     assert(!new java.io.File(s"$path/v1").exists())

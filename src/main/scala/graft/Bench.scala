@@ -144,7 +144,10 @@ object Bench {
       "q_agg_date_histogram", "q_dedup_exact", "q_dedup_minhash",
       "q_dedup_minhash_salted", "q_dedup_embedding", "q_dedup_semantic",
       "q_dedup_corpus", "q_dedup_edit", "q_suggest_phrase_store",
-      "q_split_leakage_safe", "q_curate_corpus")
+      "q_split_leakage_safe", "q_curate_corpus",
+      // the ANN store family's canary (r13): serve-side, cheap, and on
+      // the partition-pruned path every maintenance verb feeds
+      "q_similarity_ann_store", "q_text_bigram_nll_store")
     val cpus4: Map[String, Double] =
       if (sys.env.getOrElse("SPARK_GRAFT_CPUS4", "4") == "0") Map.empty
       else {

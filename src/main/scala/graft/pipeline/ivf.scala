@@ -145,6 +145,18 @@ object Ivf {
   private[graft] def requireAnnInsertOnly(spark: SparkSession, path: String,
                                              deltaIds: DataFrame, idCol: String,
                                              what: String): Unit = {
+    // intra-batch duplicates are checked FIRST, unconditionally: two rows
+    // with the same id in one append serve that id twice forever (the
+    // store-collision probe can't see them — neither is in the store yet),
+    // and there is no version column to pick a winner by, so the batch is
+    // malformed and must raise, not silently double-serve
+    val dup = deltaIds.groupBy(col(idCol)).count().where(col("count") > 1)
+      .limit(5).collect().map(_.get(0)).toSeq
+    if (dup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$what: batch contains duplicate id(s) ${dup.mkString(", ")} — an " +
+          "append would serve the same id twice. Deduplicate upstream " +
+          "(vectors carry no version column to resolve a winner here).")
     val keys = deltaIds.select(col(idCol)).distinct()
     if (hasDataFiles(spark, s"$path/deletes")) {
       val shadowed = spark.read.parquet(s"$path/deletes")

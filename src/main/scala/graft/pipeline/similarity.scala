@@ -65,8 +65,13 @@ object Similarity {
   def recallAtK(approx: DataFrame, exact: DataFrame,
                 qIdCol: String = "query_id",
                 nCol: String = "neighbor_id"): DataFrame =
-    exact.select(col(qIdCol), col(nCol))
-      .join(approx.select(col(qIdCol), col(nCol), lit(1).as("_hit")),
+    // both sides dedup defensively: a duplicated (query, neighbor) row on
+    // either side would multiply through the join and report recall > 1 —
+    // a measurement operator must be robust to malformed inputs, not
+    // amplify them
+    exact.select(col(qIdCol), col(nCol)).distinct()
+      .join(approx.select(col(qIdCol), col(nCol), lit(1).as("_hit"))
+          .dropDuplicates(qIdCol, nCol),
         Seq(qIdCol, nCol), "left")
       .groupBy(col(qIdCol))
       .agg((sum(coalesce(col("_hit"), lit(0))).cast("double") /

@@ -126,6 +126,32 @@ class IvfSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       Ivf.appendToIndex(spark, path, corpus.where(col("vec_id") === 1)))
     assert(e.getMessage.contains("insert-only"))
+    // a batch carrying the same NEW id twice is malformed — it would serve
+    // the id twice and the store probe can't see it; raises even with the
+    // insert check off
+    spark.conf.set("graft.append.insertCheck", "off")
+    try {
+      val dup = corpus.where(col("vec_id") === 1)
+        .unionByName(corpus.where(col("vec_id") === 1))
+        .withColumn("vec_id", col("vec_id") + 1000)
+      val e2 = intercept[IllegalArgumentException](
+        Ivf.appendToIndex(spark, path, dup))
+      assert(e2.getMessage.contains("duplicate id"))
+    } finally spark.conf.unset("graft.append.insertCheck")
+  }
+
+  test("r13: recallAtK is robust to duplicated rows on either side — " +
+       "never reports recall above 1.0") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val dupApprox = Seq((1L, 10L), (1L, 10L)).toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(dupApprox, exact).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r == Map(1L -> 0.5), r.toString)
+    val dupExact = exact.unionByName(exact)
+    val r2 = Similarity.recallAtK(exact, dupExact).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r2 == Map(1L -> 1.0), r2.toString)
   }
 
   test("r13: tombstone delete filters served results immediately; compact " +

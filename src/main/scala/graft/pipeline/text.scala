@@ -477,10 +477,21 @@ object TextStats {
     val spark = newDocs.sparkSession
     val delta = byDocCounts(newDocs, idCol, gram, key)
     // NEW documents only, enforced on the ledger's doc keys (the strict
-    // probe — an edit must subtract first: subtract(ids) then append)
-    graft.TextIndex.requireInsertOnly(spark, s"$path/bydoc",
-      delta.select(col("doc_id")).distinct(), what)
-    delta.write.mode("append").parquet(s"$path/bydoc")
+    // probe — an edit must subtract first: subtract(ids) then append).
+    // With a batchId the append is REPLAY-CONVERGENT (the streamed text
+    // stores' content-checked discipline): a redelivered batch whose
+    // ledger rows already landed (crash between the ledger append and the
+    // agg merge, or after the merge but before the caller's own marker)
+    // skips the ledger append instead of wedging the strict probe on its
+    // own half-applied keys; same-key-DIFFERENT-counts still raises —
+    // replay tolerance never becomes edit tolerance.
+    val ledgerConverged = batchId.isDefined &&
+      keyedLedgerHoldsBatch(spark, path, delta, key, what)
+    if (!ledgerConverged) {
+      graft.TextIndex.requireInsertOnly(spark, s"$path/bydoc",
+        delta.select(col("doc_id")).distinct(), what)
+      delta.write.mode("append").parquet(s"$path/bydoc")
+    }
     if (batchId.isDefined &&
         graft.Maintain.readAppliedStamp(spark, s"$path/agg") == batchId)
       return // replayed batch: the agg merge already landed
@@ -492,6 +503,34 @@ object TextStats {
         .sort(key).write.parquet(tmp)
       batchId.foreach(graft.Maintain.writeAppliedStamp(spark, tmp, _))
     }
+  }
+
+  /** Content probe for [[appendKeyedCounts]]'s replay convergence: the
+    * ledger's rows for the delta's doc keys are either absent (false —
+    * append needed), exactly the delta (true — the atomically-committed
+    * ledger append already landed), or different — which no self-replay
+    * can produce (per-doc counts are deterministic), so it raises: an
+    * edited doc wearing a replay's batch id. Writes nothing. */
+  private def keyedLedgerHoldsBatch(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, delta: DataFrame,
+                                    key: String, what: String): Boolean = {
+    if (!graft.pipeline.Ivf.hasDataFiles(spark, s"$path/bydoc")) return false
+    val cols = Seq(col("doc_id"), col(key), col("c"))
+    val keys = delta.select(col("doc_id")).distinct()
+    val present = spark.read.parquet(s"$path/bydoc")
+      .join(broadcast(keys), Seq("doc_id"), "left_semi")
+      .select(cols: _*)
+    if (present.isEmpty) return false
+    val mismatch = delta.select(cols: _*).exceptAll(present)
+      .unionByName(present.exceptAll(delta.select(cols: _*))).limit(5)
+      .collect().map(_.get(0)).distinct.toSeq
+    if (mismatch.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$what (replay): doc(s) ${mismatch.mkString(", ")} exist in " +
+          s"$path/bydoc with DIFFERENT counts than this batch — an exact " +
+          "self-replay would match row-for-row, so this is an edited doc, " +
+          "not redelivery. Subtract the old doc first, then append.")
+    true
   }
 
   private def subtractKeyedCounts(spark: org.apache.spark.sql.SparkSession,

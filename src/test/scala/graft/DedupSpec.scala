@@ -338,6 +338,22 @@ class DedupSpec extends AnyFunSuite {
     TextStats.appendNgramCountsKeyed(
       Seq((3, "the quick brown eel")).toDF("id", "text"),
       "text", "id", 3, s"$dir/ng")
+    // r13: with a batchId the append is replay-CONVERGENT — redelivering
+    // the identical batch (the ledger already holds its rows) is a no-op,
+    // never the strict probe wedging on its own keys; an EDIT wearing the
+    // replay's id still raises
+    val b6 = Seq((6, "x y z")).toDF("id", "text")
+    TextStats.appendNgramCountsKeyed(b6, "text", "id", 3, s"$dir/ng",
+      batchId = Some(7L))
+    val ledgerRows = spark.read.parquet(s"$dir/ng/bydoc").count()
+    TextStats.appendNgramCountsKeyed(b6, "text", "id", 3, s"$dir/ng",
+      batchId = Some(7L)) // exact self-replay: converges
+    assert(spark.read.parquet(s"$dir/ng/bydoc").count() == ledgerRows)
+    val er = intercept[IllegalArgumentException](
+      TextStats.appendNgramCountsKeyed(
+        Seq((6, "x y z w")).toDF("id", "text"),
+        "text", "id", 3, s"$dir/ng", batchId = Some(7L)))
+    assert(er.getMessage.contains("DIFFERENT counts"), er.getMessage)
     val re = keep.unionByName(Seq((3, "the quick brown eel")).toDF("id", "text"))
     assert(m(TextStats.dupNgramFractionFromKeyedStore(
         re, "text", "id", 3, s"$dir/ng")) ==

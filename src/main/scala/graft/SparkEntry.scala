@@ -3723,6 +3723,33 @@ object SparkEntry {
       pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q_ivfpq_stream_store" -> ((s, dir) => {
+      // streamed COMPRESSED-index maintenance's batch twin (r13): lossless
+      // models train on the full slice, a third of the rows leave
+      // (delete + compact), then return as two micro-batches through
+      // StreamingIndexer.applyIvfPqStreamBatch — frozen models re-encode
+      // them to identical codes, so the exhaustive served result equals
+      // the full-slice brute force: q_similarity_ivfpq_exact's oracle
+      // witnessing the streamed code-only appends end to end
+      // (StreamingSpec drives the same path through a real MemoryStream,
+      // incl. crash-window convergence and the versioned-root guard).
+      val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 500)
+      val path = memoStore("ivfpq_store_stream", dir) { p =>
+        pipeline.Pq.writeIvfPqIndex(emb, c = 8, m = 8, p, ksub = 512,
+          pqIters = 0, ivfIters = 2)
+        pipeline.Ivf.deleteFromIndex(s, p,
+          emb.where(col("vec_id") % 3 === 1).select("vec_id"))
+        Maintain.compactAnnIndex(s, p)
+        streaming.StreamingIndexer.applyIvfPqStreamBatch(
+          emb.where(col("vec_id") % 6 === 1), 0L, p)
+        streaming.StreamingIndexer.applyIvfPqStreamBatch(
+          emb.where(col("vec_id") % 6 === 4), 1L, p)
+      }
+      val queries = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q_ivfpq_store_retrain" -> ((s, dir) => {
       // blue/green retrain for the COMPRESSED layout (r13): v1's models
       // (centroids + codebooks) train on half the slice, the full-slice
@@ -8123,6 +8150,7 @@ object SparkEntry {
     "q_similarity_ivfpq_store_cycle" ->
       baseOracles("q_similarity_ivfpq_exact"),
     "q_ivfpq_store_retrain" -> baseOracles("q_similarity_ivfpq_exact"),
+    "q_ivfpq_stream_store" -> baseOracles("q_similarity_ivfpq_exact"),
     // hybrid fusion: BM25 top-50 (raw-score ranking, the bm25_indexed
     // CTEs) and exact cosine top-50 around doc 0, fused by 1/(60+rank)
     "q_hybrid_retrieval_store" ->

@@ -225,6 +225,41 @@ object Pq {
     Ivf.bumpVersion(corpus.sparkSession, path)(dir =>
       writeIvfPqIndex(corpus, c, m, dir, ksub, pqIters, ivfIters, idCol, vecCol))
 
+  /** Replay probe for [[appendToIvfPqIndex]] under the streamed crash
+    * window — [[graft.pipeline.Ivf.replayNeedsAppend]] for the compressed
+    * layout: encode+assign under the FROZEN models is deterministic, so
+    * the cells' rows for the delta's ids are either absent (true — append
+    * needed), exactly the delta's (id, list_id, code) (false — the
+    * atomically-committed append already landed, converged), or different
+    * — an edited vector wearing a replay's batch id, which raises. Writes
+    * nothing. */
+  private[graft] def ivfPqReplayNeedsAppend(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newRows: DataFrame, idCol: String, vecCol: String): Boolean = {
+    if (!Ivf.hasDataFiles(spark, s"$path/cells")) return true
+    val centroids = Ivf.readCentroids(spark, path)
+    val cb = readCodebooks(spark, path)
+    val cmp = Seq(col(idCol), col("list_id"), col("code"))
+    val delta = encode(Ivf.assign(newRows, centroids, idCol, vecCol), cb, vecCol)
+      .select(cmp: _*)
+    val keys = delta.select(col(idCol)).distinct()
+    val present = spark.read.parquet(s"$path/cells")
+      .join(broadcast(keys), Seq(idCol), "left_semi")
+      .select(cmp: _*)
+    if (present.isEmpty) return true
+    val mismatch = delta.exceptAll(present)
+      .unionByName(present.exceptAll(delta)).limit(5)
+      .collect().map(_.get(0)).distinct.toSeq
+    if (mismatch.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Pq.appendToIvfPqIndex (replay): id(s) ${mismatch.mkString(", ")} " +
+          s"exist in $path/cells with DIFFERENT codes than this batch — an " +
+          "exact self-replay encodes identically under the frozen models, " +
+          "so this is an edited vector, not redelivery. Use deleteFromIndex " +
+          "+ compactAnnIndex, then append, for edits.")
+    false // cells already hold exactly this batch's codes: converged
+  }
+
   /** [[ivfPqTopKFromStore]] against a versioned root — resolves the
     * servable version at plan time. */
   def ivfPqTopKFromVersionedStore(spark: org.apache.spark.sql.SparkSession,

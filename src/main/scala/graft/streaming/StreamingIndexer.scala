@@ -405,6 +405,7 @@ object StreamingIndexer {
       path: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Boolean = {
     val spark = batch.sparkSession
+    requireNotVersionedRoot(spark, path, "annStreamServed")
     val cellsPath = s"$path/cells"
     if (id <= lastAppliedBatch(spark, cellsPath)) return false
     val replay = readPending(spark, cellsPath).contains(id)
@@ -415,6 +416,65 @@ object StreamingIndexer {
     markAppliedBatch(spark, cellsPath, id)
     true
   }
+
+  /** [[annStreamServed]] for the COMPRESSED layout
+    * ([[graft.pipeline.Pq.writeIvfPqIndex]]): each micro-batch is
+    * assigned AND PQ-encoded under the store's frozen models, appended as
+    * code-only rows — the streamed index stays ~32× smaller than its
+    * float twin while probes stay partition-pruned. Same marker
+    * discipline, lineage guard, and crash-window convergence (the replay
+    * probe compares codes: encoding under frozen models is
+    * deterministic). Same retrain coordination contract: a model flip
+    * mid-stream follows quiesce/retrain/restart, never silent
+    * re-targeting. */
+  def ivfPqStreamServed(mutations: DataFrame, path: String,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        sink: (DataFrame, Long) => Unit = (_, _) => (),
+                        trigger: Trigger = Trigger.ProcessingTime(0L)): DataStreamWriter[Row] =
+    mutations.writeStream
+      .outputMode(OutputMode.Append())
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        applyIvfPqStreamBatch(batch, id, path, idCol, vecCol)
+        sink(batch, id)
+      }
+
+  /** [[ivfPqStreamServed]]'s per-batch body (see [[applyInsertServedBatch]]
+    * on the marker contract). Returns true when the batch was applied. */
+  private[graft] def applyIvfPqStreamBatch(batch: DataFrame, id: Long,
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Boolean = {
+    val spark = batch.sparkSession
+    requireNotVersionedRoot(spark, path, "ivfPqStreamServed")
+    val cellsPath = s"$path/cells"
+    if (id <= lastAppliedBatch(spark, cellsPath)) return false
+    val replay = readPending(spark, cellsPath).contains(id)
+    writePending(spark, cellsPath, id)
+    if (!replay ||
+        graft.pipeline.Pq.ivfPqReplayNeedsAppend(spark, path, batch, idCol, vecCol))
+      graft.pipeline.Pq.appendToIvfPqIndex(spark, path, batch, idCol, vecCol)
+    markAppliedBatch(spark, cellsPath, id)
+    true
+  }
+
+  /** The streamed ANN appenders bind to ONE store directory for the
+    * stream's lifetime: a versioned ROOT raises here, because the
+    * batch-level verbs resolve the pointer per call and a stream doing
+    * the same would silently re-target mid-stream on a retrain's pointer
+    * flip (appends landing in a version whose training corpus may or may
+    * not include them — the coordination contract on
+    * [[graft.pipeline.Ivf.retrainIndex]] is quiesce/retrain/restart,
+    * never silent re-targeting). Pass `Ivf.currentIndexPath(spark, root)`
+    * resolved at stream START instead. */
+  private def requireNotVersionedRoot(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, what: String): Unit =
+    if (graft.pipeline.Ivf.currentVersion(spark, path).isDefined)
+      throw new IllegalArgumentException(
+        s"$what: $path is a versioned index root — a streamed appender " +
+          "must bind to one version directory for its lifetime. Resolve " +
+          "Ivf.currentIndexPath(spark, root) at stream start, and follow " +
+          "the quiesce/retrain/restart contract on retrainIndex for " +
+          "version flips.")
 
   /** Streaming boilerplate gate — the incremental-ingest curation shape
     * at 100 TB: each micro-batch is SCORED against the n-gram corpus

@@ -329,6 +329,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DIFFERENT content"))
   }
 
+  test("r13: ivfPqStreamServed — code-only streamed appends under frozen " +
+       "models; lossless exhaustive serve equals brute force after the " +
+       "stream; crash window converges; a versioned root refuses a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (0L, Array(1.0, 0.9, 0.0, 0.1, 0.0, 0.0, 0.1, 0.0)),
+      (1L, Array(0.9, 1.0, 0.1, 0.0, 0.0, 0.1, 0.0, 0.0)),
+      (2L, Array(1.0, 0.8, 0.1, 0.1, 0.1, 0.0, 0.0, 0.1)),
+      (10L, Array(0.0, 0.1, 1.0, 0.9, 0.1, 0.0, 0.0, 0.0)),
+      (11L, Array(0.1, 0.0, 0.9, 1.0, 0.0, 0.1, 0.0, 0.0)),
+      (12L, Array(0.0, 0.0, 1.0, 0.7, 0.0, 0.0, 0.1, 0.1)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-stream-ivfpq").toString
+    // lossless models trained on the FULL corpus; the second cluster's
+    // rows then LEAVE (delete + compact) and return through the stream —
+    // the returning codes are identical, so exhaustive serve is exact
+    graft.pipeline.Pq.writeIvfPqIndex(corpus, c = 2, m = 4, path, ksub = 8,
+      pqIters = 0, ivfIters = 2)
+    graft.pipeline.Ivf.deleteFromIndex(spark, path,
+      Seq(10L, 11L, 12L).toDF("vec_id"))
+    Maintain.compactAnnIndex(spark, path)
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = StreamingIndexer.ivfPqStreamServed(
+      input.toDF().toDF("vec_id", "embedding"), path).start()
+    try {
+      input.addData(rows.filter(r => r._1 == 10L || r._1 == 11L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._1 == 12L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def pairs(df: DataFrame) =
+      df.select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val queries = corpus.where(col("vec_id").isin(0L, 10L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+    assert(pairs(graft.pipeline.Pq.ivfPqTopKFromStore(spark, path, queries,
+        k = 3, nprobe = 2)) ==
+      pairs(graft.pipeline.Similarity.bruteForceTopK(
+        corpus.withColumn("embedding", col("embedding").cast("array<double>")),
+        queries, k = 3)))
+    // the streamed cells stayed code-only
+    assert(spark.read.parquet(s"$path/cells").columns.toSet ==
+      Set("list_id", "vec_id", "code"))
+    // crash window: batch 5's append committed, marker didn't — converges
+    val b5 = Seq((20L, Array(0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    StreamingIndexer.writePending(spark, s"$path/cells", 5L)
+    graft.pipeline.Pq.appendToIvfPqIndex(spark, path, b5)
+    assert(StreamingIndexer.applyIvfPqStreamBatch(b5, 5L, path))
+    assert(spark.read.parquet(s"$path/cells")
+      .where(col("vec_id") === 20L).count() == 1)
+    // an edited vector wearing the replay's id raises on the code compare
+    StreamingIndexer.writePending(spark, s"$path/cells", 6L)
+    graft.pipeline.Pq.appendToIvfPqIndex(spark, path,
+      Seq((21L, Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0)))
+        .toDF("vec_id", "embedding"))
+    val e = intercept[IllegalArgumentException](
+      StreamingIndexer.applyIvfPqStreamBatch(
+        Seq((21L, Array(0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)))
+          .toDF("vec_id", "embedding"), 6L, path))
+    assert(e.getMessage.contains("DIFFERENT codes"))
+    // a versioned ROOT refuses a streamed appender — bind one version
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-vroot").toString
+    graft.pipeline.Pq.writeVersionedIvfPqIndex(corpus, c = 2, m = 4, root,
+      ksub = 8, pqIters = 0, ivfIters = 2)
+    val ev = intercept[IllegalArgumentException](
+      StreamingIndexer.applyIvfPqStreamBatch(b5, 0L, root))
+    assert(ev.getMessage.contains("versioned index root"))
+  }
+
   test("r11: suggester freshness composes in foreachBatch — an insert-only " +
        "stream keeps the LM store current via appendSuggestStore") {
     import spark.implicits._

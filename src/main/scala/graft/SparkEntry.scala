@@ -13,7 +13,12 @@ import graft.pipeline.{Curate, Dedup, Multimodal, Sessionize, Similarity, TextSt
   * Determinism rules applied throughout (SURVEY.md §7.4):
   *  - `now` is always a literal parameter, never `current_timestamp()`;
   *  - double aggregates are `round(..., 2)` on both sides;
-  *  - every result carries a total ordering (`orderBy` ↔ `ORDER BY`);
+  *  - the compare harness sorts rows by all columns before hashing, so
+  *    results carry NO cosmetic trailing `orderBy` (r14: a global sort
+  *    re-runs the whole plan for the range partitioner's sampling pass —
+  *    the one shuffle guide §2.4 says to delete; oracle SQL keeps its
+  *    ORDER BY for readability). Sorts that select rows (`orderBy.limit`
+  *    top-k) stay, they are semantics;
   *  - Spark aliases == oracle aliases, column for column.
   */
 object SparkEntry {
@@ -121,7 +126,6 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       Search.search(docs, "text:spark OR text:batch", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_qstring_or" -> ((s, dir) => {
       // query_string default_operator=OR with Lucene occur flags: bare
@@ -133,20 +137,17 @@ object SparkEntry {
              "default_operator":"OR"}}}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_wildcard" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       Search.search(docs, "text:filt* AND lang:de", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_dsl_range" -> ((s, dir) => {
       val q = """{"query":{"bool":{"must":[{"range":{"value":{"gte":100,"lt":150}}},
                  {"term":{"event_type":"purchase"}}]}},"size":100000}"""
       Search.search(tbl(s, dir, "events"), q, IndexConfig(maxResults = 100000), Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("value"), col("_score"))
-        .orderBy(col("event_id"))
     }),
     "q_search_dsl_bool" -> ((s, dir) => {
       val q = """{"query":{"bool":{
@@ -156,13 +157,11 @@ object SparkEntry {
                  "size":1000000}"""
       Search.search(tbl(s, dir, "orders"), q, IndexConfig(maxResults = 1000000), Seq("o_orderkey"))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("_score"))
-        .orderBy(col("o_orderkey"))
     }),
     "q_search_pk_only" -> ((s, dir) => {
       // #options:load-rows=false# → PK-only projection, no row-load join (S8/R1)
       Search.search(tbl(s, dir, "documents"),
           "#options:load-rows=false#text:window", IndexConfig(), Seq("doc_id"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_rowload" -> ((s, dir) => {
       // R9: hits on the indexed part docs joined back to full part rows
@@ -170,7 +169,6 @@ object SparkEntry {
       val hits = Search.search(parts, "p_name:blue*", IndexConfig(), Seq("p_partkey"))
       Search.loadRows(hits.select(col("p_partkey"), col("_score")), parts, Seq("p_partkey"))
         .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_retailprice"), col("_score"))
-        .orderBy(col("p_partkey"))
     }),
     "q_search_meta" -> ((s, dir) => {
       // R10: every row enriched with the full deterministic response
@@ -182,7 +180,6 @@ object SparkEntry {
           segmentCol = Some("source"))
         .select(col("doc_id"), col("_score"), col("hit_count"), col("max_score"),
           col("took"), col("shards_total"), col("shards_successful"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_alias" -> ((s, dir) => {
       // alias search spanning two doc tables with different schemas
@@ -194,7 +191,6 @@ object SparkEntry {
       Search.searchAlias(Seq(partDocs, docDocs),
           "p_name:blue* OR text:filter", IndexConfig())
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_alias_typed" -> ((s, dir) => {
       // typed alias search: each hit carries its document type (_type),
@@ -206,14 +202,12 @@ object SparkEntry {
       Search.searchAliasTyped(Seq("part" -> partDocs, "documents" -> docDocs),
           "p_name:blue* OR text:filter", IndexConfig())
         .select(col("doc_id"), col("_type"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_phrase" -> ((s, dir) => {
       // R2: quoted phrase terms match contiguous tokens
       Search.search(tbl(s, dir, "documents"),
           "text:\"batch stream\" OR text:\"hash join\"", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_dsl_dismax" -> ((s, dir) => {
       // best_fields-style: a doc matching both branches scores the better
@@ -225,7 +219,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_mm_best" -> ((s, dir) => {
       // multi_match type best_fields: per-field match dis_max'd — a doc
@@ -243,7 +236,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"),
           "text:\"spark batch\"~2^2 OR text:\"hash join\"~1", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_bm25" -> ((s, dir) => {
       // R4: deterministic BM25 relevance, top-50 with doc_id tiebreak
@@ -252,7 +244,6 @@ object SparkEntry {
       scored.orderBy(desc("_bm25"), col("doc_id"))
         .limit(50)
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
-        .orderBy(desc("bm25"), col("doc_id"))
     }),
     "q_query_validate" -> ((s, dir) => {
       // R11: eager validation verdicts for a fixed query battery
@@ -261,7 +252,7 @@ object SparkEntry {
         "text:spark", "text:spark AND lang:en", "{\"query\":{\"match_all\":{}}}",
         "text:spark AND (", "{\"query\":{\"bogus_op\":{}}}", "{not json", ":nofield")
       battery.map(q => (q, QueryCompiler.validate(q).isRight))
-        .toDF("query", "valid").orderBy(col("query"))
+        .toDF("query", "valid")
     }),
     "q_query_validate_explain" -> ((s, dir) => {
       // R11 `_validate?explain` SUCCESS payload (reference returns ES's
@@ -279,13 +270,12 @@ object SparkEntry {
           case Right(expl) => (q, true, expl)
           case Left(_)     => (q, false, null: String)
         }
-      }.toDF("query", "valid", "explanation").orderBy(col("query"))
+      }.toDF("query", "valid", "explanation")
     }),
     "q_admin_get_mapping" -> ((s, dir) => {
       // S9: #get_mapping# — doc-store schema as rows with ES mapping types
       import s.implicits._
       Maintain.getMapping(tbl(s, dir, "lineitem")).toDF("field", "dtype", "es_type")
-        .orderBy(col("field"))
     }),
     "q_admin_put_mapping" -> ((s, dir) => {
       // S9: #put_mapping#{json}# — static mapping as a schema assertion;
@@ -294,7 +284,7 @@ object SparkEntry {
       val cmd = AdminCommand.parse(
         """#put_mapping#{"l_returnflag":{"type":"keyword"},"nonexistent_col":{"type":"text"}}#""").get
       val (res, _) = Admin.execute(s, tbl(s, dir, "lineitem"), cmd, IndexConfig())
-      res.orderBy(col("field"))
+      res
     }),
     "q_admin_update" -> ((s, dir) => {
       // S9+M11: #update#{json}# settings hot-reload — options re-resolved
@@ -314,7 +304,7 @@ object SparkEntry {
         ("insert-only", next.insertOnly.toString),
         ("max-results", next.maxResults.toString),
         ("segment", segDesc))
-        .toDF("key", "value").orderBy(col("key"))
+        .toDF("key", "value")
     }),
     "q_search_source" -> ((s, dir) => {
       // R1+R10: load-source=true attaches the full document as _source JSON
@@ -324,7 +314,6 @@ object SparkEntry {
       Search.search(docs,
           "#options:load-source=true,load-rows=false#text:window AND lang:en",
           IndexConfig(), Seq("doc_id"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_fuzzy" -> ((s, dir) => {
       // R2: Lucene fuzzy — any token within edit distance 1 of 'sprk'
@@ -332,7 +321,6 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       Search.search(docs, "text:sprk~1", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_match_multi" -> ((s, dir) => {
       // analyzed multi-word match: OR of terms (ES default), each term a
@@ -341,7 +329,6 @@ object SparkEntry {
       Search.search(docs, """{"query":{"match":{"text":"spark batch"}}}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_collapse" -> ((s, dir) => {
       // ES field collapsing: the top hit per lang in relevance order —
@@ -352,7 +339,6 @@ object SparkEntry {
             "collapse":{"field":"lang"}}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_collapse_inner" -> ((s, dir) => {
       // collapse + inner_hits: top-3 langs by head relevance, each
@@ -376,14 +362,12 @@ object SparkEntry {
              "prefix_length":2}}}}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_boost" -> ((s, dir) => {
       // R2/R4: Lucene boost syntax — term^N weights the score contribution
       val docs = tbl(s, dir, "documents")
       Search.search(docs, "text:spark^3 OR text:batch", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_grouping" -> ((s, dir) => {
       // R2: field grouping (field distributes over bare terms), group boost,
@@ -393,7 +377,6 @@ object SparkEntry {
           "text:(spark OR batch)^2 AND -lang:de AND source:src1?",
           IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_dsl_long" -> ((s, dir) => {
       // R3: ES-DSL long object bodies — the form ES clients emit
@@ -406,7 +389,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_from" -> ((s, dir) => {
       // ES offset paging: page 2 of a field-sorted search (from 50, size
@@ -439,7 +421,6 @@ object SparkEntry {
       Search.highlight(tbl(s, dir, "documents"), "text:spark OR text:batch*",
           IndexConfig(), hlFields = Seq("text"))
         .select(col("doc_id"), col("_score"), col("_highlight_text"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_highlight_dsl" -> ((s, dir) => {
       // ES-DSL highlight: bool must/should leaves mark, must_not doesn't
@@ -449,7 +430,6 @@ object SparkEntry {
              "must_not":[{"term":{"lang":"fr"}}]}}}""",
         IndexConfig(), hlFields = Seq("text"))
         .select(col("doc_id"), col("_score"), col("_highlight_text"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_after" -> ((s, dir) => {
       // keyset pagination: page 2 of a scored search, resuming strictly
@@ -461,7 +441,6 @@ object SparkEntry {
                   "size":50,"search_after":[2,100]}"""
       Search.search(tbl(s, dir, "documents"), q, IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_phrase_positional" -> ((s, dir) => {
       // Positional postings: phrase candidates are "all runs present, in
@@ -474,7 +453,6 @@ object SparkEntry {
       TextIndex.searchIndexed(d, store, "text:\"spark batch\"~2",
           IndexConfig(), Seq("doc_id"), Set("text"), 16)
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_dsl_qstring" -> ((s, dir) => {
       // R3: query_string with default_field — ES q=-style bare terms bound
@@ -484,7 +462,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_mlt" -> ((s, dir) => {
       // more_like_this: docs similar to docs 1-3 — distinctive-term
@@ -495,7 +472,6 @@ object SparkEntry {
           minTermFreq = 2, minDocFreq = 5, maxQueryTerms = 10,
           minimumShouldMatchPct = 30)
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_mlt_store" -> ((s, dir) => {
       // store-served twin of q_search_mlt (same oracle): the corpus-df
@@ -517,7 +493,6 @@ object SparkEntry {
           minTermFreq = 2, minDocFreq = 5, maxQueryTerms = 10,
           minimumShouldMatchPct = 30, nBuckets = 16)
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_bool_prefix" -> ((s, dir) => {
       // R3: match_bool_prefix — type-ahead: spark as a term AND quer* as
@@ -527,7 +502,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_simple_qs" -> ((s, dir) => {
       // R3: simple_query_string — the search-box mini-language: `|` OR,
@@ -540,7 +514,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_function_score" -> ((s, dir) => {
       // R3: function_score — data-dependent relevance in the integer
@@ -555,7 +528,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_dsl_boosting" -> ((s, dir) => {
       // R3: ES `boosting` — negative clause demotes (to 0, the declared
@@ -569,7 +541,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_regex" -> ((s, dir) => {
       // R2 widening: Lucene /regex/ syntax — whole-token regex with boost,
@@ -577,7 +548,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"),
           "source:/src[0-9]+/^2 AND text:spark", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_dsl_ids" -> ((s, dir) => {
       // R3: the remaining DSL leaves end-to-end — ids lookup (missing ids
@@ -592,7 +562,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("source"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_dsl_multi" -> ((s, dir) => {
       // R3 widening: multi_match (most_fields — summed per-field leaves,
@@ -606,7 +575,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_dsl_phrase_prefix" -> ((s, dir) => {
       // R3 widening: match_phrase_prefix — contiguous phrase whose last
@@ -616,7 +584,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "documents"), q,
           IndexConfig(maxResults = 100000), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_skew_join" -> ((s, dir) => {
       // skew mitigation: salted join must equal the plain join, row for row
@@ -624,7 +591,6 @@ object SparkEntry {
       val small = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
       pipeline.Skew.saltedJoin(large, small, Seq("l_orderkey"), saltFactor = 8)
-        .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
     }),
     "q_skew_adaptive" -> ((s, dir) => {
       // threshold-gated salting (r10): with hotAt=1, every multi-row order
@@ -635,7 +601,6 @@ object SparkEntry {
         .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
       pipeline.Skew.adaptiveSaltedJoin(large, small, Seq("l_orderkey"),
           hotAt = 1, saltFactor = 8)
-        .orderBy(col("l_orderkey"), col("l_quantity"), col("o_totalprice"))
     }),
     "q_segment_name" -> ((s, dir) => {
       // M2 naming: rows labeled with their physical segment-index name
@@ -644,7 +609,6 @@ object SparkEntry {
       o.select(Maintain.segmentIndexNameCol("orders_idx",
           SegmentGranularity.Month, col("o_orderdate")).as("segment_index"))
         .groupBy(col("segment_index")).agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("segment_index"))
     }),
     "q_segment_fixed" -> ((s, dir) => {
       // M2 CUSTOM mode: fixed-width frames (reference IndexDropManager
@@ -654,7 +618,6 @@ object SparkEntry {
           Maintain.segmentOf(col("o_orderdate"),
             SegmentGranularity.Fixed(7L * 86400000L)).cast("long"))
         .groupBy(col("segment_epoch")).agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("segment_epoch"))
     }),
 
     // ---- write path: doc projection + indexer (W1-W10, S2-S5) ----
@@ -674,7 +637,6 @@ object SparkEntry {
           to_json(array(col("c_name"), col("c_mktsegment"))).as("arr_json"),
           to_json(map(lit("segment"), col("c_mktsegment"))).as("map_json"),
           to_json(struct(col("c_name"), col("c_nationkey"))).as("udt_json"))
-        .orderBy(col("c_custkey"))
     }),
     "q_docid_roundtrip" -> ((s, dir) => {
       // W4↔R7: doc-id synthesis and PK reconstruction are inverse
@@ -696,7 +658,6 @@ object SparkEntry {
       Indexer.upsert(existing, batch, "user_id", Seq("ts", "event_id"),
           IndexConfig(insertOnly = true))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-        .orderBy(col("user_id"))
     }),
     "q_upsert_merge" -> ((s, dir) => {
       // S3 default path: ES `_update`+doc_as_upsert field merge — a null
@@ -712,7 +673,6 @@ object SparkEntry {
         .withColumn("value", when(col("value") > 100, col("value")))
       Indexer.upsert(existing, batch, "user_id", Seq("ts", "event_id"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-        .orderBy(col("user_id"))
     }),
     "q_postings_build" -> ((s, dir) => {
       // Inverted-index build: (token, field, doc_id) postings = the maximal
@@ -720,7 +680,6 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
       TextIndex.buildPostings(d, "doc_id", Seq("text", "lang"), nBuckets = 16)
         .select(col("token"), col("field"), col("doc_id"))
-        .orderBy(col("token"), col("field"), col("doc_id"))
     }),
     "q_search_indexed" -> ((s, dir) => {
       // Index-served search through a WRITTEN postings store (bucket
@@ -737,7 +696,6 @@ object SparkEntry {
       TextIndex.searchStore(d, path, "text:spark OR text:filt*",
           IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_search_indexed_dsl" -> ((s, dir) => {
       // ES-DSL served from the postings store: the bool's covered `must`
@@ -754,7 +712,6 @@ object SparkEntry {
       TextIndex.searchIndexed(d, store, q, IndexConfig(maxResults = 100000),
           Seq("doc_id"), Set("text", "lang"), 16)
         .select(col("doc_id"), col("lang"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_pure_index" -> ((s, dir) => {
       // Lucene execution model: the query (all-exact leaves) is answered
@@ -767,7 +724,6 @@ object SparkEntry {
       TextIndex.searchIndexed(d, store,
           "#options:load-rows=false#text:dup AND lang:de",
           IndexConfig(), Seq("doc_id"), Set("text", "lang"), 16, pureIndex = true)
-        .orderBy(col("doc_id"))
     }),
     "q_search_bm25_indexed" -> ((s, dir) => {
       // BM25 served from postings+norms only — the doc store is never read;
@@ -779,7 +735,6 @@ object SparkEntry {
           nBuckets = 16)
         .orderBy(desc("_bm25"), col("doc_id")).limit(50)
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
-        .orderBy(desc("bm25"), col("doc_id"))
     }),
     "q_search_bm25_store" -> ((s, dir) => {
       // the materialized form of q_search_bm25_indexed (same oracle): the
@@ -800,7 +755,6 @@ object SparkEntry {
           nBuckets = 16)
         .orderBy(desc("_bm25"), col("doc_id")).limit(50)
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
-        .orderBy(desc("bm25"), col("doc_id"))
     }),
     "q_norms_append" -> ((s, dir) => {
       // incremental-index proof (same oracle as q_search_bm25_store): the
@@ -827,7 +781,6 @@ object SparkEntry {
           nBuckets = 16)
         .orderBy(desc("_bm25"), col("doc_id")).limit(50)
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
-        .orderBy(desc("bm25"), col("doc_id"))
     }),
     "q_bm25_store_delete" -> ((s, dir) => {
       // the data-LEAVES proof for the BM25 store group (r13, the
@@ -855,7 +808,6 @@ object SparkEntry {
           nBuckets = 16)
         .orderBy(desc("_bm25"), col("doc_id")).limit(50)
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
-        .orderBy(desc("bm25"), col("doc_id"))
     }),
     "q_bm25_upsert_store" -> ((s, dir) => {
       // EDIT-tolerant maintenance proof (same oracle as
@@ -891,7 +843,6 @@ object SparkEntry {
           nBuckets = 16)
         .orderBy(desc("_bm25"), col("doc_id")).limit(50)
         .select(col("doc_id"), round(col("_bm25"), 4).as("bm25"))
-        .orderBy(desc("bm25"), col("doc_id"))
     }),
     "q_index_create" -> ((s, dir) => {
       // M1+M2 physically: write the doc table partitioned by segment, read
@@ -902,7 +853,6 @@ object SparkEntry {
       Indexer.writeSegmented(o, path) // segment-clustered partitioned write
       s.read.parquet(path)
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("segment"))
     }),
     "q_ingest_processors" -> ((s, dir) => {
       // the extended processor library in one chain: dissect, fingerprint
@@ -928,7 +878,6 @@ object SparkEntry {
         col("fp"), col("source").as("split_join"),
         element_at(col("kvm"), "b").as("kv_b"),
         Tsx.micros(col("ts")).as("ts_us"))
-        .orderBy(col("doc_id"))
     }),
     "q_ingest_pipeline" -> ((s, dir) => {
       // S4: ingest pipeline — the update batch is shaped by the compiled
@@ -947,13 +896,11 @@ object SparkEntry {
         {"convert":{"field":"n_chars","type":"long"}}]}"""))
       Indexer.upsert(existing.withColumn("n_chars", col("n_chars").cast("long")),
           updates, "doc_id", Seq("doc_id"), cfg)
-        .orderBy(col("doc_id"))
     }),
     "q_upsert_lww" -> ((s, dir) => {
       // S3/W11: last-write-wins upsert — latest event per user
       Indexer.latestPerKey(tbl(s, dir, "events"), "user_id", Seq("ts", "event_id"))
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
-        .orderBy(col("user_id"))
     }),
     "q_delete_antijoin" -> ((s, dir) => {
       // S5: delete docs whose source rows were removed (finished orders)
@@ -962,7 +909,7 @@ object SparkEntry {
       val deletes = tbl(s, dir, "orders").where(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("l_orderkey"))
       Indexer.delete(docs, deletes, Seq("l_orderkey"))
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id"))
     }),
     "q_delete_by_query" -> ((s, dir) => {
       // S5 DSL form: _delete_by_query — drop docs a bool body matches;
@@ -1015,7 +962,6 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
       val replayed = ev.unionAll(ev) // simulate duplicate delivery
       Indexer.exactlyOnce(replayed, "user_id", "event_id")
-        .orderBy(col("event_id"))
     }),
     "q_shard_prune" -> ((s, dir) => {
       // R8 analog: xxhash64 shard filters form a disjoint cover — the union
@@ -1029,7 +975,6 @@ object SparkEntry {
         .reduce(_ unionAll _)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "q_analytic_mode" -> ((s, dir) => {
       // M6: analytic mode suppresses deletes — docs outlive their source
@@ -1040,7 +985,7 @@ object SparkEntry {
         .select(col("o_orderkey").as("l_orderkey"))
       Indexer.delete(docs, deletes, Seq("l_orderkey"),
           IndexConfig(analyticMode = true))
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id"))
     }),
     "q_search_dsl_exists" -> ((s, dir) => {
       // R3: exists operator over a nullable field
@@ -1049,14 +994,12 @@ object SparkEntry {
       Search.search(ev, """{"query":{"exists":{"field":"big_val"}},"size":1000000}""",
           IndexConfig(maxResults = 1000000), Seq("event_id"))
         .select(col("event_id"), col("big_val"), col("_score"))
-        .orderBy(col("event_id"))
     }),
     "q_search_dsl_terms" -> ((s, dir) => {
       // R3: `terms` — exact-value disjunction (ES terms query)
       val q = """{"query":{"terms":{"event_type":["click","purchase"]}},"size":1000000}"""
       Search.search(tbl(s, dir, "events"), q, IndexConfig(maxResults = 1000000), Seq("event_id"))
         .select(col("event_id"), col("event_type"), col("_score"))
-        .orderBy(col("event_id"))
     }),
     "q_search_dsl_msm" -> ((s, dir) => {
       // R3: bool.minimum_should_match — at least 2 of 3 should clauses
@@ -1070,7 +1013,6 @@ object SparkEntry {
       Search.search(docs, q, IndexConfig(maxResults = 1000000), Seq("doc_id"))
         .select(col("doc_id"), col("l_returnflag"), col("l_linestatus"),
           col("l_quantity"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_types_decimal" -> ((s, dir) => {
       // §1.3: decimal / varint handling — exact decimal arithmetic inside
@@ -1084,7 +1026,6 @@ object SparkEntry {
           (col("l_extendedprice").cast("decimal(18,2)") *
             col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)")
             .cast("string").as("total_dec"))
-        .orderBy(col("doc_id"))
     }),
     "q_empty_update_skip" -> ((s, dir) => {
       // W3: a doc whose live fields are all null produces no write
@@ -1092,7 +1033,6 @@ object SparkEntry {
         when(col("event_type") =!= "error", col("event_type")).as("f1"),
         when(col("value") > 100, col("value")).as("f2"))
       DocModel.skipEmpty(ev, Seq("f1", "f2"))
-        .orderBy(col("event_id"))
     }),
     "q_discard_nulls" -> ((s, dir) => {
       // W2: discard-nulls=true drops null fields; false keeps JSON nulls
@@ -1104,14 +1044,12 @@ object SparkEntry {
             col("et"), col("user_id")).as("doc_discard"),
           DocModel.docJson(IndexConfig(discardNulls = false),
             col("et"), col("user_id")).as("doc_keep"))
-        .orderBy(col("event_id"))
     }),
     "q_flatten" -> ((s, dir) => {
       // W8: json-flat-serialized-fields via the native json_flatten expression
       tbl(s, dir, "events")
         .select(col("event_id"),
           element_at(element_at(json_flatten(col("props")), "k"), 1).as("k_flat"))
-        .orderBy(col("event_id"))
     }),
     "q_json_serialized" -> ((s, dir) => {
       // W7: a string column treated as structured JSON, searchable by key
@@ -1120,7 +1058,6 @@ object SparkEntry {
           graft.functions.functions.json_get(col("props"), lit("k")).cast("int"))
       parsed.where(col("k") >= 50)
         .select(col("event_id"), col("k"))
-        .orderBy(col("event_id"))
     }),
     "q_types_blob" -> ((s, dir) => {
       // §1.3: blob columns are not indexed — placeholder "<N> bytes"
@@ -1128,14 +1065,12 @@ object SparkEntry {
         .withColumn("payload", col("text").cast("binary"))
       docs.select(col("doc_id"),
           DocModel.convert("payload", org.apache.spark.sql.types.BinaryType).as("blob_repr"))
-        .orderBy(col("doc_id"))
     }),
 
     // ---- maintenance plane (M2-M7) ----
     "q_maintain_truncate" -> ((s, dir) => {
       // M7: truncate preserves schema, empties the doc set
       Maintain.truncate(tbl(s, dir, "lineitem").select(col("l_orderkey")))
-        .orderBy(col("l_orderkey"))
     }),
     "q_maintain_drop" -> ((s, dir) => {
       // M8: drop is physical — delete segment partition directories, then
@@ -1148,7 +1083,6 @@ object SparkEntry {
       Maintain.dropSegmentDirs(s, path, "segment", seg => seg >= "1995-01")
       s.read.parquet(path)
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("segment"))
     }),
     "q_zorder" -> ((s, dir) => {
       // z-order clustering rewrite: rows pass through unchanged (the
@@ -1172,7 +1106,6 @@ object SparkEntry {
       s.read.parquet(path)
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
-        .orderBy(col("segment"))
     }),
     "q_dummy_mode" -> ((s, dir) => {
       // M13: dummy mode — upserts and deletes are no-ops; the store must
@@ -1184,7 +1117,7 @@ object SparkEntry {
         store.withColumn("lang", lit("xx")), "doc_id", Seq("doc_id"), cfg)
       val afterDelete = Indexer.delete(afterUpsert,
         store.where(col("doc_id") < 100), Seq("doc_id"), cfg)
-      afterDelete.orderBy(col("doc_id"))
+      afterDelete
     }),
     "q_segment_roll" -> ((s, dir) => {
       // M2: segments are partition values of date_trunc(granularity)
@@ -1193,13 +1126,12 @@ object SparkEntry {
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("doc_count"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
-        .orderBy(col("segment"))
     }),
     "q_segment_purge" -> ((s, dir) => {
       // M3: list segments still holding live docs (empty ones get dropped)
       val ev = tbl(s, dir, "events").where(col("event_type") === "purchase")
         .withColumn("segment", Maintain.segmentOf(col("ts"), SegmentGranularity.Day))
-      Maintain.liveSegments(ev, "segment").orderBy(col("segment"))
+      Maintain.liveSegments(ev, "segment")
     }),
     "q_ttl_expire" -> ((s, dir) => {
       // M4: doc-level TTL — keep docs alive at `now` (+ ttl-shift)
@@ -1210,7 +1142,6 @@ object SparkEntry {
       Maintain.ttlFilter(docs, 1705276800L /* 2024-01-15T00:00:00Z */,
           IndexConfig(ttlShiftSec = 3600))
         .select(col("event_id"), col("_cassandraTtl"))
-        .orderBy(col("event_id"))
     }),
     "q_segment_ttl_drop" -> ((s, dir) => {
       // M5: drop whole segments older than the watermark (partition prune)
@@ -1219,7 +1150,6 @@ object SparkEntry {
       Maintain.dropExpiredSegments(o, "segment",
           java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))
         .groupBy(col("segment")).agg(count(lit(1)).as("doc_count"))
-        .orderBy(col("segment"))
     }),
 
     // ---- north star: dedup (exact + MinHash + SimHash + Jaccard + cosine) ----
@@ -1271,7 +1201,6 @@ object SparkEntry {
             "fixed_interval": "1d", "time_zone": "+05:00",
             "offset": "+3h"}}}}""")
         .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"))
-        .orderBy(col("key_us"))
     }),
     "q_agg_terms_include" -> ((s, dir) => {
       // include regex + exclude shape the bucket key set before the scan
@@ -1291,7 +1220,6 @@ object SparkEntry {
               "fixed_interval": "1h", "min_doc_count": 0,
               "extended_bounds": {"min": 1704067200000, "max": 1706659200000}}}}}""")
         .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"))
-        .orderBy(col("key_us"))
     }),
     "q_agg_date_range" -> ((s, dir) => {
       // date_range buckets over the events month: early / mid / late
@@ -1302,7 +1230,6 @@ object SparkEntry {
               {"from": "2024-01-20"}]},
             "aggs": {"total": {"sum": {"field": "value"}}}}}}""")
         .select(col("key"), col("doc_count"), round(col("total"), 2).as("total"))
-        .orderBy(col("key"))
     }),
     "q_agg_missing" -> ((s, dir) => {
       // the missing agg standalone: docs without the (synthetically
@@ -1321,7 +1248,7 @@ object SparkEntry {
         s"""{"aggs": {"langs": {"terms": {"field": "lang", "size": 10,
             "include": {"partition": $p, "num_partitions": 2},
             "order": {"_key": "asc"}}}}}""")
-      part(0).unionByName(part(1)).orderBy(col("key"))
+      part(0).unionByName(part(1))
     }),
     "q_agg_terms_missing" -> ((s, dir) => {
       // ES `missing` param: the gate tables carry no nulls, so nullify a
@@ -1348,7 +1275,6 @@ object SparkEntry {
           round(col("total"), 2).as("total"))
         .unionByName(m("all").select(lit("all").as("key"), col("doc_count"),
           round(col("total"), 2).as("total")))
-        .orderBy(col("key"))
     }),
     "q_agg_sibling_max" -> ((s, dir) => {
       // sibling pipeline agg: the peak daily event-value total — a
@@ -1667,7 +1593,6 @@ object SparkEntry {
               {"field": "value", "buckets": 4}}}}""")
         .select(round(col("key"), 4).as("key"), col("min"), col("max"),
           col("doc_count"))
-        .orderBy(col("key"))
     }),
     "q_agg_cumulative_card" -> ((s, dir) => {
       // cumulative_cardinality: distinct users seen up to each day (the
@@ -1681,7 +1606,6 @@ object SparkEntry {
                        {"buckets_path": "daily_users"}}}}}}""")
         .select(Tsx.micros(col("key")).as("key_us"), col("doc_count"),
           col("daily_users"), col("total_users"))
-        .orderBy(col("key_us"))
     }),
     "q_agg_moving_pctl" -> ((s, dir) => {
       // moving_percentiles over the daily doc_count axis: trailing-week
@@ -1696,7 +1620,6 @@ object SparkEntry {
           floor(col("mp_p25") * 100).cast("long").as("mp_p25_x100"),
           floor(col("mp_p50") * 100).cast("long").as("mp_p50_x100"),
           floor(col("mp_p75") * 100).cast("long").as("mp_p75_x100"))
-        .orderBy(col("key_us"))
     }),
     "q_agg_normalize" -> ((s, dir) => {
       // normalize percent_of_sum under terms: each source's share of the
@@ -1742,7 +1665,6 @@ object SparkEntry {
           col("total").cast("long").as("total"),
           floor(col("avg_chars") * 100).cast("long").as("avg_chars_x100"),
           col("dd").cast("long").as("dd"))
-        .orderBy(col("key"))
     }),
     "q_agg_bucket_sort" -> ((s, dir) => {
       // bucket_sort under terms: re-order the selected buckets by a metric
@@ -1805,7 +1727,6 @@ object SparkEntry {
         TextIndex.buildPostings(docs, "doc_id", Seq("text", "lang"), 16), p))
       val postings = s.read.option("basePath", path).parquet(path)
       TextIndex.termsAggIndexed(postings, "text", k = 200)
-        .orderBy(desc("freq"), col("token"))
     }),
     "q_agg_top_hits" -> ((s, dir) => {
       // per-bucket top docs: the 2 highest-value events of each event_type
@@ -1816,19 +1737,16 @@ object SparkEntry {
                 {"size": 2, "sort": [{"value": "desc"}]}}}}}}""",
         idCol = "event_id")
         .select(col("key"), col("event_id"), col("value"), col("hit_rank"))
-        .orderBy(col("key"), col("hit_rank"))
     }),
 
     "q_dedup_exact" -> ((s, dir) => {
       Dedup.exact(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("fp"))
     }),
     "q_dedup_jaccard" -> ((s, dir) => {
       // exact n-gram Jaccard verifier on a bounded slice (all-pairs is the
       // verifier behind MinHash candidates, not a corpus-wide pass)
       val docs = tbl(s, dir, "documents").where(col("doc_id") < 200)
       Dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.6)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_corpus" -> ((s, dir) => {
       // end-to-end near-dup removal (LSH pairs -> connected components ->
@@ -1836,7 +1754,7 @@ object SparkEntry {
       // pairs (LSH recall 1.0 on this corpus) + recursive-CTE transitive
       // closure — the same clusters, computed declaratively.
       pipeline.Dedup.dedupCorpus(tbl(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id"))
     }),
     "q_dedup_minhash" -> ((s, dir) => {
       // MinHash-LSH candidates verified exactly at jaccard>=0.5. Oracle:
@@ -1844,7 +1762,6 @@ object SparkEntry {
       // is exactly 1.0 on this corpus (verified: 25/25 pairs); the
       // verification step makes precision exact by construction.
       Dedup.minhashPairs(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_minhash_salted" -> ((s, dir) => {
       // same pairs with the verify joins' threshold salting FORCED on
@@ -1855,7 +1772,6 @@ object SparkEntry {
       s.conf.set("graft.skew.saltAt", "1")
       s.conf.set("graft.skew.saltFactor", "4")
       try Dedup.minhashPairs(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("id_a"), col("id_b"))
       finally {
         s.conf.unset("graft.skew.saltAt")
         s.conf.unset("graft.skew.saltFactor")
@@ -1871,7 +1787,6 @@ object SparkEntry {
       Dedup.writeSketchStore(docs.where(col("doc_id") < 300), path, "text", "doc_id")
       Dedup.minhashPairsIncremental(s, path, docs.where(col("doc_id") >= 300),
           "text", "doc_id")
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_store_delete" -> ((s, dir) => {
       // data-LEAVES proof for the dedup sketch store (r13): a deleted
@@ -1886,7 +1801,6 @@ object SparkEntry {
       Dedup.deleteFromSketchStore(s, path,
         docs.where(col("doc_id") % 7 === 0).select(col("doc_id").as("id")))
       Dedup.minhashPairsFromStore(s, path)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_spans" -> ((s, dir) => {
       // exact duplicate-SPAN detection (Lee-et-al-style substring dedup as
@@ -1894,18 +1808,15 @@ object SparkEntry {
       // against exact gram text, so the oracle is the direct SQL statement
       // of the semantics — no approximation to excuse.
       Dedup.duplicateSpans(tbl(s, dir, "documents"), "text", "doc_id", n = 8)
-        .orderBy(col("doc_id"), col("span_start"))
     }),
     "q_dedup_span_removal" -> ((s, dir) => {
       // the removal end of span dedup: every duplicated-span token dropped,
       // survivors re-joined — clean_text is the normalized token stream
       Dedup.removeDuplicateSpans(tbl(s, dir, "documents"), "text", "doc_id", n = 8)
-        .orderBy(col("doc_id"))
     }),
     "q_dedup_simhash" -> ((s, dir) => {
       // rows-only: SimHash Hamming-ball pairs via pigeonhole banding
       Dedup.simhashPairs(tbl(s, dir, "documents"), "text", "doc_id", maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_embedding" -> ((s, dir) => {
       // embedding-cosine near-dups from LSH buckets, oracle-checked against
@@ -1917,7 +1828,6 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 1000)
         .withColumn("embedding", col("embedding").cast("array<double>"))
       Similarity.cosinePairs(emb, threshold = 0.4, bands = 32, bitsPerBand = 2)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_dedup_cosine_exact" -> ((s, dir) => {
       // exact all-pairs cosine verifier on a bounded slice — oracle-checked
@@ -1925,7 +1835,6 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings").where(col("vec_id") < 150)
         .withColumn("embedding", col("embedding").cast("array<double>"))
       Similarity.cosinePairsExact(emb, threshold = 0.3)
-        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- north star: similarity search ----
@@ -2060,7 +1969,6 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(col("inner_hits"), ",").as("inner_ids"),
           col("inner_total"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_parent_id" -> ((s, dir) => {
       // parent_id: one parent's children by plain pointer equality
@@ -2141,7 +2049,6 @@ object SparkEntry {
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"),
           array_join(col("matched_queries"), ",").as("matched"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_geo_shape" -> ((s, dir) => {
       // geo_shape polygon WITH A HOLE over point docs: even-odd ray cast
@@ -2597,7 +2504,6 @@ object SparkEntry {
         .select(col("doc_id"),
           expr("CAST(floor(_score * 1e6) AS BIGINT)").as("score_e6"),
           col("_rrf_matched"))
-        .orderBy(desc("score_e6"), col("doc_id"))
     }),
     "q_rank_eval" -> ((s, dir) => {
       // _rank_eval: graded-judgment metrics for a two-request battery —
@@ -2611,7 +2517,6 @@ object SparkEntry {
         .select(col("query_id"), round(col("precision_at_k"), 4).as("precision_at_k"),
           round(col("recall_at_k"), 4).as("recall_at_k"),
           round(col("mrr"), 4).as("mrr"), round(col("dcg"), 4).as("dcg"))
-        .orderBy(col("query_id"))
     }),
     "q_mix_temperature" -> ((s, dir) => {
       // temperature-scaled mixing (alpha 0.5): flattened domain weights +
@@ -2622,7 +2527,6 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(col("weight"), 4).as("weight"),
           round(col("keep_frac"), 4).as("keep_frac"))
-        .orderBy(col("source"))
     }),
     "q_agg_children" -> ((s, dir) => {
       // children agg: market-segment parent buckets with child order
@@ -2789,13 +2693,11 @@ object SparkEntry {
                           "params": {"w": 100}}}},
              "size": 50}""", IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(desc("_score"), col("doc_id"))
     }),
     "q_termvectors" -> ((s, dir) => {
       // _termvectors: per-doc term stats (tf, first position) + corpus df
       Search.termVectors(tbl(s, dir, "documents"), "doc_id", "text",
           Seq("3", "17"))
-        .orderBy(col("_tv_id"), col("term"))
     }),
     "q_termvectors_store" -> ((s, dir) => {
       // _termvectors served from the memoized POSITIONAL postings store —
@@ -2805,7 +2707,6 @@ object SparkEntry {
       val path = memoStore("postings_pos", dir)(p => TextIndex.writePostings(
         TextIndex.buildPostingsPositional(d, "doc_id", Seq("text"), 16), p))
       TextIndex.termVectorsFromStore(s, path, "text", Seq("3", "17"))
-        .orderBy(col("_tv_id"), col("term"))
     }),
     "q_field_caps" -> ((s, dir) => {
       // _field_caps: per-field type + searchable/aggregatable (ES's
@@ -2813,14 +2714,13 @@ object SparkEntry {
       import s.implicits._
       Maintain.fieldCaps(tbl(s, dir, "documents"))
         .toDF("field", "es_type", "searchable", "aggregatable")
-        .orderBy(col("field"))
     }),
     "q_analyze" -> ((s, dir) => {
       // _analyze: the engine's analyzer preview — token + 1-based position
       import s.implicits._
       val toks = Maintain.analyze("Spark-Streaming joins, FAST scans; merge_sort!")
       toks.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
-        .toDF("token", "position").orderBy(col("position"))
+        .toDF("token", "position")
     }),
     "q_analyze_custom" -> ((s, dir) => {
       // _analyze with a custom chain: standard tokenizer then
@@ -2831,7 +2731,7 @@ object SparkEntry {
         "standard",
         Seq("lowercase", "asciifolding", "stop", "unique", "stemmer"))
       toks.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) }
-        .toDF("token", "position").orderBy(col("position"))
+        .toDF("token", "position")
     }),
     "q_mget" -> ((s, dir) => {
       // _mget: batch get-by-id in REQUEST order; absent ids stay as
@@ -2840,7 +2740,6 @@ object SparkEntry {
           Seq("17", "3", "999999", "42", "7"))
         .select(col("_ord"), col("_id"), col("found"),
           col("text"), col("lang"), col("source"), col("n_chars"))
-        .orderBy(col("_ord"))
     }),
     "q_scroll" -> ((s, dir) => {
       // PIT + scroll: open a snapshot, then three keyset-cursor pages of
@@ -2852,7 +2751,6 @@ object SparkEntry {
           Seq("doc_id"), pageSize = 100, maxPages = 3)
         .map { case (pg, df) => df.withColumn("page", lit(pg)) }
         .reduce(_ unionAll _)
-        .orderBy(col("doc_id"))
     }),
     "q_esql_stats" -> ((s, dir) => {
       // ES|QL: filter → grouped STATS → ROUND pinning → deterministic sort,
@@ -2955,7 +2853,6 @@ object SparkEntry {
       // statistics (rows-only contract — the iterative argmax has no SQL
       // oracle; BpeSpec pins the algorithm on hand-computed corpora)
       graft.pipeline.Bpe.train(tbl(s, dir, "documents"), "text", 8)
-        .orderBy(col("rank"))
     }),
     "q_tokenize_ids" -> ((s, dir) => {
       // doc → input_ids export through learned BPE merges (rows-only
@@ -2966,7 +2863,6 @@ object SparkEntry {
       graft.pipeline.Bpe.encodeToIds(d, "doc_id", "text", merges)
         .select(col("doc_id"), array_join(col("input_ids"), ",").as("ids"),
           col("n_tokens"))
-        .orderBy(col("doc_id"))
     }),
     "q_tokenize_ids_store" -> ((s, dir) => {
       // store-served twin of q_tokenize_ids (rows-only by the same
@@ -2982,7 +2878,6 @@ object SparkEntry {
           tbl(s, dir, "documents"), "doc_id", "text", path)
         .select(col("doc_id"), array_join(col("input_ids"), ",").as("ids"),
           col("n_tokens"))
-        .orderBy(col("doc_id"))
     }),
     "q_mix_epochs" -> ((s, dir) => {
       // fractional-epoch mixing: src0 ×2 (exact), src1 ×1.3 (each doc
@@ -2992,7 +2887,6 @@ object SparkEntry {
           tbl(s, dir, "documents").select(col("doc_id"), col("source")),
           "doc_id", "source",
           Map("src0" -> 2.0, "src1" -> 1.3, "src2" -> 0.5), seed = 7L)
-        .orderBy(col("doc_id"), col("epoch"))
     }),
     "q_search_index_pattern" -> ((s, dir) => {
       // index-pattern targeting: wildcard inclusion + '-' exclusion over a
@@ -3004,7 +2898,7 @@ object SparkEntry {
         "docs_fr" -> d.where(col("lang") === "fr"),
         "docs_de" -> d.where(col("lang") === "de"),
         "other_idx" -> d.where(!col("lang").isin("en", "fr", "de")))
-      Search.indexPattern(cat, "docs_*,-docs_de").orderBy(col("doc_id"))
+      Search.indexPattern(cat, "docs_*,-docs_de")
     }),
     "q_search_indices_boost" -> ((s, dir) => {
       // indices_boost: per-index score multipliers, first pattern wins
@@ -3019,7 +2913,6 @@ object SparkEntry {
         IndexConfig(maxResults = 100000), Seq("doc_id"))
       Search.indicesBoost(hits, Seq("docs_en" -> 3, "docs_*" -> 2))
         .select(col("doc_id"), col("_index"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_esql_metadata" -> ((s, dir) => {
       // ES|QL METADATA _index: multi-index FROM with per-row source
@@ -3044,7 +2937,6 @@ object SparkEntry {
         Map("quick" -> Seq("fast", "rapid")))
       Search.search(docs, rewritten, IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_sparse_vector" -> ((s, dir) => {
       // sparse_vector (ELSER analog): doc term-weight maps built from
@@ -3063,7 +2955,6 @@ object SparkEntry {
             "query_vector": {"spark": 2, "streaming": 1}}}, "size": 20}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score").cast("long").as("score"))
-        .orderBy(desc("score"), col("doc_id"))
     }),
     "q_reindex" -> ((s, dir) => {
       // _reindex: source query + dest ingest pipeline + store write, read
@@ -3076,7 +2967,6 @@ object SparkEntry {
         pipeline = Some("""{"processors": [
             {"uppercase": {"field": "source"}},
             {"rename": {"field": "n_chars", "target_field": "chars"}}]}"""))
-        .orderBy(col("doc_id"))
     }),
     "q_snapshot_restore" -> ((s, dir) => {
       // snapshot → destructive mutation → restore: the read-back must be
@@ -3094,7 +2984,7 @@ object SparkEntry {
       // reader is the FAILED_READ_FILE trap)
       d.where(col("lang") =!= "en").write.mode("overwrite").parquet(store)
       Maintain.restore(s, snap, store)
-      s.read.parquet(store).orderBy(col("doc_id"))
+      s.read.parquet(store)
     }),
     "q_search_min_score" -> ((s, dir) => {
       // min_score: the score floor drops single-term matches before the
@@ -3105,7 +2995,6 @@ object SparkEntry {
             "min_score": 2, "size": 10000}""",
         IndexConfig(), Seq("doc_id"))
         .select(col("doc_id"), col("_score"))
-        .orderBy(col("doc_id"))
     }),
     "q_count" -> ((s, dir) => {
       // _count endpoint: hit count of a DSL query without materializing
@@ -3132,7 +3021,6 @@ object SparkEntry {
               "custs": {"cardinality": {"field": "o_custkey"}}}}""")
         .select(col("status"), col("month"), col("n"),
           round(col("total"), 2).as("total"), col("custs"))
-        .orderBy(col("status"), col("month"))
     }),
     "q_transform_latest" -> ((s, dir) => {
       // _transform latest: most-recent event per user via max_by — the
@@ -3141,7 +3029,6 @@ object SparkEntry {
           """{"unique_key": ["user_id"], "sort": "ts"}""")
         .select(col("user_id"), col("event_id"),
           Tsx.micros(col("ts")).as("ts_us"))
-        .orderBy(col("user_id"))
     }),
     "q_sql" -> ((s, dir) => {
       // _sql endpoint analog: indices as temp views, the query through
@@ -3178,7 +3065,7 @@ object SparkEntry {
       // presence) for every month segment in one partial-aggregated pass
       val ev = tbl(s, dir, "events")
         .withColumn("segment", Maintain.segmentOf(col("ts"), SegmentGranularity.Month))
-      Maintain.segmentStats(ev, "segment").orderBy(col("segment"))
+      Maintain.segmentStats(ev, "segment")
     }),
     "q_esql_inlinestats" -> ((s, dir) => {
       // INLINESTATS: per-group totals joined back without collapsing —
@@ -3321,7 +3208,6 @@ object SparkEntry {
           part(1, "term").as("term1"), part(1, "tf").cast("long").as("tf1"),
           part(1, "df").as("df1"), round(part(1, "idf"), 4).as("idf1"),
           round(part(1, "contrib"), 4).as("contrib1"))
-        .orderBy(desc("bm25"), col("doc_id"))
     }),
     "q_search_knn" -> ((s, dir) => {
       // ES-8 knn search body: exact filtered cosine top-k over the vector
@@ -3393,7 +3279,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bruteForceTopK(emb, queries, k = 10)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_quantized" -> ((s, dir) => {
       // int8-range quantized ANN: cosine is scale-invariant, so the
@@ -3402,7 +3287,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("q_emb").as("query_vec"))
       Similarity.bruteForceTopK(emb, queries, k = 10, vecCol = "q_emb")
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_bbq" -> ((s, dir) => {
       // binary quantization ANN: sign-bit hamming coarse pass, exact
@@ -3413,7 +3297,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bbqTopK(emb, queries, k = 10, oversample = 4)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_bbq_exact" -> ((s, dir) => {
       // k·oversample >= corpus → the coarse pass keeps everything and the
@@ -3424,7 +3307,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.bbqTopK(emb, queries, k = 10, oversample = 50)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ivf" -> ((s, dir) => {
       // rows-only: IVF coarse-quantizer ANN (train → assign → probe)
@@ -3434,7 +3316,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topK(assigned, queries, centroids, k = 10, nprobe = 3)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ivf_exact" -> ((s, dir) => {
       // IVF with nprobe = C visits every inverted list — exhaustive, so the
@@ -3448,7 +3329,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topK(assigned, queries, centroids, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ann_store" -> ((s, dir) => {
       // the MATERIALIZED ANN index (r13): train+assign are paid once into
@@ -3464,7 +3344,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ann_store_exact" -> ((s, dir) => {
       // nprobe = C reads every cell — exhaustive, so the served result
@@ -3478,7 +3357,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ann_store_append" -> ((s, dir) => {
       // the ANN store's data-ARRIVES path (r13): build on half the corpus,
@@ -3497,7 +3375,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ann_store_delete" -> ((s, dir) => {
       // the ANN store's data-LEAVES path (r13): tombstone a slice of ids —
@@ -3514,7 +3391,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_ann_recall" -> ((s, dir) => {
       // the ANN tuning loop's measurement (r13): recall@10 of the pruned
@@ -3533,7 +3409,6 @@ object SparkEntry {
       val exact = Similarity.bruteForceTopK(emb, queries, k = 10)
       Similarity.recallAtK(approx, exact)
         .select(col("query_id"), round(col("recall"), 4).as("recall"))
-        .orderBy(col("query_id"))
     }),
     "q_ann_store_stats" -> ((s, dir) => {
       // M12-analog observability for the ANN store (r13): list balance
@@ -3571,7 +3446,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topKFromVersionedStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_ann_stream_store" -> ((s, dir) => {
       // streamed ANN maintenance's batch twin (r13): seed the IVF index on
@@ -3595,7 +3469,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_ann_store_compact" -> ((s, dir) => {
       // M-plane for the ANN store (r13): compactAnnIndex applies the
@@ -3615,7 +3488,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Ivf.topKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_hybrid_retrieval_store" -> ((s, dir) => {
       // store-served HYBRID retrieval (r13) — the RAG-stack shape, end to
@@ -3654,7 +3526,6 @@ object SparkEntry {
         .select(col("doc_id"),
           expr("CAST(floor(_score * 1e6) AS BIGINT)").as("score_e6"),
           col("_rrf_matched"))
-        .orderBy(desc("score_e6"), col("doc_id"))
     }),
     "q_similarity_pq" -> ((s, dir) => {
       // rows-only: product-quantization ADC top-k (m=8 subspaces, ksub=16
@@ -3665,7 +3536,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.adcTopK(pipeline.Pq.encode(emb, cb), queries, cb, k = 10)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_pq_exact" -> ((s, dir) => {
       // PQ with ksub >= corpus slice: every distinct subvector is its own
@@ -3677,7 +3547,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.adcTopK(pipeline.Pq.encode(emb, cb), queries, cb, k = 10)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ivfpq_exact" -> ((s, dir) => {
       // IVF-PQ composed scale path, pinned exactly: nprobe = C visits every
@@ -3691,7 +3560,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.ivfPqTopK(assigned, queries, centroids, cb, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ivfpq_store" -> ((s, dir) => {
       // the COMPRESSED materialized ANN index (r13): cells persist
@@ -3706,7 +3574,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 2)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ivfpq_store_exact" -> ((s, dir) => {
       // lossless codebooks (ksub ≥ distinct subvectors) + nprobe = C make
@@ -3721,7 +3588,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_ivfpq_stream_store" -> ((s, dir) => {
       // streamed COMPRESSED-index maintenance's batch twin (r13): lossless
@@ -3748,7 +3614,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_ivfpq_store_retrain" -> ((s, dir) => {
       // blue/green retrain for the COMPRESSED layout (r13): v1's models
@@ -3768,7 +3633,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.ivfPqTopKFromVersionedStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_ivfpq_store_cycle" -> ((s, dir) => {
       // the COMPRESSED index through a full maintenance cycle (r13):
@@ -3791,7 +3655,6 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       pipeline.Pq.ivfPqTopKFromStore(s, path, queries, k = 10, nprobe = 8)
-        .orderBy(col("query_id"), col("rank"))
     }),
     "q_similarity_lsh" -> ((s, dir) => {
       // ANN via random-hyperplane LSH banding, oracle-checked against the
@@ -3803,38 +3666,32 @@ object SparkEntry {
       val queries = emb.where(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       Similarity.lshTopK(emb, queries, k = 10, bands = 32, bitsPerBand = 2)
-        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- north star: text analysis ----
     "q_text_langid" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
-        .orderBy(col("doc_id"))
     }),
     "q_text_quality" -> ((s, dir) => {
       TextStats.qualityMetrics(tbl(s, dir, "documents"), "text")
         .select(col("doc_id"), col("n_tokens"), col("mean_tok_len"),
           col("stopword_ratio"), col("alpha_ratio"))
-        .orderBy(col("doc_id"))
     }),
     "q_text_chunk" -> ((s, dir) => {
       // context-window chunking: 64-token chunks, 16-token overlap
       TextStats.chunk(tbl(s, dir, "documents"), "text", "doc_id",
           chunkTokens = 64, overlap = 16)
-        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
     "q_text_vocab" -> ((s, dir) => {
       // corpus vocabulary: top-200 tokens (BPE/tokenizer training input)
       TextStats.vocabulary(tbl(s, dir, "documents"), "text", k = 200)
-        .orderBy(desc("freq"), col("token"))
     }),
     "q_quality_filter" -> ((s, dir) => {
       // the curation gate the metrics feed: Gopher/C4-style thresholds
       TextStats.qualityFilter(tbl(s, dir, "documents"), "text",
           minTokens = 20, maxMeanTokLen = 8.0, minStopwordRatio = 0.05)
         .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
-        .orderBy(col("doc_id"))
     }),
     "q_quality_gopher" -> ((s, dir) => {
       // the named Gopher rule set as a per-doc report — every rule a
@@ -3844,7 +3701,6 @@ object SparkEntry {
         .select(col("doc_id"), col("g_words"), col("g_word_count"),
           col("g_mean_len"), col("g_symbol_ratio"), col("g_alpha_words"),
           col("g_stopwords"), col("gopher_pass"))
-        .orderBy(col("doc_id"))
     }),
     "q_quality_c4" -> ((s, dir) => {
       // C4 line/page rules over a synthesized multi-line page (the corpus
@@ -3862,7 +3718,6 @@ object SparkEntry {
         .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
           col("has_brace"), col("has_lorem"), col("n_sentences"),
           col("c4_keep"), col("c4_text"))
-        .orderBy(col("doc_id"))
     }),
     "q_filter_url" -> ((s, dir) => {
       // URL/domain provenance gate over derived URLs: blocklist domains
@@ -3881,7 +3736,6 @@ object SparkEntry {
           allowedTlds = Seq("com", "org", "net"))
         .select(col("doc_id"), col("host"), col("tld"),
           col("domain_blocked"), col("tld_allowed"), col("url_keep"))
-        .orderBy(col("doc_id"))
     }),
     "q_text_normalize" -> ((s, dir) => {
       // ftfy-lite canonicalization over deliberately-messy derivations:
@@ -3892,7 +3746,6 @@ object SparkEntry {
         lit("  \ttabs  "), substring(col("text"), 1, 40), lit(" end"))
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextStats.normalizeText(messy).as("norm"))
-        .orderBy(col("doc_id"))
     }),
     "q_corpus_stats" -> ((s, dir) => {
       // the dataset-card one-rower: totals, token quantiles, dimension
@@ -3912,7 +3765,7 @@ object SparkEntry {
         .unionByName(docs.where(col("doc_id") >= 400))
       pipeline.Dedup.bloomNewContent(corpus, incoming, "text", "doc_id",
           expectedItems = 1000L)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id"))
     }),
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDeDup with the label column as the cluster assignment — the
@@ -3921,7 +3774,6 @@ object SparkEntry {
       pipeline.Dedup.semanticDedup(tbl(s, dir, "embeddings"),
           "vec_id", "embedding", "label", threshold = 0.3)
         .select(col("vec_id"), col("label"), col("dup_of"), col("is_dup"))
-        .orderBy(col("vec_id"))
     }),
     "q_dedup_semantic_kmeans" -> ((s, dir) => {
       // the paper-faithful composition: spherical k-means clusters feed
@@ -3934,7 +3786,6 @@ object SparkEntry {
       pipeline.Dedup.semanticDedup(assigned,
           "vec_id", "embedding", "list_id", threshold = 0.3)
         .select(col("vec_id"), col("list_id"), col("is_dup"))
-        .orderBy(col("vec_id"))
     }),
     "q_dedup_semantic_escape" -> ((s, dir) => {
       // the ESCAPE-path twin of q_dedup_semantic, in the threshold regime
@@ -3957,7 +3808,6 @@ object SparkEntry {
       try pipeline.Dedup.semanticDedup(emb.unionByName(copies),
           "vec_id", "embedding", "label", threshold = 0.95)
         .select(col("vec_id"), col("label"), col("dup_of"), col("is_dup"))
-        .orderBy(col("vec_id"))
       finally s.conf.unset("graft.semdedup.escapeAt")
     }),
     "q_text_tokens" -> ((s, dir) => {
@@ -3965,12 +3815,10 @@ object SparkEntry {
         .select(col("doc_id"),
           TextStats.tokenCount(col("text")).as("n_ws_tokens"),
           TextStats.bpeishTokenCount(col("text")).as("n_bpeish"))
-        .orderBy(col("doc_id"))
     }),
     "q_text_fingerprint" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
     }),
     "q_train_split" -> ((s, dir) => {
       // deterministic 80/10/10 split: the three splits form a disjoint
@@ -3983,25 +3831,21 @@ object SparkEntry {
         .reduce(_ unionAll _)
         .groupBy(col("l_orderkey"), col("l_linenumber"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
     "q_text_entropy" -> ((s, dir) => {
       // token-frequency Shannon entropy — boilerplate/repetition signal
       TextStats.tokenEntropy(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id"))
     }),
     "q_text_unigram_nll" -> ((s, dir) => {
       // corpus-unigram-LM cross-entropy — the CCNet-style LM quality
       // signal's unigram approximation (high = rare-token-heavy)
       TextStats.unigramLogLoss(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id"))
     }),
     "q_text_bigram_nll" -> ((s, dir) => {
       // corpus-bigram conditional cross-entropy — one order up from the
       // unigram NLL toward KenLM-style perplexity filtering (high = token
       // salad the unigram stats miss)
       TextStats.bigramLogLoss(tbl(s, dir, "documents"), "text", "doc_id")
-        .orderBy(col("doc_id"))
     }),
     "q_text_bigram_nll_store" -> ((s, dir) => {
       // store-served twin of q_text_bigram_nll (the CCNet shape at
@@ -4015,7 +3859,6 @@ object SparkEntry {
       pipeline.TextStats.bigramLogLossFromStore(
           tbl(s, dir, "documents"), "text", "doc_id", path)
         .select(col("doc_id"), col("bigram_nll"))
-        .orderBy(col("doc_id"))
     }),
     "q_bigram_lm_append" -> ((s, dir) => {
       // incremental LM maintenance: build the store from half the corpus,
@@ -4031,14 +3874,12 @@ object SparkEntry {
       pipeline.TextStats.bigramLogLossFromStore(
           tbl(s, dir, "documents"), "text", "doc_id", path)
         .select(col("doc_id"), col("bigram_nll"))
-        .orderBy(col("doc_id"))
     }),
     "q_text_dup_ngrams" -> ((s, dir) => {
       // corpus-wide duplicate 3-gram fraction — the RefinedWeb/Dolma
       // boilerplate signal (fraction of the doc's gram instances whose
       // exact text occurs >= 2 times anywhere in the corpus)
       TextStats.dupNgramFraction(tbl(s, dir, "documents"), "text", "doc_id", 3)
-        .orderBy(col("doc_id"))
     }),
     "q_text_dup_ngrams_store" -> ((s, dir) => {
       // store-served twin of q_text_dup_ngrams (same oracle): the corpus
@@ -4050,7 +3891,6 @@ object SparkEntry {
       }
       pipeline.TextStats.dupNgramFractionFromStore(
           tbl(s, dir, "documents"), "text", "doc_id", 3, path)
-        .orderBy(col("doc_id"))
     }),
     "q_ngram_store_append" -> ((s, dir) => {
       // half-corpus build + half-corpus append must serve exactly like a
@@ -4063,7 +3903,6 @@ object SparkEntry {
       }
       pipeline.TextStats.dupNgramFractionFromStore(
           tbl(s, dir, "documents"), "text", "doc_id", 3, path)
-        .orderBy(col("doc_id"))
     }),
     "q_ngram_store_subtract" -> ((s, dir) => {
       // the store that FORGETS (r13): doc-keyed gram ledger, delete a
@@ -4081,7 +3920,6 @@ object SparkEntry {
       pipeline.TextStats.dupNgramFractionFromKeyedStore(
           tbl(s, dir, "documents").where(col("doc_id") % 7 =!= 0),
           "text", "doc_id", 3, path)
-        .orderBy(col("doc_id"))
     }),
     "q_bigram_lm_subtract" -> ((s, dir) => {
       // the LM that FORGETS (r13): subtract deleted docs' bigrams by key;
@@ -4097,12 +3935,10 @@ object SparkEntry {
           tbl(s, dir, "documents").where(col("doc_id") % 7 =!= 0),
           "text", "doc_id", path)
         .select(col("doc_id"), col("bigram_nll"))
-        .orderBy(col("doc_id"))
     }),
     "q_text_keywords" -> ((s, dir) => {
       // per-doc top-3 TF-IDF keywords, deterministic tie-break on token
       TextStats.keywords(tbl(s, dir, "documents"), "text", "doc_id", 3)
-        .orderBy(col("doc_id"), col("rank"))
     }),
 
     // ---- north star: multimodal plumbing ----
@@ -4110,14 +3946,13 @@ object SparkEntry {
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "text", "image", "raw")
       media.select(col("doc_id"), col("meta.kind").as("kind"),
           col("meta.n_bytes").as("n_bytes"))
-        .orderBy(col("doc_id"))
     }),
     "q_multimodal_decode" -> ((s, dir) => {
       // batched stub decode over the binary column (mapPartitions): the
       // stub checksum is SQL-expressible, so the whole batched path —
       // binary cast, partition iteration, feature struct — is oracle-checked
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "text", "image", "raw")
-      Multimodal.extractFeatures(media, "doc_id").orderBy(col("id"))
+      Multimodal.extractFeatures(media, "doc_id")
     }),
     "q_multimodal_decode_real" -> ((s, dir) => {
       // REAL image decode through the oracle: construct a valid PNG header
@@ -4132,14 +3967,12 @@ object SparkEntry {
       Multimodal.extractFeatures(png, "doc_id")
         .select(col("id"), col("n_bytes"), col("format"),
           col("width"), col("height"))
-        .orderBy(col("id"))
     }),
     "q_multimodal_frames" -> ((s, dir) => {
       // frame-sample plumbing: opaque payload → (id, frame_idx, byte_offset)
       // rows, every 4th 256-byte frame (stub demux = length arithmetic)
       val media = Multimodal.asMedia(tbl(s, dir, "documents"), "text", "video", "raw")
       Multimodal.frameSample(media, "doc_id", frameBytes = 256L, stride = 4)
-        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // ---- streaming-shaped (S1 batch equivalent) ----
@@ -4148,7 +3981,6 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
-        .orderBy(col("hour_start"), col("event_type"))
     }),
     "q_sessionize" -> ((s, dir) => {
       // gap-based sessionization (30 min) — the batch twin of the
@@ -4162,7 +3994,6 @@ object SparkEntry {
         .select(col("user_id"), col("session_seq"), col("n_events"),
           Tsx.micros(col("session_start")).as("session_start_us"),
           Tsx.micros(col("session_end")).as("session_end_us"))
-        .orderBy(col("user_id"), col("session_seq"))
     }),
 
     "q_session_window" -> ((s, dir) => {
@@ -4175,7 +4006,6 @@ object SparkEntry {
           Tsx.micros(col("session_start")).as("start_us"),
           Tsx.micros(col("session_end")).as("end_us"),
           col("n_events"))
-        .orderBy(col("user_id"), col("start_us"))
     }),
 
     // ---- north star: corpus curation (decontamination, PII, mixing, packing) ----
@@ -4186,7 +4016,6 @@ object SparkEntry {
       val bench = docs.where(col("doc_id") % 50 === 0)
       val train = docs.where(col("doc_id") % 50 =!= 0)
       Curate.contaminationReport(train, bench, "text", "doc_id", n = 4)
-        .orderBy(col("doc_id"))
     }),
     "q_curate_spans" -> ((s, dir) => {
       // span-granular decontamination: WHERE the benchmark leaked into each
@@ -4196,7 +4025,6 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       Curate.contaminationSpans(docs.where(col("doc_id") % 50 =!= 0),
           docs.where(col("doc_id") % 50 === 0), "text", "doc_id", n = 4)
-        .orderBy(col("doc_id"), col("span_start"))
     }),
     "q_pii_redact" -> ((s, dir) => {
       // the gate tables carry no real PII, so build a deterministic contact
@@ -4220,7 +4048,6 @@ object SparkEntry {
       Curate.piiReport(c.select(col("c_custkey"), note.as("note")), "note")
         .select(col("c_custkey"), col("n_emails"), col("n_phones"), col("n_ips"),
           col("redacted"))
-        .orderBy(col("c_custkey"))
     }),
     "q_domain_mix" -> ((s, dir) => {
       // per-source sampling plan toward a 1400-token budget per domain.
@@ -4231,7 +4058,6 @@ object SparkEntry {
       Curate.mixPlan(tbl(s, dir, "documents"), "source", "text", targetTokens = 1400L)
         .select(col("source"), col("n_docs"), col("n_tokens"),
           floor(col("keep_frac") * 10000).as("keep_frac_x1e4"))
-        .orderBy(col("source"))
     }),
     "q_sample_stratified" -> ((s, dir) => {
       // disjoint-cover check (the q_train_split pattern): kept ∪ complement
@@ -4243,7 +4069,6 @@ object SparkEntry {
       val dropped = docs.join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
       kept.select(col("doc_id")).unionAll(dropped.select(col("doc_id")))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        .orderBy(col("doc_id"))
     }),
     "q_split_leakage_safe" -> ((s, dir) => {
       // property oracle: every verified near-dup pair must land on ONE
@@ -4261,7 +4086,6 @@ object SparkEntry {
         .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           (col("split_a") === col("split_b")).as("co_split"))
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_curate_corpus" -> ((s, dir) => {
       // the full curation pipeline end-to-end: near-dup removal → quality
@@ -4272,13 +4096,12 @@ object SparkEntry {
       val train = docs.where(col("doc_id") % 50 =!= 0)
       Curate.curateCorpus(train, bench, "text", "doc_id",
           minTokens = 20, maxMeanTokLen = 8.0, minStopwordRatio = 0.05, n = 4)
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id"))
     }),
     "q_text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals: bigram top/dup fractions from the
       // native one-pass expression (narrow projection, no gram shuffle)
       TextStats.repetitionMetrics(tbl(s, dir, "documents"), "text", "doc_id", n = 2)
-        .orderBy(col("doc_id"))
     }),
     "q_multimodal_patches" -> ((s, dir) => {
       // ViT patch planning: 16x16 grid cover over derived dims, edge
@@ -4290,7 +4113,6 @@ object SparkEntry {
       pipeline.Multimodal.patchify(dims, "doc_id", "w", "h", p = 16)
         .select(col("doc_id"), col("patch_id"), col("x0"), col("y0"),
           col("pw"), col("ph"))
-        .orderBy(col("doc_id"), col("patch_id"))
     }),
     "q_decontaminate_semantic" -> ((s, dir) => {
       // embedding-space decontamination: train rows within 0.3 cosine of
@@ -4299,13 +4121,12 @@ object SparkEntry {
       val bench = emb.where(col("vec_id") % 50 === 0)
       val train = emb.where(col("vec_id") % 50 =!= 0)
       pipeline.Curate.decontaminateSemantic(train, bench, "embedding", 0.3)
-        .select(col("vec_id")).orderBy(col("vec_id"))
+        .select(col("vec_id"))
     }),
     "q_pack_sequences" -> ((s, dir) => {
       // greedy shard layout: ~500-token shards per source, id order
       Curate.packSequences(tbl(s, dir, "documents"), "doc_id", "source", "text",
           budgetTokens = 500L)
-        .orderBy(col("source"), col("doc_id"))
     }),
     "q_agg_time_series" -> ((s, dir) => {
       // TSDB time_series agg: one bucket per (event_type, host) series
@@ -4331,7 +4152,6 @@ object SparkEntry {
       val pts = geoPoints(tbl(s, dir, "customer"))
       Search.mvtHits(pts, "loc", 2, 2, 1)
         .select(col("doc_id"), col("px"), col("py"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_mvt_grid" -> ((s, dir) => {
       // _mvt aggs layer: the same tile bucketed on the 2^8×2^8 MVT cell
@@ -4351,7 +4171,6 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("event_type"))
       val existing = Indexer.latestPerKey(before, "user_id", Seq("event_id"))
       Indexer.upsertVersioned(existing, after, "user_id", "event_id", "external")
-        .orderBy(col("user_id"))
     }),
     "q_upsert_cas" -> ((s, dir) => {
       // ES if_seq_no compare-and-set: per-user stored seq = count of
@@ -4365,7 +4184,6 @@ object SparkEntry {
       val batch = ev.where(col("ts") >= cutoff).groupBy(col("user_id"))
         .agg(count(lit(1)).as("seq"), max(col("event_type")).as("etype"))
       Indexer.upsertVersioned(store, batch, "user_id", "seq", "cas")
-        .orderBy(col("user_id"))
     }),
     "q_upsert_scripted" -> ((s, dir) => {
       // ES scripted_upsert counter pattern: cnt += params.cnt on update,
@@ -4380,7 +4198,6 @@ object SparkEntry {
       Indexer.scriptedUpsert(store, batch, "user_id",
           scripts = Map("cnt" -> "ctx.cnt + params.cnt"),
           upsertDefaults = Map("cnt" -> 0L))
-        .orderBy(col("user_id"))
     }),
     "q_upsert_scripted_dup" -> ((s, dir) => {
       // duplicate-key bulk: one op per (user, day) after the cutoff — ES
@@ -4398,7 +4215,6 @@ object SparkEntry {
           scripts = Map("cnt" -> "ctx.cnt + params.cnt"),
           upsertDefaults = Map("cnt" -> 0L),
           orderCols = Seq("day"))
-        .orderBy(col("user_id"))
     }),
     "q_admin_search_shards" -> ((s, dir) => {
       // _search_shards routing table: 8 disjoint complete signed-64 token
@@ -4414,7 +4230,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "events"), q,
           IndexConfig(maxResults = 100000), Seq("event_id"))
         .select(col("event_id"), col("s2"))
-        .orderBy(col("event_id"))
     }),
     "q_search_geo_grid" -> ((s, dir) => {
       // geo_grid query: docs inside ONE named geotile cell — the same
@@ -4424,7 +4239,7 @@ object SparkEntry {
           """{"query": {"geo_grid": {"loc": {"geotile": "3/2/1"}}},
             "size": 100000}""",
           IndexConfig(maxResults = 100000), Seq("doc_id"))
-        .select(col("doc_id")).orderBy(col("doc_id"))
+        .select(col("doc_id"))
     }),
     "q_agg_composite_missing" -> ((s, dir) => {
       // composite with missing_bucket: docs whose dimension is null form
@@ -4452,7 +4267,6 @@ object SparkEntry {
       // levenshtein verification (dist <= 5)
       Dedup.editDistancePairs(tbl(s, dir, "documents"), "text", "doc_id",
           maxDist = 5)
-        .orderBy(col("id_a"), col("id_b"))
     }),
     "q_contrastive_pairs" -> ((s, dir) => {
       // CLIP-style pair table: every doc paired with its own caption plus
@@ -4463,7 +4277,6 @@ object SparkEntry {
           negatives = 3, seed = 11L)
         .select(col("doc_id"), col("pair_j"), col("is_positive"),
           col("caption"))
-        .orderBy(col("doc_id"), col("pair_j"))
     }),
     "q_strip_boilerplate" -> ((s, dir) => {
       // cross-document boilerplate: per-source header/footer lines wrap
@@ -4474,14 +4287,12 @@ object SparkEntry {
           col("text"), lit("\nFOOTER")))
       Curate.stripBoilerplate(d, "doc_id", "text", "source", minDocs = 5L)
         .select(col("doc_id"), col("text_clean"), col("n_boiler"))
-        .orderBy(col("doc_id"))
     }),
     "q_quality_classifier" -> ((s, dir) => {
       // hashed-feature linear classifier: unigram+bigram features,
       // md5-bucket weights, integer-exact logit sum
       TextStats.classifierLogit(tbl(s, dir, "documents"), "text")
         .select(col("doc_id"), col("w_sum"), col("n_feats"))
-        .orderBy(col("doc_id"))
     }),
     "q_augment_mask" -> ((s, dir) => {
       // masked-LM augmentation: deterministic 15% token masking, seed 7
@@ -4489,7 +4300,6 @@ object SparkEntry {
           pct = 15, seed = 7L)
         .select(col("doc_id"), col("masked_text"),
           array_join(col("targets"), ",").as("targets"))
-        .orderBy(col("doc_id"))
     }),
     "q_search_date_math" -> ((s, dir) => {
       // ES date math in range bounds, pinned now (engine extension: the
@@ -4501,7 +4311,6 @@ object SparkEntry {
       Search.search(tbl(s, dir, "events"), q,
           IndexConfig(maxResults = 100000), Seq("event_id"))
         .select(col("event_id"), col("user_id"), col("event_type"))
-        .orderBy(col("event_id"))
     }),
     "q_train_shuffle" -> ((s, dir) => {
       // deterministic global shuffle: order = md5(id ‖ seed), realized as

@@ -344,6 +344,49 @@ case class GramRepetition(child: Expression, n: Int)
   * exact gram text (the same candidates-then-verify discipline as
   * MinHash-LSH), so a collision costs a false candidate, never a wrong
   * result. */
+/** Word n-grams of a token array as space-joined strings, duplicates KEPT
+  * (instance multiplicity is the datum for the counting relations —
+  * unlike [[WordShingles]], which dedups). Matches the declarative
+  * `transform(sequence(1, size − n + 1), i → array_join(slice(toks, i, n),
+  * " "))` exactly, including the empty array below n tokens — but as a
+  * one-pass kernel over the token array CHILD, which is evaluated once
+  * per row. The declarative form re-evaluated the child expression per
+  * element (interpreted higher-order lambdas), so an inline tokenizer ran
+  * once per gram — quadratic in doc length (r14: the whole
+  * n-gram/bigram-LM relation family paid this on every corpus pass). */
+case class WordGrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "gram width must be >= 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val len = toks.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[AnyRef])
+    val windows = len - n + 1
+    val out = new Array[AnyRef](windows)
+    if (n == 1) {
+      var i = 0
+      while (i < windows) { out(i) = toks.getUTF8String(i); i += 1 }
+    } else {
+      val sep = UTF8String.fromString(" ")
+      val slot = new Array[UTF8String](n)
+      var i = 0
+      while (i < windows) {
+        var j = 0
+        while (j < n) { slot(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(sep, slot: _*)
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordGrams = copy(child = c)
+  override def prettyName: String = "word_grams"
+}
+
 case class GramHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n >= 1, "gram width must be >= 1")
@@ -462,6 +505,8 @@ object TextSketchFunctions {
     Bridge.column(HistL1(Bridge.expression(a), Bridge.expression(b)))
   def word_shingles(toks: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(toks), k))
+  def word_grams(toks: Column, n: Int): Column =
+    Bridge.column(WordGrams(Bridge.expression(toks), n))
   def gram_hashes(toks: Column, n: Int): Column =
     Bridge.column(GramHashes(Bridge.expression(toks), n))
   def gram_repetition(toks: Column, n: Int): Column =

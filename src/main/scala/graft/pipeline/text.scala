@@ -178,15 +178,18 @@ object TextStats {
   }
 
   /** Word n-grams of a token-array column as an array of space-joined
-    * strings — a pure array expression (no window, no explode here): the
-    * doc's gram list never leaves its row until the caller explodes it.
-    * Empty when the doc has fewer than `n` tokens (Spark's `sequence`
-    * DESCENDS when stop < start, so the guard is load-bearing). */
+    * strings — the native one-pass kernel ([[graft.functions.WordGrams]]):
+    * the doc's gram list never leaves its row until the caller explodes
+    * it, and the token-array child (usually an inline regex tokenizer) is
+    * evaluated ONCE per row. The previous declarative form
+    * (`transform(sequence(...), i => array_join(slice(toks, i, n), " "))`)
+    * re-evaluated `toks` per element — interpreted higher-order lambdas
+    * re-run child expressions per gram, so every corpus pass re-split each
+    * doc's text O(tokens) times (r14: q_text_bigram_nll 11.1 → 1.3 s,
+    * q_text_dup_ngrams 9.8 → 1.1 s at sf0.1). Empty when the doc has
+    * fewer than `n` tokens. */
   private def wordGrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array())
+    graft.functions.TextSketchFunctions.word_grams(toks, n)
 
   /** Corpus-wide duplicate n-gram fraction — the RefinedWeb/Dolma-style
     * "massive web duplication" signal: for each doc, the fraction of its
@@ -339,14 +342,9 @@ object TextStats {
   /** Adjacent whitespace-token bigrams of a text column ("w1 w2" strings,
     * lowercased), the key relation shared by [[bigramLogLoss]] and the
     * bigram-LM store. Docs with < 2 tokens yield the empty array. */
-  private def wsBigramPairs(textCol: String): Column = {
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      x => length(x) > 0)
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - lit(1)),
-        i => array_join(slice(toks, i, lit(2)), " ")))
-      .otherwise(array())
-  }
+  private def wsBigramPairs(textCol: String): Column =
+    wordGrams(filter(split(lower(trim(col(textCol))), "\\s+"),
+      x => length(x) > 0), 2)
 
   /** Materialize the corpus bigram LM — the 100 TB shape behind
     * [[bigramLogLoss]] (and CCNet/KenLM-style perplexity filtering

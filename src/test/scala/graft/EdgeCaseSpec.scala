@@ -265,4 +265,32 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Maintain.analyzeChain("", "standard",
       Seq("lowercase", "stop", "stemmer")).isEmpty)
   }
+
+  test("r14: word_grams kernel matches the declarative transform/slice form " +
+       "— duplicates kept, short docs empty, n=1 identity") {
+    import graft.functions.TextSketchFunctions.word_grams
+    val docs = Seq(
+      ("a", "x y x y x"),          // duplicate bigrams must be KEPT
+      ("b", "one"),                // < n tokens -> empty
+      ("c", ""),                   // empty text
+      ("d", "  padded   spaces  here "),
+      ("e", "\u00e9l\u00e8ve caf\u00e9 \u00e9l\u00e8ve")) // multi-byte UTF-8
+      .toDF("doc_id", "text")
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      x => length(x) > 0)
+    for (n <- Seq(1, 2, 3)) {
+      val declarative = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array())
+      val got = docs.select(col("doc_id"), word_grams(toks, n).as("g"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      val want = docs.select(col("doc_id"), declarative.as("g"))
+        .orderBy("doc_id").collect().map(_.getSeq[String](1))
+      assert(got.toSeq == want.toSeq, s"n=$n")
+    }
+    // null text stays null-safe (yields no grams downstream of explode)
+    val withNull = Seq(("n", null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(withNull.select(explode(word_grams(toks, 2))).count() == 0)
+  }
 }

@@ -4077,8 +4077,13 @@ object SparkEntry {
       // the split separates hash-mismatches.
       val docs = tbl(s, dir, "documents")
       // ONE pair pass feeds both the split and the invariant check — the
-      // pipeline shape leakageSafeSplitFromPairs exists for
+      // pipeline shape leakageSafeSplitFromPairs exists for. The pair set
+      // appears in THREE plan subtrees (the clusters probe and both
+      // invariant joins); persisting the tiny id-pair frame keeps the
+      // LSH verify join from re-running per subtree (r14; worst case
+      // under LRU eviction is recompute, never wrong results)
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       val split = Curate.leakageSafeSplitFromPairs(docs, pairs, "doc_id",
         Seq(0.8, 0.1, 0.1), seed = 7L)
       pairs

@@ -144,7 +144,10 @@ object Indexer {
     val payload =
       if (insertAction) docJson
       else concat(lit("""{"doc":"""), docJson, lit(""","doc_as_upsert":true}"""))
-    docs.select(col("doc_id"), concat(action, lit("\n"), payload).as("bulk"))
+    // per-row Jackson serialization dominates bytes: raise the scan floor
+    // (guide §2.5) so single-row-group inputs don't serialize one task
+    graft.pipeline.Spread.scanFloor(docs, col("doc_id"))
+      .select(col("doc_id"), concat(action, lit("\n"), payload).as("bulk"))
   }
 
   /** S-source inverse of [[toBulkNdjson]]: parse ES bulk-API NDJSON back

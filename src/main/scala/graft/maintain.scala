@@ -417,7 +417,10 @@ object Maintain {
     * is cleared LAST: a crash at any point leaves every remaining
     * tombstone still filtering at serve time (already-swapped partitions
     * anti-join to a no-op), so serving is correct through any prefix of
-    * the compaction. Same single-writer-per-store contract as
+    * the compaction EXCEPT the instant between one list's two swap
+    * renames — a crash there hides that single list's live rows until the
+    * next compactAnnIndex run restores the `.compact_old_*` aside copy
+    * (entry-time recovery below). Same single-writer-per-store contract as
     * [[compactSegments]]. Returns (rows physically removed, partitions
     * rewritten); (0, 0) with the sidecar cleared when the tombstones
     * matched nothing. */
@@ -428,6 +431,26 @@ object Maintain {
     val cellsRoot = new Path(s"$path/cells")
     val delDir = new Path(s"$path/deletes")
     val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Crash recovery from a previous compaction's per-list swap (r14
+    // ADVICE): the swap renames the live partition ASIDE before renaming
+    // the staged one in, so a crash between the two renames leaves that
+    // list's pre-compact rows at `.compact_old_list_id=N` with no live
+    // `list_id=N`. Restore the aside copy (its tombstones are still in
+    // the sidecar — the sidecar clears LAST — so serving stays correct);
+    // an aside dir WITH a live partition means the swap completed and the
+    // aside is stale: drop it. A leftover `.compact_tmp` is all-staged,
+    // uncommitted work from before any swap — safe to discard wholesale.
+    fs.listStatus(cellsRoot) match {
+      case null => ()
+      case st => st.filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".compact_old_")).foreach { s =>
+        val live = new Path(cellsRoot, s.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(live))
+          require(fs.rename(s.getPath, live),
+            s"failed to restore ${s.getPath} to $live after a crashed compaction")
+        else fs.delete(s.getPath, true)
+      }
+    }
     if (!graft.pipeline.Ivf.hasDataFiles(spark, delDir.toString)) return (0L, 0)
     val dels = spark.read.parquet(delDir.toString).select(col(idCol)).distinct()
     val cells = spark.read.parquet(cellsRoot.toString)
@@ -451,9 +474,18 @@ object Maintain {
       val staged = new Path(tmp, s"list_id=$l")
       // a fully-tombstoned list stages no output dir — swap in an empty one
       if (!fs.exists(staged)) fs.mkdirs(staged)
-      require(fs.delete(dir, true), s"failed to delete $dir before swap")
+      // rename-aside swap (r14 ADVICE): the old delete-then-rename pair
+      // left a crash window where the list's survivors existed only under
+      // the dot-prefixed staging dir (invisible to parquet readers). Now
+      // the live partition is renamed aside first and deleted only after
+      // the staged rename lands; the entry-time recovery above repairs
+      // the one remaining (rename, rename) window on the next run.
+      val aside = new Path(cellsRoot, s".compact_old_list_id=$l")
+      fs.delete(aside, true)
+      require(fs.rename(dir, aside), s"failed to set aside $dir before swap")
       require(fs.rename(staged, dir),
-        s"failed to swap $staged into $dir — data preserved in $staged")
+        s"failed to swap $staged into $dir — pre-compact data preserved at $aside")
+      fs.delete(aside, true)
     }
     fs.delete(tmp, true)
     fs.delete(delDir, true)
@@ -602,16 +634,6 @@ object Maintain {
       .sortWithinPartitions("_zorder")
   }
 
-  /** M12 analog: PER-SEGMENT statistics frame — the per-index numbers the
-    * reference exposes over JMX (reference: monitor/EsJmxBridge.java:48-141
-    * publishes doc count / store size / field presence per ES index; one
-    * index = one segment here). `docs` (row count), `store_bytes` (string
-    * payload size — the dominant store cost), and a `docs_<field>`
-    * non-null count per column, for EVERY segment in ONE
-    * partial-aggregated pass: counts and sums map-side combine, so the
-    * shuffle carries one partial row per (task, segment) — never a
-    * per-segment job or scan, which is what makes the surface usable on a
-    * store with thousands of segments at 100 TB. */
   /** M12-analog observability for a materialized ANN index: one row of
     * store health — list count and CELL-BALANCE (an IVF list holding a
     * disproportionate share of the corpus is the ANN skew problem: its
@@ -648,6 +670,16 @@ object Maintain {
         lit(version.map(_.toLong).getOrElse(-1L)).as("version"))
   }
 
+  /** M12 analog: PER-SEGMENT statistics frame — the per-index numbers the
+    * reference exposes over JMX (reference: monitor/EsJmxBridge.java:48-141
+    * publishes doc count / store size / field presence per ES index; one
+    * index = one segment here). `docs` (row count), `store_bytes` (string
+    * payload size — the dominant store cost), and a `docs_<field>`
+    * non-null count per column, for EVERY segment in ONE
+    * partial-aggregated pass: counts and sums map-side combine, so the
+    * shuffle carries one partial row per (task, segment) — never a
+    * per-segment job or scan, which is what makes the surface usable on a
+    * store with thousands of segments at 100 TB. */
   def segmentStats(docs: DataFrame, segmentCol: String = "segment"): DataFrame = {
     require(docs.columns.contains(segmentCol),
       s"segment column '$segmentCol' not in the frame")

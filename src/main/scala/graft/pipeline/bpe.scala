@@ -40,7 +40,7 @@ object Bpe {
     val spark = df.sparkSession
     import spark.implicits._
     // the one distributed pass: word frequencies, frequency-capped
-    val wordRows: Array[(String, Long)] = df
+    val wordRows: Array[(String, Long)] = Spread.scanFloor(df, col(textCol))
       .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         x => length(x) > 0)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -168,7 +168,7 @@ object Bpe {
     val rules = merges.select("rank", "left", "right")
       .collect().sortBy(_.getInt(0))
       .map(r => (r.getString(1), r.getString(2))).toSeq
-    val words = df
+    val words = Spread.scanFloor(df, col(textCol))
       .select(explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         x => length(x) > 0)).as("w"))
       .distinct()
@@ -213,7 +213,8 @@ object Bpe {
     val wordEnc = encode(df, textCol, merges) // distinct words of df only
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
-    val exploded = df.select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
+    val exploded = Spread.scanFloor(df, col(idCol))
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
     val assembled = exploded
       .join(broadcast(wordEnc), "w")
       .select(col(idCol), col("pos"),
@@ -252,7 +253,8 @@ object Bpe {
       .select(col("tok"), (col("_vrank") - 1).cast("int").as("tid"))
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
-    val exploded = df.select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
+    val exploded = Spread.scanFloor(df, col(idCol))
+      .select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
     val assembled = exploded
       .join(broadcast(wordEnc), "w")
       .select(col(idCol), col("pos"),

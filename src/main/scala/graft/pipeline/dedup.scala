@@ -26,7 +26,8 @@ object Dedup {
     * The fingerprint is [[TextStats.fingerprint]] (one shared definition of
     * "same content": lowercased, whitespace-collapsed). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+    Spread.scanFloor(df, col(idCol))
+      .groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Word k-shingles (contiguous k-grams) of a token-array column.
@@ -76,8 +77,9 @@ object Dedup {
     // three times. At 100 TB the real pattern is a materialized (id, sketch)
     // store written once; the cache is the single-job analog (LRU-evicted,
     // so worst case degrades to recompute, never fails).
-    val shingled = df.select(col(idCol).as("id"),
-      word_shingles(tokens(col(textCol)), shingleK).as("sh"))
+    val shingled = Spread.scanFloor(df, col(idCol))
+      .select(col(idCol).as("id"),
+        word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .cache()
     val sketches = shingled.select(col("id"), col("sh"),
       minhash_sig(col("sh"), numHashes).as("sig"))
@@ -93,7 +95,8 @@ object Dedup {
   def writeSketchStore(df: DataFrame, path: String, textCol: String, idCol: String,
                        shingleK: Int = 3, numHashes: Int = 32): Unit = {
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
-    df.select(col(idCol).as("id"),
+    Spread.scanFloor(df, col(idCol))
+      .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
       .write.mode("overwrite").parquet(path)
@@ -151,7 +154,8 @@ object Dedup {
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    val fresh = newDocs.select(col(idCol).as("id"),
+    val fresh = Spread.scanFloor(newDocs, col(idCol))
+      .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
       .cache()
@@ -333,7 +337,8 @@ object Dedup {
     * per row ([[graft.functions.SimHash64]]): no explode, no shuffle. */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import graft.functions.TextSketchFunctions.simhash64
-    df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
+    Spread.scanFloor(df, col(idCol))
+      .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
   }
 
   /** Shuffle note: unlike the embedding-LSH paths (which shuffle ids only
@@ -383,8 +388,13 @@ object Dedup {
     // only docs with at least one near-dup). Below the threshold a
     // driver-side union-find beats ~5 Spark stages per propagation round
     // by two orders of magnitude; above it, the distributed loop takes over.
-    val pairCount = pairs.count()
-    if (pairCount <= driverThreshold) return clustersLocal(pairs)
+    // ONE bounded collect makes the decision AND feeds the local path —
+    // the previous count()-then-collect() pair executed the (expensive)
+    // pair pipeline twice; threshold+1 rows of two ids bound the driver
+    // cost at ~50 MB, far under any realistic pair payload (r14).
+    val probeCap = math.min(driverThreshold, Int.MaxValue - 2L).toInt + 1
+    val probe = pairs.select(col("id_a"), col("id_b")).limit(probeCap).collect()
+    if (probe.length < probeCap) return clustersLocal(pairs, probe)
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .cache()
@@ -430,11 +440,12 @@ object Dedup {
 
   /** Driver-side union-find (path compression + size union) with a min-id
     * pass so every member labels to its cluster's smallest id. Exact same
-    * contract as the distributed loop. */
-  private def clustersLocal(pairs: DataFrame): DataFrame = {
+    * contract as the distributed loop. `edges` is the already-collected
+    * pair set ([[clusters]]'s decision probe — collected once, used once). */
+  private def clustersLocal(pairs: DataFrame,
+                            edges: Array[org.apache.spark.sql.Row]): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema("id_a").dataType
-    val edges = pairs.select(col("id_a"), col("id_b")).collect()
     val parent = scala.collection.mutable.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var root = x
@@ -525,7 +536,8 @@ object Dedup {
     require(n >= 1, "window width must be >= 1")
     require(minCount >= 2, "minCount below 2 would mark every window")
     import graft.functions.TextSketchFunctions.gram_hashes
-    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val toks = Spread.scanFloor(df, col(idCol))
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
     val windows = toks
       .select(col("id"), posexplode(gram_hashes(col("tk"), n)))
       .select(col("id"), (col("pos") + 1).as("st"), col("col").as("h"))
@@ -972,7 +984,8 @@ object Dedup {
     //    (24× fewer on the scale corpus), and only the survivors re-join
     //    the text for the O(len·maxDist) levenshtein verification — the
     //    same candidates-then-verify shape as the LSH paths.
-    val base = df.select(col(idCol).as("id"),
+    val base = Spread.scanFloor(df, col(idCol))
+      .select(col(idCol).as("id"),
       length(col(textCol)).as("len"),
       floor(length(col(textCol)) / lit(bucketWidth)).as("b"),
       char_hist(col(textCol)).as("h"))

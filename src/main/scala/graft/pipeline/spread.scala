@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scan-parallelism floor for pathologically-unsplittable inputs — the
+  * optimization guide's §2.5 "one huge unsplittable file (gzip), or a
+  * partitioned table where one partition holds most of the data …
+  * otherwise repartition immediately after the read", as a reusable,
+  * SCALE-ADAPTIVE helper.
+  *
+  * Parquet's split granularity is the row group: a table written as one
+  * row group (exactly how the bench fixtures arrive at every SF) scans as
+  * ONE task, so any operator whose per-row work dominates its byte size —
+  * gram explodes, shingle/MinHash sketching, JSON round-trips, hashed
+  * feature projections, BPE encoding — serializes on a single core while
+  * the other N−1 idle. The fix is one hash exchange of the narrow input
+  * right after the read, which costs the input's (small) bytes once and
+  * buys N-way parallelism for the compute above it.
+  *
+  * Adaptivity contract (the round rules forbid constants tuned for one
+  * deployment): the repartition fires ONLY when the frame's actual scan
+  * parallelism is below the session's default parallelism — on a healthy
+  * layout (row groups ≥ cores, i.e. any real corpus at scale) this is a
+  * no-op and plans are byte-identical. `graft.spread.floor` overrides the
+  * target (0 disables outright).
+  */
+object Spread {
+
+  /** Raise `df`'s partition count to the session's default parallelism by
+    * hash-repartitioning on `key` when (and only when) the underlying
+    * scan yields fewer partitions. `key` should be a stable, well-spread
+    * expression — a unique id column is ideal (hash partitioning on a
+    * deterministic key avoids round-robin's sort-before-repartition pass
+    * and stays correct under task retries, SPARK-38388). */
+  def scanFloor(df: DataFrame, key: Column): DataFrame = {
+    val sess = df.sparkSession
+    val floor = sess.conf.getOption("graft.spread.floor").map(_.toInt)
+      .getOrElse(sess.sparkContext.defaultParallelism)
+    if (floor <= 1) return df
+    // size gate: an exchange's fixed cost (task launch, tiny shuffle
+    // files) only amortizes with at least a few hundred KB to spread —
+    // toy inputs and unit-test literals must keep their narrow no-shuffle
+    // plans. Estimated plan stats, not an action.
+    val minBytes = sess.conf.getOption("graft.spread.minBytes").map(_.toLong)
+      .getOrElse(256L * 1024)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return df
+    val have = df.rdd.getNumPartitions
+    if (have >= floor) df else df.repartition(floor, key)
+  }
+}

@@ -24,7 +24,9 @@ object TextStats {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
-  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+  def qualityMetrics(df0: DataFrame, textCol: String): DataFrame = {
+    // per-row regex work dominates bytes — raise the scan floor (§2.5)
+    val df = Spread.scanFloor(df0, col(textCol))
     val t = col(textCol)
     val toks = filter(split(lower(trim(t)), "\\s+"), x => length(x) > 0)
     val stopArr = array(Stopwords.map(lit): _*)
@@ -163,7 +165,8 @@ object TextStats {
     * join, which AQE handles; nothing all-pairs, nothing windowed. Docs
     * with no tokens (null/empty) have no defined surprise and are absent,
     * like [[tokenEntropy]]. */
-  def unigramLogLoss(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def unigramLogLoss(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val df = Spread.scanFloor(df0, col(idCol))
     val toks = df.select(col(idCol),
       explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         x => length(x) > 0)).as("w"))
@@ -207,9 +210,10 @@ object TextStats {
     * text) rows — exact strings, because the output is oracle-exact, not
     * candidates-then-verify. Docs with < n tokens have no grams and are
     * absent, like [[tokenEntropy]]. */
-  def dupNgramFraction(df: DataFrame, textCol: String, idCol: String,
+  def dupNgramFraction(df0: DataFrame, textCol: String, idCol: String,
                        n: Int): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
+    val df = Spread.scanFloor(df0, col(idCol))
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
     val g = df.select(col(idCol), explode(wordGrams(toks, n)).as("g"))
@@ -265,7 +269,8 @@ object TextStats {
     }
   }
 
-  private def ngramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+  private def ngramCounts(df0: DataFrame, textCol: String, n: Int): DataFrame = {
+    val df = Spread.scanFloor(df0, col(textCol))
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
     df.select(explode(wordGrams(toks, n)).as("g"))
@@ -284,10 +289,11 @@ object TextStats {
     * internal repeats do NOT flag themselves the way an in-corpus count
     * would — append the batch first if self-inclusive counts are
     * wanted. */
-  def dupNgramFractionFromStore(df: DataFrame, textCol: String,
+  def dupNgramFractionFromStore(df0: DataFrame, textCol: String,
                                 idCol: String, n: Int,
                                 path: String): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
+    val df = Spread.scanFloor(df0, col(idCol))
     // scoring only asks cg >= 2, and a join MISS already scores 0, so
     // singleton grams — the dominant Zipf tail of the stored vocabulary —
     // are filtered at the scan (pushed to parquet row groups), identical
@@ -327,7 +333,8 @@ object TextStats {
     * distinct bigrams. Measured 17.3 s → 8.0 s at sf0.1; both count
     * tables are vocabulary-sized, so AQE broadcasts them into the scoring
     * join. */
-  def bigramLogLoss(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  def bigramLogLoss(df0: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val df = Spread.scanFloor(df0, col(idCol))
     val b = df.select(col(idCol), explode(wsBigramPairs(textCol)).as("bg"))
     val bigramC = b.groupBy("bg").agg(count(lit(1)).cast("double").as("cb"))
     val headC = bigramC
@@ -359,7 +366,8 @@ object TextStats {
     * phrase suggester — this one keeps [[bigramLogLoss]]'s whitespace
     * tokenization so served scores can equal the direct operator's). */
   def writeBigramLm(df: DataFrame, textCol: String, path: String): Unit =
-    df.select(explode(wsBigramPairs(textCol)).as("bg"))
+    Spread.scanFloor(df, col(textCol))
+      .select(explode(wsBigramPairs(textCol)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).cast("long").as("cb"))
       .sort("bg").write.mode("overwrite").parquet(path)
 
@@ -373,7 +381,8 @@ object TextStats {
     * [[graft.Search.appendSuggestStore]]. */
   def appendBigramLm(newDocs: DataFrame, textCol: String, path: String): Unit = {
     val spark = newDocs.sparkSession
-    val delta = newDocs.select(explode(wsBigramPairs(textCol)).as("bg"))
+    val delta = Spread.scanFloor(newDocs, col(textCol))
+      .select(explode(wsBigramPairs(textCol)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).cast("long").as("cb"))
     graft.Maintain.stagedRewrite(spark, path) { tmp =>
       spark.read.parquet(path).unionByName(delta)
@@ -402,7 +411,8 @@ object TextStats {
       .select(col("bg"), col("cb").cast("double").as("cb"))
     val headC = lm.withColumn("w1", split(col("bg"), " ").getItem(0))
       .groupBy("w1").agg(sum(col("cb")).as("ch"))
-    df.select(col(idCol), explode(wsBigramPairs(textCol)).as("bg"))
+    Spread.scanFloor(df, col(idCol))
+      .select(col(idCol), explode(wsBigramPairs(textCol)).as("bg"))
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(lm, Seq("bg"), "left")
       .join(headC, Seq("w1"), "left")
@@ -438,7 +448,8 @@ object TextStats {
 
   private def byDocCounts(df: DataFrame, idCol: String, gram: Column,
                           key: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(gram).as(key))
+    Spread.scanFloor(df, col(idCol))
+      .select(col(idCol).as("doc_id"), explode(gram).as(key))
       .groupBy(col("doc_id"), col(key))
       .agg(count(lit(1)).cast("long").as("c"))
 
@@ -485,11 +496,27 @@ object TextStats {
     // replay tolerance never becomes edit tolerance.
     val ledgerConverged = batchId.isDefined &&
       keyedLedgerHoldsBatch(spark, path, delta, key, what)
-    if (!ledgerConverged) {
-      graft.TextIndex.requireInsertOnly(spark, s"$path/bydoc",
-        delta.select(col("doc_id")).distinct(), what)
-      delta.write.mode("append").parquet(s"$path/bydoc")
+    if (ledgerConverged) {
+      // The ledger already holds exactly this batch's rows — either the
+      // true crash window (ledger append landed, agg merge didn't) or a
+      // content-identical re-send under a NEW batch id (checkpoint reset,
+      // caller re-submission). Merging the delta into agg again would
+      // double-count the second case silently (agg ≠ sum(ledger) with no
+      // error raised — r14 ADVICE): rebuild agg FROM the converged ledger
+      // instead, which is idempotent for both cases, then stamp this
+      // batch id so an exact same-id replay short-circuits.
+      if (graft.Maintain.readAppliedStamp(spark, s"$path/agg") != batchId)
+        graft.Maintain.stagedRewrite(spark, s"$path/agg") { tmp =>
+          spark.read.parquet(s"$path/bydoc")
+            .groupBy(col(key)).agg(sum(col("c")).cast("long").as(cnt))
+            .sort(key).write.parquet(tmp)
+          batchId.foreach(graft.Maintain.writeAppliedStamp(spark, tmp, _))
+        }
+      return
     }
+    graft.TextIndex.requireInsertOnly(spark, s"$path/bydoc",
+      delta.select(col("doc_id")).distinct(), what)
+    delta.write.mode("append").parquet(s"$path/bydoc")
     if (batchId.isDefined &&
         graft.Maintain.readAppliedStamp(spark, s"$path/agg") == batchId)
       return // replayed batch: the agg merge already landed
@@ -616,8 +643,9 @@ object TextStats {
     * unigram relations already produce. The ranking window partitions by
     * doc (bounded by the doc's distinct tokens — never the corpus-wide
     * WindowExec trap) and ties break on the token for determinism. */
-  def keywords(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+  def keywords(df0: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
+    val df = Spread.scanFloor(df0, col(idCol))
     val toks = df.select(col(idCol),
       explode(filter(split(lower(trim(col(textCol))), "\\s+"),
         x => length(x) > 0)).as("w"))
@@ -641,8 +669,9 @@ object TextStats {
     * expression — a narrow projection, unlike [[tokenEntropy]]'s exploded
     * aggregate, because gram cardinality per doc is O(doc length) and none
     * of it needs to cross an exchange. */
-  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String,
+  def repetitionMetrics(df0: DataFrame, textCol: String, idCol: String,
                         n: Int): DataFrame = {
+    val df = Spread.scanFloor(df0, col(idCol))
     val rep = graft.functions.TextSketchFunctions
       .gram_repetition(Dedup.tokens(col(textCol)), n)
     df.select(col(idCol), rep.as("rep"))
@@ -660,9 +689,10 @@ object TextStats {
     * a per-doc REPORT: one boolean column per rule plus the conjunction —
     * report form so rule hit rates stay auditable before anything is
     * dropped. One codegen'd projection, no shuffle. */
-  def qualityGopher(df: DataFrame, textCol: String,
+  def qualityGopher(df0: DataFrame, textCol: String,
                     minWords: Int = 50, maxWords: Int = 100000,
                     stops: Seq[String] = GopherStops): DataFrame = {
+    val df = Spread.scanFloor(df0, col(textCol))
     val t = col(textCol)
     val toks = Dedup.tokens(t)
     val nWords = size(toks)
@@ -703,7 +733,8 @@ object TextStats {
     * lorem-ipsum / curly-brace / sentence-count drops. `c4_text` is the
     * surviving-line join (the filtered page). Narrow projection, no
     * shuffle. */
-  def c4Report(df: DataFrame, textCol: String): DataFrame = {
+  def c4Report(df0: DataFrame, textCol: String): DataFrame = {
+    val df = Spread.scanFloor(df0, col(textCol))
     val t = col(textCol)
     val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
     val kept = filter(lines, l =>
@@ -754,9 +785,10 @@ object TextStats {
     * BIGINT — no float summation to drift) and `n_feats`; the mean logit
     * `w_sum / n_feats` is the score consumers threshold on. Pure array
     * expressions: no explode, no shuffle, one codegen'd projection. */
-  def classifierLogit(df: DataFrame, textCol: String,
+  def classifierLogit(df0: DataFrame, textCol: String,
                       buckets: Int = 4096): DataFrame = {
     require(buckets >= 2, "classifierLogit needs at least 2 buckets")
+    val df = Spread.scanFloor(df0, col(textCol))
     val toks = filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= "")
     val bigramLen = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(
@@ -782,9 +814,10 @@ object TextStats {
     * masked tokens replaced by `[MASK]` plus the recovery targets
     * (`pos:token`, 1-based, in order). Pure array expressions, no
     * shuffle; epoch re-draws are a seed change. */
-  def maskTokens(df: DataFrame, idCol: String, textCol: String,
+  def maskTokens(df0: DataFrame, idCol: String, textCol: String,
                  pct: Int = 15, seed: Long = 0L): DataFrame = {
     require(pct >= 0 && pct <= 100, s"pct must be 0..100, got $pct")
+    val df = Spread.scanFloor(df0, col(idCol))
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= "")
     def masked(i: Column): Column = {
       val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":"),

@@ -1327,11 +1327,13 @@ object Search {
     * adjacent-bigram counts, as plain aggregates — the build cost is one
     * corpus pass each, which is why [[writeSuggestStore]] exists. */
   private def lmUnigrams(docs: DataFrame, field: String): DataFrame =
-    docs.select(explode(analyzerTokens(col(field))).as("w"))
+    graft.pipeline.Spread.scanFloor(docs, col(field))
+      .select(explode(analyzerTokens(col(field))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
   private def lmBigrams(docs: DataFrame, field: String): DataFrame =
-    docs.select(analyzerTokens(col(field)).as("ts"))
+    graft.pipeline.Spread.scanFloor(docs, col(field))
+      .select(analyzerTokens(col(field)).as("ts"))
       .where(array_size(col("ts")) >= 2)
       .select(explode(expr("transform(sequence(1, array_size(ts) - 1), " +
         "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("b"))

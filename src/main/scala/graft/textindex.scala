@@ -94,8 +94,11 @@ object TextIndex {
     require(nBuckets > 0, "nBuckets must be positive")
     val segSel = segmentCol.map(col).toSeq
     val segNames = segmentCol.toSeq
+    // tokenize dominates bytes: raise the scan floor once (guide §2.5) so
+    // a single-row-group corpus doesn't tokenize on one task
+    val spreadDocs = graft.pipeline.Spread.scanFloor(docs, col(idCol))
     val perField = fields.map { f =>
-      docs.select((Seq(explode(tokensOf(col(f))).as("token"),
+      spreadDocs.select((Seq(explode(tokensOf(col(f))).as("token"),
         lit(f).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
     }
     perField.reduce(_.union(_))
@@ -137,8 +140,9 @@ object TextIndex {
     require(nBuckets > 0, "nBuckets must be positive")
     val segSel = segmentCol.map(col).toSeq
     val segNames = segmentCol.toSeq
+    val spreadDocs = graft.pipeline.Spread.scanFloor(docs, col(idCol))
     val perField = fields.map { f =>
-      docs.select((Seq(posexplode(array_remove(tokensOf(col(f)), ""))
+      spreadDocs.select((Seq(posexplode(array_remove(tokensOf(col(f)), ""))
         .as(Seq("pos", "token")),
         lit(f).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
     }

@@ -354,6 +354,21 @@ class DedupSpec extends AnyFunSuite {
         Seq((6, "x y z w")).toDF("id", "text"),
         "text", "id", 3, s"$dir/ng", batchId = Some(7L)))
     assert(er.getMessage.contains("DIFFERENT counts"), er.getMessage)
+    // r14 (ADVICE): identical content re-sent under a NEW batch id — a
+    // checkpoint reset or caller re-submission — must also converge. The
+    // pre-fix code skipped the ledger append (content converged) but
+    // re-ran the agg merge (stamp != new id), silently double-counting
+    // the delta: agg no longer equaled sum(ledger).
+    TextStats.appendNgramCountsKeyed(b6, "text", "id", 3, s"$dir/ng",
+      batchId = Some(8L))
+    assert(spark.read.parquet(s"$dir/ng/bydoc").count() == ledgerRows)
+    val aggFromLedger = spark.read.parquet(s"$dir/ng/bydoc")
+      .groupBy("g").agg(sum("c").as("cg"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val aggServed = spark.read.parquet(s"$dir/ng/agg")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(aggServed == aggFromLedger,
+      s"agg diverged from sum(ledger) after a new-id re-send: $aggServed vs $aggFromLedger")
     val re = keep.unionByName(Seq((3, "the quick brown eel")).toDF("id", "text"))
     assert(m(TextStats.dupNgramFractionFromKeyedStore(
         re, "text", "id", 3, s"$dir/ng")) ==

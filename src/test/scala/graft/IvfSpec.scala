@@ -196,6 +196,24 @@ class IvfSpec extends AnyFunSuite {
       .withColumn("embedding", col("embedding").cast("array<double>"))
     assert(pairs(Ivf.topKFromStore(spark, path, queries, k = 5, nprobe = 2)) ==
       pairs(Similarity.bruteForceTopK(back, queries, k = 5)))
+    // r14 (ADVICE): crash WINDOW of the per-list swap — the live partition
+    // was renamed aside but the staged one never renamed in. The next
+    // compactAnnIndex run must restore the aside copy before doing
+    // anything else, and a stale aside (live partition present) must be
+    // dropped, not restored over it.
+    val cellsDir = new java.io.File(s"$path/cells")
+    val anyList = cellsDir.listFiles.filter(_.getName.startsWith("list_id=")).head
+    val aside = new java.io.File(cellsDir, ".compact_old_" + anyList.getName)
+    val beforeCrash = pairs(Ivf.topKFromStore(spark, path, queries, k = 5, nprobe = 2))
+    assert(anyList.renameTo(aside)) // simulate the crash between renames
+    Maintain.compactAnnIndex(spark, path) // no tombstones: recovery only
+    assert(anyList.exists && !aside.exists, "aside copy not restored")
+    assert(pairs(Ivf.topKFromStore(spark, path, queries, k = 5, nprobe = 2))
+      == beforeCrash)
+    // stale aside next to a live partition: swap completed, aside dropped
+    assert(aside.mkdirs())
+    Maintain.compactAnnIndex(spark, path)
+    assert(anyList.exists && !aside.exists, "stale aside not dropped")
   }
 
   test("r13: recallAtK — 1.0 when the pruned probe recovers brute force, " +

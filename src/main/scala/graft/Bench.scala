@@ -85,6 +85,39 @@ object Bench {
     // 2-3x while the 4-thread medians sit at their usual level — the r12
     // signature; a real plan regression moves BOTH).
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // r14 (the r13 verdict's direct-contention-signal demand): the sf1
+    // window showed tight spreads + low loadavg during a 3-4x inflation,
+    // so neither raw runs nor load_avg catches cgroup-level contention.
+    // Record the DIRECT signals per query: the cgroup's cpu.stat
+    // throttled time (quota throttling) and /proc/pressure/cpu's "some"
+    // stall total (any-task-runnable-but-not-running — nonzero under
+    // cpu contention from ANY source, including sibling containers).
+    // Deltas in microseconds across each query's runs; -1 = unreadable.
+    def readCounter(path: String, key: String): Long = {
+      try {
+        val src = scala.io.Source.fromFile(path)
+        try src.getLines().flatMap { l =>
+          val t = l.trim.split("[ =]")
+          if (path.endsWith("pressure/cpu")) {
+            if (t.headOption.contains(key))
+              t.find(_.startsWith("total=")).map(_.stripPrefix("total=").toLong)
+            else None
+          } else if (t.headOption.contains(key)) Some(t.last.toLong) else None
+        }.toSeq.headOption.getOrElse(-1L)
+        finally src.close()
+      } catch { case _: Throwable => -1L }
+    }
+    def cpuStall(): (Long, Long) = {
+      // cgroup v2 cpu.stat carries throttled_usec; v1 throttled_time (ns)
+      val v2 = readCounter("/sys/fs/cgroup/cpu.stat", "throttled_usec")
+      val throttled =
+        if (v2 >= 0) v2
+        else {
+          val ns = readCounter("/sys/fs/cgroup/cpu/cpu.stat", "throttled_time")
+          if (ns >= 0) ns / 1000 else -1L
+        }
+      (throttled, readCounter("/proc/pressure/cpu", "some"))
+    }
     val tap = new ShuffleTap
     spark.sparkContext.addSparkListener(tap)
     // Repeat-and-keep-median guard (r10, replacing the r7 slow-tail-only
@@ -105,6 +138,7 @@ object Bench {
         tap.shuffleBytes.get()
       }
       val load0 = osBean.getSystemLoadAverage
+      val (thr0, psi0) = cpuStall()
       // a failed query must be visible as a failure, not recorded as a
       // normal (time-to-failure) timing.
       // Action = materialize the query's OWN plan (toRdd.count): a bare
@@ -129,7 +163,10 @@ object Bench {
       val good = runs.filter(_ >= 0).sorted
       // any successful run counts; all-failed stays the -1 failure marker
       val sec = if (good.isEmpty) -1.0 else good((good.size - 1) / 2)
-      name -> (sec, shuffled, runs, load0)
+      val (thr1, psi1) = cpuStall()
+      val stall = (if (thr0 >= 0 && thr1 >= 0) thr1 - thr0 else -1L,
+        if (psi0 >= 0 && psi1 >= 0) psi1 - psi0 else -1L)
+      name -> (sec, shuffled, runs, load0, stall)
     }
     // cpus=4 companion medians over a pinned subset — the sandbox-noise
     // canaries (every query the r9-r12 rounds ever suspected of a
@@ -181,22 +218,25 @@ object Bench {
     // failed queries serialize as null, never as -1: a -1 "timing" is
     // indistinguishable from a real value to a consumer that averages or
     // plots the map — the separate "failed" count is the failure signal
-    val qs = results.map { case (k, (v, _, _, _)) =>
+    val qs = results.map { case (k, (v, _, _, _, _)) =>
         s"\"" + k + "\":" + (if (v < 0) "null" else v.toString) }
       .mkString("{", ",", "}")
-    val sh = results.map { case (k, (_, s, _, _)) => s"\"" + k + "\":" + s }
+    val sh = results.map { case (k, (_, s, _, _, _)) => s"\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     // self-certification detail: the raw runs behind each median (failed
     // runs as -1 — the medians above already exclude them), and the OS
     // 1-min load average as the query started
-    val rawRuns = results.map { case (k, (_, _, rs, _)) =>
+    val rawRuns = results.map { case (k, (_, _, rs, _, _)) =>
         s"\"" + k + "\":" + rs.map(r =>
           BigDecimal(r).setScale(3, BigDecimal.RoundingMode.HALF_UP))
           .mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val loads = results.map { case (k, (_, _, _, l)) =>
+    val loads = results.map { case (k, (_, _, _, l, _)) =>
         s"\"" + k + "\":" +
           BigDecimal(l).setScale(2, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    val stalls = results.map { case (k, (_, _, _, _, (thr, psi))) =>
+        s"\"" + k + "\":[" + thr + "," + psi + "]" }
       .mkString("{", ",", "}")
     val cpus4Json = cpus4.toSeq.sortBy(_._1).map { case (k, v) =>
         s"\"" + k + "\":" + (if (v < 0) "null"
@@ -270,6 +310,8 @@ object Bench {
       s""""action":"materialize_rows (toRdd.count; r5 change — a bare count() let the optimizer elide column decode and whole joins, under-measuring projection-shaped queries)",""" +
       s""""runs_per_query":$benchRuns,"stat":"median (r10 — single timings carry sandbox noise; lower middle on even counts)",""" +
       s""""runs":$rawRuns,"load_avg_1m":$loads,""" +
+      s""""cpu_stall_usec":$stalls,""" +
+      s""""cpu_stall_note":"per-query [cgroup cpu.stat throttled delta, /proc/pressure/cpu some-stall delta] in usec across the query's runs; -1 = counter unreadable. The DIRECT contended-window signal the r13 sf1 archaeology lacked: stall total rising while load_avg sits low reads as host-level contention.",""" +
       s""""available_processors":${Runtime.getRuntime.availableProcessors},""" +
       s""""cpus4":$cpus4Json,"cpus4_total":${
         BigDecimal(cpus4Total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
@@ -295,7 +337,7 @@ object Bench {
       "q_similarity_ivf", "q_text_langid", "q_text_quality", "q_text_tokens",
       "q_text_fingerprint", "q_stream_window", "q_ttl_expire", "q_segment_roll",
       "q_sessionize", "q_flatten")
-    val hq = headline.flatMap(k => results.get(k).map { case (v, _, _, _) =>
+    val hq = headline.flatMap(k => results.get(k).map { case (v, _, _, _, _) =>
       "\"" + k + "\":" + (if (v < 0) "null"
         else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString) })
       .mkString("{", ",", "}")

@@ -3869,7 +3869,13 @@ object SparkEntry {
         val d = tbl(s, dir, "documents")
         val half = pmod(xxhash64(col("doc_id")), lit(2))
         pipeline.TextStats.writeBigramLm(d.where(half === 0), "text", p)
+        // r14: the append lands as an O(|batch|) delta segment; the
+        // maintenance-cadence compact then folds it into the sorted base
+        // (exercised here so the driver oracles the compacted serve;
+        // q_ngram_store_append serves base+delta UNcompacted — both
+        // serve shapes stay hash-checked)
         pipeline.TextStats.appendBigramLm(d.where(half === 1), "text", p)
+        Maintain.compactCountStore(s, p)
       }
       pipeline.TextStats.bigramLogLossFromStore(
           tbl(s, dir, "documents"), "text", "doc_id", path)
@@ -3894,7 +3900,11 @@ object SparkEntry {
     }),
     "q_ngram_store_append" -> ((s, dir) => {
       // half-corpus build + half-corpus append must serve exactly like a
-      // full build: gram counts are additive (same oracle again).
+      // full build: gram counts are additive (same oracle again). r14:
+      // the append is a delta SEGMENT and this query deliberately serves
+      // base+delta UNcompacted — the merged-serve path the streamed gate
+      // reads between compactions, driver-oracled here (its compacted
+      // twin is q_bigram_lm_append, which folds before serving).
       val path = memoStore("ngram_counts_append", dir) { p =>
         val d = tbl(s, dir, "documents")
         val half = pmod(xxhash64(col("doc_id")), lit(2))

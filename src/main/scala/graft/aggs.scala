@@ -1090,7 +1090,8 @@ object Aggs {
       .getOrElse(throw new IllegalArgumentException(
         s"significant_text '$name' needs a 'field'"))
     val size = Option(body.get("size")).map(_.asInt).getOrElse(10)
-    def toks(df: DataFrame) = df.where(col(f).isNotNull)
+    def toks(df: DataFrame) = graft.pipeline.Spread
+      .scanFloor(df.where(col(f).isNotNull), col(f))
       .select(explode(array_distinct(
         filter(split(lower(col(f)), "[^a-z0-9_]+"), t => length(t) > 0))).as("key"))
     val fgCounts = toks(fg).groupBy("key").agg(count(lit(1)).as("doc_count"))

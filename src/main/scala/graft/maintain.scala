@@ -492,6 +492,42 @@ object Maintain {
     (removed, affected.size)
   }
 
+  /** Fold a flat count store's delta segments back into its sorted base
+    * (the M-plane compaction for
+    * [[graft.pipeline.TextStats.appendNgramCounts]] /
+    * [[graft.pipeline.TextStats.appendBigramLm]] and the keyed stores'
+    * agg tables — the Lucene segment-merge analog, r14): appends land as
+    * O(|batch|) delta segments; this one O(|store|) pass restores the
+    * single sorted table, and with it the serve paths' singleton-prune
+    * parquet pushdown. Idempotent and crash-safe — the [[stagedRewrite]]
+    * whole-dir swap carries the delta dirs away with the old base, so a
+    * crash leaves either the segmented store or the fully-compacted one,
+    * never a double-counted mix. Preserves redelivery protection by
+    * re-stamping `_graft_applied` with the youngest folded batch id (the
+    * only one an at-least-once redelivery can still present). Key and
+    * count columns are read from the store's own 2-column schema.
+    * Returns the number of delta segments folded (0 = nothing to do). */
+  def compactCountStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Int = {
+    val deltas = graft.pipeline.TextStats.listCountDeltas(spark, path)
+    if (deltas.isEmpty) return 0
+    val schema = spark.read.parquet(path).schema
+    require(schema.fields.length == 2,
+      s"$path is not a flat count store (schema ${schema.simpleString})")
+    val (key, cnt) = (schema.fields(0).name, schema.fields(1).name)
+    val youngest = deltas.map(_.getName)
+      .collect { case n if n.startsWith(".delta_b") =>
+        n.stripPrefix(".delta_b").toLong }
+      .sorted.lastOption
+      .orElse(readAppliedStamp(spark, path))
+    val merged = graft.pipeline.TextStats.readCountStore(spark, path, key, cnt)
+    stagedRewrite(spark, path) { tmp =>
+      merged.sort(key).write.parquet(tmp)
+      youngest.foreach(writeAppliedStamp(spark, tmp, _))
+    }
+    deltas.size
+  }
+
   /** S9 admin: `#get_mapping#` — the doc-store schema as rows (engine type +
     * ES-recommended mapping type per §1.3), the analog of returning the ES
     * mapping as a fake result row

@@ -99,6 +99,12 @@ object Dedup {
       .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
+      // sorted on id like every other keyed store: AQE coalesces the sort
+      // exchange so the file count tracks data size (the spread compute
+      // above otherwise fragments a small store into cores-many files,
+      // taxing every later read), and id-ordered row groups min/max-prune
+      // the delete sweep's and incremental probe's id joins
+      .sort("id")
       .write.mode("overwrite").parquet(path)
   }
 
@@ -161,7 +167,7 @@ object Dedup {
       .cache()
     val store = spark.read.parquet(path)
     val out = incrementalPairs(store, fresh, numHashes, bands, threshold)
-    if (appendToStore) fresh.write.mode("append").parquet(path)
+    if (appendToStore) fresh.sort("id").write.mode("append").parquet(path)
     out
   }
 

@@ -578,7 +578,9 @@ object Search {
     // the coalesce, size(NULL) poisons avgdl for the entire corpus
     val safeText = coalesce(col(textCol), lit(""))
     val toks = split(trim(safeText), "\\s+")
-    val base = docs.withColumn("_dl", size(toks).cast("double"))
+    // per-term regex extraction per row dominates bytes (§2.5 scan floor)
+    val base = graft.pipeline.Spread.scanFloor(docs, col(textCol))
+      .withColumn("_dl", size(toks).cast("double"))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       val rx = "\\b" + java.util.regex.Pattern.quote(t.toLowerCase) + "\\b"
       df.withColumn(s"_tf$i",
@@ -1186,7 +1188,7 @@ object Search {
     import spark.implicits._
     val input = Seq(text).toDF("_txt")
       .select(explode(array_distinct(analyzerTokens(col("_txt")))).as("token"))
-    val dict = docs
+    val dict = graft.pipeline.Spread.scanFloor(docs, col(field))
       .select(explode(array_distinct(analyzerTokens(col(field)))).as("cand"))
       .groupBy("cand").agg(count(lit(1)).as("freq"))
     val cands = dict.crossJoin(broadcast(input))
@@ -1371,28 +1373,28 @@ object Search {
     appendSuggestStore(newDocs, field, path, None)
 
   /** [[appendSuggestStore]] with per-batch idempotence for at-least-once
-    * callers (the streamed insert path): each sub-store's merge writes a
-    * `_graft_applied` stamp INTO the staging dir, so the (merge, stamp)
-    * pair swaps in atomically, and a redelivered batch id skips sub-merges
-    * that already landed — the LM tables carry no doc keys, so WITHOUT the
-    * stamp a replayed merge would silently double the batch's counts. */
+    * callers (the streamed insert path). r14: each sub-store's LM delta
+    * lands as a batch-sized delta SEGMENT
+    * ([[graft.pipeline.TextStats]]'s flat-count-store discipline) —
+    * O(|batch|) instead of the previous whole-table rewrite, which the
+    * streamed insert path paid PER MICRO-BATCH. The delta dir's rename is
+    * the atomic commit and (for batch appends) carries the batch id, so a
+    * redelivered batch skips sub-appends that already landed — the LM
+    * tables carry no doc keys, so without that a replayed append would
+    * silently double the batch's counts. [[graft.Maintain
+    * .compactCountStore]] folds segments back into the sorted base on the
+    * maintenance cadence (auto past `graft.countstore.maxDeltas`). */
   def appendSuggestStore(newDocs: DataFrame, field: String, path: String,
                          batchId: Option[Long]): Unit = {
     val spark = newDocs.sparkSession
-    def merge(delta: DataFrame, sub: String, key: String, sorted: Boolean): Unit = {
+    def appendSub(delta: DataFrame, sub: String, key: String): Unit = {
       val dir = s"$path/$sub"
-      if (batchId.isDefined &&
-          Maintain.readAppliedStamp(spark, dir) == batchId) return
-      Maintain.stagedRewrite(spark, dir) { tmp =>
-        val merged = spark.read.parquet(dir).unionByName(delta)
-          .groupBy(col(key)).agg(sum(col("freq")).cast("long").as("freq"))
-        (if (sorted) merged.sort(key) else merged)
-          .write.parquet(tmp)
-        batchId.foreach(Maintain.writeAppliedStamp(spark, tmp, _))
-      }
+      if (batchId.exists(graft.pipeline.TextStats
+          .countStoreHoldsBatch(spark, dir, _))) return
+      graft.pipeline.TextStats.writeCountDelta(spark, dir, delta, key, batchId)
     }
-    merge(lmUnigrams(newDocs, field), "unigrams", "w", sorted = false)
-    merge(lmBigrams(newDocs, field), "bigrams", "b", sorted = true)
+    appendSub(lmUnigrams(newDocs, field), "unigrams", "w")
+    appendSub(lmBigrams(newDocs, field), "bigrams", "b")
   }
 
   /** Serve [[phraseSuggest]] from a [[writeSuggestStore]] store —
@@ -1404,8 +1406,9 @@ object Search {
                              path: String, text: String,
                              size: Int = 3, maxEdits: Int = 2,
                              perTermCandidates: Int = 5): DataFrame =
-    phraseSuggestOver(spark.read.parquet(s"$path/unigrams"),
-      spark.read.parquet(s"$path/bigrams"),
+    phraseSuggestOver(
+      graft.pipeline.TextStats.readCountStore(spark, s"$path/unigrams", "w", "freq"),
+      graft.pipeline.TextStats.readCountStore(spark, s"$path/bigrams", "b", "freq"),
       text, size, maxEdits, perTermCandidates)
 
   private def phraseSuggestOver(unis: DataFrame, bigs0: DataFrame, text: String,
@@ -1500,7 +1503,8 @@ object Search {
                         size: Int = 5): DataFrame = {
     require(prefix.nonEmpty, "completion suggester needs a non-empty prefix")
     require(size >= 1, s"completion suggester size must be >= 1, got $size")
-    docs.select(explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"))
+    graft.pipeline.Spread.scanFloor(docs, col(field))
+      .select(explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"))
       .where(col("suggestion").startsWith(prefix.toLowerCase))
       .groupBy("suggestion").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("suggestion"))
@@ -1541,7 +1545,7 @@ object Search {
       require(vs.nonEmpty, s"completion context '$c' needs at least one value")
       df.where(col(c).isin(vs: _*))
     }
-    val dict = filtered
+    val dict = graft.pipeline.Spread.scanFloor(filtered, col(field))
       .select(explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"))
       .groupBy("suggestion").agg(count(lit(1)).as("freq"))
     completionOver(dict, p, size, fuzziness, fuzzyPrefixLength)
@@ -1577,7 +1581,7 @@ object Search {
     * form computes. */
   def writeCompletionStore(docs: DataFrame, field: String, path: String,
                            contextCols: Seq[String] = Seq.empty): Unit = {
-    val dict = docs
+    val dict = graft.pipeline.Spread.scanFloor(docs, col(field))
       .select(contextCols.map(col) :+
         explode(array_distinct(analyzerTokens(col(field)))).as("suggestion"): _*)
       .groupBy((contextCols :+ "suggestion").map(col): _*)
@@ -1914,7 +1918,7 @@ object Search {
         first(array_position(col("_tv_tokens"), col("term"))).as("first_position"))
     // corpus df: one hash aggregate over distinct per-doc terms —
     // vocabulary-sized output
-    val dfStats = docs
+    val dfStats = graft.pipeline.Spread.scanFloor(docs, col(field))
       .select(explode(array_distinct(toks)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
     perDoc.join(dfStats, Seq("term"), "left")
@@ -1968,7 +1972,9 @@ object Search {
     require(terms.nonEmpty, "bm25 explain needs at least one term")
     val safeText = coalesce(col(textCol), lit(""))
     val toks = split(trim(safeText), "\\s+")
-    val base = docs.withColumn("_dl", size(toks).cast("double"))
+    // per-term regex extraction per row dominates bytes (§2.5 scan floor)
+    val base = graft.pipeline.Spread.scanFloor(docs, col(textCol))
+      .withColumn("_dl", size(toks).cast("double"))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       val rx = "\\b" + java.util.regex.Pattern.quote(t.toLowerCase) + "\\b"
       df.withColumn(s"_tf$i",

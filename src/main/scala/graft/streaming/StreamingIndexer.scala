@@ -290,8 +290,8 @@ object StreamingIndexer {
       graft.TextIndex.appendPostings(docs, keyCol, fields, postingsPath,
         nBuckets, segmentCol)
     }
-    // the LM merge stamps the batch id atomically with its swap, so it is
-    // replay-idempotent on both paths
+    // the LM append's atomic delta-dir commit carries the batch id
+    // (r14 delta segments), so it is replay-idempotent on both paths
     suggestPath.foreach(p => graft.Search.appendSuggestStore(docs,
       suggestField.getOrElse(fields.head), p, Some(id)))
     markAppliedBatch(spark, postingsPath, id)
@@ -516,13 +516,14 @@ object StreamingIndexer {
       sink: (DataFrame, Long) => Unit): Boolean = {
     val spark = batch.sparkSession
     if (id <= lastAppliedBatch(spark, storePath)) return false
-    // crash window: the count merge landed but the marker write didn't —
-    // the merge's own `_graft_applied` stamp (atomic with its swap) says
-    // so. Re-scoring now would read a store that already CONTAINS the
-    // batch (docs self-flag as boilerplate), and the sink already ran with
-    // the correct pre-batch scores before the merge — so skip whole.
+    // crash window: the count append landed but the marker write didn't —
+    // the append's own atomic applied marker (r14: the batch-named delta
+    // segment's rename, or the post-compaction `_graft_applied` stamp)
+    // says so. Re-scoring now would read a store that already CONTAINS
+    // the batch (docs self-flag as boilerplate), and the sink already ran
+    // with the correct pre-batch scores before the append — so skip whole.
     if (readPending(spark, storePath).contains(id) &&
-        graft.Maintain.readAppliedStamp(spark, storePath).contains(id)) {
+        graft.pipeline.TextStats.countStoreHoldsBatch(spark, storePath, id)) {
       markAppliedBatch(spark, storePath, id)
       return false
     }

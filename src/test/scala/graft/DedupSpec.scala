@@ -303,6 +303,61 @@ class DedupSpec extends AnyFunSuite {
     assert(o == Set((9, 0.5, 2L), (10, 0.0, 4L)), o.toString)
   }
 
+  test("r14: flat count-store appends are delta SEGMENTS — the base is " +
+       "untouched (byte-identical files), serving sums base+deltas, " +
+       "compaction folds and restores the single sorted table, and the " +
+       "auto-compact threshold fires") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_store").toString
+    val a = Seq((1, "the quick brown fox"), (2, "the quick brown cat"))
+      .toDF("id", "text")
+    val b = Seq((3, "one two"), (4, "a a a a")).toDF("id", "text")
+    val all = a.unionByName(b)
+    TextStats.writeNgramCounts(a, "text", 3, s"$dir/ng")
+    def baseFiles() = new java.io.File(s"$dir/ng").listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    def deltaDirs() = new java.io.File(s"$dir/ng").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith(".delta_")).length
+    val before = baseFiles()
+    TextStats.appendNgramCounts(b, "text", 3, s"$dir/ng")
+    // O(|batch|): the append wrote a delta segment, not a store rewrite
+    assert(baseFiles() == before, "append must not rewrite the base")
+    assert(deltaDirs() == 1, "append must land exactly one delta segment")
+    def served() = TextStats.dupNgramFractionFromStore(all, "text", "id", 3, s"$dir/ng")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = TextStats.dupNgramFraction(all, "text", "id", 3)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(served() == direct, "base+delta serve must equal the full build")
+    // compaction folds deltas into the sorted base; serve unchanged
+    assert(Maintain.compactCountStore(spark, s"$dir/ng") == 1)
+    assert(deltaDirs() == 0)
+    assert(served() == direct, "post-compaction serve must be unchanged")
+    assert(Maintain.compactCountStore(spark, s"$dir/ng") == 0) // idempotent
+    // redelivery: a batch-named delta skips whole; after compaction the
+    // re-stamped applied marker still skips it
+    TextStats.appendNgramCounts(b.where(col("id") === 3), "text", 3,
+      s"$dir/ng", batchId = Some(42L))
+    val withDelta = served()
+    TextStats.appendNgramCounts(b.where(col("id") === 3), "text", 3,
+      s"$dir/ng", batchId = Some(42L))
+    assert(deltaDirs() == 1 && served() == withDelta, "same-id replay must skip")
+    Maintain.compactCountStore(spark, s"$dir/ng")
+    TextStats.appendNgramCounts(b.where(col("id") === 3), "text", 3,
+      s"$dir/ng", batchId = Some(42L))
+    assert(deltaDirs() == 0 && served() == withDelta,
+      "post-compaction replay of the youngest batch must still skip")
+    // auto-compact: past graft.countstore.maxDeltas the fold runs inline
+    spark.conf.set("graft.countstore.maxDeltas", "2")
+    try {
+      TextStats.appendNgramCounts(Seq((7, "p q r s")).toDF("id", "text"),
+        "text", 3, s"$dir/ng")
+      assert(deltaDirs() == 1)
+      TextStats.appendNgramCounts(Seq((8, "s t u v")).toDF("id", "text"),
+        "text", 3, s"$dir/ng")
+      assert(deltaDirs() == 0, "threshold append must auto-compact")
+    } finally spark.conf.unset("graft.countstore.maxDeltas")
+  }
+
   test("r13: doc-KEYED count stores forget by key — delete docs, and the " +
        "served scores hash-equal a rebuild without them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_keyed_store").toString
@@ -365,7 +420,7 @@ class DedupSpec extends AnyFunSuite {
     val aggFromLedger = spark.read.parquet(s"$dir/ng/bydoc")
       .groupBy("g").agg(sum("c").as("cg"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val aggServed = spark.read.parquet(s"$dir/ng/agg")
+    val aggServed = TextStats.readCountStore(spark, s"$dir/ng/agg", "g", "cg")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(aggServed == aggFromLedger,
       s"agg diverged from sum(ledger) after a new-id re-send: $aggServed vs $aggFromLedger")

@@ -1357,11 +1357,17 @@ class SearchSpec extends AnyFunSuite {
     def sugg(p: String) = Search.phraseSuggestFromStore(spark, p, "spork streem", 3)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
     assert(sugg(p1) == sugg(p1full), s"appended=${sugg(p1)} full=${sugg(p1full)}")
-    // and the merged tables themselves are row-identical to the rebuild
-    def tbl(p: String, sub: String) = spark.read.parquet(s"$p/$sub")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(tbl(p1, "unigrams") == tbl(p1full, "unigrams"))
-    assert(tbl(p1, "bigrams") == tbl(p1full, "bigrams"))
+    // and the LM tables' SERVING view (base + r14 delta segments) is
+    // row-identical to the rebuild; after compaction the base alone is too
+    def tbl(p: String, sub: String, key: String) =
+      graft.pipeline.TextStats.readCountStore(spark, s"$p/$sub", key, "freq")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(tbl(p1, "unigrams", "w") == tbl(p1full, "unigrams", "w"))
+    assert(tbl(p1, "bigrams", "b") == tbl(p1full, "bigrams", "b"))
+    Maintain.compactCountStore(spark, s"$p1/unigrams")
+    Maintain.compactCountStore(spark, s"$p1/bigrams")
+    assert(sugg(p1) == sugg(p1full), "post-compaction serve must be unchanged")
+    assert(tbl(p1, "unigrams", "w") == tbl(p1full, "unigrams", "w"))
     // completion store: context columns come from the store's own layout;
     // batch B introduces a NEW context value (de) — append must add the
     // partition, not drop it

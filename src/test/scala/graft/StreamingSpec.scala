@@ -844,8 +844,10 @@ class StreamingSpec extends AnyFunSuite {
     // the store after the stream equals a batch build over everything
     val all = seed.unionByName((b1 ++ b2).toDF("doc_id", "text"))
     pipeline.TextStats.writeNgramCounts(all, "text", 3, s"$base/ng_ref")
-    def m(p: String) = spark.read.parquet(p).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // r14: streamed appends land as delta segments — compare the SERVING
+    // view (base + deltas summed), the store's contract surface
+    def m(p: String) = pipeline.TextStats.readCountStore(spark, p, "g", "cg")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(m(s"$base/ng") == m(s"$base/ng_ref"))
     // at-least-once redelivery: an already-applied id is skipped whole
     val before = m(s"$base/ng")
@@ -901,7 +903,10 @@ class StreamingSpec extends AnyFunSuite {
       bm25(TextIndex.buildPostings(all, "doc_id", Seq("text"), 8),
         TextIndex.buildNorms(all, "doc_id", Seq("text"))))
     Search.writeSuggestStore(all, "text", s"$base/sugg_ref")
-    def uni(p: String) = spark.read.parquet(s"$p/unigrams").collect()
+    // r14: streamed LM appends land as delta segments — compare the
+    // serving view (base + deltas summed)
+    def uni(p: String) = pipeline.TextStats
+      .readCountStore(spark, s"$p/unigrams", "w", "freq").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(uni(sp) == uni(s"$base/sugg_ref"))
     // replay tolerance is NOT edit tolerance: a pending id whose batch
@@ -988,8 +993,8 @@ class StreamingSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft-ngcrash").toString
     val seed = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     pipeline.TextStats.writeNgramCounts(seed, "text", 3, s"$base/ng")
-    def counts() = spark.read.parquet(s"$base/ng").collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def counts() = pipeline.TextStats.readCountStore(spark, s"$base/ng", "g", "cg")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     // half-applied batch 0: pending + (stamped) count merge landed, the
     // sink ran with correct scores, the marker write crashed
     val b0 = Seq((2L, "the quick brown cat")).toDF("doc_id", "text")

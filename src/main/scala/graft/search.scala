@@ -1411,9 +1411,16 @@ object Search {
       graft.pipeline.TextStats.readCountStore(spark, s"$path/bigrams", "b", "freq"),
       text, size, maxEdits, perTermCandidates)
 
-  private def phraseSuggestOver(unis: DataFrame, bigs0: DataFrame, text: String,
+  private def phraseSuggestOver(unis0: DataFrame, bigs0: DataFrame, text: String,
                                 size: Int, maxEdits: Int,
                                 perTermCandidates: Int): DataFrame = {
+    // the unigram table feeds THREE actions below (the totalN aggregate,
+    // the corrections collect, the originals branch of the same union) —
+    // persist the vocabulary-sized relation so the direct form pays its
+    // in-query corpus LM build once, not per action (the store-served
+    // form saves two vocabulary scans; LRU eviction degrades to
+    // recompute, never wrong results) (r14)
+    val unis = unis0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val spark = unis.sparkSession
     import spark.implicits._
     val toks = text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq

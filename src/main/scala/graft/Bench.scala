@@ -97,7 +97,7 @@ object Bench {
       try {
         val src = scala.io.Source.fromFile(path)
         try src.getLines().flatMap { l =>
-          val t = l.trim.split("[ =]")
+          val t = l.trim.split("\\s+")
           if (path.endsWith("pressure/cpu")) {
             if (t.headOption.contains(key))
               t.find(_.startsWith("total=")).map(_.stripPrefix("total=").toLong)

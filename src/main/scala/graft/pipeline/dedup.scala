@@ -26,7 +26,7 @@ object Dedup {
     * The fingerprint is [[TextStats.fingerprint]] (one shared definition of
     * "same content": lowercased, whitespace-collapsed). */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    Spread.scanFloor(df, col(idCol))
+    Spread.scanFloor(df, col(idCol), minDeficit = 4)
       .groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
@@ -77,7 +77,7 @@ object Dedup {
     // three times. At 100 TB the real pattern is a materialized (id, sketch)
     // store written once; the cache is the single-job analog (LRU-evicted,
     // so worst case degrades to recompute, never fails).
-    val shingled = Spread.scanFloor(df, col(idCol))
+    val shingled = Spread.scanFloor(df, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .cache()
@@ -95,7 +95,7 @@ object Dedup {
   def writeSketchStore(df: DataFrame, path: String, textCol: String, idCol: String,
                        shingleK: Int = 3, numHashes: Int = 32): Unit = {
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
-    Spread.scanFloor(df, col(idCol))
+    Spread.scanFloor(df, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
@@ -160,7 +160,7 @@ object Dedup {
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
-    val fresh = Spread.scanFloor(newDocs, col(idCol))
+    val fresh = Spread.scanFloor(newDocs, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
@@ -343,7 +343,7 @@ object Dedup {
     * per row ([[graft.functions.SimHash64]]): no explode, no shuffle. */
   def simhashSignatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     import graft.functions.TextSketchFunctions.simhash64
-    Spread.scanFloor(df, col(idCol))
+    Spread.scanFloor(df, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("sig"))
   }
 
@@ -542,7 +542,7 @@ object Dedup {
     require(n >= 1, "window width must be >= 1")
     require(minCount >= 2, "minCount below 2 would mark every window")
     import graft.functions.TextSketchFunctions.gram_hashes
-    val toks = Spread.scanFloor(df, col(idCol))
+    val toks = Spread.scanFloor(df, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
     val windows = toks
       .select(col("id"), posexplode(gram_hashes(col("tk"), n)))
@@ -990,7 +990,7 @@ object Dedup {
     //    (24× fewer on the scale corpus), and only the survivors re-join
     //    the text for the O(len·maxDist) levenshtein verification — the
     //    same candidates-then-verify shape as the LSH paths.
-    val base = Spread.scanFloor(df, col(idCol))
+    val base = Spread.scanFloor(df, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"),
       length(col(textCol)).as("len"),
       floor(length(col(textCol)) / lit(bucketWidth)).as("b"),

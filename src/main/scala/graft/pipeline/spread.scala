@@ -31,8 +31,18 @@ object Spread {
     * scan yields fewer partitions. `key` should be a stable, well-spread
     * expression — a unique id column is ideal (hash partitioning on a
     * deterministic key avoids round-robin's sort-before-repartition pass
-    * and stays correct under task retries, SPARK-38388). */
-  def scanFloor(df: DataFrame, key: Column): DataFrame = {
+    * and stays correct under task retries, SPARK-38388).
+    *
+    * `minDeficit` tunes WHEN the floor is worth its exchange, per call
+    * site: the repartition fires only when the scan's parallelism is
+    * under `floor / minDeficit`. Sites whose per-row compute dwarfs its
+    * bytes (JSON round-trips, hashed-feature projections, gram explodes
+    * feeding corpus aggregates) keep the default 1 — any deficit pays;
+    * sites with cheap one-pass kernels (native MinHash/SimHash
+    * sketching) pass a higher factor so a moderately-parallel scan
+    * (e.g. 10 files on 32 cores) is left alone — measured at sf1, the
+    * text exchange there cost more than the 3× compute gain bought. */
+  def scanFloor(df: DataFrame, key: Column, minDeficit: Int = 1): DataFrame = {
     val sess = df.sparkSession
     val floor = sess.conf.getOption("graft.spread.floor").map(_.toInt)
       .getOrElse(sess.sparkContext.defaultParallelism)
@@ -45,6 +55,7 @@ object Spread {
       .getOrElse(256L * 1024)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return df
     val have = df.rdd.getNumPartitions
-    if (have >= floor) df else df.repartition(floor, key)
+    if (have >= math.max(1, floor / math.max(1, minDeficit))) df
+    else df.repartition(floor, key)
   }
 }

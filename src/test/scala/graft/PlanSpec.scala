@@ -436,4 +436,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("r14: the scan floor's size gate keeps small corpora narrow — no " +
+       "repartition exchange sneaks under a projection-only query at " +
+       "sf0.001, and no trailing cosmetic sort survives") {
+    // q_quality_classifier is a pure projection; the r14 scan floor fires
+    // only past graft.spread.minBytes, so the tiny gate corpus must keep
+    // the zero-exchange plan (at sf0.1+ the same query deliberately
+    // carries ONE repartition exchange — guide §2.5)
+    val plan = planOf("q_quality_classifier")
+    assert(!plan.contains("Exchange"), plan.take(2000))
+    // and the r14 trailing-sort removal: no range partitioning anywhere
+    assert(!plan.contains("rangepartitioning"), plan.take(2000))
+  }
+
+  test("r14: the delta-segmented count store SERVES base+delta summed — " +
+       "the uncompacted append query's plan unions the base scan with " +
+       "the delta segment and re-aggregates by gram") {
+    val plan = planOf("q_ngram_store_append")
+    // two parquet relations (base + .delta_* dir) unioned under one
+    // gram-keyed aggregate; compaction (q_bigram_lm_append's path)
+    // restores the single-relation pushdown plan
+    assert(plan.contains("Union"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
 }

@@ -4089,11 +4089,12 @@ object SparkEntry {
       // ONE pair pass feeds both the split and the invariant check — the
       // pipeline shape leakageSafeSplitFromPairs exists for. The pair set
       // appears in THREE plan subtrees (the clusters probe and both
-      // invariant joins); persisting the tiny id-pair frame keeps the
-      // LSH verify join from re-running per subtree (r14; worst case
-      // under LRU eviction is recompute, never wrong results)
+      // invariant joins); materializing the tiny id-pair frame keeps the
+      // LSH verify join from re-running per subtree. localCheckpoint, not
+      // persist (r15): freed with the plan, and each bench run re-computes
+      // it honestly instead of runs 2-3 serving run 1's cache
       val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .localCheckpoint(true)
       val split = Curate.leakageSafeSplitFromPairs(docs, pairs, "doc_id",
         Seq(0.8, 0.1, 0.1), seed = 7L)
       pairs

@@ -363,6 +363,20 @@ case class WordGrams(child: Expression, n: Int)
   override protected def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[ArrayData]
     val len = toks.numElements()
+    // the declared output is containsNull = false: a null token would
+    // either emit a null element (n = 1 — downstream codegen reads it as
+    // garbage) or silently vanish inside concatWs (n ≥ 2 — diverging from
+    // the declarative form this kernel pins itself to). Every in-repo
+    // tokenizer filters nulls before this point; an external caller who
+    // doesn't must hear about it, not get corrupted grams (r15, ADVICE).
+    var c = 0
+    while (c < len) {
+      if (toks.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"word_grams: token array contains a null element at index $c — " +
+            "filter null tokens before building grams")
+      c += 1
+    }
     if (len < n) return new GenericArrayData(Array.empty[AnyRef])
     val windows = len - n + 1
     val out = new Array[AnyRef](windows)

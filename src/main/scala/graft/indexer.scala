@@ -145,8 +145,13 @@ object Indexer {
       if (insertAction) docJson
       else concat(lit("""{"doc":"""), docJson, lit(""","doc_as_upsert":true}"""))
     // per-row Jackson serialization dominates bytes: raise the scan floor
-    // (guide §2.5) so single-row-group inputs don't serialize one task
-    graft.pipeline.Spread.scanFloor(docs, col("doc_id"))
+    // (guide §2.5) so single-row-group inputs don't serialize one task.
+    // Gated at 32 MB of input (r15): below that the render is fast enough
+    // single-task that the exchange's fixed cost exceeds what spreading
+    // saves (measured sf0.1: floor 0.81 s vs narrow 0.66 s on a 10 MB
+    // input; sf1's 107 MB input keeps the floor and its 1.96 → 1.11 s win)
+    graft.pipeline.Spread.scanFloor(docs, col("doc_id"),
+        minBytesOverride = 32L * 1024 * 1024)
       .select(col("doc_id"), concat(action, lit("\n"), payload).as("bulk"))
   }
 
@@ -156,7 +161,7 @@ object Indexer {
     * shapes: `update` (payload `{"doc":{…},"doc_as_upsert":true}`) and
     * `index` (payload is the document itself). A narrow projection — JSON
     * parsing is per-row, no shuffle. */
-  def fromBulkNdjson(bulk: DataFrame,
+  def fromBulkNdjson(bulk0: DataFrame,
                      docSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     // two Jackson passes per doc — the floor for a two-line wire format:
@@ -171,6 +176,12 @@ object Indexer {
       StructField("_id", StringType)))
     val actionSchema = StructType(Seq(
       StructField("update", idStruct), StructField("index", idStruct)))
+    // the parse side pays TWO Jackson passes per doc — its own scan floor
+    // (guide §2.5) keeps a narrow single-row-group bulk file (or an
+    // ungated [[toBulkNdjson]] render) from parsing on one task; the
+    // default 256 KB byte gate applies (per-row work here is heavy enough
+    // to amortize the exchange at any non-toy size, unlike the render)
+    val bulk = graft.pipeline.Spread.scanFloor(bulk0, col("bulk"))
     val parts = split(col("bulk"), "\n")
     if (docSchema.fieldNames.contains("doc")) {
       // an index-action doc with a field literally named "doc" would

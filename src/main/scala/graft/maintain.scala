@@ -334,6 +334,19 @@ object Maintain {
                                        dir: String, id: Long): Unit =
     writeLongMarker(spark, dir, "_graft_applied", id)
 
+  /** Hash-bucket count of a keyed count-store ledger (r15): stamped into
+    * `_graft_buckets` when the ledger is written — the layout is a
+    * write-time property (`graft.countstore.ledgerBuckets` only seeds NEW
+    * stores); absent on a pre-r15 unbucketed ledger, whose delete sweeps
+    * fall back to the whole-ledger rewrite. */
+  private[graft] def readBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                                       dir: String): Option[Int] =
+    readLongMarker(spark, dir, "_graft_buckets").map(_.toInt)
+
+  private[graft] def writeBucketsMarker(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String, n: Int): Unit =
+    writeLongMarker(spark, dir, "_graft_buckets", n.toLong)
+
   /** M-plane freshness for the phrase-suggester LM store — the sanctioned
     * rebuild for corpora that take EDITS, as a maintenance operator with a
     * cadence knob instead of a doc-comment: the LM tables are additive and
@@ -440,9 +453,12 @@ object Maintain {
     // an aside dir WITH a live partition means the swap completed and the
     // aside is stale: drop it. A leftover `.compact_tmp` is all-staged,
     // uncommitted work from before any swap — safe to discard wholesale.
-    fs.listStatus(cellsRoot) match {
-      case null => ()
-      case st => st.filter(s => s.isDirectory &&
+    // guard with exists(): Hadoop filesystems (RawLocalFileSystem included)
+    // throw FileNotFoundException for a missing path rather than returning
+    // null, so a store without a cells dir must short-circuit here (r15,
+    // ADVICE — the old null match never fired)
+    if (fs.exists(cellsRoot)) {
+      fs.listStatus(cellsRoot).filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(".compact_old_")).foreach { s =>
         val live = new Path(cellsRoot, s.getPath.getName.stripPrefix(".compact_old_"))
         if (!fs.exists(live))

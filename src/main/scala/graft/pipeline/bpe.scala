@@ -208,27 +208,34 @@ object Bpe {
   def encodeToIdsFromStore(df: DataFrame, idCol: String, textCol: String,
                            path: String): DataFrame = {
     val spark = df.sparkSession
-    val merges = spark.read.parquet(s"$path/merges")
-    val vocab = spark.read.parquet(s"$path/vocab")
-    val wordEnc = encode(df, textCol, merges) // distinct words of df only
+    val rules = spark.read.parquet(s"$path/merges")
+      .select("rank", "left", "right").collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = spark.read.parquet(s"$path/vocab").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    encodeWith(df, idCol, textCol, rules, vocab)
+  }
+
+  /** The shared encode pass: ONE narrow projection over the corpus — the
+    * whole tokenizer (rules + frozen vocab, both bounded by alphabet +
+    * numMerges) rides inside [[graft.functions.BpeEncodeIds]], which
+    * amortizes the per-word merge loop with a per-task word → ids cache
+    * (Zipf: instances ≫ distinct words). Replaces the r14 shape — corpus
+    * posexplode → two broadcast joins → per-doc
+    * sort_array(collect_list(...)) re-assembly → outer join back — whose
+    * full-corpus token-instance shuffle was the dominant cost of both
+    * tokenize queries (guide §1.2 step 1: remove the shuffle, not tune
+    * it). Output is identical: ids concatenate in (word pos, token pos)
+    * order by construction, token-less and null-text docs yield []. */
+  private def encodeWith(df: DataFrame, idCol: String, textCol: String,
+                         rules: Seq[(String, String)],
+                         vocab: Map[String, Int]): DataFrame = {
     val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
       x => length(x) > 0)
-    val exploded = Spread.scanFloor(df, col(idCol))
-      .select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
-    val assembled = exploded
-      .join(broadcast(wordEnc), "w")
-      .select(col(idCol), col("pos"),
-        posexplode(col("tokens")).as(Seq("tpos", "tok")))
-      .join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col(idCol))
-      .agg(transform(
-        sort_array(collect_list(struct(col("pos"), col("tpos"),
-          coalesce(col("tid"), lit(-1)).as("tid")))),
-        s => s.getField("tid")).as("input_ids"))
-    df.select(col(idCol))
-      .join(assembled, Seq(idCol), "left")
-      .withColumn("input_ids",
-        coalesce(col("input_ids"), array().cast("array<int>")))
+    Spread.scanFloor(df, col(idCol))
+      .select(col(idCol),
+        coalesce(graft.functions.BpeOps.bpeEncodeIds(toks, rules, vocab),
+          array().cast("array<int>")).as("input_ids"))
       .withColumn("n_tokens", size(col("input_ids")))
   }
 
@@ -246,28 +253,17 @@ object Bpe {
     * single-partition window. */
   def encodeToIds(df: DataFrame, idCol: String, textCol: String,
                   merges: DataFrame): DataFrame = {
-    val wordEnc = encode(df, textCol, merges) // (w, tokens) — distinct words
-    val vocab = graft.Search.globalRank(
-        wordEnc.select(explode(col("tokens")).as("tok")).distinct(),
-        Seq(asc("tok")), "_vrank")
-      .select(col("tok"), (col("_vrank") - 1).cast("int").as("tid"))
-    val toks = filter(split(lower(trim(col(textCol))), "\\s+"),
-      x => length(x) > 0)
-    val exploded = Spread.scanFloor(df, col(idCol))
-      .select(col(idCol), posexplode(toks).as(Seq("pos", "w")))
-    val assembled = exploded
-      .join(broadcast(wordEnc), "w")
-      .select(col(idCol), col("pos"),
-        posexplode(col("tokens")).as(Seq("tpos", "tok")))
-      .join(broadcast(vocab), "tok")
-      .groupBy(col(idCol))
-      .agg(transform(
-        sort_array(collect_list(struct(col("pos"), col("tpos"), col("tid")))),
-        s => s.getField("tid")).as("input_ids"))
-    df.select(col(idCol))
-      .join(assembled, Seq(idCol), "left")
-      .withColumn("input_ids",
-        coalesce(col("input_ids"), array().cast("array<int>")))
-      .withColumn("n_tokens", size(col("input_ids")))
+    val rules = merges.select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    // the vocabulary (distinct post-encode tokens, ranked by token asc) is
+    // bounded by alphabet + numMerges, so the rank is a driver-side sort
+    // over one collected distinct pass — same ids as the r14 globalRank,
+    // without its range exchange. This corpus pass derives the VOCAB only;
+    // the encoding itself is the one narrow pass in [[encodeWith]].
+    val vocab = encode(df, textCol, merges)
+      .select(explode(col("tokens")).as("tok")).distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex.toMap
+    encodeWith(df, idCol, textCol, rules, vocab)
   }
 }

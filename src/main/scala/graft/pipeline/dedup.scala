@@ -24,10 +24,16 @@ object Dedup {
   /** Exact dedup: keep the lowest id per identical normalized text.
     * One map-side-combinable hash aggregate — the 100 TB-safe shape.
     * The fingerprint is [[TextStats.fingerprint]] (one shared definition of
-    * "same content": lowercased, whitespace-collapsed). */
+    * "same content": lowercased, whitespace-collapsed).
+    *
+    * No scan floor here (r15): the per-row work is one normalize+md5 whose
+    * map-side partial aggregate shrinks the exchange to fingerprint rows,
+    * while the floor's exchange would move the FULL text first — measured
+    * at both bench scales the floor lost (sf0.1 0.25 → 0.39 s, sf1
+    * 0.48 → 0.52 s), exactly the "cheap one-pass kernel" case the
+    * minDeficit note in [[Spread.scanFloor]] warns about. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    Spread.scanFloor(df, col(idCol), minDeficit = 4)
-      .groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
+    df.groupBy(TextStats.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
   /** Word k-shingles (contiguous k-grams) of a token-array column.
@@ -72,15 +78,21 @@ object Dedup {
     // aggregate shuffle) — see [[graft.functions.MinHashSig]]; only
     // (id, band, bucket) ever reaches an exchange.
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
-    // cached: read by the signature pass and by BOTH verification join
-    // sides — without it the (documented-dominant) shingle projection runs
-    // three times. At 100 TB the real pattern is a materialized (id, sketch)
-    // store written once; the cache is the single-job analog (LRU-evicted,
-    // so worst case degrades to recompute, never fails).
+    // materialized ONCE (read by the signature pass and by BOTH
+    // verification join sides — without it the documented-dominant shingle
+    // projection runs three times). localCheckpoint rather than cache
+    // (r15): a .cache() here was never unpersisted, pinning one corpus-
+    // sized relation in the CacheManager per call — and because the
+    // CacheManager matches by plan, repeat invocations silently served
+    // each other's blocks. The checkpoint's blocks are RDD-level
+    // (MEMORY_AND_DISK, spill-safe) and the ContextCleaner frees them
+    // when the returned plan is dropped. At 100 TB the real pattern is a
+    // materialized (id, sketch) store written once ([[writeSketchStore]]);
+    // this is the single-job analog.
     val shingled = Spread.scanFloor(df, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
-      .cache()
+      .localCheckpoint(true)
     val sketches = shingled.select(col("id"), col("sh"),
       minhash_sig(col("sh"), numHashes).as("sig"))
     pairsFromSketches(sketches, numHashes, bands, threshold)
@@ -99,6 +111,11 @@ object Dedup {
       .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
+      // materialized before the sort (r15): the range partitioner's
+      // sampling pass otherwise EXECUTES the child once more — the whole
+      // shingle+sketch compute ran twice per store write; the sampling now
+      // reads checkpoint blocks, and the blocks free with the plan
+      .localCheckpoint(true)
       // sorted on id like every other keyed store: AQE coalesces the sort
       // exchange so the file count tracks data size (the spread compute
       // above otherwise fragments a small store into cores-many files,
@@ -160,11 +177,14 @@ object Dedup {
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
     require(bands >= 1 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
+    // localCheckpoint, not cache (r15): read by the banding, the verify
+    // union, and the optional store append — and freed with the plan
+    // instead of leaking a CacheManager entry per batch
     val fresh = Spread.scanFloor(newDocs, col(idCol), minDeficit = 4)
       .select(col(idCol).as("id"),
         word_shingles(tokens(col(textCol)), shingleK).as("sh"))
       .withColumn("sig", minhash_sig(col("sh"), numHashes))
-      .cache()
+      .localCheckpoint(true)
     val store = spark.read.parquet(path)
     val out = incrementalPairs(store, fresh, numHashes, bands, threshold)
     if (appendToStore) fresh.sort("id").write.mode("append").parquet(path)
@@ -285,13 +305,13 @@ object Dedup {
     * runtime, so corpus arrays never shuffle and verification stays
     * ∝ candidate docs at any corpus size.
     *
-    * `candidates` is persisted (ids only — tiny next to the arrays) so
-    * deriving the id set doesn't re-run the bucket self-join; worst case
-    * under LRU eviction is recompute, never wrong results. */
+    * `candidates` is materialized once (ids only — tiny next to the
+    * arrays) so deriving the id set doesn't re-run the bucket self-join;
+    * localCheckpoint rather than persist (r15) so the blocks free with
+    * the plan instead of pinning the CacheManager. */
   private def verifyPairs(candidates: DataFrame, shingled: DataFrame,
                           threshold: Double): DataFrame = {
-    val cand = candidates.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cand = candidates.localCheckpoint(true)
     // explicit broadcast: waiting for AQE to convert would still WRITE the
     // array side's exchange before replanning (measured 78 MB of wasted
     // shuffle). Candidate ids being ≪ corpus is the LSH design invariant
@@ -403,7 +423,7 @@ object Dedup {
     if (probe.length < probeCap) return clustersLocal(pairs, probe)
     val edges = pairs.select(col("id_a"), col("id_b"))
       .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .cache()
+      .localCheckpoint(true) // freed with the plan; read every round below
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("cluster_id", col("id"))
     var converged = false
@@ -440,7 +460,6 @@ object Dedup {
       throw new IllegalStateException(
         s"connected components did not converge in $maxIters rounds — " +
           "raise maxIters (pathologically deep duplicate chains)")
-    edges.unpersist()
     labels
   }
 
@@ -818,7 +837,13 @@ object Dedup {
         exactPairs(base)
       } else {
         val small = base.where(!col("cl").isin(bigClusters: _*))
+        // materialized once (r15): the big-cluster rows feed THREE plan
+        // subtrees — the LSH banding and both sides of the salted verify —
+        // and each re-execution re-read and re-normalized the engaged
+        // clusters' vectors (§2: shuffle/compute once, reuse). Same
+        // localCheckpoint discipline as the candidate set below.
         val big = base.where(col("cl").isin(bigClusters: _*))
+          .localCheckpoint(true)
         // LSH candidates within (cluster, band, bucket); ids-only through
         // the self-join and pair dedup (the cosinePairs shuffle
         // discipline). Materialized ONCE via an eager localCheckpoint (the

@@ -182,15 +182,15 @@ object Similarity {
     // not the small-corpus default.
     val (idPairs, vecSide) =
       if (!reduceCandidates)
-        // persisted (ids only) because the salted verify joins below read
-        // the pair set once per hot-set barrier — without the cache the
-        // bucket self-join would re-execute per read; LRU eviction only
-        // ever costs recompute
-        (idPairs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY),
+        // materialized (ids only) because the salted verify joins below
+        // read the pair set once per hot-set barrier — without it the
+        // bucket self-join would re-execute per read. localCheckpoint, not
+        // persist (r15): the blocks free with the plan instead of pinning
+        // an unpersisted CacheManager entry per call
+        (idPairs0.localCheckpoint(true),
           df.select(col(idCol), col(vecCol)))
       else {
-        val cand = idPairs0.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        val cand = idPairs0.localCheckpoint(true)
         val candIds = broadcast(
           cand.select(col("id_a").as(idCol))
             .unionAll(cand.select(col("id_b").as(idCol)))

@@ -42,7 +42,8 @@ object Spread {
     * sketching) pass a higher factor so a moderately-parallel scan
     * (e.g. 10 files on 32 cores) is left alone — measured at sf1, the
     * text exchange there cost more than the 3× compute gain bought. */
-  def scanFloor(df: DataFrame, key: Column, minDeficit: Int = 1): DataFrame = {
+  def scanFloor(df: DataFrame, key: Column, minDeficit: Int = 1,
+                minBytesOverride: Long = 0L): DataFrame = {
     val sess = df.sparkSession
     val floor = sess.conf.getOption("graft.spread.floor").map(_.toInt)
       .getOrElse(sess.sparkContext.defaultParallelism)
@@ -50,10 +51,32 @@ object Spread {
     // size gate: an exchange's fixed cost (task launch, tiny shuffle
     // files) only amortizes with at least a few hundred KB to spread —
     // toy inputs and unit-test literals must keep their narrow no-shuffle
-    // plans. Estimated plan stats, not an action.
-    val minBytes = sess.conf.getOption("graft.spread.minBytes").map(_.toLong)
-      .getOrElse(256L * 1024)
+    // plans. Estimated plan stats, not an action. A per-site override
+    // raises the gate where the per-row work is light relative to bytes
+    // (the exchange then costs more than the parallelism buys until the
+    // input is well past the session default).
+    val minBytes =
+      if (minBytesOverride > 0L) minBytesOverride
+      else sess.conf.getOption("graft.spread.minBytes").map(_.toLong)
+        .getOrElse(256L * 1024)
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return df
+    // The floor exists for SCAN-shaped inputs (one row group = one task).
+    // A frame that already carries a shuffle-producing operator is fed by
+    // an exchange whose partition count is the session's shuffle
+    // parallelism — the floor has nothing to fix there, and probing its
+    // partition count via `.rdd` would EXECUTE those upstream query
+    // stages eagerly at plan-build time under AQE (they then re-run at
+    // the real action — silent double work). Gate on the logical plan:
+    // shuffle-bearing inputs return unchanged, and the `.rdd` probe below
+    // only ever runs on narrow (scan/project/filter/generate/union)
+    // plans, where no query stage exists to execute.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Sort | _: Window | _: Distinct |
+           _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
+    }
+    if (shuffled) return df
     val have = df.rdd.getNumPartitions
     if (have >= math.max(1, floor / math.max(1, minDeficit))) df
     else df.repartition(floor, key)

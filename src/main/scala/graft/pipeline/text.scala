@@ -265,7 +265,11 @@ object TextStats {
   // batch id — redelivery detection needs no separate stamp write, so
   // the (append, stamp) pair stays atomic exactly as before.
 
-  /** The store's current delta segments, youngest last. */
+  /** The store's current delta segments, youngest last (batch-id deltas
+    * sort numerically by id, time-stamped deltas by nanos; ids sort before
+    * stamps — r15, ADVICE: the previous lexicographic sort put `_b10`
+    * before `_b9`, contradicting this contract even though no consumer
+    * ordered on it). */
   private[graft] def listCountDeltas(spark: org.apache.spark.sql.SparkSession,
                                      path: String): Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(path)
@@ -274,20 +278,36 @@ object TextStats {
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".delta_") &&
         !s.getPath.getName.startsWith(".delta_tmp"))
-      .map(_.getPath).sortBy(_.getName)
+      .map(_.getPath)
+      .sortBy { p =>
+        val n = p.getName
+        n.drop(".delta_".length + 1).toLongOption match {
+          case Some(v) if n.startsWith(".delta_b") => (0, v, n)
+          case Some(v) if n.startsWith(".delta_t") => (1, v, n)
+          case _ => (2, 0L, n)
+        }
+      }
   }
 
   /** Serving view of a flat count store: the base table alone when no
     * deltas exist (identical plan to r13 — parquet pushdown intact), or
-    * base + deltas summed by key. */
+    * base + deltas summed by key. Delta segments may be NEGATIVE (a
+    * bucketed-ledger delete sweep lands its agg correction as a negative
+    * segment — r15), so keys whose counts net to zero are dropped: a
+    * rebuilt store would have no row for them, and serving one at 0 would
+    * diverge (log(0) vs out-of-vocabulary). A sweep that removed nothing
+    * commits an EMPTY segment (the dir is the idempotence marker) — those
+    * carry no data files and are skipped. */
   private[graft] def readCountStore(spark: org.apache.spark.sql.SparkSession,
                                     path: String, key: String,
                                     cnt: String): DataFrame = {
     val deltas = listCountDeltas(spark, path)
+      .filter(p => Ivf.hasDataFiles(spark, p.toString))
     val base = spark.read.parquet(path)
     if (deltas.isEmpty) base
     else base.unionByName(spark.read.parquet(deltas.map(_.toString): _*))
       .groupBy(col(key)).agg(sum(col(cnt)).cast("long").as(cnt))
+      .where(col(cnt) =!= 0L)
   }
 
   /** Has `batchId`'s append already landed in this store? True when its
@@ -304,14 +324,20 @@ object TextStats {
     * rename is the atomic commit. Auto-compacts when the segment count
     * passes `graft.countstore.maxDeltas` (default 32; 0 = never) — the
     * Lucene-style background-merge analog, amortizing the O(|store|)
-    * fold over that many O(|batch|) appends. */
+    * fold over that many O(|batch|) appends. `nameSuffix` (r15) names the
+    * segment explicitly — the delete sweeps commit their negative agg
+    * corrections as `.delta_s<sweepId>`, outside the batch-id namespace so
+    * compaction's youngest-batch stamp never confuses a sweep for an
+    * append. */
   private[graft] def writeCountDelta(spark: org.apache.spark.sql.SparkSession,
                               path: String, delta: DataFrame, key: String,
-                              batchId: Option[Long]): Unit = {
+                              batchId: Option[Long],
+                              nameSuffix: Option[String] = None): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(root), s"count store does not exist: $path")
-    val name = batchId.map(id => s".delta_b$id")
+    val name = nameSuffix.map(s => s".delta_$s")
+      .orElse(batchId.map(id => s".delta_b$id"))
       .getOrElse(s".delta_t${System.nanoTime}")
     val tmp = new org.apache.hadoop.fs.Path(root, s".delta_tmp${System.nanoTime}")
     delta.sort(key).write.mode("overwrite").parquet(tmp.toString)
@@ -506,17 +532,34 @@ object TextStats {
   //
   //   path/agg    (g,cg)/(bg,cb) — the serving table; SAME schema as the
   //               flat store, so every FromStore scorer serves it as-is
-  //   path/bydoc  (doc_id, gram, c) — per-doc counts, sorted by doc_id so
-  //               a delete sweep's semi-join prunes row groups
+  //   path/bydoc/bucket=N  (doc_id, gram, c) — per-doc counts, hash-
+  //               bucketed on `pmod(xxhash64(doc_id), B)` (r15; B stamped
+  //               into `_graft_buckets` at write time,
+  //               `graft.countstore.ledgerBuckets` seeds new stores) and
+  //               sorted by doc_id within each bucket.
   //
-  // Deletes subtract BY KEY: anti-join the ledger, rebuild the agg from
-  // the clean ledger. The rebuild (not a delta subtract) is deliberate —
-  // it makes the sweep IDEMPOTENT under crash-and-retry (a half-applied
-  // delta subtract either double-subtracts or silently leaves the agg
-  // stale depending on which rewrite survived; re-running a rebuild
-  // always converges on the clean ledger). Cost: one gram-ledger pass
-  // per delete sweep — maintenance-cadence work (M3/M4's plane), never a
-  // corpus TEXT pass.
+  // Deletes subtract BY KEY, touching only what the keys hash to (r15 —
+  // previously the sweep anti-joined and rewrote the ENTIRE ledger and
+  // rebuilt agg from it: O(|store|) per delete batch, the engine's last
+  // O(|store|)-per-operation path). A sweep now:
+  //   1. derives its touched buckets FROM THE DELETED IDS (bucket =
+  //      hash(id) — no store scan) and reads only those partitions;
+  //   2. commits the agg correction as a NEGATIVE delta segment named by
+  //      a deterministic sweep id (`.delta_s<md5(sorted ids)>`) — the
+  //      atomic-rename idempotence marker: a crash-and-retry (or replay)
+  //      sees the segment and never double-subtracts, and a replay after
+  //      the ledger was already swept computes an EMPTY correction;
+  //      serving nets base + deltas and drops keys that reach zero
+  //      (readCountStore), exactly what a rebuild would hold;
+  //   3. anti-joins and rewrites ONLY the touched buckets, with the
+  //      rename-aside-per-bucket swap (and entry-time crash recovery)
+  //      the ANN compaction uses.
+  // The agg correction commits BEFORE the bucket rewrite: the one crash
+  // window between them re-runs into the sweep-id skip (step 2) and a
+  // smaller anti-join (step 3) — both idempotent. Appends stay
+  // O(|batch|): a batch's delta rows land only in its own buckets.
+  // Pre-r15 unbucketed ledgers (no `_graft_buckets`) keep the original
+  // whole-ledger rewrite + agg rebuild.
 
   private def byDocCounts(df: DataFrame, idCol: String, gram: Column,
                           key: String): DataFrame =
@@ -539,17 +582,49 @@ object TextStats {
       agg.write.parquet(tmp))
   }
 
+  /** `pmod(xxhash64(doc_id), B)` — the ledger's bucket assignment; always
+    * computed IN-PLAN (also for the tiny delete-id frames) so the value
+    * agrees with the written layout for any doc_id type. */
+  private def ledgerBucket(b: Int): Column =
+    pmod(xxhash64(col("doc_id")), lit(b.toLong)).cast("int")
+
   private def writeKeyedCounts(df: DataFrame, idCol: String, gram: Column,
                                key: String, cnt: String, path: String): Unit = {
     val spark = df.sparkSession
-    byDocCounts(df, idCol, gram, key).sort("doc_id", key)
-      .write.mode("overwrite").parquet(s"$path/bydoc")
+    val b = spark.conf.getOption("graft.countstore.ledgerBuckets")
+      .map(_.toInt).getOrElse(32)
+    require(b >= 1, s"graft.countstore.ledgerBuckets must be >= 1, got $b")
+    // hash repartition on the bucket (not the r14 global sort, whose range
+    // partitioner re-executed the gram aggregate for its sampling pass);
+    // doc_id order within each bucket keeps the min/max row-group pruning
+    // the probes rely on
+    byDocCounts(df, idCol, gram, key)
+      .withColumn("bucket", ledgerBucket(b))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("doc_id", key)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/bydoc")
+    graft.Maintain.writeBucketsMarker(spark, s"$path/bydoc", b)
     // agg derives from the written ledger — one ledger read instead of a
     // second corpus tokenize
     spark.read.parquet(s"$path/bydoc")
       .groupBy(col(key)).agg(sum(col("c")).cast("long").as(cnt))
       .sort(key).write.mode("overwrite").parquet(s"$path/agg")
   }
+
+  /** The ledger restricted to the buckets that can hold `ids`' rows —
+    * partition-pruned on a bucketed layout (one tiny job computes the id
+    * frame's bucket set; `ids` is batch/sweep-sized by contract), the full
+    * ledger on a legacy unbucketed one. */
+  private def ledgerFor(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ids: DataFrame): DataFrame =
+    graft.Maintain.readBucketsMarker(spark, s"$path/bydoc") match {
+      case Some(b) =>
+        val touched = ids.select(ledgerBucket(b).as("_bk")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(s"$path/bydoc")
+          .where(col("bucket").isin(touched: _*))
+      case None => spark.read.parquet(s"$path/bydoc")
+    }
 
   private def appendKeyedCounts(newDocs: DataFrame, idCol: String,
                                 gram: Column, key: String, cnt: String,
@@ -587,9 +662,19 @@ object TextStats {
         }
       return
     }
-    graft.TextIndex.requireInsertOnly(spark, s"$path/bydoc",
-      delta.select(col("doc_id")).distinct(), what)
-    delta.write.mode("append").parquet(s"$path/bydoc")
+    val deltaKeys = delta.select(col("doc_id")).distinct()
+    // the insert-only probe scans only the batch's own buckets (r15):
+    // the ledger rows a batch key could collide with live where the key
+    // hashes, nowhere else
+    graft.TextIndex.requireInsertOnly(spark, s"$path/bydoc", deltaKeys, what,
+      ledgerFor(spark, path, deltaKeys))
+    graft.Maintain.readBucketsMarker(spark, s"$path/bydoc") match {
+      case Some(b) =>
+        delta.withColumn("bucket", ledgerBucket(b))
+          .write.mode("append").partitionBy("bucket").parquet(s"$path/bydoc")
+      case None =>
+        delta.write.mode("append").parquet(s"$path/bydoc")
+    }
     if (batchId.exists(countStoreHoldsBatch(spark, s"$path/agg", _)))
       return // replayed batch: the agg fold already landed
     // the agg fold is a batch-sized DELTA segment, not a store rewrite —
@@ -612,7 +697,9 @@ object TextStats {
     if (!graft.pipeline.Ivf.hasDataFiles(spark, s"$path/bydoc")) return false
     val cols = Seq(col("doc_id"), col(key), col("c"))
     val keys = delta.select(col("doc_id")).distinct()
-    val present = spark.read.parquet(s"$path/bydoc")
+    // bucket-pruned (r15): the batch's rows can only live in its own
+    // buckets, so the content probe reads those partitions alone
+    val present = ledgerFor(spark, path, keys)
       .join(broadcast(keys), Seq("doc_id"), "left_semi")
       .select(cols: _*)
     if (present.isEmpty) return false
@@ -633,12 +720,90 @@ object TextStats {
                                   key: String, cnt: String): Unit = {
     val ids = deletedIds
       .select(col(deletedIds.columns.head).as("doc_id")).distinct()
-    graft.Maintain.stagedRewrite(spark, s"$path/bydoc") { tmp =>
-      spark.read.parquet(s"$path/bydoc")
-        .join(broadcast(ids), Seq("doc_id"), "left_anti")
-        .sort("doc_id", key).write.parquet(tmp)
+    graft.Maintain.readBucketsMarker(spark, s"$path/bydoc") match {
+      case Some(b) => subtractBucketed(spark, path, ids, key, cnt, b)
+      case None =>
+        // legacy pre-r15 unbucketed ledger: the original whole-ledger
+        // rewrite + full agg rebuild (rebuild the store with
+        // writeNgramCountsKeyed/writeBigramLmKeyed to adopt the bucketed
+        // layout and per-bucket sweeps)
+        graft.Maintain.stagedRewrite(spark, s"$path/bydoc") { tmp =>
+          spark.read.parquet(s"$path/bydoc")
+            .join(broadcast(ids), Seq("doc_id"), "left_anti")
+            .sort("doc_id", key).write.parquet(tmp)
+        }
+        rebuildAggFromLedger(spark, path, key, cnt)
     }
-    rebuildAggFromLedger(spark, path, key, cnt)
+  }
+
+  /** The bucketed delete sweep — see the layout block above for the
+    * step-by-step idempotence argument. Cost: O(|touched buckets| +
+    * |deleted docs' vocabulary|), never O(|store|). */
+  private def subtractBucketed(spark: org.apache.spark.sql.SparkSession,
+                               path: String, ids: DataFrame, key: String,
+                               cnt: String, b: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val bydoc = s"$path/bydoc"
+    val root = new Path(bydoc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // entry-time recovery of a previous sweep's crashed bucket swap (the
+    // compactAnnIndex discipline): an aside dir without a live partner
+    // means the crash hit between the two renames — restore it; with a
+    // live partner the swap completed and the aside is stale.
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(".subtract_old_")).foreach { s =>
+      val live = new Path(root, s.getPath.getName.stripPrefix(".subtract_old_"))
+      if (!fs.exists(live))
+        require(fs.rename(s.getPath, live),
+          s"failed to restore ${s.getPath} to $live after a crashed sweep")
+      else fs.delete(s.getPath, true)
+    }
+    // deterministic sweep identity: md5 over the sorted id strings — the
+    // same id set (a crash retry or an at-least-once redelivery) always
+    // names the same agg segment, so the correction can never land twice
+    val idStrs = ids.select(col("doc_id").cast("string"))
+      .collect().map(_.getString(0)).sorted
+    if (idStrs.isEmpty) return
+    val md = java.security.MessageDigest.getInstance("MD5")
+    idStrs.foreach(s => md.update((s + " ").getBytes("UTF-8")))
+    val sweepId = java.lang.Long.toUnsignedString(
+      java.nio.ByteBuffer.wrap(md.digest.take(8)).getLong)
+    val touched = ids.select(ledgerBucket(b).as("_bk")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val ledger = spark.read.parquet(bydoc)
+      .where(col("bucket").isin(touched: _*))
+    // 1. agg correction first, as a negative delta segment (atomic rename;
+    //    the dir name is the sweep's applied marker). Computed from the
+    //    CURRENT ledger: a retry that already swept the buckets nets an
+    //    empty segment, a retry that didn't yet hits the name-skip here.
+    if (!listCountDeltas(spark, s"$path/agg")
+        .exists(_.getName == s".delta_s$sweepId")) {
+      val removed = ledger.join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .groupBy(col(key)).agg((-sum(col("c"))).cast("long").as(cnt))
+      writeCountDelta(spark, s"$path/agg", removed, key, None,
+        Some(s"s$sweepId"))
+    }
+    // 2. rewrite only the touched buckets: one job stages every survivor,
+    //    then the rename-aside swap per bucket
+    val tmp = new Path(root, ".subtract_tmp")
+    fs.delete(tmp, true)
+    ledger.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .repartition(col("bucket")).sortWithinPartitions("doc_id", key)
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+    touched.foreach { t =>
+      val live = new Path(root, s"bucket=$t")
+      val staged = new Path(tmp, s"bucket=$t")
+      // a fully-deleted bucket stages no output — swap in an empty dir
+      if (!fs.exists(staged)) fs.mkdirs(staged)
+      val aside = new Path(root, s".subtract_old_bucket=$t")
+      fs.delete(aside, true)
+      if (fs.exists(live))
+        require(fs.rename(live, aside), s"failed to set aside $live")
+      require(fs.rename(staged, live),
+        s"failed to swap $staged into $live — pre-sweep data at $aside")
+      fs.delete(aside, true)
+    }
+    fs.delete(tmp, true)
   }
 
   /** Doc-keyed twin of [[writeNgramCounts]] — see the layout/contract

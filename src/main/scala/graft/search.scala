@@ -659,7 +659,10 @@ object Search {
     val tf = likeToks.groupBy("_t").agg(count(lit(1)).as("_tf"))
       .where(col("_tf") >= minTermFreq)
       .orderBy(desc("_tf"), asc("_t")).limit(maxQueryTerms * 10)
-    val corpusToks = docs
+    // the statistics pass tokenizes the whole corpus — floor the scan
+    // (guide §2.5, r15) so a single-row-group corpus doesn't pay it on
+    // one task (the store-served twin skips this pass entirely)
+    val corpusToks = graft.pipeline.Spread.scanFloor(docs, col(idCol))
       .select(explode(array_distinct(toks(col(field)))).as("_t"))
     val picked = corpusToks.join(broadcast(tf), Seq("_t"))
       .groupBy("_t").agg(count(lit(1)).as("_df"), max(col("_tf")).as("_tf"))
@@ -690,7 +693,11 @@ object Search {
     val msm = math.max(1, minimumShouldMatchPct * picked.size / 100)
     val keep =
       if (likeIds.nonEmpty) !col(idCol).isin(likeIds: _*) else lit(true)
-    docs.where(keep && matched >= msm)
+    // up to maxQueryTerms compiled-regex matches per row — heavy per-row
+    // work that must not serialize on a single-row-group scan (§2.5, r15);
+    // the ordered page stays a TakeOrderedAndProject above it
+    graft.pipeline.Spread.scanFloor(docs, col(idCol))
+      .where(keep && matched >= msm)
       .withColumn("_score", matched)
       .orderBy(desc("_score"), asc(idCol))
       .limit(cfg.maxResults)
@@ -1320,26 +1327,39 @@ object Search {
     * beam (always true for two-token inputs). */
   def phraseSuggest(docs: DataFrame, field: String, text: String,
                     size: Int = 3, maxEdits: Int = 2,
-                    perTermCandidates: Int = 5): DataFrame =
-    phraseSuggestOver(lmUnigrams(docs, field), lmBigrams(docs, field),
+                    perTermCandidates: Int = 5): DataFrame = {
+    // ONE corpus tokenize pass feeds both LM tables (guide §6: read once —
+    // r14 built unigrams and bigrams in two separate corpus passes). The
+    // fused aggregate is vocabulary-sized; persisting IT (not the corpus)
+    // keeps the suggester's several driver actions from re-running the
+    // build, and every action completes inside phraseSuggestOver, so the
+    // unpersist is immediate — no cached relation outlives the call (the
+    // r14 leak: an un-unpersisted MEMORY_ONLY unigram table per call).
+    val counts = lmGramCounts(docs, field)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try phraseSuggestOver(
+      counts.where(!col("g").contains(" "))
+        .select(col("g").as("w"), col("freq")),
+      counts.where(col("g").contains(" "))
+        .select(col("g").as("b"), col("freq")),
       text, size, maxEdits, perTermCandidates)
+    finally counts.unpersist()
+  }
 
-  /** The phrase suggester's LM tables. Unigram OCCURRENCE counts (LM
-    * semantics — not the term suggester's document frequency) and
-    * adjacent-bigram counts, as plain aggregates — the build cost is one
-    * corpus pass each, which is why [[writeSuggestStore]] exists. */
-  private def lmUnigrams(docs: DataFrame, field: String): DataFrame =
+  /** The phrase suggester's LM statistics in ONE corpus pass: unigram
+    * OCCURRENCE counts (LM semantics — not the term suggester's document
+    * frequency) and adjacent-bigram counts share a single tokenize +
+    * explode + hash aggregate. Analyzer tokens are `[a-z0-9_]+` runs, so
+    * a gram is a bigram iff it contains a space — the two tables split
+    * back out of the fused aggregate with a filter, never a second corpus
+    * read. The token array is bound to a column first so the tokenizer
+    * evaluates once per row, not once per gram family. */
+  private def lmGramCounts(docs: DataFrame, field: String): DataFrame =
     graft.pipeline.Spread.scanFloor(docs, col(field))
-      .select(explode(analyzerTokens(col(field))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-
-  private def lmBigrams(docs: DataFrame, field: String): DataFrame =
-    graft.pipeline.Spread.scanFloor(docs, col(field))
-      .select(analyzerTokens(col(field)).as("ts"))
-      .where(array_size(col("ts")) >= 2)
-      .select(explode(expr("transform(sequence(1, array_size(ts) - 1), " +
-        "i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))")).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("freq"))
+      .select(analyzerTokens(col(field)).as("_ts"))
+      .select(explode(concat(col("_ts"),
+        graft.functions.TextSketchFunctions.word_grams(col("_ts"), 2))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("freq"))
 
   /** The 100 TB shape behind [[phraseSuggest]], materialized: the
     * suggester's LM build is corpus-linear (measured the worst sf1 scale
@@ -1351,9 +1371,17 @@ object Search {
     * candidate-pair probe prunes parquet row groups by min/max instead of
     * scanning the whole table. */
   def writeSuggestStore(docs: DataFrame, field: String, path: String): Unit = {
-    lmUnigrams(docs, field).write.mode("overwrite").parquet(s"$path/unigrams")
-    lmBigrams(docs, field).sort("b")
-      .write.mode("overwrite").parquet(s"$path/bigrams")
+    // one tokenize pass builds both tables (see [[lmGramCounts]]); the
+    // fused vocabulary-sized aggregate is persisted across the two write
+    // actions and released before returning
+    val counts = lmGramCounts(docs, field)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      counts.where(!col("g").contains(" ")).select(col("g").as("w"), col("freq"))
+        .write.mode("overwrite").parquet(s"$path/unigrams")
+      counts.where(col("g").contains(" ")).select(col("g").as("b"), col("freq"))
+        .sort("b").write.mode("overwrite").parquet(s"$path/bigrams")
+    } finally counts.unpersist()
   }
 
   /** Incremental maintenance for [[writeSuggestStore]] (the
@@ -1393,8 +1421,16 @@ object Search {
           .countStoreHoldsBatch(spark, dir, _))) return
       graft.pipeline.TextStats.writeCountDelta(spark, dir, delta, key, batchId)
     }
-    appendSub(lmUnigrams(newDocs, field), "unigrams", "w")
-    appendSub(lmBigrams(newDocs, field), "bigrams", "b")
+    // one batch tokenize pass feeds both sub-deltas (see [[lmGramCounts]]);
+    // persisted across the two delta writes, released before returning
+    val counts = lmGramCounts(newDocs, field)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      appendSub(counts.where(!col("g").contains(" "))
+        .select(col("g").as("w"), col("freq")), "unigrams", "w")
+      appendSub(counts.where(col("g").contains(" "))
+        .select(col("g").as("b"), col("freq")), "bigrams", "b")
+    } finally counts.unpersist()
   }
 
   /** Serve [[phraseSuggest]] from a [[writeSuggestStore]] store —
@@ -1405,22 +1441,30 @@ object Search {
   def phraseSuggestFromStore(spark: org.apache.spark.sql.SparkSession,
                              path: String, text: String,
                              size: Int = 3, maxEdits: Int = 2,
-                             perTermCandidates: Int = 5): DataFrame =
-    phraseSuggestOver(
-      graft.pipeline.TextStats.readCountStore(spark, s"$path/unigrams", "w", "freq"),
+                             perTermCandidates: Int = 5): DataFrame = {
+    // the unigram table feeds three actions (see [[phraseSuggestOver]]) —
+    // persist the vocabulary-sized read across them and release before
+    // returning (every action completes inside the call)
+    val unis = graft.pipeline.TextStats
+      .readCountStore(spark, s"$path/unigrams", "w", "freq")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try phraseSuggestOver(unis,
       graft.pipeline.TextStats.readCountStore(spark, s"$path/bigrams", "b", "freq"),
       text, size, maxEdits, perTermCandidates)
+    finally unis.unpersist()
+  }
 
   private def phraseSuggestOver(unis0: DataFrame, bigs0: DataFrame, text: String,
                                 size: Int, maxEdits: Int,
                                 perTermCandidates: Int): DataFrame = {
     // the unigram table feeds THREE actions below (the totalN aggregate,
-    // the corrections collect, the originals branch of the same union) —
-    // persist the vocabulary-sized relation so the direct form pays its
-    // in-query corpus LM build once, not per action (the store-served
-    // form saves two vocabulary scans; LRU eviction degrades to
-    // recompute, never wrong results) (r14)
-    val unis = unis0.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // the corrections collect, the originals branch of the same union).
+    // Persistence is the CALLER's job (r15 — the r14 persist here was
+    // never unpersisted and leaked one cached relation per call):
+    // [[phraseSuggest]] persists its fused in-query LM build around this
+    // call and releases it on return; the store-served form reads a
+    // vocabulary-sized parquet table per action, which is already cheap.
+    val unis = unis0
     val spark = unis.sparkSession
     import spark.implicits._
     val toks = text.toLowerCase.split("[^a-z0-9_]+").filter(_.nonEmpty).toSeq
@@ -1923,10 +1967,18 @@ object Search {
       .groupBy(col("_tv_id"), col("term"))
       .agg(count(lit(1)).as("term_freq"),
         first(array_position(col("_tv_tokens"), col("term"))).as("first_position"))
-    // corpus df: one hash aggregate over distinct per-doc terms —
-    // vocabulary-sized output
+    // corpus df, restricted to the terms the response can mention (r15):
+    // only the SELECTED docs' terms ever reach the output's left join, so
+    // the corpus term relation is semi-joined against that (tiny,
+    // broadcast) term set BELOW the df aggregate — the aggregate's
+    // exchange then carries ~|selected docs' vocabulary| rows instead of
+    // the corpus vocabulary (guide §2.3: shuffle fewer bytes; output
+    // unchanged — dropped terms could only have joined to nothing)
+    val selTerms = selected
+      .select(explode(array_distinct(col("_tv_tokens"))).as("term")).distinct()
     val dfStats = graft.pipeline.Spread.scanFloor(docs, col(field))
       .select(explode(array_distinct(toks)).as("term"))
+      .join(broadcast(selTerms), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("doc_freq"))
     perDoc.join(dfStats, Seq("term"), "left")
       .select(col("_tv_id"), col("term"), col("term_freq"),

@@ -97,11 +97,17 @@ object TextIndex {
     // tokenize dominates bytes: raise the scan floor once (guide §2.5) so
     // a single-row-group corpus doesn't tokenize on one task
     val spreadDocs = graft.pipeline.Spread.scanFloor(docs, col(idCol))
-    val perField = fields.map { f =>
-      spreadDocs.select((Seq(explode(tokensOf(col(f))).as("token"),
-        lit(f).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
-    }
-    perField.reduce(_.union(_))
+    // ONE scan feeds every field (guide §6: read once — r14 unioned one
+    // select per field, scanning the doc store `fields.size` times): the
+    // fields fan out as an in-row (field, tokens) struct array, and the
+    // token explode runs above it
+    val ftArr = array(fields.map(f =>
+      struct(lit(f).as("field"), tokensOf(col(f)).as("toks"))): _*)
+    spreadDocs
+      .select((Seq(col(idCol).as("doc_id")) ++ segSel :+
+        explode(ftArr).as("_ft")): _*)
+      .select((Seq(col("_ft.field").as("field"), col("doc_id")) ++
+        segNames.map(col) :+ explode(col("_ft.toks")).as("token")): _*)
       .where(col("token") =!= "")
       .groupBy((Seq("token", "field", "doc_id") ++ segNames).map(col): _*)
       .agg(count(lit(1)).cast("int").as("tf"))
@@ -141,12 +147,15 @@ object TextIndex {
     val segSel = segmentCol.map(col).toSeq
     val segNames = segmentCol.toSeq
     val spreadDocs = graft.pipeline.Spread.scanFloor(docs, col(idCol))
-    val perField = fields.map { f =>
-      spreadDocs.select((Seq(posexplode(array_remove(tokensOf(col(f)), ""))
-        .as(Seq("pos", "token")),
-        lit(f).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
-    }
-    perField.reduce(_.union(_))
+    // one scan for all fields, as in [[buildPostings]]
+    val ftArr = array(fields.map(f =>
+      struct(lit(f).as("field"),
+        array_remove(tokensOf(col(f)), "").as("toks"))): _*)
+    spreadDocs
+      .select((Seq(col(idCol).as("doc_id")) ++ segSel :+
+        explode(ftArr).as("_ft")): _*)
+      .select((Seq(col("_ft.field").as("field"), col("doc_id")) ++
+        segNames.map(col) :+ posexplode(col("_ft.toks")).as(Seq("pos", "token"))): _*)
       .groupBy((Seq("token", "field", "doc_id") ++ segNames).map(col): _*)
       .agg(count(lit(1)).cast("int").as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))
@@ -215,8 +224,13 @@ object TextIndex {
     * scan without reading every token of the doc. */
   def buildNorms(docs: DataFrame, idCol: String, fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "norms need at least one field")
+    // the per-field length is a full tokenize of the text — floor the scan
+    // (guide §2.5, r15) so a single-row-group corpus doesn't tokenize on
+    // one task; the union over fields stays narrow (norm rows are 3
+    // columns, never worth the struct-array fan-out postings need)
+    val spreadDocs = graft.pipeline.Spread.scanFloor(docs, col(idCol))
     val perField = fields.map { f =>
-      docs.select(col(idCol).as("doc_id"), lit(f).as("field"),
+      spreadDocs.select(col(idCol).as("doc_id"), lit(f).as("field"),
         size(array_remove(tokensOf(coalesce(col(f).cast("string"), lit(""))), ""))
           .as("dl"))
     }
@@ -333,10 +347,20 @@ object TextIndex {
     * probes the norms store once per micro-batch before any append. */
   private[graft] def requireInsertOnly(spark: SparkSession, path: String,
                                        deltaKeys: DataFrame,
-                                       what: String): Unit = {
+                                       what: String): Unit =
+    requireInsertOnly(spark, path, deltaKeys, what, spark.read.parquet(path))
+
+  /** As above, probing a caller-supplied view of the store instead of the
+    * full table — the bucketed keyed ledgers pass their partition-pruned
+    * read (r15), so the per-append collision probe stops scanning the
+    * whole store. `store` is by-name: nothing is planned when the check
+    * is off or the store is empty. */
+  private[graft] def requireInsertOnly(spark: SparkSession, path: String,
+                                       deltaKeys: DataFrame, what: String,
+                                       store: => DataFrame): Unit = {
     val mode = spark.conf.getOption("graft.append.insertCheck").getOrElse("error")
     if (mode == "off" || !hasDataFiles(spark, path)) return
-    val collided = spark.read.parquet(path)
+    val collided = store
       .select(col("doc_id"))
       .join(broadcast(deltaKeys.select(col("doc_id"))), Seq("doc_id"), "left_semi")
       .limit(5).collect().map(_.get(0)).toSeq
@@ -1023,11 +1047,20 @@ object TextIndex {
       else rows0.select(col("token"), col("doc_id"),
         col("tf").cast("double").as("tf"), col("gen").as("_pgen"))
     val fieldNorms0 = norms.where(col("field") === field)
-    val fieldNorms =
+    val fieldNorms1 =
       if (!versioned)
         fieldNorms0.select(col("doc_id"), col("dl").cast("double").as("dl"))
       else fieldNorms0.select(col("doc_id"), col("dl").cast("double").as("dl"),
         col("gen").as("_ngen"))
+    // the norms relation feeds TWO plan subtrees (the collection-stats
+    // aggregate and the per-doc score join), and when `norms` is an
+    // in-query [[buildNorms]] frame each subtree re-runs the full corpus
+    // tokenize (no exchange below it for ReuseExchange to dedupe).
+    // Materialize the slim (doc_id, dl[, gen]) rows ONCE — localCheckpoint
+    // rather than persist, so the blocks are ContextCleaner-freed with the
+    // plan instead of pinning the CacheManager until an unpersist nobody
+    // can issue on a returned plan (r15; guide §5/§6: read once).
+    val fieldNorms = fieldNorms1.localCheckpoint(true)
     val stats = fieldNorms.agg(count(lit(1)).cast("double").as("N"),
       avg(col("dl")).as("avgdl"))
     // norms join BEFORE df: in a versioned store only live rows (postings

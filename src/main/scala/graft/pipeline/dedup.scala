@@ -78,24 +78,26 @@ object Dedup {
     // aggregate shuffle) — see [[graft.functions.MinHashSig]]; only
     // (id, band, bucket) ever reaches an exchange.
     import graft.functions.TextSketchFunctions.{minhash_sig, word_shingles}
-    // materialized ONCE (read by the signature pass and by BOTH
-    // verification join sides — without it the documented-dominant shingle
-    // projection runs three times). localCheckpoint rather than cache
-    // (r15): a .cache() here was never unpersisted, pinning one corpus-
-    // sized relation in the CacheManager per call — and because the
-    // CacheManager matches by plan, repeat invocations silently served
-    // each other's blocks. The checkpoint's blocks are RDD-level
-    // (MEMORY_AND_DISK, spill-safe) and the ContextCleaner frees them
-    // when the returned plan is dropped. At 100 TB the real pattern is a
-    // materialized (id, sketch) store written once ([[writeSketchStore]]);
-    // this is the single-job analog.
-    val shingled = Spread.scanFloor(df, col(idCol), minDeficit = 4)
-      .select(col(idCol).as("id"),
-        word_shingles(tokens(col(textCol)), shingleK).as("sh"))
-      .localCheckpoint(true)
-    val sketches = shingled.select(col("id"), col("sh"),
-      minhash_sig(col("sh"), numHashes).as("sig"))
-    pairsFromSketches(sketches, numHashes, bands, threshold)
+    // No corpus-wide materialization at all (r15). The r13 .cache() here
+    // (never unpersisted — it leaked a CacheManager entry per call and
+    // warmed the bench's repeat runs) existed because the shingle
+    // projection fed three subtrees. But only the SIGNATURE pass needs
+    // every doc's shingles — and there they collapse INTO the sig
+    // expression (column pruning drops `sh`, so the arrays never
+    // materialize); the two verification sides need CANDIDATE docs only,
+    // and their broadcast semi-join pushes below the shingle projection
+    // (PushDownLeftSemiAntiJoin), so re-computing them touches candidate
+    // rows, not the corpus. Net: one corpus-wide shingle evaluation plus
+    // two candidate-sized ones, zero storage — measured at sf1 this beats
+    // both the cache (leak, warm-run bias) and an eager checkpoint
+    // (writing corpus-sized arrays to block storage cost ~1 s/run).
+    val base = Spread.scanFloor(df, col(idCol), minDeficit = 4)
+      .select(col(idCol).as("id"), col(textCol).as("_txt"))
+    val sketches = base.select(col("id"),
+      word_shingles(tokens(col("_txt")), shingleK).as("sh"))
+      .select(col("id"), col("sh"), minhash_sig(col("sh"), numHashes).as("sig"))
+    pairsFromSketches(sketches, base,
+      word_shingles(tokens(col("_txt")), shingleK), numHashes, bands, threshold)
   }
 
   /** The 100 TB pattern behind [[minhashPairs]], materialized: sketch the
@@ -159,7 +161,9 @@ object Dedup {
       require(r.getInt(0) == numHashes,
         s"store signature length ${r.getInt(0)} != numHashes $numHashes")
     }
-    pairsFromSketches(store, numHashes, bands, threshold)
+    // stored shingles: the verify sides' candidate semi-join lands on the
+    // id-sorted parquet scan (row-group pruned), shCol is just the column
+    pairsFromSketches(store, store, col("sh"), numHashes, bands, threshold)
   }
 
   /** Incremental near-dup check against a [[writeSketchStore]] store: pairs
@@ -215,12 +219,20 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val allShingles = store.select(col("id"), col("sh"))
       .unionByName(fresh.select(col("id"), col("sh")))
-    verifyPairs(candidates, allShingles, threshold)
+    verifyPairs(candidates, allShingles, col("sh"), threshold)
   }
 
   /** Shared LSH core: band the signatures, bucket-join candidates, verify
-    * exactly against the carried shingle sets. `sketches` = (id, sh, sig). */
-  private def pairsFromSketches(sketches: DataFrame, numHashes: Int, bands: Int,
+    * exactly against shingle sets built for CANDIDATE docs only.
+    * `sketches` = (id, sh, sig) feeds the banding (column pruning keeps
+    * only id+sig there); `shingleSource`/`shCol` build the verification
+    * sides — the semi-join on candidate ids is placed BELOW the shingle
+    * projection by construction (r15: the optimizer does not push a
+    * LeftSemi through a generator-bearing Project, so handing it a
+    * pre-projected frame re-shingled the whole corpus on BOTH verify
+    * sides; building join-then-project keeps verification ∝ candidates). */
+  private def pairsFromSketches(sketches: DataFrame, shingleSource: DataFrame,
+                                shCol: Column, numHashes: Int, bands: Int,
                                 threshold: Double): DataFrame = {
     val banded = capBuckets(bandedOf(sketches, numHashes, bands))
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
@@ -229,7 +241,7 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    verifyPairs(candidates, sketches.select(col("id"), col("sh")), threshold)
+    verifyPairs(candidates, shingleSource, shCol, threshold)
   }
 
   /** OPT-IN bucket-size cap for the LSH candidate self-join — the
@@ -308,9 +320,11 @@ object Dedup {
     * `candidates` is materialized once (ids only — tiny next to the
     * arrays) so deriving the id set doesn't re-run the bucket self-join;
     * localCheckpoint rather than persist (r15) so the blocks free with
-    * the plan instead of pinning the CacheManager. */
-  private def verifyPairs(candidates: DataFrame, shingled: DataFrame,
-                          threshold: Double): DataFrame = {
+    * the plan instead of pinning the CacheManager. `shingleSource` must
+    * carry `id` plus whatever `shCol` reads: the shingle projection is
+    * applied ABOVE the candidate semi-join (see [[pairsFromSketches]]). */
+  private def verifyPairs(candidates: DataFrame, shingleSource: DataFrame,
+                          shCol: Column, threshold: Double): DataFrame = {
     val cand = candidates.localCheckpoint(true)
     // explicit broadcast: waiting for AQE to convert would still WRITE the
     // array side's exchange before replanning (measured 78 MB of wasted
@@ -321,7 +335,8 @@ object Dedup {
       cand.select(col("id_a").as("id"))
         .unionAll(cand.select(col("id_b").as("id")))
         .distinct())
-    val candSh = shingled.join(candIds, Seq("id"), "left_semi")
+    val candSh = shingleSource.join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), shCol.as("sh"))
     // skew-hardened verify joins: a boilerplate-heavy corpus can put one
     // doc-id in millions of candidate pairs (every bucket it collides
     // with), and when the shingle side outgrows broadcast the sort-merge
@@ -330,7 +345,7 @@ object Dedup {
     // `graft.skew.saltAt` (default 1M pairs) join exactly as before, so
     // the common-case plan cost is one id-only count + an empty broadcast,
     // with no driver-side action. Output is salt-invariant.
-    val sess = shingled.sparkSession
+    val sess = shingleSource.sparkSession
     val saltAt = sess.conf.getOption("graft.skew.saltAt")
       .map(_.toLong).getOrElse(1000000L)
     val saltF = sess.conf.getOption("graft.skew.saltFactor")

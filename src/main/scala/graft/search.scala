@@ -693,11 +693,11 @@ object Search {
     val msm = math.max(1, minimumShouldMatchPct * picked.size / 100)
     val keep =
       if (likeIds.nonEmpty) !col(idCol).isin(likeIds: _*) else lit(true)
-    // up to maxQueryTerms compiled-regex matches per row — heavy per-row
-    // work that must not serialize on a single-row-group scan (§2.5, r15);
-    // the ordered page stays a TakeOrderedAndProject above it
-    graft.pipeline.Spread.scanFloor(docs, col(idCol))
-      .where(keep && matched >= msm)
+    // no scan floor here (r15, measured): exchanging the full doc rows
+    // costs more than spreading the ≤ maxQueryTerms regex matches buys at
+    // both bench scales (the floor is for the STATISTICS pass above) —
+    // and the ordered page stays a TakeOrderedAndProject
+    docs.where(keep && matched >= msm)
       .withColumn("_score", matched)
       .orderBy(desc("_score"), asc(idCol))
       .limit(cfg.maxResults)

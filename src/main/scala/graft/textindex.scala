@@ -100,14 +100,24 @@ object TextIndex {
     // ONE scan feeds every field (guide §6: read once — r14 unioned one
     // select per field, scanning the doc store `fields.size` times): the
     // fields fan out as an in-row (field, tokens) struct array, and the
-    // token explode runs above it
-    val ftArr = array(fields.map(f =>
-      struct(lit(f).as("field"), tokensOf(col(f)).as("toks"))): _*)
-    spreadDocs
-      .select((Seq(col(idCol).as("doc_id")) ++ segSel :+
-        explode(ftArr).as("_ft")): _*)
-      .select((Seq(col("_ft.field").as("field"), col("doc_id")) ++
-        segNames.map(col) :+ explode(col("_ft.toks")).as("token")): _*)
+    // token explode runs above it. A single-field build keeps the direct
+    // one-explode shape — the fan-out's extra Generate is pure per-row
+    // overhead when there is nothing to fan out (r15, measured +0.4 s on
+    // the index-create query).
+    val tokenized =
+      if (fields.size == 1)
+        spreadDocs.select((Seq(explode(tokensOf(col(fields.head))).as("token"),
+          lit(fields.head).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
+      else {
+        val ftArr = array(fields.map(f =>
+          struct(lit(f).as("field"), tokensOf(col(f)).as("toks"))): _*)
+        spreadDocs
+          .select((Seq(col(idCol).as("doc_id")) ++ segSel :+
+            explode(ftArr).as("_ft")): _*)
+          .select((Seq(col("_ft.field").as("field"), col("doc_id")) ++
+            segNames.map(col) :+ explode(col("_ft.toks")).as("token")): _*)
+      }
+    tokenized
       .where(col("token") =!= "")
       .groupBy((Seq("token", "field", "doc_id") ++ segNames).map(col): _*)
       .agg(count(lit(1)).cast("int").as("tf"))
@@ -147,15 +157,24 @@ object TextIndex {
     val segSel = segmentCol.map(col).toSeq
     val segNames = segmentCol.toSeq
     val spreadDocs = graft.pipeline.Spread.scanFloor(docs, col(idCol))
-    // one scan for all fields, as in [[buildPostings]]
-    val ftArr = array(fields.map(f =>
-      struct(lit(f).as("field"),
-        array_remove(tokensOf(col(f)), "").as("toks"))): _*)
-    spreadDocs
-      .select((Seq(col(idCol).as("doc_id")) ++ segSel :+
-        explode(ftArr).as("_ft")): _*)
-      .select((Seq(col("_ft.field").as("field"), col("doc_id")) ++
-        segNames.map(col) :+ posexplode(col("_ft.toks")).as(Seq("pos", "token"))): _*)
+    // one scan for all fields, as in [[buildPostings]] (same single-field
+    // fast path)
+    val tokenized =
+      if (fields.size == 1)
+        spreadDocs.select((Seq(posexplode(
+          array_remove(tokensOf(col(fields.head)), "")).as(Seq("pos", "token")),
+          lit(fields.head).as("field"), col(idCol).as("doc_id")) ++ segSel): _*)
+      else {
+        val ftArr = array(fields.map(f =>
+          struct(lit(f).as("field"),
+            array_remove(tokensOf(col(f)), "").as("toks"))): _*)
+        spreadDocs
+          .select((Seq(col(idCol).as("doc_id")) ++ segSel :+
+            explode(ftArr).as("_ft")): _*)
+          .select((Seq(col("_ft.field").as("field"), col("doc_id")) ++
+            segNames.map(col) :+ posexplode(col("_ft.toks")).as(Seq("pos", "token"))): _*)
+      }
+    tokenized
       .groupBy((Seq("token", "field", "doc_id") ++ segNames).map(col): _*)
       .agg(count(lit(1)).cast("int").as("tf"),
         sort_array(collect_list(col("pos"))).as("positions"))

@@ -946,4 +946,89 @@ class DedupSpec extends AnyFunSuite {
       finally spark.conf.unset("graft.semdedup.maxBucket")
     assert(capped.isEmpty, capped.toString)
   }
+
+  test("r15: a bucketed-ledger delete sweep rewrites ONLY the deleted " +
+       "ids' buckets; the agg correction is an atomic sweep-named delta " +
+       "segment; serving equals a rebuild over the survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+    val docs = (1 to 40).map(i => (i, s"tok$i the quick brown fox tok$i"))
+      .toDF("id", "text")
+    TextStats.writeNgramCountsKeyed(docs, "text", "id", 3, s"$dir/ng")
+    val bydoc = new java.io.File(s"$dir/ng/bydoc")
+    assert(new java.io.File(bydoc, "_graft_buckets").exists,
+      "bucketed layout must stamp its bucket count")
+    def bucketState(): Map[String, Seq[(String, Long, Long)]] =
+      bydoc.listFiles.filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles.toSeq
+          .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1))
+        .toMap
+    val before = bucketState()
+    assert(before.size > 1, s"test corpus must span several buckets: $before")
+    val doomed = Seq(3, 17).toDF("id")
+    // which buckets the sweep MAY touch, derived exactly as the sweep does
+    // (the bucket count comes from the store's own stamp, not the conf)
+    val nb = {
+      val src = scala.io.Source.fromFile(s"$dir/ng/bydoc/_graft_buckets")
+      try src.mkString.trim.toLong finally src.close()
+    }
+    val touched = doomed
+      .select(pmod(xxhash64(col("id")), lit(nb)).cast("int")).distinct()
+      .collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    TextStats.subtractNgramCounts(spark, s"$dir/ng", doomed)
+    val after = bucketState()
+    val untouched = before.keySet -- touched
+    untouched.foreach { b =>
+      assert(after(b) == before(b),
+        s"untouched $b was rewritten by the sweep (files before=${before(b)} after=${after(b)})")
+    }
+    // the agg correction landed as a sweep-named negative delta segment —
+    // never a full agg rebuild
+    val aggDeltas = new java.io.File(s"$dir/ng/agg").listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith(".delta_s"))
+    assert(aggDeltas.length == 1, aggDeltas.mkString(","))
+    // served scores equal the direct operator on the survivor corpus
+    val keep = docs.where(!col("id").isin(3, 17))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(m(TextStats.dupNgramFractionFromKeyedStore(
+        keep, "text", "id", 3, s"$dir/ng")) ==
+      m(TextStats.dupNgramFraction(keep, "text", "id", 3)))
+    // replaying the same sweep is a no-op: the sweep-named segment is the
+    // applied marker, and the clean ledger nets an empty correction
+    TextStats.subtractNgramCounts(spark, s"$dir/ng", doomed)
+    assert(m(TextStats.dupNgramFractionFromKeyedStore(
+        keep, "text", "id", 3, s"$dir/ng")) ==
+      m(TextStats.dupNgramFraction(keep, "text", "id", 3)))
+    // compaction folds the negative segment away and restores the flat base
+    graft.Maintain.compactCountStore(spark, s"$dir/ng/agg")
+    assert(!new java.io.File(s"$dir/ng/agg").listFiles
+      .exists(_.getName.startsWith(".delta_")), "compaction must fold deltas")
+    assert(m(TextStats.dupNgramFractionFromKeyedStore(
+        keep, "text", "id", 3, s"$dir/ng")) ==
+      m(TextStats.dupNgramFraction(keep, "text", "id", 3)))
+  }
+
+  test("r15: a legacy UNBUCKETED ledger (no _graft_buckets) still subtracts " +
+       "via the whole-ledger rewrite and serves correctly") {
+    import graft.functions.TextSketchFunctions.word_grams
+    val dir = java.nio.file.Files.createTempDirectory("graft_legacy_ledger").toString
+    val docs = Seq((1, "the quick brown fox"), (2, "the quick brown cat"),
+      (3, "the quick brown rat"), (4, "a a a a a")).toDF("id", "text")
+    // the pre-r15 layout: flat (doc_id, g, c) parquet + derived agg,
+    // no bucket partitions, no marker
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0)
+    val ledger = docs.select(col("id").as("doc_id"),
+        explode(word_grams(toks, 3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).cast("long").as("c"))
+    ledger.sort("doc_id", "g").write.parquet(s"$dir/ng/bydoc")
+    ledger.groupBy("g").agg(sum("c").cast("long").as("cg"))
+      .sort("g").write.parquet(s"$dir/ng/agg")
+    TextStats.subtractNgramCounts(spark, s"$dir/ng", Seq(3).toDF("id"))
+    val keep = docs.where(col("id") =!= 3)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(m(TextStats.dupNgramFractionFromKeyedStore(
+        keep, "text", "id", 3, s"$dir/ng")) ==
+      m(TextStats.dupNgramFraction(keep, "text", "id", 3)))
+  }
 }

@@ -460,4 +460,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Union"), plan.take(3000))
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
+
+  test("r15: scanFloor never executes upstream stages of a shuffle-bearing " +
+       "input — the probe is gated to narrow plans") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val aggregated = docs.groupBy(col("lang")).count()
+    @volatile var jobs = 0
+    val tap = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(tap)
+    try {
+      val out = graft.pipeline.Spread.scanFloor(aggregated, col("lang"))
+      org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
+      // the pre-r15 probe materialized .rdd, which under AQE ran the
+      // aggregate's query stage eagerly at plan-build time (then again at
+      // the real action); the gate must return the frame unchanged with
+      // ZERO jobs launched
+      assert(jobs == 0, s"scanFloor launched $jobs job(s) on a shuffle-bearing input")
+      assert(out eq aggregated, "shuffle-bearing input must pass through unchanged")
+    } finally spark.sparkContext.removeSparkListener(tap)
+  }
+
+  test("r15: the postings build reads the doc store ONCE for all fields " +
+       "(in-row field fan-out, not a per-field scan union)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.TextIndex
+      .buildPostings(docs, "doc_id", Seq("text", "lang", "source"), 16)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans == 1, s"expected one doc-store scan, found $scans:\n${plan.take(3000)}")
+  }
 }

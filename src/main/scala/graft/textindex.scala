@@ -1088,10 +1088,16 @@ object TextIndex {
     // store rows are unique per (token, doc) and all docs have norms, so
     // the reordering does not change df.
     val live0 = rows.join(fieldNorms, "doc_id")
-    val live =
+    val live1 =
       if (!versioned) live0
       else live0.where(col("_pgen") === col("_ngen"))
         .dropDuplicates("token", "doc_id").drop("_pgen", "_ngen")
+    // `live` also feeds TWO subtrees (the df aggregate and the score
+    // join), and with an in-query postings frame each re-execution pays
+    // the probe-filtered corpus tokenize again (~2.9 s of the 9 s total
+    // at sf1). Slim (token, doc_id, tf, dl) rows bounded by the probe
+    // terms' matches — materialize once, freed with the plan (r15).
+    val live = live1.localCheckpoint(true)
     val dfs = live.groupBy("token").agg(count(lit(1)).as("df"))
     live
       .join(broadcast(dfs), "token")

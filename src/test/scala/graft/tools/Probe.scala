@@ -22,24 +22,19 @@ object Probe {
     }
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
     d.count() // warm
-    // decomposition of q_search_bm25_indexed
-    time("postings-build-all") {
-      TextIndex.buildPostings(d, "doc_id", Seq("text"), 16)
-        .queryExecution.toRdd.count()
-    }
-    time("postings-probe-only") {
-      val p = TextIndex.buildPostings(d, "doc_id", Seq("text"), 16)
-      p.where(col("token").isin("spark", "query")).queryExecution.toRdd.count()
-    }
-    time("norms-build") {
-      TextIndex.buildNorms(d, "doc_id", Seq("text"))
-        .queryExecution.toRdd.count()
-    }
-    time("bm25-indexed-full") {
-      val p = TextIndex.buildPostings(d, "doc_id", Seq("text"), 16)
-      val n = TextIndex.buildNorms(d, "doc_id", Seq("text"))
-      TextIndex.bm25Indexed(p, n, "text", Seq("spark", "query"), nBuckets = 16)
-        .queryExecution.toRdd.count()
+    // delete-sweep scaling: same fixed-size delete batch against a small
+    // and a large keyed store — the r14 whole-ledger rewrite scaled with
+    // the STORE; the bucketed sweep must scale with the batch's buckets
+    val small = d.where(col("doc_id") < 2000)
+    val ids = spark.range(10).select((col("id") * 97 + 3).as("doc_id"))
+    for ((tag, corpus) <- Seq("small" -> small, "full" -> d)) {
+      val path = java.nio.file.Files
+        .createTempDirectory(s"graft_probe_sub_$tag").toString
+      graft.pipeline.TextStats.writeNgramCountsKeyed(
+        corpus, "text", "doc_id", 3, s"$path/ng")
+      time(s"subtract-sweep-$tag") {
+        graft.pipeline.TextStats.subtractNgramCounts(spark, s"$path/ng", ids)
+      }
     }
     spark.stop()
   }
